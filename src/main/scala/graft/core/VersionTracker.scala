@@ -1,0 +1,163 @@
+package graft.core
+
+import java.time.Instant
+import java.util.UUID
+
+/** Identifies a single commit in a table's history
+  * (reference `VersionTracker.scala:91-123`: random UUID string). */
+final case class CommitId(id: String) {
+  override def toString: String = id
+}
+object CommitId {
+  def generate(): CommitId = CommitId(UUID.randomUUID().toString)
+}
+
+final case class UserId(value: String)
+
+/** Metadata of one commit. */
+final case class TableUpdateMetadata(
+    id: CommitId,
+    userId: UserId,
+    message: String,
+    timestamp: Instant)
+
+/** One commit: metadata + the list of operations it applies.
+  * The table's state is a fold over the operations of all commits up to the
+  * current ref — an event-sourced log (reference VersionTracker.scala:127-135). */
+final case class TableUpdate(metadata: TableUpdateMetadata, operations: List[TableOperation])
+
+object TableUpdate {
+  def apply(userId: UserId, message: String, timestamp: Instant, operations: List[TableOperation]): TableUpdate =
+    TableUpdate(TableUpdateMetadata(CommitId.generate(), userId, message, timestamp), operations)
+}
+
+/** Version-store-side operation ADT (reference VersionTracker.scala:127-135). */
+sealed trait TableOperation
+object TableOperation {
+  /** Commit #0 of every table. */
+  final case class InitTable(tableName: TableName, isSnapshot: Boolean) extends TableOperation
+  /** Snapshot tables: replace the whole-table version. */
+  final case class AddTableVersion(version: Version) extends TableOperation
+  /** Partitioned tables: set/replace one partition's version. */
+  final case class AddPartitionVersion(partition: Partition, version: Version) extends TableOperation
+  /** Partitioned tables: make a partition invisible. */
+  final case class RemovePartition(partition: Partition) extends TableOperation
+}
+
+/** Current ref + full ordered history (oldest first). */
+final case class TableState(currentVersion: CommitId, updates: List[TableUpdate]) {
+
+  /** Replay history only up to (and including) the current ref, then fold
+    * (reference VersionTracker.scala:37-55). */
+  def currentTableVersion: TableVersion = {
+    val idx = updates.indexWhere(_.metadata.id == currentVersion)
+    val upTo = if (idx < 0) updates else updates.take(idx + 1)
+    TableState.foldVersion(upTo)
+  }
+}
+
+object TableState {
+
+  /** Fold a commit list into the visible `TableVersion`
+    * (reference `applyPartitionUpdates` VersionTracker.scala:156-183; laws in
+    * VersionTrackerObjectSpec.scala:218-289):
+    *  - `AddPartitionVersion` = map put, `RemovePartition` = map remove
+    *  - snapshot tables: last `AddTableVersion` wins
+    */
+  def foldVersion(updates: List[TableUpdate]): TableVersion = {
+    val ops = updates.flatMap(_.operations)
+    val isSnapshot = ops.collectFirst { case TableOperation.InitTable(_, snap) => snap }.getOrElse(false)
+    if (isSnapshot) {
+      val last = ops.reverseIterator.collectFirst { case TableOperation.AddTableVersion(v) => v }
+      SnapshotTableVersion(last.getOrElse(Version.Unversioned))
+    } else {
+      val partitions = ops.foldLeft(Map.empty[Partition, Version]) {
+        case (acc, TableOperation.AddPartitionVersion(p, v)) => acc.updated(p, v)
+        case (acc, TableOperation.RemovePartition(p))        => acc - p
+        case (acc, _)                                        => acc
+      }
+      PartitionedTableVersion(partitions)
+    }
+  }
+}
+
+/** Errors raised by version trackers (reference VersionTrackerSpec.scala:433-492). */
+final case class UnknownTableError(table: TableName)
+    extends Exception(s"Unknown table: '$table'")
+final case class UnknownCommitError(id: CommitId)
+    extends Exception(s"Unknown commit: '$id'")
+
+/**
+ * The transactional commit log for versioned tables — the reference's central
+ * seam (`core/src/main/scala/dev/chronicles/core/VersionTracker.scala`).
+ * Implementations: [[InMemoryVersionTracker]] and
+ * [[graft.sources.FileBackedVersionTracker]].
+ *
+ * All methods are driver-side and eager (the reference's cats-effect `F[_]`
+ * machinery is an implementation idiom, not a semantic, and is not ported).
+ */
+trait VersionTracker {
+
+  /** Begin tracking a table. Idempotent: a second init is a no-op
+    * (reference VersionTrackerSpec.scala:57-77). */
+  def initTable(table: TableName, isSnapshot: Boolean, userId: UserId, message: String, timestamp: Instant): Unit
+
+  /** All tracked tables. */
+  def tables(): List[TableName]
+
+  /** Append a commit and move the current ref to it. */
+  def commit(table: TableName, update: TableUpdate): Unit
+
+  /** Move the current ref to ANY historical commit (rollback / roll-forward).
+    * Unknown commit ⇒ [[UnknownCommitError]]. */
+  def setCurrentVersion(table: TableName, id: CommitId): Unit
+
+  /** Current ref + ordered history; [[UnknownTableError]] if untracked. */
+  def tableState(table: TableName): TableState
+
+  /** Visible state at the current ref. */
+  def currentVersion(table: TableName): TableVersion =
+    tableState(table).currentTableVersion
+
+  /** Version history, most recent first. Ordering law: insertion (commit)
+    * order, NOT timestamp order (reference VersionTrackerSpec.scala:402-431). */
+  def updates(table: TableName): List[TableUpdateMetadata] =
+    tableState(table).updates.reverse.map(_.metadata)
+
+  /** Whether the table was initialised as a snapshot table. */
+  def isSnapshotTable(table: TableName): Boolean =
+    tableState(table).updates.flatMap(_.operations).collectFirst {
+      case TableOperation.InitTable(_, snap) => snap
+    }.getOrElse(false)
+}
+
+/** Simple in-memory tracker (reference `InMemoryVersionTracker.scala`).
+  * Single-JVM; useful for tests and as the semantic baseline. */
+final class InMemoryVersionTracker extends VersionTracker {
+  private var states = Map.empty[TableName, TableState]
+
+  override def initTable(table: TableName, isSnapshot: Boolean, userId: UserId, message: String, timestamp: Instant): Unit =
+    synchronized {
+      if (!states.contains(table)) {
+        val update = TableUpdate(userId, message, timestamp, List(TableOperation.InitTable(table, isSnapshot)))
+        states += table -> TableState(update.metadata.id, List(update))
+      }
+    }
+
+  override def tables(): List[TableName] = synchronized(states.keys.toList.sortBy(_.fullyQualifiedName))
+
+  override def commit(table: TableName, update: TableUpdate): Unit = synchronized {
+    val st = states.getOrElse(table, throw UnknownTableError(table))
+    states += table -> TableState(update.metadata.id, st.updates :+ update)
+  }
+
+  override def setCurrentVersion(table: TableName, id: CommitId): Unit = synchronized {
+    val st = states.getOrElse(table, throw UnknownTableError(table))
+    if (!st.updates.exists(_.metadata.id == id)) throw UnknownCommitError(id)
+    states += table -> st.copy(currentVersion = id)
+  }
+
+  override def tableState(table: TableName): TableState = synchronized {
+    states.getOrElse(table, throw UnknownTableError(table))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.core
+
+import java.net.URI
+
+/**
+ * Core table/partition domain model for the versioned-table engine.
+ *
+ * Semantics derived from the reference implementation
+ * (stettix/chronicles, `core/src/main/scala/dev/chronicles/core/model.scala`):
+ *  - two-part table names (model.scala:89-104)
+ *  - string-typed partition column values rendered as Hive-style paths
+ *    `col1=v1/col2=v2` (model.scala:10-69)
+ *  - `PartitionSchema.snapshot` (empty column list) marks an unpartitioned
+ *    table whose whole content is versioned as one unit (model.scala:76-83)
+ *  - `TableVersion` is the complete visible state of a table at one point
+ *    in history (model.scala:113-115)
+ */
+final case class TableName(schema: String, name: String) {
+  def fullyQualifiedName: String = s"$schema.$name"
+  override def toString: String = fullyQualifiedName
+}
+
+object TableName {
+  private val Part = "([a-zA-Z0-9_]+)"
+  private val FullName = s"$Part\\.$Part".r
+
+  /** Parse a `schema.table` string; anything else is rejected. */
+  def parse(fullyQualifiedName: String): Either[String, TableName] =
+    fullyQualifiedName match {
+      case FullName(schema, name) => Right(TableName(schema, name))
+      case _ =>
+        Left(s"Invalid table name: '$fullyQualifiedName'. Should be in format <schema>.<table name>")
+    }
+}
+
+/** A single `column=value` binding of a partition. Values are untyped strings
+  * end-to-end, exactly as in the reference (model.scala:43). */
+final case class ColumnValue(column: PartitionColumn, value: String)
+
+/** A partition column name; restricted to lowercase identifiers
+  * (reference model.scala:45-50). */
+final case class PartitionColumn(name: String) {
+  require(PartitionColumn.isValid(name), s"Invalid partition column name: '$name'")
+}
+
+object PartitionColumn {
+  private val ValidName = "[a-z][a-z0-9_]*".r
+  def isValid(name: String): Boolean = ValidName.pattern.matcher(name).matches()
+}
+
+/** A concrete partition: a non-empty list of column values, e.g.
+  * `date=2019-01-31` or `year=2019/month=01`. */
+final case class Partition(columnValues: List[ColumnValue]) {
+  require(columnValues.nonEmpty, "Partition must have at least one column value")
+
+  /** Hive-style relative path: `col1=v1/col2=v2`. */
+  def toPath: String =
+    columnValues.map(cv => s"${cv.column.name}=${cv.value}").mkString("/")
+
+  /** Absolute location of this partition under a table root. */
+  def resolvePath(tableLocation: URI): URI =
+    Partition.normalizedUri(tableLocation).resolve(toPath + "/")
+
+  override def toString: String = toPath
+}
+
+object Partition {
+
+  def apply(first: ColumnValue, rest: ColumnValue*): Partition =
+    Partition((first +: rest).toList)
+
+  /** Single-column convenience. */
+  def apply(column: String, value: String): Partition =
+    Partition(List(ColumnValue(PartitionColumn(column), value)))
+
+  private[core] def normalizedUri(uri: URI): URI =
+    if (uri.toString.endsWith("/")) uri else new URI(uri.toString + "/")
+
+  private val ColumnValueRegex = "([a-z][a-z0-9_]*)=([^/=]+)".r
+
+  /** Parse `col1=v1/col2=v2`. Rejects empty / malformed strings
+    * (reference ModelSpec.scala:32-65). */
+  def parse(path: String): Either[String, Partition] = {
+    val parts = path.split("/", -1).toList
+    val parsed = parts.map {
+      case ColumnValueRegex(col, v) => Right(ColumnValue(PartitionColumn(col), v))
+      case other                    => Left(s"Invalid partition element: '$other'")
+    }
+    val (errs, oks) = parsed.partitionMap(identity)
+    if (errs.nonEmpty) Left(s"Invalid partition path '$path': ${errs.mkString("; ")}")
+    else if (oks.isEmpty) Left(s"Invalid partition path '$path': empty")
+    else Right(Partition(oks))
+  }
+}
+
+/** The ordered list of partition columns of a table. Empty list = snapshot
+  * (unpartitioned) table. */
+final case class PartitionSchema(columns: List[PartitionColumn]) {
+  def isSnapshot: Boolean = columns.isEmpty
+  def columnNames: List[String] = columns.map(_.name)
+}
+
+object PartitionSchema {
+  /** The special "root partition" schema of an unpartitioned table. */
+  val snapshot: PartitionSchema = PartitionSchema(Nil)
+
+  def apply(first: String, rest: String*): PartitionSchema =
+    PartitionSchema((first +: rest).map(PartitionColumn(_)).toList)
+}
+
+/** Storage format of a table's data files. Open-ended string (reference
+  * model.scala:117-122 + README.md:79-83 claims CSV/Avro passthrough). */
+final case class FileFormat(name: String)
+
+object FileFormat {
+  val Parquet: FileFormat = FileFormat("parquet")
+  val Orc: FileFormat = FileFormat("orc")
+  val Csv: FileFormat = FileFormat("csv")
+  val Json: FileFormat = FileFormat("json")
+  val Avro: FileFormat = FileFormat("avro")
+}
+
+/** Static definition of a versioned table. */
+final case class TableDefinition(
+    name: TableName,
+    location: URI,
+    partitionSchema: PartitionSchema,
+    format: FileFormat) {
+  def isSnapshot: Boolean = partitionSchema.isSnapshot
+}
+
+/** The complete visible state of a table at a point in its history. */
+sealed trait TableVersion
+
+/** State of a partitioned table: the set of visible partitions, each at a
+  * specific version. */
+final case class PartitionedTableVersion(partitionVersions: Map[Partition, Version])
+    extends TableVersion
+
+/** State of an unpartitioned table: a single version of the whole content. */
+final case class SnapshotTableVersion(version: Version) extends TableVersion
+
+object TableVersion {
+  /** The state of a table with no data yet. */
+  def empty(isSnapshot: Boolean): TableVersion =
+    if (isSnapshot) SnapshotTableVersion(Version.Unversioned)
+    else PartitionedTableVersion(Map.empty)
+}
