@@ -23,7 +23,8 @@ final case class Version(timestamp: Instant, uuid: UUID) {
 
 object Version {
 
-  private[core] val TimestampFormat: DateTimeFormatter =
+  /** Sortable timestamp pattern shared by version labels and commit-file names. */
+  val TimestampFormat: DateTimeFormatter =
     DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss.nnnnnnnnn")
 
   /** Sentinel for data that predates version tracking (empty label). */

@@ -9,7 +9,8 @@ import java.time.Instant
   * project's verification drive for the core layer. */
 object VersioningDemo {
   def main(args: Array[String]): Unit = {
-    val tracker = new InMemoryVersionTracker
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-demo-store-")
+    val tracker = new graft.sources.FileBackedVersionTracker(storeDir.toUri)
     val t = TableName.parse("analytics.pageview").fold(e => sys.error(e), identity)
     tracker.initTable(t, isSnapshot = false, UserId("alice"), "init", Instant.now())
     tracker.initTable(t, isSnapshot = false, UserId("bob"), "dup init (no-op)", Instant.now())
@@ -45,5 +46,10 @@ object VersioningDemo {
     println("PROBE_BAD_PARTITION=" + Partition.parse("not a partition"))
     println("PROBE_BAD_VERSION=" + Version.parse("garbage"))
     println("PROBE_EMPTY_VERSION=" + Version.parse(""))
+
+    // persistence probe: a fresh tracker over the same directory sees the log
+    val reopened = new graft.sources.FileBackedVersionTracker(storeDir.toUri)
+    println("REOPENED_LOG=" + reopened.updates(t).map(_.message))
+    println("REOPENED_HEAD=" + (reopened.currentVersion(t) == asOf))
   }
 }

@@ -1,0 +1,126 @@
+package graft.sources
+
+import graft.core._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import java.net.URI
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+
+/**
+ * Commit log persisted as JSON files on a Hadoop `FileSystem` — works on
+ * `file://`, `hdfs://` and `s3a://` alike, which is what makes the version
+ * store usable next to 100 TB of lake data.
+ *
+ * Layout mirrors the reference
+ * (`files/src/main/scala/dev/chronicles/files/FileBackedVersionTracker.scala:85-176`):
+ * {{{
+ *   <root>/_graft_table_<schema>.<table>/
+ *     table-metadata.json            // {"isSnapshot": …}
+ *     head.json                      // current ref (commit id)
+ *     table_update_<sortable-ts>.json  // one file per commit
+ * }}}
+ * Commit files are named with a strictly-monotonic timestamp so lexicographic
+ * name order == commit order (the history-ordering law; reference sorts by
+ * (mtime, name), we make the name alone sufficient). Like the reference's
+ * file-backed store, this provides single-writer semantics only — concurrent
+ * writers to the same table are an orchestration concern
+ * (FileBackedVersionTracker.scala:23-25).
+ */
+final class FileBackedVersionTracker(rootUri: URI, hadoopConf: Configuration = new Configuration())
+    extends VersionTracker {
+
+  import FileBackedVersionTracker._
+
+  private val fs: FileSystem = FileSystem.get(rootUri, hadoopConf)
+  private val root = new Path(rootUri)
+
+  override def initTable(
+      table: TableName, isSnapshot: Boolean, userId: UserId, message: String, timestamp: Instant): Unit = {
+    val dir = tableDir(table)
+    if (!fs.exists(new Path(dir, MetadataFile))) {
+      fs.mkdirs(dir)
+      write(new Path(dir, MetadataFile), JsonCodecs.metadataToJson(isSnapshot))
+      val update = TableUpdate(userId, message, timestamp, List(TableOperation.InitTable(table, isSnapshot)))
+      writeCommit(dir, update)
+      write(new Path(dir, HeadFile), update.metadata.id.id)
+    }
+  }
+
+  override def tables(): List[TableName] =
+    if (!fs.exists(root)) Nil
+    else
+      fs.listStatus(root).toList
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith(TableDirPrefix))
+        .flatMap(n => TableName.parse(n.stripPrefix(TableDirPrefix)).toOption)
+        .sortBy(_.fullyQualifiedName)
+
+  override def commit(table: TableName, update: TableUpdate): Unit = {
+    val dir = existingTableDir(table)
+    writeCommit(dir, update)
+    write(new Path(dir, HeadFile), update.metadata.id.id)
+  }
+
+  override def setCurrentVersion(table: TableName, id: CommitId): Unit = {
+    val st = tableState(table)
+    if (!st.updates.exists(_.metadata.id == id)) throw UnknownCommitError(id)
+    write(new Path(existingTableDir(table), HeadFile), id.id)
+  }
+
+  override def tableState(table: TableName): TableState = {
+    val dir = existingTableDir(table)
+    val files = fs.listStatus(dir).toList
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(CommitFilePrefix) && p.getName.endsWith(".json"))
+      .sortBy(_.getName)
+    val updates = files.map { p =>
+      JsonCodecs.fromJson(read(p)).fold(e => sys.error(s"Corrupt commit file $p: $e"), identity)
+    }
+    val head = CommitId(read(new Path(dir, HeadFile)).trim)
+    TableState(head, updates)
+  }
+
+  override def isSnapshotTable(table: TableName): Boolean = {
+    val p = new Path(existingTableDir(table), MetadataFile)
+    JsonCodecs.metadataFromJson(read(p)).fold(e => sys.error(s"Corrupt metadata $p: $e"), identity)
+  }
+
+  // ---- helpers ----
+
+  private def tableDir(table: TableName): Path =
+    new Path(root, TableDirPrefix + table.fullyQualifiedName)
+
+  private def existingTableDir(table: TableName): Path = {
+    val dir = tableDir(table)
+    if (!fs.exists(new Path(dir, MetadataFile))) throw UnknownTableError(table)
+    dir
+  }
+
+  private def writeCommit(dir: Path, update: TableUpdate): Unit = {
+    val name = CommitFilePrefix + Version.TimestampFormat.format(
+      MonotonicClock.nextUniqueInstant().atOffset(java.time.ZoneOffset.UTC)) + ".json"
+    write(new Path(dir, name), JsonCodecs.toJson(update))
+  }
+
+  private def write(path: Path, content: String): Unit = {
+    val out = fs.create(path, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def read(path: Path): String = {
+    val in = fs.open(path)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+}
+
+object FileBackedVersionTracker {
+  val TableDirPrefix = "_graft_table_"
+  val MetadataFile = "table-metadata.json"
+  val HeadFile = "head.json"
+  val CommitFilePrefix = "table_update_"
+}

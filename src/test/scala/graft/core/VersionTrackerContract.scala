@@ -1,0 +1,148 @@
+package graft.core
+
+import java.time.Instant
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+import TableOperation._
+
+/**
+ * Black-box contract every VersionTracker implementation must satisfy —
+ * mirrors the reference's shared-behavior spec pattern
+ * (`core/src/test/.../VersionTrackerSpec.scala:19-499`), instantiated per impl.
+ */
+trait VersionTrackerContract extends AnyFlatSpec with Matchers {
+
+  /** Fresh, empty tracker per call. */
+  def newTracker(): VersionTracker
+
+  private def init(tr: VersionTracker, name: String, isSnapshot: Boolean = false): TableName = {
+    val t = TableName("test", name)
+    tr.initTable(t, isSnapshot, UserId("u"), "init", Instant.now())
+    t
+  }
+
+  private def upd(ops: TableOperation*): TableUpdate =
+    TableUpdate(UserId("u"), "update", Instant.now(), ops.toList)
+
+  behavior of "a VersionTracker"
+
+  it should "list initialised tables" in {
+    val tr = newTracker()
+    tr.tables() shouldBe Nil
+    val t1 = init(tr, "t1")
+    val t2 = init(tr, "t2", isSnapshot = true)
+    tr.tables() should contain theSameElementsAs List(t1, t2)
+    tr.isSnapshotTable(t1) shouldBe false
+    tr.isSnapshotTable(t2) shouldBe true
+  }
+
+  it should "treat a second init as a no-op" in {
+    val tr = newTracker()
+    val t = init(tr, "t")
+    val v = Version.generate()
+    tr.commit(t, upd(AddPartitionVersion(Partition("date", "2019-01-01"), v)))
+    tr.initTable(t, isSnapshot = false, UserId("other"), "re-init", Instant.now())
+    tr.updates(t) should have size 2
+    tr.currentVersion(t) shouldBe PartitionedTableVersion(Map(Partition("date", "2019-01-01") -> v))
+  }
+
+  it should "start with an empty current version" in {
+    val tr = newTracker()
+    tr.currentVersion(init(tr, "p")) shouldBe PartitionedTableVersion(Map.empty)
+    tr.currentVersion(init(tr, "s", isSnapshot = true)) shouldBe SnapshotTableVersion(Version.Unversioned)
+  }
+
+  it should "apply partition add/update/remove across commits" in {
+    val tr = newTracker()
+    val t = init(tr, "t")
+    val p1 = Partition("date", "2019-01-01")
+    val p2 = Partition("date", "2019-01-02")
+    val v1 = Version.generate(); val v2 = Version.generate(); val v3 = Version.generate()
+    tr.commit(t, upd(AddPartitionVersion(p1, v1), AddPartitionVersion(p2, v2)))
+    tr.commit(t, upd(AddPartitionVersion(p2, v3)))
+    tr.currentVersion(t) shouldBe PartitionedTableVersion(Map(p1 -> v1, p2 -> v3))
+    tr.commit(t, upd(RemovePartition(p1)))
+    tr.currentVersion(t) shouldBe PartitionedTableVersion(Map(p2 -> v3))
+    val v4 = Version.generate()
+    tr.commit(t, upd(AddPartitionVersion(p1, v4)))
+    tr.currentVersion(t) shouldBe PartitionedTableVersion(Map(p1 -> v4, p2 -> v3))
+  }
+
+  it should "progress snapshot versions" in {
+    val tr = newTracker()
+    val t = init(tr, "snap", isSnapshot = true)
+    val v1 = Version.generate(); val v2 = Version.generate()
+    tr.commit(t, upd(AddTableVersion(v1)))
+    tr.currentVersion(t) shouldBe SnapshotTableVersion(v1)
+    tr.commit(t, upd(AddTableVersion(v2)))
+    tr.currentVersion(t) shouldBe SnapshotTableVersion(v2)
+  }
+
+  it should "support checkout to every point in history and back" in {
+    val tr = newTracker()
+    val t = init(tr, "t")
+    val p = Partition("date", "2019-01-01")
+    val versions = (1 to 3).map(_ => Version.generate()).toList
+    versions.foreach(v => tr.commit(t, upd(AddPartitionVersion(p, v))))
+    val log = tr.updates(t) // newest first, size 4 incl. init
+    log should have size 4
+
+    // roll back to each commit: visible state must be the replay prefix
+    tr.setCurrentVersion(t, log(1).id) // after v2
+    tr.currentVersion(t) shouldBe PartitionedTableVersion(Map(p -> versions(1)))
+    tr.setCurrentVersion(t, log(2).id) // after v1
+    tr.currentVersion(t) shouldBe PartitionedTableVersion(Map(p -> versions(0)))
+    tr.setCurrentVersion(t, log(3).id) // init: empty
+    tr.currentVersion(t) shouldBe PartitionedTableVersion(Map.empty)
+    tr.setCurrentVersion(t, log(0).id) // forward to head
+    tr.currentVersion(t) shouldBe PartitionedTableVersion(Map(p -> versions(2)))
+  }
+
+  it should "return to head semantics on a new commit after checkout" in {
+    val tr = newTracker()
+    val t = init(tr, "t")
+    val p = Partition("date", "2019-01-01")
+    val v1 = Version.generate(); val v2 = Version.generate(); val v3 = Version.generate()
+    tr.commit(t, upd(AddPartitionVersion(p, v1)))
+    tr.commit(t, upd(AddPartitionVersion(p, v2)))
+    tr.setCurrentVersion(t, tr.updates(t)(1).id) // back to v1
+    tr.commit(t, upd(AddPartitionVersion(p, v3)))
+    // new commit is appended to the FULL history and becomes head
+    tr.currentVersion(t) shouldBe PartitionedTableVersion(Map(p -> v3))
+    tr.updates(t) should have size 4
+  }
+
+  it should "order the log by commit order, not timestamp order" in {
+    val tr = newTracker()
+    val t = init(tr, "t")
+    val p = Partition("date", "2019-01-01")
+    // commit with shuffled (non-monotonic) metadata timestamps
+    val base = Instant.parse("2020-01-01T00:00:00Z")
+    val offsets = List(50L, 3L, 99L, 1L, 42L)
+    val ids = offsets.map { off =>
+      val u = TableUpdate(UserId("u"), s"m$off", base.plusSeconds(off),
+        List(AddPartitionVersion(p, Version.generate())))
+      tr.commit(t, u)
+      u.metadata.id
+    }
+    tr.updates(t).map(_.id) shouldBe (ids.reverse :+ tr.updates(t).last.id)
+  }
+
+  it should "raise UnknownTableError for untracked tables" in {
+    val tr = newTracker()
+    an[UnknownTableError] should be thrownBy tr.tableState(TableName("no", "such"))
+    an[UnknownTableError] should be thrownBy tr.commit(TableName("no", "such"), upd())
+  }
+
+  it should "raise UnknownCommitError for unknown commit ids" in {
+    val tr = newTracker()
+    val t = init(tr, "t")
+    an[UnknownCommitError] should be thrownBy tr.setCurrentVersion(t, CommitId("bogus"))
+    // and the current state is unchanged
+    tr.currentVersion(t) shouldBe PartitionedTableVersion(Map.empty)
+  }
+}
+
+class InMemoryVersionTrackerSpec extends VersionTrackerContract {
+  override def newTracker(): VersionTracker = new InMemoryVersionTracker
+}

@@ -1,0 +1,79 @@
+package graft.sources
+
+import graft.core._
+import java.nio.file.Files
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class FileBackedVersionTrackerSpec extends VersionTrackerContract {
+  override def newTracker(): VersionTracker = {
+    val dir = Files.createTempDirectory("graft-tracker-").toUri
+    new FileBackedVersionTracker(dir)
+  }
+}
+
+/** Persistence-specific behavior beyond the shared contract. */
+class FileBackedPersistenceSpec extends AnyFlatSpec with Matchers {
+
+  "FileBackedVersionTracker" should "survive a reopen (state is on disk, not in memory)" in {
+    val dir = Files.createTempDirectory("graft-reopen-").toUri
+    val t = TableName("test", "t")
+    val p = Partition("date", "2019-01-01")
+    val v = Version.generate()
+
+    val tr1 = new FileBackedVersionTracker(dir)
+    tr1.initTable(t, isSnapshot = false, UserId("u"), "init", java.time.Instant.now())
+    tr1.commit(t, TableUpdate(UserId("u"), "add", java.time.Instant.now(),
+      List(TableOperation.AddPartitionVersion(p, v))))
+
+    val tr2 = new FileBackedVersionTracker(dir)
+    tr2.tables() shouldBe List(t)
+    tr2.currentVersion(t) shouldBe PartitionedTableVersion(Map(p -> v))
+    tr2.updates(t).map(_.message) shouldBe List("add", "init")
+  }
+
+  it should "lay out the commit log as documented" in {
+    val root = Files.createTempDirectory("graft-layout-")
+    val tr = new FileBackedVersionTracker(root.toUri)
+    val t = TableName("db", "tbl")
+    tr.initTable(t, isSnapshot = true, UserId("u"), "init", java.time.Instant.now())
+    tr.commit(t, TableUpdate(UserId("u"), "v1", java.time.Instant.now(),
+      List(TableOperation.AddTableVersion(Version.generate()))))
+
+    val tableDir = root.resolve("_graft_table_db.tbl")
+    Files.exists(tableDir.resolve("table-metadata.json")) shouldBe true
+    Files.exists(tableDir.resolve("head.json")) shouldBe true
+    val commits = Files.list(tableDir).filter(_.getFileName.toString.startsWith("table_update_")).count()
+    commits shouldBe 2
+  }
+}
+
+class JsonCodecsSpec extends AnyFlatSpec with Matchers {
+
+  "JsonCodecs" should "round-trip a commit with all four operation types" in {
+    val update = TableUpdate(
+      TableUpdateMetadata(CommitId("abc-123"), UserId("alice"), "msg with \"quotes\"\nand newline",
+        java.time.Instant.parse("2019-03-13T23:59:00.123456789Z")),
+      List(
+        TableOperation.InitTable(TableName("s", "t"), isSnapshot = false),
+        TableOperation.AddTableVersion(Version.generate()),
+        TableOperation.AddPartitionVersion(
+          Partition(ColumnValue(PartitionColumn("year"), "2019"), ColumnValue(PartitionColumn("month"), "01")),
+          Version.generate()),
+        TableOperation.RemovePartition(Partition("date", "2019-01-01"))))
+    JsonCodecs.fromJson(JsonCodecs.toJson(update)) shouldBe Right(update)
+  }
+
+  it should "round-trip the Unversioned sentinel" in {
+    val update = TableUpdate(
+      TableUpdateMetadata(CommitId("c"), UserId("u"), "m", java.time.Instant.EPOCH),
+      List(TableOperation.AddTableVersion(Version.Unversioned)))
+    JsonCodecs.fromJson(JsonCodecs.toJson(update)) shouldBe Right(update)
+  }
+
+  it should "reject malformed documents" in {
+    JsonCodecs.fromJson("{}").isLeft shouldBe true
+    JsonCodecs.fromJson("not json").isLeft shouldBe true
+    JsonCodecs.fromJson("""{"id":"a","userId":"u","message":"m","timestamp":"2020-01-01T00:00:00Z","operations":[{"type":"wat"}]}""").isLeft shouldBe true
+  }
+}
