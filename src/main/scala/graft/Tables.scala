@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared access to the driver-generated testdata tables
+  * (/root/repo/TESTDATA.md) + the session confs the engine relies on. */
+object Tables {
+
+  /** Runtime confs every graft session needs. Safe to call repeatedly. */
+  def prepare(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects by
+    // default; read as long and convert explicitly (see events() below).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    prepare(spark)
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** events with `ts` normalized from nanos-as-long to a microsecond
+    * TimestampType (matches DuckDB's ns→µs truncation). */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+}

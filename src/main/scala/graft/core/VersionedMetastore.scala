@@ -1,0 +1,70 @@
+package graft.core
+
+/**
+ * Orchestration seam between the commit log and a catalog — the reference's
+ * `core/src/main/scala/dev/chronicles/core/VersionedMetastore.scala:139-164`,
+ * re-expressed eagerly (no effect system).
+ *
+ * The version-store commit is the transaction of record; the catalog state is
+ * derived and re-derivable via diff at any time (docs/concepts.md:71-76).
+ */
+final class VersionedMetastore(val tracker: VersionTracker, val metastore: Metastore) {
+
+  /** Commit an update, then sync the catalog with a minimal diff.
+    * Returns the new table state and the changes applied to the catalog. */
+  def commit(table: TableName, update: TableUpdate): (TableVersion, TableChanges) = {
+    tracker.commit(table, update)
+    val target = tracker.currentVersion(table)
+    val changes = syncTo(table, target)
+    (target, changes)
+  }
+
+  /** Move the current ref to ANY historical commit and re-point the catalog.
+    * Metadata-only: zero data movement (docs/concepts.md:80-83). */
+  def checkout(table: TableName, id: CommitId): TableChanges = {
+    tracker.setCurrentVersion(table, id)
+    syncTo(table, tracker.currentVersion(table))
+  }
+
+  private def syncTo(table: TableName, target: TableVersion): TableChanges = {
+    val catalogView =
+      try metastore.currentVersion(table)
+      catch { case _: UnknownTableError => TableVersion.empty(tracker.isSnapshotTable(table)) }
+    val changes = Metastore.computeChanges(catalogView, target)
+    metastore.update(table, changes)
+    changes
+  }
+}
+
+/** In-memory catalog mirror — the minimum [[Metastore]]: tracks what a
+  * catalog would currently show. Used as the default catalog when no external
+  * metastore is wired (reads resolve paths from the tracker anyway). */
+final class InMemoryMetastore extends Metastore {
+  private var views = Map.empty[TableName, TableVersion]
+
+  override def currentVersion(table: TableName): TableVersion =
+    synchronized(views.getOrElse(table, throw UnknownTableError(table)))
+
+  override def update(table: TableName, changes: TableChanges): Unit = synchronized {
+    val cur = views.get(table)
+    val next = changes.operations.foldLeft(cur) {
+      case (acc, MetastoreOperation.UpdateTableVersion(v)) =>
+        Some(SnapshotTableVersion(v))
+      case (acc, op) =>
+        val partitions = acc match {
+          case Some(PartitionedTableVersion(m)) => m
+          case _                                => Map.empty[Partition, Version]
+        }
+        val updated = op match {
+          case MetastoreOperation.AddPartition(p, v)            => partitions.updated(p, v)
+          case MetastoreOperation.UpdatePartitionVersion(p, v)  => partitions.updated(p, v)
+          case MetastoreOperation.RemovePartition(p)            => partitions - p
+          case MetastoreOperation.UpdateTableVersion(_)         => partitions // unreachable
+        }
+        Some(PartitionedTableVersion(updated))
+    }
+    next.foreach(v => views += table -> v)
+    // an empty change list against an unknown table still registers the view
+    if (next.isEmpty && !views.contains(table)) () // nothing to record
+  }
+}

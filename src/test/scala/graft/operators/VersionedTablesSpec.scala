@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.core._
+import graft.operators.VersionedTables._
+
+import java.io.File
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+case class User(id: String, name: String, email: String)
+case class Pageview(id: String, path: String, timestamp: Timestamp, date: Date)
+case class AdImpression(user_id: String, ad_id: String, timestamp: Timestamp,
+    impression_date: Date, processed_date: Date)
+
+/** End-to-end acceptance specs translated from the reference's three scenario
+  * specs (SnapshotTableSpec, DatePartitionedTableSpec, MultiPartitionTableSpec)
+  * — asserting BOTH query-visible results and on-disk `_version=` layout. */
+class VersionedTablesSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def newEngine(): (VersionedTables, File) = {
+    val dir = Files.createTempDirectory("graft-accept-").toFile
+    val engine = VersionedTables.withFileStore(spark, new File(dir, "store").toURI)
+    (engine, dir)
+  }
+
+  def versionDirs(dir: File): List[String] = {
+    val fs = Option(dir.listFiles()).getOrElse(Array.empty)
+    fs.filter(_.isDirectory).map(_.getName).filter(_.startsWith("_version=")).toList.sorted
+  }
+
+  behavior of "snapshot tables (reference SnapshotTableSpec)"
+
+  it should "version whole-table writes and support rollback/forward" in {
+    val (engine, dir) = newEngine()
+    val loc = new File(dir, "users")
+    val table = TableDefinition(TableName("test", "users"), loc.toURI, PartitionSchema.snapshot, FileFormat.Parquet)
+    engine.initTable(table, UserId("alice"), "init")
+
+    engine.read(table).count() shouldBe 0
+
+    val day1 = Seq(User("user-1", "Alice", "alice@mail.com"),
+      User("user-2", "Bob", "bob@mail.com"), User("user-3", "Carol", "carol@mail.com"))
+    day1.toDS().versionedInsertInto(engine, table, UserId("alice"), "day 1")
+
+    val day2 = Seq(User("user-2", "Bob", "bob@mail.com"),
+      User("user-3", "Carol", "carol@othermail.com"), User("user-4", "Dave", "dave@mail.com"))
+    day2.toDS().versionedInsertInto(engine, table, UserId("alice"), "day 2")
+
+    engine.read(table).as[User].collect() should contain theSameElementsAs day2
+    versionDirs(loc) should have size 2
+
+    // rollback: metadata only, data still on disk
+    val log = engine.log(table.name)
+    log.map(_.message) shouldBe List("day 2", "day 1", "init")
+    engine.checkout(table.name, log(1).id)
+    engine.read(table).as[User].collect() should contain theSameElementsAs day1
+    // roll forward
+    engine.checkout(table.name, log(0).id)
+    engine.read(table).as[User].collect() should contain theSameElementsAs day2
+    // time travel without mutation
+    engine.readAt(table, log(1).id).as[User].collect() should contain theSameElementsAs day1
+    engine.read(table).as[User].collect() should contain theSameElementsAs day2
+  }
+
+  behavior of "date-partitioned tables (reference DatePartitionedTableSpec)"
+
+  def pv(id: String, path: String, ts: String): Pageview = {
+    val t = Timestamp.from(java.time.Instant.parse(ts))
+    Pageview(id, path, t, Date.valueOf(t.toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDate))
+  }
+
+  it should "write per-partition versions, reprocess, and roll back per-partition" in {
+    val (engine, dir) = newEngine()
+    val loc = new File(dir, "pageview")
+    val table = TableDefinition(TableName("test", "pageview"), loc.toURI,
+      PartitionSchema("date"), FileFormat.Parquet)
+    engine.initTable(table, UserId("alice"), "init")
+
+    val day13 = List(
+      pv("user-1", "/home", "2019-03-13T00:10:00Z"), pv("user-1", "/about", "2019-03-13T01:00:00Z"),
+      pv("user-2", "/home", "2019-03-13T10:00:00Z"), pv("user-3", "/about", "2019-03-13T23:00:00Z"))
+    val day14 = List(
+      pv("user-2", "/home", "2019-03-14T05:00:00Z"), pv("user-3", "/home", "2019-03-14T06:00:00Z"),
+      pv("user-4", "/about", "2019-03-14T07:00:00Z"))
+    val day15 = List(
+      pv("user-1", "/home", "2019-03-15T08:00:00Z"), pv("user-2", "/profile", "2019-03-15T09:00:00Z"),
+      pv("user-3", "/home", "2019-03-15T20:00:00Z"))
+
+    day13.toDS().versionedInsertInto(engine, table, UserId("a"), "day 13")
+    (day14 ++ day15).toDS().versionedInsertInto(engine, table, UserId("a"), "days 14+15")
+
+    engine.read(table).as[Pageview].collect() should contain theSameElementsAs (day13 ++ day14 ++ day15)
+
+    // reprocess day 14 without user-4: only that partition gets a new version
+    val day14Fixed = day14.filterNot(_.id == "user-4")
+    day14Fixed.toDS().versionedInsertInto(engine, table, UserId("a"), "reprocess day 14")
+
+    engine.read(table).as[Pageview].collect() should contain theSameElementsAs (day13 ++ day14Fixed ++ day15)
+
+    // on-disk layout: day13/day15 have 1 version dir, day14 has 2
+    versionDirs(new File(loc, "date=2019-03-13")) should have size 1
+    versionDirs(new File(loc, "date=2019-03-14")) should have size 2
+    versionDirs(new File(loc, "date=2019-03-15")) should have size 1
+
+    // partition filter answers from the current version only
+    engine.read(table).where($"date" === "2019-03-14").as[Pageview].collect() should
+      contain theSameElementsAs day14Fixed
+
+    // driver-side partition pruning
+    engine.readPartitions(table, _.columnValues.head.value == "2019-03-15")
+      .as[Pageview].collect() should contain theSameElementsAs day15
+
+    // rollback chain: head -> before reprocess -> before day14/15 -> init(empty)
+    val log = engine.log(table.name)
+    log.map(_.message) shouldBe List("reprocess day 14", "days 14+15", "day 13", "init")
+
+    engine.checkout(table.name, log(1).id)
+    engine.read(table).as[Pageview].collect() should contain theSameElementsAs (day13 ++ day14 ++ day15)
+
+    engine.checkout(table.name, log(2).id)
+    engine.read(table).as[Pageview].collect() should contain theSameElementsAs day13
+
+    engine.checkout(table.name, log(3).id)
+    engine.read(table).count() shouldBe 0
+
+    // a new write returns to head semantics: full history + new commit visible
+    val day16 = List(pv("user-9", "/home", "2019-03-16T10:00:00Z"))
+    day16.toDS().versionedInsertInto(engine, table, UserId("a"), "day 16")
+    engine.read(table).as[Pageview].collect() should
+      contain theSameElementsAs (day13 ++ day14Fixed ++ day15 ++ day16)
+  }
+
+  behavior of "multi-partition ORC tables (reference MultiPartitionTableSpec)"
+
+  it should "version (impression_date, processed_date) partitions in ORC" in {
+    val (engine, dir) = newEngine()
+    val loc = new File(dir, "ad_impressions")
+    val table = TableDefinition(TableName("test", "ad_impressions"), loc.toURI,
+      PartitionSchema("impression_date", "processed_date"), FileFormat.Orc)
+    engine.initTable(table, UserId("bob"), "init")
+
+    def imp(u: String, ad: String, ts: String, processed: String): AdImpression = {
+      val t = Timestamp.from(java.time.Instant.parse(ts))
+      AdImpression(u, ad, t,
+        Date.valueOf(t.toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDate),
+        Date.valueOf(processed))
+    }
+
+    val batch1 = List(
+      imp("user-1", "ad-1", "2019-03-13T23:59:00Z", "2019-03-14"),
+      imp("user-2", "ad-1", "2019-03-14T00:01:00Z", "2019-03-14"),
+      imp("user-3", "ad-2", "2019-03-14T00:02:00Z", "2019-03-14"))
+    batch1.toDS().versionedInsertInto(engine, table, UserId("bob"), "batch 1")
+
+    val batch2 = List(
+      imp("user-1", "ad-3", "2019-03-14T23:59:30Z", "2019-03-15"),
+      imp("user-4", "ad-2", "2019-03-15T00:00:10Z", "2019-03-15"))
+    batch2.toDS().versionedInsertInto(engine, table, UserId("bob"), "batch 2")
+
+    engine.read(table).as[AdImpression].collect() should contain theSameElementsAs (batch1 ++ batch2)
+
+    versionDirs(new File(loc, "impression_date=2019-03-13/processed_date=2019-03-14")) should have size 1
+    versionDirs(new File(loc, "impression_date=2019-03-14/processed_date=2019-03-14")) should have size 1
+    versionDirs(new File(loc, "impression_date=2019-03-14/processed_date=2019-03-15")) should have size 1
+    versionDirs(new File(loc, "impression_date=2019-03-15/processed_date=2019-03-15")) should have size 1
+
+    // two-level partition filter
+    engine.read(table)
+      .where($"impression_date" === "2019-03-14" && $"processed_date" === "2019-03-15")
+      .as[AdImpression].collect() should contain theSameElementsAs List(batch2.head)
+  }
+
+  behavior of "partitionValues"
+
+  it should "extract distinct partition tuples" in {
+    val ds = List(
+      Pageview("a", "/", new Timestamp(0), Date.valueOf("2020-01-01")),
+      Pageview("b", "/", new Timestamp(0), Date.valueOf("2020-01-01")),
+      Pageview("c", "/", new Timestamp(0), Date.valueOf("2020-01-02"))).toDS()
+    VersionedTables.partitionValues(ds, PartitionSchema("date")) should contain theSameElementsAs List(
+      Partition("date", "2020-01-01"), Partition("date", "2020-01-02"))
+  }
+
+  it should "require dynamic partition overwrite mode" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("test", "cfg"), new File(dir, "cfg").toURI,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    engine.initTable(table, UserId("u"), "init")
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      an[IllegalArgumentException] should be thrownBy
+        Seq(User("x", "y", "z")).toDS().versionedInsertInto(engine, table, UserId("u"), "w")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+}
