@@ -37,7 +37,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queries_relational ++ queries_versioned
 
-  private def queries_relational: Map[String, (SparkSession, String) => DataFrame] = Map()
+  private def queries_relational: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.RelationalQueries.defs
 
   /** Chronicles-specific capabilities: versioned read + time travel. Built on
     * a scratch copy of `events` written through the engine (no DuckDB oracle —
@@ -73,5 +74,6 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.queries.RelationalQueries.oracles
 }

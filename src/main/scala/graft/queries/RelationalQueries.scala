@@ -1,0 +1,291 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The relational query surface (SURVEY §2.B) — the capabilities the reference
+ * delegates to Spark, exposed over the driver testdata with a DuckDB oracle
+ * per query.
+ *
+ * Determinism rules for oracle hash-parity:
+ *  - money sums go through decimal(18,2) (exact, order-independent) and are
+ *    cast back to double, so Spark's partial aggregation order can't drift
+ *    from DuckDB's sequential sum;
+ *  - every window/top-k ordering includes a unique tiebreaker key;
+ *  - timestamps are only emitted as dates or formatted strings (UTC both
+ *    sides), never raw timestamp columns.
+ */
+object RelationalQueries {
+
+  /** Exact order-independent sum of a currency-like double column. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // --- scans, filters, distinct ---
+    "q_scan_project" -> ((s, d) =>
+      Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+
+    "q_filter_pushdown" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < to_timestamp(lit("1996-01-01")) && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_shipdate").cast("date").as("ship_date"))),
+
+    "q_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()),
+
+    // --- aggregation ---
+    "q_agg_group" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))),
+
+    "q_agg_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))),
+
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))),
+
+    // --- joins ---
+    "q_join_broadcast" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))),
+
+    "q_join_shuffle" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))),
+
+    "q_join_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")),
+
+    "q_join_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")),
+
+    "q_join_outer" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_orders"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_customers_no_orders"))),
+
+    // --- windows ---
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    "q_window_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .select("o_custkey", "o_orderkey", "running_total", "prev_price")
+    }),
+
+    // --- sort / set ops ---
+    "q_sort_limit" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(100)),
+
+    "q_union" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_returnflag") === "A").select("l_orderkey", "l_linenumber", "l_returnflag")
+        .union(li.filter(col("l_returnflag") === "R").select("l_orderkey", "l_linenumber", "l_returnflag"))
+    }),
+
+    "q_intersect" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+        .intersect(Tables.customer(s, d).filter(col("c_acctbal") > 0)
+          .select(col("c_custkey").as("custkey")))),
+
+    "q_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+        .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))),
+
+    // --- scalar functions ---
+    "q_string_date_math" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        length(col("o_orderpriority")).as("pri_len"),
+        substring(col("o_orderstatus"), 1, 1).as("status_1"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_pri"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        // decimal multiply is exact in both engines — no round() (whose
+        // double rounding differs between Spark and DuckDB)
+        (col("o_totalprice").cast("decimal(18,2)") * lit(BigDecimal("0.1")))
+          .cast("double").as("tithe"))),
+
+    "q_array_map_json" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        array_contains(split(col("event_type"), "_"), "signup").as("is_signup"),
+        length(col("event_type")).as("type_len"))),
+
+    // --- batch event-time tumbling window over events ---
+    "q_event_windows" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("total_value")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+
+    "q_filter_pushdown" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_orders,
+        |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customers_no_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  LAG(o_totalprice, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_union" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag = 'A'
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders""".stripMargin,
+
+    "q_string_date_math" ->
+      """SELECT o_orderkey,
+        |  UPPER(o_orderpriority) AS pri_upper,
+        |  LENGTH(o_orderpriority) AS pri_len,
+        |  SUBSTRING(o_orderstatus, 1, 1) AS status_1,
+        |  CONCAT_WS('-', o_orderstatus, o_orderpriority) AS status_pri,
+        |  YEAR(o_orderdate) AS yr,
+        |  MONTH(o_orderdate) AS mo,
+        |  DAYOFMONTH(o_orderdate) AS dom,
+        |  STRFTIME(o_orderdate, '%Y-%m') AS ym,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)) AS DOUBLE) AS tithe
+        |FROM orders""".stripMargin,
+
+    "q_array_map_json" ->
+      """SELECT event_id, event_type,
+        |  CAST(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1) AS INT) AS k,
+        |  LIST_CONTAINS(STRING_SPLIT(event_type, '_'), 'signup') AS is_signup,
+        |  LENGTH(event_type) AS type_len
+        |FROM events""".stripMargin,
+
+    "q_event_windows" ->
+      """SELECT STRFTIME(TIME_BUCKET(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

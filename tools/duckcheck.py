@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: for each query output
+written by `graft.Verify <sfDir> <outDir>`, run the corresponding oracle SQL
+from oracle_sql.json in DuckDB over the same parquet tables and compare.
+
+Usage: python3 tools/duckcheck.py <sfDir> <outDir>
+
+Comparison: sort columns by name, sort rows by all columns, compare values
+exactly (with a small float tolerance reported separately so we can see
+whether a mismatch is catastrophic or a last-ulp issue).
+"""
+import sys, os, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def key(row):
+    return tuple("\x00None" if v is None else str(v) for v in row)
+
+
+def compare(name, got_rows, got_cols, exp_rows, exp_cols):
+    if sorted(got_cols) != sorted(exp_cols):
+        return f"SCHEMA MISMATCH got={sorted(got_cols)} exp={sorted(exp_cols)}"
+    # reorder columns by name
+    gidx = [got_cols.index(c) for c in sorted(got_cols)]
+    eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
+    g = sorted([tuple(norm(r[i]) for i in gidx) for r in got_rows], key=key)
+    e = sorted([tuple(norm(r[i]) for i in eidx) for r in exp_rows], key=key)
+    if len(g) != len(e):
+        return f"ROWCOUNT MISMATCH got={len(g)} exp={len(e)}"
+    exact = g == e
+    if exact:
+        return "OK"
+    # check approx equality for floats
+    n_bad = 0
+    example = None
+    for rg, re_ in zip(g, e):
+        for vg, ve in zip(rg, re_):
+            same = vg == ve
+            if not same and isinstance(vg, float) and isinstance(ve, float):
+                same = abs(vg - ve) <= 1e-9 * max(1.0, abs(vg), abs(ve))
+            if not same:
+                n_bad += 1
+                if example is None:
+                    example = (vg, ve)
+                break
+    if n_bad == 0:
+        return "OK(approx) — exact hash would FAIL, floats differ in last ulp"
+    return f"VALUE MISMATCH rows={n_bad}/{len(g)} example={example}"
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            continue
+        files = glob.glob(os.path.join(qdir, "*.parquet"))
+        if not files:
+            results[name] = "NO OUTPUT"
+            continue
+        rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        got_rows, got_cols = rel.fetchall(), rel.columns
+        if name not in oracles:
+            results[name] = f"rows-only: {len(got_rows)} rows" + (" (EMPTY!)" if not got_rows else "")
+            continue
+        try:
+            orel = con.sql(oracles[name])
+            exp_rows, exp_cols = orel.fetchall(), orel.columns
+        except Exception as ex:
+            results[name] = f"ORACLE SQL ERROR: {ex}"
+            continue
+        results[name] = compare(name, got_rows, got_cols, exp_rows, exp_cols)
+    width = max(len(k) for k in results)
+    n_ok = sum(1 for v in results.values() if v.startswith("OK") or v.startswith("rows-only"))
+    for k, v in results.items():
+        print(f"{k:<{width}}  {v}")
+    print(f"\n{n_ok}/{len(results)} pass")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
