@@ -35,7 +35,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries_relational ++ queries_versioned
+    queries_relational ++ queries_versioned ++ graft.queries.PipelineQueries.defs
 
   private def queries_relational: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.defs
@@ -75,5 +75,5 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalQueries.oracles
+    graft.queries.RelationalQueries.oracles ++ graft.queries.PipelineQueries.oracles
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * Two paths, same contract:
+ *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query set
+ *    against all candidates; the candidate side streams, nothing quadratic is
+ *    materialized. The correctness baseline.
+ *  - [[lshTopK]]: random-hyperplane LSH — candidates are restricted to the
+ *    query's sign-bucket, turning the scan into a bucket-equi-join. The
+ *    100 TB scale path (bucket key is shuffle-friendly and the per-bucket
+ *    work is bounded); recall traded for cost via `planes`.
+ *
+ * All vector math is `zip_with`/`aggregate` higher-order expressions over the
+ * native array column — stays columnar, no UDF serialization.
+ */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /**
+   * Exact top-k nearest neighbors by cosine for each query vector.
+   * `queries`/`candidates`: (`idCol`, `vecCol`). Queries are broadcast; ranks
+   * are deterministic (ties broken by candidate id). Self-matches excluded.
+   */
+  def bruteForceTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim) —
+    * a fixed integer hash mapped to [-1, 1). No RNG state, so the bucketing
+    * is reproducible across runs and engines. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit("graft-lsh"), lit(plane), dim), lit(20001L)) - 10000L) / 10000.0
+
+  /** Sign-bucket id from `planes` random hyperplanes. */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x * planeComponent(p, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /**
+   * Approximate top-k: exact cosine ranking within the query's LSH bucket(s).
+   * More `planes` = smaller buckets = cheaper + lower recall. `multiProbe`
+   * additionally probes every bucket at Hamming distance 1 from the query's
+   * bucket (standard multi-probe LSH) — recall rises steeply for the cost of
+   * planes× more (still tiny) query-side rows; the big candidate side is
+   * never expanded.
+   */
+  def lshTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int, planes: Int = 8,
+      multiProbe: Boolean = true,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val baseBucket = lshBucket(col(vecCol), planes)
+    val probeBuckets =
+      if (!multiProbe) array(baseBucket)
+      else array(baseBucket +: (0 until planes).map(p => baseBucket.bitwiseXOR(1L << p)): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probeBuckets).as("bucket"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= `threshold`, blocked by LSH
+    * bucket (both sides of a near-dup pair almost always share the bucket at
+    * modest `planes`). Output (id1, id2, cosine), id1 < id2. */
+  def embeddingNearDupPairs(
+      vectors: DataFrame, threshold: Double = 0.95, planes: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine", cosine(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cosine"))
+  }
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline query surface: text analysis, deduplication (exact /
+ * MinHash / SimHash / n-gram Jaccard), embedding similarity search, and
+ * multimodal feature extraction — over the `documents` and `embeddings`
+ * tables. DuckDB oracles where SQL-expressible; the LSH/embedding operators
+ * are covered by rows-only checks here and exact unit specs in
+ * DedupSpec/SimilaritySpec.
+ */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // --- text analysis ---
+    "q_text_stats" -> ((s, d) => {
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        tokenCount(t).as("n_tokens"),
+        punctCount(t).as("n_punct"),
+        stopwordCount(t, StopwordsEn).as("sw_en"),
+        stopwordCount(t, StopwordsEs).as("sw_es"),
+        stopwordCount(t, StopwordsDe).as("sw_de"),
+        stopwordCount(t, StopwordsFr).as("sw_fr"),
+        langId(t).as("lang_pred"),
+        meanWordLength(t).as("mean_word_len"),
+        qualityScore(t).as("quality"))
+    }),
+
+    "q_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("ws_tokens"),
+        bpeishTokenCount(col("text")).as("bpeish_tokens"))),
+
+    "q_doc_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        docFingerprint(col("text")).as("content_md5"),
+        minShingleFingerprint(col("text")).as("min_shingle_md5"))),
+
+    // --- dedup ---
+    "q_dedup_exact" -> ((s, d) => {
+      // exact dedup under word-set normalization: docs with identical
+      // vocabulary collapse; keep the lowest doc_id
+      val docs = Tables.documents(s, d)
+        .withColumn("vocab_hash", md5(concat_ws(" ", array_sort(wordSet(col("text"))))))
+      Dedup.exactDedup(docs, idCol = "doc_id", textCol = "vocab_hash")
+        .select("doc_id", "vocab_hash", "lang", "source")
+    }),
+
+    "q_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.8)),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, d), threshold = 0.8)),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 3)),
+
+    // --- similarity search ---
+    "q_ann_cosine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 16), emb, k = 10)
+    }),
+
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 16), emb, k = 10, planes = 8)
+    }),
+
+    "q_dedup_embedding" -> ((s, d) =>
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.9, planes = 6)),
+
+    // --- multimodal ---
+    "q_multimodal_features" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
+      Multimodal.extractFeatures(media).toDF()
+    })
+  )
+
+  /** `exactDedup` keys on a text column; here the "text" is the vocab hash. */
+
+  private val duckTokens = "string_split_regex(trim(lower(text)), '\\s+')"
+  private def duckSw(words: Seq[String]) =
+    s"len(list_filter($duckTokens, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" -> {
+      val en = duckSw(StopwordsEn); val es = duckSw(StopwordsEs)
+      val de = duckSw(StopwordsDe); val fr = duckSw(StopwordsFr)
+      val nTok = s"len($duckTokens)"
+      val mwl = s"(length(regexp_replace(trim(text), '\\s+', '', 'g')) / $nTok)"
+      val swRatio = s"($en / $nTok)"
+      val punct = s"length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
+      val punctRatio = s"($punct / length(text))"
+      s"""SELECT doc_id, lang,
+         |  $nTok AS n_tokens,
+         |  $punct AS n_punct,
+         |  $en AS sw_en, $es AS sw_es, $de AS sw_de, $fr AS sw_fr,
+         |  CASE WHEN $en + $es + $de + $fr = 0 THEN 'und'
+         |       WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+         |       WHEN $es >= $de AND $es >= $fr THEN 'es'
+         |       WHEN $de >= $fr THEN 'de'
+         |       ELSE 'fr' END AS lang_pred,
+         |  $mwl AS mean_word_len,
+         |  ((CASE WHEN $swRatio > 0.4 THEN 1.0 ELSE $swRatio / 0.4 END
+         |    + CASE WHEN $mwl >= 3 AND $mwl <= 10 THEN 1.0 ELSE 0.5 END
+         |    + CASE WHEN $punctRatio > 0.2 THEN 0.0 ELSE 1.0 - $punctRatio / 0.2 END) / 3) AS quality
+         |FROM documents""".stripMargin
+    },
+
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  len($duckTokens) AS ws_tokens,
+         |  len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]+|[^a-zA-Z0-9\\s]', 0)) AS bpeish_tokens
+         |FROM documents""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      s"""SELECT doc_id, md5(trim(text)) AS content_md5,
+         |  list_aggregate(list_transform(
+         |    list_transform(generate_series(1, len(w)-2), i -> concat_ws(' ', w[i], w[i+1], w[i+2])),
+         |    s -> md5(s)), 'min') AS min_shingle_md5
+         |FROM (SELECT doc_id, $duckTokens AS w, text FROM documents)""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""SELECT doc_id, vocab_hash, lang, source FROM (
+         |  SELECT doc_id, lang, source,
+         |    md5(array_to_string(list_sort(list_distinct($duckTokens)), ' ')) AS vocab_hash,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY md5(array_to_string(list_sort(list_distinct($duckTokens)), ' '))
+         |      ORDER BY doc_id) AS rn
+         |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH sets AS (SELECT doc_id AS id, list_distinct($duckTokens) AS w FROM documents)
+         |SELECT a.id AS id1, b.id AS id2,
+         |  len(list_intersect(a.w, b.w)) / len(list_distinct(list_concat(a.w, b.w))) AS jaccard
+         |FROM sets a JOIN sets b ON a.id < b.id
+         |WHERE len(list_intersect(a.w, b.w)) / len(list_distinct(list_concat(a.w, b.w))) >= 0.8""".stripMargin,
+
+    "q_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  octet_length(encode(text)) % 640 AS width,
+        |  octet_length(encode(text)) % 480 AS height,
+        |  CASE WHEN ['image','audio','video'][(doc_id % 3) + 1] = 'video'
+        |       THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS n_frames,
+        |  list_aggregate(list_transform(string_split(text, ''), x -> unicode(x)), 'sum')
+        |    / octet_length(encode(text)) AS brightness
+        |FROM documents""".stripMargin
+  )
+}

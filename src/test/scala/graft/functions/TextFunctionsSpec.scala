@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.TestSpark
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class TextFunctionsSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).head().getAs[T]("r")
+
+  "tokens/tokenCount" should "split on whitespace runs, case-insensitively" in {
+    one[Seq[String]](tokens($"t"), "The  Quick\tbrown fox ") shouldBe Seq("the", "quick", "brown", "fox")
+    one[Int](tokenCount($"t"), "a b  c") shouldBe 3
+  }
+
+  "bpeishTokenCount" should "count word pieces, digit runs and punctuation" in {
+    // 'hello' -> hell+o (2), ',' (1), 'world' -> worl+d (2), '42' (1)
+    one[Int](bpeishTokenCount($"t"), "hello, world 42") shouldBe 6
+  }
+
+  "shingles" should "produce sliding word n-grams" in {
+    one[Seq[String]](shingles($"t", 3), "a b c d") shouldBe Seq("a b c", "b c d")
+    one[Seq[String]](shingles($"t", 3), "a b") shouldBe Seq("a b")
+  }
+
+  "langId" should "pick the language with most stopword hits" in {
+    one[String](langId($"t"), "the cat sat on the mat and it was good") shouldBe "en"
+    one[String](langId($"t"), "el gato que se sienta en la alfombra") shouldBe "es"
+    one[String](langId($"t"), "der hund und die katze mit dem ball") shouldBe "de"
+    one[String](langId($"t"), "le chien et les chats dans une maison") shouldBe "fr"
+    one[String](langId($"t"), "xyzzy plugh quux") shouldBe "und"
+  }
+
+  "punctCount" should "count sentence punctuation" in {
+    one[Int](punctCount($"t"), "a, b. c! d? e; f:") shouldBe 6
+  }
+
+  "qualityScore" should "rank clean prose above punctuation soup" in {
+    val clean = "the quick brown fox jumps over the lazy dog and it was good to see"
+    val soup = "!!! ??? ,,, ;;; x !!!"
+    val qc = one[Double](qualityScore($"t"), clean)
+    val qs = one[Double](qualityScore($"t"), soup)
+    qc should be > qs
+    qc should (be >= 0.0 and be <= 1.0)
+    qs should (be >= 0.0 and be <= 1.0)
+  }
+
+  "fingerprints" should "be stable and shingle-min robust to word appends" in {
+    val t = "the quick brown fox jumps over the lazy dog"
+    one[String](docFingerprint($"t"), t) shouldBe one[String](docFingerprint($"t"), t + " ")
+    // appending one word can only add shingles -> min can only stay or decrease;
+    // for this fixture it stays identical
+    val a = one[String](minShingleFingerprint($"t"), t)
+    val b = one[String](minShingleFingerprint($"t"), t + " end")
+    assert(b <= a)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions.{size => asize, _}
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class DedupSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+  // 0,1 exact dups; 2 near-dup of 0 (one word changed); 3 unrelated; 4 near-dup of 3
+  val docs = Seq(
+    (0L, base),
+    (1L, base),
+    (2L, base.replace("lazy", "sleepy")),
+    (3L, "completely different content about spark catalyst optimizer rules and physical plans here"),
+    (4L, "completely different content about spark catalyst optimizer rules and logical plans here"),
+    (5L, "nothing in common with anything else whatsoever just random words galore banana")
+  ).toDF("doc_id", "text")
+
+  "exactDedup" should "keep the lowest id per identical text" in {
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(0L, 2L, 3L, 4L, 5L)
+  }
+
+  "exactDupGroups" should "report only groups with >1 doc" in {
+    val g = Dedup.exactDupGroups(docs).collect()
+    g should have length 1
+    g.head.getAs[Long]("n_docs") shouldBe 2
+    g.head.getAs[Long]("keep_id") shouldBe 0
+  }
+
+  "minhashNearDupPairs" should "find exact and near dups, not unrelated pairs" in {
+    val pairs = Dedup.minhashNearDupPairs(docs, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    pairs should contain((0L, 1L)) // identical
+    pairs should contain((0L, 2L)) // one word changed
+    pairs should contain((1L, 2L))
+    pairs should contain((3L, 4L)) // one word changed
+    // unrelated docs never pair
+    pairs.exists { case (a, b) => a == 5L || b == 5L } shouldBe false
+    pairs.exists { case (a, b) => (Set(a, b) & Set(0L, 1L, 2L)).nonEmpty && (Set(a, b) & Set(3L, 4L)).nonEmpty } shouldBe false
+  }
+
+  it should "achieve high recall against exact shingle-jaccard ground truth on real data" in {
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // ground truth: exact quadratic shingle-jaccard (same metric the verify stage uses)
+    val sets = real.select(col("doc_id").as("id"),
+      array_distinct(graft.functions.TextFunctions.shingles(col("text"), 3)).as("sh"))
+    val truth = sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+      .withColumn("j", asize(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+        asize(array_union(col("a.sh"), col("b.sh"))))
+      .filter(col("j") >= 0.8)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    val found = Dedup.minhashNearDupPairs(real, threshold = 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // verify stage guarantees precision == 1.0
+    found.subsetOf(truth) shouldBe true
+    // banded LSH (b=8,r=2) recall at s>=0.8 should be ~0.999
+    assert(found.size >= (truth.size * 0.9).toInt,
+      s"recall too low: ${found.size}/${truth.size}")
+  }
+
+  "simhashNearDupPairs" should "pair near-identical docs and skip unrelated ones" in {
+    val pairs = Dedup.simhashNearDupPairs(docs, maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    pairs should contain((0L, 1L)) // identical -> hamming 0
+    pairs.exists { case (a, b) => a == 5L || b == 5L } shouldBe false
+  }
+
+  "ngramJaccardPairs" should "compute exact word-set jaccard" in {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => ((a, b), j) }.toMap
+    pairs((0L, 1L)) shouldBe 1.0
+    pairs.keySet should contain((0L, 2L))
+    pairs((0L, 2L)) should be > 0.8
+    pairs.keySet should not contain ((0L, 3L))
+  }
+}
