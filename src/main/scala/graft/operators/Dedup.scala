@@ -37,13 +37,23 @@ object Dedup {
 
   // --- MinHash LSH ---
 
-  /** 64-bit MinHash signature entries for `numHashes` seeded hash functions
-    * over word `shingleSize`-gram shingles. */
+  /** Distinct 64-bit hashes of the word `shingleSize`-gram shingles. The
+    * expensive string work (tokenize, build shingles, hash them) happens in
+    * this ONE expression; every minhash/band/Jaccard step downstream operates
+    * on the long array. Hash collisions are negligible at 64 bits. */
+  def shingleHashes(textCol: Column, shingleSize: Int = 3): Column =
+    array_distinct(transform(shingles(textCol, shingleSize), s => xxhash64(s)))
+
+  /** One minhash value derived from pre-hashed shingles: min of a cheap
+    * seeded re-hash of each 64-bit shingle hash. */
+  def minhashFromHashes(hashes: Column, seed: Int): Column =
+    array_min(transform(hashes, h => xxhash64(lit(seed), h)))
+
+  /** 64-bit MinHash signature for `numHashes` seeded hash functions over word
+    * `shingleSize`-gram shingles. */
   def minhashSignature(textCol: Column, numHashes: Int = 16, shingleSize: Int = 3): Column = {
-    val sh = shingles(textCol, shingleSize)
-    array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(lit(seed), s)))
-    }: _*)
+    val hs = shingleHashes(textCol, shingleSize)
+    array((0 until numHashes).map(seed => minhashFromHashes(hs, seed)): _*)
   }
 
   /** Near-duplicate pairs via banded MinHash LSH + exact shingle-Jaccard
@@ -57,15 +67,22 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 2,
       shingleSize: Int = 3): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = docs.select(
-      col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    // localCheckpoint is a materialization barrier: without it Catalyst's
+    // CollapseProject re-inlines the tokenize+shingle+hash expression into
+    // every minhash/band reference and into both sides of the self-join —
+    // measured ~20x slowdown at sf0.1. The checkpointed frame is small: one
+    // (id, ~doc-length longs) row per doc, and it is reused by both the
+    // banding and the verification stage.
+    val hs = docs.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleSize).as("hs"))
+      .localCheckpoint()
 
-    // band hash = hash of the band's slice of the signature
-    val banded = sig.select(col("id"), posexplode(
+    // band hash = hash over the band's minhashes; each minhash expression is
+    // referenced exactly once, so nothing is recomputed
+    val banded = hs.select(col("id"), posexplode(
       array((0 until bands).map { b =>
-        xxhash64(lit(b) +: (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+        xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
+          minhashFromHashes(col("hs"), b * rowsPerBand + r)): _*)
       }: _*)).as(Seq("band", "band_hash")))
 
     // candidates: ids meeting in the same (band, band_hash) bucket
@@ -76,18 +93,10 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
 
-    verifyJaccard(candidates, docs, idCol, textCol, threshold, shingleSize)
-  }
-
-  /** Exact shingle-Jaccard verification of candidate (id1, id2) pairs. */
-  private def verifyJaccard(
-      candidates: DataFrame, docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleSize: Int): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+    // exact Jaccard verification on the hashed shingle sets
     candidates
-      .join(sets.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sh1"), "id1")
-      .join(sets.withColumnRenamed("id", "id2").withColumnRenamed("sh", "sh2"), "id2")
+      .join(hs.select(col("id").as("id1"), col("hs").as("sh1")), "id1")
+      .join(hs.select(col("id").as("id2"), col("hs").as("sh2")), "id2")
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))))
@@ -97,17 +106,20 @@ object Dedup {
 
   // --- SimHash ---
 
-  /** 32-bit SimHash of the token multiset: bit i is set iff the sum of
+  /** 32-bit SimHash from pre-hashed tokens: bit i is set iff the sum of
     * (+1/-1) contributions of token-hash bit i over all tokens is positive. */
-  def simhash32(textCol: Column): Column = {
-    val toks = tokens(textCol)
+  def simhashFromHashes(tokenHashes: Column): Column = {
     val bits = (0 until 32).map { i =>
-      val votes = aggregate(toks, lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      val votes = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
+
+  /** 32-bit SimHash of the token multiset. */
+  def simhash32(textCol: Column): Column =
+    simhashFromHashes(transform(tokens(textCol), t => xxhash64(t)))
 
   /** Near-dup pairs by SimHash: block on either 16-bit half (any pair within
     * Hamming distance <= 2 of a 32-bit hash agrees exactly on at least one
@@ -118,9 +130,15 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), simhash32(col(textCol)).as("sh"))
+    // two-stage with a barrier between: the 32 bit-vote aggregates re-inline
+    // their input, so hash the tokens once, materialize, then vote
+    val th = docs.select(col(idCol).as("id"),
+      transform(tokens(col(textCol)), t => xxhash64(t)).as("th"))
+      .localCheckpoint()
+    val sh = th.select(col("id"), simhashFromHashes(col("th")).as("sh"))
       .withColumn("lo", col("sh").bitwiseAND(0xFFFFL))
       .withColumn("hi", shiftright(col("sh"), 16).bitwiseAND(0xFFFFL))
+      .localCheckpoint()
 
     def block(key: String) =
       sh.as("a").join(sh.as("b"),
@@ -137,14 +155,24 @@ object Dedup {
   // --- exact n-gram Jaccard (quadratic ground truth) ---
 
   /** All pairs with word-set Jaccard >= `threshold`. Quadratic in the block —
-    * the oracle-able ground truth for the LSH paths; bound your blocks. */
+    * the oracle-able ground truth for the LSH paths. `blockCol` (optional)
+    * restricts pairs to equal values of that column, turning the cross join
+    * into an equi-join and bounding the quadratic blow-up; pass None only on
+    * small inputs. */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      threshold: Double = 0.8): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"), wordSet(col(textCol)).as("w"))
-    sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+      threshold: Double = 0.8,
+      blockCol: Option[String] = None): DataFrame = {
+    val cols = col(idCol).as("id") +: wordSet(col(textCol)).as("w") +:
+      blockCol.map(c => col(c).as("blk")).toSeq
+    val sets = docs.select(cols: _*).localCheckpoint()
+    val cond = blockCol match {
+      case Some(_) => col("a.id") < col("b.id") && col("a.blk") === col("b.blk")
+      case None    => col("a.id") < col("b.id")
+    }
+    sets.as("a").join(sets.as("b"), cond)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         (size(array_intersect(col("a.w"), col("b.w"))).cast("double") /
           size(array_union(col("a.w"), col("b.w")))).as("jaccard"))

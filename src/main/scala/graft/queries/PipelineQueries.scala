@@ -58,7 +58,8 @@ object PipelineQueries {
     }),
 
     "q_dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.8)),
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.8,
+        blockCol = Some("source"))),
 
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDupPairs(Tables.documents(s, d), threshold = 0.8)),
@@ -141,10 +142,10 @@ object PipelineQueries {
          |  FROM documents) WHERE rn = 1""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
-      s"""WITH sets AS (SELECT doc_id AS id, list_distinct($duckTokens) AS w FROM documents)
+      s"""WITH sets AS (SELECT doc_id AS id, source AS blk, list_distinct($duckTokens) AS w FROM documents)
          |SELECT a.id AS id1, b.id AS id2,
          |  len(list_intersect(a.w, b.w)) / len(list_distinct(list_concat(a.w, b.w))) AS jaccard
-         |FROM sets a JOIN sets b ON a.id < b.id
+         |FROM sets a JOIN sets b ON a.id < b.id AND a.blk = b.blk
          |WHERE len(list_intersect(a.w, b.w)) / len(list_distinct(list_concat(a.w, b.w))) >= 0.8""".stripMargin,
 
     "q_multimodal_features" ->
