@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.core._
+import graft.operators.VersionedTables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.file.Files
+
+class EventStreamsSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Stage the sf0.001 events (ts normalized to microseconds) as a parquet
+    * dir a file-source stream can consume. */
+  lazy val stagedDir: String = {
+    val dir = Files.createTempDirectory("graft-stream-in-").toString
+    graft.Tables.events(spark, "/root/testdata/sf0.001").write.mode("overwrite").parquet(dir)
+    dir
+  }
+  lazy val staged = spark.read.parquet(stagedDir)
+
+  "windowedCounts" should "match the equivalent batch aggregation" in {
+    val stream = EventStreams.readEventStream(spark, stagedDir, staged.schema)
+    val q = EventStreams.windowedCounts(stream, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("win_counts")
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val expected = staged
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start"), col("event_type"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    // append-mode emits only windows the final watermark passed; all emitted
+    // rows must agree with batch, and most windows should be emitted
+    got.subsetOf(expected) shouldBe true
+    assert(got.size >= (expected.size * 0.9).toInt, s"${got.size}/${expected.size} windows emitted")
+  }
+
+  "sessionWindowCounts" should "produce per-user gap sessions consistent with totals" in {
+    val stream = EventStreams.readEventStream(spark, stagedDir, staged.schema)
+    val q = EventStreams.sessionWindowCounts(stream, "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sess_win")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("sess_win")
+    sessions.count() should be > 0L
+    // no session may contain more events than its user has in total
+    val perUser = staged.groupBy("user_id").count()
+    val joined = sessions.groupBy("user_id").agg(sum("n_events").as("emitted"))
+      .join(perUser, "user_id")
+      .filter(col("emitted") > col("count"))
+    joined.count() shouldBe 0L
+  }
+
+  "sessionize (flatMapGroupsWithState)" should "close sessions on gaps and preserve event counts" in {
+    val stream = EventStreams.readEventStream(spark, stagedDir, staged.schema)
+    val q = EventStreams.sessionize(stream, gapMillis = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val sessions = spark.table("sessions").as[UserSession].collect()
+    sessions.length should be > 0
+    sessions.foreach { s =>
+      s.session_end.getTime should be >= s.session_start.getTime
+      s.n_events should be > 0L
+    }
+    // closed sessions never over-count a user's events
+    val total = staged.groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    sessions.groupBy(_.user_id).foreach { case (u, ss) =>
+      ss.map(_.n_events).sum should be <= total(u)
+    }
+  }
+
+  "writeVersioned" should "commit one table version per micro-batch with time travel" in {
+    val root = Files.createTempDirectory("graft-stream-sink-")
+    val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+    val table = TableDefinition(TableName("stream", "events"),
+      root.resolve("events").toUri, PartitionSchema("event_date"), FileFormat.Parquet)
+    engine.initTable(table, UserId("stream"), "init")
+
+    val stream = EventStreams.readEventStream(spark, stagedDir, staged.schema)
+      .withColumn("event_date", to_date(col("ts")))
+    val q = EventStreams.writeVersioned(stream, engine, table, UserId("stream"),
+      root.resolve("chk").toString)
+    q.processAllAvailable(); q.stop()
+
+    val log = engine.log(table.name)
+    log.size should be >= 2 // init + at least one batch commit
+    log.head.message should startWith("stream batch")
+    engine.read(table).count() shouldBe staged.count()
+    // time travel to before the stream: empty table
+    engine.readAt(table, log.last.id).count() shouldBe 0L
+  }
+}
