@@ -1,0 +1,135 @@
+package graft.cli
+
+import graft.core._
+import graft.sources.FileBackedVersionTracker
+
+import java.net.URI
+import java.time.Instant
+
+/**
+ * Command-line administration of the version store — the reference's CLI
+ * surface (`cli/src/main/scala/dev/chronicles/cli/ChroniclesCli.scala:95-158`)
+ * re-expressed as a plain main with hand-rolled parsing (no arg-parse library
+ * in the offline environment):
+ *
+ * {{{
+ *   graft-cli --store <uri> tables
+ *   graft-cli --store <uri> init <schema.table> [--isSnapshot] [--user U] [--message M]
+ *   graft-cli --store <uri> log <schema.table>
+ *   graft-cli --store <uri> partitions <schema.table>
+ *   graft-cli --store <uri> partition add <schema.table> <col=val[/col2=v2]> [--user U] [--message M]
+ *   graft-cli --store <uri> partition remove <schema.table> <col=val[/...]> [--user U] [--message M]
+ *   graft-cli --store <uri> checkout <schema.table> <commitId>
+ * }}}
+ *
+ * All commands are metadata-only (no Spark, no data movement), matching the
+ * reference CLI which operates purely on the version store.
+ */
+object GraftCli {
+
+  def main(args: Array[String]): Unit =
+    run(args.toList, new java.io.PrintWriter(System.out, true)) match {
+      case 0 => ()
+      case code => sys.exit(code)
+    }
+
+  /** Testable entry: returns exit code, writes to `out`. */
+  def run(argv: List[String], out: java.io.PrintWriter): Int = {
+    val (flags, positional) = parseFlags(argv)
+    val storeUri = flags.get("store").orElse(sys.env.get("GRAFT_STORE")) match {
+      case Some(s) => new URI(s)
+      case None => out.println("error: --store <uri> (or GRAFT_STORE) is required"); return 2
+    }
+    val user = UserId(flags.getOrElse("user", sys.props.getOrElse("user.name", "unknown")))
+    val message = flags.getOrElse("message", "")
+    lazy val tracker = new FileBackedVersionTracker(storeUri)
+
+    def withTable(name: String)(f: TableName => Int): Int =
+      TableName.parse(name) match {
+        case Right(t) => f(t)
+        case Left(err) => out.println(s"error: $err"); 2
+      }
+
+    def withPartition(s: String)(f: Partition => Int): Int =
+      Partition.parse(s) match {
+        case Right(p) => f(p)
+        case Left(err) => out.println(s"error: $err"); 2
+      }
+
+    try positional match {
+      case List("tables") =>
+        tracker.tables().foreach(t => out.println(t.fullyQualifiedName)); 0
+
+      case List("init", name) => withTable(name) { t =>
+        tracker.initTable(t, flags.contains("isSnapshot"), user,
+          if (message.nonEmpty) message else s"init $name", Instant.now())
+        out.println(s"initialised $name"); 0
+      }
+
+      case List("log", name) => withTable(name) { t =>
+        tracker.updates(t).foreach { m =>
+          out.println(s"${m.id.id}  ${m.timestamp}  ${m.userId.value}  ${m.message}")
+        }; 0
+      }
+
+      case List("partitions", name) => withTable(name) { t =>
+        tracker.currentVersion(t) match {
+          case PartitionedTableVersion(pvs) =>
+            pvs.toList.sortBy(_._1.toPath).foreach { case (p, v) =>
+              out.println(s"${p.toPath}  ${v.label}")
+            }; 0
+          case SnapshotTableVersion(v) =>
+            out.println(s"<snapshot table>  ${v.label}"); 0
+        }
+      }
+
+      case List("partition", "add", name, part) => withTable(name) { t =>
+        withPartition(part) { p =>
+          val v = Version.generate()
+          tracker.commit(t, TableUpdate(user,
+            if (message.nonEmpty) message else s"add partition $part", Instant.now(),
+            List(TableOperation.AddPartitionVersion(p, v))))
+          out.println(s"added $part at version ${v.label}"); 0
+        }
+      }
+
+      case List("partition", "remove", name, part) => withTable(name) { t =>
+        withPartition(part) { p =>
+          tracker.commit(t, TableUpdate(user,
+            if (message.nonEmpty) message else s"remove partition $part", Instant.now(),
+            List(TableOperation.RemovePartition(p))))
+          out.println(s"removed $part"); 0
+        }
+      }
+
+      case List("checkout", name, commitId) => withTable(name) { t =>
+        tracker.setCurrentVersion(t, CommitId(commitId))
+        out.println(s"checked out $commitId"); 0
+      }
+
+      case other =>
+        out.println(s"""error: unknown command: ${other.mkString(" ")}
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout> ...""".stripMargin)
+        2
+    } catch {
+      case e @ (_: UnknownTableError | _: UnknownCommitError) =>
+        out.println(s"error: ${e.getMessage}"); 1
+    }
+  }
+
+  /** Split `--flag value` / `--flag` pairs from positional args. */
+  private def parseFlags(argv: List[String]): (Map[String, String], List[String]) = {
+    val boolFlags = Set("isSnapshot")
+    def loop(rest: List[String], flags: Map[String, String], pos: List[String]): (Map[String, String], List[String]) =
+      rest match {
+        case Nil => (flags, pos.reverse)
+        case flag :: tail if flag.startsWith("--") =>
+          val key = flag.stripPrefix("--")
+          if (boolFlags.contains(key) || tail.isEmpty || tail.head.startsWith("--"))
+            loop(tail, flags + (key -> "true"), pos)
+          else loop(tail.tail, flags + (key -> tail.head), pos)
+        case p :: tail => loop(tail, flags, p :: pos)
+      }
+    loop(argv, Map.empty, Nil)
+  }
+}

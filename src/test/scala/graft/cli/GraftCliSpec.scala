@@ -1,0 +1,67 @@
+package graft.cli
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import java.io.{PrintWriter, StringWriter}
+import java.nio.file.Files
+
+class GraftCliSpec extends AnyFlatSpec with Matchers {
+
+  val store: String = Files.createTempDirectory("graft-cli-").toUri.toString
+
+  def cli(args: String*): (Int, String) = {
+    val sw = new StringWriter()
+    val code = GraftCli.run(List("--store", store) ++ args.toList, new PrintWriter(sw, true))
+    (code, sw.toString)
+  }
+
+  "the CLI" should "init, list and log tables" in {
+    val (c1, _) = cli("init", "sales.orders", "--user", "alice", "--message", "new table")
+    c1 shouldBe 0
+    val (c2, out2) = cli("tables")
+    c2 shouldBe 0
+    out2.trim shouldBe "sales.orders"
+    val (c3, out3) = cli("log", "sales.orders")
+    c3 shouldBe 0
+    out3 should include("alice")
+    out3 should include("new table")
+  }
+
+  it should "add, list and remove partitions" in {
+    cli("init", "sales.events")
+    val (ca, outa) = cli("partition", "add", "sales.events", "date=2024-01-01", "--user", "bob")
+    ca shouldBe 0
+    outa should include("added date=2024-01-01")
+    val (cp, outp) = cli("partitions", "sales.events")
+    cp shouldBe 0
+    outp should include("date=2024-01-01")
+    val (cr, _) = cli("partition", "remove", "sales.events", "date=2024-01-01")
+    cr shouldBe 0
+    val (_, outp2) = cli("partitions", "sales.events")
+    outp2 should not include "date=2024-01-01"
+  }
+
+  it should "checkout a historical commit" in {
+    cli("init", "sales.hist")
+    cli("partition", "add", "sales.hist", "date=2024-01-01")
+    cli("partition", "add", "sales.hist", "date=2024-01-02")
+    val (_, logOut) = cli("log", "sales.hist")
+    val commits = logOut.linesIterator.map(_.split("\\s+").head).toList
+    commits should have size 3
+    val (cc, _) = cli("checkout", "sales.hist", commits(1)) // after first add
+    cc shouldBe 0
+    val (_, parts) = cli("partitions", "sales.hist")
+    parts should include("date=2024-01-01")
+    parts should not include "date=2024-01-02"
+  }
+
+  it should "fail cleanly on bad input" in {
+    cli("log", "not-a-table")._1 shouldBe 2
+    cli("log", "no.such")._1 shouldBe 1
+    cli("checkout", "sales.hist", "bogus")._1 shouldBe 1
+    cli("partition", "add", "sales.hist", "not a partition")._1 shouldBe 2
+    cli("frobnicate")._1 shouldBe 2
+    GraftCli.run(List("tables"), new PrintWriter(new StringWriter, true)) shouldBe 2
+  }
+}
