@@ -2,9 +2,12 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One shared local SparkSession for the whole forked test JVM. */
+/** One shared local SparkSession for the whole forked test JVM — Hive-enabled
+  * with an embedded Derby metastore in a temp dir, mirroring the reference's
+  * test harness (SparkHiveSuite.scala:65-88). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-test-spark-")
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
@@ -12,6 +15,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", tmp.resolve("warehouse").toString)
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=${tmp.resolve("metastore_db")};create=true")
+      .enableHiveSupport()
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.core._
+import graft.operators.VersionedTables._
+import graft.sources.{FileBackedVersionTracker, SparkHiveMetastore}
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.file.Files
+
+/**
+ * Full-fidelity acceptance: versioned writes through the engine sync a REAL
+ * Hive catalog (embedded Derby), and readers see versioned data transparently
+ * through plain `spark.table(...)` — no engine code on the read path, the
+ * reference's core design claim (docs/concepts.md:60-67). Mirrors
+ * DatePartitionedTableSpec against Hive.
+ */
+class HiveVersionedTablesSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  it should "sync versioned writes to Hive and support metadata-only rollback" in {
+    val root = Files.createTempDirectory("graft-hive-accept-")
+    val loc = root.resolve("pageview").toUri.toString.stripSuffix("/")
+    spark.sql("CREATE DATABASE IF NOT EXISTS hive_accept")
+    spark.sql(
+      s"""CREATE EXTERNAL TABLE hive_accept.pageview (id STRING, path STRING)
+         |PARTITIONED BY (`date` STRING) STORED AS PARQUET LOCATION '$loc'""".stripMargin)
+
+    val engine = new VersionedTables(spark,
+      new FileBackedVersionTracker(root.resolve("store").toUri),
+      new SparkHiveMetastore(spark))
+    val table = TableDefinition(TableName("hive_accept", "pageview"),
+      new java.net.URI(loc), PartitionSchema("date"), FileFormat.Parquet)
+    engine.initTable(table, UserId("alice"), "init")
+
+    val day1 = Seq(("u1", "/home", "2024-01-01"), ("u2", "/about", "2024-01-01"))
+    val day2 = Seq(("u3", "/home", "2024-01-02"))
+    (day1 ++ day2).toDF("id", "path", "date")
+      .versionedInsertInto(engine, table, UserId("alice"), "days 1+2")
+
+    // readers use PLAIN spark.table — versioning is invisible
+    spark.table("hive_accept.pageview").count() shouldBe 3
+    spark.table("hive_accept.pageview").where($"date" === "2024-01-01").count() shouldBe 2
+
+    // reprocess day 1 without u2 — only that partition gets a new version
+    Seq(("u1", "/home", "2024-01-01")).toDF("id", "path", "date")
+      .versionedInsertInto(engine, table, UserId("alice"), "reprocess day 1")
+    spark.table("hive_accept.pageview").count() shouldBe 2
+    spark.table("hive_accept.pageview").where($"date" === "2024-01-01")
+      .select("id").as[String].collect() shouldBe Array("u1")
+
+    // engine path-read and catalog read agree
+    engine.read(table).count() shouldBe 2
+
+    // metadata-only rollback: spark.table immediately sees the old state
+    val log = engine.log(table.name)
+    log.map(_.message) shouldBe List("reprocess day 1", "days 1+2", "init")
+    engine.checkout(table.name, log(1).id)
+    spark.table("hive_accept.pageview").count() shouldBe 3
+    spark.table("hive_accept.pageview").where($"date" === "2024-01-01").count() shouldBe 2
+
+    // roll forward to head again
+    engine.checkout(table.name, log(0).id)
+    spark.table("hive_accept.pageview").count() shouldBe 2
+  }
+
+  it should "sync snapshot tables via table-location swap" in {
+    val root = Files.createTempDirectory("graft-hive-snap-")
+    val loc = root.resolve("users").toUri.toString.stripSuffix("/")
+    spark.sql("CREATE DATABASE IF NOT EXISTS hive_accept")
+    spark.sql(
+      s"""CREATE EXTERNAL TABLE hive_accept.users_snap (id STRING, name STRING)
+         |STORED AS PARQUET LOCATION '$loc'""".stripMargin)
+
+    val engine = new VersionedTables(spark,
+      new FileBackedVersionTracker(root.resolve("store").toUri),
+      new SparkHiveMetastore(spark))
+    val table = TableDefinition(TableName("hive_accept", "users_snap"),
+      new java.net.URI(loc), PartitionSchema.snapshot, FileFormat.Parquet)
+    engine.initTable(table, UserId("bob"), "init")
+
+    Seq(("u1", "Alice"), ("u2", "Bob")).toDF("id", "name")
+      .versionedInsertInto(engine, table, UserId("bob"), "v1")
+    spark.table("hive_accept.users_snap").count() shouldBe 2
+
+    Seq(("u1", "Alice"), ("u2", "Bob"), ("u3", "Carol")).toDF("id", "name")
+      .versionedInsertInto(engine, table, UserId("bob"), "v2")
+    spark.table("hive_accept.users_snap").count() shouldBe 3
+
+    val log = engine.log(table.name)
+    engine.checkout(table.name, log(1).id)
+    spark.table("hive_accept.users_snap").count() shouldBe 2
+  }
+}
