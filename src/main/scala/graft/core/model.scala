@@ -120,12 +120,16 @@ object FileFormat {
   val Avro: FileFormat = FileFormat("avro")
 }
 
-/** Static definition of a versioned table. */
+/** Static definition of a versioned table. `options` are passed through to
+  * the Spark reader AND writer of the chosen format (e.g. `header`/
+  * `inferSchema` for CSV) — the format passthrough the reference claims for
+  * CSV/Avro (README.md:79-83). */
 final case class TableDefinition(
     name: TableName,
     location: URI,
     partitionSchema: PartitionSchema,
-    format: FileFormat) {
+    format: FileFormat,
+    options: Map[String, String] = Map.empty) {
   def isSnapshot: Boolean = partitionSchema.isSnapshot
 }
 

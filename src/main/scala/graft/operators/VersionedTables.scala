@@ -66,7 +66,7 @@ final class VersionedTables(
   def readVersion(table: TableDefinition, version: TableVersion): DataFrame = version match {
     case SnapshotTableVersion(v) =>
       if (v == Version.Unversioned) emptyLike(table)
-      else spark.read.format(table.format.name)
+      else spark.read.format(table.format.name).options(table.options)
         .load(VersionPaths.pathFor(table.location, v).toString)
     case PartitionedTableVersion(pvs) =>
       if (pvs.isEmpty) emptyLike(table)
@@ -74,7 +74,7 @@ final class VersionedTables(
         val paths = VersionPaths
           .resolveVersionedPartitionPaths(pvs, table.location)
           .values.map(_.toString).toSeq.sorted
-        spark.read.format(table.format.name)
+        spark.read.format(table.format.name).options(table.options)
           .option("basePath", table.location.toString)
           .load(paths: _*)
           .drop(Version.VersionColumn)
@@ -88,7 +88,7 @@ final class VersionedTables(
   private def emptyLike(table: TableDefinition): DataFrame = {
     val schema: StructType =
       try {
-        val df = spark.read.format(table.format.name)
+        val df = spark.read.format(table.format.name).options(table.options)
           .option("basePath", table.location.toString)
           .load(table.location.toString)
         StructType(df.schema.filterNot(_.name == Version.VersionColumn))
@@ -159,6 +159,7 @@ object VersionedTables {
         .partitionBy(partCols: _*)
         .mode(SaveMode.Append)
         .format(table.format.name)
+        .options(table.options)
         .save(table.location.toString)
     }
   }
