@@ -21,8 +21,14 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float-array columns, accumulated in double. Uses the
+    * codegen'd native expression ([[graft.functions.VectorExpressions]]);
+    * semantics are identical to the composable HOF form ([[dotHof]]). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dotNative(a, b)
+
+  /** The zip_with/aggregate formulation — CodegenFallback (interpreted);
+    * kept as the semantic reference for the native expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))

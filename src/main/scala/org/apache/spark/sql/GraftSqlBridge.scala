@@ -1,0 +1,11 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to `private[sql]` Column↔Expression conversion — the standard
+  * extension-library pattern for exposing custom Catalyst expressions as
+  * user-facing Columns on Spark 4's classic engine. */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.TestSpark
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class VectorExpressionsSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  "FloatVectorDot" should "agree with the HOF formulation on real embeddings" in {
+    // not bit-for-bit: the HOF form multiplies in float then widens, the
+    // native expression multiplies in double (strictly more accurate) — so
+    // compare within float-product rounding tolerance
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pairs = emb.select($"vec_id".as("id1"), $"embedding".as("e1"))
+      .crossJoin(emb.select($"vec_id".as("id2"), $"embedding".as("e2")))
+      .filter($"id2" === $"id1" + 1)
+    val diffs = pairs.select(
+      VectorExpressions.dotNative($"e1", $"e2").as("native"),
+      Similarity.dotHof($"e1", $"e2").as("hof"))
+      .filter(abs($"native" - $"hof") > greatest(abs($"native"), abs($"hof"), lit(1.0)) * 1e-5)
+    diffs.count() shouldBe 0
+  }
+
+  it should "handle hand-computed values, nulls and empty arrays" in {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(4.0f, 5.0f, 6.0f))),
+      (Some(Array.empty[Float]), Some(Array.empty[Float])),
+      (None, Some(Array(1.0f)))
+    ).toDF("a", "b")
+    val got = df.select(VectorExpressions.dotNative($"a", $"b")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    got shouldBe Array(Some(32.0), Some(0.0), None)
+  }
+
+  it should "run inside whole-stage codegen" in {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = emb.select(VectorExpressions.dotNative($"embedding", $"embedding"))
+      .queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark operators inside a WholeStageCodegen stage
+    plan should include("*(1) Project [float_vector_dot")
+  }
+}
