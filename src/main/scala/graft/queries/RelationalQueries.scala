@@ -62,6 +62,20 @@ object RelationalQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))),
 
+    "q_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))),
+
+    // HLL sketch aggregation — no oracle (algorithm-specific estimates);
+    // accuracy pinned by QueriesSpec against exact counts
+    "q_agg_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))),
+
     // --- joins ---
     "q_join_broadcast" -> ((s, d) =>
       Tables.orders(s, d)
@@ -81,8 +95,12 @@ object RelationalQueries {
         .select("c_custkey", "c_name", "c_mktsegment")),
 
     "q_join_anti" -> ((s, d) =>
+      // customers with no finished ('F') orders — every customer has SOME
+      // order in this data, so the anti-join needs the status restriction to
+      // be non-trivial
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")),
 
     "q_join_outer" -> ((s, d) =>
@@ -95,6 +113,13 @@ object RelationalQueries {
           sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_customers_no_orders"))),
 
     // --- windows ---
+    "q_join_full_outer" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"), count(col("o_orderkey")).as("n_orders"),
+          count(col("c_custkey")).as("n_customers"))),
+
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -135,8 +160,12 @@ object RelationalQueries {
           .select(col("c_custkey").as("custkey")))),
 
     "q_except" -> ((s, d) =>
+      // all customers minus those in good standing = negative-balance keys
+      // (customer EXCEPT orders-custkeys is empty in this data — every
+      // customer has orders)
       Tables.customer(s, d).select(col("c_custkey").as("custkey"))
-        .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))),
+        .except(Tables.customer(s, d).filter(col("c_acctbal") > 0)
+          .select(col("c_custkey").as("custkey")))),
 
     // --- scalar functions ---
     "q_string_date_math" -> ((s, d) =>
@@ -203,6 +232,16 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_join_full_outer" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_orders,
+        |  COUNT(c_custkey) AS n_customers
+        |FROM customer FULL JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
     "q_join_broadcast" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
@@ -220,7 +259,8 @@ object RelationalQueries {
 
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
 
     "q_join_outer" ->
       """SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_orders,
@@ -260,7 +300,7 @@ object RelationalQueries {
     "q_except" ->
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT
-        |SELECT o_custkey AS custkey FROM orders""".stripMargin,
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0""".stripMargin,
 
     "q_string_date_math" ->
       """SELECT o_orderkey,
