@@ -103,12 +103,16 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine >= `threshold`, blocked by LSH
     * bucket (both sides of a near-dup pair almost always share the bucket at
-    * modest `planes`). Output (id1, id2, cosine), id1 < id2. */
+    * modest `planes`; LSH recall drops as `threshold` approaches chance-level
+    * cosine). `planes = 0` disables blocking (exact all-pairs — fine up to
+    * ~10^4 vectors now that the dot product is codegen'd; use blocking at
+    * scale). Output (id1, id2, cosine), id1 < id2. */
   def embeddingNearDupPairs(
       vectors: DataFrame, threshold: Double = 0.95, planes: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucket = if (planes <= 0) lit(0L) else lshBucket(col(vecCol), planes)
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      bucket.as("bucket"))
     v.as("a").join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cosine", cosine(col("a.v"), col("b.v")))

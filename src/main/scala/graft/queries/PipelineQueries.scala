@@ -79,7 +79,11 @@ object PipelineQueries {
     }),
 
     "q_dedup_embedding" -> ((s, d) =>
-      Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.9, planes = 6)),
+      // exact all-pairs (planes=0): this embedding table has no true near-
+      // dups (max cosine ~0.5-0.6 by scale), so the demo threshold is low and
+      // blocking would be pure recall loss; the LSH-blocked path is exercised
+      // in SimilaritySpec with planted duplicates
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.4, planes = 0)),
 
     // --- multimodal ---
     "q_multimodal_features" -> ((s, d) => {

@@ -116,6 +116,13 @@ class VersionedTablesSpec extends AnyFlatSpec with Matchers {
     engine.readPartitions(table, _.columnValues.head.value == "2019-03-15")
       .as[Pageview].collect() should contain theSameElementsAs day15
 
+    // Catalyst partition pruning: a partition-column filter on a versioned
+    // read must land in the scan's PartitionFilters (date survives as a real
+    // partition column through the basePath read)
+    val pruned = engine.read(table).where($"date" === "2019-03-14")
+    val scan = pruned.queryExecution.executedPlan.toString
+    scan should include("PartitionFilters: [isnotnull(date")
+
     // rollback chain: head -> before reprocess -> before day14/15 -> init(empty)
     val log = engine.log(table.name)
     log.map(_.message) shouldBe List("reprocess day 14", "days 14+15", "day 13", "init")
