@@ -50,8 +50,16 @@ object SparkEntry {
 
   /** Build (current-version read, as-of-first-load read) over a versioned
     * events table: initial load, then one day reprocessed without 'error'
-    * rows. Current read must reflect the reprocess; the as-of read must not. */
-  private def versionedFixture(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    * rows. Current read must reflect the reprocess; the as-of read must not.
+    * Memoized per (session, sfDir): q_versioned_read and q_time_travel share
+    * one fixture build instead of writing the table twice. */
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+
+  private def versionedFixture(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    fixtureCache.computeIfAbsent((spark, sfDir), _ => buildVersionedFixture(spark, sfDir))
+
+  private def buildVersionedFixture(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     Tables.prepare(spark)
     val root = java.nio.file.Files.createTempDirectory("graft-vfix-")
     val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)

@@ -165,7 +165,11 @@ object Dedup {
       textCol: String = "text",
       threshold: Double = 0.8,
       blockCol: Option[String] = None): DataFrame = {
-    val cols = col(idCol).as("id") +: wordSet(col(textCol)).as("w") +:
+    // compare hashed word sets (64-bit): set sizes and intersections are
+    // identical to the string formulation up to negligible collision odds,
+    // and long-array intersects are several times cheaper than string ones
+    val cols = col(idCol).as("id") +:
+      array_distinct(transform(wordSet(col(textCol)), w => xxhash64(w))).as("w") +:
       blockCol.map(c => col(c).as("blk")).toSeq
     val sets = docs.select(cols: _*).localCheckpoint()
     val cond = blockCol match {

@@ -1,0 +1,231 @@
+package graft.sources
+
+import graft.core._
+
+import java.sql.{Connection, DriverManager, ResultSet, Statement}
+import java.time.Instant
+
+/**
+ * JDBC-backed commit log — the reference's `db` module
+ * (`db/src/main/scala/dev/chronicles/db/DbVersionTracker.scala:41-308`)
+ * re-expressed on plain java.sql against embedded Derby (the JDBC engine
+ * available offline; the SQL sticks to the portable subset the reference
+ * uses for H2/Postgres).
+ *
+ * Same 4-table schema: `tables` (+ is_snapshot), `updates` (sequence-ordered
+ * commits), `operations` (typed rows, `index_in_commit` preserving op order),
+ * `version_refs` (current commit pointer). History reads join updates ×
+ * operations ordered by (sequence_id, index_in_commit) and group adjacent
+ * rows into commits, exactly like the reference's fs2 `groupAdjacentBy`.
+ * All writes run in SERIALIZABLE transactions (DbVersionTracker.scala:118-124).
+ */
+final class JdbcVersionTracker(jdbcUrl: String) extends VersionTracker {
+
+  private val conn: Connection = {
+    val c = DriverManager.getConnection(jdbcUrl)
+    c.setAutoCommit(false)
+    c.setTransactionIsolation(Connection.TRANSACTION_SERIALIZABLE)
+    c
+  }
+
+  createSchema()
+
+  private def createSchema(): Unit = {
+    def tableExists(name: String): Boolean = {
+      val rs = conn.getMetaData.getTables(null, null, name.toUpperCase, null)
+      try rs.next() finally rs.close()
+    }
+    withStatement { st =>
+      if (!tableExists("graft_tables"))
+        st.executeUpdate(
+          """CREATE TABLE graft_tables (
+            |  table_name VARCHAR(512) PRIMARY KEY,
+            |  is_snapshot BOOLEAN NOT NULL)""".stripMargin)
+      if (!tableExists("graft_updates"))
+        st.executeUpdate(
+          """CREATE TABLE graft_updates (
+            |  sequence_id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+            |  commit_id VARCHAR(64) NOT NULL UNIQUE,
+            |  table_name VARCHAR(512) NOT NULL REFERENCES graft_tables(table_name),
+            |  user_id VARCHAR(256) NOT NULL,
+            |  message VARCHAR(4096) NOT NULL,
+            |  created_at TIMESTAMP NOT NULL)""".stripMargin)
+      if (!tableExists("graft_operations"))
+        st.executeUpdate(
+          """CREATE TABLE graft_operations (
+            |  commit_id VARCHAR(64) NOT NULL REFERENCES graft_updates(commit_id),
+            |  index_in_commit INT NOT NULL,
+            |  op_type VARCHAR(32) NOT NULL,
+            |  partition_path VARCHAR(1024),
+            |  version_label VARCHAR(128),
+            |  is_snapshot BOOLEAN,
+            |  PRIMARY KEY (commit_id, index_in_commit))""".stripMargin)
+      if (!tableExists("graft_version_refs"))
+        st.executeUpdate(
+          """CREATE TABLE graft_version_refs (
+            |  table_name VARCHAR(512) PRIMARY KEY REFERENCES graft_tables(table_name),
+            |  current_commit VARCHAR(64) NOT NULL)""".stripMargin)
+    }
+    conn.commit()
+  }
+
+  override def initTable(
+      table: TableName, isSnapshot: Boolean, userId: UserId, message: String, timestamp: Instant): Unit =
+    synchronized {
+      if (!exists(table)) {
+        val update = TableUpdate(userId, message, timestamp,
+          List(TableOperation.InitTable(table, isSnapshot)))
+        try {
+          withStatement { st =>
+            st.executeUpdate(
+              s"INSERT INTO graft_tables VALUES ('${esc(table.fullyQualifiedName)}', $isSnapshot)")
+          }
+          insertUpdate(table, update)
+          withStatement { st =>
+            st.executeUpdate(
+              s"INSERT INTO graft_version_refs VALUES ('${esc(table.fullyQualifiedName)}', '${update.metadata.id.id}')")
+          }
+          conn.commit()
+        } catch { case e: Throwable => conn.rollback(); throw e }
+      }
+    }
+
+  override def tables(): List[TableName] = synchronized {
+    query("SELECT table_name FROM graft_tables ORDER BY table_name") { rs =>
+      TableName.parse(rs.getString(1)).toOption
+    }.flatten
+  }
+
+  override def commit(table: TableName, update: TableUpdate): Unit = synchronized {
+    if (!exists(table)) throw UnknownTableError(table)
+    try {
+      insertUpdate(table, update)
+      withStatement { st =>
+        st.executeUpdate(
+          s"""UPDATE graft_version_refs SET current_commit = '${update.metadata.id.id}'
+             |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)
+      }
+      conn.commit()
+    } catch { case e: Throwable => conn.rollback(); throw e }
+  }
+
+  override def setCurrentVersion(table: TableName, id: CommitId): Unit = synchronized {
+    if (!exists(table)) throw UnknownTableError(table)
+    val known = query(
+      s"""SELECT 1 FROM graft_updates WHERE commit_id = '${esc(id.id)}'
+         |AND table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)(_ => true)
+    if (known.isEmpty) throw UnknownCommitError(id)
+    try {
+      withStatement { st =>
+        st.executeUpdate(
+          s"""UPDATE graft_version_refs SET current_commit = '${esc(id.id)}'
+             |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)
+      }
+      conn.commit()
+    } catch { case e: Throwable => conn.rollback(); throw e }
+  }
+
+  private case class Row(commitId: String, user: String, msg: String, ts: Instant,
+      opType: String, part: String, ver: String, snap: Boolean)
+
+  override def tableState(table: TableName): TableState = synchronized {
+    if (!exists(table)) throw UnknownTableError(table)
+    // one ordered join, grouped adjacently into commits (reference
+    // DbVersionTracker.scala:239-256 + :67-84)
+    val rows = query(
+      s"""SELECT u.commit_id, u.user_id, u.message, u.created_at,
+         |  o.op_type, o.partition_path, o.version_label, o.is_snapshot
+         |FROM graft_updates u INNER JOIN graft_operations o ON u.commit_id = o.commit_id
+         |WHERE u.table_name = '${esc(table.fullyQualifiedName)}'
+         |ORDER BY u.sequence_id, o.index_in_commit""".stripMargin) { rs =>
+      Row(rs.getString(1), rs.getString(2), rs.getString(3), rs.getTimestamp(4).toInstant,
+        rs.getString(5), rs.getString(6), rs.getString(7), rs.getBoolean(8))
+    }
+    val updates = groupAdjacent(rows)(_.commitId).map { group =>
+      val h = group.head
+      TableUpdate(
+        TableUpdateMetadata(CommitId(h.commitId), UserId(h.user), h.msg, h.ts),
+        group.map(decodeOp(table, _)))
+    }
+    val head = query(
+      s"""SELECT current_commit FROM graft_version_refs
+         |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)(_.getString(1))
+      .headOption.getOrElse(throw UnknownTableError(table))
+    TableState(CommitId(head), updates)
+  }
+
+  // ---- helpers ----
+
+  private def insertUpdate(table: TableName, update: TableUpdate): Unit = {
+    val m = update.metadata
+    val ps = conn.prepareStatement(
+      "INSERT INTO graft_updates (commit_id, table_name, user_id, message, created_at) VALUES (?,?,?,?,?)")
+    try {
+      ps.setString(1, m.id.id); ps.setString(2, table.fullyQualifiedName)
+      ps.setString(3, m.userId.value); ps.setString(4, m.message)
+      ps.setTimestamp(5, java.sql.Timestamp.from(m.timestamp))
+      ps.executeUpdate()
+    } finally ps.close()
+    val po = conn.prepareStatement(
+      "INSERT INTO graft_operations VALUES (?,?,?,?,?,?)")
+    try update.operations.zipWithIndex.foreach { case (op, i) =>
+      po.setString(1, m.id.id); po.setInt(2, i)
+      op match {
+        case TableOperation.InitTable(_, snap) =>
+          po.setString(3, "init-table"); po.setNull(4, java.sql.Types.VARCHAR)
+          po.setNull(5, java.sql.Types.VARCHAR); po.setBoolean(6, snap)
+        case TableOperation.AddTableVersion(v) =>
+          po.setString(3, "add-table-version"); po.setNull(4, java.sql.Types.VARCHAR)
+          po.setString(5, v.label); po.setNull(6, java.sql.Types.BOOLEAN)
+        case TableOperation.AddPartitionVersion(p, v) =>
+          po.setString(3, "add-partition-version"); po.setString(4, p.toPath)
+          po.setString(5, v.label); po.setNull(6, java.sql.Types.BOOLEAN)
+        case TableOperation.RemovePartition(p) =>
+          po.setString(3, "remove-partition"); po.setString(4, p.toPath)
+          po.setNull(5, java.sql.Types.VARCHAR); po.setNull(6, java.sql.Types.BOOLEAN)
+      }
+      po.executeUpdate()
+    } finally po.close()
+  }
+
+  private def decodeOp(table: TableName, r: Row): TableOperation =
+    r.opType match {
+      case "init-table" => TableOperation.InitTable(table, r.snap)
+      case "add-table-version" =>
+        TableOperation.AddTableVersion(Version.parse(r.ver).fold(sys.error, identity))
+      case "add-partition-version" =>
+        TableOperation.AddPartitionVersion(
+          Partition.parse(r.part).fold(sys.error, identity),
+          Version.parse(r.ver).fold(sys.error, identity))
+      case "remove-partition" =>
+        TableOperation.RemovePartition(Partition.parse(r.part).fold(sys.error, identity))
+      case other => sys.error(s"Unknown op type in store: '$other'")
+    }
+
+  private def groupAdjacent[A, K](xs: List[A])(key: A => K): List[List[A]] =
+    xs.foldRight(List.empty[List[A]]) {
+      case (a, (group @ (h :: _)) :: rest) if key(h) == key(a) => (a :: group) :: rest
+      case (a, acc) => List(a) :: acc
+    }
+
+  private def exists(table: TableName): Boolean =
+    query(s"SELECT 1 FROM graft_tables WHERE table_name = '${esc(table.fullyQualifiedName)}'")(_ => true).nonEmpty
+
+  private def withStatement[A](f: Statement => A): A = {
+    val st = conn.createStatement()
+    try f(st) finally st.close()
+  }
+
+  private def query[A](sql: String)(f: ResultSet => A): List[A] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      try Iterator.continually(rs).takeWhile(_.next()).map(f).toList
+      finally rs.close()
+    } finally { st.close(); conn.commit() }
+  }
+
+  private def esc(s: String): String = s.replace("'", "''")
+
+  def close(): Unit = conn.close()
+}
