@@ -1,7 +1,7 @@
 package graft.cli
 
 import graft.core._
-import graft.sources.FileBackedVersionTracker
+import graft.sources.{FileBackedVersionTracker, JdbcVersionTracker}
 
 import java.net.URI
 import java.time.Instant
@@ -36,13 +36,17 @@ object GraftCli {
   /** Testable entry: returns exit code, writes to `out`. */
   def run(argv: List[String], out: java.io.PrintWriter): Int = {
     val (flags, positional) = parseFlags(argv)
-    val storeUri = flags.get("store").orElse(sys.env.get("GRAFT_STORE")) match {
-      case Some(s) => new URI(s)
+    val store = flags.get("store").orElse(sys.env.get("GRAFT_STORE")) match {
+      case Some(s) => s
       case None => out.println("error: --store <uri> (or GRAFT_STORE) is required"); return 2
     }
     val user = UserId(flags.getOrElse("user", sys.props.getOrElse("user.name", "unknown")))
     val message = flags.getOrElse("message", "")
-    lazy val tracker = new FileBackedVersionTracker(storeUri)
+    // store scheme selects the backend: jdbc:... -> relational commit log,
+    // anything else -> file-backed JSON log on a Hadoop FileSystem
+    lazy val tracker: VersionTracker =
+      if (store.startsWith("jdbc:")) new JdbcVersionTracker(store)
+      else new FileBackedVersionTracker(new URI(store))
 
     def withTable(name: String)(f: TableName => Int): Int =
       TableName.parse(name) match {

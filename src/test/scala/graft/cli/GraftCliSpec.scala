@@ -56,6 +56,20 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     parts should not include "date=2024-01-02"
   }
 
+  it should "work against a jdbc: store" in {
+    val db = java.nio.file.Files.createTempDirectory("graft-cli-jdbc-").resolve("db")
+    val jdbcStore = s"jdbc:derby:$db;create=true"
+    def jcli(args: String*): (Int, String) = {
+      val sw = new StringWriter()
+      val code = GraftCli.run(List("--store", jdbcStore) ++ args.toList, new PrintWriter(sw, true))
+      (code, sw.toString)
+    }
+    jcli("init", "jdbc.t")._1 shouldBe 0
+    jcli("partition", "add", "jdbc.t", "date=2024-02-02")._1 shouldBe 0
+    jcli("tables")._2.trim shouldBe "jdbc.t"
+    jcli("partitions", "jdbc.t")._2 should include("date=2024-02-02")
+  }
+
   it should "fail cleanly on bad input" in {
     cli("log", "not-a-table")._1 shouldBe 2
     cli("log", "no.such")._1 shouldBe 1
