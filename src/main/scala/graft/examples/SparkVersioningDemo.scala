@@ -68,6 +68,14 @@ object SparkVersioningDemo {
     val dayDir = root.resolve("events").resolve(s"event_date=$day").toFile
     println("VERSION_DIRS_FOR_DAY=" + dayDir.listFiles().count(f => f.isDirectory && f.getName.startsWith("_version=")))
 
+    // timestamp time travel: as of "now" = head; as of the initial-load commit time = pre-reprocess
+    val initialLoadTs = log(1).timestamp
+    println("ASOF_NOW_ROWS=" + engine.readAsOf(table, java.time.Instant.now()).count())
+    println("ASOF_LOAD_ROWS=" + engine.readAsOf(table, initialLoadTs).count())
+
+    // orphan audit: clean history reports nothing
+    println("ORPHANS=" + engine.orphanedVersions(table).size)
+
     spark.stop()
   }
 }

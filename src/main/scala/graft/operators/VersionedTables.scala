@@ -52,6 +52,49 @@ final class VersionedTables(
     readVersion(table, st.copy(currentVersion = id).currentTableVersion)
   }
 
+  /** Time travel by timestamp (Delta-style `AS OF`): read the table as of
+    * the last commit at or before `instant`. Errors if the table had no
+    * commits yet at that time. */
+  def readAsOf(table: TableDefinition, instant: java.time.Instant): DataFrame = {
+    val st = tracker.tableState(table.name)
+    val at = st.updates.filter(!_.metadata.timestamp.isAfter(instant)).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"No commit at or before $instant for ${table.name}"))
+    readVersion(table, st.copy(currentVersion = at.metadata.id).currentTableVersion)
+  }
+
+  /** Audit report: `_version=` directories on disk that no commit in the
+    * table's FULL history references — debris from writes that failed before
+    * their commit landed. Reporting only (the engine never deletes data);
+    * feed the result to an external janitor if reclaiming space. */
+  def orphanedVersions(table: TableDefinition): List[URI] = {
+    import org.apache.hadoop.fs.Path
+    val referenced: Set[String] = tracker.tableState(table.name).updates
+      .flatMap(_.operations).collect {
+        case TableOperation.AddPartitionVersion(_, v) => v.label
+        case TableOperation.AddTableVersion(v)        => v.label
+      }.toSet
+    val fs = new Path(table.location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(table.location)
+    if (!fs.exists(root)) Nil
+    else {
+      val it = fs.listFiles(root, true)
+      val dirs = scala.collection.mutable.Set.empty[URI]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        var p = f.getParent
+        while (p != null && p.toString.length >= root.toString.length) {
+          if (p.getName.startsWith(VersionPaths.VersionDirPrefix)) {
+            val label = p.getName.stripPrefix(VersionPaths.VersionDirPrefix)
+            if (!referenced.contains(label)) dirs += p.toUri
+          }
+          p = p.getParent
+        }
+      }
+      dirs.toList.sortBy(_.toString)
+    }
+  }
+
   /** Read the current version of only the partitions matching `keep` — the
     * driver-side prune that makes partial reads O(selected partitions) at
     * 100 TB scale (no file listing outside the selection). */

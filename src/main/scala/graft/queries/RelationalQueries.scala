@@ -192,6 +192,15 @@ object RelationalQueries {
         array_contains(split(col("event_type"), "_"), "signup").as("is_signup"),
         length(col("event_type")).as("type_len"))),
 
+    // --- gap-based sessionization as a batch aggregation ---
+    "q_event_sessions" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("session_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("user_id"), col("n_events"), col("session_value"))),
+
     // --- batch event-time tumbling window over events ---
     "q_event_windows" -> ((s, d) =>
       Tables.events(s, d)
@@ -321,6 +330,24 @@ object RelationalQueries {
         |  LIST_CONTAINS(STRING_SPLIT(event_type, '_'), 'signup') AS is_signup,
         |  LENGTH(event_type) AS type_len
         |FROM events""".stripMargin,
+
+    "q_event_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (
+        |      PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+        |      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, user_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
 
     "q_event_windows" ->
       """SELECT STRFTIME(TIME_BUCKET(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -183,6 +183,40 @@ class VersionedTablesSpec extends AnyFlatSpec with Matchers {
       .as[AdImpression].collect() should contain theSameElementsAs List(batch2.head)
   }
 
+  behavior of "timestamp time travel and version auditing"
+
+  it should "read as of a timestamp and report orphaned version dirs" in {
+    val (engine, dir) = newEngine()
+    val loc = new File(dir, "asof")
+    val table = TableDefinition(TableName("test", "asof"), loc.toURI,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    engine.initTable(table, UserId("u"), "init")
+
+    Seq(User("u1", "A", "a@x")).toDS().versionedInsertInto(engine, table, UserId("u"), "v1")
+    val betweenCommits = java.time.Instant.now()
+    Thread.sleep(5)
+    Seq(User("u1", "A", "a@x"), User("u2", "B", "b@x")).toDS()
+      .versionedInsertInto(engine, table, UserId("u"), "v2")
+
+    engine.read(table).count() shouldBe 2
+    engine.readAsOf(table, betweenCommits).count() shouldBe 1
+    engine.readAsOf(table, java.time.Instant.now()).count() shouldBe 2
+    an[IllegalArgumentException] should be thrownBy
+      engine.readAsOf(table, java.time.Instant.EPOCH)
+
+    // no orphans after clean writes
+    engine.orphanedVersions(table) shouldBe Nil
+
+    // fabricate debris from a "failed write": a version dir no commit references
+    val orphan = new File(loc, s"_version=${Version.generate().label}")
+    Seq(User("ghost", "X", "x@x")).toDS().write.parquet(orphan.toString)
+    val found = engine.orphanedVersions(table)
+    found should have size 1
+    found.head.getPath should endWith(orphan.getName)
+    // and the orphan is invisible to reads
+    engine.read(table).count() shouldBe 2
+  }
+
   behavior of "partitionValues"
 
   it should "extract distinct partition tuples" in {
