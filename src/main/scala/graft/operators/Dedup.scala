@@ -39,10 +39,12 @@ object Dedup {
 
   /** Distinct 64-bit hashes of the word `shingleSize`-gram shingles. The
     * expensive string work (tokenize, build shingles, hash them) happens in
-    * this ONE expression; every minhash/band/Jaccard step downstream operates
-    * on the long array. Hash collisions are negligible at 64 bits. */
+    * ONE native expression pass ([[graft.functions.WordShingleHashes]] —
+    * ~100x over the interpreted HOF chain); every minhash/band/Jaccard step
+    * downstream operates on the long array. Hash collisions are negligible
+    * at 64 bits. */
   def shingleHashes(textCol: Column, shingleSize: Int = 3): Column =
-    array_distinct(transform(shingles(textCol, shingleSize), s => xxhash64(s)))
+    graft.functions.VectorExpressions.wordShingleHashes(textCol, shingleSize)
 
   /** One minhash value derived from pre-hashed shingles: min of a cheap
     * seeded re-hash of each 64-bit shingle hash. */
@@ -131,9 +133,10 @@ object Dedup {
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
     // two-stage with a barrier between: the 32 bit-vote aggregates re-inline
-    // their input, so hash the tokens once, materialize, then vote
+    // their input, so hash the tokens once (multiset — votes are weighted by
+    // token frequency), materialize, then vote
     val th = docs.select(col(idCol).as("id"),
-      transform(tokens(col(textCol)), t => xxhash64(t)).as("th"))
+      graft.functions.VectorExpressions.wordShingleHashes(col(textCol), 1, distinct = false).as("th"))
       .localCheckpoint()
     val sh = th.select(col("id"), simhashFromHashes(col("th")).as("sh"))
       .withColumn("lo", col("sh").bitwiseAND(0xFFFFL))
@@ -169,7 +172,7 @@ object Dedup {
     // identical to the string formulation up to negligible collision odds,
     // and long-array intersects are several times cheaper than string ones
     val cols = col(idCol).as("id") +:
-      array_distinct(transform(wordSet(col(textCol)), w => xxhash64(w))).as("w") +:
+      graft.functions.VectorExpressions.wordShingleHashes(col(textCol), 1).as("w") +:
       blockCol.map(c => col(c).as("blk")).toSeq
     val sets = docs.select(cols: _*).localCheckpoint()
     val cond = blockCol match {

@@ -37,6 +37,29 @@ class VectorExpressionsSpec extends AnyFlatSpec with Matchers {
     got shouldBe Array(Some(32.0), Some(0.0), None)
   }
 
+  "WordShingleHashes" should "produce exactly the HOF formulation's hash values" in {
+    import graft.functions.TextFunctions.shingles
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val diffs = docs.select(
+      VectorExpressions.wordShingleHashes($"text", 3).as("native"),
+      array_distinct(transform(shingles($"text", 3), s => xxhash64(s))).as("hof"))
+      .filter($"native" =!= $"hof")
+    diffs.count() shouldBe 0
+  }
+
+  it should "hash the token multiset when distinct=false" in {
+    val got = Seq("a b a").toDF("t")
+      .select(VectorExpressions.wordShingleHashes($"t", 1, distinct = false).as("h"))
+      .head().getAs[scala.collection.Seq[Long]]("h")
+    got should have size 3
+    got(0) shouldBe got(2) // repeated token, repeated hash
+    // and tokenization normalizes like tokens(): trim + lower + \s+ split
+    val norm = Seq("  A  b a ").toDF("t")
+      .select(VectorExpressions.wordShingleHashes($"t", 1, distinct = false).as("h"))
+      .head().getAs[scala.collection.Seq[Long]]("h")
+    norm shouldBe got
+  }
+
   it should "run inside whole-stage codegen" in {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = emb.select(VectorExpressions.dotNative($"embedding", $"embedding"))
