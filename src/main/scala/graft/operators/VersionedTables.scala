@@ -52,6 +52,13 @@ final class VersionedTables(
     readVersion(table, st.copy(currentVersion = id).currentTableVersion)
   }
 
+  /** Register the table's CURRENT version as a temp view so it is queryable
+    * with `spark.sql` without a Hive catalog. The view captures the version
+    * at registration time (re-register after commits/checkouts — or wire the
+    * [[graft.sources.SparkHiveMetastore]] for always-current SQL reads). */
+  def createView(table: TableDefinition, viewName: String): Unit =
+    read(table).createOrReplaceTempView(viewName)
+
   /** Time travel by timestamp (Delta-style `AS OF`): read the table as of
     * the last commit at or before `instant`. Errors if the table had no
     * commits yet at that time. */

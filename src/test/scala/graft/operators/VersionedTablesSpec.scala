@@ -204,6 +204,11 @@ class VersionedTablesSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       engine.readAsOf(table, java.time.Instant.EPOCH)
 
+    // SQL over the versioned table without any Hive catalog
+    engine.createView(table, "asof_view")
+    try spark.sql("SELECT count(*) AS n FROM asof_view").head().getLong(0) shouldBe 2
+    finally spark.catalog.dropTempView("asof_view")
+
     // no orphans after clean writes
     engine.orphanedVersions(table) shouldBe Nil
 
