@@ -89,6 +89,12 @@ object PipelineQueries {
     "q_multimodal_features" -> ((s, d) => {
       val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
       Multimodal.extractFeatures(media).toDF()
+    }),
+
+    "q_multimodal_frames" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
+      Multimodal.sampleFrames(media, everyNth = 10)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
     })
   )
 
@@ -151,6 +157,10 @@ object PipelineQueries {
          |  len(list_intersect(a.w, b.w)) / len(list_distinct(list_concat(a.w, b.w))) AS jaccard
          |FROM sets a JOIN sets b ON a.id < b.id AND a.blk = b.blk
          |WHERE len(list_intersect(a.w, b.w)) / len(list_distinct(list_concat(a.w, b.w))) >= 0.8""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """SELECT doc_id AS media_id, UNNEST(RANGE(0, 1 + octet_length(encode(text)) % 30, 10)) AS frame_idx
+        |FROM documents WHERE (doc_id % 3) = 2""".stripMargin,
 
     "q_multimodal_features" ->
       """SELECT doc_id AS media_id,

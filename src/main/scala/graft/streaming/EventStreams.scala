@@ -130,6 +130,18 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateState)
   }
 
+  /** Streaming exact deduplication: drop rows whose `keys` were already seen
+    * within the watermark horizon. State is bounded by the watermark (late
+    * duplicates beyond it are not caught — the standard streaming-dedup
+    * contract). For full-history dedup, run the batch `Dedup` operators over
+    * the versioned table instead. */
+  def streamingDedup(
+      events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /**
    * Versioned streaming sink: every micro-batch is written through
    * `versionedInsertInto`, so each trigger becomes one immutable commit —

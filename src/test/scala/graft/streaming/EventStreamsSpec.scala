@@ -81,6 +81,19 @@ class EventStreamsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "streamingDedup" should "drop duplicate keys within the watermark" in {
+    // duplicate every event, stream through dedup on event_id
+    val dupDir = Files.createTempDirectory("graft-stream-dup-").toString
+    staged.union(staged).write.mode("overwrite").parquet(dupDir)
+    val stream = EventStreams.readEventStream(spark, dupDir, staged.schema)
+    val q = EventStreams.streamingDedup(stream, Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    spark.table("dedup_out").count() shouldBe staged.count()
+    spark.table("dedup_out").select("event_id").distinct().count() shouldBe staged.count()
+  }
+
   "writeVersioned" should "commit one table version per micro-batch with time travel" in {
     val root = Files.createTempDirectory("graft-stream-sink-")
     val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
