@@ -101,6 +101,85 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k: learn `nlist` centroids from a
+   * driver-side sample (Lloyd's k-means, deterministic seeded init),
+   * broadcast them, assign every candidate to its nearest centroid (one
+   * 16x-ish row expansion + argmin window — no UDFs), and probe only the
+   * `nprobe` nearest cells per query. The classic production ANN layout:
+   * the candidate side is partitioned by cell, so a query touches
+   * nprobe/nlist of the data; centroid learning is O(sample), never O(N).
+   */
+  def ivfTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, sampleSize: Int = 2048,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+
+    // 1. learn centroids from a deterministic sample
+    val sample = candidates.select(col(vecCol)).orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val centroids = kmeans(sample, nlist, iters = 10)
+    val centroidDf = broadcast(centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid"))
+
+    // 2. cell assignment by argmin cosine distance (rank over the expansion)
+    def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("cos_c").desc, col("cell"))
+      df.crossJoin(centroidDf)
+        .withColumn("cos_c", cosine(col(vec), col("centroid")))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= probes)
+        .drop("centroid", "cos_c", "cell_rank")
+    }
+
+    val c = assign(candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "neighbor_id", "cv", probes = 1)
+    val q = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv", probes = nprobe)
+
+    // 3. exact cosine ranking within the probed cells
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Driver-side Lloyd's k-means with deterministic initialization (every
+    * sampleSize/k-th vector). Sample-sized input only. */
+  private[operators] def kmeans(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    require(sample.nonEmpty, "empty centroid sample")
+    val dim = sample.head.length
+    val kk = math.min(k, sample.length)
+    var centroids = Array.tabulate(kk)(i => sample(i * sample.length / kk).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val diff = v(i) - centroids(c)(i); d += diff * diff; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    centroids
+  }
+
   /** Embedding near-duplicate pairs: cosine >= `threshold`, blocked by LSH
     * bucket (both sides of a near-dup pair almost always share the bucket at
     * modest `planes`; LSH recall drops as `threshold` approaches chance-level

@@ -78,6 +78,11 @@ object PipelineQueries {
       Similarity.lshTopK(emb.filter(col("vec_id") < 16), emb, k = 10, planes = 8)
     }),
 
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 16), emb, k = 10, nlist = 16, nprobe = 4)
+    }),
+
     "q_dedup_embedding" -> ((s, d) =>
       // exact all-pairs (planes=0): this embedding table has no true near-
       // dups (max cosine ~0.5-0.6 by scale), so the demo threshold is low and

@@ -130,6 +130,23 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateState)
   }
 
+  /** Stream-stream interval join: match each left event with right events of
+    * the same `key` whose timestamp lies in [left.ts, left.ts + within].
+    * Both sides carry watermarks so the join state is bounded — Spark drops
+    * buffered rows once the watermark passes the interval. Column names of
+    * the right side are suffixed `_r`. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      within: String = "30 minutes", watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, c + "_r"))
+      .withWatermark("ts_r", watermark)
+    l.join(r, expr(
+      s"""$key = ${key}_r AND
+         |ts_r >= ts AND
+         |ts_r <= ts + interval '$within'""".stripMargin))
+  }
+
   /** Streaming exact deduplication: drop rows whose `keys` were already seen
     * within the watermark horizon. State is bounded by the watermark (late
     * duplicates beyond it are not caught — the standard streaming-dedup

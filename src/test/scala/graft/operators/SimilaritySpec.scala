@@ -52,6 +52,27 @@ class SimilaritySpec extends AnyFlatSpec with Matchers {
     assert(recall > 0.25, s"LSH recall unexpectedly low: $recall")
   }
 
+  "ivfTopK" should "achieve solid recall vs brute force on real data" in {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, emb, k = 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF recall unexpectedly low: $recall")
+  }
+
+  it should "always find exact duplicates (same cell, nprobe >= 1)" in {
+    val planted = (0 until 64).map(i => (i.toLong, Array.tabulate(8)(d => (i % 7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dup = Seq((999L, Array.tabulate(8)(d => (3 + d).toFloat))).toDF("vec_id", "embedding")
+    val top = Similarity.ivfTopK(dup, planted.union(dup), k = 3, nlist = 4, nprobe = 1)
+      .filter(col("rank") === 1).select("neighbor_id").as[Long].head()
+    // rank-1 neighbor must be one of the identical vectors (i % 7 == 3)
+    (top % 7) shouldBe 3
+  }
+
   "embeddingNearDupPairs" should "find planted near-duplicates" in {
     val planted = Seq(
       (100L, Array.fill(8)(0.5f)),

@@ -15,7 +15,7 @@ class QueriesSpec extends AnyFlatSpec with Matchers {
     val rowsOnly = Set(
       "q_versioned_read", "q_time_travel",          // engine-specific reads
       "q_dedup_minhash", "q_dedup_simhash",          // LSH (hash-seeded)
-      "q_ann_cosine", "q_ann_lsh", "q_dedup_embedding", // float cosine outputs
+      "q_ann_cosine", "q_ann_lsh", "q_ann_ivf", "q_dedup_embedding", // float cosine outputs
       "q_agg_approx_distinct")                       // HLL sketch
     val declared = graft.SparkEntry.queries.keySet
     val oracled = graft.SparkEntry.oracleSql.keySet

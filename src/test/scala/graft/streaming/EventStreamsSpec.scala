@@ -81,6 +81,28 @@ class EventStreamsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "intervalJoin" should "match a batch interval join on the same data" in {
+    val signups = EventStreams.readEventStream(spark, stagedDir, staged.schema)
+      .filter(col("event_type") === "signup")
+    val purchases = EventStreams.readEventStream(spark, stagedDir, staged.schema)
+      .filter(col("event_type") === "purchase")
+    val q = EventStreams.intervalJoin(signups, purchases, "user_id", "2 hours", "10 minutes")
+      .select(col("event_id"), col("event_id_r"))
+      .writeStream.format("memory").queryName("ij_out")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("ij_out").as[(Long, Long)].collect().toSet
+    val s = staged.filter(col("event_type") === "signup").select(col("event_id"), col("user_id"), col("ts"))
+    val p = staged.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("puid"), col("ts").as("pts"))
+    val expected = s.join(p, col("user_id") === col("puid") &&
+        col("pts") >= col("ts") && col("pts") <= col("ts") + expr("interval '2 hours'"))
+      .select(col("event_id"), col("pid")).as[(Long, Long)].collect().toSet
+    got shouldBe expected
+    got.size should be > 0
+  }
+
   "streamingDedup" should "drop duplicate keys within the watermark" in {
     // duplicate every event, stream through dedup on event_id
     val dupDir = Files.createTempDirectory("graft-stream-dup-").toString
