@@ -17,7 +17,9 @@ object PlanInspector {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    val df =
+      if (name == "entry") graft.SparkEntry.entry(spark)
+      else graft.SparkEntry.queries(name)(spark, sfDir)
     if (mode.contains("explain")) df.explain("formatted")
     val t0 = System.nanoTime()
     val n = df.count()
