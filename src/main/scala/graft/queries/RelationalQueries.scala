@@ -192,6 +192,26 @@ object RelationalQueries {
         array_contains(split(col("event_type"), "_"), "signup").as("is_signup"),
         length(col("event_type")).as("type_len"))),
 
+    // --- SQL-string entrypoint: correlated/scalar subqueries ---
+    "q_sql_scalar_subquery" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        """SELECT l_orderkey, l_linenumber, l_quantity
+          |FROM graft_lineitem
+          |WHERE l_quantity > 1.9 * (SELECT AVG(l_quantity) FROM graft_lineitem)""".stripMargin)
+    }),
+
+    "q_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")))),
+
+    "q_explode_words" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))),
+
     // --- gap-based sessionization as a batch aggregation ---
     "q_event_sessions" -> ((s, d) =>
       Tables.events(s, d)
@@ -330,6 +350,22 @@ object RelationalQueries {
         |  LIST_CONTAINS(STRING_SPLIT(event_type, '_'), 'signup') AS is_signup,
         |  LENGTH(event_type) AS type_len
         |FROM events""".stripMargin,
+
+    "q_sql_scalar_subquery" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_quantity > 1.9 * (SELECT AVG(l_quantity) FROM lineitem)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+        |  SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_explode_words" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents)
+        |GROUP BY word""".stripMargin,
 
     "q_event_sessions" ->
       """WITH flagged AS (
