@@ -142,6 +142,72 @@ object WordShingleHashes {
   }
 }
 
+/** L2-normalize a float vector in one pass (zero vectors pass through). */
+case class NormalizeVector(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "l2_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; ss += x * x; i += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Float](n)
+    i = 0
+    while (i < n) { out(i) = if (norm == 0) a.getFloat(i) else (a.getFloat(i) / norm).toFloat; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Symmetric int8 quantization: scale = max|x| / 127; q_i = round(x_i/scale).
+  * Returns struct(scale double, q array<tinyint>) — a 4x storage cut for
+  * embedding columns at ~0.4% max error, the standard trick for keeping
+  * 100 TB of vectors affordable. */
+case class QuantizeVector(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType =
+    StructType(Seq(StructField("scale", DoubleType, nullable = false),
+      StructField("q", ArrayType(ByteType, containsNull = false), nullable = false)))
+  override def prettyName: String = "quantize_int8"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) { val x = math.abs(a.getFloat(i).toDouble); if (x > maxAbs) maxAbs = x; i += 1 }
+    val scale = if (maxAbs == 0) 1.0 else maxAbs / 127.0
+    val q = new Array[Byte](n)
+    i = 0
+    while (i < n) { q(i) = math.round(a.getFloat(i) / scale).toByte; i += 1 }
+    org.apache.spark.sql.catalyst.InternalRow(
+      scale, org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(q))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Codegen'd dot product of two `array<float>` columns, accumulated in
@@ -160,4 +226,18 @@ object VectorExpressions {
     * `distinct=false` keeps the multiset (for SimHash-style voting). */
   def wordShingleHashes(text: Column, n: Int, distinct: Boolean = true): Column =
     GraftSqlBridge.column(WordShingleHashes(GraftSqlBridge.expression(text), n, distinct))
+
+  /** L2-normalize an `array<float>` vector. */
+  def l2Normalize(a: Column): Column =
+    GraftSqlBridge.column(NormalizeVector(GraftSqlBridge.expression(a)))
+
+  /** Symmetric int8 quantization: struct(scale, q). */
+  def quantizeInt8(a: Column): Column =
+    GraftSqlBridge.column(QuantizeVector(GraftSqlBridge.expression(a)))
+
+  /** Reconstruct floats from an int8-quantized struct(scale, q). */
+  def dequantizeInt8(sq: Column): Column = {
+    import org.apache.spark.sql.functions._
+    transform(sq.getField("q"), b => (b.cast("double") * sq.getField("scale")).cast("float"))
+  }
 }

@@ -60,6 +60,32 @@ class VectorExpressionsSpec extends AnyFlatSpec with Matchers {
     norm shouldBe got
   }
 
+  "l2Normalize" should "produce unit vectors and pass zero vectors through" in {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val norms = emb.select(
+      VectorExpressions.dotNative(
+        VectorExpressions.l2Normalize($"embedding"),
+        VectorExpressions.l2Normalize($"embedding")).as("nn"))
+      .filter(abs($"nn" - 1.0) > 1e-4)
+    norms.count() shouldBe 0
+    val zero = Seq(Array(0.0f, 0.0f)).toDF("v")
+      .select(VectorExpressions.l2Normalize($"v")).head().getAs[scala.collection.Seq[Float]](0)
+    zero shouldBe Seq(0.0f, 0.0f)
+  }
+
+  "quantizeInt8/dequantizeInt8" should "round-trip within the quantization error bound" in {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val err = emb.select(
+      $"embedding",
+      VectorExpressions.dequantizeInt8(VectorExpressions.quantizeInt8($"embedding")).as("dq"),
+      VectorExpressions.quantizeInt8($"embedding").getField("scale").as("scale"))
+      .select(aggregate(
+        zip_with($"embedding", $"dq", (a, b) => abs(a - b)),
+        lit(0.0d), (acc, x) => greatest(acc, x)).as("max_err"), $"scale")
+      .filter($"max_err" > $"scale" * 0.5 + 1e-6)
+    err.count() shouldBe 0
+  }
+
   it should "run inside whole-stage codegen" in {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val plan = emb.select(VectorExpressions.dotNative($"embedding", $"embedding"))
