@@ -22,10 +22,12 @@ object Tables {
   }
 
   /** events with `ts` normalized from nanos-as-long to a microsecond
-    * TimestampType (matches DuckDB's ns→µs truncation). */
+    * TimestampType. Integer division (`div`), NOT `/`: double division of
+    * epoch-nanos (~1.7e18 > 2^53) loses up to hundreds of nanoseconds and
+    * can land on the wrong microsecond vs DuckDB's exact ns→µs truncation. */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")

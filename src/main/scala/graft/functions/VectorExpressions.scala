@@ -18,8 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  * `doGenCode` beats composed-but-interpreted built-ins when the operator is
  * on the hot path).
  *
- * Semantics match the HOF formulation bit-for-bit: elements are widened
- * float→double and accumulated left-to-right in a double.
+ * Null/shape semantics match the HOF formulation: mismatched array lengths
+ * or a null element yield NULL (zip_with pads with null and the aggregate
+ * propagates it). Accumulation is left-to-right in a double; the only
+ * intended divergence is per-element multiplication in double rather than
+ * float (strictly more accurate).
  */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,13 +41,20 @@ case class FloatVectorDot(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     acc
   }
 
@@ -54,12 +64,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

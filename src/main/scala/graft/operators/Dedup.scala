@@ -123,10 +123,12 @@ object Dedup {
   def simhash32(textCol: Column): Column =
     simhashFromHashes(transform(tokens(textCol), t => xxhash64(t)))
 
-  /** Near-dup pairs by SimHash: block on either 16-bit half (any pair within
-    * Hamming distance <= 2 of a 32-bit hash agrees exactly on at least one
-    * half... pigeonhole gives distance <= 1 per half at maxHamming=2 split
-    * over two halves — we verify with full popcount anyway). */
+  /** Near-dup pairs by SimHash, blocked on the four 8-bit chunks of the
+    * 32-bit hash: by pigeonhole, any pair within Hamming distance <= 3 has
+    * at least one chunk with zero differing bits, so recall is GUARANTEED up
+    * to the default `maxHamming = 3`; the full-popcount verify keeps
+    * precision exact. (`maxHamming > 3` still works but recall is no longer
+    * guaranteed — documented blocking trade-off.) */
   def simhashNearDupPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -138,10 +140,11 @@ object Dedup {
     val th = docs.select(col(idCol).as("id"),
       graft.functions.VectorExpressions.wordShingleHashes(col(textCol), 1, distinct = false).as("th"))
       .localCheckpoint()
-    val sh = th.select(col("id"), simhashFromHashes(col("th")).as("sh"))
-      .withColumn("lo", col("sh").bitwiseAND(0xFFFFL))
-      .withColumn("hi", shiftright(col("sh"), 16).bitwiseAND(0xFFFFL))
-      .localCheckpoint()
+    // checkpoint the (expensive) simhash BEFORE deriving chunk columns, so
+    // the 32-vote expression is evaluated once, not once per chunk
+    val shBase = th.select(col("id"), simhashFromHashes(col("th")).as("sh")).localCheckpoint()
+    val sh = shBase.select(col("id") +: col("sh") +:
+      (0 until 4).map(c => shiftright(col("sh"), c * 8).bitwiseAND(0xFFL).as(s"c$c")): _*)
 
     def block(key: String) =
       sh.as("a").join(sh.as("b"),
@@ -149,7 +152,7 @@ object Dedup {
         .select(col("a.id").as("id1"), col("b.id").as("id2"),
           col("a.sh").as("sh1"), col("b.sh").as("sh2"))
 
-    block("lo").union(block("hi")).distinct()
+    (0 until 4).map(c => block(s"c$c")).reduce(_.union(_)).distinct()
       .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")

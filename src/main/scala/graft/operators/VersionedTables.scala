@@ -115,11 +115,27 @@ final class VersionedTables(
   /** Materialize a specific table state. */
   def readVersion(table: TableDefinition, version: TableVersion): DataFrame = version match {
     case SnapshotTableVersion(v) =>
-      if (v == Version.Unversioned) emptyLike(table)
+      if (v == Version.Unversioned)
+        // pre-adoption sentinel: data (if any) lives unversioned at the base
+        // path; a never-written table has no files there -> empty
+        loadDirOrEmpty(table, table.location)
       else spark.read.format(table.format.name).options(table.options)
         .load(VersionPaths.pathFor(table.location, v).toString)
     case PartitionedTableVersion(pvs) =>
       if (pvs.isEmpty) emptyLike(table)
+      else if (pvs.valuesIterator.contains(Version.Unversioned))
+        // adopted tables can mix versioned and pre-adoption partitions; their
+        // leaf dirs sit at different depths, which partition discovery with a
+        // single basePath rejects — fall back to per-partition reads with
+        // partition columns attached as (string-typed) literals, matching the
+        // core model's untyped partition values
+        pvs.toList.sortBy(_._1.toPath).map { case (p, v) =>
+          val leaf = VersionPaths.pathFor(p.resolvePath(table.location), v)
+          p.columnValues.foldLeft(
+            spark.read.format(table.format.name).options(table.options).load(leaf.toString)) {
+            case (df, cv) => df.withColumn(cv.column.name, lit(cv.value))
+          }
+        }.reduce(_.unionByName(_))
       else {
         val paths = VersionPaths
           .resolveVersionedPartitionPaths(pvs, table.location)
@@ -130,6 +146,11 @@ final class VersionedTables(
           .drop(Version.VersionColumn)
       }
   }
+
+  /** Load a directory if it has readable files, else an empty frame. */
+  private def loadDirOrEmpty(table: TableDefinition, dir: URI): DataFrame =
+    try spark.read.format(table.format.name).options(table.options).load(dir.toString)
+    catch { case _: Exception => emptyLike(table) }
 
   /** Empty result for a table state with no visible data. Recovers the schema
     * from any previously-written files under the table root (versioned dirs

@@ -142,9 +142,11 @@ object PipelineQueries {
 
     "q_doc_fingerprint" ->
       s"""SELECT doc_id, md5(trim(text)) AS content_md5,
-         |  list_aggregate(list_transform(
-         |    list_transform(generate_series(1, len(w)-2), i -> concat_ws(' ', w[i], w[i+1], w[i+2])),
-         |    s -> md5(s)), 'min') AS min_shingle_md5
+         |  CASE WHEN len(w) >= 3 THEN
+         |    list_aggregate(list_transform(
+         |      list_transform(generate_series(1, len(w)-2), i -> concat_ws(' ', w[i], w[i+1], w[i+2])),
+         |      s -> md5(s)), 'min')
+         |  ELSE md5(array_to_string(w, ' ')) END AS min_shingle_md5
          |FROM (SELECT doc_id, $duckTokens AS w, text FROM documents)""".stripMargin,
 
     "q_dedup_exact" ->

@@ -132,10 +132,12 @@ final class JdbcVersionTracker(jdbcUrl: String) extends VersionTracker {
     if (!exists(table)) throw UnknownTableError(table)
     // one ordered join, grouped adjacently into commits (reference
     // DbVersionTracker.scala:239-256 + :67-84)
+    // LEFT JOIN, not INNER: a commit with an empty operations list is still a
+    // commit (the other trackers keep it; a checkout to it must replay to it)
     val rows = query(
       s"""SELECT u.commit_id, u.user_id, u.message, u.created_at,
          |  o.op_type, o.partition_path, o.version_label, o.is_snapshot
-         |FROM graft_updates u INNER JOIN graft_operations o ON u.commit_id = o.commit_id
+         |FROM graft_updates u LEFT OUTER JOIN graft_operations o ON u.commit_id = o.commit_id
          |WHERE u.table_name = '${esc(table.fullyQualifiedName)}'
          |ORDER BY u.sequence_id, o.index_in_commit""".stripMargin) { rs =>
       Row(rs.getString(1), rs.getString(2), rs.getString(3), rs.getTimestamp(4).toInstant,
@@ -145,7 +147,7 @@ final class JdbcVersionTracker(jdbcUrl: String) extends VersionTracker {
       val h = group.head
       TableUpdate(
         TableUpdateMetadata(CommitId(h.commitId), UserId(h.user), h.msg, h.ts),
-        group.map(decodeOp(table, _)))
+        group.filter(_.opType != null).map(decodeOp(table, _)))
     }
     val head = query(
       s"""SELECT current_commit FROM graft_version_refs

@@ -42,17 +42,22 @@ final class SparkHiveMetastore(spark: SparkSession) extends Metastore {
   override def update(table: TableName, changes: TableChanges): Unit = {
     requireExists(table)
     val t = table.fullyQualifiedName
+    if (changes.operations.isEmpty) return
+    // one DESCRIBE per update() call, not one per operation: an N-partition
+    // commit must stay metadata-cheap
+    lazy val tableLoc = tableLocation(table)
+    def baseLoc(p: Partition): URI = p.resolvePath(new URI(stripSlash(tableLoc) + "/"))
     changes.operations.foreach {
       case MetastoreOperation.AddPartition(p, v) =>
-        val loc = VersionPaths.pathFor(new URI(basePartitionLocation(table, p)), v)
+        val loc = VersionPaths.pathFor(baseLoc(p), v)
         spark.sql(s"ALTER TABLE $t ADD IF NOT EXISTS PARTITION (${partitionExpr(p)}) LOCATION '$loc'")
       case MetastoreOperation.UpdatePartitionVersion(p, v) =>
-        val loc = VersionPaths.pathFor(new URI(basePartitionLocation(table, p)), v)
+        val loc = VersionPaths.pathFor(baseLoc(p), v)
         spark.sql(s"ALTER TABLE $t PARTITION (${partitionExpr(p)}) SET LOCATION '$loc'")
       case MetastoreOperation.RemovePartition(p) =>
         spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (${partitionExpr(p)})")
       case MetastoreOperation.UpdateTableVersion(v) =>
-        val base = VersionPaths.versionedToBasePath(new URI(tableLocation(table)))
+        val base = VersionPaths.versionedToBasePath(new URI(tableLoc))
         spark.sql(s"ALTER TABLE $t SET LOCATION '${VersionPaths.pathFor(base, v)}'")
     }
   }
@@ -76,18 +81,15 @@ final class SparkHiveMetastore(spark: SparkSession) extends Metastore {
     describeLocation(s"DESCRIBE FORMATTED ${table.fullyQualifiedName} PARTITION (${partitionExpr(p)})")
       .getOrElse(sys.error(s"No location for partition $p of $table"))
 
-  /** Where a partition's unversioned data would live: `<tableLoc>/<hive path>`. */
-  private def basePartitionLocation(table: TableName, p: Partition): String =
-    p.resolvePath(new URI(stripSlash(tableLocation(table)) + "/")).toString
-
   private def describeLocation(sql: String): Option[String] =
     spark.sql(sql).collect()
       .find(r => r.getString(0).trim == "Location")
       .map(_.getString(1).trim)
 
-  /** `(col='v', col2='v2')` (reference SparkHiveMetastore.scala:290-299). */
+  /** `(col='v', col2='v2')` (reference SparkHiveMetastore.scala:290-299).
+    * Values come from arbitrary row data — escape embedded quotes. */
   private def partitionExpr(p: Partition): String =
-    p.columnValues.map(cv => s"${cv.column.name}='${cv.value}'").mkString(", ")
+    p.columnValues.map(cv => s"${cv.column.name}='${cv.value.replace("'", "''")}'").mkString(", ")
 
   private def stripSlash(s: String): String = if (s.endsWith("/")) s.dropRight(1) else s
 }

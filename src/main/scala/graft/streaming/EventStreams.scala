@@ -177,7 +177,12 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.versionedInsertInto(engine, table, userId, s"stream batch $batchId"); ()
+        // watermark-only micro-batches carry no rows — skip instead of
+        // committing (and instead of crashing the partitioned write, which
+        // requires at least one partition value)
+        if (!batch.isEmpty)
+          batch.versionedInsertInto(engine, table, userId, s"stream batch $batchId")
+        ()
       }
       .start()
 }

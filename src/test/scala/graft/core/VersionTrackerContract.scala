@@ -128,6 +128,24 @@ trait VersionTrackerContract extends AnyFlatSpec with Matchers {
     tr.updates(t).map(_.id) shouldBe (ids.reverse :+ tr.updates(t).last.id)
   }
 
+  it should "retain commits with no operations in history and checkout" in {
+    val tr = newTracker()
+    val t = init(tr, "noop")
+    val p = Partition("date", "2024-01-01")
+    val v = Version.generate()
+    tr.commit(t, upd(AddPartitionVersion(p, v)))
+    val marker = upd() // empty op list — a marker commit
+    tr.commit(t, marker)
+    val v2 = Version.generate()
+    tr.commit(t, upd(AddPartitionVersion(p, v2)))
+
+    tr.updates(t) should have size 4
+    tr.updates(t)(1).id shouldBe marker.metadata.id
+    // checkout to the marker replays history up to and including it
+    tr.setCurrentVersion(t, marker.metadata.id)
+    tr.currentVersion(t) shouldBe PartitionedTableVersion(Map(p -> v))
+  }
+
   it should "raise UnknownTableError for untracked tables" in {
     val tr = newTracker()
     an[UnknownTableError] should be thrownBy tr.tableState(TableName("no", "such"))

@@ -37,6 +37,12 @@ class VectorExpressionsSpec extends AnyFlatSpec with Matchers {
     got shouldBe Array(Some(32.0), Some(0.0), None)
   }
 
+  it should "return NULL for mismatched lengths, matching the HOF semantics" in {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    df.select(VectorExpressions.dotNative($"a", $"b")).head().isNullAt(0) shouldBe true
+    df.select(Similarity.dotHof($"a", $"b")).head().isNullAt(0) shouldBe true
+  }
+
   "WordShingleHashes" should "produce exactly the HOF formulation's hash values" in {
     import graft.functions.TextFunctions.shingles
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -71,6 +71,20 @@ class DedupSpec extends AnyFlatSpec with Matchers {
     pairs.exists { case (a, b) => a == 5L || b == 5L } shouldBe false
   }
 
+  it should "find EVERY pair within Hamming distance 3 (4-chunk pigeonhole guarantee)" in {
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // ground truth: collect simhashes, full pairwise popcount driver-side
+    val hashes = real.select(col("doc_id"), Dedup.simhash32(col("text")))
+      .as[(Long, Long)].collect()
+    val truth = (for {
+      (i, hi) <- hashes; (j, hj) <- hashes if i < j
+      if java.lang.Long.bitCount(hi ^ hj) <= 3
+    } yield (i, j)).toSet
+    val found = Dedup.simhashNearDupPairs(real, maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    found shouldBe truth
+  }
+
   "ngramJaccardPairs" should "compute exact word-set jaccard" in {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .as[(Long, Long, Double)].collect().map { case (a, b, j) => ((a, b), j) }.toMap

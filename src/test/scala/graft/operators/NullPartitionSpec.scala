@@ -42,4 +42,36 @@ class NullPartitionSpec extends AnyFlatSpec with Matchers {
       case other => fail(s"unexpected $other")
     }
   }
+
+  it should "read adopted (pre-adoption, unversioned) data via the Unversioned sentinel" in {
+    val dir = Files.createTempDirectory("graft-adopt-").toFile
+
+    // snapshot table adopted in place: data already sits at the base path
+    val snapLoc = new File(dir, "snap")
+    Seq(("a", 1), ("b", 2)).toDF("k", "v").write.parquet(snapLoc.toString)
+    val engine = VersionedTables.withFileStore(spark, new File(dir, "store").toURI)
+    val snap = TableDefinition(TableName("adopt", "snap"), snapLoc.toURI,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    engine.initTable(snap, UserId("u"), "init")
+    engine.tracker.commit(snap.name, TableUpdate(UserId("u"), "adopt existing data",
+      java.time.Instant.now(), List(TableOperation.AddTableVersion(Version.Unversioned))))
+    engine.read(snap).count() shouldBe 2
+
+    // partitioned table mixing an adopted partition with a versioned one
+    val partLoc = new File(dir, "part")
+    Seq(("a", "g1")).toDF("k", "grp").write.parquet(new File(partLoc, "grp=g1").toString)
+    val part = TableDefinition(TableName("adopt", "part"), partLoc.toURI,
+      PartitionSchema("grp"), FileFormat.Parquet)
+    engine.initTable(part, UserId("u"), "init")
+    engine.tracker.commit(part.name, TableUpdate(UserId("u"), "adopt g1",
+      java.time.Instant.now(),
+      List(TableOperation.AddPartitionVersion(Partition("grp", "g1"), Version.Unversioned))))
+    Seq(("b", "g2")).toDF("k", "grp")
+      .versionedInsertInto(engine, part, UserId("u"), "write g2")
+
+    val back = engine.read(part)
+    back.count() shouldBe 2
+    back.select("k", "grp").as[(String, String)].collect().toSet shouldBe
+      Set(("a", "g1"), ("b", "g2"))
+  }
 }
