@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
  *  - minhash LSH:  banded MinHash — near-dup candidates meet in band buckets,
  *                  then exact-Jaccard verify. O(N·bands) + bucket joins; the
  *                  100 TB scale path (never quadratic).
- *  - simhash:      32-bit fingerprints, half-match blocking (pigeonhole: any
- *                  pair within Hamming distance 2 shares an exact 16-bit
- *                  half), xor-popcount verify.
+ *  - simhash:      32-bit fingerprints, four-8-bit-chunk blocking
+ *                  (pigeonhole: any pair within Hamming distance 3 shares an
+ *                  exact 8-bit chunk), xor-popcount verify.
  *  - ngram Jaccard: exact quadratic verify within blocks — the oracle-able
  *                  ground truth; use only on bounded block sizes.
  */

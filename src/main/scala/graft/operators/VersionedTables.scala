@@ -116,24 +116,30 @@ final class VersionedTables(
   def readVersion(table: TableDefinition, version: TableVersion): DataFrame = version match {
     case SnapshotTableVersion(v) =>
       if (v == Version.Unversioned)
-        // pre-adoption sentinel: data (if any) lives unversioned at the base
-        // path; a never-written table has no files there -> empty
-        loadDirOrEmpty(table, table.location)
+        // pre-adoption sentinel: data (if any) lives unversioned DIRECTLY at
+        // the base path. Load the root-level files explicitly — loading the
+        // directory would let partition discovery descend into _version=
+        // subdirs created by later versioned writes and return future data.
+        loadDirectFilesOrEmpty(table, table.location)
       else spark.read.format(table.format.name).options(table.options)
         .load(VersionPaths.pathFor(table.location, v).toString)
     case PartitionedTableVersion(pvs) =>
       if (pvs.isEmpty) emptyLike(table)
       else if (pvs.valuesIterator.contains(Version.Unversioned))
-        // adopted tables can mix versioned and pre-adoption partitions; their
+        // Adopted tables can mix versioned and pre-adoption partitions; their
         // leaf dirs sit at different depths, which partition discovery with a
-        // single basePath rejects — fall back to per-partition reads with
-        // partition columns attached as (string-typed) literals, matching the
-        // core model's untyped partition values
+        // single basePath rejects — fall back to per-partition direct-file
+        // reads with partition columns attached as literals. NOTE: on this
+        // branch partition columns come back STRING-typed (the core model's
+        // untyped partition values); the all-versioned fast path infers types
+        // via partition discovery. Null partitions decode to NULL on both.
         pvs.toList.sortBy(_._1.toPath).map { case (p, v) =>
           val leaf = VersionPaths.pathFor(p.resolvePath(table.location), v)
-          p.columnValues.foldLeft(
-            spark.read.format(table.format.name).options(table.options).load(leaf.toString)) {
-            case (df, cv) => df.withColumn(cv.column.name, lit(cv.value))
+          p.columnValues.foldLeft(loadDirectFilesOrEmpty(table, leaf)) {
+            case (df, cv) =>
+              val value = if (cv.value == "__HIVE_DEFAULT_PARTITION__") lit(null: String)
+                          else lit(cv.value)
+              df.withColumn(cv.column.name, value)
           }
         }.reduce(_.unionByName(_))
       else {
@@ -147,10 +153,21 @@ final class VersionedTables(
       }
   }
 
-  /** Load a directory if it has readable files, else an empty frame. */
-  private def loadDirOrEmpty(table: TableDefinition, dir: URI): DataFrame =
-    try spark.read.format(table.format.name).options(table.options).load(dir.toString)
-    catch { case _: Exception => emptyLike(table) }
+  /** Load exactly the data files sitting directly in `dir` (no recursion into
+    * `_version=`/partition subdirectories). Missing or file-less dir -> empty
+    * frame; genuine read errors propagate. */
+  private def loadDirectFilesOrEmpty(table: TableDefinition, dir: URI): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) emptyLike(table)
+    else {
+      val files = fs.listStatus(path).filter(_.isFile).map(_.getPath.toString)
+        .filterNot(f => { val n = new Path(f).getName; n.startsWith("_") || n.startsWith(".") })
+      if (files.isEmpty) emptyLike(table)
+      else spark.read.format(table.format.name).options(table.options).load(files.toSeq: _*)
+    }
+  }
 
   /** Empty result for a table state with no visible data. Recovers the schema
     * from any previously-written files under the table root (versioned dirs

@@ -50,15 +50,15 @@ final class SparkHiveMetastore(spark: SparkSession) extends Metastore {
     changes.operations.foreach {
       case MetastoreOperation.AddPartition(p, v) =>
         val loc = VersionPaths.pathFor(baseLoc(p), v)
-        spark.sql(s"ALTER TABLE $t ADD IF NOT EXISTS PARTITION (${partitionExpr(p)}) LOCATION '$loc'")
+        spark.sql(s"ALTER TABLE $t ADD IF NOT EXISTS PARTITION (${partitionExpr(p)}) LOCATION ${sqlLit(loc.toString)}")
       case MetastoreOperation.UpdatePartitionVersion(p, v) =>
         val loc = VersionPaths.pathFor(baseLoc(p), v)
-        spark.sql(s"ALTER TABLE $t PARTITION (${partitionExpr(p)}) SET LOCATION '$loc'")
+        spark.sql(s"ALTER TABLE $t PARTITION (${partitionExpr(p)}) SET LOCATION ${sqlLit(loc.toString)}")
       case MetastoreOperation.RemovePartition(p) =>
         spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (${partitionExpr(p)})")
       case MetastoreOperation.UpdateTableVersion(v) =>
         val base = VersionPaths.versionedToBasePath(new URI(tableLoc))
-        spark.sql(s"ALTER TABLE $t SET LOCATION '${VersionPaths.pathFor(base, v)}'")
+        spark.sql(s"ALTER TABLE $t SET LOCATION ${sqlLit(VersionPaths.pathFor(base, v).toString)}")
     }
   }
 
@@ -86,10 +86,16 @@ final class SparkHiveMetastore(spark: SparkSession) extends Metastore {
       .find(r => r.getString(0).trim == "Location")
       .map(_.getString(1).trim)
 
+  /** A Spark SQL string literal with backslash and quote escaping (Spark's
+    * default parser treats backslash as an escape character, so `''` doubling
+    * alone is not enough). */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** `(col='v', col2='v2')` (reference SparkHiveMetastore.scala:290-299).
-    * Values come from arbitrary row data — escape embedded quotes. */
+    * Values come from arbitrary row data — fully escaped. */
   private def partitionExpr(p: Partition): String =
-    p.columnValues.map(cv => s"${cv.column.name}='${cv.value.replace("'", "''")}'").mkString(", ")
+    p.columnValues.map(cv => s"${cv.column.name}=${sqlLit(cv.value)}").mkString(", ")
 
   private def stripSlash(s: String): String = if (s.endsWith("/")) s.dropRight(1) else s
 }

@@ -177,11 +177,15 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // watermark-only micro-batches carry no rows — skip instead of
-        // committing (and instead of crashing the partitioned write, which
-        // requires at least one partition value)
-        if (!batch.isEmpty)
-          batch.versionedInsertInto(engine, table, userId, s"stream batch $batchId")
+        // persist: the batch plan is evaluated up to three times (emptiness
+        // probe, partition-values scan, write) — cache it once per trigger.
+        // Watermark-only micro-batches carry no rows: skip instead of
+        // committing (the partitioned write requires >=1 partition value).
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            batch.versionedInsertInto(engine, table, userId, s"stream batch $batchId")
+        } finally batch.unpersist()
         ()
       }
       .start()

@@ -74,4 +74,42 @@ class NullPartitionSpec extends AnyFlatSpec with Matchers {
     back.select("k", "grp").as[(String, String)].collect().toSet shouldBe
       Set(("a", "g1"), ("b", "g2"))
   }
+
+  it should "keep adoption-commit time travel correct after later versioned writes" in {
+    val dir = Files.createTempDirectory("graft-adopt2-").toFile
+    val engine = VersionedTables.withFileStore(spark, new File(dir, "store").toURI)
+
+    // snapshot: pre-adoption files at base, then a versioned write on top
+    val snapLoc = new File(dir, "snap")
+    Seq(("old", 1)).toDF("k", "v").write.parquet(snapLoc.toString)
+    val snap = TableDefinition(TableName("adopt2", "snap"), snapLoc.toURI,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    engine.initTable(snap, UserId("u"), "init")
+    engine.tracker.commit(snap.name, TableUpdate(UserId("u"), "adopt",
+      java.time.Instant.now(), List(TableOperation.AddTableVersion(Version.Unversioned))))
+    Seq(("new", 2), ("new2", 3)).toDF("k", "v")
+      .versionedInsertInto(engine, snap, UserId("u"), "first versioned write")
+
+    engine.read(snap).select("k").as[String].collect().toSet shouldBe Set("new", "new2")
+    val adoptionCommit = engine.log(snap.name)(1).id
+    // must see ONLY the pre-adoption root files, not the later _version dir
+    engine.readAt(snap, adoptionCommit).select("k").as[String].collect() shouldBe Array("old")
+    engine.readAt(snap, adoptionCommit).columns should not contain "_version"
+
+    // partitioned: adopted partition later re-written at a version
+    val partLoc = new File(dir, "part")
+    Seq("pre").toDF("k").write.parquet(new File(partLoc, "grp=g1").toString)
+    val part = TableDefinition(TableName("adopt2", "part"), partLoc.toURI,
+      PartitionSchema("grp"), FileFormat.Parquet)
+    engine.initTable(part, UserId("u"), "init")
+    engine.tracker.commit(part.name, TableUpdate(UserId("u"), "adopt g1",
+      java.time.Instant.now(),
+      List(TableOperation.AddPartitionVersion(Partition("grp", "g1"), Version.Unversioned))))
+    Seq(("post", "g1")).toDF("k", "grp")
+      .versionedInsertInto(engine, part, UserId("u"), "rewrite g1")
+
+    engine.read(part).select("k").as[String].collect() shouldBe Array("post")
+    val adoptP = engine.log(part.name)(1).id
+    engine.readAt(part, adoptP).select("k").as[String].collect() shouldBe Array("pre")
+  }
 }

@@ -81,6 +81,22 @@ class EventStreamsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "writeVersioned with an all-filtered stream" should "skip empty micro-batches instead of failing" in {
+    val root = Files.createTempDirectory("graft-empty-batch-")
+    val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+    val table = TableDefinition(TableName("stream", "empty"),
+      root.resolve("data").toUri, PartitionSchema("event_date"), FileFormat.Parquet)
+    engine.initTable(table, UserId("s"), "init")
+    val stream = EventStreams.readEventStream(spark, stagedDir, staged.schema)
+      .filter(col("event_type") === "no_such_type")
+      .withColumn("event_date", to_date(col("ts")))
+    val q = EventStreams.writeVersioned(stream, engine, table, UserId("s"),
+      root.resolve("chk").toString)
+    q.processAllAvailable(); q.stop() // must not throw
+    engine.log(table.name).map(_.message) shouldBe List("init")
+    engine.read(table).count() shouldBe 0
+  }
+
   "intervalJoin" should "match a batch interval join on the same data" in {
     val signups = EventStreams.readEventStream(spark, stagedDir, staged.schema)
       .filter(col("event_type") === "signup")
