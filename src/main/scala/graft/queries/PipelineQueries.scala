@@ -90,6 +90,23 @@ object PipelineQueries {
       // in SimilaritySpec with planted duplicates
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.4, planes = 0)),
 
+    // --- composed curation pipeline (capstone): quality filter -> language
+    // agreement -> exact dedup under vocab normalization -> per-doc stats ---
+    "q_curation_pipeline" -> ((s, d) => {
+      val t = col("text")
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"), col("source"), t.as("text"),
+        tokenCount(t).as("n_tokens"),
+        langId(t).as("lang_pred"),
+        qualityScore(t).as("quality"))
+      val filtered = scored
+        .filter(col("quality") >= 0.5 && col("n_tokens") >= 10 && col("lang_pred") === col("lang"))
+      Dedup.exactDedup(
+        filtered.withColumn("vocab_hash", md5(concat_ws(" ", array_sort(wordSet(col("text")))))),
+        idCol = "doc_id", textCol = "vocab_hash")
+        .select("doc_id", "lang", "source", "n_tokens", "quality")
+    }),
+
     // --- multimodal ---
     "q_multimodal_features" -> ((s, d) => {
       val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
@@ -164,6 +181,40 @@ object PipelineQueries {
          |  len(list_intersect(a.w, b.w)) / len(list_distinct(list_concat(a.w, b.w))) AS jaccard
          |FROM sets a JOIN sets b ON a.id < b.id AND a.blk = b.blk
          |WHERE len(list_intersect(a.w, b.w)) / len(list_distinct(list_concat(a.w, b.w))) >= 0.8""".stripMargin,
+
+    "q_curation_pipeline" -> {
+      val en = duckSw(StopwordsEn); val es = duckSw(StopwordsEs)
+      val de = duckSw(StopwordsDe); val fr = duckSw(StopwordsFr)
+      val nTok = s"len($duckTokens)"
+      val mwl = s"(length(regexp_replace(trim(text), '\\s+', '', 'g')) / $nTok)"
+      val swRatio = s"($en / $nTok)"
+      val punct = s"length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
+      val punctRatio = s"($punct / length(text))"
+      val quality =
+        s"""((CASE WHEN $swRatio > 0.4 THEN 1.0 ELSE $swRatio / 0.4 END
+           |  + CASE WHEN $mwl >= 3 AND $mwl <= 10 THEN 1.0 ELSE 0.5 END
+           |  + CASE WHEN $punctRatio > 0.2 THEN 0.0 ELSE 1.0 - $punctRatio / 0.2 END) / 3)""".stripMargin
+      val langPred =
+        s"""CASE WHEN $en + $es + $de + $fr = 0 THEN 'und'
+           |  WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+           |  WHEN $es >= $de AND $es >= $fr THEN 'es'
+           |  WHEN $de >= $fr THEN 'de'
+           |  ELSE 'fr' END""".stripMargin
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, source, text,
+         |    $nTok AS n_tokens, $langPred AS lang_pred, $quality AS quality
+         |  FROM documents),
+         |filtered AS (
+         |  SELECT * FROM scored
+         |  WHERE quality >= 0.5 AND n_tokens >= 10 AND lang_pred = lang),
+         |deduped AS (
+         |  SELECT doc_id, lang, source, n_tokens, quality,
+         |    ROW_NUMBER() OVER (
+         |      PARTITION BY md5(array_to_string(list_sort(list_distinct($duckTokens)), ' '))
+         |      ORDER BY doc_id) AS rn
+         |  FROM filtered)
+         |SELECT doc_id, lang, source, n_tokens, quality FROM deduped WHERE rn = 1""".stripMargin
+    },
 
     "q_multimodal_frames" ->
       """SELECT doc_id AS media_id, UNNEST(RANGE(0, 1 + octet_length(encode(text)) % 30, 10)) AS frame_idx
