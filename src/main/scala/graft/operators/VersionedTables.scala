@@ -135,9 +135,15 @@ final class VersionedTables(
         // via partition discovery. Null partitions decode to NULL on both.
         pvs.toList.sortBy(_._1.toPath).map { case (p, v) =>
           val leaf = VersionPaths.pathFor(p.resolvePath(table.location), v)
-          p.columnValues.foldLeft(loadDirectFilesOrEmpty(table, leaf)) {
+          // "missing dir -> empty" is only legitimate for the adopted
+          // (Unversioned) sentinel; a missing COMMITTED version dir is
+          // corruption and must fail loudly, as on the other read paths
+          val base =
+            if (v == Version.Unversioned) loadDirectFilesOrEmpty(table, leaf)
+            else spark.read.format(table.format.name).options(table.options).load(leaf.toString)
+          p.columnValues.foldLeft(base) {
             case (df, cv) =>
-              val value = if (cv.value == "__HIVE_DEFAULT_PARTITION__") lit(null: String)
+              val value = if (cv.value == "__HIVE_DEFAULT_PARTITION__") lit(null).cast("string")
                           else lit(cv.value)
               df.withColumn(cv.column.name, value)
           }
@@ -160,13 +166,13 @@ final class VersionedTables(
     import org.apache.hadoop.fs.Path
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) emptyLike(table)
-    else {
-      val files = fs.listStatus(path).filter(_.isFile).map(_.getPath.toString)
-        .filterNot(f => { val n = new Path(f).getName; n.startsWith("_") || n.startsWith(".") })
-      if (files.isEmpty) emptyLike(table)
-      else spark.read.format(table.format.name).options(table.options).load(files.toSeq: _*)
-    }
+    val listed =
+      try fs.listStatus(path)
+      catch { case _: java.io.FileNotFoundException => return emptyLike(table) }
+    val files = listed.filter(_.isFile).map(_.getPath.toString)
+      .filterNot(f => { val n = new Path(f).getName; n.startsWith("_") || n.startsWith(".") })
+    if (files.isEmpty) emptyLike(table)
+    else spark.read.format(table.format.name).options(table.options).load(files.toSeq: _*)
   }
 
   /** Empty result for a table state with no visible data. Recovers the schema

@@ -18,6 +18,11 @@ object PipelineQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Vocab-normalized content hash: docs with identical word sets collapse.
+    * Shared by the dedup and curation queries (SQL mirror: `vocabHashSql`). */
+  private def vocabHash: org.apache.spark.sql.Column =
+    md5(concat_ws(" ", array_sort(wordSet(col("text")))))
+
   val defs: Map[String, Q] = Map(
     // --- text analysis ---
     "q_text_stats" -> ((s, d) => {
@@ -51,8 +56,7 @@ object PipelineQueries {
     "q_dedup_exact" -> ((s, d) => {
       // exact dedup under word-set normalization: docs with identical
       // vocabulary collapse; keep the lowest doc_id
-      val docs = Tables.documents(s, d)
-        .withColumn("vocab_hash", md5(concat_ws(" ", array_sort(wordSet(col("text"))))))
+      val docs = Tables.documents(s, d).withColumn("vocab_hash", vocabHash)
       Dedup.exactDedup(docs, idCol = "doc_id", textCol = "vocab_hash")
         .select("doc_id", "vocab_hash", "lang", "source")
     }),
@@ -102,7 +106,7 @@ object PipelineQueries {
       val filtered = scored
         .filter(col("quality") >= 0.5 && col("n_tokens") >= 10 && col("lang_pred") === col("lang"))
       Dedup.exactDedup(
-        filtered.withColumn("vocab_hash", md5(concat_ws(" ", array_sort(wordSet(col("text")))))),
+        filtered.withColumn("vocab_hash", vocabHash),
         idCol = "doc_id", textCol = "vocab_hash")
         .select("doc_id", "lang", "source", "n_tokens", "quality")
     }),
@@ -120,36 +124,52 @@ object PipelineQueries {
     })
   )
 
-  /** `exactDedup` keys on a text column; here the "text" is the vocab hash. */
+  // ---- shared DuckDB SQL builders (single source of truth for every oracle
+  // that mirrors TextFunctions semantics) ----
 
   private val duckTokens = "string_split_regex(trim(lower(text)), '\\s+')"
   private def duckSw(words: Seq[String]) =
     s"len(list_filter($duckTokens, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"
 
+  private val swEn = duckSw(StopwordsEn)
+  private val swEs = duckSw(StopwordsEs)
+  private val swDe = duckSw(StopwordsDe)
+  private val swFr = duckSw(StopwordsFr)
+  private val nTokSql = s"len($duckTokens)"
+  private val mwlSql = s"(length(regexp_replace(trim(text), '\\s+', '', 'g')) / $nTokSql)"
+  private val punctSql = "length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
+
+  /** Mirrors [[graft.functions.TextFunctions.qualityScore]]. */
+  private val qualitySql = {
+    val swRatio = s"($swEn / $nTokSql)"
+    val punctRatio = s"($punctSql / length(text))"
+    s"""((CASE WHEN $swRatio > 0.4 THEN 1.0 ELSE $swRatio / 0.4 END
+       |  + CASE WHEN $mwlSql >= 3 AND $mwlSql <= 10 THEN 1.0 ELSE 0.5 END
+       |  + CASE WHEN $punctRatio > 0.2 THEN 0.0 ELSE 1.0 - $punctRatio / 0.2 END) / 3)""".stripMargin
+  }
+
+  /** Mirrors [[graft.functions.TextFunctions.langId]]. */
+  private val langPredSql =
+    s"""CASE WHEN $swEn + $swEs + $swDe + $swFr = 0 THEN 'und'
+       |  WHEN $swEn >= $swEs AND $swEn >= $swDe AND $swEn >= $swFr THEN 'en'
+       |  WHEN $swEs >= $swDe AND $swEs >= $swFr THEN 'es'
+       |  WHEN $swDe >= $swFr THEN 'de'
+       |  ELSE 'fr' END""".stripMargin
+
+  /** Mirrors the vocab-normalized content hash used by the dedup queries. */
+  private val vocabHashSql =
+    s"md5(array_to_string(list_sort(list_distinct($duckTokens)), ' '))"
+
   val oracles: Map[String, String] = Map(
-    "q_text_stats" -> {
-      val en = duckSw(StopwordsEn); val es = duckSw(StopwordsEs)
-      val de = duckSw(StopwordsDe); val fr = duckSw(StopwordsFr)
-      val nTok = s"len($duckTokens)"
-      val mwl = s"(length(regexp_replace(trim(text), '\\s+', '', 'g')) / $nTok)"
-      val swRatio = s"($en / $nTok)"
-      val punct = s"length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
-      val punctRatio = s"($punct / length(text))"
+    "q_text_stats" ->
       s"""SELECT doc_id, lang,
-         |  $nTok AS n_tokens,
-         |  $punct AS n_punct,
-         |  $en AS sw_en, $es AS sw_es, $de AS sw_de, $fr AS sw_fr,
-         |  CASE WHEN $en + $es + $de + $fr = 0 THEN 'und'
-         |       WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
-         |       WHEN $es >= $de AND $es >= $fr THEN 'es'
-         |       WHEN $de >= $fr THEN 'de'
-         |       ELSE 'fr' END AS lang_pred,
-         |  $mwl AS mean_word_len,
-         |  ((CASE WHEN $swRatio > 0.4 THEN 1.0 ELSE $swRatio / 0.4 END
-         |    + CASE WHEN $mwl >= 3 AND $mwl <= 10 THEN 1.0 ELSE 0.5 END
-         |    + CASE WHEN $punctRatio > 0.2 THEN 0.0 ELSE 1.0 - $punctRatio / 0.2 END) / 3) AS quality
-         |FROM documents""".stripMargin
-    },
+         |  $nTokSql AS n_tokens,
+         |  $punctSql AS n_punct,
+         |  $swEn AS sw_en, $swEs AS sw_es, $swDe AS sw_de, $swFr AS sw_fr,
+         |  $langPredSql AS lang_pred,
+         |  $mwlSql AS mean_word_len,
+         |  $qualitySql AS quality
+         |FROM documents""".stripMargin,
 
     "q_token_count" ->
       s"""SELECT doc_id,
@@ -169,10 +189,8 @@ object PipelineQueries {
     "q_dedup_exact" ->
       s"""SELECT doc_id, vocab_hash, lang, source FROM (
          |  SELECT doc_id, lang, source,
-         |    md5(array_to_string(list_sort(list_distinct($duckTokens)), ' ')) AS vocab_hash,
-         |    ROW_NUMBER() OVER (
-         |      PARTITION BY md5(array_to_string(list_sort(list_distinct($duckTokens)), ' '))
-         |      ORDER BY doc_id) AS rn
+         |    $vocabHashSql AS vocab_hash,
+         |    ROW_NUMBER() OVER (PARTITION BY $vocabHashSql ORDER BY doc_id) AS rn
          |  FROM documents) WHERE rn = 1""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
@@ -182,39 +200,19 @@ object PipelineQueries {
          |FROM sets a JOIN sets b ON a.id < b.id AND a.blk = b.blk
          |WHERE len(list_intersect(a.w, b.w)) / len(list_distinct(list_concat(a.w, b.w))) >= 0.8""".stripMargin,
 
-    "q_curation_pipeline" -> {
-      val en = duckSw(StopwordsEn); val es = duckSw(StopwordsEs)
-      val de = duckSw(StopwordsDe); val fr = duckSw(StopwordsFr)
-      val nTok = s"len($duckTokens)"
-      val mwl = s"(length(regexp_replace(trim(text), '\\s+', '', 'g')) / $nTok)"
-      val swRatio = s"($en / $nTok)"
-      val punct = s"length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
-      val punctRatio = s"($punct / length(text))"
-      val quality =
-        s"""((CASE WHEN $swRatio > 0.4 THEN 1.0 ELSE $swRatio / 0.4 END
-           |  + CASE WHEN $mwl >= 3 AND $mwl <= 10 THEN 1.0 ELSE 0.5 END
-           |  + CASE WHEN $punctRatio > 0.2 THEN 0.0 ELSE 1.0 - $punctRatio / 0.2 END) / 3)""".stripMargin
-      val langPred =
-        s"""CASE WHEN $en + $es + $de + $fr = 0 THEN 'und'
-           |  WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
-           |  WHEN $es >= $de AND $es >= $fr THEN 'es'
-           |  WHEN $de >= $fr THEN 'de'
-           |  ELSE 'fr' END""".stripMargin
+    "q_curation_pipeline" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang, source, text,
-         |    $nTok AS n_tokens, $langPred AS lang_pred, $quality AS quality
+         |    $nTokSql AS n_tokens, $langPredSql AS lang_pred, $qualitySql AS quality
          |  FROM documents),
          |filtered AS (
          |  SELECT * FROM scored
          |  WHERE quality >= 0.5 AND n_tokens >= 10 AND lang_pred = lang),
          |deduped AS (
          |  SELECT doc_id, lang, source, n_tokens, quality,
-         |    ROW_NUMBER() OVER (
-         |      PARTITION BY md5(array_to_string(list_sort(list_distinct($duckTokens)), ' '))
-         |      ORDER BY doc_id) AS rn
+         |    ROW_NUMBER() OVER (PARTITION BY $vocabHashSql ORDER BY doc_id) AS rn
          |  FROM filtered)
-         |SELECT doc_id, lang, source, n_tokens, quality FROM deduped WHERE rn = 1""".stripMargin
-    },
+         |SELECT doc_id, lang, source, n_tokens, quality FROM deduped WHERE rn = 1""".stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT doc_id AS media_id, UNNEST(RANGE(0, 1 + octet_length(encode(text)) % 30, 10)) AS frame_idx
