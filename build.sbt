@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout WITHOUT sbt's `[info] ` prefix: the
+// bench/verify drivers parse the JSON line that graft.Bench prints, and the
+// default logged strategy prefixes (and thereby corrupts) it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -23,8 +27,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// the container locale is POSIX; without a UTF-8 locale the JVM's filename
+// codec (sun.jnu.encoding, fixed at JVM init) can't create files whose names
+// contain non-ASCII (e.g. unicode partition values)
+Test / envVars += "LC_ALL" -> "C.UTF-8"
+run / envVars += "LC_ALL" -> "C.UTF-8"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -48,11 +48,13 @@ object TableOperation {
 final case class TableState(currentVersion: CommitId, updates: List[TableUpdate]) {
 
   /** Replay history only up to (and including) the current ref, then fold
-    * (reference VersionTracker.scala:37-55). */
+    * (reference VersionTracker.scala:37-55). A head ref that is absent from
+    * the update list means a corrupt store — fail loudly rather than silently
+    * reading the full history as "latest". */
   def currentTableVersion: TableVersion = {
     val idx = updates.indexWhere(_.metadata.id == currentVersion)
-    val upTo = if (idx < 0) updates else updates.take(idx + 1)
-    TableState.foldVersion(upTo)
+    if (idx < 0) throw UnknownCommitError(currentVersion)
+    TableState.foldVersion(updates.take(idx + 1))
   }
 }
 

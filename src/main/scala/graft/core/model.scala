@@ -53,13 +53,27 @@ object PartitionColumn {
 final case class Partition(columnValues: List[ColumnValue]) {
   require(columnValues.nonEmpty, "Partition must have at least one column value")
 
-  /** Hive-style relative path: `col1=v1/col2=v2`. */
+  /** Hive-style relative path with RAW values: `col1=v1/col2=v2`. Logical
+    * rendering only (commit log, display) — for filesystem paths use
+    * [[toHivePath]], which applies the writer's escaping. */
   def toPath: String =
     columnValues.map(cv => s"${cv.column.name}=${cv.value}").mkString("/")
 
-  /** Absolute location of this partition under a table root. */
-  def resolvePath(tableLocation: URI): URI =
-    Partition.normalizedUri(tableLocation).resolve(toPath + "/")
+  /** The on-disk relative path of this partition: values escaped exactly as
+    * Spark's dynamic-partition writer escapes directory names
+    * ([[PathCodec.escapePathName]]). */
+  def toHivePath: String =
+    columnValues.map(cv => s"${cv.column.name}=${PathCodec.escapePathName(cv.value)}").mkString("/")
+
+  /** Absolute location of this partition under a table root. Values are
+    * Hive-escaped to match the directories the writer creates, and the URI is
+    * built from components so characters the Hive escape set leaves raw
+    * (e.g. space) are percent-quoted rather than throwing URISyntaxException.
+    * The URI's DECODED path equals the on-disk path. */
+  def resolvePath(tableLocation: URI): URI = {
+    val base = Partition.normalizedUri(tableLocation)
+    base.resolve(new URI(null, null, toHivePath + "/", null))
+  }
 
   override def toString: String = toPath
 }
@@ -77,6 +91,12 @@ object Partition {
     if (uri.toString.endsWith("/")) uri else new URI(uri.toString + "/")
 
   private val ColumnValueRegex = "([a-z][a-z0-9_]*)=([^/=]+)".r
+
+  /** Parse an on-disk / SHOW PARTITIONS path (Hive-escaped values) into a
+    * Partition with RAW values. */
+  def parseEscaped(path: String): Either[String, Partition] =
+    parse(path).map(p => Partition(p.columnValues.map(cv =>
+      cv.copy(value = PathCodec.unescapePathName(cv.value)))))
 
   /** Parse `col1=v1/col2=v2`. Rejects empty / malformed strings
     * (reference ModelSpec.scala:32-65). */

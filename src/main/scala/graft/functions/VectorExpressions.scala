@@ -157,13 +157,15 @@ object WordShingleHashes {
   }
 }
 
-/** L2-normalize a float vector in one pass (zero vectors pass through). */
+/** L2-normalize a float vector in one pass (zero vectors pass through).
+  * Any null element yields NULL — same semantics as [[FloatVectorDot]]. */
 case class NormalizeVector(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def prettyName: String = "l2_normalize"
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -175,7 +177,10 @@ case class NormalizeVector(child: Expression)
     val n = a.numElements()
     var ss = 0.0
     var i = 0
-    while (i < n) { val x = a.getFloat(i).toDouble; ss += x * x; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble; ss += x * x; i += 1
+    }
     val norm = math.sqrt(ss)
     val out = new Array[Float](n)
     i = 0
@@ -200,6 +205,7 @@ case class QuantizeVector(child: Expression)
     StructType(Seq(StructField("scale", DoubleType, nullable = false),
       StructField("q", ArrayType(ByteType, containsNull = false), nullable = false)))
   override def prettyName: String = "quantize_int8"
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -211,7 +217,10 @@ case class QuantizeVector(child: Expression)
     val n = a.numElements()
     var maxAbs = 0.0
     var i = 0
-    while (i < n) { val x = math.abs(a.getFloat(i).toDouble); if (x > maxAbs) maxAbs = x; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = math.abs(a.getFloat(i).toDouble); if (x > maxAbs) maxAbs = x; i += 1
+    }
     val scale = if (maxAbs == 0) 1.0 else maxAbs / 127.0
     val q = new Array[Byte](n)
     i = 0

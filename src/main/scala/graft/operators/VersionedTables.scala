@@ -122,7 +122,7 @@ final class VersionedTables(
         // subdirs created by later versioned writes and return future data.
         loadDirectFilesOrEmpty(table, table.location)
       else spark.read.format(table.format.name).options(table.options)
-        .load(VersionPaths.pathFor(table.location, v).toString)
+        .load(VersionedTables.uriToLoadPath(VersionPaths.pathFor(table.location, v)))
     case PartitionedTableVersion(pvs) =>
       if (pvs.isEmpty) emptyLike(table)
       else if (pvs.valuesIterator.contains(Version.Unversioned))
@@ -140,10 +140,11 @@ final class VersionedTables(
           // corruption and must fail loudly, as on the other read paths
           val base =
             if (v == Version.Unversioned) loadDirectFilesOrEmpty(table, leaf)
-            else spark.read.format(table.format.name).options(table.options).load(leaf.toString)
+            else spark.read.format(table.format.name).options(table.options)
+              .load(VersionedTables.uriToLoadPath(leaf))
           p.columnValues.foldLeft(base) {
             case (df, cv) =>
-              val value = if (cv.value == "__HIVE_DEFAULT_PARTITION__") lit(null).cast("string")
+              val value = if (cv.value == PathCodec.DefaultPartitionName) lit(null).cast("string")
                           else lit(cv.value)
               df.withColumn(cv.column.name, value)
           }
@@ -151,9 +152,9 @@ final class VersionedTables(
       else {
         val paths = VersionPaths
           .resolveVersionedPartitionPaths(pvs, table.location)
-          .values.map(_.toString).toSeq.sorted
+          .values.map(VersionedTables.uriToLoadPath).toSeq.sorted
         spark.read.format(table.format.name).options(table.options)
-          .option("basePath", table.location.toString)
+          .option("basePath", VersionedTables.uriToLoadPath(table.location))
           .load(paths: _*)
           .drop(Version.VersionColumn)
       }
@@ -183,8 +184,8 @@ final class VersionedTables(
     val schema: StructType =
       try {
         val df = spark.read.format(table.format.name).options(table.options)
-          .option("basePath", table.location.toString)
-          .load(table.location.toString)
+          .option("basePath", VersionedTables.uriToLoadPath(table.location))
+          .load(VersionedTables.uriToLoadPath(table.location))
         StructType(df.schema.filterNot(_.name == Version.VersionColumn))
       } catch { case _: Exception => new StructType() }
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -193,18 +194,32 @@ final class VersionedTables(
 
 object VersionedTables {
 
+  /** Render a (properly-encoded) URI as the string Spark's readers and
+    * Hadoop's `Path(String)` expect: the DECODED form. `Path(String)` treats
+    * its input as unencoded (it percent-quotes any `%` it sees), so passing
+    * `URI.toString` of an encoded URI would double-encode and miss the
+    * on-disk directory. */
+  private[graft] def uriToLoadPath(uri: URI): String =
+    new org.apache.hadoop.fs.Path(uri).toString
+
   /** Extract the distinct partition tuples present in a dataset
     * (reference SparkSupport.scala:109-128): projection + hash-distinct +
-    * driver collect — the collected set is small (one row per partition). */
+    * driver collect — the collected set is small (one row per partition).
+    * Null AND empty-string values both land in the writer's
+    * `__HIVE_DEFAULT_PARTITION__` directory (Spark's
+    * `ExternalCatalogUtils.getPartitionPathString`), so both map to the
+    * sentinel here — otherwise the commit would reference `col=` paths that
+    * are never created. */
   def partitionValues[T](ds: Dataset[T], schema: PartitionSchema): List[Partition] = {
     if (schema.isSnapshot) Nil
     else {
       val cols = schema.columnNames
       ds.toDF().selectExpr(cols: _*).distinct().collect().toList.map { row =>
         Partition(cols.zipWithIndex.map { case (c, i) =>
-          ColumnValue(PartitionColumn(c), Option(row.get(i)).map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__"))
+          val v = Option(row.get(i)).map(_.toString).filter(_.nonEmpty)
+          ColumnValue(PartitionColumn(c), v.getOrElse(PathCodec.DefaultPartitionName))
         })
-      }
+      }.distinct // null and "" collapse into the same default-partition dir
     }
   }
 
@@ -254,7 +269,7 @@ object VersionedTables {
         .mode(SaveMode.Append)
         .format(table.format.name)
         .options(table.options)
-        .save(table.location.toString)
+        .save(VersionedTables.uriToLoadPath(table.location))
     }
   }
 

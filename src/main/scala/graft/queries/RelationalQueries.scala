@@ -292,8 +292,10 @@ object RelationalQueries {
         |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
 
     "q_join_outer" ->
+      // CAST: DuckDB SUM over integers returns HUGEINT (int128), which the
+      // driver's comparer stringifies differently than Spark's BIGINT
       """SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_orders,
-        |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customers_no_orders
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customers_no_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
@@ -371,7 +373,7 @@ object RelationalQueries {
       """WITH flagged AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |    CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (
-        |      PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+        |      PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
         |      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |    THEN 1 ELSE 0 END AS new_session
         |  FROM events),

@@ -44,7 +44,7 @@ final class FileBackedVersionTracker(rootUri: URI, hadoopConf: Configuration = n
       write(new Path(dir, MetadataFile), JsonCodecs.metadataToJson(isSnapshot))
       val update = TableUpdate(userId, message, timestamp, List(TableOperation.InitTable(table, isSnapshot)))
       writeCommit(dir, update)
-      write(new Path(dir, HeadFile), update.metadata.id.id)
+      writeAtomic(new Path(dir, HeadFile), update.metadata.id.id)
     }
   }
 
@@ -61,13 +61,13 @@ final class FileBackedVersionTracker(rootUri: URI, hadoopConf: Configuration = n
   override def commit(table: TableName, update: TableUpdate): Unit = {
     val dir = existingTableDir(table)
     writeCommit(dir, update)
-    write(new Path(dir, HeadFile), update.metadata.id.id)
+    writeAtomic(new Path(dir, HeadFile), update.metadata.id.id)
   }
 
   override def setCurrentVersion(table: TableName, id: CommitId): Unit = {
     val st = tableState(table)
     if (!st.updates.exists(_.metadata.id == id)) throw UnknownCommitError(id)
-    write(new Path(existingTableDir(table), HeadFile), id.id)
+    writeAtomic(new Path(existingTableDir(table), HeadFile), id.id)
   }
 
   override def tableState(table: TableName): TableState = {
@@ -109,6 +109,22 @@ final class FileBackedVersionTracker(rootUri: URI, hadoopConf: Configuration = n
     val out = fs.create(path, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Overwrite `path` via temp-file + atomic rename, so a crash mid-write can
+    * never leave a truncated/corrupt head ref behind (commit files are only
+    * ever CREATED, so plain `write` is fine for them). */
+  private def writeAtomic(path: Path, content: String): Unit = {
+    val tmp = new Path(path.getParent, s".${path.getName}.tmp-${java.util.UUID.randomUUID()}")
+    write(tmp, content)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, hadoopConf)
+      fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case e: Exception =>
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"Atomic head update failed for $path", e)
+    }
   }
 
   private def read(path: Path): String = {

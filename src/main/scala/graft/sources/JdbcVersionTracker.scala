@@ -180,10 +180,10 @@ final class JdbcVersionTracker(jdbcUrl: String) extends VersionTracker {
           po.setString(3, "add-table-version"); po.setNull(4, java.sql.Types.VARCHAR)
           po.setString(5, v.label); po.setNull(6, java.sql.Types.BOOLEAN)
         case TableOperation.AddPartitionVersion(p, v) =>
-          po.setString(3, "add-partition-version"); po.setString(4, p.toPath)
+          po.setString(3, "add-partition-version"); po.setString(4, p.toHivePath)
           po.setString(5, v.label); po.setNull(6, java.sql.Types.BOOLEAN)
         case TableOperation.RemovePartition(p) =>
-          po.setString(3, "remove-partition"); po.setString(4, p.toPath)
+          po.setString(3, "remove-partition"); po.setString(4, p.toHivePath)
           po.setNull(5, java.sql.Types.VARCHAR); po.setNull(6, java.sql.Types.BOOLEAN)
       }
       po.executeUpdate()
@@ -197,10 +197,10 @@ final class JdbcVersionTracker(jdbcUrl: String) extends VersionTracker {
         TableOperation.AddTableVersion(Version.parse(r.ver).fold(sys.error, identity))
       case "add-partition-version" =>
         TableOperation.AddPartitionVersion(
-          Partition.parse(r.part).fold(sys.error, identity),
+          Partition.parseEscaped(r.part).fold(sys.error, identity),
           Version.parse(r.ver).fold(sys.error, identity))
       case "remove-partition" =>
-        TableOperation.RemovePartition(Partition.parse(r.part).fold(sys.error, identity))
+        TableOperation.RemovePartition(Partition.parseEscaped(r.part).fold(sys.error, identity))
       case other => sys.error(s"Unknown op type in store: '$other'")
     }
 

@@ -43,13 +43,15 @@ object JsonCodecs {
       case TableOperation.AddTableVersion(version) =>
         n.put("type", "add-table-version")
         n.put("version", version.label)
+      // Hive-escaped form: total round-trip for values containing '=', '/',
+      // or other path-special characters (identical to raw for safe values)
       case TableOperation.AddPartitionVersion(partition, version) =>
         n.put("type", "add-partition-version")
-        n.put("partition", partition.toPath)
+        n.put("partition", partition.toHivePath)
         n.put("version", version.label)
       case TableOperation.RemovePartition(partition) =>
         n.put("type", "remove-partition")
-        n.put("partition", partition.toPath)
+        n.put("partition", partition.toHivePath)
     }
     n
   }
@@ -90,11 +92,11 @@ object JsonCodecs {
         str(n, "version").flatMap(Version.parse).map(TableOperation.AddTableVersion)
       case "add-partition-version" =>
         for {
-          p <- str(n, "partition").flatMap(Partition.parse)
+          p <- str(n, "partition").flatMap(Partition.parseEscaped)
           v <- str(n, "version").flatMap(Version.parse)
         } yield TableOperation.AddPartitionVersion(p, v)
       case "remove-partition" =>
-        str(n, "partition").flatMap(Partition.parse).map(TableOperation.RemovePartition)
+        str(n, "partition").flatMap(Partition.parseEscaped).map(TableOperation.RemovePartition)
       case other => Left(s"Unknown operation type: '$other'")
     }
 

@@ -27,15 +27,17 @@ final class SparkHiveMetastore(spark: SparkSession) extends Metastore {
   override def currentVersion(table: TableName): TableVersion = {
     requireExists(table)
     if (isPartitioned(table)) {
+      // SHOW PARTITIONS prints the on-disk (Hive-escaped) form; the domain
+      // model carries raw values
       val partitions = spark.sql(s"SHOW PARTITIONS ${table.fullyQualifiedName}")
         .collect().map(_.getString(0)).toList
       PartitionedTableVersion(partitions.flatMap { pathStr =>
-        Partition.parse(pathStr).toOption.map { p =>
-          p -> VersionPaths.parseVersion(new URI(partitionLocation(table, p)))
+        Partition.parseEscaped(pathStr).toOption.map { p =>
+          p -> VersionPaths.parseVersion(toUri(partitionLocation(table, p)))
         }
       }.toMap)
     } else {
-      SnapshotTableVersion(VersionPaths.parseVersion(new URI(tableLocation(table))))
+      SnapshotTableVersion(VersionPaths.parseVersion(toUri(tableLocation(table))))
     }
   }
 
@@ -46,21 +48,30 @@ final class SparkHiveMetastore(spark: SparkSession) extends Metastore {
     // one DESCRIBE per update() call, not one per operation: an N-partition
     // commit must stay metadata-cheap
     lazy val tableLoc = tableLocation(table)
-    def baseLoc(p: Partition): URI = p.resolvePath(new URI(stripSlash(tableLoc) + "/"))
+    def baseLoc(p: Partition): URI = p.resolvePath(toUri(tableLoc))
     changes.operations.foreach {
       case MetastoreOperation.AddPartition(p, v) =>
         val loc = VersionPaths.pathFor(baseLoc(p), v)
-        spark.sql(s"ALTER TABLE $t ADD IF NOT EXISTS PARTITION (${partitionExpr(p)}) LOCATION ${sqlLit(loc.toString)}")
+        spark.sql(s"ALTER TABLE $t ADD IF NOT EXISTS PARTITION (${partitionExpr(p)}) LOCATION ${sqlLit(locString(loc))}")
       case MetastoreOperation.UpdatePartitionVersion(p, v) =>
         val loc = VersionPaths.pathFor(baseLoc(p), v)
-        spark.sql(s"ALTER TABLE $t PARTITION (${partitionExpr(p)}) SET LOCATION ${sqlLit(loc.toString)}")
+        spark.sql(s"ALTER TABLE $t PARTITION (${partitionExpr(p)}) SET LOCATION ${sqlLit(locString(loc))}")
       case MetastoreOperation.RemovePartition(p) =>
         spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (${partitionExpr(p)})")
       case MetastoreOperation.UpdateTableVersion(v) =>
-        val base = VersionPaths.versionedToBasePath(new URI(tableLoc))
-        spark.sql(s"ALTER TABLE $t SET LOCATION ${sqlLit(VersionPaths.pathFor(base, v).toString)}")
+        val base = VersionPaths.versionedToBasePath(toUri(tableLoc))
+        spark.sql(s"ALTER TABLE $t SET LOCATION ${sqlLit(locString(VersionPaths.pathFor(base, v)))}")
     }
   }
+
+  /** Catalog location strings are the DECODED path form (Hadoop `Path`
+    * rendering); round-trip through `Path` so values with spaces/`%` survive
+    * URI construction and emission. */
+  private def toUri(locationString: String): URI =
+    new org.apache.hadoop.fs.Path(locationString).toUri
+
+  private def locString(uri: URI): String =
+    new org.apache.hadoop.fs.Path(uri).toString
 
   // ---- catalog inspection (DESCRIBE scrape, as in the reference) ----
 
@@ -96,6 +107,4 @@ final class SparkHiveMetastore(spark: SparkSession) extends Metastore {
     * Values come from arbitrary row data — fully escaped. */
   private def partitionExpr(p: Partition): String =
     p.columnValues.map(cv => s"${cv.column.name}=${sqlLit(cv.value)}").mkString(", ")
-
-  private def stripSlash(s: String): String = if (s.endsWith("/")) s.dropRight(1) else s
 }
