@@ -228,7 +228,89 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .select(
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-          col("event_type"), col("n"), col("total_value")))
+          col("event_type"), col("n"), col("total_value"))),
+
+    // --- as-of join: each purchase gets the user's latest prior-or-equal
+    // signup. Spark has no native ASOF; the scalable formulation is the
+    // union+window trick — ONE shuffle on the key, no range explosion, no
+    // per-row probe: tag both streams, sort right-before-left on ties, and
+    // carry the last non-null right payload forward. O(n log n) per key and
+    // partition-parallel, so it survives a 100x scale-up where a naive
+    // range-join cross product would not. ---
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // right side pre-aggregated to one row per (user, ts) so the pick at
+      // equal timestamps is deterministic on both engines
+      val sign = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("ref_event_id"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val tagged = sign
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+          col("ref_event_id"), lit(0).as("tag"))
+        .unionByName(pur.select(col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("long").as("ref_event_id"), lit(1).as("tag")))
+      // tag orders right rows before left rows at the same ts => inclusive
+      // (>=) as-of semantics, matching DuckDB's ASOF JOIN
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("ref", last(col("ref_event_id"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("ref").as("ref_event_id"))
+    }),
+
+    // --- range (band) join: purchases counted against same-user views in the
+    // preceding 15 minutes. Equi key (user_id) + band predicate: Spark plans
+    // a hash join on the key with the band as a residual filter — the
+    // standard scale shape for bounded-interval joins. ---
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+      pur.join(views,
+          col("v_user") === col("user_id") &&
+            col("v_ts") >= col("ts") - expr("INTERVAL 15 MINUTES") &&
+            col("v_ts") < col("ts"),
+          "left")
+        .groupBy(col("event_id"))
+        .agg(count(col("v_id")).as("n_prior_views"))
+    }),
+
+    // --- explicit grouping sets (rollup/cube are special cases) ---
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows
+          |FROM graft_lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
+    }),
+
+    // --- exact interpolated percentiles. Restricted to l_quantity (integer-
+    // valued doubles) and binary-exact fractions so the interpolation
+    // arithmetic is bit-identical across engines. ---
+    "q_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"))),
+
+    // --- skew-mitigation correctness: the salted join must be result-
+    // identical to the plain join (the oracle IS the plain join) ---
+    "q_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.ScaleTools.saltedJoin(li, ord, "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -391,6 +473,42 @@ object RelationalQueries {
       """SELECT STRFTIME(TIME_BUCKET(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH sign AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS ref_event_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |pur AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, STRFTIME(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s, s.ref_event_id
+        |FROM pur p ASOF LEFT JOIN sign s ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT p.event_id, COUNT(v.event_id) AS n_prior_views
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = p.user_id AND v.ts >= p.ts - INTERVAL '15 minutes' AND v.ts < p.ts
+        |GROUP BY p.event_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  QUANTILE_CONT(l_quantity, 0.25) AS p25,
+        |  QUANTILE_CONT(l_quantity, 0.5) AS p50,
+        |  QUANTILE_CONT(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the oracle for the SALTED join is the PLAIN join — result equality is
+    // exactly the property the salting transformation must preserve
+    "q_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin
   )
 }
