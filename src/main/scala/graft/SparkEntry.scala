@@ -66,8 +66,12 @@ object SparkEntry {
     val table = TableDefinition(TableName("graft", "events"), root.resolve("events").toUri,
       PartitionSchema("event_date"), FileFormat.Parquet)
     engine.initTable(table, UserId("driver"), "init")
+    // materialize once: the fixture scans this frame five times (partition
+    // discovery + write, twice, + max(date)); re-reading parquet each time
+    // roughly doubles the fixture cost
     val events = Tables.events(spark, sfDir)
       .withColumn("event_date", to_date(col("ts")))
+      .localCheckpoint()
     events.versionedInsertInto(engine, table, UserId("driver"), "initial load")
     val day = events.select(max("event_date")).head().getDate(0)
     events.where(col("event_date") === lit(day) && col("event_type") =!= "error")

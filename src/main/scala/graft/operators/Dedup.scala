@@ -177,15 +177,22 @@ object Dedup {
     val cols = col(idCol).as("id") +:
       graft.functions.VectorExpressions.wordShingleHashes(col(textCol), 1).as("w") +:
       blockCol.map(c => col(c).as("blk")).toSeq
-    val sets = docs.select(cols: _*).localCheckpoint()
+    val sets = docs.select(cols: _*).withColumn("n", size(col("w"))).localCheckpoint()
+    // positional size filter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs
+    // whose sizes differ by more than the threshold ratio can't qualify —
+    // pruned INSIDE the join condition, before any set intersection runs
+    val sizePrune =
+      col("a.n") >= col("b.n") * threshold && col("b.n") >= col("a.n") * threshold
+    val cond0 = col("a.id") < col("b.id") && sizePrune
     val cond = blockCol match {
-      case Some(_) => col("a.id") < col("b.id") && col("a.blk") === col("b.blk")
-      case None    => col("a.id") < col("b.id")
+      case Some(_) => cond0 && col("a.blk") === col("b.blk")
+      case None    => cond0
     }
+    // |A∪B| = |A|+|B|-|A∩B|: one array traversal per pair instead of two
     sets.as("a").join(sets.as("b"), cond)
+      .withColumn("inter", size(array_intersect(col("a.w"), col("b.w"))).cast("double"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        (size(array_intersect(col("a.w"), col("b.w"))).cast("double") /
-          size(array_union(col("a.w"), col("b.w")))).as("jaccard"))
+        (col("inter") / (col("a.n") + col("b.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -35,7 +35,11 @@ object ScaleTools {
       pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
     val replicated = right.withColumn("_salt",
       explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
-    salted.join(replicated,
+    // force a SHUFFLE join: salting exists to spread a skewed SHUFFLE key
+    // across partitions — letting the optimizer broadcast the replicated side
+    // would silently turn the demo into a plain broadcast join (where salting
+    // is pointless anyway)
+    salted.join(replicated.hint("shuffle_hash"),
         salted(leftKey) === replicated(rightKey) && salted("_salt") === replicated("_salt"))
       .drop("_salt")
   }

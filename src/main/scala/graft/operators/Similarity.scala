@@ -189,12 +189,25 @@ object Similarity {
   def embeddingNearDupPairs(
       vectors: DataFrame, threshold: Double = 0.95, planes: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucket = if (planes <= 0) lit(0L) else lshBucket(col(vecCol), planes)
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
-      bucket.as("bucket"))
-    v.as("a").join(v.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", cosine(col("a.v"), col("b.v")))
+    // norms are per-VECTOR quantities: precompute N of them instead of
+    // recomputing two per pair (N² work → N, and each pair is one codegen'd
+    // dot product instead of three)
+    def withNorm(df: DataFrame) = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nrm"))
+    val pairs =
+      if (planes <= 0) {
+        // exact all-pairs. A join on a constant key would put EVERY pair in
+        // one partition (single-threaded quadratic loop); a cartesian join
+        // parallelizes as left-partitions × right-partitions tasks.
+        val v = withNorm(vectors).repartition(8).localCheckpoint()
+        v.as("a").crossJoin(v.as("b")).filter(col("a.id") < col("b.id"))
+      } else {
+        val v = withNorm(vectors).withColumn("bucket", lshBucket(col("v"), planes))
+        v.as("a").join(v.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      }
+    pairs
+      .withColumn("cosine", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cosine"))
   }

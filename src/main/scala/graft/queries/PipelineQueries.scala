@@ -98,16 +98,21 @@ object PipelineQueries {
     // agreement -> exact dedup under vocab normalization -> per-doc stats ---
     "q_curation_pipeline" -> ((s, d) => {
       val t = col("text")
+      // one projection computes every text-derived feature (incl. the vocab
+      // hash), then a checkpoint barrier: otherwise Catalyst pushes the
+      // quality/lang filter below the projection and the interpreted text
+      // expressions run twice per row (once for the predicate, once for the
+      // surviving projection) — and `text` itself never leaves this stage
       val scored = Tables.documents(s, d).select(
-        col("doc_id"), col("lang"), col("source"), t.as("text"),
+        col("doc_id"), col("lang"), col("source"),
         tokenCount(t).as("n_tokens"),
         langId(t).as("lang_pred"),
-        qualityScore(t).as("quality"))
+        qualityScore(t).as("quality"),
+        vocabHash.as("vocab_hash"))
+        .localCheckpoint()
       val filtered = scored
         .filter(col("quality") >= 0.5 && col("n_tokens") >= 10 && col("lang_pred") === col("lang"))
-      Dedup.exactDedup(
-        filtered.withColumn("vocab_hash", vocabHash),
-        idCol = "doc_id", textCol = "vocab_hash")
+      Dedup.exactDedup(filtered, idCol = "doc_id", textCol = "vocab_hash")
         .select("doc_id", "lang", "source", "n_tokens", "quality")
     }),
 
