@@ -198,6 +198,38 @@ object PipelineQueries {
          |    ROW_NUMBER() OVER (PARTITION BY $vocabHashSql ORDER BY doc_id) AS rn
          |  FROM documents) WHERE rn = 1""".stripMargin,
 
+    // Bit-exact float parity: DuckDB's list_inner_product over DOUBLE[] is the
+    // same sequential double accumulation as our codegen'd FloatVectorDot
+    // (verified bit-identical on this data), and sqrt/mul/div are IEEE-defined
+    // — so cosine SCORES hash-match, not just ranks.
+    "q_ann_cosine" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+        |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                            CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_inner_product(q.dv, c.dv) / (q.nrm * c.nrm) AS cosine
+        |  FROM v c JOIN v q ON q.vec_id < 16 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
+        |WHERE "rank" <= 10""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS dv,
+        |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                            CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  list_inner_product(a.dv, b.dv) / (a.nrm * b.nrm) AS cosine
+        |FROM v a JOIN v b ON a.id < b.id
+        |WHERE list_inner_product(a.dv, b.dv) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+
     "q_dedup_ngram_jaccard" ->
       s"""WITH sets AS (SELECT doc_id AS id, source AS blk, list_distinct($duckTokens) AS w FROM documents)
          |SELECT a.id AS id1, b.id AS id2,

@@ -310,7 +310,100 @@ object RelationalQueries {
       graft.operators.ScaleTools.saltedJoin(li, ord, "l_orderkey", "o_orderkey", salts = 8)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
-    })
+    }),
+
+    // --- statistical aggregates (variance/stddev/corr). Built from exact
+    // moment sums (integer-valued doubles: order-independent) folded through
+    // the textbook formulas in double — the identical IEEE expression the
+    // oracle evaluates, so partial-aggregation order can't drift the hash.
+    // Spark's native stddev/corr (Welford-style merge) would differ from
+    // DuckDB's in the last ulp; the sums formulation is deterministic. ---
+    "q_stat_agg" -> ((s, d) => {
+      val q = col("l_quantity")
+      val ln = col("l_linenumber").cast("double")
+      val sums = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(q).as("sq"), sum(q * q).as("sqq"),
+          sum(ln).as("sl"), sum(ln * ln).as("sll"), sum(q * ln).as("sqlin"))
+      val n = col("n_rows").cast("double")
+      sums.select(col("l_returnflag"), col("n_rows"),
+        ((col("sqq") - col("sq") * col("sq") / n) / (n - lit(1.0))).as("var_qty"),
+        sqrt((col("sqq") - col("sq") * col("sq") / n) / (n - lit(1.0))).as("std_qty"),
+        ((n * col("sqlin") - col("sq") * col("sl")) /
+          (sqrt(n * col("sqq") - col("sq") * col("sq")) *
+            sqrt(n * col("sll") - col("sl") * col("sl")))).as("corr_qty_line"))
+    }),
+
+    // --- lead/lag/ntile analytics over per-user purchase sequences (unique
+    // (ts, event_id) ordering => deterministic frames and quartiles) ---
+    "q_lead_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
+    // --- argmax per group with a deterministic tiebreak: max price per
+    // priority, then the smallest orderkey achieving it. The groupwise-max
+    // side is tiny => Spark broadcasts it back onto orders (no extra
+    // shuffle), which is the shape that survives a 100x scale-up. ---
+    "q_topk_per_group" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val mx = ord.groupBy(col("o_orderpriority").as("prio"))
+        .agg(max(col("o_totalprice")).as("max_price"))
+      mx.join(ord,
+          col("o_orderpriority") === col("prio") && col("o_totalprice") === col("max_price"))
+        .groupBy(col("prio").as("o_orderpriority"), col("max_price"))
+        .agg(min(col("o_orderkey")).as("best_orderkey"))
+    }),
+
+    // --- conditional aggregation (FILTER/CASE-style) ---
+    "q_conditional_agg" -> ((s, d) =>
+      Tables.orders(s, d).groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+          dsum(when(col("o_totalprice") > 200000, col("o_totalprice"))).as("big_total"),
+          (count(when(col("o_totalprice") > 200000, 1)).cast("double") /
+            count(lit(1)).cast("double")).as("big_share"))),
+
+    // --- regex extraction/replace over document text (ASCII-explicit
+    // character classes: identical semantics in Java regex and RE2) ---
+    "q_regex_extract" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([A-Za-z]+)", 1).as("first_word"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digits"))),
+
+    // --- fixed-width histogram (floor-bucketed; double division + floor are
+    // bit-identical across engines) ---
+    "q_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))),
+
+    // --- IN / NOT IN subqueries (Catalyst rewrites to left-semi + null-aware
+    // anti join; o_custkey is non-null so NOT IN semantics are exact) ---
+    "q_in_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_in")
+      Tables.orders(s, d).createOrReplaceTempView("graft_ord_in")
+      s.sql(
+        """SELECT c_custkey, c_name FROM graft_cust_in
+          |WHERE c_custkey IN (SELECT o_custkey FROM graft_ord_in WHERE o_totalprice > 300000)
+          |  AND c_custkey NOT IN (SELECT o_custkey FROM graft_ord_in WHERE o_orderstatus = 'P')""".stripMargin)
+    }),
+
+    // --- lateral positional explode: first five tokens of each document with
+    // their 1-based position ---
+    "q_lateral_explode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(slice(graft.functions.TextFunctions.tokens(col("text")), 1, 5)))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -509,6 +602,77 @@ object RelationalQueries {
     "q_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // same two-stage shape as the Spark side: exact moment sums first, then
+    // the identical double-precision formulas
+    "q_stat_agg" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_rows,
+        |    SUM(l_quantity) AS sq,
+        |    SUM(l_quantity * l_quantity) AS sqq,
+        |    SUM(CAST(l_linenumber AS DOUBLE)) AS sl,
+        |    SUM(CAST(l_linenumber AS DOUBLE) * CAST(l_linenumber AS DOUBLE)) AS sll,
+        |    SUM(l_quantity * CAST(l_linenumber AS DOUBLE)) AS sqlin
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_rows,
+        |  (sqq - sq * sq / CAST(n_rows AS DOUBLE)) / (CAST(n_rows AS DOUBLE) - 1.0) AS var_qty,
+        |  SQRT((sqq - sq * sq / CAST(n_rows AS DOUBLE)) / (CAST(n_rows AS DOUBLE) - 1.0)) AS std_qty,
+        |  (CAST(n_rows AS DOUBLE) * sqlin - sq * sl) /
+        |    (SQRT(CAST(n_rows AS DOUBLE) * sqq - sq * sq) *
+        |     SQRT(CAST(n_rows AS DOUBLE) * sll - sl * sl)) AS corr_qty_line
+        |FROM sums""".stripMargin,
+
+    "q_lead_lag" ->
+      """SELECT user_id, event_id, value,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  LEAD(value, 1) OVER w AS next_value,
+        |  NTILE(4) OVER w AS quartile
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH mx AS (
+        |  SELECT o_orderpriority AS prio, MAX(o_totalprice) AS max_price
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT m.prio AS o_orderpriority, m.max_price, MIN(o.o_orderkey) AS best_orderkey
+        |FROM mx m JOIN orders o
+        |  ON o.o_orderpriority = m.prio AND o.o_totalprice = m.max_price
+        |GROUP BY m.prio, m.max_price""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_big,
+        |  CAST(SUM(CASE WHEN o_totalprice > 200000
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS big_total,
+        |  CAST(COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS big_share
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // COALESCE: Spark's regexp_extract returns '' on no-match
+    "q_regex_extract" ->
+      """SELECT doc_id,
+        |  COALESCE(regexp_extract(text, '([A-Za-z]+)', 1), '') AS first_word,
+        |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+        |FROM documents""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin,
+
+    "q_lateral_explode" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_slice(string_split_regex(trim(lower(text)), '\s+'), 1, 5) AS ws
+        |  FROM documents),
+        |p AS (SELECT UNNEST(range(1, 6)) AS pos)
+        |SELECT t.doc_id, p.pos, t.ws[p.pos] AS word
+        |FROM t JOIN p ON p.pos <= len(t.ws)""".stripMargin
   )
 }
