@@ -40,26 +40,33 @@ object SparkEntry {
   private def queries_relational: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.defs
 
-  /** Chronicles-specific capabilities: versioned read + time travel. Built on
-    * a scratch copy of `events` written through the engine (no DuckDB oracle —
-    * rows-only check, per the SparkEntry contract). */
+  /** Chronicles-specific capabilities over one shared fixture: versioned read,
+    * time travel, incremental (CDC) read between commits, and compaction.
+    * Every fixture state is expressible as plain SQL over the raw `events`
+    * parquet, so all four ARE DuckDB-oracled (see `oracles_versioned`). */
   private def queries_versioned: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_versioned_read" -> ((spark, dir) => versionedFixture(spark, dir)._1),
-    "q_time_travel" -> ((spark, dir) => versionedFixture(spark, dir)._2)
+    "q_versioned_read" -> ((spark, dir) => versionedFixture(spark, dir).current),
+    "q_time_travel" -> ((spark, dir) => versionedFixture(spark, dir).asOf),
+    "q_incremental_read" -> ((spark, dir) => versionedFixture(spark, dir).incremental),
+    "q_compact_read" -> ((spark, dir) => versionedFixture(spark, dir).compacted)
   )
 
-  /** Build (current-version read, as-of-first-load read) over a versioned
-    * events table: initial load, then one day reprocessed without 'error'
-    * rows. Current read must reflect the reprocess; the as-of read must not.
-    * Memoized per (session, sfDir): q_versioned_read and q_time_travel share
-    * one fixture build instead of writing the table twice. */
-  private val fixtureCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+  private final case class VersionedFixture(
+      current: DataFrame, asOf: DataFrame, incremental: DataFrame, compacted: DataFrame)
 
-  private def versionedFixture(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+  /** Build four reads over a versioned events table: initial load (t1), one
+    * day reprocessed without 'error' rows (t2), that day compacted to one file
+    * (t3). `current` reflects t3 (= t2's rows: compaction is row-identical by
+    * contract), `asOf` pins t1, `incremental` is what changed t1→t2 (just the
+    * reprocessed day), `compacted` explicitly reads the t3 commit. Memoized
+    * per (session, sfDir): the four queries share one fixture build. */
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), VersionedFixture]()
+
+  private def versionedFixture(spark: SparkSession, sfDir: String): VersionedFixture =
     fixtureCache.computeIfAbsent((spark, sfDir), _ => buildVersionedFixture(spark, sfDir))
 
-  private def buildVersionedFixture(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+  private def buildVersionedFixture(spark: SparkSession, sfDir: String): VersionedFixture = {
     Tables.prepare(spark)
     val root = java.nio.file.Files.createTempDirectory("graft-vfix-")
     val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
@@ -72,20 +79,61 @@ object SparkEntry {
     val events = Tables.events(spark, sfDir)
       .withColumn("event_date", to_date(col("ts")))
       .localCheckpoint()
-    events.versionedInsertInto(engine, table, UserId("driver"), "initial load")
+    // cluster on the partition column before writing: one file per partition
+    // dir instead of (input tasks × days) small files — the write-side twin
+    // of compact(), and the difference between 90 and ~3000 files here
+    events.repartition(col("event_date"))
+      .versionedInsertInto(engine, table, UserId("driver"), "initial load")
+    val firstLoad = engine.log(table.name).head.id
     val day = events.select(max("event_date")).head().getDate(0)
     events.where(col("event_date") === lit(day) && col("event_type") =!= "error")
+      .repartition(col("event_date"))
       .versionedInsertInto(engine, table, UserId("driver"), "reprocess")
-    val firstLoad = engine.log(table.name)(1).id
-    val current = engine.read(table)
-      .groupBy(col("event_date"), col("event_type")).agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
-    val asOf = engine.readAt(table, firstLoad)
-      .groupBy(col("event_date"), col("event_type")).agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
-    (current, asOf)
+    val reproHead = engine.log(table.name).head.id
+    engine.compact(table, UserId("driver"), "compact reprocessed day",
+      keep = _.columnValues.exists(_.value == day.toString))
+    val compactHead = engine.log(table.name).head.id
+    // decimal-exact value sums: aggregation order can't drift the oracle hash
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    VersionedFixture(
+      current = agg(engine.read(table)),
+      asOf = agg(engine.readAt(table, firstLoad)),
+      incremental = agg(engine.readChangesBetween(table, firstLoad, reproHead)),
+      compacted = agg(engine.readAt(table, compactHead)))
+  }
+
+  /** The fixture's states re-expressed as SQL over the raw events parquet:
+    * current/compacted = everything except the max-day 'error' rows;
+    * time travel = the full table; incremental = only the reprocessed day. */
+  private val duckFixtureAgg =
+    "COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v"
+
+  private def oracles_versioned: Map[String, String] = {
+    val currentSql =
+      s"""SELECT CAST(ts AS DATE) AS event_date, event_type, $duckFixtureAgg
+         |FROM events
+         |WHERE NOT (CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
+         |           AND event_type = 'error')
+         |GROUP BY 1, 2""".stripMargin
+    Map(
+      "q_versioned_read" -> currentSql,
+      "q_compact_read" -> currentSql,
+      "q_time_travel" ->
+        s"""SELECT CAST(ts AS DATE) AS event_date, event_type, $duckFixtureAgg
+           |FROM events GROUP BY 1, 2""".stripMargin,
+      "q_incremental_read" ->
+        s"""SELECT CAST(ts AS DATE) AS event_date, event_type, $duckFixtureAgg
+           |FROM events
+           |WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
+           |  AND event_type <> 'error'
+           |GROUP BY 1, 2""".stripMargin)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalQueries.oracles ++ graft.queries.PipelineQueries.oracles
+    graft.queries.RelationalQueries.oracles ++ graft.queries.PipelineQueries.oracles ++
+      oracles_versioned
 }

@@ -44,12 +44,79 @@ final class VersionedTables(
   def read(table: TableDefinition): DataFrame =
     readVersion(table, tracker.currentVersion(table.name))
 
+  /** The table's visible state as of commit `id` (errors on unknown ids). */
+  def versionAt(table: TableName, id: CommitId): TableVersion = {
+    val st = tracker.tableState(table)
+    if (!st.updates.exists(_.metadata.id == id)) throw UnknownCommitError(id)
+    st.copy(currentVersion = id).currentTableVersion
+  }
+
   /** Time travel: read the table as of a historical commit — read-only, no
     * catalog mutation (SURVEY §2.B `q_time_travel`). */
-  def readAt(table: TableDefinition, id: CommitId): DataFrame = {
-    val st = tracker.tableState(table.name)
-    if (!st.updates.exists(_.metadata.id == id)) throw UnknownCommitError(id)
-    readVersion(table, st.copy(currentVersion = id).currentTableVersion)
+  def readAt(table: TableDefinition, id: CommitId): DataFrame =
+    readVersion(table, versionAt(table.name, id))
+
+  /** Metadata-only diff of the visible state between two commits: which
+    * partitions were added / repointed / removed, without touching data.
+    * Reuses the same diff the metastore sync runs ([[Metastore.computeChanges]]). */
+  def changesBetween(table: TableName, from: CommitId, to: CommitId): TableChanges =
+    Metastore.computeChanges(versionAt(table, from), versionAt(table, to))
+
+  /** Incremental (CDC-style) read: the rows of every partition that is new or
+    * was repointed to a different version between `from` and `to`, read at
+    * their `to` version. The consumer pattern for 100 TB pipelines: process
+    * only what a commit range changed instead of rescanning the table —
+    * O(changed partitions) file listing, like every other read path here.
+    * Partitions REMOVED in the range have no rows at `to` and so don't appear;
+    * use [[changesBetween]] to enumerate removals. */
+  def readChangesBetween(table: TableDefinition, from: CommitId, to: CommitId): DataFrame =
+    (versionAt(table.name, from), versionAt(table.name, to)) match {
+      case (PartitionedTableVersion(a), PartitionedTableVersion(b)) =>
+        val changed = b.filter { case (p, v) => !a.get(p).contains(v) }
+        readVersion(table, PartitionedTableVersion(changed))
+      case (SnapshotTableVersion(va), snap @ SnapshotTableVersion(vb)) =>
+        if (va == vb) emptyLike(table) else readVersion(table, snap)
+      case _ =>
+        throw new IllegalArgumentException(
+          "Cannot diff partitioned and snapshot table versions")
+    }
+
+  /** Small-file compaction as a first-class versioned operation: rewrite the
+    * CURRENT data of the selected partitions into a NEW version with
+    * `filesPerPartition` files each, and commit it. Readers flip atomically at
+    * the commit; the fragmented version stays on disk for time travel. Rows
+    * are bit-identical — only the file layout changes.
+    *
+    * Layout control: with the default `filesPerPartition = 1`, rows are
+    * hash-shuffled on the partition columns, so every partition value lands
+    * in exactly one write task → exactly one file. With `filesPerPartition =
+    * F > 1`, rows are round-robined into exactly F tasks, each writing one
+    * file per partition it holds → exactly F files for every large partition
+    * (fewer for partitions with < F rows). Use F > 1 together with `keep` to
+    * spread a few oversized partitions across F parallel writers; the
+    * default is right for the common many-partitions case.
+    *
+    * `clusterBy` additionally sorts rows on the given columns WITHIN each
+    * output file (Delta OPTIMIZE-style clustering): Parquet row-group min/max
+    * stats on those columns become tight, so later reads filtering on them
+    * skip whole row groups. Layout-only, like everything else here — rows are
+    * unchanged. */
+  def compact(
+      table: TableDefinition,
+      userId: UserId,
+      message: String,
+      keep: Partition => Boolean = _ => true,
+      filesPerPartition: Int = 1,
+      clusterBy: Seq[String] = Nil): (TableVersion, TableChanges) = {
+    import VersionedTables.DatasetVersionedOps
+    import org.apache.spark.sql.functions.col
+    require(filesPerPartition >= 1, s"filesPerPartition must be >= 1, was $filesPerPartition")
+    val current = readPartitions(table, keep)
+    val partCols = table.partitionSchema.columnNames.map(col)
+    val packed =
+      if (partCols.isEmpty || filesPerPartition > 1) current.repartition(filesPerPartition)
+      else current.repartition(partCols: _*)
+    packed.versionedInsertInto(this, table, userId, message, clusterBy)
   }
 
   /** Register the table's CURRENT version as a temp view so it is queryable
@@ -235,7 +302,20 @@ object VersionedTables {
         engine: VersionedTables,
         table: TableDefinition,
         userId: UserId,
-        message: String): (TableVersion, TableChanges) = {
+        message: String): (TableVersion, TableChanges) =
+      versionedInsertInto(engine, table, userId, message, Nil)
+
+    /** As above, with rows additionally sorted on `clusterBy` within each
+      * output file (tight Parquet min/max stats on those columns). The sort
+      * runs task-local with the partition columns as prefix, which satisfies
+      * the file writer's required ordering — so Spark does NOT insert its own
+      * (unstable, cluster-destroying) partition sort on top. */
+    def versionedInsertInto(
+        engine: VersionedTables,
+        table: TableDefinition,
+        userId: UserId,
+        message: String,
+        clusterBy: Seq[String]): (TableVersion, TableChanges) = {
       checkSparkConfigs(ds.sparkSession)
       val version = Version.generate()
       val ops: List[TableOperation] =
@@ -246,7 +326,7 @@ object VersionedTables {
             s"Dataset has no rows for partition columns ${table.partitionSchema.columnNames}")
           parts.map(TableOperation.AddPartitionVersion(_, version))
         }
-      writeWithVersion(table, version)
+      writeWithVersion(table, version, clusterBy)
       engine.versioned.commit(
         table.name, TableUpdate(userId, message, java.time.Instant.now(), ops))
     }
@@ -260,11 +340,15 @@ object VersionedTables {
         s"spark.sql.sources.partitionOverwriteMode must be 'dynamic', was '$mode'")
     }
 
-    private def writeWithVersion(table: TableDefinition, version: Version): Unit = {
+    private def writeWithVersion(
+        table: TableDefinition, version: Version, clusterBy: Seq[String] = Nil): Unit = {
       val partCols = table.partitionSchema.columnNames :+ Version.VersionColumn
-      ds.toDF()
-        .withColumn(Version.VersionColumn, lit(version.label))
-        .write
+      val versioned = ds.toDF().withColumn(Version.VersionColumn, lit(version.label))
+      val arranged =
+        if (clusterBy.isEmpty) versioned
+        else versioned.sortWithinPartitions(
+          (partCols ++ clusterBy).map(org.apache.spark.sql.functions.col): _*)
+      arranged.write
         .partitionBy(partCols: _*)
         .mode(SaveMode.Append)
         .format(table.format.name)

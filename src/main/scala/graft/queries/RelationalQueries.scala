@@ -403,7 +403,12 @@ object RelationalQueries {
       Tables.documents(s, d)
         .select(col("doc_id"),
           posexplode(slice(graft.functions.TextFunctions.tokens(col("text")), 1, 5)))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word"))),
+
+    // --- one-pass column profiling (ANALYZE-style summary) ---
+    "q_profile" -> ((s, d) =>
+      graft.operators.Profile.profile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -673,6 +678,23 @@ object RelationalQueries {
         |  FROM documents),
         |p AS (SELECT UNNEST(range(1, 6)) AS pos)
         |SELECT t.doc_id, p.pos, t.ws[p.pos] AS word
-        |FROM t JOIN p ON p.pos <= len(t.ws)""".stripMargin
+        |FROM t JOIN p ON p.pos <= len(t.ws)""".stripMargin,
+
+    "q_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  MIN($c) AS min_str, MAX($c) AS max_str
+           |FROM orders""".stripMargin
+      Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+        num("o_totalprice"), str("o_orderpriority")).mkString("\nUNION ALL\n")
+    }
   )
 }

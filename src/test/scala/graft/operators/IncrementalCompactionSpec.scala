@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.core._
+import graft.operators.VersionedTables._
+
+import java.io.File
+import java.nio.file.Files
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+case class Reading(sensor: String, day: String, value: Double)
+
+/** Incremental (CDC-style) reads between commits + small-file compaction —
+  * the consumer/maintenance pair a 100 TB training pipeline needs on top of
+  * the reference's write/read/rollback surface (no reference counterpart;
+  * semantics follow the same commit-log model, core/VersionTracker.scala). */
+class IncrementalCompactionSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newTable(): (VersionedTables, TableDefinition, File) = {
+    val dir = Files.createTempDirectory("graft-inc-").toFile
+    val engine = VersionedTables.withFileStore(spark, new File(dir, "store").toURI)
+    val loc = new File(dir, "readings")
+    val table = TableDefinition(TableName("test", "readings"), loc.toURI,
+      PartitionSchema("day"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    (engine, table, loc)
+  }
+
+  private def head(engine: VersionedTables, t: TableDefinition): CommitId =
+    engine.log(t.name).head.id
+
+  private def dataFiles(loc: File, day: String, label: String): Array[File] = {
+    val leaf = new File(new File(loc, s"day=$day"), s"_version=$label")
+    Option(leaf.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+  }
+
+  private def currentLabel(engine: VersionedTables, t: TableDefinition, day: String): String =
+    engine.tracker.currentVersion(t.name) match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.collectFirst { case (p, v) if p.toPath == s"day=$day" => v.label }.get
+      case _ => fail("expected partitioned version")
+    }
+
+  behavior of "readChangesBetween"
+
+  it should "return exactly the rows of partitions added or repointed in the range" in {
+    val (engine, table, _) = newTable()
+    Seq(Reading("a", "d1", 1.0), Reading("b", "d2", 2.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "t1")
+    val t1 = head(engine, table)
+    val d2new = Seq(Reading("b", "d2", 20.0), Reading("c", "d2", 21.0))
+    val d3 = Seq(Reading("d", "d3", 3.0))
+    (d2new ++ d3).toDS().versionedInsertInto(engine, table, UserId("t"), "t2")
+    val t2 = head(engine, table)
+
+    val got = engine.readChangesBetween(table, t1, t2)
+      .select("sensor", "day", "value").as[Reading].collect()
+    got should contain theSameElementsAs (d2new ++ d3)
+
+    // the metadata diff agrees: d2 repointed, d3 added, d1 untouched
+    val ops = engine.changesBetween(table.name, t1, t2).operations
+    ops.collect { case MetastoreOperation.AddPartition(p, _) => p.toPath } shouldBe List("day=d3")
+    ops.collect { case MetastoreOperation.UpdatePartitionVersion(p, _) => p.toPath } shouldBe List("day=d2")
+    ops.collect { case MetastoreOperation.RemovePartition(p) => p.toPath } shouldBe Nil
+  }
+
+  it should "be empty for an empty range and directional for a reversed one" in {
+    val (engine, table, _) = newTable()
+    Seq(Reading("a", "d1", 1.0)).toDS().versionedInsertInto(engine, table, UserId("t"), "t1")
+    val t1 = head(engine, table)
+    engine.readChangesBetween(table, t1, t1).count() shouldBe 0
+
+    Seq(Reading("a", "d1", 9.0), Reading("b", "d2", 2.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "t2")
+    val t2 = head(engine, table)
+    // reversed range: "undo" view — d1 at its t1 version; d2 has no t1 version
+    val back = engine.readChangesBetween(table, t2, t1)
+      .select("sensor", "day", "value").as[Reading].collect()
+    back should contain theSameElementsAs Seq(Reading("a", "d1", 1.0))
+  }
+
+  it should "error on unknown commits" in {
+    val (engine, table, _) = newTable()
+    Seq(Reading("a", "d1", 1.0)).toDS().versionedInsertInto(engine, table, UserId("t"), "t1")
+    val t1 = head(engine, table)
+    an[UnknownCommitError] should be thrownBy
+      engine.readChangesBetween(table, t1, CommitId.generate())
+  }
+
+  it should "handle snapshot tables (full new version or empty)" in {
+    val dir = Files.createTempDirectory("graft-inc-snap-").toFile
+    val engine = VersionedTables.withFileStore(spark, new File(dir, "store").toURI)
+    val table = TableDefinition(TableName("test", "snap"), new File(dir, "snap").toURI,
+      PartitionSchema.snapshot, FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    Seq(Reading("a", "d1", 1.0)).toDS().versionedInsertInto(engine, table, UserId("t"), "v1")
+    val v1 = head(engine, table)
+    engine.readChangesBetween(table, v1, v1).count() shouldBe 0
+    val v2data = Seq(Reading("a", "d1", 2.0), Reading("b", "d1", 3.0))
+    v2data.toDS().versionedInsertInto(engine, table, UserId("t"), "v2")
+    val v2 = head(engine, table)
+    engine.readChangesBetween(table, v1, v2)
+      .select("sensor", "day", "value").as[Reading].collect() should
+      contain theSameElementsAs v2data
+  }
+
+  behavior of "compact"
+
+  it should "rewrite fragmented partitions to one file with identical rows, keeping history" in {
+    val (engine, table, loc) = newTable()
+    val rows = (1 to 40).map(i => Reading(s"s$i", if (i % 2 == 0) "d1" else "d2", i.toDouble))
+    // 4 input tasks => 4 files per partition directory
+    rows.toDS().repartition(4).versionedInsertInto(engine, table, UserId("t"), "fragmented")
+    val before = head(engine, table)
+    dataFiles(loc, "d1", currentLabel(engine, table, "d1")).length should be > 1
+
+    engine.compact(table, UserId("t"), "compact all")
+    val after = head(engine, table)
+    after should not be before
+
+    // rows identical, one file per partition, old layout still time-travelable
+    engine.read(table).select("sensor", "day", "value").as[Reading].collect() should
+      contain theSameElementsAs rows
+    dataFiles(loc, "d1", currentLabel(engine, table, "d1")).length shouldBe 1
+    dataFiles(loc, "d2", currentLabel(engine, table, "d2")).length shouldBe 1
+    engine.readAt(table, before).select("sensor", "day", "value").as[Reading].collect() should
+      contain theSameElementsAs rows
+  }
+
+  it should "compact only the selected partitions" in {
+    val (engine, table, _) = newTable()
+    val rows = (1 to 20).map(i => Reading(s"s$i", if (i % 2 == 0) "d1" else "d2", i.toDouble))
+    rows.toDS().repartition(4).versionedInsertInto(engine, table, UserId("t"), "fragmented")
+    val before = head(engine, table)
+    engine.compact(table, UserId("t"), "compact d1 only",
+      keep = _.columnValues.exists(_.value == "d1"))
+    val ops = engine.changesBetween(table.name, before, head(engine, table)).operations
+    ops.collect { case MetastoreOperation.UpdatePartitionVersion(p, _) => p.toPath } shouldBe
+      List("day=d1")
+    engine.read(table).select("sensor", "day", "value").as[Reading].collect() should
+      contain theSameElementsAs rows
+  }
+
+  it should "cluster rows within files when clusterBy is given" in {
+    val (engine, table, loc) = newTable()
+    // values deliberately unsorted in input order
+    val rows = Seq(5, 2, 9, 1, 7, 3, 8, 4, 6).map(i => Reading(s"s$i", "d1", i.toDouble))
+    rows.toDS().repartition(3).versionedInsertInto(engine, table, UserId("t"), "unsorted")
+    engine.compact(table, UserId("t"), "cluster on value", clusterBy = Seq("value"))
+    engine.read(table).select("sensor", "day", "value").as[Reading].collect() should
+      contain theSameElementsAs rows
+    // the single compacted file is sorted on value => parquet min/max stats
+    // on that column are tight for every row group
+    val file = dataFiles(loc, "d1", currentLabel(engine, table, "d1")).head
+    val vals = spark.read.parquet(file.toString).select("value")
+      .collect().map(_.getDouble(0)).toList
+    vals shouldBe vals.sorted
+  }
+
+  it should "honor filesPerPartition for partitions too big for one write task" in {
+    val (engine, table, loc) = newTable()
+    val rows = (1 to 100).map(i => Reading(s"s$i", "d1", i.toDouble))
+    rows.toDS().repartition(5).versionedInsertInto(engine, table, UserId("t"), "fragmented")
+    engine.compact(table, UserId("t"), "compact to 2", filesPerPartition = 2)
+    dataFiles(loc, "d1", currentLabel(engine, table, "d1")).length shouldBe 2
+    engine.read(table).select("sensor", "day", "value").as[Reading].collect() should
+      contain theSameElementsAs rows
+  }
+}
