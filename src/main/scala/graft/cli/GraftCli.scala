@@ -20,6 +20,7 @@ import java.time.Instant
  *   graft-cli --store <uri> partition add <schema.table> <col=val[/col2=v2]> [--user U] [--message M]
  *   graft-cli --store <uri> partition remove <schema.table> <col=val[/...]> [--user U] [--message M]
  *   graft-cli --store <uri> checkout <schema.table> <commitId>
+ *   graft-cli --store <uri> changes <schema.table> <fromCommitId> <toCommitId>
  * }}}
  *
  * All commands are metadata-only (no Spark, no data movement), matching the
@@ -111,9 +112,26 @@ object GraftCli {
         out.println(s"checked out $commitId"); 0
       }
 
+      // metadata-only diff of the visible state between two commits (what a
+      // CDC consumer would process for the range) — same computeChanges the
+      // metastore sync and readChangesBetween use
+      case List("changes", name, from, to) => withTable(name) { t =>
+        val st = tracker.tableState(t)
+        val ops = Metastore.computeChanges(
+          st.versionAt(CommitId(from)), st.versionAt(CommitId(to))).operations
+        ops.foreach {
+          case MetastoreOperation.AddPartition(p, v)           => out.println(s"add     ${p.toPath}  ${v.label}")
+          case MetastoreOperation.UpdatePartitionVersion(p, v) => out.println(s"update  ${p.toPath}  ${v.label}")
+          case MetastoreOperation.RemovePartition(p)           => out.println(s"remove  ${p.toPath}")
+          case MetastoreOperation.UpdateTableVersion(v)        => out.println(s"update  <snapshot>  ${v.label}")
+        }
+        if (ops.isEmpty) out.println("no changes")
+        0
+      }
+
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|changes> ...""".stripMargin)
         2
     } catch {
       case e @ (_: UnknownTableError | _: UnknownCommitError) =>

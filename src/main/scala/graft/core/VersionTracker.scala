@@ -56,6 +56,10 @@ final case class TableState(currentVersion: CommitId, updates: List[TableUpdate]
     if (idx < 0) throw UnknownCommitError(currentVersion)
     TableState.foldVersion(updates.take(idx + 1))
   }
+
+  /** The visible state as of commit `id` (UnknownCommitError if absent). */
+  def versionAt(id: CommitId): TableVersion =
+    copy(currentVersion = id).currentTableVersion
 }
 
 object TableState {

@@ -45,11 +45,8 @@ final class VersionedTables(
     readVersion(table, tracker.currentVersion(table.name))
 
   /** The table's visible state as of commit `id` (errors on unknown ids). */
-  def versionAt(table: TableName, id: CommitId): TableVersion = {
-    val st = tracker.tableState(table)
-    if (!st.updates.exists(_.metadata.id == id)) throw UnknownCommitError(id)
-    st.copy(currentVersion = id).currentTableVersion
-  }
+  def versionAt(table: TableName, id: CommitId): TableVersion =
+    tracker.tableState(table).versionAt(id)
 
   /** Time travel: read the table as of a historical commit — read-only, no
     * catalog mutation (SURVEY §2.B `q_time_travel`). */

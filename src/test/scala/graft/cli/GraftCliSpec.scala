@@ -56,6 +56,23 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     parts should not include "date=2024-01-02"
   }
 
+  it should "print the metadata diff between two commits" in {
+    cli("init", "sales.diff")
+    cli("partition", "add", "sales.diff", "date=2024-01-01")
+    cli("partition", "add", "sales.diff", "date=2024-01-02")
+    cli("partition", "remove", "sales.diff", "date=2024-01-01")
+    val (_, logOut) = cli("log", "sales.diff")
+    val commits = logOut.linesIterator.map(_.split("\\s+").head).toList // newest first
+    val (cc, out) = cli("changes", "sales.diff", commits(2), commits.head)
+    cc shouldBe 0
+    out should include("add     date=2024-01-02")
+    out should include("remove  date=2024-01-01")
+    // empty range
+    cli("changes", "sales.diff", commits.head, commits.head)._2.trim shouldBe "no changes"
+    // unknown commit fails loudly
+    cli("changes", "sales.diff", "bogus", commits.head)._1 shouldBe 1
+  }
+
   it should "work against a jdbc: store" in {
     val db = java.nio.file.Files.createTempDirectory("graft-cli-jdbc-").resolve("db")
     val jdbcStore = s"jdbc:derby:$db;create=true"
