@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/**
+ * SQL-surface registration of graft's native Catalyst expressions, so the
+ * vector/text kernels are first-class in `spark.sql(...)` text, not just the
+ * Column API:
+ *
+ * {{{
+ *   SELECT float_vector_dot(a.embedding, b.embedding)   -- codegen'd dot
+ *   SELECT l2_normalize(embedding)
+ *   SELECT quantize_int8(embedding)                     -- struct(scale, int8[])
+ *   SELECT word_shingle_hashes(text, 3)                 -- fused shingle+hash
+ * }}}
+ *
+ * Two ways in:
+ *  - at session build time: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+ *    (the standard `SparkSessionExtensions` hook), or
+ *  - on a live session: `GraftExtensions.register(spark)`.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+
+  private def litInt(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal integer, got $other")
+  }
+
+  /** (name, info, builder) for every exposed function. */
+  val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("float_vector_dot",
+      info("float_vector_dot", "_FUNC_(a, b) - dot product of two float arrays, accumulated in double"),
+      args => { arity("float_vector_dot", 2, args); FloatVectorDot(args(0), args(1)) }),
+    ("l2_normalize",
+      info("l2_normalize", "_FUNC_(v) - L2-normalize a float array (zero vectors pass through)"),
+      args => { arity("l2_normalize", 1, args); NormalizeVector(args.head) }),
+    ("quantize_int8",
+      info("quantize_int8", "_FUNC_(v) - symmetric int8 quantization: struct(scale double, q tinyint[])"),
+      args => { arity("quantize_int8", 1, args); QuantizeVector(args.head) }),
+    ("word_shingle_hashes",
+      info("word_shingle_hashes",
+        "_FUNC_(text, n) - distinct xxhash64 values of the text's word n-gram shingles"),
+      args => {
+        arity("word_shingle_hashes", 2, args)
+        WordShingleHashes(args.head, litInt("word_shingle_hashes n", args(1)))
+      }))
+
+  /** Register on a live session (idempotent: re-registration replaces). */
+  def register(spark: SparkSession): Unit = {
+    val registry = GraftSqlBridge.functionRegistry(spark)
+    functions.foreach { case (name, inf, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+  }
+}

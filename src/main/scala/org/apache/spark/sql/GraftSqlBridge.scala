@@ -8,4 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The session's function registry (`sessionState` is `private[sql]`) —
+    * lets [[graft.functions.GraftExtensions]] register SQL functions on an
+    * ALREADY-RUNNING session, not just at builder time. */
+  def functionRegistry(spark: SparkSession): catalyst.analysis.FunctionRegistry =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
 }

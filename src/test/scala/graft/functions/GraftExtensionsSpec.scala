@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.TestSpark
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = {
+    val s = TestSpark.spark
+    GraftExtensions.register(s)
+    s
+  }
+
+  behavior of "SQL-registered graft functions"
+
+  it should "evaluate float_vector_dot in SQL text identically to the Column API" in {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val sqlV = spark.sql("SELECT float_vector_dot(a, b) AS d FROM vecs").head().getDouble(0)
+    val colV = df.select(VectorExpressions.dotNative($"a", $"b").as("d")).head().getDouble(0)
+    sqlV shouldBe 32.0
+    colV shouldBe sqlV
+  }
+
+  it should "evaluate l2_normalize and quantize_int8 in SQL" in {
+    import spark.implicits._
+    Seq(Tuple1(Array(3.0f, 4.0f))).toDF("v").createOrReplaceTempView("one_vec")
+    val n = spark.sql("SELECT l2_normalize(v) AS nv FROM one_vec")
+      .head().getSeq[Float](0)
+    n shouldBe Seq(0.6f, 0.8f)
+    val q = spark.sql("SELECT quantize_int8(v).scale AS s, quantize_int8(v).q AS q FROM one_vec").head()
+    q.getDouble(0) shouldBe 4.0 / 127 +- 1e-6
+    q.getSeq[Byte](1).last shouldBe 127.toByte
+  }
+
+  it should "evaluate word_shingle_hashes with the same values as the Column API" in {
+    import spark.implicits._
+    val df = Seq(Tuple1("the quick brown fox jumps")).toDF("t")
+    df.createOrReplaceTempView("one_doc")
+    val sqlV = spark.sql("SELECT word_shingle_hashes(t, 3) AS h FROM one_doc")
+      .head().getSeq[Long](0)
+    val colV = df.select(VectorExpressions.wordShingleHashes($"t", 3).as("h"))
+      .head().getSeq[Long](0)
+    sqlV shouldBe colV
+    sqlV.length shouldBe 3
+  }
+
+  it should "reject wrong arity and non-literal shingle size at analysis time" in {
+    spark.sql("SELECT 1").collect() // force session init
+    an[Exception] should be thrownBy
+      spark.sql("SELECT float_vector_dot(array(1.0f))").collect()
+    an[Exception] should be thrownBy
+      spark.sql("SELECT word_shingle_hashes('a b c', cast(rand()*3 as int))").collect()
+  }
+
+  it should "register via the SparkSessionExtensions hook too" in {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // exercises injectFunction wiring
+  }
+}
