@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.core._
+import graft.operators.VersionedTables
+import graft.operators.VersionedTables._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import java.io.File
+import java.nio.file.Files
+
+case class Tick(k: String, day: String, v: Double)
+
+class CommitStreamSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  behavior of "CommitStream"
+
+  it should "stream the table's commits with their typed operations" in {
+    val dir = Files.createTempDirectory("graft-cstream-").toFile
+    val storeRoot = new File(dir, "store").toURI
+    val engine = VersionedTables.withFileStore(spark, storeRoot)
+    val table = TableDefinition(TableName("test", "ticks"), new File(dir, "ticks").toURI,
+      PartitionSchema("day"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    Seq(Tick("a", "d1", 1.0)).toDS().versionedInsertInto(engine, table, UserId("alice"), "load d1")
+    Seq(Tick("b", "d2", 2.0)).toDS().versionedInsertInto(engine, table, UserId("bob"), "load d2")
+
+    val q = CommitStream.commits(spark, storeRoot, table.name)
+      .writeStream.format("memory").queryName("commit_stream")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("commit_stream")
+      .orderBy("timestamp")
+      .select("userId", "message", "operations")
+      .collect()
+    rows.map(_.getString(1)).toList shouldBe List("init", "load d1", "load d2")
+    rows.map(_.getString(0)).toList shouldBe List("t", "alice", "bob")
+
+    val initOps = rows(0).getSeq[org.apache.spark.sql.Row](2)
+    initOps.map(_.getAs[String]("type")) shouldBe Seq("init-table")
+    val d1Ops = rows(1).getSeq[org.apache.spark.sql.Row](2)
+    d1Ops.map(_.getAs[String]("type")) shouldBe Seq("add-partition-version")
+    d1Ops.head.getAs[String]("partition") shouldBe "day=d1"
+    Version.parse(d1Ops.head.getAs[String]("version")).isRight shouldBe true
+
+    // commit ids in the stream are resolvable against the engine's log
+    val streamedIds = spark.table("commit_stream").select("id").as[String].collect().toSet
+    engine.log(table.name).map(_.id.id).toSet shouldBe streamedIds
+  }
+
+  it should "pick up commits that land after the first batch (incremental tailing)" in {
+    val dir = Files.createTempDirectory("graft-cstream2-").toFile
+    val storeRoot = new File(dir, "store").toURI
+    val engine = VersionedTables.withFileStore(spark, storeRoot)
+    val table = TableDefinition(TableName("test", "ticks2"), new File(dir, "ticks2").toURI,
+      PartitionSchema("day"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    Seq(Tick("a", "d1", 1.0)).toDS().versionedInsertInto(engine, table, UserId("t"), "first")
+
+    val checkpoint = new File(dir, "ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def drain(): Unit = {
+      val q = CommitStream.commits(spark, storeRoot, table.name)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.select("message").collect().foreach(r => seen.add(r.getString(0)))
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    drain()
+    seen.size() shouldBe 2 // init + first
+
+    Seq(Tick("b", "d2", 2.0)).toDS().versionedInsertInto(engine, table, UserId("t"), "second")
+    drain()
+    // restart from the checkpoint: only the NEW commit is appended
+    seen.size() shouldBe 3
+    seen.toArray.map(_.toString) should contain("second")
+  }
+}
