@@ -166,6 +166,38 @@ final class VersionedTables(
     }
   }
 
+  /** Retention report (VACUUM-style, reporting only — the engine never
+    * deletes data): version directories that are referenced by SOME commit
+    * but not visible in any of the last `keepLast` commits' table states.
+    * Deleting them caps time travel at `keepLast` commits back; anything NOT
+    * listed is either live or inside the retention window. Complements
+    * [[orphanedVersions]] (directories no commit references at all). */
+  def expirableVersions(table: TableDefinition, keepLast: Int): List[URI] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, was $keepLast")
+    val st = tracker.tableState(table.name)
+    // states still reachable once history is truncated to the last keepLast
+    // commits (head included even if older — it is what readers see NOW)
+    val keptIds = (st.updates.takeRight(keepLast).map(_.metadata.id) :+ st.currentVersion).distinct
+    val live: Set[(Option[Partition], Version)] = keptIds.flatMap { id =>
+      st.versionAt(id) match {
+        case PartitionedTableVersion(pvs) => pvs.toList.map { case (p, v) => (Some(p), v) }
+        case SnapshotTableVersion(v)      => List((None: Option[Partition], v))
+      }
+    }.toSet
+    val referenced: List[(Option[Partition], Version)] = st.updates.flatMap(_.operations).collect {
+      case TableOperation.AddPartitionVersion(p, v) => (Some(p), v)
+      case TableOperation.AddTableVersion(v)        => (None: Option[Partition], v)
+    }
+    referenced.distinct
+      .filterNot(live)
+      .filterNot { case (_, v) => v == Version.Unversioned } // adopted data lives at the root
+      .map {
+        case (Some(p), v) => VersionPaths.pathFor(p.resolvePath(table.location), v)
+        case (None, v)    => VersionPaths.pathFor(table.location, v)
+      }
+      .sortBy(_.toString)
+  }
+
   /** Read the current version of only the partitions matching `keep` — the
     * driver-side prune that makes partial reads O(selected partitions) at
     * 100 TB scale (no file listing outside the selection). */

@@ -162,6 +162,39 @@ class IncrementalCompactionSpec extends AnyFlatSpec with Matchers {
     vals shouldBe vals.sorted
   }
 
+  behavior of "expirableVersions"
+
+  it should "report superseded versions outside the retention window, partition-granular" in {
+    val (engine, table, _) = newTable()
+    Seq(Reading("a", "d1", 1.0), Reading("b", "d2", 2.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "w1")
+    val v1d1 = currentLabel(engine, table, "d1")
+    Seq(Reading("a", "d1", 10.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "w2") // supersedes d1 only
+    Seq(Reading("a", "d1", 100.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "w3")
+    val v3d1 = currentLabel(engine, table, "d1")
+
+    // generous retention: nothing expirable
+    engine.expirableVersions(table, keepLast = 10) shouldBe Nil
+
+    // keep only the latest commit: both old d1 versions go; d2's only version
+    // is still live in the head state and must NOT be listed
+    val expirable = engine.expirableVersions(table, keepLast = 1).map(_.toString)
+    expirable should have size 2
+    expirable.foreach { uri =>
+      uri should include("day=d1")
+      uri should not include v3d1
+    }
+    expirable.exists(_.contains(v1d1)) shouldBe true
+
+    // a checked-out head is protected even when older than the window
+    val commits = engine.log(table.name).reverse // oldest first: init, w1, w2, w3
+    engine.checkout(table.name, commits(1).id)
+    val afterCheckout = engine.expirableVersions(table, keepLast = 1).map(_.toString)
+    afterCheckout.exists(_.contains(v1d1)) shouldBe false // head state uses v1 again
+  }
+
   it should "honor filesPerPartition for partitions too big for one write task" in {
     val (engine, table, loc) = newTable()
     val rows = (1 to 100).map(i => Reading(s"s$i", "d1", i.toDouble))
