@@ -26,20 +26,24 @@ object Profile {
     val cols = if (columns.nonEmpty) columns else df.schema.fieldNames.toSeq
     require(cols.nonEmpty, "profile of zero columns")
 
+    // col(name) PARSES the name (dots, backticks) — quote so any legal Spark
+    // column name (spaces, quotes, backticks) resolves literally
+    def ref(name: String): Column = col("`" + name.replace("`", "``") + "`")
+
     def measures(c: String): Seq[Column] = {
       val dt = df.schema(c).dataType
       val (minN, maxN) = dt match {
-        case _: NumericType => (min(col(c)).cast("double"), max(col(c)).cast("double"))
+        case _: NumericType => (min(ref(c)).cast("double"), max(ref(c)).cast("double"))
         case _              => (lit(null).cast("double"), lit(null).cast("double"))
       }
       val (minS, maxS) = dt match {
-        case StringType => (min(col(c)), max(col(c)))
+        case StringType => (min(ref(c)), max(ref(c)))
         case _          => (lit(null).cast("string"), lit(null).cast("string"))
       }
       val distinct =
-        if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+        if (exact) countDistinct(ref(c)) else approx_count_distinct(ref(c))
       Seq(
-        count(col(c)).as(s"${c}__notnull"),
+        count(ref(c)).as(s"${c}__notnull"),
         distinct.as(s"${c}__distinct"),
         minN.as(s"${c}__min_num"), maxN.as(s"${c}__max_num"),
         minS.as(s"${c}__min_str"), maxS.as(s"${c}__max_str"))
@@ -47,10 +51,15 @@ object Profile {
 
     val one = df.agg(count(lit(1)).as("__rows"), cols.flatMap(measures): _*)
 
-    // pivot the single row to long format: one output row per profiled column
+    // pivot the single row to long format: one output row per profiled column.
+    // Column names are user input to this SQL fragment — escape string-literal
+    // quotes and identifier backticks so any legal Spark column name works.
+    def lit_(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def id(s: String) = "`" + s.replace("`", "``") + "`"
     val stackArgs = cols.map { c =>
-      s"'$c', `${c}__notnull`, `${c}__distinct`, `${c}__min_num`, `${c}__max_num`, " +
-        s"`${c}__min_str`, `${c}__max_str`"
+      s"${lit_(c)}, ${id(s"${c}__notnull")}, ${id(s"${c}__distinct")}, " +
+        s"${id(s"${c}__min_num")}, ${id(s"${c}__max_num")}, " +
+        s"${id(s"${c}__min_str")}, ${id(s"${c}__max_str")}"
     }.mkString(", ")
     one.selectExpr("__rows",
         s"stack(${cols.size}, $stackArgs) AS " +

@@ -56,8 +56,10 @@ final class VersionedTables(
   /** Metadata-only diff of the visible state between two commits: which
     * partitions were added / repointed / removed, without touching data.
     * Reuses the same diff the metastore sync runs ([[Metastore.computeChanges]]). */
-  def changesBetween(table: TableName, from: CommitId, to: CommitId): TableChanges =
-    Metastore.computeChanges(versionAt(table, from), versionAt(table, to))
+  def changesBetween(table: TableName, from: CommitId, to: CommitId): TableChanges = {
+    val st = tracker.tableState(table) // one log fetch for both endpoints
+    Metastore.computeChanges(st.versionAt(from), st.versionAt(to))
+  }
 
   /** Incremental (CDC-style) read: the rows of every partition that is new or
     * was repointed to a different version between `from` and `to`, read at
@@ -66,8 +68,9 @@ final class VersionedTables(
     * O(changed partitions) file listing, like every other read path here.
     * Partitions REMOVED in the range have no rows at `to` and so don't appear;
     * use [[changesBetween]] to enumerate removals. */
-  def readChangesBetween(table: TableDefinition, from: CommitId, to: CommitId): DataFrame =
-    (versionAt(table.name, from), versionAt(table.name, to)) match {
+  def readChangesBetween(table: TableDefinition, from: CommitId, to: CommitId): DataFrame = {
+    val st = tracker.tableState(table.name) // one log fetch for both endpoints
+    (st.versionAt(from), st.versionAt(to)) match {
       case (PartitionedTableVersion(a), PartitionedTableVersion(b)) =>
         val changed = b.filter { case (p, v) => !a.get(p).contains(v) }
         readVersion(table, PartitionedTableVersion(changed))
@@ -77,6 +80,7 @@ final class VersionedTables(
         throw new IllegalArgumentException(
           "Cannot diff partitioned and snapshot table versions")
     }
+  }
 
   /** Small-file compaction as a first-class versioned operation: rewrite the
     * CURRENT data of the selected partitions into a NEW version with
@@ -93,6 +97,11 @@ final class VersionedTables(
     * spread a few oversized partitions across F parallel writers; the
     * default is right for the common many-partitions case.
     *
+    * Snapshot tables are always rewritten whole — `keep` does not apply (a
+    * snapshot is one unit of data). A `keep` selecting zero partitions, an
+    * empty table, or a not-yet-versioned adopted snapshot is a NO-OP: no
+    * write, no commit, empty changes returned.
+    *
     * `clusterBy` additionally sorts rows on the given columns WITHIN each
     * output file (Delta OPTIMIZE-style clustering): Parquet row-group min/max
     * stats on those columns become tight, so later reads filtering on them
@@ -108,6 +117,14 @@ final class VersionedTables(
     import VersionedTables.DatasetVersionedOps
     import org.apache.spark.sql.functions.col
     require(filesPerPartition >= 1, s"filesPerPartition must be >= 1, was $filesPerPartition")
+    // empty selection (or never-written snapshot) is a NO-OP, not an error:
+    // a maintenance job whose filter matches nothing must not fail or commit
+    val currentState = tracker.currentVersion(table.name)
+    val selectionEmpty = currentState match {
+      case PartitionedTableVersion(pvs) => !pvs.keysIterator.exists(keep)
+      case SnapshotTableVersion(v)      => v == Version.Unversioned
+    }
+    if (selectionEmpty) return (currentState, TableChanges.empty)
     val current = readPartitions(table, keep)
     val partCols = table.partitionSchema.columnNames.map(col)
     val packed =
@@ -131,7 +148,7 @@ final class VersionedTables(
     val at = st.updates.filter(!_.metadata.timestamp.isAfter(instant)).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"No commit at or before $instant for ${table.name}"))
-    readVersion(table, st.copy(currentVersion = at.metadata.id).currentTableVersion)
+    readVersion(table, st.versionAt(at.metadata.id))
   }
 
   /** Audit report: `_version=` directories on disk that no commit in the

@@ -25,7 +25,9 @@ import java.net.URI
  * {{{
  *   CommitStream.commits(spark, storeRoot, table.name)
  *     .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
- *       batch.select("id").collect().foreach { row =>
+ *       // file-source batches are NOT ordered (files are bin-packed by size):
+ *       // re-establish commit order before walking the range
+ *       batch.orderBy("timestamp").select("id").collect().foreach { row =>
  *         val to = CommitId(row.getString(0))
  *         process(engine.readChangesBetween(table, lastSeen, to)); lastSeen = to
  *       }
@@ -48,8 +50,9 @@ object CommitStream {
       StructField("version", StringType),
       StructField("partition", StringType)))))))
 
-  /** Streaming frame of `table`'s commits, oldest-first within each batch
-    * (commit filenames sort in commit order; `latestFirst` stays false).
+  /** Streaming frame of `table`'s commits. Row order WITHIN a micro-batch is
+    * not defined (Spark's file source bin-packs files by size) — order by the
+    * `timestamp`/`commit_time` column when commit order matters.
     * `maxFilesPerTrigger` bounds commits per micro-batch for backpressure. */
   def commits(
       spark: SparkSession,

@@ -162,6 +162,20 @@ class IncrementalCompactionSpec extends AnyFlatSpec with Matchers {
     vals shouldBe vals.sorted
   }
 
+  it should "no-op (no write, no commit) when the keep predicate selects nothing" in {
+    val (engine, table, _) = newTable()
+    val rows = Seq(Reading("a", "d1", 1.0))
+    rows.toDS().versionedInsertInto(engine, table, UserId("t"), "w1")
+    val before = engine.log(table.name)
+    val (version, changes) = engine.compact(table, UserId("t"), "matches nothing",
+      keep = _.columnValues.exists(_.value == "no-such-day"))
+    changes.operations shouldBe Nil
+    version shouldBe engine.tracker.currentVersion(table.name)
+    engine.log(table.name) shouldBe before // no commit was appended
+    engine.read(table).select("sensor", "day", "value").as[Reading].collect() should
+      contain theSameElementsAs rows
+  }
+
   behavior of "expirableVersions"
 
   it should "report superseded versions outside the retention window, partition-granular" in {

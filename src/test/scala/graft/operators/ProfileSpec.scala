@@ -43,6 +43,15 @@ class ProfileSpec extends AnyFlatSpec with Matchers {
     Profile.profile(df, Seq("b")).collect().map(_.getString(0)).toList shouldBe List("b")
   }
 
+  it should "handle column names needing quoting (spaces, quotes, backticks)" in {
+    val df = Seq((1, "x", 2.0)).toDF("a col", "it's", "a`b")
+    val prof = Profile.profile(df).collect().map(r => r.getString(0) -> r).toMap
+    prof.keySet shouldBe Set("a col", "it's", "a`b")
+    prof("a col").getLong(3) shouldBe 1L // distinct
+    prof("it's").getString(6) shouldBe "x"
+    prof("a`b").getDouble(4) shouldBe 2.0
+  }
+
   it should "scan the input once (single aggregate over one scan)" in {
     val df = Seq((1, "x"), (2, "y")).toDF("a", "b")
     val plan = Profile.profile(df).queryExecution.optimizedPlan.toString()
