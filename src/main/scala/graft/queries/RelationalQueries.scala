@@ -408,7 +408,23 @@ object RelationalQueries {
     // --- one-pass column profiling (ANALYZE-style summary) ---
     "q_profile" -> ((s, d) =>
       graft.operators.Profile.profile(Tables.orders(s, d),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")))
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))),
+
+    // --- RANGE window frame (value-based bounds, vs q_window_frame's ROWS):
+    // per-customer rolling sum over an orderkey band; exact frame membership
+    // on bigints + decimal-exact sum => deterministic across engines ---
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rangeBetween(-100000L, 0L)
+      Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+          .as("band_total"))
+    }),
+
+    // --- unpivot (wide -> long reshape) ---
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d).selectExpr("l_orderkey", "l_linenumber",
+        "stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (measure, value)"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -695,6 +711,18 @@ object RelationalQueries {
            |FROM orders""".stripMargin
       Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
         num("o_totalprice"), str("o_orderpriority")).mkString("\nUNION ALL\n")
-    }
+    },
+
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey
+        |    RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS band_total
+        |FROM orders""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price' AS measure, l_extendedprice AS value FROM lineitem""".stripMargin
   )
 }
