@@ -95,7 +95,8 @@ case class FloatVectorDot(left: Expression, right: Expression)
  * built-in `xxhash64`, over the UTF-8 bytes of the space-joined shingle, so
  * values are identical to the composable formulation.
  */
-case class WordShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
+case class WordShingleHashes(
+    child: Expression, n: Int, distinct: Boolean = true, sorted: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   // CodegenFallback is fine here: the win over the HOF chain is eliminating
@@ -141,6 +142,7 @@ case class WordShingleHashes(child: Expression, n: Int, distinct: Boolean = true
         while (it.hasNext) { arr(k) = it.next(); k += 1 }
         arr
       }
+    if (sorted) java.util.Arrays.sort(result) // enables merge-walk set ops downstream
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(result)
   }
 
@@ -155,6 +157,70 @@ object WordShingleHashes {
     org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
   }
+}
+
+/**
+ * Intersection size of two SORTED distinct long arrays by a single merge walk
+ * — O(n+m) with zero allocation per pair, vs `size(array_intersect(a, b))`'s
+ * per-pair hash-set build. This is the pair-verification kernel of the
+ * n-gram-Jaccard and MinHash dedup stages: candidates × one evaluation each,
+ * so the per-pair constant dominates those queries. Inputs MUST be sorted
+ * ascending and duplicate-free ([[WordShingleHashes]] with `sorted = true`);
+ * unsorted input yields an undercount, not an error.
+ */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _                                                 => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $x.numElements(); int $m = $y.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** L2-normalize a float vector in one pass (zero vectors pass through).
@@ -247,9 +313,16 @@ object VectorExpressions {
     dotNative(a, b) / (l2normNative(a) * l2normNative(b))
 
   /** 64-bit hashes of word n-gram shingles, in one native pass.
-    * `distinct=false` keeps the multiset (for SimHash-style voting). */
-  def wordShingleHashes(text: Column, n: Int, distinct: Boolean = true): Column =
-    GraftSqlBridge.column(WordShingleHashes(GraftSqlBridge.expression(text), n, distinct))
+    * `distinct=false` keeps the multiset (for SimHash-style voting);
+    * `sorted=true` sorts ascending for merge-walk set ops. */
+  def wordShingleHashes(
+      text: Column, n: Int, distinct: Boolean = true, sorted: Boolean = false): Column =
+    GraftSqlBridge.column(WordShingleHashes(GraftSqlBridge.expression(text), n, distinct, sorted))
+
+  /** Merge-walk intersection size of two sorted distinct `array<bigint>`s. */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SortedIntersectSize(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** L2-normalize an `array<float>` vector. */
   def l2Normalize(a: Column): Column =

@@ -44,7 +44,9 @@ object Dedup {
     * downstream operates on the long array. Hash collisions are negligible
     * at 64 bits. */
   def shingleHashes(textCol: Column, shingleSize: Int = 3): Column =
-    graft.functions.VectorExpressions.wordShingleHashes(textCol, shingleSize)
+    // sorted: minhash re-hashing is order-independent, and the verification
+    // stage's merge-walk intersection requires sorted inputs
+    graft.functions.VectorExpressions.wordShingleHashes(textCol, shingleSize, sorted = true)
 
   /** One minhash value derived from pre-hashed shingles: min of a cheap
     * seeded re-hash of each 64-bit shingle hash. */
@@ -95,13 +97,16 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
 
-    // exact Jaccard verification on the hashed shingle sets
+    // exact Jaccard verification on the hashed shingle sets: codegen'd merge
+    // walk per pair (inputs sorted by shingleHashes), |A∪B| = |A|+|B|-|A∩B|
     candidates
       .join(hs.select(col("id").as("id1"), col("hs").as("sh1")), "id1")
       .join(hs.select(col("id").as("id2"), col("hs").as("sh2")), "id2")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sortedIntersectSize(col("sh1"), col("sh2"))
+          .cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))))
+        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
@@ -174,8 +179,11 @@ object Dedup {
     // compare hashed word sets (64-bit): set sizes and intersections are
     // identical to the string formulation up to negligible collision odds,
     // and long-array intersects are several times cheaper than string ones
+    // sorted hash sets: the per-pair intersection below is a codegen'd merge
+    // walk (no per-pair hash-set build) — the sort is paid once per DOC, the
+    // walk once per PAIR, and pairs outnumber docs by orders of magnitude
     val cols = col(idCol).as("id") +:
-      graft.functions.VectorExpressions.wordShingleHashes(col(textCol), 1).as("w") +:
+      graft.functions.VectorExpressions.wordShingleHashes(col(textCol), 1, sorted = true).as("w") +:
       blockCol.map(c => col(c).as("blk")).toSeq
     val sets = docs.select(cols: _*).withColumn("n", size(col("w"))).localCheckpoint()
     // positional size filter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs
@@ -188,9 +196,11 @@ object Dedup {
       case Some(_) => cond0 && col("a.blk") === col("b.blk")
       case None    => cond0
     }
-    // |A∪B| = |A|+|B|-|A∩B|: one array traversal per pair instead of two
+    // |A∪B| = |A|+|B|-|A∩B|: one merge walk per pair, no second traversal
     sets.as("a").join(sets.as("b"), cond)
-      .withColumn("inter", size(array_intersect(col("a.w"), col("b.w"))).cast("double"))
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sortedIntersectSize(col("a.w"), col("b.w"))
+          .cast("double"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         (col("inter") / (col("a.n") + col("b.n") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)

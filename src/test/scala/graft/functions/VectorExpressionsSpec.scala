@@ -66,6 +66,36 @@ class VectorExpressionsSpec extends AnyFlatSpec with Matchers {
     norm shouldBe got
   }
 
+  it should "emit ascending hashes when sorted=true, same set as unsorted" in {
+    val df = Seq("the quick brown fox the quick").toDF("t")
+    val unsorted = df.select(VectorExpressions.wordShingleHashes($"t", 2).as("h"))
+      .head().getAs[scala.collection.Seq[Long]]("h")
+    val sorted = df.select(VectorExpressions.wordShingleHashes($"t", 2, sorted = true).as("h"))
+      .head().getAs[scala.collection.Seq[Long]]("h")
+    sorted.toList shouldBe unsorted.toList.sorted
+    sorted.toSet shouldBe unsorted.toSet
+  }
+
+  "sortedIntersectSize" should "count common elements of sorted distinct arrays" in {
+    val df = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L), 2),  // {3,5}
+      (Array(1L, 2L), Array(3L, 4L), 0),
+      (Array[Long](), Array(1L), 0),
+      (Array(7L, 8L, 9L), Array(7L, 8L, 9L), 3)
+    ).toDF("a", "b", "expected")
+    df.select(VectorExpressions.sortedIntersectSize($"a", $"b").as("got"), $"expected")
+      .collect().foreach(r => r.getInt(0) shouldBe r.getInt(1))
+    // agrees with array_intersect on real shingle data
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+      .select(VectorExpressions.wordShingleHashes($"text", 1, sorted = true).as("w"))
+    val pairs = docs.as("x").crossJoin(docs.as("y"))
+      .select(
+        VectorExpressions.sortedIntersectSize($"x.w", $"y.w").as("merge"),
+        org.apache.spark.sql.functions.size(array_intersect($"x.w", $"y.w")).as("hash"))
+      .filter($"merge" =!= $"hash")
+    pairs.count() shouldBe 0
+  }
+
   "l2Normalize" should "produce unit vectors and pass zero vectors through" in {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val norms = emb.select(
