@@ -57,11 +57,16 @@ object GraftExtensions {
       args => { arity("quantize_int8", 1, args); QuantizeVector(args.head) }),
     ("word_shingle_hashes",
       info("word_shingle_hashes",
-        "_FUNC_(text, n) - distinct xxhash64 values of the text's word n-gram shingles"),
+        "_FUNC_(text, n) - distinct sorted xxhash64 values of the text's word n-gram shingles"),
       args => {
         arity("word_shingle_hashes", 2, args)
-        WordShingleHashes(args.head, litInt("word_shingle_hashes n", args(1)))
-      }))
+        // sorted in the SQL surface: composes directly with sorted_intersect_size
+        WordShingleHashes(args.head, litInt("word_shingle_hashes n", args(1)), sorted = true)
+      }),
+    ("sorted_intersect_size",
+      info("sorted_intersect_size",
+        "_FUNC_(a, b) - intersection size of two sorted distinct bigint arrays (merge walk)"),
+      args => { arity("sorted_intersect_size", 2, args); SortedIntersectSize(args(0), args(1)) }))
 
   /** Register on a live session (idempotent: re-registration replaces). */
   def register(spark: SparkSession): Unit = {

@@ -41,10 +41,20 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
     df.createOrReplaceTempView("one_doc")
     val sqlV = spark.sql("SELECT word_shingle_hashes(t, 3) AS h FROM one_doc")
       .head().getSeq[Long](0)
-    val colV = df.select(VectorExpressions.wordShingleHashes($"t", 3).as("h"))
+    val colV = df.select(VectorExpressions.wordShingleHashes($"t", 3, sorted = true).as("h"))
       .head().getSeq[Long](0)
     sqlV shouldBe colV
     sqlV.length shouldBe 3
+  }
+
+  it should "compose word_shingle_hashes with sorted_intersect_size for SQL jaccard" in {
+    import spark.implicits._
+    Seq(("a b c d", "b c d e")).toDF("t1", "t2").createOrReplaceTempView("doc_pair")
+    val inter = spark.sql(
+      """SELECT sorted_intersect_size(
+        |  word_shingle_hashes(t1, 1), word_shingle_hashes(t2, 1)) AS i
+        |FROM doc_pair""".stripMargin).head().getInt(0)
+    inter shouldBe 3 // {b, c, d}
   }
 
   it should "reject wrong arity and non-literal shingle size at analysis time" in {
