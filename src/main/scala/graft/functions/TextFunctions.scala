@@ -92,6 +92,45 @@ object TextFunctions {
     (swTerm + lenTerm + punctTerm) / 3
   }
 
+  // --- fused single-pass statistics (the scale path) ---
+
+  /** Every count the functions above derive, in ONE pass over the text
+    * ([[TextStats]]): struct(n_tokens, sw_en, sw_es, sw_de, sw_fr, n_punct,
+    * n_nonspace, n_chars). The composed forms above are the semantic
+    * reference; the `*FromStats` helpers below reproduce their arithmetic
+    * bit-for-bit from the struct, so a pipeline computes the stats once and
+    * derives everything downstream. */
+  def textStats(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      TextStats(org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
+  /** [[langId]] from a [[textStats]] struct. */
+  def langIdFromStats(st: Column): Column = {
+    val en = st.getField("sw_en"); val es = st.getField("sw_es")
+    val de = st.getField("sw_de"); val fr = st.getField("sw_fr")
+    when(en + es + de + fr === 0, lit("und"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** [[meanWordLength]] from a [[textStats]] struct. */
+  def meanWordLengthFromStats(st: Column): Column =
+    st.getField("n_nonspace") / st.getField("n_tokens")
+
+  /** [[qualityScore]] from a [[textStats]] struct (identical arithmetic —
+    * same int-division-to-double promotions, same thresholds). */
+  def qualityScoreFromStats(st: Column): Column = {
+    val sw = st.getField("sw_en") / st.getField("n_tokens")
+    val mwl = meanWordLengthFromStats(st)
+    val punct = st.getField("n_punct") / st.getField("n_chars")
+    val swTerm = when(sw > 0.4, lit(1.0)).otherwise(sw / 0.4)
+    val lenTerm = when(mwl >= 3 && mwl <= 10, lit(1.0)).otherwise(lit(0.5))
+    val punctTerm = when(punct > 0.2, lit(0.0)).otherwise(lit(1.0) - punct / 0.2)
+    (swTerm + lenTerm + punctTerm) / 3
+  }
+
   // --- fingerprinting ---
 
   /** Whole-document fingerprint (content hash). */

@@ -26,18 +26,26 @@ object PipelineQueries {
   val defs: Map[String, Q] = Map(
     // --- text analysis ---
     "q_text_stats" -> ((s, d) => {
-      val t = col("text")
-      Tables.documents(s, d).select(
+      // fused path: ONE TextStats pass per row computes every count. No
+      // barrier needed: CollapseProject only inlines CHEAP multiply-referenced
+      // producers, so the struct stays a single evaluation feeding the 11
+      // field references (verified: one text_stats( in the optimized plan).
+      // Composed equivalents (tokenCount/langId/qualityScore/...) are the
+      // semantic reference, pinned equal in TextFunctionsSpec.
+      val stats = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), textStats(col("text")).as("st"))
+      val st = col("st")
+      stats.select(
         col("doc_id"), col("lang"),
-        tokenCount(t).as("n_tokens"),
-        punctCount(t).as("n_punct"),
-        stopwordCount(t, StopwordsEn).as("sw_en"),
-        stopwordCount(t, StopwordsEs).as("sw_es"),
-        stopwordCount(t, StopwordsDe).as("sw_de"),
-        stopwordCount(t, StopwordsFr).as("sw_fr"),
-        langId(t).as("lang_pred"),
-        meanWordLength(t).as("mean_word_len"),
-        qualityScore(t).as("quality"))
+        st.getField("n_tokens").as("n_tokens"),
+        st.getField("n_punct").as("n_punct"),
+        st.getField("sw_en").as("sw_en"),
+        st.getField("sw_es").as("sw_es"),
+        st.getField("sw_de").as("sw_de"),
+        st.getField("sw_fr").as("sw_fr"),
+        langIdFromStats(st).as("lang_pred"),
+        meanWordLengthFromStats(st).as("mean_word_len"),
+        qualityScoreFromStats(st).as("quality"))
     }),
 
     "q_token_count" -> ((s, d) =>
@@ -105,11 +113,14 @@ object PipelineQueries {
       // surviving projection) — and `text` itself never leaves this stage
       val scored = Tables.documents(s, d).select(
         col("doc_id"), col("lang"), col("source"),
-        tokenCount(t).as("n_tokens"),
-        langId(t).as("lang_pred"),
-        qualityScore(t).as("quality"),
+        textStats(t).as("st"), // ONE fused pass replaces tokenCount+langId+quality
         vocabHash.as("vocab_hash"))
         .localCheckpoint()
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("st").getField("n_tokens").as("n_tokens"),
+          langIdFromStats(col("st")).as("lang_pred"),
+          qualityScoreFromStats(col("st")).as("quality"),
+          col("vocab_hash"))
       val filtered = scored
         .filter(col("quality") >= 0.5 && col("n_tokens") >= 10 && col("lang_pred") === col("lang"))
       Dedup.exactDedup(filtered, idCol = "doc_id", textCol = "vocab_hash")

@@ -51,6 +51,48 @@ class TextFunctionsSpec extends AnyFlatSpec with Matchers {
     qs should (be >= 0.0 and be <= 1.0)
   }
 
+  "textStats (fused)" should "equal the composed formulations field-for-field" in {
+    import org.apache.spark.sql.functions.col
+    // adversarial edges: empty, whitespace-only, leading tab (Spark trim
+    // strips SPACES only; Java split keeps a leading empty token), trailing
+    // whitespace, unicode, NBSP (non-space under Java \s), punctuation soup
+    val edges = Seq(
+      "", " ", "\t", "\tleading tab", "trailing tab\t", "\tboth\t",
+      "a  b\tc\nd", "trailing space  ",
+      "the of and to in is a that for it", "el la de que y en un",
+      "der die und das zu den", "le la les de des et un",
+      "über naïve café   nbsp", "!!!...;;;:::", "one",
+      "  spaces all around  ", "mixed THE Of AnD tokens")
+    val df = edges.toDF("t")
+    val fused = df.select(textStats(col("t")).as("st"))
+      .select(col("st.n_tokens"), col("st.sw_en"), col("st.sw_es"), col("st.sw_de"),
+        col("st.sw_fr"), col("st.n_punct"), col("st.n_nonspace"), col("st.n_chars"))
+      .collect().map(_.toSeq)
+    val composed = df.select(
+        tokenCount(col("t")),
+        stopwordCount(col("t"), StopwordsEn), stopwordCount(col("t"), StopwordsEs),
+        stopwordCount(col("t"), StopwordsDe), stopwordCount(col("t"), StopwordsFr),
+        punctCount(col("t")),
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.trim(col("t")), "\\s+", "")),
+        org.apache.spark.sql.functions.length(col("t")))
+      .collect().map(_.toSeq)
+    fused.zip(composed).zip(edges).foreach { case ((f, c), t) =>
+      withClue(s"text='$t': ") { f shouldBe c }
+    }
+    // and the derived columns agree on real documents
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = docs.select(textStats(col("text")).as("st"), col("text"))
+      .select(
+        langIdFromStats(col("st")).as("lp_f"), langId(col("text")).as("lp_c"),
+        qualityScoreFromStats(col("st")).as("q_f"), qualityScore(col("text")).as("q_c"),
+        meanWordLengthFromStats(col("st")).as("m_f"), meanWordLength(col("text")).as("m_c"))
+    both.filter(col("lp_f") =!= col("lp_c")).count() shouldBe 0
+    both.filter(col("q_f") =!= col("q_c")).count() shouldBe 0
+    both.filter(col("m_f") =!= col("m_c")).count() shouldBe 0
+  }
+
   "fingerprints" should "be stable and shingle-min robust to word appends" in {
     val t = "the quick brown fox jumps over the lazy dog"
     one[String](docFingerprint($"t"), t) shouldBe one[String](docFingerprint($"t"), t + " ")
