@@ -66,7 +66,11 @@ object GraftExtensions {
     ("sorted_intersect_size",
       info("sorted_intersect_size",
         "_FUNC_(a, b) - intersection size of two sorted distinct bigint arrays (merge walk)"),
-      args => { arity("sorted_intersect_size", 2, args); SortedIntersectSize(args(0), args(1)) }))
+      args => { arity("sorted_intersect_size", 2, args); SortedIntersectSize(args(0), args(1)) }),
+    ("text_stats",
+      info("text_stats",
+        "_FUNC_(text) - single-pass struct(n_tokens, sw_en, sw_es, sw_de, sw_fr, n_punct, n_nonspace, n_chars)"),
+      args => { arity("text_stats", 1, args); TextStats(args.head) }))
 
   /** Register on a live session (idempotent: re-registration replaces). */
   def register(spark: SparkSession): Unit = {

@@ -57,6 +57,16 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
     inter shouldBe 3 // {b, c, d}
   }
 
+  it should "evaluate text_stats in SQL" in {
+    // s.* expands the struct into top-level int columns
+    val r = spark.sql(
+      "SELECT s.* FROM (SELECT text_stats('the quick fox. el fin.') AS s)").head()
+    r.getInt(0) shouldBe 5  // n_tokens
+    r.getInt(1) shouldBe 1  // sw_en: 'the'
+    r.getInt(2) shouldBe 1  // sw_es: 'el'
+    r.getInt(5) shouldBe 2  // n_punct: two periods
+  }
+
   it should "reject wrong arity and non-literal shingle size at analysis time" in {
     spark.sql("SELECT 1").collect() // force session init
     an[Exception] should be thrownBy
