@@ -223,6 +223,91 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Sign-bucket id from `planes` deterministic random hyperplanes, fused: one
+ * pass over the vector per plane with PRECOMPUTED weights. Replaces the
+ * zip_with/sequence/aggregate HOF chain in [[graft.operators.Similarity]] —
+ * that form is CodegenFallback anyway, and re-derives every weight via three
+ * chained xxhash64 calls per (plane, dim) per ROW; here the weight table is
+ * computed once per executor and reused. Weights replicate the HOF
+ * formulation's values EXACTLY (same Spark XXH64 chain, pmod, and [-1, 1)
+ * mapping), so buckets are bit-identical to the reference form
+ * ([[graft.operators.Similarity.lshBucketHof]], pinned in SimilaritySpec).
+ * Returns NULL if any vector element is NULL.
+ */
+case class HyperplaneLshBucket(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(planes >= 1 && planes <= 63, s"planes must be in [1, 63], was $planes")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hyperplane_lsh_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+
+  // weight table [plane][dim], grown to the widest vector seen; benign race
+  // (recomputation is idempotic and deterministic)
+  @transient private var weights: Array[Array[Double]] = _
+
+  private def weightsFor(dims: Int): Array[Array[Double]] = {
+    val w = weights
+    if (w != null && w(0).length >= dims) w
+    else {
+      val fresh = Array.tabulate(planes, dims)((p, i) => HyperplaneLshBucket.weight(p, i))
+      weights = fresh
+      fresh
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val w = weightsFor(n)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val wp = w(p)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        acc += arr.getFloat(i).toDouble * wp(i)
+        i += 1
+      }
+      if (acc >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneLshBucket {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  private val SeedTag: org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString("graft-lsh")
+
+  /** Exactly `(pmod(xxhash64('graft-lsh', plane, dim), 20001) - 10000) / 10000.0`
+    * as Spark's XxHash64 expression evaluates it (seed 42, left-to-right
+    * chaining, int operands hashed with hashInt). */
+  private[functions] def weight(plane: Int, dim: Int): Double = {
+    val h1 = XXH64.hashUnsafeBytes(SeedTag.getBaseObject, SeedTag.getBaseOffset, SeedTag.numBytes(), 42L)
+    val h2 = XXH64.hashInt(plane, h1)
+    val h3 = XXH64.hashInt(dim, h2)
+    val r = h3 % 20001L
+    val pm = if (r < 0) r + 20001L else r
+    (pm - 10000L) / 10000.0
+  }
+}
+
 /** L2-normalize a float vector in one pass (zero vectors pass through).
   * Any null element yields NULL — same semantics as [[FloatVectorDot]]. */
 case class NormalizeVector(child: Expression)
@@ -323,6 +408,10 @@ object VectorExpressions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftSqlBridge.column(SortedIntersectSize(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Fused random-hyperplane LSH bucket of an `array<float>` vector. */
+  def hyperplaneLshBucket(vec: Column, planes: Int): Column =
+    GraftSqlBridge.column(HyperplaneLshBucket(GraftSqlBridge.expression(vec), planes))
 
   /** L2-normalize an `array<float>` vector. */
   def l2Normalize(a: Column): Column =

@@ -61,8 +61,16 @@ object Similarity {
   private def planeComponent(plane: Int, dim: Column): Column =
     (pmod(xxhash64(lit("graft-lsh"), lit(plane), dim), lit(20001L)) - 10000L) / 10000.0
 
-  /** Sign-bucket id from `planes` random hyperplanes. */
-  def lshBucket(vec: Column, planes: Int): Column = {
+  /** Sign-bucket id from `planes` random hyperplanes — fused native kernel
+    * with a precomputed weight table ([[graft.functions.VectorExpressions
+    * .hyperplaneLshBucket]]); bit-identical to [[lshBucketHof]]. */
+  def lshBucket(vec: Column, planes: Int): Column =
+    graft.functions.VectorExpressions.hyperplaneLshBucket(vec, planes)
+
+  /** The composable HOF formulation — kept as the semantic reference for the
+    * native kernel (parity pinned in SimilaritySpec). Re-derives every weight
+    * via three chained xxhash64 calls per (plane, dim) per row. */
+  def lshBucketHof(vec: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x * planeComponent(p, i)),

@@ -38,6 +38,16 @@ class SimilaritySpec extends AnyFlatSpec with Matchers {
     out.foreach(r => r.getAs[Long]("query_id") should not be r.getAs[Long]("neighbor_id"))
   }
 
+  "lshBucket (native)" should "be bit-identical to the HOF reference formulation" in {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val mismatches = emb.select(
+        Similarity.lshBucket(col("embedding"), 6).as("native"),
+        Similarity.lshBucketHof(col("embedding"), 6).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    mismatches.count() shouldBe 0
+  }
+
   "lshTopK" should "retrieve high-cosine neighbors with decent recall on real data" in {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 16)
