@@ -93,6 +93,42 @@ class TextFunctionsSpec extends AnyFlatSpec with Matchers {
     both.filter(col("m_f") =!= col("m_c")).count() shouldBe 0
   }
 
+  it should "equal the composed formulations on generated adversarial strings" in {
+    import org.apache.spark.sql.functions.col
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // characters chosen to stress every boundary: all Java \s chars, NBSP
+    // (non-space under \s), stopwords, ASCII upper/lower, punctuation,
+    // digits, unicode letters, astral plane (surrogate pairs)
+    val atom = Gen.oneOf(
+      Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r", "\u00A0"),
+      Gen.oneOf(TextFunctions.StopwordsEn ++ TextFunctions.StopwordsEs ++
+        TextFunctions.StopwordsDe ++ TextFunctions.StopwordsFr),
+      Gen.oneOf("THE", "Der", "lE", "Une"),
+      Gen.oneOf(".", "!", "?", ",", ";", ":", "..."),
+      Gen.oneOf("word", "x", "überlang", "naïve", "😀", "a1b2", "    "))
+    val genText = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, atom).map(_.mkString))
+    val texts = Gen.listOfN(400, genText).apply(Gen.Parameters.default, Seed(7L)).get
+    val df = texts.toDF("t")
+    val fused = df.select(textStats(col("t")).as("st"))
+      .select(col("st.n_tokens"), col("st.sw_en"), col("st.sw_es"), col("st.sw_de"),
+        col("st.sw_fr"), col("st.n_punct"), col("st.n_nonspace"), col("st.n_chars"))
+      .collect().map(_.toSeq)
+    val composed = df.select(
+        tokenCount(col("t")),
+        stopwordCount(col("t"), StopwordsEn), stopwordCount(col("t"), StopwordsEs),
+        stopwordCount(col("t"), StopwordsDe), stopwordCount(col("t"), StopwordsFr),
+        punctCount(col("t")),
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.trim(col("t")), "\\s+", "")),
+        org.apache.spark.sql.functions.length(col("t")))
+      .collect().map(_.toSeq)
+    fused.zip(composed).zip(texts).foreach { case ((f, c), t) =>
+      withClue(s"text=${t.map(ch => f"\\u${ch.toInt}%04x").mkString}: ") { f shouldBe c }
+    }
+  }
+
   "fingerprints" should "be stable and shingle-min robust to word appends" in {
     val t = "the quick brown fox jumps over the lazy dog"
     one[String](docFingerprint($"t"), t) shouldBe one[String](docFingerprint($"t"), t + " ")
