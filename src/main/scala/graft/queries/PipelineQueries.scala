@@ -23,6 +23,25 @@ object PipelineQueries {
   private def vocabHash: org.apache.spark.sql.Column =
     md5(concat_ws(" ", array_sort(wordSet(col("text")))))
 
+  /** One versioned IVF index per (session, sfDir), built on first use. */
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (graft.operators.VersionedTables, graft.core.TableDefinition)]()
+
+  private def ivfFixture(s: SparkSession, d: String)
+      : (graft.operators.VersionedTables, graft.core.TableDefinition) =
+    ivfCache.computeIfAbsent((s, d), _ => {
+      import graft.core._
+      graft.Tables.prepare(s)
+      val root = java.nio.file.Files.createTempDirectory("graft-ivf-q-")
+      val engine = graft.operators.VersionedTables.withFileStore(s, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", "ivf_index"),
+        root.resolve("ivf").toUri, graft.operators.VectorIndex.indexSchema, FileFormat.Parquet)
+      engine.initTable(table, UserId("driver"), "init")
+      graft.operators.VectorIndex.buildIvf(engine, table, graft.Tables.embeddings(s, d),
+        nlist = 16, userId = UserId("driver"))
+      (engine, table)
+    })
+
   val defs: Map[String, Q] = Map(
     // --- text analysis ---
     "q_text_stats" -> ((s, d) => {
@@ -101,6 +120,15 @@ object PipelineQueries {
       // blocking would be pure recall loss; the LSH-blocked path is exercised
       // in SimilaritySpec with planted duplicates
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.4, planes = 0)),
+
+    // --- versioned IVF index: build once (cell-partitioned versioned table),
+    // query via partition-pruned cell reads. Engine-specific layout => rows-
+    // only check; recall and version semantics pinned in VectorIndexSpec. ---
+    "q_ann_ivf_index" -> ((s, d) => {
+      val (engine, table) = ivfFixture(s, d)
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 16)
+      graft.operators.VectorIndex.queryIvf(engine, table, queries, k = 10, nprobe = 4)
+    }),
 
     // --- composed curation pipeline (capstone): quality filter -> language
     // agreement -> exact dedup under vocab normalization -> per-doc stats ---

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.core._
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import java.io.File
+import java.nio.file.Files
+
+class VectorIndexSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+
+  private def newIndexTable(): (VersionedTables, TableDefinition) = {
+    val dir = Files.createTempDirectory("graft-ivf-").toFile
+    val engine = VersionedTables.withFileStore(spark, new File(dir, "store").toURI)
+    val table = TableDefinition(TableName("test", "ivf"), new File(dir, "ivf").toURI,
+      VectorIndex.indexSchema, FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    (engine, table)
+  }
+
+  private def emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  behavior of "VectorIndex (versioned IVF)"
+
+  it should "build a cell-partitioned index and answer queries with solid recall" in {
+    val (engine, table) = newIndexTable()
+    VectorIndex.buildIvf(engine, table, emb, nlist = 8, userId = UserId("t"))
+
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaIndex = VectorIndex.queryIvf(engine, table, queries, k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & viaIndex).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF-index recall unexpectedly low: $recall")
+  }
+
+  it should "list only the probed cells' files (partition pruning IS the inverted file)" in {
+    val (engine, table) = newIndexTable()
+    VectorIndex.buildIvf(engine, table, emb, nlist = 8, userId = UserId("t"))
+    val allFiles = engine.read(table).inputFiles.length
+    val oneProbe = VectorIndex.queryIvf(engine, table, emb.filter(col("vec_id") === 0),
+      k = 3, nprobe = 1)
+    // candidate scan touches 1 data cell + the centroid partition; the full
+    // index has 8 data cells + centroids
+    oneProbe.inputFiles.length should be < allFiles
+    oneProbe.count() shouldBe 3
+  }
+
+  it should "version rebuilds atomically and keep old index versions queryable" in {
+    val (engine, table) = newIndexTable()
+    VectorIndex.buildIvf(engine, table, emb, nlist = 4, userId = UserId("t"), message = "v1")
+    val v1 = engine.log(table.name).head.id
+    val q = emb.filter(col("vec_id") < 4)
+    val r1 = VectorIndex.queryIvf(engine, table, q, k = 3)
+      .select("query_id", "neighbor_id").collect().toSet
+
+    // rebuild with different geometry — a new version, atomically visible
+    VectorIndex.buildIvf(engine, table, emb, nlist = 8, userId = UserId("t"), message = "v2")
+    engine.log(table.name).head.id should not be v1
+    VectorIndex.queryIvf(engine, table, q, k = 3).count() shouldBe r1.size.toLong
+
+    // time travel: the OLD index version (including its centroids) still answers
+    val r1again = VectorIndex.queryIvf(engine, table, q, k = 3, at = Some(v1))
+      .select("query_id", "neighbor_id").collect().toSet
+    r1again shouldBe r1
+  }
+
+  it should "reject tables not partitioned by cell" in {
+    val dir = Files.createTempDirectory("graft-ivf-bad-").toFile
+    val engine = VersionedTables.withFileStore(spark, new File(dir, "store").toURI)
+    val bad = TableDefinition(TableName("test", "bad"), new File(dir, "bad").toURI,
+      PartitionSchema("day"), FileFormat.Parquet)
+    engine.initTable(bad, UserId("t"), "init")
+    an[IllegalArgumentException] should be thrownBy
+      VectorIndex.buildIvf(engine, bad, emb)
+  }
+}
