@@ -166,7 +166,9 @@ object WordShingleHashes {
  * n-gram-Jaccard and MinHash dedup stages: candidates × one evaluation each,
  * so the per-pair constant dominates those queries. Inputs MUST be sorted
  * ascending and duplicate-free ([[WordShingleHashes]] with `sorted = true`);
- * unsorted input yields an undercount, not an error.
+ * unsorted input yields an undercount, not an error. NULL elements violate
+ * the contract too (no defined sort position): the walk returns NULL when it
+ * hits one, and never reads a null slot as garbage.
  */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -193,6 +195,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     val n = x.numElements(); val m = y.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < n && j < m) {
+      if (x.isNullAt(i) || y.isNullAt(j)) return null
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv == yv) { c += 1; i += 1; j += 1 }
       else if (xv < yv) i += 1
@@ -211,11 +214,12 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |int $n = $x.numElements(); int $m = $y.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $n && $j < $m) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($j)) { ${ev.isNull} = true; break; }
          |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
          |  if ($xv == $yv) { $c++; $i++; $j++; }
          |  else if ($xv < $yv) { $i++; } else { $j++; }
          |}
-         |${ev.value} = $c;
+         |if (!${ev.isNull}) ${ev.value} = $c;
        """.stripMargin
     })
 
@@ -232,8 +236,11 @@ case class SortedIntersectSize(left: Expression, right: Expression)
  * computed once per executor and reused. Weights replicate the HOF
  * formulation's values EXACTLY (same Spark XXH64 chain, pmod, and [-1, 1)
  * mapping), so buckets are bit-identical to the reference form
- * ([[graft.operators.Similarity.lshBucketHof]], pinned in SimilaritySpec).
- * Returns NULL if any vector element is NULL.
+ * ([[graft.operators.Similarity.lshBucketHof]], pinned in SimilaritySpec) —
+ * including the degenerate cases: a NULL element nulls every projection and
+ * `when(null >= 0, bit).otherwise(0)` yields bucket 0 in the HOF form, and an
+ * empty vector's zip_with-padded aggregate is likewise null → bucket 0; this
+ * kernel returns 0 for both.
  */
 case class HyperplaneLshBucket(child: Expression, planes: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -250,9 +257,12 @@ case class HyperplaneLshBucket(child: Expression, planes: Int)
       s"$prettyName requires array<float>, got ${other.simpleString}")
   }
 
-  // weight table [plane][dim], grown to the widest vector seen; benign race
-  // (recomputation is idempotic and deterministic)
-  @transient private var weights: Array[Array[Double]] = _
+  // weight table [plane][dim], grown to the widest vector seen, built once
+  // per deserialized expression instance (i.e. per task). @volatile publishes
+  // the fully-built table: a concurrent reader either sees null (and
+  // recomputes the same deterministic values) or a complete table — never a
+  // partially-visible one.
+  @transient @volatile private var weights: Array[Array[Double]] = _
 
   private def weightsFor(dims: Int): Array[Array[Double]] = {
     val w = weights
@@ -267,6 +277,7 @@ case class HyperplaneLshBucket(child: Expression, planes: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0) return 0L // HOF parity: empty vector -> every projection null -> bucket 0
     val w = weightsFor(n)
     var bucket = 0L
     var p = 0
@@ -275,7 +286,7 @@ case class HyperplaneLshBucket(child: Expression, planes: Int)
       var acc = 0.0
       var i = 0
       while (i < n) {
-        if (arr.isNullAt(i)) return null
+        if (arr.isNullAt(i)) return 0L // HOF parity: null element nulls every projection
         acc += arr.getFloat(i).toDouble * wp(i)
         i += 1
       }

@@ -133,19 +133,10 @@ object Similarity {
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid"))
 
     // 2. cell assignment by argmin cosine distance (rank over the expansion)
-    def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("cos_c").desc, col("cell"))
-      df.crossJoin(centroidDf)
-        .withColumn("cos_c", cosine(col(vec), col("centroid")))
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= probes)
-        .drop("centroid", "cos_c", "cell_rank")
-    }
-
-    val c = assign(candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-      "neighbor_id", "cv", probes = 1)
-    val q = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv", probes = nprobe)
+    val c = assignCells(candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "neighbor_id", "cv", centroidDf, probes = 1)
+    val q = assignCells(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv", centroidDf, probes = nprobe)
 
     // 3. exact cosine ranking within the probed cells
     val scored = c.join(q, Seq("cell"))
@@ -155,6 +146,20 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Nearest-`probes` centroid cells per row: argmin by cosine distance with
+    * a deterministic tiebreak on cell id. `centroidDf` must have columns
+    * `(cell: int, centroid: array<float>)`. Shared by [[ivfTopK]] and the
+    * persisted [[VectorIndex]] so both assign vectors to cells identically. */
+  private[operators] def assignCells(
+      df: DataFrame, id: String, vec: String, centroidDf: DataFrame, probes: Int): DataFrame = {
+    val w = Window.partitionBy(col(id)).orderBy(col("cos_c").desc, col("cell"))
+    df.crossJoin(centroidDf)
+      .withColumn("cos_c", cosine(col(vec), col("centroid")))
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= probes)
+      .drop("centroid", "cos_c", "cell_rank")
   }
 
   /** Driver-side Lloyd's k-means with deterministic initialization (every

@@ -361,7 +361,29 @@ object VersionedTables {
         table: TableDefinition,
         userId: UserId,
         message: String,
-        clusterBy: Seq[String]): (TableVersion, TableChanges) = {
+        clusterBy: Seq[String]): (TableVersion, TableChanges) =
+      write(engine, table, userId, message, clusterBy, replaceAll = false)
+
+    /** INSERT-OVERWRITE-TABLE semantics for partitioned tables: one atomic
+      * commit that adds every partition present in `ds` AND removes every
+      * current partition absent from it — the table's visible content becomes
+      * exactly `ds`. (Plain `versionedInsertInto` leaves absent partitions
+      * untouched.) Removed partitions' data stays on disk for time travel. */
+    def versionedReplaceAll(
+        engine: VersionedTables,
+        table: TableDefinition,
+        userId: UserId,
+        message: String,
+        clusterBy: Seq[String] = Nil): (TableVersion, TableChanges) =
+      write(engine, table, userId, message, clusterBy, replaceAll = true)
+
+    private def write(
+        engine: VersionedTables,
+        table: TableDefinition,
+        userId: UserId,
+        message: String,
+        clusterBy: Seq[String],
+        replaceAll: Boolean): (TableVersion, TableChanges) = {
       checkSparkConfigs(ds.sparkSession)
       val version = Version.generate()
       val ops: List[TableOperation] =
@@ -370,7 +392,17 @@ object VersionedTables {
           val parts = partitionValues(ds, table.partitionSchema)
           require(parts.nonEmpty,
             s"Dataset has no rows for partition columns ${table.partitionSchema.columnNames}")
-          parts.map(TableOperation.AddPartitionVersion(_, version))
+          val adds = parts.map(TableOperation.AddPartitionVersion(_, version))
+          val removes =
+            if (!replaceAll) Nil
+            else engine.tracker.currentVersion(table.name) match {
+              case PartitionedTableVersion(pvs) =>
+                val kept = parts.toSet
+                pvs.keysIterator.filterNot(kept).toList.sortBy(_.toPath)
+                  .map(TableOperation.RemovePartition(_))
+              case _: SnapshotTableVersion => Nil
+            }
+          adds ++ removes
         }
       writeWithVersion(table, version, clusterBy)
       engine.versioned.commit(

@@ -48,6 +48,23 @@ class SimilaritySpec extends AnyFlatSpec with Matchers {
     mismatches.count() shouldBe 0
   }
 
+  it should "match the HOF reference on degenerate vectors (null element, empty)" in {
+    import org.apache.spark.sql.functions.col
+    val degenerate = spark.sql(
+      """SELECT CAST(array(1.0F, NULL, 3.0F) AS array<float>) AS embedding
+        |UNION ALL
+        |SELECT CAST(array() AS array<float>) AS embedding""".stripMargin)
+    val rows = degenerate.select(
+      Similarity.lshBucket(col("embedding"), 4).as("native"),
+      Similarity.lshBucketHof(col("embedding"), 4).as("hof")).collect()
+    rows.foreach { r =>
+      withClue(r.toString) {
+        r.isNullAt(0) shouldBe r.isNullAt(1)
+        if (!r.isNullAt(0)) r.getLong(0) shouldBe r.getLong(1)
+      }
+    }
+  }
+
   "lshTopK" should "retrieve high-cosine neighbors with decent recall on real data" in {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 16)

@@ -72,6 +72,22 @@ class VectorIndexSpec extends AnyFlatSpec with Matchers {
     r1again shouldBe r1
   }
 
+  it should "not leak cells from a previous geometry into a shrunk rebuild" in {
+    val (engine, table) = newIndexTable()
+    VectorIndex.buildIvf(engine, table, emb, nlist = 8, userId = UserId("t"), message = "wide")
+    val before = engine.read(table).count()
+    // shrink: nlist=2 writes far fewer cell partitions; replace-all must
+    // remove the wide build's cells so no vector appears twice
+    VectorIndex.buildIvf(engine, table, emb, nlist = 2, userId = UserId("t"), message = "narrow")
+    val ids = engine.read(table).filter(col("cell") =!= VectorIndex.CentroidCell)
+      .select("vec_id").collect().map(_.getLong(0))
+    ids.length shouldBe ids.distinct.length // every vector exactly once
+    ids.length.toLong shouldBe emb.count()
+    // the wide build remains fully readable via time travel
+    val commits = engine.log(table.name).reverse
+    engine.readAt(table, commits(1).id).count() shouldBe before
+  }
+
   it should "reject tables not partitioned by cell" in {
     val dir = Files.createTempDirectory("graft-ivf-bad-").toFile
     val engine = VersionedTables.withFileStore(spark, new File(dir, "store").toURI)

@@ -68,6 +68,34 @@ class VersionedTablesSpec extends AnyFlatSpec with Matchers {
     engine.read(table).as[User].collect() should contain theSameElementsAs day2
   }
 
+  behavior of "versionedReplaceAll"
+
+  it should "make the table's content exactly the dataset, removing absent partitions atomically" in {
+    val (engine, dir) = newEngine()
+    val loc = new File(dir, "replace_all")
+    val table = TableDefinition(TableName("test", "replace_all"), loc.toURI,
+      PartitionSchema("date"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    def pvx(id: String, d: String) = pv(id, "/p", s"${d}T00:00:00Z")
+    Seq(pvx("a", "2024-01-01"), pvx("b", "2024-01-02")).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "two days")
+    val before = engine.log(table.name).head.id
+
+    // replace with a dataset covering only one (different) day: the two old
+    // partitions are REMOVED in the same commit that adds the new one
+    val (_, changes) = Seq(pvx("c", "2024-01-03")).toDS()
+      .versionedReplaceAll(engine, table, UserId("t"), "full refresh")
+    engine.read(table).as[Pageview].collect().map(_.id).toList shouldBe List("c")
+    changes.operations.count(_.isInstanceOf[MetastoreOperation.RemovePartition]) shouldBe 2
+
+    // one commit; time travel still sees the replaced content
+    engine.readAt(table, before).as[Pageview].collect().map(_.id).toSet shouldBe Set("a", "b")
+    // partitions present in BOTH old and new state are simply repointed
+    Seq(pvx("d", "2024-01-03"), pvx("e", "2024-01-04")).toDS()
+      .versionedReplaceAll(engine, table, UserId("t"), "refresh again")
+    engine.read(table).as[Pageview].collect().map(_.id).toSet shouldBe Set("d", "e")
+  }
+
   behavior of "date-partitioned tables (reference DatePartitionedTableSpec)"
 
   def pv(id: String, path: String, ts: String): Pageview = {
