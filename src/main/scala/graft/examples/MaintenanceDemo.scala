@@ -1,0 +1,84 @@
+package graft.examples
+
+import graft.core._
+import graft.operators.{VectorIndex, VersionedTables}
+import graft.operators.VersionedTables._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end drive of the round-2 data-management surface on a scratch
+ * events table: fragmented load → compaction (with clustering) → incremental
+ * CDC read → replace-all refresh → retention report → commit stream (batch
+ * drain) → versioned IVF index build/query. Prints one labeled line per
+ * checkpoint so the output is greppable (same convention as VersioningDemo).
+ */
+object MaintenanceDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-maintenance-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Tables.prepare(spark)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-maint-")
+    val storeRoot = root.resolve("store").toUri
+    val engine = VersionedTables.withFileStore(spark, storeRoot)
+    val table = TableDefinition(TableName("demo", "events"), root.resolve("events").toUri,
+      PartitionSchema("event_date"), FileFormat.Parquet)
+    engine.initTable(table, UserId("demo"), "init")
+
+    // 1. fragmented load (4 input tasks x days = many small files)
+    val events = graft.Tables.events(spark, sfDir)
+      .withColumn("event_date", to_date(col("ts"))).localCheckpoint()
+    events.repartition(4).versionedInsertInto(engine, table, UserId("demo"), "fragmented load")
+    val t1 = engine.log(table.name).head.id
+    println(s"LOADED=${engine.read(table).count()}")
+
+    // 2. compact everything to one clustered file per partition
+    engine.compact(table, UserId("demo"), "compact+cluster", clusterBy = Seq("user_id"))
+    val t2 = engine.log(table.name).head.id
+    println(s"COMPACTED_ROWS=${engine.read(table).count()}")
+
+    // 3. incremental read: what changed t1 -> t2 (everything — full rewrite)
+    println(s"CDC_T1_T2=${engine.readChangesBetween(table, t1, t2).count()}")
+    println(s"CDC_OPS=${engine.changesBetween(table.name, t1, t2).operations.size}")
+
+    // 4. replace-all refresh down to the latest day only
+    val day = events.select(max("event_date")).head().getDate(0)
+    events.where(col("event_date") === lit(day))
+      .versionedReplaceAll(engine, table, UserId("demo"), "keep latest day only")
+    println(s"AFTER_REPLACE_PARTS=${engine.tracker.currentVersion(table.name) match {
+      case PartitionedTableVersion(p) => p.size
+      case _ => -1
+    }}")
+
+    // 5. retention: versions invisible in the last 1 commit
+    println(s"EXPIRABLE=${engine.expirableVersions(table, keepLast = 1).size}")
+    println(s"ORPHANED=${engine.orphanedVersions(table).size}")
+
+    // 6. the commit log as a (batch-drained) stream
+    import org.apache.spark.sql.streaming.Trigger
+    val q = graft.streaming.CommitStream.commits(spark, storeRoot, table.name)
+      .writeStream.format("memory").queryName("maint_commits")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    println(s"STREAMED_COMMITS=${spark.table("maint_commits").count()}")
+
+    // 7. versioned IVF index over the embeddings table
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val ivf = TableDefinition(TableName("demo", "ivf"), root.resolve("ivf").toUri,
+      VectorIndex.indexSchema, FileFormat.Parquet)
+    engine.initTable(ivf, UserId("demo"), "init index")
+    VectorIndex.buildIvf(engine, ivf, emb, nlist = 8, userId = UserId("demo"))
+    val hits = VectorIndex.queryIvf(engine, ivf, emb.filter(col("vec_id") < 4), k = 3)
+    println(s"IVF_HITS=${hits.count()}")
+
+    spark.stop()
+  }
+}
