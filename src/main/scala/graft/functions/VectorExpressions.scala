@@ -306,6 +306,11 @@ object HyperplaneLshBucket {
   private val SeedTag: org.apache.spark.unsafe.types.UTF8String =
     org.apache.spark.unsafe.types.UTF8String.fromString("graft-lsh")
 
+  /** The full weight table — public so oracle SQL can embed the SAME
+    * hyperplanes as literals (the weights are deterministic constants). */
+  def weightTable(planes: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dims)((p, i) => weight(p, i))
+
   /** Exactly `(pmod(xxhash64('graft-lsh', plane, dim), 20001) - 10000) / 10000.0`
     * as Spark's XxHash64 expression evaluates it (seed 42, left-to-right
     * chaining, int operands hashed with hashInt). */

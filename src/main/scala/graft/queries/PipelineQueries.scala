@@ -237,6 +237,44 @@ object PipelineQueries {
          |    ROW_NUMBER() OVER (PARTITION BY $vocabHashSql ORDER BY doc_id) AS rn
          |  FROM documents) WHERE rn = 1""".stripMargin,
 
+    // Full LSH oracle: the hyperplane WEIGHTS are deterministic constants, so
+    // they can be embedded in the SQL as list literals — DuckDB then computes
+    // the same sign buckets (list_inner_product = the same sequential double
+    // accumulation as HyperplaneLshBucket), the same multi-probe set, and the
+    // same bit-exact cosine ranking. The whole approximate index is replayed
+    // exactly by an independent engine.
+    "q_ann_lsh" -> {
+      val w = graft.functions.HyperplaneLshBucket.weightTable(planes = 8, dims = 64)
+      def lst(p: Int) = w(p).map(_.toString).mkString("[", ", ", "]")
+      val bucketExpr = (0 until 8).map { p =>
+        s"(CASE WHEN list_inner_product(dv, ${lst(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("\n      + ")
+      val probeList = "[bucket" + (0 until 8).map(p => s", xor(bucket, ${1L << p})").mkString + "]"
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+         |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+         |                            CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, dv, nrm,
+         |    $bucketExpr AS bucket
+         |  FROM v),
+         |q AS (
+         |  SELECT vec_id AS query_id, dv AS qv, nrm AS qn,
+         |    UNNEST($probeList) AS probe
+         |  FROM b WHERE vec_id < 16),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    list_inner_product(q.qv, c.dv) / (q.qn * c.nrm) AS cosine
+         |  FROM q JOIN b c ON c.bucket = q.probe AND q.query_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
+         |WHERE "rank" <= 10""".stripMargin
+    },
+
     // Bit-exact float parity: DuckDB's list_inner_product over DOUBLE[] is the
     // same sequential double accumulation as our codegen'd FloatVectorDot
     // (verified bit-identical on this data), and sqrt/mul/div are IEEE-defined

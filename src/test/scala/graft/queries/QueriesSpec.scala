@@ -13,8 +13,8 @@ class QueriesSpec extends AnyFlatSpec with Matchers {
 
   "the query surface" should "declare an oracle or be a known rows-only query" in {
     val rowsOnly = Set(
-      "q_dedup_minhash", "q_dedup_simhash",          // xxhash64-seeded LSH (no DuckDB xxhash64)
-      "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_index",   // hash-seeded bucketing / sampled k-means
+      "q_dedup_minhash", "q_dedup_simhash",          // xxhash64 over STRINGS (no DuckDB xxhash64)
+      "q_ann_ivf", "q_ann_ivf_index",                // sampled k-means (driver-side state)
       "q_agg_approx_distinct")                       // HLL sketch
     val declared = graft.SparkEntry.queries.keySet
     val oracled = graft.SparkEntry.oracleSql.keySet
