@@ -187,7 +187,9 @@ case class SortedIntersectSize(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
-  override def nullable: Boolean = left.nullable || right.nullable
+  // always nullable: a null ELEMENT yields NULL even when the array inputs
+  // themselves are non-nullable (same pattern as FloatVectorDot above)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -237,10 +239,10 @@ case class SortedIntersectSize(left: Expression, right: Expression)
  * formulation's values EXACTLY (same Spark XXH64 chain, pmod, and [-1, 1)
  * mapping), so buckets are bit-identical to the reference form
  * ([[graft.operators.Similarity.lshBucketHof]], pinned in SimilaritySpec) —
- * including the degenerate cases: a NULL element nulls every projection and
- * `when(null >= 0, bit).otherwise(0)` yields bucket 0 in the HOF form, and an
- * empty vector's zip_with-padded aggregate is likewise null → bucket 0; this
- * kernel returns 0 for both.
+ * including the degenerate cases: a NULL vector, a NULL element, and an empty
+ * vector all null every projection in the HOF form, where
+ * `when(null >= 0, bit).otherwise(0)` then yields bucket 0; this kernel
+ * returns 0 for all three (and is therefore never NULL itself).
  */
 case class HyperplaneLshBucket(child: Expression, planes: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -250,6 +252,15 @@ case class HyperplaneLshBucket(child: Expression, planes: Int)
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "hyperplane_lsh_bucket"
+  override def nullable: Boolean = false
+
+  // HOF parity for a NULL input vector too: every projection is null there,
+  // so the bucket is 0 — override eval to bypass UnaryExpression's default
+  // null propagation
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else nullSafeEval(v)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess

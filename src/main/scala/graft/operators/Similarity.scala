@@ -47,12 +47,9 @@ object Similarity {
       l2norm(col(vecCol)).as("qn"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       l2norm(col(vecCol)).as("cn"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim) —
@@ -100,13 +97,10 @@ object Similarity {
       explode(probeBuckets).as("bucket"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), planes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", cosine(col("qv"), col("cv"))), k)
   }
 
   /**
@@ -139,9 +133,17 @@ object Similarity {
       "query_id", "qv", centroidDf, probes = nprobe)
 
     // 3. exact cosine ranking within the probed cells
-    val scored = c.join(q, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    rankTopK(
+      c.join(q, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", cosine(col("qv"), col("cv"))), k)
+  }
+
+  /** Deterministic exact top-k over a scored candidate frame
+    * `(query_id, neighbor_id, cosine, ...)`: rank by cosine desc with
+    * neighbor_id as tiebreak. ONE definition — the DuckDB oracles pin these
+    * exact tiebreak semantics, so every ANN path must share it. */
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

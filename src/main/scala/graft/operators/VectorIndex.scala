@@ -3,7 +3,6 @@ package graft.operators
 import graft.core._
 import graft.operators.VersionedTables._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -119,13 +118,9 @@ object VectorIndex {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
         col(CellCol).cast("string").as(CellCol))
 
-    val scored = cand
-      .join(broadcast(probes), Seq(CellCol))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", Similarity.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    Similarity.rankTopK(
+      cand.join(broadcast(probes), Seq(CellCol))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", Similarity.cosine(col("qv"), col("cv"))), k)
   }
 }

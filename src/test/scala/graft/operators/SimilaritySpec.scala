@@ -53,7 +53,9 @@ class SimilaritySpec extends AnyFlatSpec with Matchers {
     val degenerate = spark.sql(
       """SELECT CAST(array(1.0F, NULL, 3.0F) AS array<float>) AS embedding
         |UNION ALL
-        |SELECT CAST(array() AS array<float>) AS embedding""".stripMargin)
+        |SELECT CAST(array() AS array<float>) AS embedding
+        |UNION ALL
+        |SELECT CAST(NULL AS array<float>) AS embedding""".stripMargin)
     val rows = degenerate.select(
       Similarity.lshBucket(col("embedding"), 4).as("native"),
       Similarity.lshBucketHof(col("embedding"), 4).as("hof")).collect()
