@@ -26,7 +26,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val status = failed.mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // only successful queries count toward the total: a fast failure must not
+    // read as a timing improvement across runs with different failure sets
+    val total = results.collect { case (_, sec, true) => sec }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$status,"sf":"$sfDir"}""")
     spark.stop()
     // a failed query must read as a failure, not a timing improvement

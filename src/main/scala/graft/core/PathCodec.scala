@@ -24,7 +24,7 @@ object PathCodec {
     val bitSet = new java.util.BitSet(128)
     // ASCII 01-1F control characters, plus the Hive special set
     (1 to 31).foreach(bitSet.set)
-    "\"#%'*/:=?\\{[]^".foreach(c => bitSet.set(c.toInt))
+    ("\"#%'*/:=?\\{[]^" + "\u007F").foreach(c => bitSet.set(c.toInt)) // trailing \u007F is DEL, kept explicit
     bitSet
   }
 

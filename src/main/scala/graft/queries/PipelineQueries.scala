@@ -18,6 +18,10 @@ object PipelineQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Embedding width baked into the q_ann_lsh oracle's weight-table literals;
+    * the Spark-side query asserts the fixture still has this width. */
+  private val OracleLshDims = 64
+
   /** Vocab-normalized content hash: docs with identical word sets collapse.
     * Shared by the dedup and curation queries (SQL mirror: `vocabHashSql`). */
   private def vocabHash: org.apache.spark.sql.Column =
@@ -106,6 +110,13 @@ object PipelineQueries {
 
     "q_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // The DuckDB oracle embeds the hyperplane weight table for exactly
+      // OracleLshDims-wide vectors as SQL literals, while lshTopK derives its
+      // weights from the actual vector width — fail loudly here if the
+      // fixture width ever drifts instead of letting the oracle desync.
+      val width = emb.select(size(col("embedding"))).head.getInt(0)
+      require(width == OracleLshDims,
+        s"embeddings width $width != q_ann_lsh oracle dims $OracleLshDims — regenerate the oracle weight literals")
       Similarity.lshTopK(emb.filter(col("vec_id") < 16), emb, k = 10, planes = 8)
     }),
 
@@ -244,7 +255,7 @@ object PipelineQueries {
     // same bit-exact cosine ranking. The whole approximate index is replayed
     // exactly by an independent engine.
     "q_ann_lsh" -> {
-      val w = graft.functions.HyperplaneLshBucket.weightTable(planes = 8, dims = 64)
+      val w = graft.functions.HyperplaneLshBucket.weightTable(planes = 8, dims = OracleLshDims)
       def lst(p: Int) = w(p).map(_.toString).mkString("[", ", ", "]")
       val bucketExpr = (0 until 8).map { p =>
         s"(CASE WHEN list_inner_product(dv, ${lst(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"

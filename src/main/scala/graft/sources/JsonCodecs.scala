@@ -18,12 +18,22 @@ import scala.jdk.CollectionConverters._
  */
 object JsonCodecs {
 
+  /**
+   * Commit-file format version. v2 serializes partition values Hive-escaped
+   * (`toHivePath` / `Partition.parseEscaped`); the unmarked v1 format kept
+   * raw values, so a v1 commit whose value contains a literal `%XX` sequence
+   * would silently decode differently under the v2 rules. Decoding therefore
+   * refuses unmarked files loudly instead of guessing.
+   */
+  val FormatVersion = 2
+
   private val mapper = new ObjectMapper()
 
   // ---- encode ----
 
   def toJson(update: TableUpdate): String = {
     val root = mapper.createObjectNode()
+    root.put("formatVersion", FormatVersion)
     root.put("id", update.metadata.id.id)
     root.put("userId", update.metadata.userId.value)
     root.put("message", update.metadata.message)
@@ -68,6 +78,15 @@ object JsonCodecs {
     try {
       val root = mapper.readTree(json)
       for {
+        _ <- Option(root.get("formatVersion")).map(_.asInt) match {
+          case Some(FormatVersion) => Right(())
+          case Some(other) =>
+            Left(s"unsupported commit formatVersion $other (this build reads v$FormatVersion)")
+          case None =>
+            Left("commit file has no formatVersion: written by a pre-v2 build " +
+              "whose partition encoding was raw (not Hive-escaped); refusing to " +
+              "decode under v2 rules — re-create the store or migrate the log")
+        }
         id <- str(root, "id")
         userId <- str(root, "userId")
         message <- str(root, "message")

@@ -74,6 +74,27 @@ class JsonCodecsSpec extends AnyFlatSpec with Matchers {
   it should "reject malformed documents" in {
     JsonCodecs.fromJson("{}").isLeft shouldBe true
     JsonCodecs.fromJson("not json").isLeft shouldBe true
-    JsonCodecs.fromJson("""{"id":"a","userId":"u","message":"m","timestamp":"2020-01-01T00:00:00Z","operations":[{"type":"wat"}]}""").isLeft shouldBe true
+    JsonCodecs.fromJson("""{"formatVersion":2,"id":"a","userId":"u","message":"m","timestamp":"2020-01-01T00:00:00Z","operations":[{"type":"wat"}]}""").isLeft shouldBe true
+  }
+
+  it should "refuse commit files without a formatVersion marker (pre-v2 raw partition encoding)" in {
+    val v1Style = """{"id":"a","userId":"u","message":"m","timestamp":"2020-01-01T00:00:00Z","operations":[]}"""
+    val result = JsonCodecs.fromJson(v1Style)
+    result.isLeft shouldBe true
+    result.swap.getOrElse("") should include("formatVersion")
+  }
+
+  it should "refuse commit files from a future format version" in {
+    val future = """{"formatVersion":99,"id":"a","userId":"u","message":"m","timestamp":"2020-01-01T00:00:00Z","operations":[]}"""
+    val result = JsonCodecs.fromJson(future)
+    result.isLeft shouldBe true
+    result.swap.getOrElse("") should include("99")
+  }
+
+  it should "stamp the current format version on every encoded commit" in {
+    val update = TableUpdate(
+      TableUpdateMetadata(CommitId("c"), UserId("u"), "m", java.time.Instant.EPOCH),
+      List(TableOperation.AddTableVersion(Version.Unversioned)))
+    JsonCodecs.toJson(update) should include(s""""formatVersion" : ${JsonCodecs.FormatVersion}""")
   }
 }
