@@ -54,11 +54,11 @@ object Dedup {
     array_min(transform(hashes, h => xxhash64(lit(seed), h)))
 
   /** 64-bit MinHash signature for `numHashes` seeded hash functions over word
-    * `shingleSize`-gram shingles. */
-  def minhashSignature(textCol: Column, numHashes: Int = 16, shingleSize: Int = 3): Column = {
-    val hs = shingleHashes(textCol, shingleSize)
-    array((0 until numHashes).map(seed => minhashFromHashes(hs, seed)): _*)
-  }
+    * `shingleSize`-gram shingles — one native pass over the shingle hashes
+    * ([[graft.functions.MinHashes]]; element s equals
+    * `minhashFromHashes(hs, s)`, pinned in DedupSpec). */
+  def minhashSignature(textCol: Column, numHashes: Int = 16, shingleSize: Int = 3): Column =
+    graft.functions.VectorExpressions.minHashes(shingleHashes(textCol, shingleSize), numHashes)
 
   /** Near-duplicate pairs via banded MinHash LSH + exact shingle-Jaccard
     * verification. Output: (id1, id2, jaccard) with id1 < id2, jaccard >=
@@ -81,12 +81,17 @@ object Dedup {
       shingleHashes(col(textCol), shingleSize).as("hs"))
       .localCheckpoint()
 
-    // band hash = hash over the band's minhashes; each minhash expression is
-    // referenced exactly once, so nothing is recomputed
-    val banded = hs.select(col("id"), posexplode(
+    // all bands*rowsPerBand minhashes in ONE native array walk (MinHashes),
+    // then per-band hashes over plain element_at references — the HOF form
+    // walked the array once per minhash with an interpreted lambda per
+    // element. MinHashes is non-cheap, so CollapseProject keeps it a single
+    // evaluation rather than inlining it into the band references.
+    val mh = hs.select(col("id"),
+      graft.functions.VectorExpressions.minHashes(col("hs"), bands * rowsPerBand).as("mh"))
+    val banded = mh.select(col("id"), posexplode(
       array((0 until bands).map { b =>
         xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
-          minhashFromHashes(col("hs"), b * rowsPerBand + r)): _*)
+          element_at(col("mh"), b * rowsPerBand + r + 1)): _*)
       }: _*)).as(Seq("band", "band_hash")))
 
     // candidates: ids meeting in the same (band, band_hash) bucket
@@ -114,8 +119,17 @@ object Dedup {
   // --- SimHash ---
 
   /** 32-bit SimHash from pre-hashed tokens: bit i is set iff the sum of
-    * (+1/-1) contributions of token-hash bit i over all tokens is positive. */
-  def simhashFromHashes(tokenHashes: Column): Column = {
+    * (+1/-1) contributions of token-hash bit i over all tokens is positive.
+    * One native pass ([[graft.functions.SimHash32FromHashes]]); the
+    * composable HOF formulation is kept as [[simhashFromHashesHof]] and the
+    * two are pinned equal in DedupSpec. */
+  def simhashFromHashes(tokenHashes: Column): Column =
+    graft.functions.VectorExpressions.simHash32FromHashes(tokenHashes)
+
+  /** Reference formulation of [[simhashFromHashes]] via built-in HOFs: 32
+    * interpreted `aggregate` walks per row — semantically the spec, kept for
+    * the parity pin; never use on a hot path. */
+  def simhashFromHashesHof(tokenHashes: Column): Column = {
     val bits = (0 until 32).map { i =>
       val votes = aggregate(tokenHashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
@@ -139,15 +153,17 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
-    // two-stage with a barrier between: the 32 bit-vote aggregates re-inline
-    // their input, so hash the tokens once (multiset — votes are weighted by
-    // token frequency), materialize, then vote
-    val th = docs.select(col(idCol).as("id"),
-      graft.functions.VectorExpressions.wordShingleHashes(col(textCol), 1, distinct = false).as("th"))
+    // fully fused: tokenize+hash (WordShingleHashes) -> 32-bit vote
+    // (SimHash32FromHashes) is ONE composed native evaluation per row. A
+    // single checkpoint of the tiny (id, sh) frame remains: it feeds the four
+    // chunk projections and both sides of the block self-joins, and without
+    // it each of those 8 plan branches would re-scan the parquet and re-hash
+    // every document
+    val shBase = docs.select(col(idCol).as("id"),
+      simhashFromHashes(
+        graft.functions.VectorExpressions.wordShingleHashes(col(textCol), 1, distinct = false))
+        .as("sh"))
       .localCheckpoint()
-    // checkpoint the (expensive) simhash BEFORE deriving chunk columns, so
-    // the 32-vote expression is evaluated once, not once per chunk
-    val shBase = th.select(col("id"), simhashFromHashes(col("th")).as("sh")).localCheckpoint()
     val sh = shBase.select(col("id") +: col("sh") +:
       (0 until 4).map(c => shiftright(col("sh"), c * 8).bitwiseAND(0xFFL).as(s"c$c")): _*)
 

@@ -85,6 +85,61 @@ class DedupSpec extends AnyFlatSpec with Matchers {
     found shouldBe truth
   }
 
+  "native SimHash32FromHashes" should "equal the HOF reference formulation bit-for-bit" in {
+    val th = graft.functions.VectorExpressions.wordShingleHashes(col("text"), 1, distinct = false)
+    val both = docs.select(
+      Dedup.simhashFromHashes(th).as("native"),
+      Dedup.simhashFromHashesHof(th).as("hof"))
+    both.filter(col("native") =!= col("hof")).count() shouldBe 0
+
+    // real data too: every document at sf0.001
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rth = graft.functions.VectorExpressions.wordShingleHashes(col("text"), 1, distinct = false)
+    real.select(Dedup.simhashFromHashes(rth).as("native"), Dedup.simhashFromHashesHof(rth).as("hof"))
+      .filter(col("native") =!= col("hof")).count() shouldBe 0
+  }
+
+  it should "match the HOF degenerate cases: null array, empty array, null element" in {
+    val edge = Seq(
+      (1L, Some(Seq[Option[Long]]())),                      // empty array
+      (2L, None),                                           // null array
+      (3L, Some(Seq[Option[Long]](Some(7L), None))),        // null element
+      (4L, Some(Seq[Option[Long]](Some(-1L), Some(0L))))
+    ).toDF("id", "th")
+    val both = edge.select(col("id"),
+      Dedup.simhashFromHashes(col("th")).as("native"),
+      Dedup.simhashFromHashesHof(col("th")).as("hof")).collect()
+    both.foreach { r =>
+      withClue(s"id=${r.getLong(0)}: ") { r.getLong(1) shouldBe r.getLong(2) }
+    }
+  }
+
+  "native MinHashes" should "equal the per-seed HOF reference on every element" in {
+    val hs = Dedup.shingleHashes(col("text"))
+    val n = 16
+    val native = docs.select(
+      graft.functions.VectorExpressions.minHashes(hs, n).as("mh"),
+      array((0 until n).map(s => Dedup.minhashFromHashes(hs, s)): _*).as("ref"))
+    native.filter(!(col("mh") === col("ref"))).count() shouldBe 0
+  }
+
+  it should "match the HOF degenerate cases: null array, empty array, null element" in {
+    val edge = Seq(
+      (1L, Some(Seq[Option[Long]]())),
+      (2L, None),
+      (3L, Some(Seq[Option[Long]](Some(42L), None)))
+    ).toDF("id", "hs")
+    val n = 4
+    val rows = edge.select(col("id"),
+      graft.functions.VectorExpressions.minHashes(col("hs"), n).as("mh"),
+      array((0 until n).map(s => Dedup.minhashFromHashes(col("hs"), s)): _*).as("ref")).collect()
+    rows.foreach { r =>
+      withClue(s"id=${r.getLong(0)}: ") {
+        Option(r.getSeq[Any](1)) shouldBe Option(r.getSeq[Any](2))
+      }
+    }
+  }
+
   "ngramJaccardPairs" should "compute exact word-set jaccard" in {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .as[(Long, Long, Double)].collect().map { case (a, b, j) => ((a, b), j) }.toMap
