@@ -179,6 +179,63 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
+  // --- duplicate clustering (connected components over near-dup pairs) ---
+
+  /** Group near-duplicate PAIRS into duplicate CLUSTERS: connected components
+    * over the undirected pair graph, labeling every document with the minimum
+    * doc id of its component (the canonical keeper) plus the component size.
+    *
+    * Output: (doc_id, cluster_id, cluster_size) for every document that
+    * appears in at least one pair; `cluster_id = min(doc_id in component)`.
+    * Downstream dedup keeps `doc_id == cluster_id` rows and drops the rest —
+    * without this step, pairwise output over-deletes (A~B, B~C would drop
+    * both B and C only if pairs are followed transitively).
+    *
+    * Algorithm: iterative min-label propagation to a FIXPOINT — each round,
+    * every node takes the min of its own label and its neighbors' labels
+    * (one shuffle join + one groupBy per round). Converges in O(component
+    * diameter) rounds; near-dup components are dense and tiny (similarity is
+    * near-transitive at high thresholds), so 2-4 rounds is typical while the
+    * per-round cost stays O(|E|) — never quadratic, no driver-side graph.
+    * Lineage is truncated every round (localCheckpoint) so the plan does not
+    * grow with iterations. `maxIter` bounds pathological chain graphs; hitting
+    * it raises rather than returning partial components.
+    */
+  def dupClusters(
+      pairs: DataFrame,
+      id1Col: String = "id1",
+      id2Col: String = "id2",
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
+      .union(pairs.select(col(id2Col).as("src"), col(id1Col).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
+        .select(col("src").as("id"), col("lbl"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      // fixpoint test: any node whose label still shrank this round?
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"dupClusters did not converge within $maxIter rounds")
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+  }
+
   // --- exact n-gram Jaccard (quadratic ground truth) ---
 
   /** All pairs with word-set Jaccard >= `threshold`. Quadratic in the block —

@@ -99,6 +99,14 @@ object PipelineQueries {
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDupPairs(Tables.documents(s, d), threshold = 0.8)),
 
+    // pairs -> duplicate clusters: connected components over the (oracled)
+    // ngram-jaccard pair graph; every pair-involved doc gets the canonical
+    // min-id label of its component plus the component size
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.8,
+          blockCol = Some("source")))),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 3)),
 
@@ -324,6 +332,30 @@ object PipelineQueries {
          |  len(list_intersect(a.w, b.w)) / len(list_distinct(list_concat(a.w, b.w))) AS jaccard
          |FROM sets a JOIN sets b ON a.id < b.id AND a.blk = b.blk
          |WHERE len(list_intersect(a.w, b.w)) / len(list_distinct(list_concat(a.w, b.w))) >= 0.8""".stripMargin,
+
+    // Independent replay of connected components: DuckDB computes the SAME
+    // near-dup pair set (the q_dedup_ngram_jaccard oracle), then a recursive
+    // CTE takes the transitive closure and labels each doc with the minimum
+    // reachable id — exactly the fixpoint dupClusters converges to.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE sets AS (
+         |  SELECT doc_id AS id, source AS blk, list_distinct($duckTokens) AS w FROM documents),
+         |pairs AS (
+         |  SELECT a.id AS id1, b.id AS id2
+         |  FROM sets a JOIN sets b ON a.id < b.id AND a.blk = b.blk
+         |  WHERE len(list_intersect(a.w, b.w)) / len(list_distinct(list_concat(a.w, b.w))) >= 0.8),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION
+         |  SELECT id2 AS src, id1 AS dst FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |lbl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT doc_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lbl""".stripMargin,
 
     "q_curation_pipeline" ->
       s"""WITH scored AS (

@@ -424,7 +424,107 @@ object RelationalQueries {
     // --- unpivot (wide -> long reshape) ---
     "q_unpivot" -> ((s, d) =>
       Tables.lineitem(s, d).selectExpr("l_orderkey", "l_linenumber",
-        "stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (measure, value)"))
+        "stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (measure, value)")),
+
+    // --- correlated EXISTS / NOT EXISTS (vs q_in_subquery's IN/NOT IN:
+    // Catalyst plans these as left-semi/left-anti WITHOUT the null-aware
+    // machinery IN needs) ---
+    "q_exists_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_ex")
+      Tables.orders(s, d).createOrReplaceTempView("graft_ord_ex")
+      s.sql(
+        """SELECT c_custkey, c_name, c_mktsegment FROM graft_cust_ex c
+          |WHERE EXISTS (SELECT 1 FROM graft_ord_ex o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+          |  AND NOT EXISTS (SELECT 1 FROM graft_ord_ex o
+          |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin)
+    }),
+
+    // --- first_value / last_value / nth_value over an unbounded frame
+    // (o_orderkey is unique per customer => deterministic) ---
+    "q_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+    }),
+
+    // --- date spine: generate the full calendar between min and max order
+    // date and left-join daily totals, zero-filling empty days — the gap-
+    // free time series every reporting pipeline needs ---
+    "q_date_spine" -> ((s, d) => {
+      val o = Tables.orders(s, d).withColumn("day", col("o_orderdate").cast("date"))
+      val spine = o.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val daily = o.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total"), lit(0.0)).as("total"))
+    }),
+
+    // --- cross join: the full (mktsegment x orderstatus) matrix with actual
+    // order counts, zero-filled — dimension-complete categorical reporting ---
+    "q_cross_join" -> ((s, d) => {
+      val segs = Tables.customer(s, d).select(col("c_mktsegment").as("seg")).distinct()
+      val stats = Tables.orders(s, d).select(col("o_orderstatus").as("st")).distinct()
+      val actual = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("n"))
+      segs.crossJoin(stats).join(actual, Seq("seg", "st"), "left")
+        .select(col("seg"), col("st"), coalesce(col("n"), lit(0L)).as("n_orders"))
+    }),
+
+    // --- array aggregation: per-group sorted key list (emitted as a joined
+    // string: deterministic, and engine-neutral for the oracle compare) ---
+    "q_collect_sorted" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_big"),
+          concat_ws(",", array_sort(collect_list(col("o_orderkey")))).as("order_keys"))),
+
+    // --- multiset set-ops (EXCEPT ALL / INTERSECT ALL keep duplicate
+    // cardinalities, unlike q_except/q_intersect) ---
+    "q_except_all" -> ((s, d) => {
+      val all = Tables.lineitem(s, d).select(col("l_suppkey").as("k"))
+      val returned = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_suppkey").as("k"))
+      all.exceptAll(returned).groupBy(col("k")).agg(count(lit(1)).as("n"))
+    }),
+
+    "q_intersect_all" -> ((s, d) => {
+      val hi = Tables.lineitem(s, d).filter(col("l_quantity") >= 25)
+        .select(col("l_suppkey").as("k"))
+      val lo = Tables.lineitem(s, d).filter(col("l_discount") > 0.05)
+        .select(col("l_suppkey").as("k"))
+      hi.intersectAll(lo).groupBy(col("k")).agg(count(lit(1)).as("n"))
+    }),
+
+    // --- deterministic hash sampling: md5-prefix predicate — stable across
+    // runs, engines, and partitionings, unlike TABLESAMPLE/rand(). ~10.2%
+    // expected rate (0x1a/0x100); the engine-native xxhash64 variant is
+    // ScaleTools.hashSample (same technique, cheaper hash) ---
+    "q_sample_hash" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(substring(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))), 1, 2) < "1a")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))),
+
+    // --- deterministic stratified sampling: exactly min(50, |group|) rows
+    // per order status, chosen by hash order (uniform within group), with a
+    // unique tiebreaker for engine-identical selection ---
+    "q_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .select(col("o_orderstatus"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -723,6 +823,80 @@ object RelationalQueries {
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS value FROM lineitem
         |UNION ALL
-        |SELECT l_orderkey, l_linenumber, 'price' AS measure, l_extendedprice AS value FROM lineitem""".stripMargin
+        |SELECT l_orderkey, l_linenumber, 'price' AS measure, l_extendedprice AS value FROM lineitem""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin,
+
+    "q_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "q_date_spine" ->
+      """WITH b AS (
+        |  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo, MAX(CAST(o_orderdate AS DATE)) AS hi
+        |  FROM orders),
+        |spine AS (
+        |  SELECT CAST(UNNEST(generate_series(lo::TIMESTAMP, hi::TIMESTAMP, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT s.day, COALESCE(d.n, 0) AS n_orders, COALESCE(d.total, 0.0) AS total
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day""".stripMargin,
+
+    "q_cross_join" ->
+      """WITH segs AS (SELECT DISTINCT c_mktsegment AS seg FROM customer),
+        |stats AS (SELECT DISTINCT o_orderstatus AS st FROM orders),
+        |actual AS (
+        |  SELECT c_mktsegment AS seg, o_orderstatus AS st, COUNT(*) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT segs.seg, stats.st, COALESCE(actual.n, 0) AS n_orders
+        |FROM segs CROSS JOIN stats
+        |LEFT JOIN actual ON segs.seg = actual.seg AND stats.st = actual.st""".stripMargin,
+
+    "q_collect_sorted" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_big,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
+        |FROM orders WHERE o_totalprice > 400000
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_except_all" ->
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT l_suppkey AS k FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY k""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_quantity >= 25
+        |  INTERSECT ALL
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.05)
+        |GROUP BY k""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE substring(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 2) < '1a'""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 50""".stripMargin
   )
 }

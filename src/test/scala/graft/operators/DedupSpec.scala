@@ -85,6 +85,50 @@ class DedupSpec extends AnyFlatSpec with Matchers {
     found shouldBe truth
   }
 
+  "dupClusters" should "label every node with its component's min id and size" in {
+    // components: {1,2,3,4} (chain 1-2, 2-3, 3-4), {10,11}, {20,21,22} (star)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (20L, 22L)
+    ).toDF("id1", "id2")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long, Long)].collect().sorted
+    got shouldBe Array(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)).sorted
+  }
+
+  it should "converge on a long chain (label must propagate the full diameter)" in {
+    // worst case for min-label propagation: a path graph 0-1-2-...-12
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.dupClusters(chain).as[(Long, Long, Long)].collect()
+    got should have length 13
+    got.foreach { case (_, cid, sz) => cid shouldBe 0L; sz shouldBe 13L }
+  }
+
+  it should "match driver-side union-find on the real near-dup pair graph" in {
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.ngramJaccardPairs(real, threshold = 0.8, blockCol = Some("source"))
+      .select("id1", "id2").localCheckpoint()
+    val edges = pairs.as[(Long, Long)].collect()
+    // reference: classic union-find over the collected edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = Dedup.dupClusters(pairs)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    got shouldBe expected
+  }
+
   "native SimHash32FromHashes" should "equal the HOF reference formulation bit-for-bit" in {
     val th = graft.functions.VectorExpressions.wordShingleHashes(col("text"), 1, distinct = false)
     val both = docs.select(
