@@ -70,4 +70,86 @@ object ScaleTools {
     val parts = math.max(1, (estimatedTotalBytes / targetBytesPerPartition).toInt)
     df.repartition(parts)
   }
+
+  /** Deterministic, KEY-STABLE sampling: a row is kept iff
+    * `xxhash64(seed, keys...) mod 1e6 < fraction * 1e6`. Unlike
+    * `df.sample()`/TABLESAMPLE this is reproducible across runs, engines and
+    * partitionings, and — because the decision is a pure function of the key —
+    * sampling two tables by the SAME key yields join-consistent samples
+    * (every sampled fact row still finds its sampled dimension row). Executes
+    * as a codegen'd filter at the scan, no shuffle. The SQL-portable md5
+    * variant of the same technique is the oracled `q_sample_hash`. */
+  def hashSample(df: DataFrame, keyCols: Seq[String], fraction: Double, seed: Int = 0): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], was $fraction")
+    val threshold = (fraction * 1e6).toLong
+    df.filter(pmod(xxhash64(lit(seed) +: keyCols.map(col): _*), lit(1000000L)) < threshold)
+  }
+
+  /** Z-order (Morton-order) clustering before a write: quantize each
+    * clustering column to `bits` levels between its min and max, interleave
+    * the bits into one z-value, then range-partition + locally sort by it.
+    * Every output file then covers a small bounding BOX in all clustering
+    * dimensions — so min/max stats (Parquet row-group/file pruning) skip
+    * files for predicates on ANY clustered column, where a plain sort only
+    * prunes its leading column. This is the layout half of multi-dimensional
+    * data skipping; spec asserts per-partition bounding boxes shrink in both
+    * dimensions vs a linear sort.
+    *
+    * Costs one small min/max agg job + one range shuffle. Columns must be
+    * numeric (cast dates/timestamps to epoch first); up to 3 columns at 16
+    * bits each (48-bit z-value). Linear quantization is the standard
+    * approximation (Delta/Iceberg OPTIMIZE do the same with range ids);
+    * heavy skew in a dimension degrades box tightness, not correctness. */
+  def zorderBy(df: DataFrame, zCols: Seq[String], numFiles: Int, bits: Int = 16): DataFrame = {
+    require(zCols.nonEmpty && zCols.size <= 3, "zorderBy supports 1-3 columns")
+    require(bits >= 1 && bits <= 16, "bits must be in [1,16]")
+    // min/max of every clustering column in ONE agg job
+    val aggCols = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"min_$c"), max(col(c)).cast("double").as(s"max_$c")))
+    val b = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val levels = (1 << bits) - 1
+    val quantized = zCols.zipWithIndex.map { case (c, i) =>
+      val lo = b.getDouble(2 * i); val hi = b.getDouble(2 * i + 1)
+      val q =
+        if (hi == lo) lit(0L)
+        else least(lit(levels.toLong),
+          floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(levels + 1)).cast("long"))
+      q
+    }
+    // interleave: bit j of column i lands at position j*numCols + i
+    val nc = zCols.size
+    val zval = (for {
+      j <- 0 until bits
+      i <- 0 until nc
+    } yield shiftleft(shiftright(quantized(i), j).bitwiseAND(lit(1L)), j * nc + i))
+      .reduce[org.apache.spark.sql.Column](_ bitwiseOR _)
+    df.withColumn("_zval", zval)
+      .repartitionByRange(numFiles, col("_zval"))
+      .sortWithinPartitions("_zval")
+      .drop("_zval")
+  }
+
+  /** Inner equi-join where the LARGE side is pre-filtered by a Bloom filter
+    * built from the small side's keys — the manual form of what runtime
+    * bloom-filter joins do, for when the optimizer can't (multi-stage
+    * pipelines, non-equi residuals, or a reused prebuilt filter). No false
+    * negatives, so the result EQUALS the plain join; false positives only
+    * cost shuffle volume. At 100 TB the win is shuffling ~|matching keys|
+    * instead of the whole fact table. One extra action to build the filter
+    * (driver holds ~1.2 bytes/item at 1% fpp). */
+  def bloomPrefilteredJoin(
+      large: DataFrame, small: DataFrame,
+      largeKey: String, smallKey: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val filter = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bcast = large.sparkSession.sparkContext.broadcast(filter)
+    // a UDF is unavoidable here: membership needs the broadcast sketch
+    // object. It runs as a scan-level filter BEFORE the shuffle — which is
+    // the point; null keys can't match an inner join, so dropping them in
+    // the prefilter is result-preserving.
+    val mightContain =
+      udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
+    val pruned = large.filter(mightContain(col(largeKey)))
+    pruned.join(small, pruned(largeKey) === small(smallKey))
+  }
 }

@@ -505,6 +505,17 @@ object RelationalQueries {
       hi.intersectAll(lo).groupBy(col("k")).agg(count(lit(1)).as("n"))
     }),
 
+    // --- bloom-prefiltered join: the fact side is pruned by a Bloom filter
+    // of the dim keys BEFORE the shuffle (manual runtime-filter pushdown).
+    // No false negatives => the oracle is simply the plain join ---
+    "q_bloom_join" -> ((s, d) => {
+      val dims = Tables.supplier(s, d).filter(col("s_nationkey") < 5)
+      graft.operators.ScaleTools.bloomPrefilteredJoin(
+          Tables.lineitem(s, d), dims, "l_suppkey", "s_suppkey", expectedItems = 10000)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // --- deterministic hash sampling: md5-prefix predicate — stable across
     // runs, engines, and partitionings, unlike TABLESAMPLE/rand(). ~10.2%
     // expected rate (0x1a/0x100); the engine-native xxhash64 variant is
@@ -885,6 +896,14 @@ object RelationalQueries {
         |  INTERSECT ALL
         |  SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.05)
         |GROUP BY k""".stripMargin,
+
+    // the bloom prefilter has no false negatives, so the plain join IS the
+    // exact expected result (same proof shape as q_salted_join)
+    "q_bloom_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey < 5
+        |GROUP BY s_nationkey""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice

@@ -52,4 +52,78 @@ class ScaleToolsSpec extends AnyFlatSpec with Matchers {
     ScaleTools.repartitionForSize(df, 1024L * 1024 * 1024).rdd.getNumPartitions shouldBe 8
     ScaleTools.repartitionForSize(df, 1024L).rdd.getNumPartitions shouldBe 1
   }
+
+  "hashSample" should "be deterministic, key-stable, and near the target fraction" in {
+    val df = spark.range(20000).select($"id".as("k"), ($"id" * 7).as("payload"))
+    val s1 = ScaleTools.hashSample(df, Seq("k"), 0.1).select("k").as[Long].collect().toSet
+    val s2 = ScaleTools.hashSample(df, Seq("k"), 0.1).select("k").as[Long].collect().toSet
+    s1 shouldBe s2 // reproducible
+    s1.size.toDouble shouldBe (2000.0 +- 300.0)
+    // key-stability => join-consistency: sampling another table by the same
+    // key keeps exactly the matching rows
+    val other = spark.range(20000).select($"id".as("k"))
+    val s3 = ScaleTools.hashSample(other, Seq("k"), 0.1).select("k").as[Long].collect().toSet
+    s3 shouldBe s1
+    // different seed draws a different sample
+    val s4 = ScaleTools.hashSample(df, Seq("k"), 0.1, seed = 1).select("k").as[Long].collect().toSet
+    s4 should not be s1
+    // edge fractions
+    ScaleTools.hashSample(df, Seq("k"), 0.0).count() shouldBe 0
+    ScaleTools.hashSample(df, Seq("k"), 1.0).count() shouldBe 20000
+  }
+
+  "zorderBy" should "bound BOTH dimensions per partition where a linear sort bounds one" in {
+    // a 200x200 uniform grid
+    val grid = spark.range(40000).select(
+      ($"id" % 200).cast("double").as("x"), ($"id" / 200).cast("double").as("y"))
+    val files = 16
+
+    def boxes(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(min($"y").as("ylo"), max($"y").as("yhi"))
+        .select("ylo", "yhi").as[(Double, Double)].collect()
+
+    val zordered = ScaleTools.zorderBy(grid, Seq("x", "y"), numFiles = files)
+    val linear = grid.repartitionByRange(files, $"x").sortWithinPartitions($"x")
+
+    // The point of z-order is pruning on the NON-leading dimension: a linear
+    // x-layout leaves every partition spanning the full y range (min/max
+    // stats on y prune nothing), while z-curve segments cover compact y
+    // slices. Measure exactly that: partitions whose y-range overlaps a thin
+    // y band must drop well below "all of them".
+    val band = (20.0, 30.0)
+    def overlapping(bs: Array[(Double, Double)]) =
+      bs.count { case (lo, hi) => hi >= band._1 && lo <= band._2 }
+    val zBoxes = boxes(zordered); val lBoxes = boxes(linear)
+    overlapping(lBoxes) shouldBe lBoxes.length // linear: no y pruning at all
+    assert(overlapping(zBoxes) <= zBoxes.length / 2,
+      s"z-order: ${overlapping(zBoxes)}/${zBoxes.length} partitions overlap a 5% y band")
+    // and the mean y-extent per partition shrinks accordingly
+    val zDy = zBoxes.map { case (lo, hi) => hi - lo }.sum / zBoxes.length
+    val lDy = lBoxes.map { case (lo, hi) => hi - lo }.sum / lBoxes.length
+    assert(zDy < lDy / 2.0, s"z-order mean y-extent $zDy not < half of linear $lDy")
+
+    // clustering must not change the data (exact long sums: order-independent)
+    zordered.agg(sum($"x".cast("long")), sum($"y".cast("long"))).head() shouldBe
+      grid.agg(sum($"x".cast("long")), sum($"y".cast("long"))).head()
+    zordered.count() shouldBe 40000
+  }
+
+  "bloomPrefilteredJoin" should "equal the plain join and prune the large side before shuffle" in {
+    val large = spark.range(50000).select(($"id" % 1000).as("k"), $"id".as("payload"))
+    val small = spark.range(20).select(($"id" * 37).as("sk"), concat(lit("n"), $"id").as("name"))
+
+    val expected = large.join(small, $"k" === $"sk")
+      .select("k", "payload", "name").as[(Long, Long, String)].collect().toSet
+    val got = ScaleTools.bloomPrefilteredJoin(large, small, "k", "sk", expectedItems = 100)
+      .select("k", "payload", "name").as[(Long, Long, String)].collect().toSet
+    got shouldBe expected
+
+    // the prefilter really drops non-candidate rows: with 20 keys over a
+    // 1000-value domain at 1% fpp, the surviving fraction must be far below 1
+    val filter = small.stat.bloomFilter("sk", 100, 0.01)
+    val surviving = (0L until 1000L).count(filter.mightContainLong)
+    assert(surviving < 100, s"bloom filter admits $surviving of 1000 candidate keys")
+  }
 }
