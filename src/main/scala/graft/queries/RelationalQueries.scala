@@ -505,6 +505,26 @@ object RelationalQueries {
       hi.intersectAll(lo).groupBy(col("k")).agg(count(lit(1)).as("n"))
     }),
 
+    // --- JSON generation (the write-side twin of q_array_map_json's
+    // parsing): compact struct -> JSON string. Int/string fields only —
+    // double rendering differs between engines in exponent cases ---
+    "q_json_generate" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"),
+          to_json(struct(
+            col("o_orderkey").as("key"),
+            col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("priority"))).as("payload"))),
+
+    // --- text redaction: scrub digit runs (PII-style normalization pass);
+    // ASCII-explicit classes, global replace in both engines ---
+    "q_redact" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_replace(col("text"), "[0-9]+", "<NUM>").as("redacted"),
+        regexp_count(col("text"), lit("[0-9]+")).as("n_redactions"))),
+
     // --- bloom-prefiltered join: the fact side is pruned by a Bloom filter
     // of the dim keys BEFORE the shuffle (manual runtime-filter pushdown).
     // No false negatives => the oracle is simply the plain join ---
@@ -896,6 +916,18 @@ object RelationalQueries {
         |  INTERSECT ALL
         |  SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.05)
         |GROUP BY k""".stripMargin,
+
+    "q_json_generate" ->
+      """SELECT o_orderkey,
+        |  to_json(struct_pack(key := o_orderkey, status := o_orderstatus,
+        |                      priority := o_orderpriority)) AS payload
+        |FROM orders WHERE o_totalprice > 400000""".stripMargin,
+
+    "q_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_redactions
+        |FROM documents""".stripMargin,
 
     // the bloom prefilter has no false negatives, so the plain join IS the
     // exact expected result (same proof shape as q_salted_join)
