@@ -218,16 +218,16 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst_id"), col("dst") === col("dst_id"))
-        .select(col("src").as("id"), col("lbl"))
-      val next = labels.union(viaNeighbors)
-        .groupBy("id").agg(min("lbl").as("lbl"))
+        .select(col("src").as("id"), col("lbl"), lit(null).cast("long").as("own"))
+      // one aggregation yields BOTH the new label and the node's previous one
+      // (own != null only on the self row), so the fixpoint test is a cheap
+      // scan of the checkpointed result — no extra join per round
+      val next = labels.select(col("id"), col("lbl"), col("lbl").as("own"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min("lbl").as("lbl"), max("own").as("own"))
         .localCheckpoint()
-      // fixpoint test: any node whose label still shrank this round?
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("lbl") < col("own")).isEmpty
+      labels = next.select("id", "lbl")
       iter += 1
     }
     require(converged, s"dupClusters did not converge within $maxIter rounds")
