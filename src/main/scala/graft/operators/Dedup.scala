@@ -206,8 +206,13 @@ object Dedup {
       id1Col: String = "id1",
       id2Col: String = "id2",
       maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
-      .union(pairs.select(col(id2Col).as("src"), col(id1Col).as("dst")))
+    // materialize the pair input ONCE before fanning it into both edge
+    // directions: `pairs` is typically an expensive near-dup mining plan
+    // (block self-join + per-pair verification), and the union would
+    // otherwise embed — and execute — that subplan twice
+    val p = pairs.select(col(id1Col).as("a"), col(id2Col).as("b")).localCheckpoint()
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()

@@ -81,8 +81,13 @@ object ScaleTools {
     * variant of the same technique is the oracled `q_sample_hash`. */
   def hashSample(df: DataFrame, keyCols: Seq[String], fraction: Double, seed: Int = 0): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], was $fraction")
-    val threshold = (fraction * 1e6).toLong
-    df.filter(pmod(xxhash64(lit(seed) +: keyCols.map(col): _*), lit(1000000L)) < threshold)
+    // 1e-9 resolution; round (not truncate) so e.g. 0.3 keeps exactly 30%
+    // of hash space. Non-zero fractions below 5e-10 would round to zero —
+    // reject them rather than silently sampling nothing.
+    val threshold = math.round(fraction * 1e9)
+    require(fraction == 0 || threshold > 0,
+      s"fraction $fraction is below the 1e-9 sampling resolution")
+    df.filter(pmod(xxhash64(lit(seed) +: keyCols.map(col): _*), lit(1000000000L)) < threshold)
   }
 
   /** Z-order (Morton-order) clustering before a write: quantize each
@@ -106,7 +111,11 @@ object ScaleTools {
     // min/max of every clustering column in ONE agg job
     val aggCols = zCols.flatMap(c =>
       Seq(min(col(c)).cast("double").as(s"min_$c"), max(col(c)).cast("double").as(s"max_$c")))
-    val b = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val bounds = df.agg(aggCols.head, aggCols.tail: _*).collect()
+    // empty input or an all-null clustering column: no bounds to quantize
+    // against — clustering is a no-op, not an error
+    if (bounds.isEmpty || (0 until 2 * zCols.size).exists(bounds.head.isNullAt)) return df
+    val b = bounds.head
     val levels = (1 << bits) - 1
     val quantized = zCols.zipWithIndex.map { case (c, i) =>
       val lo = b.getDouble(2 * i); val hi = b.getDouble(2 * i + 1)
@@ -141,15 +150,34 @@ object ScaleTools {
       large: DataFrame, small: DataFrame,
       largeKey: String, smallKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    // the membership UDF must agree with what bloomFilter() put in: it
+    // hashes longs for integral columns and UTF-8 bytes for strings. A
+    // mistyped UDF would make the analyzer insert an implicit cast (e.g.
+    // string->bigint => null => every row dropped) and silently break the
+    // "equals the plain join" contract — so dispatch on the actual key type
+    // and reject anything else loudly.
+    import org.apache.spark.sql.types._
+    val keyType = large.schema(largeKey).dataType
+    require(
+      Seq(ByteType, ShortType, IntegerType, LongType, StringType).contains(keyType),
+      s"bloomPrefilteredJoin supports integral or string keys, got $keyType for '$largeKey'")
     val filter = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bcast = large.sparkSession.sparkContext.broadcast(filter)
     // a UDF is unavoidable here: membership needs the broadcast sketch
     // object. It runs as a scan-level filter BEFORE the shuffle — which is
     // the point; null keys can't match an inner join, so dropping them in
     // the prefilter is result-preserving.
-    val mightContain =
-      udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
-    val pruned = large.filter(mightContain(col(largeKey)))
+    val mightContain = keyType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
+          .apply(col(largeKey).cast("long"))
+      case StringType =>
+        udf((k: String) => k != null && bcast.value.mightContainString(k))
+          .apply(col(largeKey))
+      case other => // unreachable: validated above
+        throw new IllegalArgumentException(s"unsupported key type $other")
+    }
+    val pruned = large.filter(mightContain)
     pruned.join(small, pruned(largeKey) === small(smallKey))
   }
 }

@@ -70,6 +70,9 @@ class ScaleToolsSpec extends AnyFlatSpec with Matchers {
     // edge fractions
     ScaleTools.hashSample(df, Seq("k"), 0.0).count() shouldBe 0
     ScaleTools.hashSample(df, Seq("k"), 1.0).count() shouldBe 20000
+    // below the sampling resolution: loud error, not a silent empty sample
+    an[IllegalArgumentException] should be thrownBy
+      ScaleTools.hashSample(df, Seq("k"), 1e-12)
   }
 
   "zorderBy" should "bound BOTH dimensions per partition where a linear sort bounds one" in {
@@ -110,7 +113,35 @@ class ScaleToolsSpec extends AnyFlatSpec with Matchers {
     zordered.count() shouldBe 40000
   }
 
-  "bloomPrefilteredJoin" should "equal the plain join and prune the large side before shuffle" in {
+  it should "pass empty and all-null inputs through unchanged" in {
+    val empty = spark.range(0).select($"id".cast("double").as("x"), $"id".cast("double").as("y"))
+    ScaleTools.zorderBy(empty, Seq("x", "y"), numFiles = 4).count() shouldBe 0
+    val allNull = spark.range(10).select(
+      lit(null).cast("double").as("x"), $"id".cast("double").as("y"))
+    ScaleTools.zorderBy(allNull, Seq("x", "y"), numFiles = 4).count() shouldBe 10
+  }
+
+  "bloomPrefilteredJoin" should "equal the plain join for STRING keys too" in {
+    val large = spark.range(5000).select(
+      concat(lit("key"), ($"id" % 100)).as("k"), $"id".as("payload"))
+    val small = spark.range(5).select(
+      concat(lit("key"), ($"id" * 11)).as("sk"), $"id".as("dim"))
+    val expected = large.join(small, $"k" === $"sk")
+      .select("k", "payload", "dim").as[(String, Long, Long)].collect().toSet
+    val got = ScaleTools.bloomPrefilteredJoin(large, small, "k", "sk", expectedItems = 100)
+      .select("k", "payload", "dim").as[(String, Long, Long)].collect().toSet
+    got shouldBe expected
+    expected should not be empty
+  }
+
+  it should "reject unsupported key types loudly instead of silently mis-hashing" in {
+    val large = spark.range(10).select(($"id" * 1.5).as("k"))
+    val small = spark.range(3).select(($"id" * 1.5).as("sk"))
+    an[IllegalArgumentException] should be thrownBy
+      ScaleTools.bloomPrefilteredJoin(large, small, "k", "sk")
+  }
+
+  it should "equal the plain join and prune the large side before shuffle" in {
     val large = spark.range(50000).select(($"id" % 1000).as("k"), $"id".as("payload"))
     val small = spark.range(20).select(($"id" * 37).as("sk"), concat(lit("n"), $"id").as("name"))
 
