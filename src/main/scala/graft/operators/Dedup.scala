@@ -241,6 +241,26 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
   }
 
+  /** End-to-end near-dup corpus dedup: given mined pairs, keep exactly ONE
+    * document per duplicate cluster (the minimum id) plus every document
+    * that appears in no pair. This is the transitive completion of pairwise
+    * dedup — dropping `id2` of every pair over-deletes when similarity
+    * chains (A~B, B~C with A!~C would drop B AND C, leaving only A to
+    * represent two distinct near-dup groups... or worse, under blocking,
+    * drop documents whose pair partner was itself dropped). One anti-join
+    * against the non-canonical cluster members. */
+  def keepCanonical(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      id1Col: String = "id1",
+      id2Col: String = "id2"): DataFrame = {
+    val losers = dupClusters(pairs, id1Col, id2Col)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__loser_id"))
+    docs.join(losers, docs(idCol) === col("__loser_id"), "left_anti")
+  }
+
   // --- exact n-gram Jaccard (quadratic ground truth) ---
 
   /** All pairs with word-set Jaccard >= `threshold`. Quadratic in the block —

@@ -107,6 +107,15 @@ object PipelineQueries {
         Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.8,
           blockCol = Some("source")))),
 
+    // the end-to-end dedup a corpus consumer runs: keep one canonical doc
+    // per near-dup cluster plus all unpaired docs
+    "q_dedup_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.keepCanonical(docs,
+        Dedup.ngramJaccardPairs(docs, threshold = 0.8, blockCol = Some("source")))
+        .select("doc_id", "lang", "source")
+    }),
+
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 3)),
 
@@ -356,6 +365,27 @@ object PipelineQueries {
          |SELECT doc_id, cluster_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lbl""".stripMargin,
+
+    // survivors = everything minus non-canonical cluster members (same
+    // closure as q_dedup_clusters, applied as an anti-join)
+    "q_dedup_corpus" ->
+      s"""WITH RECURSIVE sets AS (
+         |  SELECT doc_id AS id, source AS blk, list_distinct($duckTokens) AS w FROM documents),
+         |pairs AS (
+         |  SELECT a.id AS id1, b.id AS id2
+         |  FROM sets a JOIN sets b ON a.id < b.id AND a.blk = b.blk
+         |  WHERE len(list_intersect(a.w, b.w)) / len(list_distinct(list_concat(a.w, b.w))) >= 0.8),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM pairs
+         |  UNION
+         |  SELECT id2 AS src, id1 AS dst FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |losers AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) <> a)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
     "q_curation_pipeline" ->
       s"""WITH scored AS (

@@ -129,6 +129,16 @@ class DedupSpec extends AnyFlatSpec with Matchers {
     got shouldBe expected
   }
 
+  "keepCanonical" should "keep one doc per cluster plus all unpaired docs" in {
+    val corpus = Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (10L, "e"), (11L, "f"), (99L, "solo")
+    ).toDF("doc_id", "text")
+    // clusters {1,2,3,4} and {10,11}; 99 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val kept = Dedup.keepCanonical(corpus, pairs).select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 10L, 99L)
+  }
+
   "native SimHash32FromHashes" should "equal the HOF reference formulation bit-for-bit" in {
     val th = graft.functions.VectorExpressions.wordShingleHashes(col("text"), 1, distinct = false)
     val both = docs.select(
