@@ -70,7 +70,25 @@ object GraftExtensions {
     ("text_stats",
       info("text_stats",
         "_FUNC_(text) - single-pass struct(n_tokens, sw_en, sw_es, sw_de, sw_fr, n_punct, n_nonspace, n_chars)"),
-      args => { arity("text_stats", 1, args); TextStats(args.head) }))
+      args => { arity("text_stats", 1, args); TextStats(args.head) }),
+    ("simhash32",
+      info("simhash32",
+        "_FUNC_(hashes) - 32-bit SimHash from a token-hash array (one pass, +1/-1 bit votes)"),
+      args => { arity("simhash32", 1, args); SimHash32FromHashes(args.head) }),
+    ("min_hashes",
+      info("min_hashes",
+        "_FUNC_(hashes, k) - k seeded MinHash values over a bigint-hash array, one pass"),
+      args => {
+        arity("min_hashes", 2, args)
+        MinHashes(args.head, litInt("min_hashes k", args(1)))
+      }),
+    ("hyperplane_lsh_bucket",
+      info("hyperplane_lsh_bucket",
+        "_FUNC_(vec, planes) - sign-bucket id of a float vector under deterministic random hyperplanes"),
+      args => {
+        arity("hyperplane_lsh_bucket", 2, args)
+        HyperplaneLshBucket(args.head, litInt("hyperplane_lsh_bucket planes", args(1)))
+      }))
 
   /** Register on a live session (idempotent: re-registration replaces). */
   def register(spark: SparkSession): Unit = {

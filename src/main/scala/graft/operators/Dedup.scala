@@ -179,6 +179,45 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
+  // --- cross-corpus contamination (benchmark/test-set overlap detection) ---
+
+  /** Flag corpus documents that CONTAIN a benchmark document's content:
+    * for every (corpus doc, benchmark doc) pair, the fraction of the
+    * benchmark doc's distinct word shingles present in the corpus doc
+    * (`containment = |C ∩ B| / |B|` — asymmetric by design: a long corpus
+    * doc that embeds a whole benchmark item scores 1.0 where symmetric
+    * Jaccard would dilute it to near 0). Pairs with containment >=
+    * `threshold` are returned.
+    *
+    * Scale shape: the benchmark side is small by definition (eval sets), so
+    * its exploded shingle table BROADCASTS; the corpus side explodes and
+    * streams — one aggregation keyed on (corpus_id, bench_id), never a
+    * doc-level cross join. Shingle identity is 64-bit hashes
+    * ([[shingleHashes]]), so the counts match the string formulation up to
+    * negligible collision odds. */
+  def contaminationPairs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double = 0.5,
+      corpusIdCol: String = "doc_id",
+      corpusTextCol: String = "text",
+      benchIdCol: String = "doc_id",
+      benchTextCol: String = "text",
+      shingleSize: Int = 3): DataFrame = {
+    val c = corpus.select(col(corpusIdCol).as("corpus_id"),
+      explode(shingleHashes(col(corpusTextCol), shingleSize)).as("h"))
+    val b = benchmark.select(col(benchIdCol).as("bench_id"),
+      shingleHashes(col(benchTextCol), shingleSize).as("bh"))
+      .select(col("bench_id"), size(col("bh")).as("bn"), explode(col("bh")).as("h"))
+    c.join(broadcast(b), "h")
+      .groupBy(col("corpus_id"), col("bench_id"), col("bn"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("containment",
+        col("overlap").cast("double") / col("bn").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("corpus_id", "bench_id", "containment")
+  }
+
   // --- duplicate clustering (connected components over near-dup pairs) ---
 
   /** Group near-duplicate PAIRS into duplicate CLUSTERS: connected components

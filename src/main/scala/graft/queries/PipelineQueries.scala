@@ -107,6 +107,14 @@ object PipelineQueries {
         Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.8,
           blockCol = Some("source")))),
 
+    // benchmark contamination scan: which corpus docs contain >= 50% of a
+    // "benchmark" doc's shingles (fixture benchmark = doc_id < 16, so the
+    // self-matches prove detection end-to-end)
+    "q_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationPairs(docs, docs.filter(col("doc_id") < 16), threshold = 0.5)
+    }),
+
     // the end-to-end dedup a corpus consumer runs: keep one canonical doc
     // per near-dup cluster plus all unpaired docs
     "q_dedup_corpus" -> ((s, d) => {
@@ -365,6 +373,23 @@ object PipelineQueries {
          |SELECT doc_id, cluster_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lbl""".stripMargin,
+
+    // string shingles here vs 64-bit hashed shingles in Spark: distinct and
+    // intersection COUNTS agree up to negligible collision odds, and the
+    // <3-word fallback mirrors WordShingleHashes (whole text as one shingle)
+    "q_contamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+         |        generate_series(1, len(w) - 2),
+         |        i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+         |      ELSE [array_to_string(w, ' ')] END AS s
+         |  FROM (SELECT doc_id, $duckTokens AS w FROM documents)),
+         |b AS (SELECT doc_id AS bench_id, s AS bs FROM sh WHERE doc_id < 16),
+         |c AS (SELECT doc_id AS corpus_id, s AS cs FROM sh)
+         |SELECT corpus_id, bench_id,
+         |  len(list_intersect(cs, bs)) / len(bs) AS containment
+         |FROM c JOIN b ON len(list_intersect(cs, bs)) / len(bs) >= 0.5""".stripMargin,
 
     // survivors = everything minus non-canonical cluster members (same
     // closure as q_dedup_clusters, applied as an anti-join)

@@ -67,6 +67,27 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
     r.getInt(5) shouldBe 2  // n_punct: two periods
   }
 
+  it should "evaluate simhash32, min_hashes, and hyperplane_lsh_bucket in SQL" in {
+    import spark.implicits._
+    val df = Seq(Tuple1("the quick brown fox")).toDF("t")
+    df.createOrReplaceTempView("sql_kernels_doc")
+    val sh = spark.sql(
+      "SELECT simhash32(word_shingle_hashes(t, 1)) AS sh FROM sql_kernels_doc").head().getLong(0)
+    val shCol = df.select(
+      VectorExpressions.simHash32FromHashes(
+        VectorExpressions.wordShingleHashes($"t", 1, sorted = true)).as("sh")).head().getLong(0)
+    sh shouldBe shCol
+    val mh = spark.sql(
+      "SELECT min_hashes(word_shingle_hashes(t, 1), 4) AS mh FROM sql_kernels_doc")
+      .head().getSeq[Long](0)
+    mh should have length 4
+    Seq(Tuple1(Array(1.0f, -2.0f, 0.5f))).toDF("v").createOrReplaceTempView("sql_lsh_vec")
+    val b = spark.sql("SELECT hyperplane_lsh_bucket(v, 8) AS b FROM sql_lsh_vec").head().getLong(0)
+    val bCol = Seq(Tuple1(Array(1.0f, -2.0f, 0.5f))).toDF("v")
+      .select(VectorExpressions.hyperplaneLshBucket($"v", 8).as("b")).head().getLong(0)
+    b shouldBe bCol
+  }
+
   it should "reject wrong arity and non-literal shingle size at analysis time" in {
     spark.sql("SELECT 1").collect() // force session init
     an[Exception] should be thrownBy

@@ -129,6 +129,23 @@ class DedupSpec extends AnyFlatSpec with Matchers {
     got shouldBe expected
   }
 
+  "contaminationPairs" should "flag corpus docs containing a benchmark doc's shingles" in {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // embeds the full benchmark text inside a longer doc: containment 1.0
+      (1L, "some prefix words alpha beta gamma delta epsilon and a suffix"),
+      // shares 1 of the 3 benchmark shingles ("beta gamma delta")
+      (2L, "unrelated start beta gamma delta unrelated end"),
+      // disjoint
+      (3L, "completely different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationPairs(corpus, bench, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map { case (c, b, x) => ((c, b), x) }.toMap
+    got((1L, 100L)) shouldBe 1.0
+    got((2L, 100L)) shouldBe (1.0 / 3.0)
+    got.keySet should not contain ((3L, 100L))
+  }
+
   "keepCanonical" should "keep one doc per cluster plus all unpaired docs" in {
     val corpus = Seq(
       (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (10L, "e"), (11L, "f"), (99L, "solo")
