@@ -211,6 +211,25 @@ class DedupSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "native kernels" should "match the HOF references on randomized hash arrays" in {
+    import org.scalacheck.Gen
+    val gen = Gen.listOfN(40,
+      Gen.containerOf[Seq, Long](Gen.oneOf(
+        Gen.long, Gen.oneOf(0L, -1L, 1L, Long.MaxValue, Long.MinValue))))
+    val arrays = gen.sample.getOrElse(Nil)
+    arrays should not be empty
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }.toDF("id", "hs")
+    val n = 8
+    val mismatches = df.select(
+      Dedup.simhashFromHashes(col("hs")).as("s_native"),
+      Dedup.simhashFromHashesHof(col("hs")).as("s_hof"),
+      graft.functions.VectorExpressions.minHashes(col("hs"), n).as("m_native"),
+      array((0 until n).map(s => Dedup.minhashFromHashes(col("hs"), s)): _*).as("m_hof"))
+      .filter(col("s_native") =!= col("s_hof") || !(col("m_native") === col("m_hof")))
+      .count()
+    mismatches shouldBe 0
+  }
+
   "ngramJaccardPairs" should "compute exact word-set jaccard" in {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .as[(Long, Long, Double)].collect().map { case (a, b, j) => ((a, b), j) }.toMap
