@@ -21,10 +21,13 @@ import java.time.Instant
  *   graft-cli --store <uri> partition remove <schema.table> <col=val[/...]> [--user U] [--message M]
  *   graft-cli --store <uri> checkout <schema.table> <commitId>
  *   graft-cli --store <uri> changes <schema.table> <fromCommitId> <toCommitId>
+ *   graft-cli --store <uri> vacuum <schema.table> <location> [--keep-last N] [--apply]
  * }}}
  *
  * All commands are metadata-only (no Spark, no data movement), matching the
- * reference CLI which operates purely on the version store.
+ * reference CLI which operates purely on the version store — except `vacuum
+ * --apply`, the one deliberate data-touching extension (Hadoop FS deletes of
+ * expired `_version=` directories; report-only without `--apply`).
  */
 object GraftCli {
 
@@ -129,9 +132,41 @@ object GraftCli {
         0
       }
 
+      // retention: report (default) or physically delete (--apply) version
+      // dirs outside the keep-last window. Metadata comes from the store;
+      // the table LOCATION is an argument because the store tracks names and
+      // commits, not paths (same as the reference's store).
+      case List("vacuum", name, location) => withTable(name) { t =>
+        val keepLast = flags.get("keep-last").map(_.toInt).getOrElse(7)
+        val targets = graft.core.Retention.expirableVersionUris(
+          tracker.tableState(t), new URI(location), keepLast)
+        if (targets.isEmpty) { out.println("nothing expirable"); 0 }
+        else if (!flags.contains("apply")) {
+          targets.foreach(u => out.println(s"expirable  $u"))
+          out.println(s"${targets.size} expirable (re-run with --apply to delete)"); 0
+        } else {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val tableRoot = new org.apache.hadoop.fs.Path(new URI(location)).toUri.getPath
+          var failures = 0
+          targets.foreach { uri =>
+            val normalized = uri.getPath.stripSuffix("/")
+            val leaf = normalized.substring(normalized.lastIndexOf('/') + 1)
+            if (!leaf.startsWith(VersionPaths.VersionDirPrefix) || !normalized.startsWith(tableRoot)) {
+              out.println(s"refused  $uri"); failures += 1
+            } else {
+              val p = new org.apache.hadoop.fs.Path(uri.getScheme + ":" + normalized)
+              val fs = p.getFileSystem(conf)
+              if (!fs.exists(p) || fs.delete(p, true)) out.println(s"deleted  $uri")
+              else { out.println(s"failed   $uri"); failures += 1 }
+            }
+          }
+          if (failures == 0) 0 else 1
+        }
+      }
+
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|changes> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|changes|vacuum> ...""".stripMargin)
         2
     } catch {
       case e @ (_: UnknownTableError | _: UnknownCommitError) =>
@@ -141,7 +176,7 @@ object GraftCli {
 
   /** Split `--flag value` / `--flag` pairs from positional args. */
   private def parseFlags(argv: List[String]): (Map[String, String], List[String]) = {
-    val boolFlags = Set("isSnapshot")
+    val boolFlags = Set("isSnapshot", "apply")
     def loop(rest: List[String], flags: Map[String, String], pos: List[String]): (Map[String, String], List[String]) =
       rest match {
         case Nil => (flags, pos.reverse)

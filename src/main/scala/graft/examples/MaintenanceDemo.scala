@@ -58,9 +58,15 @@ object MaintenanceDemo {
       case _ => -1
     }}")
 
-    // 5. retention: versions invisible in the last 1 commit
+    // 5. retention: versions invisible in the last 1 commit, then reclaim
+    // them physically (dry-run plan first, real delete after)
     println(s"EXPIRABLE=${engine.expirableVersions(table, keepLast = 1).size}")
     println(s"ORPHANED=${engine.orphanedVersions(table).size}")
+    val vacPlan = engine.vacuum(table, keepLast = 1) // dryRun default
+    val vacRun = engine.vacuum(table, keepLast = 1, dryRun = false)
+    println(s"VACUUM_PLANNED=${vacPlan.targets.size} VACUUM_DELETED=${vacRun.deleted.size} VACUUM_FAILED=${vacRun.failed.size}")
+    // current read still intact after the vacuum
+    println(s"POST_VACUUM_ROWS=${engine.read(table).count()}")
 
     // 6. the commit log as a (batch-drained) stream
     import org.apache.spark.sql.streaming.Trigger

@@ -189,30 +189,51 @@ final class VersionedTables(
     * Deleting them caps time travel at `keepLast` commits back; anything NOT
     * listed is either live or inside the retention window. Complements
     * [[orphanedVersions]] (directories no commit references at all). */
-  def expirableVersions(table: TableDefinition, keepLast: Int): List[URI] = {
-    require(keepLast >= 1, s"keepLast must be >= 1, was $keepLast")
-    val st = tracker.tableState(table.name)
-    // states still reachable once history is truncated to the last keepLast
-    // commits (head included even if older — it is what readers see NOW)
-    val keptIds = (st.updates.takeRight(keepLast).map(_.metadata.id) :+ st.currentVersion).distinct
-    val live: Set[(Option[Partition], Version)] = keptIds.flatMap { id =>
-      st.versionAt(id) match {
-        case PartitionedTableVersion(pvs) => pvs.toList.map { case (p, v) => (Some(p), v) }
-        case SnapshotTableVersion(v)      => List((None: Option[Partition], v))
-      }
-    }.toSet
-    val referenced: List[(Option[Partition], Version)] = st.updates.flatMap(_.operations).collect {
-      case TableOperation.AddPartitionVersion(p, v) => (Some(p), v)
-      case TableOperation.AddTableVersion(v)        => (None: Option[Partition], v)
+  def expirableVersions(table: TableDefinition, keepLast: Int): List[URI] =
+    Retention.expirableVersionUris(tracker.tableState(table.name), table.location, keepLast)
+
+  import VersionedTables.VacuumResult
+
+  /** Physically reclaim storage from expired versions (Delta/Iceberg-style
+    * VACUUM — a deliberate extension beyond the reference, which never
+    * deletes; the default `dryRun = true` preserves its stance unless the
+    * caller opts in). Targets are re-derived AT CALL TIME from
+    * [[expirableVersions]] (history beyond the last `keepLast` commits) plus,
+    * when `includeOrphans`, [[orphanedVersions]] (debris no commit
+    * references). After a real run, time travel further back than `keepLast`
+    * commits fails loudly at read time (missing path); the commit LOG is
+    * never touched, so history metadata remains auditable.
+    *
+    * Defense in depth before each delete: the URI must live under the table
+    * location and its leaf must be a `_version=` directory — a corrupted
+    * report can refuse, never over-delete. */
+  def vacuum(
+      table: TableDefinition,
+      keepLast: Int,
+      includeOrphans: Boolean = false,
+      dryRun: Boolean = true): VacuumResult = {
+    import org.apache.hadoop.fs.Path
+    val targets = (expirableVersions(table, keepLast) ++
+      (if (includeOrphans) orphanedVersions(table) else Nil)).distinct.sortBy(_.toString)
+    if (dryRun) return VacuumResult(targets, Nil, Nil)
+    val fs = new Path(table.location).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tableRoot = new Path(table.location).toUri.getPath
+    val (deleted, failed) = targets.foldLeft((List.empty[URI], List.empty[(URI, String)])) {
+      case ((ok, bad), uri) =>
+        // report URIs carry a trailing slash — normalize before the checks
+        // (a trailing slash makes Path.getName empty)
+        val normalized = uri.getPath.stripSuffix("/")
+        val p = new Path(uri.getScheme + ":" + normalized)
+        val leafOk = normalized.substring(normalized.lastIndexOf('/') + 1)
+          .startsWith(VersionPaths.VersionDirPrefix)
+        val underTable = normalized.startsWith(tableRoot)
+        if (!leafOk || !underTable)
+          (ok, bad :+ (uri -> s"refusing: not a _version dir under ${table.location}"))
+        else if (!fs.exists(p)) (ok :+ uri, bad) // already gone: reclaimed
+        else if (fs.delete(p, true)) (ok :+ uri, bad)
+        else (ok, bad :+ (uri -> "filesystem delete returned false"))
     }
-    referenced.distinct
-      .filterNot(live)
-      .filterNot { case (_, v) => v == Version.Unversioned } // adopted data lives at the root
-      .map {
-        case (Some(p), v) => VersionPaths.pathFor(p.resolvePath(table.location), v)
-        case (None, v)    => VersionPaths.pathFor(table.location, v)
-      }
-      .sortBy(_.toString)
+    VacuumResult(targets, deleted, failed)
   }
 
   /** Read the current version of only the partitions matching `keep` — the
@@ -306,6 +327,10 @@ final class VersionedTables(
 }
 
 object VersionedTables {
+
+  /** Outcome of a [[VersionedTables.vacuum]] run: what would be / was
+    * deleted, and any per-directory delete failures (path -> reason). */
+  final case class VacuumResult(targets: List[URI], deleted: List[URI], failed: List[(URI, String)])
 
   /** Render a (properly-encoded) URI as the string Spark's readers and
     * Hadoop's `Path(String)` expect: the DECODED form. `Path(String)` treats

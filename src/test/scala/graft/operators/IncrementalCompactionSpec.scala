@@ -209,6 +209,53 @@ class IncrementalCompactionSpec extends AnyFlatSpec with Matchers {
     afterCheckout.exists(_.contains(v1d1)) shouldBe false // head state uses v1 again
   }
 
+  behavior of "vacuum"
+
+  it should "dry-run by default, then physically reclaim expired versions only" in {
+    val (engine, table, _) = newTable()
+    Seq(Reading("a", "d1", 1.0), Reading("b", "d2", 2.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "w1")
+    val firstCommit = engine.log(table.name).head.id
+    Seq(Reading("a", "d1", 10.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "w2")
+    Seq(Reading("a", "d1", 100.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "w3")
+
+    val fs = new org.apache.hadoop.fs.Path(table.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // dry run: targets listed, nothing touched
+    val dry = engine.vacuum(table, keepLast = 1)
+    dry.targets should have size 2
+    dry.deleted shouldBe Nil
+    dry.targets.foreach(u => fs.exists(new org.apache.hadoop.fs.Path(u)) shouldBe true)
+
+    // real run: the two superseded d1 versions are gone, nothing failed
+    val real = engine.vacuum(table, keepLast = 1, dryRun = false)
+    real.deleted should contain theSameElementsAs dry.targets
+    real.failed shouldBe Nil
+    real.deleted.foreach(u => fs.exists(new org.apache.hadoop.fs.Path(u)) shouldBe false)
+
+    // current read unaffected; history metadata intact; time travel past the
+    // retention window now fails loudly at read time
+    engine.read(table).select("sensor", "day", "value").as[Reading].collect() should
+      contain theSameElementsAs Seq(Reading("a", "d1", 100.0), Reading("b", "d2", 2.0))
+    engine.log(table.name) should have size 4 // init + 3 writes: log never shrinks
+    an[Exception] should be thrownBy
+      engine.readAt(table, firstCommit).collect()
+  }
+
+  it should "refuse to delete report entries that are not _version dirs under the table" in {
+    val (engine, table, _) = newTable()
+    Seq(Reading("a", "d1", 1.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "w1")
+    // nothing expirable -> vacuum is a clean no-op either way
+    val r = engine.vacuum(table, keepLast = 1, dryRun = false)
+    r.targets shouldBe Nil
+    r.deleted shouldBe Nil
+    r.failed shouldBe Nil
+  }
+
   it should "honor filesPerPartition for partitions too big for one write task" in {
     val (engine, table, loc) = newTable()
     val rows = (1 to 100).map(i => Reading(s"s$i", "d1", i.toDouble))
