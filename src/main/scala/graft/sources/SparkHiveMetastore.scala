@@ -41,6 +41,11 @@ final class SparkHiveMetastore(spark: SparkSession) extends Metastore {
     }
   }
 
+  /** Partitions per ALTER TABLE statement. Spark's DDL grammar accepts many
+    * `PARTITION (...)` clauses per ADD/DROP; chunking bounds statement size
+    * and keeps any parse/metastore limits far away. */
+  private val DdlBatchSize = 100
+
   override def update(table: TableName, changes: TableChanges): Unit = {
     requireExists(table)
     val t = table.fullyQualifiedName
@@ -49,18 +54,35 @@ final class SparkHiveMetastore(spark: SparkSession) extends Metastore {
     // commit must stay metadata-cheap
     lazy val tableLoc = tableLocation(table)
     def baseLoc(p: Partition): URI = p.resolvePath(toUri(tableLoc))
-    changes.operations.foreach {
-      case MetastoreOperation.AddPartition(p, v) =>
-        val loc = VersionPaths.pathFor(baseLoc(p), v)
-        spark.sql(s"ALTER TABLE $t ADD IF NOT EXISTS PARTITION (${partitionExpr(p)}) LOCATION ${sqlLit(locString(loc))}")
-      case MetastoreOperation.UpdatePartitionVersion(p, v) =>
-        val loc = VersionPaths.pathFor(baseLoc(p), v)
-        spark.sql(s"ALTER TABLE $t PARTITION (${partitionExpr(p)}) SET LOCATION ${sqlLit(locString(loc))}")
-      case MetastoreOperation.RemovePartition(p) =>
-        spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (${partitionExpr(p)})")
-      case MetastoreOperation.UpdateTableVersion(v) =>
-        val base = VersionPaths.versionedToBasePath(toUri(tableLoc))
-        spark.sql(s"ALTER TABLE $t SET LOCATION ${sqlLit(locString(VersionPaths.pathFor(base, v)))}")
+    def versionedLoc(p: Partition, v: Version): String =
+      locString(VersionPaths.pathFor(baseLoc(p), v))
+
+    // Reordering by operation type is safe: computeChanges emits at most one
+    // operation per partition, so the ops are pairwise independent. Batching
+    // matters at scale — a 10k-partition initial load becomes ~100 round
+    // trips to the metastore instead of 10k.
+    val adds = changes.operations.collect { case op: MetastoreOperation.AddPartition => op }
+    val updates = changes.operations.collect { case op: MetastoreOperation.UpdatePartitionVersion => op }
+    val removes = changes.operations.collect { case op: MetastoreOperation.RemovePartition => op }
+    val tableVersions = changes.operations.collect { case op: MetastoreOperation.UpdateTableVersion => op }
+
+    adds.grouped(DdlBatchSize).foreach { chunk =>
+      val specs = chunk.map(op =>
+        s"PARTITION (${partitionExpr(op.partition)}) LOCATION ${sqlLit(versionedLoc(op.partition, op.version))}")
+      spark.sql(s"ALTER TABLE $t ADD IF NOT EXISTS ${specs.mkString(" ")}")
+    }
+    // no batch form exists for SET LOCATION — per-partition by necessity
+    updates.foreach { op =>
+      spark.sql(s"ALTER TABLE $t PARTITION (${partitionExpr(op.partition)}) " +
+        s"SET LOCATION ${sqlLit(versionedLoc(op.partition, op.version))}")
+    }
+    removes.grouped(DdlBatchSize).foreach { chunk =>
+      val specs = chunk.map(op => s"PARTITION (${partitionExpr(op.partition)})")
+      spark.sql(s"ALTER TABLE $t DROP IF EXISTS ${specs.mkString(", ")}")
+    }
+    tableVersions.foreach { op =>
+      val base = VersionPaths.versionedToBasePath(toUri(tableLoc))
+      spark.sql(s"ALTER TABLE $t SET LOCATION ${sqlLit(locString(VersionPaths.pathFor(base, op.version)))}")
     }
   }
 

@@ -25,6 +25,27 @@ class SparkHiveMetastoreSpec extends AnyFlatSpec with Matchers {
       metastore.currentVersion(TableName("default", "does_not_exist"))
   }
 
+  it should "apply a many-partition commit through batched ADD/DROP statements" in {
+    freshDb("hive_batch")
+    val loc = Files.createTempDirectory("batch-").toUri.toString.stripSuffix("/")
+    spark.sql(
+      s"""CREATE EXTERNAL TABLE hive_batch.readings (value DOUBLE)
+         |PARTITIONED BY (day STRING) STORED AS PARQUET LOCATION '$loc'""".stripMargin)
+    val t = TableName("hive_batch", "readings")
+
+    // one commit adding 7 partitions -> ONE batched ADD statement
+    val versions = (1 to 7).map(i => Partition("day", f"2024-01-$i%02d") -> Version.generate()).toMap
+    metastore.update(t, Metastore.computeChanges(
+      metastore.currentVersion(t), PartitionedTableVersion(versions)))
+    metastore.currentVersion(t) shouldBe PartitionedTableVersion(versions)
+
+    // one commit removing 4 of them -> ONE batched DROP statement
+    val keep = versions.filter { case (p, _) => p.columnValues.head.value <= "2024-01-03" }
+    metastore.update(t, Metastore.computeChanges(
+      metastore.currentVersion(t), PartitionedTableVersion(keep)))
+    metastore.currentVersion(t) shouldBe PartitionedTableVersion(keep)
+  }
+
   it should "swap and revert snapshot table versions" in {
     freshDb("hive_test")
     val loc = Files.createTempDirectory("users-").toUri.toString.stripSuffix("/")
