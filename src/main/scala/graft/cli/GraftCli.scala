@@ -137,30 +137,31 @@ object GraftCli {
       // the table LOCATION is an argument because the store tracks names and
       // commits, not paths (same as the reference's store).
       case List("vacuum", name, location) => withTable(name) { t =>
-        val keepLast = flags.get("keep-last").map(_.toInt).getOrElse(7)
-        val targets = graft.core.Retention.expirableVersionUris(
-          tracker.tableState(t), new URI(location), keepLast)
-        if (targets.isEmpty) { out.println("nothing expirable"); 0 }
-        else if (!flags.contains("apply")) {
-          targets.foreach(u => out.println(s"expirable  $u"))
-          out.println(s"${targets.size} expirable (re-run with --apply to delete)"); 0
-        } else {
-          val conf = new org.apache.hadoop.conf.Configuration()
-          val tableRoot = new org.apache.hadoop.fs.Path(new URI(location)).toUri.getPath
-          var failures = 0
-          targets.foreach { uri =>
-            val normalized = uri.getPath.stripSuffix("/")
-            val leaf = normalized.substring(normalized.lastIndexOf('/') + 1)
-            if (!leaf.startsWith(VersionPaths.VersionDirPrefix) || !normalized.startsWith(tableRoot)) {
-              out.println(s"refused  $uri"); failures += 1
-            } else {
-              val p = new org.apache.hadoop.fs.Path(uri.getScheme + ":" + normalized)
-              val fs = p.getFileSystem(conf)
-              if (!fs.exists(p) || fs.delete(p, true)) out.println(s"deleted  $uri")
-              else { out.println(s"failed   $uri"); failures += 1 }
-            }
+        val parsed = for {
+          keepLast <- flags.get("keep-last") match {
+            case None => Right(7)
+            case Some(s) => s.toIntOption.filter(_ >= 1)
+              .toRight(s"--keep-last must be a positive integer, got '$s'")
           }
-          if (failures == 0) 0 else 1
+          loc <- try Right(new URI(location))
+                 catch { case e: java.net.URISyntaxException => Left(s"bad location '$location': ${e.getMessage}") }
+        } yield (keepLast, loc)
+        parsed match {
+          case Left(err) => out.println(s"error: $err"); 2
+          case Right((keepLast, loc)) =>
+            val targets = graft.core.Retention.expirableVersionUris(
+              tracker.tableState(t), loc, keepLast)
+            if (targets.isEmpty) { out.println("nothing expirable"); 0 }
+            else if (!flags.contains("apply")) {
+              targets.foreach(u => out.println(s"expirable  $u"))
+              out.println(s"${targets.size} expirable (re-run with --apply to delete)"); 0
+            } else {
+              val outcome = graft.sources.VersionJanitor.deleteVersionDirs(
+                new org.apache.hadoop.conf.Configuration(), loc, targets)
+              outcome.deleted.foreach(u => out.println(s"deleted  $u"))
+              outcome.failed.foreach { case (u, why) => out.println(s"failed   $u  ($why)") }
+              if (outcome.failed.isEmpty) 0 else 1
+            }
         }
       }
 

@@ -204,36 +204,21 @@ final class VersionedTables(
     * commits fails loudly at read time (missing path); the commit LOG is
     * never touched, so history metadata remains auditable.
     *
-    * Defense in depth before each delete: the URI must live under the table
-    * location and its leaf must be a `_version=` directory — a corrupted
-    * report can refuse, never over-delete. */
+    * Defense in depth before each delete (shared with the CLI via
+    * [[graft.sources.VersionJanitor]]): the target must be a `_version=`
+    * leaf, on the same filesystem as the table, strictly under the table
+    * location — a corrupted report can refuse, never over-delete. */
   def vacuum(
       table: TableDefinition,
       keepLast: Int,
       includeOrphans: Boolean = false,
       dryRun: Boolean = true): VacuumResult = {
-    import org.apache.hadoop.fs.Path
     val targets = (expirableVersions(table, keepLast) ++
       (if (includeOrphans) orphanedVersions(table) else Nil)).distinct.sortBy(_.toString)
     if (dryRun) return VacuumResult(targets, Nil, Nil)
-    val fs = new Path(table.location).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tableRoot = new Path(table.location).toUri.getPath
-    val (deleted, failed) = targets.foldLeft((List.empty[URI], List.empty[(URI, String)])) {
-      case ((ok, bad), uri) =>
-        // report URIs carry a trailing slash — normalize before the checks
-        // (a trailing slash makes Path.getName empty)
-        val normalized = uri.getPath.stripSuffix("/")
-        val p = new Path(uri.getScheme + ":" + normalized)
-        val leafOk = normalized.substring(normalized.lastIndexOf('/') + 1)
-          .startsWith(VersionPaths.VersionDirPrefix)
-        val underTable = normalized.startsWith(tableRoot)
-        if (!leafOk || !underTable)
-          (ok, bad :+ (uri -> s"refusing: not a _version dir under ${table.location}"))
-        else if (!fs.exists(p)) (ok :+ uri, bad) // already gone: reclaimed
-        else if (fs.delete(p, true)) (ok :+ uri, bad)
-        else (ok, bad :+ (uri -> "filesystem delete returned false"))
-    }
-    VacuumResult(targets, deleted, failed)
+    val outcome = graft.sources.VersionJanitor.deleteVersionDirs(
+      spark.sparkContext.hadoopConfiguration, table.location, targets)
+    VacuumResult(targets, outcome.deleted, outcome.failed)
   }
 
   /** Read the current version of only the partitions matching `keep` — the

@@ -119,5 +119,9 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     cli("partition", "add", "sales.hist", "not a partition")._1 shouldBe 2
     cli("frobnicate")._1 shouldBe 2
     GraftCli.run(List("tables"), new PrintWriter(new StringWriter, true)) shouldBe 2
+    // vacuum argument errors follow the same convention (no stack traces)
+    cli("vacuum", "sales.hist", "/tmp/x", "--keep-last", "abc")._1 shouldBe 2
+    cli("vacuum", "sales.hist", "/tmp/x", "--keep-last", "0")._1 shouldBe 2
+    cli("vacuum", "sales.hist", "ht tp://bad uri")._1 shouldBe 2
   }
 }

@@ -245,15 +245,41 @@ class IncrementalCompactionSpec extends AnyFlatSpec with Matchers {
       engine.readAt(table, firstCommit).collect()
   }
 
-  it should "refuse to delete report entries that are not _version dirs under the table" in {
+  it should "be a clean no-op when nothing is expirable" in {
     val (engine, table, _) = newTable()
     Seq(Reading("a", "d1", 1.0)).toDS()
       .versionedInsertInto(engine, table, UserId("t"), "w1")
-    // nothing expirable -> vacuum is a clean no-op either way
     val r = engine.vacuum(table, keepLast = 1, dryRun = false)
     r.targets shouldBe Nil
     r.deleted shouldBe Nil
     r.failed shouldBe Nil
+  }
+
+  it should "refuse forged targets: bad leaf, prefix-sibling dirs, and foreign filesystems" in {
+    import graft.sources.VersionJanitor
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = java.nio.file.Files.createTempDirectory("graft-janitor-")
+    val tableLoc = root.resolve("events").toUri
+    // a sibling whose path shares the table prefix, plus a legit victim dir
+    val sibling = java.nio.file.Files.createDirectories(
+      root.resolve("events_archive").resolve("_version=20240101-000000.000000000-x"))
+    val legit = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(tableLoc.getPath).resolve("day=d1")
+        .resolve("_version=20240101-000000.000000000-y"))
+
+    val legitUri = legit.toUri // capture now: toUri drops the trailing slash once deleted
+    val outcome = VersionJanitor.deleteVersionDirs(conf, tableLoc, List(
+      new java.net.URI(tableLoc + "/day=d1/notaversion/"),            // bad leaf
+      sibling.toUri,                                                  // prefix sibling
+      new java.net.URI("s3a://bucket" + tableLoc.getPath +            // same path, other fs
+        "/day=d1/_version=20240101-000000.000000000-y/"),
+      legitUri))                                                      // the only valid one
+
+    outcome.deleted shouldBe List(legitUri)
+    outcome.failed should have size 3
+    outcome.failed.map(_._2).count(_.startsWith("refusing")) shouldBe 3
+    java.nio.file.Files.exists(sibling) shouldBe true   // refused => untouched
+    java.nio.file.Files.exists(legit) shouldBe false
   }
 
   it should "honor filesPerPartition for partitions too big for one write task" in {
