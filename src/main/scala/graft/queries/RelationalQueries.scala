@@ -25,6 +25,22 @@ object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** One z-ordered copy of lineitem per (session, sfDir): written once,
+    * shared by every q_zorder_scan call (same memoization pattern as the
+    * versioned fixture). */
+  private val zorderCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def zorderFixture(s: SparkSession, d: String): String =
+    zorderCache.computeIfAbsent((s, d), _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-zorder-").resolve("lineitem")
+      graft.operators.ScaleTools.zorderBy(
+          Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
+          Seq("l_orderkey", "l_partkey"), numFiles = 16)
+        .write.parquet(out.toString)
+      out.toString
+    })
+
   val defs: Map[String, Q] = Map(
     // --- scans, filters, distinct ---
     "q_scan_project" -> ((s, d) =>
@@ -536,6 +552,17 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // --- z-order data skipping: scan a Morton-clustered copy of lineitem
+    // with a box predicate on BOTH clustering dimensions. Layout changes
+    // which files min/max-prune, never the rows — the oracle is the plain
+    // filter on the raw table (same proof shape as q_salted_join) ---
+    // bounds valid from sf0.001 up (keys start at 0 at every scale factor)
+    "q_zorder_scan" -> ((s, d) =>
+      s.read.parquet(zorderFixture(s, d))
+        .filter(col("l_orderkey").between(100, 700) &&
+          col("l_partkey").between(20, 120))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))),
+
     // --- deterministic hash sampling: md5-prefix predicate — stable across
     // runs, engines, and partitionings, unlike TABLESAMPLE/rand(). ~10.2%
     // expected rate (0x1a/0x100); the engine-native xxhash64 variant is
@@ -936,6 +963,11 @@ object RelationalQueries {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_nationkey < 5
         |GROUP BY s_nationkey""".stripMargin,
+
+    "q_zorder_scan" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 700
+        |  AND l_partkey BETWEEN 20 AND 120""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
