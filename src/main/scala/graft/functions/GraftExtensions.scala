@@ -33,7 +33,8 @@ object GraftExtensions {
   private type Builder = Seq[Expression] => Expression
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
     require(args.length == n, s"$name expects $n arguments, got ${args.length}")

@@ -142,7 +142,7 @@ object PipelineQueries {
       // OracleLshDims-wide vectors as SQL literals, while lshTopK derives its
       // weights from the actual vector width — fail loudly here if the
       // fixture width ever drifts instead of letting the oracle desync.
-      val width = emb.select(size(col("embedding"))).head.getInt(0)
+      val width = emb.select(size(col("embedding"))).head().getInt(0)
       require(width == OracleLshDims,
         s"embeddings width $width != q_ann_lsh oracle dims $OracleLshDims — regenerate the oracle weight literals")
       Similarity.lshTopK(emb.filter(col("vec_id") < 16), emb, k = 10, planes = 8)
