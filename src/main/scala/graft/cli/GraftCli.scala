@@ -143,8 +143,10 @@ object GraftCli {
             case Some(s) => s.toIntOption.filter(_ >= 1)
               .toRight(s"--keep-last must be a positive integer, got '$s'")
           }
-          loc <- try Right(new URI(location))
-                 catch { case e: java.net.URISyntaxException => Left(s"bad location '$location': ${e.getMessage}") }
+          loc <- (try Right(new URI(location))
+                  catch { case e: java.net.URISyntaxException => Left(s"bad location '$location': ${e.getMessage}") })
+            .filterOrElse(u => !u.isOpaque && u.getPath != null,
+              s"bad location '$location': not a hierarchical URI (missing '//' after the scheme?)")
         } yield (keepLast, loc)
         parsed match {
           case Left(err) => out.println(s"error: $err"); 2

@@ -282,6 +282,38 @@ class IncrementalCompactionSpec extends AnyFlatSpec with Matchers {
     java.nio.file.Files.exists(legit) shouldBe false
   }
 
+  it should "refuse dot-segment escapes, fail-all on opaque locations, and accept qualified targets for scheme-less locations" in {
+    import graft.sources.VersionJanitor
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = java.nio.file.Files.createTempDirectory("graft-janitor2-")
+    val tableLoc = root.resolve("events").toUri
+
+    // '..' passes a lexical startsWith but must be refused
+    val escape = new java.net.URI(null, null,
+      tableLoc.getPath + "/../victim/_version=20240101-000000.000000000-z/", null)
+    val r1 = VersionJanitor.deleteVersionDirs(conf, tableLoc, List(escape))
+    r1.deleted shouldBe Nil
+    r1.failed.head._2 should include("dot segments")
+
+    // opaque location (missing '//'): everything refused, nothing thrown
+    val r2 = VersionJanitor.deleteVersionDirs(conf,
+      new java.net.URI("s3a:bucket/warehouse/t"), List(escape))
+    r2.deleted shouldBe Nil
+    r2.failed.head._2 should include("not a hierarchical URI")
+
+    // scheme-less table location + Hadoop-qualified (file:) target — the
+    // orphanedVersions shape — must be accepted, not false-refused
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(tableLoc.getPath).resolve("day=d1")
+        .resolve("_version=20240101-000000.000000000-w"))
+    val schemelessLoc = new java.net.URI(null, null, tableLoc.getPath, null)
+    val qualifiedTarget = new java.net.URI("file", null, dir.toString, null)
+    val r3 = VersionJanitor.deleteVersionDirs(conf, schemelessLoc, List(qualifiedTarget))
+    r3.failed shouldBe Nil
+    r3.deleted shouldBe List(qualifiedTarget)
+    java.nio.file.Files.exists(dir) shouldBe false
+  }
+
   it should "honor filesPerPartition for partitions too big for one write task" in {
     val (engine, table, loc) = newTable()
     val rows = (1 to 100).map(i => Reading(s"s$i", "d1", i.toDouble))
