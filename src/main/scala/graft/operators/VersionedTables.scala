@@ -82,6 +82,37 @@ final class VersionedTables(
     }
   }
 
+  /** The rows introduced BY one commit: [[readChangesBetween]] from the
+    * commit's parent to the commit itself (an initial commit diffs against
+    * the empty state). Because the answer depends only on `id` — not on when
+    * or in what order the caller asks — this is the idempotent per-commit
+    * unit that composes with [[graft.streaming.CommitStream]]'s UNORDERED
+    * commit feed into a streaming CDC pipeline: for each streamed commit id,
+    * process `readChangesAt(table, id)`; replays and out-of-order delivery
+    * re-read the same rows instead of corrupting a range. */
+  def readChangesAt(table: TableDefinition, id: CommitId): DataFrame = {
+    val st = tracker.tableState(table.name)
+    val idx = st.updates.indexWhere(_.metadata.id == id)
+    if (idx < 0) throw UnknownCommitError(id)
+    val at = st.versionAt(id)
+    val parent =
+      if (idx == 0) at match { // initial commit: diff against emptiness
+        case _: PartitionedTableVersion => PartitionedTableVersion(Map.empty)
+        case _: SnapshotTableVersion    => SnapshotTableVersion(Version.Unversioned)
+      }
+      else st.versionAt(st.updates(idx - 1).metadata.id)
+    (parent, at) match {
+      case (PartitionedTableVersion(a), PartitionedTableVersion(b)) =>
+        val changed = b.filter { case (p, v) => !a.get(p).contains(v) }
+        readVersion(table, PartitionedTableVersion(changed))
+      case (SnapshotTableVersion(va), snap @ SnapshotTableVersion(vb)) =>
+        if (va == vb) emptyLike(table) else readVersion(table, snap)
+      case _ =>
+        throw new IllegalArgumentException(
+          "Cannot diff partitioned and snapshot table versions")
+    }
+  }
+
   /** Small-file compaction as a first-class versioned operation: rewrite the
     * CURRENT data of the selected partitions into a NEW version with
     * `filesPerPartition` files each, and commit it. Readers flip atomically at

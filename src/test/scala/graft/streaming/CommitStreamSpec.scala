@@ -54,6 +54,49 @@ class CommitStreamSpec extends AnyFlatSpec with Matchers {
     engine.log(table.name).map(_.id.id).toSet shouldBe streamedIds
   }
 
+  it should "compose with readChangesAt into an order-free streaming CDC feed" in {
+    val dir = Files.createTempDirectory("graft-cstream3-").toFile
+    val storeRoot = new File(dir, "store").toURI
+    val engine = VersionedTables.withFileStore(spark, storeRoot)
+    val table = TableDefinition(TableName("test", "ticks3"), new File(dir, "ticks3").toURI,
+      PartitionSchema("day"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    Seq(Tick("a", "d1", 1.0), Tick("b", "d2", 2.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "load d1+d2")
+    Seq(Tick("c", "d3", 3.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "add d3")
+    Seq(Tick("a2", "d2", 20.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "reprocess d2")
+
+    // the CDC consumer pattern: stream the commit log, and for EVERY commit
+    // id read exactly that commit's rows. File-source batches are unordered
+    // — readChangesAt is a pure function of the id, so order can't matter.
+    val perCommit = new java.util.concurrent.ConcurrentHashMap[String, Set[(String, String, Double)]]()
+    val q = CommitStream.commits(spark, storeRoot, table.name)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.select("id", "message").collect().foreach { r =>
+          val rows = engine.readChangesAt(table, CommitId(r.getString(0)))
+            .select("k", "day", "v").as[(String, String, Double)].collect().toSet
+          perCommit.put(r.getString(1), rows)
+        }
+      }
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    perCommit.get("init") shouldBe Set()
+    perCommit.get("load d1+d2") shouldBe Set(("a", "d1", 1.0), ("b", "d2", 2.0))
+    perCommit.get("add d3") shouldBe Set(("c", "d3", 3.0))
+    perCommit.get("reprocess d2") shouldBe Set(("a2", "d2", 20.0))
+
+    // idempotent: re-reading any commit (a replayed batch) yields the same rows
+    val log = engine.log(table.name)
+    val repro = log.find(_.message == "reprocess d2").get.id
+    engine.readChangesAt(table, repro).select("k").as[String].collect().toSet shouldBe Set("a2")
+    an[UnknownCommitError] should be thrownBy
+      engine.readChangesAt(table, CommitId("nope"))
+  }
+
   it should "pick up commits that land after the first batch (incremental tailing)" in {
     val dir = Files.createTempDirectory("graft-cstream2-").toFile
     val storeRoot = new File(dir, "store").toURI
