@@ -521,6 +521,21 @@ object RelationalQueries {
       hi.intersectAll(lo).groupBy(col("k")).agg(count(lit(1)).as("n"))
     }),
 
+    // --- LOCF gap filling: last non-null observation carried forward per
+    // user (last(ignoreNulls) over an unbounded running frame) — the
+    // standard sensor/time-series repair. The null pattern is derived
+    // deterministically so both engines fill identical gaps ---
+    "q_locf" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("reading", when(col("event_id") % 3 =!= 0, col("value")))
+        .select(col("user_id"), col("event_id"),
+          col("reading"),
+          last(col("reading"), ignoreNulls = true).over(w).as("filled"))
+    }),
+
     // --- JSON generation (the write-side twin of q_array_map_json's
     // parsing): compact struct -> JSON string. Int/string fields only —
     // double rendering differs between engines in exponent cases ---
@@ -943,6 +958,14 @@ object RelationalQueries {
         |  INTERSECT ALL
         |  SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.05)
         |GROUP BY k""".stripMargin,
+
+    "q_locf" ->
+      """SELECT user_id, event_id,
+        |  CASE WHEN event_id % 3 <> 0 THEN value END AS reading,
+        |  LAST_VALUE(CASE WHEN event_id % 3 <> 0 THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events""".stripMargin,
 
     "q_json_generate" ->
       """SELECT o_orderkey,

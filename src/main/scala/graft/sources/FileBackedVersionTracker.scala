@@ -24,9 +24,13 @@ import java.time.Instant
  * Commit files are named with a strictly-monotonic timestamp so lexicographic
  * name order == commit order (the history-ordering law; reference sorts by
  * (mtime, name), we make the name alone sufficient). Like the reference's
- * file-backed store, this provides single-writer semantics only — concurrent
- * writers to the same table are an orchestration concern
- * (FileBackedVersionTracker.scala:23-25).
+ * file-backed store, this provides single-PROCESS-writer semantics:
+ * within one JVM, commits to the same table are serialized on a per-table
+ * lock (so e.g. two streaming queries sinking into one table can't race the
+ * head rename into a partial commit); concurrent writers in SEPARATE
+ * processes remain an orchestration concern, exactly as in the reference
+ * (FileBackedVersionTracker.scala:23-25) — the JDBC tracker is the
+ * serializable-isolation option.
  */
 final class FileBackedVersionTracker(rootUri: URI, hadoopConf: Configuration = new Configuration())
     extends VersionTracker {
@@ -39,12 +43,14 @@ final class FileBackedVersionTracker(rootUri: URI, hadoopConf: Configuration = n
   override def initTable(
       table: TableName, isSnapshot: Boolean, userId: UserId, message: String, timestamp: Instant): Unit = {
     val dir = tableDir(table)
-    if (!fs.exists(new Path(dir, MetadataFile))) {
-      fs.mkdirs(dir)
-      write(new Path(dir, MetadataFile), JsonCodecs.metadataToJson(isSnapshot))
-      val update = TableUpdate(userId, message, timestamp, List(TableOperation.InitTable(table, isSnapshot)))
-      writeCommit(dir, update)
-      writeAtomic(new Path(dir, HeadFile), update.metadata.id.id)
+    tableLock(dir).synchronized {
+      if (!fs.exists(new Path(dir, MetadataFile))) {
+        fs.mkdirs(dir)
+        write(new Path(dir, MetadataFile), JsonCodecs.metadataToJson(isSnapshot))
+        val update = TableUpdate(userId, message, timestamp, List(TableOperation.InitTable(table, isSnapshot)))
+        writeCommit(dir, update)
+        writeAtomic(new Path(dir, HeadFile), update.metadata.id.id)
+      }
     }
   }
 
@@ -60,14 +66,22 @@ final class FileBackedVersionTracker(rootUri: URI, hadoopConf: Configuration = n
 
   override def commit(table: TableName, update: TableUpdate): Unit = {
     val dir = existingTableDir(table)
-    writeCommit(dir, update)
-    writeAtomic(new Path(dir, HeadFile), update.metadata.id.id)
+    // serialize per table WITHIN the process: commit-file order and head
+    // order stay consistent, and two in-JVM writers can't race the head
+    // rename into an exception after their commit file already landed
+    tableLock(dir).synchronized {
+      writeCommit(dir, update)
+      writeAtomic(new Path(dir, HeadFile), update.metadata.id.id)
+    }
   }
 
   override def setCurrentVersion(table: TableName, id: CommitId): Unit = {
     val st = tableState(table)
     if (!st.updates.exists(_.metadata.id == id)) throw UnknownCommitError(id)
-    writeAtomic(new Path(existingTableDir(table), HeadFile), id.id)
+    val dir = existingTableDir(table)
+    tableLock(dir).synchronized {
+      writeAtomic(new Path(dir, HeadFile), id.id)
+    }
   }
 
   override def tableState(table: TableName): TableState = {
@@ -139,4 +153,11 @@ object FileBackedVersionTracker {
   val MetadataFile = "table-metadata.json"
   val HeadFile = "head.json"
   val CommitFilePrefix = "table_update_"
+
+  /** JVM-wide per-table-directory locks: two tracker INSTANCES over the same
+    * store must serialize on the same monitor, so the stripe is keyed by the
+    * table directory, not the instance. */
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def tableLock(dir: Path): Object =
+    tableLocks.computeIfAbsent(dir.toString, _ => new Object)
 }

@@ -48,6 +48,47 @@ class FileBackedPersistenceSpec extends AnyFlatSpec with Matchers {
   }
 }
 
+/** Pins the documented single-writer caveat concretely: racing commits are
+  * never lost or corrupted (every commit file is uniquely named and lands in
+  * history); only HEAD is last-writer-wins, so a racer that sorts after the
+  * winning head is invisible until the next commit moves head past it —
+  * orchestrate same-table writers externally (reference README.md:53-55). */
+class FileBackedConcurrencySpec extends AnyFlatSpec with Matchers {
+
+  "FileBackedVersionTracker" should "preserve every commit under concurrent writers" in {
+    val dir = Files.createTempDirectory("graft-race-").toUri
+    val tracker = new FileBackedVersionTracker(dir)
+    val t = TableName("race", "t")
+    tracker.initTable(t, isSnapshot = false, UserId("u"), "init", java.time.Instant.now())
+
+    val n = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val latch = new java.util.concurrent.CountDownLatch(n)
+    (1 to n).foreach { i =>
+      pool.execute { () =>
+        try tracker.commit(t, TableUpdate(UserId("u"), s"c$i", java.time.Instant.now(),
+          List(TableOperation.AddPartitionVersion(Partition("day", f"d$i%02d"), Version.generate()))))
+        catch { case e: Throwable => failures.add(e) }
+        finally latch.countDown()
+      }
+    }
+    latch.await()
+    pool.shutdown()
+
+    failures.toArray shouldBe empty
+    // no commit lost: all n land in history with distinct messages
+    val messages = tracker.updates(t).map(_.message)
+    messages should have size (n + 1).toLong
+    messages.toSet should contain allElementsOf (1 to n).map(i => s"c$i")
+    // state is a consistent fold up to whichever head won the race
+    val st = tracker.tableState(t)
+    tracker.currentVersion(t) shouldBe st.versionAt(st.currentVersion)
+    // a fresh reader over the same directory sees the identical log
+    new FileBackedVersionTracker(dir).updates(t).map(_.message) shouldBe messages
+  }
+}
+
 class JsonCodecsSpec extends AnyFlatSpec with Matchers {
 
   "JsonCodecs" should "round-trip a commit with all four operation types" in {
