@@ -105,6 +105,13 @@ object PipelineQueries {
 
     "q_dedup_ngram_jaccard" -> ((s, d) => ngramPairs(s, d)),
 
+    // exact-duplicate GROUPS (content hash -> group size + canonical id):
+    // the reporting twin of q_dedup_exact's keep-lowest filter
+    "q_dedup_groups" -> ((s, d) =>
+      Dedup.exactDupGroups(
+        Tables.documents(s, d).withColumn("vocab_hash", vocabHash),
+        idCol = "doc_id", textCol = "vocab_hash")),
+
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDupPairs(Tables.documents(s, d), threshold = 0.8)),
 
@@ -268,6 +275,11 @@ object PipelineQueries {
          |      s -> md5(s)), 'min')
          |  ELSE md5(array_to_string(w, ' ')) END AS min_shingle_md5
          |FROM (SELECT doc_id, $duckTokens AS w, text FROM documents)""".stripMargin,
+
+    "q_dedup_groups" ->
+      s"""SELECT md5(trim(vh)) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+         |FROM (SELECT doc_id, $vocabHashSql AS vh FROM documents)
+         |GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
 
     "q_dedup_exact" ->
       s"""SELECT doc_id, vocab_hash, lang, source FROM (
