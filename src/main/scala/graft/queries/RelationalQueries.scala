@@ -823,7 +823,10 @@ object RelationalQueries {
         |  LEAD(value, 1) OVER w AS next_value,
         |  NTILE(4) OVER w AS quartile
         |FROM events WHERE event_type = 'purchase'
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+        |-- CAST truncates TIMESTAMP_NS to the same microseconds Spark orders
+        |-- by; raw ns could re-order within-microsecond ties vs the
+        |-- (ts, event_id) ordering on the Spark side
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
 
     "q_topk_per_group" ->
       """WITH mx AS (
@@ -963,7 +966,7 @@ object RelationalQueries {
       """SELECT user_id, event_id,
         |  CASE WHEN event_id % 3 <> 0 THEN value END AS reading,
         |  LAST_VALUE(CASE WHEN event_id % 3 <> 0 THEN value END IGNORE NULLS)
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM events""".stripMargin,
 

@@ -86,6 +86,18 @@ final class FileBackedVersionTracker(rootUri: URI, hadoopConf: Configuration = n
 
   override def tableState(table: TableName): TableState = {
     val dir = existingTableDir(table)
+    // read head BEFORE listing: a concurrent in-JVM commit (file + head, in
+    // that order under the table lock) can then only make the listing see
+    // MORE commits than head — which folds correctly — never a head id
+    // missing from the listing (which would look like a corrupt store).
+    // The head read itself takes the table lock: FileContext.rename with
+    // OVERWRITE is delete-then-rename on the local filesystem, so an
+    // unlocked reader could catch the head file mid-swap and see it absent
+    // (HDFS/S3A renames are atomic; the lock closes the local-FS window for
+    // in-process readers, which is the concurrency this store supports)
+    val head = FileBackedVersionTracker.tableLock(dir).synchronized {
+      CommitId(read(new Path(dir, HeadFile)).trim)
+    }
     val files = fs.listStatus(dir).toList
       .map(_.getPath)
       .filter(p => p.getName.startsWith(CommitFilePrefix) && p.getName.endsWith(".json"))
@@ -93,7 +105,6 @@ final class FileBackedVersionTracker(rootUri: URI, hadoopConf: Configuration = n
     val updates = files.map { p =>
       JsonCodecs.fromJson(read(p)).fold(e => sys.error(s"Corrupt commit file $p: $e"), identity)
     }
-    val head = CommitId(read(new Path(dir, HeadFile)).trim)
     TableState(head, updates)
   }
 
@@ -154,10 +165,12 @@ object FileBackedVersionTracker {
   val HeadFile = "head.json"
   val CommitFilePrefix = "table_update_"
 
-  /** JVM-wide per-table-directory locks: two tracker INSTANCES over the same
-    * store must serialize on the same monitor, so the stripe is keyed by the
-    * table directory, not the instance. */
-  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  /** JVM-wide striped locks: two tracker INSTANCES over the same table
+    * directory must serialize on the same monitor, so the lock is keyed by
+    * the directory, not the instance. A fixed stripe (two dirs may share a
+    * monitor — extra serialization, never less) bounds memory for drivers
+    * that create many short-lived stores. */
+  private val lockStripe = Array.fill(64)(new Object)
   private[sources] def tableLock(dir: Path): Object =
-    tableLocks.computeIfAbsent(dir.toString, _ => new Object)
+    lockStripe(math.floorMod(dir.toString.hashCode, lockStripe.length))
 }

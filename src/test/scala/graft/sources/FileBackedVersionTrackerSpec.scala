@@ -48,11 +48,12 @@ class FileBackedPersistenceSpec extends AnyFlatSpec with Matchers {
   }
 }
 
-/** Pins the documented single-writer caveat concretely: racing commits are
-  * never lost or corrupted (every commit file is uniquely named and lands in
-  * history); only HEAD is last-writer-wins, so a racer that sorts after the
-  * winning head is invisible until the next commit moves head past it —
-  * orchestrate same-table writers externally (reference README.md:53-55). */
+/** Pins the in-process concurrency contract: commits to one table serialize
+  * on a JVM-wide per-table-directory lock, so racing in-JVM writers all land
+  * (commit-file order == head order, head = the last serialized commit) and
+  * concurrent readers never observe a head id missing from the commit
+  * listing. Writers in SEPARATE processes remain an orchestration concern
+  * (reference README.md:53-55); the JDBC tracker is the serializable option. */
 class FileBackedConcurrencySpec extends AnyFlatSpec with Matchers {
 
   "FileBackedVersionTracker" should "preserve every commit under concurrent writers" in {
@@ -65,6 +66,18 @@ class FileBackedConcurrencySpec extends AnyFlatSpec with Matchers {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val latch = new java.util.concurrent.CountDownLatch(n)
+    val readersDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // concurrent READERS race the writers: currentVersion must never throw
+    // (e.g. a head id not yet visible in the commit listing)
+    val readerPool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    (1 to 2).foreach { _ =>
+      readerPool.execute { () =>
+        while (!readersDone.get()) {
+          try tracker.currentVersion(t)
+          catch { case e: Throwable => failures.add(e); readersDone.set(true) }
+        }
+      }
+    }
     (1 to n).foreach { i =>
       pool.execute { () =>
         try tracker.commit(t, TableUpdate(UserId("u"), s"c$i", java.time.Instant.now(),
@@ -75,6 +88,9 @@ class FileBackedConcurrencySpec extends AnyFlatSpec with Matchers {
     }
     latch.await()
     pool.shutdown()
+    readersDone.set(true)
+    readerPool.shutdown()
+    readerPool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
 
     failures.toArray shouldBe empty
     // no commit lost: all n land in history with distinct messages
