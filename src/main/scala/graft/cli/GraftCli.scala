@@ -22,6 +22,7 @@ import java.time.Instant
  *   graft-cli --store <uri> checkout <schema.table> <commitId>
  *   graft-cli --store <uri> changes <schema.table> <fromCommitId> <toCommitId>
  *   graft-cli --store <uri> vacuum <schema.table> <location> [--keep-last N] [--apply]
+ *   graft-cli --store <uri> migrate
  * }}}
  *
  * All commands are metadata-only (no Spark, no data movement), matching the
@@ -167,9 +168,23 @@ object GraftCli {
         }
       }
 
+      case List("migrate") =>
+        // convert reference-layout (_chronicles_table_*) stores under the
+        // root into graft-v2 layout; file store only (the JDBC store has no
+        // chronicles-layout counterpart to migrate from)
+        tracker match {
+          case fb: FileBackedVersionTracker =>
+            val migrated = fb.migrateChroniclesTables()
+            if (migrated.isEmpty) out.println("nothing to migrate")
+            else migrated.foreach(t => out.println(s"migrated  ${t.fullyQualifiedName}"))
+            0
+          case _ =>
+            out.println("error: migrate requires a file-backed store"); 2
+        }
+
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|changes|vacuum> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|changes|vacuum|migrate> ...""".stripMargin)
         2
     } catch {
       case e @ (_: UnknownTableError | _: UnknownCommitError) =>

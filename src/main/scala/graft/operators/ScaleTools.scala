@@ -72,7 +72,7 @@ object ScaleTools {
   }
 
   /** Deterministic, KEY-STABLE sampling: a row is kept iff
-    * `xxhash64(seed, keys...) mod 1e6 < fraction * 1e6`. Unlike
+    * `xxhash64(seed, keys...) mod 1e9 < round(fraction * 1e9)`. Unlike
     * `df.sample()`/TABLESAMPLE this is reproducible across runs, engines and
     * partitionings, and — because the decision is a pure function of the key —
     * sampling two tables by the SAME key yields join-consistent samples
@@ -161,6 +161,18 @@ object ScaleTools {
     require(
       Seq(ByteType, ShortType, IntegerType, LongType, StringType).contains(keyType),
       s"bloomPrefilteredJoin supports integral or string keys, got $keyType for '$largeKey'")
+    // the SMALL side must hash the same domain: bloomFilter() on a string
+    // column inserts UTF-8 bytes while the membership probe for an integral
+    // large key hashes longs — mixed families would silently drop nearly
+    // every row, breaking the "equals the plain join" contract
+    val smallType = small.schema(smallKey).dataType
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val sameFamily =
+      (integral.contains(keyType) && integral.contains(smallType)) ||
+        (keyType == StringType && smallType == StringType)
+    require(sameFamily,
+      s"bloomPrefilteredJoin keys must be the same type family: '$largeKey' is $keyType " +
+        s"but '$smallKey' is $smallType")
     val filter = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bcast = large.sparkSession.sparkContext.broadcast(filter)
     // a UDF is unavoidable here: membership needs the broadcast sketch

@@ -213,8 +213,12 @@ object Similarity {
       if (planes <= 0) {
         // exact all-pairs. A join on a constant key would put EVERY pair in
         // one partition (single-threaded quadratic loop); a cartesian join
-        // parallelizes as left-partitions × right-partitions tasks.
-        val v = withNorm(vectors).repartition(8).localCheckpoint()
+        // parallelizes as left-partitions × right-partitions tasks. Width
+        // follows the cluster: sqrt(defaultParallelism) per side yields
+        // ~defaultParallelism cross-product tasks.
+        val side = math.max(2, math.round(math.sqrt(
+          vectors.sparkSession.sparkContext.defaultParallelism.toDouble)).toInt)
+        val v = withNorm(vectors).repartition(side).localCheckpoint()
         v.as("a").crossJoin(v.as("b")).filter(col("a.id") < col("b.id"))
       } else {
         val v = withNorm(vectors).withColumn("bucket", lshBucket(col("v"), planes))

@@ -14,25 +14,46 @@ import java.time.Instant
  * store usable next to 100 TB of lake data.
  *
  * Layout mirrors the reference
- * (`files/src/main/scala/dev/chronicles/files/FileBackedVersionTracker.scala:85-176`):
+ * (`files/src/main/scala/dev/chronicles/files/versiontracker/FileBackedVersionTracker.scala:140-176`):
  * {{{
  *   <root>/_graft_table_<schema>.<table>/
- *     table-metadata.json            // {"isSnapshot": …}
- *     head.json                      // current ref (commit id)
+ *     table-metadata.json              // {"isSnapshot": …}
+ *     head.json                        // current ref (commit id)
  *     table_update_<sortable-ts>.json  // one file per commit
+ *     state_checkpoint_<ts>.json       // periodic folded-history snapshot
  * }}}
  * Commit files are named with a strictly-monotonic timestamp so lexicographic
  * name order == commit order (the history-ordering law; reference sorts by
- * (mtime, name), we make the name alone sufficient). Like the reference's
- * file-backed store, this provides single-PROCESS-writer semantics:
- * within one JVM, commits to the same table are serialized on a per-table
- * lock (so e.g. two streaming queries sinking into one table can't race the
- * head rename into a partial commit); concurrent writers in SEPARATE
- * processes remain an orchestration concern, exactly as in the reference
- * (FileBackedVersionTracker.scala:23-25) — the JDBC tracker is the
- * serializable-isolation option.
+ * (mtime, name), we make the name alone sufficient within a process). Commit
+ * files are only ever CREATED, via temp-file + rename, so a reader can never
+ * observe a partially-written commit document.
+ *
+ * Concurrency: within one JVM, commits to the same table serialize on a
+ * per-table-directory lock. ACROSS processes, writers serialize on an
+ * exclusive-create `commit.lock` file in the table directory (O_EXCL via NIO
+ * on `file://`, atomic `create(overwrite=false)` on HDFS; stale locks are
+ * broken after a TTL so a crashed writer can't wedge the table). Cross-process
+ * commit ORDER additionally relies on roughly-synchronized clocks for the
+ * commit-file names — the same assumption as the reference's mtime sort
+ * (`FileBackedVersionTracker.scala:98`); the JDBC tracker is the
+ * strict-serializable-isolation option.
+ *
+ * Every `checkpointInterval` commits the writer folds the full history into a
+ * `state_checkpoint_*.json` document, so `tableState` reads one checkpoint +
+ * the commit tail instead of O(#commits) files — the difference between
+ * milliseconds and minutes for a streaming sink at 100k micro-batch commits.
+ *
+ * Interop: table directories written by the reference implementation
+ * (`_chronicles_table_<schema>.<table>/` with `table-metadata`, `head_ref`,
+ * suffix-less `table_update_*` files in the chronicles wire format) are
+ * readable in place — `tables`/`tableState`/`isSnapshotTable` work unchanged;
+ * writes to such tables are refused with a pointer at
+ * [[migrateChroniclesTables]], which re-encodes them into graft-v2 layout.
  */
-final class FileBackedVersionTracker(rootUri: URI, hadoopConf: Configuration = new Configuration())
+final class FileBackedVersionTracker(
+    rootUri: URI,
+    hadoopConf: Configuration = new Configuration(),
+    checkpointInterval: Int = FileBackedVersionTracker.DefaultCheckpointInterval)
     extends VersionTracker {
 
   import FileBackedVersionTracker._
@@ -43,13 +64,21 @@ final class FileBackedVersionTracker(rootUri: URI, hadoopConf: Configuration = n
   override def initTable(
       table: TableName, isSnapshot: Boolean, userId: UserId, message: String, timestamp: Instant): Unit = {
     val dir = tableDir(table)
+    if (chroniclesDirExists(table))
+      throw new UnsupportedOperationException(
+        s"Table $table exists in reference (chronicles) layout, which graft reads but does not write; " +
+          "run migrateChroniclesTables() to convert it")
     tableLock(dir).synchronized {
       if (!fs.exists(new Path(dir, MetadataFile))) {
         fs.mkdirs(dir)
-        write(new Path(dir, MetadataFile), JsonCodecs.metadataToJson(isSnapshot))
-        val update = TableUpdate(userId, message, timestamp, List(TableOperation.InitTable(table, isSnapshot)))
-        writeCommit(dir, update)
-        writeAtomic(new Path(dir, HeadFile), update.metadata.id.id)
+        withProcessLock(dir) {
+          if (!fs.exists(new Path(dir, MetadataFile))) {
+            write(new Path(dir, MetadataFile), JsonCodecs.metadataToJson(isSnapshot))
+            val update = TableUpdate(userId, message, timestamp, List(TableOperation.InitTable(table, isSnapshot)))
+            writeCommit(dir, update)
+            writeAtomic(new Path(dir, HeadFile), update.metadata.id.id)
+          }
+        }
       }
     }
   }
@@ -60,74 +89,204 @@ final class FileBackedVersionTracker(rootUri: URI, hadoopConf: Configuration = n
       fs.listStatus(root).toList
         .filter(_.isDirectory)
         .map(_.getPath.getName)
-        .filter(_.startsWith(TableDirPrefix))
-        .flatMap(n => TableName.parse(n.stripPrefix(TableDirPrefix)).toOption)
+        .flatMap { n =>
+          if (n.startsWith(TableDirPrefix)) TableName.parse(n.stripPrefix(TableDirPrefix)).toOption
+          else if (n.startsWith(ChroniclesDirPrefix)) TableName.parse(n.stripPrefix(ChroniclesDirPrefix)).toOption
+          else None
+        }
+        .distinct
         .sortBy(_.fullyQualifiedName)
 
   override def commit(table: TableName, update: TableUpdate): Unit = {
-    val dir = existingTableDir(table)
-    // serialize per table WITHIN the process: commit-file order and head
-    // order stay consistent, and two in-JVM writers can't race the head
-    // rename into an exception after their commit file already landed
+    val dir = existingWritableTableDir(table)
+    // serialize per table WITHIN the process (cheap monitor) and then ACROSS
+    // processes (lock file): commit-file order and head order stay consistent,
+    // and no two writers can race the head rename into a partial commit
     tableLock(dir).synchronized {
-      writeCommit(dir, update)
-      writeAtomic(new Path(dir, HeadFile), update.metadata.id.id)
+      withProcessLock(dir) {
+        writeCommit(dir, update)
+        writeAtomic(new Path(dir, HeadFile), update.metadata.id.id)
+      }
+      maybeCheckpoint(dir)
     }
   }
 
   override def setCurrentVersion(table: TableName, id: CommitId): Unit = {
     val st = tableState(table)
     if (!st.updates.exists(_.metadata.id == id)) throw UnknownCommitError(id)
-    val dir = existingTableDir(table)
+    val dir = existingWritableTableDir(table)
     tableLock(dir).synchronized {
-      writeAtomic(new Path(dir, HeadFile), id.id)
+      withProcessLock(dir) {
+        writeAtomic(new Path(dir, HeadFile), id.id)
+      }
     }
   }
 
-  override def tableState(table: TableName): TableState = {
-    val dir = existingTableDir(table)
-    // read head BEFORE listing: a concurrent in-JVM commit (file + head, in
-    // that order under the table lock) can then only make the listing see
-    // MORE commits than head — which folds correctly — never a head id
-    // missing from the listing (which would look like a corrupt store).
-    // The head read itself takes the table lock: FileContext.rename with
-    // OVERWRITE is delete-then-rename on the local filesystem, so an
-    // unlocked reader could catch the head file mid-swap and see it absent
-    // (HDFS/S3A renames are atomic; the lock closes the local-FS window for
-    // in-process readers, which is the concurrency this store supports)
-    val head = FileBackedVersionTracker.tableLock(dir).synchronized {
-      CommitId(read(new Path(dir, HeadFile)).trim)
+  override def tableState(table: TableName): TableState =
+    resolveTableDir(table) match {
+      case (dir, GraftLayout)      => graftTableState(dir)
+      case (dir, ChroniclesLayout) => chroniclesTableState(dir)
     }
-    val files = fs.listStatus(dir).toList
-      .map(_.getPath)
+
+  private def graftTableState(dir: Path): TableState = {
+    // read head BEFORE listing: a concurrent commit (file + head, in that
+    // order under the locks) can then only make the listing see MORE commits
+    // than head — which folds correctly — never a head id missing from the
+    // listing (which would look like a corrupt store).
+    // The head read itself takes the table lock: FileContext.rename with
+    // OVERWRITE is delete-then-rename on the local filesystem, so an unlocked
+    // reader could catch the head file mid-swap and see it absent. The lock
+    // closes that window for in-process readers; the retry loop closes it for
+    // readers in OTHER processes (the writer re-creates the file within
+    // microseconds of deleting it).
+    val head = FileBackedVersionTracker.tableLock(dir).synchronized {
+      CommitId(readWithRetry(new Path(dir, HeadFile)).trim)
+    }
+    val statuses = fs.listStatus(dir).toList.map(_.getPath)
+    val commitFiles = statuses
       .filter(p => p.getName.startsWith(CommitFilePrefix) && p.getName.endsWith(".json"))
       .sortBy(_.getName)
-    val updates = files.map { p =>
-      JsonCodecs.fromJson(read(p)).fold(e => sys.error(s"Corrupt commit file $p: $e"), identity)
+    val checkpoint = statuses
+      .filter(p => p.getName.startsWith(CheckpointFilePrefix) && p.getName.endsWith(".json"))
+      .sortBy(_.getName)
+      .lastOption
+      .flatMap { p =>
+        // a corrupt/unreadable checkpoint must not brick the store: the
+        // commit files are the source of truth, fall back to the full scan
+        (try JsonCodecs.checkpointFromJson(read(p))
+         catch { case e: Exception => Left(e.toString) }) match {
+          case Right(cp) => Some(cp)
+          case Left(e) =>
+            System.err.println(s"[graft] ignoring corrupt state checkpoint $p: $e")
+            None
+        }
+      }
+    val updates = checkpoint match {
+      case Some((covered, folded)) =>
+        folded ++ commitFiles.filterNot(p => covered(p.getName)).map(parseCommitFile)
+      case None =>
+        commitFiles.map(parseCommitFile)
     }
     TableState(head, updates)
   }
 
+  private def chroniclesTableState(dir: Path): TableState = {
+    val headJson = read(new Path(dir, ChroniclesHeadFile))
+    val head = JsonCodecs.chroniclesHeadFromJson(headJson)
+      .fold(e => sys.error(s"Corrupt chronicles head file in $dir: $e"), CommitId)
+    // the reference orders commits by (mtime, name) — FileBackedVersionTracker.scala:98
+    val files = fs.listStatus(dir).toList
+      .filter(s => s.getPath.getName.startsWith(CommitFilePrefix))
+      .sortBy(s => (s.getModificationTime, s.getPath.getName))
+      .map(_.getPath)
+    TableState(head, files.map(parseCommitFile))
+  }
+
+  private def parseCommitFile(p: Path): TableUpdate =
+    JsonCodecs.fromJson(read(p)).fold(e => sys.error(s"Corrupt commit file $p: $e"), identity)
+
   override def isSnapshotTable(table: TableName): Boolean = {
-    val p = new Path(existingTableDir(table), MetadataFile)
+    val (dir, layout) = resolveTableDir(table)
+    val p = new Path(dir, if (layout == GraftLayout) MetadataFile else ChroniclesMetadataFile)
     JsonCodecs.metadataFromJson(read(p)).fold(e => sys.error(s"Corrupt metadata $p: $e"), identity)
   }
+
+  /**
+   * Convert every reference-layout (`_chronicles_table_*`) store under the
+   * root into graft-v2 layout, preserving commit order, commit ids, and the
+   * head ref. The source directory is left untouched (read-only input);
+   * tables that already exist in graft layout are skipped. Returns the tables
+   * migrated.
+   */
+  def migrateChroniclesTables(): List[TableName] =
+    tables().flatMap { table =>
+      val graftMetadata = new Path(tableDir(table), MetadataFile)
+      if (!chroniclesDirExists(table) || fs.exists(graftMetadata)) None
+      else {
+        val src = new Path(root, ChroniclesDirPrefix + table.fullyQualifiedName)
+        val st = chroniclesTableState(src)
+        val isSnapshot = isSnapshotTable(table)
+        val dir = tableDir(table)
+        tableLock(dir).synchronized {
+          fs.mkdirs(dir)
+          withProcessLock(dir) {
+            write(new Path(dir, MetadataFile), JsonCodecs.metadataToJson(isSnapshot))
+            st.updates.foreach(writeCommit(dir, _)) // monotonic names preserve order
+            writeAtomic(new Path(dir, HeadFile), st.currentVersion.id)
+          }
+        }
+        Some(table)
+      }
+    }
 
   // ---- helpers ----
 
   private def tableDir(table: TableName): Path =
     new Path(root, TableDirPrefix + table.fullyQualifiedName)
 
-  private def existingTableDir(table: TableName): Path = {
+  private def chroniclesDirExists(table: TableName): Boolean =
+    fs.exists(new Path(new Path(root, ChroniclesDirPrefix + table.fullyQualifiedName), ChroniclesMetadataFile))
+
+  /** Resolve a table to its directory and layout; graft layout wins if both
+    * exist (e.g. after a migration that kept the source around). */
+  private def resolveTableDir(table: TableName): (Path, Layout) = {
     val dir = tableDir(table)
-    if (!fs.exists(new Path(dir, MetadataFile))) throw UnknownTableError(table)
-    dir
+    if (fs.exists(new Path(dir, MetadataFile))) (dir, GraftLayout)
+    else if (chroniclesDirExists(table))
+      (new Path(root, ChroniclesDirPrefix + table.fullyQualifiedName), ChroniclesLayout)
+    else throw UnknownTableError(table)
   }
+
+  private def existingWritableTableDir(table: TableName): Path =
+    resolveTableDir(table) match {
+      case (dir, GraftLayout) => dir
+      case (_, ChroniclesLayout) =>
+        throw new UnsupportedOperationException(
+          s"Table $table is in reference (chronicles) layout, which graft reads but does not write; " +
+            "run migrateChroniclesTables() to convert it")
+    }
 
   private def writeCommit(dir: Path, update: TableUpdate): Unit = {
     val name = CommitFilePrefix + Version.TimestampFormat.format(
       MonotonicClock.nextUniqueInstant().atOffset(java.time.ZoneOffset.UTC)) + ".json"
-    write(new Path(dir, name), JsonCodecs.toJson(update))
+    // temp + rename: the commit file appears atomically, fully written — a
+    // concurrent reader's listing can never catch a truncated JSON document.
+    // Names are unique (monotonic clock), so no-overwrite rename suffices.
+    val tmp = new Path(dir, s".$name.tmp-${java.util.UUID.randomUUID()}")
+    write(tmp, JsonCodecs.toJson(update))
+    if (!fs.rename(tmp, new Path(dir, name))) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"Commit file rename failed for $dir/$name")
+    }
+  }
+
+  /** Fold the entire current history into a checkpoint document, then drop
+    * older checkpoints. Runs every [[checkpointInterval]] commits — the full
+    * O(#commits) read here is amortized to O(1/interval) per commit. */
+  private def maybeCheckpoint(dir: Path): Unit = {
+    val n = commitCounter(dir).incrementAndGet()
+    if (n % checkpointInterval == 0) {
+      try {
+        val statuses = fs.listStatus(dir).toList.map(_.getPath)
+        val commitFiles = statuses
+          .filter(p => p.getName.startsWith(CommitFilePrefix) && p.getName.endsWith(".json"))
+          .sortBy(_.getName)
+        val updates = commitFiles.map(parseCommitFile)
+        val name = CheckpointFilePrefix + Version.TimestampFormat.format(
+          MonotonicClock.nextUniqueInstant().atOffset(java.time.ZoneOffset.UTC)) + ".json"
+        val tmp = new Path(dir, s".$name.tmp-${java.util.UUID.randomUUID()}")
+        write(tmp, JsonCodecs.checkpointToJson(commitFiles.map(_.getName), updates))
+        if (!fs.rename(tmp, new Path(dir, name))) { fs.delete(tmp, false) }
+        else {
+          statuses
+            .filter(p => p.getName.startsWith(CheckpointFilePrefix) && p.getName.endsWith(".json"))
+            .foreach(old => try fs.delete(old, false) catch { case _: Exception => () })
+        }
+      } catch {
+        // checkpointing is an optimization; a failure must never fail the commit
+        case e: Exception => System.err.println(s"[graft] state checkpoint failed for $dir: $e")
+      }
+    }
   }
 
   private def write(path: Path, content: String): Unit = {
@@ -137,8 +296,7 @@ final class FileBackedVersionTracker(rootUri: URI, hadoopConf: Configuration = n
   }
 
   /** Overwrite `path` via temp-file + atomic rename, so a crash mid-write can
-    * never leave a truncated/corrupt head ref behind (commit files are only
-    * ever CREATED, so plain `write` is fine for them). */
+    * never leave a truncated/corrupt head ref behind. */
   private def writeAtomic(path: Path, content: String): Unit = {
     val tmp = new Path(path.getParent, s".${path.getName}.tmp-${java.util.UUID.randomUUID()}")
     write(tmp, content)
@@ -157,6 +315,79 @@ final class FileBackedVersionTracker(rootUri: URI, hadoopConf: Configuration = n
     try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
   }
+
+  /** Read that retries briefly on file-not-found: closes the local-FS
+    * delete-then-rename window of head updates for readers in OTHER
+    * processes (in-process readers are already excluded by the table lock). */
+  private def readWithRetry(path: Path): String = {
+    var attempt = 0
+    while (true) {
+      try return read(path)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt > 5) throw e
+          Thread.sleep(20L * attempt)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  // ---- cross-process lock ----
+
+  /** Run `body` while holding the table's `commit.lock` file, created
+    * exclusively (O_EXCL on `file://` via NIO — Hadoop's RawLocalFileSystem
+    * `create(overwrite=false)` is check-then-create, not atomic; HDFS create
+    * is atomic natively). A lock older than [[LockTtlMs]] is presumed
+    * abandoned by a crashed writer and broken. */
+  private def withProcessLock[A](dir: Path)(body: => A): A = {
+    val lockPath = new Path(dir, LockFile)
+    acquireProcessLock(lockPath)
+    try body
+    finally releaseProcessLock(lockPath)
+  }
+
+  private def isLocalFs: Boolean = "file" == fs.getUri.getScheme
+
+  private def acquireProcessLock(lockPath: Path): Unit = {
+    val deadline = System.nanoTime() + LockTimeoutMs * 1000000L
+    var acquired = false
+    while (!acquired) {
+      acquired = tryCreateExclusive(lockPath)
+      if (!acquired) {
+        val ageMs =
+          try Some(System.currentTimeMillis() - fs.getFileStatus(lockPath).getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None }
+        if (ageMs.exists(_ > LockTtlMs)) {
+          try releaseProcessLock(lockPath) catch { case _: Exception => () }
+        } else if (System.nanoTime() > deadline) {
+          throw new java.io.IOException(
+            s"Timed out after ${LockTimeoutMs}ms acquiring commit lock $lockPath " +
+              s"(another writer holds it; stale locks are broken after ${LockTtlMs}ms)")
+        } else Thread.sleep(20)
+      }
+    }
+  }
+
+  private def tryCreateExclusive(p: Path): Boolean =
+    try {
+      if (isLocalFs) {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
+      } else {
+        val out = fs.create(p, false)
+        try out.write(java.util.UUID.randomUUID().toString.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException        => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException                             => false
+    }
+
+  private def releaseProcessLock(p: Path): Unit =
+    if (isLocalFs) { java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p.toUri.getPath)); () }
+    else { fs.delete(p, false); () }
 }
 
 object FileBackedVersionTracker {
@@ -164,6 +395,22 @@ object FileBackedVersionTracker {
   val MetadataFile = "table-metadata.json"
   val HeadFile = "head.json"
   val CommitFilePrefix = "table_update_"
+  val CheckpointFilePrefix = "state_checkpoint_"
+  val LockFile = "commit.lock"
+
+  /** Reference layout constants
+    * (`FileBackedVersionTracker.scala:160-164` in the reference). */
+  val ChroniclesDirPrefix = "_chronicles_table_"
+  val ChroniclesMetadataFile = "table-metadata"
+  val ChroniclesHeadFile = "head_ref"
+
+  val DefaultCheckpointInterval = 64
+  private val LockTimeoutMs = 15000L
+  private val LockTtlMs = 60000L
+
+  private sealed trait Layout
+  private case object GraftLayout extends Layout
+  private case object ChroniclesLayout extends Layout
 
   /** JVM-wide striped locks: two tracker INSTANCES over the same table
     * directory must serialize on the same monitor, so the lock is keyed by
@@ -173,4 +420,12 @@ object FileBackedVersionTracker {
   private val lockStripe = Array.fill(64)(new Object)
   private[sources] def tableLock(dir: Path): Object =
     lockStripe(math.floorMod(dir.toString.hashCode, lockStripe.length))
+
+  /** Per-directory commit counters driving the checkpoint cadence. JVM-local
+    * by design: a fresh process just starts counting again, so checkpoints
+    * lag by at most one interval per process — correctness never depends on
+    * them (commit files remain the source of truth). */
+  private val commitCounts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def commitCounter(dir: Path): java.util.concurrent.atomic.AtomicLong =
+    commitCounts.computeIfAbsent(dir.toString, _ => new java.util.concurrent.atomic.AtomicLong(0))
 }

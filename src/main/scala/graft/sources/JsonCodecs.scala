@@ -21,9 +21,15 @@ object JsonCodecs {
   /**
    * Commit-file format version. v2 serializes partition values Hive-escaped
    * (`toHivePath` / `Partition.parseEscaped`); the unmarked v1 format kept
-   * raw values, so a v1 commit whose value contains a literal `%XX` sequence
-   * would silently decode differently under the v2 rules. Decoding therefore
-   * refuses unmarked files loudly instead of guessing.
+   * raw values. Decoding accepts three shapes, dispatched per file:
+   *
+   *  - graft v2 (`formatVersion: 2`): partition values Hive-escaped
+   *  - graft v1 (no `formatVersion`, graft field names): partition values
+   *    decoded RAW, exactly as v1 wrote them — old stores stay readable
+   *  - the reference's chronicles wire format (`commit_id` / snake_case,
+   *    `files/src/main/scala/dev/chronicles/files/versiontracker/JsonCodecs.scala:62-117`,
+   *    golden document `JsonCodecsSpec.scala:38-66`): read-only import, raw
+   *    partition values (the reference has no path escaping)
    */
   val FormatVersion = 2
 
@@ -31,7 +37,10 @@ object JsonCodecs {
 
   // ---- encode ----
 
-  def toJson(update: TableUpdate): String = {
+  def toJson(update: TableUpdate): String =
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(updateToNode(update))
+
+  private def updateToNode(update: TableUpdate): ObjectNode = {
     val root = mapper.createObjectNode()
     root.put("formatVersion", FormatVersion)
     root.put("id", update.metadata.id.id)
@@ -40,8 +49,48 @@ object JsonCodecs {
     root.put("timestamp", update.metadata.timestamp.toString)
     val ops = root.putArray("operations")
     update.operations.foreach(op => ops.add(opToNode(op)))
+    root
+  }
+
+  /**
+   * State-checkpoint document: the folded commit history up to a point, so
+   * `tableState` reconstruction reads one checkpoint file + the tail of new
+   * commits instead of every commit file ever written (O(1) + tail opens vs
+   * O(#commits) — the difference between milliseconds and minutes for a
+   * streaming sink that has made 100k micro-batch commits).
+   *
+   * `covered` lists the commit FILE NAMES folded into `updates`, as a set
+   * rather than a high-water mark, so a cross-process commit whose
+   * clock-derived name sorts below the checkpoint boundary is still picked up
+   * by the tail scan (names not in the set) instead of silently dropped.
+   */
+  def checkpointToJson(covered: List[String], updates: List[TableUpdate]): String = {
+    val root = mapper.createObjectNode()
+    root.put("formatVersion", FormatVersion)
+    val cov = root.putArray("covered")
+    covered.foreach(cov.add)
+    val ups = root.putArray("updates")
+    updates.foreach(u => ups.add(updateToNode(u)))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
+
+  def checkpointFromJson(json: String): Either[String, (Set[String], List[TableUpdate])] =
+    try {
+      val root = mapper.readTree(json)
+      for {
+        _ <- Option(root.get("formatVersion")).map(_.asInt) match {
+          case Some(FormatVersion) => Right(())
+          case other               => Left(s"unsupported checkpoint formatVersion $other")
+        }
+        covNode <- Option(root.get("covered")).collect { case a: ArrayNode => a }
+          .toRight("missing 'covered' array")
+        upsNode <- Option(root.get("updates")).collect { case a: ArrayNode => a }
+          .toRight("missing 'updates' array")
+        updates <- sequence(upsNode.elements().asScala.toList.map(fromNode))
+      } yield (covNode.elements().asScala.map(_.asText).toSet, updates)
+    } catch {
+      case e: Exception => Left(s"Invalid checkpoint JSON: ${e.getMessage}")
+    }
 
   private def opToNode(op: TableOperation): ObjectNode = {
     val n = mapper.createObjectNode()
@@ -75,32 +124,71 @@ object JsonCodecs {
   // ---- decode ----
 
   def fromJson(json: String): Either[String, TableUpdate] =
+    try fromNode(mapper.readTree(json))
+    catch {
+      case e: Exception => Left(s"Invalid commit JSON: ${e.getMessage}")
+    }
+
+  private def fromNode(root: JsonNode): Either[String, TableUpdate] =
     try {
-      val root = mapper.readTree(json)
-      for {
-        _ <- Option(root.get("formatVersion")).map(_.asInt) match {
-          case Some(FormatVersion) => Right(())
-          case Some(other) =>
-            Left(s"unsupported commit formatVersion $other (this build reads v$FormatVersion)")
-          case None =>
-            Left("commit file has no formatVersion: written by a pre-v2 build " +
-              "whose partition encoding was raw (not Hive-escaped); refusing to " +
-              "decode under v2 rules — re-create the store or migrate the log")
-        }
-        id <- str(root, "id")
-        userId <- str(root, "userId")
-        message <- str(root, "message")
-        tsStr <- str(root, "timestamp")
-        ts <- parseInstant(tsStr)
-        opsNode <- Option(root.get("operations")).collect { case a: ArrayNode => a }
-          .toRight("missing 'operations' array")
-        ops <- sequence(opsNode.elements().asScala.toList.map(opFromNode))
-      } yield TableUpdate(TableUpdateMetadata(CommitId(id), UserId(userId), message, ts), ops)
+      if (root.has("commit_id")) fromReferenceNode(root)
+      else
+        for {
+          escaped <- Option(root.get("formatVersion")).map(_.asInt) match {
+            case Some(FormatVersion) => Right(true)
+            case None                => Right(false) // graft v1: raw partition values
+            case Some(other) =>
+              Left(s"unsupported commit formatVersion $other (this build reads v$FormatVersion and below)")
+          }
+          id <- str(root, "id")
+          userId <- str(root, "userId")
+          message <- str(root, "message")
+          tsStr <- str(root, "timestamp")
+          ts <- parseInstant(tsStr)
+          opsNode <- Option(root.get("operations")).collect { case a: ArrayNode => a }
+            .toRight("missing 'operations' array")
+          ops <- sequence(opsNode.elements().asScala.toList.map(opFromNode(_, escaped)))
+        } yield TableUpdate(TableUpdateMetadata(CommitId(id), UserId(userId), message, ts), ops)
     } catch {
       case e: Exception => Left(s"Invalid commit JSON: ${e.getMessage}")
     }
 
-  private def opFromNode(n: JsonNode): Either[String, TableOperation] =
+  /** Decode the reference's chronicles commit document (snake_case fields,
+    * raw partition strings). Read-only interop: graft never WRITES this shape. */
+  private def fromReferenceNode(root: JsonNode): Either[String, TableUpdate] =
+    for {
+      id <- str(root, "commit_id")
+      userId <- str(root, "user_id")
+      message <- str(root, "message")
+      tsStr <- str(root, "timestamp")
+      ts <- parseInstant(tsStr)
+      opsNode <- Option(root.get("operations")).collect { case a: ArrayNode => a }
+        .toRight("missing 'operations' array")
+      ops <- sequence(opsNode.elements().asScala.toList.map(refOpFromNode))
+    } yield TableUpdate(TableUpdateMetadata(CommitId(id), UserId(userId), message, ts), ops)
+
+  private def refOpFromNode(n: JsonNode): Either[String, TableOperation] =
+    str(n, "type").flatMap {
+      case "init-table" =>
+        for {
+          t <- str(n, "table_name").flatMap(TableName.parse)
+          snap <- Option(n.get("is_snapshot")).map(_.asBoolean).toRight("missing is_snapshot")
+        } yield TableOperation.InitTable(t, snap)
+      case "add-table-version" =>
+        str(n, "version").flatMap(Version.parse).map(TableOperation.AddTableVersion)
+      case "add-partition-version" =>
+        for {
+          p <- str(n, "partition").flatMap(Partition.parse)
+          v <- str(n, "version").flatMap(Version.parse)
+        } yield TableOperation.AddPartitionVersion(p, v)
+      case "remove-partition" =>
+        str(n, "partition").flatMap(Partition.parse).map(TableOperation.RemovePartition)
+      case other => Left(s"Unknown operation type: '$other'")
+    }
+
+  private def opFromNode(n: JsonNode, escaped: Boolean): Either[String, TableOperation] = {
+    def partition(s: String): Either[String, Partition] =
+      if (escaped) Partition.parseEscaped(s) else Partition.parse(s)
     str(n, "type").flatMap {
       case "init-table" =>
         for {
@@ -111,18 +199,32 @@ object JsonCodecs {
         str(n, "version").flatMap(Version.parse).map(TableOperation.AddTableVersion)
       case "add-partition-version" =>
         for {
-          p <- str(n, "partition").flatMap(Partition.parseEscaped)
+          p <- str(n, "partition").flatMap(partition)
           v <- str(n, "version").flatMap(Version.parse)
         } yield TableOperation.AddPartitionVersion(p, v)
       case "remove-partition" =>
-        str(n, "partition").flatMap(Partition.parseEscaped).map(TableOperation.RemovePartition)
+        str(n, "partition").flatMap(partition).map(TableOperation.RemovePartition)
       case other => Left(s"Unknown operation type: '$other'")
     }
+  }
 
+  /** Decode the reference's head/state file `{"head_ref": "<commit id>"}`
+    * (`JsonCodecs.scala:127-134` in the reference). */
+  def chroniclesHeadFromJson(json: String): Either[String, String] =
+    try {
+      val root = mapper.readTree(json)
+      str(root, "head_ref")
+    } catch {
+      case e: Exception => Left(s"Invalid head_ref JSON: ${e.getMessage}")
+    }
+
+  /** Accepts graft's `isSnapshot` and the reference's `is_snapshot`
+    * (`JsonCodecs.scala:18-25` in the reference). */
   def metadataFromJson(json: String): Either[String, Boolean] =
     try {
       val root = mapper.readTree(json)
-      Option(root.get("isSnapshot")).map(_.asBoolean).toRight("missing isSnapshot")
+      Option(root.get("isSnapshot")).orElse(Option(root.get("is_snapshot")))
+        .map(_.asBoolean).toRight("missing isSnapshot")
     } catch {
       case e: Exception => Left(s"Invalid metadata JSON: ${e.getMessage}")
     }

@@ -141,6 +141,18 @@ class ScaleToolsSpec extends AnyFlatSpec with Matchers {
       ScaleTools.bloomPrefilteredJoin(large, small, "k", "sk")
   }
 
+  it should "reject mixed key type families (the filter would hash a different domain)" in {
+    // string dim key vs long fact key: the bloom filter inserts UTF-8 bytes
+    // while the probe hashes longs — nearly every row would silently vanish
+    val large = spark.range(10).select($"id".as("k"))
+    val small = spark.range(3).select($"id".cast("string").as("sk"))
+    an[IllegalArgumentException] should be thrownBy
+      ScaleTools.bloomPrefilteredJoin(large, small, "k", "sk")
+    an[IllegalArgumentException] should be thrownBy
+      ScaleTools.bloomPrefilteredJoin(small.withColumnRenamed("sk", "k"),
+        large.withColumnRenamed("k", "sk"), "k", "sk")
+  }
+
   it should "equal the plain join and prune the large side before shuffle" in {
     val large = spark.range(50000).select(($"id" % 1000).as("k"), $"id".as("payload"))
     val small = spark.range(20).select(($"id" * 37).as("sk"), concat(lit("n"), $"id").as("name"))

@@ -1,0 +1,193 @@
+package graft.sources
+
+import graft.core._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.attribute.FileTime
+import java.nio.file.{Files, Path => JPath}
+import java.time.Instant
+
+/**
+ * Read-only interop with stores written by the reference implementation:
+ * directory layout `_chronicles_table_<schema>.<table>/` with `table-metadata`,
+ * `head_ref`, and suffix-less `table_update_*` files in the chronicles wire
+ * format, ordered by (mtime, name)
+ * (reference `FileBackedVersionTracker.scala:90-99,140-176`).
+ */
+class ChroniclesCompatSpec extends AnyFlatSpec with Matchers {
+
+  private val table = TableName("db", "events")
+  private val v1 = Version.generate()
+  private val v2 = Version.generate()
+  private val v3 = Version.generate()
+
+  /** Write a two-commit chronicles-layout store by hand and return its root. */
+  private def buildChroniclesStore(): JPath = {
+    val root = Files.createTempDirectory("graft-chron-")
+    val dir = Files.createDirectory(root.resolve("_chronicles_table_db.events"))
+    def put(name: String, content: String, mtimeMs: Long): Unit = {
+      val p = dir.resolve(name)
+      Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+      Files.setLastModifiedTime(p, FileTime.fromMillis(mtimeMs))
+    }
+    put("table-metadata", """{ "is_snapshot" : false }""", 1000)
+    put("head_ref", """{ "head_ref" : "commit-2" }""", 3000)
+    put(
+      "table_update_2021-01-01T00-00-00.000",
+      s"""{
+         |  "commit_id" : "commit-1",
+         |  "user_id" : "ref-user",
+         |  "message" : "init",
+         |  "timestamp" : "2021-01-01T00:00:00Z",
+         |  "operations" : [
+         |    { "type" : "init-table", "table_name" : "db.events", "is_snapshot" : false },
+         |    { "type" : "add-partition-version", "partition" : "date=2021-01-01", "version" : "${v1.label}" }
+         |  ]
+         |}""".stripMargin,
+      1000)
+    put(
+      "table_update_2021-01-02T00-00-00.000",
+      s"""{
+         |  "commit_id" : "commit-2",
+         |  "user_id" : "ref-user",
+         |  "message" : "overwrite day 1, add day 2",
+         |  "timestamp" : "2021-01-02T00:00:00Z",
+         |  "operations" : [
+         |    { "type" : "add-partition-version", "partition" : "date=2021-01-01", "version" : "${v2.label}" },
+         |    { "type" : "add-partition-version", "partition" : "date=2021-01-02", "version" : "${v3.label}" }
+         |  ]
+         |}""".stripMargin,
+      2000)
+    root
+  }
+
+  "FileBackedVersionTracker" should "read a reference-layout store in place" in {
+    val root = buildChroniclesStore()
+    val tracker = new FileBackedVersionTracker(root.toUri)
+
+    tracker.tables() shouldBe List(table)
+    tracker.isSnapshotTable(table) shouldBe false
+
+    val st = tracker.tableState(table)
+    st.currentVersion shouldBe CommitId("commit-2")
+    st.updates.map(_.metadata.id.id) shouldBe List("commit-1", "commit-2")
+
+    tracker.currentVersion(table) shouldBe PartitionedTableVersion(Map(
+      Partition("date", "2021-01-01") -> v2,
+      Partition("date", "2021-01-02") -> v3))
+  }
+
+  it should "support checkout of historic commits in a reference-layout store" in {
+    val root = buildChroniclesStore()
+    val tracker = new FileBackedVersionTracker(root.toUri)
+    val st = tracker.tableState(table)
+    st.versionAt(CommitId("commit-1")) shouldBe PartitionedTableVersion(Map(
+      Partition("date", "2021-01-01") -> v1))
+  }
+
+  it should "refuse writes to reference-layout tables with a pointer at migration" in {
+    val root = buildChroniclesStore()
+    val tracker = new FileBackedVersionTracker(root.toUri)
+    val update = TableUpdate(UserId("u"), "w", Instant.now(),
+      List(TableOperation.AddPartitionVersion(Partition("date", "2021-01-03"), Version.generate())))
+
+    val e1 = intercept[UnsupportedOperationException](tracker.commit(table, update))
+    e1.getMessage should include("migrateChroniclesTables")
+    intercept[UnsupportedOperationException](tracker.setCurrentVersion(table, CommitId("commit-1")))
+    intercept[UnsupportedOperationException](
+      tracker.initTable(table, isSnapshot = false, UserId("u"), "re-init", Instant.now()))
+  }
+
+  it should "migrate a reference-layout store to graft layout preserving history, ids, and head" in {
+    val root = buildChroniclesStore()
+    val tracker = new FileBackedVersionTracker(root.toUri)
+    val before = tracker.tableState(table)
+
+    tracker.migrateChroniclesTables() shouldBe List(table)
+
+    // graft layout now exists and wins resolution; state is identical
+    Files.exists(root.resolve("_graft_table_db.events").resolve("table-metadata.json")) shouldBe true
+    val after = tracker.tableState(table)
+    after shouldBe before
+
+    // and the migrated table is writable
+    tracker.commit(table, TableUpdate(UserId("u"), "post-migration", Instant.now(),
+      List(TableOperation.AddPartitionVersion(Partition("date", "2021-01-03"), Version.generate()))))
+    tracker.updates(table).map(_.message).head shouldBe "post-migration"
+
+    // second migration run is a no-op
+    tracker.migrateChroniclesTables() shouldBe Nil
+
+    // a FRESH tracker over the same root sees the migrated + extended table
+    val reopened = new FileBackedVersionTracker(root.toUri)
+    reopened.tables() shouldBe List(table)
+    reopened.updates(table).map(_.id.id) shouldBe
+      tracker.updates(table).map(_.id.id)
+  }
+}
+
+/**
+ * State checkpoints: every `checkpointInterval` commits the full history is
+ * folded into one `state_checkpoint_*.json` file, and `tableState` reads
+ * checkpoint + tail instead of every commit file. Proven behaviorally: once a
+ * checkpoint exists, the covered commit files can be removed and the state is
+ * still reconstructed in full.
+ */
+class StateCheckpointSpec extends AnyFlatSpec with Matchers {
+
+  "FileBackedVersionTracker" should "reconstruct full state from checkpoint + tail without the covered commit files" in {
+    val root = Files.createTempDirectory("graft-ckpt-")
+    val tracker = new FileBackedVersionTracker(root.toUri, checkpointInterval = 8)
+    val t = TableName("db", "t")
+    tracker.initTable(t, isSnapshot = false, UserId("u"), "init", Instant.now())
+    val n = 20
+    (1 to n).foreach { i =>
+      tracker.commit(t, TableUpdate(UserId("u"), s"c$i", Instant.now(),
+        List(TableOperation.AddPartitionVersion(Partition("day", f"d$i%02d"), Version.generate()))))
+    }
+
+    val dir = root.resolve("_graft_table_db.t")
+    val checkpoints = Files.list(dir).filter(_.getFileName.toString.startsWith("state_checkpoint_"))
+      .sorted.toArray.toList.map(_.asInstanceOf[JPath])
+    checkpoints should have size 1 // older checkpoints are dropped after a new one lands
+
+    // parse the covered set and REMOVE those commit files: state must survive
+    val (covered, folded) = JsonCodecs.checkpointFromJson(
+      new String(Files.readAllBytes(checkpoints.last), StandardCharsets.UTF_8)).toOption.get
+    covered.size should be >= 16 // two checkpoint rounds at interval 8 (init + 15 commits or more)
+    folded.size shouldBe covered.size
+    covered.foreach { name =>
+      Files.delete(dir.resolve(name))
+      Files.deleteIfExists(dir.resolve("." + name + ".crc"))
+    }
+
+    val reopened = new FileBackedVersionTracker(root.toUri, checkpointInterval = 8)
+    val st = reopened.tableState(t)
+    st.updates.map(_.metadata.message) shouldBe ("init" :: (1 to n).map(i => s"c$i").toList)
+    reopened.currentVersion(t) match {
+      case PartitionedTableVersion(pvs) => pvs.keySet should have size n.toLong
+      case other                        => fail(s"unexpected $other")
+    }
+  }
+
+  it should "keep a corrupt checkpoint from bricking the store (falls back to commit files)" in {
+    val root = Files.createTempDirectory("graft-ckpt-corrupt-")
+    val tracker = new FileBackedVersionTracker(root.toUri, checkpointInterval = 4)
+    val t = TableName("db", "t")
+    tracker.initTable(t, isSnapshot = false, UserId("u"), "init", Instant.now())
+    (1 to 6).foreach { i =>
+      tracker.commit(t, TableUpdate(UserId("u"), s"c$i", Instant.now(),
+        List(TableOperation.AddPartitionVersion(Partition("day", f"d$i%02d"), Version.generate()))))
+    }
+    val dir = root.resolve("_graft_table_db.t")
+    val checkpoint = Files.list(dir).filter(_.getFileName.toString.startsWith("state_checkpoint_"))
+      .findFirst.get
+    Files.write(checkpoint, "not json at all".getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(dir.resolve("." + checkpoint.getFileName.toString + ".crc"))
+
+    val st = new FileBackedVersionTracker(root.toUri).tableState(t)
+    st.updates.map(_.metadata.message) shouldBe ("init" :: (1 to 6).map(i => s"c$i").toList)
+  }
+}

@@ -134,11 +134,75 @@ class JsonCodecsSpec extends AnyFlatSpec with Matchers {
     JsonCodecs.fromJson("""{"formatVersion":2,"id":"a","userId":"u","message":"m","timestamp":"2020-01-01T00:00:00Z","operations":[{"type":"wat"}]}""").isLeft shouldBe true
   }
 
-  it should "refuse commit files without a formatVersion marker (pre-v2 raw partition encoding)" in {
-    val v1Style = """{"id":"a","userId":"u","message":"m","timestamp":"2020-01-01T00:00:00Z","operations":[]}"""
-    val result = JsonCodecs.fromJson(v1Style)
-    result.isLeft shouldBe true
-    result.swap.getOrElse("") should include("formatVersion")
+  it should "accept unmarked pre-v2 commit files, decoding partition values RAW as v1 wrote them" in {
+    val v = Version.generate()
+    val v1Style =
+      s"""{"id":"a","userId":"u","message":"m","timestamp":"2020-01-01T00:00:00Z","operations":[
+         |  {"type":"add-partition-version","partition":"tag=A%2FB","version":"${v.label}"}]}""".stripMargin
+    // v1 serialized raw values: "A%2FB" means the literal four characters,
+    // NOT an escaped slash — unescaping it under v2 rules would corrupt it
+    JsonCodecs.fromJson(v1Style) shouldBe Right(TableUpdate(
+      TableUpdateMetadata(CommitId("a"), UserId("u"), "m", java.time.Instant.parse("2020-01-01T00:00:00Z")),
+      List(TableOperation.AddPartitionVersion(Partition("tag", "A%2FB"), v))))
+  }
+
+  it should "decode the reference's chronicles wire format (golden document)" in {
+    // shape pinned by the reference's own golden test:
+    // files/src/test/scala/dev/chronicles/files/versiontracker/JsonCodecsSpec.scala:38-66
+    val tv = Version.generate()
+    val pv = Version.generate()
+    val goldenJson =
+      s"""{
+         |  "commit_id" : "update-id",
+         |  "user_id" : "user ID",
+         |  "message" : "update message",
+         |  "timestamp" : "2021-12-03T10:15:30.010Z",
+         |  "operations" : [
+         |    {
+         |      "type" : "init-table",
+         |      "table_name" : "schema.table",
+         |      "is_snapshot" : true
+         |    },
+         |    {
+         |      "type" : "add-table-version",
+         |      "version" : "${tv.label}"
+         |    },
+         |    {
+         |      "type" : "add-partition-version",
+         |      "partition" : "year=2020/month=12",
+         |      "version" : "${pv.label}"
+         |    },
+         |    {
+         |      "type" : "remove-partition",
+         |      "partition" : "year=2020"
+         |    }
+         |  ]
+         |}""".stripMargin
+    JsonCodecs.fromJson(goldenJson) shouldBe Right(TableUpdate(
+      TableUpdateMetadata(CommitId("update-id"), UserId("user ID"), "update message",
+        java.time.Instant.parse("2021-12-03T10:15:30.010Z")),
+      List(
+        TableOperation.InitTable(TableName("schema", "table"), isSnapshot = true),
+        TableOperation.AddTableVersion(tv),
+        TableOperation.AddPartitionVersion(
+          Partition(ColumnValue(PartitionColumn("year"), "2020"), ColumnValue(PartitionColumn("month"), "12")), pv),
+        TableOperation.RemovePartition(Partition("year", "2020")))))
+  }
+
+  it should "decode the reference's head_ref and table-metadata documents" in {
+    JsonCodecs.chroniclesHeadFromJson("""{ "head_ref" : "xyz" }""") shouldBe Right("xyz")
+    JsonCodecs.metadataFromJson("""{ "is_snapshot" : true }""") shouldBe Right(true)
+  }
+
+  it should "round-trip a state checkpoint document" in {
+    val updates = List(
+      TableUpdate(TableUpdateMetadata(CommitId("c1"), UserId("u"), "init", java.time.Instant.EPOCH),
+        List(TableOperation.InitTable(TableName("s", "t"), isSnapshot = false))),
+      TableUpdate(TableUpdateMetadata(CommitId("c2"), UserId("u"), "add", java.time.Instant.EPOCH),
+        List(TableOperation.AddPartitionVersion(Partition("date", "2020-01-01"), Version.generate()))))
+    val covered = List("table_update_a.json", "table_update_b.json")
+    JsonCodecs.checkpointFromJson(JsonCodecs.checkpointToJson(covered, updates)) shouldBe
+      Right((covered.toSet, updates))
   }
 
   it should "refuse commit files from a future format version" in {

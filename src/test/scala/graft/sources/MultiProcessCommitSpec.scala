@@ -1,0 +1,70 @@
+package graft.sources
+
+import graft.core._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.file.Files
+import java.time.Instant
+
+/**
+ * Worker entry point run in a SEPARATE JVM by [[MultiProcessCommitSpec]]:
+ * opens the store at args(0) and makes args(3) commits to table args(1),
+ * tagging messages with worker id args(2). Exits non-zero on any failure so
+ * the spec can detect lost/failed commits.
+ */
+object MultiProcessCommitWorker {
+  def main(args: Array[String]): Unit = {
+    val Array(rootUri, tableFqn, workerId, nStr) = args
+    val tracker = new FileBackedVersionTracker(java.net.URI.create(rootUri))
+    val table = TableName.parse(tableFqn).fold(sys.error, identity)
+    (1 to nStr.toInt).foreach { i =>
+      tracker.commit(table, TableUpdate(UserId(s"w$workerId"), s"w$workerId-c$i", Instant.now(),
+        List(TableOperation.AddPartitionVersion(
+          Partition("day", f"w$workerId%s-d$i%02d"), Version.generate()))))
+    }
+  }
+}
+
+/**
+ * Cross-PROCESS writer safety: concurrent writers in separate JVMs serialize
+ * on the exclusive-create `commit.lock` file, so every commit lands intact
+ * (no torn head, no lost commit file) — the in-JVM monitor alone cannot
+ * provide this. Complements `FileBackedConcurrencySpec` (in-process writers).
+ */
+class MultiProcessCommitSpec extends AnyFlatSpec with Matchers {
+
+  "FileBackedVersionTracker" should "preserve every commit under concurrent writers in separate processes" in {
+    val root = Files.createTempDirectory("graft-mp-")
+    val tracker = new FileBackedVersionTracker(root.toUri)
+    val t = TableName("mp", "t")
+    tracker.initTable(t, isSnapshot = false, UserId("u"), "init", Instant.now())
+
+    val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cp = System.getProperty("java.class.path")
+    val workers = 3
+    val commitsEach = 8
+    val procs = (1 to workers).map { w =>
+      new ProcessBuilder(
+        javaBin, "-cp", cp, "graft.sources.MultiProcessCommitWorker",
+        root.toUri.toString, t.fullyQualifiedName, w.toString, commitsEach.toString)
+        .redirectErrorStream(true)
+        .start()
+    }
+    procs.zipWithIndex.foreach { case (p, i) =>
+      val out = new String(p.getInputStream.readAllBytes())
+      val rc = p.waitFor()
+      withClue(s"worker ${i + 1} output:\n$out\n") { rc shouldBe 0 }
+    }
+
+    // every commit from every process landed, and the store is consistent
+    val messages = tracker.updates(t).map(_.message)
+    messages should have size (workers * commitsEach + 1).toLong
+    val expected = for { w <- 1 to workers; i <- 1 to commitsEach } yield s"w$w-c$i"
+    messages.toSet should contain allElementsOf expected
+    val st = tracker.tableState(t)
+    tracker.currentVersion(t) shouldBe st.versionAt(st.currentVersion)
+    // no lock file left behind
+    Files.exists(root.resolve("_graft_table_mp.t").resolve("commit.lock")) shouldBe false
+  }
+}
