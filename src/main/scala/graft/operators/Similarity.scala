@@ -120,9 +120,7 @@ object Similarity {
     import spark.implicits._
 
     // 1. learn centroids from a deterministic sample
-    val sample = candidates.select(col(vecCol)).orderBy(col(idCol)).limit(sampleSize)
-      .collect().map(_.getSeq[Float](0).toArray)
-    val centroids = kmeans(sample, nlist, iters = 10)
+    val centroids = learnCentroids(candidates, nlist, sampleSize, idCol, vecCol)
     val centroidDf = broadcast(centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid"))
 
@@ -137,6 +135,20 @@ object Similarity {
       c.join(q, Seq("cell"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("cosine", cosine(col("qv"), col("cv"))), k)
+  }
+
+  /** The ONE centroid-learning path every IVF variant shares (ad-hoc
+    * [[ivfTopK]], the persisted [[VectorIndex]], and the oracle replay):
+    * deterministic sample (first `sampleSize` rows by `idCol`) + seeded
+    * Lloyd's k-means. Identical inputs therefore yield identical centroids
+    * everywhere — which is what lets the DuckDB oracle embed them as
+    * literals and replay the whole index exactly. */
+  def learnCentroids(
+      candidates: DataFrame, nlist: Int, sampleSize: Int = 2048,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Float]] = {
+    val sample = candidates.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .limit(sampleSize).collect().map(_.getSeq[Float](1).toArray)
+    kmeans(sample, nlist, iters = 10)
   }
 
   /** Deterministic exact top-k over a scored candidate frame

@@ -52,9 +52,7 @@ object VectorIndex {
     val spark = vectors.sparkSession
     import spark.implicits._
 
-    val sample = vectors.select(col(idCol), col(vecCol)).orderBy(col(idCol))
-      .limit(sampleSize).collect().map(_.getSeq[Float](1).toArray)
-    val centroids = Similarity.kmeans(sample, nlist, iters = 10)
+    val centroids = Similarity.learnCentroids(vectors, nlist, sampleSize, idCol, vecCol)
     val centroidDf = centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF(CellCol, "centroid")
 

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
  * Training-data pipeline query surface: text analysis, deduplication (exact /
  * MinHash / SimHash / n-gram Jaccard), embedding similarity search, and
  * multimodal feature extraction — over the `documents` and `embeddings`
- * tables. DuckDB oracles where SQL-expressible; the LSH/embedding operators
- * are covered by rows-only checks here and exact unit specs in
+ * tables. Everything is DuckDB-oracled except the two genuinely
+ * non-replayable sketches (HLL approx-distinct, xxhash64-seeded SimHash),
+ * which are rows-only here and pinned by exact unit specs in
  * DedupSpec/SimilaritySpec.
  */
 object PipelineQueries {
@@ -37,6 +38,31 @@ object PipelineQueries {
     pairsCache.computeIfAbsent((s, d), _ =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), threshold = 0.8,
         blockCol = Some("source")).localCheckpoint())
+
+  /** The MinHash-LSH near-dup pair set feeds three queries (pair mining, LSH
+    * clustering, LSH corpus dedup) — mined once per (session, sfDir). This is
+    * THE 100 TB dedup path: banded LSH candidates + exact verify, never
+    * quadratic in the corpus. */
+  private val lshPairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def lshPairs(s: SparkSession, d: String): DataFrame =
+    lshPairsCache.computeIfAbsent((s, d), _ =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, d), threshold = 0.8).localCheckpoint())
+
+  /**
+   * Learned IVF centroids for the CURRENT verify run, registered when an IVF
+   * query executes. `Similarity.learnCentroids` is deterministic (fixed
+   * sample, seeded k-means), so the values registered here are exactly the
+   * centroids both `ivfTopK` and `VectorIndex.buildIvf` derive internally —
+   * and [[oracles]] (a def, read AFTER the queries ran) embeds them as DuckDB
+   * literals, turning the whole IVF path (assignment, probing, ranking) into
+   * an exact SQL replay, the same trick as the q_ann_lsh weight table.
+   */
+  private val ivfCentroidReg = new java.util.concurrent.atomic.AtomicReference[Array[Array[Float]]]()
+
+  private def registerIvfCentroids(s: SparkSession, d: String): Unit =
+    ivfCentroidReg.set(Similarity.learnCentroids(Tables.embeddings(s, d), nlist = 16))
 
   /** One versioned IVF index per (session, sfDir), built on first use. */
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
@@ -112,8 +138,20 @@ object PipelineQueries {
         Tables.documents(s, d).withColumn("vocab_hash", vocabHash),
         idCol = "doc_id", textCol = "vocab_hash")),
 
-    "q_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashNearDupPairs(Tables.documents(s, d), threshold = 0.8)),
+    "q_dedup_minhash" -> ((s, d) => lshPairs(s, d)),
+
+    // THE 100 TB dedup pipeline, end-to-end as one driver query: LSH-mined
+    // pairs (banded MinHash + exact verify, never corpus-quadratic) ->
+    // connected components -> canonical min-id labels. Oracled: the LSH pair
+    // set equals the exact 3-gram shingle-Jaccard ground truth on this
+    // fixture (verified 0-diff at sf0.001/0.01/0.1), which DuckDB mines
+    // directly and closes with a recursive CTE.
+    "q_dedup_clusters_lsh" -> ((s, d) => Dedup.dupClusters(lshPairs(s, d))),
+
+    // ... -> keepCanonical: the survivors a corpus consumer actually keeps
+    "q_dedup_corpus_lsh" -> ((s, d) =>
+      Dedup.keepCanonical(Tables.documents(s, d), lshPairs(s, d))
+        .select("doc_id", "lang", "source")),
 
     // pairs -> duplicate clusters: connected components over the (oracled)
     // ngram-jaccard pair graph; every pair-involved doc gets the canonical
@@ -157,6 +195,7 @@ object PipelineQueries {
 
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      registerIvfCentroids(s, d)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 16), emb, k = 10, nlist = 16, nprobe = 4)
     }),
 
@@ -168,10 +207,12 @@ object PipelineQueries {
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.4, planes = 0)),
 
     // --- versioned IVF index: build once (cell-partitioned versioned table),
-    // query via partition-pruned cell reads. Engine-specific layout => rows-
-    // only check; recall and version semantics pinned in VectorIndexSpec. ---
+    // query via partition-pruned cell reads. Fully oracled via the centroid-
+    // literal replay (the persisted index stores the same assignment the
+    // oracle recomputes); version semantics pinned in VectorIndexSpec. ---
     "q_ann_ivf_index" -> ((s, d) => {
       val (engine, table) = ivfFixture(s, d)
+      registerIvfCentroids(s, d)
       val queries = Tables.embeddings(s, d).filter(col("vec_id") < 16)
       graft.operators.VectorIndex.queryIvf(engine, table, queries, k = 10, nprobe = 4)
     }),
@@ -250,7 +291,89 @@ object PipelineQueries {
   private val vocabHashSql =
     s"md5(array_to_string(list_sort(list_distinct($duckTokens)), ' '))"
 
-  val oracles: Map[String, String] = Map(
+  /** 3-gram string-shingle near-dup pairs at Jaccard >= 0.8: the exact ground
+    * truth the MinHash-LSH path verifies against. String vs 64-bit-hashed
+    * shingles agree up to negligible collision odds (same argument as the
+    * q_contamination oracle); docs under 3 words fall back to whole-text-as-
+    * one-shingle, mirroring WordShingleHashes. Jaccard VALUES are integer
+    * ratios — bit-identical across engines. The size prune in the join is
+    * lossless: jaccard >= t forbids |A|/|B| ratios below t. */
+  private val shinglePairsCte =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+       |        generate_series(1, len(w) - 2),
+       |        i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+       |      ELSE [array_to_string(w, ' ')] END AS s
+       |  FROM (SELECT doc_id, $duckTokens AS w FROM documents)),
+       |sized AS (SELECT doc_id AS id, s, len(s) AS n FROM sh),
+       |lshpairs AS (
+       |  SELECT a.id AS id1, b.id AS id2,
+       |    len(list_intersect(a.s, b.s)) / (a.n + b.n - len(list_intersect(a.s, b.s))) AS jaccard
+       |  FROM sized a JOIN sized b
+       |    ON a.id < b.id AND a.n >= b.n * 0.8 AND b.n >= a.n * 0.8
+       |  WHERE len(list_intersect(a.s, b.s)) / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.8)""".stripMargin
+
+  /** Replay the full IVF path in DuckDB with the learned centroids embedded
+    * as literals: same cell argmin (cosine desc, cell-id tiebreak), same
+    * nprobe probing, same exact in-cell cosine ranking. Float centroids are
+    * rendered via their exact double values, and FloatVectorDot widens to
+    * double before multiplying, so every score is bit-identical. One SQL
+    * serves q_ann_ivf AND q_ann_ivf_index: the persisted index stores the
+    * identical assignment (same learnCentroids, same assignCells). */
+  private def ivfOracleSql(centroids: Array[Array[Float]], k: Int, nprobe: Int): String = {
+    val values = centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n      ")
+    s"""WITH cents AS (
+       |  SELECT cell, cv, SQRT(list_inner_product(cv, cv)) AS cn
+       |  FROM (VALUES
+       |      $values) AS t(cell, cv)),
+       |v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+       |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                            CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT vec_id, dv, nrm, cell FROM (
+       |    SELECT v.vec_id, v.dv, v.nrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_inner_product(v.dv, c.cv) / (v.nrm * c.cn) DESC, c.cell) AS rn
+       |    FROM v CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |q AS (
+       |  SELECT vec_id AS query_id, dv AS qv, nrm AS qn, cell FROM (
+       |    SELECT v.vec_id, v.dv, v.nrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_inner_product(v.dv, c.cv) / (v.nrm * c.cn) DESC, c.cell) AS rn
+       |    FROM v CROSS JOIN cents c WHERE v.vec_id < 16)
+       |  WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT q.query_id, cand.vec_id AS neighbor_id,
+       |    list_inner_product(q.qv, cand.dv) / (q.qn * cand.nrm) AS cosine
+       |  FROM q JOIN cand USING (cell) WHERE q.query_id <> cand.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
+       |WHERE "rank" <= $k""".stripMargin
+  }
+
+  /** The IVF oracles exist only once an IVF query has run in this JVM (the
+    * centroids are data-derived); Verify dumps oracle_sql.json after running
+    * every query, so the driver always sees them. */
+  def oracles: Map[String, String] = {
+    val ivf = Option(ivfCentroidReg.get()) match {
+      case Some(cents) =>
+        val sql = ivfOracleSql(cents, k = 10, nprobe = 4)
+        Map("q_ann_ivf" -> sql, "q_ann_ivf_index" -> sql)
+      case None => Map.empty[String, String]
+    }
+    staticOracles ++ ivf
+  }
+
+  private val staticOracles: Map[String, String] = Map(
     "q_text_stats" ->
       s"""SELECT doc_id, lang,
          |  $nTokSql AS n_tokens,
@@ -388,6 +511,45 @@ object PipelineQueries {
          |SELECT doc_id, cluster_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lbl""".stripMargin,
+
+    // MinHash-LSH pairs, fully oracled: on this fixture the LSH pair set
+    // equals the exact 3-gram shingle ground truth (verified 0-diff at
+    // sf0.001/0.01/0.1 — 100% recall from 8x2 banding, precision 1.0 from
+    // the exact-verify stage), so DuckDB mines the same set quadratically
+    "q_dedup_minhash" ->
+      s"""WITH $shinglePairsCte
+         |SELECT id1, id2, jaccard FROM lshpairs""".stripMargin,
+
+    // closure over the LSH pair graph — same recursive-CTE replay as
+    // q_dedup_clusters, over the 3-gram shingle pairs
+    "q_dedup_clusters_lsh" ->
+      s"""WITH RECURSIVE $shinglePairsCte,
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM lshpairs
+         |  UNION
+         |  SELECT id2 AS src, id1 AS dst FROM lshpairs),
+         |reach(a, b) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |lbl AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT doc_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lbl""".stripMargin,
+
+    "q_dedup_corpus_lsh" ->
+      s"""WITH RECURSIVE $shinglePairsCte,
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM lshpairs
+         |  UNION
+         |  SELECT id2 AS src, id1 AS dst FROM lshpairs),
+         |reach(a, b) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |losers AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) <> a)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
     // string shingles here vs 64-bit hashed shingles in Spark: distinct and
     // intersection COUNTS agree up to negligible collision odds, and the
