@@ -27,13 +27,14 @@ case class MediaFeatures(
  * Multimodal-column plumbing: treat image/audio/video as opaque `binary`
  * columns; decode / feature-extract / frame-sample run as typed
  * `mapPartitions` stages (the Scala-native analogue of arrow-batched
- * `mapInPandas`) so the decode library is invoked once per JVM partition, not
- * once per row, and the binary payload never round-trips through an
- * interpreter.
+ * `mapInPandas`) so decoder setup is amortized per JVM partition, not per
+ * row, and the binary payload never round-trips through an interpreter.
  *
- * The actual byte decode is a STUB — real image/audio codecs are not in this
- * container — but it is a *deterministic* fake, so the Spark-side plumbing
- * (schema, batching, partitioning, feature queries) is real and testable.
+ * IMAGE payloads are decoded for real via `javax.imageio` (ships in the JDK:
+ * PNG/BMP/GIF/JPEG readers) — width/height come from the actual bitmap
+ * header and brightness is the mean RGB level over the decoded pixels.
+ * Audio/video decoding remains a documented deterministic STUB (no media
+ * codecs in this container); the plumbing around it is production-shaped.
  */
 object Multimodal {
 
@@ -41,11 +42,49 @@ object Multimodal {
     * size knob of mapInPandas). */
   val DecodeBatchSize = 64
 
+  /** Decode one record. Images go through the real codec; audio/video fall
+    * through to the stub. */
+  private def decode(r: MediaRecord): MediaFeatures =
+    if (r.kind == "image") decodeImage(r) else decodeStub(r)
+
   /**
-   * STUB DECODER — replace with a real codec (e.g. javax.imageio / ffmpeg
-   * bindings) when available. Deterministic fake: dimensions derive from the
-   * payload length, brightness is the mean unsigned byte value. This is the
-   * `???` seam; everything around it is production-shaped.
+   * REAL image decode via `javax.imageio`: parses the actual payload bytes
+   * (PNG/BMP/GIF/JPEG), takes width/height from the decoded bitmap, and
+   * computes brightness as the mean of (R+G+B)/3 over every pixel. A payload
+   * ImageIO cannot parse (corrupt bytes, unknown container) yields a
+   * zero-dimension row rather than poisoning the whole 100 TB job — skippable
+   * downstream with `width > 0`.
+   */
+  private def decodeImage(r: MediaRecord): MediaFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null)
+      MediaFeatures(r.media_id, r.kind, r.bytes.length, 0, 0, 1, 0.0)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(r.media_id, r.kind, r.bytes.length, w, h, 1,
+        if (w == 0 || h == 0) 0.0 else sum.toDouble / (3.0 * w * h))
+    }
+  }
+
+  /**
+   * STUB DECODER for audio/video — no media codecs ship in this container.
+   * Deterministic fake: dimensions derive from the payload length, brightness
+   * is the mean unsigned byte value. This is the remaining seam for a real
+   * ffmpeg-style binding; everything around it is production-shaped.
    */
   private def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.bytes.length
@@ -67,8 +106,9 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(DecodeBatchSize).flatMap { batch =>
-        // a real implementation would hand `batch` to a native decoder here
-        batch.iterator.map(decodeStub)
+        // per-batch decode: a native codec binding would be handed the whole
+        // batch here; ImageIO is invoked per record within it
+        batch.iterator.map(decode)
       }
     }
   }
@@ -87,17 +127,56 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_bytes")
   }
 
-  /** Build a MediaRecord dataset from the documents table — deterministic
-    * fake payloads (UTF-8 text bytes) with a kind derived from the id, so
-    * multimodal plumbing is exercisable on the standard testdata. */
+  /** Synthetic-image geometry, shared by the fixture generator and the DuckDB
+    * oracle: every quantity is a pure function of the id so an independent
+    * engine can predict what the REAL decoder will read back out of the
+    * generated bitmap. */
+  def syntheticImageWidth(id: Long): Int = 16 + (id % 13).toInt
+  def syntheticImageHeight(id: Long): Int = 16 + ((id * 7) % 11).toInt
+  def syntheticImageGray(id: Long): Int = ((id * 37) % 256).toInt
+
+  /** A real, decodable BMP payload (uncompressed 24bpp, uniform gray fill).
+    * BMP because its size is analytically predictable — 54-byte header plus
+    * height rows padded to 4 bytes — which keeps `n_bytes` oracle-checkable,
+    * unlike a compressed PNG. */
+  def syntheticBmp(id: Long): Array[Byte] = {
+    val w = syntheticImageWidth(id)
+    val h = syntheticImageHeight(id)
+    val g = syntheticImageGray(id)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val gfx = img.createGraphics()
+    try {
+      gfx.setColor(new java.awt.Color(g, g, g))
+      gfx.fillRect(0, 0, w, h)
+    } finally gfx.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
+  /** Expected on-disk size of [[syntheticBmp]] — 14-byte file header +
+    * 40-byte BITMAPINFOHEADER + rows padded to 4-byte boundaries. Pinned
+    * against the actual writer output in MultimodalSpec. */
+  def syntheticBmpSize(id: Long): Int = {
+    val w = syntheticImageWidth(id)
+    val h = syntheticImageHeight(id)
+    54 + h * ((w * 3 + 3) / 4 * 4)
+  }
+
+  /** Build a MediaRecord dataset from the documents table: image rows carry a
+    * REAL generated BMP (decodable by ImageIO), audio/video rows carry
+    * deterministic fake payloads (UTF-8 text bytes) — so multimodal plumbing
+    * including the real image decode is exercisable on the standard testdata. */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("bytes"),
-      col("source"))
-      .as[MediaRecord]
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .map { case (id, text, source) =>
+        val kind = Seq("image", "audio", "video")((id % 3).toInt)
+        val bytes =
+          if (kind == "image") syntheticBmp(id)
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRecord(id, kind, bytes, source)
+      }
   }
 }

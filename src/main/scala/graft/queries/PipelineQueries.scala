@@ -607,16 +607,27 @@ object PipelineQueries {
       """SELECT doc_id AS media_id, UNNEST(RANGE(0, 1 + octet_length(encode(text)) % 30, 10)) AS frame_idx
         |FROM documents WHERE (doc_id % 3) = 2""".stripMargin,
 
+    // image rows (doc_id % 3 = 0) carry a REAL generated BMP that Spark
+    // decodes with javax.imageio; the oracle predicts what the decoder reads
+    // back from the bitmap via the synthetic-geometry formulas (uniform gray
+    // fill => brightness is exactly the gray level; uncompressed 24bpp BMP
+    // => size = 54 + height * 4-byte-padded rows). Audio/video rows replay
+    // the documented stub.
     "q_multimodal_features" ->
       """SELECT doc_id AS media_id,
         |  ['image','audio','video'][(doc_id % 3) + 1] AS kind,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  octet_length(encode(text)) % 640 AS width,
-        |  octet_length(encode(text)) % 480 AS height,
-        |  CASE WHEN ['image','audio','video'][(doc_id % 3) + 1] = 'video'
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN 54 + (16 + (doc_id * 7) % 11) * (((16 + doc_id % 13) * 3 + 3) // 4 * 4)
+        |       ELSE octet_length(encode(text)) END AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 13
+        |       ELSE octet_length(encode(text)) % 640 END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 11
+        |       ELSE octet_length(encode(text)) % 480 END AS height,
+        |  CASE WHEN doc_id % 3 = 2
         |       THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS n_frames,
-        |  list_aggregate(list_transform(string_split(text, ''), x -> unicode(x)), 'sum')
-        |    / octet_length(encode(text)) AS brightness
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 37) % 256 AS DOUBLE)
+        |       ELSE list_aggregate(list_transform(string_split(text, ''), x -> unicode(x)), 'sum')
+        |         / octet_length(encode(text)) END AS brightness
         |FROM documents""".stripMargin
   )
 }

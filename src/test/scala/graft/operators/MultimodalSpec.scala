@@ -10,21 +10,65 @@ class MultimodalSpec extends AnyFlatSpec with Matchers {
   import spark.implicits._
 
   val media = Seq(
-    MediaRecord(1L, "image", "hello world".getBytes("UTF-8"), "s1"),
+    MediaRecord(1L, "image", Multimodal.syntheticBmp(1L), "s1"),
     MediaRecord(2L, "video", Array.tabulate[Byte](100)(_.toByte), "s1"),
     MediaRecord(3L, "audio", Array.empty[Byte], "s2")
   ).toDS()
 
-  "extractFeatures" should "produce deterministic stub features" in {
+  "extractFeatures" should "REALLY decode image payloads via javax.imageio" in {
+    // a 20x30 PNG with a known non-uniform pattern, written by ImageIO here:
+    // the stub would report width = n_bytes % 640, the real decoder must
+    // report the bitmap header's 20x30 regardless of the compressed size
+    val w = 20; val h = 30
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val level = (x * 8 + y) % 256
+      img.setRGB(x, y, new java.awt.Color(level, 255 - level, level / 2).getRGB)
+      sum += level + (255 - level) + level / 2
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val png = out.toByteArray
+
+    val f = Multimodal.extractFeatures(
+      Seq(MediaRecord(7L, "image", png, "t")).toDS()).head()
+    f.width shouldBe w
+    f.height shouldBe h
+    f.n_bytes shouldBe png.length
+    f.n_frames shouldBe 1
+    f.brightness shouldBe sum.toDouble / (3.0 * w * h)
+    // and the stub would have said something else entirely
+    f.width should not be (png.length % 640)
+  }
+
+  it should "yield a zero-dimension row (not a crash) for an undecodable image payload" in {
+    val f = Multimodal.extractFeatures(
+      Seq(MediaRecord(8L, "image", "definitely not a bitmap".getBytes("UTF-8"), "t")).toDS()).head()
+    f.width shouldBe 0
+    f.height shouldBe 0
+    f.brightness shouldBe 0.0
+    f.n_bytes shouldBe 23
+  }
+
+  it should "decode the synthetic BMP fixture to its generated geometry" in {
     val f = Multimodal.extractFeatures(media).collect().map(m => m.media_id -> m).toMap
-    f(1L).n_bytes shouldBe 11
-    f(1L).width shouldBe 11
-    f(1L).height shouldBe 11
-    f(1L).n_frames shouldBe 1
-    f(1L).brightness shouldBe "hello world".getBytes("UTF-8").map(_ & 0xff).sum.toDouble / 11 +- 1e-9
+    f(1L).width shouldBe Multimodal.syntheticImageWidth(1L)
+    f(1L).height shouldBe Multimodal.syntheticImageHeight(1L)
+    // uniform gray fill: mean RGB level IS the gray level, exactly
+    f(1L).brightness shouldBe Multimodal.syntheticImageGray(1L).toDouble
+    f(1L).n_bytes shouldBe Multimodal.syntheticBmpSize(1L)
+    // audio/video still go through the documented stub
     f(2L).n_frames shouldBe 1 + 100 % 30
+    f(2L).width shouldBe 100 % 640
     f(3L).n_bytes shouldBe 0
     f(3L).brightness shouldBe 0.0
+  }
+
+  "syntheticBmpSize" should "predict the actual BMP writer output for every fixture id" in {
+    (0L until 60L by 3).foreach { id =>
+      Multimodal.syntheticBmp(id).length shouldBe Multimodal.syntheticBmpSize(id)
+    }
   }
 
   "sampleFrames" should "emit one row per sampled frame for videos only" in {
@@ -35,7 +79,7 @@ class MultimodalSpec extends AnyFlatSpec with Matchers {
     frames.foreach(r => r.getAs[Array[Byte]]("frame_bytes").length should be <= 16)
   }
 
-  "fromDocuments" should "derive deterministic kinds and payloads from testdata" in {
+  "fromDocuments" should "derive deterministic kinds and payloads, with real BMPs for images" in {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val ds = Multimodal.fromDocuments(spark, docs)
     val rows = ds.collect()
@@ -43,6 +87,12 @@ class MultimodalSpec extends AnyFlatSpec with Matchers {
     rows.foreach { r =>
       r.kind shouldBe Seq("image", "audio", "video")((r.media_id % 3).toInt)
       r.bytes should not be empty
+      if (r.kind == "image") {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+        img should not be null
+        img.getWidth shouldBe Multimodal.syntheticImageWidth(r.media_id)
+        img.getHeight shouldBe Multimodal.syntheticImageHeight(r.media_id)
+      }
     }
   }
 }
