@@ -12,14 +12,21 @@ class QueriesSpec extends AnyFlatSpec with Matchers {
   val sf = "/root/testdata/sf0.001"
 
   "the query surface" should "declare an oracle or be a known rows-only query" in {
+    // the irreducible rows-only set: sketches DuckDB genuinely cannot replay
     val rowsOnly = Set(
-      "q_dedup_minhash", "q_dedup_simhash",          // xxhash64 over STRINGS (no DuckDB xxhash64)
-      "q_ann_ivf", "q_ann_ivf_index",                // sampled k-means (driver-side state)
-      "q_agg_approx_distinct")                       // HLL sketch
+      "q_dedup_simhash",       // xxhash64-seeded token hashes (no DuckDB xxhash64)
+      "q_agg_approx_distinct") // HLL sketch
+    // the IVF oracles are data-derived (centroid literals) and appear only
+    // after an IVF query has run in this JVM — exactly how Verify dumps them
+    val ivf = Set("q_ann_ivf", "q_ann_ivf_index")
     val declared = graft.SparkEntry.queries.keySet
-    val oracled = graft.SparkEntry.oracleSql.keySet
-    oracled.subsetOf(declared) shouldBe true
-    (declared -- oracled) shouldBe rowsOnly
+    graft.SparkEntry.oracleSql.keySet.subsetOf(declared) shouldBe true
+    (declared -- graft.SparkEntry.oracleSql.keySet -- ivf) shouldBe rowsOnly
+
+    graft.SparkEntry.queries("q_ann_ivf")(spark, sf).count() should be > 0L
+    val afterRun = graft.SparkEntry.oracleSql.keySet
+    ivf.subsetOf(afterRun) shouldBe true
+    (declared -- afterRun) shouldBe rowsOnly
   }
 
   it should "produce rows for every declared query at sf0.001" in {
