@@ -57,8 +57,16 @@ object Multimodal {
    */
   private def decodeImage(r: MediaRecord): MediaFeatures = {
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
-      catch { case _: java.io.IOException => null }
+      // MemoryCacheImageInputStream: the default ImageIO.read(InputStream)
+      // path spools every payload through a temp FILE on disk — pointless
+      // churn for bytes already in memory. NonFatal, not just IOException:
+      // the JDK plugins throw RuntimeExceptions (CMMException,
+      // ArrayIndexOutOfBounds, NegativeArraySize...) on malformed payloads,
+      // and one poison record must not kill the job.
+      try javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(r.bytes)))
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null)
       MediaFeatures(r.media_id, r.kind, r.bytes.length, 0, 0, 1, 0.0)
     else {
@@ -131,9 +139,9 @@ object Multimodal {
     * oracle: every quantity is a pure function of the id so an independent
     * engine can predict what the REAL decoder will read back out of the
     * generated bitmap. */
-  def syntheticImageWidth(id: Long): Int = 16 + (id % 13).toInt
-  def syntheticImageHeight(id: Long): Int = 16 + ((id * 7) % 11).toInt
-  def syntheticImageGray(id: Long): Int = ((id * 37) % 256).toInt
+  def syntheticImageWidth(id: Long): Int = 16 + java.lang.Math.floorMod(id, 13L).toInt
+  def syntheticImageHeight(id: Long): Int = 16 + java.lang.Math.floorMod(id * 7, 11L).toInt
+  def syntheticImageGray(id: Long): Int = java.lang.Math.floorMod(id * 37, 256L).toInt
 
   /** A real, decodable BMP payload (uncompressed 24bpp, uniform gray fill).
     * BMP because its size is analytically predictable — 54-byte header plus
@@ -172,7 +180,9 @@ object Multimodal {
     docs.select(col("doc_id"), col("text"), col("source"))
       .as[(Long, String, String)]
       .map { case (id, text, source) =>
-        val kind = Seq("image", "audio", "video")((id % 3).toInt)
+        // floorMod: Scala's % is negative for negative ids, and nothing
+        // forbids them in the schema (the columnar original used pmod)
+        val kind = Seq("image", "audio", "video")(java.lang.Math.floorMod(id, 3L).toInt)
         val bytes =
           if (kind == "image") syntheticBmp(id)
           else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -115,12 +115,15 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, candidates: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, sampleSize: Int = 2048,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      precomputedCentroids: Option[Array[Array[Float]]] = None): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
 
-    // 1. learn centroids from a deterministic sample
-    val centroids = learnCentroids(candidates, nlist, sampleSize, idCol, vecCol)
+    // 1. learn centroids from a deterministic sample (or reuse the caller's —
+    // learnCentroids is deterministic, so a cached copy is the same values)
+    val centroids = precomputedCentroids.getOrElse(
+      learnCentroids(candidates, nlist, sampleSize, idCol, vecCol))
     val centroidDf = broadcast(centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid"))
 

@@ -46,13 +46,15 @@ object VectorIndex {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       userId: UserId = UserId("graft"),
-      message: String = "build ivf index"): (TableVersion, TableChanges) = {
+      message: String = "build ivf index",
+      precomputedCentroids: Option[Array[Array[Float]]] = None): (TableVersion, TableChanges) = {
     require(table.partitionSchema == indexSchema,
       s"IVF index tables must be partitioned by '$CellCol', got ${table.partitionSchema}")
     val spark = vectors.sparkSession
     import spark.implicits._
 
-    val centroids = Similarity.learnCentroids(vectors, nlist, sampleSize, idCol, vecCol)
+    val centroids = precomputedCentroids.getOrElse(
+      Similarity.learnCentroids(vectors, nlist, sampleSize, idCol, vecCol))
     val centroidDf = centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF(CellCol, "centroid")
 

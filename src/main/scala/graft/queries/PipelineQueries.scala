@@ -59,10 +59,20 @@ object PipelineQueries {
    * literals, turning the whole IVF path (assignment, probing, ranking) into
    * an exact SQL replay, the same trick as the q_ann_lsh weight table.
    */
+  private val ivfCentroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Array[Array[Float]]]()
   private val ivfCentroidReg = new java.util.concurrent.atomic.AtomicReference[Array[Array[Float]]]()
 
-  private def registerIvfCentroids(s: SparkSession, d: String): Unit =
-    ivfCentroidReg.set(Similarity.learnCentroids(Tables.embeddings(s, d), nlist = 16))
+  /** Learn (once per dataset) and register the centroids of the most recent
+    * IVF run for the oracle dump. Cached per (session, sfDir) like every
+    * other per-dataset fixture; the register slot tracks the LAST run, which
+    * is the run Verify is dumping oracles for (one sfDir per Verify run). */
+  private def ivfCentroids(s: SparkSession, d: String): Array[Array[Float]] = {
+    val c = ivfCentroidCache.computeIfAbsent((s, d), _ =>
+      Similarity.learnCentroids(Tables.embeddings(s, d), nlist = 16))
+    ivfCentroidReg.set(c)
+    c
+  }
 
   /** One versioned IVF index per (session, sfDir), built on first use. */
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
@@ -79,7 +89,8 @@ object PipelineQueries {
         root.resolve("ivf").toUri, graft.operators.VectorIndex.indexSchema, FileFormat.Parquet)
       engine.initTable(table, UserId("driver"), "init")
       graft.operators.VectorIndex.buildIvf(engine, table, graft.Tables.embeddings(s, d),
-        nlist = 16, userId = UserId("driver"))
+        nlist = 16, userId = UserId("driver"),
+        precomputedCentroids = Some(ivfCentroids(s, d)))
       (engine, table)
     })
 
@@ -195,8 +206,8 @@ object PipelineQueries {
 
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      registerIvfCentroids(s, d)
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 16), emb, k = 10, nlist = 16, nprobe = 4)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 16), emb, k = 10, nlist = 16, nprobe = 4,
+        precomputedCentroids = Some(ivfCentroids(s, d)))
     }),
 
     "q_dedup_embedding" -> ((s, d) =>
@@ -212,7 +223,7 @@ object PipelineQueries {
     // oracle recomputes); version semantics pinned in VectorIndexSpec. ---
     "q_ann_ivf_index" -> ((s, d) => {
       val (engine, table) = ivfFixture(s, d)
-      registerIvfCentroids(s, d)
+      ivfCentroids(s, d) // register for the oracle dump (cached, no recompute)
       val queries = Tables.embeddings(s, d).filter(col("vec_id") < 16)
       graft.operators.VectorIndex.queryIvf(engine, table, queries, k = 10, nprobe = 4)
     }),

@@ -64,7 +64,10 @@ final class FileBackedVersionTracker(
   override def initTable(
       table: TableName, isSnapshot: Boolean, userId: UserId, message: String, timestamp: Instant): Unit = {
     val dir = tableDir(table)
-    if (chroniclesDirExists(table))
+    // refuse only when the table exists SOLELY in chronicles layout — once a
+    // graft layout exists (e.g. after migration), graft layout wins
+    // resolution and initTable keeps its idempotent-ensure semantics
+    if (chroniclesDirExists(table) && !fs.exists(new Path(dir, MetadataFile)))
       throw new UnsupportedOperationException(
         s"Table $table exists in reference (chronicles) layout, which graft reads but does not write; " +
           "run migrateChroniclesTables() to convert it")
@@ -162,8 +165,15 @@ final class FileBackedVersionTracker(
         }
       }
     val updates = checkpoint match {
-      case Some((covered, folded)) =>
-        folded ++ commitFiles.filterNot(p => covered(p.getName)).map(parseCommitFile)
+      case Some((coveredNames, folded)) =>
+        // merge checkpointed and tail commits back into NAME order — the
+        // same order a full scan folds in — so a clock-skewed commit whose
+        // name sorts below the checkpoint boundary lands in the same
+        // position either way, not appended at the end
+        val coveredSet = coveredNames.toSet
+        val tail = commitFiles.filterNot(p => coveredSet(p.getName))
+          .map(p => p.getName -> parseCommitFile(p))
+        (coveredNames.zip(folded) ++ tail).sortBy(_._1).map(_._2)
       case None =>
         commitFiles.map(parseCommitFile)
     }
@@ -204,18 +214,35 @@ final class FileBackedVersionTracker(
       if (!chroniclesDirExists(table) || fs.exists(graftMetadata)) None
       else {
         val src = new Path(root, ChroniclesDirPrefix + table.fullyQualifiedName)
-        val st = chroniclesTableState(src)
-        val isSnapshot = isSnapshotTable(table)
         val dir = tableDir(table)
         tableLock(dir).synchronized {
           fs.mkdirs(dir)
           withProcessLock(dir) {
-            write(new Path(dir, MetadataFile), JsonCodecs.metadataToJson(isSnapshot))
-            st.updates.foreach(writeCommit(dir, _)) // monotonic names preserve order
-            writeAtomic(new Path(dir, HeadFile), st.currentVersion.id)
+            // re-check under the lock: a concurrent migrate that won the race
+            // has already written the (completion-marking) metadata file, and
+            // writing again would duplicate the entire commit history
+            if (fs.exists(graftMetadata)) None
+            else {
+              // no metadata => no complete graft table exists here; any files
+              // present are debris of a crashed earlier migration — drop them
+              // so the re-run can't duplicate history
+              fs.listStatus(dir).map(_.getPath)
+                .filter(p => p.getName.startsWith(CommitFilePrefix) ||
+                  p.getName.startsWith(CheckpointFilePrefix) || p.getName == HeadFile)
+                .foreach(fs.delete(_, false))
+              val st = chroniclesTableState(src)
+              val isSnapshot = isSnapshotTable(table)
+              st.updates.foreach(writeCommit(dir, _)) // monotonic names preserve order
+              writeAtomic(new Path(dir, HeadFile), st.currentVersion.id)
+              // metadata file LAST: it is what flips layout resolution to the
+              // graft dir, so a crash mid-migration leaves the (complete)
+              // chronicles layout visible and a retry re-runs cleanly instead
+              // of resolving to a half-written graft dir with no head
+              write(graftMetadata, JsonCodecs.metadataToJson(isSnapshot))
+              Some(table)
+            }
           }
         }
-        Some(table)
       }
     }
 
@@ -359,13 +386,38 @@ final class FileBackedVersionTracker(
           try Some(System.currentTimeMillis() - fs.getFileStatus(lockPath).getModificationTime)
           catch { case _: java.io.FileNotFoundException => None }
         if (ageMs.exists(_ > LockTtlMs)) {
-          try releaseProcessLock(lockPath) catch { case _: Exception => () }
+          // break the stale lock by RENAMING it to a unique name and deleting
+          // that: rename is atomic, so of N waiters that all saw the lock as
+          // stale exactly one wins — a plain delete here would let a second
+          // waiter delete the lock the first just re-acquired, putting two
+          // writers inside the critical section
+          breakStaleLock(lockPath)
         } else if (System.nanoTime() > deadline) {
           throw new java.io.IOException(
             s"Timed out after ${LockTimeoutMs}ms acquiring commit lock $lockPath " +
               s"(another writer holds it; stale locks are broken after ${LockTtlMs}ms)")
         } else Thread.sleep(20)
       }
+    }
+  }
+
+  private def breakStaleLock(lockPath: Path): Unit = {
+    val broken = new Path(lockPath.getParent,
+      s".${lockPath.getName}.broken-${java.util.UUID.randomUUID()}")
+    try {
+      if (isLocalFs)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(lockPath.toUri.getPath),
+          java.nio.file.Paths.get(broken.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else if (!fs.rename(lockPath, broken)) return // another waiter won the break
+      if (isLocalFs) java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(broken.toUri.getPath))
+      else fs.delete(broken, false)
+      ()
+    } catch {
+      case _: java.nio.file.NoSuchFileException => () // another waiter won the break
+      case _: java.io.FileNotFoundException     => ()
+      case _: java.io.IOException               => ()
     }
   }
 

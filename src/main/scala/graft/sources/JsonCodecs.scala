@@ -59,10 +59,12 @@ object JsonCodecs {
    * O(#commits) — the difference between milliseconds and minutes for a
    * streaming sink that has made 100k micro-batch commits).
    *
-   * `covered` lists the commit FILE NAMES folded into `updates`, as a set
-   * rather than a high-water mark, so a cross-process commit whose
-   * clock-derived name sorts below the checkpoint boundary is still picked up
-   * by the tail scan (names not in the set) instead of silently dropped.
+   * `covered` lists the commit FILE NAMES folded into `updates` (parallel
+   * arrays, file order) rather than a high-water mark, so a cross-process
+   * commit whose clock-derived name sorts below the checkpoint boundary is
+   * still picked up by the tail scan (names not in the set) — and the reader
+   * merges tail and checkpoint back into name order, folding it exactly
+   * where a full scan would.
    */
   def checkpointToJson(covered: List[String], updates: List[TableUpdate]): String = {
     val root = mapper.createObjectNode()
@@ -74,7 +76,12 @@ object JsonCodecs {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
-  def checkpointFromJson(json: String): Either[String, (Set[String], List[TableUpdate])] =
+  /** Returns (covered commit-file names, folded updates) as PARALLEL lists in
+    * file(-name) order — the reader re-sorts checkpointed and tail commits
+    * together by name, so a clock-skewed cross-process commit whose name
+    * sorts below the checkpoint boundary still folds in the same position a
+    * full scan would put it. */
+  def checkpointFromJson(json: String): Either[String, (List[String], List[TableUpdate])] =
     try {
       val root = mapper.readTree(json)
       for {
@@ -86,8 +93,11 @@ object JsonCodecs {
           .toRight("missing 'covered' array")
         upsNode <- Option(root.get("updates")).collect { case a: ArrayNode => a }
           .toRight("missing 'updates' array")
+        covered = covNode.elements().asScala.map(_.asText).toList
         updates <- sequence(upsNode.elements().asScala.toList.map(fromNode))
-      } yield (covNode.elements().asScala.map(_.asText).toSet, updates)
+        _ <- if (covered.length == updates.length) Right(())
+             else Left(s"checkpoint covered/updates length mismatch: ${covered.length} vs ${updates.length}")
+      } yield (covered, updates)
     } catch {
       case e: Exception => Left(s"Invalid checkpoint JSON: ${e.getMessage}")
     }

@@ -172,6 +172,45 @@ class StateCheckpointSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "fold a tail commit whose name sorts BELOW the checkpoint boundary in name order" in {
+    // simulates cross-process clock skew: a commit file lands (atomically)
+    // with a name lexicographically below names the checkpoint already
+    // covers. The fold order must equal the full-scan order — the skewed
+    // commit applies FIRST, so later covered commits win the partition.
+    val root = Files.createTempDirectory("graft-ckpt-skew-")
+    val tracker = new FileBackedVersionTracker(root.toUri, checkpointInterval = 4)
+    val t = TableName("db", "t")
+    tracker.initTable(t, isSnapshot = false, UserId("u"), "init", Instant.now())
+    val winner = Version.generate()
+    (1 to 5).foreach { i =>
+      val v = if (i == 5) winner else Version.generate()
+      tracker.commit(t, TableUpdate(UserId("u"), s"c$i", Instant.now(),
+        List(TableOperation.AddPartitionVersion(Partition("day", "contested"), v))))
+    }
+    val dir = root.resolve("_graft_table_db.t")
+    Files.list(dir).filter(_.getFileName.toString.startsWith("state_checkpoint_"))
+      .count() shouldBe 1
+
+    // the skewed writer: name sorts before every real commit file
+    val loser = Version.generate()
+    val skewed = TableUpdate(TableUpdateMetadata(CommitId("skewed"), UserId("w2"), "skewed",
+      Instant.now()), List(TableOperation.AddPartitionVersion(Partition("day", "contested"), loser)))
+    Files.write(dir.resolve("table_update_00000101-000000.000000000.json"),
+      JsonCodecs.toJson(skewed).getBytes(StandardCharsets.UTF_8))
+
+    val withCheckpoint = new FileBackedVersionTracker(root.toUri).tableState(t)
+    // full scan (checkpoint removed) is the ground truth
+    Files.list(dir).filter(_.getFileName.toString.startsWith("state_checkpoint_"))
+      .forEach(p => { Files.delete(p); Files.deleteIfExists(dir.resolve("." + p.getFileName + ".crc")); () })
+    val fullScan = new FileBackedVersionTracker(root.toUri).tableState(t)
+
+    withCheckpoint.updates.map(_.metadata.id) shouldBe fullScan.updates.map(_.metadata.id)
+    withCheckpoint.updates.head.metadata.message shouldBe "skewed"
+    // the last real commit still owns the contested partition
+    new FileBackedVersionTracker(root.toUri).currentVersion(t) shouldBe
+      PartitionedTableVersion(Map(Partition("day", "contested") -> winner))
+  }
+
   it should "keep a corrupt checkpoint from bricking the store (falls back to commit files)" in {
     val root = Files.createTempDirectory("graft-ckpt-corrupt-")
     val tracker = new FileBackedVersionTracker(root.toUri, checkpointInterval = 4)

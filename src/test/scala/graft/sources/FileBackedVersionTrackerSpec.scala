@@ -202,7 +202,7 @@ class JsonCodecsSpec extends AnyFlatSpec with Matchers {
         List(TableOperation.AddPartitionVersion(Partition("date", "2020-01-01"), Version.generate()))))
     val covered = List("table_update_a.json", "table_update_b.json")
     JsonCodecs.checkpointFromJson(JsonCodecs.checkpointToJson(covered, updates)) shouldBe
-      Right((covered.toSet, updates))
+      Right((covered, updates))
   }
 
   it should "refuse commit files from a future format version" in {

@@ -67,4 +67,22 @@ class MultiProcessCommitSpec extends AnyFlatSpec with Matchers {
     // no lock file left behind
     Files.exists(root.resolve("_graft_table_mp.t").resolve("commit.lock")) shouldBe false
   }
+
+  it should "break a stale lock left by a crashed writer instead of timing out" in {
+    val root = Files.createTempDirectory("graft-stale-")
+    val tracker = new FileBackedVersionTracker(root.toUri)
+    val t = TableName("stale", "t")
+    tracker.initTable(t, isSnapshot = false, UserId("u"), "init", Instant.now())
+
+    // simulate a crashed writer: a lock file whose mtime is far past the TTL
+    val lock = root.resolve("_graft_table_stale.t").resolve("commit.lock")
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10 * 60 * 1000))
+
+    tracker.commit(t, TableUpdate(UserId("u"), "after-crash", Instant.now(),
+      List(TableOperation.AddPartitionVersion(Partition("day", "d1"), Version.generate()))))
+    tracker.updates(t).map(_.message).head shouldBe "after-crash"
+    Files.exists(lock) shouldBe false
+  }
 }
