@@ -24,6 +24,10 @@ import java.time.Instant
  *   graft-cli --store <uri> vacuum <schema.table> <location> [--keep-last N] [--apply]
  *   graft-cli --store <uri> migrate
  * }}}
+ * `--store` may be omitted when `GRAFT_STORE` is set or a config file exists
+ * (`--config <path>`, default `~/.graft/config`): a simple `key: value` file
+ * with `store:`/`user:` bindings, also accepting the reference's
+ * `type: db-config` shape (ChroniclesCli.scala:21,52-81; docs/usage.md:60-76).
  *
  * All commands are metadata-only (no Spark, no data movement), matching the
  * reference CLI which operates purely on the version store — except `vacuum
@@ -41,11 +45,19 @@ object GraftCli {
   /** Testable entry: returns exit code, writes to `out`. */
   def run(argv: List[String], out: java.io.PrintWriter): Int = {
     val (flags, positional) = parseFlags(argv)
-    val store = flags.get("store").orElse(sys.env.get("GRAFT_STORE")) match {
+    // store resolution precedence: --store flag > GRAFT_STORE env > config
+    // file (--config <path>, default ~/.graft/config — the reference reads
+    // ~/.chronicles/config the same way, ChroniclesCli.scala:21,52-81)
+    val config = loadConfig(flags.get("config")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(sys.props.getOrElse("user.home", "."), ".graft", "config")))
+    val store = flags.get("store").orElse(sys.env.get("GRAFT_STORE"))
+      .orElse(storeFromConfig(config)) match {
       case Some(s) => s
-      case None => out.println("error: --store <uri> (or GRAFT_STORE) is required"); return 2
+      case None => out.println("error: --store <uri> (or GRAFT_STORE, or a 'store'/db config in ~/.graft/config) is required"); return 2
     }
-    val user = UserId(flags.getOrElse("user", sys.props.getOrElse("user.name", "unknown")))
+    val user = UserId(flags.get("user").orElse(config.get("user"))
+      .orElse(sys.props.get("user.name")).getOrElse("unknown"))
     val message = flags.getOrElse("message", "")
     // store scheme selects the backend: jdbc:... -> relational commit log,
     // anything else -> file-backed JSON log on a Hadoop FileSystem
@@ -191,6 +203,66 @@ object GraftCli {
         out.println(s"error: ${e.getMessage}"); 1
     }
   }
+
+  /**
+   * Read a config file in the simple `key: value` subset of HOCON the
+   * reference documents for `~/.chronicles/config` (docs/usage.md:60-76):
+   * one binding per line, optional quotes, `#`/`//` comments. Missing file
+   * ⇒ empty config (flags/env still work).
+   */
+  private[cli] def loadConfig(path: java.nio.file.Path): Map[String, String] =
+    if (!java.nio.file.Files.isReadable(path)) Map.empty
+    else
+      java.nio.file.Files.readAllLines(path).toArray(Array.empty[String]).toList
+        .map(stripComment)
+        .map(_.trim)
+        .filter(_.nonEmpty)
+        .flatMap { line =>
+          val idx = line.indexWhere(c => c == ':' || c == '=')
+          if (idx <= 0) None
+          else Some(line.take(idx).trim -> unquote(line.drop(idx + 1).trim))
+        }
+        .toMap
+
+  private def stripComment(line: String): String = {
+    // drop text after an unquoted # or //
+    var inQuote = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (c == '"') inQuote = !inQuote
+      else if (!inQuote && (c == '#' || (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/')))
+        return line.take(i)
+      i += 1
+    }
+    line
+  }
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\"")) s.substring(1, s.length - 1) else s
+
+  /**
+   * Resolve a store URI from config. Two shapes:
+   *  - graft-native: `store: <uri>` (file path/URI or jdbc: URL)
+   *  - the reference's `type: db-config` shape (db-type/hostname/port/db-name/
+   *    username/password — docs/usage.md:64-76), assembled into a JDBC URL.
+   */
+  private[cli] def storeFromConfig(config: Map[String, String]): Option[String] =
+    config.get("store").orElse {
+      if (!config.get("type").contains("db-config")) None
+      else for {
+        dbType <- config.get("db-type")
+        host <- config.get("hostname")
+        dbName <- config.get("db-name")
+      } yield {
+        val port = config.get("port").map(p => s":$p").getOrElse("")
+        val creds = List(
+          config.get("username").filter(_.nonEmpty).map(u => s"user=$u"),
+          config.get("password").filter(_.nonEmpty).map(p => s"password=$p")).flatten
+        val query = if (creds.isEmpty) "" else creds.mkString("?", "&", "")
+        s"jdbc:$dbType://$host$port/$dbName$query"
+      }
+    }
 
   /** Split `--flag value` / `--flag` pairs from positional args. */
   private def parseFlags(argv: List[String]): (Map[String, String], List[String]) = {

@@ -118,10 +118,68 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     cli("checkout", "sales.hist", "bogus")._1 shouldBe 1
     cli("partition", "add", "sales.hist", "not a partition")._1 shouldBe 2
     cli("frobnicate")._1 shouldBe 2
-    GraftCli.run(List("tables"), new PrintWriter(new StringWriter, true)) shouldBe 2
+    GraftCli.run(List("--config", "/nonexistent/config", "tables"),
+      new PrintWriter(new StringWriter, true)) shouldBe 2
     // vacuum argument errors follow the same convention (no stack traces)
     cli("vacuum", "sales.hist", "/tmp/x", "--keep-last", "abc")._1 shouldBe 2
     cli("vacuum", "sales.hist", "/tmp/x", "--keep-last", "0")._1 shouldBe 2
     cli("vacuum", "sales.hist", "ht tp://bad uri")._1 shouldBe 2
+  }
+
+  it should "pick up the store from a config file, with flags taking precedence" in {
+    val confStore = Files.createTempDirectory("graft-cli-conf-").toUri.toString
+    val conf = Files.createTempFile("graft-config-", "")
+    Files.writeString(conf,
+      s"""# graft CLI config (simple key: value subset of HOCON)
+         |store: "$confStore"  // the version store
+         |user: "configured-user"
+         |""".stripMargin)
+
+    def confCli(args: String*): (Int, String) = {
+      val sw = new StringWriter()
+      val code = GraftCli.run(List("--config", conf.toString) ++ args.toList, new PrintWriter(sw, true))
+      (code, sw.toString)
+    }
+
+    confCli("init", "conf.t")._1 shouldBe 0
+    confCli("tables")._2.trim shouldBe "conf.t"
+    // the configured user is recorded on commits
+    confCli("log", "conf.t")._2 should include("configured-user")
+    // an explicit --store beats the config file
+    val sw = new StringWriter()
+    GraftCli.run(List("--config", conf.toString, "--store", store, "tables"),
+      new PrintWriter(sw, true)) shouldBe 0
+    sw.toString should not include "conf.t"
+  }
+
+  it should "assemble a JDBC URL from the reference's db-config shape" in {
+    GraftCli.storeFromConfig(Map(
+      "type" -> "db-config", "db-type" -> "postgresql", "hostname" -> "db.example.com",
+      "port" -> "5432", "db-name" -> "chronicles", "username" -> "svc", "password" -> "")) shouldBe
+      Some("jdbc:postgresql://db.example.com:5432/chronicles?user=svc")
+    GraftCli.storeFromConfig(Map(
+      "type" -> "db-config", "db-type" -> "h2", "hostname" -> "localhost", "db-name" -> "v")) shouldBe
+      Some("jdbc:h2://localhost/v")
+    GraftCli.storeFromConfig(Map("store" -> "file:///tmp/s")) shouldBe Some("file:///tmp/s")
+    GraftCli.storeFromConfig(Map.empty) shouldBe None
+  }
+
+  it should "parse the documented config syntax (comments, quotes, colons and equals)" in {
+    val conf = Files.createTempFile("graft-config-syntax-", "")
+    Files.writeString(conf,
+      """|# full-line comment
+         |store = "file:///tmp/store"   # trailing comment
+         |db-type: postgresql
+         |empty:
+         |  indented: "ok"  // other comment style
+         |broken line without separator
+         |quoted-hash: "a#b"
+         |""".stripMargin)
+    val parsed = GraftCli.loadConfig(conf)
+    parsed("store") shouldBe "file:///tmp/store"
+    parsed("db-type") shouldBe "postgresql"
+    parsed("indented") shouldBe "ok"
+    parsed("quoted-hash") shouldBe "a#b"
+    parsed.get("broken line without separator") shouldBe None
   }
 }
