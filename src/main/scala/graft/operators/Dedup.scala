@@ -300,6 +300,40 @@ object Dedup {
     docs.join(losers, docs(idCol) === col("__loser_id"), "left_anti")
   }
 
+  // --- fuzzy (edit-distance) matching ---
+
+  /**
+   * Edit-distance join: all (left, right) pairs with
+   * `levenshtein(leftCol, rightCol) <= maxDistance` — the standard
+   * entity-resolution / fuzzy-match shape. Length-banded so it is a shuffle
+   * EQUI-join, not a cross join: `levenshtein <= k` implies
+   * `|len(a) - len(b)| <= k`, so the right side is exploded to the 2k+1
+   * length buckets a match could inhabit and joined on the left's exact
+   * length — each qualifying pair meets exactly once, recall is exact, and
+   * the quadratic work is confined to same-length-band bucket pairs.
+   * The distance itself uses Spark's thresholded levenshtein (banded DP,
+   * O(k·n) per pair instead of O(n²)).
+   * Output: (left_id, left_str, right_id, right_str, distance).
+   */
+  def editDistanceJoin(
+      left: DataFrame, right: DataFrame,
+      leftId: String, leftCol: String,
+      rightId: String, rightCol: String,
+      maxDistance: Int): DataFrame = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0, was $maxDistance")
+    val l = left.select(col(leftId).as("left_id"), col(leftCol).as("left_str"))
+      .withColumn("__band", length(col("left_str")))
+    val r = right.select(col(rightId).as("right_id"), col(rightCol).as("right_str"))
+      .withColumn("__band", explode(sequence(
+        length(col("right_str")) - maxDistance,
+        length(col("right_str")) + maxDistance)))
+    l.join(r, "__band")
+      .withColumn("distance",
+        levenshtein(col("left_str"), col("right_str"), maxDistance))
+      .filter(col("distance") >= 0) // thresholded levenshtein returns -1 above the bound
+      .select("left_id", "left_str", "right_id", "right_str", "distance")
+  }
+
   // --- exact n-gram Jaccard (quadratic ground truth) ---
 
   /** All pairs with word-set Jaccard >= `threshold`. Quadratic in the block —

@@ -186,6 +186,20 @@ object PipelineQueries {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 3)),
 
+    // fuzzy entity matching: every part name with one deterministic character
+    // removed is matched back against the catalog at edit distance <= 1 via
+    // the length-banded equi-join (never a cross join)
+    "q_fuzzy_join" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val corrupted = part.selectExpr(
+        "p_partkey AS c_id",
+        "concat(substring(p_name, 1, pmod(p_partkey, length(p_name))), " +
+          "substring(p_name, pmod(p_partkey, length(p_name)) + 2)) AS c_name")
+      Dedup.editDistanceJoin(corrupted, part, "c_id", "c_name", "p_partkey", "p_name", maxDistance = 1)
+        .withColumnRenamed("left_id", "c_id").withColumnRenamed("left_str", "c_name")
+        .withColumnRenamed("right_id", "match_id").withColumnRenamed("right_str", "match_name")
+    }),
+
     // --- similarity search ---
     "q_ann_cosine" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -561,6 +575,21 @@ object PipelineQueries {
          |losers AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) <> a)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+
+    // classic Levenshtein is identically defined in both engines and the
+    // distances are integers — hash-exact. The oracle's |len diff| <= 1
+    // predicate is the same lossless band the Spark side joins on.
+    "q_fuzzy_join" ->
+      """WITH corrupted AS (
+        |  SELECT p_partkey AS c_id,
+        |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+        |      || substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2) AS c_name
+        |  FROM part)
+        |SELECT c.c_id, c.c_name, p.p_partkey AS match_id, p.p_name AS match_name,
+        |  levenshtein(c.c_name, p.p_name) AS distance
+        |FROM corrupted c JOIN part p
+        |  ON abs(length(c.c_name) - length(p.p_name)) <= 1
+        | AND levenshtein(c.c_name, p.p_name) <= 1""".stripMargin,
 
     // string shingles here vs 64-bit hashed shingles in Spark: distinct and
     // intersection COUNTS agree up to negligible collision odds, and the

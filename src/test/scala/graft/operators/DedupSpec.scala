@@ -230,6 +230,34 @@ class DedupSpec extends AnyFlatSpec with Matchers {
     mismatches shouldBe 0
   }
 
+  "editDistanceJoin" should "equal the naive cross-join fuzzy match with exact distances" in {
+    import org.apache.spark.sql.functions.{col, levenshtein}
+    val left = Seq((1L, "kitten"), (2L, "flaw"), (3L, "stretch")).toDF("id", "s")
+    val right = Seq((10L, "sitten"), (11L, "mitten"), (12L, "law"),
+      (13L, "flaws"), (14L, "stretches"), (15L, "kitten")).toDF("id", "s")
+
+    val got = Dedup.editDistanceJoin(left, right, "id", "s", "id", "s", maxDistance = 1)
+      .select("left_id", "right_id", "distance").as[(Long, Long, Int)].collect().toSet
+    // ground truth: unbanded cross join + plain levenshtein
+    val expected = left.as("l").crossJoin(right.as("r"))
+      .withColumn("d", levenshtein(col("l.s"), col("r.s")))
+      .filter(col("d") <= 1)
+      .select(col("l.id"), col("r.id"), col("d")).as[(Long, Long, Int)].collect().toSet
+    got shouldBe expected
+    expected should contain allOf ((1L, 10L, 1), (1L, 11L, 1), (1L, 15L, 0),
+      (2L, 12L, 1), (2L, 13L, 1))
+    // distance 2 ("stretch" -> "stretches") is beyond k=1 and excluded
+    expected.map(p => (p._1, p._2)) should not contain ((3L, 14L))
+  }
+
+  it should "keep each qualifying pair exactly once" in {
+    val left = Seq((1L, "abc")).toDF("id", "s")
+    val right = Seq((2L, "abc"), (3L, "ab"), (4L, "abcd")).toDF("id", "s")
+    val rows = Dedup.editDistanceJoin(left, right, "id", "s", "id", "s", maxDistance = 2)
+      .select("right_id").as[Long].collect().toList
+    rows.sorted shouldBe List(2L, 3L, 4L) // no duplicate meetings from the band explode
+  }
+
   "ngramJaccardPairs" should "compute exact word-set jaccard" in {
     val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
       .as[(Long, Long, Double)].collect().map { case (a, b, j) => ((a, b), j) }.toMap
