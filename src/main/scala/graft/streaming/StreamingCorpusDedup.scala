@@ -1,0 +1,150 @@
+package graft.streaming
+
+import graft.core._
+import graft.operators.{Dedup, VersionedTables}
+import graft.operators.VersionedTables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/**
+ * Incremental corpus deduplication for a DOCUMENT STREAM: every micro-batch
+ * is near-dup-filtered against everything accepted so far, the survivors are
+ * committed to a versioned docs table, and their MinHash band signatures are
+ * appended to a versioned index table — so the dedup state itself is
+ * versioned, time-travelable, and rebuildable, and no stage is ever
+ * corpus-quadratic. This is the streaming face of the batch LSH pipeline
+ * (`Dedup.minhashNearDupPairs` → `dupClusters` → `keepCanonical`).
+ *
+ * Scale shape per batch: candidate generation is an equi-join of the batch's
+ * band rows against the persisted index on (band, band_hash) — O(batch ×
+ * collisions), never O(corpus²); verification is the exact merge-walk
+ * Jaccard on the colliding pairs only. Both tables are partitioned by
+ * `batch`, so each commit appends one partition (no overwrite of history)
+ * and incremental consumers (`readChangesAt`) see exactly the newly accepted
+ * docs per commit.
+ */
+object StreamingCorpusDedup {
+
+  /** Partition column both sink tables must use: one partition per
+    * micro-batch = append semantics under `versionedInsertInto` (which
+    * overwrites partitions PRESENT in its input). */
+  val BatchCol = "batch"
+
+  /**
+   * MinHash band signature rows for a set of documents:
+   * `(id, hs, band, band_hash)` — `hs` is the sorted 64-bit shingle-hash set
+   * (carried for the exact verification stage), `(band, band_hash)` the LSH
+   * bucket key. Same kernels, parameters and therefore the same collisions
+   * as the batch `minhashNearDupPairs` path.
+   */
+  def bandedSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleSize: Int = 3): DataFrame = {
+    val hs = docs.select(col(idCol).as("id"),
+      Dedup.shingleHashes(col(textCol), shingleSize).as("hs"))
+      .localCheckpoint() // barrier: keep the fused shingle pass a single evaluation
+    hs.select(col("id"), col("hs"),
+      graft.functions.VectorExpressions.minHashes(col("hs"), bands * rowsPerBand).as("mh"))
+      .select(col("id"), col("hs"), posexplode(
+        array((0 until bands).map { b =>
+          xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
+            element_at(col("mh"), b * rowsPerBand + r + 1)): _*)
+        }: _*)).as(Seq("band", "band_hash")))
+  }
+
+  /**
+   * The subset of `newDocs` that is novel: no near-dup (shingle Jaccard >=
+   * `threshold`) in `index` (band-signature rows from [[bandedSignatures]]),
+   * and deduped WITHIN the batch (min-id canonical survives). Pass an empty
+   * or zero-column `index` on cold start.
+   */
+  def filterNovel(
+      newDocs: DataFrame,
+      index: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.8,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleSize: Int = 3): DataFrame = {
+    val sigs = bandedSignatures(newDocs, idCol, textCol, bands, rowsPerBand, shingleSize)
+      .localCheckpoint() // reused: candidate join + verification fetch
+    val crossBatchNovel =
+      if (index.columns.isEmpty || index.isEmpty) newDocs
+      else {
+        // candidates: bucket collisions between the batch and the corpus,
+        // then exact merge-walk verification on the colliding pairs only
+        val candidates = sigs.as("n")
+          .join(index.as("c"),
+            col("n.band") === col("c.band") && col("n.band_hash") === col("c.band_hash"))
+          .select(col("n.id").as("new_id"), col("n.hs").as("new_hs"), col("c.hs").as("corpus_hs"))
+          .distinct()
+        val dupIds = candidates
+          .withColumn("inter",
+            graft.functions.VectorExpressions.sortedIntersectSize(col("new_hs"), col("corpus_hs"))
+              .cast("double"))
+          .filter(col("inter") / (size(col("new_hs")) + size(col("corpus_hs")) - col("inter")) >= threshold)
+          .select(col("new_id"))
+          .distinct()
+        newDocs.join(dupIds, newDocs(idCol) === col("new_id"), "left_anti")
+      }
+    // in-batch dedup: the batch may contain near-dup pairs among itself
+    val inBatchPairs = Dedup.minhashNearDupPairs(
+      crossBatchNovel, idCol, textCol, threshold, bands, rowsPerBand, shingleSize)
+    Dedup.keepCanonical(crossBatchNovel, inBatchPairs, idCol)
+  }
+
+  /**
+   * Streaming sink: per micro-batch, accept the novel documents into
+   * `docsTable` and their band signatures into `indexTable` (both
+   * partitioned by [[BatchCol]]; one commit each per non-empty batch). The
+   * accepted corpus and its dedup index version together — time-travel the
+   * docs table and the matching index state is the same commit index away.
+   */
+  def writeDeduped(
+      stream: DataFrame,
+      engine: VersionedTables,
+      docsTable: TableDefinition,
+      indexTable: TableDefinition,
+      userId: UserId,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.8,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(docsTable.partitionSchema == PartitionSchema(BatchCol),
+      s"docsTable must be partitioned by '$BatchCol', got ${docsTable.partitionSchema}")
+    require(indexTable.partitionSchema == PartitionSchema(BatchCol),
+      s"indexTable must be partitioned by '$BatchCol', got ${indexTable.partitionSchema}")
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            val index = engine.read(indexTable)
+            val novel = filterNovel(batch, index, idCol, textCol, threshold, bands, rowsPerBand)
+              .localCheckpoint() // evaluated twice (docs write + signature build)
+            if (!novel.isEmpty) {
+              novel.withColumn(BatchCol, lit(batchId.toString))
+                .versionedInsertInto(engine, docsTable, userId, s"accept stream batch $batchId")
+              bandedSignatures(novel, idCol, textCol, bands, rowsPerBand)
+                .withColumn(BatchCol, lit(batchId.toString))
+                .versionedInsertInto(engine, indexTable, userId, s"index stream batch $batchId")
+            }
+          }
+        } finally { batch.unpersist(); () }
+        ()
+      }
+      .start()
+  }
+}

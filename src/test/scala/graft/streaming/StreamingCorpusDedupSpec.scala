@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.core._
+import graft.operators.VersionedTables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.file.Files
+
+case class StreamDoc(doc_id: Long, text: String, source: String)
+
+class StreamingCorpusDedupSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** A ~40-word text; variants share all but the tail so 3-gram shingle
+    * Jaccard stays >= 0.9 (well above the 0.8 threshold). */
+  private def baseText(tag: String): String =
+    (0 until 40).map(i => s"${tag}w$i").mkString(" ")
+  private def nearDupOf(tag: String): String = baseText(tag) + " extra"
+
+  private def newEngine() = {
+    val root = Files.createTempDirectory("graft-sdedup-")
+    val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+    val docs = TableDefinition(TableName("stream", "docs"), root.resolve("docs").toUri,
+      PartitionSchema(StreamingCorpusDedup.BatchCol), FileFormat.Parquet)
+    val index = TableDefinition(TableName("stream", "docs_index"), root.resolve("index").toUri,
+      PartitionSchema(StreamingCorpusDedup.BatchCol), FileFormat.Parquet)
+    engine.initTable(docs, UserId("t"), "init")
+    engine.initTable(index, UserId("t"), "init")
+    (root, engine, docs, index)
+  }
+
+  "filterNovel" should "drop near-dups of the index, dedup within the batch, and pass novel docs" in {
+    val corpus = Seq(StreamDoc(1L, baseText("a"), "s")).toDF()
+    val index = StreamingCorpusDedup.bandedSignatures(corpus)
+    val batch = Seq(
+      StreamDoc(10L, nearDupOf("a"), "s"),   // near-dup of indexed doc 1 -> dropped
+      StreamDoc(11L, baseText("b"), "s"),    // novel -> kept
+      StreamDoc(12L, nearDupOf("b"), "s"),   // in-batch near-dup of 11 -> dropped (11 canonical)
+      StreamDoc(13L, baseText("c"), "s")     // novel -> kept
+    ).toDF()
+
+    val novel = StreamingCorpusDedup.filterNovel(batch, index)
+      .select("doc_id").as[Long].collect().toSet
+    novel shouldBe Set(11L, 13L)
+  }
+
+  it should "pass everything through on a cold start (empty index)" in {
+    val batch = Seq(StreamDoc(1L, baseText("x"), "s")).toDF()
+    val empty = spark.emptyDataFrame
+    StreamingCorpusDedup.filterNovel(batch, empty)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(1L)
+  }
+
+  "writeDeduped" should "accept only novel docs per micro-batch and version corpus + index together" in {
+    val (root, engine, docsTable, indexTable) = newEngine()
+    val source = MemoryStream[StreamDoc](spark)
+    // ProcessingTime trigger: AvailableNow would terminate after draining the
+    // first batch, and this test feeds TWO batches through one query
+    val q = StreamingCorpusDedup.writeDeduped(
+      source.toDF(), engine, docsTable, indexTable, UserId("t"),
+      root.resolve("ckpt").toString,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+
+    // batch 0: two distinct docs plus an in-batch near-dup
+    source.addData(
+      StreamDoc(1L, baseText("a"), "s"),
+      StreamDoc(2L, nearDupOf("a"), "s"), // loses to 1 in-batch
+      StreamDoc(3L, baseText("b"), "s"))
+    q.processAllAvailable()
+
+    engine.read(docsTable).select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 3L)
+
+    // batch 1: a near-dup of an ACCEPTED doc (cross-batch reject) + a novel one
+    source.addData(
+      StreamDoc(4L, nearDupOf("b"), "s"), // near-dup of 3 -> rejected via the index
+      StreamDoc(5L, baseText("c"), "s"))
+    q.processAllAvailable()
+    q.stop()
+
+    val accepted = engine.read(docsTable).select("doc_id").as[Long].collect().toSet
+    accepted shouldBe Set(1L, 3L, 5L)
+
+    // the index grew with exactly the accepted docs
+    engine.read(indexTable).select("id").distinct().as[Long].collect().toSet shouldBe Set(1L, 3L, 5L)
+
+    // corpus and index versioned together: one docs commit + one index commit
+    // per non-empty batch (plus init), and time travel sees batch-0 state
+    val docLog = engine.log(docsTable.name)
+    docLog should have size 3 // init + 2 batches
+    val afterBatch0 = docLog(1) // log is newest-first
+    engine.readAt(docsTable, afterBatch0.id)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 3L)
+
+    // restart with the same checkpoint: no reprocessing, no duplicate commits
+    val q2 = StreamingCorpusDedup.writeDeduped(
+      source.toDF(), engine, docsTable, indexTable, UserId("t"),
+      root.resolve("ckpt").toString)
+    q2.processAllAvailable(); q2.stop()
+    engine.log(docsTable.name) should have size 3
+  }
+}
