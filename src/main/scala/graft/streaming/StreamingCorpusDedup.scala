@@ -78,8 +78,12 @@ object StreamingCorpusDedup {
       if (index.columns.isEmpty || index.isEmpty) newDocs
       else {
         // candidates: bucket collisions between the batch and the corpus,
-        // then exact merge-walk verification on the colliding pairs only
-        val candidates = sigs.as("n")
+        // then exact merge-walk verification on the colliding pairs only.
+        // The BATCH side broadcasts (explicitly — a micro-batch is small by
+        // definition): the corpus-sized index streams through the join
+        // without ever shuffling, which is what keeps per-batch cost
+        // O(index scan), not O(index shuffle), at corpus scale.
+        val candidates = broadcast(sigs).as("n")
           .join(index.as("c"),
             col("n.band") === col("c.band") && col("n.band_hash") === col("c.band_hash"))
           .select(col("n.id").as("new_id"), col("n.hs").as("new_hs"), col("c.hs").as("corpus_hs"))
@@ -91,7 +95,7 @@ object StreamingCorpusDedup {
           .filter(col("inter") / (size(col("new_hs")) + size(col("corpus_hs")) - col("inter")) >= threshold)
           .select(col("new_id"))
           .distinct()
-        newDocs.join(dupIds, newDocs(idCol) === col("new_id"), "left_anti")
+        newDocs.join(broadcast(dupIds), newDocs(idCol) === col("new_id"), "left_anti")
       }
     // in-batch dedup: the batch may contain near-dup pairs among itself
     val inBatchPairs = Dedup.minhashNearDupPairs(
