@@ -52,6 +52,29 @@ object StreamingDemo {
     println("SINK_LOG=" + log.map(_.message))
     println("SINK_ROWS=" + engine.read(table).count())
     println("SINK_ROWS_BEFORE_STREAM=" + engine.readAt(table, log.last.id).count())
+
+    // streaming corpus dedup: filter a document "stream" (sf0.001 documents
+    // replayed as one batch, with planted near-dups) against a growing
+    // versioned MinHash index
+    val docsIn = tmp.resolve("docs_in").toString
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "source")
+    docs.write.parquet(docsIn)
+    val dedupDocs = TableDefinition(TableName("stream", "docs"),
+      tmp.resolve("docs").toUri, PartitionSchema(graft.streaming.StreamingCorpusDedup.BatchCol),
+      FileFormat.Parquet)
+    val dedupIndex = TableDefinition(TableName("stream", "docs_index"),
+      tmp.resolve("docs_index").toUri, PartitionSchema(graft.streaming.StreamingCorpusDedup.BatchCol),
+      FileFormat.Parquet)
+    engine.initTable(dedupDocs, UserId("demo"), "init")
+    engine.initTable(dedupIndex, UserId("demo"), "init")
+    val q3 = graft.streaming.StreamingCorpusDedup.writeDeduped(
+      spark.readStream.schema(docs.schema).parquet(docsIn),
+      engine, dedupDocs, dedupIndex, UserId("demo"), tmp.resolve("chk_dedup").toString)
+    q3.processAllAvailable(); q3.stop()
+    println("DEDUP_STREAM_IN=" + docs.count())
+    println("DEDUP_STREAM_ACCEPTED=" + engine.read(dedupDocs).count())
+    println("DEDUP_STREAM_INDEXED=" + engine.read(dedupIndex).select("id").distinct().count())
     spark.stop()
   }
 }
