@@ -314,20 +314,34 @@ object Dedup {
    * The distance itself uses Spark's thresholded levenshtein (banded DP,
    * O(k·n) per pair instead of O(n²)).
    * Output: (left_id, left_str, right_id, right_str, distance).
+   *
+   * Length alone is a LOW-CARDINALITY key (skew at corpus scale: every
+   * same-length pair meets); for large inputs pass `blockCols` — a
+   * (leftCol, rightCol) equality pair such as a category, language, or
+   * source — to bound the quadratic work per block, exactly like
+   * [[ngramJaccardPairs]]' `blockCol`. Pairs in different blocks are then
+   * (deliberately) never compared.
    */
   def editDistanceJoin(
       left: DataFrame, right: DataFrame,
       leftId: String, leftCol: String,
       rightId: String, rightCol: String,
-      maxDistance: Int): DataFrame = {
+      maxDistance: Int,
+      blockCols: Option[(String, String)] = None): DataFrame = {
     require(maxDistance >= 0, s"maxDistance must be >= 0, was $maxDistance")
-    val l = left.select(col(leftId).as("left_id"), col(leftCol).as("left_str"))
+    val l = left.select(col(leftId).as("left_id") +: col(leftCol).as("left_str") +:
+        blockCols.map(b => col(b._1).as("__lblk")).toSeq: _*)
       .withColumn("__band", length(col("left_str")))
-    val r = right.select(col(rightId).as("right_id"), col(rightCol).as("right_str"))
+    val r = right.select(col(rightId).as("right_id") +: col(rightCol).as("right_str") +:
+        blockCols.map(b => col(b._2).as("__rblk")).toSeq: _*)
       .withColumn("__band", explode(sequence(
         length(col("right_str")) - maxDistance,
         length(col("right_str")) + maxDistance)))
-    l.join(r, "__band")
+    val joined = blockCols match {
+      case None    => l.join(r, "__band")
+      case Some(_) => l.join(r, l("__band") === r("__band") && col("__lblk") === col("__rblk"))
+    }
+    joined
       .withColumn("distance",
         levenshtein(col("left_str"), col("right_str"), maxDistance))
       .filter(col("distance") >= 0) // thresholded levenshtein returns -1 above the bound

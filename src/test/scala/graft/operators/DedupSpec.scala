@@ -250,6 +250,15 @@ class DedupSpec extends AnyFlatSpec with Matchers {
     expected.map(p => (p._1, p._2)) should not contain ((3L, 14L))
   }
 
+  it should "restrict comparisons to equal blocks when blockCols is given" in {
+    val left = Seq((1L, "abc", "x"), (2L, "abc", "y")).toDF("id", "s", "blk")
+    val right = Seq((10L, "abd", "x")).toDF("id", "s", "blk")
+    val got = Dedup.editDistanceJoin(left, right, "id", "s", "id", "s",
+      maxDistance = 1, blockCols = Some(("blk", "blk")))
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    got shouldBe Set((1L, 10L)) // 2L is block "y": never compared
+  }
+
   it should "keep each qualifying pair exactly once" in {
     val left = Seq((1L, "abc")).toDF("id", "s")
     val right = Seq((2L, "abc"), (3L, "ab"), (4L, "abcd")).toDF("id", "s")
