@@ -74,7 +74,31 @@ object PipelineQueries {
     c
   }
 
-  /** One versioned IVF index per (session, sfDir), built on first use. */
+  /**
+   * Distinct (token, 64-bit hash) dictionary of the corpus, registered when
+   * q_dedup_simhash runs — same mechanism as the IVF centroids. The corpus
+   * vocabulary is tiny (31 distinct tokens), so the whole hash function
+   * RESTRICTED TO THIS CORPUS fits in a SQL VALUES literal, and DuckDB can
+   * replay the entire SimHash computation (per-occurrence bit votes, 32-bit
+   * signature, Hamming pairing) exactly. Hashes come from the same
+   * WordShingleHashes kernel the query uses, evaluated per single token.
+   */
+  private val simhashDictCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Array[(String, Long)]]()
+  private val simhashDictReg = new java.util.concurrent.atomic.AtomicReference[Array[(String, Long)]]()
+
+  private def simhashDict(s: SparkSession, d: String): Array[(String, Long)] = {
+    val dict = simhashDictCache.computeIfAbsent((s, d), _ =>
+      Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .distinct()
+        .select(col("tok"), element_at(
+          graft.functions.VectorExpressions.wordShingleHashes(col("tok"), 1, distinct = false), 1).as("h"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1))))
+    simhashDictReg.set(dict)
+    dict
+  }
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (graft.operators.VersionedTables, graft.core.TableDefinition)]()
 
@@ -183,8 +207,10 @@ object PipelineQueries {
       Dedup.keepCanonical(Tables.documents(s, d), ngramPairs(s, d))
         .select("doc_id", "lang", "source")),
 
-    "q_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 3)),
+    "q_dedup_simhash" -> ((s, d) => {
+      simhashDict(s, d) // register the corpus token-hash dictionary for the oracle
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 3)
+    }),
 
     // fuzzy entity matching: every part name with one deterministic character
     // removed is matched back against the catalog at edit distance <= 1 via
@@ -385,9 +411,43 @@ object PipelineQueries {
        |WHERE "rank" <= $k""".stripMargin
   }
 
-  /** The IVF oracles exist only once an IVF query has run in this JVM (the
-    * centroids are data-derived); Verify dumps oracle_sql.json after running
-    * every query, so the driver always sees them. */
+  /** Replay SimHash in DuckDB with the corpus token-hash dictionary embedded
+    * as literals: per-OCCURRENCE ±1 votes on each of 32 bits (bit set iff
+    * votes > 0 — the pinned kernel rule), then the full quadratic Hamming
+    * pairing (the 4-chunk blocking in Spark is recall-complete to Hamming 3
+    * by pigeonhole, so its pair set IS the all-pairs set). */
+  private def simhashOracleSql(dict: Array[(String, Long)], maxHamming: Int): String = {
+    val values = dict.sortBy(_._1).map { case (t, h) =>
+      s"('${t.replace("'", "''")}', CAST($h AS BIGINT))"
+    }.mkString(",\n      ")
+    val sums = (0 until 32).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")
+    val bits = (0 until 32).map(b =>
+      s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString("\n    + ")
+    s"""WITH dict(tok, h) AS (VALUES
+       |      $values),
+       |toks AS (
+       |  SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+       |votes AS (
+       |  SELECT t.doc_id,
+       |    $sums
+       |  FROM toks t JOIN dict ON dict.tok = t.tok
+       |  GROUP BY t.doc_id),
+       |sh AS (
+       |  SELECT doc_id,
+       |    $bits AS sh
+       |  FROM votes)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  bit_count(xor(a.sh, b.sh)) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming""".stripMargin
+  }
+
+  /** The IVF and SimHash oracles exist only once their queries have run in
+    * this JVM (both embed data-derived literals); Verify dumps
+    * oracle_sql.json after running every query, so the driver always sees
+    * them. The SimHash oracle is omitted for corpora whose vocabulary would
+    * not fit a SQL literal table (falls back to the rows-only check). */
   def oracles: Map[String, String] = {
     val ivf = Option(ivfCentroidReg.get()) match {
       case Some(cents) =>
@@ -395,7 +455,12 @@ object PipelineQueries {
         Map("q_ann_ivf" -> sql, "q_ann_ivf_index" -> sql)
       case None => Map.empty[String, String]
     }
-    staticOracles ++ ivf
+    val simhash = Option(simhashDictReg.get()) match {
+      case Some(dict) if dict.length <= 10000 =>
+        Map("q_dedup_simhash" -> simhashOracleSql(dict, maxHamming = 3))
+      case _ => Map.empty[String, String]
+    }
+    staticOracles ++ ivf ++ simhash
   }
 
   private val staticOracles: Map[String, String] = Map(

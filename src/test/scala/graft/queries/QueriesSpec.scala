@@ -12,20 +12,20 @@ class QueriesSpec extends AnyFlatSpec with Matchers {
   val sf = "/root/testdata/sf0.001"
 
   "the query surface" should "declare an oracle or be a known rows-only query" in {
-    // the irreducible rows-only set: sketches DuckDB genuinely cannot replay
-    val rowsOnly = Set(
-      "q_dedup_simhash",       // xxhash64-seeded token hashes (no DuckDB xxhash64)
-      "q_agg_approx_distinct") // HLL sketch
-    // the IVF oracles are data-derived (centroid literals) and appear only
-    // after an IVF query has run in this JVM — exactly how Verify dumps them
-    val ivf = Set("q_ann_ivf", "q_ann_ivf_index")
+    // the irreducible rows-only set: the one sketch DuckDB cannot replay
+    val rowsOnly = Set("q_agg_approx_distinct") // HLL internal state
+    // data-derived oracles (IVF centroid literals, SimHash token-hash
+    // dictionary) appear only after their query has run in this JVM —
+    // exactly how Verify dumps them
+    val dataDerived = Set("q_ann_ivf", "q_ann_ivf_index", "q_dedup_simhash")
     val declared = graft.SparkEntry.queries.keySet
     graft.SparkEntry.oracleSql.keySet.subsetOf(declared) shouldBe true
-    (declared -- graft.SparkEntry.oracleSql.keySet -- ivf) shouldBe rowsOnly
+    (declared -- graft.SparkEntry.oracleSql.keySet -- dataDerived) shouldBe rowsOnly
 
     graft.SparkEntry.queries("q_ann_ivf")(spark, sf).count() should be > 0L
+    graft.SparkEntry.queries("q_dedup_simhash")(spark, sf).count() should be > 0L
     val afterRun = graft.SparkEntry.oracleSql.keySet
-    ivf.subsetOf(afterRun) shouldBe true
+    dataDerived.subsetOf(afterRun) shouldBe true
     (declared -- afterRun) shouldBe rowsOnly
   }
 
