@@ -211,27 +211,35 @@ object GraftCli {
    * ⇒ empty config (flags/env still work).
    */
   private[cli] def loadConfig(path: java.nio.file.Path): Map[String, String] =
-    if (!java.nio.file.Files.isReadable(path)) Map.empty
+    if (!java.nio.file.Files.isRegularFile(path) || !java.nio.file.Files.isReadable(path)) Map.empty
     else
-      java.nio.file.Files.readAllLines(path).toArray(Array.empty[String]).toList
-        .map(stripComment)
-        .map(_.trim)
-        .filter(_.nonEmpty)
-        .flatMap { line =>
-          val idx = line.indexWhere(c => c == ':' || c == '=')
-          if (idx <= 0) None
-          else Some(line.take(idx).trim -> unquote(line.drop(idx + 1).trim))
-        }
-        .toMap
+      // a malformed config must not take down commands that don't need it
+      // (e.g. ones passing an explicit --store): degrade to "no config"
+      try
+        java.nio.file.Files.readAllLines(path).toArray(Array.empty[String]).toList
+          .map(stripComment)
+          .map(_.trim)
+          .filter(_.nonEmpty)
+          .flatMap { line =>
+            val idx = line.indexWhere(c => c == ':' || c == '=')
+            if (idx <= 0) None
+            else Some(line.take(idx).trim -> unquote(line.drop(idx + 1).trim))
+          }
+          .toMap
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   private def stripComment(line: String): String = {
-    // drop text after an unquoted # or //
+    // drop text after an unquoted #, or an unquoted // at line start /
+    // after whitespace — NOT mid-token, so unquoted URIs survive:
+    // `store: file:///tmp/s` keeps its //, `store: x  // note` is cut
     var inQuote = false
     var i = 0
     while (i < line.length) {
       val c = line.charAt(i)
       if (c == '"') inQuote = !inQuote
-      else if (!inQuote && (c == '#' || (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/')))
+      else if (!inQuote && c == '#') return line.take(i)
+      else if (!inQuote && c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/' &&
+        (i == 0 || Character.isWhitespace(line.charAt(i - 1))))
         return line.take(i)
       i += 1
     }

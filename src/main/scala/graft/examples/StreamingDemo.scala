@@ -57,7 +57,7 @@ object StreamingDemo {
     // replayed as one batch, with planted near-dups) against a growing
     // versioned MinHash index
     val docsIn = tmp.resolve("docs_in").toString
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = graft.Tables.documents(spark, sfDir)
       .select("doc_id", "text", "source")
     docs.write.parquet(docsIn)
     val dedupDocs = TableDefinition(TableName("stream", "docs"),

@@ -60,6 +60,21 @@ object Dedup {
   def minhashSignature(textCol: Column, numHashes: Int = 16, shingleSize: Int = 3): Column =
     graft.functions.VectorExpressions.minHashes(shingleHashes(textCol, shingleSize), numHashes)
 
+  /** THE band-bucket key of LSH band `b` over a MinHash signature column:
+    * every near-dup path (batch mining, the streaming index) must derive its
+    * buckets from this one definition, or signatures written by one path
+    * would never collide with the other's. */
+  private[graft] def bandHash(mh: Column, b: Int, rowsPerBand: Int): Column =
+    xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
+      element_at(mh, b * rowsPerBand + r + 1)): _*)
+
+  /** Exact Jaccard of two SORTED hash-set columns: one codegen'd merge walk
+    * per pair, `|A∪B| = |A|+|B|-|A∩B|`. Shared by every verification stage. */
+  private[graft] def sortedSetJaccard(a: Column, b: Column): Column = {
+    val inter = graft.functions.VectorExpressions.sortedIntersectSize(a, b).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
   /** Near-duplicate pairs via banded MinHash LSH + exact shingle-Jaccard
     * verification. Output: (id1, id2, jaccard) with id1 < id2, jaccard >=
     * `threshold`. bands*rowsPerBand hash functions are used. */
@@ -89,10 +104,8 @@ object Dedup {
     val mh = hs.select(col("id"),
       graft.functions.VectorExpressions.minHashes(col("hs"), bands * rowsPerBand).as("mh"))
     val banded = mh.select(col("id"), posexplode(
-      array((0 until bands).map { b =>
-        xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
-          element_at(col("mh"), b * rowsPerBand + r + 1)): _*)
-      }: _*)).as(Seq("band", "band_hash")))
+      array((0 until bands).map(bandHash(col("mh"), _, rowsPerBand)): _*))
+      .as(Seq("band", "band_hash")))
 
     // candidates: ids meeting in the same (band, band_hash) bucket
     val candidates = banded.as("a")
@@ -107,11 +120,7 @@ object Dedup {
     candidates
       .join(hs.select(col("id").as("id1"), col("hs").as("sh1")), "id1")
       .join(hs.select(col("id").as("id2"), col("hs").as("sh2")), "id2")
-      .withColumn("inter",
-        graft.functions.VectorExpressions.sortedIntersectSize(col("sh1"), col("sh2"))
-          .cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .withColumn("jaccard", sortedSetJaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }

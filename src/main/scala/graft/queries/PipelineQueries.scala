@@ -61,18 +61,12 @@ object PipelineQueries {
    */
   private val ivfCentroidCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Array[Array[Float]]]()
-  private val ivfCentroidReg = new java.util.concurrent.atomic.AtomicReference[Array[Array[Float]]]()
 
-  /** Learn (once per dataset) and register the centroids of the most recent
-    * IVF run for the oracle dump. Cached per (session, sfDir) like every
-    * other per-dataset fixture; the register slot tracks the LAST run, which
-    * is the run Verify is dumping oracles for (one sfDir per Verify run). */
-  private def ivfCentroids(s: SparkSession, d: String): Array[Array[Float]] = {
-    val c = ivfCentroidCache.computeIfAbsent((s, d), _ =>
+  /** Learn (once per dataset) the centroids; the cache doubles as the oracle
+    * registry — see [[soleRegistered]]. */
+  private def ivfCentroids(s: SparkSession, d: String): Array[Array[Float]] =
+    ivfCentroidCache.computeIfAbsent((s, d), _ =>
       Similarity.learnCentroids(Tables.embeddings(s, d), nlist = 16))
-    ivfCentroidReg.set(c)
-    c
-  }
 
   /**
    * Distinct (token, 64-bit hash) dictionary of the corpus, registered when
@@ -85,10 +79,9 @@ object PipelineQueries {
    */
   private val simhashDictCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Array[(String, Long)]]()
-  private val simhashDictReg = new java.util.concurrent.atomic.AtomicReference[Array[(String, Long)]]()
 
-  private def simhashDict(s: SparkSession, d: String): Array[(String, Long)] = {
-    val dict = simhashDictCache.computeIfAbsent((s, d), _ =>
+  private def simhashDict(s: SparkSession, d: String): Array[(String, Long)] =
+    simhashDictCache.computeIfAbsent((s, d), _ =>
       Tables.documents(s, d)
         .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
         .distinct()
@@ -96,8 +89,18 @@ object PipelineQueries {
           graft.functions.VectorExpressions.wordShingleHashes(col("tok"), 1, distinct = false), 1).as("h"))
         .collect()
         .map(r => (r.getString(0), r.getLong(1))))
-    simhashDictReg.set(dict)
-    dict
+
+  /** The single data-derived value registered this JVM, or None when queries
+    * ran against MORE than one sfDir — an oracle would then embed literals
+    * from one corpus and be replayed against another, degrading silently, so
+    * the queries fall back to the rows-only check instead. (Verify runs one
+    * sfDir per process; values are deterministic per sfDir, so multiple
+    * sessions over the same dir agree.) */
+  private def soleRegistered[V](
+      cache: java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]): Option[V] = {
+    import scala.jdk.CollectionConverters._
+    val byDir = cache.asScala.toList.map { case ((_, dir), v) => dir -> v }.toMap
+    if (byDir.size == 1) Some(byDir.head._2) else None
   }
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (graft.operators.VersionedTables, graft.core.TableDefinition)]()
@@ -449,13 +452,13 @@ object PipelineQueries {
     * them. The SimHash oracle is omitted for corpora whose vocabulary would
     * not fit a SQL literal table (falls back to the rows-only check). */
   def oracles: Map[String, String] = {
-    val ivf = Option(ivfCentroidReg.get()) match {
+    val ivf = soleRegistered(ivfCentroidCache) match {
       case Some(cents) =>
         val sql = ivfOracleSql(cents, k = 10, nprobe = 4)
         Map("q_ann_ivf" -> sql, "q_ann_ivf_index" -> sql)
       case None => Map.empty[String, String]
     }
-    val simhash = Option(simhashDictReg.get()) match {
+    val simhash = soleRegistered(simhashDictCache) match {
       case Some(dict) if dict.length <= 10000 =>
         Map("q_dedup_simhash" -> simhashOracleSql(dict, maxHamming = 3))
       case _ => Map.empty[String, String]

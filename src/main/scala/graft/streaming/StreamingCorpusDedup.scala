@@ -51,10 +51,8 @@ object StreamingCorpusDedup {
     hs.select(col("id"), col("hs"),
       graft.functions.VectorExpressions.minHashes(col("hs"), bands * rowsPerBand).as("mh"))
       .select(col("id"), col("hs"), posexplode(
-        array((0 until bands).map { b =>
-          xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
-            element_at(col("mh"), b * rowsPerBand + r + 1)): _*)
-        }: _*)).as(Seq("band", "band_hash")))
+        array((0 until bands).map(Dedup.bandHash(col("mh"), _, rowsPerBand)): _*))
+        .as(Seq("band", "band_hash")))
   }
 
   /**
@@ -80,19 +78,23 @@ object StreamingCorpusDedup {
         // candidates: bucket collisions between the batch and the corpus,
         // then exact merge-walk verification on the colliding pairs only.
         // The BATCH side broadcasts (explicitly — a micro-batch is small by
-        // definition): the corpus-sized index streams through the join
-        // without ever shuffling, which is what keeps per-batch cost
-        // O(index scan), not O(index shuffle), at corpus scale.
-        val candidates = broadcast(sigs).as("n")
+        // definition) and is slimmed to its bucket keys first, so the
+        // broadcast payload carries no shingle arrays and the corpus-sized
+        // index streams through the join without ever shuffling — per-batch
+        // cost is O(index scan), not O(index shuffle), at corpus scale.
+        val batchBuckets = sigs.select(col("id").as("new_id"), col("band"), col("band_hash"))
+        val candidates = broadcast(batchBuckets)
           .join(index.as("c"),
-            col("n.band") === col("c.band") && col("n.band_hash") === col("c.band_hash"))
-          .select(col("n.id").as("new_id"), col("n.hs").as("new_hs"), col("c.hs").as("corpus_hs"))
+            batchBuckets("band") === col("c.band") &&
+              batchBuckets("band_hash") === col("c.band_hash"))
+          .select(col("new_id"), col("c.hs").as("corpus_hs"))
           .distinct()
+        // re-attach the batch's shingle sets (batch-sized, broadcast) for
+        // the exact verification of the colliding pairs
+        val newHs = sigs.select(col("id").as("new_id"), col("hs").as("new_hs")).distinct()
         val dupIds = candidates
-          .withColumn("inter",
-            graft.functions.VectorExpressions.sortedIntersectSize(col("new_hs"), col("corpus_hs"))
-              .cast("double"))
-          .filter(col("inter") / (size(col("new_hs")) + size(col("corpus_hs")) - col("inter")) >= threshold)
+          .join(broadcast(newHs), "new_id")
+          .filter(Dedup.sortedSetJaccard(col("new_hs"), col("corpus_hs")) >= threshold)
           .select(col("new_id"))
           .distinct()
         newDocs.join(broadcast(dupIds), newDocs(idCol) === col("new_id"), "left_anti")
@@ -122,6 +124,7 @@ object StreamingCorpusDedup {
       threshold: Double = 0.8,
       bands: Int = 8,
       rowsPerBand: Int = 2,
+      shingleSize: Int = 3,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(docsTable.partitionSchema == PartitionSchema(BatchCol),
       s"docsTable must be partitioned by '$BatchCol', got ${docsTable.partitionSchema}")
@@ -136,12 +139,12 @@ object StreamingCorpusDedup {
         try {
           if (!batch.isEmpty) {
             val index = engine.read(indexTable)
-            val novel = filterNovel(batch, index, idCol, textCol, threshold, bands, rowsPerBand)
+            val novel = filterNovel(batch, index, idCol, textCol, threshold, bands, rowsPerBand, shingleSize)
               .localCheckpoint() // evaluated twice (docs write + signature build)
             if (!novel.isEmpty) {
               novel.withColumn(BatchCol, lit(batchId.toString))
                 .versionedInsertInto(engine, docsTable, userId, s"accept stream batch $batchId")
-              bandedSignatures(novel, idCol, textCol, bands, rowsPerBand)
+              bandedSignatures(novel, idCol, textCol, bands, rowsPerBand, shingleSize)
                 .withColumn(BatchCol, lit(batchId.toString))
                 .versionedInsertInto(engine, indexTable, userId, s"index stream batch $batchId")
             }

@@ -127,6 +127,9 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
   }
 
   it should "pick up the store from a config file, with flags taking precedence" in {
+    // store precedence is flag > GRAFT_STORE env > config; an ambient env
+    // var would shadow the config under test
+    assume(!sys.env.contains("GRAFT_STORE"), "GRAFT_STORE set in test environment")
     val confStore = Files.createTempDirectory("graft-cli-conf-").toUri.toString
     val conf = Files.createTempFile("graft-config-", "")
     Files.writeString(conf,
@@ -181,5 +184,25 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     parsed("indented") shouldBe "ok"
     parsed("quoted-hash") shouldBe "a#b"
     parsed.get("broken line without separator") shouldBe None
+  }
+
+  it should "keep // inside unquoted URIs (comment only at token boundaries)" in {
+    val conf = Files.createTempFile("graft-config-uri-", "")
+    Files.writeString(conf,
+      """|store: file:///tmp/unquoted  // trailing note
+         |other = jdbc:postgresql://db.example.com:5432/x
+         |""".stripMargin)
+    val parsed = GraftCli.loadConfig(conf)
+    parsed("store") shouldBe "file:///tmp/unquoted"
+    parsed("other") shouldBe "jdbc:postgresql://db.example.com:5432/x"
+  }
+
+  it should "degrade to no-config on unreadable or malformed config paths" in {
+    // a directory at the config path must not crash commands that pass --store
+    val dir = Files.createTempDirectory("graft-config-dir-")
+    GraftCli.loadConfig(dir) shouldBe Map.empty
+    val sw = new StringWriter()
+    GraftCli.run(List("--config", dir.toString, "--store", store, "tables"),
+      new PrintWriter(sw, true)) shouldBe 0
   }
 }
