@@ -215,12 +215,16 @@ object PipelineQueries {
       Dedup.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 3)
     }),
 
-    // fuzzy entity matching: every part name with one deterministic character
-    // removed is matched back against the catalog at edit distance <= 1 via
-    // the length-banded equi-join (never a cross join)
+    // fuzzy entity matching: part names with one deterministic character
+    // removed are matched back against the FULL catalog at edit distance <= 1
+    // via the length-banded equi-join (never a cross join). The probe side is
+    // capped at 1000 names: this fixture's tiny 31-word vocabulary makes
+    // short names collide at a pathological rate (every same-length pair is
+    // a near-candidate), which is exactly the situation the operator's
+    // blockCols parameter exists for at real scale.
     "q_fuzzy_join" -> ((s, d) => {
       val part = Tables.part(s, d)
-      val corrupted = part.selectExpr(
+      val corrupted = part.filter(col("p_partkey") < 1000).selectExpr(
         "p_partkey AS c_id",
         "concat(substring(p_name, 1, pmod(p_partkey, length(p_name))), " +
           "substring(p_name, pmod(p_partkey, length(p_name)) + 2)) AS c_name")
@@ -652,7 +656,7 @@ object PipelineQueries {
         |  SELECT p_partkey AS c_id,
         |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
         |      || substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2) AS c_name
-        |  FROM part)
+        |  FROM part WHERE p_partkey < 1000)
         |SELECT c.c_id, c.c_name, p.p_partkey AS match_id, p.p_name AS match_name,
         |  levenshtein(c.c_name, p.p_name) AS distance
         |FROM corrupted c JOIN part p
