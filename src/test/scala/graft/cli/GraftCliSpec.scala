@@ -197,6 +197,39 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     parsed("other") shouldBe "jdbc:postgresql://db.example.com:5432/x"
   }
 
+  it should "migrate a reference-layout store via the migrate command" in {
+    // minimal chronicles-layout table written by hand (same shape as
+    // ChroniclesCompatSpec); the CLI must convert it and then read it
+    val root = Files.createTempDirectory("graft-cli-migrate-")
+    val dir = Files.createDirectory(root.resolve("_chronicles_table_ref.t"))
+    val v = graft.core.Version.generate()
+    Files.writeString(dir.resolve("table-metadata"), """{ "is_snapshot" : false }""")
+    Files.writeString(dir.resolve("head_ref"), """{ "head_ref" : "c1" }""")
+    Files.writeString(dir.resolve("table_update_2021-01-01T00-00-00.000"),
+      s"""{
+         |  "commit_id" : "c1", "user_id" : "u", "message" : "init",
+         |  "timestamp" : "2021-01-01T00:00:00Z",
+         |  "operations" : [
+         |    { "type" : "init-table", "table_name" : "ref.t", "is_snapshot" : false },
+         |    { "type" : "add-partition-version", "partition" : "date=2021-01-01", "version" : "${v.label}" }
+         |  ]
+         |}""".stripMargin)
+
+    def mcli(args: String*): (Int, String) = {
+      val sw = new StringWriter()
+      val code = GraftCli.run(List("--store", root.toUri.toString) ++ args.toList, new PrintWriter(sw, true))
+      (code, sw.toString)
+    }
+    val (c1, out1) = mcli("migrate")
+    c1 shouldBe 0
+    out1 should include("migrated  ref.t")
+    val (c2, out2) = mcli("migrate")
+    c2 shouldBe 0
+    out2.trim shouldBe "nothing to migrate"
+    mcli("partitions", "ref.t")._2 should include("date=2021-01-01")
+    Files.exists(root.resolve("_graft_table_ref.t").resolve("table-metadata.json")) shouldBe true
+  }
+
   it should "degrade to no-config on unreadable or malformed config paths" in {
     // a directory at the config path must not crash commands that pass --store
     val dir = Files.createTempDirectory("graft-config-dir-")
