@@ -35,7 +35,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries_relational ++ queries_versioned ++ graft.queries.PipelineQueries.defs
+    queries_relational ++ queries_versioned ++ graft.queries.PipelineQueries.defs ++
+      graft.queries.CorpusQueries.defs
 
   private def queries_relational: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.defs
@@ -135,5 +136,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++ graft.queries.PipelineQueries.oracles ++
-      oracles_versioned
+      graft.queries.CorpusQueries.oracles ++ oracles_versioned
 }

@@ -141,4 +141,29 @@ object TextFunctions {
     * (md5 hex compares identically everywhere). */
   def minShingleFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => md5(s)))
+
+  // --- PII detection / redaction ---
+  // ASCII-explicit character classes only: identical semantics under Java
+  // regex (Spark) and RE2 (DuckDB), so extraction and redaction replay
+  // exactly in the oracle. All built-ins — stays inside codegen.
+
+  /** Email addresses: local part `@` domain with a 2+-letter final label. */
+  val EmailRegex: String = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** http/https URLs up to the first character outside the path alphabet. */
+  val UrlRegex: String = "https?://[a-zA-Z0-9./_%-]+"
+
+  /** All email matches, in document order (empty array when none). */
+  def extractEmails(text: Column): Column =
+    regexp_extract_all(text, lit(EmailRegex), lit(0))
+
+  /** All URL matches, in document order (empty array when none). */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRegex), lit(0))
+
+  /** Replace every email with `<EMAIL>` and every URL with `<URL>` (emails
+    * first — the two alphabets cannot produce overlapping matches, so the
+    * order only matters for determinism of the spec, not the result). */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRegex, "<EMAIL>"), UrlRegex, "<URL>")
 }

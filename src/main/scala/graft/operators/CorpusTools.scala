@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-preparation operators for large-scale training-data pipelines:
+ * deterministic global shuffling, weighted mixture sampling, token-budget
+ * sequence packing, repeated-window mining (the scalable approximation of
+ * exact substring dedup), and corpus vocabulary statistics.
+ *
+ * Design rules shared by every operator here:
+ *   - Determinism is derived from content (md5 of a seed + the row key), never
+ *     from partitioning, task order, or RNG state — results are identical
+ *     across cluster sizes, retries, and engines (each operator has an exact
+ *     DuckDB replay in the driver contract).
+ *   - Nothing is driver-side: each operator is one scan plus at most one
+ *     shuffle (a window over a key or a groupBy), so the shapes survive a
+ *     100 TB corpus unchanged.
+ */
+object CorpusTools {
+
+  /** Hex alphabet used to turn the first md5 nibble into a shard id. */
+  private val HexAlphabet = "0123456789abcdef"
+
+  /**
+   * Deterministic global shuffle for training-data ordering, sharded so no
+   * single task ever materializes the whole corpus: each row gets a stable
+   * pseudo-random key `md5(seed:id)`, a `shard` from the key's first nibble,
+   * and a dense `pos` (1-based) within its shard by key order.
+   *
+   * A data loader that reads shards in any order and rows by `pos` within a
+   * shard sees a reproducible, uniformly shuffled corpus. The per-shard
+   * `row_number` keeps the ranking window partitioned — the unpartitioned
+   * global-ordering variant would funnel 100 TB through one task, this one
+   * is `numShards`-way parallel and each shard sorts ~1/numShards of the
+   * data. Re-shuffling with a new `seed` is a full re-key; identical seeds
+   * are bit-identical across runs and engines.
+   *
+   * @param numShards 1..16 (shard comes from one hex nibble; compose the key
+   *                  prefix further if you need more shards at real scale)
+   */
+  def deterministicShuffle(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      numShards: Int = 16): DataFrame = {
+    require(numShards >= 1 && numShards <= 16, s"numShards must be in [1,16], got $numShards")
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    // position of the first hex char in the alphabet = value of the nibble;
+    // expressed via SQL instr (both args are expressions there)
+    val keyed = df.withColumn("_shuffle_key", key)
+      .withColumn("shard",
+        pmod(expr(s"instr('$HexAlphabet', substring(_shuffle_key, 1, 1))") - 1, lit(numShards))
+          .cast("int"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_shuffle_key"), col(idCol))
+    keyed.withColumn("pos", row_number().over(w).cast("long")).drop("_shuffle_key")
+  }
+
+  /**
+   * Render a keep-probability as an 8-hex-digit md5-prefix threshold: a row
+   * survives iff `substring(md5(...), 1, 8) < threshold`. Weights quantize to
+   * 1/2^32 (exact for the usual 1.0 / 0.5 / 0.25 / powers of two). `w >= 1`
+   * maps to "g" — lexicographically above every hex string, so everything
+   * passes; `w <= 0` maps to "0" — below every 8-char hex string.
+   */
+  private[graft] def hexThreshold(w: Double): String =
+    if (w <= 0) "0"
+    else {
+      val units = math.round(w * 0x100000000L.toDouble)
+      if (units >= 0x100000000L) "g" else f"$units%08x"
+    }
+
+  /**
+   * Weighted mixture sampling across corpus sources: keep each row of class
+   * `classCol` with probability `weights(class)` (or `defaultWeight`),
+   * decided by a deterministic hash of (seed, id). This is the "mix 3 parts
+   * web to 1 part books" step of a training-data pipeline, as a pure scan
+   * filter: no shuffle, no RNG, reproducible across engines and runs, and
+   * monotone in the weight (the 25% sample of a class is a subset of its 50%
+   * sample — useful for ablation series that must nest).
+   */
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      classCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double,
+      seed: String): DataFrame = {
+    val hash8 = substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 8)
+    val threshold = weights.foldLeft(lit(hexThreshold(defaultWeight))) {
+      case (acc, (cls, w)) => when(col(classCol) === cls, lit(hexThreshold(w))).otherwise(acc)
+    }
+    df.filter(hash8 < threshold)
+  }
+
+  /**
+   * GPT-style concat-and-chunk sequence packing: within each stream (the
+   * `streamCols` tuple), documents are laid end to end in `idCol` order and
+   * cut into fixed `budget`-token bins. Each doc is labeled with the bin its
+   * first token lands in (`seq_id`, 0-based) and its token offset inside
+   * that bin (`bin_offset`) — exactly what a loader needs to assemble
+   * training sequences without materializing the concatenation.
+   *
+   * One window (cumulative sum) per stream: streams shuffle independently,
+   * so parallelism = #streams; at real scale pass a (source, shard) tuple as
+   * `streamCols` to bound per-stream data. All math is integer — replayable
+   * bit-exactly by any engine.
+   */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Int,
+      streamCols: Seq[String]): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(streamCols.nonEmpty, "streamCols must not be empty (one global stream = one task)")
+    val w = Window.partitionBy(streamCols.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_start_off", sum(col(tokenCol).cast("long")).over(w) - col(tokenCol))
+      .withColumn("seq_id", expr(s"_start_off div $budget"))
+      .withColumn("bin_offset", pmod(col("_start_off"), lit(budget.toLong)))
+      .drop("_start_off")
+  }
+
+  /**
+   * Repeated n-token window mining — the scalable approximation of exact
+   * substring deduplication (find text spans that recur across documents, the
+   * memorization-prone boilerplate a curation pipeline wants to down-weight
+   * or cut). Every document contributes its `n`-token sliding windows; a
+   * window kept iff it appears in at least `minDocs` distinct documents.
+   *
+   * Shape: explode + one aggregation on the window text — linear in total
+   * token count, never pairwise in documents (the suffix-array formulation of
+   * exact substring dedup is sequential; this windowed form is the
+   * embarrassingly-parallel equivalent at fixed span length). Windows are
+   * plain strings here for engine-neutral verification; at 100 TB hash them
+   * first (xxhash64) so the shuffle carries 8 bytes instead of the span.
+   *
+   * @return one row per repeated window: `win_text`, `n_docs` (distinct
+   *         documents), `n_occ` (total occurrences), `first_doc` (min id).
+   */
+  def repeatedWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"window must span at least 2 tokens, got $n")
+    val elems = (0 until n).map(k => s"_toks[i + $k - 1]").mkString(", ")
+    df.withColumn("_toks", graft.functions.TextFunctions.tokens(col(textCol)))
+      .withColumn("_wins",
+        expr(s"""CASE WHEN size(_toks) < $n THEN array()
+                 ELSE transform(sequence(1, size(_toks) - ${n - 1}),
+                                i -> concat_ws(' ', $elems)) END"""))
+      .select(col(idCol), explode(col("_wins")).as("win_text"))
+      .groupBy(col("win_text"))
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /**
+   * Token-budget subsampling: from each stream, keep documents in
+   * deterministic hash order until the stream's token budget is reached (a
+   * document is kept iff it STARTS inside the budget, so the cut is stable
+   * under re-partitioning and the kept set always overshoots by less than
+   * one document). This is the "take 50 B tokens of web, 10 B of books"
+   * step of assembling a training mix, as one window per stream — the same
+   * scale shape as [[packSequences]].
+   */
+  def takeTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      streamCols: Seq[String],
+      seed: String): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(streamCols.nonEmpty, "streamCols must not be empty (one global stream = one task)")
+    val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val w = Window.partitionBy(streamCols.map(col): _*).orderBy(key, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_start_off", sum(col(tokenCol).cast("long")).over(w) - col(tokenCol))
+      .filter(col("_start_off") < budget)
+      .drop("_start_off")
+  }
+
+  /**
+   * Lexical commonness scoring — the exact-arithmetic stand-in for unigram
+   * language-model scoring (no log/exp: transcendental functions differ in
+   * the last ulp across engines, while this stays hash-verifiable). Pass 1
+   * aggregates the corpus token counts; pass 2 broadcasts that vocabulary
+   * back onto the exploded tokens and folds INTEGER sums per document, with
+   * exactly one float division at the end:
+   *
+   *   commonness = sum over tokens of corpus_count(token) / n_tokens
+   *
+   * High = boilerplate-ish text made of frequent tokens, low = rare/noisy
+   * text; downstream curation thresholds both tails. The vocabulary
+   * aggregate is tiny (it's a vocabulary) — the join is broadcast; the
+   * corpus is scanned twice (once to count, once to score), never shuffled
+   * on the document axis.
+   */
+  def docCommonness(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("corpus_count"))
+    toks.join(broadcast(vocab), "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("corpus_count")).as("sum_counts"))
+      .withColumn("commonness", col("sum_counts").cast("double") / col("n_tokens"))
+  }
+
+  /**
+   * Corpus vocabulary heavy hitters: the top-`k` tokens by total occurrence
+   * count (ties broken by token text for a deterministic boundary), with
+   * document frequency alongside. One explode + one aggregation + a top-k —
+   * Spark plans the limit as TakeOrderedAndProject over partial aggregates,
+   * so the full vocabulary is never collected anywhere.
+   */
+  def topTokens(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("term_freq"), countDistinct(col(idCol)).as("doc_freq"))
+      .orderBy(col("term_freq").desc, col("token"))
+      .limit(k)
+}

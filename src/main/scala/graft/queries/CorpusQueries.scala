@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.CorpusTools
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-preparation query surface (deterministic shuffle, mixture sampling,
+ * sequence packing, repeated-window mining, vocabulary stats, PII scan) over
+ * the `documents` table. Every query is DuckDB-oracled: the operators derive
+ * all randomness from md5 content hashes and keep all arithmetic integral,
+ * so an independent engine replays them bit-exactly.
+ */
+object CorpusQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Mixture weights for q_mixture_sample — powers of two so the 1/2^32
+    * threshold quantization in [[CorpusTools.hexThreshold]] is exact. */
+  private val MixWeights = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25)
+  private val MixDefault = 0.125
+
+  /** Deterministic synthetic contact block appended to each doc so the PII
+    * extractors have real matches to find (the fixture vocabulary itself
+    * contains no emails/URLs). Mirrored verbatim in the oracle SQL. */
+  private def withContact(df: DataFrame): DataFrame =
+    df.withColumn("contact", concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example or https://ex"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".example/p/"), col("doc_id").cast("string")))
+
+  val defs: Map[String, Q] = Map(
+    // sharded deterministic global shuffle: stable (shard, pos) training order
+    "q_corpus_shuffle" -> ((s, d) =>
+      CorpusTools.deterministicShuffle(
+          Tables.documents(s, d).select(col("doc_id"), col("source")),
+          idCol = "doc_id", seed = "graft", numShards = 16)
+        .select("doc_id", "source", "shard", "pos")),
+
+    // weighted per-source mixture sampling (scan filter, no shuffle)
+    "q_mixture_sample" -> ((s, d) =>
+      CorpusTools.mixtureSample(Tables.documents(s, d),
+          idCol = "doc_id", classCol = "source",
+          weights = MixWeights, defaultWeight = MixDefault, seed = "mix")
+        .select("doc_id", "lang", "source")),
+
+    // concat-and-chunk token packing into 512-token bins per source stream
+    "q_pack_sequences" -> ((s, d) =>
+      CorpusTools.packSequences(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"),
+              TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          idCol = "doc_id", tokenCol = "n_tokens", budget = 512,
+          streamCols = Seq("source"))
+        .select("doc_id", "source", "n_tokens", "seq_id", "bin_offset")),
+
+    // repeated 8-token windows across documents: the scalable substring-dedup
+    // approximation (recurring spans a curation pipeline down-weights)
+    "q_window_dedup" -> ((s, d) =>
+      CorpusTools.repeatedWindows(Tables.documents(s, d),
+        idCol = "doc_id", textCol = "text", n = 8, minDocs = 2)),
+
+    // corpus vocabulary heavy hitters (top 20 by term frequency)
+    "q_vocab_topk" -> ((s, d) =>
+      CorpusTools.topTokens(Tables.documents(s, d),
+        idCol = "doc_id", textCol = "text", k = 20)),
+
+    // per-source token-budget cut: keep docs (hash order) until 2000 tokens
+    "q_token_budget" -> ((s, d) =>
+      CorpusTools.takeTokenBudget(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"),
+              TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          idCol = "doc_id", tokenCol = "n_tokens", budget = 2000L,
+          streamCols = Seq("source"), seed = "budget")
+        .select("doc_id", "source", "n_tokens")),
+
+    // lexical commonness (unigram-LM quality proxy, exact integer folds)
+    "q_doc_rarity" -> ((s, d) =>
+      CorpusTools.docCommonness(Tables.documents(s, d), idCol = "doc_id", textCol = "text")
+        .select("doc_id", "n_tokens", "sum_counts", "commonness")),
+
+    // PII scan over the synthetic contact block: extraction counts, first
+    // matches, and the redacted text
+    "q_pii_extract" -> ((s, d) => {
+      val emails = TextFunctions.extractEmails(col("contact"))
+      val urls = TextFunctions.extractUrls(col("contact"))
+      withContact(Tables.documents(s, d)).select(
+        col("doc_id"),
+        size(emails).as("n_emails"),
+        size(urls).as("n_urls"),
+        get(emails, lit(0)).as("first_email"),
+        get(urls, lit(0)).as("first_url"),
+        TextFunctions.redactPii(col("contact")).as("redacted"))
+    })
+  )
+
+  private val duckTokens = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** DuckDB rendition of the synthetic contact block in [[withContact]]. */
+  private val contactSql =
+    """text || ' contact user' || CAST(doc_id AS VARCHAR)
+      | || '@mail.example or https://ex' || CAST(doc_id % 7 AS VARCHAR)
+      | || '.example/p/' || CAST(doc_id AS VARCHAR)""".stripMargin.replace("\n", "")
+
+  // single-quoted SQL strings treat backslash literally in DuckDB, so the
+  // Java-side regex strings embed unchanged
+  private val emailRe = TextFunctions.EmailRegex
+  private val urlRe = TextFunctions.UrlRegex
+
+  /** CASE expression mirroring the when-chain threshold in mixtureSample. */
+  private val mixThresholdSql = {
+    val cases = MixWeights.toSeq.sortBy(_._1).map { case (cls, w) =>
+      s"WHEN source = '$cls' THEN '${CorpusTools.hexThreshold(w)}'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${CorpusTools.hexThreshold(MixDefault)}' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_corpus_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    md5(concat_ws(':', 'graft', doc_id)) AS key
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, key,
+        |    (strpos('0123456789abcdef', substring(key, 1, 1)) - 1) % 16 AS shard
+        |  FROM k)
+        |SELECT doc_id, source, shard,
+        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
+        |FROM s""".stripMargin,
+
+    "q_mixture_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE substring(md5(concat_ws(':', 'mix', doc_id)), 1, 8) < $mixThresholdSql""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len($duckTokens) AS n_tokens FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      - n_tokens AS start_off
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |  start_off // 512 AS seq_id, start_off % 512 AS bin_offset
+         |FROM c""".stripMargin,
+
+    "q_window_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckTokens AS w FROM documents),
+         |wins AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(w) - 7),
+         |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+         |                          w[i+4], w[i+5], w[i+6], w[i+7]))) AS win_text
+         |  FROM toks WHERE len(w) >= 8)
+         |SELECT win_text, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+         |  MIN(doc_id) AS first_doc
+         |FROM wins GROUP BY win_text HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
+
+    "q_vocab_topk" ->
+      s"""SELECT token, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+         |FROM (SELECT doc_id, unnest($duckTokens) AS token FROM documents)
+         |GROUP BY token ORDER BY term_freq DESC, token LIMIT 20""".stripMargin,
+
+    "q_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len($duckTokens) AS n_tokens,
+         |    md5(concat_ws(':', 'budget', doc_id)) AS key
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      - n_tokens AS start_off
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens FROM c WHERE start_off < 2000""".stripMargin,
+
+    "q_doc_rarity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($duckTokens) AS token FROM documents),
+         |vocab AS (
+         |  SELECT token, COUNT(*) AS corpus_count FROM toks GROUP BY token)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(corpus_count) AS BIGINT) AS sum_counts,
+         |  CAST(SUM(corpus_count) AS DOUBLE) / COUNT(*) AS commonness
+         |FROM toks JOIN vocab USING (token)
+         |GROUP BY doc_id""".stripMargin,
+
+    "q_pii_extract" ->
+      s"""WITH c AS (SELECT doc_id, $contactSql AS contact FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(contact, '$emailRe', 0)) AS n_emails,
+         |  len(regexp_extract_all(contact, '$urlRe', 0)) AS n_urls,
+         |  regexp_extract_all(contact, '$emailRe', 0)[1] AS first_email,
+         |  regexp_extract_all(contact, '$urlRe', 0)[1] AS first_url,
+         |  regexp_replace(regexp_replace(contact, '$emailRe', '<EMAIL>', 'g'),
+         |                 '$urlRe', '<URL>', 'g') AS redacted
+         |FROM c""".stripMargin
+  )
+}

@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class CorpusToolsSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "a", "one two three four five six seven eight nine ten"),
+    (3L, "b", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (4L, "b", "totally different words without any overlap at all here"),
+    (5L, "a", "short text")
+  ).toDF("id", "src", "text")
+
+  // --- deterministicShuffle ---
+
+  "deterministicShuffle" should "assign every row a shard in range and a dense per-shard position" in {
+    val out = CorpusTools.deterministicShuffle(docs, "id", seed = "s1", numShards = 4)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    out should have length 5
+    all(out.map(_._2)) should (be >= 0 and be < 4)
+    // positions are 1..count(shard) within each shard
+    out.groupBy(_._2).values.foreach { rows =>
+      rows.map(_._3).sorted shouldBe (1L to rows.length).toVector
+    }
+  }
+
+  it should "be deterministic for a seed and differ across seeds" in {
+    def run(seed: String) =
+      CorpusTools.deterministicShuffle(docs, "id", seed, numShards = 4)
+        .select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    run("s1") shouldBe run("s1")
+    // 5 rows over (shard, pos): the odds of two seeds agreeing entirely are
+    // negligible; this fixture is pinned non-equal
+    run("s1") should not be run("s2")
+  }
+
+  // --- mixtureSample ---
+
+  "mixtureSample" should "keep everything at weight 1 and nothing at weight 0" in {
+    val all = CorpusTools.mixtureSample(docs, "id", "src",
+      weights = Map("a" -> 1.0, "b" -> 1.0), defaultWeight = 0.0, seed = "m")
+    all.count() shouldBe 5
+    val none = CorpusTools.mixtureSample(docs, "id", "src",
+      weights = Map("a" -> 0.0), defaultWeight = 0.0, seed = "m")
+    none.count() shouldBe 0
+  }
+
+  it should "nest: a smaller weight selects a subset of a larger weight" in {
+    val big = spark.range(2000).toDF("id").withColumn("src", lit("a"))
+    def sample(w: Double) = CorpusTools.mixtureSample(big, "id", "src",
+      weights = Map("a" -> w), defaultWeight = 0.0, seed = "m")
+      .select("id").as[Long].collect().toSet
+    val half = sample(0.5)
+    val quarter = sample(0.25)
+    quarter.subsetOf(half) shouldBe true
+    // fractions land near the target (md5 is uniform; 2000 trials)
+    half.size.toDouble / 2000 shouldBe 0.5 +- 0.06
+    quarter.size.toDouble / 2000 shouldBe 0.25 +- 0.06
+  }
+
+  "hexThreshold" should "clamp and render 8-hex thresholds" in {
+    CorpusTools.hexThreshold(0.0) shouldBe "0"
+    CorpusTools.hexThreshold(-1.0) shouldBe "0"
+    CorpusTools.hexThreshold(1.0) shouldBe "g"
+    CorpusTools.hexThreshold(2.0) shouldBe "g"
+    CorpusTools.hexThreshold(0.5) shouldBe "80000000"
+    CorpusTools.hexThreshold(0.25) shouldBe "40000000"
+  }
+
+  // --- packSequences ---
+
+  "packSequences" should "reproduce a sequential concat-and-chunk per stream" in {
+    val withTokens = docs.select($"id", $"src",
+      TextFunctions.tokenCount($"text").as("n_tokens"))
+    val out = CorpusTools.packSequences(withTokens, "id", "n_tokens",
+        budget = 16, streamCols = Seq("src"))
+      .select("id", "src", "n_tokens", "seq_id", "bin_offset")
+      .as[(Long, String, Int, Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.sortBy(_._1)).toMap
+
+    // sequential reference implementation
+    val ref = withTokens.as[(Long, String, Int)].collect()
+      .groupBy(_._2).view.mapValues { rows =>
+        var off = 0L
+        rows.sortBy(_._1).map { case (id, src, n) =>
+          val r = (id, src, n, off / 16, off % 16)
+          off += n
+          r
+        }
+      }.toMap
+    out.keySet shouldBe ref.keySet
+    out.keySet.foreach { src => out(src).toSeq shouldBe ref(src).toSeq }
+  }
+
+  it should "keep offsets inside the budget and seq ids monotone" in {
+    val withTokens = docs.select($"id", $"src",
+      TextFunctions.tokenCount($"text").as("n_tokens"))
+    val out = CorpusTools.packSequences(withTokens, "id", "n_tokens",
+        budget = 8, streamCols = Seq("src"))
+      .select("id", "src", "seq_id", "bin_offset").as[(Long, String, Long, Long)].collect()
+    all(out.map(_._4)) should (be >= 0L and be < 8L)
+    out.groupBy(_._2).values.foreach { rows =>
+      val seqs = rows.sortBy(_._1).map(_._3)
+      seqs shouldBe seqs.sorted
+    }
+  }
+
+  // --- takeTokenBudget ---
+
+  "takeTokenBudget" should "keep docs in hash order until the stream budget" in {
+    val big = spark.range(100).toDF("id").withColumn("src", lit("a"))
+      .withColumn("n", lit(10))
+    val kept = CorpusTools.takeTokenBudget(big, "id", "n", budget = 95L,
+      streamCols = Seq("src"), seed = "b").select("id").as[Long].collect().toSet
+    // 10 tokens per doc: starts at 0,10,...,90 are < 95 -> exactly 10 docs
+    kept.size shouldBe 10
+    // and they are the first 10 in md5-hash order, sequentially recomputed
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(s"b:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = (0L until 100L).sortBy(id => (h(id), id)).take(10).toSet
+    kept shouldBe expect
+  }
+
+  it should "always keep the first document of a stream even over budget" in {
+    val one = Seq((1L, "a", 50), (2L, "a", 50)).toDF("id", "src", "n")
+    val kept = CorpusTools.takeTokenBudget(one, "id", "n", budget = 1L,
+      streamCols = Seq("src"), seed = "b")
+    kept.count() shouldBe 1 // whichever hashes first starts at offset 0 < 1
+  }
+
+  // --- docCommonness ---
+
+  "docCommonness" should "fold exact corpus counts per document" in {
+    val corpus = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry")
+    ).toDF("id", "text")
+    val out = CorpusTools.docCommonness(corpus, "id", "text")
+      .select("id", "n_tokens", "sum_counts", "commonness")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // counts: apple=2, banana=2, cherry=1
+    out(0) shouldBe ((1L, 3L, 6L, 2.0))      // 2+2+2
+    out(1) shouldBe ((2L, 2L, 3L, 1.5))      // 2+1
+  }
+
+  // --- repeatedWindows ---
+
+  "repeatedWindows" should "find spans shared across documents and only those" in {
+    val out = CorpusTools.repeatedWindows(docs, "id", "text", n = 8, minDocs = 2)
+      .as[(String, Long, Long, Long)].collect()
+    // docs 1 and 3 are identical 10-token texts: three 8-token windows shared
+    out should have length 3
+    all(out.map(_._2)) shouldBe 2L  // n_docs
+    all(out.map(_._3)) shouldBe 2L  // n_occ
+    all(out.map(_._4)) shouldBe 1L  // first_doc = min id
+    out.map(_._1) should contain("alpha beta gamma delta epsilon zeta eta theta")
+  }
+
+  it should "count multiple occurrences inside one document" in {
+    val rep = Seq(
+      (1L, "x y x y x y x y"), // "x y x y" appears at offsets 0,2,4 (n=4)
+      (2L, "x y x y completely unrelated tail words")
+    ).toDF("id", "text")
+    val out = CorpusTools.repeatedWindows(rep, "id", "text", n = 4, minDocs = 2)
+      .as[(String, Long, Long, Long)].collect()
+    val xy = out.find(_._1 == "x y x y").get
+    xy._2 shouldBe 2L // both docs
+    xy._3 shouldBe 4L // 3 occurrences in doc 1 + 1 in doc 2
+  }
+
+  it should "emit nothing for documents shorter than the window" in {
+    CorpusTools.repeatedWindows(
+      Seq((1L, "a b"), (2L, "a b")).toDF("id", "text"),
+      "id", "text", n = 3, minDocs = 2).count() shouldBe 0
+  }
+
+  // --- topTokens ---
+
+  "topTokens" should "rank by term frequency with deterministic tiebreak" in {
+    val corpus = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple banana cherry"),
+      (3L, "banana date")
+    ).toDF("id", "text")
+    val out = CorpusTools.topTokens(corpus, "id", "text", k = 3)
+      .as[(String, Long, Long)].collect()
+    out shouldBe Array(
+      ("apple", 3L, 2L),   // 3 occurrences in 2 docs
+      ("banana", 3L, 3L),  // tie on term_freq broken by token text
+      ("cherry", 1L, 1L))  // cherry < date on the k boundary
+  }
+
+  // --- PII functions ---
+
+  "PII extraction" should "find emails and urls and redact them" in {
+    val df = Seq(
+      (1L, "reach me at jo.ann+x@mail.example or https://site.example/a_b%20c then x@y.io"),
+      (2L, "no contact info here")
+    ).toDF("id", "text")
+    val out = df.select($"id",
+      TextFunctions.extractEmails($"text").as("emails"),
+      TextFunctions.extractUrls($"text").as("urls"),
+      TextFunctions.redactPii($"text").as("red"))
+      .as[(Long, Seq[String], Seq[String], String)].collect().sortBy(_._1)
+
+    out(0)._2 shouldBe Seq("jo.ann+x@mail.example", "x@y.io")
+    out(0)._3 shouldBe Seq("https://site.example/a_b%20c")
+    out(0)._4 shouldBe "reach me at <EMAIL> or <URL> then <EMAIL>"
+    out(1)._2 shouldBe empty
+    out(1)._3 shouldBe empty
+    out(1)._4 shouldBe "no contact info here"
+  }
+}
