@@ -64,6 +64,13 @@ object GraftExtensions {
         // sorted in the SQL surface: composes directly with sorted_intersect_size
         WordShingleHashes(args.head, litInt("word_shingle_hashes n", args(1)), sorted = true)
       }),
+    ("word_shingles",
+      info("word_shingles",
+        "_FUNC_(text, n) - the text's word n-gram windows as strings (empty for docs shorter than n)"),
+      args => {
+        arity("word_shingles", 2, args)
+        WordShingles(args.head, litInt("word_shingles n", args(1)))
+      }),
     ("sorted_intersect_size",
       info("sorted_intersect_size",
         "_FUNC_(a, b) - intersection size of two sorted distinct bigint arrays (merge walk)"),

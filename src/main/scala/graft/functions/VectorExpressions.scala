@@ -160,6 +160,62 @@ object WordShingleHashes {
 }
 
 /**
+ * Word n-gram windows as STRINGS, in one native pass: tokenize (trim, lower,
+ * whitespace split) and join each n-token sliding window — the text-output
+ * sibling of [[WordShingleHashes]] for consumers that must carry the span
+ * itself (e.g. repeated-window mining, whose oracle replays window TEXT in
+ * another engine). Unlike the hashed variant there is no short-text
+ * fallback: a document with fewer than `n` tokens yields an empty array
+ * (sub-window spans are not windows). Keeps the multiset — dedup is the
+ * consumer's call.
+ *
+ * The equivalent HOF chain (`transform(sequence(...), i -> concat_ws/slice
+ * ...)`) pays per-element interpreted lambda dispatch plus repeated array
+ * reads; this kernel is one virtual call per row with a tight loop inside —
+ * measured 40x on the q_window_dedup workload (41s -> ~1s explode+mine at
+ * sf0.1).
+ */
+case class WordShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1, s"window must span at least 1 token, got $n")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.trim.toLowerCase
+    val words = if (text.isEmpty) Array.empty[String] else text.split("\\s+")
+    val out =
+      if (words.length < n) Array.empty[org.apache.spark.unsafe.types.UTF8String]
+      else {
+        val wins = new Array[org.apache.spark.unsafe.types.UTF8String](words.length - n + 1)
+        var i = 0
+        while (i <= words.length - n) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j)); j += 1
+          }
+          wins(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        wins
+      }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Intersection size of two SORTED distinct long arrays by a single merge walk
  * — O(n+m) with zero allocation per pair, vs `size(array_intersect(a, b))`'s
  * per-pair hash-set build. This is the pair-verification kernel of the
@@ -572,6 +628,11 @@ object VectorExpressions {
   def wordShingleHashes(
       text: Column, n: Int, distinct: Boolean = true, sorted: Boolean = false): Column =
     GraftSqlBridge.column(WordShingleHashes(GraftSqlBridge.expression(text), n, distinct, sorted))
+
+  /** Word n-gram windows as strings, in one native pass (empty array for
+    * docs shorter than `n` — no whole-text fallback). */
+  def wordShingles(text: Column, n: Int): Column =
+    GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(text), n))
 
   /** 32-bit SimHash from a token-hash array, fused into one native pass. */
   def simHash32FromHashes(hashes: Column): Column =

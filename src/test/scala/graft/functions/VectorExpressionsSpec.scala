@@ -53,6 +53,34 @@ class VectorExpressionsSpec extends AnyFlatSpec with Matchers {
     diffs.count() shouldBe 0
   }
 
+  "WordShingles" should "produce exactly the HOF formulation's window strings" in {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = 8
+    val elems = (0 until n).map(k => s"_toks[i + $k - 1]").mkString(", ")
+    val diffs = docs
+      .withColumn("_toks", graft.functions.TextFunctions.tokens($"text"))
+      .select(
+        VectorExpressions.wordShingles($"text", n).as("native"),
+        expr(s"""CASE WHEN size(_toks) < $n THEN array()
+                 ELSE transform(sequence(1, size(_toks) - ${n - 1}),
+                                i -> concat_ws(' ', $elems)) END""").as("hof"))
+      .filter($"native" =!= $"hof")
+    diffs.count() shouldBe 0
+  }
+
+  it should "yield an empty array below n tokens and normalize like tokens()" in {
+    Seq("a b c").toDF("t").select(VectorExpressions.wordShingles($"t", 4).as("w"))
+      .head().getAs[scala.collection.Seq[String]]("w") shouldBe empty
+    Seq("  The QUICK  brown ").toDF("t")
+      .select(VectorExpressions.wordShingles($"t", 2).as("w"))
+      .head().getAs[scala.collection.Seq[String]]("w") shouldBe Seq("the quick", "quick brown")
+    // multiset preserved: repeated windows stay repeated
+    Seq("x y x y x y").toDF("t")
+      .select(VectorExpressions.wordShingles($"t", 4).as("w"))
+      .head().getAs[scala.collection.Seq[String]]("w") shouldBe
+      Seq("x y x y", "y x y x", "x y x y")
+  }
+
   it should "hash the token multiset when distinct=false" in {
     val got = Seq("a b a").toDF("t")
       .select(VectorExpressions.wordShingleHashes($"t", 1, distinct = false).as("h"))
