@@ -23,6 +23,7 @@ import java.time.Instant
  *   graft-cli --store <uri> changes <schema.table> <fromCommitId> <toCommitId>
  *   graft-cli --store <uri> vacuum <schema.table> <location> [--keep-last N] [--apply]
  *   graft-cli --store <uri> migrate
+ *   graft-cli --store <uri> export <destUri>
  * }}}
  * `--store` may be omitted when `GRAFT_STORE` is set or a config file exists
  * (`--config <path>`, default `~/.graft/config`): a simple `key: value` file
@@ -180,6 +181,18 @@ object GraftCli {
         }
       }
 
+      // the inverse of migrate: write this store's tables out as a store in
+      // the reference's (chronicles) layout, readable by the reference
+      case List("export", dest) =>
+        val destUri = try new URI(dest) catch {
+          case e: java.net.URISyntaxException =>
+            out.println(s"error: bad destination '$dest': ${e.getMessage}"); return 2
+        }
+        val exported = graft.sources.ChroniclesExport.exportAllTables(tracker, destUri)
+        if (exported.isEmpty) out.println("nothing to export")
+        else exported.foreach(t => out.println(s"exported  ${t.fullyQualifiedName}"))
+        0
+
       case List("migrate") =>
         // convert reference-layout (_chronicles_table_*) stores under the
         // root into graft-v2 layout; file store only (the JDBC store has no
@@ -196,7 +209,7 @@ object GraftCli {
 
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|changes|vacuum|migrate> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|changes|vacuum|migrate|export> ...""".stripMargin)
         2
     } catch {
       case e @ (_: UnknownTableError | _: UnknownCommitError) =>

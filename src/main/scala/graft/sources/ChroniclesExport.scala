@@ -1,0 +1,151 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.core._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import java.net.URI
+import java.nio.charset.StandardCharsets
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneId}
+
+/**
+ * Write-back interop: export a graft table's commit history as a store in the
+ * reference implementation's file layout, so the reference (or any tool built
+ * against it) can read what graft wrote. The inverse of
+ * [[FileBackedVersionTracker.migrateChroniclesTables]], and tracker-agnostic —
+ * it reads through the [[VersionTracker]] interface, so a JDBC-backed history
+ * exports the same way as a file-backed one.
+ *
+ * Layout and wire format follow the reference exactly
+ * (`files/src/main/scala/dev/chronicles/files/versiontracker/FileBackedVersionTracker.scala:157-175`,
+ * `JsonCodecs.scala:38-117`):
+ *
+ *   - directory `_chronicles_table_<schema>.<table>/`
+ *   - `table-metadata`: `{"is_snapshot": <bool>}`
+ *   - `head_ref`: `{"head_ref": "<commit id>"}`
+ *   - one `table_update_yyyy-MM-dd'T'HH-mm-ss.SSS` file per commit
+ *     (snake_case commit document; UTC-millis filename), with file names AND
+ *     mtimes strictly ascending in commit order — the reference reconstructs
+ *     history by sorting on (mtime, name)
+ *     (`FileBackedVersionTracker.scala:90-99`).
+ *
+ * The chronicles format stores partition values RAW (no path escaping), so a
+ * partition whose values would not survive its `Partition.parse` round-trip
+ * (values containing `/` or `=`, or empty) cannot be represented; export
+ * refuses loudly rather than writing a store the reference would misread.
+ */
+object ChroniclesExport {
+
+  private val mapper = new ObjectMapper()
+
+  private val FilenameFormat =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH-mm-ss.SSS").withZone(ZoneId.of("UTC"))
+
+  /** Export every table of the tracker; returns the exported names. */
+  def exportAllTables(
+      tracker: VersionTracker,
+      destRoot: URI,
+      conf: Configuration = new Configuration()): List[TableName] = {
+    val tables = tracker.tables()
+    tables.foreach(exportTable(tracker, _, destRoot, conf))
+    tables
+  }
+
+  /**
+   * Export one table's full history + head pointer. Refuses if the
+   * destination table directory already exists (an export is a snapshot copy,
+   * not an incremental sync) or if any partition value is unrepresentable in
+   * the reference's raw partition encoding.
+   */
+  def exportTable(
+      tracker: VersionTracker,
+      table: TableName,
+      destRoot: URI,
+      conf: Configuration = new Configuration()): Unit = {
+    val state = tracker.tableState(table) // throws UnknownTableError for unknown tables
+    val isSnapshot = tracker.isSnapshotTable(table)
+    state.updates.foreach(requireRepresentable(table, _))
+
+    val fs = FileSystem.get(destRoot, conf)
+    val dir = new Path(new Path(destRoot), "_chronicles_table_" + table.fullyQualifiedName)
+    if (fs.exists(dir))
+      throw new IllegalStateException(
+        s"Export destination $dir already exists; refusing to mix exported histories")
+    fs.mkdirs(dir)
+
+    write(fs, new Path(dir, "table-metadata"),
+      mapper.createObjectNode().put("is_snapshot", isSnapshot).toPrettyString)
+
+    // filenames derive from each commit's own timestamp, bumped by 1 ms on
+    // collision so names stay unique and strictly ascending in commit order;
+    // mtime is set to the same instant so the reference's (mtime, name) sort
+    // reconstructs exactly this order
+    var lastMillis = Long.MinValue
+    state.updates.foreach { update =>
+      val millis = math.max(update.metadata.timestamp.toEpochMilli, lastMillis + 1)
+      lastMillis = millis
+      val name = "table_update_" + FilenameFormat.format(Instant.ofEpochMilli(millis))
+      val p = new Path(dir, name)
+      write(fs, p, chroniclesUpdateJson(update))
+      fs.setTimes(p, millis, -1)
+    }
+
+    write(fs, new Path(dir, "head_ref"),
+      mapper.createObjectNode().put("head_ref", state.currentVersion.id).toPrettyString)
+  }
+
+  /** One commit rendered as the reference's snake_case commit document. */
+  def chroniclesUpdateJson(update: TableUpdate): String = {
+    val root = mapper.createObjectNode()
+    root.put("commit_id", update.metadata.id.id)
+    root.put("user_id", update.metadata.userId.value)
+    root.put("message", update.metadata.message)
+    root.put("timestamp", update.metadata.timestamp.toString)
+    val ops = root.putArray("operations")
+    update.operations.foreach { op =>
+      val n = mapper.createObjectNode()
+      op match {
+        case TableOperation.InitTable(t, snap) =>
+          n.put("type", "init-table")
+          n.put("table_name", t.fullyQualifiedName)
+          n.put("is_snapshot", snap)
+        case TableOperation.AddTableVersion(v) =>
+          n.put("type", "add-table-version")
+          n.put("version", v.label)
+        case TableOperation.AddPartitionVersion(p, v) =>
+          n.put("type", "add-partition-version")
+          n.put("partition", p.toPath)
+          n.put("version", v.label)
+        case TableOperation.RemovePartition(p) =>
+          n.put("type", "remove-partition")
+          n.put("partition", p.toPath)
+      }
+      ops.add(n)
+    }
+    root.toPrettyString
+  }
+
+  /** The chronicles wire format can only carry partitions whose RAW path form
+    * round-trips (no escaping exists there). */
+  private def requireRepresentable(table: TableName, update: TableUpdate): Unit = {
+    def check(p: Partition): Unit =
+      if (Partition.parse(p.toPath) != Right(p))
+        throw new IllegalArgumentException(
+          s"Partition '${p.toPath}' of $table (commit ${update.metadata.id.id}) cannot be " +
+            "represented in the reference's raw partition encoding (value contains " +
+            "path-special characters); the chronicles layout has no escaping for it")
+    update.operations.foreach {
+      case TableOperation.AddPartitionVersion(p, _) => check(p)
+      case TableOperation.RemovePartition(p)        => check(p)
+      case _                                        => ()
+    }
+  }
+
+  private def write(fs: FileSystem, path: Path, content: String): Unit = {
+    val out = fs.create(path, false)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

@@ -230,6 +230,26 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     Files.exists(root.resolve("_graft_table_ref.t").resolve("table-metadata.json")) shouldBe true
   }
 
+  it should "export a store into the reference layout, readable back end-to-end" in {
+    val src = Files.createTempDirectory("graft-cli-export-src-").toUri.toString
+    val dst = Files.createTempDirectory("graft-cli-export-dst-")
+    def scli(args: String*): (Int, String) = {
+      val sw = new StringWriter()
+      (GraftCli.run(List("--store", src) ++ args.toList, new PrintWriter(sw, true)), sw.toString)
+    }
+    scli("init", "exp.t")._1 shouldBe 0
+    scli("partition", "add", "exp.t", "date=2024-05-01")._1 shouldBe 0
+    val (c, out) = scli("export", dst.toUri.toString)
+    c shouldBe 0
+    out should include("exported  exp.t")
+    Files.exists(dst.resolve("_chronicles_table_exp.t").resolve("head_ref")) shouldBe true
+    // the exported store is a fully usable chronicles-layout store for the CLI
+    val sw = new StringWriter()
+    GraftCli.run(List("--store", dst.toUri.toString, "partitions", "exp.t"),
+      new PrintWriter(sw, true)) shouldBe 0
+    sw.toString should include("date=2024-05-01")
+  }
+
   it should "degrade to no-config on unreadable or malformed config paths" in {
     // a directory at the config path must not crash commands that pass --store
     val dir = Files.createTempDirectory("graft-config-dir-")

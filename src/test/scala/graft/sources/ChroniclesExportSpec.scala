@@ -1,0 +1,151 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.core._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import java.nio.file.Files
+import java.time.Instant
+
+/**
+ * Write-back interop: a graft history exported by [[ChroniclesExport]] must
+ * form a store in the reference's layout, readable back (by graft's own
+ * chronicles-compat reader, which is pinned against the reference's golden
+ * fixtures in ChroniclesCompatSpec) with identical history and head.
+ */
+class ChroniclesExportSpec extends AnyFlatSpec with Matchers {
+
+  private val table = TableName("db", "events")
+  private val mapper = new ObjectMapper()
+
+  private def newFileTracker(): (FileBackedVersionTracker, java.nio.file.Path) = {
+    val root = Files.createTempDirectory("graft-export-src-")
+    (new FileBackedVersionTracker(root.toUri), root)
+  }
+
+  /** init + two partition commits + a remove, then check out the middle commit. */
+  private def populate(tracker: VersionTracker): (Version, Version) = {
+    val v1 = Version.generate()
+    val v2 = Version.generate()
+    tracker.initTable(table, isSnapshot = false, UserId("u1"), "init", Instant.parse("2024-01-01T00:00:00Z"))
+    tracker.commit(table, TableUpdate(UserId("u2"), "day 1", Instant.parse("2024-01-02T00:00:00.123Z"),
+      List(TableOperation.AddPartitionVersion(Partition("date", "2024-01-01"), v1))))
+    tracker.commit(table, TableUpdate(UserId("u3"), "day 2 + drop day 1", Instant.parse("2024-01-03T00:00:00Z"),
+      List(
+        TableOperation.AddPartitionVersion(Partition("date", "2024-01-02"), v2),
+        TableOperation.RemovePartition(Partition("date", "2024-01-01")))))
+    (v1, v2)
+  }
+
+  "ChroniclesExport" should "round-trip a file-backed history through the reference layout" in {
+    val (src, _) = newFileTracker()
+    val (v1, _) = populate(src)
+    // head at the MIDDLE commit: export must carry the checked-out pointer
+    val midCommit = src.tableState(table).updates(1).metadata.id
+    src.setCurrentVersion(table, midCommit)
+
+    val dest = Files.createTempDirectory("graft-export-dst-")
+    ChroniclesExport.exportTable(src, table, dest.toUri)
+
+    // layout written as the reference expects
+    val dir = dest.resolve("_chronicles_table_db.events")
+    Files.exists(dir.resolve("table-metadata")) shouldBe true
+    Files.exists(dir.resolve("head_ref")) shouldBe true
+    val commitFiles = Files.list(dir).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(commitFiles).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("table_update_")).toList.sorted
+    names should have length 3
+    all(names) should fullyMatch regex "table_update_\\d{4}-\\d{2}-\\d{2}T\\d{2}-\\d{2}-\\d{2}\\.\\d{3}"
+
+    // ...and graft's chronicles-layout reader reconstructs the identical state
+    val back = new FileBackedVersionTracker(dest.toUri)
+    back.tables() shouldBe List(table)
+    val orig = src.tableState(table)
+    val read = back.tableState(table)
+    read.updates shouldBe orig.updates
+    read.currentVersion shouldBe midCommit
+    back.isSnapshotTable(table) shouldBe false
+    // the checked-out head resolves to the mid-commit's view
+    back.currentVersion(table) shouldBe PartitionedTableVersion(
+      Map(Partition("date", "2024-01-01") -> v1))
+  }
+
+  it should "export a JDBC-backed history the same way (tracker-agnostic)" in {
+    val db = Files.createTempDirectory("graft-export-jdbc-").resolve("db")
+    val src = new JdbcVersionTracker(s"jdbc:derby:$db;create=true")
+    populate(src)
+
+    val dest = Files.createTempDirectory("graft-export-dst2-")
+    ChroniclesExport.exportAllTables(src, dest.toUri) shouldBe List(table)
+
+    val back = new FileBackedVersionTracker(dest.toUri)
+    back.tableState(table).updates shouldBe src.tableState(table).updates
+    back.currentVersion(table) shouldBe src.currentVersion(table)
+    src.close()
+  }
+
+  it should "render the reference's snake_case commit document" in {
+    val v = Version.generate()
+    val json = ChroniclesExport.chroniclesUpdateJson(TableUpdate(
+      TableUpdateMetadata(CommitId("c-1"), UserId("me"), "msg", Instant.parse("2021-12-03T10:15:30.01Z")),
+      List(
+        TableOperation.InitTable(table, isSnapshot = true),
+        TableOperation.AddTableVersion(v),
+        TableOperation.AddPartitionVersion(Partition("date", "2024-01-01"), v),
+        TableOperation.RemovePartition(Partition("date", "2024-01-01")))))
+    val n = mapper.readTree(json)
+    n.get("commit_id").asText shouldBe "c-1"
+    n.get("user_id").asText shouldBe "me"
+    n.get("message").asText shouldBe "msg"
+    n.get("timestamp").asText shouldBe "2021-12-03T10:15:30.010Z"
+    n.has("formatVersion") shouldBe false // graft marker must NOT leak
+    val ops = n.get("operations")
+    ops.get(0).get("type").asText shouldBe "init-table"
+    ops.get(0).get("table_name").asText shouldBe "db.events"
+    ops.get(0).get("is_snapshot").asBoolean shouldBe true
+    ops.get(1).get("version").asText shouldBe v.label
+    ops.get(2).get("partition").asText shouldBe "date=2024-01-01"
+    ops.get(3).get("type").asText shouldBe "remove-partition"
+  }
+
+  it should "keep filenames unique and ascending for same-millisecond commits" in {
+    val (src, _) = newFileTracker()
+    val ts = Instant.parse("2024-06-01T00:00:00Z")
+    src.initTable(table, isSnapshot = false, UserId("u"), "init", ts)
+    (1 to 3).foreach { i =>
+      src.commit(table, TableUpdate(UserId("u"), s"c$i", ts, // identical timestamps
+        List(TableOperation.AddPartitionVersion(Partition("date", s"2024-06-0$i"), Version.generate()))))
+    }
+    val dest = Files.createTempDirectory("graft-export-dst3-")
+    ChroniclesExport.exportTable(src, table, dest.toUri)
+    val back = new FileBackedVersionTracker(dest.toUri)
+    back.tableState(table).updates.map(_.metadata.message) shouldBe
+      src.tableState(table).updates.map(_.metadata.message)
+  }
+
+  it should "refuse partitions the raw chronicles encoding cannot represent" in {
+    val (src, _) = newFileTracker()
+    src.initTable(table, isSnapshot = false, UserId("u"), "init", Instant.now())
+    src.commit(table, TableUpdate(UserId("u"), "weird", Instant.now(),
+      List(TableOperation.AddPartitionVersion(Partition("k", "a=b"), Version.generate()))))
+    val dest = Files.createTempDirectory("graft-export-dst4-")
+    val e = intercept[IllegalArgumentException] {
+      ChroniclesExport.exportTable(src, table, dest.toUri)
+    }
+    e.getMessage should include("cannot be represented")
+  }
+
+  it should "refuse an existing destination and unknown tables" in {
+    val (src, _) = newFileTracker()
+    populate(src)
+    val dest = Files.createTempDirectory("graft-export-dst5-")
+    ChroniclesExport.exportTable(src, table, dest.toUri)
+    intercept[IllegalStateException] {
+      ChroniclesExport.exportTable(src, table, dest.toUri)
+    }.getMessage should include("already exists")
+    intercept[UnknownTableError] {
+      ChroniclesExport.exportTable(src, TableName("no", "such"), dest.toUri)
+    }
+  }
+}
