@@ -166,4 +166,21 @@ object TextFunctions {
     * order only matters for determinism of the spec, not the result). */
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRegex, "<EMAIL>"), UrlRegex, "<URL>")
+
+  // --- cleaning / normalization ---
+
+  /** Markup tags `<...>` (non-greedy to the first `>`). Tag-level stripping
+    * only — entity decoding and script-content removal are corpus-specific
+    * policy, not a engine primitive. */
+  val HtmlTagRegex: String = "<[^>]*>"
+
+  /** Replace markup tags with spaces (so `a<br>b` keeps a token boundary). */
+  def stripHtml(text: Column): Column = regexp_replace(text, HtmlTagRegex, " ")
+
+  /** Collapse whitespace runs to single spaces and trim the ends. */
+  def collapseWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** The standard web-text cleaning pass: strip tags, normalize whitespace. */
+  def cleanText(text: Column): Column = collapseWhitespace(stripHtml(text))
 }

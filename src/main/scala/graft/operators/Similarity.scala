@@ -140,6 +140,35 @@ object Similarity {
         .withColumn("cosine", cosine(col("qv"), col("cv"))), k)
   }
 
+  /**
+   * Embedding clustering as a first-class operator: assign every vector to
+   * its nearest centroid (same deterministic learnCentroids + argmin-by-
+   * cosine assignment every IVF variant shares), returning
+   * `(id, cell, cos)` — the cosine similarity to the assigned centroid.
+   * This is the k-means corpus-partitioning step of an embedding pipeline
+   * (topic bucketing, stratified curation, IVF cell layout) exposed
+   * directly. Centroids broadcast; the only per-row cost is the nlist-way
+   * expansion + argmin window, so the shape is scan-linear at any corpus
+   * size.
+   */
+  def clusterAssign(
+      df: DataFrame, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      precomputedCentroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroids = precomputedCentroids.getOrElse(learnCentroids(df, nlist, idCol = idCol, vecCol = vecCol))
+    val centroidDf = broadcast(centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("cell"))
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(centroidDf)
+      .withColumn("cos", cosine(col(vecCol), col("centroid")))
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") === 1)
+      .select(col(idCol), col("cell"), col("cos"))
+  }
+
   /** The ONE centroid-learning path every IVF variant shares (ad-hoc
     * [[ivfTopK]], the persisted [[VectorIndex]], and the oracle replay):
     * deterministic sample (first `sampleSize` rows by `idCol`) + seeded

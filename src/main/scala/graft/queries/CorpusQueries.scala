@@ -82,6 +82,22 @@ object CorpusQueries {
       CorpusTools.docCommonness(Tables.documents(s, d), idCol = "doc_id", textCol = "text")
         .select("doc_id", "n_tokens", "sum_counts", "commonness")),
 
+    // web-text cleaning: strip markup, collapse whitespace — over a
+    // deterministic HTML wrapping of each doc (the fixture has no markup)
+    "q_clean_text" -> ((s, d) => {
+      val html = concat(
+        lit("<html><body>\n  <p class=\"c\">"), col("text"),
+        lit("</p><br/>\n\n<div>footer "), col("doc_id").cast("string"),
+        lit("</div>\n</body></html>"))
+      Tables.documents(s, d)
+        .withColumn("html", html)
+        .select(
+          col("doc_id"),
+          length(col("html")).as("n_raw"),
+          TextFunctions.cleanText(col("html")).as("cleaned"))
+        .withColumn("n_clean", length(col("cleaned")))
+    }),
+
     // PII scan over the synthetic contact block: extraction counts, first
     // matches, and the redacted text
     "q_pii_extract" -> ((s, d) => {
@@ -190,6 +206,20 @@ object CorpusQueries {
          |  CAST(SUM(corpus_count) AS DOUBLE) / COUNT(*) AS commonness
          |FROM toks JOIN vocab USING (token)
          |GROUP BY doc_id""".stripMargin,
+
+    "q_clean_text" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    '<html><body>' || chr(10) || '  <p class="c">' || text ||
+         |    '</p><br/>' || chr(10) || chr(10) || '<div>footer ' ||
+         |    CAST(doc_id AS VARCHAR) || '</div>' || chr(10) || '</body></html>' AS html
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, length(html) AS n_raw,
+         |    trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+         |                        '\\s+', ' ', 'g')) AS cleaned
+         |  FROM h)
+         |SELECT doc_id, n_raw, cleaned, length(cleaned) AS n_clean FROM c""".stripMargin,
 
     "q_pii_extract" ->
       s"""WITH c AS (SELECT doc_id, $contactSql AS contact FROM documents)

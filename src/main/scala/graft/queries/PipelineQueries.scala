@@ -257,6 +257,24 @@ object PipelineQueries {
         precomputedCentroids = Some(ivfCentroids(s, d)))
     }),
 
+    // embedding clustering: every vector labeled with its nearest k-means
+    // cell (the corpus-partitioning step of an embedding pipeline, and
+    // exactly the assignment the IVF paths persist), plus the cell size.
+    // Oracled via the same centroid-literal replay as q_ann_ivf. The raw
+    // cosine stays out of the driver output: DuckDB's list_inner_product
+    // rounds differently (FMA/SIMD) when one side is a constant vector, so
+    // a table×literal cosine is not hash-replayable — the ASSIGNMENT is
+    // (ulp noise can only flip an argmax between centroids tied within
+    // ~1e-16, which well-separated k-means cells never are).
+    "q_embed_cluster" -> ((s, d) => {
+      val assigned = Similarity.clusterAssign(Tables.embeddings(s, d), nlist = 16,
+        precomputedCentroids = Some(ivfCentroids(s, d)))
+      assigned
+        .withColumn("cell_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
+        .select("vec_id", "cell", "cell_size")
+    }),
+
     "q_dedup_embedding" -> ((s, d) =>
       // exact all-pairs (planes=0): this embedding table has no true near-
       // dups (max cosine ~0.5-0.6 by scale), so the demo threshold is low and
@@ -418,6 +436,34 @@ object PipelineQueries {
        |WHERE "rank" <= $k""".stripMargin
   }
 
+  /** The q_embed_cluster oracle: the assignment CTE of [[ivfOracleSql]] plus
+    * per-cell counts. Cosines are used only for the argmax (robust to the
+    * table×constant FMA rounding DuckDB's list_inner_product applies — a
+    * flip needs two centroids tied within ulps); the OUTPUT is integral. */
+  private def clusterOracleSql(centroids: Array[Array[Float]]): String = {
+    val values = centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n      ")
+    s"""WITH cents AS (
+       |  SELECT cell, cv, SQRT(list_inner_product(cv, cv)) AS cn
+       |  FROM (VALUES
+       |      $values) AS t(cell, cv)),
+       |v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+       |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                            CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_inner_product(v.dv, c.cv) / (v.nrm * c.cn) DESC, c.cell) AS rn
+       |    FROM v CROSS JOIN cents c)
+       |  WHERE rn = 1)
+       |SELECT vec_id, cell, COUNT(*) OVER (PARTITION BY cell) AS cell_size
+       |FROM assigned""".stripMargin
+  }
+
   /** Replay SimHash in DuckDB with the corpus token-hash dictionary embedded
     * as literals: per-OCCURRENCE ±1 votes on each of 32 bits (bit set iff
     * votes > 0 — the pinned kernel rule), then the full quadratic Hamming
@@ -459,7 +505,8 @@ object PipelineQueries {
     val ivf = soleRegistered(ivfCentroidCache) match {
       case Some(cents) =>
         val sql = ivfOracleSql(cents, k = 10, nprobe = 4)
-        Map("q_ann_ivf" -> sql, "q_ann_ivf_index" -> sql)
+        Map("q_ann_ivf" -> sql, "q_ann_ivf_index" -> sql,
+          "q_embed_cluster" -> clusterOracleSql(cents))
       case None => Map.empty[String, String]
     }
     val simhash = soleRegistered(simhashDictCache) match {

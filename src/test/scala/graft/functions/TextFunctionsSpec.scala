@@ -129,6 +129,17 @@ class TextFunctionsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "cleanText" should "strip tags with token boundaries and collapse whitespace" in {
+    one[String](cleanText($"t"),
+      "<html><body><p class=\"x\">hello<br>world</p>\n\n  <div>bye</div></body></html>") shouldBe
+      "hello world bye"
+    // attributes with '>' inside quotes are NOT handled (tag-level regex, by
+    // contract); plain text passes through untouched modulo whitespace
+    one[String](cleanText($"t"), "  no   markup\there ") shouldBe "no markup here"
+    one[String](stripHtml($"t"), "a<br/>b") shouldBe "a b"
+    one[String](collapseWhitespace($"t"), " a \n\n b\t c ") shouldBe "a b c"
+  }
+
   "fingerprints" should "be stable and shingle-min robust to word appends" in {
     val t = "the quick brown fox jumps over the lazy dog"
     one[String](docFingerprint($"t"), t) shouldBe one[String](docFingerprint($"t"), t + " ")

@@ -102,6 +102,38 @@ class SimilaritySpec extends AnyFlatSpec with Matchers {
     (top % 7) shouldBe 3
   }
 
+  "clusterAssign" should "label every vector with its nearest cell, matching ivf assignment" in {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = Similarity.learnCentroids(emb, nlist = 8)
+    val assigned = Similarity.clusterAssign(emb, nlist = 8,
+      precomputedCentroids = Some(centroids))
+    assigned.count() shouldBe emb.count() // total: every vector exactly once
+    assigned.select("cell").distinct().count() should be <= 8L
+    // cosines are genuine: each equals cosine(vec, centroid[cell]) recomputed
+    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+    val recomputed = assigned.join(cents, "cell")
+      .join(emb, "vec_id")
+      .withColumn("expect", Similarity.cosine(col("embedding"), col("centroid")))
+      .filter(col("cos") =!= col("expect"))
+    recomputed.count() shouldBe 0
+  }
+
+  it should "put planted tight clusters into distinct cells" in {
+    // two orthogonal bundles of near-identical vectors
+    val planted = (0 until 16).map { i =>
+      val base = if (i < 8) Array.tabulate(8)(d => if (d == 0) 1.0f else 0.01f * i)
+                 else Array.tabulate(8)(d => if (d == 7) 1.0f else 0.01f * i)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.clusterAssign(planted, nlist = 2)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val cellsA = (0L until 8L).map(out).toSet
+    val cellsB = (8L until 16L).map(out).toSet
+    cellsA.size shouldBe 1
+    cellsB.size shouldBe 1
+    cellsA should not be cellsB
+  }
+
   "embeddingNearDupPairs" should "find planted near-duplicates" in {
     val planted = Seq(
       (100L, Array.fill(8)(0.5f)),
