@@ -105,10 +105,10 @@ object Similarity {
 
   /**
    * IVF (inverted-file) approximate top-k: learn `nlist` centroids from a
-   * driver-side sample (Lloyd's k-means, deterministic seeded init),
-   * broadcast them, assign every candidate to its nearest centroid (one
-   * 16x-ish row expansion + argmin window — no UDFs), and probe only the
-   * `nprobe` nearest cells per query. The classic production ANN layout:
+   * driver-side sample (Lloyd's k-means, deterministic seeded init), assign
+   * every candidate to its nearest centroid (scan-local [[nearestCell]] —
+   * no row expansion, no shuffle, no UDFs), and probe only the `nprobe`
+   * nearest cells per query. The classic production ANN layout:
    * the candidate side is partitioned by cell, so a query touches
    * nprobe/nlist of the data; centroid learning is O(sample), never O(N).
    */
@@ -127,9 +127,12 @@ object Similarity {
     val centroidDf = broadcast(centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid"))
 
-    // 2. cell assignment by argmin cosine distance (rank over the expansion)
-    val c = assignCells(candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-      "neighbor_id", "cv", centroidDf, probes = 1)
+    // 2. cell assignment: the BIG candidate side is scan-local (literal
+    // centroids, no shuffle — nearestCell); only the tiny query side, which
+    // needs the top-nprobe cells rather than the argmax, pays the
+    // expansion+window formulation
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      nearestCellId(col(vecCol), centroids).as("cell"))
     val q = assignCells(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "query_id", "qv", centroidDf, probes = nprobe)
 
@@ -142,31 +145,76 @@ object Similarity {
 
   /**
    * Embedding clustering as a first-class operator: assign every vector to
-   * its nearest centroid (same deterministic learnCentroids + argmin-by-
+   * its nearest centroid (same deterministic learnCentroids + argmax-by-
    * cosine assignment every IVF variant shares), returning
    * `(id, cell, cos)` — the cosine similarity to the assigned centroid.
    * This is the k-means corpus-partitioning step of an embedding pipeline
    * (topic bucketing, stratified curation, IVF cell layout) exposed
-   * directly. Centroids broadcast; the only per-row cost is the nlist-way
-   * expansion + argmin window, so the shape is scan-linear at any corpus
-   * size.
+   * directly. The assignment is SCAN-LOCAL ([[nearestCell]]): centroids are
+   * embedded as literals, every row computes its nlist cosines and argmax
+   * inside one codegen'd projection — no row expansion, no shuffle, no
+   * window. The plan is a bare scan+project at any corpus size.
    */
   def clusterAssign(
       df: DataFrame, nlist: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
       precomputedCentroids: Option[Array[Array[Float]]] = None): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val centroids = precomputedCentroids.getOrElse(learnCentroids(df, nlist, idCol = idCol, vecCol = vecCol))
-    val centroidDf = broadcast(centroids.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("cell"))
-    df.select(col(idCol), col(vecCol))
-      .crossJoin(centroidDf)
-      .withColumn("cos", cosine(col(vecCol), col("centroid")))
-      .withColumn("cell_rank", row_number().over(w))
-      .filter(col("cell_rank") === 1)
-      .select(col(idCol), col("cell"), col("cos"))
+    df.select(col(idCol), nearestCell(col(vecCol), centroids).as("best"))
+      .select(col(idCol), (-col("best.negcell")).as("cell"), col("best.cos").as("cos"))
+  }
+
+  /**
+   * Scan-local nearest-centroid assignment: a struct `(cos, negcell)` whose
+   * max over the per-centroid array IS the argmax (cosine desc, then
+   * SMALLEST cell — struct ordering on (cos, -cell) reproduces exactly the
+   * `ORDER BY cos DESC, cell` tiebreak of the window formulation, including
+   * NaN-greatest ordering for degenerate zero vectors). Centroid norms are
+   * folded on the driver with the same left-to-right double accumulation as
+   * [[dot]]/sqrt, so `cos` is bit-identical to `cosine(vec, centroid)`
+   * computed via expressions. Replaces a crossJoin+window (N×nlist row
+   * expansion + full shuffle on id) with a single codegen'd projection.
+   */
+  private[operators] def nearestCell(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val vnorm = l2norm(vec)
+    val entries = centroids.zipWithIndex.map { case (cv, i) =>
+      val cn = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      struct((dot(vec, typedlit(cv)) / (vnorm * lit(cn))).as("cos"), lit(-i).as("negcell"))
+    }
+    array_max(array(entries: _*))
+  }
+
+  /** Shorthand for the assigned cell id of [[nearestCell]]. */
+  private[operators] def nearestCellId(vec: Column, centroids: Array[Array[Float]]): Column =
+    -nearestCell(vec, centroids).getField("negcell")
+
+  /**
+   * SemDeDup-style semantic near-duplicate pairs (cf. Abbas et al. 2023,
+   * arXiv:2303.09540): block by k-means cluster instead of LSH bucket —
+   * assign every vector to its nearest centroid ([[nearestCell]], scan-local)
+   * and compare pairs only WITHIN a cell, keeping cosine >= `threshold`.
+   * This is the published scale recipe for embedding-level corpus dedup: the
+   * within-cell quadratic is bounded by the cell size (nlist grows with the
+   * corpus), the cell key is an equi-join key (one shuffle on `cell`), and
+   * true semantic dups land in the same cell with high probability because
+   * they are near the same centroid. Output (id1, id2, cell, cosine),
+   * id1 < id2.
+   */
+  def semanticNearDupPairs(
+      vectors: DataFrame, threshold: Double = 0.95, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      precomputedCentroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centroids = precomputedCentroids.getOrElse(
+      learnCentroids(vectors, nlist, idCol = idCol, vecCol = vecCol))
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nrm"),
+      nearestCellId(col(vecCol), centroids).as("cell"))
+    v.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("cosine", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.cell").as("cell"), col("cosine"))
   }
 
   /** The ONE centroid-learning path every IVF variant shares (ad-hoc

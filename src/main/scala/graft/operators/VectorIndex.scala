@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
  *
  *  - **Build** learns `nlist` centroids (driver-side sample, deterministic
  *    k-means — [[Similarity.kmeans]]), assigns every vector to its nearest
- *    cell (the same [[Similarity.assignCells]] the ad-hoc `ivfTopK` uses),
+ *    cell (the same [[Similarity.nearestCell]] the ad-hoc `ivfTopK` uses —
+ *    scan-local, literal centroids, no shuffle),
  *    and commits the index with REPLACE-ALL semantics
  *    (`versionedReplaceAll`): cells absent from the new build are removed in
  *    the same atomic commit, so a rebuild with different geometry (or fewer
@@ -58,11 +59,12 @@ object VectorIndex {
     val centroidDf = centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF(CellCol, "centroid")
 
-    val assigned = Similarity.assignCells(
-      vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
-      "vec_id", "embedding", broadcast(centroidDf), probes = 1)
-      .select(col("vec_id"), col("embedding"),
-        concat(lit("c"), col(CellCol)).as(CellCol))
+    // scan-local assignment (literal centroids, no shuffle) — the whole
+    // build is then scan -> project -> repartition(cell) -> write
+    val assigned = vectors
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        concat(lit("c"),
+          Similarity.nearestCellId(col(vecCol), centroids)).as(CellCol))
 
     val centroidRows = centroidDf.select(
       col(CellCol).cast("long").as("vec_id"),

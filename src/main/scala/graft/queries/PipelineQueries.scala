@@ -269,11 +269,24 @@ object PipelineQueries {
     "q_embed_cluster" -> ((s, d) => {
       val assigned = Similarity.clusterAssign(Tables.embeddings(s, d), nlist = 16,
         precomputedCentroids = Some(ivfCentroids(s, d)))
-      assigned
-        .withColumn("cell_size",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
-        .select("vec_id", "cell", "cell_size")
+      // cell sizes via aggregate + broadcast join-back, NOT count-over-window:
+      // a window partitioned by `cell` would shuffle the whole corpus into
+      // nlist partitions (max parallelism 16 at any scale); the aggregate is
+      // map-side partial over the scan-local assignment and the join-back
+      // broadcasts nlist rows
+      val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("cell_size"))
+      assigned.join(broadcast(sizes), "cell").select("vec_id", "cell", "cell_size")
     }),
+
+    // SemDeDup-style semantic dedup pair mining: k-means cluster blocking
+    // (the published embedding-dedup scale recipe — within-cell pairs only,
+    // cell assignment scan-local over literal centroids). Oracled by the
+    // same centroid-literal replay: DuckDB reassigns cells and mines the
+    // same within-cell pairs; the pair COSINES are table×table
+    // list_inner_product — bit-exact, as q_dedup_embedding proved.
+    "q_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticNearDupPairs(Tables.embeddings(s, d), threshold = 0.4,
+        nlist = 16, precomputedCentroids = Some(ivfCentroids(s, d)))),
 
     "q_dedup_embedding" -> ((s, d) =>
       // exact all-pairs (planes=0): this embedding table has no true near-
@@ -464,6 +477,37 @@ object PipelineQueries {
        |FROM assigned""".stripMargin
   }
 
+  /** The q_semantic_dedup oracle: same assignment CTE, then the within-cell
+    * pair mining. Pair cosines are table×table list_inner_product over the
+    * stored vectors — the bit-exact case (q_dedup_embedding's proof); only
+    * the cell BLOCKING rests on the ulp-robust argmax. */
+  private def semanticDedupOracleSql(centroids: Array[Array[Float]], threshold: Double): String = {
+    val values = centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n      ")
+    s"""WITH cents AS (
+       |  SELECT cell, cv, SQRT(list_inner_product(cv, cv)) AS cn
+       |  FROM (VALUES
+       |      $values) AS t(cell, cv)),
+       |v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+       |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                            CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, dv, nrm, cell FROM (
+       |    SELECT v.vec_id, v.dv, v.nrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_inner_product(v.dv, c.cv) / (v.nrm * c.cn) DESC, c.cell) AS rn
+       |    FROM v CROSS JOIN cents c)
+       |  WHERE rn = 1)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2, a.cell,
+       |  list_inner_product(a.dv, b.dv) / (a.nrm * b.nrm) AS cosine
+       |FROM assigned a JOIN assigned b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE list_inner_product(a.dv, b.dv) / (a.nrm * b.nrm) >= $threshold""".stripMargin
+  }
+
   /** Replay SimHash in DuckDB with the corpus token-hash dictionary embedded
     * as literals: per-OCCURRENCE ±1 votes on each of 32 bits (bit set iff
     * votes > 0 — the pinned kernel rule), then the full quadratic Hamming
@@ -506,7 +550,8 @@ object PipelineQueries {
       case Some(cents) =>
         val sql = ivfOracleSql(cents, k = 10, nprobe = 4)
         Map("q_ann_ivf" -> sql, "q_ann_ivf_index" -> sql,
-          "q_embed_cluster" -> clusterOracleSql(cents))
+          "q_embed_cluster" -> clusterOracleSql(cents),
+          "q_semantic_dedup" -> semanticDedupOracleSql(cents, threshold = 0.4))
       case None => Map.empty[String, String]
     }
     val simhash = soleRegistered(simhashDictCache) match {

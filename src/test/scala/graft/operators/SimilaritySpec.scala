@@ -134,6 +134,42 @@ class SimilaritySpec extends AnyFlatSpec with Matchers {
     cellsA should not be cellsB
   }
 
+  "semanticNearDupPairs" should "find planted dups within cells and never cross cells" in {
+    // two orthogonal bundles; dups planted inside each bundle
+    val planted = (0 until 12).map { i =>
+      val bundle = i / 6
+      val jitter = 0.001f * (i % 6)
+      val base = Array.tabulate(8)(d =>
+        if (d == bundle * 7) 1.0f else jitter)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticNearDupPairs(planted, threshold = 0.99, nlist = 2)
+      .select("id1", "id2", "cell").as[(Long, Long, Int)].collect()
+    pairs.nonEmpty shouldBe true
+    // all mined pairs stay within a bundle (cells separate the bundles)
+    pairs.foreach { case (a, b, _) => (a / 6) shouldBe (b / 6) }
+    // ordering contract
+    pairs.foreach { case (a, b, _) => a should be < b }
+  }
+
+  it should "agree with clusterAssign blocking + exact cosine on real data" in {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = Similarity.learnCentroids(emb, nlist = 8)
+    val pairs = Similarity.semanticNearDupPairs(emb, threshold = 0.3, nlist = 8,
+      precomputedCentroids = Some(centroids))
+    // reference: assign via clusterAssign, then plain within-cell pair join
+    val assigned = Similarity.clusterAssign(emb, nlist = 8,
+      precomputedCentroids = Some(centroids))
+      .join(emb, "vec_id").select($"vec_id", $"cell", $"embedding")
+    val expect = assigned.as("a").join(assigned.as("b"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cosine", Similarity.cosine($"a.embedding", $"b.embedding"))
+      .filter($"cosine" >= 0.3)
+      .select($"a.vec_id".as("id1"), $"b.vec_id".as("id2"), $"a.cell".as("cell"), $"cosine")
+    pairs.exceptAll(expect).count() shouldBe 0
+    expect.exceptAll(pairs).count() shouldBe 0
+  }
+
   "embeddingNearDupPairs" should "find planted near-duplicates" in {
     val planted = Seq(
       (100L, Array.fill(8)(0.5f)),

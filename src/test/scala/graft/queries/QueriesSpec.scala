@@ -17,7 +17,8 @@ class QueriesSpec extends AnyFlatSpec with Matchers {
     // data-derived oracles (IVF centroid literals, SimHash token-hash
     // dictionary) appear only after their query has run in this JVM —
     // exactly how Verify dumps them
-    val dataDerived = Set("q_ann_ivf", "q_ann_ivf_index", "q_dedup_simhash")
+    val dataDerived = Set("q_ann_ivf", "q_ann_ivf_index", "q_dedup_simhash",
+      "q_embed_cluster", "q_semantic_dedup")
     val declared = graft.SparkEntry.queries.keySet
     graft.SparkEntry.oracleSql.keySet.subsetOf(declared) shouldBe true
     (declared -- graft.SparkEntry.oracleSql.keySet -- dataDerived) shouldBe rowsOnly
