@@ -33,8 +33,11 @@ case class MediaFeatures(
  * IMAGE payloads are decoded for real via `javax.imageio` (ships in the JDK:
  * PNG/BMP/GIF/JPEG readers) — width/height come from the actual bitmap
  * header and brightness is the mean RGB level over the decoded pixels.
- * Audio/video decoding remains a documented deterministic STUB (no media
- * codecs in this container); the plumbing around it is production-shaped.
+ * AUDIO payloads are decoded for real via `javax.sound.sampled` (the JDK's
+ * WAV/AIFF/AU readers) — sample rate, channel count and frame count come
+ * from the actual container header, amplitude from the PCM samples.
+ * VIDEO decoding remains a documented deterministic STUB (no video codec
+ * ships in any JDK); the plumbing around it is production-shaped.
  */
 object Multimodal {
 
@@ -42,10 +45,13 @@ object Multimodal {
     * size knob of mapInPandas). */
   val DecodeBatchSize = 64
 
-  /** Decode one record. Images go through the real codec; audio/video fall
-    * through to the stub. */
-  private def decode(r: MediaRecord): MediaFeatures =
-    if (r.kind == "image") decodeImage(r) else decodeStub(r)
+  /** Decode one record. Images and audio go through the real JDK codecs;
+    * video falls through to the stub. */
+  private def decode(r: MediaRecord): MediaFeatures = r.kind match {
+    case "image" => decodeImage(r)
+    case "audio" => decodeAudio(r)
+    case _       => decodeStub(r)
+  }
 
   /**
    * REAL image decode via `javax.imageio`: parses the actual payload bytes
@@ -89,10 +95,49 @@ object Multimodal {
   }
 
   /**
-   * STUB DECODER for audio/video — no media codecs ship in this container.
-   * Deterministic fake: dimensions derive from the payload length, brightness
-   * is the mean unsigned byte value. This is the remaining seam for a real
-   * ffmpeg-style binding; everything around it is production-shaped.
+   * REAL audio decode via `javax.sound.sampled` (ships in the JDK: WAV, AIFF,
+   * AU readers): parses the actual container header for sample rate, channel
+   * count and frame count, then reads the PCM stream for the mean absolute
+   * 16-bit sample amplitude. Feature mapping onto the shared schema:
+   * `width` = sample rate (Hz), `height` = channels, `n_frames` = PCM frame
+   * count, `brightness` = mean |sample| (0 for formats other than 16-bit
+   * little-endian PCM — rate/frames still decode). Unparsable payloads yield
+   * a zero-dimension row, same contract as [[decodeImage]].
+   */
+  private def decodeAudio(r: MediaRecord): MediaFeatures = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null)
+      MediaFeatures(r.media_id, r.kind, r.bytes.length, 0, 0, 1, 0.0)
+    else
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength.toInt
+        val amplitude =
+          if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+            val pcm = ais.readAllBytes()
+            var sum = 0L
+            var i = 0
+            while (i + 1 < pcm.length) {
+              sum += math.abs(((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort.toInt)
+              i += 2
+            }
+            val samples = pcm.length / 2
+            if (samples == 0) 0.0 else sum.toDouble / samples
+          } else 0.0
+        MediaFeatures(r.media_id, r.kind, r.bytes.length,
+          fmt.getSampleRate.toInt, fmt.getChannels, frames, amplitude)
+      } finally ais.close()
+  }
+
+  /**
+   * STUB DECODER for video — no video codec ships in any JDK. Deterministic
+   * fake: dimensions derive from the payload length, brightness is the mean
+   * unsigned byte value. This is the remaining seam for a real ffmpeg-style
+   * binding; everything around it is production-shaped.
    */
   private def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.bytes.length
@@ -171,10 +216,51 @@ object Multimodal {
     54 + h * ((w * 3 + 3) / 4 * 4)
   }
 
+  /** Synthetic-audio geometry, shared by the fixture generator and the DuckDB
+    * oracle — pure functions of the id, so an independent engine can predict
+    * what the REAL decoder reads back out of the generated WAV. */
+  def syntheticWavRate(id: Long): Int = 8000 + java.lang.Math.floorMod(id, 5L).toInt * 2000
+  def syntheticWavSamples(id: Long): Int = 400 + java.lang.Math.floorMod(id * 13, 600L).toInt
+  def syntheticWavAmplitude(id: Long): Int = 1000 + java.lang.Math.floorMod(id * 31, 20000L).toInt
+
+  /** A real, decodable WAV payload: 44-byte canonical RIFF/PCM header +
+    * 16-bit little-endian mono square wave at constant amplitude A
+    * (samples alternate +A/-A, so the decoded mean |sample| is EXACTLY A and
+    * the file size is exactly 44 + 2*n — both oracle-checkable, the audio
+    * analogue of the uncompressed-BMP trick). */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val rate = syntheticWavRate(id)
+    val n = syntheticWavSamples(id)
+    val amp = syntheticWavAmplitude(id)
+    val dataSize = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)           // PCM
+      .putShort(1)           // mono
+      .putInt(rate)
+      .putInt(rate * 2)      // byte rate
+      .putShort(2)           // block align
+      .putShort(16)          // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      buf.putShort((if (i % 2 == 0) amp else -amp).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Expected on-disk size of [[syntheticWav]]. */
+  def syntheticWavSize(id: Long): Int = 44 + 2 * syntheticWavSamples(id)
+
   /** Build a MediaRecord dataset from the documents table: image rows carry a
-    * REAL generated BMP (decodable by ImageIO), audio/video rows carry
-    * deterministic fake payloads (UTF-8 text bytes) — so multimodal plumbing
-    * including the real image decode is exercisable on the standard testdata. */
+    * REAL generated BMP (decodable by ImageIO), audio rows a REAL generated
+    * WAV (decodable by javax.sound.sampled), video rows deterministic fake
+    * payloads (UTF-8 text bytes) — so multimodal plumbing including both real
+    * decodes is exercisable on the standard testdata. */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text"), col("source"))
@@ -183,9 +269,11 @@ object Multimodal {
         // floorMod: Scala's % is negative for negative ids, and nothing
         // forbids them in the schema (the columnar original used pmod)
         val kind = Seq("image", "audio", "video")(java.lang.Math.floorMod(id, 3L).toInt)
-        val bytes =
-          if (kind == "image") syntheticBmp(id)
-          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bytes = kind match {
+          case "image" => syntheticBmp(id)
+          case "audio" => syntheticWav(id)
+          case _       => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
         MediaRecord(id, kind, bytes, source)
       }
   }

@@ -812,24 +812,31 @@ object PipelineQueries {
         |FROM documents WHERE (doc_id % 3) = 2""".stripMargin,
 
     // image rows (doc_id % 3 = 0) carry a REAL generated BMP that Spark
-    // decodes with javax.imageio; the oracle predicts what the decoder reads
-    // back from the bitmap via the synthetic-geometry formulas (uniform gray
-    // fill => brightness is exactly the gray level; uncompressed 24bpp BMP
-    // => size = 54 + height * 4-byte-padded rows). Audio/video rows replay
-    // the documented stub.
+    // decodes with javax.imageio; audio rows (doc_id % 3 = 1) a REAL
+    // generated WAV decoded with javax.sound.sampled. The oracle predicts
+    // what the decoders read back via the synthetic-geometry formulas
+    // (uniform gray fill => brightness is exactly the gray level;
+    // uncompressed 24bpp BMP => size = 54 + height * 4-byte-padded rows;
+    // constant-amplitude square wave => mean |sample| is exactly A and WAV
+    // size = 44 + 2*n). Video rows replay the documented stub.
     "q_multimodal_features" ->
       """SELECT doc_id AS media_id,
         |  ['image','audio','video'][(doc_id % 3) + 1] AS kind,
         |  CASE WHEN doc_id % 3 = 0
         |       THEN 54 + (16 + (doc_id * 7) % 11) * (((16 + doc_id % 13) * 3 + 3) // 4 * 4)
+        |       WHEN doc_id % 3 = 1 THEN 44 + 2 * (400 + (doc_id * 13) % 600)
         |       ELSE octet_length(encode(text)) END AS n_bytes,
         |  CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 13
+        |       WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 2000
         |       ELSE octet_length(encode(text)) % 640 END AS width,
         |  CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 11
+        |       WHEN doc_id % 3 = 1 THEN 1
         |       ELSE octet_length(encode(text)) % 480 END AS height,
-        |  CASE WHEN doc_id % 3 = 2
-        |       THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS n_frames,
+        |  CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 30
+        |       WHEN doc_id % 3 = 1 THEN 400 + (doc_id * 13) % 600
+        |       ELSE 1 END AS n_frames,
         |  CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 37) % 256 AS DOUBLE)
+        |       WHEN doc_id % 3 = 1 THEN CAST(1000 + (doc_id * 31) % 20000 AS DOUBLE)
         |       ELSE list_aggregate(list_transform(string_split(text, ''), x -> unicode(x)), 'sum')
         |         / octet_length(encode(text)) END AS brightness
         |FROM documents""".stripMargin

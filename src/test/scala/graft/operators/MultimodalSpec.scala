@@ -58,11 +58,72 @@ class MultimodalSpec extends AnyFlatSpec with Matchers {
     // uniform gray fill: mean RGB level IS the gray level, exactly
     f(1L).brightness shouldBe Multimodal.syntheticImageGray(1L).toDouble
     f(1L).n_bytes shouldBe Multimodal.syntheticBmpSize(1L)
-    // audio/video still go through the documented stub
+    // video still goes through the documented stub
     f(2L).n_frames shouldBe 1 + 100 % 30
     f(2L).width shouldBe 100 % 640
+    // empty audio payload: unparsable -> zero-dimension row, no crash
     f(3L).n_bytes shouldBe 0
+    f(3L).width shouldBe 0
     f(3L).brightness shouldBe 0.0
+  }
+
+  it should "REALLY decode audio payloads via javax.sound.sampled" in {
+    // a WAV written by the JDK's own AudioSystem (stereo, 22050 Hz, 500
+    // frames of constant +3000/-3000): the real decoder must report the
+    // container's rate/channels/frames, not anything byte-length-derived
+    val rate = 22050f; val frames = 500
+    val pcm = java.nio.ByteBuffer.allocate(frames * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until frames).foreach { i =>
+      val s = (if (i % 2 == 0) 3000 else -3000).toShort
+      pcm.putShort(s); pcm.putShort(s) // both channels
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val wav = out.toByteArray
+
+    val f = Multimodal.extractFeatures(
+      Seq(MediaRecord(9L, "audio", wav, "t")).toDS()).head()
+    f.width shouldBe 22050    // sample rate from the header
+    f.height shouldBe 2       // channels
+    f.n_frames shouldBe frames
+    f.brightness shouldBe 3000.0 // constant |amplitude|, exactly
+    f.n_bytes shouldBe wav.length
+  }
+
+  it should "yield a zero-dimension row for an undecodable audio payload" in {
+    val f = Multimodal.extractFeatures(
+      Seq(MediaRecord(10L, "audio", "definitely not a riff".getBytes("UTF-8"), "t")).toDS()).head()
+    f.width shouldBe 0
+    f.height shouldBe 0
+    f.brightness shouldBe 0.0
+  }
+
+  it should "decode the synthetic WAV fixture to its generated geometry" in {
+    val id = 4L // an audio id (4 % 3 == 1)
+    val f = Multimodal.extractFeatures(
+      Seq(MediaRecord(id, "audio", Multimodal.syntheticWav(id), "t")).toDS()).head()
+    f.width shouldBe Multimodal.syntheticWavRate(id)
+    f.height shouldBe 1
+    f.n_frames shouldBe Multimodal.syntheticWavSamples(id)
+    f.brightness shouldBe Multimodal.syntheticWavAmplitude(id).toDouble
+    f.n_bytes shouldBe Multimodal.syntheticWavSize(id)
+  }
+
+  "syntheticWavSize" should "predict the generator output and parse under AudioSystem for every fixture id" in {
+    (1L until 60L by 3).foreach { id =>
+      val wav = Multimodal.syntheticWav(id)
+      wav.length shouldBe Multimodal.syntheticWavSize(id)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      ais.getFormat.getSampleRate shouldBe Multimodal.syntheticWavRate(id).toFloat
+      ais.getFrameLength shouldBe Multimodal.syntheticWavSamples(id).toLong
+      ais.close()
+    }
   }
 
   "syntheticBmpSize" should "predict the actual BMP writer output for every fixture id" in {
@@ -92,6 +153,12 @@ class MultimodalSpec extends AnyFlatSpec with Matchers {
         img should not be null
         img.getWidth shouldBe Multimodal.syntheticImageWidth(r.media_id)
         img.getHeight shouldBe Multimodal.syntheticImageHeight(r.media_id)
+      }
+      if (r.kind == "audio") {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.bytes))
+        ais.getFormat.getSampleRate shouldBe Multimodal.syntheticWavRate(r.media_id).toFloat
+        ais.close()
       }
     }
   }
