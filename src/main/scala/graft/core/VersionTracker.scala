@@ -93,6 +93,14 @@ final case class UnknownTableError(table: TableName)
 final case class UnknownCommitError(id: CommitId)
     extends Exception(s"Unknown commit: '$id'")
 
+/** Raised by [[VersionTracker.commitIf]] when the head moved since the writer
+  * read it — the optimistic-concurrency conflict signal. The log is left
+  * untouched; the writer should re-read the table and retry or abort. */
+final case class CommitConflictError(table: TableName, expected: CommitId, actual: CommitId)
+    extends Exception(
+      s"Commit conflict on '$table': expected head '$expected' but found '$actual' — " +
+        "another writer committed since this transaction read the table")
+
 /**
  * The transactional commit log for versioned tables — the reference's central
  * seam (`core/src/main/scala/dev/chronicles/core/VersionTracker.scala`).
@@ -113,6 +121,21 @@ trait VersionTracker {
 
   /** Append a commit and move the current ref to it. */
   def commit(table: TableName, update: TableUpdate): Unit
+
+  /**
+   * Optimistic-concurrency (compare-and-swap) commit: append `update` and
+   * move the head ONLY if the current ref still equals `expectedHead` — the
+   * head this writer based its read-modify-write cycle on. A moved head
+   * raises [[CommitConflictError]] and leaves the log untouched; the caller
+   * re-reads and retries (or aborts). The check-and-append is atomic within
+   * each implementation's isolation domain: the in-memory monitor, the
+   * file store's per-table + cross-process commit lock, or the JDBC store's
+   * serializable transaction. Plain [[commit]] remains last-writer-appends
+   * (the reference's semantics); `commitIf` is what concurrent writers that
+   * both read-then-write the SAME partitions need to avoid silently basing
+   * a commit on a stale snapshot.
+   */
+  def commitIf(table: TableName, update: TableUpdate, expectedHead: CommitId): Unit
 
   /** Move the current ref to ANY historical commit (rollback / roll-forward).
     * Unknown commit ⇒ [[UnknownCommitError]]. */
@@ -156,6 +179,14 @@ final class InMemoryVersionTracker extends VersionTracker {
     val st = states.getOrElse(table, throw UnknownTableError(table))
     states += table -> TableState(update.metadata.id, st.updates :+ update)
   }
+
+  override def commitIf(table: TableName, update: TableUpdate, expectedHead: CommitId): Unit =
+    synchronized {
+      val st = states.getOrElse(table, throw UnknownTableError(table))
+      if (st.currentVersion != expectedHead)
+        throw CommitConflictError(table, expectedHead, st.currentVersion)
+      states += table -> TableState(update.metadata.id, st.updates :+ update)
+    }
 
   override def setCurrentVersion(table: TableName, id: CommitId): Unit = synchronized {
     val st = states.getOrElse(table, throw UnknownTableError(table))

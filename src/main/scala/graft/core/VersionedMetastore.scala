@@ -19,6 +19,18 @@ final class VersionedMetastore(val tracker: VersionTracker, val metastore: Metas
     (target, changes)
   }
 
+  /** [[commit]] with optimistic concurrency: the commit lands only if the
+    * head still equals `expectedHead` ([[VersionTracker.commitIf]]); a moved
+    * head raises [[CommitConflictError]] BEFORE any data or catalog change.
+    * For writers whose operations were derived by reading the table first
+    * (compaction, replace-all, read-modify-write pipelines). */
+  def commitIf(table: TableName, update: TableUpdate, expectedHead: CommitId): (TableVersion, TableChanges) = {
+    tracker.commitIf(table, update, expectedHead)
+    val target = tracker.currentVersion(table)
+    val changes = syncTo(table, target)
+    (target, changes)
+  }
+
   /** Move the current ref to ANY historical commit and re-point the catalog.
     * Metadata-only: zero data movement (docs/concepts.md:80-83). */
   def checkout(table: TableName, id: CommitId): TableChanges = {

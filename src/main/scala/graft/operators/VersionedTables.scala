@@ -137,7 +137,13 @@ final class VersionedTables(
     * output file (Delta OPTIMIZE-style clustering): Parquet row-group min/max
     * stats on those columns become tight, so later reads filtering on them
     * skip whole row groups. Layout-only, like everything else here — rows are
-    * unchanged. */
+    * unchanged.
+    *
+    * Concurrency: the commit is a compare-and-swap on the head this
+    * compaction READ ([[graft.core.VersionTracker.commitIf]]) — if any commit
+    * lands mid-compaction the rewrite is stale data and fails with
+    * [[graft.core.CommitConflictError]] instead of silently clobbering the
+    * newer write; just re-run it. */
   def compact(
       table: TableDefinition,
       userId: UserId,
@@ -150,7 +156,8 @@ final class VersionedTables(
     require(filesPerPartition >= 1, s"filesPerPartition must be >= 1, was $filesPerPartition")
     // empty selection (or never-written snapshot) is a NO-OP, not an error:
     // a maintenance job whose filter matches nothing must not fail or commit
-    val currentState = tracker.currentVersion(table.name)
+    val state = tracker.tableState(table.name)
+    val currentState = state.currentTableVersion
     val selectionEmpty = currentState match {
       case PartitionedTableVersion(pvs) => !pvs.keysIterator.exists(keep)
       case SnapshotTableVersion(v)      => v == Version.Unversioned
@@ -161,7 +168,12 @@ final class VersionedTables(
     val packed =
       if (partCols.isEmpty || filesPerPartition > 1) current.repartition(filesPerPartition)
       else current.repartition(partCols: _*)
-    packed.versionedInsertInto(this, table, userId, message, clusterBy)
+    // CAS on the head the rewrite READ: a commit that lands mid-compaction
+    // (e.g. a fresh load into one of the partitions being rewritten) makes
+    // this compaction's output stale data — without the guard it would
+    // silently clobber the newer write; with it the compaction fails loudly
+    // (CommitConflictError) and can simply be re-run
+    packed.versionedInsertIntoIf(this, table, userId, message, state.currentVersion, clusterBy)
   }
 
   /** Register the table's CURRENT version as a temp view so it is queryable
@@ -418,13 +430,43 @@ object VersionedTables {
         clusterBy: Seq[String] = Nil): (TableVersion, TableChanges) =
       write(engine, table, userId, message, clusterBy, replaceAll = true)
 
+    /** [[versionedInsertInto]] with optimistic concurrency: the commit lands
+      * only if the table head still equals `expectedHead` — the head this
+      * writer's read-modify-write cycle was based on. A moved head raises
+      * [[graft.core.CommitConflictError]]; the already-written version
+      * directories are then unreferenced debris, visible to
+      * [[VersionedTables.orphanedVersions]] and reclaimable by vacuum —
+      * readers never saw them (data before commit is invisible by design). */
+    def versionedInsertIntoIf(
+        engine: VersionedTables,
+        table: TableDefinition,
+        userId: UserId,
+        message: String,
+        expectedHead: CommitId,
+        clusterBy: Seq[String] = Nil): (TableVersion, TableChanges) =
+      write(engine, table, userId, message, clusterBy, replaceAll = false, Some(expectedHead))
+
+    /** [[versionedReplaceAll]] with the same optimistic-concurrency contract
+      * as [[versionedInsertIntoIf]] — additionally the right default for
+      * replace-all pipelines, whose remove set is DERIVED from the head read:
+      * a concurrent commit would silently survive a non-CAS replace-all. */
+    def versionedReplaceAllIf(
+        engine: VersionedTables,
+        table: TableDefinition,
+        userId: UserId,
+        message: String,
+        expectedHead: CommitId,
+        clusterBy: Seq[String] = Nil): (TableVersion, TableChanges) =
+      write(engine, table, userId, message, clusterBy, replaceAll = true, Some(expectedHead))
+
     private def write(
         engine: VersionedTables,
         table: TableDefinition,
         userId: UserId,
         message: String,
         clusterBy: Seq[String],
-        replaceAll: Boolean): (TableVersion, TableChanges) = {
+        replaceAll: Boolean,
+        expectedHead: Option[CommitId] = None): (TableVersion, TableChanges) = {
       checkSparkConfigs(ds.sparkSession)
       val version = Version.generate()
       val ops: List[TableOperation] =
@@ -446,8 +488,11 @@ object VersionedTables {
           adds ++ removes
         }
       writeWithVersion(table, version, clusterBy)
-      engine.versioned.commit(
-        table.name, TableUpdate(userId, message, java.time.Instant.now(), ops))
+      val update = TableUpdate(userId, message, java.time.Instant.now(), ops)
+      expectedHead match {
+        case Some(h) => engine.versioned.commitIf(table.name, update, h)
+        case None    => engine.versioned.commit(table.name, update)
+      }
     }
 
     /** The reference's asserted precondition (SparkSupport.scala:60-69). With

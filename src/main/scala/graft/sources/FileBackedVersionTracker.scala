@@ -114,6 +114,22 @@ final class FileBackedVersionTracker(
     }
   }
 
+  override def commitIf(table: TableName, update: TableUpdate, expectedHead: CommitId): Unit = {
+    val dir = existingWritableTableDir(table)
+    tableLock(dir).synchronized {
+      withProcessLock(dir) {
+        // the head read happens INSIDE the cross-process lock, so the
+        // compare-and-append is atomic against writers in other processes
+        // too — nobody can move the head between the check and the rename
+        val head = CommitId(readWithRetry(new Path(dir, HeadFile)).trim)
+        if (head != expectedHead) throw CommitConflictError(table, expectedHead, head)
+        writeCommit(dir, update)
+        writeAtomic(new Path(dir, HeadFile), update.metadata.id.id)
+      }
+      maybeCheckpoint(dir)
+    }
+  }
+
   override def setCurrentVersion(table: TableName, id: CommitId): Unit = {
     val st = tableState(table)
     if (!st.updates.exists(_.metadata.id == id)) throw UnknownCommitError(id)

@@ -109,6 +109,35 @@ final class JdbcVersionTracker(jdbcUrl: String) extends VersionTracker {
     } catch { case e: Throwable => conn.rollback(); throw e }
   }
 
+  override def commitIf(table: TableName, update: TableUpdate, expectedHead: CommitId): Unit =
+    synchronized {
+      if (!exists(table)) throw UnknownTableError(table)
+      try {
+        // guarded UPDATE inside the serializable transaction: zero rows
+        // changed means the head moved (or never was expectedHead) — the
+        // insert rolls back with it, so a conflict leaves no trace
+        insertUpdate(table, update)
+        val changed = withStatement { st =>
+          st.executeUpdate(
+            s"""UPDATE graft_version_refs SET current_commit = '${update.metadata.id.id}'
+               |WHERE table_name = '${esc(table.fullyQualifiedName)}'
+               |AND current_commit = '${esc(expectedHead.id)}'""".stripMargin)
+        }
+        if (changed == 0) {
+          conn.rollback()
+          val actual = query(
+            s"""SELECT current_commit FROM graft_version_refs
+               |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)(_.getString(1))
+            .headOption.getOrElse(throw UnknownTableError(table))
+          throw CommitConflictError(table, expectedHead, CommitId(actual))
+        }
+        conn.commit()
+      } catch {
+        case e: CommitConflictError => throw e
+        case e: Throwable           => conn.rollback(); throw e
+      }
+    }
+
   override def setCurrentVersion(table: TableName, id: CommitId): Unit = synchronized {
     if (!exists(table)) throw UnknownTableError(table)
     val known = query(

@@ -146,6 +146,58 @@ trait VersionTrackerContract extends AnyFlatSpec with Matchers {
     tr.currentVersion(t) shouldBe PartitionedTableVersion(Map(p -> v))
   }
 
+  it should "commitIf only when the head matches, leaving the log untouched on conflict" in {
+    val tr = newTracker()
+    val t = init(tr, "cas")
+    val p = Partition("date", "2024-01-01")
+    val head0 = tr.tableState(t).currentVersion
+
+    // CAS against the current head succeeds and moves the head
+    val u1 = upd(AddPartitionVersion(p, Version.generate()))
+    tr.commitIf(t, u1, head0)
+    tr.tableState(t).currentVersion shouldBe u1.metadata.id
+
+    // CAS against the STALE head fails with the conflict error...
+    val u2 = upd(AddPartitionVersion(p, Version.generate()))
+    val e = the[CommitConflictError] thrownBy tr.commitIf(t, u2, head0)
+    e.expected shouldBe head0
+    e.actual shouldBe u1.metadata.id
+    // ...and leaves history AND head untouched
+    tr.tableState(t).currentVersion shouldBe u1.metadata.id
+    tr.updates(t) should have size 2
+    tr.updates(t).map(_.id) should not contain u2.metadata.id
+
+    // re-read and retry succeeds
+    tr.commitIf(t, u2, u1.metadata.id)
+    tr.tableState(t).currentVersion shouldBe u2.metadata.id
+    tr.updates(t) should have size 3
+  }
+
+  it should "let exactly one of two racing commitIf writers win" in {
+    val tr = newTracker()
+    val t = init(tr, "race")
+    val p = Partition("date", "2024-01-01")
+    val head0 = tr.tableState(t).currentVersion
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val start = new CountDownLatch(1)
+      val outcomes = (0 until 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            start.await()
+            try { tr.commitIf(t, upd(AddPartitionVersion(p, Version.generate())), head0); true }
+            catch { case _: CommitConflictError => false }
+          }
+        })
+      }
+      start.countDown()
+      val wins = outcomes.map(_.get(30, TimeUnit.SECONDS)).count(identity)
+      wins shouldBe 1
+      tr.updates(t) should have size 2 // init + the single winner
+    } finally pool.shutdownNow()
+  }
+
   it should "raise UnknownTableError for untracked tables" in {
     val tr = newTracker()
     an[UnknownTableError] should be thrownBy tr.tableState(TableName("no", "such"))

@@ -250,6 +250,56 @@ class VersionedTablesSpec extends AnyFlatSpec with Matchers {
     engine.read(table).count() shouldBe 2
   }
 
+  behavior of "optimistic-concurrency (CAS) writes"
+
+  it should "refuse a versionedInsertIntoIf based on a stale head, leaving reclaimable debris" in {
+    val (engine, dir) = newEngine()
+    val loc = new File(dir, "cas_users")
+    val table = TableDefinition(TableName("test", "cas_users"), loc.toURI, PartitionSchema.snapshot, FileFormat.Parquet)
+    engine.initTable(table, UserId("a"), "init")
+    Seq(User("u1", "A", "a@m")).toDS().versionedInsertInto(engine, table, UserId("a"), "v1")
+
+    // writer W reads the head, then a concurrent writer lands v2
+    val staleHead = engine.tracker.tableState(table.name).currentVersion
+    Seq(User("u2", "B", "b@m")).toDS().versionedInsertInto(engine, table, UserId("b"), "v2")
+
+    // W's CAS write must fail without changing the visible state...
+    an[CommitConflictError] should be thrownBy
+      Seq(User("u3", "C", "c@m")).toDS()
+        .versionedInsertIntoIf(engine, table, UserId("a"), "w-stale", staleHead)
+    engine.read(table).as[User].collect().map(_.id) shouldBe Array("u2")
+    engine.log(table.name).map(_.message) shouldBe List("v2", "v1", "init")
+
+    // ...and its already-written version dir is orphaned debris the auditor sees
+    engine.orphanedVersions(table) should have size 1
+
+    // re-read and retry succeeds
+    val freshHead = engine.tracker.tableState(table.name).currentVersion
+    Seq(User("u3", "C", "c@m")).toDS()
+      .versionedInsertIntoIf(engine, table, UserId("a"), "w-retry", freshHead)
+    engine.read(table).as[User].collect().map(_.id) shouldBe Array("u3")
+  }
+
+  it should "refuse a versionedReplaceAllIf whose remove set was derived from a stale head" in {
+    val (engine, dir) = newEngine()
+    val loc = new File(dir, "cas_pages")
+    val table = TableDefinition(TableName("test", "cas_pages"), loc.toURI, PartitionSchema("date"), FileFormat.Parquet)
+    engine.initTable(table, UserId("a"), "init")
+    val d1 = Date.valueOf("2024-01-01"); val d2 = Date.valueOf("2024-01-02")
+    def pv(id: String, d: Date) = Pageview(id, s"/$id", Timestamp.valueOf("2024-01-01 00:00:00"), d)
+    Seq(pv("p1", d1)).toDS().versionedInsertInto(engine, table, UserId("a"), "day1")
+
+    val staleHead = engine.tracker.tableState(table.name).currentVersion
+    Seq(pv("p2", d2)).toDS().versionedInsertInto(engine, table, UserId("b"), "day2")
+
+    // a stale replace-all would silently drop day2 from its remove
+    // computation — the CAS makes it fail instead
+    an[CommitConflictError] should be thrownBy
+      Seq(pv("p9", d1)).toDS()
+        .versionedReplaceAllIf(engine, table, UserId("a"), "stale-replace", staleHead)
+    engine.read(table).as[Pageview].collect().map(_.id).sorted shouldBe Array("p1", "p2")
+  }
+
   behavior of "partitionValues"
 
   it should "extract distinct partition tuples" in {

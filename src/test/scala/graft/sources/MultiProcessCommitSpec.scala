@@ -27,6 +27,25 @@ object MultiProcessCommitWorker {
 }
 
 /**
+ * Worker for the cross-process CAS race: attempts ONE commitIf against the
+ * head passed in args(3). Exits 0 on success, 3 on CommitConflictError (the
+ * expected loser outcome), 1 on anything else.
+ */
+object MultiProcessCasWorker {
+  def main(args: Array[String]): Unit = {
+    val Array(rootUri, tableFqn, workerId, expectedHead) = args
+    val tracker = new FileBackedVersionTracker(java.net.URI.create(rootUri))
+    val table = TableName.parse(tableFqn).fold(sys.error, identity)
+    try tracker.commitIf(table,
+      TableUpdate(UserId(s"w$workerId"), s"cas-w$workerId", Instant.now(),
+        List(TableOperation.AddPartitionVersion(
+          Partition("day", s"w$workerId"), Version.generate()))),
+      CommitId(expectedHead))
+    catch { case _: CommitConflictError => sys.exit(3) }
+  }
+}
+
+/**
  * Cross-PROCESS writer safety: concurrent writers in separate JVMs serialize
  * on the exclusive-create `commit.lock` file, so every commit lands intact
  * (no torn head, no lost commit file) — the in-JVM monitor alone cannot
@@ -66,6 +85,28 @@ class MultiProcessCommitSpec extends AnyFlatSpec with Matchers {
     tracker.currentVersion(t) shouldBe st.versionAt(st.currentVersion)
     // no lock file left behind
     Files.exists(root.resolve("_graft_table_mp.t").resolve("commit.lock")) shouldBe false
+  }
+
+  it should "let exactly one of several commitIf writers in separate processes win" in {
+    val root = Files.createTempDirectory("graft-mpcas-")
+    val tracker = new FileBackedVersionTracker(root.toUri)
+    val t = TableName("mpcas", "t")
+    tracker.initTable(t, isSnapshot = false, UserId("u"), "init", Instant.now())
+    val head0 = tracker.tableState(t).currentVersion
+
+    val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cp = System.getProperty("java.class.path")
+    val procs = (1 to 3).map { w =>
+      new ProcessBuilder(
+        javaBin, "-cp", cp, "graft.sources.MultiProcessCasWorker",
+        root.toUri.toString, t.fullyQualifiedName, w.toString, head0.id)
+        .redirectErrorStream(true)
+        .start()
+    }
+    val rcs = procs.map { p => p.getInputStream.readAllBytes(); p.waitFor() }
+    rcs.count(_ == 0) shouldBe 1        // exactly one CAS winner
+    rcs.count(_ == 3) shouldBe 2        // the rest saw the conflict error
+    tracker.updates(t) should have size 2 // init + winner, losers left no trace
   }
 
   it should "break a stale lock left by a crashed writer instead of timing out" in {
