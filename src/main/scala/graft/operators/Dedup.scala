@@ -95,17 +95,7 @@ object Dedup {
     val hs = docs.select(col(idCol).as("id"),
       shingleHashes(col(textCol), shingleSize).as("hs"))
       .localCheckpoint()
-
-    // all bands*rowsPerBand minhashes in ONE native array walk (MinHashes),
-    // then per-band hashes over plain element_at references — the HOF form
-    // walked the array once per minhash with an interpreted lambda per
-    // element. MinHashes is non-cheap, so CollapseProject keeps it a single
-    // evaluation rather than inlining it into the band references.
-    val mh = hs.select(col("id"),
-      graft.functions.VectorExpressions.minHashes(col("hs"), bands * rowsPerBand).as("mh"))
-    val banded = mh.select(col("id"), posexplode(
-      array((0 until bands).map(bandHash(col("mh"), _, rowsPerBand)): _*))
-      .as(Seq("band", "band_hash")))
+    val banded = bandBuckets(hs, bands, rowsPerBand)
 
     // candidates: ids meeting in the same (band, band_hash) bucket
     val candidates = banded.as("a")
@@ -123,6 +113,84 @@ object Dedup {
       .withColumn("jaccard", sortedSetJaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+  }
+
+  /** `(id, band, band_hash)` LSH bucket rows for a checkpointed
+    * `(id, hs)` shingle-hash frame. All bands*rowsPerBand minhashes in ONE
+    * native array walk ([[graft.functions.MinHashes]]), then per-band hashes
+    * over plain element_at references — the HOF form walked the array once
+    * per minhash with an interpreted lambda per element. MinHashes is
+    * non-cheap, so CollapseProject keeps it a single evaluation rather than
+    * inlining it into the band references. Shared by the self-join miner and
+    * the cross-corpus miner, so their buckets are identical by construction. */
+  private def bandBuckets(hs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val mh = hs.select(col("id"),
+      graft.functions.VectorExpressions.minHashes(col("hs"), bands * rowsPerBand).as("mh"))
+    mh.select(col("id"), posexplode(
+      array((0 until bands).map(bandHash(col("mh"), _, rowsPerBand)): _*))
+      .as(Seq("band", "band_hash")))
+  }
+
+  /**
+   * Cross-corpus near-duplicate pairs via the same banded MinHash LSH as
+   * [[minhashNearDupPairs]], between a NEW batch and an EXISTING corpus —
+   * the batch-ingestion dedup primitive ("is anything in this delivery
+   * already in the lake?"). Both sides derive their buckets from the one
+   * [[bandHash]] definition, so candidates meet in (band, band_hash)
+   * equi-join buckets: one shuffle per side, never |new|×|corpus|; only
+   * bucket-colliding pairs pay the exact-Jaccard verify. Output
+   * (left_id, right_id, jaccard) with jaccard >= `threshold` — left ids
+   * from `left`, right ids from `right`. The batch twin of
+   * [[graft.streaming.StreamingCorpusDedup]]'s per-micro-batch index probe.
+   */
+  def crossNearDupPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.8,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleSize: Int = 3): DataFrame = {
+    def prep(df: DataFrame) = df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleSize).as("hs")).localCheckpoint()
+    val lh = prep(left)
+    val rh = prep(right)
+    val candidates = bandBuckets(lh, bands, rowsPerBand).as("a")
+      .join(bandBuckets(rh, bands, rowsPerBand).as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.id").as("left_id"), col("b.id").as("right_id"))
+      .distinct()
+    candidates
+      .join(lh.select(col("id").as("left_id"), col("hs").as("sh1")), "left_id")
+      .join(rh.select(col("id").as("right_id"), col("hs").as("sh2")), "right_id")
+      .withColumn("jaccard", sortedSetJaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select("left_id", "right_id", "jaccard")
+  }
+
+  /**
+   * Batch-ingestion dedup, end to end: the accepted subset of `newDocs`
+   * after (1) dropping every new doc that is a near-dup of the EXISTING
+   * corpus ([[crossNearDupPairs]]) and (2) keeping one canonical doc per
+   * near-dup cluster WITHIN the survivors ([[minhashNearDupPairs]] →
+   * [[keepCanonical]]). Both stages are banded LSH — the whole composition
+   * is shuffle-bounded by bucket keys, never quadratic in either corpus.
+   */
+  def dedupAgainstCorpus(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.8,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleSize: Int = 3): DataFrame = {
+    val cross = crossNearDupPairs(newDocs, corpus, idCol, textCol, threshold, bands, rowsPerBand, shingleSize)
+    val novel = newDocs.join(cross.select(col("left_id")).distinct(),
+      newDocs(idCol) === col("left_id"), "left_anti")
+    keepCanonical(novel,
+      minhashNearDupPairs(novel, idCol, textCol, threshold, bands, rowsPerBand, shingleSize), idCol)
   }
 
   // --- SimHash ---

@@ -210,6 +210,26 @@ object PipelineQueries {
       Dedup.keepCanonical(Tables.documents(s, d), ngramPairs(s, d))
         .select("doc_id", "lang", "source")),
 
+    // batch-ingestion dedup: treat doc_id >= 250 as the NEW delivery and the
+    // rest as the existing corpus. Cross pairs via banded LSH between the two
+    // sides (one bucket equi-join, never |new|x|corpus|); oracled by the
+    // ground-truth cross subset (LSH pair set == shingle ground truth on this
+    // fixture, so any subset of it matches too)
+    "q_dedup_cross" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.crossNearDupPairs(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
+    }),
+
+    // ...and the full composition a new-crawl delivery runs: drop new docs
+    // already in the lake, then keep one canonical doc per in-batch cluster
+    "q_dedup_against" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupAgainstCorpus(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
+        .select("doc_id", "lang", "source")
+    }),
+
     "q_dedup_simhash" -> ((s, d) => {
       simhashDict(s, d) // register the corpus token-hash dictionary for the oracle
       Dedup.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 3)
@@ -725,6 +745,36 @@ object PipelineQueries {
          |SELECT doc_id, cluster_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lbl""".stripMargin,
+
+    // ground-truth cross pairs: id1 < id2 always, so a pair straddling the
+    // 250 cutoff has id2 on the new side and id1 on the corpus side
+    "q_dedup_cross" ->
+      s"""WITH $shinglePairsCte
+         |SELECT id2 AS left_id, id1 AS right_id, jaccard FROM lshpairs
+         |WHERE id2 >= 250 AND id1 < 250""".stripMargin,
+
+    // replay of dedupAgainstCorpus: cross-reject against the corpus side,
+    // then the connected-components closure WITHIN the surviving new docs
+    "q_dedup_against" ->
+      s"""WITH RECURSIVE $shinglePairsCte,
+         |novel AS (
+         |  SELECT doc_id FROM documents WHERE doc_id >= 250
+         |  AND doc_id NOT IN (SELECT id2 FROM lshpairs WHERE id2 >= 250 AND id1 < 250)),
+         |inbatch AS (
+         |  SELECT id1, id2 FROM lshpairs
+         |  WHERE id1 IN (SELECT doc_id FROM novel) AND id2 IN (SELECT doc_id FROM novel)),
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM inbatch
+         |  UNION
+         |  SELECT id2 AS src, id1 AS dst FROM inbatch),
+         |reach(a, b) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |losers AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) <> a)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM novel)
+         |  AND doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
     "q_dedup_corpus_lsh" ->
       s"""WITH RECURSIVE $shinglePairsCte,

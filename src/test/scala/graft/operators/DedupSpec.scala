@@ -64,6 +64,51 @@ class DedupSpec extends AnyFlatSpec with Matchers {
       s"recall too low: ${found.size}/${truth.size}")
   }
 
+  "crossNearDupPairs" should "find only cross-side pairs, for planted corpus dups" in {
+    val corpus = docs // ids 0-5
+    val batch = Seq(
+      (10L, base),                        // exact dup of corpus 0/1
+      (11L, base.replace("dog", "cat")),  // near-dup of corpus 0
+      (12L, "entirely novel text that matches nothing in the existing lake at all today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossNearDupPairs(batch, corpus, threshold = 0.5)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    pairs should contain((10L, 0L))
+    pairs should contain((10L, 1L))
+    pairs should contain((11L, 0L))
+    // left ids always from the batch side, and the novel doc never pairs
+    pairs.foreach { case (l, r) => l should be >= 10L; r should be < 10L }
+    pairs.exists(_._1 == 12L) shouldBe false
+  }
+
+  it should "equal the self-join miner's cross subset on real data" in {
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cut = 250
+    val cross = Dedup.crossNearDupPairs(
+      real.filter(col("doc_id") >= cut), real.filter(col("doc_id") < cut), threshold = 0.8)
+      .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // the same pairs the full self-join miner finds straddling the cut
+    // (id1 < id2, so the new-side id is always id2)
+    val full = Dedup.minhashNearDupPairs(real, threshold = 0.8)
+      .filter(col("id2") >= cut && col("id1") < cut)
+      .select(col("id2"), col("id1"), col("jaccard")).as[(Long, Long, Double)].collect().toSet
+    cross shouldBe full
+    cross should not be empty
+  }
+
+  "dedupAgainstCorpus" should "drop corpus dups, keep one canonical per in-batch cluster" in {
+    val corpus = docs
+    val batch = Seq(
+      (10L, base),                                  // dup of the corpus -> dropped
+      (12L, "entirely novel text that matches nothing in the existing lake at all today"),
+      (13L, "entirely novel text that matches nothing in the existing lake at all tonight"), // near-dup of 12
+      (14L, "some other fresh content never seen before anywhere in any delivery batch")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstCorpus(batch, corpus, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(12L, 14L) // 10 rejected vs corpus; 13 loses to canonical 12
+  }
+
   "simhashNearDupPairs" should "pair near-identical docs and skip unrelated ones" in {
     val pairs = Dedup.simhashNearDupPairs(docs, maxHamming = 3)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
