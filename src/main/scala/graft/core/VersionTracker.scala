@@ -175,16 +175,19 @@ final class InMemoryVersionTracker extends VersionTracker {
 
   override def tables(): List[TableName] = synchronized(states.keys.toList.sortBy(_.fullyQualifiedName))
 
-  override def commit(table: TableName, update: TableUpdate): Unit = synchronized {
-    val st = states.getOrElse(table, throw UnknownTableError(table))
-    states += table -> TableState(update.metadata.id, st.updates :+ update)
-  }
+  override def commit(table: TableName, update: TableUpdate): Unit =
+    commitInternal(table, update, None)
 
   override def commitIf(table: TableName, update: TableUpdate, expectedHead: CommitId): Unit =
+    commitInternal(table, update, Some(expectedHead))
+
+  private def commitInternal(
+      table: TableName, update: TableUpdate, expectedHead: Option[CommitId]): Unit =
     synchronized {
       val st = states.getOrElse(table, throw UnknownTableError(table))
-      if (st.currentVersion != expectedHead)
-        throw CommitConflictError(table, expectedHead, st.currentVersion)
+      expectedHead.foreach { h =>
+        if (st.currentVersion != h) throw CommitConflictError(table, h, st.currentVersion)
+      }
       states += table -> TableState(update.metadata.id, st.updates :+ update)
     }
 

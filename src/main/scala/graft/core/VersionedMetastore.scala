@@ -11,12 +11,14 @@ package graft.core
 final class VersionedMetastore(val tracker: VersionTracker, val metastore: Metastore) {
 
   /** Commit an update, then sync the catalog with a minimal diff.
-    * Returns the new table state and the changes applied to the catalog. */
+    * Returns the new table state and the changes applied to the catalog.
+    * The returned TableVersion is pinned to THIS update's commit id (one
+    * `tableState` read, `versionAt(update.id)`): a concurrent commit landing
+    * right after ours can advance the synced catalog, but never swap another
+    * writer's state into our return value. */
   def commit(table: TableName, update: TableUpdate): (TableVersion, TableChanges) = {
     tracker.commit(table, update)
-    val target = tracker.currentVersion(table)
-    val changes = syncTo(table, target)
-    (target, changes)
+    pinAndSync(table, update)
   }
 
   /** [[commit]] with optimistic concurrency: the commit lands only if the
@@ -26,9 +28,13 @@ final class VersionedMetastore(val tracker: VersionTracker, val metastore: Metas
     * (compaction, replace-all, read-modify-write pipelines). */
   def commitIf(table: TableName, update: TableUpdate, expectedHead: CommitId): (TableVersion, TableChanges) = {
     tracker.commitIf(table, update, expectedHead)
-    val target = tracker.currentVersion(table)
-    val changes = syncTo(table, target)
-    (target, changes)
+    pinAndSync(table, update)
+  }
+
+  private def pinAndSync(table: TableName, update: TableUpdate): (TableVersion, TableChanges) = {
+    val st = tracker.tableState(table)
+    val changes = syncTo(table, st.currentTableVersion)
+    (st.versionAt(update.metadata.id), changes)
   }
 
   /** Move the current ref to ANY historical commit and re-point the catalog.

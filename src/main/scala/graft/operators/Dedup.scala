@@ -86,15 +86,27 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 2,
       shingleSize: Int = 3): DataFrame = {
-    // localCheckpoint is a materialization barrier: without it Catalyst's
-    // CollapseProject re-inlines the tokenize+shingle+hash expression into
-    // every minhash/band reference and into both sides of the self-join —
-    // measured ~20x slowdown at sf0.1. The checkpointed frame is small: one
-    // (id, ~doc-length longs) row per doc, and it is reused by both the
-    // banding and the verification stage.
-    val hs = docs.select(col(idCol).as("id"),
+    minhashPairsFromHashes(prepHashes(docs, idCol, textCol, shingleSize),
+      threshold, bands, rowsPerBand)
+  }
+
+  /** The checkpointed `(id, hs)` shingle-hash frame every LSH miner starts
+    * from. localCheckpoint is a materialization barrier: without it
+    * Catalyst's CollapseProject re-inlines the tokenize+shingle+hash
+    * expression into every minhash/band reference and into both sides of
+    * the join — measured ~20x slowdown at sf0.1. The checkpointed frame is
+    * small: one (id, ~doc-length longs) row per doc, and it is reused by
+    * both the banding and the verification stage (and, in
+    * [[dedupAgainstCorpus]], across BOTH mining stages). */
+  private def prepHashes(
+      docs: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
       shingleHashes(col(textCol), shingleSize).as("hs"))
       .localCheckpoint()
+
+  /** [[minhashNearDupPairs]] over an already-prepped `(id, hs)` frame. */
+  private def minhashPairsFromHashes(
+      hs: DataFrame, threshold: Double, bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = bandBuckets(hs, bands, rowsPerBand)
 
     // candidates: ids meeting in the same (band, band_hash) bucket
@@ -151,11 +163,16 @@ object Dedup {
       threshold: Double = 0.8,
       bands: Int = 8,
       rowsPerBand: Int = 2,
-      shingleSize: Int = 3): DataFrame = {
-    def prep(df: DataFrame) = df.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleSize).as("hs")).localCheckpoint()
-    val lh = prep(left)
-    val rh = prep(right)
+      shingleSize: Int = 3): DataFrame =
+    crossPairsFromHashes(
+      prepHashes(left, idCol, textCol, shingleSize),
+      prepHashes(right, idCol, textCol, shingleSize),
+      threshold, bands, rowsPerBand)
+
+  /** [[crossNearDupPairs]] over already-prepped `(id, hs)` frames. */
+  private def crossPairsFromHashes(
+      lh: DataFrame, rh: DataFrame,
+      threshold: Double, bands: Int, rowsPerBand: Int): DataFrame = {
     val candidates = bandBuckets(lh, bands, rowsPerBand).as("a")
       .join(bandBuckets(rh, bands, rowsPerBand).as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
@@ -186,11 +203,17 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 2,
       shingleSize: Int = 3): DataFrame = {
-    val cross = crossNearDupPairs(newDocs, corpus, idCol, textCol, threshold, bands, rowsPerBand, shingleSize)
-    val novel = newDocs.join(cross.select(col("left_id")).distinct(),
-      newDocs(idCol) === col("left_id"), "left_anti")
+    // the expensive tokenize->shingle->hash pass runs ONCE per side; the
+    // in-batch mining reuses the new side's checkpointed hashes (filtered to
+    // the survivors) instead of re-deriving them from the text
+    val newHs = prepHashes(newDocs, idCol, textCol, shingleSize)
+    val corpusHs = prepHashes(corpus, idCol, textCol, shingleSize)
+    val rejected = crossPairsFromHashes(newHs, corpusHs, threshold, bands, rowsPerBand)
+      .select(col("left_id")).distinct().localCheckpoint() // referenced by BOTH anti-joins
+    val novel = newDocs.join(rejected, newDocs(idCol) === col("left_id"), "left_anti")
+    val novelHs = newHs.join(rejected, newHs("id") === col("left_id"), "left_anti")
     keepCanonical(novel,
-      minhashNearDupPairs(novel, idCol, textCol, threshold, bands, rowsPerBand, shingleSize), idCol)
+      minhashPairsFromHashes(novelHs, threshold, bands, rowsPerBand), idCol)
   }
 
   // --- SimHash ---

@@ -105,16 +105,19 @@ object Multimodal {
    * a zero-dimension row, same contract as [[decodeImage]].
    */
   private def decodeAudio(r: MediaRecord): MediaFeatures = {
-    val ais =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+    // the WHOLE decode is guarded, not just the header parse: the JDK sound
+    // readers throw RuntimeExceptions (ArithmeticException on frameSize 0,
+    // index errors...) on malformed BODIES too, and one poison record must
+    // not kill the job — same contract as decodeImage
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(r.bytes))
-      catch { case scala.util.control.NonFatal(_) => null }
-    if (ais == null)
-      MediaFeatures(r.media_id, r.kind, r.bytes.length, 0, 0, 1, 0.0)
-    else
       try {
         val fmt = ais.getFormat
-        val frames = ais.getFrameLength.toInt
+        // NOT_SPECIFIED (-1) and > Int.MaxValue frame counts report as 0 —
+        // "decoded but unknown length" — rather than a nonsense negative
+        val fl = ais.getFrameLength
+        val frames = if (fl < 0 || fl > Int.MaxValue) 0 else fl.toInt
         val amplitude =
           if (fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
               fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
@@ -131,6 +134,10 @@ object Multimodal {
         MediaFeatures(r.media_id, r.kind, r.bytes.length,
           fmt.getSampleRate.toInt, fmt.getChannels, frames, amplitude)
       } finally ais.close()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        MediaFeatures(r.media_id, r.kind, r.bytes.length, 0, 0, 1, 0.0)
+    }
   }
 
   /**

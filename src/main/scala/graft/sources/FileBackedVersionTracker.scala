@@ -100,29 +100,27 @@ final class FileBackedVersionTracker(
         .distinct
         .sortBy(_.fullyQualifiedName)
 
-  override def commit(table: TableName, update: TableUpdate): Unit = {
+  override def commit(table: TableName, update: TableUpdate): Unit =
+    commitInternal(table, update, None)
+
+  override def commitIf(table: TableName, update: TableUpdate, expectedHead: CommitId): Unit =
+    commitInternal(table, update, Some(expectedHead))
+
+  private def commitInternal(
+      table: TableName, update: TableUpdate, expectedHead: Option[CommitId]): Unit = {
     val dir = existingWritableTableDir(table)
     // serialize per table WITHIN the process (cheap monitor) and then ACROSS
     // processes (lock file): commit-file order and head order stay consistent,
     // and no two writers can race the head rename into a partial commit
     tableLock(dir).synchronized {
       withProcessLock(dir) {
-        writeCommit(dir, update)
-        writeAtomic(new Path(dir, HeadFile), update.metadata.id.id)
-      }
-      maybeCheckpoint(dir)
-    }
-  }
-
-  override def commitIf(table: TableName, update: TableUpdate, expectedHead: CommitId): Unit = {
-    val dir = existingWritableTableDir(table)
-    tableLock(dir).synchronized {
-      withProcessLock(dir) {
-        // the head read happens INSIDE the cross-process lock, so the
+        // the CAS head read happens INSIDE the cross-process lock, so the
         // compare-and-append is atomic against writers in other processes
         // too — nobody can move the head between the check and the rename
-        val head = CommitId(readWithRetry(new Path(dir, HeadFile)).trim)
-        if (head != expectedHead) throw CommitConflictError(table, expectedHead, head)
+        expectedHead.foreach { h =>
+          val head = CommitId(readWithRetry(new Path(dir, HeadFile)).trim)
+          if (head != h) throw CommitConflictError(table, h, head)
+        }
         writeCommit(dir, update)
         writeAtomic(new Path(dir, HeadFile), update.metadata.id.id)
       }

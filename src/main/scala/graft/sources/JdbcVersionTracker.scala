@@ -96,40 +96,41 @@ final class JdbcVersionTracker(jdbcUrl: String) extends VersionTracker {
     }.flatten
   }
 
-  override def commit(table: TableName, update: TableUpdate): Unit = synchronized {
-    if (!exists(table)) throw UnknownTableError(table)
-    try {
-      insertUpdate(table, update)
-      withStatement { st =>
-        st.executeUpdate(
-          s"""UPDATE graft_version_refs SET current_commit = '${update.metadata.id.id}'
-             |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)
-      }
-      conn.commit()
-    } catch { case e: Throwable => conn.rollback(); throw e }
-  }
+  override def commit(table: TableName, update: TableUpdate): Unit =
+    commitInternal(table, update, None)
 
   override def commitIf(table: TableName, update: TableUpdate, expectedHead: CommitId): Unit =
+    commitInternal(table, update, Some(expectedHead))
+
+  private def commitInternal(
+      table: TableName, update: TableUpdate, expectedHead: Option[CommitId]): Unit =
     synchronized {
       if (!exists(table)) throw UnknownTableError(table)
       try {
-        // guarded UPDATE inside the serializable transaction: zero rows
-        // changed means the head moved (or never was expectedHead) — the
-        // insert rolls back with it, so a conflict leaves no trace
+        // the CAS variant guards the head-ref UPDATE inside the serializable
+        // transaction: zero rows changed means the head moved (or never was
+        // expectedHead) — the insert rolls back with it, so a conflict
+        // leaves no trace
         insertUpdate(table, update)
+        val guard = expectedHead.map(h => s" AND current_commit = '${esc(h.id)}'").getOrElse("")
         val changed = withStatement { st =>
           st.executeUpdate(
             s"""UPDATE graft_version_refs SET current_commit = '${update.metadata.id.id}'
-               |WHERE table_name = '${esc(table.fullyQualifiedName)}'
-               |AND current_commit = '${esc(expectedHead.id)}'""".stripMargin)
+               |WHERE table_name = '${esc(table.fullyQualifiedName)}'$guard""".stripMargin)
         }
         if (changed == 0) {
           conn.rollback()
-          val actual = query(
-            s"""SELECT current_commit FROM graft_version_refs
-               |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)(_.getString(1))
-            .headOption.getOrElse(throw UnknownTableError(table))
-          throw CommitConflictError(table, expectedHead, CommitId(actual))
+          expectedHead match {
+            case Some(h) =>
+              val actual = query(
+                s"""SELECT current_commit FROM graft_version_refs
+                   |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)(_.getString(1))
+                .headOption.getOrElse(throw UnknownTableError(table))
+              throw CommitConflictError(table, h, CommitId(actual))
+            case None =>
+              // unguarded update touching zero rows = missing ref row
+              sys.error(s"Corrupt store: no version ref row for '$table'")
+          }
         }
         conn.commit()
       } catch {
