@@ -20,6 +20,9 @@ import java.time.Instant
  *   graft-cli --store <uri> partition add <schema.table> <col=val[/col2=v2]> [--user U] [--message M]
  *   graft-cli --store <uri> partition remove <schema.table> <col=val[/...]> [--user U] [--message M]
  *   graft-cli --store <uri> checkout <schema.table> <commitId>
+ *   graft-cli --store <uri> tag <schema.table> <name> [commitId]   # default: current head
+ *   graft-cli --store <uri> tags <schema.table>
+ *   graft-cli --store <uri> untag <schema.table> <name>
  *   graft-cli --store <uri> changes <schema.table> <fromCommitId> <toCommitId>
  *   graft-cli --store <uri> vacuum <schema.table> <location> [--keep-last N] [--apply]
  *   graft-cli --store <uri> migrate
@@ -129,6 +132,29 @@ object GraftCli {
         out.println(s"checked out $commitId"); 0
       }
 
+      // tags: named immutable refs (training-data reproducibility pins).
+      // `tag <table> <name>` pins the CURRENT head; an explicit commit id
+      // pins any historical commit. Tagged states are protected from vacuum.
+      case List("tag", name, tagName) => withTable(name) { t =>
+        val head = tracker.tableState(t).currentVersion
+        tracker.createTag(t, tagName, head)
+        out.println(s"tagged $tagName -> ${head.id}"); 0
+      }
+
+      case List("tag", name, tagName, commitId) => withTable(name) { t =>
+        tracker.createTag(t, tagName, CommitId(commitId))
+        out.println(s"tagged $tagName -> $commitId"); 0
+      }
+
+      case List("tags", name) => withTable(name) { t =>
+        tracker.tags(t).foreach { case (n, id) => out.println(s"$n  ${id.id}") }; 0
+      }
+
+      case List("untag", name, tagName) => withTable(name) { t =>
+        tracker.deleteTag(t, tagName)
+        out.println(s"deleted tag $tagName"); 0
+      }
+
       // metadata-only diff of the visible state between two commits (what a
       // CDC consumer would process for the range) — same computeChanges the
       // metastore sync and readChangesBetween use
@@ -166,7 +192,8 @@ object GraftCli {
           case Left(err) => out.println(s"error: $err"); 2
           case Right((keepLast, loc)) =>
             val targets = graft.core.Retention.expirableVersionUris(
-              tracker.tableState(t), loc, keepLast)
+              tracker.tableState(t), loc, keepLast,
+              pinned = tracker.tags(t).map(_._2))
             if (targets.isEmpty) { out.println("nothing expirable"); 0 }
             else if (!flags.contains("apply")) {
               targets.foreach(u => out.println(s"expirable  $u"))
@@ -209,11 +236,14 @@ object GraftCli {
 
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|changes|vacuum|migrate|export> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|vacuum|migrate|export> ...""".stripMargin)
         2
     } catch {
-      case e @ (_: UnknownTableError | _: UnknownCommitError) =>
+      case e @ (_: UnknownTableError | _: UnknownCommitError |
+                _: TagExistsError | _: UnknownTagError) =>
         out.println(s"error: ${e.getMessage}"); 1
+      case e: IllegalArgumentException =>
+        out.println(s"error: ${e.getMessage}"); 2
     }
   }
 

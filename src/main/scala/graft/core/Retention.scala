@@ -13,13 +13,19 @@ object Retention {
   /** Version directories referenced by SOME commit but not visible in any of
     * the last `keepLast` commits' table states (the head state is always
     * kept, even when the head ref is older than the window — it is what
-    * readers see NOW). Deleting the listed URIs caps time travel at
-    * `keepLast` commits back; anything NOT listed is live or in-window.
-    * Adopted pre-versioning data ([[Version.Unversioned]]) lives at the
-    * partition root and is never listed. */
-  def expirableVersionUris(st: TableState, location: URI, keepLast: Int): List[URI] = {
+    * readers see NOW; `pinned` commits — typically tagged ones — are always
+    * kept too, which is what makes a tag a durable reproducibility pin:
+    * vacuum can never reclaim a tagged dataset state). Deleting the listed
+    * URIs caps time travel at `keepLast` commits back; anything NOT listed
+    * is live, in-window, or pinned. Adopted pre-versioning data
+    * ([[Version.Unversioned]]) lives at the partition root and is never
+    * listed. */
+  def expirableVersionUris(
+      st: TableState, location: URI, keepLast: Int,
+      pinned: List[CommitId] = Nil): List[URI] = {
     require(keepLast >= 1, s"keepLast must be >= 1, was $keepLast")
-    val keptIds = (st.updates.takeRight(keepLast).map(_.metadata.id) :+ st.currentVersion).distinct
+    val keptIds =
+      (st.updates.takeRight(keepLast).map(_.metadata.id) ++ pinned :+ st.currentVersion).distinct
     val live: Set[(Option[Partition], Version)] = keptIds.flatMap { id =>
       st.versionAt(id) match {
         case PartitionedTableVersion(pvs) => pvs.toList.map { case (p, v) => (Some(p), v) }

@@ -101,6 +101,11 @@ final case class CommitConflictError(table: TableName, expected: CommitId, actua
       s"Commit conflict on '$table': expected head '$expected' but found '$actual' — " +
         "another writer committed since this transaction read the table")
 
+final case class TagExistsError(table: TableName, tag: String)
+    extends Exception(s"Tag '$tag' already exists on '$table' (tags are immutable; delete it first)")
+final case class UnknownTagError(table: TableName, tag: String)
+    extends Exception(s"Unknown tag '$tag' on '$table'")
+
 /**
  * The transactional commit log for versioned tables — the reference's central
  * seam (`core/src/main/scala/dev/chronicles/core/VersionTracker.scala`).
@@ -141,6 +146,30 @@ trait VersionTracker {
     * Unknown commit ⇒ [[UnknownCommitError]]. */
   def setCurrentVersion(table: TableName, id: CommitId): Unit
 
+  // ---- tags: named IMMUTABLE refs into history ----
+  //
+  // The reproducibility primitive of a training-data pipeline: `createTag
+  // (t, "model-v3-train", head)` pins the exact dataset state a model
+  // trained on; `readAtTag` re-reads it forever (and retention/vacuum keeps
+  // tagged states alive regardless of the keep-last window). git-tag
+  // semantics: create-once, never moved, deletable.
+
+  /** All tags of a table, sorted by name. */
+  def tags(table: TableName): List[(String, CommitId)]
+
+  /** Create tag `name` pointing at commit `at`. Errors: unknown table/
+    * commit; [[TagExistsError]] (tags never move — delete first);
+    * IllegalArgumentException for names outside `[A-Za-z0-9][A-Za-z0-9._-]*`. */
+  def createTag(table: TableName, name: String, at: CommitId): Unit
+
+  /** Delete tag `name`; [[UnknownTagError]] if absent. */
+  def deleteTag(table: TableName, name: String): Unit
+
+  /** The commit a tag points at; [[UnknownTagError]] if absent. */
+  def tagCommit(table: TableName, name: String): CommitId =
+    tags(table).collectFirst { case (`name`, id) => id }
+      .getOrElse(throw UnknownTagError(table, name))
+
   /** Current ref + ordered history; [[UnknownTableError]] if untracked. */
   def tableState(table: TableName): TableState
 
@@ -158,6 +187,16 @@ trait VersionTracker {
     tableState(table).updates.flatMap(_.operations).collectFirst {
       case TableOperation.InitTable(_, snap) => snap
     }.getOrElse(false)
+}
+
+object VersionTracker {
+  private val TagNamePattern = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+
+  /** Shared tag-name validation: a safe filename / SQL identifier subset, so
+    * every store can persist the name verbatim. */
+  def requireValidTagName(name: String): Unit =
+    require(TagNamePattern.matches(name),
+      s"Invalid tag name '$name': must match [A-Za-z0-9][A-Za-z0-9._-]*")
 }
 
 /** Simple in-memory tracker (reference `InMemoryVersionTracker.scala`).
@@ -199,5 +238,26 @@ final class InMemoryVersionTracker extends VersionTracker {
 
   override def tableState(table: TableName): TableState = synchronized {
     states.getOrElse(table, throw UnknownTableError(table))
+  }
+
+  private var tagRefs = Map.empty[(TableName, String), CommitId]
+
+  override def tags(table: TableName): List[(String, CommitId)] = synchronized {
+    if (!states.contains(table)) throw UnknownTableError(table)
+    tagRefs.collect { case ((`table`, n), id) => (n, id) }.toList.sortBy(_._1)
+  }
+
+  override def createTag(table: TableName, name: String, at: CommitId): Unit = synchronized {
+    VersionTracker.requireValidTagName(name)
+    val st = states.getOrElse(table, throw UnknownTableError(table))
+    if (!st.updates.exists(_.metadata.id == at)) throw UnknownCommitError(at)
+    if (tagRefs.contains((table, name))) throw TagExistsError(table, name)
+    tagRefs += (table, name) -> at
+  }
+
+  override def deleteTag(table: TableName, name: String): Unit = synchronized {
+    if (!states.contains(table)) throw UnknownTableError(table)
+    if (!tagRefs.contains((table, name))) throw UnknownTagError(table, name)
+    tagRefs -= ((table, name))
   }
 }

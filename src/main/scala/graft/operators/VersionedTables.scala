@@ -233,7 +233,16 @@ final class VersionedTables(
     * listed is either live or inside the retention window. Complements
     * [[orphanedVersions]] (directories no commit references at all). */
   def expirableVersions(table: TableDefinition, keepLast: Int): List[URI] =
-    Retention.expirableVersionUris(tracker.tableState(table.name), table.location, keepLast)
+    // tagged commits are pinned: a tag is a reproducibility promise, so its
+    // dataset state is never expirable regardless of the keep-last window
+    Retention.expirableVersionUris(tracker.tableState(table.name), table.location, keepLast,
+      pinned = tracker.tags(table.name).map(_._2))
+
+  /** Read the table at a named tag — `readAt(tagCommit)`. The reproducibility
+    * read: `readAtTag(t, "model-v3-train")` returns the exact rows that tag
+    * pinned, forever (vacuum keeps tagged states alive). */
+  def readAtTag(table: TableDefinition, tag: String): DataFrame =
+    readAt(table, tracker.tagCommit(table.name, tag))
 
   import VersionedTables.VacuumResult
 

@@ -145,6 +145,56 @@ final class FileBackedVersionTracker(
       case (dir, ChroniclesLayout) => chroniclesTableState(dir)
     }
 
+  // ---- tags: one `tag_<name>.json` per tag (content = the commit id),
+  // created under the table + process locks so check-then-create is atomic.
+  // The reference layout has no tag concept, so chronicles-layout tables
+  // report none and refuse creation (they are read-only here anyway). ----
+
+  override def tags(table: TableName): List[(String, CommitId)] =
+    resolveTableDir(table) match {
+      case (_, ChroniclesLayout) => Nil
+      case (dir, GraftLayout) =>
+        fs.listStatus(dir).toList.map(_.getPath)
+          .filter(p => p.getName.startsWith(TagFilePrefix) && p.getName.endsWith(".json"))
+          .map { p =>
+            val name = p.getName.stripPrefix(TagFilePrefix).stripSuffix(".json")
+            name -> CommitId(read(p).trim)
+          }
+          .sortBy(_._1)
+    }
+
+  override def createTag(table: TableName, name: String, at: CommitId): Unit = {
+    VersionTracker.requireValidTagName(name)
+    val dir = existingWritableTableDir(table)
+    val st = graftTableState(dir)
+    if (!st.updates.exists(_.metadata.id == at)) throw UnknownCommitError(at)
+    tableLock(dir).synchronized {
+      withProcessLock(dir) {
+        val p = new Path(dir, TagFilePrefix + name + ".json")
+        if (fs.exists(p)) throw TagExistsError(table, name)
+        // temp + rename like everything else: the tag appears atomically
+        val tmp = new Path(dir, s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+        write(tmp, at.id)
+        if (!fs.rename(tmp, p)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(s"Tag file rename failed for $p")
+        }
+      }
+    }
+  }
+
+  override def deleteTag(table: TableName, name: String): Unit = {
+    val dir = existingWritableTableDir(table)
+    tableLock(dir).synchronized {
+      withProcessLock(dir) {
+        val p = new Path(dir, TagFilePrefix + name + ".json")
+        if (!fs.exists(p)) throw UnknownTagError(table, name)
+        fs.delete(p, false)
+        ()
+      }
+    }
+  }
+
   private def graftTableState(dir: Path): TableState = {
     // read head BEFORE listing: a concurrent commit (file + head, in that
     // order under the locks) can then only make the listing see MORE commits
@@ -462,6 +512,7 @@ object FileBackedVersionTracker {
   val HeadFile = "head.json"
   val CommitFilePrefix = "table_update_"
   val CheckpointFilePrefix = "state_checkpoint_"
+  val TagFilePrefix = "tag_"
   val LockFile = "commit.lock"
 
   /** Reference layout constants

@@ -65,6 +65,13 @@ final class JdbcVersionTracker(jdbcUrl: String) extends VersionTracker {
           """CREATE TABLE graft_version_refs (
             |  table_name VARCHAR(512) PRIMARY KEY REFERENCES graft_tables(table_name),
             |  current_commit VARCHAR(64) NOT NULL)""".stripMargin)
+      if (!tableExists("graft_tags"))
+        st.executeUpdate(
+          """CREATE TABLE graft_tags (
+            |  table_name VARCHAR(512) NOT NULL REFERENCES graft_tables(table_name),
+            |  tag_name VARCHAR(256) NOT NULL,
+            |  commit_id VARCHAR(64) NOT NULL REFERENCES graft_updates(commit_id),
+            |  PRIMARY KEY (table_name, tag_name))""".stripMargin)
     }
     conn.commit()
   }
@@ -153,6 +160,52 @@ final class JdbcVersionTracker(jdbcUrl: String) extends VersionTracker {
       }
       conn.commit()
     } catch { case e: Throwable => conn.rollback(); throw e }
+  }
+
+  override def tags(table: TableName): List[(String, CommitId)] = synchronized {
+    if (!exists(table)) throw UnknownTableError(table)
+    query(
+      s"""SELECT tag_name, commit_id FROM graft_tags
+         |WHERE table_name = '${esc(table.fullyQualifiedName)}'
+         |ORDER BY tag_name""".stripMargin)(rs => rs.getString(1) -> CommitId(rs.getString(2)))
+  }
+
+  override def createTag(table: TableName, name: String, at: CommitId): Unit = synchronized {
+    VersionTracker.requireValidTagName(name)
+    if (!exists(table)) throw UnknownTableError(table)
+    val known = query(
+      s"""SELECT 1 FROM graft_updates WHERE commit_id = '${esc(at.id)}'
+         |AND table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)(_ => true)
+    if (known.isEmpty) throw UnknownCommitError(at)
+    try {
+      withStatement { st =>
+        st.executeUpdate(
+          s"""INSERT INTO graft_tags VALUES ('${esc(table.fullyQualifiedName)}',
+             |'${esc(name)}', '${esc(at.id)}')""".stripMargin)
+      }
+      conn.commit()
+    } catch {
+      // PK violation = the tag already exists (tags are immutable)
+      case e: java.sql.SQLIntegrityConstraintViolationException =>
+        conn.rollback(); throw TagExistsError(table, name)
+      case e: Throwable => conn.rollback(); throw e
+    }
+  }
+
+  override def deleteTag(table: TableName, name: String): Unit = synchronized {
+    if (!exists(table)) throw UnknownTableError(table)
+    try {
+      val n = withStatement { st =>
+        st.executeUpdate(
+          s"""DELETE FROM graft_tags WHERE table_name = '${esc(table.fullyQualifiedName)}'
+             |AND tag_name = '${esc(name)}'""".stripMargin)
+      }
+      conn.commit()
+      if (n == 0) throw UnknownTagError(table, name)
+    } catch {
+      case e: UnknownTagError => throw e
+      case e: Throwable       => conn.rollback(); throw e
+    }
   }
 
   private case class Row(commitId: String, user: String, msg: String, ts: Instant,

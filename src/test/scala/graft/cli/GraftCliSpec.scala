@@ -56,6 +56,32 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     parts should not include "date=2024-01-02"
   }
 
+  it should "tag, list, refuse re-tagging, and untag" in {
+    cli("init", "sales.tagme")
+    cli("partition", "add", "sales.tagme", "date=2024-01-01")
+    val (ct, outt) = cli("tag", "sales.tagme", "train-v1")
+    ct shouldBe 0
+    outt should include("tagged train-v1 -> ")
+    // tag an explicit (older) commit by id
+    val (_, logOut) = cli("log", "sales.tagme")
+    val initCommit = logOut.linesIterator.toList.last.split("\\s+").head
+    cli("tag", "sales.tagme", "empty-state", initCommit)._1 shouldBe 0
+    val (cl, outl) = cli("tags", "sales.tagme")
+    cl shouldBe 0
+    outl should include("train-v1")
+    outl should include(s"empty-state  $initCommit")
+    // tags are immutable
+    val (cdup, outdup) = cli("tag", "sales.tagme", "train-v1")
+    cdup shouldBe 1
+    outdup should include("already exists")
+    // invalid names are a usage error
+    cli("tag", "sales.tagme", "bad name")._1 shouldBe 2
+    val (cu, _) = cli("untag", "sales.tagme", "train-v1")
+    cu shouldBe 0
+    cli("tags", "sales.tagme")._2 should not include "train-v1"
+    cli("untag", "sales.tagme", "train-v1")._1 shouldBe 1
+  }
+
   it should "print the metadata diff between two commits" in {
     cli("init", "sales.diff")
     cli("partition", "add", "sales.diff", "date=2024-01-01")

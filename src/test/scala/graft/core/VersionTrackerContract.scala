@@ -198,6 +198,48 @@ trait VersionTrackerContract extends AnyFlatSpec with Matchers {
     } finally pool.shutdownNow()
   }
 
+  it should "create, list, resolve and delete immutable tags" in {
+    val tr = newTracker()
+    val t = init(tr, "tagged")
+    val p = Partition("date", "2024-01-01")
+    val u1 = upd(AddPartitionVersion(p, Version.generate()))
+    val u2 = upd(AddPartitionVersion(p, Version.generate()))
+    tr.commit(t, u1)
+    tr.commit(t, u2)
+
+    tr.tags(t) shouldBe Nil
+    tr.createTag(t, "train-v1", u1.metadata.id)
+    tr.createTag(t, "train-v2.0_final", u2.metadata.id)
+    tr.tags(t) shouldBe List(
+      "train-v1" -> u1.metadata.id, "train-v2.0_final" -> u2.metadata.id)
+    tr.tagCommit(t, "train-v1") shouldBe u1.metadata.id
+
+    // tags are immutable: re-creating under the same name is refused
+    an[TagExistsError] should be thrownBy tr.createTag(t, "train-v1", u2.metadata.id)
+    tr.tagCommit(t, "train-v1") shouldBe u1.metadata.id
+
+    // a tag pins a readable state even after the head moves on
+    tr.tableState(t).versionAt(tr.tagCommit(t, "train-v1")) shouldBe
+      tr.tableState(t).versionAt(u1.metadata.id)
+
+    tr.deleteTag(t, "train-v1")
+    tr.tags(t).map(_._1) shouldBe List("train-v2.0_final")
+    an[UnknownTagError] should be thrownBy tr.deleteTag(t, "train-v1")
+    an[UnknownTagError] should be thrownBy tr.tagCommit(t, "train-v1")
+  }
+
+  it should "reject tags on unknown commits and invalid names" in {
+    val tr = newTracker()
+    val t = init(tr, "tagerr")
+    an[UnknownCommitError] should be thrownBy tr.createTag(t, "x", CommitId("bogus"))
+    val head = tr.tableState(t).currentVersion
+    an[IllegalArgumentException] should be thrownBy tr.createTag(t, "", head)
+    an[IllegalArgumentException] should be thrownBy tr.createTag(t, "../escape", head)
+    an[IllegalArgumentException] should be thrownBy tr.createTag(t, "has space", head)
+    an[UnknownTableError] should be thrownBy tr.tags(TableName("no", "such"))
+    tr.tags(t) shouldBe Nil
+  }
+
   it should "raise UnknownTableError for untracked tables" in {
     val tr = newTracker()
     an[UnknownTableError] should be thrownBy tr.tableState(TableName("no", "such"))

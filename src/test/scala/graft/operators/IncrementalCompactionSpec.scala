@@ -209,6 +209,38 @@ class IncrementalCompactionSpec extends AnyFlatSpec with Matchers {
     afterCheckout.exists(_.contains(v1d1)) shouldBe false // head state uses v1 again
   }
 
+  it should "never list versions pinned by a tag, and readAtTag survives vacuum" in {
+    val (engine, table, _) = newTable()
+    Seq(Reading("a", "d1", 1.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "w1")
+    // pin the w1 state as the training snapshot
+    engine.tracker.createTag(table.name, "train-v1", engine.log(table.name).head.id)
+    Seq(Reading("a", "d1", 10.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "w2")
+    Seq(Reading("a", "d1", 100.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "w3")
+
+    // without the tag, w1's and w2's d1 versions would both be expirable at
+    // keepLast=1; the tag pins w1's — only w2's remains expirable
+    val expirable = engine.expirableVersions(table, keepLast = 1)
+    expirable should have size 1
+
+    val r = engine.vacuum(table, keepLast = 1, dryRun = false)
+    r.failed shouldBe Nil
+    r.deleted should contain theSameElementsAs expirable
+    // the tagged dataset state reads back EXACTLY, after physical vacuum
+    engine.readAtTag(table, "train-v1").select("sensor", "day", "value")
+      .as[Reading].collect() shouldBe Array(Reading("a", "d1", 1.0))
+
+    // dropping the tag releases the pin: the formerly-tagged version joins
+    // the expirable list (alongside the already-vacuumed one — retention is
+    // metadata-based and vacuum never rewrites history)
+    engine.tracker.deleteTag(table.name, "train-v1")
+    val released = engine.expirableVersions(table, keepLast = 1)
+    released should have size 2
+    released should contain allElementsOf expirable
+  }
+
   behavior of "vacuum"
 
   it should "dry-run by default, then physically reclaim expired versions only" in {
