@@ -58,6 +58,20 @@ object MaintenanceDemo {
       case _ => -1
     }}")
 
+    // 4b. tags + CAS: pin the pre-vacuum state as an immutable named ref
+    // (vacuum below must never reclaim it), and probe the optimistic-
+    // concurrency commit path — a stale-head CAS write must fail loudly
+    val pinHead = engine.tracker.tableState(table.name).currentVersion
+    engine.tracker.createTag(table.name, "demo-pin", pinHead)
+    println(s"TAGS=${engine.tracker.tags(table.name).map(_._1).mkString(",")}")
+    val casConflict =
+      try {
+        events.limit(5).versionedInsertIntoIf(engine, table, UserId("demo"), "stale cas",
+          engine.log(table.name).last.id) // the INIT commit — definitely stale
+        "none"
+      } catch { case _: CommitConflictError => "conflict" }
+    println(s"CAS_STALE=$casConflict")
+
     // 5. retention: versions invisible in the last 1 commit, then reclaim
     // them physically (dry-run plan first, real delete after)
     println(s"EXPIRABLE=${engine.expirableVersions(table, keepLast = 1).size}")
@@ -65,8 +79,10 @@ object MaintenanceDemo {
     val vacPlan = engine.vacuum(table, keepLast = 1) // dryRun default
     val vacRun = engine.vacuum(table, keepLast = 1, dryRun = false)
     println(s"VACUUM_PLANNED=${vacPlan.targets.size} VACUUM_DELETED=${vacRun.deleted.size} VACUUM_FAILED=${vacRun.failed.size}")
-    // current read still intact after the vacuum
+    // current read still intact after the vacuum, and the tagged state
+    // reads back (tags pin their versions out of the expirable set)
     println(s"POST_VACUUM_ROWS=${engine.read(table).count()}")
+    println(s"TAGGED_READ_ROWS=${engine.readAtTag(table, "demo-pin").count()}")
 
     // 6. the commit log as a (batch-drained) stream
     import org.apache.spark.sql.streaming.Trigger
