@@ -191,12 +191,20 @@ trait VersionTracker {
 
 object VersionTracker {
   private val TagNamePattern = "[A-Za-z0-9][A-Za-z0-9._-]*".r
+  private val TagNameMaxLength = 200
 
-  /** Shared tag-name validation: a safe filename / SQL identifier subset, so
-    * every store can persist the name verbatim. */
-  def requireValidTagName(name: String): Unit =
+  /** Shared tag-name validation: a safe filename / SQL identifier subset
+    * (and a length every backend can store — filenames and the VARCHAR(256)
+    * column alike), so every store can persist the name verbatim. Applied on
+    * DELETE as well as create: on the file store an unvalidated name is a
+    * path (`x/../head` would resolve onto the head ref), so the check is a
+    * safety boundary, not just hygiene. */
+  def requireValidTagName(name: String): Unit = {
     require(TagNamePattern.matches(name),
       s"Invalid tag name '$name': must match [A-Za-z0-9][A-Za-z0-9._-]*")
+    require(name.length <= TagNameMaxLength,
+      s"Invalid tag name: ${name.length} chars exceeds the $TagNameMaxLength limit")
+  }
 }
 
 /** Simple in-memory tracker (reference `InMemoryVersionTracker.scala`).
@@ -256,6 +264,7 @@ final class InMemoryVersionTracker extends VersionTracker {
   }
 
   override def deleteTag(table: TableName, name: String): Unit = synchronized {
+    VersionTracker.requireValidTagName(name)
     if (!states.contains(table)) throw UnknownTableError(table)
     if (!tagRefs.contains((table, name))) throw UnknownTagError(table, name)
     tagRefs -= ((table, name))

@@ -211,7 +211,11 @@ object Dedup {
     val rejected = crossPairsFromHashes(newHs, corpusHs, threshold, bands, rowsPerBand)
       .select(col("left_id")).distinct().localCheckpoint() // referenced by BOTH anti-joins
     val novel = newDocs.join(rejected, newDocs(idCol) === col("left_id"), "left_anti")
+    // checkpointed like every frame fed to the miner: the band self-join and
+    // both verify joins reference it, and without the barrier the anti-join
+    // subtree re-executes per reference
     val novelHs = newHs.join(rejected, newHs("id") === col("left_id"), "left_anti")
+      .localCheckpoint()
     keepCanonical(novel,
       minhashPairsFromHashes(novelHs, threshold, bands, rowsPerBand), idCol)
   }

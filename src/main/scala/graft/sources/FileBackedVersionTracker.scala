@@ -156,9 +156,13 @@ final class FileBackedVersionTracker(
       case (dir, GraftLayout) =>
         fs.listStatus(dir).toList.map(_.getPath)
           .filter(p => p.getName.startsWith(TagFilePrefix) && p.getName.endsWith(".json"))
-          .map { p =>
+          .flatMap { p =>
             val name = p.getName.stripPrefix(TagFilePrefix).stripSuffix(".json")
-            name -> CommitId(read(p).trim)
+            // a tag deleted by another process between the listing and this
+            // read simply isn't a tag anymore — skip it, don't crash the
+            // caller (vacuum/expirableVersions go through here)
+            try Some(name -> CommitId(read(p).trim))
+            catch { case _: java.io.FileNotFoundException => None }
           }
           .sortBy(_._1)
     }
@@ -184,6 +188,9 @@ final class FileBackedVersionTracker(
   }
 
   override def deleteTag(table: TableName, name: String): Unit = {
+    // validation is a SAFETY boundary here, not hygiene: an unvalidated
+    // name is a path, and `x/../head` would resolve onto the head ref
+    VersionTracker.requireValidTagName(name)
     val dir = existingWritableTableDir(table)
     tableLock(dir).synchronized {
       withProcessLock(dir) {

@@ -193,6 +193,7 @@ final class JdbcVersionTracker(jdbcUrl: String) extends VersionTracker {
   }
 
   override def deleteTag(table: TableName, name: String): Unit = synchronized {
+    VersionTracker.requireValidTagName(name)
     if (!exists(table)) throw UnknownTableError(table)
     try {
       val n = withStatement { st =>

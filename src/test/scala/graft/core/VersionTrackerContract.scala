@@ -236,6 +236,12 @@ trait VersionTrackerContract extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy tr.createTag(t, "", head)
     an[IllegalArgumentException] should be thrownBy tr.createTag(t, "../escape", head)
     an[IllegalArgumentException] should be thrownBy tr.createTag(t, "has space", head)
+    an[IllegalArgumentException] should be thrownBy tr.createTag(t, "a" * 300, head)
+    // deleteTag validates too — on the file store an unvalidated name is a
+    // PATH, and "x/../head" would resolve onto (and delete) the head ref
+    an[IllegalArgumentException] should be thrownBy tr.deleteTag(t, "x/../head")
+    an[IllegalArgumentException] should be thrownBy tr.deleteTag(t, "a" * 300)
+    tr.tableState(t).currentVersion shouldBe head // head untouched
     an[UnknownTableError] should be thrownBy tr.tags(TableName("no", "such"))
     tr.tags(t) shouldBe Nil
   }
