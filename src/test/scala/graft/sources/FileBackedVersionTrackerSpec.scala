@@ -121,6 +121,54 @@ class JsonCodecsSpec extends AnyFlatSpec with Matchers {
     JsonCodecs.fromJson(JsonCodecs.toJson(update)) shouldBe Right(update)
   }
 
+  it should "round-trip ARBITRARY commits (property: fromJson . toJson == id)" in {
+    import org.scalacheck.Gen
+    val nastyString: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf("\"\\/{}[]:,\n\t\r '%=#".toList),
+      1 -> Gen.oneOf('é', '中', '☃', '\u0000', '\u001f')
+    )).map(_.mkString)
+    val nonEmptyNasty: Gen[String] = nastyString.suchThat(_.nonEmpty)
+    val genInstant: Gen[java.time.Instant] = for {
+      s <- Gen.choose(0L, 4102444800L) // 1970..2100 (label format range)
+      n <- Gen.choose(0L, 999999999L)
+    } yield java.time.Instant.ofEpochSecond(s, n)
+    val genVersion: Gen[Version] = Gen.frequency(
+      9 -> (for { ts <- genInstant; hi <- Gen.long; lo <- Gen.long }
+        yield Version(ts, new java.util.UUID(hi, lo))),
+      1 -> Gen.const(Version.Unversioned))
+    val genColName: Gen[String] = for {
+      h <- Gen.alphaLowerChar
+      t <- Gen.listOfN(4, Gen.frequency(5 -> Gen.alphaLowerChar, 2 -> Gen.numChar, 1 -> Gen.const('_')))
+    } yield (h :: t).mkString
+    val genPartition: Gen[Partition] = for {
+      n <- Gen.choose(1, 3)
+      cols <- Gen.listOfN(n, genColName)
+      vals <- Gen.listOfN(n, nonEmptyNasty)
+    } yield Partition(cols.distinct.zip(vals).map { case (c, v) => ColumnValue(PartitionColumn(c), v) })
+    val genOp: Gen[TableOperation] = Gen.frequency(
+      1 -> Gen.const(TableOperation.InitTable(TableName("s", "t"), isSnapshot = false)),
+      2 -> genVersion.map(TableOperation.AddTableVersion(_)),
+      5 -> (for { p <- genPartition; v <- genVersion } yield TableOperation.AddPartitionVersion(p, v)),
+      2 -> genPartition.map(TableOperation.RemovePartition(_)))
+    val genUpdate: Gen[TableUpdate] = for {
+      user <- nastyString
+      msg <- nastyString
+      ts <- genInstant
+      ops <- Gen.listOf(genOp)
+    } yield TableUpdate(TableUpdateMetadata(
+      CommitId(java.util.UUID.randomUUID().toString), UserId(user), msg, ts), ops)
+
+    (1 to 200).foreach { seedNo =>
+      val seed = org.scalacheck.rng.Seed(seedNo.toLong)
+      genUpdate.apply(Gen.Parameters.default, seed).foreach { update =>
+        withClue(s"seed $seedNo, update $update:\n") {
+          JsonCodecs.fromJson(JsonCodecs.toJson(update)) shouldBe Right(update)
+        }
+      }
+    }
+  }
+
   it should "round-trip the Unversioned sentinel" in {
     val update = TableUpdate(
       TableUpdateMetadata(CommitId("c"), UserId("u"), "m", java.time.Instant.EPOCH),
