@@ -83,6 +83,10 @@ object GraftExtensions {
       info("simhash32",
         "_FUNC_(hashes) - 32-bit SimHash from a token-hash array (one pass, +1/-1 bit votes)"),
       args => { arity("simhash32", 1, args); SimHash32FromHashes(args.head) }),
+    ("simhash64",
+      info("simhash64",
+        "_FUNC_(hashes) - 64-bit SimHash from a token-hash array (one pass, +1/-1 bit votes)"),
+      args => { arity("simhash64", 1, args); SimHash64FromHashes(args.head) }),
     ("min_hashes",
       info("min_hashes",
         "_FUNC_(hashes, k) - k seeded MinHash values over a bigint-hash array, one pass"),

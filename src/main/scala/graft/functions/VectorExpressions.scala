@@ -408,12 +408,14 @@ object HyperplaneLshBucket {
  *  - NULL element: `when(<null comparison>).otherwise(-1)` votes -1 on every
  *    bit for that element (it does NOT poison the aggregate).
  */
-case class SimHash32FromHashes(child: Expression)
+abstract class SimHashFromHashesBase
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
+  /** Signature width in bits (32 or 64). */
+  def width: Int
+
   override def dataType: DataType = org.apache.spark.sql.types.LongType
-  override def prettyName: String = "simhash32_from_hashes"
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -431,17 +433,18 @@ case class SimHash32FromHashes(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
-    val votes = new Array[Int](32)
+    val w = width
+    val votes = new Array[Int](w)
     var i = 0
     while (i < n) {
       if (a.isNullAt(i)) {
         // HOF parity: a null element votes -1 on every bit
         var b = 0
-        while (b < 32) { votes(b) -= 1; b += 1 }
+        while (b < w) { votes(b) -= 1; b += 1 }
       } else {
         val h = a.getLong(i)
         var b = 0
-        while (b < 32) {
+        while (b < w) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
@@ -450,10 +453,29 @@ case class SimHash32FromHashes(child: Expression)
     }
     var out = 0L
     var b = 0
-    while (b < 32) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    while (b < w) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+}
 
+case class SimHash32FromHashes(child: Expression) extends SimHashFromHashesBase {
+  override def width: Int = 32
+  override def prettyName: String = "simhash32_from_hashes"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * 64-bit SimHash: identical vote rule over all 64 bits of the token hashes.
+ * The extra width matters for BLOCKING, not just collision odds: chunked
+ * near-dup blocking on a 32-bit signature has only 2^8 = 256 distinct values
+ * per 8-bit chunk, so each block self-join is O(N²/256) at corpus scale;
+ * 16-bit chunks of a 64-bit signature give 65,536-way blocking with the same
+ * 4-chunk pigeonhole recall guarantee to Hamming 3.
+ */
+case class SimHash64FromHashes(child: Expression) extends SimHashFromHashesBase {
+  override def width: Int = 64
+  override def prettyName: String = "simhash64_from_hashes"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -637,6 +659,13 @@ object VectorExpressions {
   /** 32-bit SimHash from a token-hash array, fused into one native pass. */
   def simHash32FromHashes(hashes: Column): Column =
     GraftSqlBridge.column(SimHash32FromHashes(GraftSqlBridge.expression(hashes)))
+
+  /** 64-bit SimHash from a token-hash array, fused into one native pass.
+    * Preferred over the 32-bit form for near-dup blocking: 16-bit chunks of
+    * the 64-bit signature give 65,536-way blocking (vs 256-way for 8-bit
+    * chunks of 32) with the same pigeonhole recall to Hamming 3. */
+  def simHash64FromHashes(hashes: Column): Column =
+    GraftSqlBridge.column(SimHash64FromHashes(GraftSqlBridge.expression(hashes)))
 
   /** All `numHashes` seeded MinHash values in one native pass. */
   def minHashes(hashes: Column, numHashes: Int): Column =

@@ -230,11 +230,21 @@ object Dedup {
   def simhashFromHashes(tokenHashes: Column): Column =
     graft.functions.VectorExpressions.simHash32FromHashes(tokenHashes)
 
-  /** Reference formulation of [[simhashFromHashes]] via built-in HOFs: 32
-    * interpreted `aggregate` walks per row — semantically the spec, kept for
-    * the parity pin; never use on a hot path. */
-  def simhashFromHashesHof(tokenHashes: Column): Column = {
-    val bits = (0 until 32).map { i =>
+  /** 64-bit SimHash from pre-hashed tokens — same vote rule over all 64
+    * hash bits. This is the PRODUCTION width: 16-bit chunk blocking over a
+    * 64-bit signature is 65,536-way, vs only 256-way for 8-bit chunks of the
+    * 32-bit form, so the within-block quadratic stays bounded at corpus
+    * scale. One native pass ([[graft.functions.SimHash64FromHashes]]). */
+  def simhashFromHashes64(tokenHashes: Column): Column =
+    graft.functions.VectorExpressions.simHash64FromHashes(tokenHashes)
+
+  /** Reference formulation of [[simhashFromHashes]]/[[simhashFromHashes64]]
+    * via built-in HOFs: `width` interpreted `aggregate` walks per row —
+    * semantically the spec, kept for the parity pin; never use on a hot
+    * path. */
+  def simhashFromHashesHof(tokenHashes: Column, width: Int = 32): Column = {
+    require(width == 32 || width == 64, s"SimHash width must be 32 or 64, was $width")
+    val bits = (0 until width).map { i =>
       val votes = aggregate(tokenHashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(votes > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
@@ -246,30 +256,40 @@ object Dedup {
   def simhash32(textCol: Column): Column =
     simhashFromHashes(transform(tokens(textCol), t => xxhash64(t)))
 
-  /** Near-dup pairs by SimHash, blocked on the four 8-bit chunks of the
-    * 32-bit hash: by pigeonhole, any pair within Hamming distance <= 3 has
+  /** 64-bit SimHash of the token multiset. */
+  def simhash64(textCol: Column): Column =
+    simhashFromHashes64(transform(tokens(textCol), t => xxhash64(t)))
+
+  /** Near-dup pairs by SimHash, blocked on the four 16-bit chunks of the
+    * 64-bit hash: by pigeonhole, any pair within Hamming distance <= 3 has
     * at least one chunk with zero differing bits, so recall is GUARANTEED up
     * to the default `maxHamming = 3`; the full-popcount verify keeps
     * precision exact. (`maxHamming > 3` still works but recall is no longer
-    * guaranteed — documented blocking trade-off.) */
+    * guaranteed — documented blocking trade-off.)
+    *
+    * Scale shape: each chunk key has 2^16 = 65,536 distinct values, so the
+    * four block self-joins are O(N²/65,536) in the worst (uniform) case —
+    * 256× fewer candidate comparisons than the 8-bit chunks a 32-bit
+    * signature would allow. The quadratic is confined to same-chunk blocks;
+    * AQE's skew-join splitting handles a hot chunk value. */
   def simhashNearDupPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
-    // fully fused: tokenize+hash (WordShingleHashes) -> 32-bit vote
-    // (SimHash32FromHashes) is ONE composed native evaluation per row. A
+    // fully fused: tokenize+hash (WordShingleHashes) -> 64-bit vote
+    // (SimHash64FromHashes) is ONE composed native evaluation per row. A
     // single checkpoint of the tiny (id, sh) frame remains: it feeds the four
     // chunk projections and both sides of the block self-joins, and without
     // it each of those 8 plan branches would re-scan the parquet and re-hash
     // every document
     val shBase = docs.select(col(idCol).as("id"),
-      simhashFromHashes(
+      simhashFromHashes64(
         graft.functions.VectorExpressions.wordShingleHashes(col(textCol), 1, distinct = false))
         .as("sh"))
       .localCheckpoint()
     val sh = shBase.select(col("id") +: col("sh") +:
-      (0 until 4).map(c => shiftright(col("sh"), c * 8).bitwiseAND(0xFFL).as(s"c$c")): _*)
+      (0 until 4).map(c => shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as(s"c$c")): _*)
 
     def block(key: String) =
       sh.as("a").join(sh.as("b"),
@@ -342,13 +362,18 @@ object Dedup {
     * per-round cost stays O(|E|) — never quadratic, no driver-side graph.
     * Lineage is truncated every round (localCheckpoint) so the plan does not
     * grow with iterations. `maxIter` bounds pathological chain graphs; hitting
-    * it raises rather than returning partial components.
+    * it raises rather than returning partial components. `maxClusterSize`
+    * (optional) bounds component SIZE: a component larger than the cap fails
+    * loudly with the offending cluster ids, because a mega-cluster is almost
+    * always boilerplate that should be filtered upstream, and silently
+    * carrying it poisons both the canonical choice and downstream cost.
     */
   def dupClusters(
       pairs: DataFrame,
       id1Col: String = "id1",
       id2Col: String = "id2",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      maxClusterSize: Option[Long] = None): DataFrame = {
     // materialize the pair input ONCE before fanning it into both edge
     // directions: `pairs` is typically an expensive near-dup mining plan
     // (block self-join + per-pair verification), and the union would
@@ -379,9 +404,27 @@ object Dedup {
       iter += 1
     }
     require(converged, s"dupClusters did not converge within $maxIter rounds")
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+    val members = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    // cluster_size via groupBy + join back, NOT a window over the component:
+    // a window partitioned by cluster_id funnels each component through ONE
+    // task, so a boilerplate mega-cluster (millions of near-identical docs —
+    // common in web corpora) becomes a single-task hot spot. The aggregate
+    // is map-side-combinable and AQE can split a skewed join; it cannot
+    // split a window partition.
+    val sizes = members.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    maxClusterSize.foreach { cap =>
+      val giants = sizes.filter(col("cluster_size") > cap)
+        .orderBy(col("cluster_size").desc)
+        .limit(20)
+        .collect()
+      require(giants.isEmpty,
+        s"dupClusters found component(s) larger than maxClusterSize=$cap — " +
+          "almost always boilerplate (headers, templates) that should be " +
+          "filtered upstream rather than clustered. Largest offenders " +
+          "(cluster_id -> size): " +
+          giants.map(r => s"${r.get(0)} -> ${r.getLong(1)}").mkString(", "))
+    }
+    members.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
   }
 
   /** End-to-end near-dup corpus dedup: given mined pairs, keep exactly ONE

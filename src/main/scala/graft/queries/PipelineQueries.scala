@@ -73,7 +73,7 @@ object PipelineQueries {
    * q_dedup_simhash runs — same mechanism as the IVF centroids. The corpus
    * vocabulary is tiny (31 distinct tokens), so the whole hash function
    * RESTRICTED TO THIS CORPUS fits in a SQL VALUES literal, and DuckDB can
-   * replay the entire SimHash computation (per-occurrence bit votes, 32-bit
+   * replay the entire SimHash computation (per-occurrence bit votes, 64-bit
    * signature, Hamming pairing) exactly. Hashes come from the same
    * WordShingleHashes kernel the query uses, evaluated per single token.
    */
@@ -529,17 +529,19 @@ object PipelineQueries {
   }
 
   /** Replay SimHash in DuckDB with the corpus token-hash dictionary embedded
-    * as literals: per-OCCURRENCE ±1 votes on each of 32 bits (bit set iff
+    * as literals: per-OCCURRENCE ±1 votes on each of 64 bits (bit set iff
     * votes > 0 — the pinned kernel rule), then the full quadratic Hamming
-    * pairing (the 4-chunk blocking in Spark is recall-complete to Hamming 3
-    * by pigeonhole, so its pair set IS the all-pairs set). */
+    * pairing (the 4×16-bit-chunk blocking in Spark is recall-complete to
+    * Hamming 3 by pigeonhole, so its pair set IS the all-pairs set). Bit 63
+    * contributes Long.MinValue — the partial sums never overflow because
+    * bits 0..62 total at most 2^63-1 and the sign bit is added last. */
   private def simhashOracleSql(dict: Array[(String, Long)], maxHamming: Int): String = {
     val values = dict.sortBy(_._1).map { case (t, h) =>
       s"('${t.replace("'", "''")}', CAST($h AS BIGINT))"
     }.mkString(",\n      ")
-    val sums = (0 until 32).map(b =>
+    val sums = (0 until 64).map(b =>
       s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n    ")
-    val bits = (0 until 32).map(b =>
+    val bits = (0 until 64).map(b =>
       s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)").mkString("\n    + ")
     s"""WITH dict(tok, h) AS (VALUES
        |      $values),

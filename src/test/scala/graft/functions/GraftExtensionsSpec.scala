@@ -77,6 +77,12 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
       VectorExpressions.simHash32FromHashes(
         VectorExpressions.wordShingleHashes($"t", 1, sorted = true)).as("sh")).head().getLong(0)
     sh shouldBe shCol
+    val sh64 = spark.sql(
+      "SELECT simhash64(word_shingle_hashes(t, 1)) AS sh FROM sql_kernels_doc").head().getLong(0)
+    val sh64Col = df.select(
+      VectorExpressions.simHash64FromHashes(
+        VectorExpressions.wordShingleHashes($"t", 1, sorted = true)).as("sh")).head().getLong(0)
+    sh64 shouldBe sh64Col
     val mh = spark.sql(
       "SELECT min_hashes(word_shingle_hashes(t, 1), 4) AS mh FROM sql_kernels_doc")
       .head().getSeq[Long](0)

@@ -118,8 +118,8 @@ class DedupSpec extends AnyFlatSpec with Matchers {
 
   it should "find EVERY pair within Hamming distance 3 (4-chunk pigeonhole guarantee)" in {
     val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
-    // ground truth: collect simhashes, full pairwise popcount driver-side
-    val hashes = real.select(col("doc_id"), Dedup.simhash32(col("text")))
+    // ground truth: collect 64-bit simhashes, full pairwise popcount driver-side
+    val hashes = real.select(col("doc_id"), Dedup.simhash64(col("text")))
       .as[(Long, Long)].collect()
     val truth = (for {
       (i, hi) <- hashes; (j, hj) <- hashes if i < j
@@ -151,6 +151,32 @@ class DedupSpec extends AnyFlatSpec with Matchers {
     val got = Dedup.dupClusters(chain).as[(Long, Long, Long)].collect()
     got should have length 13
     got.foreach { case (_, cid, sz) => cid shouldBe 0L; sz shouldBe 13L }
+  }
+
+  it should "size a giant planted component without a window (skew-safe) and honor maxClusterSize" in {
+    // one star component of 500 nodes around hub 0, plus a small pair
+    val giant = (1L to 499L).map(i => (0L, i)).toDF("id1", "id2")
+      .union(Seq((1000L, 1001L)).toDF("id1", "id2"))
+    val got = Dedup.dupClusters(giant)
+    // correctness: every member of the star carries the full size
+    val sizes = got.select("cluster_id", "cluster_size").distinct()
+      .as[(Long, Long)].collect().toMap
+    sizes(0L) shouldBe 500L
+    sizes(1000L) shouldBe 2L
+    // plan shape: cluster_size must come from an aggregate + join, never a
+    // window partitioned by the whole component (single-task hot spot at scale)
+    got.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    } shouldBe empty
+
+    // the guard trips on the giant and names it
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dupClusters(giant, maxClusterSize = Some(100L)).collect()
+    }
+    ex.getMessage should include("maxClusterSize=100")
+    ex.getMessage should include("0 -> 500")
+    // a cap above the largest component passes untouched
+    Dedup.dupClusters(giant, maxClusterSize = Some(500L)).count() shouldBe 502L
   }
 
   it should "match driver-side union-find on the real near-dup pair graph" in {
@@ -215,7 +241,31 @@ class DedupSpec extends AnyFlatSpec with Matchers {
       .filter(col("native") =!= col("hof")).count() shouldBe 0
   }
 
-  it should "match the HOF degenerate cases: null array, empty array, null element" in {
+  "native SimHash64FromHashes" should "equal the 64-bit HOF reference formulation bit-for-bit" in {
+    val th = graft.functions.VectorExpressions.wordShingleHashes(col("text"), 1, distinct = false)
+    docs.select(
+      Dedup.simhashFromHashes64(th).as("native"),
+      Dedup.simhashFromHashesHof(th, width = 64).as("hof"))
+      .filter(col("native") =!= col("hof")).count() shouldBe 0
+
+    // real data too: every document at sf0.001
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val rth = graft.functions.VectorExpressions.wordShingleHashes(col("text"), 1, distinct = false)
+    real.select(
+      Dedup.simhashFromHashes64(rth).as("native"),
+      Dedup.simhashFromHashesHof(rth, width = 64).as("hof"))
+      .filter(col("native") =!= col("hof")).count() shouldBe 0
+  }
+
+  it should "have its low 32 bits agree with SimHash32 (same vote rule per bit)" in {
+    val th = graft.functions.VectorExpressions.wordShingleHashes(col("text"), 1, distinct = false)
+    docs.select(
+      Dedup.simhashFromHashes64(th).bitwiseAND(lit(0xFFFFFFFFL)).as("low64"),
+      Dedup.simhashFromHashes(th).as("sh32"))
+      .filter(col("low64") =!= col("sh32")).count() shouldBe 0
+  }
+
+  "native SimHash kernels" should "match the HOF degenerate cases: null array, empty array, null element" in {
     val edge = Seq(
       (1L, Some(Seq[Option[Long]]())),                      // empty array
       (2L, None),                                           // null array
@@ -223,10 +273,15 @@ class DedupSpec extends AnyFlatSpec with Matchers {
       (4L, Some(Seq[Option[Long]](Some(-1L), Some(0L))))
     ).toDF("id", "th")
     val both = edge.select(col("id"),
-      Dedup.simhashFromHashes(col("th")).as("native"),
-      Dedup.simhashFromHashesHof(col("th")).as("hof")).collect()
+      Dedup.simhashFromHashes(col("th")).as("native32"),
+      Dedup.simhashFromHashesHof(col("th")).as("hof32"),
+      Dedup.simhashFromHashes64(col("th")).as("native64"),
+      Dedup.simhashFromHashesHof(col("th"), width = 64).as("hof64")).collect()
     both.foreach { r =>
-      withClue(s"id=${r.getLong(0)}: ") { r.getLong(1) shouldBe r.getLong(2) }
+      withClue(s"id=${r.getLong(0)}: ") {
+        r.getLong(1) shouldBe r.getLong(2)
+        r.getLong(3) shouldBe r.getLong(4)
+      }
     }
   }
 
@@ -268,9 +323,12 @@ class DedupSpec extends AnyFlatSpec with Matchers {
     val mismatches = df.select(
       Dedup.simhashFromHashes(col("hs")).as("s_native"),
       Dedup.simhashFromHashesHof(col("hs")).as("s_hof"),
+      Dedup.simhashFromHashes64(col("hs")).as("s64_native"),
+      Dedup.simhashFromHashesHof(col("hs"), width = 64).as("s64_hof"),
       graft.functions.VectorExpressions.minHashes(col("hs"), n).as("m_native"),
       array((0 until n).map(s => Dedup.minhashFromHashes(col("hs"), s)): _*).as("m_hof"))
-      .filter(col("s_native") =!= col("s_hof") || !(col("m_native") === col("m_hof")))
+      .filter(col("s_native") =!= col("s_hof") || col("s64_native") =!= col("s64_hof") ||
+        !(col("m_native") === col("m_hof")))
       .count()
     mismatches shouldBe 0
   }
