@@ -18,8 +18,29 @@ import java.time.Instant
  * operations ordered by (sequence_id, index_in_commit) and group adjacent
  * rows into commits, exactly like the reference's fs2 `groupAdjacentBy`.
  * All writes run in SERIALIZABLE transactions (DbVersionTracker.scala:118-124).
+ *
+ * History checkpointing (the JDBC analogue of the file store's
+ * `state_checkpoint_*.json` documents): every `checkpointInterval` commits
+ * the full history is folded into one row of `graft_checkpoints`
+ * (table_name, covered sequence_id, state CLOB in the same JSON document
+ * format the file store uses). `tableState` then reads the checkpoint row
+ * plus only the updates/operations rows with `sequence_id` past the
+ * checkpoint — O(tail) history rows per read instead of re-scanning a
+ * 100k-commit streaming-sink table's whole join every time. A corrupt
+ * checkpoint row degrades to the full scan (never bricks the store), same
+ * policy as the file store's corrupt-checkpoint fallback.
  */
-final class JdbcVersionTracker(jdbcUrl: String) extends VersionTracker {
+final class JdbcVersionTracker(
+    jdbcUrl: String,
+    checkpointInterval: Int = JdbcVersionTracker.DefaultCheckpointInterval)
+  extends VersionTracker {
+
+  require(checkpointInterval >= 1, s"checkpointInterval must be >= 1, was $checkpointInterval")
+
+  /** Cumulative count of history rows fetched from the updates×operations
+    * join by [[tableState]] — observability for the O(tail) guarantee (the
+    * JDBC analogue of counting commit-file reads on the file store). */
+  @volatile private[sources] var historyRowsScanned: Long = 0L
 
   private val conn: Connection = {
     val c = DriverManager.getConnection(jdbcUrl)
@@ -72,6 +93,12 @@ final class JdbcVersionTracker(jdbcUrl: String) extends VersionTracker {
             |  tag_name VARCHAR(256) NOT NULL,
             |  commit_id VARCHAR(64) NOT NULL REFERENCES graft_updates(commit_id),
             |  PRIMARY KEY (table_name, tag_name))""".stripMargin)
+      if (!tableExists("graft_checkpoints"))
+        st.executeUpdate(
+          """CREATE TABLE graft_checkpoints (
+            |  table_name VARCHAR(512) PRIMARY KEY REFERENCES graft_tables(table_name),
+            |  sequence_id BIGINT NOT NULL,
+            |  state CLOB NOT NULL)""".stripMargin)
     }
     conn.commit()
   }
@@ -90,7 +117,7 @@ final class JdbcVersionTracker(jdbcUrl: String) extends VersionTracker {
           insertUpdate(table, update)
           withStatement { st =>
             st.executeUpdate(
-              s"INSERT INTO graft_version_refs VALUES ('${esc(table.fullyQualifiedName)}', '${update.metadata.id.id}')")
+              s"INSERT INTO graft_version_refs VALUES ('${esc(table.fullyQualifiedName)}', '${esc(update.metadata.id.id)}')")
           }
           conn.commit()
         } catch { case e: Throwable => conn.rollback(); throw e }
@@ -122,23 +149,31 @@ final class JdbcVersionTracker(jdbcUrl: String) extends VersionTracker {
         val guard = expectedHead.map(h => s" AND current_commit = '${esc(h.id)}'").getOrElse("")
         val changed = withStatement { st =>
           st.executeUpdate(
-            s"""UPDATE graft_version_refs SET current_commit = '${update.metadata.id.id}'
+            s"""UPDATE graft_version_refs SET current_commit = '${esc(update.metadata.id.id)}'
                |WHERE table_name = '${esc(table.fullyQualifiedName)}'$guard""".stripMargin)
         }
         if (changed == 0) {
-          conn.rollback()
           expectedHead match {
             case Some(h) =>
-              val actual = query(
+              // read the actual head INSIDE the same (serializable)
+              // transaction — non-committing, so the rollback below still
+              // undoes the orphan insert — then end the transaction before
+              // throwing: the shared autocommit-off connection must never be
+              // left inside an open transaction
+              val actual = queryIn(
                 s"""SELECT current_commit FROM graft_version_refs
                    |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)(_.getString(1))
-                .headOption.getOrElse(throw UnknownTableError(table))
-              throw CommitConflictError(table, h, CommitId(actual))
+                .headOption
+              conn.rollback()
+              throw CommitConflictError(table, h,
+                CommitId(actual.getOrElse(throw UnknownTableError(table))))
             case None =>
               // unguarded update touching zero rows = missing ref row
+              conn.rollback()
               sys.error(s"Corrupt store: no version ref row for '$table'")
           }
         }
+        maybeCheckpoint(table)
         conn.commit()
       } catch {
         case e: CommitConflictError => throw e
@@ -214,30 +249,106 @@ final class JdbcVersionTracker(jdbcUrl: String) extends VersionTracker {
 
   override def tableState(table: TableName): TableState = synchronized {
     if (!exists(table)) throw UnknownTableError(table)
-    // one ordered join, grouped adjacently into commits (reference
-    // DbVersionTracker.scala:239-256 + :67-84)
-    // LEFT JOIN, not INNER: a commit with an empty operations list is still a
-    // commit (the other trackers keep it; a checkout to it must replay to it)
-    val rows = query(
+    try {
+      // checkpointed prefix + only the rows PAST the checkpoint boundary —
+      // sequence_id is a monotonic identity, so the checkpoint covers an
+      // exact history prefix and the tail query is O(commits since it)
+      val (fromSeq, prefix) = loadCheckpointIn(table).getOrElse((0L, List.empty[TableUpdate]))
+      val rows = historyRowsIn(table, fromSeq)
+      historyRowsScanned += rows.length
+      val tail = decodeUpdates(table, rows)
+      val head = queryIn(
+        s"""SELECT current_commit FROM graft_version_refs
+           |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)(_.getString(1))
+        .headOption.getOrElse(throw UnknownTableError(table))
+      conn.commit()
+      TableState(CommitId(head), prefix ++ tail)
+    } catch { case e: Throwable => conn.rollback(); throw e }
+  }
+
+  // ---- history + checkpoint helpers (all run INSIDE the caller's
+  // transaction: non-committing reads, the caller commits or rolls back) ----
+
+  /** One ordered join, rows past `afterSeq` only, grouped adjacently into
+    * commits by [[decodeUpdates]] (reference DbVersionTracker.scala:239-256 +
+    * :67-84). LEFT JOIN, not INNER: a commit with an empty operations list is
+    * still a commit (the other trackers keep it; a checkout to it must replay
+    * to it). */
+  private def historyRowsIn(table: TableName, afterSeq: Long): List[Row] =
+    queryIn(
       s"""SELECT u.commit_id, u.user_id, u.message, u.created_at,
          |  o.op_type, o.partition_path, o.version_label, o.is_snapshot
          |FROM graft_updates u LEFT OUTER JOIN graft_operations o ON u.commit_id = o.commit_id
          |WHERE u.table_name = '${esc(table.fullyQualifiedName)}'
+         |  AND u.sequence_id > $afterSeq
          |ORDER BY u.sequence_id, o.index_in_commit""".stripMargin) { rs =>
       Row(rs.getString(1), rs.getString(2), rs.getString(3), rs.getTimestamp(4).toInstant,
         rs.getString(5), rs.getString(6), rs.getString(7), rs.getBoolean(8))
     }
-    val updates = groupAdjacent(rows)(_.commitId).map { group =>
+
+  private def decodeUpdates(table: TableName, rows: List[Row]): List[TableUpdate] =
+    groupAdjacent(rows)(_.commitId).map { group =>
       val h = group.head
       TableUpdate(
         TableUpdateMetadata(CommitId(h.commitId), UserId(h.user), h.msg, h.ts),
         group.filter(_.opType != null).map(decodeOp(table, _)))
     }
-    val head = query(
-      s"""SELECT current_commit FROM graft_version_refs
-         |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)(_.getString(1))
-      .headOption.getOrElse(throw UnknownTableError(table))
-    TableState(CommitId(head), updates)
+
+  /** The checkpoint row, parsed: (covered max sequence_id, folded prefix).
+    * A corrupt/unparseable state document degrades to None (full scan) with
+    * a warning — same never-brick policy as the file store's checkpoints. */
+  private def loadCheckpointIn(table: TableName): Option[(Long, List[TableUpdate])] =
+    queryIn(
+      s"""SELECT sequence_id, state FROM graft_checkpoints
+         |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin) { rs =>
+      (rs.getLong(1), rs.getString(2))
+    }.headOption.flatMap { case (seq, json) =>
+      JsonCodecs.checkpointFromJson(json) match {
+        case Right((_, updates)) => Some((seq, updates))
+        case Left(err) =>
+          System.err.println(
+            s"[graft] ignoring corrupt JDBC state checkpoint for '$table': $err")
+          None
+      }
+    }
+
+  /** Runs inside the commit transaction, after the head-ref update and
+    * before the caller's `conn.commit()` — the checkpoint lands atomically
+    * with the commit that triggered it. Every `checkpointInterval` commits
+    * past the last checkpoint, fold the ENTIRE history (checkpoint prefix +
+    * tail as of this transaction) into one document; the full read is paid
+    * once per interval, amortizing to O(1) extra rows per commit. */
+  private def maybeCheckpoint(table: TableName): Unit = {
+    val tbl = esc(table.fullyQualifiedName)
+    val cpSeq = queryIn(
+      s"SELECT sequence_id FROM graft_checkpoints WHERE table_name = '$tbl'")(_.getLong(1))
+      .headOption.getOrElse(0L)
+    val tailCount = queryIn(
+      s"SELECT COUNT(*) FROM graft_updates WHERE table_name = '$tbl' AND sequence_id > $cpSeq")(
+      _.getLong(1)).head
+    if (tailCount >= checkpointInterval) {
+      val prefix = loadCheckpointIn(table).map(_._2).getOrElse(Nil)
+      val updates = prefix ++ decodeUpdates(table, historyRowsIn(table, if (prefix.isEmpty) 0L else cpSeq))
+      val maxSeq = queryIn(
+        s"SELECT MAX(sequence_id) FROM graft_updates WHERE table_name = '$tbl'")(_.getLong(1)).head
+      val json = JsonCodecs.checkpointToJson(updates.map(_.metadata.id.id), updates)
+      val up = conn.prepareStatement(
+        "UPDATE graft_checkpoints SET sequence_id = ?, state = ? WHERE table_name = ?")
+      val changed =
+        try {
+          up.setLong(1, maxSeq); up.setString(2, json)
+          up.setString(3, table.fullyQualifiedName)
+          up.executeUpdate()
+        } finally up.close()
+      if (changed == 0) {
+        val ins = conn.prepareStatement("INSERT INTO graft_checkpoints VALUES (?,?,?)")
+        try {
+          ins.setString(1, table.fullyQualifiedName)
+          ins.setLong(2, maxSeq); ins.setString(3, json)
+          ins.executeUpdate()
+        } finally ins.close()
+      }
+    }
   }
 
   // ---- helpers ----
@@ -302,16 +413,39 @@ final class JdbcVersionTracker(jdbcUrl: String) extends VersionTracker {
     try f(st) finally st.close()
   }
 
+  /** Standalone read: ends the read transaction when done (commit on
+    * success, rollback on failure — either way the connection is left
+    * outside a transaction). */
   private def query[A](sql: String)(f: ResultSet => A): List[A] = {
+    val out =
+      try queryIn(sql)(f)
+      catch { case e: Throwable => conn.rollback(); throw e }
+    conn.commit()
+    out
+  }
+
+  /** Read WITHOUT ending the transaction — for use inside a caller-managed
+    * transaction (commit path, tableState) where a commit here would
+    * prematurely publish, or a conflict path where it would prevent the
+    * rollback of, the caller's writes. */
+  private def queryIn[A](sql: String)(f: ResultSet => A): List[A] = {
     val st = conn.createStatement()
     try {
       val rs = st.executeQuery(sql)
       try Iterator.continually(rs).takeWhile(_.next()).map(f).toList
       finally rs.close()
-    } finally { st.close(); conn.commit() }
+    } finally st.close()
   }
 
   private def esc(s: String): String = s.replace("'", "''")
 
   def close(): Unit = conn.close()
+}
+
+object JdbcVersionTracker {
+  /** Full-history fold every N commits — the same default cadence as the
+    * file store's checkpoints: frequent enough that `tableState` never reads
+    * more than N commits' rows, rare enough that the fold cost amortizes to
+    * O(1) rows per commit. */
+  val DefaultCheckpointInterval: Int = FileBackedVersionTracker.DefaultCheckpointInterval
 }

@@ -45,4 +45,114 @@ class JdbcPersistenceSpec extends AnyFlatSpec with Matchers {
     tr.updates(t).head.message shouldBe "it's; DROP TABLE--"
     tr.close()
   }
+
+  it should "read O(tail) history rows once a checkpoint exists" in {
+    val db = Files.createTempDirectory("graft-jdbc-cp-").resolve("db")
+    val tr = new JdbcVersionTracker(s"jdbc:derby:$db;create=true", checkpointInterval = 10)
+    val t = TableName("test", "cp")
+    tr.initTable(t, isSnapshot = false, UserId("u"), "init", java.time.Instant.now())
+    val versions = (1 to 35).map { i =>
+      val v = Version.generate()
+      tr.commit(t, TableUpdate(UserId("u"), s"c$i", java.time.Instant.now(),
+        List(TableOperation.AddPartitionVersion(Partition("date", f"2024-01-${i % 28 + 1}%02d"), v))))
+      v
+    }
+    // 36 updates total (init + 35), interval 10 -> last checkpoint covers 30;
+    // a state read scans only the 6 tail commits' rows (1 op each), never 36
+    val before = tr.historyRowsScanned
+    val st = tr.tableState(t)
+    st.updates should have length 36
+    (tr.historyRowsScanned - before) should be <= 10L
+    // and the checkpointed read is the SAME state a full fold produces
+    st.updates.map(_.metadata.message) shouldBe "init" +: (1 to 35).map(i => s"c$i")
+    st.currentTableVersion.asInstanceOf[PartitionedTableVersion]
+      .partitionVersions.values should contain(versions.last)
+    tr.close()
+  }
+
+  it should "survive reopen with checkpoints and degrade to full scan on a corrupt checkpoint" in {
+    val db = Files.createTempDirectory("graft-jdbc-cpcorrupt-").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val t = TableName("test", "cpc")
+    val tr = new JdbcVersionTracker(url, checkpointInterval = 5)
+    tr.initTable(t, isSnapshot = false, UserId("u"), "init", java.time.Instant.now())
+    (1 to 12).foreach { i =>
+      tr.commit(t, TableUpdate(UserId("u"), s"c$i", java.time.Instant.now(),
+        List(TableOperation.AddPartitionVersion(Partition("date", "2024-01-01"), Version.generate()))))
+    }
+    val full = tr.tableState(t)
+    tr.close()
+
+    // reopened instance reads the persisted checkpoint row
+    val tr2 = new JdbcVersionTracker(url, checkpointInterval = 5)
+    val before = tr2.historyRowsScanned
+    tr2.tableState(t) shouldBe full
+    (tr2.historyRowsScanned - before) should be <= 5L
+
+    // corrupt the checkpoint state in place: the read must fall back to the
+    // full join and still return identical history (never brick the store)
+    val raw = java.sql.DriverManager.getConnection(url)
+    val st = raw.createStatement()
+    st.executeUpdate("UPDATE graft_checkpoints SET state = 'not json at all'")
+    st.close(); raw.close()
+    val tr3 = new JdbcVersionTracker(url, checkpointInterval = 5)
+    tr3.tableState(t) shouldBe full
+    // and the next interval's commits self-heal the corrupt row
+    (1 to 5).foreach { i =>
+      tr3.commit(t, TableUpdate(UserId("u"), s"h$i", java.time.Instant.now(),
+        List(TableOperation.AddPartitionVersion(Partition("date", "2024-01-02"), Version.generate()))))
+    }
+    val healedBefore = tr3.historyRowsScanned
+    tr3.tableState(t).updates should have length 18
+    (tr3.historyRowsScanned - healedBefore) should be <= 5L
+    tr3.close()
+  }
+
+  it should "escape quotes in commit ids (imported/hand-built histories)" in {
+    val db = Files.createTempDirectory("graft-jdbc-cid-").resolve("db")
+    val tr = new JdbcVersionTracker(s"jdbc:derby:$db;create=true")
+    val t = TableName("test", "cid")
+    tr.initTable(t, isSnapshot = true, UserId("u"), "init", java.time.Instant.now())
+    val odd = CommitId("it's-not-a-uuid")
+    tr.commit(t, TableUpdate(
+      TableUpdateMetadata(odd, UserId("u"), "odd id", java.time.Instant.now()),
+      List(TableOperation.AddTableVersion(Version.generate()))))
+    tr.tableState(t).currentVersion shouldBe odd
+    // CAS against the odd head works too (the guard interpolates the id)
+    tr.commitIf(t, TableUpdate(UserId("u"), "after", java.time.Instant.now(),
+      List(TableOperation.AddTableVersion(Version.generate()))), odd)
+    tr.updates(t).head.message shouldBe "after"
+    tr.close()
+  }
+
+  it should "leave the connection usable after a CAS conflict (transaction ended)" in {
+    val db = Files.createTempDirectory("graft-jdbc-cas-").resolve("db")
+    val tr = new JdbcVersionTracker(s"jdbc:derby:$db;create=true")
+    val t = TableName("test", "cas")
+    tr.initTable(t, isSnapshot = true, UserId("u"), "init", java.time.Instant.now())
+    val head = tr.tableState(t).currentVersion
+    tr.commit(t, TableUpdate(UserId("u"), "moved", java.time.Instant.now(),
+      List(TableOperation.AddTableVersion(Version.generate()))))
+    val conflict = intercept[CommitConflictError] {
+      tr.commitIf(t, TableUpdate(UserId("u"), "stale", java.time.Instant.now(),
+        List(TableOperation.AddTableVersion(Version.generate()))), head)
+    }
+    conflict.actual shouldBe tr.tableState(t).currentVersion
+    // the failed CAS left no trace and the connection transacts normally
+    tr.updates(t).map(_.message) shouldBe List("moved", "init")
+    tr.commit(t, TableUpdate(UserId("u"), "next", java.time.Instant.now(),
+      List(TableOperation.AddTableVersion(Version.generate()))))
+    tr.updates(t).head.message shouldBe "next"
+    tr.close()
+  }
+}
+
+/** The full contract again at checkpointInterval=2: every second commit
+  * folds, so every contract law (checkout to every point, commit order,
+  * tags, CAS) is exercised THROUGH the checkpointed read path. */
+class JdbcVersionTrackerCheckpointedSpec extends VersionTrackerContract {
+  override def newTracker(): VersionTracker = {
+    val db = Files.createTempDirectory("graft-jdbc-cp2-").resolve("db")
+    new JdbcVersionTracker(s"jdbc:derby:$db;create=true", checkpointInterval = 2)
+  }
 }
