@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** (steal, total) jiffies from the aggregate cpu line of /proc/stat.
+    * Steal is field 8 (user nice system idle iowait irq softirq steal ...);
+    * absent fields (non-Linux, container without the file) read as 0 so the
+    * bench still runs — steal_pct then reports 0 and diagnoses nothing. */
+  private def cpuStat(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,14 +28,42 @@ object Bench {
     // caches) so per-query timings are attributable to the queries
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+
     // stable alphabetical order: per-query numbers comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => System.err.println(s"BENCH FAILURE $name: $e"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    def runAll(): Seq[(String, Double, Boolean)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable => System.err.println(s"BENCH FAILURE $name: $e"); false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+
+    /** One timed pass bracketed by /proc/stat reads → (results, steal%). */
+    def attempt(): (Seq[(String, Double, Boolean)], Double) = {
+      val (s0, t0) = cpuStat()
+      val rs = runAll()
+      val (s1, t1) = cpuStat()
+      val pct = if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0
+      (rs, pct)
     }
+
+    // Host steal inflates every query uniformly 2-3x (round-4 forensics), so
+    // the artifact records the steal measured DURING the run — and if it
+    // exceeds the threshold, retries ONCE and keeps whichever attempt saw
+    // less steal. Both attempts' steal figures are emitted so the driver's
+    // JSON is self-diagnosing without BASELINE.md archaeology.
+    val StealRetryThresholdPct = 2.0
+    val (first, firstSteal) = attempt()
+    val (results, stealPct, retried) =
+      if (firstSteal > StealRetryThresholdPct) {
+        System.err.println(
+          f"BENCH steal $firstSteal%.2f%% > $StealRetryThresholdPct%% during first pass — retrying once")
+        val (second, secondSteal) = attempt()
+        if (secondSteal < firstSteal) (second, secondSteal, true)
+        else (first, firstSteal, true)
+      } else (first, firstSteal, false)
+
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
@@ -29,7 +71,9 @@ object Bench {
     // only successful queries count toward the total: a fast failure must not
     // read as a timing improvement across runs with different failure sets
     val total = results.collect { case (_, sec, true) => sec }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$status,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$status,""" +
+      s""""steal_pct":$stealPct,"steal_retried":$retried,"first_attempt_steal_pct":$firstSteal,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
     // a failed query must read as a failure, not a timing improvement
     if (failed.nonEmpty) sys.exit(1)
