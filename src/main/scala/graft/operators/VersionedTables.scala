@@ -49,9 +49,14 @@ final class VersionedTables(
     tracker.tableState(table).versionAt(id)
 
   /** Time travel: read the table as of a historical commit — read-only, no
-    * catalog mutation (SURVEY §2.B `q_time_travel`). */
-  def readAt(table: TableDefinition, id: CommitId): DataFrame =
-    readVersion(table, versionAt(table.name, id))
+    * catalog mutation (SURVEY §2.B `q_time_travel`). `keep` prunes the
+    * partition set DRIVER-SIDE before any file listing, like
+    * [[readPartitions]] — a one-day read of a 10-year table at a historical
+    * commit lists one day's files, not ten years'. */
+  def readAt(
+      table: TableDefinition, id: CommitId,
+      keep: Partition => Boolean = _ => true): DataFrame =
+    readVersion(table, prunePartitions(versionAt(table.name, id), keep))
 
   /** Metadata-only diff of the visible state between two commits: which
     * partitions were added / repointed / removed, without touching data.
@@ -67,12 +72,18 @@ final class VersionedTables(
     * only what a commit range changed instead of rescanning the table —
     * O(changed partitions) file listing, like every other read path here.
     * Partitions REMOVED in the range have no rows at `to` and so don't appear;
-    * use [[changesBetween]] to enumerate removals. */
-  def readChangesBetween(table: TableDefinition, from: CommitId, to: CommitId): DataFrame = {
+    * use [[changesBetween]] to enumerate removals.
+    *
+    * `keep` restricts the CDC read to the selected partitions before any
+    * file listing — the consumer of one day's changes on a 10-year table
+    * lists (and reads) only that day's changed partitions. */
+  def readChangesBetween(
+      table: TableDefinition, from: CommitId, to: CommitId,
+      keep: Partition => Boolean = _ => true): DataFrame = {
     val st = tracker.tableState(table.name) // one log fetch for both endpoints
     (st.versionAt(from), st.versionAt(to)) match {
       case (PartitionedTableVersion(a), PartitionedTableVersion(b)) =>
-        val changed = b.filter { case (p, v) => !a.get(p).contains(v) }
+        val changed = b.filter { case (p, v) => keep(p) && !a.get(p).contains(v) }
         readVersion(table, PartitionedTableVersion(changed))
       case (SnapshotTableVersion(va), snap @ SnapshotTableVersion(vb)) =>
         if (va == vb) emptyLike(table) else readVersion(table, snap)
@@ -89,8 +100,11 @@ final class VersionedTables(
     * unit that composes with [[graft.streaming.CommitStream]]'s UNORDERED
     * commit feed into a streaming CDC pipeline: for each streamed commit id,
     * process `readChangesAt(table, id)`; replays and out-of-order delivery
-    * re-read the same rows instead of corrupting a range. */
-  def readChangesAt(table: TableDefinition, id: CommitId): DataFrame = {
+    * re-read the same rows instead of corrupting a range. `keep` prunes the
+    * changed-partition set driver-side, as on [[readChangesBetween]]. */
+  def readChangesAt(
+      table: TableDefinition, id: CommitId,
+      keep: Partition => Boolean = _ => true): DataFrame = {
     val st = tracker.tableState(table.name)
     val idx = st.updates.indexWhere(_.metadata.id == id)
     if (idx < 0) throw UnknownCommitError(id)
@@ -103,7 +117,7 @@ final class VersionedTables(
       else st.versionAt(st.updates(idx - 1).metadata.id)
     (parent, at) match {
       case (PartitionedTableVersion(a), PartitionedTableVersion(b)) =>
-        val changed = b.filter { case (p, v) => !a.get(p).contains(v) }
+        val changed = b.filter { case (p, v) => keep(p) && !a.get(p).contains(v) }
         readVersion(table, PartitionedTableVersion(changed))
       case (SnapshotTableVersion(va), snap @ SnapshotTableVersion(vb)) =>
         if (va == vb) emptyLike(table) else readVersion(table, snap)
@@ -277,10 +291,19 @@ final class VersionedTables(
     * driver-side prune that makes partial reads O(selected partitions) at
     * 100 TB scale (no file listing outside the selection). */
   def readPartitions(table: TableDefinition, keep: Partition => Boolean): DataFrame =
-    tracker.currentVersion(table.name) match {
+    readVersion(table, prunePartitions(tracker.currentVersion(table.name), keep))
+
+  /** Driver-side partition pruning shared by every partial read
+    * ([[readPartitions]], [[readAt]], [[readChangesBetween]],
+    * [[readChangesAt]]): drop non-matching partitions from the version map
+    * BEFORE `readVersion` builds its path list, so file listing is
+    * O(selected partitions). Snapshot versions pass through — a snapshot is
+    * one unit of data, `keep` does not apply. */
+  private def prunePartitions(version: TableVersion, keep: Partition => Boolean): TableVersion =
+    version match {
       case PartitionedTableVersion(pvs) =>
-        readVersion(table, PartitionedTableVersion(pvs.filter { case (p, _) => keep(p) }))
-      case snap: SnapshotTableVersion => readVersion(table, snap)
+        PartitionedTableVersion(pvs.filter { case (p, _) => keep(p) })
+      case snap: SnapshotTableVersion => snap
     }
 
   /** Materialize a specific table state. */

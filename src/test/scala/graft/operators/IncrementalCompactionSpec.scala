@@ -92,6 +92,44 @@ class IncrementalCompactionSpec extends AnyFlatSpec with Matchers {
       engine.readChangesBetween(table, t1, CommitId.generate())
   }
 
+  it should "prune the CDC file listing driver-side under keep (and so must readAt/readChangesAt)" in {
+    val (engine, table, _) = newTable()
+    Seq(Reading("a", "d1", 1.0), Reading("b", "d2", 2.0), Reading("c", "d3", 3.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "t1")
+    val t1 = head(engine, table)
+    // repoint ALL THREE days; the pruned consumer wants only d2's changes
+    Seq(Reading("a", "d1", 10.0), Reading("b", "d2", 20.0), Reading("c", "d3", 30.0)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "t2")
+    val t2 = head(engine, table)
+
+    val keepD2: Partition => Boolean = _.columnValues.head.value == "d2"
+    val cdc = engine.readChangesBetween(table, t1, t2, keepD2)
+    cdc.select("sensor", "day", "value").as[Reading].collect() should
+      contain theSameElementsAs Seq(Reading("b", "d2", 20.0))
+    // the proof of pruning: the scan's file listing is restricted to the
+    // kept partition BEFORE listing — no d1/d3 paths anywhere in the plan
+    val cdcFiles = cdc.inputFiles
+    cdcFiles should not be empty
+    all(cdcFiles) should include("day=d2")
+
+    val at = engine.readAt(table, t1, keepD2)
+    at.select("sensor", "day", "value").as[Reading].collect() should
+      contain theSameElementsAs Seq(Reading("b", "d2", 2.0))
+    val atFiles = at.inputFiles
+    atFiles should not be empty
+    all(atFiles) should include("day=d2")
+
+    val one = engine.readChangesAt(table, t2, keepD2)
+    one.select("sensor", "day", "value").as[Reading].collect() should
+      contain theSameElementsAs Seq(Reading("b", "d2", 20.0))
+    all(one.inputFiles) should include("day=d2")
+
+    // keep selecting nothing = empty frame, zero files listed
+    val none = engine.readChangesBetween(table, t1, t2, _ => false)
+    none.count() shouldBe 0
+    none.inputFiles shouldBe empty
+  }
+
   it should "handle snapshot tables (full new version or empty)" in {
     val dir = Files.createTempDirectory("graft-inc-snap-").toFile
     val engine = VersionedTables.withFileStore(spark, new File(dir, "store").toURI)
