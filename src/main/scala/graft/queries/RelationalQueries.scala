@@ -83,14 +83,26 @@ object RelationalQueries {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))),
 
-    // HLL sketch aggregation — no oracle (algorithm-specific estimates);
-    // accuracy pinned by QueriesSpec against exact counts
+    // HLL sketch aggregation, SELF-ASSERTING: the sketch estimate is checked
+    // against the exact distinct count computed in the SAME frame, and the
+    // output carries the exact counts plus <=5% bound verdicts instead of
+    // the raw estimates (which no other engine can replay). DuckDB oracles
+    // the whole row — exact counts + TRUE flags — so a bound breach flips a
+    // flag and turns the row red in CORRECTNESS instead of hiding behind a
+    // rows-only check. The exact multi-distinct costs one Expand; that is
+    // the price of the accuracy gate, and the plain sketch path stays
+    // available as Profile.profile(df, exact = false).
     "q_agg_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+        .select(col("l_returnflag"), col("n_orders"), col("n_parts"),
+          (abs(col("ao") - col("n_orders")) <= col("n_orders") * 0.05).as("approx_orders_ok"),
+          (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.05).as("approx_parts_ok"))),
 
     // --- joins ---
     "q_join_broadcast" -> ((s, d) =>
@@ -624,6 +636,16 @@ object RelationalQueries {
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
         |  COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the approx flags replay as TRUE literals: the oracle checks the exact
+    // counts AND that Spark's sketch stayed inside the documented 5% bound
+    "q_agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  TRUE AS approx_orders_ok,
+        |  TRUE AS approx_parts_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_rollup" ->

@@ -11,9 +11,7 @@ class QueriesSpec extends AnyFlatSpec with Matchers {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
-  "the query surface" should "declare an oracle or be a known rows-only query" in {
-    // the irreducible rows-only set: the one sketch DuckDB cannot replay
-    val rowsOnly = Set("q_agg_approx_distinct") // HLL internal state
+  "the query surface" should "declare an oracle for EVERY query" in {
     // data-derived oracles (IVF centroid literals, SimHash token-hash
     // dictionary) appear only after their query has run in this JVM —
     // exactly how Verify dumps them
@@ -21,13 +19,13 @@ class QueriesSpec extends AnyFlatSpec with Matchers {
       "q_embed_cluster", "q_semantic_dedup")
     val declared = graft.SparkEntry.queries.keySet
     graft.SparkEntry.oracleSql.keySet.subsetOf(declared) shouldBe true
-    (declared -- graft.SparkEntry.oracleSql.keySet -- dataDerived) shouldBe rowsOnly
+    (declared -- graft.SparkEntry.oracleSql.keySet -- dataDerived) shouldBe empty
 
     graft.SparkEntry.queries("q_ann_ivf")(spark, sf).count() should be > 0L
     graft.SparkEntry.queries("q_dedup_simhash")(spark, sf).count() should be > 0L
     val afterRun = graft.SparkEntry.oracleSql.keySet
     dataDerived.subsetOf(afterRun) shouldBe true
-    (declared -- afterRun) shouldBe rowsOnly
+    (declared -- afterRun) shouldBe empty
   }
 
   it should "produce rows for every declared query at sf0.001" in {
@@ -40,7 +38,12 @@ class QueriesSpec extends AnyFlatSpec with Matchers {
 
   "approx_count_distinct" should "estimate within 5% of exact counts" in {
     import org.apache.spark.sql.functions._
-    val approx = graft.SparkEntry.queries("q_agg_approx_distinct")(spark, sf)
+    // the raw sketch vs a separately computed exact count (the underlying
+    // accuracy fact the query's ok-flags compress)
+    val approx = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02),
+        approx_count_distinct(col("l_partkey"), 0.02))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val exact = graft.Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
@@ -50,6 +53,14 @@ class QueriesSpec extends AnyFlatSpec with Matchers {
       val (ao, ap) = approx(flag)
       math.abs(ao - eo).toDouble / eo should be < 0.05
       math.abs(ap - ep).toDouble / ep should be < 0.05
+    }
+    // and the self-asserting query agrees: every bound flag is true
+    val flags = graft.SparkEntry.queries("q_agg_approx_distinct")(spark, sf)
+      .select("approx_orders_ok", "approx_parts_ok").collect()
+    flags.length should be > 0
+    flags.foreach { r =>
+      r.getBoolean(0) shouldBe true
+      r.getBoolean(1) shouldBe true
     }
   }
 
