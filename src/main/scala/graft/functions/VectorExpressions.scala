@@ -112,7 +112,7 @@ case class WordShingleHashes(
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString.trim.toLowerCase
+      .toString.trim.toLowerCase(java.util.Locale.ROOT)
     val words = if (text.isEmpty) Array.empty[String] else text.split("\\s+")
     val out =
       if (words.length >= n) {
@@ -189,7 +189,7 @@ case class WordShingles(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString.trim.toLowerCase
+      .toString.trim.toLowerCase(java.util.Locale.ROOT)
     val words = if (text.isEmpty) Array.empty[String] else text.split("\\s+")
     val out =
       if (words.length < n) Array.empty[org.apache.spark.unsafe.types.UTF8String]

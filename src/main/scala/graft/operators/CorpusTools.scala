@@ -21,14 +21,12 @@ import org.apache.spark.sql.functions._
  */
 object CorpusTools {
 
-  /** Hex alphabet used to turn the first md5 nibble into a shard id. */
-  private val HexAlphabet = "0123456789abcdef"
-
   /**
    * Deterministic global shuffle for training-data ordering, sharded so no
    * single task ever materializes the whole corpus: each row gets a stable
-   * pseudo-random key `md5(seed:id)`, a `shard` from the key's first nibble,
-   * and a dense `pos` (1-based) within its shard by key order.
+   * pseudo-random key `md5(seed:id)`, a `shard` from the key's first 32 bits
+   * modulo `numShards`, and a dense `pos` (1-based) within its shard by key
+   * order.
    *
    * A data loader that reads shards in any order and rows by `pos` within a
    * shard sees a reproducible, uniformly shuffled corpus. The per-shard
@@ -38,21 +36,24 @@ object CorpusTools {
    * data. Re-shuffling with a new `seed` is a full re-key; identical seeds
    * are bit-identical across runs and engines.
    *
-   * @param numShards 1..16 (shard comes from one hex nibble; compose the key
-   *                  prefix further if you need more shards at real scale)
+   * The shard is `(first 8 hex chars of the key as an integer) % numShards`:
+   * 32 key bits, so the worst-case shard-size skew for ANY numShards up to
+   * 65,536 is a negligible numShards/2^32 (a single-nibble derivation would
+   * bias shards up to 6/16 vs 5/16 for numShards = 3, 5, 6...).
    */
   def deterministicShuffle(
       df: DataFrame,
       idCol: String,
       seed: String,
       numShards: Int = 16): DataFrame = {
-    require(numShards >= 1 && numShards <= 16, s"numShards must be in [1,16], got $numShards")
+    require(numShards >= 1 && numShards <= 65536,
+      s"numShards must be in [1,65536], got $numShards")
     val key = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
-    // position of the first hex char in the alphabet = value of the nibble;
-    // expressed via SQL instr (both args are expressions there)
+    // conv parses the 8-char hex prefix as an unsigned 32-bit value (conv
+    // returns a decimal STRING — cast back to long before the mod)
     val keyed = df.withColumn("_shuffle_key", key)
       .withColumn("shard",
-        pmod(expr(s"instr('$HexAlphabet', substring(_shuffle_key, 1, 1))") - 1, lit(numShards))
+        pmod(conv(substring(col("_shuffle_key"), 1, 8), 16, 10).cast("long"), lit(numShards))
           .cast("int"))
     val w = Window.partitionBy(col("shard")).orderBy(col("_shuffle_key"), col(idCol))
     keyed.withColumn("pos", row_number().over(w).cast("long")).drop("_shuffle_key")

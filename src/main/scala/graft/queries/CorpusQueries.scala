@@ -134,19 +134,28 @@ object CorpusQueries {
     s"CASE $cases ELSE '${CorpusTools.hexThreshold(MixDefault)}' END"
   }
 
+  /** The first 8 hex chars of `key` as an integer, nibble-positionally —
+    * DuckDB has no hex-string-to-int cast, so the replay sums
+    * nibble*16^(7-i) terms (exactly what Spark's `conv(_, 16, 10)` does). */
+  private val hexPrefixToIntSql: String =
+    (0 until 8).map { i =>
+      val weight = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', substring(key, ${i + 1}, 1)) - 1) * $weight"
+    }.mkString("(", " + ", ")")
+
   val oracles: Map[String, String] = Map(
     "q_corpus_shuffle" ->
-      """WITH k AS (
-        |  SELECT doc_id, source,
-        |    md5(concat_ws(':', 'graft', doc_id)) AS key
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, source, key,
-        |    (strpos('0123456789abcdef', substring(key, 1, 1)) - 1) % 16 AS shard
-        |  FROM k)
-        |SELECT doc_id, source, shard,
-        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
-        |FROM s""".stripMargin,
+      s"""WITH k AS (
+         |  SELECT doc_id, source,
+         |    md5(concat_ws(':', 'graft', doc_id)) AS key
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source, key,
+         |    $hexPrefixToIntSql % 16 AS shard
+         |  FROM k)
+         |SELECT doc_id, source, shard,
+         |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
+         |FROM s""".stripMargin,
 
     "q_mixture_sample" ->
       s"""SELECT doc_id, lang, source FROM documents

@@ -43,12 +43,27 @@ object ChroniclesExport {
   private val FilenameFormat =
     DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH-mm-ss.SSS").withZone(ZoneId.of("UTC"))
 
-  /** Export every table of the tracker; returns the exported names. */
+  /** Export every table of the tracker; returns the exported names.
+    *
+    * All-or-nothing: every table is validated (partition representability
+    * AND destination-dir absence) BEFORE the first byte is written, so a
+    * failure on the Nth table cannot leave a partial destination store —
+    * the per-table checks inside [[exportTable]] would otherwise only fire
+    * after earlier tables had already landed. */
   def exportAllTables(
       tracker: VersionTracker,
       destRoot: URI,
       conf: Configuration = new Configuration()): List[TableName] = {
     val tables = tracker.tables()
+    val fs = FileSystem.get(destRoot, conf)
+    tables.foreach { table =>
+      tracker.tableState(table).updates.foreach(requireRepresentable(table, _))
+      val dir = new Path(new Path(destRoot), "_chronicles_table_" + table.fullyQualifiedName)
+      if (fs.exists(dir))
+        throw new IllegalStateException(
+          s"Export destination $dir already exists; refusing to mix exported histories " +
+            "(no table was exported)")
+    }
     tables.foreach(exportTable(tracker, _, destRoot, conf))
     tables
   }

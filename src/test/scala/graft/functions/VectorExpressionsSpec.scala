@@ -157,4 +157,22 @@ class VectorExpressionsSpec extends AnyFlatSpec with Matchers {
     // '*(n)' prefixes mark operators inside a WholeStageCodegen stage
     plan should include("*(1) Project [float_vector_dot")
   }
+
+  "shingle kernels" should "lowercase locale-independently (Turkish-I safe)" in {
+    // under a Turkish default locale, String.toLowerCase maps I -> ı (dotless)
+    // while Spark's lower() and the DuckDB oracle use locale-independent
+    // mappings; the kernels pin Locale.ROOT so cross-engine hashes stay
+    // bit-exact regardless of the JVM's default locale
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+      val df = Seq(Tuple1("III RIVER")).toDF("t")
+      val kernel = df.select(
+        VectorExpressions.wordShingleHashes($"t", 1, sorted = true).as("h"),
+        VectorExpressions.wordShingles($"t", 1).as("s")).head()
+      kernel.getSeq[String](1) shouldBe Seq("iii", "river")
+      val viaRoot = Seq("III RIVER".toLowerCase(java.util.Locale.ROOT).split(" "): _*)
+      kernel.getSeq[String](1) shouldBe viaRoot.map(_.trim)
+    } finally java.util.Locale.setDefault(saved)
+  }
 }

@@ -42,6 +42,30 @@ class CorpusToolsSpec extends AnyFlatSpec with Matchers {
     run("s1") should not be run("s2")
   }
 
+  it should "derive shards from 32 key bits — unbiased for numShards not dividing 16" in {
+    // the old single-nibble derivation gives numShards=6 a systematic 6/16 vs
+    // 5/16 skew (+20% on shards 0-3); 32 bits bound the skew at 6/2^32
+    val n = 60000
+    val big = spark.range(n).toDF("id")
+    val counts = CorpusTools.deterministicShuffle(big, "id", seed = "bias", numShards = 6)
+      .groupBy("shard").count().as[(Int, Long)].collect().toMap
+    counts.keySet shouldBe (0 until 6).toSet
+    val expected = n / 6.0
+    counts.values.foreach { c =>
+      // 3-sigma binomial noise is ~1.2%; the nibble bias would be +/-20%
+      math.abs(c - expected) / expected should be < 0.05
+    }
+    // and the formula is exactly (first 8 hex of md5 as uint32) % numShards
+    val probe = CorpusTools.deterministicShuffle(big.limit(100), "id", seed = "bias", numShards = 6)
+      .select("id", "shard").as[(Long, Int)].collect()
+    probe.foreach { case (id, shard) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bias:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      shard shouldBe (java.lang.Long.parseLong(hex, 16) % 6).toInt
+    }
+  }
+
   // --- mixtureSample ---
 
   "mixtureSample" should "keep everything at weight 1 and nothing at weight 0" in {

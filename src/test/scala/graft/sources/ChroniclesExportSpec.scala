@@ -148,4 +148,33 @@ class ChroniclesExportSpec extends AnyFlatSpec with Matchers {
       ChroniclesExport.exportTable(src, TableName("no", "such"), dest.toUri)
     }
   }
+
+  it should "export all tables or none: a failing table aborts before anything lands" in {
+    val (src, _) = newFileTracker()
+    populate(src) // 'db.events' — exportable
+    // second table with an unrepresentable partition value
+    val bad = TableName("db", "zz_bad") // sorts AFTER db.events in tables()
+    src.initTable(bad, isSnapshot = false, UserId("u"), "init", Instant.now())
+    src.commit(bad, TableUpdate(UserId("u"), "weird", Instant.now(),
+      List(TableOperation.AddPartitionVersion(Partition("k", "a=b"), Version.generate()))))
+    val dest = Files.createTempDirectory("graft-export-dst6-")
+    intercept[IllegalArgumentException] {
+      ChroniclesExport.exportAllTables(src, dest.toUri)
+    }.getMessage should include("cannot be represented")
+    // nothing landed — not even the valid table that sorts first
+    Option(dest.toFile.listFiles()).getOrElse(Array.empty) shouldBe empty
+
+    // same all-or-nothing for a pre-existing destination dir: two GOOD
+    // tables, the second one's destination already taken
+    val (src2, _) = newFileTracker()
+    populate(src2)
+    val other = TableName("db", "zz_other")
+    src2.initTable(other, isSnapshot = true, UserId("u"), "init", Instant.now())
+    val dest2 = Files.createTempDirectory("graft-export-dst7-")
+    Files.createDirectory(dest2.resolve("_chronicles_table_db.zz_other"))
+    intercept[IllegalStateException] {
+      ChroniclesExport.exportAllTables(src2, dest2.toUri)
+    }.getMessage should include("no table was exported")
+    dest2.resolve("_chronicles_table_db.events").toFile.exists() shouldBe false
+  }
 }
