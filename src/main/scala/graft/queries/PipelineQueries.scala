@@ -121,6 +121,34 @@ object PipelineQueries {
       (engine, table)
     })
 
+  /** Versioned LSH band-signature index of the corpus side (doc_id < 250),
+    * built ONCE per (session, sfDir) — the persisted ingestion-dedup
+    * artifact that lets every later delivery dedup against the lake with
+    * one index scan instead of re-hashing the corpus text. Same band
+    * parameters as every LSH path, so collisions are identical; same
+    * fixture-cache mechanism as the IVF index above. */
+  private val lshIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (graft.operators.VersionedTables, graft.core.TableDefinition)]()
+
+  private def lshIndexFixture(s: SparkSession, d: String)
+      : (graft.operators.VersionedTables, graft.core.TableDefinition) =
+    lshIndexCache.computeIfAbsent((s, d), _ => {
+      import graft.core._
+      import graft.operators.VersionedTables._
+      graft.Tables.prepare(s)
+      val root = java.nio.file.Files.createTempDirectory("graft-lshidx-q-")
+      val engine = graft.operators.VersionedTables.withFileStore(s, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", "lsh_index"),
+        root.resolve("lshidx").toUri,
+        PartitionSchema(graft.streaming.StreamingCorpusDedup.BatchCol), FileFormat.Parquet)
+      engine.initTable(table, UserId("driver"), "init")
+      graft.streaming.StreamingCorpusDedup.bandedSignatures(
+          Tables.documents(s, d).filter(col("doc_id") < 250))
+        .withColumn(graft.streaming.StreamingCorpusDedup.BatchCol, lit("0"))
+        .versionedInsertInto(engine, table, UserId("driver"), "index corpus")
+      (engine, table)
+    })
+
   val defs: Map[String, Q] = Map(
     // --- text analysis ---
     "q_text_stats" -> ((s, d) => {
@@ -227,6 +255,20 @@ object PipelineQueries {
       val docs = Tables.documents(s, d)
       Dedup.dedupAgainstCorpus(
         docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
+        .select("doc_id", "lang", "source")
+    }),
+
+    // the SAME delivery dedup, but against the PERSISTED versioned
+    // band-signature index (no corpus-text rescan): the batch face of the
+    // streaming ingestion path, sharing its index artifact and therefore its
+    // collisions. At 100 TB this is the shape that matters — re-hashing the
+    // lake per delivery is the cost the index exists to delete. Result is
+    // pinned identical to q_dedup_against (same oracle SQL).
+    "q_dedup_against_index" -> ((s, d) => {
+      val (engine, idxTable) = lshIndexFixture(s, d)
+      graft.streaming.StreamingCorpusDedup.filterNovel(
+          Tables.documents(s, d).filter(col("doc_id") >= 250),
+          engine.read(idxTable).select("id", "hs", "band", "band_hash"))
         .select("doc_id", "lang", "source")
     }),
 
@@ -422,6 +464,32 @@ object PipelineQueries {
        |  FROM sized a JOIN sized b
        |    ON a.id < b.id AND a.n >= b.n * 0.8 AND b.n >= a.n * 0.8
        |  WHERE len(list_intersect(a.s, b.s)) / (a.n + b.n - len(list_intersect(a.s, b.s))) >= 0.8)""".stripMargin
+
+  /** Replay of dedupAgainstCorpus (and its index twin): cross-reject
+    * against the corpus side, then the connected-components closure WITHIN
+    * the surviving new docs. Shared by q_dedup_against and
+    * q_dedup_against_index — one oracle, two plans (recompute-the-corpus
+    * vs read-the-versioned-index). */
+  private lazy val dedupAgainstSql =
+    s"""WITH RECURSIVE $shinglePairsCte,
+       |novel AS (
+       |  SELECT doc_id FROM documents WHERE doc_id >= 250
+       |  AND doc_id NOT IN (SELECT id2 FROM lshpairs WHERE id2 >= 250 AND id1 < 250)),
+       |inbatch AS (
+       |  SELECT id1, id2 FROM lshpairs
+       |  WHERE id1 IN (SELECT doc_id FROM novel) AND id2 IN (SELECT doc_id FROM novel)),
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM inbatch
+       |  UNION
+       |  SELECT id2 AS src, id1 AS dst FROM inbatch),
+       |reach(a, b) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |losers AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) <> a)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id IN (SELECT doc_id FROM novel)
+       |  AND doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
 
   /** Replay the full IVF path in DuckDB with the learned centroids embedded
     * as literals: same cell argmin (cosine desc, cell-id tiebreak), same
@@ -757,26 +825,11 @@ object PipelineQueries {
 
     // replay of dedupAgainstCorpus: cross-reject against the corpus side,
     // then the connected-components closure WITHIN the surviving new docs
-    "q_dedup_against" ->
-      s"""WITH RECURSIVE $shinglePairsCte,
-         |novel AS (
-         |  SELECT doc_id FROM documents WHERE doc_id >= 250
-         |  AND doc_id NOT IN (SELECT id2 FROM lshpairs WHERE id2 >= 250 AND id1 < 250)),
-         |inbatch AS (
-         |  SELECT id1, id2 FROM lshpairs
-         |  WHERE id1 IN (SELECT doc_id FROM novel) AND id2 IN (SELECT doc_id FROM novel)),
-         |edges AS (
-         |  SELECT id1 AS src, id2 AS dst FROM inbatch
-         |  UNION
-         |  SELECT id2 AS src, id1 AS dst FROM inbatch),
-         |reach(a, b) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-         |losers AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) <> a)
-         |SELECT doc_id, lang, source FROM documents
-         |WHERE doc_id IN (SELECT doc_id FROM novel)
-         |  AND doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+    "q_dedup_against" -> dedupAgainstSql,
+
+    // the index path is pinned to the SAME result: one oracle, two plans
+    // (recompute-the-corpus vs read-the-versioned-index)
+    "q_dedup_against_index" -> dedupAgainstSql,
 
     "q_dedup_corpus_lsh" ->
       s"""WITH RECURSIVE $shinglePairsCte,

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.TestSpark
 import graft.core._
 import graft.operators.VersionedTables
+import graft.operators.VersionedTables._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.flatspec.AnyFlatSpec
 import org.scalatest.matchers.should.Matchers
@@ -54,6 +55,29 @@ class StreamingCorpusDedupSpec extends AnyFlatSpec with Matchers {
     val empty = spark.emptyDataFrame
     StreamingCorpusDedup.filterNovel(batch, empty)
       .select("doc_id").as[Long].collect().toSet shouldBe Set(1L)
+  }
+
+  it should "equal dedupAgainstCorpus when fed that corpus's persisted index (batch/stream parity)" in {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val delivery = docs.filter(col("doc_id") >= 250)
+    val corpus = docs.filter(col("doc_id") < 250)
+
+    // recompute path (batch operator, re-hashes corpus text)
+    val recompute = graft.operators.Dedup.dedupAgainstCorpus(delivery, corpus)
+      .select("doc_id").as[Long].collect().toSet
+
+    // index path: persist the corpus signatures as a versioned table, read
+    // them back, and dedup the delivery against the index only
+    val (_, engine, _, indexTable) = newEngine()
+    StreamingCorpusDedup.bandedSignatures(corpus)
+      .withColumn(StreamingCorpusDedup.BatchCol, lit("0"))
+      .versionedInsertInto(engine, indexTable, UserId("t"), "index corpus")
+    val viaIndex = StreamingCorpusDedup.filterNovel(
+        delivery, engine.read(indexTable).select("id", "hs", "band", "band_hash"))
+      .select("doc_id").as[Long].collect().toSet
+
+    viaIndex shouldBe recompute
   }
 
   "writeDeduped" should "accept only novel docs per micro-batch and version corpus + index together" in {
