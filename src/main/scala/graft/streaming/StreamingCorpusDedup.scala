@@ -106,6 +106,47 @@ object StreamingCorpusDedup {
   }
 
   /**
+   * Accept one delivery: dedup `batch` against the persisted index, commit
+   * the novel documents into `docsTable` and their band signatures into
+   * `indexTable` (one partition = `batchLabel` in each), and return the
+   * accepted count. This is the WHOLE ingestion transaction a 100 TB lake
+   * runs per delivery — one index scan, two versioned commits, no corpus
+   * rescan — shared verbatim by the streaming sink ([[writeDeduped]]) and
+   * batch callers (a nightly crawl drop is just `acceptBatch(..., "2024-06-01")`).
+   */
+  def acceptBatch(
+      batch: DataFrame,
+      engine: VersionedTables,
+      docsTable: TableDefinition,
+      indexTable: TableDefinition,
+      batchLabel: String,
+      userId: UserId,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.8,
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleSize: Int = 3): Long = {
+    require(docsTable.partitionSchema == PartitionSchema(BatchCol),
+      s"docsTable must be partitioned by '$BatchCol', got ${docsTable.partitionSchema}")
+    require(indexTable.partitionSchema == PartitionSchema(BatchCol),
+      s"indexTable must be partitioned by '$BatchCol', got ${indexTable.partitionSchema}")
+    if (batch.isEmpty) return 0L
+    val index = engine.read(indexTable)
+    val novel = filterNovel(batch, index, idCol, textCol, threshold, bands, rowsPerBand, shingleSize)
+      .localCheckpoint() // evaluated thrice (count + docs write + signature build)
+    val accepted = novel.count()
+    if (accepted > 0) {
+      novel.withColumn(BatchCol, lit(batchLabel))
+        .versionedInsertInto(engine, docsTable, userId, s"accept batch $batchLabel")
+      bandedSignatures(novel, idCol, textCol, bands, rowsPerBand, shingleSize)
+        .withColumn(BatchCol, lit(batchLabel))
+        .versionedInsertInto(engine, indexTable, userId, s"index batch $batchLabel")
+    }
+    accepted
+  }
+
+  /**
    * Streaming sink: per micro-batch, accept the novel documents into
    * `docsTable` and their band signatures into `indexTable` (both
    * partitioned by [[BatchCol]]; one commit each per non-empty batch). The
@@ -136,20 +177,9 @@ object StreamingCorpusDedup {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
-        try {
-          if (!batch.isEmpty) {
-            val index = engine.read(indexTable)
-            val novel = filterNovel(batch, index, idCol, textCol, threshold, bands, rowsPerBand, shingleSize)
-              .localCheckpoint() // evaluated twice (docs write + signature build)
-            if (!novel.isEmpty) {
-              novel.withColumn(BatchCol, lit(batchId.toString))
-                .versionedInsertInto(engine, docsTable, userId, s"accept stream batch $batchId")
-              bandedSignatures(novel, idCol, textCol, bands, rowsPerBand, shingleSize)
-                .withColumn(BatchCol, lit(batchId.toString))
-                .versionedInsertInto(engine, indexTable, userId, s"index stream batch $batchId")
-            }
-          }
-        } finally { batch.unpersist(); () }
+        try acceptBatch(batch, engine, docsTable, indexTable, batchId.toString, userId,
+          idCol, textCol, threshold, bands, rowsPerBand, shingleSize)
+        finally { batch.unpersist(); () }
         ()
       }
       .start()

@@ -57,6 +57,39 @@ class StreamingCorpusDedupSpec extends AnyFlatSpec with Matchers {
       .select("doc_id").as[Long].collect().toSet shouldBe Set(1L)
   }
 
+  "acceptBatch" should "run the full ingestion transaction: dedup, commit docs, grow the index" in {
+    import org.apache.spark.sql.functions.col
+    val (_, engine, docsTable, indexTable) = newEngine()
+
+    // delivery 1: two docs, one in-batch near-dup pair -> 1 canonical + 1 novel
+    val d1 = Seq(
+      StreamDoc(1L, baseText("a"), "s"), StreamDoc(2L, nearDupOf("a"), "s"),
+      StreamDoc(3L, baseText("b"), "s")).toDF()
+    StreamingCorpusDedup.acceptBatch(d1, engine, docsTable, indexTable, "2024-06-01", UserId("t")) shouldBe 2L
+    engine.read(docsTable).select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 3L)
+
+    // delivery 2: a near-dup of delivery 1's doc is rejected AGAINST THE
+    // INDEX (not by re-reading delivery 1's text); a novel doc lands
+    val d2 = Seq(
+      StreamDoc(10L, nearDupOf("b"), "s"),   // near-dup of indexed 3 -> dropped
+      StreamDoc(11L, baseText("c"), "s")).toDF()
+    StreamingCorpusDedup.acceptBatch(d2, engine, docsTable, indexTable, "2024-06-02", UserId("t")) shouldBe 1L
+    engine.read(docsTable).select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 3L, 11L)
+
+    // the index grew one partition per delivery, and docs/index version together
+    engine.read(indexTable).select("batch").distinct().as[String].collect().toSet shouldBe
+      Set("2024-06-01", "2024-06-02")
+    engine.log(docsTable.name).map(_.message).take(2) shouldBe
+      List("accept batch 2024-06-02", "accept batch 2024-06-01")
+
+    // an all-duplicate delivery is a no-op: zero accepted, no commit
+    val before = engine.log(docsTable.name).length
+    StreamingCorpusDedup.acceptBatch(
+      Seq(StreamDoc(20L, nearDupOf("c"), "s")).toDF(),
+      engine, docsTable, indexTable, "2024-06-03", UserId("t")) shouldBe 0L
+    engine.log(docsTable.name).length shouldBe before
+  }
+
   it should "equal dedupAgainstCorpus when fed that corpus's persisted index (batch/stream parity)" in {
     import org.apache.spark.sql.functions.{col, lit}
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
