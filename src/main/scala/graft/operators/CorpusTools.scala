@@ -97,6 +97,50 @@ object CorpusTools {
   }
 
   /**
+   * Corpus-wide boilerplate LINE removal — the C4/CCNet line-dedup stage:
+   * any line (newline-delimited) appearing in MORE than `maxDocFrequency`
+   * distinct documents is dropped from EVERY document; surviving lines keep
+   * their original order and within-doc multiplicity. Headers, navigation
+   * chrome, cookie banners, and license blurbs are exactly the lines whose
+   * document frequency explodes, and removing them per-line preserves the
+   * surrounding prose where whole-document dedup would either keep the
+   * boilerplate or drop the document.
+   *
+   * Output: `docs` with `textCol` replaced by the cleaned text (documents
+   * whose every line was boilerplate keep an empty string — dropping them
+   * is the caller's policy decision).
+   *
+   * Scale shape: one explode, one map-side-combinable distinct-doc count
+   * per line, one anti-join on the line value (boilerplate lines are by
+   * definition high-frequency, so AQE's skew handling applies to exactly
+   * the rows that need it), one per-document reassembly groupBy. No
+   * window, no driver-side state, nothing corpus-quadratic. The join key
+   * is the raw line string — content-identical across engines, no
+   * hash-collision caveat in the oracle contract.
+   */
+  def removeBoilerplateLines(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDocFrequency: Long = 1L): DataFrame = {
+    require(maxDocFrequency >= 1, s"maxDocFrequency must be >= 1, got $maxDocFrequency")
+    val lines = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val boiler = lines.groupBy("__line")
+      .agg(count_distinct(col("__id")).as("__df"))
+      .filter(col("__df") > maxDocFrequency)
+      .select("__line")
+    val kept = lines.join(boiler, Seq("__line"), "left_anti")
+    val rebuilt = kept.groupBy("__id")
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line"))).as("__new_text"))
+    docs.join(rebuilt, docs(idCol) === col("__id"), "left")
+      .withColumn(textCol, coalesce(col("__new_text"), lit("")))
+      .drop("__id", "__new_text")
+  }
+
+  /**
    * GPT-style concat-and-chunk sequence packing: within each stream (the
    * `streamCols` tuple), documents are laid end to end in `idCol` order and
    * cut into fixed `budget`-token bins. Each doc is labeled with the bin its

@@ -110,8 +110,29 @@ object CorpusQueries {
         get(emails, lit(0)).as("first_email"),
         get(urls, lit(0)).as("first_url"),
         TextFunctions.redactPii(col("contact")).as("redacted"))
-    })
+    }),
+
+    // corpus-wide boilerplate line removal (the C4/CCNet line-dedup stage)
+    // over a deterministic line-ification of each doc (4-word lines — the
+    // fixture has no newlines): any line shared by more than one document
+    // vanishes from every document, surviving lines keep order
+    "q_line_dedup" -> ((s, d) =>
+      CorpusTools.removeBoilerplateLines(linedDocuments(s, d), maxDocFrequency = 1L)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n_clean")))
   )
+
+  /** Deterministic multi-line view of the corpus: each doc's words chunked
+    * into 4-word lines joined by newlines. Mirrored exactly in the oracle
+    * (DuckDB list slicing); 4 words over the fixture's 31-word vocabulary
+    * makes cross-document line collisions present but not dominant. */
+  private def linedDocuments(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val numLines = ceil(size(w) / lit(4.0)).cast("int")
+    Tables.documents(s, d).select(col("doc_id"),
+      concat_ws("\n",
+        transform(sequence(lit(0), numLines - 1),
+          i => concat_ws(" ", slice(w, i * 4 + 1, lit(4))))).as("text"))
+  }
 
   private val duckTokens = "string_split_regex(trim(lower(text)), '\\s+')"
 
@@ -239,6 +260,27 @@ object CorpusQueries {
          |  regexp_extract_all(contact, '$urlRe', 0)[1] AS first_url,
          |  regexp_replace(regexp_replace(contact, '$emailRe', '<EMAIL>', 'g'),
          |                 '$urlRe', '<URL>', 'g') AS redacted
-         |FROM c""".stripMargin
+         |FROM c""".stripMargin,
+
+    // line-ification (4-word chunks) + doc-frequency boilerplate removal +
+    // ordered reassembly — the whole pipeline replayed in SQL
+    "q_line_dedup" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, CAST(ceil(len(w) / 4.0) AS INT) - 1),
+        |      i -> array_to_string(w[i*4+1 : i*4+4], ' ')) AS ls
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |l AS (
+        |  SELECT doc_id, ls[i] AS line, i
+        |  FROM lined, UNNEST(generate_series(1, len(ls))) AS t(i)),
+        |boiler AS (
+        |  SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) > 1),
+        |kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM boiler)),
+        |rebuilt AS (
+        |  SELECT doc_id, array_to_string(list(line ORDER BY i), chr(10)) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text,
+        |  length(coalesce(r.text, '')) AS n_clean
+        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
   )
 }

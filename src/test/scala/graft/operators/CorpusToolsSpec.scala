@@ -242,4 +242,35 @@ class CorpusToolsSpec extends AnyFlatSpec with Matchers {
     out(1)._3 shouldBe empty
     out(1)._4 shouldBe "no contact info here"
   }
+
+  "removeBoilerplateLines" should "drop cross-document lines, keep order and multiplicity" in {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nreal prose one\nreal prose one\nFOOTER"),
+      (2L, "COOKIE BANNER\nreal prose two\nFOOTER"),
+      (3L, "COOKIE BANNER\nFOOTER"),                      // all boilerplate -> empty
+      (4L, "unique document with one line")
+    ).toDF("doc_id", "text")
+    val out = CorpusTools.removeBoilerplateLines(docs, maxDocFrequency = 1L)
+      .as[(Long, String)].collect().toMap
+    // "real prose one" repeats WITHIN doc 1 only -> doc frequency 1 -> kept twice, in order
+    out(1L) shouldBe "real prose one\nreal prose one"
+    out(2L) shouldBe "real prose two"
+    out(3L) shouldBe ""
+    out(4L) shouldBe "unique document with one line"
+  }
+
+  it should "honor the doc-frequency threshold and keep every input row" in {
+    val docs = Seq(
+      (1L, "shared\nown1"), (2L, "shared\nown2"), (3L, "shared\nown3")
+    ).toDF("doc_id", "text")
+    // df("shared") = 3: survives a threshold of 3, dies at 2
+    CorpusTools.removeBoilerplateLines(docs, maxDocFrequency = 3L)
+      .as[(Long, String)].collect().toMap.apply(2L) shouldBe "shared\nown2"
+    val strict = CorpusTools.removeBoilerplateLines(docs, maxDocFrequency = 2L)
+      .as[(Long, String)].collect().toMap
+    strict(2L) shouldBe "own2"
+    strict.keySet shouldBe Set(1L, 2L, 3L)
+    an[IllegalArgumentException] should be thrownBy
+      CorpusTools.removeBoilerplateLines(docs, maxDocFrequency = 0L)
+  }
 }
