@@ -118,7 +118,28 @@ object CorpusQueries {
     // vanishes from every document, surviving lines keep order
     "q_line_dedup" -> ((s, d) =>
       CorpusTools.removeBoilerplateLines(linedDocuments(s, d), maxDocFrequency = 1L)
-        .select(col("doc_id"), col("text"), length(col("text")).as("n_clean")))
+        .select(col("doc_id"), col("text"), length(col("text")).as("n_clean"))),
+
+    // Gopher-style within-document repetition signals: duplicate 2-/3-gram
+    // ratios (1 - distinct/total) from the fused shingle kernels — one
+    // native pass per n, scan-local, no shuffle. The `repetitive` flag is
+    // the published filter rule (dup-2-gram ratio > 0.2); ratios are
+    // integer/integer IEEE divisions, bit-exact across engines.
+    "q_repetition" -> ((s, d) => {
+      import graft.functions.VectorExpressions.wordShingleHashes
+      def ratio(n: Int): org.apache.spark.sql.Column = {
+        val total = size(wordShingleHashes(col("text"), n, distinct = false))
+        val dist = size(wordShingleHashes(col("text"), n, distinct = true))
+        when(total > 0, lit(1.0) - dist.cast("double") / total.cast("double"))
+          .otherwise(lit(0.0))
+      }
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(wordShingleHashes(col("text"), 1, distinct = false)).as("n_tokens"),
+        ratio(2).as("dup_2gram_ratio"),
+        ratio(3).as("dup_3gram_ratio"),
+        (ratio(2) > 0.2).as("repetitive"))
+    })
   )
 
   /** Deterministic multi-line view of the corpus: each doc's words chunked
@@ -281,6 +302,31 @@ object CorpusQueries {
         |  FROM kept GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(r.text, '') AS text,
         |  length(coalesce(r.text, '')) AS n_clean
-        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+
+    // string shingles vs the kernel's 64-bit hashed shingles: distinct and
+    // total COUNTS agree up to negligible collision odds; the short-doc
+    // fallback (whole text as one shingle) mirrors WordShingleHashes
+    "q_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $duckTokens AS w FROM documents),
+         |grams AS (
+         |  SELECT doc_id, len(w) AS n_tokens,
+         |    CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1),
+         |        i -> concat_ws(' ', w[i], w[i+1]))
+         |      ELSE [array_to_string(w, ' ')] END AS g2,
+         |    CASE WHEN len(w) >= 3 THEN list_transform(generate_series(1, len(w) - 2),
+         |        i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+         |      ELSE [array_to_string(w, ' ')] END AS g3
+         |  FROM toks),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |    CASE WHEN len(g2) > 0
+         |      THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END AS dup_2gram_ratio,
+         |    CASE WHEN len(g3) > 0
+         |      THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END AS dup_3gram_ratio
+         |  FROM grams)
+         |SELECT doc_id, n_tokens, dup_2gram_ratio, dup_3gram_ratio,
+         |  dup_2gram_ratio > 0.2 AS repetitive
+         |FROM r""".stripMargin
   )
 }

@@ -273,4 +273,24 @@ class CorpusToolsSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       CorpusTools.removeBoilerplateLines(docs, maxDocFrequency = 0L)
   }
+
+  "duplicate n-gram ratios" should "match hand-computed repetition on planted docs" in {
+    // scalatest's Matchers.size(Long) shadows functions.size here — qualify
+    val arrSize = org.apache.spark.sql.functions.size _
+    def ratio(k: Int) = {
+      val total = arrSize(graft.functions.VectorExpressions.wordShingleHashes($"text", k, distinct = false))
+      val dist = arrSize(graft.functions.VectorExpressions.wordShingleHashes($"text", k, distinct = true))
+      when(total > 0, lit(1.0) - dist.cast("double") / total.cast("double")).otherwise(lit(0.0))
+    }
+    val docs = Seq(
+      (1L, "a b a b a"),            // bigrams: ab ba ab ba -> 4 total, 2 distinct -> 0.5
+      (2L, "all words are unique"), // 3 distinct bigrams of 3 -> 0.0
+      (3L, "x x x x")               // bigrams: xx xx xx -> 3 total, 1 distinct -> 2/3
+    ).toDF("doc_id", "text")
+    val got = docs.select($"doc_id", ratio(2).as("r2"))
+      .as[(Long, Double)].collect().toMap
+    got(1L) shouldBe 0.5 +- 1e-12
+    got(2L) shouldBe 0.0
+    got(3L) shouldBe (2.0 / 3.0) +- 1e-12
+  }
 }
