@@ -97,6 +97,42 @@ object CorpusTools {
   }
 
   /**
+   * Deterministic train/val/test split assignment: each row gets the FIRST
+   * split whose cumulative weight threshold exceeds the row's content hash
+   * — a pure scan projection (no shuffle, no RNG), reproducible across
+   * engines, runs, and cluster sizes, and STABLE under corpus growth: a
+   * document's split never changes when other documents are added or
+   * removed, because the decision depends only on (seed, id). Like
+   * [[mixtureSample]], weights quantize to 1/2^32 (exact for the usual
+   * 0.8/0.1/0.1-style splits is close enough that only hash-boundary rows
+   * could ever differ, and those are fixed by the quantization, not
+   * data-dependent).
+   *
+   * Splits are ordered: growing the FIRST split's weight only MOVES rows
+   * into it from later splits (the same nesting law mixtureSample has), so
+   * an 80/10/10 split's train set contains the 70/20/10 split's train set.
+   */
+  def splitAssign(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, s"need at least 2 splits, got ${splits.size}")
+    require(splits.forall(_._2 >= 0), "split weights must be non-negative")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1.0, got ${splits.map(_._2).sum}")
+    val hash8 = substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"))), 1, 8)
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val chain = splits.zip(cum).init.foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cw)) =>
+        val cond = hash8 < lit(hexThreshold(cw))
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }
+    df.withColumn(splitCol, chain.get.otherwise(splits.last._1))
+  }
+
+  /**
    * Corpus-wide boilerplate LINE removal — the C4/CCNet line-dedup stage:
    * any line (newline-delimited) appearing in MORE than `maxDocFrequency`
    * distinct documents is dropped from EVERY document; surviving lines keep

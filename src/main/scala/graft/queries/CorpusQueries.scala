@@ -139,7 +139,15 @@ object CorpusQueries {
         ratio(2).as("dup_2gram_ratio"),
         ratio(3).as("dup_3gram_ratio"),
         (ratio(2) > 0.2).as("repetitive"))
-    })
+    }),
+
+    // deterministic 80/10/10 train/val/test assignment: a pure scan
+    // projection from (seed, doc_id) — stable under corpus growth, nested
+    // across weight changes, identical on any engine
+    "q_split_assign" -> ((s, d) =>
+      CorpusTools.splitAssign(Tables.documents(s, d), idCol = "doc_id", seed = "split",
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "source", "split"))
   )
 
   /** Deterministic multi-line view of the corpus: each doc's words chunked
@@ -327,6 +335,18 @@ object CorpusQueries {
          |  FROM grams)
          |SELECT doc_id, n_tokens, dup_2gram_ratio, dup_3gram_ratio,
          |  dup_2gram_ratio > 0.2 AS repetitive
-         |FROM r""".stripMargin
+         |FROM r""".stripMargin,
+
+    // cumulative md5-prefix thresholds: < t(0.8) -> train, < t(0.9) -> val
+    "q_split_assign" ->
+      s"""SELECT doc_id, source,
+         |  CASE
+         |    WHEN substring(md5(concat_ws(':', 'split', doc_id)), 1, 8)
+         |      < '${CorpusTools.hexThreshold(0.8)}' THEN 'train'
+         |    WHEN substring(md5(concat_ws(':', 'split', doc_id)), 1, 8)
+         |      < '${CorpusTools.hexThreshold(0.8 + 0.1)}' THEN 'val'
+         |    ELSE 'test'
+         |  END AS split
+         |FROM documents""".stripMargin
   )
 }

@@ -274,6 +274,34 @@ class CorpusToolsSpec extends AnyFlatSpec with Matchers {
       CorpusTools.removeBoilerplateLines(docs, maxDocFrequency = 0L)
   }
 
+  "splitAssign" should "hit the requested fractions, nest across weights, and stay stable under growth" in {
+    val n = 20000
+    val big = spark.range(n).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = CorpusTools.splitAssign(big, "id", seed = "s", splits)
+    val counts = assigned.groupBy("split").count().as[(String, Long)].collect().toMap
+    counts.keySet shouldBe Set("train", "val", "test")
+    (counts("train").toDouble / n) shouldBe 0.8 +- 0.02
+    (counts("val").toDouble / n) shouldBe 0.1 +- 0.01
+    (counts("test").toDouble / n) shouldBe 0.1 +- 0.01
+
+    // nesting: the 70/20/10 train set is a subset of the 80/10/10 train set
+    val narrower = CorpusTools.splitAssign(big, "id", seed = "s",
+      Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1))
+    val wideTrain = assigned.filter($"split" === "train").select("id").as[Long].collect().toSet
+    val narrowTrain = narrower.filter($"split" === "train").select("id").as[Long].collect().toSet
+    narrowTrain.subsetOf(wideTrain) shouldBe true
+
+    // growth stability: assignments over a PREFIX of the corpus are identical
+    val prefix = CorpusTools.splitAssign(spark.range(n / 2).toDF("id"), "id", seed = "s", splits)
+      .as[(Long, String)].collect().toMap
+    val full = assigned.as[(Long, String)].collect().toMap
+    prefix.foreach { case (id, s) => full(id) shouldBe s }
+
+    an[IllegalArgumentException] should be thrownBy
+      CorpusTools.splitAssign(big, "id", "s", Seq("a" -> 0.5, "b" -> 0.4))
+  }
+
   "duplicate n-gram ratios" should "match hand-computed repetition on planted docs" in {
     // scalatest's Matchers.size(Long) shadows functions.size here — qualify
     val arrSize = org.apache.spark.sql.functions.size _
