@@ -101,6 +101,25 @@ object MaintenanceDemo {
     val hits = VectorIndex.queryIvf(engine, ivf, emb.filter(col("vec_id") < 4), k = 3)
     println(s"IVF_HITS=${hits.count()}")
 
+    // 8. index-backed corpus ingestion: two deliveries through acceptBatch —
+    // the second dedups against the PERSISTED index, not delivery 1's text
+    val docs = graft.Tables.documents(spark, sfDir)
+    val corpusTable = TableDefinition(TableName("demo", "corpus"),
+      root.resolve("corpus").toUri,
+      PartitionSchema(graft.streaming.StreamingCorpusDedup.BatchCol), FileFormat.Parquet)
+    val bandIndex = TableDefinition(TableName("demo", "corpus_index"),
+      root.resolve("corpus_index").toUri,
+      PartitionSchema(graft.streaming.StreamingCorpusDedup.BatchCol), FileFormat.Parquet)
+    engine.initTable(corpusTable, UserId("demo"), "init corpus")
+    engine.initTable(bandIndex, UserId("demo"), "init corpus index")
+    val acc1 = graft.streaming.StreamingCorpusDedup.acceptBatch(
+      docs.filter(col("doc_id") < 250), engine, corpusTable, bandIndex, "d1", UserId("demo"))
+    // delivery 2 overlaps delivery 1 (ids 200-299): the overlap's near-dups
+    // are rejected via the index
+    val acc2 = graft.streaming.StreamingCorpusDedup.acceptBatch(
+      docs.filter(col("doc_id") >= 200), engine, corpusTable, bandIndex, "d2", UserId("demo"))
+    println(s"INGEST_D1=$acc1 INGEST_D2=$acc2 CORPUS_ROWS=${engine.read(corpusTable).count()}")
+
     spark.stop()
   }
 }

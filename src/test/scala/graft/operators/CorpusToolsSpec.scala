@@ -274,6 +274,23 @@ class CorpusToolsSpec extends AnyFlatSpec with Matchers {
       CorpusTools.removeBoilerplateLines(docs, maxDocFrequency = 0L)
   }
 
+  "removeBoilerplateLines" should "be idempotent (a second pass removes nothing)" in {
+    // a kept line's doc frequency is unchanged by removing OTHER lines, so
+    // one pass reaches the fixpoint — pinned on the real corpus line-ification
+    // 3-word lines over the 31-word vocabulary: collisions are guaranteed
+    // present at sf0.001 (≈1200 lines over 31³ combinations)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", regexp_replace($"text", "((\\S+ ){2}\\S+) ", "$1\n").as("text"))
+    val once = CorpusTools.removeBoilerplateLines(docs, maxDocFrequency = 1L)
+      .select("doc_id", "text")
+    val twice = CorpusTools.removeBoilerplateLines(once, maxDocFrequency = 1L)
+      .select("doc_id", "text")
+    twice.exceptAll(once).count() shouldBe 0
+    once.exceptAll(twice).count() shouldBe 0
+    // and the pass actually removed something on this corpus (non-vacuous)
+    docs.exceptAll(once).count() should be > 0L
+  }
+
   "splitAssign" should "hit the requested fractions, nest across weights, and stay stable under growth" in {
     val n = 20000
     val big = spark.range(n).toDF("id")
