@@ -125,6 +125,32 @@ class JdbcPersistenceSpec extends AnyFlatSpec with Matchers {
     tr.close()
   }
 
+  it should "keep checkpoints coherent across two live connections to one database" in {
+    val db = Files.createTempDirectory("graft-jdbc-2conn-").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val t = TableName("test", "multi")
+    val a = new JdbcVersionTracker(url, checkpointInterval = 2)
+    val b = new JdbcVersionTracker(url, checkpointInterval = 2)
+    a.initTable(t, isSnapshot = false, UserId("a"), "init", java.time.Instant.now())
+    // alternate writers: each commit may trigger a checkpoint on ITS
+    // connection, and the other connection must fold past it correctly
+    (1 to 10).foreach { i =>
+      val tr = if (i % 2 == 0) a else b
+      tr.commit(t, TableUpdate(UserId(s"w${i % 2}"), s"c$i", java.time.Instant.now(),
+        List(TableOperation.AddPartitionVersion(Partition("date", f"2024-02-$i%02d"), Version.generate()))))
+    }
+    val sa = a.tableState(t)
+    val sb = b.tableState(t)
+    sa shouldBe sb
+    sa.updates.map(_.metadata.message) shouldBe "init" +: (1 to 10).map(i => s"c$i")
+    // a THIRD fresh connection reads O(tail) off the shared checkpoint
+    val c = new JdbcVersionTracker(url, checkpointInterval = 2)
+    val before = c.historyRowsScanned
+    c.tableState(t) shouldBe sa
+    (c.historyRowsScanned - before) should be <= 2L
+    a.close(); b.close(); c.close()
+  }
+
   it should "leave the connection usable after a CAS conflict (transaction ended)" in {
     val db = Files.createTempDirectory("graft-jdbc-cas-").resolve("db")
     val tr = new JdbcVersionTracker(s"jdbc:derby:$db;create=true")
