@@ -277,6 +277,24 @@ object PipelineQueries {
       Dedup.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 3)
     }),
 
+    // per-source corpus composition report — the dashboard a curation run
+    // ends with. One fused TextStats pass, one map-side-combinable
+    // aggregate; every metric is an integer fold (single final division for
+    // the mean) so the report replays hash-exactly
+    "q_corpus_report" -> ((s, d) => {
+      val stats = Tables.documents(s, d)
+        .select(col("source"), col("lang"), textStats(col("text")).as("st"))
+      stats.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("st.n_tokens").cast("long")).as("total_tokens"),
+        sum(col("st.n_punct").cast("long")).as("total_punct"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("st.n_tokens")).as("min_tokens"),
+        max(col("st.n_tokens")).as("max_tokens"),
+        (sum(col("st.n_tokens").cast("long")).cast("double") / count(lit(1)))
+          .as("mean_tokens"))
+    }),
+
     // fuzzy entity matching: part names with one deterministic character
     // removed are matched back against the FULL catalog at edit distance <= 1
     // via the length-banded equi-join (never a cross join). The probe side is
@@ -653,6 +671,20 @@ object PipelineQueries {
   }
 
   private val staticOracles: Map[String, String] = Map(
+    "q_corpus_report" ->
+      s"""WITH per_doc AS (
+         |  SELECT source, lang, $nTokSql AS n_tokens, $punctSql AS n_punct
+         |  FROM documents)
+         |SELECT source,
+         |  COUNT(*) AS n_docs,
+         |  SUM(n_tokens) AS total_tokens,
+         |  SUM(n_punct) AS total_punct,
+         |  COUNT(DISTINCT lang) AS n_langs,
+         |  MIN(n_tokens) AS min_tokens,
+         |  MAX(n_tokens) AS max_tokens,
+         |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
+         |FROM per_doc GROUP BY source""".stripMargin,
+
     "q_text_stats" ->
       s"""SELECT doc_id, lang,
          |  $nTokSql AS n_tokens,
