@@ -49,6 +49,18 @@ object MaintenanceDemo {
     println(s"CDC_T1_T2=${engine.readChangesBetween(table, t1, t2).count()}")
     println(s"CDC_OPS=${engine.changesBetween(table.name, t1, t2).operations.size}")
 
+    // 3b. incrementally maintained rollup: events-per-day table refreshed
+    // from the t1->t2 range only (compaction repoints every partition, so
+    // every day recomputes here; a single-day load would recompute one)
+    val rollup = TableDefinition(TableName("demo", "events_by_day"),
+      root.resolve("events_by_day").toUri, PartitionSchema("event_date"), FileFormat.Parquet)
+    engine.initTable(rollup, UserId("demo"), "init rollup")
+    val (rolledUp, rolledOff) = graft.operators.IncrementalRollup.refresh(
+      engine, table, rollup, t1, t2,
+      df => df.groupBy("event_date").agg(count(lit(1)).as("n_events")), UserId("demo"))
+    println(s"ROLLUP_RECOMPUTED=$rolledUp ROLLUP_REMOVED=$rolledOff " +
+      s"ROLLUP_DAYS=${engine.read(rollup).count()}")
+
     // 4. replace-all refresh down to the latest day only
     val day = events.select(max("event_date")).head().getDate(0)
     events.where(col("event_date") === lit(day))
