@@ -200,12 +200,14 @@ final class VersionedTables(
   /** Time travel by timestamp (Delta-style `AS OF`): read the table as of
     * the last commit at or before `instant`. Errors if the table had no
     * commits yet at that time. */
-  def readAsOf(table: TableDefinition, instant: java.time.Instant): DataFrame = {
+  def readAsOf(
+      table: TableDefinition, instant: java.time.Instant,
+      keep: Partition => Boolean = _ => true): DataFrame = {
     val st = tracker.tableState(table.name)
     val at = st.updates.filter(!_.metadata.timestamp.isAfter(instant)).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"No commit at or before $instant for ${table.name}"))
-    readVersion(table, st.versionAt(at.metadata.id))
+    readVersion(table, prunePartitions(st.versionAt(at.metadata.id), keep))
   }
 
   /** Audit report: `_version=` directories on disk that no commit in the

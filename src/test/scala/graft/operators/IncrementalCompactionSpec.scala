@@ -124,6 +124,12 @@ class IncrementalCompactionSpec extends AnyFlatSpec with Matchers {
       contain theSameElementsAs Seq(Reading("b", "d2", 20.0))
     all(one.inputFiles) should include("day=d2")
 
+    // timestamp time travel prunes the same way
+    val asOf = engine.readAsOf(table, java.time.Instant.now(), keepD2)
+    asOf.select("sensor", "day", "value").as[Reading].collect() should
+      contain theSameElementsAs Seq(Reading("b", "d2", 20.0))
+    all(asOf.inputFiles) should include("day=d2")
+
     // keep selecting nothing = empty frame, zero files listed
     val none = engine.readChangesBetween(table, t1, t2, _ => false)
     none.count() shouldBe 0
