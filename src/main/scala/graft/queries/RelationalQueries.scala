@@ -105,6 +105,16 @@ object RelationalQueries {
           (abs(col("ap") - col("n_parts")) <= col("n_parts") * 0.05).as("approx_parts_ok"))),
 
     // --- joins ---
+    // two-hop dimension chain (customer -> nation -> region): both dims
+    // broadcast, the fact streams through two BroadcastHashJoins with no
+    // shuffle until the final aggregate — the canonical star-schema shape
+    "q_dim_chain" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_acctbal"))),
+
     "q_join_broadcast" -> ((s, d) =>
       Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -667,6 +677,14 @@ object RelationalQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_dim_chain" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
 
     "q_join_shuffle" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
