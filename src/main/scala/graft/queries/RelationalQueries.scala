@@ -340,6 +340,28 @@ object RelationalQueries {
           expr("percentile(l_quantity, 0.5)").as("p50"),
           expr("percentile(l_quantity, 0.75)").as("p75"))),
 
+    // approx_percentile with a SELF-ASSERTING rank-band gate (same pattern
+    // as q_agg_approx_distinct): the sketch value must land inside the
+    // exact [p-0.005, p+0.005] quantile band — 5x the accuracy=1000 rank
+    // guarantee — and the OUTPUT carries the exact quantiles (binary-exact
+    // fractions 1/2 and 7/8) plus the band verdicts, so DuckDB replays the
+    // whole row and a guarantee breach turns it red
+    "q_approx_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.875)").as("p875"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("a50"),
+          expr("approx_percentile(l_quantity, 0.875, 1000)").as("a875"),
+          expr("percentile(l_quantity, 0.495)").as("lo50"),
+          expr("percentile(l_quantity, 0.505)").as("hi50"),
+          expr("percentile(l_quantity, 0.87)").as("lo875"),
+          expr("percentile(l_quantity, 0.88)").as("hi875"))
+        .select(col("l_returnflag"), col("p50"), col("p875"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("approx_p50_ok"),
+          (col("a875") >= col("lo875") && col("a875") <= col("hi875")).as("approx_p875_ok"))),
+
     // --- skew-mitigation correctness: the salted join must be result-
     // identical to the plain join (the oracle IS the plain join) ---
     "q_salted_join" -> ((s, d) => {
@@ -829,6 +851,16 @@ object RelationalQueries {
         |  QUANTILE_CONT(l_quantity, 0.25) AS p25,
         |  QUANTILE_CONT(l_quantity, 0.5) AS p50,
         |  QUANTILE_CONT(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the band flags replay as TRUE: the oracle checks the exact quantiles
+    // AND that Spark's sketch honored its rank guarantee
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  QUANTILE_CONT(l_quantity, 0.5) AS p50,
+        |  QUANTILE_CONT(l_quantity, 0.875) AS p875,
+        |  TRUE AS approx_p50_ok,
+        |  TRUE AS approx_p875_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // the oracle for the SALTED join is the PLAIN join — result equality is
