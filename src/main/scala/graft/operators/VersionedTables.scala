@@ -308,6 +308,56 @@ final class VersionedTables(
       case snap: SnapshotTableVersion => snap
     }
 
+  /** Schema-drift guard for PARTIAL writes: the engine has no schema
+    * evolution (reference-faithful — README.md:48-50 scopes it out), so a
+    * `versionedInsertInto` whose dataset schema differs from the table's
+    * would silently create MIXED-schema partitions that break every later
+    * union read. Compares non-partition columns by (lowercased name,
+    * catalog type) — order and nullability differences are fine; a rename,
+    * drop, add, or retype fails loudly. `versionedReplaceAll` is exempt by
+    * design: it rewrites the whole visible table, which is exactly how a
+    * schema change is done here.
+    *
+    * Cost: one SINGLE-partition (or snapshot) sample read — one directory
+    * listing + one footer, O(1) in table size, only on writes to non-empty
+    * tables.
+    *
+    * Applies to SELF-DESCRIBING formats only (parquet, orc): their footers
+    * carry the written types, so an existing-vs-incoming mismatch is real
+    * drift and a mixed union read genuinely breaks. Text formats (csv,
+    * json) round-trip through lossy inference — a written bigint re-infers
+    * as int — so comparing inferred types would flag false drift; they
+    * keep the reference's caveat-emptor behavior. */
+  private[operators] def requireCompatibleSchema(
+      table: TableDefinition, df: DataFrame): Unit = {
+    if (table.format != FileFormat.Parquet && table.format != FileFormat.Orc) return
+    val sample = tracker.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) if pvs.nonEmpty =>
+        val (p, v) = pvs.minBy(_._1.toPath)
+        Some(PartitionedTableVersion(Map(p -> v)))
+      case s @ SnapshotTableVersion(v) if v != Version.Unversioned => Some(s)
+      case _ => None // empty/unversioned table: the first write defines the schema
+    }
+    sample.foreach { sv =>
+      val partCols = table.partitionSchema.columnNames.map(_.toLowerCase).toSet
+      def shape(s: org.apache.spark.sql.types.StructType): List[(String, String)] =
+        s.fields.toList
+          .filterNot(f => partCols(f.name.toLowerCase))
+          .map(f => (f.name.toLowerCase, f.dataType.catalogString))
+          .sortBy(_._1)
+      val existing = shape(readVersion(table, sv).schema)
+      val incoming = shape(df.schema)
+      if (existing != incoming)
+        throw new IllegalArgumentException(
+          s"Schema drift on partial write to ${table.name}: table has " +
+            s"${existing.map { case (n, t) => s"$n:$t" }.mkString("[", ", ", "]")} but the dataset has " +
+            s"${incoming.map { case (n, t) => s"$n:$t" }.mkString("[", ", ", "]")}. " +
+            "This engine has no schema evolution; a partial insert under a different schema " +
+            "would leave mixed-schema partitions. Align the dataset's columns, or use " +
+            "versionedReplaceAll to rewrite the whole table under the new schema.")
+    }
+  }
+
   /** Materialize a specific table state. */
   def readVersion(table: TableDefinition, version: TableVersion): DataFrame = version match {
     case SnapshotTableVersion(v) =>
@@ -502,6 +552,9 @@ object VersionedTables {
         replaceAll: Boolean,
         expectedHead: Option[CommitId] = None): (TableVersion, TableChanges) = {
       checkSparkConfigs(ds.sparkSession)
+      // replace-all rewrites the whole visible table, so it is ALLOWED to
+      // change the schema; a partial insert is not (mixed-schema partitions)
+      if (!replaceAll) engine.requireCompatibleSchema(table, ds.toDF())
       val version = Version.generate()
       val ops: List[TableOperation] =
         if (table.isSnapshot) List(TableOperation.AddTableVersion(version))

@@ -211,6 +211,57 @@ class VersionedTablesSpec extends AnyFlatSpec with Matchers {
       .as[AdImpression].collect() should contain theSameElementsAs List(batch2.head)
   }
 
+  behavior of "schema-drift guard on partial writes"
+
+  it should "reject renamed/retyped/dropped columns on insert, allow them via replace-all" in {
+    val (engine, dir) = newEngine()
+    val loc = new File(dir, "drift")
+    val table = TableDefinition(TableName("test", "drift"), loc.toURI,
+      PartitionSchema("day"), FileFormat.Parquet)
+    engine.initTable(table, UserId("u"), "init")
+
+    // the first write defines the schema
+    Seq(("a", 1.0, "d1")).toDF("sensor", "value", "day")
+      .versionedInsertInto(engine, table, UserId("u"), "v1")
+
+    // same schema, different column ORDER and an extra cast-compatible write: fine
+    Seq((2.0, "b", "d2")).toDF("value", "sensor", "day")
+      .versionedInsertInto(engine, table, UserId("u"), "reordered")
+    engine.read(table).count() shouldBe 2
+
+    // renamed column
+    intercept[IllegalArgumentException] {
+      Seq(("c", 3.0, "d3")).toDF("sensor", "reading", "day")
+        .versionedInsertInto(engine, table, UserId("u"), "renamed")
+    }.getMessage should include("Schema drift")
+    // retyped column
+    intercept[IllegalArgumentException] {
+      Seq(("c", "high", "d3")).toDF("sensor", "value", "day")
+        .versionedInsertInto(engine, table, UserId("u"), "retyped")
+    }.getMessage should include("Schema drift")
+    // dropped column
+    intercept[IllegalArgumentException] {
+      Seq(("c", "d3")).toDF("sensor", "day")
+        .versionedInsertInto(engine, table, UserId("u"), "dropped")
+    }.getMessage should include("Schema drift")
+    // nothing landed from the refused writes
+    engine.read(table).count() shouldBe 2
+    engine.log(table.name).map(_.message) shouldBe List("reordered", "v1", "init")
+
+    // replace-all IS the schema-change path: full rewrite under the new shape
+    Seq(("c", 3L, "happy", "d3")).toDF("sensor", "reading", "mood", "day")
+      .versionedReplaceAll(engine, table, UserId("u"), "new schema")
+    engine.read(table).count() shouldBe 1
+    // and subsequent partial writes must match the NEW schema
+    Seq(("d", 4L, "calm", "d4")).toDF("sensor", "reading", "mood", "day")
+      .versionedInsertInto(engine, table, UserId("u"), "v2 new shape")
+    engine.read(table).count() shouldBe 2
+    intercept[IllegalArgumentException] {
+      Seq(("e", 5.0, "d5")).toDF("sensor", "value", "day")
+        .versionedInsertInto(engine, table, UserId("u"), "old shape again")
+    }.getMessage should include("Schema drift")
+  }
+
   behavior of "timestamp time travel and version auditing"
 
   it should "read as of a timestamp and report orphaned version dirs" in {
