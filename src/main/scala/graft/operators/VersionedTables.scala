@@ -347,7 +347,10 @@ final class VersionedTables(
           .sortBy(_._1)
       val existing = shape(readVersion(table, sv).schema)
       val incoming = shape(df.schema)
-      if (existing != incoming)
+      // an empty existing shape means the sample was unreadable (e.g. an
+      // adopted partition whose files are gone) — nothing trustworthy to
+      // compare against, so don't fabricate a drift error
+      if (existing.nonEmpty && existing != incoming)
         throw new IllegalArgumentException(
           s"Schema drift on partial write to ${table.name}: table has " +
             s"${existing.map { case (n, t) => s"$n:$t" }.mkString("[", ", ", "]")} but the dataset has " +
