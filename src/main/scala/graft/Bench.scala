@@ -53,7 +53,12 @@ object Bench {
     // exceeds the threshold, retries ONCE and keeps whichever attempt saw
     // less steal. Both attempts' steal figures are emitted so the driver's
     // JSON is self-diagnosing without BASELINE.md archaeology.
-    val StealRetryThresholdPct = 2.0
+    // Threshold calibration (round 5, measured): quiet-box runs show
+    // 0.006-0.021% steal; a run at 0.625% steal measured a 35%-inflated
+    // total. 0.3% separates the two regimes with 15x headroom over quiet
+    // noise — steal is a sensitive symptom of host contention well before
+    // it accounts for the lost cycles itself.
+    val StealRetryThresholdPct = 0.3
     val (first, firstSteal) = attempt()
     val (results, stealPct, retried) =
       if (firstSteal > StealRetryThresholdPct) {
