@@ -328,10 +328,40 @@ final class VersionedTables(
     * json) round-trip through lossy inference — a written bigint re-infers
     * as int — so comparing inferred types would flag false drift; they
     * keep the reference's caveat-emptor behavior. */
+  /** (head commit, verified shape) per table: the schema AS OF a given head
+    * is immutable (every write moves the head), so a matching head+shape
+    * pair lets repeat writers — fixtures, compaction, per-batch ingestion —
+    * skip the sample read entirely. Another writer's commit changes the
+    * head and forces re-verification. */
+  private val schemaShapeCache =
+    new java.util.concurrent.ConcurrentHashMap[TableName, (CommitId, List[(String, String)])]()
+
+  private def schemaShape(table: TableDefinition,
+      s: org.apache.spark.sql.types.StructType): List[(String, String)] = {
+    val partCols = table.partitionSchema.columnNames.map(_.toLowerCase).toSet
+    s.fields.toList
+      .filterNot(f => partCols(f.name.toLowerCase))
+      .map(f => (f.name.toLowerCase, f.dataType.catalogString))
+      .sortBy(_._1)
+  }
+
+  /** Record that the table's schema at `head` is `shape` (just verified or
+    * just written by this engine). */
+  private[operators] def noteSchemaAt(table: TableDefinition, head: CommitId,
+      shape: org.apache.spark.sql.types.StructType): Unit =
+    schemaShapeCache.put(table.name, (head, schemaShape(table, shape)))
+
   private[operators] def requireCompatibleSchema(
       table: TableDefinition, df: DataFrame): Unit = {
     if (table.format != FileFormat.Parquet && table.format != FileFormat.Orc) return
-    val sample = tracker.currentVersion(table.name) match {
+    val st = tracker.tableState(table.name)
+    val incoming = schemaShape(table, df.schema)
+    Option(schemaShapeCache.get(table.name)) match {
+      case Some((head, shape)) if head == st.currentVersion && shape == incoming =>
+        return // verified at this exact head already — nothing can have changed
+      case _ => ()
+    }
+    val sample = st.currentTableVersion match {
       case PartitionedTableVersion(pvs) if pvs.nonEmpty =>
         val (p, v) = pvs.minBy(_._1.toPath)
         Some(PartitionedTableVersion(Map(p -> v)))
@@ -339,14 +369,7 @@ final class VersionedTables(
       case _ => None // empty/unversioned table: the first write defines the schema
     }
     sample.foreach { sv =>
-      val partCols = table.partitionSchema.columnNames.map(_.toLowerCase).toSet
-      def shape(s: org.apache.spark.sql.types.StructType): List[(String, String)] =
-        s.fields.toList
-          .filterNot(f => partCols(f.name.toLowerCase))
-          .map(f => (f.name.toLowerCase, f.dataType.catalogString))
-          .sortBy(_._1)
-      val existing = shape(readVersion(table, sv).schema)
-      val incoming = shape(df.schema)
+      val existing = schemaShape(table, readVersion(table, sv).schema)
       // an empty existing shape means the sample was unreadable (e.g. an
       // adopted partition whose files are gone) — nothing trustworthy to
       // compare against, so don't fabricate a drift error
@@ -358,6 +381,7 @@ final class VersionedTables(
             "This engine has no schema evolution; a partial insert under a different schema " +
             "would leave mixed-schema partitions. Align the dataset's columns, or use " +
             "versionedReplaceAll to rewrite the whole table under the new schema.")
+      schemaShapeCache.put(table.name, (st.currentVersion, existing))
     }
   }
 
@@ -579,10 +603,14 @@ object VersionedTables {
         }
       writeWithVersion(table, version, clusterBy)
       val update = TableUpdate(userId, message, java.time.Instant.now(), ops)
-      expectedHead match {
+      val result = expectedHead match {
         case Some(h) => engine.versioned.commitIf(table.name, update, h)
         case None    => engine.versioned.commit(table.name, update)
       }
+      // this write defines the table's schema as of the new head — repeat
+      // writers skip the next guard's sample read
+      engine.noteSchemaAt(table, update.metadata.id, ds.toDF().schema)
+      result
     }
 
     /** The reference's asserted precondition (SparkSupport.scala:60-69). With
