@@ -30,19 +30,20 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
     // stable alphabetical order: per-query numbers comparable across rounds
-    def runAll(): Seq[(String, Double, Boolean)] =
+    def runAll(s: SparkSession): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { fn(s, sfDir).count(); true }
           catch { case e: Throwable => System.err.println(s"BENCH FAILURE $name: $e"); false }
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
 
     /** One timed pass bracketed by /proc/stat reads → (results, steal%). */
-    def attempt(): (Seq[(String, Double, Boolean)], Double) = {
+    def attempt(s: SparkSession): (Seq[(String, Double, Boolean)], Double) = {
+      graft.Tables.prepare(s)
       val (s0, t0) = cpuStat()
-      val rs = runAll()
+      val rs = runAll(s)
       val (s1, t1) = cpuStat()
       val pct = if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0
       (rs, pct)
@@ -59,12 +60,17 @@ object Bench {
     // noise — steal is a sensitive symptom of host contention well before
     // it accounts for the lost cycles itself.
     val StealRetryThresholdPct = 0.3
-    val (first, firstSteal) = attempt()
+    val (first, firstSteal) = attempt(spark)
     val (results, stealPct, retried) =
       if (firstSteal > StealRetryThresholdPct) {
         System.err.println(
           f"BENCH steal $firstSteal%.2f%% > $StealRetryThresholdPct%% during first pass — retrying once")
-        val (second, secondSteal) = attempt()
+        // the retry runs on a FRESH SparkSession so the per-(session, dir)
+        // fixture caches (IVF centroids, LSH index tables, oracle
+        // dictionaries) rebuild — otherwise the warm second pass would
+        // exclude fixture-build cost and a retried round would read as a
+        // performance improvement against non-retried rounds
+        val (second, secondSteal) = attempt(spark.newSession())
         if (secondSteal < firstSteal) (second, secondSteal, true)
         else (first, firstSteal, true)
       } else (first, firstSteal, false)

@@ -314,9 +314,11 @@ final class VersionedTables(
     * would silently create MIXED-schema partitions that break every later
     * union read. Compares non-partition columns by (lowercased name,
     * catalog type) — order and nullability differences are fine; a rename,
-    * drop, add, or retype fails loudly. `versionedReplaceAll` is exempt by
-    * design: it rewrites the whole visible table, which is exactly how a
-    * schema change is done here.
+    * drop, add, or retype fails loudly. Exempt by design, because neither
+    * can ever mix schemas in one visible state: `versionedReplaceAll`
+    * (rewrites the whole visible table — the schema-change path) and
+    * SNAPSHOT tables (every insert replaces the entire table; reads load
+    * exactly one self-contained version dir).
     *
     * Cost: one SINGLE-partition (or snapshot) sample read — one directory
     * listing + one footer, O(1) in table size, only on writes to non-empty
@@ -354,6 +356,11 @@ final class VersionedTables(
   private[operators] def requireCompatibleSchema(
       table: TableDefinition, df: DataFrame): Unit = {
     if (table.format != FileFormat.Parquet && table.format != FileFormat.Orc) return
+    // a snapshot insert REPLACES the entire visible table (AddTableVersion)
+    // — every read loads exactly one self-contained version dir, so mixed
+    // schemas cannot occur and a schema change is as legitimate as it is
+    // via versionedReplaceAll on partitioned tables
+    if (table.isSnapshot) return
     val st = tracker.tableState(table.name)
     val incoming = schemaShape(table, df.schema)
     Option(schemaShapeCache.get(table.name)) match {
@@ -365,8 +372,7 @@ final class VersionedTables(
       case PartitionedTableVersion(pvs) if pvs.nonEmpty =>
         val (p, v) = pvs.minBy(_._1.toPath)
         Some(PartitionedTableVersion(Map(p -> v)))
-      case s @ SnapshotTableVersion(v) if v != Version.Unversioned => Some(s)
-      case _ => None // empty/unversioned table: the first write defines the schema
+      case _ => None // empty table: the first write defines the schema
     }
     sample.foreach { sv =>
       val existing = schemaShape(table, readVersion(table, sv).schema)

@@ -49,24 +49,36 @@ object ChroniclesExport {
     * AND destination-dir absence) BEFORE the first byte is written, so a
     * failure on the Nth table cannot leave a partial destination store —
     * the per-table checks inside [[exportTable]] would otherwise only fire
-    * after earlier tables had already landed. */
+    * after earlier tables had already landed. Each table's (potentially
+    * long) history is fetched ONCE and reused for the write phase. */
   def exportAllTables(
       tracker: VersionTracker,
       destRoot: URI,
       conf: Configuration = new Configuration()): List[TableName] = {
     val tables = tracker.tables()
     val fs = FileSystem.get(destRoot, conf)
-    tables.foreach { table =>
-      tracker.tableState(table).updates.foreach(requireRepresentable(table, _))
+    val states = tables.map { table =>
+      val state = tracker.tableState(table)
+      state.updates.foreach(requireRepresentable(table, _))
       val dir = new Path(new Path(destRoot), "_chronicles_table_" + table.fullyQualifiedName)
       if (fs.exists(dir))
         throw new IllegalStateException(
           s"Export destination $dir already exists; refusing to mix exported histories " +
             "(no table was exported)")
+      (table, state)
     }
-    tables.foreach(exportTable(tracker, _, destRoot, conf))
+    states.foreach { case (table, state) =>
+      writeTable(table, state, isSnapshotOf(state), destRoot, conf)
+    }
     tables
   }
+
+  /** Whether the table was initialised as a snapshot table, read from the
+    * already-fetched history (avoids a second `tableState` fetch). */
+  private def isSnapshotOf(state: TableState): Boolean =
+    state.updates.flatMap(_.operations).collectFirst {
+      case TableOperation.InitTable(_, snap) => snap
+    }.getOrElse(false)
 
   /**
    * Export one table's full history + head pointer. Refuses if the
@@ -80,9 +92,16 @@ object ChroniclesExport {
       destRoot: URI,
       conf: Configuration = new Configuration()): Unit = {
     val state = tracker.tableState(table) // throws UnknownTableError for unknown tables
-    val isSnapshot = tracker.isSnapshotTable(table)
     state.updates.foreach(requireRepresentable(table, _))
+    writeTable(table, state, isSnapshotOf(state), destRoot, conf)
+  }
 
+  private def writeTable(
+      table: TableName,
+      state: TableState,
+      isSnapshot: Boolean,
+      destRoot: URI,
+      conf: Configuration): Unit = {
     val fs = FileSystem.get(destRoot, conf)
     val dir = new Path(new Path(destRoot), "_chronicles_table_" + table.fullyQualifiedName)
     if (fs.exists(dir))

@@ -318,38 +318,49 @@ final class JdbcVersionTracker(
     * past the last checkpoint, fold the ENTIRE history (checkpoint prefix +
     * tail as of this transaction) into one document; the full read is paid
     * once per interval, amortizing to O(1) extra rows per commit. */
-  private def maybeCheckpoint(table: TableName): Unit = {
-    val tbl = esc(table.fullyQualifiedName)
-    val cpSeq = queryIn(
-      s"SELECT sequence_id FROM graft_checkpoints WHERE table_name = '$tbl'")(_.getLong(1))
-      .headOption.getOrElse(0L)
-    val tailCount = queryIn(
-      s"SELECT COUNT(*) FROM graft_updates WHERE table_name = '$tbl' AND sequence_id > $cpSeq")(
-      _.getLong(1)).head
-    if (tailCount >= checkpointInterval) {
-      val prefix = loadCheckpointIn(table).map(_._2).getOrElse(Nil)
-      val updates = prefix ++ decodeUpdates(table, historyRowsIn(table, if (prefix.isEmpty) 0L else cpSeq))
-      val maxSeq = queryIn(
-        s"SELECT MAX(sequence_id) FROM graft_updates WHERE table_name = '$tbl'")(_.getLong(1)).head
-      val json = JsonCodecs.checkpointToJson(updates.map(_.metadata.id.id), updates)
-      val up = conn.prepareStatement(
-        "UPDATE graft_checkpoints SET sequence_id = ?, state = ? WHERE table_name = ?")
-      val changed =
-        try {
-          up.setLong(1, maxSeq); up.setString(2, json)
-          up.setString(3, table.fullyQualifiedName)
-          up.executeUpdate()
-        } finally up.close()
-      if (changed == 0) {
-        val ins = conn.prepareStatement("INSERT INTO graft_checkpoints VALUES (?,?,?)")
-        try {
-          ins.setString(1, table.fullyQualifiedName)
-          ins.setLong(2, maxSeq); ins.setString(3, json)
-          ins.executeUpdate()
-        } finally ins.close()
+  private def maybeCheckpoint(table: TableName): Unit =
+    try {
+      val tbl = esc(table.fullyQualifiedName)
+      // one query per commit: tail count past the checkpoint (0 if none)
+      val tailCount = queryIn(
+        s"""SELECT COUNT(*) FROM graft_updates WHERE table_name = '$tbl'
+           |AND sequence_id > COALESCE(
+           |  (SELECT sequence_id FROM graft_checkpoints WHERE table_name = '$tbl'), 0)""".stripMargin)(
+        _.getLong(1)).head
+      if (tailCount >= checkpointInterval) {
+        val cp = loadCheckpointIn(table)
+        val (cpSeq, prefix) = cp.getOrElse((0L, List.empty[TableUpdate]))
+        val updates = prefix ++ decodeUpdates(table, historyRowsIn(table, cpSeq))
+        val maxSeq = queryIn(
+          s"SELECT MAX(sequence_id) FROM graft_updates WHERE table_name = '$tbl'")(_.getLong(1)).head
+        val json = JsonCodecs.checkpointToJson(updates.map(_.metadata.id.id), updates)
+        val up = conn.prepareStatement(
+          "UPDATE graft_checkpoints SET sequence_id = ?, state = ? WHERE table_name = ?")
+        val changed =
+          try {
+            up.setLong(1, maxSeq); up.setString(2, json)
+            up.setString(3, table.fullyQualifiedName)
+            up.executeUpdate()
+          } finally up.close()
+        if (changed == 0) {
+          val ins = conn.prepareStatement("INSERT INTO graft_checkpoints VALUES (?,?,?)")
+          try {
+            ins.setString(1, table.fullyQualifiedName)
+            ins.setLong(2, maxSeq); ins.setString(3, json)
+            ins.executeUpdate()
+          } finally ins.close()
+        }
       }
+    } catch {
+      // checkpointing is an optimization; a failure must never fail the
+      // commit it rides in (same policy as the file store) — e.g. an
+      // undecodable row in an imported history would otherwise brick every
+      // commit once the interval trips. If the failure ABORTED the
+      // underlying transaction (lock timeout), the commit still fails at
+      // conn.commit() — correctly, since the user's rows rolled back too.
+      case e: Exception =>
+        System.err.println(s"[graft] JDBC state checkpoint failed for '$table': $e")
     }
-  }
 
   // ---- helpers ----
 

@@ -262,6 +262,24 @@ class VersionedTablesSpec extends AnyFlatSpec with Matchers {
     }.getMessage should include("Schema drift")
   }
 
+  it should "never apply to snapshot tables (every insert is a whole-table replace)" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("test", "snapdrift"),
+      new File(dir, "snapdrift").toURI, PartitionSchema.snapshot, FileFormat.Parquet)
+    engine.initTable(table, UserId("u"), "init")
+    Seq(("a", 1.0)).toDF("sensor", "value")
+      .versionedInsertInto(engine, table, UserId("u"), "v1")
+    // a snapshot insert replaces the whole visible table: a new schema is
+    // legitimate (no mixed-schema state is possible) and must not be blocked
+    Seq(("b", 2L, "extra")).toDF("sensor", "reading", "note")
+      .versionedInsertInto(engine, table, UserId("u"), "v2 new schema")
+    engine.read(table).columns.sorted shouldBe Array("note", "reading", "sensor")
+    engine.read(table).count() shouldBe 1
+    // and time travel still reads the old shape
+    val v1 = engine.log(table.name).find(_.message == "v1").get.id
+    engine.readAt(table, v1).columns.sorted shouldBe Array("sensor", "value")
+  }
+
   behavior of "timestamp time travel and version auditing"
 
   it should "read as of a timestamp and report orphaned version dirs" in {

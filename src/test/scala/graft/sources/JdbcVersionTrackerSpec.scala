@@ -125,6 +125,39 @@ class JdbcPersistenceSpec extends AnyFlatSpec with Matchers {
     tr.close()
   }
 
+  it should "never fail a commit because checkpointing failed (undecodable imported row)" in {
+    val db = Files.createTempDirectory("graft-jdbc-cpfail-").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val t = TableName("test", "cpfail")
+    val tr = new JdbcVersionTracker(url, checkpointInterval = 3)
+    tr.initTable(t, isSnapshot = false, UserId("u"), "init", java.time.Instant.now())
+    val seed = TableUpdate(UserId("u"), "seed", java.time.Instant.now(),
+      List(TableOperation.AddPartitionVersion(Partition("date", "2024-01-01"), Version.generate())))
+    tr.commit(t, seed)
+    // plant an undecodable operation row (imported/hand-built history)
+    val raw = java.sql.DriverManager.getConnection(url)
+    val st = raw.createStatement()
+    st.executeUpdate(
+      s"""INSERT INTO graft_operations VALUES
+         |('${seed.metadata.id.id}', 99, 'mystery-op', NULL, NULL, NULL)""".stripMargin)
+    st.close(); raw.close()
+    // every further commit trips the checkpoint fold onto the bad row; the
+    // fold fails — the COMMITS must not
+    (1 to 6).foreach { i =>
+      tr.commit(t, TableUpdate(UserId("u"), s"c$i", java.time.Instant.now(),
+        List(TableOperation.AddPartitionVersion(Partition("date", s"2024-02-0$i"), Version.generate()))))
+    }
+    // the log is intact (metadata reads don't decode the bad op... they do —
+    // so clean the planted row and confirm everything committed)
+    val raw2 = java.sql.DriverManager.getConnection(url)
+    val st2 = raw2.createStatement()
+    st2.executeUpdate("DELETE FROM graft_operations WHERE op_type = 'mystery-op'")
+    st2.close(); raw2.close()
+    tr.updates(t).map(_.message) shouldBe
+      ("c6" :: "c5" :: "c4" :: "c3" :: "c2" :: "c1" :: "seed" :: "init" :: Nil)
+    tr.close()
+  }
+
   it should "keep checkpoints coherent across two live connections to one database" in {
     val db = Files.createTempDirectory("graft-jdbc-2conn-").resolve("db")
     val url = s"jdbc:derby:$db;create=true"
