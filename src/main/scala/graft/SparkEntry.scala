@@ -49,7 +49,31 @@ object SparkEntry {
     "q_versioned_read" -> ((spark, dir) => versionedFixture(spark, dir).current),
     "q_time_travel" -> ((spark, dir) => versionedFixture(spark, dir).asOf),
     "q_incremental_read" -> ((spark, dir) => versionedFixture(spark, dir).incremental),
-    "q_compact_read" -> ((spark, dir) => versionedFixture(spark, dir).compacted)
+    "q_compact_read" -> ((spark, dir) => versionedFixture(spark, dir).compacted),
+
+    // ORC + MULTI-COLUMN partitions through the whole versioned stack: the
+    // events table versioned as (event_date, event_type) ORC partitions,
+    // read with a driver-side partition prune on the SECOND partition
+    // column (readPartitions lists only event_type=click leaf dirs — the
+    // reference's aws/ORC layout, exercised at the gate, not just in specs)
+    "q_versioned_orc" -> ((spark, dir) => {
+      Tables.prepare(spark)
+      val root = java.nio.file.Files.createTempDirectory("graft-orc-q-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", "events_orc"),
+        root.resolve("events_orc").toUri,
+        PartitionSchema("event_date", "event_type"), FileFormat.Orc)
+      engine.initTable(table, UserId("driver"), "init")
+      Tables.events(spark, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"), col("event_type"))
+        .versionedInsertInto(engine, table, UserId("driver"), "load orc")
+      engine.readPartitions(table,
+          _.columnValues.exists(cv => cv.column.name == "event_type" && cv.value == "click"))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    })
   )
 
   private final case class VersionedFixture(
@@ -129,7 +153,11 @@ object SparkEntry {
            |FROM events
            |WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
            |  AND event_type <> 'error'
-           |GROUP BY 1, 2""".stripMargin)
+           |GROUP BY 1, 2""".stripMargin,
+      "q_versioned_orc" ->
+        s"""SELECT CAST(ts AS DATE) AS event_date, $duckFixtureAgg
+           |FROM events WHERE event_type = 'click'
+           |GROUP BY 1""".stripMargin)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
