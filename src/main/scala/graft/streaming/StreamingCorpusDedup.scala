@@ -113,6 +113,17 @@ object StreamingCorpusDedup {
    * runs per delivery — one index scan, two versioned commits, no corpus
    * rescan — shared verbatim by the streaming sink ([[writeDeduped]]) and
    * batch callers (a nightly crawl drop is just `acceptBatch(..., "2024-06-01")`).
+   *
+   * Concurrency: the index commit is a CAS on the index head this call
+   * FILTERED against — if another delivery indexed concurrently, the batch
+   * was deduped against a stale index and might accept its near-dups, so
+   * the call raises [[graft.core.CommitConflictError]] instead of silently
+   * committing. Re-running the same call is the retry (idempotent per
+   * `batchLabel`: the docs partition is overwritten with the re-filtered
+   * survivors). Commit order is docs-then-signatures deliberately: a crash
+   * between them leaves accepted-but-unindexed docs — a RECALL loss
+   * (later near-dups may slip through) that [[rebuildIndex]] repairs —
+   * never ghost signatures that would silently reject future novel docs.
    */
   def acceptBatch(
       batch: DataFrame,
@@ -132,6 +143,7 @@ object StreamingCorpusDedup {
     require(indexTable.partitionSchema == PartitionSchema(BatchCol),
       s"indexTable must be partitioned by '$BatchCol', got ${indexTable.partitionSchema}")
     if (batch.isEmpty) return 0L
+    val indexHead = engine.log(indexTable.name).head.id
     val index = engine.read(indexTable)
     val novel = filterNovel(batch, index, idCol, textCol, threshold, bands, rowsPerBand, shingleSize)
       .localCheckpoint() // evaluated thrice (count + docs write + signature build)
@@ -141,9 +153,38 @@ object StreamingCorpusDedup {
         .versionedInsertInto(engine, docsTable, userId, s"accept batch $batchLabel")
       bandedSignatures(novel, idCol, textCol, bands, rowsPerBand, shingleSize)
         .withColumn(BatchCol, lit(batchLabel))
-        .versionedInsertInto(engine, indexTable, userId, s"index batch $batchLabel")
+        .versionedInsertIntoIf(engine, indexTable, userId, s"index batch $batchLabel", indexHead)
     }
     accepted
+  }
+
+  /**
+   * Rebuild the band-signature index FROM the accepted corpus — the
+   * recovery primitive for the documented crash window (docs committed,
+   * signatures not) and for parameter migrations: recompute every accepted
+   * document's signatures and atomically replace the index's whole visible
+   * content in one commit (the stale index stays time-travelable). The
+   * index is always derivable from the docs table, which is why
+   * accepted-but-unindexed is the safe failure direction.
+   */
+  def rebuildIndex(
+      engine: VersionedTables,
+      docsTable: TableDefinition,
+      indexTable: TableDefinition,
+      userId: UserId,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleSize: Int = 3): Long = {
+    val docs = engine.read(docsTable)
+    val sigs = bandedSignatures(
+        docs.select(col(idCol), col(textCol), col(BatchCol)), idCol, textCol,
+        bands, rowsPerBand, shingleSize)
+      .join(docs.select(col(idCol).as("id"), col(BatchCol)), "id")
+      .localCheckpoint() // count + write
+    sigs.versionedReplaceAll(engine, indexTable, userId, "rebuild index from corpus")
+    sigs.count()
   }
 
   /**

@@ -90,6 +90,34 @@ class StreamingCorpusDedupSpec extends AnyFlatSpec with Matchers {
     engine.log(docsTable.name).length shouldBe before
   }
 
+  "rebuildIndex" should "repair a lost index from the corpus so rejection works again" in {
+    import org.apache.spark.sql.functions.col
+    val (_, engine, docsTable, indexTable) = newEngine()
+    val d1 = Seq(StreamDoc(1L, baseText("a"), "s"), StreamDoc(2L, baseText("b"), "s")).toDF()
+    StreamingCorpusDedup.acceptBatch(d1, engine, docsTable, indexTable, "d1", UserId("t")) shouldBe 2L
+
+    // simulate the documented crash window: the index loses its signatures
+    // (docs committed, index commit never landed)
+    engine.versioned.commit(indexTable.name, TableUpdate(UserId("t"), "simulate loss",
+      java.time.Instant.now(), List(TableOperation.RemovePartition(Partition(
+        StreamingCorpusDedup.BatchCol, "d1")))))
+    // recall is now broken: a near-dup of an accepted doc slips through
+    StreamingCorpusDedup.acceptBatch(
+      Seq(StreamDoc(10L, nearDupOf("a"), "s")).toDF(),
+      engine, docsTable, indexTable, "dup-slips", UserId("t")) shouldBe 1L
+
+    // rebuild from the corpus: signatures for every accepted doc, one commit
+    val n = StreamingCorpusDedup.rebuildIndex(engine, docsTable, indexTable, UserId("t"))
+    n should be > 0L
+    val rebuilt = engine.read(indexTable).select("id").distinct().as[Long].collect().toSet
+    rebuilt shouldBe engine.read(docsTable).select("doc_id").as[Long].collect().toSet
+
+    // and rejection works again
+    StreamingCorpusDedup.acceptBatch(
+      Seq(StreamDoc(20L, nearDupOf("b"), "s")).toDF(),
+      engine, docsTable, indexTable, "d2", UserId("t")) shouldBe 0L
+  }
+
   it should "equal dedupAgainstCorpus when fed that corpus's persisted index (batch/stream parity)" in {
     import org.apache.spark.sql.functions.{col, lit}
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
