@@ -60,8 +60,10 @@ object Bench {
     // noise — steal is a sensitive symptom of host contention well before
     // it accounts for the lost cycles itself.
     val StealRetryThresholdPct = 0.3
+    def okTotal(rs: Seq[(String, Double, Boolean)]): Double =
+      rs.collect { case (_, sec, true) => sec }.sum
     val (first, firstSteal) = attempt(spark)
-    val (results, stealPct, retried) =
+    val (results, stealPct, retried, attemptTotals) =
       if (firstSteal > StealRetryThresholdPct) {
         System.err.println(
           f"BENCH steal $firstSteal%.2f%% > $StealRetryThresholdPct%% during first pass — retrying once")
@@ -69,11 +71,15 @@ object Bench {
         // fixture caches (IVF centroids, LSH index tables, oracle
         // dictionaries) rebuild — otherwise the warm second pass would
         // exclude fixture-build cost and a retried round would read as a
-        // performance improvement against non-retried rounds
+        // performance improvement against non-retried rounds. The JVM itself
+        // is still warm (JIT, OS page cache), so a retried attempt is
+        // systematically faster than a cold run — BOTH attempts' totals are
+        // recorded below so cross-round comparisons can discount it.
         val (second, secondSteal) = attempt(spark.newSession())
-        if (secondSteal < firstSteal) (second, secondSteal, true)
-        else (first, firstSteal, true)
-      } else (first, firstSteal, false)
+        val totals = Seq(okTotal(first), okTotal(second))
+        if (secondSteal < firstSteal) (second, secondSteal, true, totals)
+        else (first, firstSteal, true, totals)
+      } else (first, firstSteal, false, Seq(okTotal(first)))
 
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -81,10 +87,18 @@ object Bench {
     val status = failed.mkString("[", ",", "]")
     // only successful queries count toward the total: a fast failure must not
     // read as a timing improvement across runs with different failure sets
-    val total = results.collect { case (_, sec, true) => sec }.sum
+    val total = okTotal(results)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$status,""" +
       s""""steal_pct":$stealPct,"steal_retried":$retried,"first_attempt_steal_pct":$firstSteal,""" +
+      s""""attempt_totals":${attemptTotals.mkString("[", ",", "]")},""" +
       s""""sf":"$sfDir"}""")
+    // Compact summary as the LAST stdout line: the driver's tail capture
+    // truncates the ~100-entry per-query map mid-stream (BENCH_r05 parsed:
+    // null), so the headline numbers ride a second line short enough that no
+    // tail window can cut it.
+    println(f"""{"total_s":$total%.3f,"n":${results.size},"n_failed":${failed.size},""" +
+      f""""steal_pct":$stealPct%.4f,"steal_retried":$retried,""" +
+      s""""attempt_totals":${attemptTotals.map(t => f"$t%.3f").mkString("[", ",", "]")}}""")
     spark.stop()
     // a failed query must read as a failure, not a timing improvement
     if (failed.nonEmpty) sys.exit(1)

@@ -15,7 +15,7 @@ import java.time.Instant
  * {{{
  *   graft-cli --store <uri> tables
  *   graft-cli --store <uri> init <schema.table> [--isSnapshot] [--user U] [--message M]
- *   graft-cli --store <uri> log <schema.table>
+ *   graft-cli --store <uri> log <schema.table> [limit [offset]]
  *   graft-cli --store <uri> partitions <schema.table>
  *   graft-cli --store <uri> partition add <schema.table> <col=val[/col2=v2]> [--user U] [--message M]
  *   graft-cli --store <uri> partition remove <schema.table> <col=val[/...]> [--user U] [--message M]
@@ -91,10 +91,28 @@ object GraftCli {
         out.println(s"initialised $name"); 0
       }
 
-      case List("log", name) => withTable(name) { t =>
-        tracker.updates(t).foreach { m =>
+      // log <table> [limit [offset]] — paged: an explicit limit/offset reads
+      // exactly that page; the no-arg form still prints the whole history but
+      // pages through it, so a 100k-commit streaming-sink table never
+      // materializes its full update list in this process
+      case "log" :: name :: pageArgs if pageArgs.length <= 2 &&
+          pageArgs.forall(_.forall(_.isDigit)) => withTable(name) { t =>
+        def show(m: graft.core.TableUpdateMetadata): Unit =
           out.println(s"${m.id.id}  ${m.timestamp}  ${m.userId.value}  ${m.message}")
-        }; 0
+        pageArgs match {
+          case limit :: rest =>
+            tracker.updates(t, limit.toInt, rest.headOption.fold(0)(_.toInt)).foreach(show)
+          case Nil =>
+            val pageSize = 1000
+            var offset = 0
+            var page = tracker.updates(t, pageSize, offset)
+            while (page.nonEmpty) {
+              page.foreach(show)
+              offset += page.size
+              page = tracker.updates(t, pageSize, offset)
+            }
+        }
+        0
       }
 
       case List("partitions", name) => withTable(name) { t =>

@@ -182,6 +182,19 @@ trait VersionTracker {
   def updates(table: TableName): List[TableUpdateMetadata] =
     tableState(table).updates.reverse.map(_.metadata)
 
+  /** Paged history, most recent first — same ordering law as [[updates]]:
+    * skip the `offset` most recent commits, return at most `limit`. The
+    * reference streams history lazily (fs2, VersionTracker.scala:137-151);
+    * this is the eager analogue of that boundedness: the file and JDBC
+    * stores override it to read O(page) commit documents/rows, so a
+    * 100k-commit streaming-sink table doesn't materialize its whole history
+    * for one CLI `log` page. Law (pinned by the contract spec):
+    * `updates(t, l, o) == updates(t).slice(o, o + l)`. */
+  def updates(table: TableName, limit: Int, offset: Int): List[TableUpdateMetadata] = {
+    VersionTracker.requireValidPage(limit, offset)
+    updates(table).slice(offset, offset + limit)
+  }
+
   /** Whether the table was initialised as a snapshot table. */
   def isSnapshotTable(table: TableName): Boolean =
     tableState(table).updates.flatMap(_.operations).collectFirst {
@@ -204,6 +217,12 @@ object VersionTracker {
       s"Invalid tag name '$name': must match [A-Za-z0-9][A-Za-z0-9._-]*")
     require(name.length <= TagNameMaxLength,
       s"Invalid tag name: ${name.length} chars exceeds the $TagNameMaxLength limit")
+  }
+
+  /** Shared page validation for [[VersionTracker.updates(table,limit,offset)*]]. */
+  def requireValidPage(limit: Int, offset: Int): Unit = {
+    require(limit >= 0, s"page limit must be >= 0, was $limit")
+    require(offset >= 0, s"page offset must be >= 0, was $offset")
   }
 }
 

@@ -31,8 +31,10 @@ object IncrementalRollup {
    * Refresh `dst` for the `src` commit range `(from, to]`: changed (added
    * or repointed) partitions are re-aggregated from `src` AT `to` and
    * versioned-written into `dst` (one commit); partitions REMOVED from
-   * `src` in the range are removed from `dst` (a second commit, only when
-   * removals exist). Returns (recomputed, removed) partition counts.
+   * `src` in the range — plus changed partitions whose aggregate came back
+   * EMPTY (a partition repointed to an empty version must not keep its old
+   * rollup row) — are removed from `dst` (a second commit, only when needed).
+   * Returns (recomputed, removed) partition counts.
    *
    * Idempotent per range: re-running writes the same aggregate rows into
    * the same partitions (a new version of identical content) and
@@ -60,20 +62,31 @@ object IncrementalRollup {
     val removed: List[Partition] = changes.operations.collect {
       case MetastoreOperation.RemovePartition(p) => p
     }
+    var staleEmpty: List[Partition] = Nil
     if (changed.nonEmpty) {
-      val rows = engine.readAt(src, to, changed.contains)
-      agg(rows).versionedInsertInto(engine, dst, userId, msg)
+      // checkpoint: the partition listing below and the versioned write both
+      // consume the aggregate — without it the agg recomputes per use
+      val out = agg(engine.readAt(src, to, changed.contains)).localCheckpoint()
+      val outParts = VersionedTables.partitionValues(out, dst.partitionSchema).toSet
+      if (outParts.nonEmpty) out.versionedInsertInto(engine, dst, userId, msg)
+      // a changed src partition that aggregated to ZERO rows (e.g. repointed
+      // to an empty version dir) emits nothing, so the dynamic overwrite
+      // never touches its dst partition — without this it would keep the
+      // PREVIOUS aggregate and break dst == agg(read(src)). Treat it like a
+      // src removal.
+      staleEmpty = changed.filterNot(outParts).toList
     }
-    if (removed.nonEmpty) {
+    val toDrop = removed ++ staleEmpty
+    if (toDrop.nonEmpty) {
       // drop only partitions dst actually carries — re-running a range must
       // not fail on an already-propagated removal
       val present = engine.tracker.currentVersion(dst.name) match {
-        case PartitionedTableVersion(pvs) => removed.filter(pvs.contains)
+        case PartitionedTableVersion(pvs) => toDrop.filter(pvs.contains)
         case _                            => Nil
       }
       if (present.nonEmpty)
         engine.versioned.commit(dst.name, TableUpdate(userId, s"$msg (removals)",
-          java.time.Instant.now(), present.map(TableOperation.RemovePartition)))
+          java.time.Instant.now(), present.sortBy(_.toPath).map(TableOperation.RemovePartition)))
     }
     (changed.size, removed.size)
   }

@@ -353,19 +353,32 @@ final class VersionedTables(
       shape: org.apache.spark.sql.types.StructType): Unit =
     schemaShapeCache.put(table.name, (head, schemaShape(table, shape)))
 
+  /** Verify `df`'s column shape against the table's current schema and
+    * return the head commit the verification was performed AT (None when the
+    * guard doesn't apply — snapshot tables, non-columnar formats).
+    *
+    * CONCURRENCY: the check is read-then-act. The guarantee "no mixed-schema
+    * partitions" therefore holds for single-writer tables and for CAS'd
+    * writers ([[TableOps.versionedInsertIntoIf]] commits only if the head
+    * still equals the one passed in, so a schema-changing replaceAll that
+    * lands between this check and the commit fails the CAS instead of mixing
+    * schemas). An UNGUARDED [[TableOps.versionedInsertInto]] racing a
+    * concurrent versionedReplaceAll with a new schema can still commit
+    * mixed-schema partitions — use the `If` variant when replaceAll writers
+    * may run concurrently. */
   private[operators] def requireCompatibleSchema(
-      table: TableDefinition, df: DataFrame): Unit = {
-    if (table.format != FileFormat.Parquet && table.format != FileFormat.Orc) return
+      table: TableDefinition, df: DataFrame): Option[CommitId] = {
+    if (table.format != FileFormat.Parquet && table.format != FileFormat.Orc) return None
     // a snapshot insert REPLACES the entire visible table (AddTableVersion)
     // — every read loads exactly one self-contained version dir, so mixed
     // schemas cannot occur and a schema change is as legitimate as it is
     // via versionedReplaceAll on partitioned tables
-    if (table.isSnapshot) return
+    if (table.isSnapshot) return None
     val st = tracker.tableState(table.name)
     val incoming = schemaShape(table, df.schema)
     Option(schemaShapeCache.get(table.name)) match {
       case Some((head, shape)) if head == st.currentVersion && shape == incoming =>
-        return // verified at this exact head already — nothing can have changed
+        return Some(st.currentVersion) // verified at this exact head already
       case _ => ()
     }
     val sample = st.currentTableVersion match {
@@ -389,6 +402,7 @@ final class VersionedTables(
             "versionedReplaceAll to rewrite the whole table under the new schema.")
       schemaShapeCache.put(table.name, (st.currentVersion, existing))
     }
+    Some(st.currentVersion)
   }
 
   /** Materialize a specific table state. */
@@ -513,7 +527,15 @@ object VersionedTables {
       * every partition present in `ds` gets a NEW immutable version directory;
       * absent partitions are untouched; then the commit makes it visible.
       * Readers never see in-flight data — new `_version` dirs are unreferenced
-      * until the commit lands. */
+      * until the commit lands.
+      *
+      * The schema-drift guard on this UNGUARDED variant is read-then-act: it
+      * verifies against the head at guard time, so an insert racing a
+      * concurrent schema-changing [[versionedReplaceAll]] can still commit
+      * mixed-schema partitions. The no-mixed-schema guarantee holds for
+      * single-writer tables; under concurrent replaceAll writers use
+      * [[versionedInsertIntoIf]], whose CAS fails the commit if the head
+      * moved after the schema was verified. */
     def versionedInsertInto(
         engine: VersionedTables,
         table: TableDefinition,
@@ -587,7 +609,14 @@ object VersionedTables {
       checkSparkConfigs(ds.sparkSession)
       // replace-all rewrites the whole visible table, so it is ALLOWED to
       // change the schema; a partial insert is not (mixed-schema partitions)
-      if (!replaceAll) engine.requireCompatibleSchema(table, ds.toDF())
+      if (!replaceAll) {
+        val verifiedAt = engine.requireCompatibleSchema(table, ds.toDF())
+        // CAS'd insert whose expected head ALREADY diverges from the head the
+        // schema was verified at: the commitIf below would fail anyway — fail
+        // fast here, before paying the full data write
+        for (h <- expectedHead; v <- verifiedAt; if v != h)
+          throw CommitConflictError(table.name, h, v)
+      }
       val version = Version.generate()
       val ops: List[TableOperation] =
         if (table.isSnapshot) List(TableOperation.AddTableVersion(version))

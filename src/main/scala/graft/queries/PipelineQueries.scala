@@ -279,8 +279,10 @@ object PipelineQueries {
 
     // per-source corpus composition report — the dashboard a curation run
     // ends with. One fused TextStats pass, one map-side-combinable
-    // aggregate; every metric is an integer fold (single final division for
-    // the mean) so the report replays hash-exactly
+    // aggregate; every metric is an integer fold, so the report replays
+    // hash-exactly across engines (a float mean would differ in the last
+    // ulp between Spark's long→double and DuckDB's HUGEINT→double paths;
+    // mean_tokens = total_tokens / n_docs is left to the reader)
     "q_corpus_report" -> ((s, d) => {
       val stats = Tables.documents(s, d)
         .select(col("source"), col("lang"), textStats(col("text")).as("st"))
@@ -290,9 +292,7 @@ object PipelineQueries {
         sum(col("st.n_punct").cast("long")).as("total_punct"),
         countDistinct(col("lang")).as("n_langs"),
         min(col("st.n_tokens")).as("min_tokens"),
-        max(col("st.n_tokens")).as("max_tokens"),
-        (sum(col("st.n_tokens").cast("long")).cast("double") / count(lit(1)))
-          .as("mean_tokens"))
+        max(col("st.n_tokens")).as("max_tokens"))
     }),
 
     // fuzzy entity matching: part names with one deterministic character
@@ -677,12 +677,11 @@ object PipelineQueries {
          |  FROM documents)
          |SELECT source,
          |  COUNT(*) AS n_docs,
-         |  SUM(n_tokens) AS total_tokens,
-         |  SUM(n_punct) AS total_punct,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_punct) AS BIGINT) AS total_punct,
          |  COUNT(DISTINCT lang) AS n_langs,
          |  MIN(n_tokens) AS min_tokens,
-         |  MAX(n_tokens) AS max_tokens,
-         |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
+         |  MAX(n_tokens) AS max_tokens
          |FROM per_doc GROUP BY source""".stripMargin,
 
     "q_text_stats" ->

@@ -202,6 +202,27 @@ final class FileBackedVersionTracker(
     }
   }
 
+  /** Paged history from the commit-file LISTING: file-name order == commit
+    * order (graft layout) or the reference's (mtime, name) order (chronicles
+    * layout), so the page is a sorted slice of the listing and ONLY its
+    * files are parsed — O(listing) + O(page) document reads, vs
+    * `tableState`'s O(#commits) parse. The streaming-sink `log` case. */
+  override def updates(table: TableName, limit: Int, offset: Int): List[TableUpdateMetadata] = {
+    VersionTracker.requireValidPage(limit, offset)
+    val page = resolveTableDir(table) match {
+      case (dir, GraftLayout) =>
+        fs.listStatus(dir).toList.map(_.getPath)
+          .filter(p => p.getName.startsWith(CommitFilePrefix) && p.getName.endsWith(".json"))
+          .sortBy(_.getName).reverse
+      case (dir, ChroniclesLayout) =>
+        fs.listStatus(dir).toList
+          .filter(s => s.getPath.getName.startsWith(CommitFilePrefix))
+          .sortBy(s => (s.getModificationTime, s.getPath.getName)).reverse
+          .map(_.getPath)
+    }
+    page.slice(offset, offset + limit).map(p => parseCommitFile(p).metadata)
+  }
+
   private def graftTableState(dir: Path): TableState = {
     // read head BEFORE listing: a concurrent commit (file + head, in that
     // order under the locks) can then only make the listing see MORE commits

@@ -244,6 +244,25 @@ final class JdbcVersionTracker(
     }
   }
 
+  /** Paged history straight from SQL: metadata columns only (no operations
+    * join, no checkpoint read), ordered by the monotonic `sequence_id` DESC
+    * with OFFSET/FETCH — the database touches O(page) rows however long the
+    * log has grown. */
+  override def updates(table: TableName, limit: Int, offset: Int): List[TableUpdateMetadata] =
+    synchronized {
+      VersionTracker.requireValidPage(limit, offset)
+      if (!exists(table)) throw UnknownTableError(table)
+      if (limit == 0) Nil // Derby's FETCH clause requires n >= 1
+      else query(
+        s"""SELECT commit_id, user_id, message, created_at FROM graft_updates
+           |WHERE table_name = '${esc(table.fullyQualifiedName)}'
+           |ORDER BY sequence_id DESC
+           |OFFSET $offset ROWS FETCH NEXT $limit ROWS ONLY""".stripMargin) { rs =>
+        TableUpdateMetadata(CommitId(rs.getString(1)), UserId(rs.getString(2)),
+          rs.getString(3), rs.getTimestamp(4).toInstant)
+      }
+    }
+
   private case class Row(commitId: String, user: String, msg: String, ts: Instant,
       opType: String, part: String, ver: String, snap: Boolean)
 

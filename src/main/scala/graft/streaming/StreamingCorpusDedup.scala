@@ -118,9 +118,16 @@ object StreamingCorpusDedup {
    * FILTERED against — if another delivery indexed concurrently, the batch
    * was deduped against a stale index and might accept its near-dups, so
    * the call raises [[graft.core.CommitConflictError]] instead of silently
-   * committing. Re-running the same call is the retry (idempotent per
+   * committing. The head is re-checked immediately BEFORE the docs commit
+   * (after the expensive filter), so a conflicting delivery detected there
+   * fails the call with docsTable untouched; only a conflict landing in the
+   * narrow docs-commit-to-CAS window leaves the `batchLabel` docs partition
+   * committed under a stale filter — possibly under-deduped UNTIL the call
+   * is re-run. Re-running the same call IS the retry (idempotent per
    * `batchLabel`: the docs partition is overwritten with the re-filtered
-   * survivors). Commit order is docs-then-signatures deliberately: a crash
+   * survivors); a caller that abandons the retry keeps that partition in
+   * the possibly-under-deduped state until re-run or [[rebuildIndex]].
+   * Commit order is docs-then-signatures deliberately: a crash
    * between them leaves accepted-but-unindexed docs — a RECALL loss
    * (later near-dups may slip through) that [[rebuildIndex]] repairs —
    * never ghost signatures that would silently reject future novel docs.
@@ -149,6 +156,14 @@ object StreamingCorpusDedup {
       .localCheckpoint() // evaluated thrice (count + docs write + signature build)
     val accepted = novel.count()
     if (accepted > 0) {
+      // conflict check BEFORE the docs commit: the filter above ran against
+      // `indexHead`; if another delivery moved the index meanwhile, fail now
+      // — docsTable untouched — rather than committing stale-filtered docs
+      // and only then failing the CAS (that residual window still exists
+      // between here and the CAS, but it is commit-sized, not filter-sized)
+      val headNow = engine.log(indexTable.name).head.id
+      if (headNow != indexHead)
+        throw graft.core.CommitConflictError(indexTable.name, indexHead, headNow)
       novel.withColumn(BatchCol, lit(batchLabel))
         .versionedInsertInto(engine, docsTable, userId, s"accept batch $batchLabel")
       bandedSignatures(novel, idCol, textCol, bands, rowsPerBand, shingleSize)

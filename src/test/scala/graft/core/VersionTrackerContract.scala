@@ -128,6 +128,27 @@ trait VersionTrackerContract extends AnyFlatSpec with Matchers {
     tr.updates(t).map(_.id) shouldBe (ids.reverse :+ tr.updates(t).last.id)
   }
 
+  it should "page the log: updates(t, l, o) == updates(t).slice(o, o + l)" in {
+    val tr = newTracker()
+    val t = init(tr, "paged")
+    val p = Partition("date", "2024-01-01")
+    (1 to 7).foreach(_ => tr.commit(t, upd(AddPartitionVersion(p, Version.generate()))))
+    val full = tr.updates(t) // 8 incl. init, newest first
+    full should have size 8
+    // every (limit, offset) window, including empty / past-the-end pages
+    for (limit <- List(0, 1, 3, 8, 20); offset <- List(0, 1, 5, 8, 20))
+      withClue(s"limit=$limit offset=$offset: ") {
+        tr.updates(t, limit, offset) shouldBe full.slice(offset, offset + limit)
+      }
+    // paging through reconstructs the whole log
+    Iterator.from(0, 3).map(off => tr.updates(t, 3, off)).takeWhile(_.nonEmpty)
+      .flatten.toList shouldBe full
+    an[IllegalArgumentException] should be thrownBy tr.updates(t, -1, 0)
+    an[IllegalArgumentException] should be thrownBy tr.updates(t, 1, -1)
+    an[UnknownTableError] should be thrownBy
+      tr.updates(TableName("nope", "nope"), 1, 0)
+  }
+
   it should "retain commits with no operations in history and checkout" in {
     val tr = newTracker()
     val t = init(tr, "noop")

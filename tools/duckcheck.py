@@ -55,7 +55,10 @@ def compare(name, got_rows, got_cols, exp_rows, exp_cols):
                     example = (vg, ve)
                 break
     if n_bad == 0:
-        return "OK(approx) — exact hash would FAIL, floats differ in last ulp"
+        # The driver gate hashes values EXACTLY — a last-ulp float divergence
+        # fails there, so it must fail here too (round-5 lesson: this line
+        # used to say "OK(approx)" and let q_corpus_report slip through).
+        return "FAIL(approx-only) — values equal within 1e-9 but exact hash differs"
     return f"VALUE MISMATCH rows={n_bad}/{len(g)} example={example}"
 
 
