@@ -231,14 +231,24 @@ object CorpusTools {
     require(n >= 2, s"window must span at least 2 tokens, got $n")
     // native fused tokenize→window kernel: the HOF formulation
     // (transform(sequence) + per-element concat/slice) pays interpreted
-    // lambda dispatch per window and was 40x slower on the sf0.1 bench
-    df.select(col(idCol),
+    // lambda dispatch per window and was 40x slower on the sf0.1 bench.
+    // TWO-PHASE aggregate instead of countDistinct alongside plain aggs:
+    // mixing distinct and non-distinct aggregates makes Spark Expand the
+    // exploded window stream 2x (one copy per aggregate class) BEFORE the
+    // shuffle — on the hot path where the stream is |corpus| x windows/doc,
+    // that doubling IS the cost. Collapsing on (window, doc) first gets
+    // map-side combine on the wide shuffle (within-doc repeats merge
+    // pre-shuffle), and the second shuffle carries one row per
+    // (window, doc) — strictly less data, no Expand anywhere.
+    df.select(col(idCol).as("first_doc"),
         explode(graft.functions.VectorExpressions.wordShingles(col(textCol), n)).as("win_text"))
+      .groupBy(col("win_text"), col("first_doc"))
+      .agg(count(lit(1)).as("occ_in_doc"))
       .groupBy(col("win_text"))
       .agg(
-        countDistinct(col(idCol)).as("n_docs"),
-        count(lit(1)).as("n_occ"),
-        min(col(idCol)).as("first_doc"))
+        count(lit(1)).as("n_docs"),
+        sum(col("occ_in_doc")).as("n_occ"),
+        min(col("first_doc")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
   }
 
