@@ -253,6 +253,98 @@ object CorpusTools {
   }
 
   /**
+   * DSIR-style importance-resampling weights (Xie et al. 2023, "Data
+   * Selection for Language Models via Importance Resampling"): score each
+   * document by how much more likely its tokens are under a TARGET
+   * distribution (a trusted slice — quality domain, target language) than
+   * under the RAW corpus distribution. The published recipe estimates both
+   * distributions over hashed n-gram features and weights a document by the
+   * summed log-ratio; documents are then selected by weight.
+   *
+   * This implementation keeps the recipe but makes the arithmetic
+   * engine-replayable: unigram features over the whitespace tokenization,
+   * add-one-smoothed distributions estimated from the corpus itself, and
+   * log-ratios stored as INTEGER milli-nats — the per-document score is
+   * then a pure integer fold and replays hash-exactly in any engine
+   * (floating-point log-sums differ in the last ulp across engines; the
+   * rounding happens ONCE, driver-side, when the weight table is built).
+   *
+   * Scale shape: the weight table is bounded (`vocabCap` top tokens by raw
+   * frequency — the same bounded-feature-space role the hashed buckets play
+   * in the paper) and BROADCASTS; scoring is explode → broadcast join →
+   * groupBy(id) sum, fully codegen'd, and map-side combine collapses each
+   * document's tokens to one partial before the shuffle, so the shuffle
+   * carries ~one row per document. Estimating the two distributions is one
+   * additional aggregation over the same scan. Nothing driver-side except
+   * the capped weight table itself.
+   *
+   * @param isTarget row predicate selecting the target slice
+   * @return (idCol, dsir_score, kept): summed milli-nat log-ratio per
+   *         document (out-of-table tokens contribute 0) and the
+   *         `score >= keepThreshold` selection flag
+   */
+  def importanceWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      keepThreshold: Long = 0L,
+      vocabCap: Int = 10000): DataFrame =
+    importanceWeights(df, idCol, textCol,
+      importanceWeightTable(df, textCol, isTarget, vocabCap), keepThreshold)
+
+  /** As above with a PRECOMPUTED weight table — for scoring new deliveries
+    * against distributions estimated on a reference corpus (the steady-state
+    * use: estimate once, score every delivery), and for oracle replay. */
+  def importanceWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Map[String, Long],
+      keepThreshold: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(weights.toSeq.toDF("tok", "wt"))
+    df.select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .join(wdf, Seq("tok"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(coalesce(sum(col("wt")), lit(0L)).as("dsir_score"))
+      .withColumn("kept", col("dsir_score") >= lit(keepThreshold))
+  }
+
+  /**
+   * The bounded token → milli-nat-log-ratio table [[importanceWeights]]
+   * scores with: for each of the `vocabCap` most frequent tokens,
+   * `round(1000 * (ln p_target(tok) - ln p_raw(tok)))` under add-one
+   * smoothing. Exposed so the driver contract can replay the EXACT integer
+   * table as a SQL literal (the oracle-registry pattern the SimHash
+   * dictionary uses).
+   */
+  def importanceWeightTable(
+      df: DataFrame,
+      textCol: String,
+      isTarget: Column,
+      vocabCap: Int = 10000): Map[String, Long] = {
+    val counts = df
+      .select(isTarget.cast("long").as("t"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(col("t")).as("tc"), count(lit(1)).as("rc"))
+      .orderBy(col("rc").desc, col("tok"))
+      .limit(vocabCap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val v = counts.length.toLong
+    val targetTotal = counts.map(_._2).sum
+    val rawTotal = counts.map(_._3).sum
+    counts.map { case (tok, tc, rc) =>
+      val lt = math.log((tc + 1).toDouble / (targetTotal + v))
+      val lr = math.log((rc + 1).toDouble / (rawTotal + v))
+      tok -> math.round(1000.0 * (lt - lr))
+    }.toMap
+  }
+
+  /**
    * Token-budget subsampling: from each stream, keep documents in
    * deterministic hash order until the stream's token budget is reached (a
    * document is kept iff it STARTS inside the budget, so the cut is stable

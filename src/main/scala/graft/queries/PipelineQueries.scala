@@ -90,6 +90,18 @@ object PipelineQueries {
         .collect()
         .map(r => (r.getString(0), r.getLong(1))))
 
+  /** DSIR weight table (token → milli-nat log-ratio, target = English docs),
+    * registered when q_dsir_weight runs — the integer weights are rounded
+    * ONCE driver-side, so the oracle replays the scoring as a pure integer
+    * fold. Same registry mechanism as the SimHash dictionary. */
+  private val dsirWeightCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Map[String, Long]]()
+
+  private def dsirWeights(s: SparkSession, d: String): Map[String, Long] =
+    dsirWeightCache.computeIfAbsent((s, d), _ =>
+      graft.operators.CorpusTools.importanceWeightTable(
+        Tables.documents(s, d), "text", col("lang") === "en"))
+
   /** The single data-derived value registered this JVM, or None when queries
     * ran against MORE than one sfDir — an oracle would then embed literals
     * from one corpus and be replayed against another, degrading silently, so
@@ -293,6 +305,17 @@ object PipelineQueries {
         countDistinct(col("lang")).as("n_langs"),
         min(col("st.n_tokens")).as("min_tokens"),
         max(col("st.n_tokens")).as("max_tokens"))
+    }),
+
+    // DSIR importance-resampling weights (published data-selection recipe):
+    // target distribution = the English slice, raw = the whole corpus;
+    // per-doc score = summed integer milli-nat log-ratios over its tokens,
+    // kept = score >= 0 (more target-like than raw). The weight table is
+    // data-derived and registered for the oracle like the SimHash dict.
+    "q_dsir_weight" -> ((s, d) => {
+      val w = dsirWeights(s, d)
+      graft.operators.CorpusTools.importanceWeights(
+        Tables.documents(s, d), "doc_id", "text", w, keepThreshold = 0L)
     }),
 
     // fuzzy entity matching: part names with one deterministic character
@@ -648,8 +671,8 @@ object PipelineQueries {
        |WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming""".stripMargin
   }
 
-  /** The IVF and SimHash oracles exist only once their queries have run in
-    * this JVM (both embed data-derived literals); Verify dumps
+  /** The IVF, SimHash, and DSIR oracles exist only once their queries have
+    * run in this JVM (all embed data-derived literals); Verify dumps
     * oracle_sql.json after running every query, so the driver always sees
     * them. The SimHash oracle is omitted for corpora whose vocabulary would
     * not fit a SQL literal table (falls back to the rows-only check). */
@@ -667,7 +690,32 @@ object PipelineQueries {
         Map("q_dedup_simhash" -> simhashOracleSql(dict, maxHamming = 3))
       case _ => Map.empty[String, String]
     }
-    staticOracles ++ ivf ++ simhash
+    val dsir = soleRegistered(dsirWeightCache) match {
+      case Some(w) if w.nonEmpty && w.size <= 10000 =>
+        Map("q_dsir_weight" -> dsirOracleSql(w))
+      case _ => Map.empty[String, String]
+    }
+    staticOracles ++ ivf ++ simhash ++ dsir
+  }
+
+  /** Replay of [[graft.operators.CorpusTools.importanceWeights]] with the
+    * registered integer weight table as a VALUES literal: explode tokens,
+    * left-join weights, integer sum per doc — hash-exact by construction
+    * (SUMs cast to BIGINT: DuckDB's SUM(BIGINT) is HUGEINT). */
+  private def dsirOracleSql(w: Map[String, Long]): String = {
+    val values = w.toList.sortBy(_._1).map { case (t, wt) =>
+      s"('${t.replace("'", "''")}', CAST($wt AS BIGINT))"
+    }.mkString(",\n      ")
+    s"""WITH w(tok, wt) AS (VALUES
+       |      $values),
+       |toks AS (
+       |  SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    CAST(COALESCE(SUM(w.wt), 0) AS BIGINT) AS dsir_score
+       |  FROM toks t LEFT JOIN w ON w.tok = t.tok
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, dsir_score, dsir_score >= 0 AS kept FROM scored""".stripMargin
   }
 
   private val staticOracles: Map[String, String] = Map(

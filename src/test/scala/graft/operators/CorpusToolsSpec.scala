@@ -208,6 +208,46 @@ class CorpusToolsSpec extends AnyFlatSpec with Matchers {
 
   // --- topTokens ---
 
+  "importanceWeights" should "score docs by hand-computed integer log-ratios and keep by threshold" in {
+    // target slice = src "a"; tokens deliberately overlap across slices
+    val corpus = Seq(
+      (1L, "a", "cat cat dog"),
+      (2L, "a", "cat fish"),
+      (3L, "b", "dog dog dog"),
+      (4L, "b", "fish fish")
+    ).toDF("id", "src", "text")
+    val w = CorpusTools.importanceWeightTable(corpus, "text", col("src") === "a", vocabCap = 10)
+    // hand-computed: vocab {cat:3, dog:4, fish:3} (V=3), target totals: cat 3,
+    // fish 1, dog 1 (T=5); raw totals (R=10). wt = round(1000*(ln((tc+1)/(T+V)) - ln((rc+1)/(R+V)))
+    def wt(tc: Long, rc: Long) =
+      math.round(1000.0 * (math.log((tc + 1.0) / 8.0) - math.log((rc + 1.0) / 13.0)))
+    w shouldBe Map("cat" -> wt(3, 3), "dog" -> wt(1, 4), "fish" -> wt(1, 3))
+    w("cat") should be > 0L  // target-heavy token scores positive
+    w("dog") should be < 0L  // raw-heavy token scores negative
+
+    val scored = CorpusTools.importanceWeights(corpus, "id", "text", w, keepThreshold = 0L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    scored shouldBe Array(
+      (1L, 2 * w("cat") + w("dog"), 2 * w("cat") + w("dog") >= 0),
+      (2L, w("cat") + w("fish"), w("cat") + w("fish") >= 0),
+      (3L, 3 * w("dog"), false),
+      (4L, 2 * w("fish"), 2 * w("fish") >= 0))
+    // the predicate overload derives the same table internally
+    CorpusTools.importanceWeights(corpus, "id", "text", col("src") === "a")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq shouldBe scored.toSeq
+  }
+
+  it should "contribute zero for out-of-table tokens and bound the table by vocabCap" in {
+    val corpus = Seq((1L, "a", "rare rare common"), (2L, "b", "common common common")).toDF("id", "src", "text")
+    val w = CorpusTools.importanceWeightTable(corpus, "text", col("src") === "a", vocabCap = 1)
+    w.keySet shouldBe Set("common") // top-1 by raw frequency
+    val scored = CorpusTools.importanceWeights(corpus, "id", "text", w, keepThreshold = Long.MinValue)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 1: two OOV "rare" tokens contribute 0, one "common" counts
+    scored shouldBe Array((1L, w("common")), (2L, 3 * w("common")))
+  }
+
   "topTokens" should "rank by term frequency with deterministic tiebreak" in {
     val corpus = Seq(
       (1L, "apple apple banana"),
