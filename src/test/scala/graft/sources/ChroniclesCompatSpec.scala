@@ -79,6 +79,16 @@ class ChroniclesCompatSpec extends AnyFlatSpec with Matchers {
       Partition("date", "2021-01-02") -> v3))
   }
 
+  it should "page the log of a reference-layout store in (mtime, name) order" in {
+    val root = buildChroniclesStore()
+    val tracker = new FileBackedVersionTracker(root.toUri)
+    val full = tracker.updates(table) // newest first: commit-2, commit-1
+    full.map(_.id.id) shouldBe List("commit-2", "commit-1")
+    // the chronicles branch of the paged override: same slice law as graft
+    for (limit <- List(0, 1, 2, 5); offset <- List(0, 1, 2, 5))
+      tracker.updates(table, limit, offset) shouldBe full.slice(offset, offset + limit)
+  }
+
   it should "support checkout of historic commits in a reference-layout store" in {
     val root = buildChroniclesStore()
     val tracker = new FileBackedVersionTracker(root.toUri)
