@@ -60,13 +60,31 @@ object WindowProbe {
         .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)), min("doc_id"))
         .filter(col("n_docs") >= 2).count())
 
-    // native fused kernel (what CorpusTools.repeatedWindows uses)
+    // native fused kernel (what CorpusTools.repeatedWindows used through
+    // round 5: single countDistinct beside plain aggs — Spark's
+    // single-distinct rewrite already plans this two-phase, NO Expand)
     time("native_kernel_full")(
       docs.select(col("doc_id"),
           explode(graft.functions.VectorExpressions.wordShingles(col("text"), n)).as("win_text"))
         .groupBy("win_text")
         .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)), min("doc_id"))
         .filter(col("n_docs") >= 2).count())
+
+    // round-6 form: the same two phases written EXPLICITLY (collapse on
+    // (window, doc), then per-window counts). Interleaved A/B reps below
+    // separate form difference from run-to-run drift.
+    def distinctForm(): Long =
+      docs.select(col("doc_id"),
+          explode(graft.functions.VectorExpressions.wordShingles(col("text"), n)).as("win_text"))
+        .groupBy("win_text")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)), min("doc_id"))
+        .filter(col("n_docs") >= 2).count()
+    def twoPhaseForm(): Long =
+      graft.operators.CorpusTools.repeatedWindows(docs, "doc_id", "text", n).count()
+    (1 to 3).foreach { rep =>
+      time(s"ab_distinct_$rep")(distinctForm())
+      time(s"ab_two_phase_$rep")(twoPhaseForm())
+    }
 
     spark.stop()
   }
