@@ -192,7 +192,9 @@ trait VersionTracker {
     * `updates(t, l, o) == updates(t).slice(o, o + l)`. */
   def updates(table: TableName, limit: Int, offset: Int): List[TableUpdateMetadata] = {
     VersionTracker.requireValidPage(limit, offset)
-    updates(table).slice(offset, offset + limit)
+    // bound computed in Long: offset + limit can overflow Int, and
+    // slice(o, negative) would silently return an empty page
+    updates(table).slice(offset, (offset.toLong + limit).min(Int.MaxValue).toInt)
   }
 
   /** Whether the table was initialised as a snapshot table. */

@@ -232,14 +232,13 @@ object CorpusTools {
     // native fused tokenize→window kernel: the HOF formulation
     // (transform(sequence) + per-element concat/slice) pays interpreted
     // lambda dispatch per window and was 40x slower on the sf0.1 bench.
-    // TWO-PHASE aggregate instead of countDistinct alongside plain aggs:
-    // mixing distinct and non-distinct aggregates makes Spark Expand the
-    // exploded window stream 2x (one copy per aggregate class) BEFORE the
-    // shuffle — on the hot path where the stream is |corpus| x windows/doc,
-    // that doubling IS the cost. Collapsing on (window, doc) first gets
-    // map-side combine on the wide shuffle (within-doc repeats merge
-    // pre-shuffle), and the second shuffle carries one row per
-    // (window, doc) — strictly less data, no Expand anywhere.
+    // The aggregation is written two-phase EXPLICITLY — collapse on
+    // (window, doc), then per-window counts — which is the same plan
+    // Spark's single-distinct rewrite produces for the countDistinct form
+    // (round-6 A/B: statistically equivalent, no Expand in either; Expand
+    // only appears with MULTIPLE distinct aggregates). The explicit form
+    // states the intended shape in the source instead of depending on the
+    // rewrite, and keeps within-doc repeats merging map-side pre-shuffle.
     df.select(col(idCol).as("first_doc"),
         explode(graft.functions.VectorExpressions.wordShingles(col(textCol), n)).as("win_text"))
       .groupBy(col("win_text"), col("first_doc"))
@@ -329,7 +328,11 @@ object CorpusTools {
       .select(isTarget.cast("long").as("t"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .groupBy(col("tok"))
-      .agg(sum(col("t")).as("tc"), count(lit(1)).as("rc"))
+      // coalesce: a token occurring ONLY in rows where isTarget evaluates
+      // to SQL NULL (e.g. a null lang column) sums to NULL, and the
+      // collected getLong would throw — such occurrences count as
+      // non-target, like isTarget=false rows
+      .agg(coalesce(sum(col("t")), lit(0L)).as("tc"), count(lit(1)).as("rc"))
       .orderBy(col("rc").desc, col("tok"))
       .limit(vocabCap)
       .collect()

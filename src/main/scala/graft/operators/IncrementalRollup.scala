@@ -34,7 +34,8 @@ object IncrementalRollup {
    * `src` in the range — plus changed partitions whose aggregate came back
    * EMPTY (a partition repointed to an empty version must not keep its old
    * rollup row) — are removed from `dst` (a second commit, only when needed).
-   * Returns (recomputed, removed) partition counts.
+   * Returns (recomputed, removed) partition counts: recomputed = partitions
+   * actually rewritten, removed = src removals + empty-aggregate drops.
    *
    * Idempotent per range: re-running writes the same aggregate rows into
    * the same partitions (a new version of identical content) and
@@ -88,6 +89,8 @@ object IncrementalRollup {
         engine.versioned.commit(dst.name, TableUpdate(userId, s"$msg (removals)",
           java.time.Instant.now(), present.sortBy(_.toPath).map(TableOperation.RemovePartition)))
     }
-    (changed.size, removed.size)
+    // a stale-empty partition was DROPPED, not recomputed — count it with
+    // the removals so the return matches what actually happened to dst
+    (changed.size - staleEmpty.size, removed.size + staleEmpty.size)
   }
 }

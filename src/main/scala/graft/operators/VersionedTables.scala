@@ -38,6 +38,15 @@ final class VersionedTables(
 
   def log(table: TableName): List[TableUpdateMetadata] = tracker.updates(table)
 
+  /** Paged [[log]] — O(page) in both stores, the form long histories want. */
+  def log(table: TableName, limit: Int, offset: Int): List[TableUpdateMetadata] =
+    tracker.updates(table, limit, offset)
+
+  /** The head commit id alone — `updates(table, 1, 0)` under the hood, so
+    * it reads one commit document, not the folded history (an initialised
+    * table always has its init commit). */
+  def headCommit(table: TableName): CommitId = tracker.updates(table, 1, 0).head.id
+
   def checkout(table: TableName, id: CommitId): TableChanges = versioned.checkout(table, id)
 
   /** Read the table at its current version. */

@@ -220,7 +220,8 @@ final class FileBackedVersionTracker(
           .sortBy(s => (s.getModificationTime, s.getPath.getName)).reverse
           .map(_.getPath)
     }
-    page.slice(offset, offset + limit).map(p => parseCommitFile(p).metadata)
+    page.slice(offset, (offset.toLong + limit).min(Int.MaxValue).toInt)
+      .map(p => parseCommitFile(p).metadata)
   }
 
   private def graftTableState(dir: Path): TableState = {

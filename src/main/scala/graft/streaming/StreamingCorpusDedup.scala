@@ -150,7 +150,10 @@ object StreamingCorpusDedup {
     require(indexTable.partitionSchema == PartitionSchema(BatchCol),
       s"indexTable must be partitioned by '$BatchCol', got ${indexTable.partitionSchema}")
     if (batch.isEmpty) return 0L
-    val indexHead = engine.log(indexTable.name).head.id
+    // head via the paged log: one commit document read, NOT the full folded
+    // history — on a 100k-commit streaming index this head probe would
+    // otherwise dominate per-batch metadata cost
+    val indexHead = engine.headCommit(indexTable.name)
     val index = engine.read(indexTable)
     val novel = filterNovel(batch, index, idCol, textCol, threshold, bands, rowsPerBand, shingleSize)
       .localCheckpoint() // evaluated thrice (count + docs write + signature build)
@@ -161,7 +164,7 @@ object StreamingCorpusDedup {
       // — docsTable untouched — rather than committing stale-filtered docs
       // and only then failing the CAS (that residual window still exists
       // between here and the CAS, but it is commit-sized, not filter-sized)
-      val headNow = engine.log(indexTable.name).head.id
+      val headNow = engine.headCommit(indexTable.name)
       if (headNow != indexHead)
         throw graft.core.CommitConflictError(indexTable.name, indexHead, headNow)
       novel.withColumn(BatchCol, lit(batchLabel))

@@ -143,6 +143,9 @@ trait VersionTrackerContract extends AnyFlatSpec with Matchers {
     // paging through reconstructs the whole log
     Iterator.from(0, 3).map(off => tr.updates(t, 3, off)).takeWhile(_.nonEmpty)
       .flatten.toList shouldBe full
+    // offset + limit overflowing Int must not wrap into an empty page
+    tr.updates(t, Int.MaxValue, 1) shouldBe full.drop(1)
+    tr.updates(t, Int.MaxValue, Int.MaxValue) shouldBe Nil
     an[IllegalArgumentException] should be thrownBy tr.updates(t, -1, 0)
     an[IllegalArgumentException] should be thrownBy tr.updates(t, 1, -1)
     an[UnknownTableError] should be thrownBy

@@ -238,6 +238,17 @@ class CorpusToolsSpec extends AnyFlatSpec with Matchers {
       .toSeq shouldBe scored.toSeq
   }
 
+  it should "treat null-predicate rows as non-target instead of crashing the table build" in {
+    // a null src makes isTarget = (src === "a") evaluate to SQL NULL; a token
+    // occurring ONLY in such rows used to sum to NULL and NPE on collect
+    val corpus = Seq((1L, "a", "cat"), (2L, null, "mystery"), (3L, "b", "cat"))
+      .toDF("id", "src", "text")
+    val w = CorpusTools.importanceWeightTable(corpus, "text", col("src") === "a", vocabCap = 10)
+    w.keySet shouldBe Set("cat", "mystery")
+    // mystery: tc=0 (null rows count as non-target), rc=1; totals T=1, R=3, V=2
+    w("mystery") shouldBe math.round(1000.0 * (math.log(1.0 / 3.0) - math.log(2.0 / 5.0)))
+  }
+
   it should "contribute zero for out-of-table tokens and bound the table by vocabCap" in {
     val corpus = Seq((1L, "a", "rare rare common"), (2L, "b", "common common common")).toDF("id", "src", "text")
     val w = CorpusTools.importanceWeightTable(corpus, "text", col("src") === "a", vocabCap = 1)

@@ -88,6 +88,43 @@ class IncrementalRollupSpec extends AnyFlatSpec with Matchers {
     engine.log(dst.name).length shouldBe dstLog
   }
 
+  it should "drop the dst partition when a changed src partition aggregates to zero rows" in {
+    val (engine, src, dst) = newPair()
+    val t0 = head(engine, src)
+    Seq(Reading("a", "d1", 1.0), Reading("b", "d2", 2.0))
+      .toDS().versionedInsertInto(engine, src, UserId("t"), "load")
+    val t1 = head(engine, src)
+    IncrementalRollup.refresh(engine, src, dst, t0, t1, agg, UserId("t")) shouldBe ((2, 0))
+
+    // repoint d2 to a version whose dir EXISTS but holds zero rows — the
+    // adopted/repointed-to-empty case from the round-6 advice: the changed
+    // partition reads empty at `to`, so its rollup row must be REMOVED,
+    // not silently kept
+    val emptyVersion = Version.generate()
+    val d2 = Partition("day", "d2")
+    val emptyDir = VersionPaths.pathFor(d2.resolvePath(src.location), emptyVersion)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("sensor", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .repartition(1).write.parquet(emptyDir.toString)
+    engine.tracker.commit(src.name, TableUpdate(UserId("t"), "repoint d2 empty",
+      java.time.Instant.now(), List(TableOperation.AddPartitionVersion(d2, emptyVersion))))
+    val t2 = head(engine, src)
+
+    val (rec, rem) = IncrementalRollup.refresh(engine, src, dst, t1, t2, agg, UserId("t"))
+    // the empty partition counts as removed, not recomputed
+    (rec, rem) shouldBe ((0, 1))
+    // invariant restored: dst == agg(read(src)) — d2 gone from both
+    rollupRows(engine, dst) shouldBe agg(engine.read(src))
+      .select("day", "n", "total").as[(String, Long, Double)].collect().toSet
+    engine.read(dst).select("day").as[String].collect().toSet shouldBe Set("d1")
+
+    // idempotence: re-running the range re-drops nothing and changes nothing
+    IncrementalRollup.refresh(engine, src, dst, t1, t2, agg, UserId("t")) shouldBe ((0, 1))
+    engine.read(dst).select("day").as[String].collect().toSet shouldBe Set("d1")
+  }
+
   it should "reject snapshot tables and mismatched partition schemas" in {
     val (engine, src, _) = newPair()
     val dir = Files.createTempDirectory("graft-rollup-bad-").toFile
