@@ -173,6 +173,13 @@ trait VersionTracker {
   /** Current ref + ordered history; [[UnknownTableError]] if untracked. */
   def tableState(table: TableName): TableState
 
+  /** The current REF alone — what a CAS writer compares against. Distinct
+    * from "the newest commit": after a historical checkout the ref points
+    * mid-history. The file store overrides this to one head-file read and
+    * the JDBC store to one indexed SELECT — O(1) however long the log — so
+    * per-delivery head probes never pay a history materialization. */
+  def currentRef(table: TableName): CommitId = tableState(table).currentVersion
+
   /** Visible state at the current ref. */
   def currentVersion(table: TableName): TableVersion =
     tableState(table).currentTableVersion

@@ -42,10 +42,11 @@ final class VersionedTables(
   def log(table: TableName, limit: Int, offset: Int): List[TableUpdateMetadata] =
     tracker.updates(table, limit, offset)
 
-  /** The head commit id alone — `updates(table, 1, 0)` under the hood, so
-    * it reads one commit document, not the folded history (an initialised
-    * table always has its init commit). */
-  def headCommit(table: TableName): CommitId = tracker.updates(table, 1, 0).head.id
+  /** The current ref alone — O(1) in both persistent stores (head-file
+    * read / indexed SELECT), never a history materialization. This is the
+    * value CAS writers compare against (the REF, which a historical
+    * checkout can point mid-history — not necessarily the newest commit). */
+  def headCommit(table: TableName): CommitId = tracker.currentRef(table)
 
   def checkout(table: TableName, id: CommitId): TableChanges = versioned.checkout(table, id)
 

@@ -202,6 +202,19 @@ final class FileBackedVersionTracker(
     }
   }
 
+  /** O(1) ref read: one head-file open (under the same lock + retry
+    * discipline as `graftTableState`), no directory listing, no history. */
+  override def currentRef(table: TableName): CommitId =
+    resolveTableDir(table) match {
+      case (dir, GraftLayout) =>
+        FileBackedVersionTracker.tableLock(dir).synchronized {
+          CommitId(readWithRetry(new Path(dir, HeadFile)).trim)
+        }
+      case (dir, ChroniclesLayout) =>
+        JsonCodecs.chroniclesHeadFromJson(read(new Path(dir, ChroniclesHeadFile)))
+          .fold(e => sys.error(s"Corrupt chronicles head file in $dir: $e"), CommitId)
+    }
+
   /** Paged history from the commit-file LISTING: file-name order == commit
     * order (graft layout) or the reference's (mtime, name) order (chronicles
     * layout), so the page is a sorted slice of the listing and ONLY its

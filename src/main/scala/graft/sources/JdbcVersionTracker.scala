@@ -244,6 +244,14 @@ final class JdbcVersionTracker(
     }
   }
 
+  /** O(1) ref read: one indexed SELECT on the version-refs table. */
+  override def currentRef(table: TableName): CommitId = synchronized {
+    query(
+      s"""SELECT current_commit FROM graft_version_refs
+         |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)(_.getString(1))
+      .headOption.map(CommitId(_)).getOrElse(throw UnknownTableError(table))
+  }
+
   /** Paged history straight from SQL: metadata columns only (no operations
     * join, no checkpoint read), ordered by the monotonic `sequence_id` DESC
     * with OFFSET/FETCH — the database touches O(page) rows however long the

@@ -152,6 +152,23 @@ trait VersionTrackerContract extends AnyFlatSpec with Matchers {
       tr.updates(TableName("nope", "nope"), 1, 0)
   }
 
+  it should "report the current REF via currentRef, including after checkout" in {
+    val tr = newTracker()
+    val t = init(tr, "ref")
+    val p = Partition("date", "2024-01-01")
+    val u1 = upd(AddPartitionVersion(p, Version.generate()))
+    val u2 = upd(AddPartitionVersion(p, Version.generate()))
+    tr.commit(t, u1); tr.commit(t, u2)
+    tr.currentRef(t) shouldBe u2.metadata.id
+    tr.currentRef(t) shouldBe tr.tableState(t).currentVersion
+    // after a historical checkout the ref points MID-history: currentRef
+    // follows the ref, not the newest commit
+    tr.setCurrentVersion(t, u1.metadata.id)
+    tr.currentRef(t) shouldBe u1.metadata.id
+    tr.updates(t, 1, 0).head.id shouldBe u2.metadata.id // newest != ref here
+    an[UnknownTableError] should be thrownBy tr.currentRef(TableName("no", "no"))
+  }
+
   it should "retain commits with no operations in history and checkout" in {
     val tr = newTracker()
     val t = init(tr, "noop")
