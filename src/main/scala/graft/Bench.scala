@@ -54,12 +54,14 @@ object Bench {
     // exceeds the threshold, retries ONCE and keeps whichever attempt saw
     // less steal. Both attempts' steal figures are emitted so the driver's
     // JSON is self-diagnosing without BASELINE.md archaeology.
-    // Threshold calibration (round 5, measured): quiet-box runs show
-    // 0.006-0.021% steal; a run at 0.625% steal measured a 35%-inflated
-    // total. 0.3% separates the two regimes with 15x headroom over quiet
-    // noise — steal is a sensitive symptom of host contention well before
-    // it accounts for the lost cycles itself.
-    val StealRetryThresholdPct = 0.3
+    // Threshold calibration: round 5 measured quiet-box runs at
+    // 0.006-0.043% steal and a 0.625%-steal run 35% inflated, and set 0.3%.
+    // Round 6 observed a 0.22%-steal run ALSO ~35% inflated (109s vs 80s
+    // quiet) — the contended regime starts lower than first measured, so
+    // the threshold is now 0.15%: still 3-10x above quiet noise, and a
+    // spurious retry only costs time (the attempt with less steal is kept,
+    // and both attempts' totals are recorded).
+    val StealRetryThresholdPct = 0.15
     def okTotal(rs: Seq[(String, Double, Boolean)]): Double =
       rs.collect { case (_, sec, true) => sec }.sum
     val (first, firstSteal) = attempt(spark)
