@@ -181,7 +181,7 @@ object Similarity {
       val cn = math.sqrt(cv.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
       struct((dot(vec, typedlit(cv)) / (vnorm * lit(cn))).as("cos"), lit(-i).as("negcell"))
     }
-    array_max(array(entries: _*))
+    array_max(array(scala.collection.immutable.ArraySeq.unsafeWrapArray(entries): _*))
   }
 
   /** Shorthand for the assigned cell id of [[nearestCell]]. */

@@ -212,7 +212,7 @@ final class FileBackedVersionTracker(
         }
       case (dir, ChroniclesLayout) =>
         JsonCodecs.chroniclesHeadFromJson(read(new Path(dir, ChroniclesHeadFile)))
-          .fold(e => sys.error(s"Corrupt chronicles head file in $dir: $e"), CommitId)
+          .fold(e => sys.error(s"Corrupt chronicles head file in $dir: $e"), CommitId.apply)
     }
 
   /** Paged history from the commit-file LISTING: file-name order == commit
@@ -296,7 +296,7 @@ final class FileBackedVersionTracker(
   private def chroniclesTableState(dir: Path): TableState = {
     val headJson = read(new Path(dir, ChroniclesHeadFile))
     val head = JsonCodecs.chroniclesHeadFromJson(headJson)
-      .fold(e => sys.error(s"Corrupt chronicles head file in $dir: $e"), CommitId)
+      .fold(e => sys.error(s"Corrupt chronicles head file in $dir: $e"), CommitId.apply)
     // the reference orders commits by (mtime, name) — FileBackedVersionTracker.scala:98
     val files = fs.listStatus(dir).toList
       .filter(s => s.getPath.getName.startsWith(CommitFilePrefix))
