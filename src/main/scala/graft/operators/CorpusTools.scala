@@ -348,6 +348,47 @@ object CorpusTools {
   }
 
   /**
+   * Persist a [[importanceWeightTable]] as a versioned SNAPSHOT table
+   * (columns `tok`, `wt`) — the steady-state shape for data selection at
+   * scale: the distribution estimate is a full-corpus aggregation you run
+   * once per reference-corpus refresh, not per delivery, and versioning it
+   * makes selection REPRODUCIBLE — tag the weights a training set was
+   * selected with and `loadWeightsAt` that commit forever (the same
+   * pattern [[VectorIndex]] uses for the IVF index). Each refresh is one
+   * atomic whole-table replace; old estimates stay time-travelable.
+   */
+  def saveWeights(
+      engine: VersionedTables,
+      table: graft.core.TableDefinition,
+      weights: Map[String, Long],
+      userId: graft.core.UserId,
+      message: String = "importance-weight refresh"): Unit = {
+    require(table.isSnapshot, s"weight tables are snapshot tables, got ${table.partitionSchema}")
+    val spark = engine.spark
+    import spark.implicits._
+    import VersionedTables.DatasetVersionedOps
+    weights.toSeq.sortBy(_._1).toDF("tok", "wt")
+      .coalesce(1) // vocabCap-bounded: one small file per estimate
+      .versionedReplaceAll(engine, table, userId, message)
+  }
+
+  /** The current weight table of [[saveWeights]], as the Map
+    * [[importanceWeights]] scores with. */
+  def loadWeights(engine: VersionedTables, table: graft.core.TableDefinition): Map[String, Long] =
+    weightsFrom(engine.read(table))
+
+  /** The weight table AS OF a commit — score with the exact weights a past
+    * selection used (pairs with tags for reproducible training sets). */
+  def loadWeightsAt(
+      engine: VersionedTables,
+      table: graft.core.TableDefinition,
+      at: graft.core.CommitId): Map[String, Long] =
+    weightsFrom(engine.readAt(table, at))
+
+  private def weightsFrom(df: DataFrame): Map[String, Long] =
+    df.select("tok", "wt").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /**
    * Token-budget subsampling: from each stream, keep documents in
    * deterministic hash order until the stream's token budget is reached (a
    * document is kept iff it STARTS inside the budget, so the cut is stable

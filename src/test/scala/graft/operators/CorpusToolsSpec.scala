@@ -259,6 +259,39 @@ class CorpusToolsSpec extends AnyFlatSpec with Matchers {
     scored shouldBe Array((1L, w("common")), (2L, 3 * w("common")))
   }
 
+  "saveWeights / loadWeights" should "round-trip, refresh atomically, and time-travel" in {
+    import graft.core._
+    import graft.operators.VersionedTables._
+    val dir = java.nio.file.Files.createTempDirectory("graft-weights-").toFile
+    val engine = VersionedTables.withFileStore(spark, new java.io.File(dir, "store").toURI)
+    val table = TableDefinition(TableName("test", "dsir_weights"),
+      new java.io.File(dir, "weights").toURI, PartitionSchema.snapshot, FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+
+    val w1 = Map("cat" -> 480L, "dog" -> -270L)
+    CorpusTools.saveWeights(engine, table, w1, UserId("t"))
+    CorpusTools.loadWeights(engine, table) shouldBe w1
+    val v1 = engine.log(table.name).head.id
+
+    // refresh replaces the WHOLE table; the old estimate stays reachable
+    val w2 = Map("cat" -> 100L, "fish" -> 7L)
+    CorpusTools.saveWeights(engine, table, w2, UserId("t"), "re-estimate")
+    CorpusTools.loadWeights(engine, table) shouldBe w2
+    CorpusTools.loadWeightsAt(engine, table, v1) shouldBe w1
+
+    // the loaded table drives scoring identically to the in-memory map
+    val corpus = Seq((1L, "cat cat dog")).toDF("id", "text")
+    CorpusTools.importanceWeights(corpus, "id", "text",
+        CorpusTools.loadWeightsAt(engine, table, v1), keepThreshold = 0L)
+      .select("dsir_score").as[Long].head() shouldBe (2 * 480L - 270L)
+
+    // non-snapshot tables are refused
+    val part = TableDefinition(TableName("test", "bad"),
+      new java.io.File(dir, "bad").toURI, PartitionSchema("day"), FileFormat.Parquet)
+    an[IllegalArgumentException] should be thrownBy
+      CorpusTools.saveWeights(engine, part, w1, UserId("t"))
+  }
+
   "topTokens" should "rank by term frequency with deterministic tiebreak" in {
     val corpus = Seq(
       (1L, "apple apple banana"),
