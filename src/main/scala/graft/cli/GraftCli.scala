@@ -94,7 +94,10 @@ object GraftCli {
       // log <table> [limit [offset]] — paged: an explicit limit/offset reads
       // exactly that page; the no-arg form still prints the whole history but
       // pages through it, so a 100k-commit streaming-sink table never
-      // materializes its full update list in this process
+      // materializes its full update list in this process. Pages are
+      // newest-first, so a commit landing BETWEEN page reads shifts offsets
+      // and a boundary entry can print twice — inherent to offset paging a
+      // live log, harmless for display (ids make repeats obvious)
       case "log" :: name :: pageArgs if pageArgs.length <= 2 &&
           pageArgs.forall(_.forall(_.isDigit)) => withTable(name) { t =>
         def show(m: graft.core.TableUpdateMetadata): Unit =
