@@ -36,10 +36,11 @@ object LogPagingProbe {
     val (page, tPage) = time(tr.updates(t, 20, 0))
     val (_, tHead) = time(tr.updates(t, 1, 0))
     val (ref, tRef) = time(tr.currentRef(t))
-    val (deep, tDeep) = time(tr.updates(t, 20, commits - 10))
+    val deepOffset = math.max(0, commits - 10)
+    val (deep, tDeep) = time(tr.updates(t, 20, deepOffset))
     println(f"$name commits=${full.size} load=${tLoad / 1000}%.1fs " +
       f"full=$tFull%.0fms page20=$tPage%.1fms head=$tHead%.1fms ref=$tRef%.2fms deepPage=$tDeep%.1fms " +
-      s"pageOk=${page == full.take(20)} deepOk=${deep == full.slice(commits - 10, commits + 10)} " +
+      s"pageOk=${page == full.take(20)} deepOk=${deep == full.slice(deepOffset, deepOffset + 20)} " +
       s"refOk=${ref == full.head.id}")
   }
 

@@ -364,6 +364,9 @@ object CorpusTools {
       userId: graft.core.UserId,
       message: String = "importance-weight refresh"): Unit = {
     require(table.isSnapshot, s"weight tables are snapshot tables, got ${table.partitionSchema}")
+    require(weights.nonEmpty,
+      "refusing to persist an EMPTY weight table — an empty estimate means the reference " +
+        "corpus (or the target slice) was empty, which is a pipeline error, not a model")
     val spark = engine.spark
     import spark.implicits._
     import VersionedTables.DatasetVersionedOps

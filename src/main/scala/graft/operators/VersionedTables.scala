@@ -629,8 +629,16 @@ object VersionedTables {
       }
       val version = Version.generate()
       val ops: List[TableOperation] =
-        if (table.isSnapshot) List(TableOperation.AddTableVersion(version))
-        else {
+        if (table.isSnapshot) {
+          // same loud failure the partitioned path has: a 0-row write creates
+          // NO _version= directory (partitionBy append writes nothing), but
+          // the AddTableVersion commit would still land — every later read of
+          // the table would then fail on the missing committed dir
+          require(!ds.isEmpty,
+            s"Dataset has no rows: a snapshot write must carry at least one row " +
+              s"(an empty write would commit a version of ${table.name} with no data directory)")
+          List(TableOperation.AddTableVersion(version))
+        } else {
           val parts = partitionValues(ds, table.partitionSchema)
           require(parts.nonEmpty,
             s"Dataset has no rows for partition columns ${table.partitionSchema.columnNames}")

@@ -202,17 +202,24 @@ final class FileBackedVersionTracker(
     }
   }
 
-  /** O(1) ref read: one head-file open (under the same lock + retry
-    * discipline as `graftTableState`), no directory listing, no history. */
+  /** O(1) ref read: one head-file open ([[readHead]] — the same lock + retry
+    * discipline `graftTableState` uses), no directory listing, no history. */
   override def currentRef(table: TableName): CommitId =
     resolveTableDir(table) match {
-      case (dir, GraftLayout) =>
-        FileBackedVersionTracker.tableLock(dir).synchronized {
-          CommitId(readWithRetry(new Path(dir, HeadFile)).trim)
-        }
+      case (dir, GraftLayout) => readHead(dir)
       case (dir, ChroniclesLayout) =>
         JsonCodecs.chroniclesHeadFromJson(read(new Path(dir, ChroniclesHeadFile)))
           .fold(e => sys.error(s"Corrupt chronicles head file in $dir: $e"), CommitId.apply)
+    }
+
+  /** The head ref of a graft-layout table dir. Takes the table lock: on
+    * non-POSIX stores the OVERWRITE rename is delete-then-rename, so an
+    * unlocked in-process reader could catch the head file mid-swap and see
+    * it absent; the retry loop inside covers readers in OTHER processes
+    * (the writer re-creates the file within microseconds). */
+  private def readHead(dir: Path): CommitId =
+    FileBackedVersionTracker.tableLock(dir).synchronized {
+      CommitId(readWithRetry(new Path(dir, HeadFile)).trim)
     }
 
   /** Paged history from the commit-file LISTING: file-name order == commit
@@ -242,15 +249,7 @@ final class FileBackedVersionTracker(
     // order under the locks) can then only make the listing see MORE commits
     // than head — which folds correctly — never a head id missing from the
     // listing (which would look like a corrupt store).
-    // The head read itself takes the table lock: FileContext.rename with
-    // OVERWRITE is delete-then-rename on the local filesystem, so an unlocked
-    // reader could catch the head file mid-swap and see it absent. The lock
-    // closes that window for in-process readers; the retry loop closes it for
-    // readers in OTHER processes (the writer re-creates the file within
-    // microseconds of deleting it).
-    val head = FileBackedVersionTracker.tableLock(dir).synchronized {
-      CommitId(readWithRetry(new Path(dir, HeadFile)).trim)
-    }
+    val head = readHead(dir)
     TableState(head, mergedUpdates(fs.listStatus(dir).toList.map(_.getPath)).map(_._2))
   }
 
@@ -258,12 +257,15 @@ final class FileBackedVersionTracker(
     * readable checkpoint so only the commit TAIL is parsed — shared by
     * `tableState` and the checkpoint writer (which, pre-round-6, re-parsed
     * every commit file per fold: O(n²/interval) across a streaming sink's
-    * life; this form is O(tail) per fold, O(n) overall). */
-  private def mergedUpdates(statuses: List[Path]): List[(String, TableUpdate)] = {
+    * life; this form is O(tail) per fold, O(n) overall).
+    * `ignoreCheckpoint = true` re-derives everything from the commit files
+    * (the source of truth) — the checkpoint writer's periodic self-heal. */
+  private def mergedUpdates(
+      statuses: List[Path], ignoreCheckpoint: Boolean = false): List[(String, TableUpdate)] = {
     val commitFiles = statuses
       .filter(p => p.getName.startsWith(CommitFilePrefix) && p.getName.endsWith(".json"))
       .sortBy(_.getName)
-    val checkpoint = statuses
+    val checkpoint = (if (ignoreCheckpoint) Nil else statuses)
       .filter(p => p.getName.startsWith(CheckpointFilePrefix) && p.getName.endsWith(".json"))
       .sortBy(_.getName)
       .lastOption
@@ -405,13 +407,21 @@ final class FileBackedVersionTracker(
     * PREVIOUS checkpoint via [[mergedUpdates]], so each fold parses only
     * the commit tail — O(tail) per fold, O(n) over a table's whole life
     * (the previous full re-parse per fold was O(n²/interval) and dominated
-    * streaming-sink commit cost by thousands of commits). */
+    * streaming-sink commit cost by thousands of commits).
+    *
+    * Chaining from the previous checkpoint means a wrong-but-PARSEABLE
+    * checkpoint (buggy foreign writer, bitflip that stays valid JSON) would
+    * propagate instead of self-healing, so every [[FullRefoldEvery]]-th fold
+    * re-derives the whole document from the commit files — the source of
+    * truth — bounding how long a bad fold can live while keeping the
+    * amortized fold cost far below the old always-full behavior. */
   private def maybeCheckpoint(dir: Path): Unit = {
     val n = commitCounter(dir).incrementAndGet()
     if (n % checkpointInterval == 0) {
       try {
         val statuses = fs.listStatus(dir).toList.map(_.getPath)
-        val merged = mergedUpdates(statuses)
+        val fullRefold = (n / checkpointInterval) % FullRefoldEvery == 0
+        val merged = mergedUpdates(statuses, ignoreCheckpoint = fullRefold)
         val name = CheckpointFilePrefix + Version.TimestampFormat.format(
           MonotonicClock.nextUniqueInstant().atOffset(java.time.ZoneOffset.UTC)) + ".json"
         val tmp = new Path(dir, s".$name.tmp-${java.util.UUID.randomUUID()}")
@@ -604,6 +614,11 @@ object FileBackedVersionTracker {
   val ChroniclesHeadFile = "head_ref"
 
   val DefaultCheckpointInterval = 64
+
+  /** Every Nth checkpoint fold re-derives from the commit files instead of
+    * chaining the previous checkpoint — the self-heal cadence for a
+    * wrong-but-parseable checkpoint. */
+  val FullRefoldEvery = 8
   private val LockTimeoutMs = 15000L
   private val LockTtlMs = 60000L
 

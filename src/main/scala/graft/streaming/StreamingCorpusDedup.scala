@@ -150,9 +150,10 @@ object StreamingCorpusDedup {
     require(indexTable.partitionSchema == PartitionSchema(BatchCol),
       s"indexTable must be partitioned by '$BatchCol', got ${indexTable.partitionSchema}")
     if (batch.isEmpty) return 0L
-    // head via the paged log: one commit document read, NOT the full folded
-    // history — on a 100k-commit streaming index this head probe would
-    // otherwise dominate per-batch metadata cost
+    // O(1) ref read (head file / indexed SELECT), not a history
+    // materialization — and the REF is the right CAS anchor: commitIf
+    // compares against it, so this stays correct even if the index table
+    // was checked out to a historical commit
     val indexHead = engine.headCommit(indexTable.name)
     val index = engine.read(indexTable)
     val novel = filterNovel(batch, index, idCol, textCol, threshold, bands, rowsPerBand, shingleSize)

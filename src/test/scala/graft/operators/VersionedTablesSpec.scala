@@ -68,6 +68,22 @@ class VersionedTablesSpec extends AnyFlatSpec with Matchers {
     engine.read(table).as[User].collect() should contain theSameElementsAs day2
   }
 
+  it should "refuse an EMPTY snapshot write instead of committing a data-less version" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("test", "empty_snap"),
+      new File(dir, "empty_snap").toURI, PartitionSchema.snapshot, FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    // a 0-row partitionBy append writes NO _version= dir, so the commit
+    // would reference a directory that never exists — fail before writing
+    val e = intercept[IllegalArgumentException] {
+      Seq.empty[User].toDS().versionedInsertInto(engine, table, UserId("t"), "empty")
+    }
+    e.getMessage should include("no rows")
+    // the table is untouched and still readable
+    engine.log(table.name).map(_.message) shouldBe List("init")
+    engine.read(table).count() shouldBe 0
+  }
+
   behavior of "versionedReplaceAll"
 
   it should "make the table's content exactly the dataset, removing absent partitions atomically" in {

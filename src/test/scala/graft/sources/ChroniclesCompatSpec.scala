@@ -221,6 +221,44 @@ class StateCheckpointSpec extends AnyFlatSpec with Matchers {
       PartitionedTableVersion(Map(Partition("day", "contested") -> winner))
   }
 
+  it should "self-heal a wrong-but-parseable checkpoint at the periodic full refold" in {
+    // chained folds copy the previous checkpoint's content verbatim (O(tail)
+    // per fold); every FullRefoldEvery-th fold re-derives from the commit
+    // files, bounding how long a POISONED (valid-JSON, wrong content)
+    // checkpoint can live
+    val root = Files.createTempDirectory("graft-ckpt-heal-")
+    val tracker = new FileBackedVersionTracker(root.toUri, checkpointInterval = 1)
+    val t = TableName("db", "t")
+    tracker.initTable(t, isSnapshot = false, UserId("u"), "init", Instant.now())
+    def commit(i: Int): Unit =
+      tracker.commit(t, TableUpdate(UserId("u"), s"c$i", Instant.now(),
+        List(TableOperation.AddPartitionVersion(Partition("day", f"d$i%02d"), Version.generate()))))
+    commit(1) // fold #1 (chained)
+    val dir = root.resolve("_graft_table_db.t")
+    def checkpointFile = Files.list(dir)
+      .filter(_.getFileName.toString.startsWith("state_checkpoint_")).findFirst.get
+
+    // poison: keep the real covered names, but rewrite every folded commit's
+    // message — parseable, wrong content
+    val (covered, folded) = JsonCodecs.checkpointFromJson(
+      new String(Files.readAllBytes(checkpointFile), StandardCharsets.UTF_8)).toOption.get
+    val poisoned = folded.map(u => u.copy(metadata = u.metadata.copy(message = "POISONED")))
+    Files.write(checkpointFile,
+      JsonCodecs.checkpointToJson(covered, poisoned).getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(dir.resolve("." + checkpointFile.getFileName.toString + ".crc"))
+
+    // folds #2..#7 chain the poison forward
+    (2 to 6).foreach(commit)
+    new FileBackedVersionTracker(root.toUri).tableState(t)
+      .updates.map(_.metadata.message) should contain("POISONED")
+
+    // folds up to #8: the FullRefoldEvery-th fold re-derives from the files
+    (7 to 8).foreach(commit)
+    val healed = new FileBackedVersionTracker(root.toUri).tableState(t)
+    healed.updates.map(_.metadata.message) should not contain "POISONED"
+    healed.updates.map(_.metadata.message) shouldBe ("init" :: (1 to 8).map(i => s"c$i").toList)
+  }
+
   it should "keep a corrupt checkpoint from bricking the store (falls back to commit files)" in {
     val root = Files.createTempDirectory("graft-ckpt-corrupt-")
     val tracker = new FileBackedVersionTracker(root.toUri, checkpointInterval = 4)
