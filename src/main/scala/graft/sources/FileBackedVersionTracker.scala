@@ -405,9 +405,11 @@ final class FileBackedVersionTracker(
   /** Fold the current history into a checkpoint document, then drop older
     * checkpoints. Runs every [[checkpointInterval]] commits, and reuses the
     * PREVIOUS checkpoint via [[mergedUpdates]], so each fold parses only
-    * the commit tail — O(tail) per fold, O(n) over a table's whole life
-    * (the previous full re-parse per fold was O(n²/interval) and dominated
-    * streaming-sink commit cost by thousands of commits).
+    * the commit tail — O(tail) per ordinary fold. Every [[FullRefoldEvery]]-th
+    * fold re-parses all n commit files (the self-heal below), so lifetime
+    * checkpoint cost is O(n²/(interval·FullRefoldEvery)) — amortized
+    * O(n/512) files parsed per commit at the defaults, vs O(n/interval)
+    * per commit for the pre-round-6 always-full refold.
     *
     * Chaining from the previous checkpoint means a wrong-but-PARSEABLE
     * checkpoint (buggy foreign writer, bitflip that stays valid JSON) would
@@ -471,10 +473,15 @@ final class FileBackedVersionTracker(
     write(tmp, content)
     try {
       if (isLocalFs)
+        // REPLACE_EXISTING alongside ATOMIC_MOVE: POSIX rename(2) replaces
+        // implicitly, but non-POSIX local filesystems may otherwise throw
+        // when the target exists — spelling out the intent keeps the head
+        // swap working on both
         java.nio.file.Files.move(
           java.nio.file.Paths.get(tmp.toUri.getPath),
           java.nio.file.Paths.get(path.toUri.getPath),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       else fileContext.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
       case e: Exception =>
@@ -565,7 +572,8 @@ final class FileBackedVersionTracker(
         java.nio.file.Files.move(
           java.nio.file.Paths.get(lockPath.toUri.getPath),
           java.nio.file.Paths.get(broken.toUri.getPath),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       else if (!fs.rename(lockPath, broken)) return // another waiter won the break
       if (isLocalFs) java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(broken.toUri.getPath))
       else fs.delete(broken, false)

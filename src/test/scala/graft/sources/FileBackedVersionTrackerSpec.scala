@@ -12,6 +12,43 @@ class FileBackedVersionTrackerSpec extends VersionTrackerContract {
   }
 }
 
+/** The same contract over the tracker's Hadoop/remote-FS I/O branch: a
+  * `mockhdfs://`-scheme store ([[MockHdfsFileSystem]]) disables the NIO
+  * local fast path, so `fs.create` writes, Hadoop reads, the `FileContext`
+  * OVERWRITE head rename, and Hadoop lock handling — the code that runs on
+  * HDFS/S3A in production — are pinned by every contract law, not just by
+  * the `file://` fast path the other specs take. */
+class FileBackedVersionTrackerHadoopIoSpec extends VersionTrackerContract {
+  override def newTracker(): VersionTracker = {
+    val dir = Files.createTempDirectory("graft-hadoop-tracker-")
+    new FileBackedVersionTracker(MockHdfsFileSystem.uriFor(dir), MockHdfsFileSystem.conf())
+  }
+}
+
+/** Reopen-from-disk persistence over the Hadoop branch (same law as
+  * [[FileBackedPersistenceSpec]] runs on the NIO branch). */
+class FileBackedHadoopIoPersistenceSpec extends AnyFlatSpec with Matchers {
+  "FileBackedVersionTracker (hadoop io)" should "survive a reopen" in {
+    val dir = Files.createTempDirectory("graft-hadoop-reopen-")
+    val uri = MockHdfsFileSystem.uriFor(dir)
+    val t = TableName("test", "t")
+    val p = Partition("date", "2019-01-01")
+    val v = Version.generate()
+
+    val tr1 = new FileBackedVersionTracker(uri, MockHdfsFileSystem.conf())
+    tr1.initTable(t, isSnapshot = false, UserId("u"), "init", java.time.Instant.now())
+    tr1.commit(t, TableUpdate(UserId("u"), "add", java.time.Instant.now(),
+      List(TableOperation.AddPartitionVersion(p, v))))
+
+    val tr2 = new FileBackedVersionTracker(uri, MockHdfsFileSystem.conf())
+    tr2.tables() shouldBe List(t)
+    tr2.currentVersion(t) shouldBe PartitionedTableVersion(Map(p -> v))
+    tr2.updates(t).map(_.message) shouldBe List("add", "init")
+    // and the NIO branch reads the same store identically (layout parity)
+    new FileBackedVersionTracker(dir.toUri).updates(t).map(_.message) shouldBe List("add", "init")
+  }
+}
+
 /** Persistence-specific behavior beyond the shared contract. */
 class FileBackedPersistenceSpec extends AnyFlatSpec with Matchers {
 

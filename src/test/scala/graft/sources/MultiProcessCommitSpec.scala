@@ -4,6 +4,7 @@ import graft.core._
 import org.scalatest.flatspec.AnyFlatSpec
 import org.scalatest.matchers.should.Matchers
 
+import java.net.URI
 import java.nio.file.Files
 import java.time.Instant
 
@@ -11,12 +12,14 @@ import java.time.Instant
  * Worker entry point run in a SEPARATE JVM by [[MultiProcessCommitSpec]]:
  * opens the store at args(0) and makes args(3) commits to table args(1),
  * tagging messages with worker id args(2). Exits non-zero on any failure so
- * the spec can detect lost/failed commits.
+ * the spec can detect lost/failed commits. Understands both `file://` and
+ * the test-only `mockhdfs://` scheme (the tracker's Hadoop I/O branch).
  */
 object MultiProcessCommitWorker {
   def main(args: Array[String]): Unit = {
     val Array(rootUri, tableFqn, workerId, nStr) = args
-    val tracker = new FileBackedVersionTracker(java.net.URI.create(rootUri))
+    val uri = URI.create(rootUri)
+    val tracker = new FileBackedVersionTracker(uri, MockHdfsFileSystem.confFor(uri))
     val table = TableName.parse(tableFqn).fold(sys.error, identity)
     (1 to nStr.toInt).foreach { i =>
       tracker.commit(table, TableUpdate(UserId(s"w$workerId"), s"w$workerId-c$i", Instant.now(),
@@ -34,7 +37,8 @@ object MultiProcessCommitWorker {
 object MultiProcessCasWorker {
   def main(args: Array[String]): Unit = {
     val Array(rootUri, tableFqn, workerId, expectedHead) = args
-    val tracker = new FileBackedVersionTracker(java.net.URI.create(rootUri))
+    val uri = URI.create(rootUri)
+    val tracker = new FileBackedVersionTracker(uri, MockHdfsFileSystem.confFor(uri))
     val table = TableName.parse(tableFqn).fold(sys.error, identity)
     try tracker.commitIf(table,
       TableUpdate(UserId(s"w$workerId"), s"cas-w$workerId", Instant.now(),
@@ -50,12 +54,28 @@ object MultiProcessCasWorker {
  * on the exclusive-create `commit.lock` file, so every commit lands intact
  * (no torn head, no lost commit file) — the in-JVM monitor alone cannot
  * provide this. Complements `FileBackedConcurrencySpec` (in-process writers).
+ *
+ * Runs twice, over BOTH tracker I/O branches:
+ *  - [[MultiProcessCommitSpec]]: `file://` root → the NIO local fast path
+ *    (POSIX O_EXCL lock create, rename(2) head replace);
+ *  - [[MultiProcessCommitHadoopIoSpec]]: `mockhdfs://` root → the Hadoop
+ *    branch that runs on HDFS/S3A (`fs.create(overwrite=false)` lock,
+ *    `FileContext` OVERWRITE head rename, Hadoop stale-lock break).
  */
-class MultiProcessCommitSpec extends AnyFlatSpec with Matchers {
+abstract class MultiProcessCommitContract extends AnyFlatSpec with Matchers {
 
-  "FileBackedVersionTracker" should "preserve every commit under concurrent writers in separate processes" in {
+  /** Human label for the branch under test (spec naming only). */
+  def branch: String
+  /** Store root URI over a fresh local temp dir — scheme selects the branch. */
+  def newRootUri(dir: java.nio.file.Path): URI
+
+  private def newTracker(uri: URI): FileBackedVersionTracker =
+    new FileBackedVersionTracker(uri, MockHdfsFileSystem.confFor(uri))
+
+  s"FileBackedVersionTracker ($branch)" should "preserve every commit under concurrent writers in separate processes" in {
     val root = Files.createTempDirectory("graft-mp-")
-    val tracker = new FileBackedVersionTracker(root.toUri)
+    val rootUri = newRootUri(root)
+    val tracker = newTracker(rootUri)
     val t = TableName("mp", "t")
     tracker.initTable(t, isSnapshot = false, UserId("u"), "init", Instant.now())
 
@@ -66,7 +86,7 @@ class MultiProcessCommitSpec extends AnyFlatSpec with Matchers {
     val procs = (1 to workers).map { w =>
       new ProcessBuilder(
         javaBin, "-cp", cp, "graft.sources.MultiProcessCommitWorker",
-        root.toUri.toString, t.fullyQualifiedName, w.toString, commitsEach.toString)
+        rootUri.toString, t.fullyQualifiedName, w.toString, commitsEach.toString)
         .redirectErrorStream(true)
         .start()
     }
@@ -89,7 +109,8 @@ class MultiProcessCommitSpec extends AnyFlatSpec with Matchers {
 
   it should "let exactly one of several commitIf writers in separate processes win" in {
     val root = Files.createTempDirectory("graft-mpcas-")
-    val tracker = new FileBackedVersionTracker(root.toUri)
+    val rootUri = newRootUri(root)
+    val tracker = newTracker(rootUri)
     val t = TableName("mpcas", "t")
     tracker.initTable(t, isSnapshot = false, UserId("u"), "init", Instant.now())
     val head0 = tracker.tableState(t).currentVersion
@@ -99,7 +120,7 @@ class MultiProcessCommitSpec extends AnyFlatSpec with Matchers {
     val procs = (1 to 3).map { w =>
       new ProcessBuilder(
         javaBin, "-cp", cp, "graft.sources.MultiProcessCasWorker",
-        root.toUri.toString, t.fullyQualifiedName, w.toString, head0.id)
+        rootUri.toString, t.fullyQualifiedName, w.toString, head0.id)
         .redirectErrorStream(true)
         .start()
     }
@@ -111,7 +132,8 @@ class MultiProcessCommitSpec extends AnyFlatSpec with Matchers {
 
   it should "break a stale lock left by a crashed writer instead of timing out" in {
     val root = Files.createTempDirectory("graft-stale-")
-    val tracker = new FileBackedVersionTracker(root.toUri)
+    val rootUri = newRootUri(root)
+    val tracker = newTracker(rootUri)
     val t = TableName("stale", "t")
     tracker.initTable(t, isSnapshot = false, UserId("u"), "init", Instant.now())
 
@@ -126,4 +148,14 @@ class MultiProcessCommitSpec extends AnyFlatSpec with Matchers {
     tracker.updates(t).map(_.message).head shouldBe "after-crash"
     Files.exists(lock) shouldBe false
   }
+}
+
+class MultiProcessCommitSpec extends MultiProcessCommitContract {
+  override def branch: String = "nio"
+  override def newRootUri(dir: java.nio.file.Path): URI = dir.toUri
+}
+
+class MultiProcessCommitHadoopIoSpec extends MultiProcessCommitContract {
+  override def branch: String = "hadoop io"
+  override def newRootUri(dir: java.nio.file.Path): URI = MockHdfsFileSystem.uriFor(dir)
 }
