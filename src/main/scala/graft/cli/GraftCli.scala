@@ -91,28 +91,33 @@ object GraftCli {
         out.println(s"initialised $name"); 0
       }
 
-      // log <table> [limit [offset]] — paged: an explicit limit/offset reads
-      // exactly that page; the no-arg form still prints the whole history but
-      // pages through it, so a 100k-commit streaming-sink table never
-      // materializes its full update list in this process. Pages are
-      // newest-first, so a commit landing BETWEEN page reads shifts offsets
-      // and a boundary entry can print twice — inherent to offset paging a
-      // live log, harmless for display (ids make repeats obvious)
+      // log <table> [limit [offset]] — an explicit limit/offset reads exactly
+      // that one page (a single store read; no cross-page race to worry
+      // about). The no-arg form prints the whole history through KEYSET
+      // pages: each page anchors on the last-seen commit (file name /
+      // sequence id), so a commit landing between page reads can't shift the
+      // window — every commit prints exactly once even on a live log (the
+      // old offset-paged loop could double-print a boundary entry), and a
+      // 100k-commit streaming-sink table never materializes its full update
+      // list in this process. Guard note: toIntOption (not isDigit) so an
+      // over-Int.MaxValue page argument falls through to the usage error
+      // instead of throwing.
       case "log" :: name :: pageArgs if pageArgs.length <= 2 &&
-          pageArgs.forall(_.forall(_.isDigit)) => withTable(name) { t =>
+          pageArgs.forall(_.toIntOption.exists(_ >= 0)) => withTable(name) { t =>
         def show(m: graft.core.TableUpdateMetadata): Unit =
           out.println(s"${m.id.id}  ${m.timestamp}  ${m.userId.value}  ${m.message}")
         pageArgs match {
           case limit :: rest =>
             tracker.updates(t, limit.toInt, rest.headOption.fold(0)(_.toInt)).foreach(show)
           case Nil =>
-            val pageSize = 1000
-            var offset = 0
-            var page = tracker.updates(t, pageSize, offset)
-            while (page.nonEmpty) {
+            val pageSize = flags.get("page-size").flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1000)
+            var cursor: Option[String] = None
+            var more = true
+            while (more) {
+              val (page, next) = tracker.updatesPage(t, pageSize, cursor)
               page.foreach(show)
-              offset += page.size
-              page = tracker.updates(t, pageSize, offset)
+              cursor = next
+              more = next.isDefined
             }
         }
         0

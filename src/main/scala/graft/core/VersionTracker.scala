@@ -85,6 +85,36 @@ object TableState {
       PartitionedTableVersion(partitions)
     }
   }
+
+  /** Continue a fold from an already-folded state: apply `updates`' operations
+    * on top of `start`. Law (pinned by TableStateSpec):
+    * `foldForward(foldVersion(a), b) == foldVersion(a ++ b)` — which is what
+    * lets a store fold "checkpointed state + commit tail" into the current
+    * version without ever materializing the checkpointed history as a
+    * `List[TableUpdate]` (the bounded-memory analogue of the reference's
+    * lazily streamed history, reference VersionTracker.scala:137-151).
+    * The start state fixes the table flavor: `InitTable` ops in the tail are
+    * no-ops (commit #0 is always inside the checkpointed prefix). */
+  def foldForward(start: TableVersion, updates: List[TableUpdate]): TableVersion = {
+    val ops = updates.iterator.flatMap(_.operations)
+    start match {
+      case SnapshotTableVersion(v0) =>
+        var v = v0
+        ops.foreach {
+          case TableOperation.AddTableVersion(nv) => v = nv
+          case _                                  => ()
+        }
+        SnapshotTableVersion(v)
+      case PartitionedTableVersion(m0) =>
+        var m = m0
+        ops.foreach {
+          case TableOperation.AddPartitionVersion(p, v) => m = m.updated(p, v)
+          case TableOperation.RemovePartition(p)        => m = m - p
+          case _                                        => ()
+        }
+        PartitionedTableVersion(m)
+    }
+  }
 }
 
 /** Errors raised by version trackers (reference VersionTrackerSpec.scala:433-492). */
@@ -202,6 +232,42 @@ trait VersionTracker {
     // bound computed in Long: offset + limit can overflow Int, and
     // slice(o, negative) would silently return an empty page
     updates(table).slice(offset, (offset.toLong + limit).min(Int.MaxValue).toInt)
+  }
+
+  /**
+   * One KEYSET page of history, most recent first, plus the cursor for the
+   * next page. `after = None` starts at the newest commit; passing the
+   * returned cursor back yields the next-older page; a `None` cursor out
+   * means the history is exhausted. Cursors are store-opaque strings — a
+   * commit file name (file store), a sequence id (JDBC), a commit id (the
+   * default) — and anchor the page on the last-seen COMMIT rather than a
+   * positional offset. That is what offset paging cannot give on a live log:
+   * a commit landing between page reads shifts every offset (the boundary
+   * entry prints twice); a keyset page is unaffected, so iterating to
+   * exhaustion yields every commit present at iteration start EXACTLY once.
+   * Laws (pinned by the contract spec): concatenating pages == [[updates]];
+   * pages taken while a writer commits contain no duplicates and miss no
+   * pre-existing commit. Cursors are only meaningful to the store that
+   * issued them: a fabricated cursor is store-defined behavior (the default
+   * implementation raises [[UnknownCommitError]]; keyset stores treat it as
+   * a pure position anchor).
+   */
+  def updatesPage(
+      table: TableName, limit: Int, after: Option[String]): (List[TableUpdateMetadata], Option[String]) = {
+    VersionTracker.requireValidPage(limit, 0)
+    val all = updates(table)
+    val start = after match {
+      case None => 0
+      case Some(tok) =>
+        val i = all.indexWhere(_.id.id == tok)
+        if (i < 0) throw UnknownCommitError(CommitId(tok))
+        i + 1
+    }
+    if (limit == 0) (Nil, after)
+    else {
+      val page = all.slice(start, (start.toLong + limit).min(Int.MaxValue).toInt)
+      (page, if (page.size < limit) None else page.lastOption.map(_.id.id))
+    }
   }
 
   /** Whether the table was initialised as a snapshot table. */

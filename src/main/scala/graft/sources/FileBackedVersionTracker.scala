@@ -244,6 +244,36 @@ final class FileBackedVersionTracker(
       .map(p => parseCommitFile(p).metadata)
   }
 
+  /** Keyset page off the commit-file LISTING: the cursor is the last-seen
+    * commit FILE NAME, and the page is the `limit` newest files whose names
+    * sort strictly BELOW it — so a commit landing between page reads (a
+    * NEWER name, by the monotonic clock) can never shift the window, unlike
+    * [[updates(table,limit,offset)*]]'s offsets. Same cost shape as offset
+    * paging: O(listing) + O(page) document parses. Chronicles-layout tables
+    * page via the default commit-id-cursor implementation (their ordering
+    * needs mtimes, not just names). */
+  override def updatesPage(
+      table: TableName, limit: Int, after: Option[String]): (List[TableUpdateMetadata], Option[String]) = {
+    VersionTracker.requireValidPage(limit, 0)
+    resolveTableDir(table) match {
+      case (dir, GraftLayout) =>
+        if (limit == 0) (Nil, after)
+        else {
+          val names = fs.listStatus(dir).toList.map(_.getPath)
+            .filter(p => p.getName.startsWith(CommitFilePrefix) && p.getName.endsWith(".json"))
+            .sortBy(_.getName).reverse
+          val anchored = after match {
+            case None      => names
+            case Some(tok) => names.dropWhile(_.getName >= tok)
+          }
+          val page = anchored.take(limit)
+          (page.map(p => parseCommitFile(p).metadata),
+            if (page.size < limit) None else page.lastOption.map(_.getName))
+        }
+      case _ => super.updatesPage(table, limit, after)
+    }
+  }
+
   private def graftTableState(dir: Path): TableState = {
     // read head BEFORE listing: a concurrent commit (file + head, in that
     // order under the locks) can then only make the listing see MORE commits
@@ -307,8 +337,74 @@ final class FileBackedVersionTracker(
     TableState(head, files.map(parseCommitFile))
   }
 
-  private def parseCommitFile(p: Path): TableUpdate =
+  /** Commit documents parsed by this tracker instance — observability for
+    * the O(tail) guarantee of [[currentVersion]] (the file-store analogue of
+    * the JDBC tracker's `historyRowsScanned`; pinned by the fold-law spec). */
+  private[sources] val commitFilesParsed = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def parseCommitFile(p: Path): TableUpdate = {
+    commitFilesParsed.incrementAndGet()
     JsonCodecs.fromJson(read(p)).fold(e => sys.error(s"Corrupt commit file $p: $e"), identity)
+  }
+
+  /**
+   * Current visible state WITHOUT materializing the history: reads the
+   * newest fold document (folded `TableVersion` at the checkpoint boundary —
+   * O(#live partitions), the size of the answer) plus only the commit files
+   * past the boundary, and [[TableState.foldForward]]s the tail onto it.
+   * Falls back to the full [[tableState]] replay whenever the fast path
+   * cannot PROVE equivalence with a full fold:
+   *
+   *  - no fold document yet (young table, pre-upgrade store, chronicles layout)
+   *  - covered + tail ≠ total commit files (a clock-skewed cross-process
+   *    commit landed with a name BELOW the boundary — the full merge puts it
+   *    in fold position, so must we)
+   *  - the head ref is neither the boundary commit nor in the tail (a
+   *    checkout into checkpointed history — state there needs the prefix)
+   *
+   * This is the bounded-memory analogue of the reference's lazily streamed
+   * history fold (reference core VersionTracker.scala:137-151): the driver
+   * holds O(tail) updates + O(partitions) state, never the full log.
+   */
+  override def currentVersion(table: TableName): TableVersion =
+    resolveTableDir(table) match {
+      case (dir, GraftLayout) => foldedCurrentVersion(dir).getOrElse(super.currentVersion(table))
+      case _                  => super.currentVersion(table)
+    }
+
+  private def foldedCurrentVersion(dir: Path): Option[TableVersion] =
+    try {
+      // head BEFORE listing, same discipline as graftTableState: a concurrent
+      // commit can only make the listing see MORE than head, never less
+      val head = readHead(dir)
+      val statuses = fs.listStatus(dir).toList.map(_.getPath)
+      val foldDoc = statuses
+        .filter(p => p.getName.startsWith(StateFoldFilePrefix) && p.getName.endsWith(".json"))
+        .sortBy(_.getName).lastOption
+      foldDoc.flatMap { p =>
+        JsonCodecs.foldDocFromJson(read(p)) match {
+          case Left(e) =>
+            System.err.println(s"[graft] ignoring corrupt state fold $p: $e")
+            None
+          case Right((lastCovered, lastCommitId, coveredCount, folded)) =>
+            val commitFiles = statuses
+              .filter(q => q.getName.startsWith(CommitFilePrefix) && q.getName.endsWith(".json"))
+            val tail = commitFiles.filter(_.getName > lastCovered).sortBy(_.getName)
+            if (coveredCount + tail.size != commitFiles.size) None // skewed name below boundary
+            else if (head.id == lastCommitId) Some(folded)
+            else {
+              val tailUpdates = tail.map(parseCommitFile)
+              val idx = tailUpdates.indexWhere(_.metadata.id == head)
+              if (idx < 0) None // checkout into the covered prefix (or corrupt head)
+              else Some(TableState.foldForward(folded, tailUpdates.take(idx + 1)))
+            }
+        }
+      }
+    } catch {
+      // e.g. a concurrent checkpoint replaced the fold doc between listing
+      // and read — the full replay is always available
+      case _: java.io.FileNotFoundException => None
+    }
 
   override def isSnapshotTable(table: TableName): Boolean = {
     val (dir, layout) = resolveTableDir(table)
@@ -343,7 +439,8 @@ final class FileBackedVersionTracker(
               // so the re-run can't duplicate history
               fs.listStatus(dir).map(_.getPath)
                 .filter(p => p.getName.startsWith(CommitFilePrefix) ||
-                  p.getName.startsWith(CheckpointFilePrefix) || p.getName == HeadFile)
+                  p.getName.startsWith(CheckpointFilePrefix) ||
+                  p.getName.startsWith(StateFoldFilePrefix) || p.getName == HeadFile)
                 .foreach(fs.delete(_, false))
               val st = chroniclesTableState(src)
               val isSnapshot = isSnapshotTable(table)
@@ -433,6 +530,22 @@ final class FileBackedVersionTracker(
           statuses
             .filter(p => p.getName.startsWith(CheckpointFilePrefix) && p.getName.endsWith(".json"))
             .foreach(old => try fs.delete(old, false) catch { case _: Exception => () })
+          // fold document beside the checkpoint: the folded TableVersion at
+          // the boundary, sized by live partitions not commits — what lets
+          // currentVersion skip the history entirely (see foldedCurrentVersion)
+          merged.lastOption.foreach { case (lastName, lastUpdate) =>
+            val foldName = StateFoldFilePrefix + name.stripPrefix(CheckpointFilePrefix)
+            val foldTmp = new Path(dir, s".$foldName.tmp-${java.util.UUID.randomUUID()}")
+            write(foldTmp, JsonCodecs.foldDocToJson(
+              lastName, lastUpdate.metadata.id.id, merged.size,
+              TableState.foldVersion(merged.map(_._2))))
+            if (!fs.rename(foldTmp, new Path(dir, foldName))) { fs.delete(foldTmp, false) }
+            else {
+              statuses
+                .filter(p => p.getName.startsWith(StateFoldFilePrefix) && p.getName.endsWith(".json"))
+                .foreach(old => try fs.delete(old, false) catch { case _: Exception => () })
+            }
+          }
         }
       } catch {
         // checkpointing is an optimization; a failure must never fail the commit
@@ -612,6 +725,7 @@ object FileBackedVersionTracker {
   val HeadFile = "head.json"
   val CommitFilePrefix = "table_update_"
   val CheckpointFilePrefix = "state_checkpoint_"
+  val StateFoldFilePrefix = "state_fold_"
   val TagFilePrefix = "tag_"
   val LockFile = "commit.lock"
 

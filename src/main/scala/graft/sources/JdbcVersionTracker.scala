@@ -99,6 +99,16 @@ final class JdbcVersionTracker(
             |  table_name VARCHAR(512) PRIMARY KEY REFERENCES graft_tables(table_name),
             |  sequence_id BIGINT NOT NULL,
             |  state CLOB NOT NULL)""".stripMargin)
+      // folded TableVersion at the checkpoint boundary — O(#live partitions)
+      // where the checkpoint CLOB is O(#commits); created if missing, so
+      // stores from before this column's introduction upgrade transparently
+      if (!tableExists("graft_state_folds"))
+        st.executeUpdate(
+          """CREATE TABLE graft_state_folds (
+            |  table_name VARCHAR(512) PRIMARY KEY REFERENCES graft_tables(table_name),
+            |  sequence_id BIGINT NOT NULL,
+            |  last_commit_id VARCHAR(64) NOT NULL,
+            |  folded CLOB NOT NULL)""".stripMargin)
     }
     conn.commit()
   }
@@ -271,6 +281,33 @@ final class JdbcVersionTracker(
       }
     }
 
+  /** Keyset page straight from SQL: the cursor is the last-seen
+    * `sequence_id`, and the page is the `limit` newest rows strictly BELOW
+    * it — `sequence_id` is a monotonic identity, so a commit landing between
+    * page reads (a HIGHER id) can never shift the window, unlike OFFSET
+    * paging. O(page) rows via the primary-key index, metadata columns only. */
+  override def updatesPage(
+      table: TableName, limit: Int, after: Option[String]): (List[TableUpdateMetadata], Option[String]) =
+    synchronized {
+      VersionTracker.requireValidPage(limit, 0)
+      if (!exists(table)) throw UnknownTableError(table)
+      if (limit == 0) (Nil, after)
+      else {
+        val anchor = after.map(tok => tok.toLongOption.getOrElse(
+          throw new IllegalArgumentException(s"Bad page cursor '$tok': not a sequence id")))
+        val cond = anchor.map(seq => s" AND sequence_id < $seq").getOrElse("")
+        val rows = query(
+          s"""SELECT sequence_id, commit_id, user_id, message, created_at FROM graft_updates
+             |WHERE table_name = '${esc(table.fullyQualifiedName)}'$cond
+             |ORDER BY sequence_id DESC
+             |FETCH NEXT $limit ROWS ONLY""".stripMargin) { rs =>
+          (rs.getLong(1), TableUpdateMetadata(CommitId(rs.getString(2)), UserId(rs.getString(3)),
+            rs.getString(4), rs.getTimestamp(5).toInstant))
+        }
+        (rows.map(_._2), if (rows.size < limit) None else rows.lastOption.map(_._1.toString))
+      }
+    }
+
   private case class Row(commitId: String, user: String, msg: String, ts: Instant,
       opType: String, part: String, ver: String, snap: Boolean)
 
@@ -292,6 +329,59 @@ final class JdbcVersionTracker(
       TableState(CommitId(head), prefix ++ tail)
     } catch { case e: Throwable => conn.rollback(); throw e }
   }
+
+  /**
+   * Current visible state without materializing the history: reads the fold
+   * row (folded `TableVersion` at the checkpoint boundary) plus only the
+   * updates/operations rows PAST the boundary, and
+   * [[TableState.foldForward]]s the tail onto it — the driver holds O(tail)
+   * updates + O(partitions) state, never the full log (the JDBC face of the
+   * same bounded-memory fold the file store's fold documents provide; the
+   * eager analogue of the reference's streamed history, reference
+   * VersionTracker.scala:137-151). Tail rows fetched are counted in
+   * [[historyRowsScanned]], which is what the O(tail) law asserts on.
+   * Falls back to the full [[tableState]] replay when there is no fold row
+   * yet, it fails to parse, or the head ref points INSIDE the covered prefix
+   * (a checkout into checkpointed history).
+   */
+  override def currentVersion(table: TableName): TableVersion = {
+    val fast = synchronized {
+      if (!exists(table)) throw UnknownTableError(table)
+      try {
+        val out = foldedCurrentVersionIn(table)
+        conn.commit()
+        out
+      } catch { case e: Throwable => conn.rollback(); throw e }
+    }
+    fast.getOrElse(super.currentVersion(table))
+  }
+
+  private def foldedCurrentVersionIn(table: TableName): Option[TableVersion] =
+    queryIn(
+      s"""SELECT sequence_id, last_commit_id, folded FROM graft_state_folds
+         |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin) { rs =>
+      (rs.getLong(1), rs.getString(2), rs.getString(3))
+    }.headOption.flatMap { case (seq, lastId, json) =>
+      JsonCodecs.foldDocFromJson(json) match {
+        case Left(err) =>
+          System.err.println(s"[graft] ignoring corrupt JDBC state fold for '$table': $err")
+          None
+        case Right((_, _, _, folded)) =>
+          val head = queryIn(
+            s"""SELECT current_commit FROM graft_version_refs
+               |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)(_.getString(1))
+            .headOption.getOrElse(throw UnknownTableError(table))
+          if (head == lastId) Some(folded)
+          else {
+            val rows = historyRowsIn(table, seq)
+            historyRowsScanned += rows.length
+            val tail = decodeUpdates(table, rows)
+            val idx = tail.indexWhere(_.metadata.id.id == head)
+            if (idx < 0) None // checkout into the covered prefix
+            else Some(TableState.foldForward(folded, tail.take(idx + 1)))
+          }
+      }
+    }
 
   // ---- history + checkpoint helpers (all run INSIDE the caller's
   // transaction: non-committing reads, the caller commits or rolls back) ----
@@ -376,6 +466,28 @@ final class JdbcVersionTracker(
             ins.setLong(2, maxSeq); ins.setString(3, json)
             ins.executeUpdate()
           } finally ins.close()
+        }
+        // fold row beside the checkpoint — what currentVersion reads instead
+        // of the O(#commits) history (see the currentVersion override)
+        val foldJson = JsonCodecs.foldDocToJson(
+          maxSeq.toString, updates.last.metadata.id.id, updates.length,
+          TableState.foldVersion(updates))
+        val fup = conn.prepareStatement(
+          "UPDATE graft_state_folds SET sequence_id = ?, last_commit_id = ?, folded = ? WHERE table_name = ?")
+        val foldChanged =
+          try {
+            fup.setLong(1, maxSeq); fup.setString(2, updates.last.metadata.id.id)
+            fup.setString(3, foldJson); fup.setString(4, table.fullyQualifiedName)
+            fup.executeUpdate()
+          } finally fup.close()
+        if (foldChanged == 0) {
+          val fins = conn.prepareStatement("INSERT INTO graft_state_folds VALUES (?,?,?,?)")
+          try {
+            fins.setString(1, table.fullyQualifiedName)
+            fins.setLong(2, maxSeq); fins.setString(3, updates.last.metadata.id.id)
+            fins.setString(4, foldJson)
+            fins.executeUpdate()
+          } finally fins.close()
         }
       }
     } catch {

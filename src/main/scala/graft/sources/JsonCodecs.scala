@@ -102,6 +102,90 @@ object JsonCodecs {
       case e: Exception => Left(s"Invalid checkpoint JSON: ${e.getMessage}")
     }
 
+  /**
+   * Folded-state document: the [[TableVersion]] that results from folding the
+   * checkpointed history prefix, plus the boundary it covers — small (O(#live
+   * partitions), i.e. the size of the ANSWER) where the checkpoint document is
+   * O(#commits). `currentVersion` reads THIS plus the commit tail, so the
+   * common "what is the table now?" query never materializes the history
+   * (the eager analogue of the reference's lazily streamed fold,
+   * reference VersionTracker.scala:137-151).
+   *
+   *  - `lastCovered`: fold boundary — the highest covered commit FILE NAME
+   *    (file store) or sequence id rendered as a string (JDBC store)
+   *  - `lastCommitId`: id of the newest covered commit (head == this ⇒ the
+   *    folded state IS the current version)
+   *  - `coveredCount`: number of commits folded in — lets the file store
+   *    detect a clock-skewed commit whose name sorts below the boundary
+   *    (covered + tail ≠ total ⇒ fall back to the full merge)
+   */
+  def foldDocToJson(lastCovered: String, lastCommitId: String, coveredCount: Int, state: TableVersion): String = {
+    val root = mapper.createObjectNode()
+    root.put("formatVersion", FormatVersion)
+    root.put("lastCovered", lastCovered)
+    root.put("lastCommitId", lastCommitId)
+    root.put("coveredCount", coveredCount)
+    root.set[ObjectNode]("state", versionStateToNode(state))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def foldDocFromJson(json: String): Either[String, (String, String, Int, TableVersion)] =
+    try {
+      val root = mapper.readTree(json)
+      for {
+        _ <- Option(root.get("formatVersion")).map(_.asInt) match {
+          case Some(FormatVersion) => Right(())
+          case other               => Left(s"unsupported fold-doc formatVersion $other")
+        }
+        lastCovered <- str(root, "lastCovered")
+        lastCommitId <- str(root, "lastCommitId")
+        count <- Option(root.get("coveredCount")).filter(_.isInt).map(_.asInt)
+          .toRight("missing int field 'coveredCount'")
+        stateNode <- Option(root.get("state")).toRight("missing 'state' object")
+        state <- versionStateFromNode(stateNode)
+      } yield (lastCovered, lastCommitId, count, state)
+    } catch {
+      case e: Exception => Left(s"Invalid fold-doc JSON: ${e.getMessage}")
+    }
+
+  private def versionStateToNode(state: TableVersion): ObjectNode = {
+    val n = mapper.createObjectNode()
+    state match {
+      case SnapshotTableVersion(v) =>
+        n.put("type", "snapshot")
+        n.put("version", v.label)
+      case PartitionedTableVersion(m) =>
+        n.put("type", "partitioned")
+        val parts = n.putArray("partitions")
+        // sorted for a deterministic document (map order is not)
+        m.toList.sortBy(_._1.toHivePath).foreach { case (p, v) =>
+          val e = mapper.createObjectNode()
+          e.put("partition", p.toHivePath) // Hive-escaped, like v2 commit docs
+          e.put("version", v.label)
+          parts.add(e)
+        }
+    }
+    n
+  }
+
+  private def versionStateFromNode(n: JsonNode): Either[String, TableVersion] =
+    str(n, "type").flatMap {
+      case "snapshot" =>
+        str(n, "version").flatMap(Version.parse).map(SnapshotTableVersion.apply)
+      case "partitioned" =>
+        for {
+          parts <- Option(n.get("partitions")).collect { case a: ArrayNode => a }
+            .toRight("missing 'partitions' array")
+          entries <- sequence(parts.elements().asScala.toList.map { e =>
+            for {
+              p <- str(e, "partition").flatMap(Partition.parseEscaped)
+              v <- str(e, "version").flatMap(Version.parse)
+            } yield p -> v
+          })
+        } yield PartitionedTableVersion(entries.toMap)
+      case other => Left(s"Unknown version-state type: '$other'")
+    }
+
   private def opToNode(op: TableOperation): ObjectNode = {
     val n = mapper.createObjectNode()
     op match {

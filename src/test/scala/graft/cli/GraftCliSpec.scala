@@ -138,9 +138,28 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     jcli("partitions", "jdbc.t")._2 should include("date=2024-02-02")
   }
 
+  it should "print every commit exactly once when the full log spans multiple keyset pages" in {
+    cli("init", "sales.paged")._1 shouldBe 0
+    (1 to 7).foreach(i => cli("partition", "add", "sales.paged", s"date=2024-03-0$i")._1 shouldBe 0)
+    // 8 commits over --page-size 3 = 3 keyset pages; ids must be unique
+    // (the offset-paged loop could double-print a boundary entry if a
+    // commit landed mid-walk; keyset pages anchor on the last-seen commit)
+    val (code, outp) = cli("log", "sales.paged", "--page-size", "3")
+    code shouldBe 0
+    val ids = outp.linesIterator.map(_.split("\\s+").head).toList
+    ids should have size 8
+    ids.distinct shouldBe ids
+    // and matches the single-page read
+    val (_, one) = cli("log", "sales.paged", "100")
+    one.linesIterator.map(_.split("\\s+").head).toList shouldBe ids
+  }
+
   it should "fail cleanly on bad input" in {
     cli("log", "not-a-table")._1 shouldBe 2
     cli("log", "no.such")._1 shouldBe 1
+    // an over-Int page argument is a usage error, not a NumberFormatException
+    cli("log", "sales.hist", "99999999999")._1 shouldBe 2
+    cli("log", "sales.hist", "5", "99999999999")._1 shouldBe 2
     cli("checkout", "sales.hist", "bogus")._1 shouldBe 1
     cli("partition", "add", "sales.hist", "not a partition")._1 shouldBe 2
     cli("frobnicate")._1 shouldBe 2

@@ -64,6 +64,43 @@ class TableStateSpec extends AnyFlatSpec with Matchers {
       SnapshotTableVersion(Version.Unversioned)
   }
 
+  "foldForward" should "satisfy foldForward(foldVersion(a), b) == foldVersion(a ++ b) at EVERY split point" in {
+    // the law that makes "checkpointed folded state + commit tail" a valid
+    // substitute for replaying the whole history (bounded-memory currentVersion)
+    val partitioned = List(
+      upd(InitTable(t, isSnapshot = false)),
+      upd(AddPartitionVersion(p1, v1), AddPartitionVersion(p2, v2)),
+      upd(RemovePartition(p1)),
+      upd(AddPartitionVersion(p1, v3)),
+      upd(RemovePartition(p2), AddPartitionVersion(p2, v1)),
+      upd(RemovePartition(p1)))
+    val snapshot = List(
+      upd(InitTable(t, isSnapshot = true)),
+      upd(AddTableVersion(v1)),
+      upd(AddTableVersion(v2)),
+      upd(AddTableVersion(v3)))
+    for (history <- List(partitioned, snapshot); split <- 1 to history.length) {
+      val (a, b) = history.splitAt(split)
+      withClue(s"split at $split of ${history.length}:") {
+        TableState.foldForward(TableState.foldVersion(a), b) shouldBe
+          TableState.foldVersion(history)
+      }
+    }
+  }
+
+  it should "ignore InitTable operations in the tail (commit #0 is always inside the prefix)" in {
+    TableState.foldForward(
+      PartitionedTableVersion(Map(p1 -> v1)),
+      List(upd(InitTable(t, isSnapshot = true)), upd(AddPartitionVersion(p2, v2)))) shouldBe
+      PartitionedTableVersion(Map(p1 -> v1, p2 -> v2))
+  }
+
+  it should "be identity on an empty tail" in {
+    TableState.foldForward(SnapshotTableVersion(v1), Nil) shouldBe SnapshotTableVersion(v1)
+    TableState.foldForward(PartitionedTableVersion(Map(p1 -> v1)), Nil) shouldBe
+      PartitionedTableVersion(Map(p1 -> v1))
+  }
+
   "currentTableVersion" should "replay only up to the current ref" in {
     val u1 = upd(InitTable(t, isSnapshot = false))
     val u2 = upd(AddPartitionVersion(p1, v1))

@@ -152,6 +152,49 @@ trait VersionTrackerContract extends AnyFlatSpec with Matchers {
       tr.updates(TableName("nope", "nope"), 1, 0)
   }
 
+  it should "keyset-page the log: concatenated pages == updates(t), stable under a mid-pagination commit" in {
+    val tr = newTracker()
+    val t = init(tr, "keyset")
+    val p = Partition("date", "2024-01-01")
+    (1 to 7).foreach(_ => tr.commit(t, upd(AddPartitionVersion(p, Version.generate()))))
+    val full = tr.updates(t) // 8 incl. init, newest first
+
+    // full walk reconstructs the log for every page size (incl. one that
+    // lands exactly on the end)
+    def walk(pageSize: Int): List[TableUpdateMetadata] = {
+      var cursor: Option[String] = None
+      var more = true
+      val acc = List.newBuilder[TableUpdateMetadata]
+      while (more) {
+        val (page, next) = tr.updatesPage(t, pageSize, cursor)
+        acc ++= page
+        cursor = next
+        more = next.isDefined
+      }
+      acc.result()
+    }
+    for (size <- List(1, 3, 4, 8, 20))
+      withClue(s"pageSize=$size: ") { walk(size) shouldBe full }
+
+    // THE keyset property: a commit landing between page reads neither
+    // duplicates a boundary entry (the offset-paging defect) nor hides a
+    // pre-existing commit
+    val (page1, cur1) = tr.updatesPage(t, 3, None)
+    tr.commit(t, upd(AddPartitionVersion(p, Version.generate()))) // live writer
+    val (page2, cur2) = tr.updatesPage(t, 3, cur1)
+    val (page3, _) = tr.updatesPage(t, 3, cur2)
+    val walked = page1 ++ page2 ++ page3
+    walked.map(_.id).distinct should have size walked.size.toLong // no double-print
+    walked.map(_.id) shouldBe full.map(_.id) // exactly the log at walk start
+    // a FRESH walk sees the new commit too
+    walk(3).map(_.id) shouldBe tr.updates(t).map(_.id)
+
+    // degenerate pages + errors
+    tr.updatesPage(t, 0, None)._1 shouldBe Nil
+    an[IllegalArgumentException] should be thrownBy tr.updatesPage(t, -1, None)
+    an[UnknownTableError] should be thrownBy tr.updatesPage(TableName("no", "no"), 1, None)
+  }
+
   it should "report the current REF via currentRef, including after checkout" in {
     val tr = newTracker()
     val t = init(tr, "ref")

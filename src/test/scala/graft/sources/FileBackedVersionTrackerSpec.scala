@@ -290,6 +290,27 @@ class JsonCodecsSpec extends AnyFlatSpec with Matchers {
       Right((covered, updates))
   }
 
+  it should "round-trip a folded-state document (both table flavors)" in {
+    val v = Version.generate()
+    JsonCodecs.foldDocFromJson(JsonCodecs.foldDocToJson(
+      "table_update_x.json", "commit-1", 7, SnapshotTableVersion(v))) shouldBe
+      Right(("table_update_x.json", "commit-1", 7, SnapshotTableVersion(v)))
+    val state = PartitionedTableVersion(Map(
+      Partition("date", "2024-01-01") -> Version.generate(),
+      Partition(ColumnValue(PartitionColumn("year"), "2024"),
+        ColumnValue(PartitionColumn("tag"), "a/b=c")) -> Version.generate()))
+    JsonCodecs.foldDocFromJson(JsonCodecs.foldDocToJson("42", "commit-2", 42, state)) shouldBe
+      Right(("42", "commit-2", 42, state))
+  }
+
+  it should "reject malformed or future-versioned fold documents" in {
+    JsonCodecs.foldDocFromJson("not json").isLeft shouldBe true
+    JsonCodecs.foldDocFromJson("{}").isLeft shouldBe true
+    JsonCodecs.foldDocFromJson(
+      """{"formatVersion":99,"lastCovered":"x","lastCommitId":"c","coveredCount":1,
+        |"state":{"type":"snapshot","version":"Unversioned"}}""".stripMargin).isLeft shouldBe true
+  }
+
   it should "refuse commit files from a future format version" in {
     val future = """{"formatVersion":99,"id":"a","userId":"u","message":"m","timestamp":"2020-01-01T00:00:00Z","operations":[]}"""
     val result = JsonCodecs.fromJson(future)

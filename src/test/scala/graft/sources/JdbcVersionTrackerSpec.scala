@@ -108,6 +108,51 @@ class JdbcPersistenceSpec extends AnyFlatSpec with Matchers {
     tr3.close()
   }
 
+  it should "answer currentVersion from the fold row + tail without materializing history" in {
+    val db = Files.createTempDirectory("graft-jdbc-fold-").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val t = TableName("test", "fold")
+    val tr = new JdbcVersionTracker(url, checkpointInterval = 5)
+    tr.initTable(t, isSnapshot = false, UserId("u"), "init", java.time.Instant.now())
+    (1 to 12).foreach { i =>
+      tr.commit(t, TableUpdate(UserId("u"), s"c$i", java.time.Instant.now(),
+        List(TableOperation.AddPartitionVersion(Partition("day", f"d$i%03d"), Version.generate()))))
+    }
+    // 13 updates; last fold boundary at 10 → the fast path fetches 3 tail
+    // commits' rows, not 13 (a full tableState replay would count all 13)
+    val expected = tr.tableState(t).currentTableVersion
+    val before = tr.historyRowsScanned
+    tr.currentVersion(t) shouldBe expected
+    (tr.historyRowsScanned - before) should be <= 5L
+
+    // land exactly on the boundary: zero history rows at all
+    (13 to 14).foreach { i =>
+      tr.commit(t, TableUpdate(UserId("u"), s"c$i", java.time.Instant.now(),
+        List(TableOperation.AddPartitionVersion(Partition("day", f"d$i%03d"), Version.generate()))))
+    }
+    val atBoundary = tr.historyRowsScanned
+    val got = tr.currentVersion(t)
+    (tr.historyRowsScanned - atBoundary) shouldBe 0L
+    got shouldBe tr.tableState(t).currentTableVersion
+
+    // checkout INTO the covered prefix falls back to the full replay, still correct
+    val st = tr.tableState(t)
+    val early = st.updates(3).metadata.id
+    tr.setCurrentVersion(t, early)
+    tr.currentVersion(t) shouldBe st.versionAt(early)
+
+    // a corrupt fold row degrades to the replay (never bricks the store)
+    tr.setCurrentVersion(t, st.updates.last.metadata.id)
+    val raw = java.sql.DriverManager.getConnection(url)
+    val rst = raw.createStatement()
+    rst.executeUpdate("UPDATE graft_state_folds SET folded = 'not json'")
+    rst.close(); raw.close()
+    val tr2 = new JdbcVersionTracker(url, checkpointInterval = 5)
+    tr2.currentVersion(t) shouldBe got
+    tr2.close()
+    tr.close()
+  }
+
   it should "escape quotes in commit ids (imported/hand-built histories)" in {
     val db = Files.createTempDirectory("graft-jdbc-cid-").resolve("db")
     val tr = new JdbcVersionTracker(s"jdbc:derby:$db;create=true")
