@@ -18,10 +18,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Hive-enabled (embedded Derby metastore in a temp dir): q_hive_read
+    // drives the plain-spark.table read over a versioned+synced table. The
+    // one-time metastore spin-up lands in q_hive_read's first-pass time and
+    // is split out by the fixture second rep below like the other fixtures.
+    val hiveTmp = java.nio.file.Files.createTempDirectory("graft-bench-hive-")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", hiveTmp.resolve("warehouse").toString)
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=${hiveTmp.resolve("metastore_db")};create=true")
+      .enableHiveSupport()
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-time session costs (codegen warmup, FS init, parquet footer
@@ -65,7 +74,7 @@ object Bench {
     def okTotal(rs: Seq[(String, Double, Boolean)]): Double =
       rs.collect { case (_, sec, true) => sec }.sum
     val (first, firstSteal) = attempt(spark)
-    val (results, stealPct, retried, attemptTotals) =
+    val (results, stealPct, retried, attemptTotals, chosenSession) =
       if (firstSteal > StealRetryThresholdPct) {
         System.err.println(
           f"BENCH steal $firstSteal%.2f%% > $StealRetryThresholdPct%% during first pass — retrying once")
@@ -77,11 +86,36 @@ object Bench {
         // is still warm (JIT, OS page cache), so a retried attempt is
         // systematically faster than a cold run — BOTH attempts' totals are
         // recorded below so cross-round comparisons can discount it.
-        val (second, secondSteal) = attempt(spark.newSession())
+        val s2 = spark.newSession()
+        val (second, secondSteal) = attempt(s2)
         val totals = Seq(okTotal(first), okTotal(second))
-        if (secondSteal < firstSteal) (second, secondSteal, true, totals)
-        else (first, firstSteal, true, totals)
-      } else (first, firstSteal, false, Seq(okTotal(first)))
+        if (secondSteal < firstSteal) (second, secondSteal, true, totals, s2)
+        else (first, firstSteal, true, totals, spark)
+      } else (first, firstSteal, false, Seq(okTotal(first)), spark)
+
+    // Fixture-carrying queries pay a one-time build (versioned table loads,
+    // IVF/LSH index construction, z-order rewrite) memoized per (session,
+    // sfDir). Their first-pass time above is build+read; a second rep on the
+    // SAME session (caches warm) measures the steady-state read alone, so the
+    // artifact separates the two instead of prose re-explaining the totals
+    // every round. build_s is the first-pass excess over the warm read,
+    // clamped at 0 (box noise can make the warm rep the slower one).
+    val FixtureQueries = Seq(
+      "q_ann_ivf_index", "q_compact_read", "q_dedup_against_index",
+      "q_hive_read", "q_versioned_orc", "q_zorder_scan")
+    val fixtureReads: Seq[(String, Double)] = FixtureQueries.flatMap { name =>
+      SparkEntry.queries.get(name).flatMap { fn =>
+        try {
+          val t0 = System.nanoTime()
+          fn(chosenSession, sfDir).count()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+    }
+    val fixturesJson = fixtureReads.map { case (name, readS) =>
+      val firstS = results.collectFirst { case (`name`, sec, true) => sec }.getOrElse(0.0)
+      f""""$name":{"build_s":${math.max(0.0, firstS - readS)}%.3f,"read_s":$readS%.3f}"""
+    }.mkString("{", ",", "}")
 
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -93,6 +127,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$status,""" +
       s""""steal_pct":$stealPct,"steal_retried":$retried,"first_attempt_steal_pct":$firstSteal,""" +
       s""""attempt_totals":${attemptTotals.mkString("[", ",", "]")},""" +
+      s""""fixtures":$fixturesJson,""" +
       s""""sf":"$sfDir"}""")
     // Compact summary as the LAST stdout line: the driver's tail capture
     // truncates the ~100-entry per-query map mid-stream (BENCH_r05 parsed:
@@ -100,7 +135,8 @@ object Bench {
     // tail window can cut it.
     println(f"""{"total_s":$total%.3f,"n":${results.size},"n_failed":${failed.size},""" +
       f""""steal_pct":$stealPct%.4f,"steal_retried":$retried,""" +
-      s""""attempt_totals":${attemptTotals.map(t => f"$t%.3f").mkString("[", ",", "]")}}""")
+      s""""attempt_totals":${attemptTotals.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
+      s""""fixtures":$fixturesJson}""")
     spark.stop()
     // a failed query must read as a failure, not a timing improvement
     if (failed.nonEmpty) sys.exit(1)

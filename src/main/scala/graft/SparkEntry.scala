@@ -66,8 +66,71 @@ object SparkEntry {
         .groupBy(col("event_date"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    }),
+
+    // THE reference's core design claim at the gate (docs/concepts.md:60-67):
+    // after versioned writes sync an embedded Hive (Derby) catalog, a PLAIN
+    // `spark.table(...)` — no graft API in the read path at all — sees
+    // exactly the committed data, because each Hive partition's location is
+    // a pointer into the current `_version=` directory. The fixture loads
+    // events into a versioned+synced table, then REPROCESSES one partition
+    // (dropping 'error' rows of the click type... see buildHiveFixture) so
+    // the read demonstrably follows the version POINTERS, not just the raw
+    // directory tree. Oracled as plain SQL over the raw events parquet.
+    "q_hive_read" -> ((spark, dir) => {
+      val name = hiveFixture(spark, dir)
+      spark.table(name)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
     })
   )
+
+  /** Hive-read fixture: a versioned events table synced into the session's
+    * embedded Hive (Derby) catalog, one partition reprocessed so the
+    * `spark.table` read proves it follows the catalog's version POINTERS
+    * (partition locations inside `_version=` dirs), not the raw directory
+    * tree. Returns the fully-qualified table name; memoized per (session,
+    * sfDir) with a unique table name per build (a session's catalog is
+    * shared state — a retry session must not trip over the first session's
+    * table). Requires a Hive-enabled session (Verify/Bench/TestSpark all
+    * are; reference docs/concepts.md:60-67 is the claim under test). */
+  private val hiveFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val hiveFixtureSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def hiveFixture(spark: SparkSession, sfDir: String): String =
+    hiveFixtureCache.computeIfAbsent((spark, sfDir), _ => {
+      Tables.prepare(spark)
+      val n = hiveFixtureSeq.incrementAndGet()
+      val root = java.nio.file.Files.createTempDirectory("graft-hive-q-")
+      val loc = root.resolve("events_hive").toUri.toString.stripSuffix("/")
+      val qname = s"graft_hive.events_hive_$n"
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_hive")
+      spark.sql(
+        s"""CREATE EXTERNAL TABLE $qname
+           |(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE, props STRING)
+           |PARTITIONED BY (event_type STRING) STORED AS PARQUET LOCATION '$loc'""".stripMargin)
+      val engine = new VersionedTables(spark,
+        new graft.sources.FileBackedVersionTracker(root.resolve("store").toUri),
+        new graft.sources.SparkHiveMetastore(spark))
+      val table = TableDefinition(TableName("graft_hive", s"events_hive_$n"),
+        new java.net.URI(loc), PartitionSchema("event_type"), FileFormat.Parquet)
+      engine.initTable(table, UserId("driver"), "init")
+      val events = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+          col("props"), col("event_type"))
+      events.repartition(col("event_type"))
+        .versionedInsertInto(engine, table, UserId("driver"), "load")
+      // reprocess ONE partition (clicks drop every 10th event id): the
+      // catalog pointer for event_type=click swaps to the new version dir,
+      // so a raw-directory read would see BOTH versions' rows and fail the
+      // oracle — only the pointer-following read matches
+      events.where(col("event_type") === "click" && col("event_id") % 10 =!= 0)
+        .repartition(col("event_type"))
+        .versionedInsertInto(engine, table, UserId("driver"), "reprocess clicks")
+      qname
+    })
 
   private val orcFixtureCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (VersionedTables, TableDefinition)]()
@@ -169,6 +232,11 @@ object SparkEntry {
       "q_versioned_orc" ->
         s"""SELECT CAST(ts AS DATE) AS event_date, $duckFixtureAgg
            |FROM events WHERE event_type = 'click'
+           |GROUP BY 1""".stripMargin,
+      "q_hive_read" ->
+        s"""SELECT event_type, $duckFixtureAgg
+           |FROM events
+           |WHERE NOT (event_type = 'click' AND event_id % 10 = 0)
            |GROUP BY 1""".stripMargin)
   }
 

@@ -15,11 +15,19 @@ object Verify {
         sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Hive-enabled with an embedded Derby metastore in a temp dir: q_hive_read
+    // exercises the plain-spark.table-over-a-versioned-table path, which needs
+    // a real catalog (same shape as TestSpark / the reference's test harness)
+    val hiveTmp = Files.createTempDirectory("graft-verify-hive-")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", hiveTmp.resolve("warehouse").toString)
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=${hiveTmp.resolve("metastore_db")};create=true")
+      .enableHiveSupport()
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -324,7 +324,7 @@ object CorpusTools {
       textCol: String,
       isTarget: Column,
       vocabCap: Int = 10000): Map[String, Long] = {
-    val counts = df
+    val tokCounts = df
       .select(isTarget.cast("long").as("t"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .groupBy(col("tok"))
@@ -333,18 +333,35 @@ object CorpusTools {
       // collected getLong would throw — such occurrences count as
       // non-target, like isTarget=false rows
       .agg(coalesce(sum(col("t")), lit(0L)).as("tc"), count(lit(1)).as("rc"))
-      .orderBy(col("rc").desc, col("tok"))
-      .limit(vocabCap)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val v = counts.length.toLong
-    val targetTotal = counts.map(_._2).sum
-    val rawTotal = counts.map(_._3).sum
-    counts.map { case (tok, tc, rc) =>
-      val lt = math.log((tc + 1).toDouble / (targetTotal + v))
-      val lr = math.log((rc + 1).toDouble / (rawTotal + v))
-      tok -> math.round(1000.0 * (lt - lr))
-    }.toMap
+      .persist()
+    try {
+      // totals and vocabulary size over the FULL token aggregate, not just
+      // the vocabCap head: the estimated distributions keep all out-of-cap
+      // mass in their denominators (the paper's normalization — Xie et al.
+      // 2023, "Data Selection for Language Models via Importance
+      // Resampling"), so in-cap weights do not shift when vocabCap changes.
+      // Only the TABLE is capped (driver memory / broadcast size); the
+      // persist makes the totals pass and the top-k pass share one corpus
+      // scan, and the aggregate itself is O(vocabulary), not O(corpus).
+      val totals = tokCounts.agg(
+        coalesce(sum(col("tc")), lit(0L)), coalesce(sum(col("rc")), lit(0L)), count(lit(1))).head()
+      val targetTotal = totals.getLong(0)
+      val rawTotal = totals.getLong(1)
+      val v = totals.getLong(2)
+      val counts = tokCounts
+        .orderBy(col("rc").desc, col("tok"))
+        .limit(vocabCap)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      counts.map { case (tok, tc, rc) =>
+        val lt = math.log((tc + 1).toDouble / (targetTotal + v))
+        val lr = math.log((rc + 1).toDouble / (rawTotal + v))
+        tok -> math.round(1000.0 * (lt - lr))
+      }.toMap
+    } finally {
+      tokCounts.unpersist()
+      ()
+    }
   }
 
   /**

@@ -630,13 +630,13 @@ object VersionedTables {
       val version = Version.generate()
       val ops: List[TableOperation] =
         if (table.isSnapshot) {
-          // same loud failure the partitioned path has: a 0-row write creates
-          // NO _version= directory (partitionBy append writes nothing), but
-          // the AddTableVersion commit would still land — every later read of
-          // the table would then fail on the missing committed dir
-          require(!ds.isEmpty,
-            s"Dataset has no rows: a snapshot write must carry at least one row " +
-              s"(an empty write would commit a version of ${table.name} with no data directory)")
+          // the emptiness guard runs AFTER the write (see below): a 0-row
+          // write creates NO _version= directory (partitionBy append writes
+          // nothing), so the commit would reference a directory that never
+          // exists. Checking the written directory instead of ds.isEmpty
+          // avoids a second evaluation of the (possibly expensive) plan and
+          // stays correct for nondeterministic sources, where a non-empty
+          // pre-check and an empty write can genuinely disagree.
           List(TableOperation.AddTableVersion(version))
         } else {
           val parts = partitionValues(ds, table.partitionSchema)
@@ -655,6 +655,18 @@ object VersionedTables {
           adds ++ removes
         }
       writeWithVersion(table, version, clusterBy)
+      if (table.isSnapshot) {
+        // loud failure BEFORE the commit lands: an empty write left no
+        // _version= directory, and committing AddTableVersion anyway would
+        // make every later read of the table fail on the missing dir. One
+        // fs.exists probe — no re-evaluation of the input plan.
+        val versionDir = new org.apache.hadoop.fs.Path(VersionPaths.pathFor(table.location, version))
+        val fs = versionDir.getFileSystem(ds.sparkSession.sparkContext.hadoopConfiguration)
+        require(fs.exists(versionDir),
+          s"Dataset has no rows: a snapshot write must carry at least one row " +
+            s"(the write to ${table.name} produced no $versionDir, and committing " +
+            "a version with no data directory would break every later read)")
+      }
       val update = TableUpdate(userId, message, java.time.Instant.now(), ops)
       val result = expectedHead match {
         case Some(h) => engine.versioned.commitIf(table.name, update, h)

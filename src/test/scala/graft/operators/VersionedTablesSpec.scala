@@ -74,7 +74,10 @@ class VersionedTablesSpec extends AnyFlatSpec with Matchers {
       new File(dir, "empty_snap").toURI, PartitionSchema.snapshot, FileFormat.Parquet)
     engine.initTable(table, UserId("t"), "init")
     // a 0-row partitionBy append writes NO _version= dir, so the commit
-    // would reference a directory that never exists — fail before writing
+    // would reference a directory that never exists — the post-write dir
+    // probe fails the call before the commit lands (checked after the write,
+    // not via ds.isEmpty, so the input plan is evaluated only once and a
+    // nondeterministic source can't slip an empty write past the guard)
     val e = intercept[IllegalArgumentException] {
       Seq.empty[User].toDS().versionedInsertInto(engine, table, UserId("t"), "empty")
     }
