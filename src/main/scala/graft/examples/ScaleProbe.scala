@@ -1,0 +1,151 @@
+package graft.examples
+
+import graft.core._
+import graft.operators.{CorpusTools, Dedup, Similarity, VersionedTables}
+import graft.operators.VersionedTables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-growth probe: measures the wall-clock SLOPE of the heaviest operator
+ * families between sf0.1 and a locally generated ~10× dataset ("sfx1"),
+ * because plan shapes argue linearity but only a measurement shows it.
+ *
+ * The 10× corpus is built to preserve WORKLOAD SHAPE, not just row count:
+ *  - `documents`: 10 replicas with every token suffixed `_r<k>` — within a
+ *    replica the exact/near-dup structure is identical to sf0.1, across
+ *    replicas no shingle (and no full text) collides, so total dup/near-dup
+ *    pairs scale ×10 (NOT ×100, which naive copying would produce via
+ *    cross-replica duplicates and which would make any pair-mining operator
+ *    look super-linear by fixture construction). Two coprime-free suffixes
+ *    per replica avoid the LCG-aliasing trap recorded in round 6.
+ *  - `events`: user_id offset per replica — per-user session/window
+ *    structure identical, ×10 users.
+ *  - `lineitem`: order-key offset — partition CARDINALITY under
+ *    l_returnflag stays 3, partition SIZE grows ×10 (the versioned-write
+ *    scaling question is bytes-per-partition, not partition count).
+ *  - `embeddings`: vec_id offset, vectors unchanged (ANN probes measure
+ *    scan/rank cost against a FIXED query set; duplicate neighbors don't
+ *    change the work per candidate).
+ *
+ * Prints one `SCALEPROBE family=<f> scale=<s> rep=<r> s=<secs>` line per
+ * timed run (interleaved reps, min taken) and a final `SCALE_SLOPE` table.
+ * Usage: `tools/run.sh graft.examples.ScaleProbe [baseDir] [xDir] [replicas]`
+ */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val xDir = args.lift(1).getOrElse("/tmp/graft-sfx1")
+    val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    generateIfMissing(spark, baseDir, xDir, replicas)
+
+    def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+    def emb(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
+    def li(dir: String) = spark.read.parquet(s"$dir/lineitem.parquet")
+
+    // fixed 100-query set present identically at both scales (replica 0)
+    def queries(dir: String) = emb(dir).filter(col("vec_id") < 100)
+
+    val families: Seq[(String, String => Unit)] = Seq(
+      "exact_dedup" -> (dir => { Dedup.exactDupGroups(docs(dir)).count(); () }),
+      "lsh_dedup_chain" -> (dir => {
+        Dedup.dupClusters(Dedup.minhashNearDupPairs(docs(dir), threshold = 0.8)).count(); ()
+      }),
+      "window_dedup" -> (dir => {
+        CorpusTools.repeatedWindows(docs(dir), "doc_id", "text", n = 5).count(); ()
+      }),
+      "dsir_weight_table" -> (dir => {
+        CorpusTools.importanceWeightTable(docs(dir), "text", col("lang") === "en"); ()
+      }),
+      "ann_brute" -> (dir => {
+        Similarity.bruteForceTopK(queries(dir), emb(dir), k = 10).count(); ()
+      }),
+      "ann_ivf" -> (dir => {
+        Similarity.ivfTopK(queries(dir), emb(dir), k = 10, nlist = 16, nprobe = 4).count(); ()
+      }),
+      "versioned_write_read" -> (dir => {
+        val root = java.nio.file.Files.createTempDirectory("graft-scale-vw-")
+        val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+        val table = TableDefinition(TableName("scale", "lineitem"),
+          root.resolve("lineitem").toUri, PartitionSchema("l_returnflag"), FileFormat.Parquet)
+        engine.initTable(table, UserId("probe"), "init")
+        li(dir).repartition(col("l_returnflag"))
+          .versionedInsertInto(engine, table, UserId("probe"), "load")
+        engine.read(table).count()
+        ()
+      }))
+
+    // one untimed warm-up of the cheapest family absorbs codegen/session cost
+    Dedup.exactDupGroups(docs(baseDir)).count()
+
+    // interleaved reps (base, x, base, x ...) so ambient drift hits both
+    // scales alike; min-of-2 per cell discards one-off stalls
+    val times = scala.collection.mutable.Map.empty[(String, String), Double]
+    for (rep <- 1 to 2; (name, run) <- families; (scale, dir) <- Seq("base" -> baseDir, "x10" -> xDir)) {
+      val t0 = System.nanoTime()
+      run(dir)
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"SCALEPROBE family=$name scale=$scale rep=$rep s=$s%.2f")
+      val k = (name, scale)
+      times(k) = math.min(times.getOrElse(k, Double.MaxValue), s)
+    }
+
+    println(f"${"SCALE_SLOPE family"}%-32s ${"base_s"}%8s ${"x10_s"}%8s ${"slope"}%6s")
+    families.foreach { case (name, _) =>
+      val b = times((name, "base")); val x = times((name, "x10"))
+      println(f"SCALE_SLOPE $name%-20s $b%8.2f $x%8.2f ${x / b}%6.1f")
+    }
+    spark.stop()
+  }
+
+  private def generateIfMissing(
+      spark: SparkSession, baseDir: String, xDir: String, replicas: Int): Unit = {
+    val marker = java.nio.file.Paths.get(xDir, "_GENERATED")
+    if (java.nio.file.Files.exists(marker)) { println(s"SCALEPROBE reuse $xDir"); return }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(xDir))
+    val t0 = System.nanoTime()
+
+    def replicate(table: String)(perReplica: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$baseDir/$table.parquet")
+      (0 until replicas).map(k => perReplica(base, k))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$xDir/$table.parquet")
+    }
+
+    val Off = 100000000L // beyond every base id range
+    replicate("documents") { (df, k) =>
+      // suffix every token with the replica id: within-replica dup structure
+      // is EXACTLY sf0.1's; across replicas no token (hence no shingle, no
+      // exact text) matches
+      df.select(
+        (col("doc_id") + lit(k * Off)).as("doc_id"),
+        array_join(transform(split(col("text"), "\\s+"), w => concat(w, lit(s"_r$k"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    replicate("events") { (df, k) =>
+      df.select((col("event_id") + lit(k * Off)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k * Off)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    replicate("lineitem") { (df, k) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(k * Off))
+    }
+    replicate("embeddings") { (df, k) =>
+      df.withColumn("vec_id", col("vec_id") + lit(k * Off))
+    }
+    java.nio.file.Files.createFile(marker)
+    println(f"SCALEPROBE generated $xDir (${replicas}x) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+}
