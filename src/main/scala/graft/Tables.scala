@@ -21,13 +21,23 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events with `ts` normalized from nanos-as-long to a microsecond
-    * TimestampType. Integer division (`div`), NOT `/`: double division of
-    * epoch-nanos (~1.7e18 > 2^53) loses up to hundreds of nanoseconds and
-    * can land on the wrong microsecond vs DuckDB's exact ns→µs truncation. */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events with `ts` normalized to a microsecond TimestampType, whatever
+    * the generator wrote. Two layouts have been observed from the driver:
+    * TIMESTAMP(NANOS) (read as long under `nanosAsLong` — convert with
+    * integer `div`, NOT `/`: double division of epoch-nanos (~1.7e18 > 2^53)
+    * loses up to hundreds of nanoseconds and can land on the wrong
+    * microsecond vs DuckDB's exact ns→µs truncation) and TIMESTAMP(MICROS)
+    * (arrives as TIMESTAMP_NTZ — cast to the session-UTC TimestampType every
+    * downstream query and oracle was verified against). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
