@@ -93,7 +93,8 @@ object ScaleProbe {
     // interleaved reps (base, x, base, x ...) so ambient drift hits both
     // scales alike; min-of-2 per cell discards one-off stalls
     val times = scala.collection.mutable.Map.empty[(String, String), Double]
-    for (rep <- 1 to 2; (name, run) <- families; (scale, dir) <- Seq("base" -> baseDir, "x10" -> xDir)) {
+    val xLabel = s"x$replicas"
+    for (rep <- 1 to 2; (name, run) <- families; (scale, dir) <- Seq("base" -> baseDir, xLabel -> xDir)) {
       val t0 = System.nanoTime()
       run(dir)
       val s = (System.nanoTime() - t0) / 1e9
@@ -102,9 +103,9 @@ object ScaleProbe {
       times(k) = math.min(times.getOrElse(k, Double.MaxValue), s)
     }
 
-    println(f"${"SCALE_SLOPE family"}%-32s ${"base_s"}%8s ${"x10_s"}%8s ${"slope"}%6s")
+    println(f"${"SCALE_SLOPE family"}%-32s ${"base_s"}%8s ${xLabel + "_s"}%8s ${"slope"}%6s")
     families.foreach { case (name, _) =>
-      val b = times((name, "base")); val x = times((name, "x10"))
+      val b = times((name, "base")); val x = times((name, xLabel))
       println(f"SCALE_SLOPE $name%-20s $b%8.2f $x%8.2f ${x / b}%6.1f")
     }
     spark.stop()
