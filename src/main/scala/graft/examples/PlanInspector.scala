@@ -10,11 +10,18 @@ object PlanInspector {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val mode = if (args.length > 2) args(2) else "time"
+    // Hive-enabled with a temp-dir Derby metastore, same session shape as
+    // Verify/Bench, so catalog-backed queries (q_hive_read) inspect too
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan-hive-")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", tmp.resolve("warehouse").toString)
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=${tmp.resolve("metastore_db")};create=true")
+      .enableHiveSupport()
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df =
