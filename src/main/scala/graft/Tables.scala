@@ -13,6 +13,11 @@ object Tables {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects by
     // default; read as long and convert explicitly (see events() below).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // All graft oracles are defined over UTC instants; the TIMESTAMP_NTZ
+    // branch of events() casts through the session zone, so a non-UTC
+    // session would silently shift instants on that layout only. Force the
+    // zone here so both layouts agree regardless of caller config.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }
 
@@ -35,7 +40,12 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampType => df
-      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // prepare() pinned the session zone to UTC above, so this cast is a
+        // pure relabel of the wall clock as a UTC instant.
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        throw new IllegalStateException(s"unexpected events.ts dtype: $other")
     }
   }
 

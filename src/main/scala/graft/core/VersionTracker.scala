@@ -270,6 +270,40 @@ trait VersionTracker {
     }
   }
 
+  /**
+   * One keyset page of FULL commits (metadata + operations), OLDEST first —
+   * the bulk-consumption face of the history ([[updatesPage]] is the
+   * newest-first metadata face the CLI `log` uses). `after = None` starts at
+   * commit #0; passing the returned cursor back yields the next-newer page;
+   * a `None` cursor out means every commit present at that point has been
+   * seen. Cursors are store-opaque, same as [[updatesPage]]'s. This is what
+   * lets a bulk consumer (export, replication) walk a 100k-commit history
+   * holding O(page) commits — the eager analogue of the reference's lazily
+   * streamed `TableState.updates` (fs2, reference VersionTracker.scala:137-151).
+   * Ascending iteration law: commits LANDING mid-iteration sort after the
+   * cursor and are picked up by later pages (unlike the descending page,
+   * which by design never sees them). Laws (pinned by the contract spec):
+   * concatenating pages == `tableState(t).updates`; the file and JDBC stores
+   * read O(listing) + O(page) documents/rows per call.
+   */
+  def commitsPageAsc(
+      table: TableName, limit: Int, after: Option[String]): (List[TableUpdate], Option[String]) = {
+    VersionTracker.requireValidPage(limit, 0)
+    val all = tableState(table).updates
+    val start = after match {
+      case None => 0
+      case Some(tok) =>
+        val i = all.indexWhere(_.metadata.id.id == tok)
+        if (i < 0) throw UnknownCommitError(CommitId(tok))
+        i + 1
+    }
+    if (limit == 0) (Nil, after)
+    else {
+      val page = all.slice(start, (start.toLong + limit).min(Int.MaxValue).toInt)
+      (page, if (page.size < limit) None else page.lastOption.map(_.metadata.id.id))
+    }
+  }
+
   /** Whether the table was initialised as a snapshot table. */
   def isSnapshotTable(table: TableName): Boolean =
     tableState(table).updates.flatMap(_.operations).collectFirst {

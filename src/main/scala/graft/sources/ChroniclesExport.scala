@@ -43,65 +43,79 @@ object ChroniclesExport {
   private val FilenameFormat =
     DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH-mm-ss.SSS").withZone(ZoneId.of("UTC"))
 
+  /** Commits held in memory at once during an export: history is walked in
+    * [[VersionTracker.commitsPageAsc]] pages of this size, so exporting a
+    * 100k-commit streaming-sink table peaks at O(page) commits, never the
+    * full log (the eager analogue of the reference's fs2-streamed history,
+    * reference VersionTracker.scala:137-151). */
+  val ExportPageSize = 1024
+
   /** Export every table of the tracker; returns the exported names.
     *
     * All-or-nothing: every table is validated (partition representability
     * AND destination-dir absence) BEFORE the first byte is written, so a
     * failure on the Nth table cannot leave a partial destination store —
     * the per-table checks inside [[exportTable]] would otherwise only fire
-    * after earlier tables had already landed. Each table's (potentially
-    * long) history is fetched ONCE and reused for the write phase. */
+    * after earlier tables had already landed. Both the validation pass and
+    * the write pass walk the history in [[ExportPageSize]] keyset pages
+    * (two paged scans — the price of never materializing the log). */
   def exportAllTables(
       tracker: VersionTracker,
       destRoot: URI,
-      conf: Configuration = new Configuration()): List[TableName] = {
+      conf: Configuration = new Configuration(),
+      pageSize: Int = ExportPageSize): List[TableName] = {
     val tables = tracker.tables()
     val fs = FileSystem.get(destRoot, conf)
-    val states = tables.map { table =>
-      val state = tracker.tableState(table)
-      state.updates.foreach(requireRepresentable(table, _))
+    tables.foreach { table =>
+      forEachCommit(tracker, table, pageSize)(requireRepresentable(table, _))
       val dir = new Path(new Path(destRoot), "_chronicles_table_" + table.fullyQualifiedName)
       if (fs.exists(dir))
         throw new IllegalStateException(
           s"Export destination $dir already exists; refusing to mix exported histories " +
             "(no table was exported)")
-      (table, state)
     }
-    states.foreach { case (table, state) =>
-      writeTable(table, state, isSnapshotOf(state), destRoot, conf)
-    }
+    tables.foreach(writeTable(tracker, _, destRoot, conf, pageSize))
     tables
   }
-
-  /** Whether the table was initialised as a snapshot table, read from the
-    * already-fetched history (avoids a second `tableState` fetch). */
-  private def isSnapshotOf(state: TableState): Boolean =
-    state.updates.flatMap(_.operations).collectFirst {
-      case TableOperation.InitTable(_, snap) => snap
-    }.getOrElse(false)
 
   /**
    * Export one table's full history + head pointer. Refuses if the
    * destination table directory already exists (an export is a snapshot copy,
    * not an incremental sync) or if any partition value is unrepresentable in
-   * the reference's raw partition encoding.
+   * the reference's raw partition encoding (checked in a paged pre-pass so a
+   * late bad partition cannot leave a half-written table behind).
    */
   def exportTable(
       tracker: VersionTracker,
       table: TableName,
       destRoot: URI,
-      conf: Configuration = new Configuration()): Unit = {
-    val state = tracker.tableState(table) // throws UnknownTableError for unknown tables
-    state.updates.foreach(requireRepresentable(table, _))
-    writeTable(table, state, isSnapshotOf(state), destRoot, conf)
+      conf: Configuration = new Configuration(),
+      pageSize: Int = ExportPageSize): Unit = {
+    // currentRef doubles as the UnknownTableError probe for unknown tables
+    tracker.currentRef(table)
+    forEachCommit(tracker, table, pageSize)(requireRepresentable(table, _))
+    writeTable(tracker, table, destRoot, conf, pageSize)
+  }
+
+  /** Walk the full history oldest-first in [[ExportPageSize]] keyset pages —
+    * O(page) commits in memory at any point. */
+  private def forEachCommit(tracker: VersionTracker, table: TableName, pageSize: Int)(
+      f: TableUpdate => Unit): Unit = {
+    var cursor: Option[String] = None
+    var done = false
+    while (!done) {
+      val (page, next) = tracker.commitsPageAsc(table, pageSize, cursor)
+      page.foreach(f)
+      if (next.isEmpty) done = true else cursor = next
+    }
   }
 
   private def writeTable(
+      tracker: VersionTracker,
       table: TableName,
-      state: TableState,
-      isSnapshot: Boolean,
       destRoot: URI,
-      conf: Configuration): Unit = {
+      conf: Configuration,
+      pageSize: Int): Unit = {
     val fs = FileSystem.get(destRoot, conf)
     val dir = new Path(new Path(destRoot), "_chronicles_table_" + table.fullyQualifiedName)
     if (fs.exists(dir))
@@ -110,14 +124,25 @@ object ChroniclesExport {
     fs.mkdirs(dir)
 
     write(fs, new Path(dir, "table-metadata"),
-      mapper.createObjectNode().put("is_snapshot", isSnapshot).toPrettyString)
+      mapper.createObjectNode().put("is_snapshot", tracker.isSnapshotTable(table)).toPrettyString)
+
+    // head BEFORE history: ascending pages see every commit present at
+    // iteration start (and any landing during it), so a head snapshotted
+    // first always has its commit in the exported set — the reverse order
+    // could export a head_ref pointing at a commit no page ever saw
+    val head = tracker.currentRef(table)
 
     // filenames derive from each commit's own timestamp, bumped by 1 ms on
     // collision so names stay unique and strictly ascending in commit order;
     // mtime is set to the same instant so the reference's (mtime, name) sort
     // reconstructs exactly this order
     var lastMillis = Long.MinValue
-    state.updates.foreach { update =>
+    forEachCommit(tracker, table, pageSize) { update =>
+      // re-checked per commit: a commit landing AFTER the validation pass
+      // must not be written unrepresentably (it can at worst truncate the
+      // export at its own position — the pre-pass guarantee covers the
+      // history that existed when the export began)
+      requireRepresentable(table, update)
       val millis = math.max(update.metadata.timestamp.toEpochMilli, lastMillis + 1)
       lastMillis = millis
       val name = "table_update_" + FilenameFormat.format(Instant.ofEpochMilli(millis))
@@ -127,7 +152,7 @@ object ChroniclesExport {
     }
 
     write(fs, new Path(dir, "head_ref"),
-      mapper.createObjectNode().put("head_ref", state.currentVersion.id).toPrettyString)
+      mapper.createObjectNode().put("head_ref", head.id).toPrettyString)
   }
 
   /** One commit rendered as the reference's snake_case commit document. */

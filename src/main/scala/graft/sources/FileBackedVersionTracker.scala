@@ -274,6 +274,35 @@ final class FileBackedVersionTracker(
     }
   }
 
+  /** Ascending keyset page off the commit-file LISTING: the cursor is the
+    * last-seen commit FILE NAME and the page is the `limit` oldest files
+    * whose names sort strictly ABOVE it — name order == commit order in
+    * graft layout, so a bulk consumer (export) walks the whole history at
+    * O(listing) + O(page) document parses per call, never materializing it.
+    * Chronicles-layout tables page via the default implementation (their
+    * ordering needs mtimes, not just names). */
+  override def commitsPageAsc(
+      table: TableName, limit: Int, after: Option[String]): (List[TableUpdate], Option[String]) = {
+    VersionTracker.requireValidPage(limit, 0)
+    resolveTableDir(table) match {
+      case (dir, GraftLayout) =>
+        if (limit == 0) (Nil, after)
+        else {
+          val names = fs.listStatus(dir).toList.map(_.getPath)
+            .filter(p => p.getName.startsWith(CommitFilePrefix) && p.getName.endsWith(".json"))
+            .sortBy(_.getName)
+          val anchored = after match {
+            case None      => names
+            case Some(tok) => names.dropWhile(_.getName <= tok)
+          }
+          val page = anchored.take(limit)
+          (page.map(parseCommitFile),
+            if (page.size < limit) None else page.lastOption.map(_.getName))
+        }
+      case _ => super.commitsPageAsc(table, limit, after)
+    }
+  }
+
   private def graftTableState(dir: Path): TableState = {
     // read head BEFORE listing: a concurrent commit (file + head, in that
     // order under the locks) can then only make the listing see MORE commits

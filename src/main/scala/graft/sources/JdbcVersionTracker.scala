@@ -308,6 +308,50 @@ final class JdbcVersionTracker(
       }
     }
 
+  /** Ascending keyset page straight from SQL: the cursor is the last-seen
+    * `sequence_id`; the page is the `limit` OLDEST rows strictly above it.
+    * Two O(page) indexed queries — the page's sequence-id window, then the
+    * operations join bounded to that window — so a bulk consumer (export)
+    * walks the whole log without ever materializing it. Rows fetched count
+    * into [[historyRowsScanned]] like every other history read. */
+  override def commitsPageAsc(
+      table: TableName, limit: Int, after: Option[String]): (List[TableUpdate], Option[String]) =
+    synchronized {
+      VersionTracker.requireValidPage(limit, 0)
+      if (!exists(table)) throw UnknownTableError(table)
+      if (limit == 0) (Nil, after)
+      else {
+        val anchor = after.map(tok => tok.toLongOption.getOrElse(
+          throw new IllegalArgumentException(s"Bad page cursor '$tok': not a sequence id"))).getOrElse(0L)
+        try {
+          val seqs = queryIn(
+            s"""SELECT sequence_id FROM graft_updates
+               |WHERE table_name = '${esc(table.fullyQualifiedName)}' AND sequence_id > $anchor
+               |ORDER BY sequence_id
+               |FETCH NEXT $limit ROWS ONLY""".stripMargin)(_.getLong(1))
+          val out =
+            if (seqs.isEmpty) (List.empty[TableUpdate], None)
+            else {
+              val rows = historyRowsIn(table, anchor, upToSeq = Some(seqs.last))
+              historyRowsScanned += rows.length
+              val page = decodeUpdates(table, rows)
+              (page, if (page.size < limit) None else Some(seqs.last.toString))
+            }
+          conn.commit()
+          out
+        } catch { case e: Throwable => conn.rollback(); throw e }
+      }
+    }
+
+  /** O(1): one indexed read of the tables row — the default trait
+    * implementation would materialize the whole history for this. */
+  override def isSnapshotTable(table: TableName): Boolean = synchronized {
+    query(
+      s"""SELECT is_snapshot FROM graft_tables
+         |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)(_.getBoolean(1))
+      .headOption.getOrElse(throw UnknownTableError(table))
+  }
+
   private case class Row(commitId: String, user: String, msg: String, ts: Instant,
       opType: String, part: String, ver: String, snap: Boolean)
 
@@ -391,17 +435,20 @@ final class JdbcVersionTracker(
     * :67-84). LEFT JOIN, not INNER: a commit with an empty operations list is
     * still a commit (the other trackers keep it; a checkout to it must replay
     * to it). */
-  private def historyRowsIn(table: TableName, afterSeq: Long): List[Row] =
+  private def historyRowsIn(
+      table: TableName, afterSeq: Long, upToSeq: Option[Long] = None): List[Row] = {
+    val upper = upToSeq.map(s => s" AND u.sequence_id <= $s").getOrElse("")
     queryIn(
       s"""SELECT u.commit_id, u.user_id, u.message, u.created_at,
          |  o.op_type, o.partition_path, o.version_label, o.is_snapshot
          |FROM graft_updates u LEFT OUTER JOIN graft_operations o ON u.commit_id = o.commit_id
          |WHERE u.table_name = '${esc(table.fullyQualifiedName)}'
-         |  AND u.sequence_id > $afterSeq
+         |  AND u.sequence_id > $afterSeq$upper
          |ORDER BY u.sequence_id, o.index_in_commit""".stripMargin) { rs =>
       Row(rs.getString(1), rs.getString(2), rs.getString(3), rs.getTimestamp(4).toInstant,
         rs.getString(5), rs.getString(6), rs.getString(7), rs.getBoolean(8))
     }
+  }
 
   private def decodeUpdates(table: TableName, rows: List[Row]): List[TableUpdate] =
     groupAdjacent(rows)(_.commitId).map { group =>

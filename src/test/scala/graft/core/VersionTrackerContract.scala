@@ -195,6 +195,45 @@ trait VersionTrackerContract extends AnyFlatSpec with Matchers {
     an[UnknownTableError] should be thrownBy tr.updatesPage(TableName("no", "no"), 1, None)
   }
 
+  it should "keyset-page FULL commits oldest-first: concatenated pages == tableState(t).updates" in {
+    val tr = newTracker()
+    val t = init(tr, "asc")
+    val p = Partition("date", "2024-01-01")
+    (1 to 7).foreach(_ => tr.commit(t, upd(AddPartitionVersion(p, Version.generate()))))
+    val full = tr.tableState(t).updates // 8 incl. init, OLDEST first
+
+    def walk(pageSize: Int, from: Option[String] = None): List[TableUpdate] = {
+      var cursor = from
+      var more = true
+      val acc = List.newBuilder[TableUpdate]
+      while (more) {
+        val (page, next) = tr.commitsPageAsc(t, pageSize, cursor)
+        acc ++= page
+        cursor = next
+        more = next.isDefined
+      }
+      acc.result()
+    }
+    // full walk reconstructs the history — operations included, not just
+    // metadata — for every page size (incl. one landing exactly on the end)
+    for (size <- List(1, 3, 4, 8, 20))
+      withClue(s"pageSize=$size: ") { walk(size) shouldBe full }
+
+    // ascending-iteration law: a commit landing mid-walk sorts AFTER the
+    // cursor, so later pages pick it up (the bulk-consumer-friendly dual of
+    // the descending page's stability)
+    val (page1, cur1) = tr.commitsPageAsc(t, 3, None)
+    val late = upd(AddPartitionVersion(p, Version.generate()))
+    tr.commit(t, late)
+    cur1 should not be empty
+    (page1 ++ walk(3, cur1)) shouldBe (full :+ late)
+
+    // degenerate pages + errors
+    tr.commitsPageAsc(t, 0, None)._1 shouldBe Nil
+    an[IllegalArgumentException] should be thrownBy tr.commitsPageAsc(t, -1, None)
+    an[UnknownTableError] should be thrownBy tr.commitsPageAsc(TableName("no", "no"), 1, None)
+  }
+
   it should "report the current REF via currentRef, including after checkout" in {
     val tr = newTracker()
     val t = init(tr, "ref")

@@ -49,6 +49,108 @@ class FileBackedHadoopIoPersistenceSpec extends AnyFlatSpec with Matchers {
   }
 }
 
+/**
+ * Chaos specs for the Hadoop branch's failure windows. The OVERWRITE head
+ * rename on a non-POSIX store is delete-then-rename, so a reader in another
+ * process can catch the head file ABSENT mid-swap; `readWithRetry` exists to
+ * cross exactly that gap. The window is microseconds wide in the real store,
+ * so [[FaultyHdfsFileSystem]] fakes the reader's view deterministically:
+ * armed, the next n opens of the targeted file throw FileNotFoundException.
+ */
+class HadoopIoFailureWindowSpec extends AnyFlatSpec with Matchers {
+
+  private def newFaultyTracker(): (FileBackedVersionTracker, TableName) = {
+    val dir = Files.createTempDirectory("graft-faulty-")
+    val tr = new FileBackedVersionTracker(FaultyHdfsFileSystem.uriFor(dir), FaultyHdfsFileSystem.conf())
+    val t = TableName("chaos", "t")
+    tr.initTable(t, isSnapshot = false, UserId("u"), "init", java.time.Instant.now())
+    tr.commit(t, TableUpdate(UserId("u"), "add", java.time.Instant.now(),
+      List(TableOperation.AddPartitionVersion(Partition("date", "2024-01-01"), Version.generate()))))
+    (tr, t)
+  }
+
+  "the Hadoop head-swap visibility window" should "be crossed by readWithRetry: a reader observing the gap recovers" in {
+    val (tr, t) = newFaultyTracker()
+    val head = tr.currentRef(t) // un-faulted baseline
+    FaultyHdfsFileSystem.armOpenFaults(FileBackedVersionTracker.HeadFile, 2)
+    try {
+      // two consecutive opens see the file missing (mid-rename), the third
+      // sees the re-created head — the reader must come back with the right
+      // answer, not an exception and not a stale value
+      tr.currentRef(t) shouldBe head
+      FaultyHdfsFileSystem.faultsInjected.get() shouldBe 2 // the gap WAS observed
+      // and the full state read (head + listing) recovers the same way
+      FaultyHdfsFileSystem.armOpenFaults(FileBackedVersionTracker.HeadFile, 3)
+      tr.tableState(t).currentVersion shouldBe head
+      FaultyHdfsFileSystem.faultsInjected.get() shouldBe 3
+    } finally FaultyHdfsFileSystem.disarm()
+  }
+
+  it should "give up LOUDLY when the gap never closes (bounded retry, no hang)" in {
+    val (tr, t) = newFaultyTracker()
+    FaultyHdfsFileSystem.armOpenFaults(FileBackedVersionTracker.HeadFile, 1000)
+    try {
+      val e = intercept[java.io.FileNotFoundException](tr.currentRef(t))
+      e.getMessage should include("injected mid-rename gap")
+      // 1 initial attempt + 5 retries, then the failure propagates — the
+      // retry budget is finite (a permanently missing head is a corrupt
+      // store, not a rename window)
+      FaultyHdfsFileSystem.faultsInjected.get() shouldBe 6
+    } finally FaultyHdfsFileSystem.disarm()
+  }
+
+  "a torn (partially written) commit document" should "fail loudly on read, both I/O branches" in {
+    // graft never tears its own files (temp + rename everywhere); a torn
+    // document models a crashed FOREIGN writer or filesystem damage. The
+    // contract is loud refusal at parse time, naming the file — never a
+    // silent misparse folded into table state.
+    val cases = List[(String, java.nio.file.Path => VersionTracker)](
+      "nio" -> (dir => new FileBackedVersionTracker(dir.toUri)),
+      "hadoop" -> (dir => new FileBackedVersionTracker(MockHdfsFileSystem.uriFor(dir), MockHdfsFileSystem.conf())))
+    cases.foreach { case (branch, mk) =>
+      withClue(s"branch=$branch: ") {
+        val dir = Files.createTempDirectory(s"graft-torn-$branch-")
+        val tr = mk(dir)
+        val t = TableName("chaos", "torn")
+        tr.initTable(t, isSnapshot = false, UserId("u"), "init", java.time.Instant.now())
+        tr.commit(t, TableUpdate(UserId("u"), "add", java.time.Instant.now(),
+          List(TableOperation.AddPartitionVersion(Partition("date", "2024-01-01"), Version.generate()))))
+
+        // truncate the newest commit file mid-document: valid prefix, torn tail
+        val tableDir = dir.resolve("_graft_table_chaos.torn")
+        val newest = Files.list(tableDir).iterator()
+        val commitFile = scala.jdk.CollectionConverters.IteratorHasAsScala(newest).asScala
+          .map(_.getFileName.toString).filter(_.startsWith("table_update_")).toList.sorted.last
+        val p = tableDir.resolve(commitFile)
+        val bytes = Files.readAllBytes(p)
+        Files.write(p, java.util.Arrays.copyOf(bytes, bytes.length / 2))
+
+        val e = intercept[RuntimeException](mk(dir).tableState(t))
+        e.getMessage should include("Corrupt commit file")
+        e.getMessage should include(commitFile)
+      }
+    }
+  }
+
+  it should "surface a torn head ref as an unknown-commit failure, not a silent fold" in {
+    val dir = Files.createTempDirectory("graft-torn-head-")
+    val tr = new FileBackedVersionTracker(MockHdfsFileSystem.uriFor(dir), MockHdfsFileSystem.conf())
+    val t = TableName("chaos", "head")
+    tr.initTable(t, isSnapshot = false, UserId("u"), "init", java.time.Instant.now())
+    tr.commit(t, TableUpdate(UserId("u"), "add", java.time.Instant.now(),
+      List(TableOperation.AddPartitionVersion(Partition("date", "2024-01-01"), Version.generate()))))
+    // tear the head file: half a commit id survives
+    val headPath = dir.resolve("_graft_table_chaos.head").resolve(FileBackedVersionTracker.HeadFile)
+    val bytes = Files.readAllBytes(headPath)
+    Files.write(headPath, java.util.Arrays.copyOf(bytes, bytes.length / 2))
+    // a fresh reader must refuse the torn ref (it matches no commit), never
+    // silently fold the full history as if the head were the newest commit
+    intercept[UnknownCommitError] {
+      new FileBackedVersionTracker(MockHdfsFileSystem.uriFor(dir), MockHdfsFileSystem.conf()).currentVersion(t)
+    }
+  }
+}
+
 /** Persistence-specific behavior beyond the shared contract. */
 class FileBackedPersistenceSpec extends AnyFlatSpec with Matchers {
 

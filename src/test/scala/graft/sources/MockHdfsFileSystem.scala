@@ -23,7 +23,7 @@ import java.net.URI
  * atomicity contract the production stores give it — without it the test
  * would probe a weaker store than any the branch actually targets.
  */
-final class MockHdfsFileSystem extends RawLocalFileSystem {
+class MockHdfsFileSystem extends RawLocalFileSystem {
   override def getScheme: String = MockHdfsFileSystem.Scheme
   override def getUri: URI = MockHdfsFileSystem.Name
 
@@ -80,6 +80,75 @@ final class MockHdfsFileSystem extends RawLocalFileSystem {
   * tracker's `writeAtomic` uses for its OVERWRITE rename on non-local stores. */
 final class MockHdfsAbstractFileSystem(uri: URI, conf: Configuration)
   extends DelegateToFileSystem(uri, new MockHdfsFileSystem, conf, MockHdfsFileSystem.Scheme, false)
+
+/**
+ * [[MockHdfsFileSystem]] plus deterministic fault injection, under its own
+ * scheme `faulthdfs`. The one failure mode the Hadoop branch's
+ * `readWithRetry` exists for is the OVERWRITE-rename visibility window: on a
+ * non-POSIX store the head swap is delete-then-rename, so a reader in
+ * another process can observe the head file ABSENT for a moment. That window
+ * is microseconds wide in the real store — too narrow to hit reliably from a
+ * test — so this filesystem fakes the reader's view of it: while armed, the
+ * next `n` opens of the targeted file name throw `FileNotFoundException`
+ * exactly as a mid-rename reader would see, then reads flow normally
+ * (the rename "completed"). Chaos specs assert the retry loop crosses the
+ * gap, and gives up loudly when the gap never closes.
+ */
+final class FaultyHdfsFileSystem extends MockHdfsFileSystem {
+  override def getScheme: String = FaultyHdfsFileSystem.Scheme
+  override def getUri: URI = FaultyHdfsFileSystem.Name
+
+  override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    FaultyHdfsFileSystem.maybeFail(f)
+    super.open(f, bufferSize)
+  }
+}
+
+/** `AbstractFileSystem` binding, so the tracker's `FileContext` rename
+  * resolves over the faulty scheme too. */
+final class FaultyHdfsAbstractFileSystem(uri: URI, conf: Configuration)
+  extends DelegateToFileSystem(uri, new FaultyHdfsFileSystem, conf, FaultyHdfsFileSystem.Scheme, false)
+
+object FaultyHdfsFileSystem {
+  val Scheme = "faulthdfs"
+  val Name: URI = URI.create(s"$Scheme:///")
+
+  // fault plan (static: FileSystem.get caches instances per scheme, so the
+  // spec and the cached filesystem must share state). Armed per test, always
+  // disarmed in a finally.
+  @volatile private var targetName: String = ""
+  private val remaining = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Faults actually delivered since the last [[armOpenFaults]] — lets a
+    * spec assert the gap really was observed, not silently missed. */
+  val faultsInjected = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The next `n` opens of any path named `fileName` throw
+    * `FileNotFoundException` (the mid-rename reader's view). */
+  def armOpenFaults(fileName: String, n: Int): Unit = {
+    targetName = fileName
+    faultsInjected.set(0)
+    remaining.set(n)
+  }
+
+  def disarm(): Unit = remaining.set(0)
+
+  private[sources] def maybeFail(f: Path): Unit =
+    if (f.getName == targetName &&
+        remaining.getAndUpdate(b => if (b > 0) b - 1 else 0) > 0) {
+      faultsInjected.incrementAndGet()
+      throw new java.io.FileNotFoundException(s"[injected mid-rename gap] $f")
+    }
+
+  def conf(): Configuration = {
+    val c = new Configuration()
+    c.set(s"fs.$Scheme.impl", classOf[FaultyHdfsFileSystem].getName)
+    c.set(s"fs.AbstractFileSystem.$Scheme.impl", classOf[FaultyHdfsAbstractFileSystem].getName)
+    c
+  }
+
+  /** A faulthdfs:// URI over a local directory. */
+  def uriFor(dir: java.nio.file.Path): URI = URI.create(s"$Scheme:${dir.toAbsolutePath}")
+}
 
 object MockHdfsFileSystem {
   val Scheme = "mockhdfs"
