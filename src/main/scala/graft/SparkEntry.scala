@@ -83,8 +83,52 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    }),
+
+    // CSV through the whole versioned stack (reference README.md:79-83 claims
+    // format passthrough; Parquet/ORC are covered above — this closes the
+    // offline-verifiable half of the format matrix at the gate, with JSON
+    // riding the same passthrough in FormatPassthroughSpec). orders versioned
+    // as CSV partitions on o_orderstatus, ONE partition reprocessed (status F
+    // drops every 10th order key) so the read provably follows the version
+    // pointers, then read back with EXPLICIT casts — CSV carries no types, so
+    // the query pins the output schema rather than trusting inference.
+    "q_versioned_csv" -> ((spark, dir) => {
+      val (engine, table) = csvFixture(spark, dir)
+      engine.read(table)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("v"))
     })
   )
+
+  /** CSV fixture: orders (projected to key/price/status) written as a
+    * versioned CSV table (header on), status-F partition reprocessed.
+    * Memoized per (session, sfDir) like the other fixtures. */
+  private val csvFixtureCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (VersionedTables, TableDefinition)]()
+
+  private def csvFixture(spark: SparkSession, sfDir: String): (VersionedTables, TableDefinition) =
+    csvFixtureCache.computeIfAbsent((spark, sfDir), _ => {
+      Tables.prepare(spark)
+      val root = java.nio.file.Files.createTempDirectory("graft-csv-q-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", "orders_csv"),
+        root.resolve("orders_csv").toUri, PartitionSchema("o_orderstatus"), FileFormat.Csv,
+        // header carries the column NAMES through the text format; types are
+        // re-established by inference on read + explicit casts in the query
+        Map("header" -> "true", "inferSchema" -> "true"))
+      engine.initTable(table, UserId("driver"), "init")
+      val orders = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .localCheckpoint()
+      orders.repartition(col("o_orderstatus"))
+        .versionedInsertInto(engine, table, UserId("driver"), "load csv")
+      orders.where(col("o_orderstatus") === "F" && col("o_orderkey") % 10 =!= 0)
+        .repartition(col("o_orderstatus"))
+        .versionedInsertInto(engine, table, UserId("driver"), "reprocess F")
+      (engine, table)
+    })
 
   /** Hive-read fixture: a versioned events table synced into the session's
     * embedded Hive (Derby) catalog, one partition reprocessed so the
@@ -117,9 +161,13 @@ object SparkEntry {
       val table = TableDefinition(TableName("graft_hive", s"events_hive_$n"),
         new java.net.URI(loc), PartitionSchema("event_type"), FileFormat.Parquet)
       engine.initTable(table, UserId("driver"), "init")
+      // materialize once: both versioned writes (and their partition
+      // discovery) re-scan this frame — re-reading parquet each time
+      // roughly doubled the fixture build (round-7 watch item)
       val events = Tables.events(spark, sfDir)
         .select(col("event_id"), col("ts"), col("user_id"), col("value"),
           col("props"), col("event_type"))
+        .localCheckpoint()
       events.repartition(col("event_type"))
         .versionedInsertInto(engine, table, UserId("driver"), "load")
       // reprocess ONE partition (clicks drop every 10th event id): the
@@ -237,6 +285,13 @@ object SparkEntry {
         s"""SELECT event_type, $duckFixtureAgg
            |FROM events
            |WHERE NOT (event_type = 'click' AND event_id % 10 = 0)
+           |GROUP BY 1""".stripMargin,
+      "q_versioned_csv" ->
+        s"""SELECT o_orderstatus,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+           |FROM orders
+           |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)
            |GROUP BY 1""".stripMargin)
   }
 

@@ -132,6 +132,28 @@ object MaintenanceDemo {
       docs.filter(col("doc_id") >= 200), engine, corpusTable, bandIndex, "d2", UserId("demo"))
     println(s"INGEST_D1=$acc1 INGEST_D2=$acc2 CORPUS_ROWS=${engine.read(corpusTable).count()}")
 
+    // 9. write-back interop, streamed: export THIS store's tables as a
+    // reference-layout (chronicles) store — the export walks each history in
+    // keyset pages (small pageSize here to force multi-page walks), and the
+    // exported store reads back in place
+    val exportDest = root.resolve("exported").toUri
+    val exported = graft.sources.ChroniclesExport.exportAllTables(
+      engine.tracker, exportDest, pageSize = 2)
+    val backReader = new graft.sources.FileBackedVersionTracker(exportDest)
+    println(s"EXPORTED_TABLES=${exported.size} " +
+      s"EXPORT_READBACK_COMMITS=${backReader.tableState(table.name).updates.size}")
+
+    // 10. DSIR end-to-end: estimate weights against the English slice, then
+    // Gumbel-top-k select 20 docs without replacement (deterministic)
+    val w = graft.operators.CorpusTools.importanceWeightTable(
+      docs, "text", col("lang") === "en", vocabCap = 1000)
+    val sampled = graft.operators.CorpusTools.dsirSample(
+      docs, "doc_id", "text", w, n = 20, seed = 42)
+    val again = graft.operators.CorpusTools.dsirSample(
+      docs, "doc_id", "text", w, n = 20, seed = 42)
+    println(s"DSIR_SAMPLED=${sampled.count()} " +
+      s"DSIR_DETERMINISTIC=${sampled.collect().toList == again.collect().toList}")
+
     spark.stop()
   }
 }

@@ -312,6 +312,57 @@ object CorpusTools {
   }
 
   /**
+   * The DSIR pipeline's SELECTION step (Xie et al. 2023 §3: after scoring,
+   * sample the training subset WITHOUT replacement with probability
+   * proportional to the importance weight): Gumbel-top-k over the per-doc
+   * scores. The classic identity — argmax_i (log w_i + G_i) with i.i.d.
+   * standard Gumbel noise G_i draws i with probability w_i / Σw_j, and
+   * taking the TOP K of those perturbed keys is a without-replacement
+   * sample — turns the sequential resampling loop into one embarrassingly
+   * parallel scan + bounded top-k, which is what makes it runnable over a
+   * 100 TB corpus (Spark executes the orderBy+limit as a per-partition
+   * partial top-k merged on the driver: O(k) rows ever leave an executor).
+   *
+   * Deterministic by construction, same trick as
+   * [[graft.operators.ScaleTools.hashSample]] lifted from Bernoulli
+   * keep/drop to weighted without-replacement: the "noise" is a pure
+   * function of (seed, id) — an md5-derived uniform u ∈ (0,1) on a 2^16
+   * grid, G = -ln(-ln u) — so the same (corpus, weights, n, seed) always
+   * selects the same documents, across runs AND engines (md5 is
+   * engine-portable where xxhash64 is not). The Gumbel perturbation is
+   * QUANTIZED to integer milli-nats, the same fixed-point scale as the
+   * scores: the sort key `dsir_score + round(1000·G)` stays a pure integer
+   * computation, so the selection is DuckDB-oracle-able bit-exactly (ties
+   * broken by id).
+   *
+   * @return the `n` selected rows: (idCol, dsir_score, gumbel_key),
+   *         gumbel_key descending
+   */
+  def dsirSample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Map[String, Long],
+      n: Int,
+      seed: Int = 0): DataFrame = {
+    require(n >= 0, s"sample size must be >= 0, was $n")
+    val scored = importanceWeights(df, idCol, textCol, weights, keepThreshold = 0L)
+    // 16-bit uniform from the md5 hex prefix: instr-based hex decode keeps
+    // the whole expression portable SQL (both engines agree digit by digit)
+    val h = s"md5(concat_ws('|', '$seed', cast($idCol as string)))"
+    val hv = (0 until 4)
+      .map(i => s"(instr('0123456789abcdef', substring($h, ${i + 1}, 1)) - 1) * ${1 << (4 * (3 - i))}")
+      .mkString("(", " + ", ")")
+    val u = s"($hv + 0.5) / 65536.0"
+    scored
+      .withColumn("gumbel_key",
+        col("dsir_score") + expr(s"cast(round(-1000.0 * ln(-ln($u))) as bigint)"))
+      .select(col(idCol), col("dsir_score"), col("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(n)
+  }
+
+  /**
    * The bounded token → milli-nat-log-ratio table [[importanceWeights]]
    * scores with: for each of the `vocabCap` most frequent tokens,
    * `round(1000 * (ln p_target(tok) - ln p_raw(tok)))` under add-one

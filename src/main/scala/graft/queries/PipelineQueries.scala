@@ -318,6 +318,17 @@ object PipelineQueries {
         Tables.documents(s, d), "doc_id", "text", w, keepThreshold = 0L)
     }),
 
+    // DSIR end-to-end: the paper's RESAMPLING step on top of the scores —
+    // Gumbel-top-k sample-without-replacement of 100 docs ∝ exp(score),
+    // with deterministic md5-derived Gumbel noise quantized to integer
+    // milli-nats, so the selected set is a pure integer computation the
+    // oracle replays exactly (same registered weight table as q_dsir_weight).
+    "q_dsir_sample" -> ((s, d) => {
+      val w = dsirWeights(s, d)
+      graft.operators.CorpusTools.dsirSample(
+        Tables.documents(s, d), "doc_id", "text", w, n = 100, seed = 42)
+    }),
+
     // fuzzy entity matching: part names with one deterministic character
     // removed are matched back against the FULL catalog at edit distance <= 1
     // via the length-banded equi-join (never a cross join). The probe side is
@@ -692,7 +703,8 @@ object PipelineQueries {
     }
     val dsir = soleRegistered(dsirWeightCache) match {
       case Some(w) if w.nonEmpty && w.size <= 10000 =>
-        Map("q_dsir_weight" -> dsirOracleSql(w))
+        Map("q_dsir_weight" -> dsirOracleSql(w),
+          "q_dsir_sample" -> dsirSampleOracleSql(w, n = 100, seed = 42))
       case _ => Map.empty[String, String]
     }
     staticOracles ++ ivf ++ simhash ++ dsir
@@ -716,6 +728,36 @@ object PipelineQueries {
        |  FROM toks t LEFT JOIN w ON w.tok = t.tok
        |  GROUP BY t.doc_id)
        |SELECT doc_id, dsir_score, dsir_score >= 0 AS kept FROM scored""".stripMargin
+  }
+
+  /** Replay of [[graft.operators.CorpusTools.dsirSample]]: the same scored
+    * CTE, then the identical md5-derived integer Gumbel key (instr-based hex
+    * decode — both engines agree digit by digit) and top-n. Hash-exact: the
+    * key is an integer, ties break on doc_id. */
+  private def dsirSampleOracleSql(w: Map[String, Long], n: Int, seed: Int): String = {
+    val values = w.toList.sortBy(_._1).map { case (t, wt) =>
+      s"('${t.replace("'", "''")}', CAST($wt AS BIGINT))"
+    }.mkString(",\n      ")
+    val h = s"md5(concat_ws('|', '$seed', CAST(doc_id AS VARCHAR)))"
+    val hv = (0 until 4)
+      .map(i => s"(instr('0123456789abcdef', substring($h, ${i + 1}, 1)) - 1) * ${1 << (4 * (3 - i))}")
+      .mkString("(", " + ", ")")
+    val u = s"($hv + 0.5) / 65536.0"
+    s"""WITH w(tok, wt) AS (VALUES
+       |      $values),
+       |toks AS (
+       |  SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    CAST(COALESCE(SUM(w.wt), 0) AS BIGINT) AS dsir_score
+       |  FROM toks t LEFT JOIN w ON w.tok = t.tok
+       |  GROUP BY t.doc_id),
+       |keyed AS (
+       |  SELECT doc_id, dsir_score,
+       |    dsir_score + CAST(ROUND(-1000.0 * LN(-LN($u))) AS BIGINT) AS gumbel_key
+       |  FROM scored)
+       |SELECT doc_id, dsir_score, gumbel_key FROM keyed
+       |ORDER BY gumbel_key DESC, doc_id LIMIT $n""".stripMargin
   }
 
   private val staticOracles: Map[String, String] = Map(

@@ -275,12 +275,12 @@ final class FileBackedVersionTracker(
   }
 
   /** Ascending keyset page off the commit-file LISTING: the cursor is the
-    * last-seen commit FILE NAME and the page is the `limit` oldest files
-    * whose names sort strictly ABOVE it — name order == commit order in
-    * graft layout, so a bulk consumer (export) walks the whole history at
-    * O(listing) + O(page) document parses per call, never materializing it.
-    * Chronicles-layout tables page via the default implementation (their
-    * ordering needs mtimes, not just names). */
+    * last-seen commit's sort key and the page is the `limit` oldest files
+    * strictly ABOVE it — O(listing) + O(page) document parses per call,
+    * never a materialization. Graft layout sorts (and cursors) on the file
+    * NAME alone (name order == commit order); chronicles layout sorts on
+    * the reference's (mtime, name) order, cursor `"<mtimeMillis>|<name>"`,
+    * so bulk consumers (export, migrate) stream REFERENCE stores too. */
   override def commitsPageAsc(
       table: TableName, limit: Int, after: Option[String]): (List[TableUpdate], Option[String]) = {
     VersionTracker.requireValidPage(limit, 0)
@@ -299,7 +299,31 @@ final class FileBackedVersionTracker(
           (page.map(parseCommitFile),
             if (page.size < limit) None else page.lastOption.map(_.getName))
         }
-      case _ => super.commitsPageAsc(table, limit, after)
+      case (dir, ChroniclesLayout) =>
+        if (limit == 0) (Nil, after)
+        else {
+          import scala.math.Ordering.Implicits._
+          val files = fs.listStatus(dir).toList
+            .filter(s => s.getPath.getName.startsWith(CommitFilePrefix))
+            .map(s => ((s.getModificationTime, s.getPath.getName), s.getPath))
+            .sortBy(_._1)
+          val anchored = after match {
+            case None => files
+            case Some(tok) =>
+              val sep = tok.indexOf('|')
+              val key = (for {
+                _ <- Option.when(sep > 0)(())
+                ms <- tok.take(sep).toLongOption
+              } yield (ms, tok.drop(sep + 1))).getOrElse(
+                throw new IllegalArgumentException(
+                  s"Bad page cursor '$tok': expected <mtimeMillis>|<name>"))
+              files.dropWhile(_._1 <= key)
+          }
+          val page = anchored.take(limit)
+          (page.map(f => parseCommitFile(f._2)),
+            if (page.size < limit) None
+            else page.lastOption.map { case ((ms, name), _) => s"$ms|$name" })
+        }
     }
   }
 
@@ -471,10 +495,24 @@ final class FileBackedVersionTracker(
                   p.getName.startsWith(CheckpointFilePrefix) ||
                   p.getName.startsWith(StateFoldFilePrefix) || p.getName == HeadFile)
                 .foreach(fs.delete(_, false))
-              val st = chroniclesTableState(src)
+              // head BEFORE history (the usual discipline), then STREAM the
+              // source history in ascending keyset pages — a 100k-commit
+              // reference store migrates at O(page) driver memory, same as
+              // the export path; monotonic names preserve commit order
+              val head = JsonCodecs.chroniclesHeadFromJson(read(new Path(src, ChroniclesHeadFile)))
+                .fold(e => sys.error(s"Corrupt chronicles head file in $src: $e"), CommitId.apply)
               val isSnapshot = isSnapshotTable(table)
-              st.updates.foreach(writeCommit(dir, _)) // monotonic names preserve order
-              writeAtomic(new Path(dir, HeadFile), st.currentVersion.id)
+              var cursor: Option[String] = None
+              var more = true
+              while (more) {
+                // metadata not yet written => resolveTableDir still points
+                // at the chronicles source, so this pages the SOURCE history
+                val (page, next) = commitsPageAsc(table, MigratePageSize, cursor)
+                page.foreach(writeCommit(dir, _))
+                cursor = next
+                more = next.isDefined
+              }
+              writeAtomic(new Path(dir, HeadFile), head.id)
               // metadata file LAST: it is what flips layout resolution to the
               // graft dir, so a crash mid-migration leaves the (complete)
               // chronicles layout visible and a retry re-runs cleanly instead
@@ -765,6 +803,10 @@ object FileBackedVersionTracker {
   val ChroniclesHeadFile = "head_ref"
 
   val DefaultCheckpointInterval = 64
+
+  /** Commits held in memory at once while migrating a chronicles store —
+    * same O(page) role as [[ChroniclesExport.ExportPageSize]]. */
+  val MigratePageSize = 1024
 
   /** Every Nth checkpoint fold re-derives from the commit files instead of
     * chaining the previous checkpoint — the self-heal cadence for a

@@ -259,6 +259,38 @@ class CorpusToolsSpec extends AnyFlatSpec with Matchers {
     scored shouldBe Array((1L, w("common")), (2L, 3 * w("common")))
   }
 
+  "dsirSample" should "select deterministically: two runs agree row for row" in {
+    val corpus = (1L to 40L).map(i => (i, s"tok$i tok${i % 7} common")).toDF("id", "text")
+    val w = (0 until 7).map(i => s"tok$i" -> (i * 100L - 300L)).toMap + ("common" -> 50L)
+    def run() = CorpusTools.dsirSample(corpus, "id", "text", w, n = 10, seed = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val first = run()
+    first should have length 10
+    run() shouldBe first // the determinism law: same (corpus, weights, n, seed)
+    // a different seed perturbs differently (40 docs, 10 picks — identical
+    // selections across seeds would mean the noise is not being applied)
+    CorpusTools.dsirSample(corpus, "id", "text", w, n = 10, seed = 8)
+      .collect().map(_.getLong(0)).toList should not be first.map(_._1)
+  }
+
+  it should "respect the integer-key arithmetic: noise bounded, big score gaps dominate" in {
+    val corpus = (1L to 30L).map(i => (i, if (i <= 5) "hot hot hot" else "cold")).toDF("id", "text")
+    // hot docs outscore cold by 3*20000 - (-20000) = 80000 milli-nats — far
+    // beyond the 16-bit Gumbel range [-2407, 11789], so all 5 hot docs MUST
+    // be selected before any cold one (the proportionality sanity check)
+    val w = Map("hot" -> 20000L, "cold" -> -20000L)
+    val out = CorpusTools.dsirSample(corpus, "id", "text", w, n = 8, seed = 1).collect()
+    out.take(5).map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L, 4L, 5L)
+    // the quantized Gumbel perturbation stays inside its analytic bounds
+    // (u on the 2^16 grid: G in [-ln(-ln(0.5/65536)), -ln(-ln(65535.5/65536))])
+    all(out.map(r => r.getLong(2) - r.getLong(1))) should (be >= -2407L and be <= 11789L)
+    // n larger than the corpus returns every doc, once
+    CorpusTools.dsirSample(corpus, "id", "text", w, n = 100, seed = 1)
+      .collect().map(_.getLong(0)).distinct should have length 30
+    an[IllegalArgumentException] should be thrownBy
+      CorpusTools.dsirSample(corpus, "id", "text", w, n = -1)
+  }
+
   "saveWeights / loadWeights" should "round-trip, refresh atomically, and time-travel" in {
     import graft.core._
     import graft.operators.VersionedTables._

@@ -312,13 +312,38 @@ class IncrementalCompactionSpec extends AnyFlatSpec with Matchers {
     real.failed shouldBe Nil
     real.deleted.foreach(u => fs.exists(new org.apache.hadoop.fs.Path(u)) shouldBe false)
 
-    // current read unaffected; history metadata intact; time travel past the
-    // retention window now fails loudly at read time
+    // current read unaffected; history metadata intact
     engine.read(table).select("sensor", "day", "value").as[Reading].collect() should
       contain theSameElementsAs Seq(Reading("a", "d1", 100.0), Reading("b", "d2", 2.0))
     engine.log(table.name) should have size 4 // init + 3 writes: log never shrinks
-    an[Exception] should be thrownBy
-      engine.readAt(table, firstCommit).collect()
+
+    // THE retention × time-travel interaction law (SCALE.md §3's claim,
+    // pinned): a historical read whose state references a reclaimed version
+    // fails LOUDLY at read time — and the error NAMES the reclaimed
+    // `_version=` directory, so the operator can see retention (not
+    // corruption) ate the state. The firstCommit state points d1 at its
+    // vacuumed first version; d2's version is still live.
+    // match on the raw path, trailing slash stripped: URI renderings differ
+    // (file:/ vs file:///, dir slash) between the report and Spark's error
+    val reclaimedD1 = real.deleted.map(_.getPath.stripSuffix("/")).filter(_.contains("day=d1"))
+    reclaimedD1 should not be empty
+    val eAt = intercept[Exception](engine.readAt(table, firstCommit).collect())
+    reclaimedD1.exists(eAt.getMessage.contains) shouldBe true
+    // same law through timestamp-based time travel...
+    val ts = engine.log(table.name).find(_.id == firstCommit).get.timestamp
+    val eAsOf = intercept[Exception](engine.readAsOf(table, ts).collect())
+    reclaimedD1.exists(eAsOf.getMessage.contains) shouldBe true
+    // ...and through an explicit checkout of the vacuumed commit
+    engine.checkout(table.name, firstCommit)
+    try {
+      val eRead = intercept[Exception](engine.read(table).collect())
+      reclaimedD1.exists(eRead.getMessage.contains) shouldBe true
+    } finally engine.checkout(table.name, engine.log(table.name).head.id) // roll forward
+    // partitions whose versions survived the vacuum stay readable at the
+    // historical commit: the failure is per-reclaimed-partition, not global
+    engine.readAt(table, firstCommit, keep = _.columnValues.exists(_.value == "d2"))
+      .select("sensor", "day", "value").as[Reading].collect() should
+      contain theSameElementsAs Seq(Reading("b", "d2", 2.0))
   }
 
   it should "be a clean no-op when nothing is expirable" in {

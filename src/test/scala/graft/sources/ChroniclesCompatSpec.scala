@@ -89,6 +89,27 @@ class ChroniclesCompatSpec extends AnyFlatSpec with Matchers {
       tracker.updates(table, limit, offset) shouldBe full.slice(offset, offset + limit)
   }
 
+  it should "keyset-page FULL commits of a reference-layout store oldest-first" in {
+    val root = buildChroniclesStore()
+    val tracker = new FileBackedVersionTracker(root.toUri)
+    val full = tracker.tableState(table).updates // oldest first
+    // page size 1 forces the (mtime|name) cursor through a resume
+    val (p1, c1) = tracker.commitsPageAsc(table, 1, None)
+    p1.map(_.metadata.id.id) shouldBe List("commit-1")
+    c1 should not be empty
+    val (p2, c2) = tracker.commitsPageAsc(table, 1, c1)
+    p2.map(_.metadata.id.id) shouldBe List("commit-2")
+    (p1 ++ p2) shouldBe full
+    c2 should not be empty // full page: exhaustion surfaces on the next call
+    val (p3, c3) = tracker.commitsPageAsc(table, 1, c2)
+    p3 shouldBe Nil
+    c3 shouldBe None
+    // a one-shot walk agrees
+    tracker.commitsPageAsc(table, 10, None)._1 shouldBe full
+    an[IllegalArgumentException] should be thrownBy
+      tracker.commitsPageAsc(table, 1, Some("garbage-cursor"))
+  }
+
   it should "support checkout of historic commits in a reference-layout store" in {
     val root = buildChroniclesStore()
     val tracker = new FileBackedVersionTracker(root.toUri)
