@@ -280,27 +280,47 @@ trait VersionTracker {
    * lets a bulk consumer (export, replication) walk a 100k-commit history
    * holding O(page) commits — the eager analogue of the reference's lazily
    * streamed `TableState.updates` (fs2, reference VersionTracker.scala:137-151).
-   * Ascending iteration law: commits LANDING mid-iteration sort after the
-   * cursor and are picked up by later pages (unlike the descending page,
-   * which by design never sees them). Laws (pinned by the contract spec):
-   * concatenating pages == `tableState(t).updates`; the file and JDBC stores
-   * read O(listing) + O(page) documents/rows per call.
+   * Ascending iteration guarantee: every commit PRESENT AT ITERATION START
+   * is yielded exactly once. Commits landing mid-iteration are additionally
+   * picked up when their sort key is past the cursor — which monotonic
+   * same-process clocks always give, but cross-process clock skew can
+   * violate on the file store (a skewed writer's commit can sort below the
+   * cursor and be missed), the SAME assumption the store's commit-name
+   * ordering already makes (see FileBackedVersionTracker's header). Laws
+   * (pinned by the contract spec): concatenating pages ==
+   * `tableState(t).updates`; the file and JDBC stores read O(listing) +
+   * O(page) documents/rows per call.
    */
   def commitsPageAsc(
       table: TableName, limit: Int, after: Option[String]): (List[TableUpdate], Option[String]) = {
     VersionTracker.requireValidPage(limit, 0)
-    val all = tableState(table).updates
-    val start = after match {
-      case None => 0
-      case Some(tok) =>
-        val i = all.indexWhere(_.metadata.id.id == tok)
-        if (i < 0) throw UnknownCommitError(CommitId(tok))
-        i + 1
-    }
-    if (limit == 0) (Nil, after)
+    if (limit == 0) (Nil, after) // short-circuit BEFORE any history I/O, like the store overrides
     else {
+      val all = tableState(table).updates
+      val start = after match {
+        case None => 0
+        case Some(tok) =>
+          val i = all.indexWhere(_.metadata.id.id == tok)
+          if (i < 0) throw UnknownCommitError(CommitId(tok))
+          i + 1
+      }
       val page = all.slice(start, (start.toLong + limit).min(Int.MaxValue).toInt)
       (page, if (page.size < limit) None else page.lastOption.map(_.metadata.id.id))
+    }
+  }
+
+  /** Stream every commit oldest-first through `f`, holding O(pageSize)
+    * commits — the one shared walk loop over [[commitsPageAsc]] that export,
+    * migration, and probes all consume (same coverage guarantee as the
+    * paging method itself). */
+  final def forEachCommitAsc(table: TableName, pageSize: Int)(f: TableUpdate => Unit): Unit = {
+    var cursor: Option[String] = None
+    var more = true
+    while (more) {
+      val (page, next) = commitsPageAsc(table, pageSize, cursor)
+      page.foreach(f)
+      cursor = next
+      more = next.isDefined
     }
   }
 

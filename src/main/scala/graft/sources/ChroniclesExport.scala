@@ -52,13 +52,18 @@ object ChroniclesExport {
 
   /** Export every table of the tracker; returns the exported names.
     *
-    * All-or-nothing: every table is validated (partition representability
-    * AND destination-dir absence) BEFORE the first byte is written, so a
-    * failure on the Nth table cannot leave a partial destination store —
+    * All-or-nothing FOR THE HISTORY PRESENT WHEN THE EXPORT BEGAN: every
+    * table is validated (partition representability AND destination-dir
+    * absence) BEFORE the first byte is written, so a failure on the Nth
+    * table's pre-existing history cannot leave a partial destination store —
     * the per-table checks inside [[exportTable]] would otherwise only fire
-    * after earlier tables had already landed. Both the validation pass and
-    * the write pass walk the history in [[ExportPageSize]] keyset pages
-    * (two paged scans — the price of never materializing the log). */
+    * after earlier tables had already landed. The one residual: a commit
+    * LANDING mid-export with an unrepresentable partition postdates the
+    * validation pass and fails at its own write, truncating that table's
+    * export there (quiesce writers for a clean snapshot — an export is a
+    * snapshot copy by contract). Both passes walk the history in
+    * [[ExportPageSize]] keyset pages (two paged scans — the price of never
+    * materializing the log). */
   def exportAllTables(
       tracker: VersionTracker,
       destRoot: URI,
@@ -67,7 +72,7 @@ object ChroniclesExport {
     val tables = tracker.tables()
     val fs = FileSystem.get(destRoot, conf)
     tables.foreach { table =>
-      forEachCommit(tracker, table, pageSize)(requireRepresentable(table, _))
+      tracker.forEachCommitAsc(table, pageSize)(requireRepresentable(table, _))
       val dir = new Path(new Path(destRoot), "_chronicles_table_" + table.fullyQualifiedName)
       if (fs.exists(dir))
         throw new IllegalStateException(
@@ -93,21 +98,8 @@ object ChroniclesExport {
       pageSize: Int = ExportPageSize): Unit = {
     // currentRef doubles as the UnknownTableError probe for unknown tables
     tracker.currentRef(table)
-    forEachCommit(tracker, table, pageSize)(requireRepresentable(table, _))
+    tracker.forEachCommitAsc(table, pageSize)(requireRepresentable(table, _))
     writeTable(tracker, table, destRoot, conf, pageSize)
-  }
-
-  /** Walk the full history oldest-first in [[ExportPageSize]] keyset pages —
-    * O(page) commits in memory at any point. */
-  private def forEachCommit(tracker: VersionTracker, table: TableName, pageSize: Int)(
-      f: TableUpdate => Unit): Unit = {
-    var cursor: Option[String] = None
-    var done = false
-    while (!done) {
-      val (page, next) = tracker.commitsPageAsc(table, pageSize, cursor)
-      page.foreach(f)
-      if (next.isEmpty) done = true else cursor = next
-    }
   }
 
   private def writeTable(
@@ -126,10 +118,10 @@ object ChroniclesExport {
     write(fs, new Path(dir, "table-metadata"),
       mapper.createObjectNode().put("is_snapshot", tracker.isSnapshotTable(table)).toPrettyString)
 
-    // head BEFORE history: ascending pages see every commit present at
-    // iteration start (and any landing during it), so a head snapshotted
-    // first always has its commit in the exported set — the reverse order
-    // could export a head_ref pointing at a commit no page ever saw
+    // head BEFORE history: ascending pages yield every commit present at
+    // iteration start, so a head snapshotted first always has its commit in
+    // the exported set — the reverse order could export a head_ref pointing
+    // at a commit no page ever saw
     val head = tracker.currentRef(table)
 
     // filenames derive from each commit's own timestamp, bumped by 1 ms on
@@ -137,7 +129,7 @@ object ChroniclesExport {
     // mtime is set to the same instant so the reference's (mtime, name) sort
     // reconstructs exactly this order
     var lastMillis = Long.MinValue
-    forEachCommit(tracker, table, pageSize) { update =>
+    tracker.forEachCommitAsc(table, pageSize) { update =>
       // re-checked per commit: a commit landing AFTER the validation pass
       // must not be written unrepresentably (it can at worst truncate the
       // export at its own position — the pre-pass guarantee covers the
@@ -146,9 +138,7 @@ object ChroniclesExport {
       val millis = math.max(update.metadata.timestamp.toEpochMilli, lastMillis + 1)
       lastMillis = millis
       val name = "table_update_" + FilenameFormat.format(Instant.ofEpochMilli(millis))
-      val p = new Path(dir, name)
-      write(fs, p, chroniclesUpdateJson(update))
-      fs.setTimes(p, millis, -1)
+      writeWithMtime(fs, new Path(dir, name), chroniclesUpdateJson(update), millis)
     }
 
     write(fs, new Path(dir, "head_ref"),
@@ -202,9 +192,34 @@ object ChroniclesExport {
     }
   }
 
-  private def write(fs: FileSystem, path: Path, content: String): Unit = {
-    val out = fs.create(path, false)
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+  /** Exclusive-create write. Local filesystems bypass the Hadoop
+    * ChecksumFileSystem layer (NIO direct, CREATE_NEW keeps the
+    * fail-if-exists semantics) — measured ~7ms vs ~0.1ms per commit file,
+    * the difference between a 36s and a ~2s export of a 5,000-commit
+    * history (HistoryScaleProbe); remote stores keep the Hadoop path. */
+  private def write(fs: FileSystem, path: Path, content: String): Unit =
+    if ("file" == fs.getUri.getScheme) {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path.toUri.getPath),
+        content.getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      ()
+    } else {
+      val out = fs.create(path, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+  /** [[write]] + mtime stamp (the reference reconstructs order from
+    * (mtime, name), so each commit file's mtime must equal its filename
+    * instant). Same NIO fast path. */
+  private def writeWithMtime(fs: FileSystem, path: Path, content: String, mtimeMs: Long): Unit = {
+    write(fs, path, content)
+    if ("file" == fs.getUri.getScheme)
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(path.toUri.getPath),
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    else fs.setTimes(path, mtimeMs, -1)
+    ()
   }
 }

@@ -393,7 +393,7 @@ final class FileBackedVersionTracker(
   /** Commit documents parsed by this tracker instance — observability for
     * the O(tail) guarantee of [[currentVersion]] (the file-store analogue of
     * the JDBC tracker's `historyRowsScanned`; pinned by the fold-law spec). */
-  private[sources] val commitFilesParsed = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val commitFilesParsed = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def parseCommitFile(p: Path): TableUpdate = {
     commitFilesParsed.incrementAndGet()
@@ -502,16 +502,9 @@ final class FileBackedVersionTracker(
               val head = JsonCodecs.chroniclesHeadFromJson(read(new Path(src, ChroniclesHeadFile)))
                 .fold(e => sys.error(s"Corrupt chronicles head file in $src: $e"), CommitId.apply)
               val isSnapshot = isSnapshotTable(table)
-              var cursor: Option[String] = None
-              var more = true
-              while (more) {
-                // metadata not yet written => resolveTableDir still points
-                // at the chronicles source, so this pages the SOURCE history
-                val (page, next) = commitsPageAsc(table, MigratePageSize, cursor)
-                page.foreach(writeCommit(dir, _))
-                cursor = next
-                more = next.isDefined
-              }
+              // metadata not yet written => resolveTableDir still points at
+              // the chronicles source, so this pages the SOURCE history
+              forEachCommitAsc(table, MigratePageSize)(writeCommit(dir, _))
               writeAtomic(new Path(dir, HeadFile), head.id)
               // metadata file LAST: it is what flips layout resolution to the
               // graft dir, so a crash mid-migration leaves the (complete)

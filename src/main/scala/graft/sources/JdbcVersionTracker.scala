@@ -40,7 +40,7 @@ final class JdbcVersionTracker(
   /** Cumulative count of history rows fetched from the updates×operations
     * join by [[tableState]] — observability for the O(tail) guarantee (the
     * JDBC analogue of counting commit-file reads on the file store). */
-  @volatile private[sources] var historyRowsScanned: Long = 0L
+  @volatile private[graft] var historyRowsScanned: Long = 0L
 
   private val conn: Connection = {
     val c = DriverManager.getConnection(jdbcUrl)

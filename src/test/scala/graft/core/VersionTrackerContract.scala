@@ -219,9 +219,11 @@ trait VersionTrackerContract extends AnyFlatSpec with Matchers {
     for (size <- List(1, 3, 4, 8, 20))
       withClue(s"pageSize=$size: ") { walk(size) shouldBe full }
 
-    // ascending-iteration law: a commit landing mid-walk sorts AFTER the
-    // cursor, so later pages pick it up (the bulk-consumer-friendly dual of
-    // the descending page's stability)
+    // ascending-iteration law (monotonic clocks, as here): a commit landing
+    // mid-walk sorts AFTER the cursor, so later pages pick it up (the
+    // bulk-consumer-friendly dual of the descending page's stability;
+    // cross-process clock skew weakens this to present-at-start coverage —
+    // see the commitsPageAsc scaladoc)
     val (page1, cur1) = tr.commitsPageAsc(t, 3, None)
     val late = upd(AddPartitionVersion(p, Version.generate()))
     tr.commit(t, late)

@@ -281,9 +281,11 @@ class CorpusToolsSpec extends AnyFlatSpec with Matchers {
     val w = Map("hot" -> 20000L, "cold" -> -20000L)
     val out = CorpusTools.dsirSample(corpus, "id", "text", w, n = 8, seed = 1).collect()
     out.take(5).map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L, 4L, 5L)
-    // the quantized Gumbel perturbation stays inside its analytic bounds
-    // (u on the 2^16 grid: G in [-ln(-ln(0.5/65536)), -ln(-ln(65535.5/65536))])
-    all(out.map(r => r.getLong(2) - r.getLong(1))) should (be >= -2407L and be <= 11789L)
+    // the quantized Gumbel perturbation stays inside its analytic bounds:
+    // u on the 2^16 grid, so G = -ln(-ln u) ranges from u = 0.5/65536
+    // (G = -2.4667 → -2467 milli-nats) to u = 65535.5/65536 (G = 11.783
+    // → 11783 milli-nats)
+    all(out.map(r => r.getLong(2) - r.getLong(1))) should (be >= -2467L and be <= 11783L)
     // n larger than the corpus returns every doc, once
     CorpusTools.dsirSample(corpus, "id", "text", w, n = 100, seed = 1)
       .collect().map(_.getLong(0)).distinct should have length 30
