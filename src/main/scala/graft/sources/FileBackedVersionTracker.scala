@@ -245,13 +245,14 @@ final class FileBackedVersionTracker(
   }
 
   /** Keyset page off the commit-file LISTING: the cursor is the last-seen
-    * commit FILE NAME, and the page is the `limit` newest files whose names
-    * sort strictly BELOW it — so a commit landing between page reads (a
-    * NEWER name, by the monotonic clock) can never shift the window, unlike
+    * commit's sort key, and the page is the `limit` newest files sorting
+    * strictly BELOW it — so a commit landing between page reads (a NEWER
+    * key, by the monotonic clock) can never shift the window, unlike
     * [[updates(table,limit,offset)*]]'s offsets. Same cost shape as offset
-    * paging: O(listing) + O(page) document parses. Chronicles-layout tables
-    * page via the default commit-id-cursor implementation (their ordering
-    * needs mtimes, not just names). */
+    * paging: O(listing) + O(page) document parses. Graft layout cursors on
+    * the file NAME; chronicles layout on the reference's (mtime, name)
+    * order, cursor `"<mtimeMillis>|<name>"` (round 8 — previously fell back
+    * to a full-history materialization per page). */
   override def updatesPage(
       table: TableName, limit: Int, after: Option[String]): (List[TableUpdateMetadata], Option[String]) = {
     VersionTracker.requireValidPage(limit, 0)
@@ -270,8 +271,36 @@ final class FileBackedVersionTracker(
           (page.map(p => parseCommitFile(p).metadata),
             if (page.size < limit) None else page.lastOption.map(_.getName))
         }
-      case _ => super.updatesPage(table, limit, after)
+      case (dir, ChroniclesLayout) =>
+        if (limit == 0) (Nil, after)
+        else {
+          import scala.math.Ordering.Implicits._
+          val files = fs.listStatus(dir).toList
+            .filter(s => s.getPath.getName.startsWith(CommitFilePrefix))
+            .map(s => ((s.getModificationTime, s.getPath.getName), s.getPath))
+            .sortBy(_._1).reverse
+          val anchored = after match {
+            case None      => files
+            case Some(tok) => files.dropWhile(_._1 >= parseMtimeCursor(tok))
+          }
+          val page = anchored.take(limit)
+          (page.map(f => parseCommitFile(f._2).metadata),
+            if (page.size < limit) None
+            else page.lastOption.map { case ((ms, name), _) => s"$ms|$name" })
+        }
     }
+  }
+
+  /** `"<mtimeMillis>|<name>"` → (millis, name); the chronicles-layout page
+    * cursor shared by both paging directions. */
+  private def parseMtimeCursor(tok: String): (Long, String) = {
+    val sep = tok.indexOf('|')
+    (for {
+      _ <- Option.when(sep > 0)(())
+      ms <- tok.take(sep).toLongOption
+    } yield (ms, tok.drop(sep + 1))).getOrElse(
+      throw new IllegalArgumentException(
+        s"Bad page cursor '$tok': expected <mtimeMillis>|<name>"))
   }
 
   /** Ascending keyset page off the commit-file LISTING: the cursor is the
@@ -308,16 +337,8 @@ final class FileBackedVersionTracker(
             .map(s => ((s.getModificationTime, s.getPath.getName), s.getPath))
             .sortBy(_._1)
           val anchored = after match {
-            case None => files
-            case Some(tok) =>
-              val sep = tok.indexOf('|')
-              val key = (for {
-                _ <- Option.when(sep > 0)(())
-                ms <- tok.take(sep).toLongOption
-              } yield (ms, tok.drop(sep + 1))).getOrElse(
-                throw new IllegalArgumentException(
-                  s"Bad page cursor '$tok': expected <mtimeMillis>|<name>"))
-              files.dropWhile(_._1 <= key)
+            case None      => files
+            case Some(tok) => files.dropWhile(_._1 <= parseMtimeCursor(tok))
           }
           val page = anchored.take(limit)
           (page.map(f => parseCommitFile(f._2)),

@@ -89,6 +89,21 @@ class ChroniclesCompatSpec extends AnyFlatSpec with Matchers {
       tracker.updates(table, limit, offset) shouldBe full.slice(offset, offset + limit)
   }
 
+  it should "keyset-page the log of a reference-layout store newest-first on the (mtime, name) cursor" in {
+    val root = buildChroniclesStore()
+    val tracker = new FileBackedVersionTracker(root.toUri)
+    val (p1, c1) = tracker.updatesPage(table, 1, None)
+    p1.map(_.id.id) shouldBe List("commit-2")
+    c1 should not be empty
+    val (p2, c2) = tracker.updatesPage(table, 1, c1)
+    p2.map(_.id.id) shouldBe List("commit-1")
+    c2 should not be empty
+    tracker.updatesPage(table, 1, c2) shouldBe ((Nil, None))
+    (p1 ++ p2) shouldBe tracker.updates(table)
+    an[IllegalArgumentException] should be thrownBy
+      tracker.updatesPage(table, 1, Some("not-a-cursor"))
+  }
+
   it should "keyset-page FULL commits of a reference-layout store oldest-first" in {
     val root = buildChroniclesStore()
     val tracker = new FileBackedVersionTracker(root.toUri)
