@@ -27,6 +27,7 @@ import java.time.Instant
  *   graft-cli --store <uri> vacuum <schema.table> <location> [--keep-last N] [--apply]
  *   graft-cli --store <uri> migrate
  *   graft-cli --store <uri> export <destUri>
+ *   graft-cli --store <uri> sync <destUri>
  * }}}
  * `--store` may be omitted when `GRAFT_STORE` is set or a config file exists
  * (`--config <path>`, default `~/.graft/config`): a simple `key: value` file
@@ -246,6 +247,19 @@ object GraftCli {
         else exported.foreach(t => out.println(s"exported  ${t.fullyQualifiedName}"))
         0
 
+      // incremental catch-up of a previously exported store: appends only
+      // the commits the destination is missing (O(delta) writes) and moves
+      // its head_ref; absent tables degrade to a fresh export
+      case List("sync", dest) =>
+        val destUri = try new URI(dest) catch {
+          case e: java.net.URISyntaxException =>
+            out.println(s"error: bad destination '$dest': ${e.getMessage}"); return 2
+        }
+        val synced = graft.sources.ChroniclesExport.syncAllTables(tracker, destUri)
+        if (synced.isEmpty) out.println("nothing to sync")
+        else synced.foreach { case (t, n) => out.println(s"synced  ${t.fullyQualifiedName}  +$n") }
+        0
+
       case List("migrate") =>
         // convert reference-layout (_chronicles_table_*) stores under the
         // root into graft-v2 layout; file store only (the JDBC store has no
@@ -262,7 +276,7 @@ object GraftCli {
 
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|vacuum|migrate|export> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|vacuum|migrate|export|sync> ...""".stripMargin)
         2
     } catch {
       case e @ (_: UnknownTableError | _: UnknownCommitError |

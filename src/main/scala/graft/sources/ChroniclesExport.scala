@@ -102,6 +102,102 @@ object ChroniclesExport {
     writeTable(tracker, table, destRoot, conf, pageSize)
   }
 
+  /**
+   * INCREMENTAL write-back (replication): bring a previously exported
+   * chronicles store up to date with the source tracker by appending only
+   * the commits it is missing and moving its `head_ref` — O(delta) writes
+   * where a fresh [[exportTable]] of a 100k-commit log would be O(n) per
+   * sync. Correct because the chronicles layout is append-only: newer
+   * commits are just newer `table_update_` files, and the reference's
+   * (mtime, name) ordering puts appended files after existing ones (new
+   * names/mtimes continue strictly ascending from the destination's newest
+   * file). An absent destination table degrades to a fresh export.
+   *
+   * The sync point is recovered from the destination alone: its newest
+   * commit file (ONE document parsed) names the last replicated commit id;
+   * the source is then walked in ascending keyset pages, skipping up to
+   * that id. A destination head commit that does not exist in the source
+   * history means the stores diverged (or the destination was written from
+   * a different table) — refused loudly, nothing written. Source-side
+   * parses remain O(n) per sync (the skip-scan); WRITES — the expensive
+   * half — are O(delta), and memory stays O(page).
+   *
+   * @return the number of commits appended (full history size on a fresh
+   *         export)
+   */
+  def syncTable(
+      tracker: VersionTracker,
+      table: TableName,
+      destRoot: URI,
+      conf: Configuration = new Configuration(),
+      pageSize: Int = ExportPageSize): Long = {
+    val fs = FileSystem.get(destRoot, conf)
+    val dir = new Path(new Path(destRoot), "_chronicles_table_" + table.fullyQualifiedName)
+    tracker.currentRef(table) // UnknownTableError probe
+    if (!fs.exists(dir)) {
+      var total = 0L
+      tracker.forEachCommitAsc(table, pageSize) { u =>
+        requireRepresentable(table, u); total += 1
+      }
+      writeTable(tracker, table, destRoot, conf, pageSize)
+      return total
+    }
+    val newest = fs.listStatus(dir).toList
+      .filter(_.getPath.getName.startsWith("table_update_"))
+      .sortBy(s => (s.getModificationTime, s.getPath.getName))
+      .lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"Sync destination $dir exists but holds no commit files; " +
+          "delete it for a fresh export"))
+    val lastSynced = {
+      val n = mapper.readTree(read(fs, newest.getPath))
+      if (n == null || n.get("commit_id") == null)
+        throw new IllegalStateException(s"Corrupt exported commit file ${newest.getPath}")
+      n.get("commit_id").asText
+    }
+
+    // head BEFORE the walk, same discipline as writeTable. ONE skip-scan
+    // pass: nothing is written until the sync point is found, so the
+    // divergence check (lastSynced must exist in the source history) falls
+    // out of the same walk for free — no separate validation pass, because
+    // unlike the snapshot export, a sync is RESUMABLE by contract: a bad
+    // commit mid-delta truncates the sync at its own position and a re-run
+    // resumes (and re-fails) right there, never corrupting the replica.
+    val head = tracker.currentRef(table)
+    var appended = 0L
+    var lastMillis = newest.getModificationTime // names/mtimes continue ascending
+    var writing = false
+    tracker.forEachCommitAsc(table, pageSize) { update =>
+      if (writing) {
+        requireRepresentable(table, update)
+        val millis = math.max(update.metadata.timestamp.toEpochMilli, lastMillis + 1)
+        lastMillis = millis
+        val name = "table_update_" + FilenameFormat.format(Instant.ofEpochMilli(millis))
+        writeWithMtime(fs, new Path(dir, name), chroniclesUpdateJson(update), millis)
+        appended += 1
+      } else if (update.metadata.id.id == lastSynced) writing = true
+    }
+    if (!writing)
+      throw new IllegalStateException(
+        s"Sync destination $dir head commit '$lastSynced' is not in the source history of " +
+          s"$table — the stores have diverged (or the destination was exported from a " +
+          "different table); nothing was appended")
+    writeReplace(fs, new Path(dir, "head_ref"),
+      mapper.createObjectNode().put("head_ref", head.id).toPrettyString)
+    appended
+  }
+
+  /** [[syncTable]] for every table of the tracker; returns (table, commits
+    * appended) pairs. Unlike [[exportAllTables]] there is no all-or-nothing
+    * pre-pass across tables: a sync is an idempotent catch-up (re-running it
+    * resumes where the failure left off), not a snapshot copy. */
+  def syncAllTables(
+      tracker: VersionTracker,
+      destRoot: URI,
+      conf: Configuration = new Configuration(),
+      pageSize: Int = ExportPageSize): List[(TableName, Long)] =
+    tracker.tables().map(t => t -> syncTable(tracker, t, destRoot, conf, pageSize))
+
   private def writeTable(
       tracker: VersionTracker,
       table: TableName,
@@ -206,6 +302,30 @@ object ChroniclesExport {
       ()
     } else {
       val out = fs.create(path, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+  private def read(fs: FileSystem, path: Path): String =
+    if ("file" == fs.getUri.getScheme)
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path.toUri.getPath)), StandardCharsets.UTF_8)
+    else {
+      val in = fs.open(path)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    }
+
+  /** Overwriting write — for `head_ref`, the one file a sync REPLACES
+    * (commit files are only ever appended). */
+  private def writeReplace(fs: FileSystem, path: Path, content: String): Unit =
+    if ("file" == fs.getUri.getScheme) {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path.toUri.getPath),
+        content.getBytes(StandardCharsets.UTF_8))
+      ()
+    } else {
+      val out = fs.create(path, true)
       try out.write(content.getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }

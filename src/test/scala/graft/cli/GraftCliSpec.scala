@@ -293,6 +293,18 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     GraftCli.run(List("--store", dst.toUri.toString, "partitions", "exp.t"),
       new PrintWriter(sw, true)) shouldBe 0
     sw.toString should include("date=2024-05-01")
+
+    // incremental catch-up: new source commits flow to the replica via sync,
+    // O(delta) — and an up-to-date replica syncs +0
+    scli("partition", "add", "exp.t", "date=2024-05-02")._1 shouldBe 0
+    val (cs, outs) = scli("sync", dst.toUri.toString)
+    cs shouldBe 0
+    outs should include("synced  exp.t  +1")
+    val sw2 = new StringWriter()
+    GraftCli.run(List("--store", dst.toUri.toString, "partitions", "exp.t"),
+      new PrintWriter(sw2, true)) shouldBe 0
+    sw2.toString should include("date=2024-05-02")
+    scli("sync", dst.toUri.toString)._2 should include("synced  exp.t  +0")
   }
 
   it should "degrade to no-config on unreadable or malformed config paths" in {

@@ -193,6 +193,66 @@ class ChroniclesExportSpec extends AnyFlatSpec with Matchers {
     back.tableState(table).currentVersion shouldBe plain.tableState(table).currentVersion
   }
 
+  "syncTable" should "append only the missing commits and move head_ref (O(delta) replication)" in {
+    val (src, _) = newFileTracker()
+    populate(src) // init + 2 commits
+    val dest = Files.createTempDirectory("graft-sync-dst-")
+    // first sync of an absent destination = fresh export, full history
+    ChroniclesExport.syncTable(src, table, dest.toUri) shouldBe 3L
+    val filesAfterExport = Files.list(dest.resolve("_chronicles_table_db.events")).count()
+
+    // source moves on: two more commits
+    val v4 = Version.generate()
+    src.commit(table, TableUpdate(UserId("u4"), "day 3", Instant.parse("2024-01-04T00:00:00Z"),
+      List(TableOperation.AddPartitionVersion(Partition("date", "2024-01-03"), v4))))
+    src.commit(table, TableUpdate(UserId("u5"), "day 4", Instant.parse("2024-01-05T00:00:00Z"),
+      List(TableOperation.AddPartitionVersion(Partition("date", "2024-01-04"), Version.generate()))))
+
+    // catch-up appends exactly the delta...
+    ChroniclesExport.syncTable(src, table, dest.toUri) shouldBe 2L
+    Files.list(dest.resolve("_chronicles_table_db.events")).count() shouldBe filesAfterExport + 2
+    // ...and the replica reconstructs the identical history and head
+    val back = new FileBackedVersionTracker(dest.toUri)
+    back.tableState(table).updates shouldBe src.tableState(table).updates
+    back.tableState(table).currentVersion shouldBe src.tableState(table).currentVersion
+
+    // idempotent: an up-to-date replica syncs zero commits
+    ChroniclesExport.syncTable(src, table, dest.toUri) shouldBe 0L
+    back.tableState(table).updates shouldBe src.tableState(table).updates
+  }
+
+  it should "replicate a checked-out head without losing newer commits" in {
+    val (src, _) = newFileTracker()
+    populate(src)
+    val dest = Files.createTempDirectory("graft-sync-dst2-")
+    ChroniclesExport.syncTable(src, table, dest.toUri)
+    // source checks out the middle commit: no new commits, but the head moved
+    val mid = src.tableState(table).updates(1).metadata.id
+    src.setCurrentVersion(table, mid)
+    ChroniclesExport.syncTable(src, table, dest.toUri) shouldBe 0L
+    val back = new FileBackedVersionTracker(dest.toUri)
+    back.tableState(table).currentVersion shouldBe mid
+    back.tableState(table).updates should have size 3 // full history still there
+  }
+
+  it should "refuse a diverged destination instead of appending onto foreign history" in {
+    val (src, _) = newFileTracker()
+    populate(src)
+    val dest = Files.createTempDirectory("graft-sync-dst3-")
+    ChroniclesExport.syncTable(src, table, dest.toUri)
+    // a foreign commit file, newer than everything legitimate, whose id the
+    // source has never heard of
+    val dir = dest.resolve("_chronicles_table_db.events")
+    val foreign = dir.resolve("table_update_2030-01-01T00-00-00.000")
+    Files.write(foreign, ChroniclesExport.chroniclesUpdateJson(TableUpdate(
+      TableUpdateMetadata(CommitId("not-ours"), UserId("x"), "foreign", Instant.parse("2030-01-01T00:00:00Z")),
+      Nil)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.setLastModifiedTime(foreign,
+      java.nio.file.attribute.FileTime.fromMillis(Instant.parse("2030-01-01T00:00:00Z").toEpochMilli))
+    val e = intercept[IllegalStateException](ChroniclesExport.syncTable(src, table, dest.toUri))
+    e.getMessage should include("diverged")
+  }
+
   it should "export all tables or none: a failing table aborts before anything lands" in {
     val (src, _) = newFileTracker()
     populate(src) // 'db.events' — exportable
