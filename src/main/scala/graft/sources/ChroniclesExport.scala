@@ -122,6 +122,12 @@ object ChroniclesExport {
    * parses remain O(n) per sync (the skip-scan); WRITES — the expensive
    * half — are O(delta), and memory stays O(page).
    *
+   * CONCURRENT syncs of the SAME destination are the caller's orchestration
+   * concern (run one replicator per store): two racing syncs would each
+   * append the same delta under different file names, duplicating history
+   * in the replica. Same stance as the reference's cross-process writer
+   * discipline — its layout has no locking primitive to build on.
+   *
    * @return the number of commits appended (full history size on a fresh
    *         export)
    */
