@@ -237,28 +237,22 @@ object GraftCli {
 
       // the inverse of migrate: write this store's tables out as a store in
       // the reference's (chronicles) layout, readable by the reference
-      case List("export", dest) =>
-        val destUri = try new URI(dest) catch {
-          case e: java.net.URISyntaxException =>
-            out.println(s"error: bad destination '$dest': ${e.getMessage}"); return 2
-        }
+      case List("export", dest) => withDestUri(dest, out) { destUri =>
         val exported = graft.sources.ChroniclesExport.exportAllTables(tracker, destUri)
         if (exported.isEmpty) out.println("nothing to export")
         else exported.foreach(t => out.println(s"exported  ${t.fullyQualifiedName}"))
         0
+      }
 
       // incremental catch-up of a previously exported store: appends only
       // the commits the destination is missing (O(delta) writes) and moves
       // its head_ref; absent tables degrade to a fresh export
-      case List("sync", dest) =>
-        val destUri = try new URI(dest) catch {
-          case e: java.net.URISyntaxException =>
-            out.println(s"error: bad destination '$dest': ${e.getMessage}"); return 2
-        }
+      case List("sync", dest) => withDestUri(dest, out) { destUri =>
         val synced = graft.sources.ChroniclesExport.syncAllTables(tracker, destUri)
         if (synced.isEmpty) out.println("nothing to sync")
         else synced.foreach { case (t, n) => out.println(s"synced  ${t.fullyQualifiedName}  +$n") }
         0
+      }
 
       case List("migrate") =>
         // convert reference-layout (_chronicles_table_*) stores under the
@@ -282,8 +276,25 @@ object GraftCli {
       case e @ (_: UnknownTableError | _: UnknownCommitError |
                 _: TagExistsError | _: UnknownTagError) =>
         out.println(s"error: ${e.getMessage}"); 1
+      // routine operational refusals (export destination exists, sync
+      // replica diverged/empty/corrupt, chronicles-layout write refusal)
+      // surface as clean errors, not stack traces
+      case e @ (_: IllegalStateException | _: UnsupportedOperationException) =>
+        out.println(s"error: ${e.getMessage}"); 1
       case e: IllegalArgumentException =>
         out.println(s"error: ${e.getMessage}"); 2
+    }
+  }
+
+  /** Parse an export/sync destination URI, or the usage error (exit 2) —
+    * shared by the two commands that take one. */
+  private def withDestUri(dest: String, out: java.io.PrintWriter)(f: URI => Int): Int = {
+    val parsed = try Right(new URI(dest)) catch {
+      case e: java.net.URISyntaxException => Left(e.getMessage)
+    }
+    parsed match {
+      case Right(uri) => f(uri)
+      case Left(msg)  => out.println(s"error: bad destination '$dest': $msg"); 2
     }
   }
 

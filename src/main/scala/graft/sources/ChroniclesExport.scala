@@ -118,9 +118,21 @@ object ChroniclesExport {
    * the source is then walked in ascending keyset pages, skipping up to
    * that id. A destination head commit that does not exist in the source
    * history means the stores diverged (or the destination was written from
-   * a different table) — refused loudly, nothing written. Source-side
-   * parses remain O(n) per sync (the skip-scan); WRITES — the expensive
-   * half — are O(delta), and memory stays O(page).
+   * a different table) — refused loudly, nothing written. The skip phase
+   * also COUNTS the source prefix and compares it with the replica's
+   * commit-file count: a mismatch means the replica is not a faithful
+   * prefix of the source — e.g. a clock-skewed cross-process commit landed
+   * BELOW the sync point since the last sync (the skew caveat on
+   * [[VersionTracker.commitsPageAsc]]), or replica files were added or
+   * removed by hand — and appending would silently diverge, so it is
+   * refused with a pointer at re-export. Source-side parses remain O(n)
+   * per sync (the skip-scan); WRITES — the expensive half — are O(delta),
+   * and memory stays O(page). The O(n) skip-scan is deliberate, not an
+   * oversight: persisting a page cursor in the replica would make reads
+   * O(delta) but forfeits exactly this prefix-faithfulness check (and a
+   * cursor is only meaningful to the store that issued it) — at the
+   * measured 0.4s/5k commits (HistoryScaleProbe) the scan costs ~8s per
+   * sync of a 100k-commit log, a fair price for a checked replica.
    *
    * CONCURRENT syncs of the SAME destination are the caller's orchestration
    * concern (run one replicator per store): two racing syncs would each
@@ -141,17 +153,17 @@ object ChroniclesExport {
     val dir = new Path(new Path(destRoot), "_chronicles_table_" + table.fullyQualifiedName)
     tracker.currentRef(table) // UnknownTableError probe
     if (!fs.exists(dir)) {
-      var total = 0L
-      tracker.forEachCommitAsc(table, pageSize) { u =>
-        requireRepresentable(table, u); total += 1
-      }
-      writeTable(tracker, table, destRoot, conf, pageSize)
-      return total
+      // validate pass first (all-or-nothing for the pre-existing history,
+      // like exportTable), then the write walk's own count is returned —
+      // counting the validation walk instead would misreport when a commit
+      // lands between the two walks
+      tracker.forEachCommitAsc(table, pageSize)(requireRepresentable(table, _))
+      return writeTable(tracker, table, destRoot, conf, pageSize)
     }
-    val newest = fs.listStatus(dir).toList
+    val destCommitFiles = fs.listStatus(dir).toList
       .filter(_.getPath.getName.startsWith("table_update_"))
       .sortBy(s => (s.getModificationTime, s.getPath.getName))
-      .lastOption
+    val newest = destCommitFiles.lastOption
       .getOrElse(throw new IllegalStateException(
         s"Sync destination $dir exists but holds no commit files; " +
           "delete it for a fresh export"))
@@ -171,6 +183,7 @@ object ChroniclesExport {
     // resumes (and re-fails) right there, never corrupting the replica.
     val head = tracker.currentRef(table)
     var appended = 0L
+    var prefixCount = 0L // source commits up to and INCLUDING the sync point
     var lastMillis = newest.getModificationTime // names/mtimes continue ascending
     var writing = false
     tracker.forEachCommitAsc(table, pageSize) { update =>
@@ -179,17 +192,37 @@ object ChroniclesExport {
         val millis = math.max(update.metadata.timestamp.toEpochMilli, lastMillis + 1)
         lastMillis = millis
         val name = "table_update_" + FilenameFormat.format(Instant.ofEpochMilli(millis))
-        writeWithMtime(fs, new Path(dir, name), chroniclesUpdateJson(update), millis)
+        // temp + rename, unlike the fresh export's direct writes: a sync
+        // appends to a LIVE replica, and a reader's listing must never
+        // catch a half-written commit document
+        writeAtomicWithMtime(fs, new Path(dir, name), chroniclesUpdateJson(update), millis)
         appended += 1
-      } else if (update.metadata.id.id == lastSynced) writing = true
+      } else {
+        prefixCount += 1
+        if (update.metadata.id.id == lastSynced) {
+          // the prefix check fires AT the transition, before the first delta
+          // write — a mismatching replica is refused with nothing appended
+          if (prefixCount != destCommitFiles.size)
+            throw new IllegalStateException(
+              s"Sync destination $dir holds ${destCommitFiles.size} commit files but the " +
+                s"source history up to its head commit '$lastSynced' has $prefixCount " +
+                "commits — the replica is not a faithful prefix of the source (a " +
+                "clock-skewed commit landed below the sync point, or replica files were " +
+                "added/removed); nothing was appended — re-export for a faithful replica")
+          writing = true
+        }
+      }
     }
     if (!writing)
       throw new IllegalStateException(
         s"Sync destination $dir head commit '$lastSynced' is not in the source history of " +
           s"$table — the stores have diverged (or the destination was exported from a " +
           "different table); nothing was appended")
-    writeReplace(fs, new Path(dir, "head_ref"),
-      mapper.createObjectNode().put("head_ref", head.id).toPrettyString)
+    // head_ref is replaced ATOMICALLY (temp + rename), and only when it
+    // actually moved: a +0 catch-up leaves the replica byte-untouched
+    val headJson = mapper.createObjectNode().put("head_ref", head.id).toPrettyString
+    if (read(fs, new Path(dir, "head_ref")) != headJson)
+      writeReplaceAtomic(fs, new Path(dir, "head_ref"), headJson)
     appended
   }
 
@@ -204,12 +237,15 @@ object ChroniclesExport {
       pageSize: Int = ExportPageSize): List[(TableName, Long)] =
     tracker.tables().map(t => t -> syncTable(tracker, t, destRoot, conf, pageSize))
 
+  /** Write the full history + head into a FRESH directory; returns the
+    * number of commits written (counted in the same walk that writes, so
+    * the figure is exact even if a commit lands mid-export). */
   private def writeTable(
       tracker: VersionTracker,
       table: TableName,
       destRoot: URI,
       conf: Configuration,
-      pageSize: Int): Unit = {
+      pageSize: Int): Long = {
     val fs = FileSystem.get(destRoot, conf)
     val dir = new Path(new Path(destRoot), "_chronicles_table_" + table.fullyQualifiedName)
     if (fs.exists(dir))
@@ -231,6 +267,7 @@ object ChroniclesExport {
     // mtime is set to the same instant so the reference's (mtime, name) sort
     // reconstructs exactly this order
     var lastMillis = Long.MinValue
+    var written = 0L
     tracker.forEachCommitAsc(table, pageSize) { update =>
       // re-checked per commit: a commit landing AFTER the validation pass
       // must not be written unrepresentably (it can at worst truncate the
@@ -241,10 +278,12 @@ object ChroniclesExport {
       lastMillis = millis
       val name = "table_update_" + FilenameFormat.format(Instant.ofEpochMilli(millis))
       writeWithMtime(fs, new Path(dir, name), chroniclesUpdateJson(update), millis)
+      written += 1
     }
 
     write(fs, new Path(dir, "head_ref"),
       mapper.createObjectNode().put("head_ref", head.id).toPrettyString)
+    written
   }
 
   /** One commit rendered as the reference's snake_case commit document. */
@@ -322,19 +361,45 @@ object ChroniclesExport {
       finally in.close()
     }
 
-  /** Overwriting write — for `head_ref`, the one file a sync REPLACES
-    * (commit files are only ever appended). */
-  private def writeReplace(fs: FileSystem, path: Path, content: String): Unit =
-    if ("file" == fs.getUri.getScheme) {
-      java.nio.file.Files.write(
+  /** Atomic-appearance write for a file readers may be LISTING right now
+    * (the sync path): content + mtime land on a temp name, then one rename
+    * publishes the finished file — a replica reader can never parse a
+    * half-written commit document (the same temp+rename discipline
+    * [[FileBackedVersionTracker]] uses for its own commit files). */
+  private def writeAtomicWithMtime(fs: FileSystem, path: Path, content: String, mtimeMs: Long): Unit = {
+    val tmp = new Path(path.getParent, s".${path.getName}.tmp-${java.util.UUID.randomUUID()}")
+    writeWithMtime(fs, tmp, content, mtimeMs)
+    if ("file" == fs.getUri.getScheme)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
         java.nio.file.Paths.get(path.toUri.getPath),
-        content.getBytes(StandardCharsets.UTF_8))
-      ()
-    } else {
-      val out = fs.create(path, true)
-      try out.write(content.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else if (!fs.rename(tmp, path)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"Sync commit-file rename failed for $path")
     }
+    ()
+  }
+
+  /** Atomic REPLACE — for `head_ref`, the one file a sync overwrites in a
+    * live replica: temp + rename-over, so a reader never observes a
+    * truncated or absent head (a crash mid-sync leaves the OLD head, which
+    * is a consistent, merely stale, replica). */
+  private def writeReplaceAtomic(fs: FileSystem, path: Path, content: String): Unit = {
+    val tmp = new Path(path.getParent, s".${path.getName}.tmp-${java.util.UUID.randomUUID()}")
+    write(fs, tmp, content)
+    if ("file" == fs.getUri.getScheme)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(path.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else
+      // FileContext's OVERWRITE rename, like the tracker's head swap: plain
+      // FileSystem.rename refuses existing targets on several stores
+      org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, fs.getConf)
+        .rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
 
   /** [[write]] + mtime stamp (the reference reconstructs order from
     * (mtime, name), so each commit file's mtime must equal its filename

@@ -259,37 +259,56 @@ final class FileBackedVersionTracker(
     resolveTableDir(table) match {
       case (dir, GraftLayout) =>
         if (limit == 0) (Nil, after)
-        else {
-          val names = fs.listStatus(dir).toList.map(_.getPath)
-            .filter(p => p.getName.startsWith(CommitFilePrefix) && p.getName.endsWith(".json"))
-            .sortBy(_.getName).reverse
-          val anchored = after match {
-            case None      => names
-            case Some(tok) => names.dropWhile(_.getName >= tok)
-          }
-          val page = anchored.take(limit)
-          (page.map(p => parseCommitFile(p).metadata),
-            if (page.size < limit) None else page.lastOption.map(_.getName))
-        }
+        else keysetPage(graftNameListing(dir).reverse, limit, after,
+          isPast = (k: String, a: String) => k < a,
+          renderCursor = identity[String])(p => parseCommitFile(p).metadata)
       case (dir, ChroniclesLayout) =>
         if (limit == 0) (Nil, after)
-        else {
-          import scala.math.Ordering.Implicits._
-          val files = fs.listStatus(dir).toList
-            .filter(s => s.getPath.getName.startsWith(CommitFilePrefix))
-            .map(s => ((s.getModificationTime, s.getPath.getName), s.getPath))
-            .sortBy(_._1).reverse
-          val anchored = after match {
-            case None      => files
-            case Some(tok) => files.dropWhile(_._1 >= parseMtimeCursor(tok))
-          }
-          val page = anchored.take(limit)
-          (page.map(f => parseCommitFile(f._2).metadata),
-            if (page.size < limit) None
-            else page.lastOption.map { case ((ms, name), _) => s"$ms|$name" })
-        }
+        else keysetPage(chroniclesListing(dir).reverse, limit, after.map(parseMtimeCursor),
+          isPast = mtimeOrd.lt, renderCursor = renderMtimeCursor)(p => parseCommitFile(p).metadata)
     }
   }
+
+  // ---- shared keyset-page core (both layouts, both directions) ----
+
+  /** One page off an already-ordered (sortKey, path) listing: drop entries
+    * not strictly PAST the anchor (in listing order), take `limit`, project,
+    * and render the next cursor from the page's last key. The four
+    * layout×direction paging branches all reduce to this. */
+  private def keysetPage[K, A](
+      ordered: List[(K, Path)],
+      limit: Int,
+      after: Option[K],
+      isPast: (K, K) => Boolean,
+      renderCursor: K => String)(project: Path => A): (List[A], Option[String]) = {
+    val anchored = after match {
+      case None    => ordered
+      case Some(k) => ordered.dropWhile(f => !isPast(f._1, k))
+    }
+    val page = anchored.take(limit)
+    (page.map(f => project(f._2)),
+      if (page.size < limit) None else page.lastOption.map(f => renderCursor(f._1)))
+  }
+
+  /** Graft-layout commit files keyed+sorted ASCENDING by name (== commit
+    * order); `.reverse` for the newest-first direction. */
+  private def graftNameListing(dir: Path): List[(String, Path)] =
+    fs.listStatus(dir).toList.map(_.getPath)
+      .filter(p => p.getName.startsWith(CommitFilePrefix) && p.getName.endsWith(".json"))
+      .map(p => (p.getName, p))
+      .sortBy(_._1)
+
+  /** Chronicles-layout commit files keyed+sorted ASCENDING by the
+    * reference's (mtime, name) order; `.reverse` for newest-first. */
+  private def chroniclesListing(dir: Path): List[((Long, String), Path)] =
+    fs.listStatus(dir).toList
+      .filter(s => s.getPath.getName.startsWith(CommitFilePrefix))
+      .map(s => ((s.getModificationTime, s.getPath.getName), s.getPath))
+      .sortBy(_._1)
+
+  private val mtimeOrd = implicitly[Ordering[(Long, String)]]
+
+  private def renderMtimeCursor(k: (Long, String)): String = s"${k._1}|${k._2}"
 
   /** `"<mtimeMillis>|<name>"` → (millis, name); the chronicles-layout page
     * cursor shared by both paging directions. */
@@ -316,35 +335,13 @@ final class FileBackedVersionTracker(
     resolveTableDir(table) match {
       case (dir, GraftLayout) =>
         if (limit == 0) (Nil, after)
-        else {
-          val names = fs.listStatus(dir).toList.map(_.getPath)
-            .filter(p => p.getName.startsWith(CommitFilePrefix) && p.getName.endsWith(".json"))
-            .sortBy(_.getName)
-          val anchored = after match {
-            case None      => names
-            case Some(tok) => names.dropWhile(_.getName <= tok)
-          }
-          val page = anchored.take(limit)
-          (page.map(parseCommitFile),
-            if (page.size < limit) None else page.lastOption.map(_.getName))
-        }
+        else keysetPage(graftNameListing(dir), limit, after,
+          isPast = (k: String, a: String) => k > a,
+          renderCursor = identity[String])(parseCommitFile)
       case (dir, ChroniclesLayout) =>
         if (limit == 0) (Nil, after)
-        else {
-          import scala.math.Ordering.Implicits._
-          val files = fs.listStatus(dir).toList
-            .filter(s => s.getPath.getName.startsWith(CommitFilePrefix))
-            .map(s => ((s.getModificationTime, s.getPath.getName), s.getPath))
-            .sortBy(_._1)
-          val anchored = after match {
-            case None      => files
-            case Some(tok) => files.dropWhile(_._1 <= parseMtimeCursor(tok))
-          }
-          val page = anchored.take(limit)
-          (page.map(f => parseCommitFile(f._2)),
-            if (page.size < limit) None
-            else page.lastOption.map { case ((ms, name), _) => s"$ms|$name" })
-        }
+        else keysetPage(chroniclesListing(dir), limit, after.map(parseMtimeCursor),
+          isPast = mtimeOrd.gt, renderCursor = renderMtimeCursor)(parseCommitFile)
     }
   }
 

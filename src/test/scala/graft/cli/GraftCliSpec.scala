@@ -305,6 +305,14 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
       new PrintWriter(sw2, true)) shouldBe 0
     sw2.toString should include("date=2024-05-02")
     scli("sync", dst.toUri.toString)._2 should include("synced  exp.t  +0")
+
+    // operational refusals surface as clean errors, not stack traces:
+    // re-exporting over the existing replica is an IllegalStateException
+    // inside the library, exit 1 + "error:" out here
+    val (ce, oute) = scli("export", dst.toUri.toString)
+    ce shouldBe 1
+    oute should include("error:")
+    oute should include("already exists")
   }
 
   it should "degrade to no-config on unreadable or malformed config paths" in {

@@ -235,6 +235,28 @@ class ChroniclesExportSpec extends AnyFlatSpec with Matchers {
     back.tableState(table).updates should have size 3 // full history still there
   }
 
+  it should "refuse a replica that is not a faithful prefix, before appending anything" in {
+    val (src, _) = newFileTracker()
+    populate(src)
+    val dest = Files.createTempDirectory("graft-sync-dst4-")
+    ChroniclesExport.syncTable(src, table, dest.toUri)
+    // a replica commit file vanishes mid-history (hand-pruned replica — the
+    // same signature a clock-skewed below-sync-point source commit leaves:
+    // prefix counts disagree)
+    val dir = dest.resolve("_chronicles_table_db.events")
+    import scala.jdk.CollectionConverters._
+    val middle = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("table_update_")).toList
+      .sortBy(_.getFileName.toString).apply(1)
+    Files.delete(middle)
+    src.commit(table, TableUpdate(UserId("u"), "more", Instant.now(),
+      List(TableOperation.AddPartitionVersion(Partition("date", "2024-02-01"), Version.generate()))))
+    val before = Files.list(dir).count()
+    val e = intercept[IllegalStateException](ChroniclesExport.syncTable(src, table, dest.toUri))
+    e.getMessage should include("not a faithful prefix")
+    Files.list(dir).count() shouldBe before // nothing appended
+  }
+
   it should "refuse a diverged destination instead of appending onto foreign history" in {
     val (src, _) = newFileTracker()
     populate(src)
