@@ -235,6 +235,40 @@ class ChroniclesExportSpec extends AnyFlatSpec with Matchers {
     back.tableState(table).updates should have size 3 // full history still there
   }
 
+  it should "stay a faithful readable prefix while racing a live writer" in {
+    val (src, _) = newFileTracker()
+    src.initTable(table, isSnapshot = false, UserId("u"), "init", Instant.now())
+    val dest = Files.createTempDirectory("graft-sync-race-")
+    val n = 30
+    val writer = new Thread(() => {
+      (1 to n).foreach { i =>
+        src.commit(table, TableUpdate(UserId("w"), s"c$i", Instant.now(),
+          List(TableOperation.AddPartitionVersion(Partition("date", f"2024-03-$i%02d"), Version.generate()))))
+        Thread.sleep(5)
+      }
+    })
+    writer.start()
+    try {
+      // repeated catch-ups while the writer commits: after EVERY sync the
+      // replica must read back as a faithful prefix of the (later-read)
+      // source — ids in order, head resolvable — never a torn or gapped state
+      (1 to 8).foreach { _ =>
+        ChroniclesExport.syncTable(src, table, dest.toUri)
+        val replica = new FileBackedVersionTracker(dest.toUri)
+        val rIds = replica.tableState(table).updates.map(_.metadata.id)
+        val sIds = src.tableState(table).updates.map(_.metadata.id)
+        rIds shouldBe sIds.take(rIds.size)
+        noException should be thrownBy replica.currentVersion(table)
+        Thread.sleep(10)
+      }
+    } finally writer.join()
+    // quiesced: one final catch-up converges to exact equality
+    ChroniclesExport.syncTable(src, table, dest.toUri)
+    val replica = new FileBackedVersionTracker(dest.toUri)
+    replica.tableState(table).updates shouldBe src.tableState(table).updates
+    replica.tableState(table).currentVersion shouldBe src.tableState(table).currentVersion
+  }
+
   it should "refuse a replica that is not a faithful prefix, before appending anything" in {
     val (src, _) = newFileTracker()
     populate(src)
