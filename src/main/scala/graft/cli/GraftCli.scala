@@ -278,7 +278,12 @@ object GraftCli {
         out.println(s"error: ${e.getMessage}"); 1
       // routine operational refusals (export destination exists, sync
       // replica diverged/empty/corrupt, chronicles-layout write refusal)
-      // surface as clean errors, not stack traces
+      // surface as clean errors, not stack traces. Deliberately NOT caught:
+      // sys.error corruption reports (RuntimeException — a corrupt store is
+      // an incident, its stack trace is evidence) and everything else, so a
+      // genuine internal bug still fails loudly rather than being relabeled
+      // a refusal; the message is printed either way, only the framing and
+      // exit path differ.
       case e @ (_: IllegalStateException | _: UnsupportedOperationException) =>
         out.println(s"error: ${e.getMessage}"); 1
       case e: IllegalArgumentException =>

@@ -219,10 +219,17 @@ object ChroniclesExport {
           s"$table — the stores have diverged (or the destination was exported from a " +
           "different table); nothing was appended")
     // head_ref is replaced ATOMICALLY (temp + rename), and only when it
-    // actually moved: a +0 catch-up leaves the replica byte-untouched
+    // actually moved: a +0 catch-up leaves the replica byte-untouched. An
+    // ABSENT head_ref is repaired, not crashed on: export/sync write it
+    // last, so a crashed run leaves commit files with no head — this sync
+    // appends the remaining delta and creates the head, converging the
+    // replica instead of wedging it permanently head-less.
+    val headPath = new Path(dir, "head_ref")
     val headJson = mapper.createObjectNode().put("head_ref", head.id).toPrettyString
-    if (read(fs, new Path(dir, "head_ref")) != headJson)
-      writeReplaceAtomic(fs, new Path(dir, "head_ref"), headJson)
+    val existing =
+      try Some(read(fs, headPath))
+      catch { case _: java.io.FileNotFoundException => None }
+    if (!existing.contains(headJson)) writeReplaceAtomic(fs, headPath, headJson)
     appended
   }
 
@@ -351,10 +358,18 @@ object ChroniclesExport {
       finally out.close()
     }
 
+  /** Read; a missing file surfaces as FileNotFoundException on BOTH I/O
+    * branches (NIO's NoSuchFileException is converted — the same
+    * normalization [[FileBackedVersionTracker]]'s read does, so callers can
+    * catch one type regardless of scheme). */
   private def read(fs: FileSystem, path: Path): String =
     if ("file" == fs.getUri.getScheme)
-      new String(java.nio.file.Files.readAllBytes(
+      try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path.toUri.getPath)), StandardCharsets.UTF_8)
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          throw new java.io.FileNotFoundException(e.getFile)
+      }
     else {
       val in = fs.open(path)
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
@@ -388,13 +403,22 @@ object ChroniclesExport {
   private def writeReplaceAtomic(fs: FileSystem, path: Path, content: String): Unit = {
     val tmp = new Path(path.getParent, s".${path.getName}.tmp-${java.util.UUID.randomUUID()}")
     write(fs, tmp, content)
-    if ("file" == fs.getUri.getScheme)
+    if ("file" == fs.getUri.getScheme) {
+      // drop any stale Hadoop checksum sidecar BEFORE the swap: a replica
+      // written through ChecksumFileSystem (pre-round-8 exports) carries a
+      // .head_ref.crc that would no longer match the NIO-replaced content,
+      // and Hadoop-layer readers — the reference implementation itself —
+      // would fail the whole read on it. A missing crc merely skips
+      // verification; a stale one poisons the file.
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        new Path(path.getParent, s".${path.getName}.crc").toUri.getPath))
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tmp.toUri.getPath),
         java.nio.file.Paths.get(path.toUri.getPath),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    else
+      ()
+    } else
       // FileContext's OVERWRITE rename, like the tracker's head swap: plain
       // FileSystem.rename refuses existing targets on several stores
       org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, fs.getConf)

@@ -269,6 +269,48 @@ class ChroniclesExportSpec extends AnyFlatSpec with Matchers {
     replica.tableState(table).currentVersion shouldBe src.tableState(table).currentVersion
   }
 
+  it should "repair a head-less replica (crashed export) instead of wedging it" in {
+    val (src, _) = newFileTracker()
+    populate(src)
+    val dest = Files.createTempDirectory("graft-sync-dst5-")
+    ChroniclesExport.syncTable(src, table, dest.toUri)
+    val dir = dest.resolve("_chronicles_table_db.events")
+    // simulate the crash window: export/sync write head_ref LAST, so a
+    // crashed run leaves commit files with no head — the replica is
+    // unreadable until repaired
+    Files.delete(dir.resolve("head_ref"))
+    src.commit(table, TableUpdate(UserId("u"), "post-crash", Instant.now(),
+      List(TableOperation.AddPartitionVersion(Partition("date", "2024-02-02"), Version.generate()))))
+    // the next sync appends the delta AND recreates the head: converged
+    ChroniclesExport.syncTable(src, table, dest.toUri) shouldBe 1L
+    val back = new FileBackedVersionTracker(dest.toUri)
+    back.tableState(table).updates shouldBe src.tableState(table).updates
+    back.tableState(table).currentVersion shouldBe src.tableState(table).currentVersion
+  }
+
+  it should "drop a stale Hadoop checksum sidecar when replacing head_ref" in {
+    val (src, _) = newFileTracker()
+    populate(src)
+    val dest = Files.createTempDirectory("graft-sync-dst6-")
+    ChroniclesExport.syncTable(src, table, dest.toUri)
+    val dir = dest.resolve("_chronicles_table_db.events")
+    // a pre-round-8 export (Hadoop ChecksumFileSystem writes) left a crc
+    // sidecar for head_ref; after an NIO in-place replace it would be STALE,
+    // and Hadoop-layer readers — the reference implementation — fail a read
+    // whose crc mismatches (a MISSING crc merely skips verification)
+    val crc = dir.resolve(".head_ref.crc")
+    Files.write(crc, Array[Byte](1, 2, 3, 4))
+    src.commit(table, TableUpdate(UserId("u"), "move head", Instant.now(),
+      List(TableOperation.AddPartitionVersion(Partition("date", "2024-02-03"), Version.generate()))))
+    ChroniclesExport.syncTable(src, table, dest.toUri) shouldBe 1L
+    Files.exists(crc) shouldBe false // stale sidecar removed with the swap
+    // and a Hadoop-layer (checksummed) reader can open the store cleanly
+    val hfs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val in = hfs.open(new org.apache.hadoop.fs.Path(dir.resolve("head_ref").toUri))
+    try new String(in.readAllBytes()) should include(src.currentRef(table).id)
+    finally in.close()
+  }
+
   it should "refuse a replica that is not a faithful prefix, before appending anything" in {
     val (src, _) = newFileTracker()
     populate(src)
