@@ -523,4 +523,159 @@ object CorpusTools {
       .agg(count(lit(1)).as("term_freq"), countDistinct(col(idCol)).as("doc_freq"))
       .orderBy(col("term_freq").desc, col("token"))
       .limit(k)
+
+  /**
+   * Per-document duplicated-span statistics — the document-level view of
+   * [[repeatedWindows]], after Lee et al. 2022 ("Deduplicating Training Data
+   * Makes Language Models Better"), whose ExactSubstr pipeline measures how
+   * much of each document is covered by substrings that recur elsewhere in
+   * the corpus. The suffix-array formulation is sequential; this windowed
+   * form is the distributed equivalent at fixed span length `n`: a token
+   * position is "duplicated" iff some `n`-token window containing it appears
+   * in at least `minDocs` distinct documents.
+   *
+   * Shape: posexplode the sliding windows (one row per token position,
+   * linear), aggregate window frequencies (two-phase, map-side combine on
+   * within-doc repeats), join the repeated set back onto the positions, then
+   * ONE per-document window (ordered by position) merges overlapping spans —
+   * `sum(least(next_pos - pos, n))` with the last span contributing `n` is
+   * exactly the merged-interval coverage, no interval list ever materialized.
+   * Three shuffles, all linear in token count; per-doc window partitions are
+   * bounded by document length.
+   *
+   * With `hashKey` (the 100 TB default) the window key is `xxhash64` of the
+   * span, so the wide shuffles carry 8 bytes per position instead of the
+   * span text; `hashKey = false` keeps the text key for engine-neutral
+   * replay (the driver oracle) — [[CorpusToolsSpec]] pins both keyings to
+   * identical results.
+   *
+   * @return one row per input document: (idCol, `n_tokens`, `dup_windows`
+   *         — positions whose window recurs, `dup_tokens` — merged token
+   *         coverage), zero-filled for documents with no duplicated spans.
+   */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Int = 2,
+      hashKey: Boolean = true): DataFrame = {
+    require(n >= 2, s"window must span at least 2 tokens, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-document recurrence), got $minDocs")
+    val wins = df.select(col(idCol).as("__id"),
+        posexplode(graft.functions.VectorExpressions.wordShingles(col(textCol), n))
+          .as(Seq("__pos", "__win")))
+      .withColumn("__key", if (hashKey) xxhash64(col("__win")) else col("__win"))
+      .select("__id", "__pos", "__key")
+    val dup = wins.groupBy(col("__key"), col("__id")).agg(count(lit(1)).as("__occ"))
+      .groupBy(col("__key")).agg(count(lit(1)).as("__n_docs"))
+      .filter(col("__n_docs") >= minDocs)
+      .select("__key")
+    val hits = wins.join(dup, Seq("__key"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val stats = hits
+      .withColumn("__next", lead(col("__pos"), 1).over(w))
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("dup_windows"),
+        sum(least(coalesce(col("__next") - col("__pos"), lit(n)), lit(n))).as("dup_tokens"))
+    df.select(col(idCol),
+        size(graft.functions.TextFunctions.tokens(col(textCol))).as("n_tokens"))
+      .join(stats, col(idCol) === col("__id"), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
+  /**
+   * Cut duplicated spans out of each document — the "remove" arm of the Lee
+   * et al. recipe that [[duplicatedSpans]] measures: every token position
+   * covered by a cross-document repeated `n`-token window is dropped, the
+   * survivors are reassembled in order. Operates on the normalized
+   * (lowercased, whitespace-split) tokenization the window mining sees, so
+   * cut boundaries land exactly on the measured spans.
+   *
+   * Adds one linear stage over [[duplicatedSpans]]: each repeated-window hit
+   * explodes into its `n` covered positions (bounded blowup ×n of only the
+   * DUPLICATED positions), distinct-collapses, and anti-joins the exploded
+   * token list; reassembly is the same ordered-struct fold as
+   * [[removeBoilerplateLines]] — per-document work bounded by document
+   * length, nothing driver-side.
+   *
+   * @return the input frame with `textCol` rewritten (documents that were
+   *         entirely duplicated spans become empty strings).
+   */
+  def stripRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"window must span at least 2 tokens, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-document recurrence), got $minDocs")
+    val wins = df.select(col(idCol).as("__id"),
+      posexplode(graft.functions.VectorExpressions.wordShingles(col(textCol), n))
+        .as(Seq("__pos", "__win")))
+    val dup = wins.groupBy(col("__win"), col("__id")).agg(count(lit(1)).as("__occ"))
+      .groupBy(col("__win")).agg(count(lit(1)).as("__n_docs"))
+      .filter(col("__n_docs") >= minDocs)
+      .select("__win")
+    val covered = wins.join(dup, Seq("__win"))
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__tpos"))
+      .distinct()
+    val toks = df.select(col(idCol).as("__id"),
+      posexplode(graft.functions.TextFunctions.tokens(col(textCol))).as(Seq("__tpos", "__tok")))
+    val rebuilt = toks.join(covered, Seq("__id", "__tpos"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("__tpos"), col("__tok")))),
+          x => x.getField("__tok"))).as("__new_text"))
+    df.join(rebuilt, df(idCol) === col("__id"), "left")
+      .withColumn(textCol, coalesce(col("__new_text"), lit("")))
+      .drop("__id", "__new_text")
+  }
+
+  /**
+   * Fixed-budget document chunking with overlap — the context-window prep
+   * step of retrieval and long-document training pipelines: split each
+   * document into windows of at most `maxTokens` whitespace tokens, adjacent
+   * chunks sharing `overlap` tokens. Chunk starts advance by
+   * `maxTokens - overlap`; a start is emitted while it is below
+   * `n_tokens - overlap` (plus the mandatory start 0), so the final short
+   * chunk is kept but a tail chunk that would add no new tokens is not.
+   *
+   * Pure per-row projection — tokenize, compute starts, slice — then one
+   * posexplode: no shuffle at all, chunk ids are deterministic (0-based in
+   * document order), and the arithmetic is integral, so any engine replays
+   * the chunking bit-exactly. Token text is preserved as-is (no case
+   * folding): chunks are payload, not features.
+   *
+   * @return one row per chunk: (idCol, `chunk_id`, `chunk_start` — token
+   *         offset of the chunk, `n_chunk_tokens`, `chunk_text`). Documents
+   *         with zero tokens yield no chunks.
+   */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap for maxTokens=$maxTokens")
+    val step = maxTokens - overlap
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    val starts = sequence(lit(0), greatest(size(col("__toks")) - lit(overlap + 1), lit(0)), lit(step))
+    df.select(col(idCol), col(textCol))
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__starts", starts)
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__starts")).as(Seq("chunk_id", "chunk_start")))
+      .select(col(idCol), col("chunk_id"), col("chunk_start"),
+        least(lit(maxTokens), size(col("__toks")) - col("chunk_start")).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__toks"), col("chunk_start") + lit(1), lit(maxTokens)))
+          .as("chunk_text"))
+  }
 }

@@ -147,7 +147,28 @@ object CorpusQueries {
     "q_split_assign" -> ((s, d) =>
       CorpusTools.splitAssign(Tables.documents(s, d), idCol = "doc_id", seed = "split",
           splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select("doc_id", "source", "split"))
+        .select("doc_id", "source", "split")),
+
+    // per-document duplicated-span coverage (Lee et al. substring-dedup
+    // measurement): merged token coverage of cross-document repeated 8-token
+    // windows. Text window keys here so the oracle replays them; the
+    // hashKey=true production twin is pinned equal in CorpusToolsSpec.
+    "q_dup_spans" -> ((s, d) =>
+      CorpusTools.duplicatedSpans(Tables.documents(s, d),
+        idCol = "doc_id", textCol = "text", n = 8, minDocs = 2, hashKey = false)),
+
+    // the matching removal arm: cut every duplicated-span token position,
+    // reassemble survivors in order
+    "q_strip_spans" -> ((s, d) =>
+      CorpusTools.stripRepeatedSpans(Tables.documents(s, d),
+          idCol = "doc_id", textCol = "text", n = 8, minDocs = 2)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n_clean"))),
+
+    // context-window chunking with overlap (32-token chunks, 8 shared):
+    // pure projection + posexplode, no shuffle
+    "q_chunk_docs" -> ((s, d) =>
+      CorpusTools.chunkDocuments(Tables.documents(s, d),
+        idCol = "doc_id", textCol = "text", maxTokens = 32, overlap = 8))
   )
 
   /** Deterministic multi-line view of the corpus: each doc's words chunked
@@ -347,6 +368,78 @@ object CorpusQueries {
          |      < '${CorpusTools.hexThreshold(0.8 + 0.1)}' THEN 'val'
          |    ELSE 'test'
          |  END AS split
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    // windowed-span coverage: positions of repeated 8-token windows, merged
+    // interval coverage via one LEAD per doc — the same three-stage plan the
+    // Spark operator runs
+    "q_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $duckTokens AS w FROM documents),
+         |wins AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+         |                   w[i+4], w[i+5], w[i+6], w[i+7]) AS win
+         |  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+         |  WHERE len(w) >= 8),
+         |dup AS (SELECT win FROM wins GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (win)),
+         |cov AS (
+         |  SELECT doc_id, pos,
+         |    LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+         |  FROM hits),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS dup_windows,
+         |    CAST(SUM(LEAST(COALESCE(next - pos, 8), 8)) AS BIGINT) AS dup_tokens
+         |  FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.w) AS n_tokens,
+         |  COALESCE(a.dup_windows, 0) AS dup_windows,
+         |  COALESCE(a.dup_tokens, 0) AS dup_tokens
+         |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // duplicated positions -> covered token set -> ordered reassembly of the
+    // survivors (the strip arm over the same wins/dup CTEs)
+    "q_strip_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $duckTokens AS w FROM documents),
+         |wins AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+         |                   w[i+4], w[i+5], w[i+6], w[i+7]) AS win
+         |  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+         |  WHERE len(w) >= 8),
+         |dup AS (SELECT win FROM wins GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, pos FROM wins JOIN dup USING (win)),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, pos + j AS tpos
+         |  FROM hits, UNNEST(generate_series(0, 7)) AS u(j)),
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS tpos, w[i] AS tok
+         |  FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)),
+         |kept AS (
+         |  SELECT k.doc_id, k.tpos, k.tok FROM tok k
+         |  LEFT JOIN covered c ON c.doc_id = k.doc_id AND c.tpos = k.tpos
+         |  WHERE c.doc_id IS NULL),
+         |rebuilt AS (
+         |  SELECT doc_id, array_to_string(list(tok ORDER BY tpos), ' ') AS text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(r.text, '') AS text,
+         |  length(COALESCE(r.text, '')) AS n_clean
+         |FROM documents d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+
+    // chunk starts 0, step, 2*step ... below len - overlap; inclusive-slice
+    // reassembly — all integer arithmetic
+    "q_chunk_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, w, s,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_id
+        |  FROM toks, UNNEST(generate_series(0, GREATEST(len(w) - 9, 0), 24)) AS t(s)
+        |  WHERE len(w) > 0)
+        |SELECT doc_id, chunk_id, s AS chunk_start,
+        |  LEAST(32, len(w) - s) AS n_chunk_tokens,
+        |  array_to_string(w[s+1 : s+32], ' ') AS chunk_text
+        |FROM ex""".stripMargin
   )
 }

@@ -456,4 +456,118 @@ class CorpusToolsSpec extends AnyFlatSpec with Matchers {
     got(2L) shouldBe 0.0
     got(3L) shouldBe (2.0 / 3.0) +- 1e-12
   }
+
+  // --- duplicatedSpans / stripRepeatedSpans ---
+
+  // 1 and 3 are identical 10-token docs; a shares its FIRST 4 tokens with b's
+  // start (below the n=4 window threshold only when windows differ)
+  private def spanDocs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "one two three four five six seven eight nine ten"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (4L, "unique words that appear nowhere else in the corpus"),
+    (5L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  "duplicatedSpans" should "report merged coverage for fully duplicated documents" in {
+    val out = CorpusTools.duplicatedSpans(spanDocs, "doc_id", "text", n = 4)
+      .as[(Long, Int, Long, Long)].collect()
+      .map { case (id, nt, dw, dt) => id -> ((nt, dw, dt)) }.toMap
+    // docs 1 and 3: all 7 sliding 4-token windows repeat; merged coverage = 10
+    out(1L) shouldBe ((10, 7L, 10L))
+    out(3L) shouldBe ((10, 7L, 10L))
+    out(2L) shouldBe ((10, 0L, 0L))
+    out(4L) shouldBe ((9, 0L, 0L))
+    out(5L) shouldBe ((2, 0L, 0L)) // shorter than the window: never duplicated
+  }
+
+  it should "merge non-adjacent duplicated spans without double counting" in {
+    // doc 10 embeds doc 11's 4-token phrase twice, separated by unique filler
+    val docs = Seq(
+      (10L, "p q r s AA BB CC DD u v w x AA BB CC DD y z"),
+      (11L, "AA BB CC DD")
+    ).toDF("doc_id", "text")
+    val out = CorpusTools.duplicatedSpans(docs, "doc_id", "text", n = 4)
+      .as[(Long, Int, Long, Long)].collect()
+      .map { case (id, nt, dw, dt) => id -> ((nt, dw, dt)) }.toMap
+    // two disjoint 4-token spans in doc 10 (positions 4-7 and 12-15)
+    out(10L) shouldBe ((18, 2L, 8L))
+    out(11L) shouldBe ((4, 1L, 4L))
+  }
+
+  it should "produce identical results with hashed and text window keys" in {
+    val byHash = CorpusTools.duplicatedSpans(spanDocs, "doc_id", "text", n = 4, hashKey = true)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val byText = CorpusTools.duplicatedSpans(spanDocs, "doc_id", "text", n = 4, hashKey = false)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    byHash shouldBe byText
+  }
+
+  "stripRepeatedSpans" should "empty fully duplicated docs and keep unique ones" in {
+    val out = CorpusTools.stripRepeatedSpans(spanDocs, "doc_id", "text", n = 4)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    out(1L) shouldBe ""
+    out(3L) shouldBe ""
+    out(2L) shouldBe "one two three four five six seven eight nine ten"
+    out(5L) shouldBe "tiny doc"
+  }
+
+  it should "cut exactly the covered span and reassemble the remainder in order" in {
+    val docs = Seq(
+      (10L, "p q r s AA BB CC DD u v w x"),
+      (11L, "AA BB CC DD")
+    ).toDF("doc_id", "text")
+    val out = CorpusTools.stripRepeatedSpans(docs, "doc_id", "text", n = 4)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    out(10L) shouldBe "p q r s u v w x"
+    out(11L) shouldBe ""
+  }
+
+  // --- chunkDocuments ---
+
+  "chunkDocuments" should "chunk with overlap and keep the short tail" in {
+    val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = CorpusTools.chunkDocuments(doc, "doc_id", "text", maxTokens = 4, overlap = 1)
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._2)
+    // step 3, starts below 10-1=9: 0, 3, 6 — start 9 would add no new token
+    out.map(c => (c._2, c._3, c._4, c._5)) shouldBe Array(
+      (0, 0, 4, "t1 t2 t3 t4"),
+      (1, 3, 4, "t4 t5 t6 t7"),
+      (2, 6, 4, "t7 t8 t9 t10"))
+  }
+
+  it should "not emit a tail chunk adding no new tokens" in {
+    // n=10, max=8, overlap=4, step=4: start 8 would cover 8..9, already inside 4..9
+    val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = CorpusTools.chunkDocuments(doc, "doc_id", "text", maxTokens = 8, overlap = 4)
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._2)
+    out.map(_._3) shouldBe Array(0, 4)
+    out.map(_._4) shouldBe Array(8, 6)
+  }
+
+  it should "emit one chunk for short docs, none for empty, and cover every token" in {
+    val docs = Seq((1L, "only three tokens"), (2L, "   "), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = CorpusTools.chunkDocuments(docs, "doc_id", "text", maxTokens = 8, overlap = 2)
+      .as[(Long, Int, Int, Int, String)].collect()
+    out.map(_._1).toSet shouldBe Set(1L)
+    out.head shouldBe ((1L, 0, 0, 3, "only three tokens"))
+
+    // coverage law on a bigger doc: chunks concatenated minus overlaps = doc
+    val big = Seq((9L, (1 to 103).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = CorpusTools.chunkDocuments(big, "doc_id", "text", maxTokens = 16, overlap = 4)
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._2)
+    // every token index 0..102 covered; adjacent chunks agree on the overlap
+    val covered = chunks.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    covered shouldBe (0 until 103).toSet
+    chunks.sliding(2).foreach {
+      case Array(a, b) =>
+        val aToks = a._5.split(" ")
+        val bToks = b._5.split(" ")
+        aToks.drop(b._3 - a._3) shouldBe bToks.take(a._3 + a._4 - b._3)
+      case _ =>
+    }
+    an[IllegalArgumentException] should be thrownBy
+      CorpusTools.chunkDocuments(big, "doc_id", "text", maxTokens = 4, overlap = 4)
+  }
 }

@@ -16,7 +16,7 @@ class QueriesSpec extends AnyFlatSpec with Matchers {
     // dictionary) appear only after their query has run in this JVM —
     // exactly how Verify dumps them
     val dataDerived = Set("q_ann_ivf", "q_ann_ivf_index", "q_dedup_simhash",
-      "q_embed_cluster", "q_semantic_dedup", "q_dsir_weight")
+      "q_embed_cluster", "q_semantic_dedup", "q_dsir_weight", "q_dsir_sample")
     val declared = graft.SparkEntry.queries.keySet
     graft.SparkEntry.oracleSql.keySet.subsetOf(declared) shouldBe true
     (declared -- graft.SparkEntry.oracleSql.keySet -- dataDerived) shouldBe empty
