@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus keyword search — BM25 ranking over the whitespace tokenization, the
+ * retrieval primitive a curation pipeline uses to pull topical slices out of
+ * a corpus (and the lexical half of hybrid lexical+embedding retrieval next
+ * to [[Similarity]]).
+ *
+ * Engine-replayable by the same discipline as the DSIR weights
+ * ([[CorpusTools.importanceWeights]]): every transcendental quantity (the
+ * idf table) and every shared double constant (k1, b, avgdl and their
+ * folds) is computed ONCE driver-side and embedded as a literal on both the
+ * Spark and the oracle side, so per-(doc, term) contributions are identical
+ * IEEE double chains floored to integers, and the per-document score is an
+ * order-free integer sum — hash-exact across engines.
+ *
+ * Scale shape: scoring is scan → explode filtered to the query terms (only
+ * matching occurrences survive the scan) → one aggregation keyed by
+ * (doc, term) then doc — the shuffle carries only documents that contain a
+ * query term. The stats pre-pass is one corpus aggregation whose result is
+ * |terms|+2 numbers. Top-k plans as TakeOrderedAndProject: no global sort,
+ * no driver-side data beyond the k results.
+ */
+object TextSearch {
+
+  /** The corpus statistics BM25 needs: document count, total token count
+    * (for the average document length), and per-query-term document
+    * frequency. Bounded: |terms| + 2 numbers regardless of corpus size. */
+  final case class Bm25Stats(nDocs: Long, totalTokens: Long, docFreq: Map[String, Long]) {
+    def avgdl: Double = totalTokens.toDouble / nDocs
+  }
+
+  /** Collect [[Bm25Stats]] for `terms` in two aggregations over one scan
+    * each; the collected result is |terms| rows + 2 scalars. */
+  def bm25Stats(df: DataFrame, idCol: String, textCol: String, terms: Seq[String]): Bm25Stats = {
+    require(terms.nonEmpty, "query terms must not be empty")
+    val totals = df.select(
+        count(lit(1)).as("n"),
+        sum(graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")).as("tot"))
+      .collect()(0)
+    val dfRows = df
+      .select(col(idCol).as("__id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok").isin(terms: _*))
+      .groupBy(col("__tok")).agg(countDistinct(col("__id")).as("__df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Bm25Stats(totals.getLong(0), totals.getLong(1),
+      terms.map(t => t -> dfRows.getOrElse(t, 0L)).toMap)
+  }
+
+  /** Integer micro-nat idf table, rounded ONCE driver-side (floor, so there
+    * is no round-half ambiguity to replay). The +1 inside the log is the
+    * Lucene/ATIRE variant: idf stays positive even for terms in most
+    * documents. */
+  def idfMicro(stats: Bm25Stats): Map[String, Long] =
+    stats.docFreq.map { case (t, dfT) =>
+      t -> math.floor(1e6 * math.log(
+        1.0 + (stats.nDocs - dfT + 0.5) / (dfT + 0.5))).toLong
+    }
+
+  /** The shared double constants of one BM25 evaluation, pre-folded
+    * driver-side so both engines consume the SAME doubles (shortest
+    * round-trip decimal for the SQL side): `kk = k1+1`, `c1 = 1-b`. */
+  final case class Bm25Consts(k1: Double, b: Double, kk: Double, c1: Double, avgdl: Double)
+
+  def consts(stats: Bm25Stats, k1: Double = 1.2, b: Double = 0.75): Bm25Consts =
+    Bm25Consts(k1, b, k1 + 1.0, 1.0 - b, stats.avgdl)
+
+  /** Per-(doc, term) BM25 contribution in integer micro-nats:
+    * `floor(idf_t * (tf*kk) / (tf + k1*(c1 + b*(dl/avgdl))))`. Kept `private`
+    * shape-identical to the oracle SQL — change both together. */
+  private def contribution(idf: Column, tf: Column, dl: Column, c: Bm25Consts): Column =
+    floor(idf.cast("double") *
+      ((tf.cast("double") * lit(c.kk)) /
+        (tf.cast("double") + lit(c.k1) * (lit(c.c1) + lit(c.b) * (dl.cast("double") / lit(c.avgdl))))))
+
+  /**
+   * Top-`k` documents by BM25 score for a bag of query `terms`.
+   *
+   * @param stats pass a pre-collected [[bm25Stats]] to reuse across queries
+   *              (and to register the idf table for an external replay);
+   *              collected from `df` when absent.
+   * @return (idCol, `score_micro` — integer micro-nat BM25 score,
+   *         `n_terms` — distinct query terms present), ties broken by id.
+   */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      stats: Option[Bm25Stats] = None,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val st = stats.getOrElse(bm25Stats(df, idCol, textCol, terms))
+    val c = consts(st, k1, b)
+    val idf = idfMicro(st)
+    val idfCol = terms.foldLeft(lit(0L)) { (acc, t) =>
+      when(col("__tok") === t, lit(idf(t))).otherwise(acc)
+    }
+    val dl = df.select(col(idCol),
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("__dl"))
+    val tf = df
+      .select(col(idCol), explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok").isin(terms: _*))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+    tf.join(dl, Seq(idCol))
+      .withColumn("__contrib",
+        contribution(idfCol, col("__tf"), col("__dl"), c).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__contrib")).as("score_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -102,6 +102,22 @@ object PipelineQueries {
       graft.operators.CorpusTools.importanceWeightTable(
         Tables.documents(s, d), "text", col("lang") === "en"))
 
+  /** BM25 query terms for q_bm25_search: two common terms plus the corpus's
+    * one rare token, so the idf table actually discriminates. */
+  private val Bm25Terms = Seq("hash", "join", "dup")
+  private val Bm25K = 50
+
+  /** BM25 corpus stats (doc count, total tokens, per-term df), registered
+    * when q_bm25_search runs — the idf table and shared double constants are
+    * derived from these ONCE driver-side, so the oracle replays the exact
+    * same literal chain. Same registry mechanism as the DSIR weights. */
+  private val bm25StatsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.operators.TextSearch.Bm25Stats]()
+
+  private def bm25Stats(s: SparkSession, d: String): graft.operators.TextSearch.Bm25Stats =
+    bm25StatsCache.computeIfAbsent((s, d), _ =>
+      graft.operators.TextSearch.bm25Stats(Tables.documents(s, d), "doc_id", "text", Bm25Terms))
+
   /** The single data-derived value registered this JVM, or None when queries
     * ran against MORE than one sfDir — an oracle would then embed literals
     * from one corpus and be replayed against another, degrading silently, so
@@ -327,6 +343,15 @@ object PipelineQueries {
       val w = dsirWeights(s, d)
       graft.operators.CorpusTools.dsirSample(
         Tables.documents(s, d), "doc_id", "text", w, n = 100, seed = 42)
+    }),
+
+    // BM25 keyword retrieval (lexical search over the corpus): top-50 docs
+    // for a 3-term query, integer micro-nat scores from a driver-quantized
+    // idf table — stats registered for the exact oracle replay
+    "q_bm25_search" -> ((s, d) => {
+      val st = bm25Stats(s, d)
+      graft.operators.TextSearch.bm25TopK(
+        Tables.documents(s, d), "doc_id", "text", Bm25Terms, k = Bm25K, stats = Some(st))
     }),
 
     // fuzzy entity matching: part names with one deterministic character
@@ -707,7 +732,46 @@ object PipelineQueries {
           "q_dsir_sample" -> dsirSampleOracleSql(w, n = 100, seed = 42))
       case _ => Map.empty[String, String]
     }
-    staticOracles ++ ivf ++ simhash ++ dsir
+    val bm25 = soleRegistered(bm25StatsCache) match {
+      case Some(st) => Map("q_bm25_search" -> bm25OracleSql(st, Bm25K))
+      case None => Map.empty[String, String]
+    }
+    staticOracles ++ ivf ++ simhash ++ dsir ++ bm25
+  }
+
+  /** Replay of [[graft.operators.TextSearch.bm25TopK]] with the registered
+    * integer idf table as a VALUES literal and every shared double constant
+    * embedded as its shortest round-trip decimal (both engines parse it back
+    * to the identical IEEE double, so the per-(doc, term) contribution chain
+    * — mult, div, floor — is bit-identical and the summed score is a pure
+    * integer). Shape-identical to TextSearch.contribution. */
+  private def bm25OracleSql(st: graft.operators.TextSearch.Bm25Stats, k: Int): String = {
+    val c = graft.operators.TextSearch.consts(st)
+    val idf = graft.operators.TextSearch.idfMicro(st)
+    val values = idf.toList.sortBy(_._1).map { case (t, w) =>
+      s"('${t.replace("'", "''")}', CAST($w AS BIGINT))"
+    }.mkString(",\n      ")
+    val termList = idf.keys.toList.sorted.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH idf(tok, wt) AS (VALUES
+       |      $values),
+       |toks AS (
+       |  SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+       |dl AS (
+       |  SELECT doc_id, len($duckTokens) AS dl FROM documents),
+       |tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       |  WHERE tok IN ($termList) GROUP BY doc_id, tok),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    CAST(SUM(CAST(FLOOR(CAST(i.wt AS DOUBLE) *
+       |      ((CAST(t.tf AS DOUBLE) * ${c.kk}) /
+       |       (CAST(t.tf AS DOUBLE) + ${c.k1} * (${c.c1} + ${c.b} *
+       |        (CAST(d.dl AS DOUBLE) / ${c.avgdl}))))) AS BIGINT)) AS BIGINT) AS score_micro,
+       |    COUNT(*) AS n_terms
+       |  FROM tf t JOIN idf i USING (tok) JOIN dl d USING (doc_id)
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, score_micro, n_terms FROM scored
+       |ORDER BY score_micro DESC, doc_id LIMIT $k""".stripMargin
   }
 
   /** Replay of [[graft.operators.CorpusTools.importanceWeights]] with the
