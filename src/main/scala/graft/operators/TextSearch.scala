@@ -116,4 +116,32 @@ object TextSearch {
       .orderBy(col("score_micro").desc, col(idCol))
       .limit(k)
   }
+
+  /**
+   * Reciprocal-rank fusion of two rankings (Cormack et al. 2009) — the
+   * standard way to combine lexical ([[bm25TopK]]) and vector
+   * ([[Similarity]] top-k) retrieval without comparable scores: a document's
+   * fused score is the sum of `1/(rrfK + rank)` over the lists it appears
+   * in. Kept all-integer (`1_000_000 div (rrfK + rank)`, integer division) —
+   * no floats anywhere, so the fusion replays bit-exactly in any engine.
+   *
+   * Both inputs are top-k lists, so the full-outer join is bounded by
+   * 2k rows regardless of corpus size — the heavy lifting happened in the
+   * retrieval stages.
+   *
+   * @param a,b frames with (idCol, `rank`) — 1-based ranks from each list
+   * @return (idCol, `rank_a`, `rank_b` — null where absent, `rrf_micro`),
+   *         top `k` by fused score, ties broken by id.
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int, rrfK: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rrfK >= 0, s"rrfK must be >= 0, got $rrfK")
+    val l = a.select(col(idCol), col("rank").cast("long").as("rank_a"))
+    val r = b.select(col(idCol), col("rank").cast("long").as("rank_b"))
+    l.join(r, Seq(idCol), "full_outer")
+      .withColumn("rrf_micro",
+        expr(s"coalesce(1000000 div ($rrfK + rank_a), 0) + coalesce(1000000 div ($rrfK + rank_b), 0)"))
+      .orderBy(col("rrf_micro").desc, col(idCol))
+      .limit(k)
+  }
 }

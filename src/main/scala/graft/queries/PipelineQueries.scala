@@ -354,6 +354,25 @@ object PipelineQueries {
         Tables.documents(s, d), "doc_id", "text", Bm25Terms, k = Bm25K, stats = Some(st))
     }),
 
+    // hybrid retrieval: BM25 top-50 fused with exact-cosine top-50 around
+    // query vector 0 (embeddings.vec_id aligns with documents.doc_id) by
+    // all-integer reciprocal-rank fusion — the window ranking both lists is
+    // k-bounded, so the single-partition row_number is over 50 rows
+    "q_hybrid_search" -> ((s, d) => {
+      val st = bm25Stats(s, d)
+      val lex = graft.operators.TextSearch.bm25TopK(
+          Tables.documents(s, d), "doc_id", "text", Bm25Terms, k = Bm25K, stats = Some(st))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("score_micro").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, d)
+      val vec = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, k = Bm25K)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.TextSearch.rrfFuse(lex, vec, "doc_id", k = 20)
+        .withColumnRenamed("rank_a", "lex_rank")
+        .withColumnRenamed("rank_b", "vec_rank")
+    }),
+
     // fuzzy entity matching: part names with one deterministic character
     // removed are matched back against the FULL catalog at edit distance <= 1
     // via the length-banded equi-join (never a cross join). The probe side is
@@ -733,7 +752,8 @@ object PipelineQueries {
       case _ => Map.empty[String, String]
     }
     val bm25 = soleRegistered(bm25StatsCache) match {
-      case Some(st) => Map("q_bm25_search" -> bm25OracleSql(st, Bm25K))
+      case Some(st) => Map("q_bm25_search" -> bm25OracleSql(st, Bm25K),
+        "q_hybrid_search" -> hybridOracleSql(st, kList = Bm25K, kFuse = 20, rrfK = 60))
       case None => Map.empty[String, String]
     }
     staticOracles ++ ivf ++ simhash ++ dsir ++ bm25
@@ -772,6 +792,63 @@ object PipelineQueries {
        |  GROUP BY t.doc_id)
        |SELECT doc_id, score_micro, n_terms FROM scored
        |ORDER BY score_micro DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Replay of q_hybrid_search: the BM25 scored CTE (same literals as
+    * [[bm25OracleSql]]) ranked top-`kList`, the exact-cosine ranking around
+    * query vector 0 (bit-exact doubles — q_ann_cosine's proof), then the
+    * all-integer reciprocal-rank fusion (`1000000 // (rrfK + rank)`). */
+  private def hybridOracleSql(
+      st: graft.operators.TextSearch.Bm25Stats, kList: Int, kFuse: Int, rrfK: Int): String = {
+    val c = graft.operators.TextSearch.consts(st)
+    val idf = graft.operators.TextSearch.idfMicro(st)
+    val values = idf.toList.sortBy(_._1).map { case (t, w) =>
+      s"('${t.replace("'", "''")}', CAST($w AS BIGINT))"
+    }.mkString(",\n      ")
+    val termList = idf.keys.toList.sorted.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH idf(tok, wt) AS (VALUES
+       |      $values),
+       |toks AS (
+       |  SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+       |dl AS (
+       |  SELECT doc_id, len($duckTokens) AS dl FROM documents),
+       |tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       |  WHERE tok IN ($termList) GROUP BY doc_id, tok),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    CAST(SUM(CAST(FLOOR(CAST(i.wt AS DOUBLE) *
+       |      ((CAST(t.tf AS DOUBLE) * ${c.kk}) /
+       |       (CAST(t.tf AS DOUBLE) + ${c.k1} * (${c.c1} + ${c.b} *
+       |        (CAST(d.dl AS DOUBLE) / ${c.avgdl}))))) AS BIGINT)) AS BIGINT) AS score_micro
+       |  FROM tf t JOIN idf i USING (tok) JOIN dl d USING (doc_id)
+       |  GROUP BY t.doc_id),
+       |lex AS (
+       |  SELECT doc_id, r FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS r
+       |    FROM scored)
+       |  WHERE r <= $kList),
+       |v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+       |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                            CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cos AS (
+       |  SELECT c.vec_id AS doc_id,
+       |    list_inner_product(q.dv, c.dv) / (q.nrm * c.nrm) AS cosine
+       |  FROM v c JOIN v q ON q.vec_id = 0 AND c.vec_id <> 0),
+       |vec AS (
+       |  SELECT doc_id, r FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r
+       |    FROM cos)
+       |  WHERE r <= $kList),
+       |fused AS (
+       |  SELECT doc_id, l.r AS lex_rank, ve.r AS vec_rank,
+       |    COALESCE(1000000 // ($rrfK + l.r), 0)
+       |      + COALESCE(1000000 // ($rrfK + ve.r), 0) AS rrf_micro
+       |  FROM lex l FULL OUTER JOIN vec ve USING (doc_id))
+       |SELECT doc_id, lex_rank, vec_rank, rrf_micro FROM fused
+       |ORDER BY rrf_micro DESC, doc_id LIMIT $kFuse""".stripMargin
   }
 
   /** Replay of [[graft.operators.CorpusTools.importanceWeights]] with the

@@ -81,4 +81,33 @@ class TextSearchSpec extends AnyFlatSpec with Matchers {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
     score(1L) should be > score(2L)
   }
+
+  "rrfFuse" should "compute the exact integer RRF sum over both lists" in {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val out = TextSearch.rrfFuse(a, b, "id", k = 10, rrfK = 60)
+      .as[(Long, Option[Long], Option[Long], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def c(r: Int) = 1000000L / (60 + r)
+    // doc 20 is in both lists: contributions add
+    out(20L) shouldBe ((Some(2L), Some(1L), c(2) + c(1)))
+    out(10L) shouldBe ((Some(1L), None, c(1)))
+    out(40L) shouldBe ((None, Some(2L), c(2)))
+    out(30L) shouldBe ((Some(3L), None, c(3)))
+    // both-lists membership outranks a single first place here
+    val ordered = TextSearch.rrfFuse(a, b, "id", k = 10, rrfK = 60)
+      .as[(Long, Option[Long], Option[Long], Long)].collect().map(_._1)
+    ordered.head shouldBe 20L
+  }
+
+  it should "cap output at k with deterministic id tiebreaks" in {
+    // two docs with identical single-list rank sum tie; ids break it
+    val a = Seq((5L, 1), (9L, 2)).toDF("id", "rank")
+    val b = Seq((7L, 1), (3L, 2)).toDF("id", "rank")
+    val out = TextSearch.rrfFuse(a, b, "id", k = 3, rrfK = 60)
+      .as[(Long, Option[Long], Option[Long], Long)].collect()
+    out should have length 3
+    // ranks 1: docs 5 and 7 tie -> id order; then rank-2 docs 3 and 9 tie
+    out.map(_._1) shouldBe Array(5L, 7L, 3L)
+  }
 }

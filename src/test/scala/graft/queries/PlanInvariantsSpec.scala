@@ -21,10 +21,13 @@ class PlanInvariantsSpec extends AnyFlatSpec with Matchers {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
-  /** The four queries allowed a nested-loop/cartesian shape, each with a
+  /** The five queries allowed a nested-loop/cartesian shape, each with a
     * BOUNDED side by construction (verified in PLANS.md / source):
     *  - q_ann_cosine — brute-force baseline: the QUERY SET broadcasts and
     *    every query must score every vector (that is the operator);
+    *  - q_hybrid_search — its vector arm is the same brute-force baseline
+    *    with a SINGLE broadcast query vector (the scale path swaps in
+    *    ivfTopK unchanged — rrfFuse only sees (id, rank) lists);
     *  - q_ann_ivf — the query set × nlist centroid-literal table (both
     *    tiny) expand to pick probe cells; the corpus side stays equi;
     *  - q_dedup_embedding — the documented planes=0 EXACT opt-in (this
@@ -37,7 +40,8 @@ class PlanInvariantsSpec extends AnyFlatSpec with Matchers {
     * inverted-index equi-joins on shared shingle hashes (the quadratic in
     * their cost model is candidate VERIFICATION, not the join shape). */
   private val allowedBounded = Set(
-    "q_ann_cosine", "q_ann_ivf", "q_dedup_embedding", "q_cross_join")
+    "q_ann_cosine", "q_ann_ivf", "q_dedup_embedding", "q_cross_join",
+    "q_hybrid_search")
 
   "every driver query" should "plan without cartesian or nested-loop joins (unless bounded by design)" in {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
