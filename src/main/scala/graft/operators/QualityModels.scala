@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Model-based corpus quality scoring — the two classic curation stages a
+ * heuristic pass ([[graft.functions.TextFunctions]]) doesn't cover:
+ *
+ *  - CCNet-style language-model perplexity filtering (Wenzek et al. 2020):
+ *    score every document by its cross-entropy under a unigram LM trained on
+ *    a trusted reference slice, then bucket the corpus into head/middle/tail
+ *    by score tertiles — the published recipe keeps head+middle and drops or
+ *    down-weights tail.
+ *  - Naive Bayes document classification (the replayable stand-in for the
+ *    fastText-style classifiers pipelines use for language/domain routing):
+ *    argmax over per-label integer log-likelihood sums.
+ *
+ * Both follow the DSIR arithmetic discipline ([[CorpusTools
+ * .importanceWeights]]): every log is taken ONCE driver-side when the
+ * bounded model table is built and quantized to integer milli-nats, so
+ * corpus-side scoring is an order-free integer fold that replays hash-exact
+ * in any engine. Model tables are vocabulary-bounded (`vocabCap` top tokens)
+ * and broadcast; scoring is explode → broadcast join → per-doc integer sum —
+ * the shuffle carries ~one row per document.
+ */
+object QualityModels {
+
+  /** A quantized unigram LM: token → cost in milli-nats (`-1000·ln p`), plus
+    * the out-of-vocabulary cost. Add-one smoothing over the reference slice:
+    * `p(t) = (count(t)+1) / (refTokens + V)`, `p(oov) = 1 / (refTokens + V)`
+    * with `V` = table size. */
+  final case class LmModel(costs: Map[String, Long], oovCost: Long)
+
+  /**
+   * Train the unigram LM on the `isReference` slice (one aggregation; the
+   * collected table is `vocabCap`-bounded — the same bounded-feature-space
+   * cap as the DSIR weight table, ties on count broken by token text).
+   */
+  def lmCostTable(
+      df: DataFrame,
+      textCol: String,
+      isReference: Column,
+      vocabCap: Int = 10000): LmModel = {
+    require(vocabCap >= 1, s"vocabCap must be >= 1, got $vocabCap")
+    val counts = df.filter(isReference)
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__tok"))
+      .limit(vocabCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    val v = counts.length
+    def cost(c: Long): Long =
+      math.round(-1000.0 * math.log((c + 1).toDouble / (total + v).toDouble))
+    LmModel(counts.map { case (t, c) => t -> cost(c) }.toMap, cost(0L))
+  }
+
+  /**
+   * Score every document: `lm_cost` = summed milli-nat token costs (OOV
+   * tokens pay `oovCost`), `avg_millinats` = integer-division mean — the
+   * quantized per-token cross-entropy CCNet thresholds on. Low = fluent
+   * under the reference LM, high = noise. Pure integers end to end.
+   */
+  def lmPerplexity(df: DataFrame, idCol: String, textCol: String, model: LmModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val costDf = model.costs.toSeq.toDF("__tok", "__cost")
+    df.select(col(idCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+      .join(broadcast(costDf), Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__cost"), lit(model.oovCost))).as("lm_cost"))
+      .withColumn("avg_millinats", expr("lm_cost div n_tokens"))
+  }
+
+  /** Exact score values at the 1/3 and 2/3 positions of the
+    * (avg_millinats, id) order — collected as two integers. The limit+max
+    * formulation avoids a single-partition global window; at real scale
+    * swap in a sampled/approximate quantile, the bucket rule is unchanged. */
+  def tertileThresholds(scored: DataFrame, idCol: String): (Long, Long) = {
+    val n = scored.count()
+    require(n >= 3, s"need at least 3 documents for tertiles, got $n")
+    def at(k: Long): Long = scored
+      .orderBy(col("avg_millinats"), col(idCol))
+      .limit(k.toInt)
+      .agg(max(col("avg_millinats"))).collect()(0).getLong(0)
+    (at(n / 3), at(2 * n / 3))
+  }
+
+  /** CCNet's head/middle/tail labeling from the two threshold literals:
+    * `avg <= t1` head, `<= t2` middle, else tail (boundary ties all land on
+    * the lower bucket — sizes are near-tertiles, the rule is exact). */
+  def lmBuckets(scored: DataFrame, t1: Long, t2: Long): DataFrame =
+    scored.withColumn("bucket",
+      when(col("avg_millinats") <= t1, lit("head"))
+        .when(col("avg_millinats") <= t2, lit("middle"))
+        .otherwise(lit("tail")))
+
+  /** A quantized multinomial Naive Bayes model: per-label prior milli-nats
+    * (`1000·ln P(label)` — negative magnitudes, stored as-is) and per
+    * (token, label) log-likelihood milli-nats, add-one smoothed within each
+    * label. Bounded: `vocabCap × |labels|` rows. */
+  final case class NbModel(priors: Map[String, Long], loglik: Map[(String, String), Long]) {
+    def labels: Seq[String] = priors.keys.toSeq.sorted
+  }
+
+  /**
+   * Train Naive Bayes from a labeled frame (two aggregations; the collected
+   * tables are bounded by `vocabCap × |labels|`). OOV tokens at scoring time
+   * contribute the same unseen-token cost under every label, so they cannot
+   * change the argmax — the scorer skips them, keeping the table join the
+   * only per-token work.
+   */
+  def nbTrain(
+      df: DataFrame,
+      labelCol: String,
+      textCol: String,
+      vocabCap: Int = 10000): NbModel = {
+    require(vocabCap >= 1, s"vocabCap must be >= 1, got $vocabCap")
+    val docCounts = df.groupBy(col(labelCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = docCounts.values.sum
+    val priors = docCounts.map { case (l, c) =>
+      l -> math.round(1000.0 * math.log(c.toDouble / nDocs))
+    }
+    val vocab = df
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__tok"))
+      .limit(vocabCap)
+      .collect().map(_.getString(0))
+    val vocabSet = vocab.toSet
+    val perLabel = df
+      .select(col(labelCol).cast("string").as("__l"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok").isin(vocab.toSeq: _*))
+      .groupBy(col("__l"), col("__tok")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val labelTotals = perLabel.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val v = vocabSet.size
+    val loglik = (for {
+      l <- priors.keys
+      t <- vocab
+    } yield {
+      val c = perLabel.getOrElse((l, t), 0L)
+      val tot = labelTotals.getOrElse(l, 0L)
+      (t, l) -> math.round(1000.0 * math.log((c + 1).toDouble / (tot + v).toDouble))
+    }).toMap
+    NbModel(priors, loglik)
+  }
+
+  /**
+   * Classify each document: argmax over labels of
+   * `prior + Σ loglik(token, label)` (integer milli-nats; per-(doc, label)
+   * sums are order-free integer folds, the argmax breaks ties on the
+   * smaller label). Documents with no in-vocabulary token fall back to the
+   * prior-only argmax — they still classify.
+   *
+   * @return (idCol, `predicted`, `score_millinats`)
+   */
+  def nbClassify(df: DataFrame, idCol: String, textCol: String, model: NbModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val likDf = broadcast(model.loglik.toSeq
+      .map { case ((t, l), w) => (t, l, w) }.toDF("__tok", "__l", "__w"))
+    val priorDf = broadcast(model.priors.toSeq.toDF("__l", "__prior"))
+    val tokScores = df
+      .select(col(idCol), explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+      .join(likDf, Seq("__tok"))
+      .groupBy(col(idCol), col("__l")).agg(sum(col("__w")).as("__s"))
+    // prior-only rows keep docs with zero in-vocab tokens classifiable; the
+    // label axis comes from a literal-array explode, not a join
+    val withPriors = df.select(col(idCol))
+      .withColumn("__l", explode(array(model.labels.map(lit): _*)))
+      .join(priorDf, Seq("__l"))
+      .join(tokScores, Seq(idCol, "__l"), "left")
+      .withColumn("__total", col("__prior") + coalesce(col("__s"), lit(0L)))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__total").desc, col("__l"))
+    withPriors.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__l").as("predicted"), col("__total").as("score_millinats"))
+  }
+}

@@ -118,6 +118,30 @@ object PipelineQueries {
     bm25StatsCache.computeIfAbsent((s, d), _ =>
       graft.operators.TextSearch.bm25Stats(Tables.documents(s, d), "doc_id", "text", Bm25Terms))
 
+  /** CCNet LM model + tertile thresholds (reference slice = English docs),
+    * registered when q_lm_perplexity runs — model table and the two
+    * threshold integers are all the oracle needs. */
+  private val lmCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (graft.operators.QualityModels.LmModel, Long, Long)]()
+
+  private def lmModel(s: SparkSession, d: String): (graft.operators.QualityModels.LmModel, Long, Long) =
+    lmCache.computeIfAbsent((s, d), _ => {
+      val docs = Tables.documents(s, d)
+      val m = graft.operators.QualityModels.lmCostTable(docs, "text", col("lang") === "en")
+      val scored = graft.operators.QualityModels.lmPerplexity(docs, "doc_id", "text", m)
+      val (t1, t2) = graft.operators.QualityModels.tertileThresholds(scored, "doc_id")
+      (m, t1, t2)
+    })
+
+  /** Naive Bayes language model (labels = the corpus lang column),
+    * registered when q_nb_classify runs. */
+  private val nbCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.operators.QualityModels.NbModel]()
+
+  private def nbModel(s: SparkSession, d: String): graft.operators.QualityModels.NbModel =
+    nbCache.computeIfAbsent((s, d), _ =>
+      graft.operators.QualityModels.nbTrain(Tables.documents(s, d), "lang", "text"))
+
   /** The single data-derived value registered this JVM, or None when queries
     * ran against MORE than one sfDir — an oracle would then embed literals
     * from one corpus and be replayed against another, degrading silently, so
@@ -352,6 +376,27 @@ object PipelineQueries {
       val st = bm25Stats(s, d)
       graft.operators.TextSearch.bm25TopK(
         Tables.documents(s, d), "doc_id", "text", Bm25Terms, k = Bm25K, stats = Some(st))
+    }),
+
+    // CCNet-style perplexity bucketing: quantized unigram LM trained on the
+    // English slice scores every doc (integer milli-nat cross-entropy);
+    // head/middle/tail from registered tertile thresholds
+    "q_lm_perplexity" -> ((s, d) => {
+      val (m, t1, t2) = lmModel(s, d)
+      graft.operators.QualityModels.lmBuckets(
+        graft.operators.QualityModels.lmPerplexity(
+          Tables.documents(s, d), "doc_id", "text", m), t1, t2)
+    }),
+
+    // Naive Bayes language routing: argmax of integer milli-nat label
+    // scores, evaluated against the corpus's own lang labels
+    "q_nb_classify" -> ((s, d) => {
+      val m = nbModel(s, d)
+      val docs = Tables.documents(s, d)
+      graft.operators.QualityModels.nbClassify(docs, "doc_id", "text", m)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("predicted"), col("score_millinats"),
+          (col("predicted") === col("lang")).as("correct"))
     }),
 
     // hybrid retrieval: BM25 top-50 fused with exact-cosine top-50 around
@@ -756,7 +801,72 @@ object PipelineQueries {
         "q_hybrid_search" -> hybridOracleSql(st, kList = Bm25K, kFuse = 20, rrfK = 60))
       case None => Map.empty[String, String]
     }
-    staticOracles ++ ivf ++ simhash ++ dsir ++ bm25
+    val lm = soleRegistered(lmCache) match {
+      case Some((m, t1, t2)) if m.costs.size <= 10000 =>
+        Map("q_lm_perplexity" -> lmOracleSql(m, t1, t2))
+      case _ => Map.empty[String, String]
+    }
+    val nb = soleRegistered(nbCache) match {
+      case Some(m) if m.loglik.size <= 10000 =>
+        Map("q_nb_classify" -> nbOracleSql(m))
+      case _ => Map.empty[String, String]
+    }
+    staticOracles ++ ivf ++ simhash ++ dsir ++ bm25 ++ lm ++ nb
+  }
+
+  /** Replay of q_lm_perplexity: the registered integer cost table as a
+    * VALUES literal, OOV coalesce, integer-division mean, threshold CASE —
+    * pure integer arithmetic throughout. */
+  private def lmOracleSql(m: graft.operators.QualityModels.LmModel, t1: Long, t2: Long): String = {
+    val values = m.costs.toList.sortBy(_._1).map { case (t, w) =>
+      s"('${t.replace("'", "''")}', CAST($w AS BIGINT))"
+    }.mkString(",\n      ")
+    s"""WITH w(tok, wt) AS (VALUES
+       |      $values),
+       |toks AS (
+       |  SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+       |scored AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(COALESCE(w.wt, ${m.oovCost})) AS BIGINT) AS lm_cost
+       |  FROM toks t LEFT JOIN w ON w.tok = t.tok
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, n_tokens, lm_cost, lm_cost // n_tokens AS avg_millinats,
+       |  CASE WHEN lm_cost // n_tokens <= $t1 THEN 'head'
+       |       WHEN lm_cost // n_tokens <= $t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored""".stripMargin
+  }
+
+  /** Replay of q_nb_classify: likelihood and prior tables as VALUES
+    * literals, per-(doc, label) integer sums, argmax by ROW_NUMBER with the
+    * same (score DESC, label) tiebreak. */
+  private def nbOracleSql(m: graft.operators.QualityModels.NbModel): String = {
+    val likValues = m.loglik.toList.sortBy { case ((t, l), _) => (t, l) }
+      .map { case ((t, l), w) => s"('${t.replace("'", "''")}', '$l', CAST($w AS BIGINT))" }
+      .mkString(",\n      ")
+    val priValues = m.priors.toList.sortBy(_._1)
+      .map { case (l, p) => s"('$l', CAST($p AS BIGINT))" }.mkString(",\n      ")
+    s"""WITH lik(tok, l, w) AS (VALUES
+       |      $likValues),
+       |pri(l, p) AS (VALUES
+       |      $priValues),
+       |toks AS (
+       |  SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+       |ts AS (
+       |  SELECT t.doc_id, lik.l, CAST(SUM(lik.w) AS BIGINT) AS s
+       |  FROM toks t JOIN lik ON lik.tok = t.tok
+       |  GROUP BY t.doc_id, lik.l),
+       |allscores AS (
+       |  SELECT d.doc_id, d.lang, pri.l, pri.p + COALESCE(ts.s, 0) AS total
+       |  FROM documents d CROSS JOIN pri
+       |  LEFT JOIN ts ON ts.doc_id = d.doc_id AND ts.l = pri.l),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY total DESC, l) AS rn
+       |  FROM allscores)
+       |SELECT doc_id, lang, l AS predicted, total AS score_millinats,
+       |  (l = lang) AS correct
+       |FROM ranked WHERE rn = 1""".stripMargin
   }
 
   /** Replay of [[graft.operators.TextSearch.bm25TopK]] with the registered
