@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.core._
-import graft.operators.{CorpusTools, Dedup, Similarity, VersionedTables}
+import graft.operators.{CorpusTools, Dedup, QualityModels, Similarity, TextSearch, VersionedTables}
 import graft.operators.VersionedTables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
  *
  * Prints one `SCALEPROBE family=<f> scale=<s> rep=<r> s=<secs>` line per
  * timed run (interleaved reps, min taken) and a final `SCALE_SLOPE` table.
- * Usage: `tools/run.sh graft.examples.ScaleProbe [baseDir] [xDir] [replicas]`
+ * Usage: `tools/run.sh graft.examples.ScaleProbe [baseDir] [xDir] [replicas]
+ * [family,family,...]` — the optional fourth arg restricts to named
+ * families (new-operator probes without re-running the whole battery).
  */
 object ScaleProbe {
 
@@ -85,7 +87,36 @@ object ScaleProbe {
           .versionedInsertInto(engine, table, UserId("probe"), "load")
         engine.read(table).count()
         ()
+      }),
+      "span_dedup" -> (dir => {
+        // aggregate a COMPUTED column: a bare count() lets Catalyst drop the
+        // stats join entirely (left join on an aggregate's unique keys never
+        // changes cardinality) and the probe would time a bare scan
+        CorpusTools.duplicatedSpans(docs(dir), "doc_id", "text", n = 8)
+          .agg(sum(col("dup_tokens"))).collect(); ()
+      }),
+      "bm25_search" -> (dir => {
+        // replica tokens carry a _r<k> suffix: probe the replica-0 terms at
+        // scale so the matching-doc volume stays one replica's worth and the
+        // measured growth is the stats scan + term-filtered explode
+        val terms = if (dir == baseDir) Seq("hash", "join", "dup")
+                    else Seq("hash_r0", "join_r0", "dup_r0")
+        TextSearch.bm25TopK(docs(dir), "doc_id", "text", terms, k = 50).count(); ()
+      }),
+      "lm_perplexity" -> (dir => {
+        val m = QualityModels.lmCostTable(docs(dir), "text", col("lang") === "en")
+        QualityModels.lmPerplexity(docs(dir), "doc_id", "text", m)
+          .agg(sum(col("lm_cost"))).collect(); ()
       }))
+
+    val selected = args.lift(3) match {
+      case Some(filter) =>
+        val wanted = filter.split(",").map(_.trim).toSet
+        val unknown = wanted -- families.map(_._1).toSet
+        require(unknown.isEmpty, s"unknown probe families: ${unknown.mkString(", ")}")
+        families.filter(f => wanted.contains(f._1))
+      case None => families
+    }
 
     // one untimed warm-up of the cheapest family absorbs codegen/session cost
     Dedup.exactDupGroups(docs(baseDir)).count()
@@ -94,7 +125,7 @@ object ScaleProbe {
     // scales alike; min-of-2 per cell discards one-off stalls
     val times = scala.collection.mutable.Map.empty[(String, String), Double]
     val xLabel = s"x$replicas"
-    for (rep <- 1 to 2; (name, run) <- families; (scale, dir) <- Seq("base" -> baseDir, xLabel -> xDir)) {
+    for (rep <- 1 to 2; (name, run) <- selected; (scale, dir) <- Seq("base" -> baseDir, xLabel -> xDir)) {
       val t0 = System.nanoTime()
       run(dir)
       val s = (System.nanoTime() - t0) / 1e9
@@ -104,7 +135,7 @@ object ScaleProbe {
     }
 
     println(f"${"SCALE_SLOPE family"}%-32s ${"base_s"}%8s ${xLabel + "_s"}%8s ${"slope"}%6s")
-    families.foreach { case (name, _) =>
+    selected.foreach { case (name, _) =>
       val b = times((name, "base")); val x = times((name, xLabel))
       println(f"SCALE_SLOPE $name%-20s $b%8.2f $x%8.2f ${x / b}%6.1f")
     }
