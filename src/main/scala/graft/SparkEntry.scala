@@ -99,6 +99,16 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("v"))
+    }),
+
+    // the JSON leg of the format matrix (Parquet/ORC/CSV gate-exercised
+    // already): same pointer-following proof, O partition reprocessed
+    "q_versioned_json" -> ((spark, dir) => {
+      val (engine, table) = jsonFixture(spark, dir)
+      engine.read(table)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("v"))
     })
   )
 
@@ -127,6 +137,32 @@ object SparkEntry {
       orders.where(col("o_orderstatus") === "F" && col("o_orderkey") % 10 =!= 0)
         .repartition(col("o_orderstatus"))
         .versionedInsertInto(engine, table, UserId("driver"), "reprocess F")
+      (engine, table)
+    })
+
+  /** JSON fixture: the CSV fixture's twin through `FileFormat.Json` —
+    * same orders projection, the O partition reprocessed (drop every 7th
+    * key) so the read provably follows version pointers. JSON lines carry
+    * types structurally; no reader options needed. */
+  private val jsonFixtureCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (VersionedTables, TableDefinition)]()
+
+  private def jsonFixture(spark: SparkSession, sfDir: String): (VersionedTables, TableDefinition) =
+    jsonFixtureCache.computeIfAbsent((spark, sfDir), _ => {
+      Tables.prepare(spark)
+      val root = java.nio.file.Files.createTempDirectory("graft-json-q-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", "orders_json"),
+        root.resolve("orders_json").toUri, PartitionSchema("o_orderstatus"), FileFormat.Json)
+      engine.initTable(table, UserId("driver"), "init")
+      val orders = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .localCheckpoint()
+      orders.repartition(col("o_orderstatus"))
+        .versionedInsertInto(engine, table, UserId("driver"), "load json")
+      orders.where(col("o_orderstatus") === "O" && col("o_orderkey") % 7 =!= 0)
+        .repartition(col("o_orderstatus"))
+        .versionedInsertInto(engine, table, UserId("driver"), "reprocess O")
       (engine, table)
     })
 
@@ -292,6 +328,13 @@ object SparkEntry {
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
            |FROM orders
            |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)
+           |GROUP BY 1""".stripMargin,
+      "q_versioned_json" ->
+        s"""SELECT o_orderstatus,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+           |FROM orders
+           |WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 7 = 0)
            |GROUP BY 1""".stripMargin)
   }
 
