@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.core._
+import graft.operators.VersionedTables._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * A persisted inverted (BM25) text index as a VERSIONED table — the lexical
+ * twin of [[VectorIndex]], and the second point where the versioning layer
+ * and a search operator compose:
+ *
+ *  - **Postings** `(tok, doc_id, tf, dl)` are partitioned by
+ *    `bucket = xxhash64(tok) mod buckets`: the versioned layer's partition
+ *    pruning IS the inverted-file lookup — a query lists and scans only its
+ *    terms' buckets, O(matching postings) not O(index).
+ *  - **Batches** are the second partition level: [[addBatch]] appends a new
+ *    delivery as fresh `(bucket, batch)` partitions in ONE atomic commit —
+ *    O(batch), never a rewrite of existing buckets — so the index grows
+ *    incrementally with the corpus it serves. (Common tokens touch every
+ *    bucket, so a single-level bucket partitioning would rewrite the whole
+ *    index per delivery.)
+ *  - **Stats** ride the same table under the reserved `bucket=stats`
+ *    partition, one row per batch (that batch's doc and token totals):
+ *    index data and the corpus statistics BM25 needs version TOGETHER — a
+ *    time-traveled search uses THAT version's statistics.
+ *  - **Search** pins ONE commit up front (head unless `at` is given) for
+ *    stats, document frequencies, and postings alike, then scores with the
+ *    exact [[TextSearch]] arithmetic (same driver-quantized idf, same
+ *    contribution chain) — [[TextIndexSpec]] pins `search(index)` row- and
+ *    score-identical to [[TextSearch.bm25TopK]] over the indexed corpus.
+ *
+ * Assumes deliveries carry disjoint `doc_id`s (the ingestion-dedup
+ * operators are the upstream guard); a duplicated id would double-count its
+ * postings exactly as it would double-count in any corpus-level scan.
+ */
+object TextIndex {
+
+  val BucketCol = "bucket"
+  val BatchCol = "batch"
+  val StatsBucket = "stats"
+
+  /** The token column value of stats rows. Real tokens can collide with
+    * this string harmlessly: stats live in the reserved bucket, and every
+    * read path filters on the bucket first. */
+  val StatsTok = "_stats"
+
+  /** Partition schema every text index table uses. */
+  val indexSchema: PartitionSchema = PartitionSchema(BucketCol, BatchCol)
+
+  private def bucketOf(tok: Column, buckets: Int): Column =
+    concat(lit("b"), pmod(xxhash64(tok), lit(buckets.toLong)))
+
+  /** Postings + the stats row for one document batch. */
+  private def postingsOf(
+      docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int, batchLabel: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val posted = tf
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        bucketOf(col("tok"), buckets).as(BucketCol), lit(batchLabel).as(BatchCol))
+    val stats = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("n"))
+      .agg(count(lit(1)).as("doc_id"), sum(col("n")).as("tf"))
+      .select(lit(StatsTok).as("tok"), col("doc_id"), col("tf"), lit(0L).as("dl"),
+        lit(StatsBucket).as(BucketCol), lit(batchLabel).as(BatchCol))
+    posted.unionByName(stats)
+  }
+
+  /** Full (re)build: REPLACE-ALL commit, so buckets/batches from a previous
+    * geometry or corpus can never survive into this version. Previous index
+    * versions stay time-travelable. */
+  def buildIndex(
+      engine: VersionedTables,
+      table: TableDefinition,
+      docs: DataFrame,
+      buckets: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      batchLabel: String = "full",
+      userId: UserId = UserId("graft"),
+      message: String = "build text index"): (TableVersion, TableChanges) = {
+    require(table.partitionSchema == indexSchema,
+      s"text index tables must be partitioned by ($BucketCol, $BatchCol), got ${table.partitionSchema}")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    postingsOf(docs, idCol, textCol, buckets, batchLabel)
+      .repartition(col(BucketCol), col(BatchCol))
+      .versionedReplaceAll(engine, table, userId, message)
+  }
+
+  /** Incremental append of one delivery as fresh `(bucket, batch)`
+    * partitions — O(batch) written data, one atomic commit. The batch label
+    * must be new: reusing one would silently overwrite that delivery's
+    * partitions, so this fails loudly instead. `buckets` must match the
+    * build (same token → same bucket). */
+  def addBatch(
+      engine: VersionedTables,
+      table: TableDefinition,
+      docs: DataFrame,
+      batchLabel: String,
+      buckets: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      userId: UserId = UserId("graft"),
+      message: String = "add text index batch"): (TableVersion, TableChanges) = {
+    val existing = engine.versionAt(table.name, engine.log(table.name).head.id) match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.keys.flatMap(_.columnValues.collect {
+          case cv if cv.column.name == BatchCol => cv.value
+        }).toSet
+      case _ => Set.empty[String]
+    }
+    require(!existing.contains(batchLabel),
+      s"batch label '$batchLabel' already exists in ${table.name} — " +
+        "reusing it would overwrite that delivery's partitions")
+    postingsOf(docs, idCol, textCol, buckets, batchLabel)
+      .repartition(col(BucketCol), col(BatchCol))
+      .versionedInsertInto(engine, table, userId, message)
+  }
+
+  /**
+   * BM25 top-`k` against the index: stats, document frequencies, and
+   * postings all come from ONE pinned commit, and only the query terms'
+   * buckets (plus the tiny stats partition) are listed or scanned. Exactly
+   * [[TextSearch.bm25TopK]]'s result over the indexed corpus, by shared
+   * arithmetic: the driver-side idf quantization consumes document
+   * frequencies read from the index, and the scoring column is the same
+   * [[TextSearch.contribution]] chain.
+   */
+  def search(
+      engine: VersionedTables,
+      table: TableDefinition,
+      terms: Seq[String],
+      k: Int,
+      buckets: Int = 64,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      at: Option[CommitId] = None): DataFrame = {
+    require(terms.nonEmpty, "query terms must not be empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = engine.spark
+    import spark.implicits._
+
+    val pinned = engine.versionAt(table.name, at.getOrElse(engine.log(table.name).head.id))
+    def readBuckets(keep: String => Boolean): DataFrame = pinned match {
+      case PartitionedTableVersion(pvs) =>
+        engine.readVersion(table, PartitionedTableVersion(pvs.filter { case (p, _) =>
+          p.columnValues.exists(cv => cv.column.name == BucketCol && keep(cv.value))
+        }))
+      case snap => engine.readVersion(table, snap)
+    }
+
+    // the terms' buckets, evaluated through the same xxhash64 the build used
+    val termBuckets = terms.toDF("tok")
+      .select(bucketOf(col("tok"), buckets).as("b"))
+      .collect().map(_.getString(0)).toSet
+
+    val statsRow = readBuckets(_ == StatsBucket)
+      .agg(sum(col("doc_id")).as("n"), sum(col("tf")).as("t"))
+      .collect()(0)
+    val nDocs = statsRow.getLong(0)
+    val totTok = statsRow.getLong(1)
+
+    val hits = readBuckets(termBuckets.contains)
+      .filter(col("tok").isin(terms: _*))
+      .localCheckpoint() // read once: df collect below + scoring scan
+
+    val dfMap = hits.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = TextSearch.Bm25Stats(nDocs, totTok,
+      terms.map(t => t -> dfMap.getOrElse(t, 0L)).toMap)
+    val c = TextSearch.consts(st, k1, b)
+    val idf = TextSearch.idfMicro(st)
+    val idfCol = terms.foldLeft(lit(0L)) { (acc, t) =>
+      when(col("tok") === t, lit(idf(t))).otherwise(acc)
+    }
+
+    hits
+      .withColumn("__contrib",
+        TextSearch.contribution(idfCol, col("tf"), col("dl"), c).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__contrib")).as("score_micro"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+}

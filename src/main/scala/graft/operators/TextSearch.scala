@@ -70,9 +70,11 @@ object TextSearch {
     Bm25Consts(k1, b, k1 + 1.0, 1.0 - b, stats.avgdl)
 
   /** Per-(doc, term) BM25 contribution in integer micro-nats:
-    * `floor(idf_t * (tf*kk) / (tf + k1*(c1 + b*(dl/avgdl))))`. Kept `private`
-    * shape-identical to the oracle SQL — change both together. */
-  private def contribution(idf: Column, tf: Column, dl: Column, c: Bm25Consts): Column =
+    * `floor(idf_t * (tf*kk) / (tf + k1*(c1 + b*(dl/avgdl))))`. Kept
+    * shape-identical to the oracle SQL — change both together. Shared with
+    * [[TextIndex.search]] so corpus-scan and index-read scoring are the
+    * same arithmetic by construction. */
+  private[operators] def contribution(idf: Column, tf: Column, dl: Column, c: Bm25Consts): Column =
     floor(idf.cast("double") *
       ((tf.cast("double") * lit(c.kk)) /
         (tf.cast("double") + lit(c.k1) * (lit(c.c1) + lit(c.b) * (dl.cast("double") / lit(c.avgdl))))))

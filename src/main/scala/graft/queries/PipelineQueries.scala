@@ -173,6 +173,33 @@ object PipelineQueries {
       (engine, table)
     })
 
+  /** Versioned BM25 postings index of the documents corpus, built + one
+    * incremental batch appended ONCE per (session, sfDir): the first 400
+    * docs are the base build, the rest arrive via addBatch — so the gate
+    * query exercises the full incremental path, not just a fresh build.
+    * Same fixture-cache mechanism as the IVF index above. */
+  private val textIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (graft.operators.VersionedTables, graft.core.TableDefinition)]()
+
+  private def textIndexFixture(s: SparkSession, d: String)
+      : (graft.operators.VersionedTables, graft.core.TableDefinition) =
+    textIndexCache.computeIfAbsent((s, d), _ => {
+      import graft.core._
+      graft.Tables.prepare(s)
+      val root = java.nio.file.Files.createTempDirectory("graft-bm25-q-")
+      val engine = graft.operators.VersionedTables.withFileStore(s, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", "bm25_index"),
+        root.resolve("postings").toUri, graft.operators.TextIndex.indexSchema, FileFormat.Parquet)
+      engine.initTable(table, UserId("driver"), "init")
+      val docs = Tables.documents(s, d).localCheckpoint()
+      graft.operators.TextIndex.buildIndex(engine, table,
+        docs.filter(col("doc_id") < 400), buckets = 16, userId = UserId("driver"))
+      graft.operators.TextIndex.addBatch(engine, table,
+        docs.filter(col("doc_id") >= 400), batchLabel = "b1", buckets = 16,
+        userId = UserId("driver"))
+      (engine, table)
+    })
+
   /** Versioned LSH band-signature index of the corpus side (doc_id < 250),
     * built ONCE per (session, sfDir) — the persisted ingestion-dedup
     * artifact that lets every later delivery dedup against the lake with
@@ -397,6 +424,16 @@ object PipelineQueries {
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("predicted"), col("score_millinats"),
           (col("predicted") === col("lang")).as("correct"))
+    }),
+
+    // BM25 through the PERSISTED versioned postings index (base build + one
+    // incremental batch): identical results to q_bm25_search by shared
+    // arithmetic — one oracle, two plans, like q_dedup_against_index.
+    // Registers the same stats so the oracle is available either way.
+    "q_bm25_index" -> ((s, d) => {
+      bm25Stats(s, d)
+      val (engine, table) = textIndexFixture(s, d)
+      graft.operators.TextIndex.search(engine, table, Bm25Terms, k = Bm25K, buckets = 16)
     }),
 
     // hybrid retrieval: BM25 top-50 fused with exact-cosine top-50 around
@@ -798,6 +835,7 @@ object PipelineQueries {
     }
     val bm25 = soleRegistered(bm25StatsCache) match {
       case Some(st) => Map("q_bm25_search" -> bm25OracleSql(st, Bm25K),
+        "q_bm25_index" -> bm25OracleSql(st, Bm25K),
         "q_hybrid_search" -> hybridOracleSql(st, kList = Bm25K, kFuse = 20, rrfK = 60))
       case None => Map.empty[String, String]
     }

@@ -17,7 +17,8 @@ class QueriesSpec extends AnyFlatSpec with Matchers {
     // exactly how Verify dumps them
     val dataDerived = Set("q_ann_ivf", "q_ann_ivf_index", "q_dedup_simhash",
       "q_embed_cluster", "q_semantic_dedup", "q_dsir_weight", "q_dsir_sample",
-      "q_bm25_search", "q_hybrid_search", "q_lm_perplexity", "q_nb_classify")
+      "q_bm25_search", "q_bm25_index", "q_hybrid_search", "q_lm_perplexity",
+      "q_nb_classify")
     val declared = graft.SparkEntry.queries.keySet
     graft.SparkEntry.oracleSql.keySet.subsetOf(declared) shouldBe true
     (declared -- graft.SparkEntry.oracleSql.keySet -- dataDerived) shouldBe empty
