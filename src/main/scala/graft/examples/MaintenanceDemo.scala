@@ -154,6 +154,47 @@ object MaintenanceDemo {
     println(s"DSIR_SAMPLED=${sampled.count()} " +
       s"DSIR_DETERMINISTIC=${sampled.collect().toList == again.collect().toList}")
 
+    // 11. versioned BM25 postings index: base build + incremental batch,
+    // index search vs corpus-scan parity, time travel to the pre-batch state
+    val tiTable = graft.core.TableDefinition(
+      graft.core.TableName("maint", "bm25_index"),
+      root.resolve("bm25_index").toUri,
+      graft.operators.TextIndex.indexSchema, graft.core.FileFormat.Parquet)
+    engine.initTable(tiTable, UserId("demo"), "init bm25 index")
+    graft.operators.TextIndex.buildIndex(engine, tiTable,
+      docs.filter(col("doc_id") < 250), buckets = 8, userId = UserId("demo"))
+    val preBatch = engine.log(tiTable.name).head.id
+    graft.operators.TextIndex.addBatch(engine, tiTable,
+      docs.filter(col("doc_id") >= 250), batchLabel = "b1", buckets = 8, userId = UserId("demo"))
+    val terms = Seq("hash", "join", "dup")
+    val viaIndex = graft.operators.TextIndex.search(engine, tiTable, terms, k = 10, buckets = 8)
+      .collect().toList
+    val viaScan = graft.operators.TextSearch.bm25TopK(
+      docs, "doc_id", "text", terms, k = 10).collect().toList
+    val oldHits = graft.operators.TextIndex.search(
+      engine, tiTable, terms, k = 10, buckets = 8, at = Some(preBatch)).count()
+    println(s"BM25_INDEX_TOPK=${viaIndex.size} BM25_INDEX_PARITY=${viaIndex == viaScan} " +
+      s"BM25_TIMETRAVEL_HITS=$oldHits")
+
+    // 12. hybrid retrieval + model-based curation one-liners
+    val lex = graft.operators.TextSearch.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val fused = graft.operators.TextSearch.rrfFuse(lex, lex, "doc_id", k = 5)
+    val lmModel = graft.operators.QualityModels.lmCostTable(docs, "text", col("lang") === "en")
+    val lmScored = graft.operators.QualityModels.lmPerplexity(docs, "doc_id", "text", lmModel)
+    val (lo, hi) = graft.operators.QualityModels.tertileThresholds(lmScored, "doc_id")
+    val buckets = graft.operators.QualityModels.lmBuckets(lmScored, lo, hi)
+      .groupBy(col("bucket")).count().collect()
+      .map(r => s"${r.getString(0)}:${r.getLong(1)}").sorted.mkString(",")
+    val nb = graft.operators.QualityModels.nbTrain(docs, "lang", "text")
+    val acc = graft.operators.QualityModels.nbClassify(docs, "doc_id", "text", nb)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .agg(org.apache.spark.sql.functions.avg(
+        (col("predicted") === col("lang")).cast("double"))).collect()(0).getDouble(0)
+    println(f"HYBRID_FUSED=${fused.count()} LM_BUCKETS=$buckets NB_SELF_ACC=$acc%.2f")
+
     spark.stop()
   }
 }
