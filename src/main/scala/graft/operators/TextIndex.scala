@@ -97,8 +97,12 @@ object TextIndex {
   /** Incremental append of one delivery as fresh `(bucket, batch)`
     * partitions — O(batch) written data, one atomic commit. The batch label
     * must be new: reusing one would silently overwrite that delivery's
-    * partitions, so this fails loudly instead. `buckets` must match the
-    * build (same token → same bucket). */
+    * partitions, so this fails loudly instead — and the commit CASes on the
+    * head the label check read, so two concurrent `addBatch` calls racing
+    * the same label cannot both pass the check and both land
+    * (the loser gets [[graft.core.CommitConflictError]]; its written
+    * version dirs are vacuum-reclaimable debris, never visible). `buckets`
+    * must match the build (same token → same bucket). */
   def addBatch(
       engine: VersionedTables,
       table: TableDefinition,
@@ -109,7 +113,8 @@ object TextIndex {
       textCol: String = "text",
       userId: UserId = UserId("graft"),
       message: String = "add text index batch"): (TableVersion, TableChanges) = {
-    val existing = engine.versionAt(table.name, engine.log(table.name).head.id) match {
+    val checkedHead = engine.log(table.name).head.id
+    val existing = engine.versionAt(table.name, checkedHead) match {
       case PartitionedTableVersion(pvs) =>
         pvs.keys.flatMap(_.columnValues.collect {
           case cv if cv.column.name == BatchCol => cv.value
@@ -121,7 +126,7 @@ object TextIndex {
         "reusing it would overwrite that delivery's partitions")
     postingsOf(docs, idCol, textCol, buckets, batchLabel)
       .repartition(col(BucketCol), col(BatchCol))
-      .versionedInsertInto(engine, table, userId, message)
+      .versionedInsertIntoIf(engine, table, userId, message, checkedHead)
   }
 
   /**

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.operators.CorpusTools
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/**
+ * The stateless corpus-prep projections (chunking, text scoring) are
+ * streaming-ready BY CONSTRUCTION — pure per-row projections with no
+ * aggregation state — but "should work under readStream" is exactly the
+ * kind of claim that silently breaks (an operator growing a window or a
+ * localCheckpoint would kill streamability). This spec pins it: the same
+ * operator code runs over a MemoryStream and produces batch-identical
+ * results across multiple micro-batches.
+ */
+case class StreamOpsDoc(doc_id: Long, text: String)
+
+class StreamingCorpusOpsSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private type Doc = StreamOpsDoc
+  private def Doc(id: Long, text: String) = StreamOpsDoc(id, text)
+
+  "chunkDocuments" should "run unchanged over a stream, batch-identical across micro-batches" in {
+    val docs = Seq(
+      Doc(1L, (1 to 23).map(i => s"a$i").mkString(" ")),
+      Doc(2L, "short doc"),
+      Doc(3L, (1 to 40).map(i => s"b$i").mkString(" ")),
+      Doc(4L, ""))
+
+    val source = MemoryStream[Doc](spark)
+    val chunked = CorpusTools.chunkDocuments(source.toDF(), "doc_id", "text",
+      maxTokens = 8, overlap = 2)
+    val q = chunked.writeStream.format("memory").queryName("stream_chunks")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    source.addData(docs(0), docs(1))
+    q.processAllAvailable()
+    source.addData(docs(2), docs(3))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("stream_chunks")
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    val batch = CorpusTools.chunkDocuments(docs.toDF(), "doc_id", "text",
+        maxTokens = 8, overlap = 2)
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    streamed shouldBe batch
+    streamed.map(_._1) shouldBe Set(1L, 2L, 3L) // the empty doc yields nothing
+  }
+
+  "lmPerplexity scoring" should "stream per-document with a pre-trained model" in {
+    // train the model on a BATCH reference corpus (the published shape:
+    // models train offline, score online), then score a stream with it.
+    // lmPerplexity itself aggregates per doc — per-micro-batch grouping is
+    // fine because each document arrives whole within one batch.
+    val ref = Seq(Doc(1L, "good clean text"), Doc(2L, "good clean words")).toDF("doc_id", "text")
+    val model = graft.operators.QualityModels.lmCostTable(ref, "text",
+      org.apache.spark.sql.functions.lit(true))
+
+    val source = MemoryStream[Doc](spark)
+    val scored = graft.operators.QualityModels.lmPerplexity(
+      source.toDF(), "doc_id", "text", model)
+    val q = scored.writeStream.format("memory").queryName("stream_lm")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+
+    source.addData(Doc(10L, "good clean text"), Doc(11L, "zz qq noise"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("stream_lm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    out.keySet shouldBe Set(10L, 11L)
+    out(11L) should be > out(10L) // noise scores worse under the reference LM
+  }
+}
