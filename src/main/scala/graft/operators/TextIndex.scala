@@ -130,6 +130,35 @@ object TextIndex {
   }
 
   /**
+   * Fold the accumulated batches back into one — the maintenance arm of the
+   * incremental design: every [[addBatch]] adds a file set per touched
+   * bucket, so a long-lived index accretes small files; compaction rewrites
+   * the postings under a single batch label and collapses the per-batch
+   * stats rows into one, in a REPLACE-ALL commit CASed on the head it read
+   * (a delivery landing mid-compaction wins or loses atomically, never
+   * merges half). Pre-compaction versions stay time-travelable; the
+   * reclaimed generations become vacuum's business, like any other rewrite.
+   */
+  def compactBatches(
+      engine: VersionedTables,
+      table: TableDefinition,
+      batchLabel: String = "compacted",
+      userId: UserId = UserId("graft"),
+      message: String = "compact text index batches"): (TableVersion, TableChanges) = {
+    val head = engine.log(table.name).head.id
+    val all = engine.readVersion(table, engine.versionAt(table.name, head))
+    val posted = all.filter(col(BucketCol) =!= StatsBucket)
+      .withColumn(BatchCol, lit(batchLabel))
+    val stats = all.filter(col(BucketCol) === StatsBucket)
+      .agg(sum(col("doc_id")).as("doc_id"), sum(col("tf")).as("tf"))
+      .select(lit(StatsTok).as("tok"), col("doc_id"), col("tf"), lit(0L).as("dl"),
+        lit(StatsBucket).as(BucketCol), lit(batchLabel).as(BatchCol))
+    posted.unionByName(stats)
+      .repartition(col(BucketCol), col(BatchCol))
+      .versionedReplaceAllIf(engine, table, userId, message, head)
+  }
+
+  /**
    * BM25 top-`k` against the index: stats, document frequencies, and
    * postings all come from ONE pinned commit, and only the query terms'
    * buckets (plus the tiny stats partition) are listed or scanned. Exactly

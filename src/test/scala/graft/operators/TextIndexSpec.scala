@@ -72,6 +72,42 @@ class TextIndexSpec extends AnyFlatSpec with Matchers {
     old shouldBe scanA
   }
 
+  it should "compact batches into one without changing answers, keeping history" in {
+    val (engine, table) = newIndexTable()
+    TextIndex.buildIndex(engine, table,
+      docs.filter($"doc_id" < 20), buckets = 8, userId = UserId("t"))
+    TextIndex.addBatch(engine, table, docs.filter($"doc_id" >= 20 && $"doc_id" < 35),
+      batchLabel = "b1", buckets = 8, userId = UserId("t"))
+    TextIndex.addBatch(engine, table, docs.filter($"doc_id" >= 35),
+      batchLabel = "b2", buckets = 8, userId = UserId("t"))
+    val preCompact = engine.log(table.name).head.id
+    val before = TextIndex.search(engine, table, terms, k = 25, buckets = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    val partsBefore = engine.versionAt(table.name, preCompact) match {
+      case PartitionedTableVersion(p) => p.size
+      case _ => fail("expected partitioned version")
+    }
+
+    TextIndex.compactBatches(engine, table, userId = UserId("t"))
+
+    val after = TextIndex.search(engine, table, terms, k = 25, buckets = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    after shouldBe before
+    // three batches x buckets collapse to one batch per bucket
+    val partsAfter = engine.versionAt(table.name, engine.log(table.name).head.id) match {
+      case PartitionedTableVersion(p) => p.size
+      case _ => fail("expected partitioned version")
+    }
+    partsAfter should be < partsBefore
+    // a post-compaction delivery continues the incremental life cycle
+    TextIndex.addBatch(engine, table, docs.limit(0), batchLabel = "b3",
+      buckets = 8, userId = UserId("t"))
+    // and the pre-compaction state remains searchable
+    val old = TextIndex.search(engine, table, terms, k = 25, buckets = 8, at = Some(preCompact))
+      .as[(Long, Long, Long)].collect().toSeq
+    old shouldBe before
+  }
+
   it should "refuse a reused batch label instead of overwriting a delivery" in {
     val (engine, table) = newIndexTable()
     TextIndex.buildIndex(engine, table, docs.limit(10), buckets = 8, userId = UserId("t"))
