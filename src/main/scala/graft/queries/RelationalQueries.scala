@@ -641,6 +641,76 @@ object RelationalQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 50)
         .select(col("o_orderstatus"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // --- the canonical TPC-H shapes, run literally (Q1/Q3/Q5 adapted to
+    // this generator's columns and date range). Money math rides DECIMAL:
+    // the doubles are 2-dec values, so the casts are exact, decimal
+    // sums/products are order-free, and the one double division per avg is
+    // IEEE-identical in any engine — hash-exact without a float sum
+    // anywhere. Dims broadcast; facts shuffle on their join keys. ---
+    "q_tpch_q1" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-01-01")))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"),
+          col("l_discount").cast("decimal(18,2)").as("disc"),
+          col("l_tax").cast("decimal(18,2)").as("tax"))
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("qty")).cast("double").as("sum_qty"),
+          sum(col("price")).cast("double").as("sum_base_price"),
+          sum(col("price") * (lit(1) - col("disc"))).cast("double").as("sum_disc_price"),
+          sum(col("price") * (lit(1) - col("disc")) * (lit(1) + col("tax")))
+            .cast("double").as("sum_charge"),
+          (sum(col("qty")).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(col("price")).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(col("disc")).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q_tpch_q3" -> ((s, d) => {
+      val cutoff = to_timestamp(lit("1998-01-01"))
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+    }),
+
+    "q_tpch_q5" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA").select("r_regionkey")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
     })
   )
 
@@ -1078,6 +1148,56 @@ object RelationalQueries {
         |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
         |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
         |  FROM orders)
-        |WHERE rn <= 50""".stripMargin
+        |WHERE rn <= 50""".stripMargin,
+
+    "q_tpch_q1" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |    CAST(l_discount AS DECIMAL(18,2)) AS disc,
+        |    CAST(l_tax AS DECIMAL(18,2)) AS tax
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01')
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(price * (1 - disc)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(price * (1 - disc) * (1 + tax)) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(price) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(disc) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM l GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l.l_orderkey,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_orderpriority
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n.n_name""".stripMargin
   )
 }
