@@ -711,6 +711,46 @@ object RelationalQueries {
         .groupBy(col("n_name"))
         .agg(sum(col("rev")).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q_tpch_q10" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    }),
+
+    "q_tpch_q18" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity").cast("decimal(18,2)").as("qty"))
+      val big = l.groupBy(col("l_orderkey")).agg(sum(col("qty")).as("tot"))
+        .filter(col("tot") > 250)
+        .select(col("l_orderkey").as("big_orderkey"),
+          col("tot").cast("double").as("total_qty"))
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = Tables.customer(s, d).select("c_custkey", "c_name")
+      big.join(o, col("big_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
     })
   )
 
@@ -1198,6 +1238,37 @@ object RelationalQueries {
         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n.n_name
-        |ORDER BY revenue DESC, n.n_name""".stripMargin
+        |ORDER BY revenue DESC, n.n_name""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c.c_acctbal, n.n_name
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice, big.total_qty
+        |FROM big
+        |JOIN orders o ON big.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin
   )
 }
