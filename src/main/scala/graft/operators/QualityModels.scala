@@ -83,6 +83,8 @@ object QualityModels {
   def tertileThresholds(scored: DataFrame, idCol: String): (Long, Long) = {
     val n = scored.count()
     require(n >= 3, s"need at least 3 documents for tertiles, got $n")
+    require(n / 3 * 2 <= Int.MaxValue,
+      s"exact tertiles use limit() (Int-bounded); at $n documents switch to a sampled quantile")
     def at(k: Long): Long = scored
       .orderBy(col("avg_millinats"), col(idCol))
       .limit(k.toInt)

@@ -201,9 +201,13 @@ object TextIndex {
     val nDocs = statsRow.getLong(0)
     val totTok = statsRow.getLong(1)
 
+    // evaluated twice (the df collect, then the scoring scan) — both reads
+    // are the SAME pinned version of the pruned buckets, and two pruned
+    // scans beat materializing the matching postings (for a common term
+    // that's a large fraction of the corpus; a checkpoint here would be the
+    // operator's only corpus-sized buffer)
     val hits = readBuckets(termBuckets.contains)
       .filter(col("tok").isin(terms: _*))
-      .localCheckpoint() // read once: df collect below + scoring scan
 
     val dfMap = hits.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
