@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.core._
-import graft.operators.{CorpusTools, Dedup, QualityModels, Similarity, TextSearch, VersionedTables}
+import graft.operators.{CorpusTools, Dedup, QualityModels, Similarity, TextIndex, TextSearch, VersionedTables}
 import graft.operators.VersionedTables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -60,6 +60,19 @@ object ScaleProbe {
     // fixed 100-query set present identically at both scales (replica 0)
     def queries(dir: String) = emb(dir).filter(col("vec_id") < 100)
 
+    val bm25IndexCache =
+      scala.collection.mutable.Map.empty[String, (VersionedTables, TableDefinition)]
+    def bm25IndexFor(dir: String): (VersionedTables, TableDefinition) =
+      bm25IndexCache.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files.createTempDirectory("graft-scale-bm25-")
+        val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+        val table = TableDefinition(TableName("scale", "postings"),
+          root.resolve("postings").toUri, TextIndex.indexSchema, FileFormat.Parquet)
+        engine.initTable(table, UserId("probe"), "init")
+        TextIndex.buildIndex(engine, table, docs(dir), buckets = 64, userId = UserId("probe"))
+        (engine, table)
+      })
+
     val families: Seq[(String, String => Unit)] = Seq(
       "exact_dedup" -> (dir => { Dedup.exactDupGroups(docs(dir)).count(); () }),
       "lsh_dedup_chain" -> (dir => {
@@ -107,6 +120,15 @@ object ScaleProbe {
         val m = QualityModels.lmCostTable(docs(dir), "text", col("lang") === "en")
         QualityModels.lmPerplexity(docs(dir), "doc_id", "text", m)
           .agg(sum(col("lm_cost"))).collect(); ()
+      }),
+      "bm25_index_search" -> (dir => {
+        // the index builds ONCE per dir (untimed, memoized) — the family
+        // times the pruned SEARCH alone, the number that must stay flat-ish
+        // while bm25_search (full corpus scan + explode) grows with the data
+        val (engine, table) = bm25IndexFor(dir)
+        val terms = if (dir == baseDir) Seq("hash", "join", "dup")
+                    else Seq("hash_r0", "join_r0", "dup_r0")
+        TextIndex.search(engine, table, terms, k = 50, buckets = 64).count(); ()
       }))
 
     val selected = args.lift(3) match {
