@@ -751,6 +751,43 @@ object RelationalQueries {
           col("o_totalprice"), col("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
+    }),
+
+    "q_tpch_q6" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))),
+
+    "q_tpch_q13" -> ((s, d) => {
+      val perCust = Tables.customer(s, d).select("c_custkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q_tpch_q14" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .select(col("l_partkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      val p = Tables.part(s, d).select("p_partkey", "p_type")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0))).as("promo"),
+          sum(col("rev")).as("total"))
+        .select(((col("promo").cast("double") * lit(100.0)) /
+          col("total").cast("double")).as("promo_revenue_pct"))
     })
   )
 
@@ -1269,6 +1306,35 @@ object RelationalQueries {
         |JOIN orders o ON big.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderkey
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |               CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q14" ->
+      """WITH j AS (
+        |  SELECT p.p_type,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l.l_shipdate < TIMESTAMP '1996-04-01')
+        |SELECT (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)
+        |        * 100.0) / CAST(SUM(rev) AS DOUBLE) AS promo_revenue_pct
+        |FROM j""".stripMargin
   )
 }
