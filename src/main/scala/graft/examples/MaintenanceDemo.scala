@@ -165,14 +165,14 @@ object MaintenanceDemo {
       docs.filter(col("doc_id") < 250), buckets = 8, userId = UserId("demo"))
     val preBatch = engine.log(tiTable.name).head.id
     graft.operators.TextIndex.addBatch(engine, tiTable,
-      docs.filter(col("doc_id") >= 250), batchLabel = "b1", buckets = 8, userId = UserId("demo"))
+      docs.filter(col("doc_id") >= 250), batchLabel = "b1", userId = UserId("demo"))
     val terms = Seq("hash", "join", "dup")
-    val viaIndex = graft.operators.TextIndex.search(engine, tiTable, terms, k = 10, buckets = 8)
+    val viaIndex = graft.operators.TextIndex.search(engine, tiTable, terms, k = 10)
       .collect().toList
     val viaScan = graft.operators.TextSearch.bm25TopK(
       docs, "doc_id", "text", terms, k = 10).collect().toList
     val oldHits = graft.operators.TextIndex.search(
-      engine, tiTable, terms, k = 10, buckets = 8, at = Some(preBatch)).count()
+      engine, tiTable, terms, k = 10, at = Some(preBatch)).count()
     println(s"BM25_INDEX_TOPK=${viaIndex.size} BM25_INDEX_PARITY=${viaIndex == viaScan} " +
       s"BM25_TIMETRAVEL_HITS=$oldHits")
 

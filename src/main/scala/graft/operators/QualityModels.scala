@@ -50,6 +50,9 @@ object QualityModels {
       .orderBy(col("__c").desc, col("__tok"))
       .limit(vocabCap)
       .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.nonEmpty,
+      "the reference slice contains no tokens — an empty LM would score " +
+        "everything at -ln(1/0); pass a predicate that matches documents")
     val total = counts.map(_._2).sum
     val v = counts.length
     def cost(c: Long): Long =
@@ -125,6 +128,7 @@ object QualityModels {
     val docCounts = df.groupBy(col(labelCol).cast("string").as("__l"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(docCounts.nonEmpty, "cannot train Naive Bayes on an empty frame")
     val nDocs = docCounts.values.sum
     val priors = docCounts.map { case (l, c) =>
       l -> math.round(1000.0 * math.log(c.toDouble / nDocs))

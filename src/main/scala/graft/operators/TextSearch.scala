@@ -41,6 +41,8 @@ object TextSearch {
         count(lit(1)).as("n"),
         sum(graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")).as("tot"))
       .collect()(0)
+    require(totals.getLong(0) > 0,
+      "BM25 statistics over an empty corpus — no documents to collect from")
     val dfRows = df
       .select(col(idCol).as("__id"),
         explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
@@ -99,6 +101,10 @@ object TextSearch {
       b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val st = stats.getOrElse(bm25Stats(df, idCol, textCol, terms))
+    val missing = terms.filterNot(st.docFreq.contains)
+    require(missing.isEmpty,
+      s"stats lack document frequencies for: ${missing.mkString(", ")} — " +
+        "collect bm25Stats with the SAME terms the query uses")
     val c = consts(st, k1, b)
     val idf = idfMicro(st)
     val idfCol = terms.foldLeft(lit(0L)) { (acc, t) =>

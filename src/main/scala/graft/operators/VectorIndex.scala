@@ -92,9 +92,11 @@ object VectorIndex {
       vecCol: String = "embedding",
       at: Option[CommitId] = None): DataFrame = {
     // pin one version for the whole query: centroids and cells must come
-    // from the same index generation even if a rebuild lands concurrently
+    // from the same index generation even if a rebuild lands concurrently.
+    // currentRef is the tracker's O(1) head probe — a long-lived index must
+    // not pay a history materialization per query
     val pinned = engine.versionAt(table.name,
-      at.getOrElse(engine.log(table.name).head.id))
+      at.getOrElse(engine.tracker.currentRef(table.name)))
     def readCells(keep: Partition => Boolean): DataFrame = pinned match {
       case PartitionedTableVersion(pvs) =>
         engine.readVersion(table, PartitionedTableVersion(pvs.filter { case (p, _) => keep(p) }))

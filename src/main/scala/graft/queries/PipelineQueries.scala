@@ -195,7 +195,7 @@ object PipelineQueries {
       graft.operators.TextIndex.buildIndex(engine, table,
         docs.filter(col("doc_id") < 400), buckets = 16, userId = UserId("driver"))
       graft.operators.TextIndex.addBatch(engine, table,
-        docs.filter(col("doc_id") >= 400), batchLabel = "b1", buckets = 16,
+        docs.filter(col("doc_id") >= 400), batchLabel = "b1",
         userId = UserId("driver"))
       (engine, table)
     })
@@ -433,7 +433,7 @@ object PipelineQueries {
     "q_bm25_index" -> ((s, d) => {
       bm25Stats(s, d)
       val (engine, table) = textIndexFixture(s, d)
-      graft.operators.TextIndex.search(engine, table, Bm25Terms, k = Bm25K, buckets = 16)
+      graft.operators.TextIndex.search(engine, table, Bm25Terms, k = Bm25K)
     }),
 
     // hybrid retrieval: BM25 top-50 fused with exact-cosine top-50 around

@@ -31,7 +31,7 @@ class TextIndexSpec extends AnyFlatSpec with Matchers {
   it should "answer searches identically to the corpus-scan BM25" in {
     val (engine, table) = newIndexTable()
     TextIndex.buildIndex(engine, table, docs, buckets = 16, userId = UserId("t"))
-    val viaIndex = TextIndex.search(engine, table, terms, k = 25, buckets = 16)
+    val viaIndex = TextIndex.search(engine, table, terms, k = 25)
       .as[(Long, Long, Long)].collect().toSeq
     val viaScan = TextSearch.bm25TopK(docs, "doc_id", "text", terms, k = 25)
       .as[(Long, Long, Long)].collect().toSeq
@@ -42,7 +42,7 @@ class TextIndexSpec extends AnyFlatSpec with Matchers {
     val (engine, table) = newIndexTable()
     TextIndex.buildIndex(engine, table, docs, buckets = 16, userId = UserId("t"))
     val allFiles = engine.read(table).inputFiles.length
-    val oneTerm = TextIndex.search(engine, table, Seq("dup"), k = 5, buckets = 16)
+    val oneTerm = TextIndex.search(engine, table, Seq("dup"), k = 5)
     oneTerm.inputFiles.length should be < allFiles
     oneTerm.count() should be > 0L
   }
@@ -53,19 +53,19 @@ class TextIndexSpec extends AnyFlatSpec with Matchers {
     val b = docs.filter($"doc_id" % 2 =!= 0)
     TextIndex.buildIndex(engine, table, a, buckets = 16, userId = UserId("t"), message = "base")
     val preBatch = engine.log(table.name).head.id
-    TextIndex.addBatch(engine, table, b, batchLabel = "b1", buckets = 16, userId = UserId("t"))
+    TextIndex.addBatch(engine, table, b, batchLabel = "b1", userId = UserId("t"))
 
     val (engine2, table2) = newIndexTable()
     TextIndex.buildIndex(engine2, table2, docs, buckets = 16, userId = UserId("t"))
 
-    val incremental = TextIndex.search(engine, table, terms, k = 25, buckets = 16)
+    val incremental = TextIndex.search(engine, table, terms, k = 25)
       .as[(Long, Long, Long)].collect().toSeq
-    val rebuilt = TextIndex.search(engine2, table2, terms, k = 25, buckets = 16)
+    val rebuilt = TextIndex.search(engine2, table2, terms, k = 25)
       .as[(Long, Long, Long)].collect().toSeq
     incremental shouldBe rebuilt
 
     // time travel: at the pre-batch commit, stats and postings are batch A's
-    val old = TextIndex.search(engine, table, terms, k = 25, buckets = 16, at = Some(preBatch))
+    val old = TextIndex.search(engine, table, terms, k = 25, at = Some(preBatch))
       .as[(Long, Long, Long)].collect().toSeq
     val scanA = TextSearch.bm25TopK(a, "doc_id", "text", terms, k = 25)
       .as[(Long, Long, Long)].collect().toSeq
@@ -77,11 +77,11 @@ class TextIndexSpec extends AnyFlatSpec with Matchers {
     TextIndex.buildIndex(engine, table,
       docs.filter($"doc_id" < 20), buckets = 8, userId = UserId("t"))
     TextIndex.addBatch(engine, table, docs.filter($"doc_id" >= 20 && $"doc_id" < 35),
-      batchLabel = "b1", buckets = 8, userId = UserId("t"))
+      batchLabel = "b1", userId = UserId("t"))
     TextIndex.addBatch(engine, table, docs.filter($"doc_id" >= 35),
-      batchLabel = "b2", buckets = 8, userId = UserId("t"))
+      batchLabel = "b2", userId = UserId("t"))
     val preCompact = engine.log(table.name).head.id
-    val before = TextIndex.search(engine, table, terms, k = 25, buckets = 8)
+    val before = TextIndex.search(engine, table, terms, k = 25)
       .as[(Long, Long, Long)].collect().toSeq
     val partsBefore = engine.versionAt(table.name, preCompact) match {
       case PartitionedTableVersion(p) => p.size
@@ -90,7 +90,7 @@ class TextIndexSpec extends AnyFlatSpec with Matchers {
 
     TextIndex.compactBatches(engine, table, userId = UserId("t"))
 
-    val after = TextIndex.search(engine, table, terms, k = 25, buckets = 8)
+    val after = TextIndex.search(engine, table, terms, k = 25)
       .as[(Long, Long, Long)].collect().toSeq
     after shouldBe before
     // three batches x buckets collapse to one batch per bucket
@@ -101,9 +101,9 @@ class TextIndexSpec extends AnyFlatSpec with Matchers {
     partsAfter should be < partsBefore
     // a post-compaction delivery continues the incremental life cycle
     TextIndex.addBatch(engine, table, docs.limit(0), batchLabel = "b3",
-      buckets = 8, userId = UserId("t"))
+      userId = UserId("t"))
     // and the pre-compaction state remains searchable
-    val old = TextIndex.search(engine, table, terms, k = 25, buckets = 8, at = Some(preCompact))
+    val old = TextIndex.search(engine, table, terms, k = 25, at = Some(preCompact))
       .as[(Long, Long, Long)].collect().toSeq
     old shouldBe before
   }
@@ -112,10 +112,30 @@ class TextIndexSpec extends AnyFlatSpec with Matchers {
     val (engine, table) = newIndexTable()
     TextIndex.buildIndex(engine, table, docs.limit(10), buckets = 8, userId = UserId("t"))
     TextIndex.addBatch(engine, table, docs.limit(20).filter($"doc_id" >= 10),
-      batchLabel = "d1", buckets = 8, userId = UserId("t"))
+      batchLabel = "d1", userId = UserId("t"))
     an[IllegalArgumentException] should be thrownBy
       TextIndex.addBatch(engine, table, docs.filter($"doc_id" >= 20),
-        batchLabel = "d1", buckets = 8, userId = UserId("t"))
+        batchLabel = "d1", userId = UserId("t"))
+  }
+
+  it should "derive the bucket geometry from the index, never the caller" in {
+    // built with 8 buckets; search and addBatch take no geometry argument,
+    // so a stale caller constant can no longer mis-prune the wrong modulus
+    val (engine, table) = newIndexTable()
+    TextIndex.buildIndex(engine, table, docs, buckets = 8, userId = UserId("t"))
+    val viaIndex = TextIndex.search(engine, table, terms, k = 25)
+      .as[(Long, Long, Long)].collect().toSeq
+    val viaScan = TextSearch.bm25TopK(docs, "doc_id", "text", terms, k = 25)
+      .as[(Long, Long, Long)].collect().toSeq
+    viaIndex shouldBe viaScan
+  }
+
+  it should "fail loudly on an empty index instead of returning garbage" in {
+    val (engine, table) = newIndexTable()
+    TextIndex.buildIndex(engine, table, docs.limit(0), buckets = 8, userId = UserId("t"))
+    val e = the[IllegalArgumentException] thrownBy
+      TextIndex.search(engine, table, terms, k = 5)
+    e.getMessage should include("indexes no documents")
   }
 
   it should "replace-all on rebuild so stale batches cannot leak" in {
@@ -124,7 +144,7 @@ class TextIndexSpec extends AnyFlatSpec with Matchers {
     // rebuild from a SHRUNK corpus: old batches must vanish from the head
     val shrunk = docs.filter($"doc_id" < 5)
     TextIndex.buildIndex(engine, table, shrunk, buckets = 16, userId = UserId("t"), message = "v2")
-    val viaIndex = TextIndex.search(engine, table, terms, k = 50, buckets = 16)
+    val viaIndex = TextIndex.search(engine, table, terms, k = 50)
       .as[(Long, Long, Long)].collect().toSeq
     val viaScan = TextSearch.bm25TopK(shrunk, "doc_id", "text", terms, k = 50)
       .as[(Long, Long, Long)].collect().toSeq
