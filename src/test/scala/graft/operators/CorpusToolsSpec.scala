@@ -503,6 +503,15 @@ class CorpusToolsSpec extends AnyFlatSpec with Matchers {
     byHash shouldBe byText
   }
 
+  it should "be invariant under arbitrary repartitioning" in {
+    val base = CorpusTools.duplicatedSpans(spanDocs, "doc_id", "text", n = 4)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    Seq(1, 3, 7).foreach { parts =>
+      CorpusTools.duplicatedSpans(spanDocs.repartition(parts), "doc_id", "text", n = 4)
+        .as[(Long, Int, Long, Long)].collect().toSet shouldBe base
+    }
+  }
+
   "stripRepeatedSpans" should "empty fully duplicated docs and keep unique ones" in {
     val out = CorpusTools.stripRepeatedSpans(spanDocs, "doc_id", "text", n = 4)
       .select("doc_id", "text").as[(Long, String)].collect().toMap

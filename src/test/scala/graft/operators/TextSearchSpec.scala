@@ -82,6 +82,17 @@ class TextSearchSpec extends AnyFlatSpec with Matchers {
     score(1L) should be > score(2L)
   }
 
+  it should "be invariant under arbitrary repartitioning (order-free integer sums)" in {
+    val base = TextSearch.bm25TopK(corpus, "doc_id", "text", Seq("common", "rare"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    Seq(1, 3, 7).foreach { n =>
+      val re = TextSearch.bm25TopK(corpus.repartition(n), "doc_id", "text",
+          Seq("common", "rare"), k = 10)
+        .as[(Long, Long, Long)].collect().toSeq
+      re shouldBe base
+    }
+  }
+
   "rrfFuse" should "compute the exact integer RRF sum over both lists" in {
     val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
