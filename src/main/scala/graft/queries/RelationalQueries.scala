@@ -788,6 +788,67 @@ object RelationalQueries {
           sum(col("rev")).as("total"))
         .select(((col("promo").cast("double") * lit(100.0)) /
           col("total").cast("double")).as("promo_revenue_pct"))
+    }),
+
+    // Q4 "order priority checking", adapted: the generator has no
+    // l_commitdate/l_receiptdate, so "late" means shipped after the order
+    // date. The shape is the point: EXISTS compiles to a LEFT SEMI join
+    // (orders never duplicate, lineitem never materializes beyond the
+    // probe), then a tiny groupBy on priority. Pure counts — hash-exact.
+    "q_tpch_q4" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Q12 "shipping modes and order priority", adapted: l_linestatus stands
+    // in for the missing l_shipmode. Fact-fact equi-join, then map-side
+    // conditional integer sums — the canonical CASE-in-agg shape. Exact.
+    "q_tpch_q12" -> ((s, d) => {
+      val urgent = col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority") === "2-HIGH"
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .select("l_orderkey", "l_linestatus")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!urgent, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // Q19 "discounted revenue", adapted to the generator's part columns
+    // (brand + size; no container/shipmode): a disjunction of three
+    // brand×quantity×size conjunctions ON TOP of the partkey equi-join.
+    // Catalyst keeps the equi-join (the OR is a post-join filter) and
+    // pushes the derivable parts down each scan; never a cartesian.
+    "q_tpch_q19" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" &&
+            col("l_quantity") >= 1 && col("l_quantity") <= 11 &&
+            col("p_size") >= 1 && col("p_size") <= 30) ||
+          (col("p_brand") === "Brand#23" &&
+            col("l_quantity") >= 10 && col("l_quantity") <= 20 &&
+            col("p_size") >= 1 && col("p_size") <= 40) ||
+          (col("p_brand") === "Brand#34" &&
+            col("l_quantity") >= 20 && col("l_quantity") <= 30 &&
+            col("p_size") >= 1 && col("p_size") <= 50))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
     })
   )
 
@@ -1335,6 +1396,41 @@ object RelationalQueries {
         |    AND l.l_shipdate < TIMESTAMP '1996-04-01')
         |SELECT (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)
         |        * 100.0) / CAST(SUM(rev) AS DOUBLE) AS promo_revenue_pct
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l.l_linestatus,
+        |  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l.l_linestatus
+        |ORDER BY l.l_linestatus""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |               (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12'
+        |        AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 30)
+        |   OR (p.p_brand = 'Brand#23'
+        |        AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 40)
+        |   OR (p.p_brand = 'Brand#34'
+        |        AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 50)""".stripMargin
   )
 }
