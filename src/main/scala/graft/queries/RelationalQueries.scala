@@ -849,6 +849,129 @@ object RelationalQueries {
             col("l_quantity") >= 20 && col("l_quantity") <= 30 &&
             col("p_size") >= 1 && col("p_size") <= 50))
         .agg(sum(col("rev")).cast("double").as("revenue"))
+    }),
+
+    // Q7 "volume shipping": two-nation trade in both directions, grouped by
+    // the (supplier nation, customer nation, ship year) triple. Two dim
+    // legs hang off the fact spine (lineitem->orders->customer and
+    // lineitem->supplier), nation broadcasts twice under different aliases,
+    // and the direction disjunction filters AFTER both legs resolve.
+    "q_tpch_q7" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter(
+          (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // Q8 "national market share": of the revenue EUROPE's customers spent
+    // on ECONOMY parts, the share supplied by NATION_12, per order year.
+    // The share is one double division of two decimal sums per year —
+    // order-free, IEEE-identical in any engine.
+    "q_tpch_q8" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("rev"))
+      val p = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val cn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+        .select("r_regionkey")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val sn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .groupBy(col("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_12", col("rev"))
+            .otherwise(lit(0))).cast("double") /
+          sum(col("rev")).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // Q17 "small-quantity-order revenue": lineitems of one brand whose
+    // quantity is under 20% of that part's average quantity. The canonical
+    // correlated AVG subquery is expressed directly as its decorrelated
+    // form: per-part (sum, count) aggregate joined back to the fact. The
+    // threshold is computed with the exact same double-op sequence in both
+    // engines (0.2 * (decimal-sum cast double / count)) — hash-exact.
+    "q_tpch_q17" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_brand") === "Brand#12")
+        .select("p_partkey")
+      val l = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"))
+      val branded = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val perPart = branded.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cnt"))
+      branded.join(perPart, col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") <
+          lit(0.2) * (col("sq").cast("double") / col("cnt")))
+        .agg((sum(col("price")).cast("double") / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // Q22 "global sales opportunity": customers richer than the average
+    // positive balance with no RECENT orders (this generator gives every
+    // customer at least one lifetime order, so "dormant since 1999" stands
+    // in for the canonical "no orders"), rolled up by nation. The scalar
+    // subquery rides a one-row broadcast on a literal key (a
+    // BroadcastHashJoin, not a nested loop); the dormancy test is a LEFT
+    // ANTI join against the date-filtered orders side.
+    "q_tpch_q22" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val avgPos = c.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_bal"))
+        .withColumn("k", lit(1))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01")))
+        .select("o_custkey")
+      val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+      c.withColumn("k", lit(1))
+        .join(broadcast(avgPos), "k")
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("totacctbal"))
+        .orderBy(col("n_name"))
     })
   )
 
@@ -1431,6 +1554,76 @@ object RelationalQueries {
         |   OR (p.p_brand = 'Brand#23'
         |        AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 40)
         |   OR (p.p_brand = 'Brand#34'
-        |        AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 50)""".stripMargin
+        |        AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 50)""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  YEAR(l.l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT YEAR(o.o_orderdate) AS o_year,
+        |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_12'
+        |    THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |         (1 - CAST(l.l_discount AS DECIMAL(18,2))) ELSE 0 END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |             (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS mkt_share
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q_tpch_q17" ->
+      """WITH branded AS (
+        |  SELECT l.l_partkey, l.l_quantity,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price,
+        |    CAST(l.l_quantity AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#12'),
+        |per_part AS (
+        |  SELECT l_partkey AS a_partkey, SUM(qty) AS sq, COUNT(*) AS cnt
+        |  FROM branded GROUP BY 1)
+        |SELECT CAST(SUM(b.price) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM branded b JOIN per_part a ON b.l_partkey = a.a_partkey
+        |WHERE b.l_quantity < 0.2 * (CAST(a.sq AS DOUBLE) / a.cnt)""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH avg_pos AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |           / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n.n_name, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal > (SELECT avg_bal FROM avg_pos)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin
   )
 }

@@ -34,14 +34,20 @@ class PlanInvariantsSpec extends AnyFlatSpec with Matchers {
     *    fixture has no true near-dups, so LSH blocking would be pure
     *    recall loss; the blocked path is exercised in SimilaritySpec);
     *  - q_cross_join — the dimension-complete categorical matrix IS a
-    *    cross join of two tiny dimensions.
+    *    cross join of two tiny dimensions;
+    *  - q_tpch_q22 — the scalar subquery (global average balance) is a
+    *    ONE-ROW aggregate broadcast against the probe side; Catalyst
+    *    constant-folds the literal join key away, degenerating the
+    *    BroadcastHashJoin into a nested-loop with a single-row build —
+    *    O(N·1), the same shape Spark's own scalar-subquery rewrite
+    *    executes.
     *
     * Notably NOT here: the n-gram ground-truth miners — they plan as
     * inverted-index equi-joins on shared shingle hashes (the quadratic in
     * their cost model is candidate VERIFICATION, not the join shape). */
   private val allowedBounded = Set(
     "q_ann_cosine", "q_ann_ivf", "q_dedup_embedding", "q_cross_join",
-    "q_hybrid_search")
+    "q_hybrid_search", "q_tpch_q22")
 
   "every driver query" should "plan without cartesian or nested-loop joins (unless bounded by design)" in {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
