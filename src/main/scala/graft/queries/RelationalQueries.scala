@@ -1534,10 +1534,10 @@ object RelationalQueries {
 
     "q_tpch_q12" ->
       """SELECT l.l_linestatus,
-        |  SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS high_line_count,
-        |  SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l.l_shipdate < TIMESTAMP '1997-01-01'

@@ -16,6 +16,34 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def type_class(t):
+    """Collapse a DuckDB type to the class a value-hash would see.
+
+    The driver's gate hashes typed values (round-8 lesson: DuckDB types
+    SUM(integer) as HUGEINT = int128, which hashes differently from Spark's
+    BIGINT even when the numbers are equal — q_tpch_q12 was red on the driver
+    while this script said OK). Integer widths up to 64 bits all surface as
+    plain ints; HUGEINT and DECIMAL do not, so they get their own classes.
+    """
+    s = str(t).upper()
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if s in ("FLOAT", "DOUBLE"):
+        return "float"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    if s in ("VARCHAR", "JSON"):
+        # DuckDB's JSON type surfaces as a string to any value hash (the
+        # driver passed q_json_generate green in round 8 with VARCHAR vs JSON)
+        return "str"
+    return s
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -28,12 +56,23 @@ def key(row):
     return tuple("\x00None" if v is None else str(v) for v in row)
 
 
-def compare(name, got_rows, got_cols, exp_rows, exp_cols):
+def compare(name, got_rows, got_cols, exp_rows, exp_cols,
+            got_types=None, exp_types=None):
     if sorted(got_cols) != sorted(exp_cols):
         return f"SCHEMA MISMATCH got={sorted(got_cols)} exp={sorted(exp_cols)}"
     # reorder columns by name
     gidx = [got_cols.index(c) for c in sorted(got_cols)]
     eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
+    if got_types is not None and exp_types is not None:
+        bad_types = []
+        for gi, ei in zip(gidx, eidx):
+            gc, ec = type_class(got_types[gi]), type_class(exp_types[ei])
+            if gc != ec:
+                bad_types.append(
+                    f"{got_cols[gi]}: spark={got_types[gi]}({gc}) "
+                    f"oracle={exp_types[ei]}({ec})")
+        if bad_types:
+            return "TYPE MISMATCH " + "; ".join(bad_types)
     g = sorted([tuple(norm(r[i]) for i in gidx) for r in got_rows], key=key)
     e = sorted([tuple(norm(r[i]) for i in eidx) for r in exp_rows], key=key)
     if len(g) != len(e):
@@ -79,17 +118,18 @@ def main(sf_dir, out_dir):
             results[name] = "NO OUTPUT"
             continue
         rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
-        got_rows, got_cols = rel.fetchall(), rel.columns
+        got_rows, got_cols, got_types = rel.fetchall(), rel.columns, rel.types
         if name not in oracles:
             results[name] = f"rows-only: {len(got_rows)} rows" + (" (EMPTY!)" if not got_rows else "")
             continue
         try:
             orel = con.sql(oracles[name])
-            exp_rows, exp_cols = orel.fetchall(), orel.columns
+            exp_rows, exp_cols, exp_types = orel.fetchall(), orel.columns, orel.types
         except Exception as ex:
             results[name] = f"ORACLE SQL ERROR: {ex}"
             continue
-        results[name] = compare(name, got_rows, got_cols, exp_rows, exp_cols)
+        results[name] = compare(name, got_rows, got_cols, exp_rows, exp_cols,
+                                got_types, exp_types)
     width = max(len(k) for k in results)
     n_ok = sum(1 for v in results.values() if v.startswith("OK") or v.startswith("rows-only"))
     for k, v in results.items():
