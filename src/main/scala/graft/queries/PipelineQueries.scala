@@ -186,17 +186,30 @@ object PipelineQueries {
     textIndexCache.computeIfAbsent((s, d), _ => {
       import graft.core._
       graft.Tables.prepare(s)
+      // Phase-timed like the LSH fixture below: docs_s is the one-time
+      // localCheckpoint of the documents table, build_index_s the initial
+      // postings build, add_batch_s the incremental CASed append.
+      val t0 = System.nanoTime()
       val root = java.nio.file.Files.createTempDirectory("graft-bm25-q-")
       val engine = graft.operators.VersionedTables.withFileStore(s, root.resolve("store").toUri)
       val table = TableDefinition(TableName("graft", "bm25_index"),
         root.resolve("postings").toUri, graft.operators.TextIndex.indexSchema, FileFormat.Parquet)
       engine.initTable(table, UserId("driver"), "init")
+      val t1 = System.nanoTime()
       val docs = Tables.documents(s, d).localCheckpoint()
+      val t2 = System.nanoTime()
       graft.operators.TextIndex.buildIndex(engine, table,
         docs.filter(col("doc_id") < 400), buckets = 16, userId = UserId("driver"))
+      val t3 = System.nanoTime()
       graft.operators.TextIndex.addBatch(engine, table,
         docs.filter(col("doc_id") >= 400), batchLabel = "b1",
         userId = UserId("driver"))
+      val t4 = System.nanoTime()
+      FixturePhases.record(s, "q_bm25_index", Seq(
+        "init_s" -> (t1 - t0) / 1e9,
+        "docs_s" -> (t2 - t1) / 1e9,
+        "build_index_s" -> (t3 - t2) / 1e9,
+        "add_batch_s" -> (t4 - t3) / 1e9))
       (engine, table)
     })
 
@@ -215,18 +228,39 @@ object PipelineQueries {
       import graft.core._
       import graft.operators.VersionedTables._
       graft.Tables.prepare(s)
+      // Phase-timed (round 9): the signature compute (shingle -> minhash ->
+      // band over the corpus text) is materialized by localCheckpoint before
+      // the versioned write, so `signatures_s` isolates the CPU-bound minhash
+      // work from the parquet write + commit, and the bench artifact can
+      // localize a hot build without a local replay.
+      val t0 = System.nanoTime()
       val root = java.nio.file.Files.createTempDirectory("graft-lshidx-q-")
       val engine = graft.operators.VersionedTables.withFileStore(s, root.resolve("store").toUri)
       val table = TableDefinition(TableName("graft", "lsh_index"),
         root.resolve("lshidx").toUri,
         PartitionSchema(graft.streaming.StreamingCorpusDedup.BatchCol), FileFormat.Parquet)
       engine.initTable(table, UserId("driver"), "init")
-      graft.streaming.StreamingCorpusDedup.bandedSignatures(
+      val t1 = System.nanoTime()
+      val sigs = graft.streaming.StreamingCorpusDedup.bandedSignatures(
           Tables.documents(s, d).filter(col("doc_id") < 250))
         .withColumn(graft.streaming.StreamingCorpusDedup.BatchCol, lit("0"))
-        .versionedInsertInto(engine, table, UserId("driver"), "index corpus")
+        .localCheckpoint()
+      val t2 = System.nanoTime()
+      sigs.versionedInsertInto(engine, table, UserId("driver"), "index corpus")
+      val t3 = System.nanoTime()
+      FixturePhases.record(s, "q_dedup_against_index", Seq(
+        "init_s" -> (t1 - t0) / 1e9,
+        "signatures_s" -> (t2 - t1) / 1e9,
+        "write_commit_s" -> (t3 - t2) / 1e9))
       (engine, table)
     })
+
+  /** JSON object of the recorded build phases for `fixture` on session `s`,
+    * if that fixture was built there — [[graft.Bench]] attaches it to the
+    * fixture's entry in the `fixtures` block. */
+  def fixturePhasesJson(s: SparkSession, fixture: String): Option[String] =
+    FixturePhases.get(s, fixture).map(_.map { case (k, v) =>
+      f""""$k":$v%.3f""" }.mkString("{", ",", "}"))
 
   val defs: Map[String, Q] = Map(
     // --- text analysis ---
