@@ -602,6 +602,21 @@ object CorpusTools {
    * [[removeBoilerplateLines]] — per-document work bounded by document
    * length, nothing driver-side.
    *
+   * The window MINING runs on the normalized (lowercased) tokenization, but
+   * the REASSEMBLY splits the original text case-preservingly (`\s+` token
+   * boundaries are identical under lowercasing, so positions align), and
+   * documents with no covered positions pass through verbatim — Lee et al.
+   * cut spans from the original bytes; an untouched document must come back
+   * byte-identical, not case-folded (round-9 fix). Only documents that
+   * actually have cuts are tokenized and reassembled, so the per-token
+   * explode is bounded by the documents being edited, not the corpus.
+   *
+   * With `hashKey` (the 100 TB default) the two wide stages key on
+   * `xxhash64` of the span — 8 bytes per position through the shuffles
+   * instead of the span text; `hashKey = false` keeps the text key for
+   * engine-neutral oracle replay. [[CorpusToolsSpec]] pins both keyings
+   * identical, like [[duplicatedSpans]].
+   *
    * @return the input frame with `textCol` rewritten (documents that were
    *         entirely duplicated spans become empty strings).
    */
@@ -610,30 +625,40 @@ object CorpusTools {
       idCol: String,
       textCol: String,
       n: Int,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2,
+      hashKey: Boolean = true): DataFrame = {
     require(n >= 2, s"window must span at least 2 tokens, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2 (cross-document recurrence), got $minDocs")
     val wins = df.select(col(idCol).as("__id"),
-      posexplode(graft.functions.VectorExpressions.wordShingles(col(textCol), n))
-        .as(Seq("__pos", "__win")))
-    val dup = wins.groupBy(col("__win"), col("__id")).agg(count(lit(1)).as("__occ"))
-      .groupBy(col("__win")).agg(count(lit(1)).as("__n_docs"))
+        posexplode(graft.functions.VectorExpressions.wordShingles(col(textCol), n))
+          .as(Seq("__pos", "__win")))
+      .withColumn("__key", if (hashKey) xxhash64(col("__win")) else col("__win"))
+      .select("__id", "__pos", "__key")
+    val dup = wins.groupBy(col("__key"), col("__id")).agg(count(lit(1)).as("__occ"))
+      .groupBy(col("__key")).agg(count(lit(1)).as("__n_docs"))
       .filter(col("__n_docs") >= minDocs)
-      .select("__win")
-    val covered = wins.join(dup, Seq("__win"))
+      .select("__key")
+    val covered = wins.join(dup, Seq("__key"))
       .select(col("__id"),
         explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__tpos"))
       .distinct()
+    val cutIds = covered.select("__id").distinct()
+    // case-preserving token split; positions align with the lowercased mining
     val toks = df.select(col(idCol).as("__id"),
-      posexplode(graft.functions.TextFunctions.tokens(col(textCol))).as(Seq("__tpos", "__tok")))
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__tpos", "__tok")))
+      .join(cutIds, Seq("__id"))
     val rebuilt = toks.join(covered, Seq("__id", "__tpos"), "left_anti")
       .groupBy(col("__id"))
       .agg(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("__tpos"), col("__tok")))),
           x => x.getField("__tok"))).as("__new_text"))
-    df.join(rebuilt, df(idCol) === col("__id"), "left")
-      .withColumn(textCol, coalesce(col("__new_text"), lit("")))
-      .drop("__id", "__new_text")
+      .withColumnRenamed("__id", "__rid")
+    df.join(cutIds.withColumn("__has_cut", lit(true)), df(idCol) === col("__id"), "left")
+      .join(rebuilt, df(idCol) === col("__rid"), "left")
+      .withColumn(textCol,
+        when(col("__has_cut").isNull, col(textCol))
+          .otherwise(coalesce(col("__new_text"), lit(""))))
+      .drop("__id", "__rid", "__has_cut", "__new_text")
   }
 
   /**

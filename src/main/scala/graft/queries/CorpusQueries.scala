@@ -158,10 +158,12 @@ object CorpusQueries {
         idCol = "doc_id", textCol = "text", n = 8, minDocs = 2, hashKey = false)),
 
     // the matching removal arm: cut every duplicated-span token position,
-    // reassemble survivors in order
+    // reassemble survivors in order (case-preserving; uncut docs verbatim).
+    // Text window keys so the oracle replays them; the hashKey=true
+    // production twin is pinned equal in CorpusToolsSpec.
     "q_strip_spans" -> ((s, d) =>
       CorpusTools.stripRepeatedSpans(Tables.documents(s, d),
-          idCol = "doc_id", textCol = "text", n = 8, minDocs = 2)
+          idCol = "doc_id", textCol = "text", n = 8, minDocs = 2, hashKey = false)
         .select(col("doc_id"), col("text"), length(col("text")).as("n_clean"))),
 
     // context-window chunking with overlap (32-token chunks, 8 shared):
@@ -397,7 +399,11 @@ object CorpusQueries {
          |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // duplicated positions -> covered token set -> ordered reassembly of the
-    // survivors (the strip arm over the same wins/dup CTEs)
+    // survivors (the strip arm over the same wins/dup CTEs). Mining runs on
+    // the lowercased tokens; reassembly splits the ORIGINAL text (\s+
+    // boundaries are identical under lowercasing, so positions align), and
+    // docs with no covered positions pass through verbatim — matching the
+    // operator's round-9 case-preserving semantics.
     "q_strip_spans" ->
       s"""WITH toks AS (SELECT doc_id, $duckTokens AS w FROM documents),
          |wins AS (
@@ -411,9 +417,12 @@ object CorpusQueries {
          |covered AS (
          |  SELECT DISTINCT doc_id, pos + j AS tpos
          |  FROM hits, UNNEST(generate_series(0, 7)) AS u(j)),
+         |ptoks AS (SELECT doc_id,
+         |  string_split_regex(trim(text), '\\s+') AS w FROM documents),
          |tok AS (
          |  SELECT doc_id, i - 1 AS tpos, w[i] AS tok
-         |  FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)),
+         |  FROM ptoks, UNNEST(generate_series(1, len(w))) AS t(i)
+         |  WHERE doc_id IN (SELECT DISTINCT doc_id FROM covered)),
          |kept AS (
          |  SELECT k.doc_id, k.tpos, k.tok FROM tok k
          |  LEFT JOIN covered c ON c.doc_id = k.doc_id AND c.tpos = k.tpos
@@ -421,8 +430,11 @@ object CorpusQueries {
          |rebuilt AS (
          |  SELECT doc_id, array_to_string(list(tok ORDER BY tpos), ' ') AS text
          |  FROM kept GROUP BY doc_id)
-         |SELECT d.doc_id, COALESCE(r.text, '') AS text,
-         |  length(COALESCE(r.text, '')) AS n_clean
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id IN (SELECT DISTINCT doc_id FROM covered)
+         |       THEN COALESCE(r.text, '') ELSE d.text END AS text,
+         |  length(CASE WHEN d.doc_id IN (SELECT DISTINCT doc_id FROM covered)
+         |              THEN COALESCE(r.text, '') ELSE d.text END) AS n_clean
          |FROM documents d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
 
     // chunk starts 0, step, 2*step ... below len - overlap; inclusive-slice

@@ -532,6 +532,31 @@ class CorpusToolsSpec extends AnyFlatSpec with Matchers {
     out(11L) shouldBe ""
   }
 
+  it should "produce identical results with hashed and text window keys" in {
+    val byHash = CorpusTools.stripRepeatedSpans(spanDocs, "doc_id", "text", n = 4, hashKey = true)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    val byText = CorpusTools.stripRepeatedSpans(spanDocs, "doc_id", "text", n = 4, hashKey = false)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    byHash shouldBe byText
+  }
+
+  it should "preserve original bytes of uncut docs and original case of survivors" in {
+    // mining is lowercased (21/22 share "AA BB CC DD" = "aa bb cc dd"), but
+    // cutting must not normalize: doc 20 has no duplicated span and must come
+    // back byte-identical (case AND double spaces intact); cut docs keep the
+    // survivors' original casing
+    val docs = Seq(
+      (20L, "The  Quick   Brown Fox"),
+      (21L, "X y Z AA BB CC DD P"),
+      (22L, "q R AA BB CC DD s T")
+    ).toDF("doc_id", "text")
+    val out = CorpusTools.stripRepeatedSpans(docs, "doc_id", "text", n = 4)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    out(20L) shouldBe "The  Quick   Brown Fox"
+    out(21L) shouldBe "X y Z P"
+    out(22L) shouldBe "q R s T"
+  }
+
   // --- chunkDocuments ---
 
   "chunkDocuments" should "chunk with overlap and keep the short tail" in {
