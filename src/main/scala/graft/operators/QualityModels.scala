@@ -81,8 +81,10 @@ object QualityModels {
 
   /** Exact score values at the 1/3 and 2/3 positions of the
     * (avg_millinats, id) order — collected as two integers. The limit+max
-    * formulation avoids a single-partition global window; at real scale
-    * swap in a sampled/approximate quantile, the bucket rule is unchanged. */
+    * formulation avoids a single-partition global window but still funnels
+    * up to 2n/3 rows through a GlobalLimit; it is the ORACLE arm. At real
+    * scale use [[tertileThresholdsApprox]] — same bucket rule, one
+    * aggregation, no global sort. */
   def tertileThresholds(scored: DataFrame, idCol: String): (Long, Long) = {
     val n = scored.count()
     require(n >= 3, s"need at least 3 documents for tertiles, got $n")
@@ -93,6 +95,23 @@ object QualityModels {
       .limit(k.toInt)
       .agg(max(col("avg_millinats"))).collect()(0).getLong(0)
     (at(n / 3), at(2 * n / 3))
+  }
+
+  /** The at-scale arm of [[tertileThresholds]]: one `approx_percentile`
+    * aggregation instead of two global-sorted limits — no GlobalLimit
+    * funneling 2n/3 rows through a single partition, so it holds at any
+    * corpus size. `accuracy` is Spark's inverse-epsilon knob (rank error
+    * ≤ n/accuracy; exact while n ≤ accuracy). The returned thresholds may
+    * sit a few RANKS off the exact arm's where scores tie or step, so
+    * bucket boundaries can move by the rank tolerance — QualityModelsSpec
+    * bounds the bucket disagreement at gate scale. Feed to [[lmBuckets]]
+    * unchanged. */
+  def tertileThresholdsApprox(scored: DataFrame, accuracy: Int = 10000): (Long, Long) = {
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    val arr = scored
+      .agg(expr(s"approx_percentile(avg_millinats, array(1.0D/3.0D, 2.0D/3.0D), $accuracy)"))
+      .head().getSeq[Long](0)
+    (arr(0), arr(1))
   }
 
   /** CCNet's head/middle/tail labeling from the two threshold literals:
@@ -115,9 +134,13 @@ object QualityModels {
   /**
    * Train Naive Bayes from a labeled frame (two aggregations; the collected
    * tables are bounded by `vocabCap × |labels|`). OOV tokens at scoring time
-   * contribute the same unseen-token cost under every label, so they cannot
-   * change the argmax — the scorer skips them, keeping the table join the
-   * only per-token work.
+   * are SKIPPED — a deliberate uniform-cost approximation, not an exact
+   * equivalence: under add-one smoothing the true unseen-token cost
+   * `-ln(1/(tot_label + V))` depends on each label's in-vocab token total,
+   * so a document dominated by OOV tokens can argmax differently from exact
+   * multinomial NB. The trade buys keeping the broadcast table join the
+   * only per-token work (no per-label OOV scan), and the classifier is
+   * oracle-pinned under the same approximation on both engines.
    */
   def nbTrain(
       df: DataFrame,

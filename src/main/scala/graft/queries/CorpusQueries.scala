@@ -202,7 +202,7 @@ object CorpusQueries {
   /** CASE expression mirroring the when-chain threshold in mixtureSample. */
   private val mixThresholdSql = {
     val cases = MixWeights.toSeq.sortBy(_._1).map { case (cls, w) =>
-      s"WHEN source = '$cls' THEN '${CorpusTools.hexThreshold(w)}'"
+      s"WHEN source = '${cls.replace("'", "''")}' THEN '${CorpusTools.hexThreshold(w)}'"
     }.mkString(" ")
     s"CASE $cases ELSE '${CorpusTools.hexThreshold(MixDefault)}' END"
   }

@@ -913,11 +913,15 @@ object PipelineQueries {
     * literals, per-(doc, label) integer sums, argmax by ROW_NUMBER with the
     * same (score DESC, label) tiebreak. */
   private def nbOracleSql(m: graft.operators.QualityModels.NbModel): String = {
+    // labels are data-derived like tokens — escape quotes in BOTH (a label
+    // value containing ' would otherwise generate invalid/injected oracle SQL)
     val likValues = m.loglik.toList.sortBy { case ((t, l), _) => (t, l) }
-      .map { case ((t, l), w) => s"('${t.replace("'", "''")}', '$l', CAST($w AS BIGINT))" }
+      .map { case ((t, l), w) =>
+        s"('${t.replace("'", "''")}', '${l.replace("'", "''")}', CAST($w AS BIGINT))" }
       .mkString(",\n      ")
     val priValues = m.priors.toList.sortBy(_._1)
-      .map { case (l, p) => s"('$l', CAST($p AS BIGINT))" }.mkString(",\n      ")
+      .map { case (l, p) => s"('${l.replace("'", "''")}', CAST($p AS BIGINT))" }
+      .mkString(",\n      ")
     s"""WITH lik(tok, l, w) AS (VALUES
        |      $likValues),
        |pri(l, p) AS (VALUES

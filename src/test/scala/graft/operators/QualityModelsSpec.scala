@@ -60,6 +60,27 @@ class QualityModelsSpec extends AnyFlatSpec with Matchers {
     headMax should be <= tailMin
   }
 
+  "tertileThresholdsApprox" should "agree with the exact arm within rank tolerance" in {
+    import org.apache.spark.sql.functions.{col, expr}
+    // deterministic skewed scores with heavy ties (step function) — the shape
+    // where a rank-tolerant percentile can legitimately sit a step away from
+    // the exact limit-based threshold; 3000 docs ≤ the default accuracy, so
+    // the sketch is rank-exact and only the definition offset can differ
+    val scored = spark.range(3000).select(
+      col("id").as("doc_id"),
+      expr("id % 7 * 100 + id div 30").as("avg_millinats"))
+    val (e1, e2) = QualityModels.tertileThresholds(scored, "doc_id")
+    val (a1, a2) = QualityModels.tertileThresholdsApprox(scored)
+    a1 should be <= a2
+    val exact = QualityModels.lmBuckets(scored, e1, e2)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val approx = QualityModels.lmBuckets(scored, a1, a2)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val disagree = exact.count { case (id, b) => approx(id) != b }
+    // boundary-rank drift only: at most 1% of docs may change bucket
+    disagree.toDouble / exact.size should be <= 0.01
+  }
+
   private def labeled = Seq(
     (1L, "en", "the cat sat on the mat"),
     (2L, "en", "the dog sat on the rug"),
