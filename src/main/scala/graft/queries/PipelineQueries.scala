@@ -470,10 +470,15 @@ object PipelineQueries {
       graft.operators.TextIndex.search(engine, table, Bm25Terms, k = Bm25K)
     }),
 
-    // hybrid retrieval: BM25 top-50 fused with exact-cosine top-50 around
+    // hybrid retrieval: BM25 top-50 fused with IVF-cosine top-50 around
     // query vector 0 (embeddings.vec_id aligns with documents.doc_id) by
     // all-integer reciprocal-rank fusion — the window ranking both lists is
-    // k-bounded, so the single-partition row_number is over 50 rows
+    // k-bounded, so the single-partition row_number is over 50 rows.
+    // The vector arm is the PRODUCTION ANN shape (nprobe/nlist of the data
+    // scanned, not all of it); the oracle replays the IVF path exactly via
+    // the registered centroid literals — round 9 established that IVF and
+    // brute-force top-50 genuinely differ on this corpus (7-14/20 fused rows
+    // at the three gate scales), so the swap is oracled, not assumed.
     "q_hybrid_search" -> ((s, d) => {
       val st = bm25Stats(s, d)
       val lex = graft.operators.TextSearch.bm25TopK(
@@ -482,7 +487,8 @@ object PipelineQueries {
           org.apache.spark.sql.expressions.Window.orderBy(col("score_micro").desc, col("doc_id"))))
         .select(col("doc_id"), col("rank"))
       val emb = Tables.embeddings(s, d)
-      val vec = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, k = Bm25K)
+      val vec = Similarity.ivfTopK(emb.filter(col("vec_id") === 0), emb, k = Bm25K,
+          nlist = 16, nprobe = 4, precomputedCentroids = Some(ivfCentroids(s, d)))
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       graft.operators.TextSearch.rrfFuse(lex, vec, "doc_id", k = 20)
         .withColumnRenamed("rank_a", "lex_rank")
@@ -868,9 +874,17 @@ object PipelineQueries {
       case _ => Map.empty[String, String]
     }
     val bm25 = soleRegistered(bm25StatsCache) match {
-      case Some(st) => Map("q_bm25_search" -> bm25OracleSql(st, Bm25K),
-        "q_bm25_index" -> bm25OracleSql(st, Bm25K),
-        "q_hybrid_search" -> hybridOracleSql(st, kList = Bm25K, kFuse = 20, rrfK = 60))
+      case Some(st) =>
+        // the hybrid oracle needs BOTH registries: bm25 stats for the lexical
+        // arm and IVF centroids for the vector arm (q_hybrid_search itself
+        // registers both when it runs)
+        val hybrid = soleRegistered(ivfCentroidCache) match {
+          case Some(cents) => Map("q_hybrid_search" ->
+            hybridOracleSql(st, cents, kList = Bm25K, kFuse = 20, rrfK = 60, nprobe = 4))
+          case None => Map.empty[String, String]
+        }
+        Map("q_bm25_search" -> bm25OracleSql(st, Bm25K),
+          "q_bm25_index" -> bm25OracleSql(st, Bm25K)) ++ hybrid
       case None => Map.empty[String, String]
     }
     val lm = soleRegistered(lmCache) match {
@@ -985,13 +999,17 @@ object PipelineQueries {
     * query vector 0 (bit-exact doubles — q_ann_cosine's proof), then the
     * all-integer reciprocal-rank fusion (`1000000 // (rrfK + rank)`). */
   private def hybridOracleSql(
-      st: graft.operators.TextSearch.Bm25Stats, kList: Int, kFuse: Int, rrfK: Int): String = {
+      st: graft.operators.TextSearch.Bm25Stats, centroids: Array[Array[Float]],
+      kList: Int, kFuse: Int, rrfK: Int, nprobe: Int): String = {
     val c = graft.operators.TextSearch.consts(st)
     val idf = graft.operators.TextSearch.idfMicro(st)
     val values = idf.toList.sortBy(_._1).map { case (t, w) =>
       s"('${t.replace("'", "''")}', CAST($w AS BIGINT))"
     }.mkString(",\n      ")
     val termList = idf.keys.toList.sorted.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val centValues = centroids.zipWithIndex.map { case (cv, i) =>
+      s"($i, [${cv.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n      ")
     s"""WITH idf(tok, wt) AS (VALUES
        |      $values),
        |toks AS (
@@ -1019,10 +1037,29 @@ object PipelineQueries {
        |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
        |                            CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings),
+       |cents AS (
+       |  SELECT cell, cv, SQRT(list_inner_product(cv, cv)) AS cn
+       |  FROM (VALUES
+       |      $centValues) AS t(cell, cv)),
+       |cand AS (
+       |  SELECT vec_id, dv, nrm, cell FROM (
+       |    SELECT v.vec_id, v.dv, v.nrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_inner_product(v.dv, c.cv) / (v.nrm * c.cn) DESC, c.cell) AS rn
+       |    FROM v CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |qcells AS (
+       |  SELECT cell FROM (
+       |    SELECT c.cell,
+       |      ROW_NUMBER() OVER (
+       |        ORDER BY list_inner_product(v.dv, c.cv) / (v.nrm * c.cn) DESC, c.cell) AS rn
+       |    FROM v CROSS JOIN cents c WHERE v.vec_id = 0)
+       |  WHERE rn <= $nprobe),
        |cos AS (
-       |  SELECT c.vec_id AS doc_id,
-       |    list_inner_product(q.dv, c.dv) / (q.nrm * c.nrm) AS cosine
-       |  FROM v c JOIN v q ON q.vec_id = 0 AND c.vec_id <> 0),
+       |  SELECT cand.vec_id AS doc_id,
+       |    list_inner_product(q.dv, cand.dv) / (q.nrm * cand.nrm) AS cosine
+       |  FROM cand JOIN qcells USING (cell) CROSS JOIN v q
+       |  WHERE q.vec_id = 0 AND cand.vec_id <> 0),
        |vec AS (
        |  SELECT doc_id, r FROM (
        |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS r
