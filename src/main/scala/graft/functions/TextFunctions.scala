@@ -167,6 +167,48 @@ object TextFunctions {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRegex, "<EMAIL>"), UrlRegex, "<URL>")
 
+  // --- URL / domain curation (C4/RefinedWeb-style web-corpus provenance) ---
+
+  /** Lower-cased host of an absolute URL: the authority between `://` (after
+    * any userinfo `@`) and the first `/ : ? #`. Schemeless strings yield ''
+    * — web-corpus provenance URLs are absolute by construction, and a loud
+    * empty beats guessing. Port is excluded by the `[^/:?#]` class. Pure
+    * regexp — stays inside codegen, and the same RE2-compatible pattern
+    * replays in the DuckDB oracle. */
+  val UrlHostRegex: String = "^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+  def urlHost(url: Column): Column =
+    regexp_extract(lower(url), UrlHostRegex, 1)
+
+  /** Second-level labels that act as country-code TLD namespaces (the
+    * high-frequency core of the Public Suffix List): `example.co.uk` must
+    * group as `example.co.uk`, not `co.uk`. A full PSL is a data file, not
+    * an engine primitive; this deterministic approximation covers the
+    * dominant patterns and is documented as such. */
+  val CcSecondLevels: Seq[String] = Seq("co", "com", "net", "org", "ac", "gov", "edu")
+
+  /** Registered domain (eTLD+1) of a host, per the [[CcSecondLevels]]
+    * approximation: the last two labels, or the last three when the
+    * second-to-last is a country-code second-level under a 2-letter TLD.
+    * Hosts with < 3 labels pass through lower-cased (already registrable or
+    * a bare TLD). Array ops only — codegen'd, oracle-replayable. */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(lower(host), "\\.")
+    val n = size(labels)
+    val tld = element_at(labels, -1)
+    val sld = element_at(labels, -2)
+    val ccSld = array_contains(lit(CcSecondLevels.toArray), sld) && length(tld) === 2
+    when(n <= 2, lower(host))
+      .when(ccSld, concat_ws(".", element_at(labels, -3), sld, tld))
+      .otherwise(concat_ws(".", sld, tld))
+  }
+
+  /** [[registeredDomain]] straight off an absolute URL ('' when no host). */
+  def urlDomain(url: Column): Column = {
+    val h = urlHost(url)
+    when(h === "", lit("")).otherwise(registeredDomain(h))
+  }
+
   // --- cleaning / normalization ---
 
   /** Markup tags `<...>` (non-greedy to the first `>`). Tag-level stripping

@@ -97,6 +97,45 @@ object CorpusTools {
   }
 
   /**
+   * Per-group cap sampling — the "at most `cap` documents per domain" step
+   * of web-corpus curation (C4/RefinedWeb-style domain balancing, where a
+   * handful of hot domains would otherwise dominate the corpus): keep at
+   * most `cap` rows of each `groupCol` value, chosen DETERMINISTICALLY by
+   * `md5(seed:id)` order — a reproducible uniform sample of each over-cap
+   * group, stable across runs, engines, and partitionings, and ties broken
+   * by id so equal hashes (never in practice) cannot flap.
+   *
+   * Semantics are exactly `row_number() over (partition by group order by
+   * md5, id) <= cap`. The implementation splits on a pre-counted group size
+   * so the window SORT runs only over rows of over-cap groups: one
+   * map-side-combinable count aggregation, one join on the group key (both
+   * sides shuffle on `groupCol` once — AQE splits a skewed hot domain's
+   * join), then the under-cap majority passes through sort-free and only
+   * the over-cap slice pays the per-group window. The hot-group task is
+   * bounded by the largest domain — the honest cost of exact per-group
+   * ranking; a corpus with a boilerplate mega-domain should cap it upstream
+   * (the same argument as `dupClusters.maxClusterSize`).
+   * [[CorpusToolsSpec]] pins the split path ≡ the plain-window formulation.
+   */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      cap: Int,
+      seed: String = "graft-cap"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__gn"))
+    val joined = df.join(counts, Seq(groupCol))
+    val sortKey = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(sortKey, col(idCol))
+    val capped = joined.filter(col("__gn") > cap)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+    joined.filter(col("__gn") <= cap).unionByName(capped).drop("__gn")
+  }
+
+  /**
    * Deterministic train/val/test split assignment: each row gets the FIRST
    * split whose cumulative weight threshold exceeds the row's content hash
    * — a pure scan projection (no shuffle, no RNG), reproducible across

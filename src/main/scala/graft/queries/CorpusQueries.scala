@@ -170,8 +170,51 @@ object CorpusQueries {
     // pure projection + posexplode, no shuffle
     "q_chunk_docs" -> ((s, d) =>
       CorpusTools.chunkDocuments(Tables.documents(s, d),
-        idCol = "doc_id", textCol = "text", maxTokens = 32, overlap = 8))
+        idCol = "doc_id", textCol = "text", maxTokens = 32, overlap = 8)),
+
+    // URL provenance extraction: host + registered domain (eTLD+1 heuristic)
+    // off a synthetic absolute URL exercising userinfo, ports, and ccSLD
+    // (.co.uk) shapes — pure regexp/array projection, no shuffle
+    "q_url_extract" -> ((s, d) =>
+      withUrl(Tables.documents(s, d)).select(col("doc_id"), col("url"),
+        TextFunctions.urlHost(col("url")).as("host"),
+        TextFunctions.urlDomain(col("url")).as("domain"))),
+
+    // per-domain cap sampling (C4/RefinedWeb domain balancing): keep at most
+    // 10 docs per synthetic domain, chosen by deterministic md5(seed:id)
+    // order; mixes over-cap hot domains with under-cap rare ones so both
+    // paths of the split execute
+    "q_domain_cap" -> ((s, d) =>
+      CorpusTools.capPerGroup(
+          Tables.documents(s, d).withColumn("domain", capDomain),
+          groupCol = "domain", idCol = "doc_id", cap = 10, seed = "graft-cap")
+        .select(col("doc_id"), col("domain")))
   )
+
+  /** Synthetic absolute URL, deterministic per doc: rotates userinfo (every
+    * 11th doc), a port (every 7th), subdomain depth, and a ccSLD `.co.uk`
+    * TLD (doc_id % 3 == 0) so every branch of urlHost/registeredDomain runs
+    * at the gate. Mirrored exactly in [[urlSql]]. */
+  private def withUrl(df: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    df.withColumn("url", concat(
+      lit("https://"),
+      when(pmod(id, lit(11)) === 0, concat(lit("u"), id.cast("string"), lit("@"))).otherwise(lit("")),
+      lit("www.Sub"), pmod(id, lit(5)).cast("string"),
+      lit(".Site"), pmod(id, lit(37)).cast("string"),
+      when(pmod(id, lit(3)) === 0, lit(".co.uk"))
+        .when(pmod(id, lit(3)) === 1, lit(".com"))
+        .otherwise(lit(".org")),
+      when(pmod(id, lit(7)) === 0, lit(":8443")).otherwise(lit("")),
+      lit("/p/"), id.cast("string")))
+  }
+
+  /** Synthetic domain for the cap query: ~34 hot domains (well over the cap
+    * of 10 at every gate scale) plus a long tail of rare ones (under cap). */
+  private def capDomain: org.apache.spark.sql.Column =
+    when(pmod(col("doc_id"), lit(37)) < 3,
+      concat(lit("rare"), pmod(col("doc_id"), lit(1000)).cast("string")))
+      .otherwise(concat(lit("d"), pmod(col("doc_id"), lit(37)).cast("string")))
 
   /** Deterministic multi-line view of the corpus: each doc's words chunked
     * into 4-word lines joined by newlines. Mirrored exactly in the oracle
@@ -187,6 +230,17 @@ object CorpusQueries {
   }
 
   private val duckTokens = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** DuckDB rendition of the synthetic URL in [[withUrl]]. */
+  private val urlSql =
+    """'https://'
+      | || CASE WHEN doc_id % 11 = 0 THEN 'u' || CAST(doc_id AS VARCHAR) || '@' ELSE '' END
+      | || 'www.Sub' || CAST(doc_id % 5 AS VARCHAR)
+      | || '.Site' || CAST(doc_id % 37 AS VARCHAR)
+      | || CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+      |         WHEN doc_id % 3 = 1 THEN '.com' ELSE '.org' END
+      | || CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END
+      | || '/p/' || CAST(doc_id AS VARCHAR)""".stripMargin.replace("\n", "")
 
   /** DuckDB rendition of the synthetic contact block in [[withContact]]. */
   private val contactSql =
@@ -452,6 +506,39 @@ object CorpusQueries {
         |SELECT doc_id, chunk_id, s AS chunk_start,
         |  LEAST(32, len(w) - s) AS n_chunk_tokens,
         |  array_to_string(w[s+1 : s+32], ' ') AS chunk_text
-        |FROM ex""".stripMargin
+        |FROM ex""".stripMargin,
+
+    // same synthetic URL, same RE2-compatible host regex (no backslashes, so
+    // single-quoted embedding is safe), same ccSLD label arithmetic
+    "q_url_extract" ->
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         |h AS (SELECT doc_id, url,
+         |  regexp_extract(lower(url),
+         |    '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) AS host
+         |  FROM u),
+         |w AS (SELECT doc_id, url, host, string_split(host, '.') AS ls FROM h)
+         |SELECT doc_id, url, host,
+         |  CASE WHEN host = '' THEN ''
+         |       WHEN len(ls) <= 2 THEN host
+         |       WHEN list_contains(['co','com','net','org','ac','gov','edu'], ls[-2])
+         |            AND length(ls[-1]) = 2
+         |         THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+         |       ELSE ls[-2] || '.' || ls[-1] END AS domain
+         |FROM w""".stripMargin,
+
+    // the cap rule IS the plain window formulation (the operator's split
+    // path is a performance shape, pinned equivalent in CorpusToolsSpec)
+    "q_domain_cap" ->
+      """WITH dd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 37 < 3 THEN 'rare' || CAST(doc_id % 1000 AS VARCHAR)
+        |         ELSE 'd' || CAST(doc_id % 37 AS VARCHAR) END AS domain
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, domain, ROW_NUMBER() OVER (
+        |    PARTITION BY domain
+        |    ORDER BY md5('graft-cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM dd)
+        |SELECT doc_id, domain FROM r WHERE rn <= 10""".stripMargin
   )
 }

@@ -149,4 +149,28 @@ class TextFunctionsSpec extends AnyFlatSpec with Matchers {
     val b = one[String](minShingleFingerprint($"t"), t + " end")
     assert(b <= a)
   }
+
+  "urlHost" should "extract the lower-cased authority host" in {
+    one[String](urlHost($"t"), "https://WWW.Example.COM/path?q=1") shouldBe "www.example.com"
+    one[String](urlHost($"t"), "http://user:pw@site.org:8080/x") shouldBe "site.org"
+    one[String](urlHost($"t"), "ftp://files.example.net") shouldBe "files.example.net"
+    // schemeless / relative: loud empty, not a guess
+    one[String](urlHost($"t"), "www.example.com/path") shouldBe ""
+    one[String](urlHost($"t"), "not a url") shouldBe ""
+  }
+
+  "registeredDomain" should "apply the ccSLD heuristic" in {
+    one[String](registeredDomain($"t"), "www.sub.example.com") shouldBe "example.com"
+    one[String](registeredDomain($"t"), "news.bbc.co.uk") shouldBe "bbc.co.uk"
+    one[String](registeredDomain($"t"), "a.b.gov.au") shouldBe "b.gov.au"
+    // 'com' under a >2-letter TLD is NOT a ccSLD: last two labels win
+    one[String](registeredDomain($"t"), "x.com.example") shouldBe "com.example"
+    one[String](registeredDomain($"t"), "Example.COM") shouldBe "example.com"
+    one[String](registeredDomain($"t"), "localhost") shouldBe "localhost"
+  }
+
+  "urlDomain" should "compose host extraction and domain grouping" in {
+    one[String](urlDomain($"t"), "https://u@News.BBC.co.uk:443/story") shouldBe "bbc.co.uk"
+    one[String](urlDomain($"t"), "nonsense") shouldBe ""
+  }
 }

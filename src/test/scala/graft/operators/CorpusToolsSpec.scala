@@ -557,6 +557,36 @@ class CorpusToolsSpec extends AnyFlatSpec with Matchers {
     out(22L) shouldBe "q R s T"
   }
 
+  // --- capPerGroup ---
+
+  "capPerGroup" should "keep at most cap rows per group, exactly the md5-order prefix" in {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, md5, row_number}
+    // 3 hot groups of 20 and 7 singletons
+    val docs = (0L until 67L).map(i =>
+      (i, if (i < 60) s"g${i % 3}" else s"solo$i")).toDF("doc_id", "grp")
+    val out = CorpusTools.capPerGroup(docs, "grp", "doc_id", cap = 5, seed = "s")
+      .select("grp", "doc_id").as[(String, Long)].collect()
+    out.length shouldBe 3 * 5 + 7
+    out.groupBy(_._1).foreach { case (_, rows) => rows.length should be <= 5 }
+    // semantics law: identical to the plain single-window formulation
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+      .orderBy(md5(concat_ws(":", lit("s"), col("doc_id").cast("string"))), col("doc_id"))
+    val plain = docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5).select("grp", "doc_id")
+      .as[(String, Long)].collect().toSet
+    out.toSet shouldBe plain
+  }
+
+  it should "be deterministic and invariant under repartitioning" in {
+    val docs = (0L until 100L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "grp")
+    val base = CorpusTools.capPerGroup(docs, "grp", "doc_id", cap = 7)
+      .select("grp", "doc_id").as[(String, Long)].collect().toSet
+    Seq(1, 3, 13).foreach { parts =>
+      CorpusTools.capPerGroup(docs.repartition(parts), "grp", "doc_id", cap = 7)
+        .select("grp", "doc_id").as[(String, Long)].collect().toSet shouldBe base
+    }
+  }
+
   // --- chunkDocuments ---
 
   "chunkDocuments" should "chunk with overlap and keep the short tail" in {
