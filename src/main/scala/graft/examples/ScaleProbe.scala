@@ -121,6 +121,14 @@ object ScaleProbe {
         QualityModels.lmPerplexity(docs(dir), "doc_id", "text", m)
           .agg(sum(col("lm_cost"))).collect(); ()
       }),
+      "domain_cap" -> (dir => {
+        // same 37 hot domains at both scales (pmod over offset ids), so the
+        // groups grow x10 while the cap stays 10 — measures the split path:
+        // count agg + join + WindowGroupLimit'd window over over-cap groups
+        val d = docs(dir).withColumn("domain",
+          concat(lit("d"), pmod(col("doc_id"), lit(37)).cast("string")))
+        CorpusTools.capPerGroup(d, "domain", "doc_id", cap = 10).count(); ()
+      }),
       "bm25_index_search" -> (dir => {
         // the index builds ONCE per dir (untimed, memoized) — the family
         // times the pruned SEARCH alone, the number that must stay flat-ish
