@@ -342,6 +342,28 @@ object Dedup {
       .select("corpus_id", "bench_id", "containment")
   }
 
+  /** The cut arm of [[contaminationPairs]] — GPT-3-style benchmark
+    * decontamination: drop every corpus document whose shingle containment
+    * of ANY benchmark document reaches `threshold`. Same scale shape as the
+    * measure arm (benchmark broadcasts, corpus streams) plus one anti-join
+    * on the flagged id set; survivors keep all their columns. A benchmark
+    * that overlaps the corpus (planted eval items) removes the embedding
+    * documents — that is the point, not a bug. */
+  def removeContaminated(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      threshold: Double = 0.5,
+      corpusIdCol: String = "doc_id",
+      corpusTextCol: String = "text",
+      benchIdCol: String = "doc_id",
+      benchTextCol: String = "text",
+      shingleSize: Int = 3): DataFrame = {
+    val flagged = contaminationPairs(corpus, benchmark, threshold,
+        corpusIdCol, corpusTextCol, benchIdCol, benchTextCol, shingleSize)
+      .select(col("corpus_id")).distinct()
+    corpus.join(flagged, corpus(corpusIdCol) === flagged("corpus_id"), "left_anti")
+  }
+
   // --- duplicate clustering (connected components over near-dup pairs) ---
 
   /** Group near-duplicate PAIRS into duplicate CLUSTERS: connected components

@@ -345,6 +345,15 @@ object PipelineQueries {
       Dedup.contaminationPairs(docs, docs.filter(col("doc_id") < 16), threshold = 0.5)
     }),
 
+    // the matching cut arm: drop every corpus doc flagged by the scan above
+    // (GPT-3-style decontamination; the planted benchmark slice removes
+    // itself and any doc embedding it)
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.removeContaminated(docs, docs.filter(col("doc_id") < 16), threshold = 0.5)
+        .select("doc_id", "lang", "source")
+    }),
+
     // the end-to-end dedup a corpus consumer runs: keep one canonical doc
     // per near-dup cluster plus all unpaired docs
     "q_dedup_corpus" -> ((s, d) =>
@@ -1361,6 +1370,23 @@ object PipelineQueries {
          |SELECT corpus_id, bench_id,
          |  len(list_intersect(cs, bs)) / len(bs) AS containment
          |FROM c JOIN b ON len(list_intersect(cs, bs)) / len(bs) >= 0.5""".stripMargin,
+
+    // cut arm: the same flagged-id set applied as NOT IN
+    "q_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+         |        generate_series(1, len(w) - 2),
+         |        i -> concat_ws(' ', w[i], w[i+1], w[i+2])))
+         |      ELSE [array_to_string(w, ' ')] END AS s
+         |  FROM (SELECT doc_id, $duckTokens AS w FROM documents)),
+         |b AS (SELECT doc_id AS bench_id, s AS bs FROM sh WHERE doc_id < 16),
+         |c AS (SELECT doc_id AS corpus_id, s AS cs FROM sh),
+         |flagged AS (
+         |  SELECT DISTINCT corpus_id
+         |  FROM c JOIN b ON len(list_intersect(cs, bs)) / len(bs) >= 0.5)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT corpus_id FROM flagged)""".stripMargin,
 
     // survivors = everything minus non-canonical cluster members (same
     // closure as q_dedup_clusters, applied as an anti-join)

@@ -217,6 +217,25 @@ class DedupSpec extends AnyFlatSpec with Matchers {
     got.keySet should not contain ((3L, 100L))
   }
 
+  "removeContaminated" should "drop exactly the flagged docs, keeping all columns" in {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "some prefix words alpha beta gamma delta epsilon and a suffix", "en"),
+      (2L, "unrelated start beta gamma delta unrelated end", "en"),
+      (3L, "completely different content with no overlap at all", "de")
+    ).toDF("doc_id", "text", "lang")
+    // threshold 0.5: doc 1 (containment 1.0) is cut, doc 2 (1/3) survives
+    val kept = Dedup.removeContaminated(corpus, bench, threshold = 0.5)
+      .select("doc_id", "lang").as[(Long, String)].collect().sorted
+    kept shouldBe Array((2L, "en"), (3L, "de"))
+    // and the cut set is exactly the measure arm's flagged ids
+    val flagged = Dedup.contaminationPairs(corpus, bench, threshold = 0.5)
+      .select("corpus_id").as[Long].collect().toSet
+    val survivors = Dedup.removeContaminated(corpus, bench, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    survivors shouldBe Set(1L, 2L, 3L) -- flagged
+  }
+
   "keepCanonical" should "keep one doc per cluster plus all unpaired docs" in {
     val corpus = Seq(
       (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (10L, "e"), (11L, "f"), (99L, "solo")

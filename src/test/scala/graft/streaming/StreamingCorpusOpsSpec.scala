@@ -78,4 +78,32 @@ class StreamingCorpusOpsSpec extends AnyFlatSpec with Matchers {
     out.keySet shouldBe Set(10L, 11L)
     out(11L) should be > out(10L) // noise scores worse under the reference LM
   }
+
+  "urlHost/urlDomain" should "run unchanged over a stream (pure projection)" in {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      Doc(1L, "https://News.BBC.co.uk:443/story"),
+      Doc(2L, "http://u@www.sub.example.com/x?q=1"),
+      Doc(3L, "not a url"))
+
+    val source = MemoryStream[Doc](spark)
+    val extracted = source.toDF().select(col("doc_id"),
+      graft.functions.TextFunctions.urlHost(col("text")).as("host"),
+      graft.functions.TextFunctions.urlDomain(col("text")).as("domain"))
+    val q = extracted.writeStream.format("memory").queryName("stream_urls")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    source.addData(docs(0), docs(1))
+    q.processAllAvailable()
+    source.addData(docs(2))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("stream_urls")
+      .as[(Long, String, String)].collect().toSet
+    streamed shouldBe Set(
+      (1L, "news.bbc.co.uk", "bbc.co.uk"),
+      (2L, "www.sub.example.com", "example.com"),
+      (3L, "", ""))
+  }
 }
