@@ -104,4 +104,28 @@ class CorpusPropSpec extends AnyFlatSpec with Matchers {
       }
     }
   }
+
+  "capPerGroup" should "match a brute-force md5-order model on random corpora" in {
+    import java.security.MessageDigest
+    val genRow = for {
+      id <- Gen.choose(0L, 500L)
+      grp <- Gen.oneOf("g0", "g1", "g2", "g3", "g4")
+    } yield (id, grp)
+    val rows = sampled(Gen.listOfN(160, genRow), seed = 13L)
+      .distinctBy(_._1) // unique ids (the operator's id column is a key)
+    val cap = 4
+    val seed = "prop-cap"
+
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = rows.groupBy(_._2).flatMap { case (_, grpRows) =>
+      grpRows.sortBy { case (id, _) => (md5hex(s"$seed:$id"), id) }.take(cap)
+    }.toSet
+
+    val got = CorpusTools.capPerGroup(
+        rows.toDF("doc_id", "grp"), "grp", "doc_id", cap, seed)
+      .select("doc_id", "grp").as[(Long, String)].collect().toSet
+    got shouldBe expected
+  }
 }
