@@ -34,18 +34,31 @@ object QualityModels {
   final case class LmModel(costs: Map[String, Long], oovCost: Long)
 
   /**
-   * Train the unigram LM on the `isReference` slice (one aggregation; the
+   * Train the n-gram LM on the `isReference` slice (one aggregation; the
    * collected table is `vocabCap`-bounded — the same bounded-feature-space
    * cap as the DSIR weight table, ties on count broken by token text).
+   *
+   * `ngram = 1` is the classic unigram table; `ngram = 2+` counts word
+   * n-grams (space-joined, the [[graft.functions.TextFunctions.shingles]]
+   * convention), which makes the model ORDER-SENSITIVE — a bag-of-words
+   * scramble of fluent reference text keeps its unigram score but loses its
+   * bigram score (pinned in QualityModelsSpec). No backoff: an unseen
+   * n-gram pays the flat OOV cost, the same deliberate approximation the
+   * unigram table makes for unseen tokens. CCNet's published filter uses a
+   * 5-gram Kneser-Ney model; this quantized no-backoff ladder is the
+   * oracle-replayable counterpart — each n is one explode + one broadcast
+   * join at scoring time, nothing else changes.
    */
   def lmCostTable(
       df: DataFrame,
       textCol: String,
       isReference: Column,
-      vocabCap: Int = 10000): LmModel = {
+      vocabCap: Int = 10000,
+      ngram: Int = 1): LmModel = {
     require(vocabCap >= 1, s"vocabCap must be >= 1, got $vocabCap")
+    require(ngram >= 1, s"ngram must be >= 1, got $ngram")
     val counts = df.filter(isReference)
-      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+      .select(explode(lmUnits(col(textCol), ngram)).as("__tok"))
       .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__tok"))
       .limit(vocabCap)
@@ -60,18 +73,28 @@ object QualityModels {
     LmModel(counts.map { case (t, c) => t -> cost(c) }.toMap, cost(0L))
   }
 
+  /** The scoring unit column for an `ngram`-gram LM: tokens at n=1, space-
+    * joined word n-grams above (documents shorter than n yield one whole-
+    * text unit — the shingles convention, shared by table and scorer). */
+  private def lmUnits(text: Column, ngram: Int): Column =
+    if (ngram == 1) graft.functions.TextFunctions.tokens(text)
+    else graft.functions.TextFunctions.shingles(text, ngram)
+
   /**
    * Score every document: `lm_cost` = summed milli-nat token costs (OOV
    * tokens pay `oovCost`), `avg_millinats` = integer-division mean — the
    * quantized per-token cross-entropy CCNet thresholds on. Low = fluent
    * under the reference LM, high = noise. Pure integers end to end.
    */
-  def lmPerplexity(df: DataFrame, idCol: String, textCol: String, model: LmModel): DataFrame = {
+  def lmPerplexity(
+      df: DataFrame, idCol: String, textCol: String, model: LmModel,
+      ngram: Int = 1): DataFrame = {
+    require(ngram >= 1, s"ngram must be >= 1, got $ngram")
     val spark = df.sparkSession
     import spark.implicits._
     val costDf = model.costs.toSeq.toDF("__tok", "__cost")
     df.select(col(idCol),
-        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+        explode(lmUnits(col(textCol), ngram)).as("__tok"))
       .join(broadcast(costDf), Seq("__tok"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),

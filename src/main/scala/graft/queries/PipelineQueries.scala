@@ -133,6 +133,16 @@ object PipelineQueries {
       (m, t1, t2)
     })
 
+  /** Bigram LM (same reference slice), registered when q_lm_bigram runs —
+    * the order-sensitive rung of the CCNet ladder. */
+  private val lm2Cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.operators.QualityModels.LmModel]()
+
+  private def lm2Model(s: SparkSession, d: String): graft.operators.QualityModels.LmModel =
+    lm2Cache.computeIfAbsent((s, d), _ =>
+      graft.operators.QualityModels.lmCostTable(
+        Tables.documents(s, d), "text", col("lang") === "en", ngram = 2))
+
   /** Naive Bayes language model (labels = the corpus lang column),
     * registered when q_nb_classify runs. */
   private val nbCache = new java.util.concurrent.ConcurrentHashMap[
@@ -457,6 +467,14 @@ object PipelineQueries {
         graft.operators.QualityModels.lmPerplexity(
           Tables.documents(s, d), "doc_id", "text", m), t1, t2)
     }),
+
+    // bigram-LM scoring: the order-sensitive rung (a bag-of-words scramble
+    // keeps its unigram score, loses this one); same broadcast-table shape,
+    // units are space-joined word bigrams with the whole-text fallback for
+    // docs under 2 tokens
+    "q_lm_bigram" -> ((s, d) =>
+      graft.operators.QualityModels.lmPerplexity(
+        Tables.documents(s, d), "doc_id", "text", lm2Model(s, d), ngram = 2)),
 
     // Naive Bayes language routing: argmax of integer milli-nat label
     // scores, evaluated against the corpus's own lang labels
@@ -901,12 +919,17 @@ object PipelineQueries {
         Map("q_lm_perplexity" -> lmOracleSql(m, t1, t2))
       case _ => Map.empty[String, String]
     }
+    val lm2 = soleRegistered(lm2Cache) match {
+      case Some(m) if m.costs.size <= 10000 =>
+        Map("q_lm_bigram" -> lm2OracleSql(m))
+      case _ => Map.empty[String, String]
+    }
     val nb = soleRegistered(nbCache) match {
       case Some(m) if m.loglik.size <= 10000 =>
         Map("q_nb_classify" -> nbOracleSql(m))
       case _ => Map.empty[String, String]
     }
-    staticOracles ++ ivf ++ simhash ++ dsir ++ bm25 ++ lm ++ nb
+    staticOracles ++ ivf ++ simhash ++ dsir ++ bm25 ++ lm ++ lm2 ++ nb
   }
 
   /** Replay of q_lm_perplexity: the registered integer cost table as a
@@ -930,6 +953,29 @@ object PipelineQueries {
        |       WHEN lm_cost // n_tokens <= $t2 THEN 'middle'
        |       ELSE 'tail' END AS bucket
        |FROM scored""".stripMargin
+  }
+
+  /** Replay of q_lm_bigram: bigram units (space-joined adjacent token
+    * pairs, whole-text fallback under 2 tokens — the shingles convention),
+    * same integer table join and integer-division mean as the unigram
+    * oracle. */
+  private def lm2OracleSql(m: graft.operators.QualityModels.LmModel): String = {
+    val values = m.costs.toList.sortBy(_._1).map { case (t, w) =>
+      s"('${t.replace("'", "''")}', CAST($w AS BIGINT))"
+    }.mkString(",\n      ")
+    s"""WITH w2(tok, wt) AS (VALUES
+       |      $values),
+       |units AS (
+       |  SELECT doc_id,
+       |    unnest(CASE WHEN len(w) >= 2 THEN list_transform(
+       |        generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+       |      ELSE [array_to_string(w, ' ')] END) AS tok
+       |  FROM (SELECT doc_id, $duckTokens AS w FROM documents))
+       |SELECT u.doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(COALESCE(t.wt, ${m.oovCost})) AS BIGINT) AS lm_cost,
+       |  CAST(SUM(COALESCE(t.wt, ${m.oovCost})) AS BIGINT) // COUNT(*) AS avg_millinats
+       |FROM units u LEFT JOIN w2 t ON t.tok = u.tok
+       |GROUP BY u.doc_id""".stripMargin
   }
 
   /** Replay of q_nb_classify: likelihood and prior tables as VALUES

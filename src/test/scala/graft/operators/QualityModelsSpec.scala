@@ -60,6 +60,30 @@ class QualityModelsSpec extends AnyFlatSpec with Matchers {
     headMax should be <= tailMin
   }
 
+  "ngram lmCostTable" should "see word order where the unigram model cannot" in {
+    // fluent reference prose, repeated so bigram counts have mass
+    val ref = (1L to 8L).map(i =>
+      (i, true, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "ref", "text")
+    val natural = "the quick brown fox jumps over the lazy dog"
+    val scrambled = "dog the over quick lazy fox brown jumps the" // same bag of words
+    val probe = Seq((10L, false, natural), (11L, false, scrambled)).toDF("doc_id", "ref", "text")
+    val corpus = ref.unionByName(probe)
+
+    def avg(model: QualityModels.LmModel, n: Int): Map[Long, Long] =
+      QualityModels.lmPerplexity(probe, "doc_id", "text", model, ngram = n)
+        .select("doc_id", "avg_millinats").as[(Long, Long)].collect().toMap
+
+    // unigram: identical bags -> identical scores (the blindness)
+    val uni = QualityModels.lmCostTable(corpus, "text", $"ref", ngram = 1)
+    avg(uni, 1)(10L) shouldBe avg(uni, 1)(11L)
+    // bigram: the scramble's transitions are all OOV -> strictly worse
+    val bi = QualityModels.lmCostTable(corpus, "text", $"ref", ngram = 2)
+    avg(bi, 2)(11L) should be > avg(bi, 2)(10L)
+    // and the natural-order probe scores exactly as in-distribution text:
+    // every one of its bigrams is in the reference table
+    bi.costs.keySet should contain("quick brown")
+  }
+
   "tertileThresholdsApprox" should "agree with the exact arm within rank tolerance" in {
     import org.apache.spark.sql.functions.{col, expr}
     // deterministic skewed scores with heavy ties (step function) — the shape
