@@ -97,6 +97,29 @@ object CorpusTools {
   }
 
   /**
+   * Deterministic exact-size sample: the `n` rows with the smallest
+   * `md5(seed:id)` values (ties broken by id) — a reproducible uniform
+   * sample WITHOUT replacement of exactly n rows, stable under
+   * repartitioning and replayable on any engine. Complements
+   * [[mixtureSample]] (fraction, inexact size) and [[capPerGroup]]
+   * (per-group): this is the whole-corpus "give me exactly n docs" cut,
+   * and it NESTS — `sampleN(df, m)` ⊆ `sampleN(df, n)` for m <= n, the
+   * ablation-series property the hash-order selection buys.
+   *
+   * Plans as TakeOrderedAndProject: an O(n) heap per partition, one final
+   * merge task. The merge is the honest cost at huge n — for n beyond
+   * tens of millions prefer [[mixtureSample]]'s threshold filter and accept
+   * the size jitter.
+   */
+  def sampleN(df: DataFrame, idCol: String, n: Int, seed: String = "graft-sample"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    df.withColumn("__k", md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+      .orderBy(col("__k"), col(idCol))
+      .limit(n)
+      .drop("__k")
+  }
+
+  /**
    * Per-group cap sampling — the "at most `cap` documents per domain" step
    * of web-corpus curation (C4/RefinedWeb-style domain balancing, where a
    * handful of hot domains would otherwise dominate the corpus): keep at

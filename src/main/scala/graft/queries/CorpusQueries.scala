@@ -188,7 +188,13 @@ object CorpusQueries {
       CorpusTools.capPerGroup(
           Tables.documents(s, d).withColumn("domain", capDomain),
           groupCol = "domain", idCol = "doc_id", cap = 10, seed = "graft-cap")
-        .select(col("doc_id"), col("domain")))
+        .select(col("doc_id"), col("domain"))),
+
+    // deterministic exact-size sample: the 100 md5-smallest docs —
+    // TakeOrderedAndProject, O(n) per partition
+    "q_sample_n" -> ((s, d) =>
+      CorpusTools.sampleN(Tables.documents(s, d), idCol = "doc_id", n = 100, seed = "gate")
+        .select("doc_id", "lang", "source"))
   )
 
   /** Synthetic absolute URL, deterministic per doc: rotates userinfo (every
@@ -525,6 +531,11 @@ object CorpusQueries {
          |         THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
          |       ELSE ls[-2] || '.' || ls[-1] END AS domain
          |FROM w""".stripMargin,
+
+    "q_sample_n" ->
+      """SELECT doc_id, lang, source FROM documents
+        |ORDER BY md5('gate:' || CAST(doc_id AS VARCHAR)), doc_id
+        |LIMIT 100""".stripMargin,
 
     // the cap rule IS the plain window formulation (the operator's split
     // path is a performance shape, pinned equivalent in CorpusToolsSpec)

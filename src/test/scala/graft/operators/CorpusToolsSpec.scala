@@ -557,6 +557,23 @@ class CorpusToolsSpec extends AnyFlatSpec with Matchers {
     out(22L) shouldBe "q R s T"
   }
 
+  // --- sampleN ---
+
+  "sampleN" should "return exactly n rows, nested across sizes, partition-invariant" in {
+    val docs = (0L until 200L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val s50 = CorpusTools.sampleN(docs, "doc_id", 50).select("doc_id").as[Long].collect().toSet
+    val s20 = CorpusTools.sampleN(docs, "doc_id", 20).select("doc_id").as[Long].collect().toSet
+    s50 should have size 50
+    s20 should have size 20
+    s20.subsetOf(s50) shouldBe true // ablation series nest
+    Seq(1, 7).foreach { parts =>
+      CorpusTools.sampleN(docs.repartition(parts), "doc_id", 50)
+        .select("doc_id").as[Long].collect().toSet shouldBe s50
+    }
+    // n >= corpus: everything survives
+    CorpusTools.sampleN(docs, "doc_id", 500).count() shouldBe 200
+  }
+
   // --- capPerGroup ---
 
   "capPerGroup" should "keep at most cap rows per group, exactly the md5-order prefix" in {
