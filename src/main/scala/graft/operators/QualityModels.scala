@@ -75,10 +75,19 @@ object QualityModels {
 
   /** The scoring unit column for an `ngram`-gram LM: tokens at n=1, space-
     * joined word n-grams above (documents shorter than n yield one whole-
-    * text unit — the shingles convention, shared by table and scorer). */
+    * text unit — the shingles convention, shared by table and scorer).
+    * N-grams come from the fused native WordShingles kernel (one tight loop
+    * per row) rather than the HOF transform/slice chain — the same 40x
+    * documented on q_window_dedup; the bench measured the HOF path at 5.2s
+    * for q_lm_bigram vs 1.2s for the unigram query at sf0.1. The kernel has
+    * no short-doc fallback, so the `when` restores it: the condition costs
+    * one extra tokenize pass, the kernel runs once per row either way. */
   private def lmUnits(text: Column, ngram: Int): Column =
     if (ngram == 1) graft.functions.TextFunctions.tokens(text)
-    else graft.functions.TextFunctions.shingles(text, ngram)
+    else when(
+      size(graft.functions.TextFunctions.tokens(text)) >= ngram,
+      graft.functions.VectorExpressions.wordShingles(text, ngram))
+      .otherwise(array(concat_ws(" ", graft.functions.TextFunctions.tokens(text))))
 
   /**
    * Score every document: `lm_cost` = summed milli-nat token costs (OOV
