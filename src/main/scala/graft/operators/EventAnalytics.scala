@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Product-analytics operators over event streams: ordered funnels and
+ * retention cohorts — the two queries every event warehouse runs daily,
+ * expressed as single-shuffle aggregations so they hold at any event
+ * volume.
+ */
+object EventAnalytics {
+
+  /**
+   * Exact ordered funnel: for each user, how many of `steps` were completed
+   * IN ORDER — step k counts only if an event of its type occurs STRICTLY
+   * after the event that completed step k-1 (greedy earliest-feasible
+   * matching, which is optimal for subsequence matching: the fold's result
+   * equals the nested-min formulation `t1 = min ts of s1, t2 = min ts of s2
+   * with ts > t1, ...`).
+   *
+   * Shape: events are pre-filtered to the step types (non-step events cannot
+   * advance the fold — at 100 TB this is the difference between shuffling
+   * the firehose and shuffling the funnel's slice), then ONE groupBy(user)
+   * collects each user's (ts, type) pairs, sorts them per group, and a
+   * single `aggregate` fold walks the sequence. Per-user memory is bounded
+   * by that user's STEP-TYPED event count; hot users beyond that bound are a
+   * salting/pre-aggregation problem upstream, like every per-user collect.
+   * Ties: the fold requires strictly increasing timestamps, so two step
+   * events sharing a timestamp advance at most one step — identical to the
+   * SQL formulation's strict `>`.
+   *
+   * @return one row per user: (userCol, `steps_completed` 0..|steps|).
+   */
+  def funnelSteps(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepsArr = array(steps.map(lit): _*)
+    val init: Column = struct(lit(0).as("step"), lit(Long.MinValue).as("ts"))
+    events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol),
+        struct(unix_micros(col(tsCol)).as("ts"), col(typeCol).as("t")).as("__e"))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("__e"))).as("__seq"))
+      .withColumn("__st", aggregate(col("__seq"), init, (st, e) =>
+        when(st.getField("step") < lit(steps.size) &&
+            element_at(stepsArr, st.getField("step") + 1) === e.getField("t") &&
+            e.getField("ts") > st.getField("ts"),
+          struct((st.getField("step") + 1).as("step"), e.getField("ts").as("ts")))
+          .otherwise(st)))
+      .select(col(userCol), col("__st").getField("step").as("steps_completed"))
+  }
+
+  /** The conversion table over [[funnelSteps]]: users reaching AT LEAST each
+    * step (step 0 = everyone with a step-typed event). Tiny output
+    * (|steps|+1 rows); the cumulative sum runs over that bounded frame. */
+  def funnelConversion(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    val perUser = funnelSteps(events, userCol, typeCol, tsCol, steps)
+    val byStep = perUser.groupBy(col("steps_completed")).agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("steps_completed").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byStep.withColumn("n_users_at_least", sum(col("__n")).over(w))
+      .select(col("steps_completed").as("step"), col("n_users_at_least"))
+  }
+
+  /**
+   * Weekly retention cohorts: users grouped by the ISO week of their first
+   * event; one row per (cohort week, week offset) with the distinct users
+   * active that week. Two aggregations and one join, all keyed on user —
+   * one partitioning serves the whole plan; output is bounded by
+   * weeks², never by events.
+   */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val firstWeek = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("__cohort"))
+    val activeWeeks = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("__week"))
+      .distinct()
+    activeWeeks.join(firstWeek, userCol)
+      .select(
+        to_date(col("__cohort")).as("cohort_week"),
+        floor(datediff(col("__week"), col("__cohort")) / lit(7)).cast("int").as("week_offset"),
+        col(userCol))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+}

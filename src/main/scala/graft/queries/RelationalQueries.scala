@@ -259,6 +259,19 @@ object RelationalQueries {
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("user_id"), col("n_events"), col("session_value"))),
 
+    // --- exact ordered funnel (view -> click -> purchase): greedy
+    // earliest-feasible matching == nested strict mins; ONE shuffle on
+    // user_id over the step-typed slice only ---
+    "q_funnel" -> ((s, d) =>
+      graft.operators.EventAnalytics.funnelSteps(Tables.events(s, d),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
+
+    // --- weekly retention cohorts: ISO week of first event x active week
+    // offset, distinct users per cell ---
+    "q_retention" -> ((s, d) =>
+      graft.operators.EventAnalytics.retentionCohorts(Tables.events(s, d),
+        "user_id", "ts")),
+
     // --- batch event-time tumbling window over events ---
     "q_event_windows" -> ((s, d) =>
       Tables.events(s, d)
@@ -1154,6 +1167,44 @@ object RelationalQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // nested strict mins == the operator's greedy fold (earliest-feasible
+    // subsequence matching); u restricts to users with a step-typed event,
+    // matching the operator's pre-filter
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type IN ('view', 'click', 'purchase'))
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN s3.t IS NOT NULL THEN 3
+        |            WHEN s2.t IS NOT NULL THEN 2
+        |            WHEN s1.t IS NOT NULL THEN 1 ELSE 0 END AS INT) AS steps_completed
+        |FROM u LEFT JOIN s1 USING (user_id)
+        |       LEFT JOIN s2 USING (user_id)
+        |       LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "q_retention" ->
+      """WITH fw AS (
+        |  SELECT user_id, date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort
+        |  FROM events GROUP BY user_id),
+        |aw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+        |  FROM events)
+        |SELECT CAST(fw.cohort AS DATE) AS cohort_week,
+        |  CAST(datediff('day', fw.cohort, aw.w) // 7 AS INT) AS week_offset,
+        |  COUNT(DISTINCT aw.user_id) AS n_users
+        |FROM aw JOIN fw USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_asof_join" ->
       """WITH sign AS (

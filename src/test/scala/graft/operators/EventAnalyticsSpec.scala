@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.TestSpark
+import java.sql.Timestamp
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+class EventAnalyticsSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val steps = Seq("view", "click", "buy")
+
+  "funnelSteps" should "count only in-order completions" in {
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "buy", ts(3)),
+      // user 2: click BEFORE view — the early click must not count, and no
+      // click follows the view, so the funnel stops at step 1
+      (2L, "click", ts(1)), (2L, "view", ts(2)), (2L, "buy", ts(3)),
+      // user 3: view then buy (no click) — buy cannot skip a step
+      (3L, "view", ts(1)), (3L, "buy", ts(2)),
+      // user 4: non-step events only — still surfaces with 0 steps? No: the
+      // operator pre-filters to step types, so user 4 has no row at all
+      (4L, "error", ts(1)),
+      // user 5: the greedy law — early view, a click before it, a click
+      // after it, then buy: greedy matches view(1), click(3), buy(4)
+      (5L, "click", ts(0)), (5L, "view", ts(1)), (5L, "click", ts(3)), (5L, "buy", ts(4))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnelSteps(events, "user_id", "event_type", "ts", steps)
+      .as[(Long, Int)].collect().toMap
+    got shouldBe Map(1L -> 3, 2L -> 1, 3L -> 1, 5L -> 3)
+  }
+
+  it should "require strictly increasing timestamps across steps" in {
+    // click shares the view's timestamp: strict > means step 2 not reached
+    val events = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(1)), (1L, "buy", ts(2))
+    ).toDF("user_id", "event_type", "ts")
+    EventAnalytics.funnelSteps(events, "user_id", "event_type", "ts", steps)
+      .as[(Long, Int)].collect().toMap shouldBe Map(1L -> 1)
+  }
+
+  "funnelConversion" should "produce the cumulative at-least table" in {
+    val events = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "buy", ts(3)),
+      (2L, "view", ts(1)), (2L, "click", ts(2)),
+      (3L, "view", ts(1)),
+      (4L, "view", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnelConversion(events, "user_id", "event_type", "ts", steps)
+      .as[(Int, Long)].collect().toMap
+    // 4 users reached >= step 1, 2 reached >= step 2, 1 reached >= step 3
+    got shouldBe Map(1 -> 4L, 2 -> 2L, 3 -> 1L)
+  }
+
+  "retentionCohorts" should "bucket users by first-event week and count active offsets" in {
+    def week(w: Int, dow: Int) = Timestamp.valueOf(f"2024-01-${1 + w * 7 + dow}%02d 12:00:00")
+    val events = Seq(
+      // user 1: first seen week 0 (Mon Jan 1), active weeks 0 and 2
+      (1L, week(0, 0)), (1L, week(0, 3)), (1L, week(2, 1)),
+      // user 2: first seen week 0, active week 0 only
+      (2L, week(0, 5)),
+      // user 3: first seen week 1, active weeks 1 and 2 (offsets 0 and 1)
+      (3L, week(1, 0)), (3L, week(2, 2))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.retentionCohorts(events, "user_id", "ts")
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map { case (c, o, n) => (c.toString, o) -> n }.toMap
+    got shouldBe Map(
+      ("2024-01-01", 0) -> 2L, // users 1 and 2 in their cohort week
+      ("2024-01-01", 2) -> 1L, // user 1 back two weeks later
+      ("2024-01-08", 0) -> 1L, // user 3 cohort week
+      ("2024-01-08", 1) -> 1L) // user 3 the week after
+  }
+}
