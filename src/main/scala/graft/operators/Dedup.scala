@@ -276,17 +276,31 @@ object Dedup {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
     // fully fused: tokenize+hash (WordShingleHashes) -> 64-bit vote
-    // (SimHash64FromHashes) is ONE composed native evaluation per row. A
-    // single checkpoint of the tiny (id, sh) frame remains: it feeds the four
-    // chunk projections and both sides of the block self-joins, and without
-    // it each of those 8 plan branches would re-scan the parquet and re-hash
-    // every document
-    val shBase = docs.select(col(idCol).as("id"),
-      simhashFromHashes64(
-        graft.functions.VectorExpressions.wordShingleHashes(col(textCol), 1, distinct = false))
-        .as("sh"))
+    // (SimHash64FromHashes) is ONE composed native evaluation per row
+    hammingNearDupPairs(
+      docs.select(col(idCol),
+        simhashFromHashes64(
+          graft.functions.VectorExpressions.wordShingleHashes(col(textCol), 1, distinct = false))
+          .as("__sh")),
+      idCol, "__sh", maxHamming)
+
+  /** Near-dup pairs among arbitrary 64-bit fingerprints by Hamming
+    * distance — the blocking engine behind [[simhashNearDupPairs]], exposed
+    * for any perceptual fingerprint (image aHash, audio signature, ...):
+    * blocks on the four 16-bit chunks (pigeonhole recall to the documented
+    * Hamming-3 guarantee), exact xor-popcount verify inside blocks. The
+    * (id, hash) frame is checkpointed once: it feeds eight plan branches
+    * (4 blocks x 2 join sides) which would otherwise each recompute the
+    * fingerprints from scratch. */
+  def hammingNearDupPairs(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val shBase = hashes
+      .select(col(idCol).as("id"), col(hashCol).cast("long").as("sh"))
       .localCheckpoint()
     val sh = shBase.select(col("id") +: col("sh") +:
       (0 until 4).map(c => shiftright(col("sh"), c * 16).bitwiseAND(0xFFFFL).as(s"c$c")): _*)

@@ -161,6 +161,127 @@ object Multimodal {
       brightness = if (n == 0) 0.0 else sum.toDouble / n)
   }
 
+  /**
+   * 64-bit average hash (aHash) of a decoded image — the classic perceptual
+   * fingerprint: box-downsample to an 8x8 grid, bit (j*8 + i) set iff grid
+   * cell (i, j)'s summed gray STRICTLY exceeds the image's overall mean
+   * gray. Re-encodes of the same pixels (PNG vs BMP) hash identically and
+   * near-identical pictures land within small Hamming distance, where
+   * byte-level dedup sees unrelated payloads.
+   *
+   * Everything is exact integer arithmetic — cell gray sums are compared
+   * against the global mean by cross-multiplication
+   * (`cellSum * totalPixels > totalSum * cellPixels`), never a float — so
+   * the hash is bit-reproducible on any engine, and the gate oracle
+   * replays it in closed form over the synthetic gradient fixture. Cells
+   * use integer-division bounds `[i*w/8, max(i*w/8+1, (i+1)*w/8))`, which
+   * degrade to nearest-pixel sampling below 8x8 instead of dividing by
+   * zero. Gray per pixel is `(r + g + b) / 3` integer-divided. Flat images
+   * (every pixel equal) hash to 0 by construction — a known aHash
+   * degeneracy, callers bucketing by hash should treat 0 as "no texture".
+   */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w == 0 || h == 0) return 0L
+    val gray = Array.ofDim[Long](h, w)
+    var totalSum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        gray(y)(x) = g
+        totalSum += g
+        x += 1
+      }
+      y += 1
+    }
+    val totalN = w.toLong * h
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      val y0 = j * h / 8
+      val y1 = math.max(y0 + 1, (j + 1) * h / 8)
+      var i = 0
+      while (i < 8) {
+        val x0 = i * w / 8
+        val x1 = math.max(x0 + 1, (i + 1) * w / 8)
+        var cellSum = 0L
+        var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) { cellSum += gray(yy)(xx); xx += 1 }
+          yy += 1
+        }
+        val cellN = (x1 - x0).toLong * (y1 - y0)
+        if (cellSum * totalN > totalSum * cellN) hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** Perceptual hashes of the image payloads: decode (same guarded ImageIO
+    * path as [[extractFeatures]]) + [[aHash64]] per partition; undecodable
+    * payloads are dropped (they have no pixels to fingerprint). */
+  def imageAHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.flatMap { r =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(r.bytes)))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) None else Some((r.media_id, aHash64(img)))
+      }
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Near-duplicate image pairs by perceptual-hash Hamming distance —
+    * [[imageAHashes]] fed through the same chunk-blocked engine the SimHash
+    * text path uses ([[Dedup.hammingNearDupPairs]]): recall guaranteed to
+    * Hamming 3, never an all-pairs comparison. */
+  def imageNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame =
+    Dedup.hammingNearDupPairs(imageAHashes(media), "media_id", "ahash", maxHamming)
+
+  /** Synthetic gradient geometry for the aHash oracle: pixel gray =
+    * `ax*x + by*y + c0` with coefficients small enough that no pixel wraps
+    * past 255 (max 3*22 + 2*20 + 39 = 145), so the gray plane is LINEAR in
+    * (x, y) and an independent engine can compute every 8x8 cell sum in
+    * closed form. Images sharing (ax, by) differ only by the constant c0,
+    * which shifts cell sums and the global mean equally — their aHashes
+    * collide BY CONSTRUCTION (6 hash classes over the corpus), which is
+    * exactly the near-dup structure the pairing operator mines. */
+  def gradientAx(id: Long): Int = 1 + java.lang.Math.floorMod(id, 3L).toInt
+  def gradientBy(id: Long): Int = 1 + java.lang.Math.floorMod(id, 2L).toInt
+  def gradientC(id: Long): Int = java.lang.Math.floorMod(id, 40L).toInt
+
+  /** A real decodable BMP whose gray plane is the linear gradient above —
+    * same predictable-size uncompressed format as [[syntheticBmp]]. */
+  def syntheticGradientBmp(id: Long): Array[Byte] = {
+    val w = syntheticImageWidth(id)
+    val h = syntheticImageHeight(id)
+    val (ax, by, c0) = (gradientAx(id), gradientBy(id), gradientC(id))
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ax * x + by * y + c0
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
   /** Decode + feature-extract, batched per partition. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

@@ -648,6 +648,24 @@ object PipelineQueries {
       val media = Multimodal.fromDocuments(s, Tables.documents(s, d))
       Multimodal.sampleFrames(media, everyNth = 10)
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
+    }),
+
+    // perceptual image hashing over REAL decoded bitmaps: synthetic linear-
+    // gradient BMPs (gray = ax*x + by*y + c, no wrap) are decoded by
+    // ImageIO and aHashed with exact integer arithmetic, so the oracle
+    // computes every 8x8 cell sum in CLOSED FORM and rebuilds the identical
+    // 16-hex-char hash — a real codec round-trip checked value-exactly by
+    // an engine that never sees a pixel
+    "q_image_ahash" -> ((s, d) => {
+      import s.implicits._
+      val images = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .filter(_ % 3 == 0)
+        .map(id => graft.operators.MediaRecord(
+          id, "image", Multimodal.syntheticGradientBmp(id), "synthetic"))
+      Multimodal.imageAHashes(images).select(
+        col("media_id"),
+        lower(lpad(hex(col("ahash")), 16, "0")).as("ahash_hex"),
+        bit_count(col("ahash")).cast("int").as("n_bits"))
     })
   )
 
@@ -1501,6 +1519,47 @@ object PipelineQueries {
         |       WHEN doc_id % 3 = 1 THEN CAST(1000 + (doc_id * 31) % 20000 AS DOUBLE)
         |       ELSE list_aggregate(list_transform(string_split(text, ''), x -> unicode(x)), 'sum')
         |         / octet_length(encode(text)) END AS brightness
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // closed-form aHash replay: the gradient gray plane is linear in (x, y),
+    // so every 8x8 cell sum is a polynomial in the cell bounds; the bit rule
+    // is the operator's exact cross-multiplied integer comparison, and the
+    // hex string assembles nibble-by-nibble (most significant first) so no
+    // 64-bit signed arithmetic is ever needed
+    "q_image_ahash" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |    16 + doc_id % 13 AS w, 16 + (doc_id * 7) % 11 AS h,
+        |    1 + doc_id % 3 AS ax, 1 + doc_id % 2 AS by, doc_id % 40 AS c
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |cells AS (
+        |  SELECT media_id, w, h, ax, by, c, jj.j AS j, ii.i AS i,
+        |    (ii.i * w) // 8 AS x0,
+        |    GREATEST((ii.i * w) // 8 + 1, ((ii.i + 1) * w) // 8) AS x1,
+        |    (jj.j * h) // 8 AS y0,
+        |    GREATEST((jj.j * h) // 8 + 1, ((jj.j + 1) * h) // 8) AS y1
+        |  FROM img, generate_series(0, 7) AS ii(i), generate_series(0, 7) AS jj(j)),
+        |bits AS (
+        |  SELECT media_id, j * 8 + i AS k,
+        |    CASE WHEN
+        |      (ax * (((x0 + x1 - 1) * (x1 - x0)) // 2) * (y1 - y0)
+        |       + by * (((y0 + y1 - 1) * (y1 - y0)) // 2) * (x1 - x0)
+        |       + c * (x1 - x0) * (y1 - y0)) * (w * h)
+        |      >
+        |      (ax * (((w - 1) * w) // 2) * h
+        |       + by * (((h - 1) * h) // 2) * w
+        |       + c * w * h) * ((x1 - x0) * (y1 - y0))
+        |    THEN 1 ELSE 0 END AS b
+        |  FROM cells),
+        |nib AS (
+        |  SELECT media_id, k // 4 AS n,
+        |    SUM(b * CASE k % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |hx AS (
+        |  SELECT media_id,
+        |    string_agg(substr('0123456789abcdef', CAST(v AS INT) + 1, 1), '' ORDER BY n DESC) AS ahash_hex
+        |  FROM nib GROUP BY media_id),
+        |nb AS (SELECT media_id, CAST(SUM(b) AS INT) AS n_bits FROM bits GROUP BY media_id)
+        |SELECT media_id, ahash_hex, n_bits FROM hx JOIN nb USING (media_id)""".stripMargin
   )
 }

@@ -140,6 +140,59 @@ class MultimodalSpec extends AnyFlatSpec with Matchers {
     frames.foreach(r => r.getAs[Array[Byte]]("frame_bytes").length should be <= 16)
   }
 
+  private def gradientImage(w: Int, h: Int, f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = f(x, y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    img
+  }
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  "aHash64" should "be invariant across lossless re-encodes and degenerate on flat images" in {
+    val img = gradientImage(32, 24, (x, y) => 2 * x + 3 * y)
+    val viaBmp = Multimodal.aHash64(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encode(img, "bmp"))))
+    val viaPng = Multimodal.aHash64(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encode(img, "png"))))
+    viaBmp shouldBe viaPng // same pixels, different container
+    viaBmp should not be 0L
+    // flat image: no cell strictly exceeds the mean -> the documented 0 hash
+    Multimodal.aHash64(gradientImage(16, 16, (_, _) => 137)) shouldBe 0L
+  }
+
+  it should "place perturbed copies near and different pictures far" in {
+    val base = gradientImage(32, 32, (x, y) => 3 * x + 2 * y)
+    // same picture with a tiny local perturbation: one corner cell brightened
+    val nearDup = gradientImage(32, 32, (x, y) =>
+      if (x < 2 && y < 2) 3 * x + 2 * y + 6 else 3 * x + 2 * y)
+    // structurally different: the gradient runs the other way
+    val far = gradientImage(32, 32, (x, y) => 200 - 3 * x - 2 * y)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hBase = Multimodal.aHash64(base)
+    ham(hBase, Multimodal.aHash64(nearDup)) should be <= 3
+    ham(hBase, Multimodal.aHash64(far)) should be > 16
+  }
+
+  "imageNearDupPairs" should "mine exactly the planted near-identical images" in {
+    def media(id: Long, img: java.awt.image.BufferedImage) =
+      MediaRecord(id, "image", encode(img, "png"), "s")
+    val base = gradientImage(32, 32, (x, y) => 3 * x + 2 * y)
+    val tweak = gradientImage(32, 32, (x, y) =>
+      if (x < 2 && y < 2) 3 * x + 2 * y + 6 else 3 * x + 2 * y)
+    val far = gradientImage(32, 32, (x, y) => 200 - 3 * x - 2 * y)
+    val corrupt = MediaRecord(9L, "image", Array[Byte](1, 2, 3), "s") // undecodable: dropped
+    val ds = Seq(media(1L, base), media(2L, tweak), media(3L, far), corrupt).toDS()
+    val pairs = Multimodal.imageNearDupPairs(ds, maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L))
+  }
+
   "fromDocuments" should "derive deterministic kinds and payloads, with real BMPs for images" in {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val ds = Multimodal.fromDocuments(spark, docs)
