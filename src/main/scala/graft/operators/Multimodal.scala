@@ -282,6 +282,103 @@ object Multimodal {
     out.toByteArray
   }
 
+  /**
+   * 64-bit loudness-envelope signature of decoded 16-bit PCM audio — the
+   * audio sibling of [[aHash64]]: samples split into 64 integer-bounded
+   * windows, bit k set iff window k's summed |sample| STRICTLY exceeds the
+   * track's overall mean level (cross-multiplied integers, no floats).
+   * Re-encodes of the same samples collide; tracks with the same loudness
+   * SHAPE land within small Hamming distance. Constant-level tracks hash
+   * to 0 (the flat-image degeneracy, same caveat). Only the 16-bit
+   * little-endian signed-PCM path yields a signature — other formats and
+   * undecodable payloads return None.
+   */
+  def audioSignature64(bytes: Array[Byte]): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          if (n < 64) None
+          else {
+            val abs = new Array[Long](n)
+            var total = 0L
+            var i = 0
+            while (i < n) {
+              val v = math.abs(((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt).toLong
+              abs(i) = v
+              total += v
+              i += 1
+            }
+            var hash = 0L
+            var k = 0
+            while (k < 64) {
+              val w0 = k * n / 64
+              val w1 = (k + 1) * n / 64
+              var sum = 0L
+              var j = w0
+              while (j < w1) { sum += abs(j); j += 1 }
+              if (sum * n > total * (w1 - w0)) hash |= 1L << k
+              k += 1
+            }
+            Some(hash)
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Loudness signatures of the audio payloads (None rows dropped). */
+  def audioSignatures(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap(r => audioSignature64(r.bytes).map(sig => (r.media_id, sig)))
+    }.toDF("media_id", "asig")
+  }
+
+  /** Near-duplicate audio pairs by envelope-signature Hamming distance —
+    * same chunk-blocked engine as text SimHash and image aHash. */
+  def audioNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame =
+    Dedup.hammingNearDupPairs(audioSignatures(media), "media_id", "asig", maxHamming)
+
+  /** Per-window amplitude of the modulated fixture WAV: window k of track
+    * `id` plays a square wave at EXACTLY this level, so the decoded window
+    * mean |sample| is analytic and the signature oracle needs no samples. */
+  def modulatedWavAmp(id: Long, k: Int): Int =
+    500 + 250 * java.lang.Math.floorMod(id + k, 8L).toInt
+
+  /** A real decodable WAV whose loudness envelope is the 64-step modulation
+    * above: window boundaries use the SAME integer bounds the signature
+    * does, so generation and fingerprinting tile the samples identically. */
+  def syntheticModulatedWav(id: Long): Array[Byte] = {
+    val rate = syntheticWavRate(id)
+    val n = syntheticWavSamples(id) // 400..999: always >= 64 samples
+    val dataSize = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var k = 0
+    while (k < 64) {
+      val amp = modulatedWavAmp(id, k)
+      var i = k * n / 64
+      val end = (k + 1) * n / 64
+      while (i < end) {
+        buf.putShort((if (i % 2 == 0) amp else -amp).toShort)
+        i += 1
+      }
+      k += 1
+    }
+    buf.array()
+  }
+
   /** Decode + feature-extract, batched per partition. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

@@ -666,6 +666,21 @@ object PipelineQueries {
         col("media_id"),
         lower(lpad(hex(col("ahash")), 16, "0")).as("ahash_hex"),
         bit_count(col("ahash")).cast("int").as("n_bits"))
+    }),
+
+    // the audio sibling: loudness-envelope signatures over REALLY decoded
+    // modulated WAVs — window amplitudes are analytic, so the oracle
+    // rebuilds the 64-bit signature without hearing a sample
+    "q_audio_signature" -> ((s, d) => {
+      import s.implicits._
+      val tracks = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .filter(_ % 3 == 1)
+        .map(id => graft.operators.MediaRecord(
+          id, "audio", Multimodal.syntheticModulatedWav(id), "synthetic"))
+      Multimodal.audioSignatures(tracks).select(
+        col("media_id"),
+        lower(lpad(hex(col("asig")), 16, "0")).as("asig_hex"),
+        bit_count(col("asig")).cast("int").as("n_bits"))
     })
   )
 
@@ -1560,6 +1575,34 @@ object PipelineQueries {
         |    string_agg(substr('0123456789abcdef', CAST(v AS INT) + 1, 1), '' ORDER BY n DESC) AS ahash_hex
         |  FROM nib GROUP BY media_id),
         |nb AS (SELECT media_id, CAST(SUM(b) AS INT) AS n_bits FROM bits GROUP BY media_id)
-        |SELECT media_id, ahash_hex, n_bits FROM hx JOIN nb USING (media_id)""".stripMargin
+        |SELECT media_id, ahash_hex, n_bits FROM hx JOIN nb USING (media_id)""".stripMargin,
+
+    // closed-form audio-signature replay: window k of track id plays at
+    // exactly 500 + 250*((id + k) % 8); window lengths tile n = 400 +
+    // (id*13) % 600 samples by the same integer bounds the decoder uses
+    "q_audio_signature" ->
+      """WITH trk AS (
+        |  SELECT doc_id AS media_id, 400 + (doc_id * 13) % 600 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |win AS (
+        |  SELECT media_id, n, kk.k AS k,
+        |    ((kk.k + 1) * n) // 64 - (kk.k * n) // 64 AS len,
+        |    500 + 250 * ((media_id + kk.k) % 8) AS amp
+        |  FROM trk, generate_series(0, 63) AS kk(k)),
+        |tot AS (SELECT media_id, SUM(amp * len) AS total FROM win GROUP BY media_id),
+        |bits AS (
+        |  SELECT w.media_id, w.k,
+        |    CASE WHEN w.amp * w.len * w.n > t.total * w.len THEN 1 ELSE 0 END AS b
+        |  FROM win w JOIN tot t USING (media_id)),
+        |nib AS (
+        |  SELECT media_id, k // 4 AS nn,
+        |    SUM(b * CASE k % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) AS v
+        |  FROM bits GROUP BY 1, 2),
+        |hx AS (
+        |  SELECT media_id,
+        |    string_agg(substr('0123456789abcdef', CAST(v AS INT) + 1, 1), '' ORDER BY nn DESC) AS asig_hex
+        |  FROM nib GROUP BY media_id),
+        |nb AS (SELECT media_id, CAST(SUM(b) AS INT) AS n_bits FROM bits GROUP BY media_id)
+        |SELECT media_id, asig_hex, n_bits FROM hx JOIN nb USING (media_id)""".stripMargin
   )
 }

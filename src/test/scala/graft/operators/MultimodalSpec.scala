@@ -193,6 +193,29 @@ class MultimodalSpec extends AnyFlatSpec with Matchers {
     pairs shouldBe Set((1L, 2L))
   }
 
+  "audioSignature64" should "fingerprint the loudness envelope, degenerate on constant level" in {
+    val sig = Multimodal.audioSignature64(Multimodal.syntheticModulatedWav(7L))
+    sig should not be None
+    sig.get should not be 0L
+    // constant-amplitude square wave: every window equals the mean -> 0
+    Multimodal.audioSignature64(Multimodal.syntheticWav(7L)) shouldBe Some(0L)
+    // undecodable payloads yield None
+    Multimodal.audioSignature64(Array[Byte](1, 2, 3)) shouldBe None
+  }
+
+  "audioNearDupPairs" should "mine re-encoded envelopes, not different tracks" in {
+    // track 20 duplicated under a different media_id (same bytes) vs a
+    // track with a different modulation phase
+    val ds = Seq(
+      MediaRecord(1L, "audio", Multimodal.syntheticModulatedWav(20L), "s"),
+      MediaRecord(2L, "audio", Multimodal.syntheticModulatedWav(20L), "s"),
+      MediaRecord(3L, "audio", Multimodal.syntheticModulatedWav(23L), "s")
+    ).toDS()
+    val pairs = Multimodal.audioNearDupPairs(ds, maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L))
+  }
+
   "fromDocuments" should "derive deterministic kinds and payloads, with real BMPs for images" in {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val ds = Multimodal.fromDocuments(spark, docs)
