@@ -121,6 +121,21 @@ object ScaleProbe {
         QualityModels.lmPerplexity(docs(dir), "doc_id", "text", m)
           .agg(sum(col("lm_cost"))).collect(); ()
       }),
+      "funnel" -> (dir => {
+        // events replicate with user offsets: per-user structure identical,
+        // x10/x100 users — funnel cost must track the step-typed slice
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", col("ts").cast("timestamp"))
+        graft.operators.EventAnalytics.funnelSteps(
+          ev, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+          .agg(sum(col("steps_completed"))).collect(); ()
+      }),
+      "retention" -> (dir => {
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", col("ts").cast("timestamp"))
+        graft.operators.EventAnalytics.retentionCohorts(ev, "user_id", "ts")
+          .agg(sum(col("n_users"))).collect(); ()
+      }),
       "domain_cap" -> (dir => {
         // same 37 hot domains at both scales (pmod over offset ids), so the
         // groups grow x10 while the cap stays 10 — measures the split path:
