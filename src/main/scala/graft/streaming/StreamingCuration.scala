@@ -9,6 +9,11 @@ final case class CapAdmission(id: Long, group: String)
 
 private[streaming] final case class CapCandidate(grp: String, id: Long, key: String)
 
+/** A user's funnel progress after a micro-batch advanced it. */
+final case class FunnelProgress(user_id: Long, steps_completed: Int)
+
+private[streaming] final case class FunnelEvent(user_id: Long, ts_micros: Long, t: String)
+
 /**
  * Streaming curation admissions — the online counterparts of the batch
  * corpus-curation operators whose decisions must hold ACROSS deliveries,
@@ -70,5 +75,60 @@ object StreamingCuration {
 
     candidates.groupByKey(_.grp)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(admit)
+  }
+
+  /**
+   * Online funnel tracking — the streaming twin of
+   * [[graft.operators.EventAnalytics.funnelSteps]]: per-user state is
+   * (current step, timestamp of the event that completed it) — two numbers,
+   * O(1) regardless of event volume — advanced by the same greedy
+   * strictly-increasing fold the batch operator runs. A row is emitted only
+   * for users whose step ADVANCED in the micro-batch (update semantics: the
+   * sink keeps the latest row per user).
+   *
+   * Exactness contract: events are folded in (ts, type) order WITHIN each
+   * micro-batch, so the stream equals the batch operator whenever each
+   * user's events arrive in event-time order across batches (the common
+   * log-shipping case). An event arriving AFTER a later-timestamped event
+   * already advanced the fold cannot retro-match — the streaming result is
+   * then a valid funnel over the delivery order, not the event-time order;
+   * replay through the batch operator when late data matters.
+   * StreamingCurationSpec pins stream == batch under ordered delivery.
+   */
+  def funnelStepsStream(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).cast("long").as("user_id"),
+        unix_micros(col(tsCol)).as("ts_micros"),
+        col(typeCol).as("t"))
+      .as[FunnelEvent]
+
+    def advance(
+        user: Long, rows: Iterator[FunnelEvent],
+        state: GroupState[(Int, Long)]): Iterator[FunnelProgress] = {
+      var (step, last) = state.getOption.getOrElse((0, Long.MinValue))
+      val before = step
+      rows.toSeq.sortBy(e => (e.ts_micros, e.t)).foreach { e =>
+        if (step < steps.size && e.t == steps(step) && e.ts_micros > last) {
+          step += 1
+          last = e.ts_micros
+        }
+      }
+      if (step != before) {
+        state.update((step, last))
+        Iterator.single(FunnelProgress(user, step))
+      } else Iterator.empty
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(advance)
   }
 }

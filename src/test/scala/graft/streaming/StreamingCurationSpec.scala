@@ -8,6 +8,7 @@ import org.scalatest.flatspec.AnyFlatSpec
 import org.scalatest.matchers.should.Matchers
 
 case class CurDoc(doc_id: Long, domain: String)
+case class CurEv(user_id: Long, event_type: String, ts: java.sql.Timestamp)
 
 class StreamingCurationSpec extends AnyFlatSpec with Matchers {
 
@@ -46,6 +47,43 @@ class StreamingCurationSpec extends AnyFlatSpec with Matchers {
     // the batch-2 d0 slot went to the md5-best of batch 2's candidates ONLY
     val batch2d0 = (afterB2 -- afterB1).collect { case (id, "d0") => id }
     batch2d0 should have size 1
+  }
+
+  "funnelStepsStream" should "equal the batch funnel under ordered delivery, emitting only advances" in {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+    val steps = Seq("view", "click", "buy")
+    val all = Seq(
+      CurEv(1, "view", t(1)), CurEv(1, "click", t(2)), CurEv(1, "buy", t(3)), // full funnel
+      CurEv(2, "click", t(1)), CurEv(2, "view", t(2)),                  // out of order: stops at 1
+      CurEv(3, "view", t(1)), CurEv(3, "error", t(2)))                  // non-step noise
+
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CurEv](spark)
+    val q = StreamingCuration.funnelStepsStream(
+        source.toDF(), "user_id", "event_type", "ts", steps)
+      .writeStream.format("memory").queryName("stream_funnel")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    // ordered delivery split across micro-batches MID-FUNNEL for user 1
+    // (view+click in batch 1, buy in batch 2)
+    source.addData(all.take(2): _*)
+    q.processAllAvailable()
+    source.addData(all.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // latest row per user (update semantics)
+    val latest = spark.table("stream_funnel").as[(Long, Int)].collect()
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).max }
+    val batch = graft.operators.EventAnalytics.funnelSteps(
+        all.toDF(), "user_id", "event_type", "ts", steps)
+      .as[(Long, Int)].collect().toMap
+    latest shouldBe batch
+    // and user 1's progress was emitted incrementally: step 2 in batch 1
+    // (view+click arrived), step 3 after the buy in batch 2
+    val u1 = spark.table("stream_funnel").as[(Long, Int)].collect()
+      .filter(_._1 == 1L).map(_._2).sorted
+    u1 shouldBe Array(2, 3)
   }
 
   it should "degenerate to the batch operator's exact selection on a batch frame" in {
