@@ -216,6 +216,48 @@ case class WordShingles(child: Expression, n: Int)
 }
 
 /**
+ * Bucket-count (hashing-trick) term-frequency vector from a token-hash
+ * array: `counts[floorMod(h, dim)] += 1` in one pass — the embedding-free
+ * featurizer that bridges text to every vector operator (cosine top-k, IVF,
+ * clustering, SemDeDup) with no model in the loop. Counts are small exact
+ * integers, representable exactly in float, so the double-accumulated
+ * cosine arithmetic downstream replays bit-identically in an independent
+ * engine (the same dictionary-registration trick the SimHash oracle uses
+ * covers the token hashes). A NULL array or element yields NULL.
+ */
+case class HashingTfVector(child: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(dim >= 1 && dim <= 65536, s"dim must be in [1, 65536], got $dim")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "hashing_tf_vector"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val counts = new Array[Float](dim)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      if (hs.isNullAt(i)) return null
+      counts(java.lang.Math.floorMod(hs.getLong(i), dim.toLong).toInt) += 1f
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Intersection size of two SORTED distinct long arrays by a single merge walk
  * — O(n+m) with zero allocation per pair, vs `size(array_intersect(a, b))`'s
  * per-pair hash-set build. This is the pair-verification kernel of the
@@ -655,6 +697,14 @@ object VectorExpressions {
     * docs shorter than `n` — no whole-text fallback). */
   def wordShingles(text: Column, n: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(text), n))
+
+  /** Hashing-trick term-frequency vector of a text column: the composed
+    * [[wordShingleHashes]] token-hash pass feeding the one-pass
+    * [[HashingTfVector]] bucket counter — text in, `array<float>` out,
+    * ready for every Similarity operator. */
+  def hashingTf(text: Column, dim: Int): Column =
+    GraftSqlBridge.column(HashingTfVector(
+      GraftSqlBridge.expression(wordShingleHashes(text, 1, distinct = false)), dim))
 
   /** 32-bit SimHash from a token-hash array, fused into one native pass. */
   def simHash32FromHashes(hashes: Column): Column =

@@ -409,6 +409,18 @@ object PipelineQueries {
       Dedup.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 3)
     }),
 
+    // embedding-free text knn: hashing-trick TF vectors (dim 64, one native
+    // pass) feed the standard cosine top-k — text becomes a first-class
+    // citizen of every vector operator with no model in the loop. Counts
+    // are exact integers in float, so the cosine chain replays bit-exactly
+    // from the same registered token-hash dictionary the SimHash oracle uses
+    "q_text_knn" -> ((s, d) => {
+      simhashDict(s, d)
+      val vecs = Tables.documents(s, d).select(col("doc_id").as("vec_id"),
+        graft.functions.VectorExpressions.hashingTf(col("text"), 64).as("embedding"))
+      Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 10)
+    }),
+
     // per-source corpus composition report — the dashboard a curation run
     // ends with. One fused TextStats pass, one map-side-combinable
     // aggregate; every metric is an integer fold, so the report replays
@@ -924,7 +936,8 @@ object PipelineQueries {
     }
     val simhash = soleRegistered(simhashDictCache) match {
       case Some(dict) if dict.length <= 10000 =>
-        Map("q_dedup_simhash" -> simhashOracleSql(dict, maxHamming = 3))
+        Map("q_dedup_simhash" -> simhashOracleSql(dict, maxHamming = 3),
+          "q_text_knn" -> textKnnOracleSql(dict, dim = 64, k = 10))
       case _ => Map.empty[String, String]
     }
     val dsir = soleRegistered(dsirWeightCache) match {
@@ -986,6 +999,41 @@ object PipelineQueries {
        |       WHEN lm_cost // n_tokens <= $t2 THEN 'middle'
        |       ELSE 'tail' END AS bucket
        |FROM scored""".stripMargin
+  }
+
+  /** Replay of q_text_knn: hashed-TF bucket counts from the registered
+    * token-hash dictionary (the SimHash trick), then the cosine chain over
+    * SPARSE counts — buckets absent from a doc contribute exactly 0 to the
+    * dense dot product, and every count is an exact small integer in both
+    * engines, so the doubles agree bit-for-bit. */
+  private def textKnnOracleSql(dict: Array[(String, Long)], dim: Int, k: Int): String = {
+    val values = dict.sortBy(_._1).map { case (t, h) =>
+      s"('${t.replace("'", "''")}', CAST($h AS BIGINT))"
+    }.mkString(",\n      ")
+    s"""WITH dict(tok, h) AS (VALUES
+       |      $values),
+       |toks AS (
+       |  SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+       |bk AS (
+       |  SELECT t.doc_id, ((d.h % $dim) + $dim) % $dim AS b
+       |  FROM toks t JOIN dict d USING (tok)),
+       |cnt AS (SELECT doc_id, b, CAST(COUNT(*) AS DOUBLE) AS c FROM bk GROUP BY 1, 2),
+       |nrm AS (SELECT doc_id, SQRT(SUM(c * c)) AS n FROM cnt GROUP BY doc_id),
+       |dots AS (
+       |  SELECT a.doc_id AS neighbor_id, SUM(q.c * a.c) AS dot
+       |  FROM cnt a JOIN cnt q ON q.doc_id = 0 AND q.b = a.b AND a.doc_id <> 0
+       |  GROUP BY a.doc_id),
+       |scored AS (
+       |  SELECT CAST(0 AS BIGINT) AS query_id, d.neighbor_id,
+       |    d.dot / (nq.n * na.n) AS cosine
+       |  FROM dots d
+       |  JOIN nrm na ON na.doc_id = d.neighbor_id
+       |  JOIN nrm nq ON nq.doc_id = 0),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY cosine DESC, neighbor_id) AS "rank"
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
+       |WHERE "rank" <= $k""".stripMargin
   }
 
   /** Replay of q_lm_bigram: bigram units (space-joined adjacent token

@@ -175,4 +175,33 @@ class VectorExpressionsSpec extends AnyFlatSpec with Matchers {
       kernel.getSeq[String](1) shouldBe viaRoot.map(_.trim)
     } finally java.util.Locale.setDefault(saved)
   }
+
+  "HashingTfVector" should "count token hashes into floorMod buckets, matching a driver-side model" in {
+    val dim = 16
+    val docs = Seq("the cat sat on the mat", "one two three", "x").toDF("t")
+    val rows = docs.select(
+      VectorExpressions.wordShingleHashes($"t", 1, distinct = false).as("hs"),
+      VectorExpressions.hashingTf($"t", dim).as("v")).collect()
+    rows.foreach { r =>
+      val hs = r.getSeq[Long](0)
+      val v = r.getSeq[Float](1)
+      v.length shouldBe dim
+      val model = hs.groupBy(h => java.lang.Math.floorMod(h, dim.toLong).toInt)
+        .view.mapValues(_.size.toFloat).toMap
+      v.zipWithIndex.foreach { case (c, b) => c shouldBe model.getOrElse(b, 0f) }
+      v.map(_.toDouble).sum shouldBe hs.size.toDouble // counts conserve tokens
+    }
+    // repeated tokens accumulate: "the" appears twice in doc 0
+    rows(0).getSeq[Float](1).max should be >= 2f
+  }
+
+  it should "make text a citizen of the vector operators (self-similarity = 1)" in {
+    val vecs = Seq((0L, "alpha beta gamma"), (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("vec_id", "t")
+      .select($"vec_id", VectorExpressions.hashingTf($"t", 32).as("embedding"))
+    val top = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, k = 2)
+      .select("neighbor_id", "cosine").as[(Long, Double)].collect().toMap
+    top(1L) shouldBe 1.0 +- 1e-12 // identical text -> identical vector
+    top(2L) should be < 0.999
+  }
 }
