@@ -42,12 +42,17 @@ class PlanInvariantsSpec extends AnyFlatSpec with Matchers {
     *    O(N·1), the same shape Spark's own scalar-subquery rewrite
     *    executes.
     *
+    *  - q_text_knn — the same single-broadcast-query brute-force cosine
+    *    shape as q_ann_cosine, over hashed-TF vectors instead of the
+    *    embeddings table (one query row broadcasts; the corpus side
+    *    streams once).
+    *
     * Notably NOT here: the n-gram ground-truth miners — they plan as
     * inverted-index equi-joins on shared shingle hashes (the quadratic in
     * their cost model is candidate VERIFICATION, not the join shape). */
   private val allowedBounded = Set(
     "q_ann_cosine", "q_ann_ivf", "q_dedup_embedding", "q_cross_join",
-    "q_hybrid_search", "q_tpch_q22")
+    "q_hybrid_search", "q_tpch_q22", "q_text_knn")
 
   "every driver query" should "plan without cartesian or nested-loop joins (unless bounded by design)" in {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
