@@ -56,6 +56,73 @@ object EventAnalytics {
       .select(col(userCol), col("__st").getField("step").as("steps_completed"))
   }
 
+  /**
+   * Windowed funnel with EXACT re-anchoring semantics: for each user, the
+   * longest prefix of `steps` for which a strictly-time-increasing chain of
+   * matching events exists whose LAST step lies within `windowMicros` of
+   * the chain's OWN first step — the conversion-window rule of product
+   * analytics. This is genuinely different from [[funnelSteps]]'s greedy
+   * fold: under a window, the earliest step-1 occurrence is NOT always the
+   * best anchor (an early view can expire before the purchase a later view
+   * converts), so greedy matching under-counts. Exactness here means
+   * "equals the EXISTS-a-chain definition", which the DuckDB oracle states
+   * literally and a property spec checks against brute-force enumeration.
+   *
+   * Shape: identical to [[funnelSteps]] — pre-filter to step types, one
+   * groupBy(user), per-user time-sorted scan — but the scan runs a DP over
+   * (anchor, completion-time) PARETO FRONTIERS per prefix length: a chain
+   * is kept only if no other chain has a later-or-equal anchor AND an
+   * earlier-or-equal completion. Frontiers stay tiny (they only grow on
+   * timestamp ties); per-user work is O(events × steps × frontier).
+   *
+   * @return one row per user with a step-typed event:
+   *         (userCol, `steps_completed`).
+   */
+  def windowedFunnelSteps(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      windowMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowMicros > 0, s"windowMicros must be > 0, got $windowMicros")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = steps.size
+    events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).cast("long").as("_1"),
+        unix_micros(col(tsCol)).as("_2"), col(typeCol).as("_3"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (user, rows) =>
+        // frontier(j) = Pareto-minimal (anchor, done) pairs achieving
+        // prefix j+1: keep a pair unless another has anchor >= AND done <=
+        val frontier = Array.fill(k)(List.empty[(Long, Long)])
+        def insert(j: Int, anchor: Long, done: Long): Unit = {
+          if (!frontier(j).exists { case (a, d) => a >= anchor && d <= done })
+            frontier(j) = (anchor, done) ::
+              frontier(j).filterNot { case (a, d) => a <= anchor && d >= done }
+        }
+        rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, ts, t) =>
+          // descending prefix order: one event advances any chain at most
+          // once (matters when steps REPEAT a type, e.g. view,view,buy)
+          (k - 1 to 0 by -1).foreach { j =>
+            if (steps(j) == t) {
+              if (j == 0) insert(0, ts, ts)
+              else frontier(j - 1).foreach { case (anchor, done) =>
+                if (ts > done && ts - anchor <= windowMicros) insert(j, anchor, ts)
+              }
+            }
+          }
+        }
+        val completed = (k - 1 to 0 by -1).find(frontier(_).nonEmpty).map(_ + 1).getOrElse(0)
+        (user, completed)
+      }
+      .toDF(userCol, "steps_completed")
+  }
+
   /** The conversion table over [[funnelSteps]]: users reaching AT LEAST each
     * step (step 0 = everyone with a step-typed event). Tiny output
     * (|steps|+1 rows); the cumulative sum runs over that bounded frame. */

@@ -272,6 +272,14 @@ object RelationalQueries {
       graft.operators.EventAnalytics.retentionCohorts(Tables.events(s, d),
         "user_id", "ts")),
 
+    // --- windowed funnel (6-hour conversion window), EXACT re-anchoring
+    // semantics: a chain may start at ANY view, not just the earliest —
+    // the oracle states the exists-a-chain definition literally ---
+    "q_funnel_windowed" -> ((s, d) =>
+      graft.operators.EventAnalytics.windowedFunnelSteps(Tables.events(s, d),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+        windowMicros = 6L * 3600 * 1000000)),
+
     // --- batch event-time tumbling window over events ---
     "q_event_windows" -> ((s, d) =>
       Tables.events(s, d)
@@ -1192,6 +1200,33 @@ object RelationalQueries {
         |FROM u LEFT JOIN s1 USING (user_id)
         |       LEFT JOIN s2 USING (user_id)
         |       LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // the exists-a-chain definition, literally: per prefix length, does a
+    // strictly-increasing chain exist whose span fits the 6h window
+    "q_funnel_windowed" ->
+      """WITH v AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts
+        |      FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type IN ('view', 'click', 'purchase'))
+        |SELECT u.user_id,
+        |  CAST(CASE
+        |    WHEN EXISTS (SELECT 1 FROM v
+        |                 JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        |                       AND c.ts - v.ts <= 21600000000
+        |                 JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+        |                       AND p.ts - v.ts <= 21600000000
+        |                 WHERE v.user_id = u.user_id) THEN 3
+        |    WHEN EXISTS (SELECT 1 FROM v
+        |                 JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        |                       AND c.ts - v.ts <= 21600000000
+        |                 WHERE v.user_id = u.user_id) THEN 2
+        |    WHEN EXISTS (SELECT 1 FROM v WHERE v.user_id = u.user_id) THEN 1
+        |    ELSE 0 END AS INT) AS steps_completed
+        |FROM u""".stripMargin,
 
     "q_retention" ->
       """WITH fw AS (

@@ -44,6 +44,60 @@ class EventAnalyticsSpec extends AnyFlatSpec with Matchers {
       .as[(Long, Int)].collect().toMap shouldBe Map(1L -> 1)
   }
 
+  "windowedFunnelSteps" should "prefer a later anchor when the earliest expires" in {
+    // earliest view at minute 0 expires (window 5 min) before the purchase;
+    // the view at minute 10 anchors a complete chain — greedy-from-earliest
+    // would report 2, the exists-a-chain semantics report 3
+    val events = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(2)),
+      (1L, "view", ts(10)), (1L, "click", ts(12)), (1L, "buy", ts(14))
+    ).toDF("user_id", "event_type", "ts")
+    EventAnalytics.windowedFunnelSteps(events, "user_id", "event_type", "ts",
+        steps, windowMicros = 5L * 60 * 1000000)
+      .as[(Long, Int)].collect().toMap shouldBe Map(1L -> 3)
+    // and with a window too small for ANY full chain, it degrades exactly
+    EventAnalytics.windowedFunnelSteps(events, "user_id", "event_type", "ts",
+        steps, windowMicros = 3L * 60 * 1000000)
+      .as[(Long, Int)].collect().toMap shouldBe Map(1L -> 2)
+  }
+
+  it should "match brute-force chain enumeration on random tie-heavy event sets" in {
+    val rnd = new scala.util.Random(42)
+    val windowMicros = 5L * 1000000 // 5 seconds
+    // 30 independent trials as 30 users in ONE frame; second-granularity
+    // timestamps over a small range force collisions, exercising the
+    // Pareto-frontier tie handling
+    val trials = (1 to 30).map { trial =>
+      val n = 2 + rnd.nextInt(12)
+      trial.toLong -> (0 until n).map { _ =>
+        (rnd.nextInt(20).toLong, steps(rnd.nextInt(3)))
+      }
+    }.toMap
+    def brute(evs: Seq[(Long, String)]): Int =
+      (steps.size to 1 by -1).find { j =>
+        def go(level: Int, minTsExcl: Long, anchor: Long): Boolean =
+          level == j || evs.exists { case (ts, t) =>
+            t == steps(level) && ts > minTsExcl &&
+              (level == 0 || (ts - anchor) * 1000000 <= windowMicros) &&
+              go(level + 1, ts, if (level == 0) ts else anchor)
+          }
+        go(0, Long.MinValue, 0L)
+      }.getOrElse(0)
+    val df = trials.toSeq.flatMap { case (u, evs) =>
+      evs.map { case (sec, t) =>
+        (u, t, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)))
+      }
+    }.toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.windowedFunnelSteps(
+        df, "user_id", "event_type", "ts", steps, windowMicros)
+      .as[(Long, Int)].collect().toMap
+    trials.foreach { case (u, evs) =>
+      withClue(s"trial $u (${evs.sorted.mkString(", ")}): ") {
+        got.getOrElse(u, 0) shouldBe brute(evs)
+      }
+    }
+  }
+
   "funnelConversion" should "produce the cumulative at-least table" in {
     val events = Seq(
       (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "buy", ts(3)),
