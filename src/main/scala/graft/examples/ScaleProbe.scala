@@ -130,6 +130,14 @@ object ScaleProbe {
           ev, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
           .agg(sum(col("steps_completed"))).collect(); ()
       }),
+      "funnel_windowed" -> (dir => {
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", col("ts").cast("timestamp"))
+        graft.operators.EventAnalytics.windowedFunnelSteps(
+          ev, "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+          windowMicros = 6L * 3600 * 1000000)
+          .agg(sum(col("steps_completed"))).collect(); ()
+      }),
       "retention" -> (dir => {
         val ev = spark.read.parquet(s"$dir/events.parquet")
           .withColumn("ts", col("ts").cast("timestamp"))
