@@ -272,6 +272,12 @@ object RelationalQueries {
       graft.operators.EventAnalytics.retentionCohorts(Tables.events(s, d),
         "user_id", "ts")),
 
+    // --- funnel conversion table: users reaching AT LEAST each step; the
+    // cumulative window runs over <= |steps|+1 rows ---
+    "q_funnel_conversion" -> ((s, d) =>
+      graft.operators.EventAnalytics.funnelConversion(Tables.events(s, d),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
+
     // --- windowed funnel (6-hour conversion window), EXACT re-anchoring
     // semantics: a chain may start at ANY view, not just the earliest —
     // the oracle states the exists-a-chain definition literally ---
@@ -1200,6 +1206,37 @@ object RelationalQueries {
         |FROM u LEFT JOIN s1 USING (user_id)
         |       LEFT JOIN s2 USING (user_id)
         |       LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    // the per-user funnel CTE (same nested strict mins), aggregated to the
+    // at-least table: n_users_at_least(step) = users with steps >= step
+    "q_funnel_conversion" ->
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type IN ('view', 'click', 'purchase')),
+        |per AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN s3.t IS NOT NULL THEN 3
+        |         WHEN s2.t IS NOT NULL THEN 2
+        |         WHEN s1.t IS NOT NULL THEN 1 ELSE 0 END AS sc
+        |  FROM u LEFT JOIN s1 USING (user_id)
+        |         LEFT JOIN s2 USING (user_id)
+        |         LEFT JOIN s3 USING (user_id)),
+        |per_step AS (SELECT sc, COUNT(*) AS n FROM per GROUP BY sc)
+        |SELECT CAST(sc AS INT) AS step,
+        |  CAST(SUM(n) OVER (ORDER BY sc DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_users_at_least
+        |FROM per_step""".stripMargin,
 
     // the exists-a-chain definition, literally: per prefix length, does a
     // strictly-increasing chain exist whose span fits the 6h window

@@ -79,6 +79,30 @@ class StreamingCorpusOpsSpec extends AnyFlatSpec with Matchers {
     out(11L) should be > out(10L) // noise scores worse under the reference LM
   }
 
+  "bigram lmPerplexity scoring" should "stream per-document with a pre-trained model" in {
+    // same offline-train/online-score shape as the unigram law; the bigram
+    // units come from the native WordShingles kernel, still stateless per doc
+    val ref = Seq(Doc(1L, "good clean text here"), Doc(2L, "good clean words here"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.QualityModels.lmCostTable(ref, "text",
+      org.apache.spark.sql.functions.lit(true), ngram = 2)
+
+    val source = MemoryStream[Doc](spark)
+    val scored = graft.operators.QualityModels.lmPerplexity(
+      source.toDF(), "doc_id", "text", model, ngram = 2)
+    val q = scored.writeStream.format("memory").queryName("stream_lm2")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+
+    source.addData(Doc(10L, "good clean text here"), Doc(11L, "here text clean good"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("stream_lm2")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    // the scramble shares the bag of words but none of the transitions
+    out(11L) should be > out(10L)
+  }
+
   "urlHost/urlDomain" should "run unchanged over a stream (pure projection)" in {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
