@@ -105,6 +105,21 @@ class CorpusPropSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "sampleN" should "match a brute-force md5-order model on random corpora" in {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ids = sampled(Gen.listOfN(120, Gen.choose(0L, 5000L)), seed = 29L).distinct
+    val n = 25
+    val seed = "prop-sample"
+    val expected = ids.sortBy(id => (md5hex(s"$seed:$id"), id)).take(n).toSet
+    val got = CorpusTools.sampleN(
+        ids.map(Tuple1(_)).toDF("doc_id"), "doc_id", n, seed)
+      .as[Long].collect().toSet
+    got shouldBe expected
+  }
+
   "capPerGroup" should "match a brute-force md5-order model on random corpora" in {
     import java.security.MessageDigest
     val genRow = for {
