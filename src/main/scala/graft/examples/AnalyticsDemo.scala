@@ -1,0 +1,74 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-command drive surface for the round-9 analytics + fingerprint
+  * operators, in the MaintenanceDemo style: greppable NAME=value lines.
+  *
+  *   tools/run.sh graft.examples.AnalyticsDemo [sfDir]
+  */
+object AnalyticsDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Tables.prepare(spark)
+    import spark.implicits._
+
+    val events = graft.Tables.events(spark, sfDir)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val steps = Seq("view", "click", "purchase")
+
+    val funnel = graft.operators.EventAnalytics
+      .funnelSteps(events, "user_id", "event_type", "ts", steps)
+      .groupBy("steps_completed").count()
+      .as[(Int, Long)].collect().sortBy(_._1)
+    println(s"FUNNEL_DIST=${funnel.map { case (s, n) => s"$s:$n" }.mkString(",")}")
+
+    val windowed = graft.operators.EventAnalytics
+      .windowedFunnelSteps(events, "user_id", "event_type", "ts", steps,
+        windowMicros = 6L * 3600 * 1000000)
+      .groupBy("steps_completed").count()
+      .as[(Int, Long)].collect().sortBy(_._1)
+    println(s"FUNNEL_WINDOWED_DIST=${windowed.map { case (s, n) => s"$s:$n" }.mkString(",")}")
+
+    val conv = graft.operators.EventAnalytics
+      .funnelConversion(events, "user_id", "event_type", "ts", steps)
+      .as[(Int, Long)].collect().sortBy(_._1)
+    println(s"FUNNEL_CONVERSION=${conv.map { case (s, n) => s"$s:$n" }.mkString(",")}")
+
+    val ret = graft.operators.EventAnalytics.retentionCohorts(events, "user_id", "ts")
+    println(s"RETENTION_CELLS=${ret.count()}")
+    println(s"RETENTION_W0_USERS=${ret.filter(col("week_offset") === 0)
+      .agg(sum("n_users")).as[Long].head()}")
+
+    val vecs = docs.select(col("doc_id").as("vec_id"),
+      graft.functions.VectorExpressions.hashingTf(col("text"), 64).as("embedding"))
+    val knn = graft.operators.Similarity
+      .bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 5)
+      .select("neighbor_id").as[Long].collect()
+    println(s"TEXT_KNN_TOP5=${knn.mkString(",")}")
+
+    val images = docs.select(col("doc_id")).as[Long].filter(_ % 3 == 0)
+      .map(id => graft.operators.MediaRecord(
+        id, "image", graft.operators.Multimodal.syntheticGradientBmp(id), "demo"))
+    val hashes = graft.operators.Multimodal.imageAHashes(images)
+    println(s"IMAGE_AHASH_DISTINCT=${hashes.select("ahash").distinct().count()}")
+    println(s"IMAGE_NEARDUP_PAIRS=${graft.operators.Multimodal
+      .imageNearDupPairs(images, maxHamming = 3).count()}")
+
+    val tracks = docs.select(col("doc_id")).as[Long].filter(_ % 3 == 1)
+      .map(id => graft.operators.MediaRecord(
+        id, "audio", graft.operators.Multimodal.syntheticModulatedWav(id), "demo"))
+    println(s"AUDIO_SIG_DISTINCT=${graft.operators.Multimodal
+      .audioSignatures(tracks).select("asig").distinct().count()}")
+
+    spark.stop()
+  }
+}
