@@ -210,10 +210,16 @@ object Bench {
     // Compact summary as the LAST stdout line: the driver's tail capture
     // truncates the ~100-entry per-query map mid-stream (BENCH_r05 parsed:
     // null), so the headline numbers ride a second line short enough that no
-    // tail window can cut it.
+    // tail window can cut it. "slowest" carries the top-15 per-query times
+    // (ms, descending) so round-over-round per-query comparison works from
+    // the driver artifact alone — the full map's survival is tail-luck.
+    val slowest = results.filter(_._3).sortBy(-_._2).take(15)
+      .map { case (k, v, _) => s""""$k":${math.round(v * 1000)}""" }
+      .mkString("{", ",", "}")
     println(f"""{"total_s":$total%.3f,"n":${results.size},"n_failed":${failed.size},""" +
       f""""steal_pct":$stealPct%.4f,"steal_retried":$retried,$calibJson,""" +
       s""""attempt_totals":${attemptTotals.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
+      s""""slowest_ms":$slowest,""" +
       s""""fixtures":$fixturesJson}""")
     spark.stop()
     // a failed query must read as a failure, not a timing improvement

@@ -123,24 +123,25 @@ object ScaleProbe {
       }),
       "funnel" -> (dir => {
         // events replicate with user offsets: per-user structure identical,
-        // x10/x100 users — funnel cost must track the step-typed slice
-        val ev = spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", col("ts").cast("timestamp"))
+        // x10/x100 users — funnel cost must track the step-typed slice.
+        // Tables.events (not a bare cast): the testdata layout stores ts as
+        // TIMESTAMP(NANOS) → LongType under nanosAsLong, and long→timestamp
+        // CAST means SECONDS — the dispatch there is the only correct read,
+        // for both the base dir and the replicas (which copy ts verbatim)
+        val ev = graft.Tables.events(spark, dir)
         graft.operators.EventAnalytics.funnelSteps(
           ev, "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
           .agg(sum(col("steps_completed"))).collect(); ()
       }),
       "funnel_windowed" -> (dir => {
-        val ev = spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", col("ts").cast("timestamp"))
+        val ev = graft.Tables.events(spark, dir)
         graft.operators.EventAnalytics.windowedFunnelSteps(
           ev, "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
           windowMicros = 6L * 3600 * 1000000)
           .agg(sum(col("steps_completed"))).collect(); ()
       }),
       "retention" -> (dir => {
-        val ev = spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", col("ts").cast("timestamp"))
+        val ev = graft.Tables.events(spark, dir)
         graft.operators.EventAnalytics.retentionCohorts(ev, "user_id", "ts")
           .agg(sum(col("n_users"))).collect(); ()
       }),
@@ -160,6 +161,40 @@ object ScaleProbe {
         val terms = if (dir == baseDir) Seq("hash", "join", "dup")
                     else Seq("hash_r0", "join_r0", "dup_r0")
         TextIndex.search(engine, table, terms, k = 50).count(); ()
+      }),
+      // --- multimodal: the "batched codec boundary" claim, measured. Each
+      // arm synthesizes its media INSIDE the timed run (the per-row
+      // encode is part of the boundary cost a real pipeline pays to stage
+      // binary payloads) and then runs the real JDK decode + fingerprint.
+      "image_ahash" -> (dir => {
+        import spark.implicits._
+        val media = docs(dir).select(col("doc_id")).as[Long].filter(_ % 3 == 0)
+          .map(id => graft.operators.MediaRecord(
+            id, "image", graft.operators.Multimodal.syntheticGradientBmp(id), "synthetic"))
+        // bit_count before sum: raw 64-bit hashes overflow a long sum (ANSI)
+        graft.operators.Multimodal.imageAHashes(media)
+          .agg(sum(bit_count(col("ahash")))).collect(); ()
+      }),
+      "audio_signature" -> (dir => {
+        import spark.implicits._
+        val media = docs(dir).select(col("doc_id")).as[Long].filter(_ % 3 == 1)
+          .map(id => graft.operators.MediaRecord(
+            id, "audio", graft.operators.Multimodal.syntheticModulatedWav(id), "synthetic"))
+        graft.operators.Multimodal.audioSignatures(media)
+          .agg(sum(bit_count(col("asig")))).collect(); ()
+      }),
+      "image_near_dup" -> (dir => {
+        // NOT the gate's gradient images: those collide corpus-wide by
+        // construction (6 hash classes), so their pair OUTPUT is quadratic
+        // and any engine would measure quadratic. This arm's 8x8 pattern
+        // images pin the near-dup CLASS SIZE at 4 (three single-bit
+        // variants around each group pattern), so true pairs grow linearly
+        // and the probe measures the chunk-join engine, not the answer size.
+        import spark.implicits._
+        val media = docs(dir).select(col("doc_id")).as[Long].filter(_ % 3 == 0)
+          .map(id => graft.operators.MediaRecord(
+            id, "image", patternBmp(id), "synthetic"))
+        graft.operators.Multimodal.imageNearDupPairs(media).count(); ()
       }))
 
     val selected = args.lift(3) match {
@@ -199,6 +234,37 @@ object ScaleProbe {
       println(f"SCALE_SLOPE $name%-20s $b%8.2f $x%8.2f ${x / b}%6.1f")
     }
     spark.stop()
+  }
+
+  /** 8x8 bit-pattern BMP whose aHash IS the pattern: pixel (x,y) is 200
+    * when pattern bit `8y+x` is set, else 0. An 8x8 input makes every aHash
+    * cell a single pixel, and the mean (200·p/64 for p set bits) sits
+    * strictly between the two levels whenever 0 < p < 64 (probability
+    * 1 - 2^-63 for the splitmix64 draw), so aHash(img) == pattern exactly.
+    * Ids in a group of 4 (id >> 2) share a base pattern; variants 1..3 each
+    * flip one distinct bit, so within-group Hamming ≤ 2 and cross-group
+    * hashes are independent draws — near-dup classes of EXACTLY 4 at any
+    * corpus size, which keeps the true pair count linear in rows. */
+  private def patternBmp(id: Long): Array[Byte] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val base = mix(id >> 2)
+    val v = (id & 3L).toInt
+    val pattern = if (v == 0) base else base ^ (1L << ((v * 19) % 64))
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var i = 0
+    while (i < 64) {
+      val g = if ((pattern >>> i & 1L) == 1L) 200 else 0
+      img.setRGB(i % 8, i / 8, (g << 16) | (g << 8) | g)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
   }
 
   private def generateIfMissing(

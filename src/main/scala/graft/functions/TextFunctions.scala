@@ -184,7 +184,18 @@ object TextFunctions {
     * high-frequency core of the Public Suffix List): `example.co.uk` must
     * group as `example.co.uk`, not `co.uk`. A full PSL is a data file, not
     * an engine primitive; this deterministic approximation covers the
-    * dominant patterns and is documented as such. */
+    * dominant patterns and is documented as such.
+    *
+    * Known misgrouping classes, pinned in TextFunctionsSpec so the boundary
+    * is a tested contract, not prose:
+    *  - PRIVATE-REGISTRY suffixes (`user.github.io`, `blog.blogspot.com`):
+    *    the PSL treats each user site as its own registrable domain; this
+    *    heuristic merges them all under `github.io`/`blogspot.com`, so a
+    *    per-domain cap treats the whole registry as ONE domain
+    *    (under-representing its sites).
+    *  - ccSLDs OUTSIDE the seven-label core (`x.ne.jp`, `y.or.kr`): the PSL
+    *    makes `x.ne.jp` registrable; this heuristic groups every `*.ne.jp`
+    *    host together — same over-merge direction as above. */
   val CcSecondLevels: Seq[String] = Seq("co", "com", "net", "org", "ac", "gov", "edu")
 
   /** Registered domain (eTLD+1) of a host, per the [[CcSecondLevels]]

@@ -148,7 +148,13 @@ object CorpusTools {
       seed: String = "graft-cap"): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__gn"))
-    val joined = df.join(counts, Seq(groupCol))
+    // null-SAFE join key: groupBy and Window.partitionBy both treat NULL as
+    // one ordinary group, so the count join must too — a plain equi-join
+    // would silently drop every null-group row, breaking the pinned
+    // row_number-formulation equivalence exactly on them. <=> is still an
+    // equi-join key (one shuffle on groupCol, AQE-splittable), not a BNLJ.
+    val joined = df.join(counts.withColumnRenamed(groupCol, "__cg"),
+      col(groupCol) <=> col("__cg")).drop("__cg")
     val sortKey = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
     val w = Window.partitionBy(col(groupCol)).orderBy(sortKey, col(idCol))
     val capped = joined.filter(col("__gn") > cap)

@@ -69,11 +69,16 @@ object EventAnalytics {
    * literally and a property spec checks against brute-force enumeration.
    *
    * Shape: identical to [[funnelSteps]] — pre-filter to step types, one
-   * groupBy(user), per-user time-sorted scan — but the scan runs a DP over
-   * (anchor, completion-time) PARETO FRONTIERS per prefix length: a chain
-   * is kept only if no other chain has a later-or-equal anchor AND an
-   * earlier-or-equal completion. Frontiers stay tiny (they only grow on
-   * timestamp ties); per-user work is O(events × steps × frontier).
+   * groupBy(user), per-user time-sorted scan. The scan is
+   * [[WindowedFunnelDp]] — a Pareto-frontier DP with expired-anchor
+   * pruning, so per-user work is O(events × steps × windowOccupancy) where
+   * windowOccupancy is the user's step-typed events inside ONE conversion
+   * window — NOT the user's whole history. The user key is grouped on its
+   * NATIVE column type (string / UUID / long user ids all work); the DP
+   * runs as a scala UDF over the collected per-user sequence because no
+   * built-in expresses a multi-frontier DP, and the HOF-`aggregate`
+   * encoding of state this shape was measured ~8× slower interpreted
+   * (the q_lm_bigram precedent).
    *
    * @return one row per user with a step-typed event:
    *         (userCol, `steps_completed`).
@@ -87,40 +92,22 @@ object EventAnalytics {
       windowMicros: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(windowMicros > 0, s"windowMicros must be > 0, got $windowMicros")
-    val spark = events.sparkSession
-    import spark.implicits._
+    val stepsIdx = steps.toIndexedSeq
     val k = steps.size
+    val dp = udf { (seq: Seq[(Long, String)]) =>
+      val st = new WindowedFunnelDp.State(k)
+      seq.foreach { case (ts, t) =>
+        WindowedFunnelDp.observe(st, stepsIdx, windowMicros, ts, t)
+      }
+      st.achieved
+    }
     events
       .filter(col(typeCol).isin(steps: _*))
-      .select(col(userCol).cast("long").as("_1"),
-        unix_micros(col(tsCol)).as("_2"), col(typeCol).as("_3"))
-      .as[(Long, Long, String)]
-      .groupByKey(_._1)
-      .mapGroups { (user, rows) =>
-        // frontier(j) = Pareto-minimal (anchor, done) pairs achieving
-        // prefix j+1: keep a pair unless another has anchor >= AND done <=
-        val frontier = Array.fill(k)(List.empty[(Long, Long)])
-        def insert(j: Int, anchor: Long, done: Long): Unit = {
-          if (!frontier(j).exists { case (a, d) => a >= anchor && d <= done })
-            frontier(j) = (anchor, done) ::
-              frontier(j).filterNot { case (a, d) => a <= anchor && d >= done }
-        }
-        rows.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, ts, t) =>
-          // descending prefix order: one event advances any chain at most
-          // once (matters when steps REPEAT a type, e.g. view,view,buy)
-          (k - 1 to 0 by -1).foreach { j =>
-            if (steps(j) == t) {
-              if (j == 0) insert(0, ts, ts)
-              else frontier(j - 1).foreach { case (anchor, done) =>
-                if (ts > done && ts - anchor <= windowMicros) insert(j, anchor, ts)
-              }
-            }
-          }
-        }
-        val completed = (k - 1 to 0 by -1).find(frontier(_).nonEmpty).map(_ + 1).getOrElse(0)
-        (user, completed)
-      }
-      .toDF(userCol, "steps_completed")
+      .select(col(userCol),
+        struct(unix_micros(col(tsCol)).as("_1"), col(typeCol).as("_2")).as("__e"))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("__e"))).as("__seq"))
+      .select(col(userCol), dp(col("__seq")).as("steps_completed"))
   }
 
   /** The conversion table over [[funnelSteps]]: users reaching AT LEAST each
@@ -164,5 +151,77 @@ object EventAnalytics {
         col(userCol))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+}
+
+/**
+ * The conversion-window funnel DP shared by the batch operator
+ * ([[EventAnalytics.windowedFunnelSteps]]) and its streaming twin: a fold
+ * over one user's (ts, type)-ordered step events that maintains, per prefix
+ * length j, the PARETO FRONTIER of (anchor, done) pairs — a chain achieving
+ * prefix j+1 is kept only if no other chain has a later-or-equal anchor AND
+ * an earlier-or-equal completion.
+ *
+ * Bounding rule: before each event at `ts`, every entry whose
+ * `anchor + windowMicros < ts` is dropped — any future event has ts' ≥ ts,
+ * so such a chain can never extend again. A per-state `achieved` high-water
+ * mark keeps the answer exact through pruning (and lets complete chains at
+ * level k-1 be counted without ever being stored). Each frontier is
+ * therefore bounded by the user's step-typed events inside ONE conversion
+ * window — per-user work is O(events × steps × windowOccupancy), not
+ * O(events²) on hot users with long histories.
+ *
+ * Fold property: the result over a (ts, type)-sorted sequence equals the
+ * result of folding any ordered partition of it through a carried State —
+ * which is exactly what the streaming variant does across micro-batches.
+ */
+private[graft] object WindowedFunnelDp {
+
+  /** Mutable per-user DP state. `frontiers(j)` holds the Pareto-minimal
+    * (anchor, done) pairs for prefix j+1 (level k-1 is never stored — a
+    * complete chain cannot extend); `achieved` is the max prefix length
+    * ever completed. */
+  final class State(val k: Int) {
+    var achieved: Int = 0
+    val frontiers: Array[List[(Long, Long)]] = Array.fill(k)(Nil)
+  }
+
+  /** Advance `st` by one event. MUST be called in (ts, type)-ascending
+    * order within each fed batch for exactness; feeding a late (smaller-ts)
+    * event never over-counts — it can only anchor/extend chains whose later
+    * links are still to come. */
+  def observe(
+      st: State,
+      steps: IndexedSeq[String],
+      windowMicros: Long,
+      ts: Long,
+      t: String): Unit = {
+    val k = st.k
+    var p = 0
+    while (p < k) {
+      // expired-anchor pruning: anchor + window < ts can never extend
+      if (st.frontiers(p).exists(_._1 < ts - windowMicros))
+        st.frontiers(p) = st.frontiers(p).filter(_._1 >= ts - windowMicros)
+      p += 1
+    }
+    def insert(j: Int, anchor: Long, done: Long): Unit = {
+      if (st.achieved < j + 1) st.achieved = j + 1
+      if (j < k - 1 &&
+          !st.frontiers(j).exists { case (a, d) => a >= anchor && d <= done })
+        st.frontiers(j) = (anchor, done) ::
+          st.frontiers(j).filterNot { case (a, d) => a <= anchor && d >= done }
+    }
+    // descending prefix order: one event advances any chain at most once
+    // (matters when steps REPEAT a type, e.g. view,view,buy)
+    var j = k - 1
+    while (j >= 0) {
+      if (steps(j) == t) {
+        if (j == 0) insert(0, ts, ts)
+        else st.frontiers(j - 1).foreach { case (anchor, done) =>
+          if (ts > done && ts - anchor <= windowMicros) insert(j, anchor, ts)
+        }
+      }
+      j -= 1
+    }
   }
 }

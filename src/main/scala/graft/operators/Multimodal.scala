@@ -250,7 +250,8 @@ object Multimodal {
 
   /** Synthetic gradient geometry for the aHash oracle: pixel gray =
     * `ax*x + by*y + c0` with coefficients small enough that no pixel wraps
-    * past 255 (max 3*22 + 2*20 + 39 = 145), so the gray plane is LINEAR in
+    * past 255 (max 3*27 + 2*25 + 39 = 170 at the generator maxima w=28,
+    * h=26), so the gray plane is LINEAR in
     * (x, y) and an independent engine can compute every 8x8 cell sum in
     * closed form. Images sharing (ax, by) differ only by the constant c0,
     * which shifts cell sums and the global mean equally — their aHashes

@@ -9,10 +9,34 @@ final case class CapAdmission(id: Long, group: String)
 
 private[streaming] final case class CapCandidate(grp: String, id: Long, key: String)
 
-/** A user's funnel progress after a micro-batch advanced it. */
-final case class FunnelProgress(user_id: Long, steps_completed: Int)
+/** A user's funnel progress after a micro-batch advanced it. The user id is
+  * carried as its string form so any id type (long, string, UUID) streams
+  * through the same operator — the batch funnels group on the native type;
+  * here the state store needs one concrete key type. */
+final case class FunnelProgress(user_id: String, steps_completed: Int)
 
-private[streaming] final case class FunnelEvent(user_id: Long, ts_micros: Long, t: String)
+private[streaming] final case class FunnelEvent(user_id: String, ts_micros: Long, t: String)
+
+/** One Pareto-frontier entry of the windowed-funnel state: a chain reaching
+  * prefix `level`+1 anchored at `anchor` whose last step completed at
+  * `done` (micros). */
+private[streaming] final case class WfEntry(level: Int, anchor: Long, done: Long)
+
+/** Per-user windowed-funnel state: the achieved high-water mark plus the
+  * pruned Pareto frontiers — bounded by the step events inside ONE
+  * conversion window (see [[graft.operators.WindowedFunnelDp]]). */
+private[streaming] final case class WfState(achieved: Int, entries: Seq[WfEntry])
+
+/** A user's first-time activity in a retention week: emitted once per
+  * (user, week_offset); aggregate downstream for the cohort table. */
+final case class RetentionActivity(user_id: String, cohort_week: java.sql.Date, week_offset: Int)
+
+private[streaming] final case class RetentionEvent(user_id: String, week: java.sql.Date)
+
+/** Per-user retention state: the cohort week (epoch day of the user's
+  * first-seen week) plus a bitmap of week offsets already emitted —
+  * O(weeks/64) longs, no events retained. */
+private[streaming] final case class RetState(cohortEpochDay: Long, emitted: Seq[Long])
 
 /**
  * Streaming curation admissions — the online counterparts of the batch
@@ -106,13 +130,13 @@ object StreamingCuration {
     import spark.implicits._
     val typed = events
       .filter(col(typeCol).isin(steps: _*))
-      .select(col(userCol).cast("long").as("user_id"),
+      .select(col(userCol).cast("string").as("user_id"),
         unix_micros(col(tsCol)).as("ts_micros"),
         col(typeCol).as("t"))
       .as[FunnelEvent]
 
     def advance(
-        user: Long, rows: Iterator[FunnelEvent],
+        user: String, rows: Iterator[FunnelEvent],
         state: GroupState[(Int, Long)]): Iterator[FunnelProgress] = {
       var (step, last) = state.getOption.getOrElse((0, Long.MinValue))
       val before = step
@@ -130,5 +154,128 @@ object StreamingCuration {
 
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(advance)
+  }
+
+  /**
+   * Online windowed funnel — the streaming twin of
+   * [[graft.operators.EventAnalytics.windowedFunnelSteps]]: per-user state
+   * is the SAME pruned Pareto frontier the batch DP maintains (achieved
+   * high-water mark + (anchor, done) pairs per prefix), which
+   * [[graft.operators.WindowedFunnelDp]] bounds by the step events inside
+   * ONE conversion window — O(windowOccupancy × steps), never the user's
+   * history. The DP is a fold, so carrying its state across micro-batches
+   * IS the batch computation: under event-time-ordered delivery the stream
+   * equals the batch operator exactly (degeneracy law in
+   * StreamingCurationSpec).
+   *
+   * Late events (a smaller-ts event after a larger-ts one was folded) can
+   * only UNDER-count, never over-count: the late event still anchors or
+   * extends chains whose later links are yet to arrive, but cannot
+   * retro-link into already-folded ones. Every emitted value is therefore a
+   * real chain (a valid lower bound); replay the batch operator when late
+   * data matters. A row is emitted only when a user's achieved prefix
+   * ADVANCES (update semantics: keep the latest row per user).
+   */
+  def windowedFunnelStepsStream(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      windowMicros: Long): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowMicros > 0, s"windowMicros must be > 0, got $windowMicros")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepsIdx = steps.toIndexedSeq
+    val k = steps.size
+    val typed = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).cast("string").as("user_id"),
+        unix_micros(col(tsCol)).as("ts_micros"),
+        col(typeCol).as("t"))
+      .as[FunnelEvent]
+
+    def advance(
+        user: String, rows: Iterator[FunnelEvent],
+        state: GroupState[WfState]): Iterator[FunnelProgress] = {
+      val st = new graft.operators.WindowedFunnelDp.State(k)
+      state.getOption.foreach { s =>
+        st.achieved = s.achieved
+        s.entries.foreach(e =>
+          st.frontiers(e.level) = (e.anchor, e.done) :: st.frontiers(e.level))
+      }
+      val before = st.achieved
+      rows.toSeq.sortBy(e => (e.ts_micros, e.t)).foreach { e =>
+        graft.operators.WindowedFunnelDp.observe(st, stepsIdx, windowMicros, e.ts_micros, e.t)
+      }
+      val entries = st.frontiers.iterator.zipWithIndex.flatMap { case (f, j) =>
+        f.map { case (a, d) => WfEntry(j, a, d) }
+      }.toSeq
+      state.update(WfState(st.achieved, entries))
+      if (st.achieved != before) Iterator.single(FunnelProgress(user, st.achieved))
+      else Iterator.empty
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(advance)
+  }
+
+  /**
+   * Online retention cohorts — the streaming twin of
+   * [[graft.operators.EventAnalytics.retentionCohorts]]: per-user state is
+   * (cohort week = the user's first-seen week, bitmap of week offsets
+   * already emitted) — O(weeks/64) longs, no events retained. Each event's
+   * week is truncated UPSTREAM with the same `date_trunc("week", ts)` the
+   * batch operator uses, so the two can never disagree on week boundaries;
+   * the state transition emits one [[RetentionActivity]] row the FIRST time
+   * a (user, week_offset) pair is seen. `SELECT cohort_week, week_offset,
+   * count(DISTINCT user_id)` over the emitted rows — or a simple count,
+   * since emission is already first-time-only — reproduces the batch table
+   * (degeneracy law in StreamingCurationSpec).
+   *
+   * Cohort assignment is first-DELIVERED-week: exact whenever each user's
+   * first event is not delivered late (the common case); a user's late
+   * earlier-week event cannot retroactively move their cohort — replay the
+   * batch operator when that matters.
+   */
+  def retentionCohortsStream(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): Dataset[RetentionActivity] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col(userCol).cast("string").as("user_id"),
+        to_date(date_trunc("week", col(tsCol))).as("week"))
+      .as[RetentionEvent]
+
+    def advance(
+        user: String, rows: Iterator[RetentionEvent],
+        state: GroupState[RetState]): Iterator[RetentionActivity] = {
+      val weeks = rows.map(_.week.toLocalDate.toEpochDay).toSeq.sorted
+      val st = state.getOption.getOrElse(RetState(weeks.head, Seq.empty))
+      val cohort = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(st.cohortEpochDay))
+      val out = Seq.newBuilder[RetentionActivity]
+      var emitted = st.emitted.toArray
+      weeks.foreach { day =>
+        // floorDiv: a late pre-cohort week must go negative, not round to 0
+        val off = Math.floorDiv(day - st.cohortEpochDay, 7).toInt
+        if (off >= 0) { // a late pre-cohort week cannot move the cohort
+          val word = off >> 6
+          if (word >= emitted.length) emitted = emitted ++ Array.fill(word - emitted.length + 1)(0L)
+          val bit = 1L << (off & 63)
+          if ((emitted(word) & bit) == 0L) {
+            emitted(word) |= bit
+            out += RetentionActivity(user, cohort, off)
+          }
+        }
+      }
+      state.update(RetState(st.cohortEpochDay, emitted.toSeq))
+      out.result().iterator
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(advance)
   }
 }

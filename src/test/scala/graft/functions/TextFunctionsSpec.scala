@@ -169,6 +169,34 @@ class TextFunctionsSpec extends AnyFlatSpec with Matchers {
     one[String](registeredDomain($"t"), "localhost") shouldBe "localhost"
   }
 
+  it should "have the documented boundary: core ccSLDs group right, PSL-only suffixes over-merge" in {
+    // table-driven contract for the CcSecondLevels approximation: column 3
+    // is what a FULL Public Suffix List would produce — where they differ,
+    // the divergence is the documented over-merge, not an accident. At
+    // per-domain-cap time an over-merged registry shares ONE cap bucket.
+    val table = Seq(
+      // host                 heuristic (tested)      full-PSL (for the reader)
+      ("example.co.uk",       "example.co.uk",        "example.co.uk"),  // core ccSLD: right
+      ("www.example.com.au",  "example.com.au",       "example.com.au"), // core ccSLD: right
+      ("www.gov.uk",          "www.gov.uk",           "www.gov.uk"),     // gov core: right
+      ("shop.example.co.jp",  "example.co.jp",        "example.co.jp"),  // co.jp core: right
+      ("user.github.io",      "github.io",            "user.github.io"), // private registry: over-merged
+      ("blog.blogspot.com",   "blogspot.com",         "blog.blogspot.com"), // private registry: over-merged
+      ("x.ne.jp",             "ne.jp",                "x.ne.jp"),        // ccSLD outside the core: over-merged
+      ("y.or.kr",             "or.kr",                "y.or.kr"))        // ccSLD outside the core: over-merged
+    table.foreach { case (host, expected, _) =>
+      withClue(s"host $host: ") {
+        one[String](registeredDomain($"t"), host) shouldBe expected
+      }
+    }
+    // the over-merge direction is always COARSER, never finer: the heuristic
+    // result is a suffix of what the PSL would return, so a per-domain cap
+    // under-represents, it never double-counts
+    table.foreach { case (host, heuristic, psl) =>
+      psl should endWith(heuristic)
+    }
+  }
+
   "urlDomain" should "compose host extraction and domain grouping" in {
     one[String](urlDomain($"t"), "https://u@News.BBC.co.uk:443/story") shouldBe "bbc.co.uk"
     one[String](urlDomain($"t"), "nonsense") shouldBe ""

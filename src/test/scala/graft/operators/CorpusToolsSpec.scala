@@ -594,6 +594,25 @@ class CorpusToolsSpec extends AnyFlatSpec with Matchers {
     out.toSet shouldBe plain
   }
 
+  it should "treat NULL group values as one ordinary capped group" in {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, md5, row_number}
+    // 8 null-group rows (over a cap of 3) among named groups: groupBy and
+    // Window.partitionBy both treat NULL as a group, so the split path's
+    // count join must be null-safe — a plain equi-join would DROP them
+    val docs = (0L until 20L).map(i =>
+      (i, if (i < 8) null else s"g${i % 2}")).toDF("doc_id", "grp")
+    val out = CorpusTools.capPerGroup(docs, "grp", "doc_id", cap = 3, seed = "s")
+      .select("grp", "doc_id").as[(String, Long)].collect()
+    out.count(_._1 == null) shouldBe 3
+    // and the pinned window-formulation equivalence holds WITH nulls present
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+      .orderBy(md5(concat_ws(":", lit("s"), col("doc_id").cast("string"))), col("doc_id"))
+    val plain = docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("grp", "doc_id")
+      .as[(String, Long)].collect().toSet
+    out.toSet shouldBe plain
+  }
+
   it should "be deterministic and invariant under repartitioning" in {
     val docs = (0L until 100L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "grp")
     val base = CorpusTools.capPerGroup(docs, "grp", "doc_id", cap = 7)

@@ -98,6 +98,45 @@ class EventAnalyticsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "accept string user ids on their native type" in {
+    // real event streams key on UUIDs/strings; the operator must group on
+    // the native column type, not force a numeric cast (ANSI mode would
+    // throw; non-ANSI would null-collapse every user into one group)
+    val events = Seq(
+      ("u-alpha", "view", ts(0)), ("u-alpha", "click", ts(2)),
+      ("u-alpha", "view", ts(10)), ("u-alpha", "click", ts(12)), ("u-alpha", "buy", ts(14)),
+      ("2f1c9e7a-uuid-ish", "view", ts(1)), ("2f1c9e7a-uuid-ish", "buy", ts(2))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.windowedFunnelSteps(events, "user_id", "event_type", "ts",
+        steps, windowMicros = 5L * 60 * 1000000)
+      .as[(String, Int)].collect().toMap
+    got shouldBe Map("u-alpha" -> 3, "2f1c9e7a-uuid-ish" -> 1)
+    // the output column keeps the input's type
+    EventAnalytics.windowedFunnelSteps(events, "user_id", "event_type", "ts",
+      steps, windowMicros = 1000000).schema("user_id").dataType shouldBe
+      org.apache.spark.sql.types.StringType
+  }
+
+  it should "keep frontiers bounded by one window's occupancy on adversarial alternating streams" in {
+    // the ADVICE-flagged shape: alternating view/click with strictly
+    // increasing (anchor, done) pairs is Pareto-incomparable, so an
+    // unpruned frontier grows linearly with history. With expired-anchor
+    // pruning it is bounded by the events inside ONE conversion window.
+    val windowMicros = 1000L
+    val spacing = windowMicros / 4 // 4-5 events ever inside a window
+    val st = new WindowedFunnelDp.State(3)
+    var maxFrontier = 0
+    (0 until 400).foreach { i =>
+      val t = if (i % 2 == 0) "view" else "click"
+      WindowedFunnelDp.observe(st, steps.toIndexedSeq, windowMicros, i * spacing, t)
+      maxFrontier = math.max(maxFrontier, st.frontiers.map(_.size).max)
+    }
+    maxFrontier should be <= 6 // window occupancy (~5) + the just-inserted entry
+    // pruning never cost an answer: a full chain fits inside one window
+    WindowedFunnelDp.observe(st, steps.toIndexedSeq, windowMicros, 400L * spacing + 1, "buy")
+    st.achieved shouldBe 3
+  }
+
   "funnelConversion" should "produce the cumulative at-least table" in {
     val events = Seq(
       (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "buy", ts(3)),

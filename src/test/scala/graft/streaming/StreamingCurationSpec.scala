@@ -72,18 +72,126 @@ class StreamingCurationSpec extends AnyFlatSpec with Matchers {
     q.processAllAvailable()
     q.stop()
 
-    // latest row per user (update semantics)
-    val latest = spark.table("stream_funnel").as[(Long, Int)].collect()
+    // latest row per user (update semantics); the stream keys on the id's
+    // string form so any id type flows through — compare on that form
+    val latest = spark.table("stream_funnel").as[(String, Int)].collect()
       .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).max }
     val batch = graft.operators.EventAnalytics.funnelSteps(
         all.toDF(), "user_id", "event_type", "ts", steps)
-      .as[(Long, Int)].collect().toMap
+      .as[(Long, Int)].collect().map { case (u, n) => u.toString -> n }.toMap
     latest shouldBe batch
     // and user 1's progress was emitted incrementally: step 2 in batch 1
     // (view+click arrived), step 3 after the buy in batch 2
-    val u1 = spark.table("stream_funnel").as[(Long, Int)].collect()
-      .filter(_._1 == 1L).map(_._2).sorted
+    val u1 = spark.table("stream_funnel").as[(String, Int)].collect()
+      .filter(_._1 == "1").map(_._2).sorted
     u1 shouldBe Array(2, 3)
+  }
+
+  "windowedFunnelStepsStream" should "equal the batch windowed funnel under ordered delivery" in {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+    val steps = Seq("view", "click", "buy")
+    val w5min = 5L * 60 * 1000000
+    val all = Seq(
+      // user 1: the re-anchoring shape — the first view expires, the later
+      // one completes; the expiry happens ACROSS the micro-batch split
+      CurEv(1, "view", t(0)), CurEv(1, "click", t(2)),
+      CurEv(1, "view", t(10)), CurEv(1, "click", t(12)), CurEv(1, "buy", t(14)),
+      // user 2: chain spans the batch split and stays inside the window
+      CurEv(2, "view", t(20)), CurEv(2, "click", t(21)), CurEv(2, "buy", t(23)),
+      // user 3: full sequence but too slow for the window — stalls at 2
+      CurEv(3, "view", t(0)), CurEv(3, "click", t(2)), CurEv(3, "buy", t(30)))
+
+    val source = MemoryStream[CurEv](spark)
+    val q = StreamingCuration.windowedFunnelStepsStream(
+        source.toDF(), "user_id", "event_type", "ts", steps, w5min)
+      .writeStream.format("memory").queryName("stream_wfunnel")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    // ordered delivery split mid-funnel: user 1's second view and user 2's
+    // click/buy land in batch 2, so their frontiers must survive in state
+    val (b1, b2) = all.sortBy(_.ts.getTime).splitAt(5)
+    source.addData(b1: _*); q.processAllAvailable()
+    source.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val latest = spark.table("stream_wfunnel").as[(String, Int)].collect()
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).max }
+    val batch = graft.operators.EventAnalytics.windowedFunnelSteps(
+        all.toDF(), "user_id", "event_type", "ts", steps, w5min)
+      .as[(Long, Int)].collect().map { case (u, n) => u.toString -> n }.toMap
+    latest shouldBe batch
+    latest shouldBe Map("1" -> 3, "2" -> 3, "3" -> 2)
+  }
+
+  it should "only under-count on late delivery, never over-count" in {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+    val steps = Seq("view", "click", "buy")
+    val w5min = 5L * 60 * 1000000
+    // the view is delivered AFTER the click/buy it should precede: the
+    // stream cannot retro-link the already-folded click(1)/buy(3) onto
+    // view(0), so it under-counts (a valid lower bound) — it must NOT
+    // fabricate the chain
+    val early = Seq(CurEv(1, "click", t(1)), CurEv(1, "buy", t(3)))
+    val late = Seq(CurEv(1, "view", t(0)))
+
+    val source = MemoryStream[CurEv](spark)
+    val q = StreamingCuration.windowedFunnelStepsStream(
+        source.toDF(), "user_id", "event_type", "ts", steps, w5min)
+      .writeStream.format("memory").queryName("stream_wfunnel_late")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    source.addData(early: _*); q.processAllAvailable()
+    source.addData(late: _*); q.processAllAvailable()
+
+    def emittedMax() = spark.table("stream_wfunnel_late")
+      .as[(String, Int)].collect().map(_._2).maxOption.getOrElse(0)
+    val batchOverDelivered = graft.operators.EventAnalytics.windowedFunnelSteps(
+        (early ++ late).toDF(), "user_id", "event_type", "ts", steps, w5min)
+      .as[(Long, Int)].collect().head._2
+    batchOverDelivered shouldBe 3 // the retro-linked chain view(0)→click(1)→buy(3)
+    emittedMax() shouldBe 1       // the stream saw only the late view anchor: under-count
+
+    // the late view DID enter the carried frontier: a genuinely-ordered
+    // suffix extends it into a REAL chain view(0)→click(2)→buy(4)
+    source.addData(CurEv(1, "click", t(2)), CurEv(1, "buy", t(4)))
+    q.processAllAvailable()
+    q.stop()
+    emittedMax() shouldBe 3
+  }
+
+  "retentionCohortsStream" should "reproduce the batch cohort table over ordered batches" in {
+    import java.sql.Timestamp
+    def week(w: Int, dow: Int) = Timestamp.valueOf(f"2024-01-${1 + w * 7 + dow}%02d 12:00:00")
+    val all = Seq(
+      (1L, week(0, 0)), (1L, week(0, 3)), (1L, week(2, 1)), // cohort w0, active 0 and 2
+      (2L, week(0, 5)),                                     // cohort w0, active 0
+      (3L, week(1, 0)), (3L, week(2, 2)))                   // cohort w1, offsets 0 and 1
+    val source = MemoryStream[(Long, Timestamp)](spark)
+    val q = StreamingCuration.retentionCohortsStream(
+        source.toDF().toDF("user_id", "ts"), "user_id", "ts")
+      .writeStream.format("memory").queryName("stream_retention")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // ordered delivery, split so user 1 and 3 span batches
+    val sorted = all.sortBy(_._2.getTime)
+    val (b1, b2) = sorted.splitAt(3)
+    source.addData(b1: _*); q.processAllAvailable()
+    source.addData(b2: _*); q.processAllAvailable()
+    // redelivery of an already-emitted week must NOT re-emit (bitmap law)
+    source.addData(sorted.head); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("stream_retention")
+      .groupBy("cohort_week", "week_offset")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n_users"))
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map { case (c, o, n) => (c.toString, o) -> n }.toMap
+    val batch = graft.operators.EventAnalytics.retentionCohorts(
+        all.toDF("user_id", "ts"), "user_id", "ts")
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map { case (c, o, n) => (c.toString, o) -> n }.toMap
+    streamed shouldBe batch
+    // first-time-only emission means a plain count agrees too
+    spark.table("stream_retention").count() shouldBe batch.values.sum
   }
 
   it should "degenerate to the batch operator's exact selection on a batch frame" in {
