@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** One admitted (id, group) decision row. */
-final case class CapAdmission(id: Long, group: String)
+/** One admitted (id, group) decision row. Like the funnel variants below,
+  * the id rides as its string form so any id type streams through; join
+  * back on `CAST(id AS STRING)` (or compare stringwise) for payloads. */
+final case class CapAdmission(id: String, group: String)
 
-private[streaming] final case class CapCandidate(grp: String, id: Long, key: String)
+private[streaming] final case class CapCandidate(grp: String, id: String, key: String)
 
 /** A user's funnel progress after a micro-batch advanced it. The user id is
   * carried as its string form so any id type (long, string, UUID) streams
@@ -81,7 +83,7 @@ object StreamingCuration {
     import spark.implicits._
     val candidates = docs.select(
         col(groupCol).cast("string").as("grp"),
-        col(idCol).cast("long").as("id"),
+        col(idCol).cast("string").as("id"),
         md5(concat_ws(":", lit(seed), col(idCol).cast("string"))).as("key"))
       .as[CapCandidate]
 

@@ -137,6 +137,50 @@ class EventAnalyticsSpec extends AnyFlatSpec with Matchers {
     st.achieved shouldBe 3
   }
 
+  "WindowedFunnelDp" should "fold identically across any ordered split of the sequence" in {
+    // the algebraic fact the streaming twin rests on: feeding an ordered
+    // sequence through a carried State in arbitrary chunks equals the
+    // one-shot fold — so stream == batch under ordered delivery is a
+    // property of the DP, not of any particular fixture
+    val rnd = new scala.util.Random(7)
+    val stepsIdx = steps.toIndexedSeq
+    (1 to 60).foreach { _ =>
+      val n = 5 + rnd.nextInt(30)
+      val evs = (0 until n).map(_ => (rnd.nextInt(25).toLong, steps(rnd.nextInt(3))))
+        .sortBy(identity)
+      val window = (2 + rnd.nextInt(8)).toLong
+      def run(chunks: Seq[Seq[(Long, String)]]): Int = {
+        val st = new WindowedFunnelDp.State(3)
+        chunks.foreach(_.foreach { case (ts, t) =>
+          WindowedFunnelDp.observe(st, stepsIdx, window, ts, t)
+        })
+        st.achieved
+      }
+      val cut1 = rnd.nextInt(n + 1)
+      val cut2 = cut1 + rnd.nextInt(n - cut1 + 1)
+      run(Seq(evs.take(cut1), evs.slice(cut1, cut2), evs.drop(cut2))) shouldBe run(Seq(evs))
+    }
+  }
+
+  it should "not grow frontiers at all on repeated events (ties are Pareto-dominated)" in {
+    // a tied re-observation proposes the exact (anchor, done) pairs already
+    // present, and dominance (anchor >= AND done <=) absorbs equals — so
+    // heavy duplication leaves the frontier at the DISTINCT-timestamp
+    // occupancy bound of the untied law above
+    val windowMicros = 1000L
+    val spacing = windowMicros / 4
+    val st = new WindowedFunnelDp.State(3)
+    var maxFrontier = 0
+    (0 until 400).foreach { i =>
+      val t = if (i % 2 == 0) "view" else "click"
+      (1 to 4).foreach { _ =>
+        WindowedFunnelDp.observe(st, steps.toIndexedSeq, windowMicros, i * spacing, t)
+      }
+      maxFrontier = math.max(maxFrontier, st.frontiers.map(_.size).max)
+    }
+    maxFrontier should be <= 6 // identical to the untied bound
+  }
+
   "funnelConversion" should "produce the cumulative at-least table" in {
     val events = Seq(
       (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "buy", ts(3)),

@@ -28,7 +28,7 @@ class StreamingCurationSpec extends AnyFlatSpec with Matchers {
       CurDoc(1, "d0"), CurDoc(2, "d0"),
       CurDoc(10, "d1"), CurDoc(11, "d1"), CurDoc(12, "d1"), CurDoc(13, "d1"))
     q.processAllAvailable()
-    val afterB1 = spark.table("stream_cap").as[(Long, String)].collect().toSet
+    val afterB1 = spark.table("stream_cap").as[(String, String)].collect().toSet
     afterB1.count(_._2 == "d0") shouldBe 2
     afterB1.count(_._2 == "d1") shouldBe 3
 
@@ -39,7 +39,7 @@ class StreamingCurationSpec extends AnyFlatSpec with Matchers {
       CurDoc(14, "d1"), CurDoc(15, "d1"))
     q.processAllAvailable()
     q.stop()
-    val afterB2 = spark.table("stream_cap").as[(Long, String)].collect().toSet
+    val afterB2 = spark.table("stream_cap").as[(String, String)].collect().toSet
     afterB2.count(_._2 == "d0") shouldBe 3
     afterB2.count(_._2 == "d1") shouldBe 3
     // batch-1 admissions were never revoked
@@ -199,7 +199,8 @@ class StreamingCurationSpec extends AnyFlatSpec with Matchers {
     val streamOp = StreamingCuration.capPerGroupStream(docs, "grp", "doc_id", cap = 4)
       .collect().map(a => (a.id, a.group)).toSet
     val batchOp = CorpusTools.capPerGroup(docs, "grp", "doc_id", cap = 4)
-      .select("doc_id", "grp").as[(Long, String)].collect().toSet
+      .select("doc_id", "grp").as[(Long, String)].collect()
+      .map { case (id, g) => (id.toString, g) }.toSet
     streamOp shouldBe batchOp
   }
 }
