@@ -203,6 +203,54 @@ class MultimodalSpec extends AnyFlatSpec with Matchers {
     Multimodal.audioSignature64(Array[Byte](1, 2, 3)) shouldBe None
   }
 
+  "riffPcm16 fast path" should "agree with the AudioSystem route on every canonical payload" in {
+    // the fast path may only change WHO computes, never the result: compare
+    // signature and features against the JDK route across the fixture ids
+    (0L until 40L).foreach { id =>
+      Seq(Multimodal.syntheticWav(id), Multimodal.syntheticModulatedWav(id)).foreach { wav =>
+        withClue(s"id $id (${wav.length} bytes): ") {
+          Multimodal.riffPcm16(wav) should not be None // fixtures ARE canonical
+          Multimodal.audioSignature64(wav) shouldBe Multimodal.audioSignature64Jdk(wav)
+          val rec = MediaRecord(id, "audio", wav, "t")
+          val jdk = Multimodal.decodeAudioJdk(rec)
+          val f = Multimodal.extractFeatures(Seq(rec).toDS()).head()
+          (f.width, f.height, f.n_frames, f.brightness) shouldBe
+            ((jdk.width, jdk.height, jdk.n_frames, jdk.brightness))
+        }
+      }
+    }
+  }
+
+  it should "decline non-canonical containers and leave them to the JDK readers" in {
+    // an AudioSystem-written WAV for a 2-channel stream (the spec fixture
+    // above) IS canonical; make one with an unknown chunk prepended — the
+    // walk must skip it and still parse
+    val base = Multimodal.syntheticWav(5L)
+    val extra = java.nio.ByteBuffer.allocate(base.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // rebuild: RIFF header, then a LIST chunk of 4 bytes, then the original chunks
+    extra.put(base, 0, 12)
+    extra.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    extra.put(base, 12, base.length - 12)
+    val withList = extra.array()
+    // fix the RIFF size field (bytes 4-7): grew by 12
+    val riffSize = (base.length - 8) + 12
+    withList(4) = (riffSize & 0xff).toByte
+    withList(5) = ((riffSize >> 8) & 0xff).toByte
+    withList(6) = ((riffSize >> 16) & 0xff).toByte
+    withList(7) = ((riffSize >> 24) & 0xff).toByte
+    Multimodal.riffPcm16(withList).map(t => (t._1, t._2)) shouldBe
+      Some((Multimodal.syntheticWavRate(5L), 1))
+    Multimodal.audioSignature64(withList) shouldBe Multimodal.audioSignature64(base)
+
+    // truncated data chunk: declared size exceeds the payload — decline
+    val truncated = java.util.Arrays.copyOf(base, base.length - 10)
+    Multimodal.riffPcm16(truncated) shouldBe None
+    // not-a-RIFF and too-short payloads: decline
+    Multimodal.riffPcm16("definitely not a riff".getBytes("UTF-8")) shouldBe None
+    Multimodal.riffPcm16(Array[Byte](1, 2, 3)) shouldBe None
+  }
+
   "audioNearDupPairs" should "mine re-encoded envelopes, not different tracks" in {
     // track 20 duplicated under a different media_id (same bytes) vs a
     // track with a different modulation phase
