@@ -75,6 +75,29 @@ object StreamingDemo {
     println("DEDUP_STREAM_IN=" + docs.count())
     println("DEDUP_STREAM_ACCEPTED=" + engine.read(dedupDocs).count())
     println("DEDUP_STREAM_INDEXED=" + engine.read(dedupIndex).select("id").distinct().count())
+
+    // online event analytics: windowed funnel + retention cohorts over the
+    // same event stream, state carried across micro-batches
+    val evStream = EventStreams.readEventStream(spark, inDir, schema)
+    val q4 = graft.streaming.StreamingCuration.windowedFunnelStepsStream(
+        evStream, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowMicros = 6L * 3600 * 1000000)
+      .writeStream.format("memory").queryName("demo_wfunnel")
+      .trigger(Trigger.AvailableNow()).outputMode("update").start()
+    q4.processAllAvailable(); q4.stop()
+    val wf = spark.table("demo_wfunnel")
+      .groupBy("user_id").agg(max("steps_completed").as("steps"))
+      .groupBy("steps").count().orderBy("steps")
+      .collect().map(r => s"${r.get(0)}:${r.get(1)}").mkString(",")
+    println("STREAM_WFUNNEL_DIST=" + wf)
+
+    val q5 = graft.streaming.StreamingCuration.retentionCohortsStream(
+        EventStreams.readEventStream(spark, inDir, schema), "user_id", "ts")
+      .writeStream.format("memory").queryName("demo_retention")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q5.processAllAvailable(); q5.stop()
+    println("STREAM_RETENTION_CELLS=" + spark.table("demo_retention")
+      .select("cohort_week", "week_offset").distinct().count())
     spark.stop()
   }
 }
