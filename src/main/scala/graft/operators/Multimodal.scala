@@ -36,8 +36,12 @@ case class MediaFeatures(
  * AUDIO payloads are decoded for real via `javax.sound.sampled` (the JDK's
  * WAV/AIFF/AU readers) — sample rate, channel count and frame count come
  * from the actual container header, amplitude from the PCM samples.
- * VIDEO decoding remains a documented deterministic STUB (no video codec
- * ships in any JDK); the plumbing around it is production-shaped.
+ * VIDEO payloads are decoded for real when ImageIO can read them as
+ * multi-frame streams (animated GIF — the one video-class container with a
+ * JDK codec): frame count, dimensions, per-frame bitmaps and brightness
+ * all come from the actual decoder. Codec-less formats (mp4/webm...) fall
+ * back to the documented deterministic STUB — the remaining ffmpeg-binding
+ * seam, now only for containers no JDK codec reads.
  */
 object Multimodal {
 
@@ -46,12 +50,66 @@ object Multimodal {
   val DecodeBatchSize = 64
 
   /** Decode one record. Images and audio go through the real JDK codecs;
-    * video falls through to the stub. */
+    * video tries the multi-frame ImageIO route (animated GIF — a real
+    * video-class container the JDK ships a codec for) and falls back to
+    * the stub only for formats no JDK codec reads (mp4/webm...). */
   private def decode(r: MediaRecord): MediaFeatures = r.kind match {
     case "image" => decodeImage(r)
     case "audio" => decodeAudio(r)
-    case _       => decodeStub(r)
+    case _       => decodeVideo(r)
   }
+
+  /**
+   * REAL video decode for containers ImageIO can read as multi-frame
+   * streams — in practice animated GIF, the one video-class format with a
+   * JDK codec: frame count from the actual stream (`getNumImages(true)`
+   * walks every image), dimensions from frame 0, brightness as the mean
+   * gray over EVERY frame's pixels. Payloads no ImageIO reader claims, or
+   * that fail mid-decode, fall back to [[decodeStub]] — the documented
+   * ffmpeg-binding seam, now only for codec-less formats.
+   */
+  private def decodeVideo(r: MediaRecord): MediaFeatures =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) decodeStub(r)
+        else {
+          val reader = readers.next()
+          reader.setInput(iis)
+          try {
+            val frames = reader.getNumImages(true)
+            if (frames <= 0) decodeStub(r)
+            else {
+              var total = 0L
+              var pixels = 0L
+              var w = 0
+              var h = 0
+              var k = 0
+              while (k < frames) {
+                val img = reader.read(k)
+                if (k == 0) { w = img.getWidth; h = img.getHeight }
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val rgb = img.getRGB(x, y)
+                    total += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                    x += 1
+                  }
+                  y += 1
+                }
+                pixels += img.getWidth.toLong * img.getHeight
+                k += 1
+              }
+              MediaFeatures(r.media_id, r.kind, r.bytes.length, w, h, frames,
+                if (pixels == 0) 0.0 else total.toDouble / pixels)
+            }
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => decodeStub(r) }
 
   /**
    * REAL image decode via `javax.imageio`: parses the actual payload bytes
@@ -143,7 +201,8 @@ object Multimodal {
   }
 
   /**
-   * STUB DECODER for video — no video codec ships in any JDK. Deterministic
+   * STUB DECODER for video containers NO JDK codec reads (mp4/webm... —
+   * GIF-class payloads take the real [[decodeVideo]] route). Deterministic
    * fake: dimensions derive from the payload length, brightness is the mean
    * unsigned byte value. This is the remaining seam for a real ffmpeg-style
    * binding; everything around it is production-shaped.
@@ -471,18 +530,62 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video payloads: deterministic byte-range slices
-    * standing in for decoded frames. Output one row per sampled frame. */
+  /** Frame sampling for video payloads. ImageIO-readable containers
+    * (animated GIF) yield REAL frames: every `everyNth`-th frame is decoded
+    * and re-encoded as an uncompressed BMP, so `frame_bytes` is a genuine
+    * standalone bitmap the image operators compose with directly
+    * (sampleFrames → [[imageAHashes]] is the video-near-dup pipeline).
+    * Codec-less payloads keep the deterministic byte-range-slice stub rows.
+    * Output one row per sampled frame. */
   def sampleFrames(media: Dataset[MediaRecord], everyNth: Int = 10): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      val frames = decodeStub(r).n_frames
-      (0 until frames by everyNth).map { f =>
-        val start = if (frames == 0) 0 else (r.bytes.length.toLong * f / frames).toInt
-        val end = math.min(r.bytes.length, start + 16)
-        (r.media_id, f, java.util.Arrays.copyOfRange(r.bytes, start, end))
+      realSampledFrames(r, everyNth).getOrElse {
+        val frames = decodeStub(r).n_frames
+        (0 until frames by everyNth).map { f =>
+          val start = if (frames == 0) 0 else (r.bytes.length.toLong * f / frames).toInt
+          val end = math.min(r.bytes.length, start + 16)
+          (r.media_id, f, java.util.Arrays.copyOfRange(r.bytes, start, end))
+        }
       }
     }.toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  /** The real-decode arm of [[sampleFrames]]: None when no ImageIO reader
+    * claims the payload (→ stub rows), Some(decoded frames) otherwise. */
+  private def realSampledFrames(
+      r: MediaRecord, everyNth: Int): Option[Seq[(Long, Int, Array[Byte])]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          reader.setInput(iis)
+          try {
+            val frames = reader.getNumImages(true)
+            if (frames <= 0) None
+            else Some((0 until frames by everyNth).map { f =>
+              val img = reader.read(f)
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(toBgr(img), "bmp", out)
+              (r.media_id, f, out.toByteArray)
+            })
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** BMP's writer wants a 3-byte BGR raster; palette-indexed GIF frames
+    * convert losslessly. */
+  private def toBgr(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    val bgr = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = bgr.createGraphics()
+    try g.drawImage(img, 0, 0, null) finally g.dispose()
+    bgr
   }
 
   /** Synthetic-image geometry, shared by the fixture generator and the DuckDB
@@ -561,23 +664,114 @@ object Multimodal {
   /** Expected on-disk size of [[syntheticWav]]. */
   def syntheticWavSize(id: Long): Int = 44 + 2 * syntheticWavSamples(id)
 
+  /** Synthetic-video geometry — pure functions of the id, the video leg of
+    * the BMP/WAV trick: an independent engine predicts what the REAL ImageIO
+    * GIF reader decodes out of the generated container. */
+  def syntheticGifWidth(id: Long): Int = 10 + java.lang.Math.floorMod(id, 7L).toInt
+  def syntheticGifHeight(id: Long): Int = 8 + java.lang.Math.floorMod(id * 3, 6L).toInt
+  def syntheticGifFrames(id: Long): Int = 2 + java.lang.Math.floorMod(id * 5, 9L).toInt
+
+  /** Palette index of frame k's uniform fill; the 128-entry global palette
+    * maps index i to gray (2i, 2i, 2i), so the DECODED gray is exactly
+    * `2 * syntheticGifIndex(id, k)`. */
+  def syntheticGifIndex(id: Long, k: Int): Int =
+    java.lang.Math.floorMod(id * 11 + k * 7, 128L).toInt
+
+  /**
+   * A real, decodable multi-frame GIF89a payload with an analytically
+   * predictable size — the video analogue of the uncompressed-BMP /
+   * canonical-WAV fixtures. GIF mandates LZW, which normally makes sizes
+   * data-dependent; this writer uses the classic UNCOMPRESSED-GIF technique
+   * instead: minimum code size 7 makes every code exactly one byte (width
+   * m+1 = 8), and a CLEAR code re-emitted after every 126 pixel codes keeps
+   * the decoder's table below 256 entries so the code width NEVER grows —
+   * the stream is then `pixels + clears + end` bytes by construction, and
+   * [[syntheticGifSize]] states the whole container size in closed form.
+   * Frames are uniform fills of palette index [[syntheticGifIndex]] over a
+   * 128-gray global palette. Any conformant GIF decoder (ImageIO's
+   * included) reads it; only the ENCODER is special.
+   */
+  def syntheticAnimatedGif(id: Long): Array[Byte] = {
+    val w = syntheticGifWidth(id)
+    val h = syntheticGifHeight(id)
+    val frames = syntheticGifFrames(id)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(0xF6) // global palette, 8-bit color res, 2^(6+1)=128 entries
+    out.write(0); out.write(0)
+    var i = 0
+    while (i < 128) { out.write(2 * i); out.write(2 * i); out.write(2 * i); i += 1 }
+    var k = 0
+    while (k < frames) {
+      out.write(0x2C) // image descriptor
+      u16(0); u16(0); u16(w); u16(h)
+      out.write(0) // no local palette, not interlaced
+      out.write(7) // LZW minimum code size
+      val clear = 0x80
+      val end = 0x81
+      val px = syntheticGifIndex(id, k)
+      val p = w * h
+      val data = new Array[Byte](gifDataBytes(p))
+      var d = 0
+      data(d) = clear.toByte; d += 1
+      var emitted = 0
+      while (emitted < p) {
+        if (emitted > 0 && emitted % 126 == 0) { data(d) = clear.toByte; d += 1 }
+        data(d) = px.toByte; d += 1
+        emitted += 1
+      }
+      data(d) = end.toByte; d += 1
+      require(d == data.length, s"gif codegen drift: $d != ${data.length}")
+      var off = 0
+      while (off < data.length) { // 255-byte sub-blocks
+        val n = math.min(255, data.length - off)
+        out.write(n)
+        out.write(data, off, n)
+        off += n
+      }
+      out.write(0) // sub-block terminator
+      k += 1
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Code-stream bytes for one `p`-pixel frame: initial CLEAR + pixels +
+    * a CLEAR per full 126-pixel run boundary + END, every code one byte. */
+  private def gifDataBytes(p: Int): Int = p + (p + 125) / 126 + 1
+
+  /** Expected on-disk size of [[syntheticAnimatedGif]] — 13-byte header +
+    * 384-byte palette + per frame (10-byte descriptor + 1 min-code-size +
+    * data + one length byte per 255-byte sub-block + terminator) + trailer.
+    * Pinned against the actual writer AND the ImageIO reader in
+    * MultimodalSpec. */
+  def syntheticGifSize(id: Long): Int = {
+    val p = syntheticGifWidth(id) * syntheticGifHeight(id)
+    val db = gifDataBytes(p)
+    val subBlocks = (db + 254) / 255
+    13 + 384 + syntheticGifFrames(id) * (10 + 1 + db + subBlocks + 1) + 1
+  }
+
   /** Build a MediaRecord dataset from the documents table: image rows carry a
     * REAL generated BMP (decodable by ImageIO), audio rows a REAL generated
-    * WAV (decodable by javax.sound.sampled), video rows deterministic fake
-    * payloads (UTF-8 text bytes) — so multimodal plumbing including both real
-    * decodes is exercisable on the standard testdata. */
+    * WAV (decodable by javax.sound.sampled), video rows a REAL generated
+    * multi-frame GIF (decodable by ImageIO's GIF reader) — so the multimodal
+    * plumbing including all three real decodes is exercisable on the
+    * standard testdata. */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text"), col("source"))
       .as[(Long, String, String)]
-      .map { case (id, text, source) =>
+      .map { case (id, _, source) =>
         // floorMod: Scala's % is negative for negative ids, and nothing
         // forbids them in the schema (the columnar original used pmod)
         val kind = Seq("image", "audio", "video")(java.lang.Math.floorMod(id, 3L).toInt)
         val bytes = kind match {
           case "image" => syntheticBmp(id)
           case "audio" => syntheticWav(id)
-          case _       => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case _       => syntheticAnimatedGif(id)
         }
         MediaRecord(id, kind, bytes, source)
       }

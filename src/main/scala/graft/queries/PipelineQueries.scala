@@ -1550,39 +1550,58 @@ object PipelineQueries {
          |  FROM filtered)
          |SELECT doc_id, lang, source, n_tokens, quality FROM deduped WHERE rn = 1""".stripMargin,
 
+    // video frame counts are the GIF fixture's analytic frame formula — the
+    // REAL ImageIO reader walks the generated container and must agree
     "q_multimodal_frames" ->
-      """SELECT doc_id AS media_id, UNNEST(RANGE(0, 1 + octet_length(encode(text)) % 30, 10)) AS frame_idx
+      """SELECT doc_id AS media_id, UNNEST(RANGE(0, 2 + (doc_id * 5) % 9, 10)) AS frame_idx
         |FROM documents WHERE (doc_id % 3) = 2""".stripMargin,
 
     // image rows (doc_id % 3 = 0) carry a REAL generated BMP that Spark
     // decodes with javax.imageio; audio rows (doc_id % 3 = 1) a REAL
-    // generated WAV decoded with javax.sound.sampled. The oracle predicts
-    // what the decoders read back via the synthetic-geometry formulas
-    // (uniform gray fill => brightness is exactly the gray level;
-    // uncompressed 24bpp BMP => size = 54 + height * 4-byte-padded rows;
-    // constant-amplitude square wave => mean |sample| is exactly A and WAV
-    // size = 44 + 2*n). Video rows replay the documented stub.
+    // generated WAV decoded with javax.sound.sampled; video rows
+    // (doc_id % 3 = 2) a REAL generated multi-frame GIF decoded by
+    // ImageIO's GIF reader. The oracle predicts what the decoders read
+    // back via the synthetic-geometry formulas (uniform gray fill =>
+    // brightness is exactly the gray level; uncompressed 24bpp BMP =>
+    // size = 54 + height * 4-byte-padded rows; constant-amplitude square
+    // wave => mean |sample| is exactly A and WAV size = 44 + 2*n; the GIF
+    // uses the uncompressed-LZW trick — min code size 7, every code one
+    // byte, CLEAR every 126 pixels — so its size is 398 + frames *
+    // (12 + data + subblocks) in closed form, and its palette maps index
+    // i to gray 2i so frame k's decoded level is exactly
+    // 2*((id*11 + k*7) % 128)).
     "q_multimodal_features" ->
-      """SELECT doc_id AS media_id,
-        |  ['image','audio','video'][(doc_id % 3) + 1] AS kind,
-        |  CASE WHEN doc_id % 3 = 0
-        |       THEN 54 + (16 + (doc_id * 7) % 11) * (((16 + doc_id % 13) * 3 + 3) // 4 * 4)
-        |       WHEN doc_id % 3 = 1 THEN 44 + 2 * (400 + (doc_id * 13) % 600)
-        |       ELSE octet_length(encode(text)) END AS n_bytes,
-        |  CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 13
-        |       WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 2000
-        |       ELSE octet_length(encode(text)) % 640 END AS width,
-        |  CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 11
-        |       WHEN doc_id % 3 = 1 THEN 1
-        |       ELSE octet_length(encode(text)) % 480 END AS height,
-        |  CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 30
-        |       WHEN doc_id % 3 = 1 THEN 400 + (doc_id * 13) % 600
+      """WITH geo AS (
+        |  SELECT doc_id,
+        |    (10 + doc_id % 7) * (8 + (doc_id * 3) % 6) AS gif_px,
+        |    2 + (doc_id * 5) % 9 AS gif_frames
+        |  FROM documents),
+        |gif AS (
+        |  SELECT doc_id, gif_frames,
+        |    gif_px + (gif_px + 125) // 126 + 1 AS gif_db
+        |  FROM geo)
+        |SELECT d.doc_id AS media_id,
+        |  ['image','audio','video'][(d.doc_id % 3) + 1] AS kind,
+        |  CASE WHEN d.doc_id % 3 = 0
+        |       THEN 54 + (16 + (d.doc_id * 7) % 11) * (((16 + d.doc_id % 13) * 3 + 3) // 4 * 4)
+        |       WHEN d.doc_id % 3 = 1 THEN 44 + 2 * (400 + (d.doc_id * 13) % 600)
+        |       ELSE 398 + g.gif_frames * (12 + g.gif_db + (g.gif_db + 254) // 255)
+        |       END AS n_bytes,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN 16 + d.doc_id % 13
+        |       WHEN d.doc_id % 3 = 1 THEN 8000 + (d.doc_id % 5) * 2000
+        |       ELSE 10 + d.doc_id % 7 END AS width,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN 16 + (d.doc_id * 7) % 11
+        |       WHEN d.doc_id % 3 = 1 THEN 1
+        |       ELSE 8 + (d.doc_id * 3) % 6 END AS height,
+        |  CASE WHEN d.doc_id % 3 = 2 THEN g.gif_frames
+        |       WHEN d.doc_id % 3 = 1 THEN 400 + (d.doc_id * 13) % 600
         |       ELSE 1 END AS n_frames,
-        |  CASE WHEN doc_id % 3 = 0 THEN CAST((doc_id * 37) % 256 AS DOUBLE)
-        |       WHEN doc_id % 3 = 1 THEN CAST(1000 + (doc_id * 31) % 20000 AS DOUBLE)
-        |       ELSE list_aggregate(list_transform(string_split(text, ''), x -> unicode(x)), 'sum')
-        |         / octet_length(encode(text)) END AS brightness
-        |FROM documents""".stripMargin,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN CAST((d.doc_id * 37) % 256 AS DOUBLE)
+        |       WHEN d.doc_id % 3 = 1 THEN CAST(1000 + (d.doc_id * 31) % 20000 AS DOUBLE)
+        |       ELSE list_aggregate(list_transform(range(0, g.gif_frames),
+        |              k -> 2 * ((d.doc_id * 11 + k * 7) % 128)), 'sum')
+        |         / CAST(g.gif_frames AS DOUBLE) END AS brightness
+        |FROM documents d JOIN gif g ON g.doc_id = d.doc_id""".stripMargin,
 
     // closed-form aHash replay: the gradient gray plane is linear in (x, y),
     // so every 8x8 cell sum is a polynomial in the cell bounds; the bit rule

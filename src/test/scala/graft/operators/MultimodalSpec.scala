@@ -58,7 +58,7 @@ class MultimodalSpec extends AnyFlatSpec with Matchers {
     // uniform gray fill: mean RGB level IS the gray level, exactly
     f(1L).brightness shouldBe Multimodal.syntheticImageGray(1L).toDouble
     f(1L).n_bytes shouldBe Multimodal.syntheticBmpSize(1L)
-    // video still goes through the documented stub
+    // a codec-less video payload (no ImageIO magic) goes through the stub
     f(2L).n_frames shouldBe 1 + 100 % 30
     f(2L).width shouldBe 100 % 640
     // empty audio payload: unparsable -> zero-dimension row, no crash
@@ -264,6 +264,64 @@ class MultimodalSpec extends AnyFlatSpec with Matchers {
     pairs shouldBe Set((1L, 2L))
   }
 
+  "syntheticAnimatedGif" should "match the closed-form size and decode under ImageIO for every fixture id" in {
+    (0L until 60L by 2).foreach { id =>
+      withClue(s"id $id: ") {
+        val gif = Multimodal.syntheticAnimatedGif(id)
+        gif.length shouldBe Multimodal.syntheticGifSize(id)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(gif))
+        val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+        reader.setInput(iis)
+        try {
+          // the REAL JDK GIF reader agrees with every geometry formula,
+          // including the uncompressed-LZW trick's frame payloads
+          reader.getNumImages(true) shouldBe Multimodal.syntheticGifFrames(id)
+          val f0 = reader.read(0)
+          f0.getWidth shouldBe Multimodal.syntheticGifWidth(id)
+          f0.getHeight shouldBe Multimodal.syntheticGifHeight(id)
+          (0 until Multimodal.syntheticGifFrames(id)).foreach { k =>
+            val img = reader.read(k)
+            val rgb = img.getRGB(img.getWidth - 1, img.getHeight - 1)
+            (rgb & 0xff) shouldBe 2 * Multimodal.syntheticGifIndex(id, k)
+          }
+        } finally { reader.dispose(); iis.close() }
+      }
+    }
+  }
+
+  "decodeVideo" should "REALLY decode multi-frame GIF payloads via javax.imageio" in {
+    val id = 8L // a video id (8 % 3 == 2)
+    val f = Multimodal.extractFeatures(
+      Seq(MediaRecord(id, "video", Multimodal.syntheticAnimatedGif(id), "t")).toDS()).head()
+    val frames = Multimodal.syntheticGifFrames(id)
+    f.width shouldBe Multimodal.syntheticGifWidth(id)
+    f.height shouldBe Multimodal.syntheticGifHeight(id)
+    f.n_frames shouldBe frames
+    f.n_bytes shouldBe Multimodal.syntheticGifSize(id)
+    // uniform fills: mean gray over all frames is the mean of the per-frame
+    // decoded levels, exactly
+    val want = (0 until frames).map(k => 2.0 * Multimodal.syntheticGifIndex(id, k)).sum / frames
+    f.brightness shouldBe want +- 1e-9
+  }
+
+  it should "sample REAL re-encoded frames that the image operators can consume" in {
+    val id = 14L
+    val rec = MediaRecord(id, "video", Multimodal.syntheticAnimatedGif(id), "t")
+    val frames = Multimodal.sampleFrames(Seq(rec).toDS(), everyNth = 2).collect()
+    val expectIdx = 0 until Multimodal.syntheticGifFrames(id) by 2
+    frames.map(_.getAs[Int]("frame_idx")).sorted shouldBe expectIdx.toArray
+    frames.foreach { r =>
+      val k = r.getAs[Int]("frame_idx")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame_bytes")))
+      img should not be null // a standalone bitmap, not a byte slice
+      img.getWidth shouldBe Multimodal.syntheticGifWidth(id)
+      img.getHeight shouldBe Multimodal.syntheticGifHeight(id)
+      (img.getRGB(0, 0) & 0xff) shouldBe 2 * Multimodal.syntheticGifIndex(id, k)
+    }
+  }
+
   "fromDocuments" should "derive deterministic kinds and payloads, with real BMPs for images" in {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val ds = Multimodal.fromDocuments(spark, docs)
@@ -283,6 +341,11 @@ class MultimodalSpec extends AnyFlatSpec with Matchers {
           new java.io.ByteArrayInputStream(r.bytes))
         ais.getFormat.getSampleRate shouldBe Multimodal.syntheticWavRate(r.media_id).toFloat
         ais.close()
+      }
+      if (r.kind == "video") {
+        r.bytes.length shouldBe Multimodal.syntheticGifSize(r.media_id)
+        // a real multi-frame container, not a text stand-in
+        new String(r.bytes, 0, 6, "US-ASCII") shouldBe "GIF89a"
       }
     }
   }
