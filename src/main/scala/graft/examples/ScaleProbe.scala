@@ -183,6 +183,16 @@ object ScaleProbe {
         graft.operators.Multimodal.audioSignatures(media)
           .agg(sum(bit_count(col("asig")))).collect(); ()
       }),
+      "video_frames" -> (dir => {
+        // the video leg of the codec-boundary trio: encode the multi-frame
+        // GIF, then the REAL ImageIO multi-frame decode over every frame
+        import spark.implicits._
+        val media = docs(dir).select(col("doc_id")).as[Long].filter(_ % 3 == 2)
+          .map(id => graft.operators.MediaRecord(
+            id, "video", graft.operators.Multimodal.syntheticAnimatedGif(id), "synthetic"))
+        graft.operators.Multimodal.extractFeatures(media)
+          .agg(sum(col("n_frames"))).collect(); ()
+      }),
       "image_near_dup" -> (dir => {
         // NOT the gate's gradient images: those collide corpus-wide by
         // construction (6 hash classes), so their pair OUTPUT is quadratic

@@ -309,6 +309,56 @@ object Multimodal {
   def imageNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame =
     Dedup.hammingNearDupPairs(imageAHashes(media), "media_id", "ahash", maxHamming)
 
+  /** Perceptual hash per SAMPLED VIDEO FRAME: [[sampleFrames]]' real decoded
+    * bitmaps fed through [[aHash64]] — one row per (media_id, frame_idx).
+    * Flat frames hash to 0 (the documented aHash degeneracy) and are
+    * DROPPED: a featureless frame matches every other featureless frame,
+    * which is noise, not evidence of shared content. */
+  def videoFrameHashes(media: Dataset[MediaRecord], everyNth: Int = 10): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    sampleFrames(media, everyNth)
+      .select(col("media_id"), col("frame_idx"), col("frame_bytes"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, f, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) None else Some((id, f, aHash64(img)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.filter(_._3 != 0L)
+      }
+      .toDF("media_id", "frame_idx", "fhash")
+  }
+
+  /**
+   * Content-based video near-duplication: two videos are near-dups when
+   * they SHARE a frame — any sampled frame of one within `maxHamming` of
+   * any sampled frame of the other (re-encodes, resolution-stable edits and
+   * trims all survive the per-frame aHash). The frame-level mining rides
+   * the same 4-chunk Hamming equi-join as SimHash text and image aHash —
+   * never an all-pairs comparison over videos OR frames — and the video-
+   * level rollup is one aggregation on the (smaller) matched-pair set.
+   *
+   * @return (media_id_a, media_id_b, n_frame_pairs) with a < b; higher
+   *         n_frame_pairs = more shared content.
+   */
+  def videoNearDupPairs(
+      media: Dataset[MediaRecord],
+      maxHamming: Int = 3,
+      everyNth: Int = 10): DataFrame = {
+    val fh = videoFrameHashes(media, everyNth)
+      .select(concat_ws(":", col("media_id"), col("frame_idx")).as("fid"), col("fhash"))
+    Dedup.hammingNearDupPairs(fh, "fid", "fhash", maxHamming)
+      .withColumn("v1", split(col("id1"), ":").getItem(0).cast("long"))
+      .withColumn("v2", split(col("id2"), ":").getItem(0).cast("long"))
+      .filter(col("v1") =!= col("v2"))
+      .select(least(col("v1"), col("v2")).as("media_id_a"),
+        greatest(col("v1"), col("v2")).as("media_id_b"))
+      .groupBy("media_id_a", "media_id_b")
+      .agg(count(lit(1)).as("n_frame_pairs"))
+  }
+
   /** Synthetic gradient geometry for the aHash oracle: pixel gray =
     * `ax*x + by*y + c0` with coefficients small enough that no pixel wraps
     * past 255 (max 3*27 + 2*25 + 39 = 170 at the generator maxima w=28,
@@ -694,7 +744,23 @@ object Multimodal {
   def syntheticAnimatedGif(id: Long): Array[Byte] = {
     val w = syntheticGifWidth(id)
     val h = syntheticGifHeight(id)
-    val frames = syntheticGifFrames(id)
+    encodeGif(w, h, (0 until syntheticGifFrames(id)).map { k =>
+      Array.fill(w * h)(syntheticGifIndex(id, k).toByte)
+    })
+  }
+
+  /**
+   * The uncompressed-LZW GIF writer behind [[syntheticAnimatedGif]],
+   * generalized to arbitrary per-frame index rasters (row-major, values
+   * 0..127 over the 128-gray global palette: index i decodes to gray 2i).
+   * Size is `13 + 384 + Σ (12 + data + subblocks) + 1` regardless of pixel
+   * CONTENT — the trick removes the data-dependence LZW normally has —
+   * so [[syntheticGifSize]] stays exact for any raster. Specs use this to
+   * build TEXTURED multi-frame videos for the frame-fingerprint operators.
+   */
+  private[graft] def encodeGif(w: Int, h: Int, frameIndices: Seq[Array[Byte]]): Array[Byte] = {
+    require(frameIndices.nonEmpty, "need at least one frame")
+    require(frameIndices.forall(_.length == w * h), "each frame must be w*h indices")
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write("GIF89a".getBytes("US-ASCII"))
@@ -703,15 +769,13 @@ object Multimodal {
     out.write(0); out.write(0)
     var i = 0
     while (i < 128) { out.write(2 * i); out.write(2 * i); out.write(2 * i); i += 1 }
-    var k = 0
-    while (k < frames) {
+    frameIndices.foreach { idx =>
       out.write(0x2C) // image descriptor
       u16(0); u16(0); u16(w); u16(h)
       out.write(0) // no local palette, not interlaced
       out.write(7) // LZW minimum code size
       val clear = 0x80
       val end = 0x81
-      val px = syntheticGifIndex(id, k)
       val p = w * h
       val data = new Array[Byte](gifDataBytes(p))
       var d = 0
@@ -719,7 +783,7 @@ object Multimodal {
       var emitted = 0
       while (emitted < p) {
         if (emitted > 0 && emitted % 126 == 0) { data(d) = clear.toByte; d += 1 }
-        data(d) = px.toByte; d += 1
+        data(d) = idx(emitted); d += 1
         emitted += 1
       }
       data(d) = end.toByte; d += 1
@@ -732,7 +796,6 @@ object Multimodal {
         off += n
       }
       out.write(0) // sub-block terminator
-      k += 1
     }
     out.write(0x3B) // trailer
     out.toByteArray

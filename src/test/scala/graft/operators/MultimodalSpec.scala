@@ -322,6 +322,44 @@ class MultimodalSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "videoNearDupPairs" should "mine videos sharing a frame, not distinct content" in {
+    // textured 8x8 frames through the generic GIF encoder: at 8x8 every
+    // aHash cell is one pixel, so a frame built from a 64-bit pattern
+    // (index 100 -> gray 200 for set bits) hashes to EXACTLY that pattern —
+    // Hamming distances between frames are chosen, not hoped for
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def raster(pattern: Long): Array[Byte] =
+      Array.tabulate(64)(i => if ((pattern >>> i & 1L) == 1L) 100.toByte else 0.toByte)
+    val p1 = mix(1); val p2 = mix(2); val p4 = mix(4); val p5 = mix(5)
+    val videos = Seq(
+      MediaRecord(1L, "video", Multimodal.encodeGif(8, 8, Seq(raster(p1), raster(p2))), "s"),
+      // shares frame content with video 1: p1 with ONE flipped bit
+      MediaRecord(2L, "video", Multimodal.encodeGif(8, 8, Seq(raster(p1 ^ 2L), raster(p4))), "s"),
+      // unrelated textures
+      MediaRecord(3L, "video", Multimodal.encodeGif(8, 8, Seq(raster(p5))), "s")
+    ).toDS()
+    val pairs = Multimodal.videoNearDupPairs(videos, maxHamming = 3, everyNth = 1)
+      .as[(Long, Long, Long)].collect()
+    pairs.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 2L))
+    pairs.head._3 shouldBe 1L // exactly the planted shared frame
+  }
+
+  it should "drop flat frames rather than matching every featureless video" in {
+    // the uniform-fill fixture videos are ALL flat: every frame aHashes to
+    // 0 and is dropped, so no spurious all-pairs explosion
+    val flats = Seq(
+      MediaRecord(2L, "video", Multimodal.syntheticAnimatedGif(2L), "s"),
+      MediaRecord(5L, "video", Multimodal.syntheticAnimatedGif(5L), "s")
+    ).toDS()
+    Multimodal.videoFrameHashes(flats, everyNth = 1).count() shouldBe 0L
+    Multimodal.videoNearDupPairs(flats, everyNth = 1).count() shouldBe 0L
+  }
+
   "fromDocuments" should "derive deterministic kinds and payloads, with real BMPs for images" in {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val ds = Multimodal.fromDocuments(spark, docs)
