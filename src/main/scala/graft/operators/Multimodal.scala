@@ -805,6 +805,33 @@ object Multimodal {
     * a CLEAR per full 126-pixel run boundary + END, every code one byte. */
   private def gifDataBytes(p: Int): Int = p + (p + 125) / 126 + 1
 
+  /**
+   * Single TEXTURED 8x8-frame GIF for the video near-dup gate fixture: at
+   * 8x8 every aHash cell is one pixel, so the frame's aHash is EXACTLY the
+   * 64-bit pattern the raster encodes (index 100 → gray 200 for set bits,
+   * 0 for clear; the mean sits strictly between whenever the pattern is
+   * neither all-ones nor all-zeros). The pattern derives from id/6 via
+   * splitmix64 with one bit flipped for the second member (id ≡ 5 mod 6)
+   * of each consecutive video-id pair — so videos 6g+2 and 6g+5 share a
+   * frame at Hamming 1 BY CONSTRUCTION and everything else is an
+   * independent 64-bit draw, which gives [[videoNearDupPairs]] a
+   * structure-stating DuckDB oracle.
+   */
+  def syntheticPatternGif(id: Long): Array[Byte] = {
+    val base = mix64(java.lang.Math.floorDiv(id, 6L))
+    val pattern = if (java.lang.Math.floorMod(id, 6L) == 5L) base ^ 4L else base
+    encodeGif(8, 8, Seq(Array.tabulate(64)(i =>
+      if ((pattern >>> i & 1L) == 1L) 100.toByte else 0.toByte)))
+  }
+
+  /** splitmix64 finalizer — the fixture's pattern source. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Expected on-disk size of [[syntheticAnimatedGif]] — 13-byte header +
     * 384-byte palette + per frame (10-byte descriptor + 1 min-code-size +
     * data + one length byte per 255-byte sub-block + terminator) + trailer.

@@ -680,6 +680,20 @@ object PipelineQueries {
         bit_count(col("ahash")).cast("int").as("n_bits"))
     }),
 
+    // content-based video near-dup over REALLY decoded frames: textured
+    // pattern GIFs plant a shared (one-bit-perturbed) frame in every
+    // consecutive video-id pair; the engine must recover exactly that
+    // structure through encode → ImageIO decode → per-frame aHash →
+    // chunk-blocked Hamming join → video-level rollup
+    "q_video_near_dup" -> ((s, d) => {
+      import s.implicits._
+      val videos = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .filter(_ % 3 == 2)
+        .map(id => graft.operators.MediaRecord(
+          id, "video", Multimodal.syntheticPatternGif(id), "synthetic"))
+      Multimodal.videoNearDupPairs(videos, maxHamming = 3, everyNth = 1)
+    }),
+
     // the audio sibling: loudness-envelope signatures over REALLY decoded
     // modulated WAVs — window amplitudes are analytic, so the oracle
     // rebuilds the 64-bit signature without hearing a sample
@@ -1647,6 +1661,18 @@ object PipelineQueries {
     // closed-form audio-signature replay: window k of track id plays at
     // exactly 500 + 250*((id + k) % 8); window lengths tile n = 400 +
     // (id*13) % 600 samples by the same integer bounds the decoder uses
+    // structure-stating oracle (same class as the planted-dup fixtures):
+    // the pattern-GIF fixture plants one shared frame per consecutive
+    // video-id pair (6g+2, 6g+5) at Hamming 1 and independent 64-bit
+    // patterns everywhere else, so the exact expected output is the pair
+    // list itself — the engine has to reproduce it through the real
+    // encode/decode/hash/join pipeline, the oracle through arithmetic
+    "q_video_near_dup" ->
+      """WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2)
+        |SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+        |  CAST(1 AS BIGINT) AS n_frame_pairs
+        |FROM v a JOIN v b ON b.doc_id = a.doc_id + 3 AND a.doc_id % 6 = 2""".stripMargin,
+
     "q_audio_signature" ->
       """WITH trk AS (
         |  SELECT doc_id AS media_id, 400 + (doc_id * 13) % 600 AS n
