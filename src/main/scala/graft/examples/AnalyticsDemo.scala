@@ -69,6 +69,16 @@ object AnalyticsDemo {
     println(s"AUDIO_SIG_DISTINCT=${graft.operators.Multimodal
       .audioSignatures(tracks).select("asig").distinct().count()}")
 
+    // real multi-frame video decode + content-based near-dup over the
+    // planted pattern fixture (consecutive video ids share a frame)
+    val videos = docs.select(col("doc_id")).as[Long].filter(_ % 3 == 2)
+      .map(id => graft.operators.MediaRecord(
+        id, "video", graft.operators.Multimodal.syntheticPatternGif(id), "demo"))
+    println(s"VIDEO_FRAMES=${graft.operators.Multimodal
+      .sampleFrames(videos, everyNth = 1).count()}")
+    println(s"VIDEO_NEARDUP_PAIRS=${graft.operators.Multimodal
+      .videoNearDupPairs(videos, everyNth = 1).count()}")
+
     spark.stop()
   }
 }
