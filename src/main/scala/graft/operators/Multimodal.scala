@@ -309,26 +309,38 @@ object Multimodal {
   def imageNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame =
     Dedup.hammingNearDupPairs(imageAHashes(media), "media_id", "ahash", maxHamming)
 
-  /** Perceptual hash per SAMPLED VIDEO FRAME: [[sampleFrames]]' real decoded
-    * bitmaps fed through [[aHash64]] — one row per (media_id, frame_idx).
-    * Flat frames hash to 0 (the documented aHash degeneracy) and are
-    * DROPPED: a featureless frame matches every other featureless frame,
-    * which is noise, not evidence of shared content. */
+  /** Perceptual hash per SAMPLED VIDEO FRAME — one row per
+    * (media_id, frame_idx). Hashes are computed STRAIGHT off the container
+    * decode (one reader walk per video), not via [[sampleFrames]]' BMP
+    * re-encodes: routing through the payload surface would pay an extra
+    * encode+decode per frame for nothing, and at 100 TB the codec boundary
+    * IS the cost. Flat frames hash to 0 (the documented aHash degeneracy)
+    * and are DROPPED: a featureless frame matches every other featureless
+    * frame, which is noise, not evidence of shared content. */
   def videoFrameHashes(media: Dataset[MediaRecord], everyNth: Int = 10): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    sampleFrames(media, everyNth)
-      .select(col("media_id"), col("frame_idx"), col("frame_bytes"))
-      .as[(Long, Int, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, f, bytes) =>
+    media.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.bytes))
           try {
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            if (img == null) None else Some((id, f, aHash64(img)))
-          } catch { case scala.util.control.NonFatal(_) => None }
-        }.filter(_._3 != 0L)
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Seq.empty
+            else {
+              val reader = readers.next()
+              reader.setInput(iis)
+              try {
+                (0 until reader.getNumImages(true) by everyNth)
+                  .map(f => (r.media_id, f, aHash64(reader.read(f))))
+                  .filter(_._3 != 0L)
+              } finally reader.dispose()
+            }
+          } finally if (iis != null) iis.close()
+        } catch { case scala.util.control.NonFatal(_) => Seq.empty }
       }
-      .toDF("media_id", "frame_idx", "fhash")
+    }.toDF("media_id", "frame_idx", "fhash")
   }
 
   /**
