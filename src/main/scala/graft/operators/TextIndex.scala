@@ -124,7 +124,12 @@ object TextIndex {
 
   /** Full (re)build: REPLACE-ALL commit, so buckets/batches from a previous
     * geometry or corpus can never survive into this version. Previous index
-    * versions stay time-travelable. */
+    * versions stay time-travelable.
+    *
+    * Id contract: the postings schema stores `doc_id` as BIGINT, so `idCol`
+    * must be numeric (the cast throws loudly under ANSI on string ids —
+    * assign a surrogate key upstream for string/UUID-keyed corpora; the
+    * funnel operators, which have no storage schema, take ids generically). */
   def buildIndex(
       engine: VersionedTables,
       table: TableDefinition,
