@@ -773,6 +773,10 @@ object Multimodal {
   private[graft] def encodeGif(w: Int, h: Int, frameIndices: Seq[Array[Byte]]): Array[Byte] = {
     require(frameIndices.nonEmpty, "need at least one frame")
     require(frameIndices.forall(_.length == w * h), "each frame must be w*h indices")
+    // an index >= 128 would collide with the CLEAR (0x80) / END (0x81)
+    // codes and silently corrupt the stream — refuse loudly instead
+    require(frameIndices.forall(_.forall(b => (b & 0xff) < 128)),
+      "palette indices must be < 128")
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write("GIF89a".getBytes("US-ASCII"))

@@ -251,6 +251,43 @@ class MultimodalSpec extends AnyFlatSpec with Matchers {
     Multimodal.riffPcm16(Array[Byte](1, 2, 3)) shouldBe None
   }
 
+  it should "agree with the JDK route on randomized canonical WAVs, junk chunks skipped" in {
+    def buildWav(rate: Int, pcm: Array[Short], junk: Option[Array[Byte]]): Array[Byte] = {
+      val dataSize = 2 * pcm.length
+      val junkSize = junk.map(j => 8 + j.length + (j.length & 1)).getOrElse(0)
+      val buf = java.nio.ByteBuffer.allocate(44 + junkSize + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + junkSize + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      junk.foreach { j =>
+        buf.put("JUNK".getBytes("US-ASCII")).putInt(j.length).put(j)
+        if ((j.length & 1) == 1) buf.put(0.toByte) // word-alignment pad byte
+      }
+      buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      pcm.foreach(buf.putShort)
+      buf.array()
+    }
+    val rnd = new scala.util.Random(31)
+    (1 to 25).foreach { trial =>
+      val n = 70 + rnd.nextInt(900)
+      val rate = 8000 + rnd.nextInt(40000)
+      val pcm = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val plain = buildWav(rate, pcm, None)
+      withClue(s"trial $trial (n=$n rate=$rate): ") {
+        Multimodal.riffPcm16(plain).map(t => (t._1, t._2)) shouldBe Some((rate, 1))
+        // parity on the canonical form...
+        Multimodal.audioSignature64(plain) shouldBe Multimodal.audioSignature64Jdk(plain)
+        // ...and a JUNK chunk (odd-sized half the time, exercising the pad
+        // byte) changes NOTHING: same samples, same signature
+        val junk = Array.fill(5 + rnd.nextInt(9))(rnd.nextInt(256).toByte)
+        Multimodal.audioSignature64(buildWav(rate, pcm, Some(junk))) shouldBe
+          Multimodal.audioSignature64(plain)
+      }
+    }
+  }
+
   "audioNearDupPairs" should "mine re-encoded envelopes, not different tracks" in {
     // track 20 duplicated under a different media_id (same bytes) vs a
     // track with a different modulation phase
