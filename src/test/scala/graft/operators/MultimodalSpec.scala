@@ -288,6 +288,36 @@ class MultimodalSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  "the round-10 parsers" should "survive random corruption and truncation (poison-record law)" in {
+    // one corrupt payload must never kill a 100 TB job: every byte-flip or
+    // truncation of a valid container must DEGRADE (stub row / None /
+    // fewer frames), never throw out of the operator
+    val rnd = new scala.util.Random(57)
+    val gif = Multimodal.syntheticAnimatedGif(8L)
+    val wav = Multimodal.syntheticWav(4L)
+    (1 to 100).foreach { trial =>
+      def corrupt(base: Array[Byte]): Array[Byte] = {
+        val b = base.clone()
+        (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        }
+        if (trial % 3 == 0) java.util.Arrays.copyOf(b, 1 + rnd.nextInt(b.length)) else b
+      }
+      val badGif = corrupt(gif)
+      val badWav = corrupt(wav)
+      withClue(s"trial $trial: ") {
+        noException should be thrownBy Multimodal.extractFeatures(Seq(
+          MediaRecord(1L, "video", badGif, "t"),
+          MediaRecord(2L, "audio", badWav, "t"),
+          MediaRecord(3L, "image", badGif, "t")).toDS()).collect()
+        noException should be thrownBy Multimodal.audioSignature64(badWav)
+        noException should be thrownBy Multimodal.riffPcm16(badWav)
+        noException should be thrownBy Multimodal.videoFrameHashes(
+          Seq(MediaRecord(4L, "video", badGif, "t")).toDS(), everyNth = 1).collect()
+      }
+    }
+  }
+
   "audioNearDupPairs" should "mine re-encoded envelopes, not different tracks" in {
     // track 20 duplicated under a different media_id (same bytes) vs a
     // track with a different modulation phase

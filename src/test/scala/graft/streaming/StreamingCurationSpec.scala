@@ -159,6 +159,37 @@ class StreamingCurationSpec extends AnyFlatSpec with Matchers {
     emittedMax() shouldBe 3
   }
 
+  it should "carry frontiers across a query RESTART (real state-store round trip)" in {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+    val steps = Seq("view", "click", "buy")
+    val w5min = 5L * 60 * 1000000
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wf-ckpt-").toString
+    val source = MemoryStream[CurEv](spark)
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+    def start() = StreamingCuration.windowedFunnelStepsStream(
+        source.toDF(), "user_id", "event_type", "ts", steps, w5min)
+      .writeStream
+      .option("checkpointLocation", ckpt) // memory sink can't recover; foreachBatch can
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[FunnelProgress], _: Long) =>
+        batch.collect().foreach(p => emitted.add((p.user_id, p.steps_completed)))
+      }
+      .start()
+    // the WfState encoder must survive the checkpointed state store, not
+    // just consecutive micro-batches of one query: stop mid-chain, restart,
+    // and the carried frontier must complete the funnel
+    val q1 = start()
+    source.addData(CurEv(1, "view", t(0)), CurEv(1, "click", t(2)))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start()
+    source.addData(CurEv(1, "buy", t(4)))
+    q2.processAllAvailable(); q2.stop()
+    import scala.jdk.CollectionConverters._
+    emitted.asScala.map(_._2).max shouldBe 3
+  }
+
   "retentionCohortsStream" should "reproduce the batch cohort table over ordered batches" in {
     import java.sql.Timestamp
     def week(w: Int, dow: Int) = Timestamp.valueOf(f"2024-01-${1 + w * 7 + dow}%02d 12:00:00")
