@@ -110,6 +110,86 @@ object EventAnalytics {
       .select(col(userCol), dp(col("__seq")).as("steps_completed"))
   }
 
+  /**
+   * Incremental windowed-funnel maintenance — the COMMIT-DRIVEN batch form
+   * of the conversion-window funnel: a per-user state frame
+   * (`user_id` STRING, `achieved` INT, `entries` ARRAY<STRUCT<level INT,
+   * anchor LONG, done LONG>>) advanced by one delivery of events at a time.
+   * [[WindowedFunnelDp]]'s fold-split property (pinned in
+   * EventAnalyticsSpec) guarantees that folding ordered deliveries through
+   * the state equals [[windowedFunnelSteps]] over their concatenation — so
+   * a pipeline that lands event partitions as versioned commits can keep
+   * funnel results current in O(delivery) work per commit instead of
+   * re-scanning history, and because the state is a plain DataFrame it can
+   * itself be a VERSIONED table: `versionedInsertInto` each advance and
+   * `readAt` gives "the funnel as of commit X" for free. State per user is
+   * bounded by ONE conversion window's occupancy (the pruning bound), not
+   * by history.
+   *
+   * Deliveries must arrive in event-time order ACROSS calls (the same
+   * contract as the streaming twin; within a delivery the operator sorts).
+   *
+   * Start from [[emptyWindowedFunnelState]]; read results off the state
+   * with `select(user_id, achieved as steps_completed)`.
+   */
+  def advanceWindowedFunnelState(
+      state: DataFrame,
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      windowMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowMicros > 0, s"windowMicros must be > 0, got $windowMicros")
+    val stepsIdx = steps.toIndexedSeq
+    val k = steps.size
+    val advance = udf { (achieved: Int, entries: Seq[(Int, Long, Long)], seq: Seq[(Long, String)]) =>
+      val st = new WindowedFunnelDp.State(k)
+      st.achieved = achieved
+      entries.foreach { case (j, a, d) =>
+        if (j >= 0 && j < k) st.frontiers(j) = (a, d) :: st.frontiers(j)
+      }
+      seq.foreach { case (ts, t) => WindowedFunnelDp.observe(st, stepsIdx, windowMicros, ts, t) }
+      (st.achieved, st.frontiers.iterator.zipWithIndex.flatMap { case (f, j) =>
+        f.map { case (a, d) => (j, a, d) }
+      }.toSeq)
+    }
+    val delivery = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).cast("string").as("user_id"),
+        struct(unix_micros(col(tsCol)).as("_1"), col(typeCol).as("_2")).as("__e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("__e"))).as("__seq"))
+    state.join(delivery, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        advance(
+          coalesce(col("achieved"), lit(0)),
+          coalesce(transform(col("entries"), e =>
+            struct(e.getField("level").as("_1"), e.getField("anchor").as("_2"),
+              e.getField("done").as("_3"))),
+            array().cast("array<struct<_1:int,_2:bigint,_3:bigint>>")),
+          coalesce(col("__seq"),
+            array().cast("array<struct<_1:bigint,_2:string>>"))).as("__st"))
+      .select(col("user_id"),
+        col("__st").getField("_1").as("achieved"),
+        transform(col("__st").getField("_2"), e =>
+          struct(e.getField("_1").as("level"), e.getField("_2").as("anchor"),
+            e.getField("_3").as("done"))).as("entries"))
+  }
+
+  /** The zero-delivery state for [[advanceWindowedFunnelState]]. */
+  def emptyWindowedFunnelState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), StructType(Seq(
+      StructField("user_id", StringType),
+      StructField("achieved", IntegerType),
+      StructField("entries", ArrayType(StructType(Seq(
+        StructField("level", IntegerType),
+        StructField("anchor", LongType),
+        StructField("done", LongType))))))))
+  }
+
   /** The conversion table over [[funnelSteps]]: users reaching AT LEAST each
     * step (step 0 = everyone with a step-typed event). Tiny output
     * (|steps|+1 rows); the cumulative sum runs over that bounded frame. */

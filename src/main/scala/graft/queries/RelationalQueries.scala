@@ -286,6 +286,27 @@ object RelationalQueries {
         "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
         windowMicros = 6L * 3600 * 1000000)),
 
+    // --- commit-driven incremental funnel maintenance: the events table
+    // split into two event-time-ordered deliveries at its midpoint, folded
+    // through the per-user state frame — must land on the same
+    // exists-a-chain truth as the one-shot operator (fold-split law) ---
+    "q_funnel_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+      val ev = Tables.events(s, d)
+      val steps = Seq("view", "click", "purchase")
+      val w = 6L * 3600 * 1000000
+      val mm = ev.agg(fmin(unix_micros(col("ts"))), fmax(unix_micros(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val st1 = graft.operators.EventAnalytics.advanceWindowedFunnelState(
+        graft.operators.EventAnalytics.emptyWindowedFunnelState(s),
+        ev.filter(unix_micros(col("ts")) < cut),
+        "user_id", "event_type", "ts", steps, w)
+      graft.operators.EventAnalytics.advanceWindowedFunnelState(
+          st1, ev.filter(unix_micros(col("ts")) >= cut),
+          "user_id", "event_type", "ts", steps, w)
+        .select(col("user_id"), col("achieved").as("steps_completed"))
+    }),
+
     // --- batch event-time tumbling window over events ---
     "q_event_windows" -> ((s, d) =>
       Tables.events(s, d)
@@ -1240,6 +1261,34 @@ object RelationalQueries {
 
     // the exists-a-chain definition, literally: per prefix length, does a
     // strictly-increasing chain exist whose span fits the 6h window
+    // incremental maintenance must land on the SAME independent
+    // exists-a-chain truth as the one-shot operator — only the user id
+    // surfaces as its string form (the state table's key type)
+    "q_funnel_incremental" ->
+      """WITH v AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts
+        |      FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type IN ('view', 'click', 'purchase'))
+        |SELECT CAST(u.user_id AS VARCHAR) AS user_id,
+        |  CAST(CASE
+        |    WHEN EXISTS (SELECT 1 FROM v
+        |                 JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        |                       AND c.ts - v.ts <= 21600000000
+        |                 JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+        |                       AND p.ts - v.ts <= 21600000000
+        |                 WHERE v.user_id = u.user_id) THEN 3
+        |    WHEN EXISTS (SELECT 1 FROM v
+        |                 JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        |                       AND c.ts - v.ts <= 21600000000
+        |                 WHERE v.user_id = u.user_id) THEN 2
+        |    WHEN EXISTS (SELECT 1 FROM v WHERE v.user_id = u.user_id) THEN 1
+        |    ELSE 0 END AS INT) AS steps_completed
+        |FROM u""".stripMargin,
+
     "q_funnel_windowed" ->
       """WITH v AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts
         |           FROM events WHERE event_type = 'view'),

@@ -181,6 +181,60 @@ class EventAnalyticsSpec extends AnyFlatSpec with Matchers {
     maxFrontier should be <= 6 // identical to the untied bound
   }
 
+  "advanceWindowedFunnelState" should "equal the batch funnel over any ordered delivery split" in {
+    // the commit-driven form: random tie-heavy event sets split into three
+    // ordered deliveries, folded through the state frame — must equal
+    // windowedFunnelSteps over the concatenation, per the fold-split law
+    val rnd = new scala.util.Random(11)
+    val windowMicros = 5L * 1000000
+    val all = (1 to 20).flatMap { u =>
+      (0 until 3 + rnd.nextInt(10)).map { _ =>
+        (u.toLong, steps(rnd.nextInt(3)),
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(rnd.nextInt(20).toLong)))
+      }
+    }.sortBy(_._3.getTime)
+    val (d1, rest) = all.splitAt(all.size / 3)
+    val (d2, d3) = rest.splitAt(rest.size / 3)
+    var state = EventAnalytics.emptyWindowedFunnelState(spark)
+    Seq(d1, d2, d3).foreach { d =>
+      state = EventAnalytics.advanceWindowedFunnelState(state,
+        d.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", steps, windowMicros)
+      // the state frame must survive materialization between deliveries —
+      // that is what a versioned-table round trip does to it
+      state = state.localCheckpoint()
+    }
+    val incremental = state.select("user_id", "achieved")
+      .as[(String, Int)].collect().toMap
+    val batch = EventAnalytics.windowedFunnelSteps(
+        all.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", steps, windowMicros)
+      .as[(Long, Int)].collect().map { case (u, n) => u.toString -> n }.toMap
+    incremental shouldBe batch
+    // and the pruning bound holds in the STORED state too: entries per user
+    // bounded by one window's occupancy across all levels
+    state.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("entries")).as("n"))
+      .as[Int].collect().foreach(_ should be <= 40)
+  }
+
+  it should "round-trip its state through parquet (versioned-table shape)" in {
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec.toLong))
+    val w = 5L * 60 * 1000000
+    val d1 = Seq(("u1", "view", ts(0)), ("u1", "click", ts(60)))
+      .toDF("user_id", "event_type", "ts")
+    val d2 = Seq(("u1", "buy", ts(120))).toDF("user_id", "event_type", "ts")
+    val s1 = EventAnalytics.advanceWindowedFunnelState(
+      EventAnalytics.emptyWindowedFunnelState(spark), d1,
+      "user_id", "event_type", "ts", steps, w)
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel-state-").toString
+    s1.write.mode("overwrite").parquet(dir) // what versionedInsertInto does
+    val s2 = EventAnalytics.advanceWindowedFunnelState(
+      spark.read.parquet(dir), d2, "user_id", "event_type", "ts", steps, w)
+    s2.select("user_id", "achieved").as[(String, Int)].collect().toMap shouldBe
+      Map("u1" -> 3)
+  }
+
   "funnelConversion" should "produce the cumulative at-least table" in {
     val events = Seq(
       (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "buy", ts(3)),
