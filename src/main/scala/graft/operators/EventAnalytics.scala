@@ -190,6 +190,78 @@ object EventAnalytics {
         StructField("done", LongType))))))))
   }
 
+  /**
+   * Incremental retention maintenance — the commit-driven sibling of
+   * [[advanceWindowedFunnelState]]: a per-user state frame (`user_id`
+   * STRING, `cohort_day` LONG — epoch day of the user's first-seen week —
+   * and `offsets` ARRAY<LONG>, a bitmap of week offsets seen) advanced by
+   * one delivery at a time. Week truncation happens UPSTREAM with the same
+   * `date_trunc("week")` the batch operator uses; cohort assignment is
+   * first-DELIVERED week (exact when deliveries are event-time ordered —
+   * the contract all incremental/streaming variants share). State per user
+   * is O(active-weeks/64) longs. [[retentionFromState]] rebuilds the
+   * cohort table; the law `fold(deliveries) |> retentionFromState ==
+   * retentionCohorts(concat)` is pinned in EventAnalyticsSpec and at the
+   * gate (q_retention_incremental replays q_retention's own oracle).
+   */
+  def advanceRetentionState(
+      state: DataFrame,
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val advance = udf { (cohort: Long, offsets: Seq[Long], weeks: Seq[Int]) =>
+      val c = if (cohort == Long.MinValue) weeks.min.toLong else cohort
+      var bits = offsets.toArray
+      weeks.foreach { day =>
+        val off = Math.floorDiv(day - c, 7L).toInt
+        if (off >= 0) { // a late pre-cohort week cannot move the cohort
+          val word = off >> 6
+          if (word >= bits.length) bits = bits ++ Array.fill(word - bits.length + 1)(0L)
+          bits(word) |= 1L << (off & 63)
+        }
+      }
+      (c, bits.toSeq)
+    }
+    val delivery = events
+      .select(col(userCol).cast("string").as("user_id"),
+        datediff(to_date(date_trunc("week", col(tsCol))), lit("1970-01-01")).as("__wk"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("__wk")).as("__wks"))
+    state.join(delivery, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        advance(
+          coalesce(col("cohort_day"), lit(Long.MinValue)),
+          coalesce(col("offsets"), array().cast("array<bigint>")),
+          coalesce(col("__wks"), array().cast("array<int>"))).as("__st"))
+      .select(col("user_id"),
+        col("__st").getField("_1").as("cohort_day"),
+        col("__st").getField("_2").as("offsets"))
+  }
+
+  /** The zero-delivery state for [[advanceRetentionState]]. */
+  def emptyRetentionState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), StructType(Seq(
+      StructField("user_id", StringType),
+      StructField("cohort_day", LongType),
+      StructField("offsets", ArrayType(LongType)))))
+  }
+
+  /** Rebuild [[retentionCohorts]]' table from an incremental state frame. */
+  def retentionFromState(state: DataFrame): DataFrame = {
+    val setOffsets = udf { (words: Seq[Long]) =>
+      words.iterator.zipWithIndex.flatMap { case (w, wi) =>
+        (0 until 64).filter(b => (w >> b & 1L) == 1L).map(b => wi * 64 + b)
+      }.toSeq
+    }
+    state
+      .select(col("user_id"),
+        date_add(to_date(lit("1970-01-01")), col("cohort_day").cast("int")).as("cohort_week"),
+        explode(setOffsets(col("offsets"))).as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** The conversion table over [[funnelSteps]]: users reaching AT LEAST each
     * step (step 0 = everyone with a step-typed event). Tiny output
     * (|steps|+1 rows); the cumulative sum runs over that bounded frame. */

@@ -307,6 +307,22 @@ object RelationalQueries {
         .select(col("user_id"), col("achieved").as("steps_completed"))
     }),
 
+    // --- commit-driven incremental retention: two ordered deliveries
+    // folded through the per-user (cohort, offset-bitmap) state, then the
+    // cohort table rebuilt — must equal the one-shot operator's oracle ---
+    "q_retention_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+      val ev = Tables.events(s, d)
+      val mm = ev.agg(fmin(unix_micros(col("ts"))), fmax(unix_micros(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val st1 = graft.operators.EventAnalytics.advanceRetentionState(
+        graft.operators.EventAnalytics.emptyRetentionState(s),
+        ev.filter(unix_micros(col("ts")) < cut), "user_id", "ts")
+      graft.operators.EventAnalytics.retentionFromState(
+        graft.operators.EventAnalytics.advanceRetentionState(
+          st1, ev.filter(unix_micros(col("ts")) >= cut), "user_id", "ts"))
+    }),
+
     // --- batch event-time tumbling window over events ---
     "q_event_windows" -> ((s, d) =>
       Tables.events(s, d)
@@ -1313,6 +1329,20 @@ object RelationalQueries {
         |    WHEN EXISTS (SELECT 1 FROM v WHERE v.user_id = u.user_id) THEN 1
         |    ELSE 0 END AS INT) AS steps_completed
         |FROM u""".stripMargin,
+
+    // incremental maintenance lands on the one-shot operator's own truth
+    "q_retention_incremental" ->
+      """WITH fw AS (
+        |  SELECT user_id, date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort
+        |  FROM events GROUP BY user_id),
+        |aw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+        |  FROM events)
+        |SELECT CAST(fw.cohort AS DATE) AS cohort_week,
+        |  CAST(datediff('day', fw.cohort, aw.w) // 7 AS INT) AS week_offset,
+        |  COUNT(DISTINCT aw.user_id) AS n_users
+        |FROM aw JOIN fw USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_retention" ->
       """WITH fw AS (

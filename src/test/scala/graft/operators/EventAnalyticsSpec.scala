@@ -248,6 +248,31 @@ class EventAnalyticsSpec extends AnyFlatSpec with Matchers {
     got shouldBe Map(1 -> 4L, 2 -> 2L, 3 -> 1L)
   }
 
+  "advanceRetentionState" should "rebuild the batch cohort table over any ordered delivery split" in {
+    val rnd = new scala.util.Random(13)
+    val all = (1 to 25).flatMap { u =>
+      (0 until 1 + rnd.nextInt(6)).map { _ =>
+        (u.toLong, java.sql.Timestamp.valueOf(
+          f"2024-01-${1 + rnd.nextInt(28)}%02d 12:00:00"))
+      }
+    }.sortBy(_._2.getTime)
+    val (d1, rest) = all.splitAt(all.size / 3)
+    val (d2, d3) = rest.splitAt(rest.size / 3)
+    var state = EventAnalytics.emptyRetentionState(spark)
+    Seq(d1, d2, d3).foreach { d =>
+      state = EventAnalytics.advanceRetentionState(
+        state, d.toDF("user_id", "ts"), "user_id", "ts").localCheckpoint()
+    }
+    val incremental = EventAnalytics.retentionFromState(state)
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map { case (c, o, n) => (c.toString, o) -> n }.toMap
+    val batch = EventAnalytics.retentionCohorts(
+        all.toDF("user_id", "ts"), "user_id", "ts")
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map { case (c, o, n) => (c.toString, o) -> n }.toMap
+    incremental shouldBe batch
+  }
+
   "retentionCohorts" should "bucket users by first-event week and count active offsets" in {
     def week(w: Int, dow: Int) = Timestamp.valueOf(f"2024-01-${1 + w * 7 + dow}%02d 12:00:00")
     val events = Seq(
