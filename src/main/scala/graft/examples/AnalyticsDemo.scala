@@ -79,6 +79,33 @@ object AnalyticsDemo {
     println(s"VIDEO_NEARDUP_PAIRS=${graft.operators.Multimodal
       .videoNearDupPairs(videos, everyNth = 1).count()}")
 
+    // commit-driven incremental maintenance: fold the events in two
+    // ordered deliveries through the state frames and check both land on
+    // the one-shot operators' results — the fold-split law, live
+    val ea = graft.operators.EventAnalytics
+    val mm = events.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val (d1, d2) = (events.filter(unix_micros(col("ts")) < cut),
+      events.filter(unix_micros(col("ts")) >= cut))
+    val fSteps = Seq("view", "click", "purchase")
+    val w6h = 6L * 3600 * 1000000
+    val incFunnel = ea.advanceWindowedFunnelState(
+        ea.advanceWindowedFunnelState(ea.emptyWindowedFunnelState(spark),
+          d1, "user_id", "event_type", "ts", fSteps, w6h),
+        d2, "user_id", "event_type", "ts", fSteps, w6h)
+      .select(col("user_id"), col("achieved")).as[(String, Int)].collect().toMap
+    val oneShotFunnel = ea.windowedFunnelSteps(events, "user_id", "event_type", "ts", fSteps, w6h)
+      .as[(Long, Int)].collect().map { case (u, n) => u.toString -> n }.toMap
+    println(s"FUNNEL_INCREMENTAL_MATCHES=${incFunnel == oneShotFunnel}")
+    val incRet = ea.retentionFromState(
+        ea.advanceRetentionState(
+          ea.advanceRetentionState(ea.emptyRetentionState(spark), d1, "user_id", "ts"),
+          d2, "user_id", "ts"))
+      .as[(java.sql.Date, Int, Long)].collect().map { case (c, o, n) => (c.toString, o) -> n }.toMap
+    val oneShotRet = ea.retentionCohorts(events, "user_id", "ts")
+      .as[(java.sql.Date, Int, Long)].collect().map { case (c, o, n) => (c.toString, o) -> n }.toMap
+    println(s"RETENTION_INCREMENTAL_MATCHES=${incRet == oneShotRet}")
+
     spark.stop()
   }
 }
