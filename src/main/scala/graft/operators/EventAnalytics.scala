@@ -178,6 +178,22 @@ object EventAnalytics {
             e.getField("_3").as("done"))).as("entries"))
   }
 
+  /** The conversion table straight off an incremental state frame: users
+    * reaching AT LEAST each achieved prefix — [[funnelConversion]]'s shape
+    * over [[advanceWindowedFunnelState]]'s output, so a commit-driven
+    * pipeline reads its dashboard table from the maintained state without
+    * touching event history. Output bounded by |steps|+1 rows. */
+  def funnelConversionFromState(state: DataFrame): DataFrame = {
+    // no filter: like funnelConversion, the step-0 row counts every user
+    // with a step-typed event, converted or not
+    val byStep = state.groupBy(col("achieved")).agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("achieved").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byStep.withColumn("n_users_at_least", sum(col("__n")).over(w))
+      .select(col("achieved").as("step"), col("n_users_at_least"))
+  }
+
   /** The zero-delivery state for [[advanceWindowedFunnelState]]. */
   def emptyWindowedFunnelState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import org.apache.spark.sql.types._

@@ -79,4 +79,48 @@ class VersionedCurationSpec extends AnyFlatSpec with Matchers {
     engine.read(table)
       .select("doc_id").as[Long].collect().toSet shouldBe (v1Ids ++ novelIds)
   }
+
+  "a versioned funnel state table" should "answer 'the funnel as of commit X' via time travel" in {
+    // the commit-driven incremental pair's headline: the per-user state is
+    // a plain DataFrame, so each advance lands as a snapshot commit and
+    // readAt rebuilds ANY historical funnel without event history
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+    val steps = Seq("view", "click", "buy")
+    val w5min = 5L * 60 * 1000000
+    val root = java.nio.file.Files.createTempDirectory("graft-vfunnel-")
+    val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+    val table = TableDefinition(TableName("analytics", "funnel_state"),
+      root.resolve("funnel_state").toUri, PartitionSchema.snapshot, FileFormat.Parquet)
+    engine.initTable(table, UserId("analytics"), "init")
+
+    // delivery 1: user 1 mid-chain, user 2 complete
+    val d1 = Seq(
+      (1L, "view", t(0)), (1L, "click", t(2)),
+      (2L, "view", t(1)), (2L, "click", t(3)), (2L, "buy", t(4))
+    ).toDF("user_id", "event_type", "ts")
+    val s1 = EventAnalytics.advanceWindowedFunnelState(
+      EventAnalytics.emptyWindowedFunnelState(spark), d1,
+      "user_id", "event_type", "ts", steps, w5min)
+    s1.versionedReplaceAll(engine, table, UserId("analytics"), "delivery d1")
+    val c1 = engine.tracker.currentRef(table.name)
+
+    // delivery 2: user 1 completes within the window
+    val d2 = Seq((1L, "buy", t(4))).toDF("user_id", "event_type", "ts")
+    EventAnalytics.advanceWindowedFunnelState(engine.read(table), d2,
+        "user_id", "event_type", "ts", steps, w5min)
+      .versionedReplaceAll(engine, table, UserId("analytics"), "delivery d2")
+
+    def achieved(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "achieved").as[(String, Int)].collect().toMap
+    // head: both users converted
+    achieved(engine.read(table)) shouldBe Map("1" -> 3, "2" -> 3)
+    // as of c1: user 1 was still mid-chain — no event replay needed
+    achieved(engine.readAt(table, c1)) shouldBe Map("1" -> 2, "2" -> 3)
+    // the dashboard table reads straight off either state version
+    EventAnalytics.funnelConversionFromState(engine.readAt(table, c1))
+      .as[(Int, Long)].collect().toMap shouldBe Map(2 -> 2L, 3 -> 1L)
+    EventAnalytics.funnelConversionFromState(engine.read(table))
+      .as[(Int, Long)].collect().toMap shouldBe Map(3 -> 2L)
+  }
 }
