@@ -530,6 +530,59 @@ object VersionedTables {
     }
   }
 
+  /**
+   * A staged (written but UNCOMMITTED) insert: the data files exist under
+   * a fresh version directory that no commit references, so every reader
+   * still sees the pre-stage table. [[staged]] reads exactly the staged
+   * files (committed data excluded) — the audit surface of
+   * write-audit-publish. Publishing stamps the commit time at PUBLISH, not
+   * stage. An abandoned stage needs no cleanup call: its directories are
+   * orphan debris, listed by [[VersionedTables.orphanedVersions]] and
+   * reclaimed by `vacuum(includeOrphans = true)` — the identical lifecycle
+   * as a failed CAS write. A plain vacuum deliberately spares orphans,
+   * which is what protects an in-flight stage a writer is about to
+   * publish.
+   */
+  final case class StagedWrite private[operators] (
+      private val engine: VersionedTables,
+      table: TableDefinition,
+      userId: UserId,
+      message: String,
+      version: Version,
+      private val ops: List[TableOperation],
+      private val schema: org.apache.spark.sql.types.StructType) {
+
+    /** Read of EXACTLY the staged version's files. */
+    def staged: DataFrame = {
+      val tv: TableVersion =
+        if (table.isSnapshot) SnapshotTableVersion(version)
+        else PartitionedTableVersion(ops.collect {
+          case TableOperation.AddPartitionVersion(p, v) => p -> v
+        }.toMap)
+      engine.readVersion(table, tv)
+    }
+
+    /** Commit the staged version — it becomes the table head atomically. */
+    def publish(): (TableVersion, TableChanges) = commit(None)
+
+    /** [[publish]] with optimistic concurrency: lands only if the head
+      * still equals `expectedHead` (see `versionedInsertIntoIf`). */
+    def publishIf(expectedHead: CommitId): (TableVersion, TableChanges) =
+      commit(Some(expectedHead))
+
+    private def commit(expectedHead: Option[CommitId]): (TableVersion, TableChanges) = {
+      val update = TableUpdate(userId, message, java.time.Instant.now(), ops)
+      val result = expectedHead match {
+        case Some(h) => engine.versioned.commitIf(table.name, update, h)
+        case None    => engine.versioned.commit(table.name, update)
+      }
+      // this write defines the table's schema as of the new head — repeat
+      // writers skip the next guard's sample read
+      engine.noteSchemaAt(table, update.metadata.id, schema)
+      result
+    }
+  }
+
   /** Syntax: `ds.versionedInsertInto(engine, table, userId, message)`. */
   implicit final class DatasetVersionedOps[T](private val ds: Dataset[T]) extends AnyVal {
 
@@ -608,6 +661,57 @@ object VersionedTables {
         clusterBy: Seq[String] = Nil): (TableVersion, TableChanges) =
       write(engine, table, userId, message, clusterBy, replaceAll = true, Some(expectedHead))
 
+    /**
+     * WRITE-AUDIT-PUBLISH, stage step: write `ds`'s data files under a
+     * fresh version directory WITHOUT committing — no reader can see them
+     * (data before commit is invisible by design), but [[StagedWrite.staged]]
+     * reads exactly the staged files so checks can run against what WOULD
+     * become visible. Publish with [[StagedWrite.publish]]/`publishIf`;
+     * abandoning costs nothing — the directories are orphan debris that
+     * [[VersionedTables.orphanedVersions]] lists and vacuum reclaims, the
+     * same mechanism that already covers failed CAS writes.
+     */
+    def stageInsertInto(
+        engine: VersionedTables,
+        table: TableDefinition,
+        userId: UserId,
+        message: String,
+        clusterBy: Seq[String] = Nil): StagedWrite =
+      stage(engine, table, userId, message, clusterBy, replaceAll = false, None)
+
+    /** [[stageInsertInto]] with replace-all publish semantics (the removes
+      * are computed against the head AT STAGE TIME — use `publishIf` when
+      * other writers may race). */
+    def stageReplaceAll(
+        engine: VersionedTables,
+        table: TableDefinition,
+        userId: UserId,
+        message: String,
+        clusterBy: Seq[String] = Nil): StagedWrite =
+      stage(engine, table, userId, message, clusterBy, replaceAll = true, None)
+
+    /**
+     * The one-call write-audit-publish insert: stage, run the
+     * [[Expectations]] checks against the STAGED read, and publish only if
+     * every check passes — otherwise throw
+     * [[Expectations.ExpectationsFailedError]] with the full report,
+     * leaving the table's visible state untouched (the staged files are
+     * vacuum-reclaimable debris). Readers can never observe data that
+     * failed its audit.
+     */
+    def auditedInsertInto(
+        engine: VersionedTables,
+        table: TableDefinition,
+        userId: UserId,
+        message: String,
+        checks: Seq[Expectations.Check],
+        clusterBy: Seq[String] = Nil): (TableVersion, TableChanges) = {
+      val staged = stageInsertInto(engine, table, userId, message, clusterBy)
+      val results = Expectations.audit(staged.staged, checks)
+      if (results.forall(_.ok)) staged.publish()
+      else throw Expectations.ExpectationsFailedError(results)
+    }
+
     private def write(
         engine: VersionedTables,
         table: TableDefinition,
@@ -616,6 +720,21 @@ object VersionedTables {
         clusterBy: Seq[String],
         replaceAll: Boolean,
         expectedHead: Option[CommitId] = None): (TableVersion, TableChanges) = {
+      val staged = stage(engine, table, userId, message, clusterBy, replaceAll, expectedHead)
+      expectedHead match {
+        case Some(h) => staged.publishIf(h)
+        case None    => staged.publish()
+      }
+    }
+
+    private def stage(
+        engine: VersionedTables,
+        table: TableDefinition,
+        userId: UserId,
+        message: String,
+        clusterBy: Seq[String],
+        replaceAll: Boolean,
+        expectedHead: Option[CommitId]): StagedWrite = {
       checkSparkConfigs(ds.sparkSession)
       // replace-all rewrites the whole visible table, so it is ALLOWED to
       // change the schema; a partial insert is not (mixed-schema partitions)
@@ -667,15 +786,7 @@ object VersionedTables {
             s"(the write to ${table.name} produced no $versionDir, and committing " +
             "a version with no data directory would break every later read)")
       }
-      val update = TableUpdate(userId, message, java.time.Instant.now(), ops)
-      val result = expectedHead match {
-        case Some(h) => engine.versioned.commitIf(table.name, update, h)
-        case None    => engine.versioned.commit(table.name, update)
-      }
-      // this write defines the table's schema as of the new head — repeat
-      // writers skip the next guard's sample read
-      engine.noteSchemaAt(table, update.metadata.id, ds.toDF().schema)
-      result
+      StagedWrite(engine, table, userId, message, version, ops, ds.toDF().schema)
     }
 
     /** The reference's asserted precondition (SparkSupport.scala:60-69). With

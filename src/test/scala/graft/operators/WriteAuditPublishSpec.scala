@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.core._
+import graft.operators.VersionedTables._
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/**
+ * Write-audit-publish over the versioned layer: staged data is invisible
+ * until published, the audit runs against exactly what WOULD become
+ * visible, a failed audit leaves only vacuum-reclaimable debris, and the
+ * one-call `auditedInsertInto` makes bad data unobservable by readers.
+ */
+class WriteAuditPublishSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture() = {
+    val root = java.nio.file.Files.createTempDirectory("graft-wap-")
+    val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+    val table = TableDefinition(TableName("wap", "docs"),
+      root.resolve("docs").toUri, PartitionSchema("batch"), FileFormat.Parquet)
+    engine.initTable(table, UserId("writer"), "init")
+    (engine, table)
+  }
+
+  "stageInsertInto" should "stage invisibly, audit the staged read, publish atomically" in {
+    val (engine, table) = fixture()
+    Seq((1L, "alpha", "b0"), (2L, "beta", "b0")).toDF("doc_id", "text", "batch")
+      .versionedInsertInto(engine, table, UserId("writer"), "base")
+    val headBefore = engine.tracker.currentRef(table.name)
+
+    val staged = Seq((3L, "gamma", "b1"), (4L, "delta", "b1"))
+      .toDF("doc_id", "text", "batch")
+      .stageInsertInto(engine, table, UserId("writer"), "delivery b1")
+
+    // invisible: no commit, no visible rows, head unmoved
+    engine.read(table).select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L)
+    engine.tracker.currentRef(table.name) shouldBe headBefore
+    // the audit surface is EXACTLY the staged slice — committed rows excluded
+    staged.staged.select("doc_id").as[Long].collect().toSet shouldBe Set(3L, 4L)
+    Expectations.audit(staged.staged,
+      Seq(Expectations.Unique(Seq("doc_id")))).head.ok shouldBe true
+
+    staged.publish()
+    engine.read(table).select("doc_id").as[Long].collect().toSet shouldBe
+      Set(1L, 2L, 3L, 4L)
+  }
+
+  it should "leave an abandoned stage as vacuum-reclaimable debris, never visible" in {
+    val (engine, table) = fixture()
+    Seq((1L, "alpha", "b0")).toDF("doc_id", "text", "batch")
+      .versionedInsertInto(engine, table, UserId("writer"), "base")
+
+    val staged = Seq((1L, "alpha-dup", "b1")).toDF("doc_id", "text", "batch")
+      .stageInsertInto(engine, table, UserId("writer"), "bad delivery")
+    // abandon by simply not publishing: the staged version is orphan debris
+    val orphans = engine.orphanedVersions(table)
+    orphans.exists(_.toString.contains(staged.version.label)) shouldBe true
+    // a PLAIN vacuum must NOT touch it — includeOrphans=false is exactly
+    // what protects an in-flight stage another writer is about to publish
+    engine.vacuum(table, keepLast = 10, dryRun = false).failed shouldBe empty
+    engine.orphanedVersions(table)
+      .exists(_.toString.contains(staged.version.label)) shouldBe true
+    // opting into orphan reclaim deletes it; the visible table never changed
+    engine.vacuum(table, keepLast = 10, includeOrphans = true, dryRun = false)
+      .failed shouldBe empty
+    engine.orphanedVersions(table)
+      .exists(_.toString.contains(staged.version.label)) shouldBe false
+    engine.read(table).select("doc_id").as[Long].collect().toSet shouldBe Set(1L)
+  }
+
+  "auditedInsertInto" should "publish a clean delivery and refuse a dirty one untouched" in {
+    val (engine, table) = fixture()
+    val checks = Seq(
+      Expectations.NotNull(Seq("text")),
+      Expectations.Unique(Seq("doc_id")),
+      Expectations.Satisfies("nonempty_text",
+        org.apache.spark.sql.functions.length(col("text")) > 0))
+
+    Seq((1L, "alpha", "b0"), (2L, "beta", "b0")).toDF("doc_id", "text", "batch")
+      .auditedInsertInto(engine, table, UserId("writer"), "clean b0", checks)
+    engine.read(table).count() shouldBe 2L
+
+    val dirty = Seq((3L, "gamma", "b1"), (3L, null, "b1"))
+      .toDF("doc_id", "text", "batch")
+    val err = intercept[Expectations.ExpectationsFailedError] {
+      dirty.auditedInsertInto(engine, table, UserId("writer"), "dirty b1", checks)
+    }
+    err.results.filterNot(_.ok).map(_.check).toSet shouldBe
+      Set("not_null(text)", "unique(doc_id)", "satisfies(nonempty_text)")
+    // the refusal is total: visible table unchanged, no commit landed
+    engine.read(table).select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L)
+    engine.log(table.name).map(_.message) shouldBe List("clean b0", "init")
+    // and the dirty files are reclaimable debris
+    engine.orphanedVersions(table) should not be empty
+  }
+}
