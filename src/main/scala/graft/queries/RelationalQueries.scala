@@ -323,6 +323,24 @@ object RelationalQueries {
           st1, ev.filter(unix_micros(col("ts")) >= cut), "user_id", "ts"))
     }),
 
+    // --- declarative data-quality audit (the WAP audit surface run as a
+    // report): five check classes over lineitem, incl. a genuinely failing
+    // one — the reduced generator duplicates (l_orderkey, l_linenumber).
+    // The per-check driver-side collects are 1-row aggregations by design.
+    "q_expectations" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.Expectations
+      val results = Expectations.audit(Tables.lineitem(s, d), Seq(
+        Expectations.NotNull(Seq("l_returnflag")),
+        Expectations.Unique(Seq("l_orderkey", "l_linenumber")),
+        Expectations.InRange("l_discount", 0.0, 0.1),
+        Expectations.RefIntegrity("l_orderkey",
+          Tables.orders(s, d).select(col("o_orderkey")), "o_orderkey"),
+        Expectations.Satisfies("qty_positive", col("l_quantity") > 0)))
+      s.createDataset(results)
+        .select(col("check").as("check_name"), col("violations"))
+    }),
+
     // --- batch event-time tumbling window over events ---
     "q_event_windows" -> ((s, d) =>
       Tables.events(s, d)
@@ -1343,6 +1361,31 @@ object RelationalQueries {
         |  COUNT(DISTINCT aw.user_id) AS n_users
         |FROM aw JOIN fw USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // every check restated independently in SQL — including the genuinely
+    // failing uniqueness check (the reduced generator duplicates keys)
+    "q_expectations" ->
+      """SELECT 'not_null(l_returnflag)' AS check_name,
+        |  CAST(COALESCE(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'unique(l_orderkey,l_linenumber)',
+        |  CAST((SELECT COALESCE(SUM(n - 1), 0) FROM (
+        |     SELECT COUNT(*) AS n FROM lineitem
+        |     GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'in_range(l_discount,0.0,0.1)',
+        |  CAST(COALESCE(SUM(CASE WHEN l_discount IS NOT NULL
+        |    AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'ref_integrity(l_orderkey)',
+        |  CAST((SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'satisfies(qty_positive)',
+        |  CAST(COALESCE(SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE) THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |FROM lineitem""".stripMargin,
 
     "q_retention" ->
       """WITH fw AS (
