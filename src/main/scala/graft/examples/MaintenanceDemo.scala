@@ -195,6 +195,27 @@ object MaintenanceDemo {
         (col("predicted") === col("lang")).cast("double"))).collect()(0).getDouble(0)
     println(f"HYBRID_FUSED=${fused.count()} LM_BUCKETS=$buckets NB_SELF_ACC=$acc%.2f")
 
+    // write-audit-publish: a clean delivery publishes, a dirty one is
+    // refused whole — readers never see data that failed its audit
+    import spark.implicits._
+    val wapTable = TableDefinition(TableName("demo", "wap_docs"),
+      root.resolve("wap_docs").toUri, PartitionSchema("batch"), FileFormat.Parquet)
+    engine.initTable(wapTable, UserId("demo"), "init")
+    val checks = Seq(
+      graft.operators.Expectations.NotNull(Seq("text")),
+      graft.operators.Expectations.Unique(Seq("doc_id")))
+    Seq((1L, "alpha", "b0"), (2L, "beta", "b0")).toDF("doc_id", "text", "batch")
+      .auditedInsertInto(engine, wapTable, UserId("demo"), "clean", checks)
+    val refused =
+      try {
+        Seq((3L, "gamma", "b1"), (3L, null, "b1")).toDF("doc_id", "text", "batch")
+          .auditedInsertInto(engine, wapTable, UserId("demo"), "dirty", checks)
+        false
+      } catch { case _: graft.operators.Expectations.ExpectationsFailedError => true }
+    println(s"WAP_CLEAN_ROWS=${engine.read(wapTable).count()} " +
+      s"WAP_DIRTY_REFUSED=$refused " +
+      s"WAP_DEBRIS=${engine.orphanedVersions(wapTable).size}")
+
     spark.stop()
   }
 }
