@@ -54,7 +54,18 @@ object Bench {
     * exceeds this by >[[CalibInflationRetry]] ran contended even if steal
     * says otherwise. */
   private[graft] val CalibQuietS = 0.85
-  private[graft] val CalibInflationRetry = 1.2
+  /** Round-11 tightening (was 1.2): BENCH_r10 shipped contended=false at a
+    * +7% calib (0.912s, ratio 1.073) yet carried +28% total inflation — the
+    * judge replay of the same binary measured 97.8s vs the artifact's 125.2s.
+    * The probe under-responds relative to the query mix (single-threaded loop
+    * vs 32-way shuffle stages), so the trigger must fire well below the
+    * inflation it predicts. The verdict suggested ~1.08, but the known-bad
+    * ratio is 1.073 — a 1.08 gate would STILL have passed it — so the gate is
+    * 1.06: above every quiet-box observation (median span 0.830-0.860s is
+    * ratio 0.98-1.01; worst quiet probe seen ~1.03) and below the known miss.
+    * A spurious retry costs one extra pass; keep-better-attempt bounds the
+    * damage. Thresholds documented in BASELINE.md. */
+  private[graft] val CalibInflationRetry = 1.06
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
