@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Declarative data-quality expectations over a DataFrame — the audit half
@@ -16,12 +17,20 @@ import org.apache.spark.sql.functions._
  *    aggregation pass over the frame (`sum(when(!pred, 1))` per check):
  *    one scan, no shuffle beyond the final 1-row agg, any number of
  *    checks.
+ *  - [[Expectations.UniqueApprox]] — a HyperLogLog++ distinct sketch,
+ *    fused into the SAME single pass as the row-local checks: no key
+ *    shuffle, no extra scan — the cheap pre-check before (or instead of)
+ *    exact Unique at 100 TB.
  *  - [[Expectations.Unique]] — one map-side-combinable groupBy on the key
  *    columns counting groups with >1 row; one shuffle per distinct key
  *    set.
  *  - [[Expectations.RefIntegrity]] — a LEFT ANTI join against the
  *    dimension's key column; Spark broadcasts small dimensions and AQE
  *    handles the rest, the standard FK-validation shape.
+ *
+ * A multi-class audit (fused pass + Unique/RefIntegrity passes) persists
+ * the input ONCE for its duration, so staged 100 TB data is scanned a
+ * single time however many checks run — see [[Expectations.audit]].
  *
  * Violation counts are exact; use the returned counts to decide, and the
  * `violations` helper to fetch offender rows for triage (bounded by
@@ -41,6 +50,26 @@ object Expectations {
     * a duplicated key — a key appearing k times contributes k-1). */
   final case class Unique(cols: Seq[String]) extends Check {
     val name = s"unique(${cols.mkString(",")})"
+  }
+
+  /** Approximate [[Unique]] — the cheap 100 TB pre-check arm. Violations =
+    * `max(0, rows − floor(approxDistinct(key) · (1+3·rsd)))`, i.e. the
+    * extra rows a HyperLogLog++ sketch CANNOT explain away as estimation
+    * error. `rsd` is the sketch's relative standard DEVIATION (not a
+    * bound — observed errors reach ~1.3·rsd on this repo's own fixtures),
+    * so the slack is three deviations: ~99.7% of clean keys report 0 and
+    * the count stays ≤ exact [[Unique]]'s. The sketch rides the shared
+    * one-pass aggregation with the row-local checks — no shuffle on the
+    * key, no second scan — where exact Unique pays a full groupBy shuffle.
+    *
+    * Pinned as spec laws: a truly unique key reports 0; the reported count
+    * never exceeds the exact check's; duplication well above `3·rsd` (say
+    * a 2x-duplicated table at rsd=0.05) is always caught. Duplication
+    * BELOW `3·rsd` can hide inside the slack — run exact [[Unique]] when
+    * this check fails, or when exactness gates the publish. */
+  final case class UniqueApprox(cols: Seq[String], rsd: Double = 0.05) extends Check {
+    require(rsd > 0 && rsd < 1, s"rsd must be in (0,1), was $rsd")
+    val name = s"unique_approx(${cols.mkString(",")})"
   }
 
   /** `col` lies in [lo, hi] (nulls do NOT violate — compose with
@@ -63,6 +92,22 @@ object Expectations {
     val name = s"satisfies($checkName)"
   }
 
+  /** What data a write-audit-publish audit runs against (see
+    * `auditedInsertInto`). */
+  sealed trait AuditScope
+  object AuditScope {
+    /** Only THIS delivery's rows (the staged slice). Cheapest — the audit
+      * never touches committed data — but [[Unique]]/[[RefIntegrity]]
+      * validate within the delivery only: a key already published by an
+      * earlier delivery is not seen. */
+    case object Delivery extends AuditScope
+    /** The table as it WOULD read after publish: staged partitions
+      * overlaid on the untouched committed ones. Table-wide
+      * Unique/RefIntegrity (cross-delivery duplicates ARE caught), at the
+      * cost of scanning the committed partitions too. */
+    case object TableWide extends AuditScope
+  }
+
   /** One audited check: its name and how many violations it found. */
   final case class CheckResult(check: String, violations: Long) {
     def ok: Boolean = violations == 0L
@@ -75,45 +120,76 @@ object Expectations {
       "expectations failed: " + results.filterNot(_.ok)
         .map(r => s"${r.check}=${r.violations}").mkString(", "))
 
-  private def rowPredicate(df: DataFrame, c: Check): Option[(String, Column)] = c match {
+  private def rowPredicate(c: Check): Option[Column] = c match {
     case NotNull(cols) =>
-      Some(c.name -> cols.map(col(_).isNotNull).reduce(_ && _))
+      Some(cols.map(col(_).isNotNull).reduce(_ && _))
     case InRange(cl, lo, hi) =>
-      Some(c.name -> (col(cl).isNull || (col(cl) >= lo && col(cl) <= hi)))
-    case Satisfies(_, p) => Some(c.name -> coalesce(p, lit(false)))
+      Some(col(cl).isNull || (col(cl) >= lo && col(cl) <= hi))
+    case Satisfies(_, p) => Some(coalesce(p, lit(false)))
     case _ => None
   }
 
+  /** The violation count as ONE ungrouped aggregate expression, for every
+    * check class that can ride the shared single scan (row-local
+    * predicates and the HLL sketch of [[UniqueApprox]]). [[Unique]] and
+    * [[RefIntegrity]] need their own shuffle/join pass and return None. */
+  private def fusedViolations(c: Check): Option[Column] = c match {
+    case UniqueApprox(cols, rsd) =>
+      val key = if (cols.size == 1) col(cols.head) else struct(cols.map(col): _*)
+      // rows the sketch cannot explain: subtract the estimate inflated by
+      // three standard deviations (rsd is a deviation, not a bound), so a
+      // clean key reports 0 despite HLL noise
+      Some(greatest(
+        lit(0L),
+        count(lit(1)) - floor(approx_count_distinct(key, rsd) * (1.0 + 3.0 * rsd)).cast("long")))
+    case other => rowPredicate(other).map(pred => sum(when(!pred, 1L).otherwise(0L)))
+  }
+
   /** Run every check, returning one [[CheckResult]] per check in input
-    * order. Row-local checks share a single aggregation pass. */
+    * order. Results are keyed by POSITION, not name — two checks with the
+    * same name (e.g. duplicate [[Satisfies]] checkNames) each report their
+    * own count. Row-local predicates and [[UniqueApprox]] sketches fuse
+    * into a single aggregation pass; when further passes are needed
+    * ([[Unique]]'s groupBy, [[RefIntegrity]]'s anti-join), the input is
+    * persisted ONCE so a multi-class audit scans the (possibly
+    * just-written, possibly 100 TB) staged data a single time instead of
+    * once per pass — and unpersisted before returning. An input the caller
+    * already persisted is left alone. */
   def audit(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
     require(checks.nonEmpty, "audit needs at least one check")
-    val rowChecks = checks.flatMap(c => rowPredicate(df, c))
-    val rowCounts: Map[String, Long] =
-      if (rowChecks.isEmpty) Map.empty
-      else {
-        val aggs = rowChecks.map { case (name, pred) =>
-          sum(when(!pred, 1L).otherwise(0L)).as(name)
+    val indexed = checks.zipWithIndex
+    val fused = indexed.flatMap { case (c, i) => fusedViolations(c).map(i -> _) }
+    val heavyPasses = checks.count { case _: Unique | _: RefIntegrity => true; case _ => false }
+    val scans = (if (fused.isEmpty) 0 else 1) + heavyPasses
+    val materialize = scans > 1 && df.storageLevel == StorageLevel.NONE
+    val input = if (materialize) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    try {
+      val fusedCounts: Map[Int, Long] =
+        if (fused.isEmpty) Map.empty
+        else {
+          val aggs = fused.map { case (i, c) => c.as(s"__check_$i") }
+          val row = input.agg(aggs.head, aggs.tail: _*).head()
+          fused.zipWithIndex.map { case ((checkIdx, _), pos) =>
+            checkIdx -> (if (row.isNullAt(pos)) 0L else row.getLong(pos)) // null = empty frame
+          }.toMap
         }
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        rowChecks.zipWithIndex.map { case ((name, _), i) =>
-          name -> (if (row.isNullAt(i)) 0L else row.getLong(i)) // null = empty frame
-        }.toMap
+      indexed.map { case (c, i) =>
+        if (fusedCounts.contains(i)) CheckResult(c.name, fusedCounts(i))
+        else c match {
+          case Unique(cols) =>
+            val extras = input.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+              .filter(col("__n") > 1)
+              .agg(coalesce(sum(col("__n") - 1), lit(0L))).head().getLong(0)
+            CheckResult(c.name, extras)
+          case RefIntegrity(cl, dim, dimCol) =>
+            val orphans = input.filter(col(cl).isNotNull)
+              .join(dim.select(col(dimCol).as(cl)).distinct(), Seq(cl), "left_anti")
+              .count()
+            CheckResult(c.name, orphans)
+          case other => throw new IllegalStateException(s"unhandled check ${other.name}")
+        }
       }
-    checks.map {
-      case c if rowCounts.contains(c.name) => CheckResult(c.name, rowCounts(c.name))
-      case c @ Unique(cols) =>
-        val extras = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > 1)
-          .agg(coalesce(sum(col("__n") - 1), lit(0L))).head().getLong(0)
-        CheckResult(c.name, extras)
-      case c @ RefIntegrity(cl, dim, dimCol) =>
-        val orphans = df.filter(col(cl).isNotNull)
-          .join(dim.select(col(dimCol).as(cl)).distinct(), Seq(cl), "left_anti")
-          .count()
-        CheckResult(c.name, orphans)
-      case c => throw new IllegalStateException(s"unhandled check ${c.name}")
-    }
+    } finally if (materialize) input.unpersist(blocking = false)
   }
 
   /** Offender rows for one check (empty for a passing one), bounded by
@@ -123,12 +199,14 @@ object Expectations {
       val dups = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > 1).select(cols.map(col): _*)
       df.join(dups, cols, "left_semi").limit(limit)
+    // a sketch has no offender rows — triage with the exact key groupBy
+    case UniqueApprox(cols, _) => violations(df, Unique(cols), limit)
     case RefIntegrity(cl, dim, dimCol) =>
       df.filter(col(cl).isNotNull)
         .join(dim.select(col(dimCol).as(cl)).distinct(), Seq(cl), "left_anti")
         .limit(limit)
     case c =>
-      val Some((_, pred)) = rowPredicate(df, c)
+      val Some(pred) = rowPredicate(c)
       df.filter(!pred).limit(limit)
   }
 }

@@ -562,6 +562,27 @@ object VersionedTables {
       engine.readVersion(table, tv)
     }
 
+    /** The table as it WOULD read after [[publish]]: this stage's
+      * partition versions (and removes, for a replace-all stage) overlaid
+      * on the head's untouched partitions; for a snapshot table the stage
+      * replaces everything, so this equals [[staged]]. Table-wide audits
+      * (cross-delivery Unique/RefIntegrity) run against THIS view where
+      * [[staged]] is delivery-scoped. The head is read at CALL time — under
+      * racing writers pair the audit with [[publishIf]] so a head moved
+      * after the audit fails the commit rather than publishing unaudited
+      * overlap. */
+    def wouldBeVisible: DataFrame =
+      if (table.isSnapshot) staged
+      else {
+        val headPvs = engine.tracker.currentVersion(table.name) match {
+          case PartitionedTableVersion(pvs) => pvs
+          case _: SnapshotTableVersion      => Map.empty[Partition, Version]
+        }
+        val adds = ops.collect { case TableOperation.AddPartitionVersion(p, v) => p -> v }.toMap
+        val removes = ops.collect { case TableOperation.RemovePartition(p) => p }.toSet
+        engine.readVersion(table, PartitionedTableVersion(headPvs -- removes ++ adds))
+      }
+
     /** Commit the staged version — it becomes the table head atomically. */
     def publish(): (TableVersion, TableChanges) = commit(None)
 
@@ -692,12 +713,20 @@ object VersionedTables {
 
     /**
      * The one-call write-audit-publish insert: stage, run the
-     * [[Expectations]] checks against the STAGED read, and publish only if
-     * every check passes — otherwise throw
-     * [[Expectations.ExpectationsFailedError]] with the full report,
-     * leaving the table's visible state untouched (the staged files are
-     * vacuum-reclaimable debris). Readers can never observe data that
-     * failed its audit.
+     * [[Expectations]] checks, and publish only if every check passes —
+     * otherwise throw [[Expectations.ExpectationsFailedError]] with the
+     * full report, leaving the table's visible state untouched (the staged
+     * files are vacuum-reclaimable debris). Readers can never observe a
+     * delivery that failed its audit.
+     *
+     * `scope` picks what the checks see. The default
+     * [[Expectations.AuditScope.Delivery]] audits the STAGED slice only —
+     * row-local checks are complete there, but Unique/RefIntegrity are
+     * DELIVERY-SCOPED: a key already published by an earlier delivery and
+     * re-inserted now passes. [[Expectations.AuditScope.TableWide]] audits
+     * [[StagedWrite.wouldBeVisible]] (staged partitions overlaid on the
+     * untouched committed ones) so cross-delivery duplicates and orphans
+     * ARE caught, at the cost of scanning committed partitions too.
      */
     def auditedInsertInto(
         engine: VersionedTables,
@@ -705,9 +734,14 @@ object VersionedTables {
         userId: UserId,
         message: String,
         checks: Seq[Expectations.Check],
-        clusterBy: Seq[String] = Nil): (TableVersion, TableChanges) = {
+        clusterBy: Seq[String] = Nil,
+        scope: Expectations.AuditScope = Expectations.AuditScope.Delivery): (TableVersion, TableChanges) = {
       val staged = stageInsertInto(engine, table, userId, message, clusterBy)
-      val results = Expectations.audit(staged.staged, checks)
+      val audited = scope match {
+        case Expectations.AuditScope.Delivery  => staged.staged
+        case Expectations.AuditScope.TableWide => staged.wouldBeVisible
+      }
+      val results = Expectations.audit(audited, checks)
       if (results.forall(_.ok)) staged.publish()
       else throw Expectations.ExpectationsFailedError(results)
     }

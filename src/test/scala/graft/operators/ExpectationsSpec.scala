@@ -49,6 +49,91 @@ class ExpectationsSpec extends AnyFlatSpec with Matchers {
       .forall(_.ok) shouldBe true
   }
 
+  it should "attribute counts positionally when two checks share a name" in {
+    // round-10 advice: name-keyed counts collapsed duplicate checkNames to
+    // the LAST check's count — positional keying reports each its own
+    val results = Expectations.audit(frame, Seq(
+      Satisfies("p", col("id") > 1),   // violated by id=1 → 1
+      Satisfies("p", col("id") > 100), // violated by all  → 5
+      NotNull(Seq("id")),
+      NotNull(Seq("id"))))             // duplicate spec: both report 0
+    results.map(_.check) shouldBe
+      Seq("satisfies(p)", "satisfies(p)", "not_null(id)", "not_null(id)")
+    results.map(_.violations) shouldBe Seq(1L, 5L, 0L, 0L)
+  }
+
+  it should "scan a multi-class audit's input exactly once" in {
+    // Every check references the UDF-computed column, so each audit pass
+    // would re-run the UDF if the input were recomputed: without the
+    // persist, fused + Unique + RefIntegrity = 3 scans = 3n ticks. The
+    // accumulator pins ONE materialization.
+    val acc = spark.sparkContext.longAccumulator("scan-ticks")
+    val tick = udf { (x: Long) => acc.add(1L); x }
+    val n = 1000L
+    val tracked = spark.range(n).toDF("id").withColumn("k", tick(col("id")))
+    val results = Expectations.audit(tracked, Seq(
+      NotNull(Seq("k")),
+      Unique(Seq("k")),
+      RefIntegrity("k", spark.range(n).toDF("code"), "code")))
+    results.forall(_.ok) shouldBe true
+    acc.value shouldBe n
+    // and the audit-internal persist is released before returning
+    tracked.storageLevel shouldBe org.apache.spark.storage.StorageLevel.NONE
+  }
+
+  it should "leave a caller-persisted input's storage level alone" in {
+    val df = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      Expectations.audit(df, Seq(NotNull(Seq("name")), Unique(Seq("id"))))
+        .map(_.violations) shouldBe Seq(1L, 1L)
+      df.storageLevel shouldBe org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    } finally df.unpersist()
+  }
+
+  it should "not persist a single-pass audit at all" in {
+    // row-local checks + UniqueApprox all fuse into one aggregation pass —
+    // one scan, no caching needed or taken
+    val acc = spark.sparkContext.longAccumulator("fused-ticks")
+    val tick = udf { (x: Long) => acc.add(1L); x }
+    val n = 500L
+    val tracked = spark.range(n).toDF("id").withColumn("k", tick(col("id")))
+    Expectations.audit(tracked, Seq(
+      NotNull(Seq("k")),
+      UniqueApprox(Seq("k")),
+      InRange("k", 0, n.toDouble))).forall(_.ok) shouldBe true
+    acc.value shouldBe n
+  }
+
+  "UniqueApprox" should "report zero on a truly unique key despite sketch noise" in {
+    val clean = spark.range(20000).toDF("id")
+    Expectations.audit(clean, Seq(UniqueApprox(Seq("id"))))
+      .head.violations shouldBe 0L
+  }
+
+  it should "catch heavy duplication, never exceeding the exact count" in {
+    // 2x-duplicated key: exact extras = 5000, far above the 3·rsd slack
+    val dup = spark.range(5000).toDF("id").union(spark.range(5000).toDF("id"))
+    val Seq(approx, exact) = Expectations.audit(dup,
+      Seq(UniqueApprox(Seq("id")), Unique(Seq("id")))).map(_.violations)
+    exact shouldBe 5000L
+    approx should be > 0L
+    approx should be <= exact
+  }
+
+  it should "handle multi-column keys and an empty frame" in {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "a")).toDF("id", "s")
+    // exact extras = 1 ((1,a) twice); the sketch's slack may hide it at
+    // this size, but it must never report MORE than exact
+    val Seq(approx, exact) = Expectations.audit(df,
+      Seq(UniqueApprox(Seq("id", "s")), Unique(Seq("id", "s")))).map(_.violations)
+    exact shouldBe 1L
+    approx should be <= exact
+    Expectations.audit(df.limit(0), Seq(UniqueApprox(Seq("id", "s"))))
+      .head.violations shouldBe 0L
+    // triage falls back to the exact offender view
+    Expectations.violations(df, UniqueApprox(Seq("id", "s"))).count() shouldBe 2L
+  }
+
   "violations" should "surface bounded offender rows per check" in {
     Expectations.violations(frame, NotNull(Seq("name")))
       .select("id").as[Long].collect() shouldBe Array(3L)

@@ -98,4 +98,52 @@ class WriteAuditPublishSpec extends AnyFlatSpec with Matchers {
     // and the dirty files are reclaimable debris
     engine.orphanedVersions(table) should not be empty
   }
+
+  "wouldBeVisible" should "overlay the staged partitions on the untouched head" in {
+    val (engine, table) = fixture()
+    Seq((1L, "alpha", "b0"), (2L, "beta", "b0")).toDF("doc_id", "text", "batch")
+      .versionedInsertInto(engine, table, UserId("writer"), "base")
+
+    val staged = Seq((2L, "beta-again", "b1"), (3L, "gamma", "b1"))
+      .toDF("doc_id", "text", "batch")
+      .stageInsertInto(engine, table, UserId("writer"), "delivery b1")
+    // delivery-scoped view: only b1; table-wide view: b0 ∪ b1, exactly
+    // what a reader would see post-publish
+    staged.staged.select("doc_id").as[Long].collect().toSet shouldBe Set(2L, 3L)
+    staged.wouldBeVisible.select("doc_id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 2L, 3L)
+    staged.publish()
+    engine.read(table).select("doc_id").as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 2L, 3L)
+  }
+
+  it should "equal the staged read for a replace-all stage" in {
+    val (engine, table) = fixture()
+    Seq((1L, "alpha", "b0")).toDF("doc_id", "text", "batch")
+      .versionedInsertInto(engine, table, UserId("writer"), "base")
+    val staged = Seq((9L, "omega", "b9")).toDF("doc_id", "text", "batch")
+      .stageReplaceAll(engine, table, UserId("writer"), "replace")
+    // the RemovePartition ops drop b0 from the overlay
+    staged.wouldBeVisible.select("doc_id").as[Long].collect().toSet shouldBe Set(9L)
+  }
+
+  "auditedInsertInto(TableWide)" should "catch cross-delivery duplicates the delivery scope passes" in {
+    val (engine, table) = fixture()
+    val checks = Seq(Expectations.Unique(Seq("doc_id")))
+    Seq((1L, "alpha", "b0")).toDF("doc_id", "text", "batch")
+      .auditedInsertInto(engine, table, UserId("writer"), "b0", checks)
+
+    // doc_id=1 again in b1: unique WITHIN the delivery, duplicate across
+    val redelivery = Seq((1L, "alpha-redux", "b1")).toDF("doc_id", "text", "batch")
+    val err = intercept[Expectations.ExpectationsFailedError] {
+      redelivery.auditedInsertInto(engine, table, UserId("writer"), "b1", checks,
+        scope = Expectations.AuditScope.TableWide)
+    }
+    err.results.filterNot(_.ok).map(_.violations) shouldBe Seq(1L)
+    engine.read(table).count() shouldBe 1L // refused: table untouched
+
+    // the default delivery scope documents the opposite: it publishes
+    redelivery.auditedInsertInto(engine, table, UserId("writer"), "b1 again", checks)
+    engine.read(table).count() shouldBe 2L
+  }
 }
