@@ -29,9 +29,14 @@ private[streaming] final case class WfEntry(level: Int, anchor: Long, done: Long
   * conversion window (see [[graft.operators.WindowedFunnelDp]]). */
 private[streaming] final case class WfState(achieved: Int, entries: Seq[WfEntry])
 
-/** A user's first-time activity in a retention week: emitted once per
-  * (user, week_offset); aggregate downstream for the cohort table. */
-final case class RetentionActivity(user_id: String, cohort_week: java.sql.Date, week_offset: Int)
+/** One retention-changelog row: `sign` +1 adds a (user, cohort, offset)
+  * cell, -1 retracts one (emitted only when a late-delivered FIRST event
+  * moves a user's cohort earlier). Under ordered delivery every sign is +1
+  * and each (user, week_offset) appears once; under any delivery order,
+  * `sum(sign)` per (cohort_week, week_offset) reproduces the batch cohort
+  * table exactly. */
+final case class RetentionActivity(
+    user_id: String, cohort_week: java.sql.Date, week_offset: Int, sign: Int = 1)
 
 private[streaming] final case class RetentionEvent(user_id: String, week: java.sql.Date)
 
@@ -236,10 +241,17 @@ object StreamingCuration {
    * since emission is already first-time-only — reproduces the batch table
    * (degeneracy law in StreamingCurationSpec).
    *
-   * Cohort assignment is first-DELIVERED-week: exact whenever each user's
-   * first event is not delivered late (the common case); a user's late
-   * earlier-week event cannot retroactively move their cohort — replay the
-   * batch operator when that matters.
+   * Cohort assignment is EXACT under any delivery order (round 11 — it was
+   * first-delivered-week before): when a user's late earlier-week FIRST
+   * event arrives, the operator emits cohort-correction rows — one
+   * `sign=-1` retraction per already-emitted (old cohort, offset) cell and
+   * the matching `sign=+1` rows under the new cohort at shifted offsets
+   * (both cohorts are week-truncated, so the shift is a whole number of
+   * weeks) — then continues under the moved cohort. Downstream,
+   * `sum(sign)` per cell is the exact batch table however late the data;
+   * consumers that ignore corrections (filter `sign=1`, keep first) get
+   * the old lower-bound behavior. State stays (cohort, offset bitmap):
+   * corrections replay from the bitmap, no events are retained.
    */
   def retentionCohortsStream(
       events: DataFrame,
@@ -252,28 +264,49 @@ object StreamingCuration {
         to_date(date_trunc("week", col(tsCol))).as("week"))
       .as[RetentionEvent]
 
+    def setOffsets(words: Array[Long]): Seq[Int] =
+      words.iterator.zipWithIndex.flatMap { case (w, wi) =>
+        (0 until 64).iterator.filter(b => (w & (1L << b)) != 0L).map(wi * 64 + _)
+      }.toSeq
+
     def advance(
         user: String, rows: Iterator[RetentionEvent],
         state: GroupState[RetState]): Iterator[RetentionActivity] = {
       val weeks = rows.map(_.week.toLocalDate.toEpochDay).toSeq.sorted
-      val st = state.getOption.getOrElse(RetState(weeks.head, Seq.empty))
-      val cohort = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(st.cohortEpochDay))
+      val prior = state.getOption.getOrElse(RetState(weeks.head, Seq.empty))
       val out = Seq.newBuilder[RetentionActivity]
-      var emitted = st.emitted.toArray
+      var cohortDay = prior.cohortEpochDay
+      var emitted = prior.emitted.toArray
+      if (weeks.head < cohortDay) {
+        // late FIRST event: the true cohort is earlier — retract every cell
+        // emitted under the provisional cohort and re-add it shifted
+        val newCohortDay = weeks.head
+        val delta = ((cohortDay - newCohortDay) / 7).toInt
+        val oldCohort = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(cohortDay))
+        val newCohort = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(newCohortDay))
+        val offs = setOffsets(emitted)
+        offs.foreach { off =>
+          out += RetentionActivity(user, oldCohort, off, sign = -1)
+          out += RetentionActivity(user, newCohort, off + delta, sign = 1)
+        }
+        val maxOff = offs.lastOption.map(_ + delta).getOrElse(0)
+        val shifted = Array.fill((maxOff >> 6) + 1)(0L)
+        offs.foreach { off => shifted((off + delta) >> 6) |= 1L << ((off + delta) & 63) }
+        cohortDay = newCohortDay
+        emitted = shifted
+      }
+      val cohort = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(cohortDay))
       weeks.foreach { day =>
-        // floorDiv: a late pre-cohort week must go negative, not round to 0
-        val off = Math.floorDiv(day - st.cohortEpochDay, 7).toInt
-        if (off >= 0) { // a late pre-cohort week cannot move the cohort
-          val word = off >> 6
-          if (word >= emitted.length) emitted = emitted ++ Array.fill(word - emitted.length + 1)(0L)
-          val bit = 1L << (off & 63)
-          if ((emitted(word) & bit) == 0L) {
-            emitted(word) |= bit
-            out += RetentionActivity(user, cohort, off)
-          }
+        val off = ((day - cohortDay) / 7).toInt // cohortDay <= every week now
+        val word = off >> 6
+        if (word >= emitted.length) emitted = emitted ++ Array.fill(word - emitted.length + 1)(0L)
+        val bit = 1L << (off & 63)
+        if ((emitted(word) & bit) == 0L) {
+          emitted(word) |= bit
+          out += RetentionActivity(user, cohort, off)
         }
       }
-      state.update(RetState(st.cohortEpochDay, emitted.toSeq))
+      state.update(RetState(cohortDay, emitted.toSeq))
       out.result().iterator
     }
 

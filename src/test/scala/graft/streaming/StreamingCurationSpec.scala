@@ -225,6 +225,47 @@ class StreamingCurationSpec extends AnyFlatSpec with Matchers {
     spark.table("stream_retention").count() shouldBe batch.values.sum
   }
 
+  it should "stay exact under late first events via cohort-correction rows" in {
+    import java.sql.Timestamp
+    def week(w: Int, dow: Int) = Timestamp.valueOf(f"2024-01-${1 + w * 7 + dow}%02d 12:00:00")
+    // user 1's FIRST event (week 0) is delivered after two later weeks: the
+    // provisional cohort w1 must be retracted cell-by-cell and re-added
+    // shifted under w0. user 2 is the ordered control.
+    val all = Seq(
+      (1L, week(0, 2)), (1L, week(1, 0)), (1L, week(3, 4)),
+      (2L, week(1, 1)), (2L, week(2, 1)))
+    val delivery1 = Seq(all(1), all(2), all(3)) // user 1 w1+w3 (cohort w1), user 2 w1
+    val delivery2 = Seq(all(0), all(4))         // user 1's TRUE first event arrives late
+
+    val source = MemoryStream[(Long, Timestamp)](spark)
+    val q = StreamingCuration.retentionCohortsStream(
+        source.toDF().toDF("user_id", "ts"), "user_id", "ts")
+      .writeStream.format("memory").queryName("stream_retention_late")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    source.addData(delivery1: _*); q.processAllAvailable()
+    source.addData(delivery2: _*); q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("stream_retention_late")
+    // corrections really fired: the provisional (w1-cohort) cells retracted
+    rows.filter("sign = -1").count() shouldBe 2L
+    // changelog law: sum(sign) per cell IS the batch table, late data and all
+    val streamed = rows.groupBy("cohort_week", "week_offset")
+      .agg(org.apache.spark.sql.functions.sum("sign").as("n_users"))
+      .filter("n_users > 0")
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map { case (c, o, n) => (c.toString, o) -> n }.toMap
+    val batch = graft.operators.EventAnalytics.retentionCohorts(
+        all.toDF("user_id", "ts"), "user_id", "ts")
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map { case (c, o, n) => (c.toString, o) -> n }.toMap
+    streamed shouldBe batch
+    // and every retraction nets to zero — no phantom cells survive
+    rows.groupBy("user_id", "cohort_week", "week_offset")
+      .agg(org.apache.spark.sql.functions.sum("sign").as("net"))
+      .filter("net < 0 or net > 1").count() shouldBe 0L
+  }
+
   it should "degenerate to the batch operator's exact selection on a batch frame" in {
     val docs = (0L until 40L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "grp")
     val streamOp = StreamingCuration.capPerGroupStream(docs, "grp", "doc_id", cap = 4)
