@@ -216,6 +216,32 @@ object MaintenanceDemo {
       s"WAP_DIRTY_REFUSED=$refused " +
       s"WAP_DEBRIS=${engine.orphanedVersions(wapTable).size}")
 
+    // streaming write-audit-publish: same checks per MICRO-BATCH through
+    // the versioned streaming sink — the dirty batch is refused invisibly
+    // (orphan debris), the clean ones publish, the query keeps running
+    val swapTable = TableDefinition(TableName("demo", "wap_stream"),
+      root.resolve("wap_stream").toUri, PartitionSchema("batch"), FileFormat.Parquet)
+    engine.initTable(swapTable, UserId("demo"), "init")
+    val swapSource = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](spark)
+    val refusedBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val swapQ = graft.streaming.EventStreams.writeVersionedAudited(
+      swapSource.toDF().toDF("doc_id", "text", "batch"),
+      engine, swapTable, UserId("demo"),
+      root.resolve("wap_stream_chk").toString, checks,
+      onRefused = (_, _) => { refusedBatches.incrementAndGet(); () },
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    swapSource.addData((10L, "clean-a", "s0"), (11L, "clean-b", "s0"))
+    swapQ.processAllAvailable()
+    swapSource.addData((12L, null, "s1")) // fails not_null(text)
+    swapQ.processAllAvailable()
+    swapSource.addData((13L, "clean-c", "s2"))
+    swapQ.processAllAvailable()
+    swapQ.stop()
+    println(s"STREAM_WAP_ROWS=${engine.read(swapTable).count()} " +
+      s"STREAM_WAP_REFUSED=${refusedBatches.get()} " +
+      s"STREAM_WAP_DEBRIS=${engine.orphanedVersions(swapTable).size}")
+
     spark.stop()
   }
 }

@@ -189,4 +189,58 @@ object EventStreams {
         ()
       }
       .start()
+
+  /**
+   * Streaming WRITE-AUDIT-PUBLISH: [[writeVersioned]] with a per-micro-batch
+   * [[graft.operators.Expectations]] audit between the stage and the
+   * publish. Each trigger's data is written to an UNCOMMITTED version
+   * directory, audited there (delivery-scoped by default;
+   * `AuditScope.TableWide` audits the staged partitions overlaid on the
+   * committed head), and published only when every check passes — readers
+   * can never observe a micro-batch that failed its audit.
+   *
+   * A refused batch's files stay on disk as orphan debris — the identical
+   * lifecycle as a failed CAS write: `orphanedVersions` lists them,
+   * `vacuum(includeOrphans = true)` reclaims them, and until then
+   * `Expectations.violations` over a re-read of the staged directory can
+   * triage the bad rows. The query itself keeps running — `onRefused`
+   * (batchId, full report) decides the policy: the default records nothing
+   * and skips the batch; throw from it to stop the query instead (note the
+   * checkpoint will then REPLAY the same batch on restart — a poison batch
+   * needs the skip policy plus offline triage).
+   */
+  def writeVersionedAudited(
+      stream: DataFrame,
+      engine: VersionedTables,
+      table: TableDefinition,
+      userId: UserId,
+      checkpointDir: String,
+      checks: Seq[graft.operators.Expectations.Check],
+      onRefused: (Long, Seq[graft.operators.Expectations.CheckResult]) => Unit = (_, _) => (),
+      scope: graft.operators.Expectations.AuditScope =
+        graft.operators.Expectations.AuditScope.Delivery,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.operators.Expectations
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist() // same three-evaluation shape as writeVersioned
+        try {
+          if (!batch.isEmpty) {
+            val staged = batch.stageInsertInto(engine, table, userId, s"stream batch $batchId")
+            val audited = scope match {
+              case Expectations.AuditScope.Delivery  => staged.staged
+              case Expectations.AuditScope.TableWide => staged.wouldBeVisible
+            }
+            val results = Expectations.audit(audited, checks)
+            if (results.forall(_.ok)) { staged.publish(); () }
+            else onRefused(batchId, results) // staged files remain orphan debris
+          }
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+  }
 }

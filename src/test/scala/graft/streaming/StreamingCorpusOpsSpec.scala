@@ -18,6 +18,9 @@ import org.scalatest.matchers.should.Matchers
  */
 case class StreamOpsDoc(doc_id: Long, text: String)
 
+/** Ingestion row for the streaming write-audit-publish law. */
+case class WapStreamDoc(doc_id: Long, text: String, part: String)
+
 class StreamingCorpusOpsSpec extends AnyFlatSpec with Matchers {
 
   lazy val spark = TestSpark.spark
@@ -129,5 +132,57 @@ class StreamingCorpusOpsSpec extends AnyFlatSpec with Matchers {
       (1L, "news.bbc.co.uk", "bbc.co.uk"),
       (2L, "www.sub.example.com", "example.com"),
       (3L, "", ""))
+  }
+
+  "writeVersionedAudited" should "publish clean micro-batches, refuse dirty ones invisibly, keep running" in {
+    import graft.core._
+    import graft.operators.{Expectations, VersionedTables}
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-wap-")
+    val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+    val table = TableDefinition(TableName("stream", "wap_docs"),
+      root.resolve("docs").toUri, PartitionSchema("part"), FileFormat.Parquet)
+    engine.initTable(table, UserId("stream"), "init")
+    val checks = Seq(
+      Expectations.NotNull(Seq("text")),
+      Expectations.Unique(Seq("doc_id")))
+    val refused = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[Expectations.CheckResult])]()
+
+    val source = MemoryStream[WapStreamDoc](spark)
+    val q = EventStreams.writeVersionedAudited(
+      source.toDF(), engine, table, UserId("stream"),
+      root.resolve("chk").toString, checks,
+      onRefused = (id, results) => refused.add((id, results)),
+      trigger = Trigger.ProcessingTime(0))
+
+    // clean delivery publishes
+    source.addData(WapStreamDoc(1L, "alpha", "b0"), WapStreamDoc(2L, "beta", "b0"))
+    q.processAllAvailable()
+    engine.read(table).select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L)
+
+    // dirty delivery (null text + duplicate key) is refused: invisible to
+    // readers, no commit, query still alive, report delivered
+    source.addData(WapStreamDoc(3L, null, "b1"), WapStreamDoc(3L, "gamma", "b1"))
+    q.processAllAvailable()
+    q.isActive shouldBe true
+    engine.read(table).select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L)
+    refused.size shouldBe 1
+    refused.peek()._2.filterNot(_.ok).map(_.check).toSet shouldBe
+      Set("not_null(text)", "unique(doc_id)")
+    // the refused files are orphan debris with the failed-CAS lifecycle
+    val debris = engine.orphanedVersions(table)
+    debris should not be empty
+
+    // the stream keeps ingesting: a later clean delivery publishes
+    source.addData(WapStreamDoc(4L, "delta", "b2"))
+    q.processAllAvailable()
+    q.stop()
+    engine.read(table).select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L, 4L)
+    engine.log(table.name).map(_.message).count(_.startsWith("stream batch")) shouldBe 2
+
+    // and the debris is reclaimable without touching the published data
+    engine.vacuum(table, keepLast = 10, includeOrphans = true, dryRun = false)
+      .failed shouldBe empty
+    engine.orphanedVersions(table) shouldBe empty
+    engine.read(table).count() shouldBe 3L
   }
 }
