@@ -28,6 +28,9 @@ import java.time.Instant
  *   graft-cli --store <uri> migrate
  *   graft-cli --store <uri> export <destUri>
  *   graft-cli --store <uri> sync <destUri>
+ *   graft-cli --store <uri> stage <schema.table> <tableLocation> <sourceUri> [--partition-by c1,c2] [--format F] [--source-format F]
+ *   graft-cli --store <uri> audit <schema.table> <tableLocation> <versionLabel> --check <spec> [--check <spec> ...]
+ *   graft-cli --store <uri> publish <schema.table> <tableLocation> <versionLabel> [--check <spec> ...]
  * }}}
  * `--store` may be omitted when `GRAFT_STORE` is set or a config file exists
  * (`--config <path>`, default `~/.graft/config`): a simple `key: value` file
@@ -36,8 +39,19 @@ import java.time.Instant
  *
  * All commands are metadata-only (no Spark, no data movement), matching the
  * reference CLI which operates purely on the version store — except `vacuum
- * --apply`, the one deliberate data-touching extension (Hadoop FS deletes of
- * expired `_version=` directories; report-only without `--apply`).
+ * --apply` (Hadoop FS deletes of expired `_version=` directories;
+ * report-only without `--apply`) and the three write-audit-publish verbs,
+ * which spin up a local SparkSession on demand: `stage` writes a source
+ * dataset to an UNCOMMITTED version (invisible to readers; abandoning it
+ * costs nothing — vacuum-reclaimable debris), `audit` runs declarative
+ * [[graft.operators.Expectations]] checks against exactly the staged files
+ * (exit 1 on violations), and `publish` commits the staged version — each
+ * invocation a separate process, re-attached through
+ * [[graft.operators.VersionedTables.findStaged]]. `publish --check ...`
+ * re-audits atomically before committing and refuses on a failing report.
+ * Check spec grammar: `not-null:c1,c2` | `unique:c1,c2` |
+ * `unique-approx:c1,c2[@rsd]` | `in-range:col:lo:hi` |
+ * `satisfies:name:<sql-expr>`.
  */
 object GraftCli {
 
@@ -254,6 +268,69 @@ object GraftCli {
         0
       }
 
+      // ---- write-audit-publish: the three Spark-backed verbs. Each CLI
+      // invocation is its own process; audit/publish re-attach to the
+      // staged version from its on-disk `_version=<label>` directories. ----
+      case List("stage", name, location, source) => withTable(name) { t =>
+        withTableDef(t, location, flags, out) { table =>
+          import graft.operators.VersionedTables.DatasetVersionedOps
+          val spark = cliSpark()
+          val engine = new graft.operators.VersionedTables(spark, tracker)
+          val df = spark.read.format(flags.getOrElse("source-format", table.format.name))
+            .load(source)
+          val stagedW = df.stageInsertInto(engine, table, user,
+            if (message.nonEmpty) message else s"stage $source")
+          out.println(s"staged  ${stagedW.version.label}")
+          stagedW.partitions.foreach(p => out.println(s"  ${p.toPath}"))
+          0
+        }
+      }
+
+      case List("audit", name, location, label) => withTable(name) { t =>
+        withTableDef(t, location, flags, out) { table =>
+          withChecks(flags, out, allowEmpty = false) { checks =>
+            val engine = new graft.operators.VersionedTables(cliSpark(), tracker)
+            engine.findStaged(table, label, user, message) match {
+              case Left(err) => out.println(s"error: $err"); 2
+              case Right(sw) =>
+                val results = graft.operators.Expectations.audit(sw.staged, checks)
+                results.foreach(r =>
+                  out.println(s"${if (r.ok) "ok  " else "FAIL"}  ${r.check}  ${r.violations}"))
+                if (results.forall(_.ok)) 0 else 1
+            }
+          }
+        }
+      }
+
+      case List("publish", name, location, label) => withTable(name) { t =>
+        withTableDef(t, location, flags, out) { table =>
+          withChecks(flags, out, allowEmpty = true) { checks =>
+            val engine = new graft.operators.VersionedTables(cliSpark(), tracker)
+            engine.findStaged(table, label, user,
+              if (message.nonEmpty) message else s"publish $label") match {
+              case Left(err) => out.println(s"error: $err"); 2
+              case Right(sw) =>
+                // re-audit at publish time when checks are given: the gate
+                // and the commit in one invocation, a refused publish
+                // leaves the stage as debris exactly like a failed audit
+                val results =
+                  if (checks.isEmpty) Nil
+                  else graft.operators.Expectations.audit(sw.staged, checks)
+                if (results.forall(_.ok)) {
+                  sw.publish()
+                  out.println(s"published ${tracker.currentRef(t).id}")
+                  0
+                } else {
+                  results.filterNot(_.ok).foreach(r =>
+                    out.println(s"FAIL  ${r.check}  ${r.violations}"))
+                  out.println(s"refused: expectations failed, $label left staged")
+                  1
+                }
+            }
+          }
+        }
+      }
+
       case List("migrate") =>
         // convert reference-layout (_chronicles_table_*) stores under the
         // root into graft-v2 layout; file store only (the JDBC store has no
@@ -270,7 +347,7 @@ object GraftCli {
 
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|vacuum|migrate|export|sync> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|vacuum|migrate|export|sync|stage|audit|publish> ...""".stripMargin)
         2
     } catch {
       case e @ (_: UnknownTableError | _: UnknownCommitError |
@@ -288,6 +365,103 @@ object GraftCli {
         out.println(s"error: ${e.getMessage}"); 1
       case e: IllegalArgumentException =>
         out.println(s"error: ${e.getMessage}"); 2
+    }
+  }
+
+  /** The SparkSession for the three data-touching WAP verbs — created on
+    * demand (every other command stays Spark-free), reusing any active
+    * session (test harnesses). The stage write path requires dynamic
+    * partition-overwrite mode; UTC keeps reads consistent with the engine's
+    * convention. */
+  private def cliSpark(): org.apache.spark.sql.SparkSession = {
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_CLI_MASTER", "local[2]"))
+      .appName("graft-cli")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    s
+  }
+
+  /** Build the TableDefinition the WAP verbs operate on from the location
+    * argument plus `--partition-by c1,c2` (omitted = snapshot table) and
+    * `--format` (default parquet). */
+  private def withTableDef(
+      t: TableName, location: String,
+      flags: Map[String, String], out: java.io.PrintWriter)(f: TableDefinition => Int): Int = {
+    val parsed = try Right(new URI(location)) catch {
+      case e: java.net.URISyntaxException => Left(s"bad location '$location': ${e.getMessage}")
+    }
+    parsed match {
+      case Left(err) => out.println(s"error: $err"); 2
+      case Right(uri) =>
+        val partBy = flags.get("partition-by")
+          .map(_.split(",").toList.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+        val schema = partBy match {
+          case Nil          => PartitionSchema.snapshot
+          case head :: rest => PartitionSchema(head, rest: _*)
+        }
+        f(TableDefinition(t, uri, schema, FileFormat(flags.getOrElse("format", "parquet"))))
+    }
+  }
+
+  /** Parse every repeated `--check <spec>` (see [[parseCheck]]); usage
+    * error when any is malformed, or when none were given and the command
+    * requires at least one. */
+  private def withChecks(
+      flags: Map[String, String], out: java.io.PrintWriter, allowEmpty: Boolean)(
+      f: Seq[graft.operators.Expectations.Check] => Int): Int = {
+    val specs = flags.get("check").map(_.split(CheckSep).toList).getOrElse(Nil)
+    if (specs.isEmpty && !allowEmpty) {
+      out.println("error: audit needs at least one --check <spec>"); 2
+    } else {
+      val parsed = specs.map(parseCheck)
+      val errs = parsed.collect { case Left(e) => e }
+      if (errs.nonEmpty) { errs.foreach(e => out.println(s"error: $e")); 2 }
+      else f(parsed.collect { case Right(c) => c })
+    }
+  }
+
+  /** One `--check` spec → an [[graft.operators.Expectations.Check]].
+    * Grammar: `not-null:c1,c2` | `unique:c1,c2` | `unique-approx:c1,c2[@rsd]`
+    * | `in-range:col:lo:hi` | `satisfies:name:<sql-expr>`. */
+  private[cli] def parseCheck(spec: String): Either[String, graft.operators.Expectations.Check] = {
+    import graft.operators.Expectations._
+    def cols(s: String) = s.split(",").toList.map(_.trim).filter(_.nonEmpty)
+    val i = spec.indexOf(':')
+    val (kind, body) = if (i < 0) (spec, "") else (spec.take(i), spec.drop(i + 1))
+    kind match {
+      case "not-null" if cols(body).nonEmpty => Right(NotNull(cols(body)))
+      case "unique" if cols(body).nonEmpty   => Right(Unique(cols(body)))
+      case "unique-approx" if body.nonEmpty =>
+        body.split("@") match {
+          case Array(cs) if cols(cs).nonEmpty => Right(UniqueApprox(cols(cs)))
+          case Array(cs, r) if cols(cs).nonEmpty =>
+            r.toDoubleOption.filter(d => d > 0 && d < 1)
+              .map(d => UniqueApprox(cols(cs), d))
+              .toRight(s"bad rsd '$r' in '$spec' (need 0<rsd<1)")
+          case _ => Left(s"unique-approx needs cols[@rsd] in '$spec'")
+        }
+      case "in-range" =>
+        body.split(":") match {
+          case Array(c, lo, hi) if c.nonEmpty =>
+            (lo.toDoubleOption, hi.toDoubleOption) match {
+              case (Some(l), Some(h)) => Right(InRange(c, l, h))
+              case _                  => Left(s"bad numeric bounds in '$spec'")
+            }
+          case _ => Left(s"in-range needs col:lo:hi in '$spec'")
+        }
+      case "satisfies" =>
+        val j = body.indexOf(':')
+        if (j <= 0 || j == body.length - 1)
+          Left(s"satisfies needs name:<sql-expr> in '$spec'")
+        else
+          try Right(Satisfies(body.take(j), org.apache.spark.sql.functions.expr(body.drop(j + 1))))
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            Left(s"bad sql expression in '$spec': ${e.getMessage}") }
+      case other =>
+        Left(s"unknown check '$other' (not-null|unique|unique-approx|in-range|satisfies)")
     }
   }
 
@@ -371,7 +545,13 @@ object GraftCli {
       }
     }
 
-  /** Split `--flag value` / `--flag` pairs from positional args. */
+  /** Separator for the one repeatable flag (`--check`): NUL can't survive
+    * an execve argv, so it can never collide with user input. */
+  private val CheckSep = "\u0000"
+
+  /** Split `--flag value` / `--flag` pairs from positional args. A repeated
+    * `--check` accumulates (NUL-joined); other repeated flags keep the last
+    * value. */
   private def parseFlags(argv: List[String]): (Map[String, String], List[String]) = {
     val boolFlags = Set("isSnapshot", "apply")
     def loop(rest: List[String], flags: Map[String, String], pos: List[String]): (Map[String, String], List[String]) =
@@ -381,7 +561,12 @@ object GraftCli {
           val key = flag.stripPrefix("--")
           if (boolFlags.contains(key) || tail.isEmpty || tail.head.startsWith("--"))
             loop(tail, flags + (key -> "true"), pos)
-          else loop(tail.tail, flags + (key -> tail.head), pos)
+          else {
+            val value =
+              if (key == "check" && flags.contains(key)) flags(key) + CheckSep + tail.head
+              else tail.head
+            loop(tail.tail, flags + (key -> value), pos)
+          }
         case p :: tail => loop(tail, flags, p :: pos)
       }
     loop(argv, Map.empty, Nil)

@@ -252,6 +252,75 @@ final class VersionedTables(
     }
   }
 
+  /** Re-attach to a STAGED (uncommitted) version written by another
+    * process — the cross-process half of write-audit-publish: `stage` in
+    * one JVM, `audit` and `publish` later (e.g. from the CLI). Scans the
+    * table location for this label's `_version=` directories (exactly
+    * [[graft.core.PartitionSchema]]-many levels deep, never a full tree
+    * walk) and rebuilds the staged ADD operations; a replace-all stage's
+    * removes are not recoverable from disk, so a re-attached publish is
+    * always a plain insert. Refuses a label some commit already references
+    * — the double-publish guard. */
+  def findStaged(
+      table: TableDefinition,
+      label: String,
+      userId: UserId,
+      message: String): Either[String, VersionedTables.StagedWrite] = {
+    import org.apache.hadoop.fs.Path
+    Version.parse(label) match {
+      case Left(err) => Left(s"bad version label '$label': $err")
+      case Right(version) =>
+        val committed = tracker.tableState(table.name).updates
+          .flatMap(_.operations).exists {
+            case TableOperation.AddPartitionVersion(_, v) => v == version
+            case TableOperation.AddTableVersion(v)        => v == version
+            case _                                        => false
+          }
+        if (committed)
+          Left(s"version $label is already committed to ${table.name.fullyQualifiedName}")
+        else {
+          val root = new Path(table.location)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val dirName = VersionPaths.VersionDirPrefix + label
+          val ops: List[TableOperation] =
+            if (table.isSnapshot) {
+              if (fs.exists(new Path(root, dirName)))
+                List(TableOperation.AddTableVersion(version))
+              else Nil
+            } else {
+              def walk(p: Path, cols: List[String], rel: List[String]): List[Partition] =
+                cols match {
+                  case Nil =>
+                    if (fs.exists(new Path(p, dirName)))
+                      Partition.parseEscaped(rel.mkString("/")).toOption.toList
+                    else Nil
+                  case c :: rest =>
+                    if (!fs.exists(p)) Nil
+                    else fs.listStatus(p).toList
+                      .filter(s => s.isDirectory && s.getPath.getName.startsWith(c + "="))
+                      .flatMap(s => walk(s.getPath, rest, rel :+ s.getPath.getName))
+                }
+              walk(root, table.partitionSchema.columnNames, Nil)
+                .sortBy(_.toPath)
+                .map(TableOperation.AddPartitionVersion(_, version))
+            }
+          if (ops.isEmpty)
+            Left(s"no staged data for version $label under ${table.location}")
+          else {
+            val tv =
+              if (table.isSnapshot) SnapshotTableVersion(version)
+              else PartitionedTableVersion(ops.collect {
+                case TableOperation.AddPartitionVersion(p, v) => p -> v
+              }.toMap)
+            // same read path the schema-drift guard samples with, so the
+            // shape recorded at publish matches later guard comparisons
+            val schema = readVersion(table, tv).schema
+            Right(VersionedTables.StagedWrite(this, table, userId, message, version, ops, schema))
+          }
+        }
+    }
+  }
+
   /** Retention report (VACUUM-style, reporting only — the engine never
     * deletes data): version directories that are referenced by SOME commit
     * but not visible in any of the last `keepLast` commits' table states.
@@ -551,6 +620,10 @@ object VersionedTables {
       version: Version,
       private val ops: List[TableOperation],
       private val schema: org.apache.spark.sql.types.StructType) {
+
+    /** Partitions this stage wrote (empty for a snapshot table). */
+    def partitions: List[Partition] =
+      ops.collect { case TableOperation.AddPartitionVersion(p, _) => p }
 
     /** Read of EXACTLY the staged version's files. */
     def staged: DataFrame = {

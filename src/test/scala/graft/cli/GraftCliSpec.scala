@@ -315,6 +315,88 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     oute should include("already exists")
   }
 
+  it should "stage, audit, and publish a delivery end-to-end (write-audit-publish)" in {
+    // the shared Hive-enabled session must exist BEFORE the CLI's lazy
+    // getOrCreate so later suites keep their harness session
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cli-wap-")
+    val src = root.resolve("src").toString
+    Seq((1L, "alpha", "b0"), (2L, "beta", "b0")).toDF("doc_id", "text", "batch")
+      .write.parquet(src)
+    cli("init", "sales.wapdocs")._1 shouldBe 0
+    val loc = root.resolve("docs").toUri.toString
+
+    val (cs, outS) = cli("stage", "sales.wapdocs", loc, src, "--partition-by", "batch")
+    cs shouldBe 0
+    outS.linesIterator.next() should startWith("staged")
+    outS should include("batch=b0")
+    val label = outS.linesIterator.next().trim.split("\\s+").last
+    // staged ≠ visible: the table still has no partitions
+    cli("partitions", "sales.wapdocs")._2 should not include "batch=b0"
+
+    val (ca, outA) = cli("audit", "sales.wapdocs", loc, label, "--partition-by", "batch",
+      "--check", "not-null:text",
+      "--check", "unique:doc_id",
+      "--check", "unique-approx:doc_id@0.03",
+      "--check", "in-range:doc_id:0:100",
+      "--check", "satisfies:nonempty:length(text) > 0")
+    ca shouldBe 0
+    outA.linesIterator.count(_.startsWith("ok")) shouldBe 5
+    // audit without checks is a usage error
+    cli("audit", "sales.wapdocs", loc, label, "--partition-by", "batch")._1 shouldBe 2
+
+    val (cp, outP) = cli("publish", "sales.wapdocs", loc, label, "--partition-by", "batch")
+    cp shouldBe 0
+    outP should include("published")
+    cli("partitions", "sales.wapdocs")._2 should include("batch=b0")
+    // double publish is refused: the label is already committed
+    val (cd, outD) = cli("publish", "sales.wapdocs", loc, label, "--partition-by", "batch")
+    cd shouldBe 2
+    outD should include("already committed")
+    // unknown label is a clean error
+    cli("audit", "sales.wapdocs", loc, "not-a-version", "--check", "unique:doc_id",
+      "--partition-by", "batch")._1 shouldBe 2
+  }
+
+  it should "refuse to publish a staged delivery that fails its expectations" in {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cli-wap-dirty-")
+    val src = root.resolve("src").toString
+    Seq((3L, Some("gamma"), "b1"), (3L, None, "b1"))
+      .toDF("doc_id", "text", "batch").write.parquet(src)
+    cli("init", "sales.wapdirty")._1 shouldBe 0
+    val loc = root.resolve("docs").toUri.toString
+
+    val (_, outS) = cli("stage", "sales.wapdirty", loc, src, "--partition-by", "batch")
+    val label = outS.linesIterator.next().trim.split("\\s+").last
+
+    // the audit reports the violations and exits 1
+    val (ca, outA) = cli("audit", "sales.wapdirty", loc, label, "--partition-by", "batch",
+      "--check", "not-null:text", "--check", "unique:doc_id")
+    ca shouldBe 1
+    outA should include("FAIL  not_null(text)  1")
+    outA should include("FAIL  unique(doc_id)  1")
+
+    // a gated publish refuses and leaves the stage as invisible debris
+    val (cp, outP) = cli("publish", "sales.wapdirty", loc, label, "--partition-by", "batch",
+      "--check", "not-null:text", "--check", "unique:doc_id")
+    cp shouldBe 1
+    outP should include("refused")
+    cli("partitions", "sales.wapdirty")._2 should not include "batch=b1"
+    val (_, logOut) = cli("log", "sales.wapdirty")
+    logOut.linesIterator.size shouldBe 1 // init only — no commit landed
+  }
+
+  it should "reject malformed --check specs with a usage error" in {
+    for (bad <- Seq("unknown:x", "not-null:", "in-range:col:a:b", "in-range:col:1",
+        "unique-approx:id@7", "satisfies:only-name"))
+      GraftCli.parseCheck(bad).isLeft shouldBe true
+    GraftCli.parseCheck("unique-approx:a,b@0.1").toOption.get shouldBe
+      graft.operators.Expectations.UniqueApprox(Seq("a", "b"), 0.1)
+  }
+
   it should "degrade to no-config on unreadable or malformed config paths" in {
     // a directory at the config path must not crash commands that pass --store
     val dir = Files.createTempDirectory("graft-config-dir-")
