@@ -278,6 +278,115 @@ object EventAnalytics {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /**
+   * Incremental gap-sessionization — the commit-driven member completing
+   * the third event-analytics family's batch + streaming + incremental
+   * triple (batch: the `session_window` aggregation at the gate as
+   * q_event_sessions; streaming: [[graft.streaming.EventStreams.sessionize]]).
+   *
+   * State frame: `user_id` STRING plus `sessions`
+   * ARRAY<STRUCT<start,last,n,v_cents>> in start order, the LAST element
+   * being the still-open session. One delivery advances it with ONE
+   * user-keyed exchange (groupBy + sorted collect_list, the family shape):
+   * an event within `gapMicros` of the open session's last event extends
+   * it, anything later opens a new one — `session_window`'s merge rule
+   * (strictly-less-than-gap joins). Values ride as cents (`value` cast
+   * DECIMAL(18,2) ×100), so per-session sums are exact integers regardless
+   * of fold order and [[sessionsFromState]] reproduces the oracle's
+   * decimal-sum-cast-double bit-for-bit.
+   *
+   * Exact under event-time-ordered delivery (the contract every
+   * incremental/streaming sibling shares); a late event can extend the
+   * open session but never retro-merge two already-separated ones —
+   * sessions can only UNDER-merge, never fabricate a bridge. Unbounded
+   * histories keep state O(1)/user by draining
+   * [[compactSessionState]]'s closed slice into an append-only results
+   * table at each commit.
+   */
+  def advanceSessionState(
+      state: DataFrame,
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String,
+      gapMicros: Long): DataFrame = {
+    require(gapMicros > 0, s"gapMicros must be > 0, got $gapMicros")
+    val advance = udf { (sessions: Seq[(Long, Long, Long, Long)], evs: Seq[(Long, Long)]) =>
+      val out = scala.collection.mutable.ArrayBuffer.from(sessions)
+      evs.foreach { case (t, cents) =>
+        if (out.nonEmpty && t - out.last._2 < gapMicros) {
+          val (s0, l0, n0, v0) = out.last
+          out(out.length - 1) = (math.min(s0, t), math.max(l0, t), n0 + 1, v0 + cents)
+        } else out += ((t, t, 1L, cents))
+      }
+      out.toSeq
+    }
+    val delivery = events
+      .select(col(userCol).cast("string").as("user_id"),
+        struct(unix_micros(col(tsCol)).as("_1"),
+          (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("_2")).as("__e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("__e"))).as("__seq"))
+    state.join(delivery, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        advance(
+          coalesce(transform(col("sessions"), s =>
+            struct(s.getField("start").as("_1"), s.getField("last").as("_2"),
+              s.getField("n").as("_3"), s.getField("v_cents").as("_4"))),
+            array().cast("array<struct<_1:bigint,_2:bigint,_3:bigint,_4:bigint>>")),
+          coalesce(col("__seq"),
+            array().cast("array<struct<_1:bigint,_2:bigint>>"))).as("__st"))
+      .select(col("user_id"),
+        transform(col("__st"), s =>
+          struct(s.getField("_1").as("start"), s.getField("_2").as("last"),
+            s.getField("_3").as("n"), s.getField("_4").as("v_cents"))).as("sessions"))
+  }
+
+  /** The zero-delivery state for [[advanceSessionState]]. */
+  def emptySessionState(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), StructType(Seq(
+      StructField("user_id", StringType),
+      StructField("sessions", ArrayType(StructType(Seq(
+        StructField("start", LongType),
+        StructField("last", LongType),
+        StructField("n", LongType),
+        StructField("v_cents", LongType))))))))
+  }
+
+  /** One session struct → the q_event_sessions output row shape. The cents
+    * → double conversion is exact-then-rounded (cents < 2^53 are exact in
+    * a double and IEEE division is correctly rounded), so it equals the
+    * oracle's CAST(SUM(DECIMAL) AS DOUBLE) bit-for-bit. */
+  private def sessionRows(withSession: DataFrame): DataFrame =
+    withSession.select(
+      date_format(timestamp_micros(col("s.start")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+      col("user_id"),
+      col("s.n").as("n_events"),
+      (col("s.v_cents").cast("double") / 100.0).as("session_value"))
+
+  /** Rebuild the full session table (q_event_sessions' shape:
+    * session_start, user_id, n_events, session_value) from an incremental
+    * state frame. */
+  def sessionsFromState(state: DataFrame): DataFrame =
+    sessionRows(state.select(col("user_id"), explode(col("sessions")).as("s")))
+
+  /** Drain the CLOSED sessions out of a state frame: (closed rows in
+    * [[sessionsFromState]]'s shape, a state keeping only each user's open
+    * tail). Under ordered delivery later events can only touch the open
+    * session, so draining between commits never changes the final table —
+    * the compaction law in EventAnalyticsSpec — and the maintained state
+    * stays O(1) per user over unbounded history. */
+  def compactSessionState(state: DataFrame): (DataFrame, DataFrame) = {
+    val closed = sessionRows(state.select(col("user_id"),
+      // greatest(..,0): a state frame can't hold an empty array after an
+      // advance, but slice with length -1 would throw rather than no-op
+      explode(slice(col("sessions"), lit(1), greatest(size(col("sessions")) - 1, lit(0)))).as("s")))
+    val openTail = state.select(col("user_id"),
+      slice(col("sessions"), -1, 1).as("sessions"))
+    (closed, openTail)
+  }
+
   /** The conversion table over [[funnelSteps]]: users reaching AT LEAST each
     * step (step 0 = everyone with a step-typed event). Tiny output
     * (|steps|+1 rows); the cumulative sum runs over that bounded frame. */

@@ -323,6 +323,26 @@ object RelationalQueries {
           st1, ev.filter(unix_micros(col("ts")) >= cut), "user_id", "ts"))
     }),
 
+    // --- commit-driven incremental sessionization: two ordered deliveries
+    // folded through the per-user session-array state, closed sessions
+    // DRAINED between the deliveries (the O(1)-state compaction path runs
+    // live at the gate), then closed ∪ final state rebuilt — must equal
+    // the batch session_window oracle ---
+    "q_sessions_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+      val ev = Tables.events(s, d)
+      val gap = 30L * 60 * 1000000
+      val mm = ev.agg(fmin(unix_micros(col("ts"))), fmax(unix_micros(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val ea = graft.operators.EventAnalytics
+      val st1 = ea.advanceSessionState(ea.emptySessionState(s),
+        ev.filter(unix_micros(col("ts")) < cut), "user_id", "ts", "value", gap)
+      val (closed, openTail) = ea.compactSessionState(st1)
+      val st2 = ea.advanceSessionState(openTail,
+        ev.filter(unix_micros(col("ts")) >= cut), "user_id", "ts", "value", gap)
+      closed.union(ea.sessionsFromState(st2))
+    }),
+
     // --- declarative data-quality audit (the WAP audit surface run as a
     // report): five check classes over lineitem, incl. a genuinely failing
     // one — the reduced generator duplicates (l_orderkey, l_linenumber).
@@ -1361,6 +1381,27 @@ object RelationalQueries {
         |  COUNT(DISTINCT aw.user_id) AS n_users
         |FROM aw JOIN fw USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // incremental sessionization lands on q_event_sessions' own truth
+    // (user_id as VARCHAR — the state frame keys on the string form)
+    "q_sessions_incremental" ->
+      """WITH flagged AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER (
+        |      PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+        |      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(user_id AS VARCHAR) AS user_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
 
     // every check restated independently in SQL — including the genuinely
     // failing uniqueness check (the reduced generator duplicates keys)

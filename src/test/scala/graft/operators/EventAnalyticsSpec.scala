@@ -273,6 +273,79 @@ class EventAnalyticsSpec extends AnyFlatSpec with Matchers {
     incremental shouldBe batch
   }
 
+  "advanceSessionState" should "rebuild the batch session_window table over any ordered delivery split" in {
+    val rnd = new scala.util.Random(17)
+    val gap = 30L * 60 * 1000000
+    val all = (1 to 15).flatMap { u =>
+      (0 until 2 + rnd.nextInt(8)).map { _ =>
+        (u.toLong,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(rnd.nextInt(6 * 3600).toLong)),
+          rnd.nextInt(10000) / 100.0)
+      }
+    }.sortBy(_._2.getTime)
+    val (d1, rest) = all.splitAt(all.size / 3)
+    val (d2, d3) = rest.splitAt(rest.size / 3)
+    var state = EventAnalytics.emptySessionState(spark)
+    Seq(d1, d2, d3).foreach { d =>
+      // localCheckpoint: the state frame must survive materialization
+      // between deliveries, as a versioned-table round trip would force
+      state = EventAnalytics.advanceSessionState(
+        state, d.toDF("user_id", "ts", "value"), "user_id", "ts", "value", gap)
+        .localCheckpoint()
+    }
+    val incremental = EventAnalytics.sessionsFromState(state)
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = all.toDF("user_id", "ts", "value")
+      .groupBy(org.apache.spark.sql.functions.session_window(
+        org.apache.spark.sql.functions.col("ts"), "30 minutes").as("w"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("value").cast("decimal(18,2)"))
+          .cast("double").as("session_value"))
+      .select(org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        org.apache.spark.sql.functions.col("user_id").cast("string").as("user_id"),
+        org.apache.spark.sql.functions.col("n_events"),
+        org.apache.spark.sql.functions.col("session_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    incremental shouldBe batch
+    incremental.size should be > 15 // multi-session users actually occurred
+  }
+
+  it should "drain closed sessions between commits without changing the final table" in {
+    def mts(min: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(min * 60L))
+    val gap = 30L * 60 * 1000000
+    val d1 = Seq((1L, mts(0), 1.0), (1L, mts(10), 2.0), (1L, mts(100), 3.0), (2L, mts(5), 4.0))
+    val d2 = Seq((1L, mts(110), 5.0), (2L, mts(200), 6.0))
+    def adv(st: org.apache.spark.sql.DataFrame, d: Seq[(Long, java.sql.Timestamp, Double)]) =
+      EventAnalytics.advanceSessionState(
+        st, d.toDF("user_id", "ts", "value"), "user_id", "ts", "value", gap)
+
+    val full = EventAnalytics.sessionsFromState(adv(adv(
+        EventAnalytics.emptySessionState(spark), d1), d2))
+      .as[(String, String, Long, Double)].collect().toSet
+
+    val st1 = adv(EventAnalytics.emptySessionState(spark), d1)
+    val (closed, openTail) = EventAnalytics.compactSessionState(st1)
+    // only user 1 has a CLOSED session after delivery 1 ([min 0-10])
+    closed.as[(String, String, Long, Double)].collect().toSet shouldBe
+      Set(("1970-01-01 00:00:00", "1", 2L, 3.0))
+    // the compacted state holds exactly one (open) session per user
+    openTail.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("sessions")).as("n"))
+      .as[Int].collect().foreach(_ shouldBe 1)
+    // drain-then-continue equals never-drained: the compaction law
+    val drained = closed.union(
+        EventAnalytics.sessionsFromState(adv(openTail, d2)))
+      .as[(String, String, Long, Double)].collect().toSet
+    drained shouldBe full
+    // and d2's min-110 event really extended the open min-100 session
+    full should contain(("1970-01-01 01:40:00", "1", 2L, 8.0))
+  }
+
   "retentionCohorts" should "bucket users by first-event week and count active offsets" in {
     def week(w: Int, dow: Int) = Timestamp.valueOf(f"2024-01-${1 + w * 7 + dow}%02d 12:00:00")
     val events = Seq(

@@ -18,7 +18,7 @@ class QueriesSpec extends AnyFlatSpec with Matchers {
     val dataDerived = Set("q_ann_ivf", "q_ann_ivf_index", "q_dedup_simhash",
       "q_embed_cluster", "q_semantic_dedup", "q_dsir_weight", "q_dsir_sample",
       "q_bm25_search", "q_bm25_index", "q_hybrid_search", "q_lm_perplexity",
-      "q_nb_classify")
+      "q_nb_classify", "q_text_knn", "q_lm_bigram")
     val declared = graft.SparkEntry.queries.keySet
     graft.SparkEntry.oracleSql.keySet.subsetOf(declared) shouldBe true
     (declared -- graft.SparkEntry.oracleSql.keySet -- dataDerived) shouldBe empty
@@ -29,6 +29,8 @@ class QueriesSpec extends AnyFlatSpec with Matchers {
     graft.SparkEntry.queries("q_bm25_search")(spark, sf).count() should be > 0L
     graft.SparkEntry.queries("q_lm_perplexity")(spark, sf).count() should be > 0L
     graft.SparkEntry.queries("q_nb_classify")(spark, sf).count() should be > 0L
+    graft.SparkEntry.queries("q_text_knn")(spark, sf).count() should be > 0L
+    graft.SparkEntry.queries("q_lm_bigram")(spark, sf).count() should be > 0L
     val afterRun = graft.SparkEntry.oracleSql.keySet
     dataDerived.subsetOf(afterRun) shouldBe true
     (declared -- afterRun) shouldBe empty
