@@ -206,9 +206,15 @@ object Bench {
     // only successful queries count toward the total: a fast failure must not
     // read as a timing improvement across runs with different failure sets
     val total = okTotal(results)
-    // still-contended flag: true when even the KEPT attempt's probe ran hot —
-    // the total is then inflated and the artifact says so by itself
-    val stillContended = calibS > CalibQuietS * CalibInflationRetry
+    // still-contended flag: true when even the KEPT attempt tripped EITHER
+    // trigger — the total is then inflated and the artifact says so by
+    // itself. Round-11 fix: this previously consulted only the calib probe,
+    // so a kept attempt at 0.199% steal (retry-triggering!) could still
+    // ship contended=false — observed live this round: calib 1.053 ratio
+    // under the 1.06 gate while the total ran +23% vs the other attempt.
+    // The single-threaded probe under-responds to 32-way query contention;
+    // the flag must agree with the retry condition, not a subset of it.
+    val stillContended = contended(stealPct, calibS)
     val calibJson =
       f""""calib_s":$calibS%.3f,"calib_quiet_s":$CalibQuietS%.2f,"contended":$stillContended,""" +
         s""""attempt_calibs":${attemptCalibs.map(c => f"$c%.3f").mkString("[", ",", "]")}"""
