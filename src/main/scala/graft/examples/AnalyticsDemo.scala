@@ -106,6 +106,25 @@ object AnalyticsDemo {
       .as[(java.sql.Date, Int, Long)].collect().map { case (c, o, n) => (c.toString, o) -> n }.toMap
     println(s"RETENTION_INCREMENTAL_MATCHES=${incRet == oneShotRet}")
 
+    // third family, same fold-split drive: sessions via the state frame
+    // (closed sessions drained mid-way) vs the one-shot session_window agg
+    val gap30m = 30L * 60 * 1000000
+    val (sClosed, sOpen) = ea.compactSessionState(
+      ea.advanceSessionState(ea.emptySessionState(spark),
+        d1, "user_id", "ts", "value", gap30m))
+    val incSessions = sClosed.union(ea.sessionsFromState(
+        ea.advanceSessionState(sOpen, d2, "user_id", "ts", "value", gap30m)))
+      .as[(String, String, Long, Double)].collect().toSet
+    val oneShotSessions = events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("user_id").cast("string").as("user_id"), col("n_events"), col("session_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    println(s"SESSIONS_INCREMENTAL_MATCHES=${incSessions == oneShotSessions} " +
+      s"SESSIONS_DRAINED=${sClosed.count()}")
+
     spark.stop()
   }
 }

@@ -145,6 +145,17 @@ object ScaleProbe {
         graft.operators.EventAnalytics.retentionCohorts(ev, "user_id", "ts")
           .agg(sum(col("n_users"))).collect(); ()
       }),
+      "sessions" -> (dir => {
+        // the incremental session fold over one delivery: per-user structure
+        // identical across replicas, x10/x100 users — the user-keyed
+        // collect + fold must track the event volume linearly
+        val ev = graft.Tables.events(spark, dir)
+        val st = graft.operators.EventAnalytics.advanceSessionState(
+          graft.operators.EventAnalytics.emptySessionState(spark),
+          ev, "user_id", "ts", "value", 30L * 60 * 1000000)
+        graft.operators.EventAnalytics.sessionsFromState(st)
+          .agg(sum(col("n_events"))).collect(); ()
+      }),
       "domain_cap" -> (dir => {
         // same 37 hot domains at both scales (pmod over offset ids), so the
         // groups grow x10 while the cap stays 10 — measures the split path:
