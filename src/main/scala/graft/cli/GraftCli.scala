@@ -29,8 +29,9 @@ import java.time.Instant
  *   graft-cli --store <uri> export <destUri>
  *   graft-cli --store <uri> sync <destUri>
  *   graft-cli --store <uri> stage <schema.table> <tableLocation> <sourceUri> [--partition-by c1,c2] [--format F] [--source-format F]
- *   graft-cli --store <uri> audit <schema.table> <tableLocation> <versionLabel> --check <spec> [--check <spec> ...]
- *   graft-cli --store <uri> publish <schema.table> <tableLocation> <versionLabel> [--check <spec> ...]
+ *   graft-cli --store <uri> audit <schema.table> <tableLocation> <versionLabel> --check <spec> [--check <spec> ...] [--partition-by c1,c2] [--format F]
+ *   graft-cli --store <uri> publish <schema.table> <tableLocation> <versionLabel> [--check <spec> ...] [--partition-by c1,c2] [--format F]
+ *   # audit/publish recover --partition-by from the stage's manifest when omitted; --format still defaults to parquet
  * }}}
  * `--store` may be omitted when `GRAFT_STORE` is set or a config file exists
  * (`--config <path>`, default `~/.graft/config`): a simple `key: value` file
@@ -287,7 +288,7 @@ object GraftCli {
       }
 
       case List("audit", name, location, label) => withTable(name) { t =>
-        withTableDef(t, location, flags, out) { table =>
+        withStagedTableDef(t, location, label, flags, out) { table =>
           withChecks(flags, out, allowEmpty = false) { checks =>
             val engine = new graft.operators.VersionedTables(cliSpark(), tracker)
             engine.findStaged(table, label, user, message) match {
@@ -303,7 +304,7 @@ object GraftCli {
       }
 
       case List("publish", name, location, label) => withTable(name) { t =>
-        withTableDef(t, location, flags, out) { table =>
+        withStagedTableDef(t, location, label, flags, out) { table =>
           withChecks(flags, out, allowEmpty = true) { checks =>
             val engine = new graft.operators.VersionedTables(cliSpark(), tracker)
             engine.findStaged(table, label, user,
@@ -363,6 +364,11 @@ object GraftCli {
       // exit path differ.
       case e @ (_: IllegalStateException | _: UnsupportedOperationException) =>
         out.println(s"error: ${e.getMessage}"); 1
+      // WAP-verb user errors that only surface at Spark analysis time — a
+      // nonexistent stage source path, a --check referencing a column the
+      // staged data lacks — are refusals, not incidents
+      case e: org.apache.spark.sql.AnalysisException =>
+        out.println(s"error: ${e.getMessage}"); 1
       case e: IllegalArgumentException =>
         out.println(s"error: ${e.getMessage}"); 2
     }
@@ -373,16 +379,23 @@ object GraftCli {
     * session (test harnesses). The stage write path requires dynamic
     * partition-overwrite mode; UTC keeps reads consistent with the engine's
     * convention. */
-  private def cliSpark(): org.apache.spark.sql.SparkSession = {
-    val s = org.apache.spark.sql.SparkSession.builder()
-      .master(sys.env.getOrElse("GRAFT_CLI_MASTER", "local[2]"))
-      .appName("graft-cli")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    s
-  }
+  private def cliSpark(): org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
+      // an embedding session (test harness, notebook) is used AS-IS — no
+      // global conf mutation behind its owner's back; if it lacks dynamic
+      // partition-overwrite mode, the stage write's own precondition check
+      // fails loudly with the config name
+      case Some(s) => s
+      case None =>
+        org.apache.spark.sql.SparkSession.builder()
+          .master(sys.env.getOrElse("GRAFT_CLI_MASTER", "local[2]"))
+          .appName("graft-cli")
+          .config("spark.ui.enabled", "false")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          .getOrCreate()
+    }
 
   /** Build the TableDefinition the WAP verbs operate on from the location
     * argument plus `--partition-by c1,c2` (omitted = snapshot table) and
@@ -405,6 +418,29 @@ object GraftCli {
         f(TableDefinition(t, uri, schema, FileFormat(flags.getOrElse("format", "parquet"))))
     }
   }
+
+  /** [[withTableDef]] for the verbs that operate on an EXISTING stage:
+    * when `--partition-by` is absent, the partition schema is recovered
+    * from the stage's manifest (`_staging/<label>.json` — the stage
+    * recorded its exact ops), so `audit`/`publish` don't need the stage
+    * invocation's flags re-stated. An explicit flag still wins; a
+    * manifest-less pre-round-11 stage falls back to the flag-built
+    * definition. */
+  private def withStagedTableDef(
+      t: TableName, location: String, label: String,
+      flags: Map[String, String], out: java.io.PrintWriter)(f: TableDefinition => Int): Int =
+    withTableDef(t, location, flags, out) { prelim =>
+      val effective =
+        if (flags.contains("partition-by")) prelim
+        else graft.operators.VersionedTables.readStagingManifest(
+            cliSpark().sparkContext.hadoopConfiguration, prelim.location, label)
+          .flatMap(_.operations.collectFirst {
+            case graft.core.TableOperation.AddPartitionVersion(p, _) =>
+              val cols = p.columnValues.map(_.column.name)
+              prelim.copy(partitionSchema = PartitionSchema(cols.head, cols.tail: _*))
+          }).getOrElse(prelim)
+      f(effective)
+    }
 
   /** Parse every repeated `--check <spec>` (see [[parseCheck]]); usage
     * error when any is malformed, or when none were given and the command

@@ -96,8 +96,11 @@ object StreamingDemo {
       .writeStream.format("memory").queryName("demo_retention")
       .trigger(Trigger.AvailableNow()).outputMode("append").start()
     q5.processAllAvailable(); q5.stop()
+    // the changelog consumer shape: sum(sign) per cell (a late first event
+    // retracts provisional cells — distinct-ignoring-sign would count them)
     println("STREAM_RETENTION_CELLS=" + spark.table("demo_retention")
-      .select("cohort_week", "week_offset").distinct().count())
+      .groupBy("cohort_week", "week_offset")
+      .agg(sum("sign").as("n")).filter(col("n") > 0).count())
     spark.stop()
   }
 }

@@ -321,10 +321,15 @@ object EventAnalytics {
       }
       out.toSeq
     }
+    // null-ts rows are dropped (session_window's grouping drops them too);
+    // a null value rides as 0 cents — divergence from the SQL oracle only
+    // for a session whose EVERY value is null (0.0 here vs NULL there)
     val delivery = events
+      .filter(col(tsCol).isNotNull)
       .select(col(userCol).cast("string").as("user_id"),
         struct(unix_micros(col(tsCol)).as("_1"),
-          (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("_2")).as("__e"))
+          coalesce((col(valueCol).cast("decimal(18,2)") * 100).cast("long"), lit(0L))
+            .as("_2")).as("__e"))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(col("__e"))).as("__seq"))
     state.join(delivery, Seq("user_id"), "full_outer")

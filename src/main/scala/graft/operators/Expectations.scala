@@ -138,10 +138,14 @@ object Expectations {
       val key = if (cols.size == 1) col(cols.head) else struct(cols.map(col): _*)
       // rows the sketch cannot explain: subtract the estimate inflated by
       // three standard deviations (rsd is a deviation, not a bound), so a
-      // clean key reports 0 despite HLL noise
+      // clean key reports 0 despite HLL noise. count(key), NOT count(*):
+      // approx_count_distinct skips null keys, so the row count must skip
+      // them too or an all-null key would report every row as a violation
+      // and break the ≤-exact law. Null keys are thus invisible to the
+      // sketch arm — compose NotNull when they should fail.
       Some(greatest(
         lit(0L),
-        count(lit(1)) - floor(approx_count_distinct(key, rsd) * (1.0 + 3.0 * rsd)).cast("long")))
+        count(key) - floor(approx_count_distinct(key, rsd) * (1.0 + 3.0 * rsd)).cast("long")))
     case other => rowPredicate(other).map(pred => sum(when(!pred, 1L).otherwise(0L)))
   }
 

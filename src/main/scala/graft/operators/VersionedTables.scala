@@ -254,13 +254,22 @@ final class VersionedTables(
 
   /** Re-attach to a STAGED (uncommitted) version written by another
     * process — the cross-process half of write-audit-publish: `stage` in
-    * one JVM, `audit` and `publish` later (e.g. from the CLI). Scans the
-    * table location for this label's `_version=` directories (exactly
-    * [[graft.core.PartitionSchema]]-many levels deep, never a full tree
-    * walk) and rebuilds the staged ADD operations; a replace-all stage's
-    * removes are not recoverable from disk, so a re-attached publish is
-    * always a plain insert. Refuses a label some commit already references
-    * — the double-publish guard. */
+    * one JVM, `audit` and `publish` later (e.g. from the CLI).
+    *
+    * Preferred source of truth is the staging MANIFEST every stage writes
+    * (`_staging/<label>.json`, the commit-file wire format): it carries
+    * the exact operation list, so a replace-all stage re-attaches with its
+    * RemovePartition ops intact. Without a manifest (pre-round-11 stages,
+    * or one deleted out of band) the table location is scanned for this
+    * label's `_version=` directories (exactly partition-schema-many levels
+    * deep, never a full tree walk) and only the ADD operations can be
+    * rebuilt — a replace-all stage found this way is REFUSED rather than
+    * silently downgraded to an insert (the adds cover every current head
+    * partition ⇒ ambiguous; anything else publishes as the plain insert it
+    * is). Always refuses a label some commit already references — the
+    * double-publish guard, which also covers a crash between a publish and
+    * its manifest cleanup. (The guard rides `tableState`, which the
+    * persistent stores serve from their fold checkpoint + tail.) */
   def findStaged(
       table: TableDefinition,
       label: String,
@@ -282,7 +291,11 @@ final class VersionedTables(
           val root = new Path(table.location)
           val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val dirName = VersionPaths.VersionDirPrefix + label
-          val ops: List[TableOperation] =
+          val fromManifest: Option[List[TableOperation]] =
+            VersionedTables.readStagingManifest(
+              spark.sparkContext.hadoopConfiguration, table.location, label)
+              .map(_.operations)
+          val ops: List[TableOperation] = fromManifest.getOrElse {
             if (table.isSnapshot) {
               if (fs.exists(new Path(root, dirName)))
                 List(TableOperation.AddTableVersion(version))
@@ -304,18 +317,32 @@ final class VersionedTables(
                 .sortBy(_.toPath)
                 .map(TableOperation.AddPartitionVersion(_, version))
             }
+          }
+          val adds = ops.collect { case TableOperation.AddPartitionVersion(p, v) => p -> v }
           if (ops.isEmpty)
             Left(s"no staged data for version $label under ${table.location}")
+          else if (fromManifest.isEmpty && !table.isSnapshot &&
+              (tracker.currentVersion(table.name) match {
+                case PartitionedTableVersion(pvs) =>
+                  pvs.nonEmpty && pvs.keySet.subsetOf(adds.map(_._1).toSet)
+                case _ => false
+              }))
+            // every head partition is also staged and there is no manifest
+            // to say whether absent-partition REMOVES were intended: could
+            // be a replace-all whose removes are unrecoverable from disk.
+            // Refuse instead of guessing.
+            Left(s"version $label has no staging manifest and covers every current " +
+              "partition — cannot tell a replace-all stage from an insert; " +
+              "re-stage (manifests are written since round 11) or publish from the staging JVM")
           else {
             val tv =
               if (table.isSnapshot) SnapshotTableVersion(version)
-              else PartitionedTableVersion(ops.collect {
-                case TableOperation.AddPartitionVersion(p, v) => p -> v
-              }.toMap)
+              else PartitionedTableVersion(adds.toMap)
             // same read path the schema-drift guard samples with, so the
             // shape recorded at publish matches later guard comparisons
             val schema = readVersion(table, tv).schema
-            Right(VersionedTables.StagedWrite(this, table, userId, message, version, ops, schema))
+            Right(VersionedTables.StagedWrite(this, table, userId, message, version, ops, schema,
+              manifested = fromManifest.isDefined))
           }
         }
     }
@@ -365,6 +392,14 @@ final class VersionedTables(
     if (dryRun) return VacuumResult(targets, Nil, Nil)
     val outcome = graft.sources.VersionJanitor.deleteVersionDirs(
       spark.sparkContext.hadoopConfiguration, table.location, targets)
+    // reclaim abandoned staging manifests alongside their version dirs
+    // (committed versions never have one — publish deletes it)
+    outcome.deleted.foreach { uri =>
+      val label = VersionPaths.parseVersion(uri)
+      if (label != Version.Unversioned)
+        VersionedTables.deleteStagingManifest(
+          spark.sparkContext.hadoopConfiguration, table.location, label.label)
+    }
     VacuumResult(targets, outcome.deleted, outcome.failed)
   }
 
@@ -578,6 +613,54 @@ object VersionedTables {
   private[graft] def uriToLoadPath(uri: URI): String =
     new org.apache.hadoop.fs.Path(uri).toString
 
+  /** `_staging/<label>.json` under the table location: the staged
+    * operation list every stage records (commit-file wire format,
+    * [[graft.sources.JsonCodecs]]), so a later process — the CLI `audit` /
+    * `publish` verbs — can re-attach with the EXACT ops, replace-all
+    * removes included. The underscore prefix keeps Spark's readers from
+    * ever listing it as data. Deleted on publish; an abandoned stage's
+    * manifest is reclaimed alongside its version dirs by
+    * `vacuum(includeOrphans = true)`. */
+  private[graft] def stagingManifestPath(location: URI, label: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(location),
+      s"_staging/$label.json")
+
+  private[graft] def writeStagingManifest(
+      conf: org.apache.hadoop.conf.Configuration,
+      location: URI, label: String, update: TableUpdate): Unit = {
+    val p = stagingManifestPath(location, label)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(graft.sources.JsonCodecs.toJson(update).getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def readStagingManifest(
+      conf: org.apache.hadoop.conf.Configuration,
+      location: URI, label: String): Option[TableUpdate] = {
+    val p = stagingManifestPath(location, label)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = try {
+        val baos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, baos, 8192, false)
+        baos.toString("UTF-8")
+      } finally in.close()
+      graft.sources.JsonCodecs.fromJson(json).toOption
+    }
+  }
+
+  private[graft] def deleteStagingManifest(
+      conf: org.apache.hadoop.conf.Configuration,
+      location: URI, label: String): Unit = {
+    val p = stagingManifestPath(location, label)
+    val fs = p.getFileSystem(conf)
+    try { fs.delete(p, false); () } catch { case _: java.io.IOException => () }
+  }
+
   /** Extract the distinct partition tuples present in a dataset
     * (reference SparkSupport.scala:109-128): projection + hash-distinct +
     * driver collect — the collected set is small (one row per partition).
@@ -619,7 +702,8 @@ object VersionedTables {
       message: String,
       version: Version,
       private val ops: List[TableOperation],
-      private val schema: org.apache.spark.sql.types.StructType) {
+      private val schema: org.apache.spark.sql.types.StructType,
+      private val manifested: Boolean = false) {
 
     /** Partitions this stage wrote (empty for a snapshot table). */
     def partitions: List[Partition] =
@@ -656,6 +740,14 @@ object VersionedTables {
         engine.readVersion(table, PartitionedTableVersion(headPvs -- removes ++ adds))
       }
 
+    /** The frame an audit of the given scope runs against — the ONE place
+      * the scope→view mapping lives, shared by `auditedInsertInto` and the
+      * streaming sink's per-micro-batch audit. */
+    def auditView(scope: Expectations.AuditScope): DataFrame = scope match {
+      case Expectations.AuditScope.Delivery  => staged
+      case Expectations.AuditScope.TableWide => wouldBeVisible
+    }
+
     /** Commit the staged version — it becomes the table head atomically. */
     def publish(): (TableVersion, TableChanges) = commit(None)
 
@@ -673,6 +765,12 @@ object VersionedTables {
       // this write defines the table's schema as of the new head — repeat
       // writers skip the next guard's sample read
       engine.noteSchemaAt(table, update.metadata.id, schema)
+      // the staging manifest has served its purpose (best-effort; a crash
+      // here leaves it behind, where findStaged's committed-label guard
+      // still refuses a double publish and vacuum reclaims the file)
+      if (manifested)
+        VersionedTables.deleteStagingManifest(
+          engine.spark.sparkContext.hadoopConfiguration, table.location, version.label)
       result
     }
   }
@@ -771,7 +869,7 @@ object VersionedTables {
         userId: UserId,
         message: String,
         clusterBy: Seq[String] = Nil): StagedWrite =
-      stage(engine, table, userId, message, clusterBy, replaceAll = false, None)
+      stage(engine, table, userId, message, clusterBy, replaceAll = false, None, writeManifest = true)
 
     /** [[stageInsertInto]] with replace-all publish semantics (the removes
       * are computed against the head AT STAGE TIME — use `publishIf` when
@@ -782,7 +880,7 @@ object VersionedTables {
         userId: UserId,
         message: String,
         clusterBy: Seq[String] = Nil): StagedWrite =
-      stage(engine, table, userId, message, clusterBy, replaceAll = true, None)
+      stage(engine, table, userId, message, clusterBy, replaceAll = true, None, writeManifest = true)
 
     /**
      * The one-call write-audit-publish insert: stage, run the
@@ -810,11 +908,7 @@ object VersionedTables {
         clusterBy: Seq[String] = Nil,
         scope: Expectations.AuditScope = Expectations.AuditScope.Delivery): (TableVersion, TableChanges) = {
       val staged = stageInsertInto(engine, table, userId, message, clusterBy)
-      val audited = scope match {
-        case Expectations.AuditScope.Delivery  => staged.staged
-        case Expectations.AuditScope.TableWide => staged.wouldBeVisible
-      }
-      val results = Expectations.audit(audited, checks)
+      val results = Expectations.audit(staged.auditView(scope), checks)
       if (results.forall(_.ok)) staged.publish()
       else throw Expectations.ExpectationsFailedError(results)
     }
@@ -841,7 +935,8 @@ object VersionedTables {
         message: String,
         clusterBy: Seq[String],
         replaceAll: Boolean,
-        expectedHead: Option[CommitId]): StagedWrite = {
+        expectedHead: Option[CommitId],
+        writeManifest: Boolean = false): StagedWrite = {
       checkSparkConfigs(ds.sparkSession)
       // replace-all rewrites the whole visible table, so it is ALLOWED to
       // change the schema; a partial insert is not (mixed-schema partitions)
@@ -893,7 +988,17 @@ object VersionedTables {
             s"(the write to ${table.name} produced no $versionDir, and committing " +
             "a version with no data directory would break every later read)")
       }
-      StagedWrite(engine, table, userId, message, version, ops, ds.toDF().schema)
+      // record the exact staged ops (replace-all removes included) so a
+      // LATER process can re-attach faithfully — see findStaged. Only the
+      // EXPLICIT stage entry points pay this: the insert/replaceAll paths
+      // publish in the same call, so a manifest would be two wasted FS
+      // round-trips per write on their hot path.
+      if (writeManifest)
+        VersionedTables.writeStagingManifest(
+          ds.sparkSession.sparkContext.hadoopConfiguration, table.location, version.label,
+          TableUpdate(userId, message, java.time.Instant.now(), ops))
+      StagedWrite(engine, table, userId, message, version, ops, ds.toDF().schema,
+        manifested = writeManifest)
     }
 
     /** The reference's asserted precondition (SparkSupport.scala:60-69). With

@@ -230,11 +230,7 @@ object EventStreams {
         try {
           if (!batch.isEmpty) {
             val staged = batch.stageInsertInto(engine, table, userId, s"stream batch $batchId")
-            val audited = scope match {
-              case Expectations.AuditScope.Delivery  => staged.staged
-              case Expectations.AuditScope.TableWide => staged.wouldBeVisible
-            }
-            val results = Expectations.audit(audited, checks)
+            val results = Expectations.audit(staged.auditView(scope), checks)
             if (results.forall(_.ok)) { staged.publish(); () }
             else onRefused(batchId, results) // staged files remain orphan debris
           }

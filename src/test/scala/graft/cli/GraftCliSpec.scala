@@ -335,7 +335,9 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     // staged ≠ visible: the table still has no partitions
     cli("partitions", "sales.wapdocs")._2 should not include "batch=b0"
 
-    val (ca, outA) = cli("audit", "sales.wapdocs", loc, label, "--partition-by", "batch",
+    // NO --partition-by here: audit/publish recover the partition schema
+    // from the stage's manifest
+    val (ca, outA) = cli("audit", "sales.wapdocs", loc, label,
       "--check", "not-null:text",
       "--check", "unique:doc_id",
       "--check", "unique-approx:doc_id@0.03",
@@ -344,9 +346,15 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     ca shouldBe 0
     outA.linesIterator.count(_.startsWith("ok")) shouldBe 5
     // audit without checks is a usage error
-    cli("audit", "sales.wapdocs", loc, label, "--partition-by", "batch")._1 shouldBe 2
+    cli("audit", "sales.wapdocs", loc, label)._1 shouldBe 2
+    // a --check referencing a column the staged data lacks is a clean
+    // error, not a stack trace
+    val (cm, outM) = cli("audit", "sales.wapdocs", loc, label,
+      "--check", "not-null:no_such_column")
+    cm shouldBe 1
+    outM should include("error:")
 
-    val (cp, outP) = cli("publish", "sales.wapdocs", loc, label, "--partition-by", "batch")
+    val (cp, outP) = cli("publish", "sales.wapdocs", loc, label)
     cp shouldBe 0
     outP should include("published")
     cli("partitions", "sales.wapdocs")._2 should include("batch=b0")
@@ -387,6 +395,17 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     cli("partitions", "sales.wapdirty")._2 should not include "batch=b1"
     val (_, logOut) = cli("log", "sales.wapdirty")
     logOut.linesIterator.size shouldBe 1 // init only — no commit landed
+  }
+
+  it should "report a clean error for a nonexistent stage source" in {
+    graft.TestSpark.spark
+    cli("init", "sales.wapnosrc")._1 shouldBe 0
+    val root = Files.createTempDirectory("graft-cli-wap-nosrc-")
+    val (c, outS) = cli("stage", "sales.wapnosrc", root.resolve("docs").toUri.toString,
+      root.resolve("no-such-source").toString, "--partition-by", "batch")
+    c shouldBe 1
+    outS should include("error:")
+    outS should not include "at org.apache.spark" // no stack trace
   }
 
   it should "reject malformed --check specs with a usage error" in {

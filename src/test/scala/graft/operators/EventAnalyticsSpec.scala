@@ -315,6 +315,22 @@ class EventAnalyticsSpec extends AnyFlatSpec with Matchers {
     incremental.size should be > 15 // multi-session users actually occurred
   }
 
+  it should "tolerate null timestamps and null values like the batch aggregation" in {
+    def mts(min: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(min * 60L))
+    val gap = 30L * 60 * 1000000
+    // null ts rows are dropped (session_window drops them too); a null
+    // value rides as 0 cents instead of killing the delivery
+    val d = Seq((1L, Some(mts(0)), Some(1.5)), (1L, Some(mts(5)), None),
+      (1L, None, Some(9.9)), (2L, Some(mts(0)), Some(2.0)))
+    val st = EventAnalytics.advanceSessionState(
+      EventAnalytics.emptySessionState(spark),
+      d.toDF("user_id", "ts", "value"), "user_id", "ts", "value", gap)
+    EventAnalytics.sessionsFromState(st)
+      .as[(String, String, Long, Double)].collect().toSet shouldBe Set(
+      ("1970-01-01 00:00:00", "1", 2L, 1.5),
+      ("1970-01-01 00:00:00", "2", 1L, 2.0))
+  }
+
   it should "drain closed sessions between commits without changing the final table" in {
     def mts(min: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(min * 60L))
     val gap = 30L * 60 * 1000000

@@ -120,6 +120,17 @@ class ExpectationsSpec extends AnyFlatSpec with Matchers {
     approx should be <= exact
   }
 
+  it should "ignore null keys like the sketch does, keeping the ≤-exact law" in {
+    // an all-null key: the HLL skips nulls, so the row count must too —
+    // count(*) would report every row as a violation (> exact's k-1)
+    val allNull = Seq[Option[Long]](None, None, None).toDF("id")
+    val Seq(approx, exact) = Expectations.audit(allNull,
+      Seq(UniqueApprox(Seq("id")), Unique(Seq("id")))).map(_.violations)
+    exact shouldBe 2L // null is one group of 3 for the exact check
+    approx shouldBe 0L // invisible to the sketch arm — compose NotNull
+    approx should be <= exact
+  }
+
   it should "handle multi-column keys and an empty frame" in {
     val df = Seq((1L, "a"), (1L, "b"), (1L, "a")).toDF("id", "s")
     // exact extras = 1 ((1,a) twice); the sketch's slack may hide it at

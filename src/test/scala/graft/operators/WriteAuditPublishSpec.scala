@@ -127,6 +127,62 @@ class WriteAuditPublishSpec extends AnyFlatSpec with Matchers {
     staged.wouldBeVisible.select("doc_id").as[Long].collect().toSet shouldBe Set(9L)
   }
 
+  "findStaged" should "re-attach a replace-all stage faithfully through its manifest" in {
+    val (engine, table) = fixture()
+    Seq((1L, "alpha", "b0"), (2L, "beta", "b1")).toDF("doc_id", "text", "batch")
+      .versionedInsertInto(engine, table, UserId("writer"), "base")
+    val staged = Seq((9L, "omega", "b9")).toDF("doc_id", "text", "batch")
+      .stageReplaceAll(engine, table, UserId("writer"), "replace")
+    val label = staged.version.label
+    // the manifest recorded the stage's exact ops — removes included
+    val manifest = VersionedTables.readStagingManifest(
+      engine.spark.sparkContext.hadoopConfiguration, table.location, label)
+    manifest.map(_.operations.count {
+      case graft.core.TableOperation.RemovePartition(_) => true; case _ => false
+    }) shouldBe Some(2)
+    // a DIFFERENT engine instance (as a separate process would build)
+    // re-attaches and publishes with replace-all semantics intact
+    val engine2 = new VersionedTables(spark, engine.tracker)
+    val sw = engine2.findStaged(table, label, UserId("op"), "publish from cli")
+      .toOption.get
+    sw.publish()
+    engine2.read(table).select("doc_id").as[Long].collect().toSet shouldBe Set(9L)
+    // publish consumed the manifest
+    VersionedTables.readStagingManifest(
+      engine.spark.sparkContext.hadoopConfiguration, table.location, label) shouldBe None
+    // and a second re-attach is refused: the label is committed
+    engine2.findStaged(table, label, UserId("op"), "again").isLeft shouldBe true
+  }
+
+  it should "refuse a manifest-less stage that covers every head partition" in {
+    val (engine, table) = fixture()
+    Seq((1L, "alpha", "b0")).toDF("doc_id", "text", "batch")
+      .versionedInsertInto(engine, table, UserId("writer"), "base")
+    val staged = Seq((2L, "beta", "b0")).toDF("doc_id", "text", "batch")
+      .stageReplaceAll(engine, table, UserId("writer"), "replace")
+    // simulate a pre-manifest stage: delete the manifest out of band
+    VersionedTables.deleteStagingManifest(
+      engine.spark.sparkContext.hadoopConfiguration, table.location, staged.version.label)
+    // the scan sees adds covering the whole head and cannot tell replace
+    // from insert — refusal, not a silent downgrade
+    val err = engine.findStaged(table, staged.version.label, UserId("op"), "m")
+    err.isLeft shouldBe true
+    err.left.toOption.get should include("cannot tell a replace-all stage from an insert")
+  }
+
+  it should "leave an abandoned stage's manifest to vacuum(includeOrphans)" in {
+    val (engine, table) = fixture()
+    Seq((1L, "alpha", "b0")).toDF("doc_id", "text", "batch")
+      .versionedInsertInto(engine, table, UserId("writer"), "base")
+    val staged = Seq((2L, "beta", "b1")).toDF("doc_id", "text", "batch")
+      .stageInsertInto(engine, table, UserId("writer"), "abandoned")
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    VersionedTables.readStagingManifest(conf, table.location, staged.version.label) should not be None
+    engine.vacuum(table, keepLast = 10, includeOrphans = true, dryRun = false)
+      .failed shouldBe empty
+    VersionedTables.readStagingManifest(conf, table.location, staged.version.label) shouldBe None
+  }
+
   "auditedInsertInto(TableWide)" should "catch cross-delivery duplicates the delivery scope passes" in {
     val (engine, table) = fixture()
     val checks = Seq(Expectations.Unique(Seq("doc_id")))
