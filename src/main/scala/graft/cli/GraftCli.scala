@@ -388,13 +388,17 @@ object GraftCli {
       // fails loudly with the config name
       case Some(s) => s
       case None =>
-        org.apache.spark.sql.SparkSession.builder()
+        val s = org.apache.spark.sql.SparkSession.builder()
           .master(sys.env.getOrElse("GRAFT_CLI_MASTER", "local[2]"))
           .appName("graft-cli")
           .config("spark.ui.enabled", "false")
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
           .getOrCreate()
+        // a CLI is a terminal tool: its own fresh session must not drown
+        // the audit report in executor INFO logs
+        s.sparkContext.setLogLevel("WARN")
+        s
     }
 
   /** Build the TableDefinition the WAP verbs operate on from the location
