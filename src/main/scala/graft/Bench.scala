@@ -161,8 +161,19 @@ object Bench {
         val (second, secondSteal, secondCalib) = attempt(s2)
         val totals = Seq(okTotal(first), okTotal(second))
         val calibs = Seq(firstCalib, secondCalib)
+        // Round-11 rule for the BOTH-ATTEMPTS-CONTENDED regime (observed
+        // twice tonight: probes within noise, steals both over threshold,
+        // totals 10-25% apart): the artifact ships contended=true either
+        // way, so comparability is already forfeit — keep the smaller
+        // total as the tighter upper bound on the quiet number (warm-JVM
+        // bias ~5-10% is smaller than the contention it avoids; both
+        // totals remain in attempt_totals for discounting). With at least
+        // one clean attempt the round-9 rule stands: the less-contended
+        // probe wins, steal breaking calib ties.
         val keepSecond =
-          if (math.abs(secondCalib - firstCalib) > 0.05 * math.max(firstCalib, secondCalib))
+          if (contended(firstSteal, firstCalib) && contended(secondSteal, secondCalib))
+            okTotal(second) < okTotal(first)
+          else if (math.abs(secondCalib - firstCalib) > 0.05 * math.max(firstCalib, secondCalib))
             secondCalib < firstCalib
           else secondSteal < firstSteal
         if (keepSecond) (second, secondSteal, secondCalib, true, totals, calibs, s2)
