@@ -242,6 +242,26 @@ object MaintenanceDemo {
       s"STREAM_WAP_REFUSED=${refusedBatches.get()} " +
       s"STREAM_WAP_DEBRIS=${engine.orphanedVersions(swapTable).size}")
 
+    // keyed MERGE INTO: update a1, insert a5, delete a2; only the touched
+    // partition is rewritten, and the pre-merge commit stays time-travelable
+    locally {
+      import graft.operators.VersionedMerge._
+      val mTable = TableDefinition(TableName("demo", "merge_accounts"),
+        root.resolve("merge_accounts").toUri, PartitionSchema("region"), FileFormat.Parquet)
+      engine.initTable(mTable, UserId("demo"), "init")
+      Seq(("a1", "eu", 10L), ("a2", "eu", 20L), ("a3", "us", 30L))
+        .toDF("id", "region", "balance")
+        .versionedInsertInto(engine, mTable, UserId("demo"), "base")
+      val src = Seq(("a1", "eu", 11L), ("a5", "eu", 50L), ("a2", "eu", -1L))
+        .toDF("id", "region", "balance")
+      val res = engine.mergeInto(mTable, src, Seq("id"), UserId("demo"), "merge",
+        deleteWhen = Some(col("balance") < 0))
+      val log = engine.log(mTable.name)
+      println(s"MERGE_ROWS=${engine.read(mTable).count()} " +
+        s"MERGE_REWRITTEN=${res.rewritten.map(_.toPath).mkString(",")} " +
+        s"MERGE_PREMERGE_ROWS=${engine.readAt(mTable, log(1).id).count()}")
+    }
+
     spark.stop()
   }
 }

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit, not}
+
+/**
+ * Keyed MERGE INTO for versioned tables — the Delta/Iceberg `MERGE` verb the
+ * reference's insert-overwrite-only write path lacks (chronicles
+ * `spark/src/main/scala/dev/chronicles/spark/SparkSupport.scala:51-128`
+ * only overwrites whole partitions; a keyed upsert there means the caller
+ * hand-builds the merged partition content first — this operator IS that
+ * read-modify-write, done once, correctly, with the CAS guard it needs).
+ *
+ * Semantics (one call = one atomic commit):
+ *   - source row matches a current row on `keyColumns` → the SOURCE row
+ *     replaces it (WHEN MATCHED THEN UPDATE SET *);
+ *   - source row matches nothing → inserted (WHEN NOT MATCHED THEN INSERT *);
+ *   - source row satisfying `deleteWhen` → its matched current row is
+ *     deleted, the source row itself is discarded (WHEN MATCHED AND <pred>
+ *     THEN DELETE; an unmatched delete row is a no-op, like SQL MERGE).
+ *
+ * Scale shape (the 100 TB contract):
+ *   - The rewrite is PARTITION-granular and touches ONLY partitions that the
+ *     merge affects: partitions holding a matched key (found by ONE
+ *     semi-join of the current table against the distinct source keys —
+ *     broadcastable when the source is small, AQE handles the rest) plus
+ *     partitions the upsert rows land in. An untouched partition keeps its
+ *     existing version directory — zero data movement, exactly like the
+ *     insert path.
+ *   - The rewritten content is `touched ⟕anti source.keys ∪ upserts` — one
+ *     anti-join shuffled on the key (again broadcastable), never a full
+ *     table scan beyond the touched slice.
+ *   - Everything is pinned to the head snapshot the merge READ, and the
+ *     commit is a compare-and-swap on that head: a concurrent commit makes
+ *     this merge fail loudly ([[graft.core.CommitConflictError]]) instead of
+ *     silently losing the other writer's rows; the already-written version
+ *     directories become vacuum-reclaimable orphan debris, never visible.
+ *
+ * Like the insert path, the rewritten plan is evaluated twice (once to
+ * discover the final partition set, once for the physical write) — callers
+ * merging an expensive source plan should `persist` the SOURCE, which is
+ * both evaluations' small side.
+ */
+object VersionedMerge {
+
+  /** What a merge did: the committed state plus the partition-level bill —
+    * `rewritten` got new version directories, `removed` were emptied by
+    * deletes (dropped from the visible table; their data stays on disk for
+    * time travel), untouched partitions kept their versions. */
+  final case class MergeResult(
+      version: TableVersion,
+      changes: TableChanges,
+      rewritten: List[Partition],
+      removed: List[Partition])
+
+  implicit final class MergeOps(private val engine: VersionedTables) extends AnyVal {
+
+    /** MERGE `source` into the current version of `table` on `keyColumns`
+      * and commit the result as one new version. See [[VersionedMerge]] for
+      * semantics and the scale contract.
+      *
+      * `source` must carry exactly the table's schema (the row that wins a
+      * match IS the source row). `deleteWhen` is a predicate over source
+      * columns marking delete rows. Duplicate keys in `source` would make
+      * the match ambiguous (SQL MERGE raises); `requireDistinctSourceKeys`
+      * pins that with one aggregation over the (small) source — opt out only
+      * when the producer already guarantees it. */
+    def mergeInto(
+        table: TableDefinition,
+        source: DataFrame,
+        keyColumns: Seq[String],
+        userId: UserId,
+        message: String,
+        deleteWhen: Option[Column] = None,
+        clusterBy: Seq[String] = Nil,
+        requireDistinctSourceKeys: Boolean = true): MergeResult = {
+      require(keyColumns.nonEmpty, "mergeInto needs at least one key column")
+      val missing = keyColumns.filterNot(source.columns.contains)
+      require(missing.isEmpty, s"key columns not in source: ${missing.mkString(", ")}")
+      engine.requireCompatibleSchema(table, source)
+      if (requireDistinctSourceKeys) {
+        val dup = source.groupBy(keyColumns.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"duplicate source keys on (${keyColumns.mkString(", ")}): e.g. ${dup.head} — " +
+            "a key matched by two source rows is ambiguous (SQL MERGE raises here too)")
+      }
+
+      // pin EVERYTHING to one head snapshot; the commit CASes on it
+      val state = engine.tracker.tableState(table.name)
+      val head = state.currentVersion
+      val snapshot = state.currentTableVersion
+
+      val keyFrame = source.select(keyColumns.map(col): _*).distinct()
+      val upserts = deleteWhen.map(d => source.filter(not(d))).getOrElse(source)
+
+      val now = java.time.Instant.now()
+      snapshot match {
+        case SnapshotTableVersion(_) =>
+          // snapshot table = one unit of data: the rewrite is the whole table
+          val current = engine.readVersion(table, snapshot)
+          val merged = current.join(keyFrame, keyColumns, "left_anti").unionByName(upserts)
+          val version = Version.generate()
+          VersionedTables.writeDataVersioned(merged, table, version, clusterBy)
+          val versionDir = new org.apache.hadoop.fs.Path(
+            VersionPaths.pathFor(table.location, version))
+          val fs = versionDir.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
+          require(fs.exists(versionDir),
+            s"merge into ${table.name} produced an empty table — a snapshot version " +
+              "must carry at least one row (deleting every row is a replace-all concern)")
+          val ops = List(TableOperation.AddTableVersion(version))
+          val (tv, changes) = engine.versioned.commitIf(
+            table.name, TableUpdate(userId, message, now, ops), head)
+          MergeResult(tv, changes, Nil, Nil)
+
+        case PartitionedTableVersion(pvs) =>
+          // Discovery pass: which CURRENT partitions hold a matched key?
+          // One semi-join against the distinct source keys, then a distinct
+          // over the partition columns — bounded by the partition count.
+          val partCols = table.partitionSchema.columnNames
+          val matchedParts: Set[Partition] =
+            if (pvs.isEmpty) Set.empty
+            else VersionedTables.partitionValues(
+              engine.readVersion(table, snapshot)
+                .join(keyFrame, keyColumns, "left_semi"),
+              table.partitionSchema).toSet
+          val insertParts = VersionedTables.partitionValues(upserts, table.partitionSchema).toSet
+          val touched = matchedParts ++ insertParts
+          if (touched.isEmpty)
+            return MergeResult(snapshot, TableChanges.empty, Nil, Nil)
+
+          // Rewrite pass over ONLY the touched slice of the pinned snapshot
+          val touchedSnapshot = PartitionedTableVersion(
+            pvs.filter { case (p, _) => touched(p) })
+          val touchedCurrent = engine.readVersion(table, touchedSnapshot)
+            .select(source.columns.map(col): _*) // align column order for unionByName
+          val merged = touchedCurrent.join(keyFrame, keyColumns, "left_anti")
+            .unionByName(upserts)
+
+          val version = Version.generate()
+          val finalParts = VersionedTables.partitionValues(merged, table.partitionSchema)
+          if (finalParts.nonEmpty)
+            VersionedTables.writeDataVersioned(merged, table, version, clusterBy)
+          // a touched partition with no surviving rows is REMOVED from the
+          // visible table (its old data stays on disk for time travel)
+          val emptied = (touched -- finalParts.toSet).toList.sortBy(_.toPath)
+            .filter(pvs.contains) // an emptied partition that never existed needs no op
+          val ops = finalParts.sortBy(_.toPath).map(TableOperation.AddPartitionVersion(_, version)) ++
+            emptied.map(TableOperation.RemovePartition(_))
+          if (ops.isEmpty)
+            return MergeResult(snapshot, TableChanges.empty, Nil, Nil)
+          val (tv, changes) = engine.versioned.commitIf(
+            table.name, TableUpdate(userId, message, now, ops), head)
+          MergeResult(tv, changes, finalParts, emptied)
+      }
+    }
+  }
+}

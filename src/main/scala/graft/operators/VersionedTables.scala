@@ -1011,20 +1011,29 @@ object VersionedTables {
     }
 
     private def writeWithVersion(
-        table: TableDefinition, version: Version, clusterBy: Seq[String] = Nil): Unit = {
-      val partCols = table.partitionSchema.columnNames :+ Version.VersionColumn
-      val versioned = ds.toDF().withColumn(Version.VersionColumn, lit(version.label))
-      val arranged =
-        if (clusterBy.isEmpty) versioned
-        else versioned.sortWithinPartitions(
-          (partCols ++ clusterBy).map(org.apache.spark.sql.functions.col): _*)
-      arranged.write
-        .partitionBy(partCols: _*)
-        .mode(SaveMode.Append)
-        .format(table.format.name)
-        .options(table.options)
-        .save(VersionedTables.uriToLoadPath(table.location))
-    }
+        table: TableDefinition, version: Version, clusterBy: Seq[String] = Nil): Unit =
+      VersionedTables.writeDataVersioned(ds.toDF(), table, version, clusterBy)
+  }
+
+  /** Physically write `df` under `_version=<label>` directories via Spark's
+    * dynamic partitioning — the one shared data writer behind every
+    * insert/replace/stage/merge entry point (zero custom I/O; the version
+    * column rides `partitionBy`). */
+  private[operators] def writeDataVersioned(
+      df: DataFrame, table: TableDefinition, version: Version,
+      clusterBy: Seq[String] = Nil): Unit = {
+    val partCols = table.partitionSchema.columnNames :+ Version.VersionColumn
+    val versioned = df.withColumn(Version.VersionColumn, lit(version.label))
+    val arranged =
+      if (clusterBy.isEmpty) versioned
+      else versioned.sortWithinPartitions(
+        (partCols ++ clusterBy).map(org.apache.spark.sql.functions.col): _*)
+    arranged.write
+      .partitionBy(partCols: _*)
+      .mode(SaveMode.Append)
+      .format(table.format.name)
+      .options(table.options)
+      .save(VersionedTables.uriToLoadPath(table.location))
   }
 
   /** Convenience constructor: engine with a file-backed commit log stored
