@@ -109,7 +109,16 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("v"))
-    })
+    }),
+
+    // keyed MERGE INTO at the gate: events loaded as a versioned table, then
+    // ONE merge commit that updates every 10th click (+1000 to value),
+    // inserts a synthetic twin of every 100th view (id offset +10M), and
+    // deletes every 10th error — the read aggregates the POST-MERGE table
+    // and the oracle replays the same upsert/insert/delete algebra as plain
+    // SQL over the raw parquet (anti-join + unions). All three source
+    // classes are non-empty at sf0.001/0.01/0.1.
+    "q_merge_upsert" -> ((spark, dir) => mergeFixture(spark, dir))
   )
 
   /** CSV fixture: orders (projected to key/price/status) written as a
@@ -288,6 +297,50 @@ object SparkEntry {
       compacted = agg(engine.readAt(table, compactHead)))
   }
 
+  /** q_merge_upsert: one CAS-guarded [[graft.operators.VersionedMerge]]
+    * commit over a versioned events table, then the standard date×type
+    * aggregation of the merged state. Memoized per (session, sfDir). */
+  private val mergeFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def mergeFixture(spark: SparkSession, sfDir: String): DataFrame =
+    mergeFixtureCache.computeIfAbsent((spark, sfDir), _ => buildMergeFixture(spark, sfDir))
+
+  private def buildMergeFixture(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.VersionedMerge._
+    Tables.prepare(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft-mfix-")
+    val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+    val table = TableDefinition(TableName("graft", "events_merge"),
+      root.resolve("events_merge").toUri, PartitionSchema("event_date"), FileFormat.Parquet)
+    engine.initTable(table, UserId("driver"), "init")
+    val events = Tables.events(spark, sfDir)
+      .withColumn("event_date", to_date(col("ts")))
+      .localCheckpoint()
+    events.repartition(col("event_date"))
+      .versionedInsertInto(engine, table, UserId("driver"), "initial load")
+    // the three merge classes, all derived deterministically from the data:
+    // value stays a DOUBLE and the +1000 is a double add, mirrored exactly
+    // in the oracle so the final decimal-cast sums are bit-identical
+    val updates = events
+      .filter(col("event_type") === "click" && col("event_id") % 10 === 0)
+      .withColumn("value", col("value") + lit(1000.0))
+    val inserts = events
+      .filter(col("event_type") === "view" && col("event_id") % 100 === 0)
+      .withColumn("event_id", col("event_id") + lit(10000000L))
+      .withColumn("event_type", lit("synthetic"))
+    val deletes = events
+      .filter(col("event_type") === "error" && col("event_id") % 10 === 0)
+      .withColumn("value", lit(-1.0)) // the delete marker: real values are >= 0
+    engine.mergeInto(table, updates.unionByName(inserts).unionByName(deletes),
+      Seq("event_id"), UserId("driver"), "merge upsert+insert+delete",
+      deleteWhen = Some(col("value") < 0))
+    engine.read(table)
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+  }
+
   /** The fixture's states re-expressed as SQL over the raw events parquet:
     * current/compacted = everything except the max-day 'error' rows;
     * time travel = the full table; incremental = only the reprocessed day. */
@@ -335,7 +388,23 @@ object SparkEntry {
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
            |FROM orders
            |WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 7 = 0)
-           |GROUP BY 1""".stripMargin)
+           |GROUP BY 1""".stripMargin,
+      // MERGE algebra replayed in SQL: survivors (keys matched by neither the
+      // update nor the delete class) + updated rows + inserted rows
+      "q_merge_upsert" ->
+        s"""WITH merged AS (
+           |  SELECT CAST(ts AS DATE) AS event_date, event_type, value
+           |  FROM events
+           |  WHERE NOT (event_id % 10 = 0 AND event_type IN ('click', 'error'))
+           |  UNION ALL
+           |  SELECT CAST(ts AS DATE), event_type, value + 1000.0
+           |  FROM events WHERE event_type = 'click' AND event_id % 10 = 0
+           |  UNION ALL
+           |  SELECT CAST(ts AS DATE), 'synthetic', value
+           |  FROM events WHERE event_type = 'view' AND event_id % 100 = 0
+           |)
+           |SELECT event_date, event_type, $duckFixtureAgg
+           |FROM merged GROUP BY 1, 2""".stripMargin)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
