@@ -259,6 +259,19 @@ object RelationalQueries {
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("user_id"), col("n_events"), col("session_value"))),
 
+    // --- SCD Type 2 build: each user's event_type history collapsed into
+    // half-open effective-dated intervals (ONE user-keyed exchange feeding
+    // both window passes; event_id breaks same-timestamp ties so the result
+    // is deterministic in both engines) ---
+    "q_scd2" -> ((s, d) =>
+      graft.operators.Scd2.buildScd2(Tables.events(s, d),
+          keyCols = Seq("user_id"), attrCols = Seq("event_type"),
+          tsCol = "ts", tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("effective_from"), "yyyy-MM-dd HH:mm:ss").as("effective_from"),
+          date_format(col("effective_to"), "yyyy-MM-dd HH:mm:ss").as("effective_to"),
+          col("is_current"))),
+
     // --- exact ordered funnel (view -> click -> purchase): greedy
     // earliest-feasible matching == nested strict mins; ONE shuffle on
     // user_id over the step-typed slice only ---
@@ -1232,6 +1245,24 @@ object RelationalQueries {
       """SELECT word, COUNT(*) AS n
         |FROM (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents)
         |GROUP BY word""".stripMargin,
+
+    "q_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type, ts, event_id FROM ordered
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |dim AS (
+        |  SELECT user_id, event_type, ts AS eff_from,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+        |  FROM chg)
+        |SELECT user_id, event_type,
+        |  STRFTIME(eff_from, '%Y-%m-%d %H:%M:%S') AS effective_from,
+        |  STRFTIME(eff_to, '%Y-%m-%d %H:%M:%S') AS effective_to,
+        |  eff_to IS NULL AS is_current
+        |FROM dim""".stripMargin,
 
     "q_event_sessions" ->
       """WITH flagged AS (

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** SCD2 laws: collapse of unchanged observations, half-open interval
+  * chaining, exactly one current row per key, point-in-time reconstruction
+  * of every original observation, and tie-break determinism. */
+class Scd2Spec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  behavior of "buildScd2"
+
+  it should "collapse unchanged observations and chain half-open intervals" in {
+    val obs = Seq(
+      ("u1", 1L, "bronze"), ("u1", 2L, "bronze"), ("u1", 3L, "gold"),
+      ("u1", 5L, "gold"), ("u1", 7L, "silver"),
+      ("u2", 2L, "gold")).toDF("id", "ts", "tier")
+
+    val dim = Scd2.buildScd2(obs, Seq("id"), Seq("tier"), "ts")
+      .orderBy("id", "effective_from")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+
+    dim shouldBe Array(
+      ("u1", "bronze", 1L, 3L, false),
+      ("u1", "gold", 3L, 7L, false),
+      ("u1", "silver", 7L, -1L, true),
+      ("u2", "gold", 2L, -1L, true))
+  }
+
+  it should "treat NULL attributes null-safely (NULL -> NULL is not a change)" in {
+    val obs = Seq(("u1", 1L, null), ("u1", 2L, null), ("u1", 3L, "a"), ("u1", 4L, null))
+      .toDF("id", "ts", "tier")
+    val dim = Scd2.buildScd2(obs, Seq("id"), Seq("tier"), "ts")
+      .orderBy("effective_from").collect()
+    dim.map(_.getLong(2)) shouldBe Array(1L, 3L, 4L)
+    dim.map(r => Option(r.getString(1))) shouldBe Array(None, Some("a"), None)
+  }
+
+  it should "reconstruct every original observation via point-in-time lookup (random histories)" in {
+    val rnd = new scala.util.Random(42)
+    val obs = (1 to 400).map { i =>
+      (s"u${rnd.nextInt(12)}", rnd.nextInt(1000).toLong * 10 + i % 10, // unique ts per (key,i) mix
+        Seq("a", "b", "c")(rnd.nextInt(3)))
+    }.distinct
+    val df = obs.toDF("id", "ts", "tier")
+      .groupBy("id", "ts").agg(first("tier").as("tier")) // one observation per (key, ts)
+
+    val dim = Scd2.buildScd2(df, Seq("id"), Seq("tier"), "ts")
+
+    // law: exactly one current row per key, and intervals chain gaplessly
+    val perKey = dim.groupBy("id").agg(
+      sum(col("is_current").cast("long")).as("currents"),
+      count(lit(1)).as("n")).collect()
+    perKey.foreach(r => r.getLong(1) shouldBe 1L)
+
+    // law: looking up each original observation's ts returns its attrs
+    val looked = Scd2.asOfLookup(df.withColumnRenamed("tier", "observed"), dim, Seq("id"), "ts")
+    looked.count() shouldBe df.count() // left join matched exactly once each
+    looked.filter(!(col("observed") <=> col("tier"))).count() shouldBe 0
+  }
+
+  it should "be deterministic under same-timestamp ties when a tie-break is given" in {
+    val obs = Seq(("u1", 1L, 1L, "a"), ("u1", 5L, 3L, "b"), ("u1", 5L, 2L, "c"))
+      .toDF("id", "ts", "seq", "tier")
+    val dim = Scd2.buildScd2(obs, Seq("id"), Seq("tier"), "ts", tieBreak = Seq("seq"))
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    // tie order at ts=5 is seq=2 (c) then seq=3 (b): c gets the empty
+    // [5, 5) interval, b is the open current row
+    dim should contain theSameElementsAs Seq(
+      ("a", 1L, 5L, false), ("c", 5L, 5L, false), ("b", 5L, -1L, true))
+  }
+}
