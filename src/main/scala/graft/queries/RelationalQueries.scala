@@ -356,6 +356,30 @@ object RelationalQueries {
       closed.union(ea.sessionsFromState(st2))
     }),
 
+    // --- commit-driven incremental SCD2: two ordered deliveries folded
+    // through the per-key change-point state, closed intervals DRAINED
+    // between them (the O(1)-state compaction path runs live at the gate),
+    // then closed ∪ final-state rebuild — must equal the batch q_scd2
+    // oracle row for row ---
+    "q_scd2_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+      val ev = Tables.events(s, d)
+      val mm = ev.agg(fmin(unix_micros(col("ts"))), fmax(unix_micros(col("ts")))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val sc = graft.operators.Scd2
+      val (keys, attrs) = (Seq("user_id"), Seq("event_type"))
+      val st1 = sc.advanceScd2State(sc.emptyScd2State(ev, keys, attrs, "ts"),
+        ev.filter(unix_micros(col("ts")) < cut), keys, attrs, "ts", tieBreak = Seq("event_id"))
+      val (closed, tail) = sc.compactScd2State(st1, keys, attrs)
+      val st2 = sc.advanceScd2State(tail,
+        ev.filter(unix_micros(col("ts")) >= cut), keys, attrs, "ts", tieBreak = Seq("event_id"))
+      closed.union(sc.scd2FromState(st2, keys, attrs))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("effective_from"), "yyyy-MM-dd HH:mm:ss").as("effective_from"),
+          date_format(col("effective_to"), "yyyy-MM-dd HH:mm:ss").as("effective_to"),
+          col("is_current"))
+    }),
+
     // --- declarative data-quality audit (the WAP audit surface run as a
     // report): five check classes over lineitem, incl. a genuinely failing
     // one — the reduced generator duplicates (l_orderkey, l_linenumber).
@@ -1247,6 +1271,26 @@ object RelationalQueries {
         |GROUP BY word""".stripMargin,
 
     "q_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type, ts, event_id FROM ordered
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |dim AS (
+        |  SELECT user_id, event_type, ts AS eff_from,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+        |  FROM chg)
+        |SELECT user_id, event_type,
+        |  STRFTIME(eff_from, '%Y-%m-%d %H:%M:%S') AS effective_from,
+        |  STRFTIME(eff_to, '%Y-%m-%d %H:%M:%S') AS effective_to,
+        |  eff_to IS NULL AS is_current
+        |FROM dim""".stripMargin,
+
+    // identical algebra to q_scd2 — the incremental chain must land on the
+    // exact batch dimension
+    "q_scd2_incremental" ->
       """WITH ordered AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
         |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

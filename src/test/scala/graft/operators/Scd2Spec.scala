@@ -66,6 +66,63 @@ class Scd2Spec extends AnyFlatSpec with Matchers {
     looked.filter(!(col("observed") <=> col("tier"))).count() shouldBe 0
   }
 
+  behavior of "advanceScd2State"
+
+  private def asTuples(dim: org.apache.spark.sql.DataFrame) =
+    dim.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).sortBy(t => (t._1, t._3))
+
+  it should "equal buildScd2 over any ordered delivery split, with and without draining" in {
+    val rnd = new scala.util.Random(7)
+    val obs = (1 to 300).map { i =>
+      (s"u${rnd.nextInt(10)}", rnd.nextInt(500).toLong, Seq("a", "b", "c")(rnd.nextInt(3)))
+    }
+    val df = obs.toDF("id", "ts", "tier")
+      .groupBy("id", "ts").agg(first("tier").as("tier")) // one observation per (key, ts)
+    val batch = asTuples(Scd2.buildScd2(df, Seq("id"), Seq("tier"), "ts"))
+
+    for (nDeliveries <- Seq(1, 2, 4)) {
+      val cuts = (1 until nDeliveries).map(k => 500L * k / nDeliveries)
+      val bounds = (Seq(Long.MinValue) ++ cuts ++ Seq(Long.MaxValue)).sliding(2).toSeq
+      // plain advance chain
+      var st = Scd2.emptyScd2State(df, Seq("id"), Seq("tier"), "ts")
+      bounds.foreach { case Seq(lo, hi) =>
+        st = Scd2.advanceScd2State(st,
+          df.filter(col("ts") >= lo && col("ts") < hi), Seq("id"), Seq("tier"), "ts")
+      }
+      asTuples(Scd2.scd2FromState(st, Seq("id"), Seq("tier"))) shouldBe batch
+
+      // drained chain: closed slices accumulate, tail keeps advancing
+      var tail = Scd2.emptyScd2State(df, Seq("id"), Seq("tier"), "ts")
+      var closedAll = Seq.empty[org.apache.spark.sql.DataFrame]
+      bounds.foreach { case Seq(lo, hi) =>
+        val adv = Scd2.advanceScd2State(tail,
+          df.filter(col("ts") >= lo && col("ts") < hi), Seq("id"), Seq("tier"), "ts")
+        val (closed, kept) = Scd2.compactScd2State(adv, Seq("id"), Seq("tier"))
+        closedAll = closedAll :+ closed; tail = kept
+      }
+      // drained closed rows are final EXCEPT the then-open row's effective_to,
+      // which a later delivery may close — rebuild marks it; union the
+      // drained slices with the final tail and compare
+      val drained = (closedAll :+ Scd2.scd2FromState(tail, Seq("id"), Seq("tier")))
+        .reduce(_ union _)
+      asTuples(drained) shouldBe batch
+    }
+  }
+
+  it should "skip out-of-order observations below the watermark, never corrupting the chain" in {
+    val d1 = Seq(("u1", 1L, "a"), ("u1", 5L, "a")).toDF("id", "ts", "tier")
+    val late = Seq(("u1", 3L, "b")).toDF("id", "ts", "tier") // would split [1,∞) if applied
+    val st = Scd2.advanceScd2State(
+      Scd2.advanceScd2State(Scd2.emptyScd2State(d1, Seq("id"), Seq("tier"), "ts"),
+        d1, Seq("id"), Seq("tier"), "ts"),
+      late, Seq("id"), Seq("tier"), "ts")
+    // == buildScd2 with the late row dropped: the unchanged t=5 observation
+    // moved the watermark past it (the dimension alone couldn't know that)
+    asTuples(Scd2.scd2FromState(st, Seq("id"), Seq("tier"))) shouldBe
+      asTuples(Scd2.buildScd2(d1, Seq("id"), Seq("tier"), "ts"))
+  }
+
   it should "be deterministic under same-timestamp ties when a tie-break is given" in {
     val obs = Seq(("u1", 1L, 1L, "a"), ("u1", 5L, 3L, "b"), ("u1", 5L, 2L, "c"))
       .toDF("id", "ts", "seq", "tier")
