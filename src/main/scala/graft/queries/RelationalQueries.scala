@@ -272,6 +272,28 @@ object RelationalQueries {
           date_format(col("effective_to"), "yyyy-MM-dd HH:mm:ss").as("effective_to"),
           col("is_current"))),
 
+    // --- SCD2 point-in-time enrichment: a status dimension built from the
+    // signup/error observation stream, every purchase joined to the status
+    // in effect at its timestamp (half-open interval lookup; purchases
+    // before a user's first status row keep NULLs via the left join).
+    // Equi-key + range predicate -> sort-merge join on user_id, never a
+    // cross product; the dimension is broadcastable when small. ---
+    "q_scd2_lookup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = graft.operators.Scd2.buildScd2(
+          ev.filter(col("event_type").isin("signup", "error")),
+          keyCols = Seq("user_id"), attrCols = Seq("event_type"),
+          tsCol = "ts", tieBreak = Seq("event_id"))
+        .withColumnRenamed("event_type", "status")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.Scd2.asOfLookup(facts, dim, Seq("user_id"), "ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("status"),
+          date_format(col("effective_from"), "yyyy-MM-dd HH:mm:ss").as("effective_from"))
+    }),
+
     // --- exact ordered funnel (view -> click -> purchase): greedy
     // earliest-feasible matching == nested strict mins; ONE shuffle on
     // user_id over the step-typed slice only ---
@@ -1287,6 +1309,28 @@ object RelationalQueries {
         |  STRFTIME(eff_to, '%Y-%m-%d %H:%M:%S') AS effective_to,
         |  eff_to IS NULL AS is_current
         |FROM dim""".stripMargin,
+
+    "q_scd2_lookup" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type IN ('signup', 'error')),
+        |chg AS (
+        |  SELECT user_id, event_type, ts, event_id FROM ordered
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |dim AS (
+        |  SELECT user_id, event_type AS status, ts AS eff_from,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+        |  FROM chg)
+        |SELECT f.event_id, f.user_id,
+        |  STRFTIME(CAST(f.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  d.status,
+        |  STRFTIME(d.eff_from, '%Y-%m-%d %H:%M:%S') AS effective_from
+        |FROM events f LEFT JOIN dim d
+        |  ON f.user_id = d.user_id
+        | AND CAST(f.ts AS TIMESTAMP) >= d.eff_from
+        | AND (d.eff_to IS NULL OR CAST(f.ts AS TIMESTAMP) < d.eff_to)
+        |WHERE f.event_type = 'purchase'""".stripMargin,
 
     // identical algebra to q_scd2 — the incremental chain must land on the
     // exact batch dimension

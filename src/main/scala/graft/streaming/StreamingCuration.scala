@@ -45,6 +45,24 @@ private[streaming] final case class RetentionEvent(user_id: String, week: java.s
   * O(weeks/64) longs, no events retained. */
 private[streaming] final case class RetState(cohortEpochDay: Long, emitted: Seq[Long])
 
+/** One SCD2 change row: `key` opens a new attribute interval at
+  * `effective_from_micros`. The key and attribute tuple ride as canonical
+  * JSON of their struct forms (the streaming twins' string-id rule — one
+  * concrete state-store key type for any key/attr arity); recover typed
+  * values downstream with `from_json`. `effective_to` is implicit: the
+  * key's NEXT emitted change closes this row, exactly the lead-walk
+  * [[graft.operators.Scd2.scd2FromState]] performs. */
+final case class Scd2Change(key_json: String, effective_from_micros: Long, attrs_json: String)
+
+private[streaming] final case class Scd2Obs(key_json: String, ts_micros: Long, attrs_json: String)
+
+/** Per-key SCD2 state: the current attribute tuple (canonical JSON) plus
+  * the last-seen observation micros — the same watermark
+  * [[graft.operators.Scd2.advanceScd2State]] carries, for the same reason:
+  * without it an unchanged observation is indistinguishable from silence,
+  * and a late row between them would fabricate an interval. */
+private[streaming] final case class Scd2StState(attrsJson: String, lastSeenMicros: Long)
+
 /**
  * Streaming curation admissions — the online counterparts of the batch
  * corpus-curation operators whose decisions must hold ACROSS deliveries,
@@ -311,6 +329,59 @@ object StreamingCuration {
     }
 
     typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(advance)
+  }
+
+  /**
+   * Online SCD2 — the streaming member completing the dimension family's
+   * batch + incremental + streaming triple
+   * ([[graft.operators.Scd2.buildScd2]] / `advanceScd2State`): each
+   * micro-batch folds a key's observations through (current attrs,
+   * last-seen watermark) state and emits one [[Scd2Change]] row per
+   * ATTRIBUTE CHANGE — an append-only change stream whose lead-walk per
+   * key reproduces the batch dimension exactly under event-time-ordered
+   * delivery (degeneracy law in StreamingCurationSpec).
+   *
+   * State per key is O(1) — one attribute tuple and one long, no
+   * observation history. Out-of-order observations below the watermark
+   * are SKIPPED, the same contract `advanceScd2State` pins: a skipped
+   * late row can only omit a historical interval the batch rebuild would
+   * recover, never corrupt the chain. Within a micro-batch, observations
+   * fold in (ts, attrs) order, deterministic without a tie-break column.
+   */
+  def scd2Stream(
+      observations: DataFrame,
+      keyCols: Seq[String],
+      attrCols: Seq[String],
+      tsCol: String): Dataset[Scd2Change] = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "need key and attribute columns")
+    val spark = observations.sparkSession
+    import spark.implicits._
+    val typed = observations
+      .filter(col(tsCol).isNotNull)
+      .select(
+        to_json(struct(keyCols.map(col): _*)).as("key_json"),
+        unix_micros(col(tsCol)).as("ts_micros"),
+        to_json(struct(attrCols.map(col): _*)).as("attrs_json"))
+      .as[Scd2Obs]
+
+    def advance(
+        key: String, rows: Iterator[Scd2Obs],
+        state: GroupState[Scd2StState]): Iterator[Scd2Change] = {
+      var cur = state.getOption.orNull
+      val out = Seq.newBuilder[Scd2Change]
+      rows.toSeq.sortBy(o => (o.ts_micros, o.attrs_json)).foreach { o =>
+        if (cur == null || o.ts_micros >= cur.lastSeenMicros) {
+          if (cur == null || cur.attrsJson != o.attrs_json)
+            out += Scd2Change(key, o.ts_micros, o.attrs_json)
+          cur = Scd2StState(o.attrs_json, o.ts_micros)
+        } // else: below the watermark — skip
+      }
+      if (cur != null) state.update(cur)
+      out.result().iterator
+    }
+
+    typed.groupByKey(_.key_json)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(advance)
   }
 }
