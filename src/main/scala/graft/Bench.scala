@@ -170,9 +170,21 @@ object Bench {
         // totals remain in attempt_totals for discounting). With at least
         // one clean attempt the round-9 rule stands: the less-contended
         // probe wins, steal breaking calib ties.
+        // Totals are only comparable over the SAME query set: a fast
+        // failure shrinks okTotal, so comparing raw okTotals would let a
+        // failing attempt win as the "smaller total" (and ship a broken
+        // round as the better number). Fewer failures wins outright;
+        // equal-failure attempts compare over their common OK queries.
+        def failures(rs: Seq[(String, Double, Boolean)]): Int = rs.count(!_._3)
+        def commonOkTotal(rs: Seq[(String, Double, Boolean)],
+            other: Seq[(String, Double, Boolean)]): Double = {
+          val okOther = other.collect { case (n, _, true) => n }.toSet
+          rs.collect { case (n, t, true) if okOther(n) => t }.sum
+        }
         val keepSecond =
           if (contended(firstSteal, firstCalib) && contended(secondSteal, secondCalib))
-            okTotal(second) < okTotal(first)
+            if (failures(second) != failures(first)) failures(second) < failures(first)
+            else commonOkTotal(second, first) < commonOkTotal(first, second)
           else if (math.abs(secondCalib - firstCalib) > 0.05 * math.max(firstCalib, secondCalib))
             secondCalib < firstCalib
           else secondSteal < firstSteal

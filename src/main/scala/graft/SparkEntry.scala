@@ -15,7 +15,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val sfDir = "/root/testdata/sf0.001"
     Tables.prepare(spark)
-    val root = java.nio.file.Files.createTempDirectory("graft-entry-")
+    val root = graft.FixtureTempDirs.create("graft-entry-")
     val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
     val table = TableDefinition(TableName("graft", "lineitem"), root.resolve("lineitem").toUri,
       PartitionSchema("l_returnflag"), FileFormat.Parquet)
@@ -130,7 +130,7 @@ object SparkEntry {
   private def csvFixture(spark: SparkSession, sfDir: String): (VersionedTables, TableDefinition) =
     csvFixtureCache.computeIfAbsent((spark, sfDir), _ => {
       Tables.prepare(spark)
-      val root = java.nio.file.Files.createTempDirectory("graft-csv-q-")
+      val root = graft.FixtureTempDirs.create("graft-csv-q-")
       val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
       val table = TableDefinition(TableName("graft", "orders_csv"),
         root.resolve("orders_csv").toUri, PartitionSchema("o_orderstatus"), FileFormat.Csv,
@@ -159,7 +159,7 @@ object SparkEntry {
   private def jsonFixture(spark: SparkSession, sfDir: String): (VersionedTables, TableDefinition) =
     jsonFixtureCache.computeIfAbsent((spark, sfDir), _ => {
       Tables.prepare(spark)
-      val root = java.nio.file.Files.createTempDirectory("graft-json-q-")
+      val root = graft.FixtureTempDirs.create("graft-json-q-")
       val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
       val table = TableDefinition(TableName("graft", "orders_json"),
         root.resolve("orders_json").toUri, PartitionSchema("o_orderstatus"), FileFormat.Json)
@@ -192,7 +192,7 @@ object SparkEntry {
     hiveFixtureCache.computeIfAbsent((spark, sfDir), _ => {
       Tables.prepare(spark)
       val n = hiveFixtureSeq.incrementAndGet()
-      val root = java.nio.file.Files.createTempDirectory("graft-hive-q-")
+      val root = graft.FixtureTempDirs.create("graft-hive-q-")
       val loc = root.resolve("events_hive").toUri.toString.stripSuffix("/")
       val qname = s"graft_hive.events_hive_$n"
       spark.sql("CREATE DATABASE IF NOT EXISTS graft_hive")
@@ -231,7 +231,7 @@ object SparkEntry {
   private def orcFixture(spark: SparkSession, sfDir: String): (VersionedTables, TableDefinition) =
     orcFixtureCache.computeIfAbsent((spark, sfDir), _ => {
       Tables.prepare(spark)
-      val root = java.nio.file.Files.createTempDirectory("graft-orc-q-")
+      val root = graft.FixtureTempDirs.create("graft-orc-q-")
       val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
       val table = TableDefinition(TableName("graft", "events_orc"),
         root.resolve("events_orc").toUri,
@@ -261,7 +261,7 @@ object SparkEntry {
 
   private def buildVersionedFixture(spark: SparkSession, sfDir: String): VersionedFixture = {
     Tables.prepare(spark)
-    val root = java.nio.file.Files.createTempDirectory("graft-vfix-")
+    val root = graft.FixtureTempDirs.create("graft-vfix-")
     val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
     val table = TableDefinition(TableName("graft", "events"), root.resolve("events").toUri,
       PartitionSchema("event_date"), FileFormat.Parquet)
@@ -309,7 +309,7 @@ object SparkEntry {
   private def buildMergeFixture(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.VersionedMerge._
     Tables.prepare(spark)
-    val root = java.nio.file.Files.createTempDirectory("graft-mfix-")
+    val root = graft.FixtureTempDirs.create("graft-mfix-")
     val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
     val table = TableDefinition(TableName("graft", "events_merge"),
       root.resolve("events_merge").toUri, PartitionSchema("event_date"), FileFormat.Parquet)

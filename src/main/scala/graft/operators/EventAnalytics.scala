@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
  */
 object EventAnalytics {
 
+  /** Null-safe full-outer join of a state frame with a per-user delivery
+    * aggregate: the batch operators' groupBy puts all null users in ONE
+    * group, so the incremental twins must too — a USING join never matches
+    * null keys, which would duplicate a null-user state row every delivery
+    * and break the pinned advance ≡ batch equivalences. The delivery key
+    * rides renamed so the `<=>` condition stays unambiguous; the coalesced
+    * key takes back the `user_id` name. */
+  private def joinStateDelivery(state: DataFrame, delivery: DataFrame): DataFrame =
+    state.join(delivery.withColumnRenamed("user_id", "__d_user_id"),
+        col("user_id") <=> col("__d_user_id"), "full_outer")
+      .withColumn("user_id", coalesce(col("user_id"), col("__d_user_id")))
+
   /**
    * Exact ordered funnel: for each user, how many of `steps` were completed
    * IN ORDER — step k counts only if an event of its type occurs STRICTLY
@@ -161,7 +173,7 @@ object EventAnalytics {
         struct(unix_micros(col(tsCol)).as("_1"), col(typeCol).as("_2")).as("__e"))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(col("__e"))).as("__seq"))
-    state.join(delivery, Seq("user_id"), "full_outer")
+    joinStateDelivery(state, delivery)
       .select(col("user_id"),
         advance(
           coalesce(col("achieved"), lit(0)),
@@ -243,7 +255,7 @@ object EventAnalytics {
         datediff(to_date(date_trunc("week", col(tsCol))), lit("1970-01-01")).as("__wk"))
       .groupBy(col("user_id"))
       .agg(collect_set(col("__wk")).as("__wks"))
-    state.join(delivery, Seq("user_id"), "full_outer")
+    joinStateDelivery(state, delivery)
       .select(col("user_id"),
         advance(
           coalesce(col("cohort_day"), lit(Long.MinValue)),
@@ -332,7 +344,7 @@ object EventAnalytics {
             .as("_2")).as("__e"))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(col("__e"))).as("__seq"))
-    state.join(delivery, Seq("user_id"), "full_outer")
+    joinStateDelivery(state, delivery)
       .select(col("user_id"),
         advance(
           coalesce(transform(col("sessions"), s =>

@@ -125,8 +125,17 @@ object Scd2 {
     val acc0 = struct(
       coalesce(col("history"), array().cast(histType)).as("hist"),
       col("last_seen").cast(tsType).as("last_seen"))
-    val folded = state.join(deliveryAgg, keyCols, "full_outer")
-      .select(keyCols.map(col) :+
+    // NULL-SAFE key join: buildScd2's window partitioning puts all null-key
+    // observations in ONE group, so the incremental twin must too — a plain
+    // USING join never matches null keys, which would append an independent
+    // null-key state row every delivery and break advance ≡ build.
+    val dKeys = keyCols.map(k => s"__dk_$k")
+    val deliveryKeyed = keyCols.zip(dKeys).foldLeft(deliveryAgg) {
+      case (f, (k, n)) => f.withColumnRenamed(k, n) }
+    val folded = state.join(deliveryKeyed,
+        keyCols.zip(dKeys).map { case (k, n) => col(k) <=> col(n) }.reduce(_ && _),
+        "full_outer")
+      .select(keyCols.zip(dKeys).map { case (k, n) => coalesce(col(k), col(n)).as(k) } :+
         aggregate(
           coalesce(col("__obs"), array().cast(org.apache.spark.sql.types.ArrayType(
             deliveryAgg.schema("__obs").dataType

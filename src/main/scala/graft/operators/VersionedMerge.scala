@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core._
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 
 /**
  * Keyed MERGE INTO for versioned tables — the Delta/Iceberg `MERGE` verb the
@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions.{col, lit, not}
  *   - source row satisfying `deleteWhen` → its matched current row is
  *     deleted, the source row itself is discarded (WHEN MATCHED AND <pred>
  *     THEN DELETE; an unmatched delete row is a no-op, like SQL MERGE).
+ *     Only a TRUE predicate deletes — a NULL falls through to UPDATE,
+ *     SQL's three-valued WHEN-clause rule.
  *
  * Scale shape (the 100 TB contract):
  *   - The rewrite is PARTITION-granular and touches ONLY partitions that the
@@ -93,14 +95,24 @@ object VersionedMerge {
       val snapshot = state.currentTableVersion
 
       val keyFrame = source.select(keyColumns.map(col): _*).distinct()
-      val upserts = deleteWhen.map(d => source.filter(not(d))).getOrElse(source)
+      // SQL MERGE's `WHEN MATCHED AND <pred> THEN DELETE` fires only when the
+      // predicate is TRUE; a NULL predicate falls through to UPDATE. A bare
+      // `not(d)` would silently DROP null-predicate rows (not(NULL) is NULL,
+      // filtered out) while their key still anti-joins the current row away —
+      // data loss, so pin the three-valued logic with coalesce.
+      val upserts = deleteWhen.map(d => source.filter(not(coalesce(d, lit(false)))))
+        .getOrElse(source)
 
       val now = java.time.Instant.now()
       snapshot match {
         case SnapshotTableVersion(_) =>
-          // snapshot table = one unit of data: the rewrite is the whole table
+          // snapshot table = one unit of data: the rewrite is the whole table.
+          // A never-written table reads back with an EMPTY schema (emptyLike
+          // can infer nothing), so merge-as-first-write is a pure insert.
           val current = engine.readVersion(table, snapshot)
-          val merged = current.join(keyFrame, keyColumns, "left_anti").unionByName(upserts)
+          val merged =
+            if (current.columns.isEmpty) upserts
+            else current.join(keyFrame, keyColumns, "left_anti").unionByName(upserts)
           val version = Version.generate()
           VersionedTables.writeDataVersioned(merged, table, version, clusterBy)
           val versionDir = new org.apache.hadoop.fs.Path(
@@ -130,13 +142,19 @@ object VersionedMerge {
           if (touched.isEmpty)
             return MergeResult(snapshot, TableChanges.empty, Nil, Nil)
 
-          // Rewrite pass over ONLY the touched slice of the pinned snapshot
-          val touchedSnapshot = PartitionedTableVersion(
-            pvs.filter { case (p, _) => touched(p) })
-          val touchedCurrent = engine.readVersion(table, touchedSnapshot)
-            .select(source.columns.map(col): _*) // align column order for unionByName
-          val merged = touchedCurrent.join(keyFrame, keyColumns, "left_anti")
-            .unionByName(upserts)
+          // Rewrite pass over ONLY the touched slice of the pinned snapshot.
+          // No touched slice (first write into a fresh table, or inserts
+          // landing only in brand-new partitions) means nothing to anti-join:
+          // the merge is a pure insert — and readVersion on an empty
+          // partition map would yield an empty-SCHEMA frame whose select
+          // cannot resolve anything, so the guard is load-bearing.
+          val touchedPvs = pvs.filter { case (p, _) => touched(p) }
+          val merged =
+            if (touchedPvs.isEmpty) upserts
+            else engine.readVersion(table, PartitionedTableVersion(touchedPvs))
+              .select(source.columns.map(col): _*) // align column order for unionByName
+              .join(keyFrame, keyColumns, "left_anti")
+              .unionByName(upserts)
 
           val version = Version.generate()
           val finalParts = VersionedTables.partitionValues(merged, table.partitionSchema)

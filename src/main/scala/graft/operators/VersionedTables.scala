@@ -295,17 +295,23 @@ final class VersionedTables(
             VersionedTables.readStagingManifest(
               spark.sparkContext.hadoopConfiguration, table.location, label)
               .map(_.operations)
-          val ops: List[TableOperation] = fromManifest.getOrElse {
+          val opsOrErr: Either[String, List[TableOperation]] = fromManifest.map(Right(_)).getOrElse {
             if (table.isSnapshot) {
               if (fs.exists(new Path(root, dirName)))
-                List(TableOperation.AddTableVersion(version))
-              else Nil
+                Right(List(TableOperation.AddTableVersion(version)))
+              else Right(Nil)
             } else {
-              def walk(p: Path, cols: List[String], rel: List[String]): List[Partition] =
+              // A staged dir whose name this codec can't parse back must
+              // REFUSE the whole re-attach, not silently omit the partition
+              // — publishing the remainder would be a partial publish with
+              // no error, the exact guess the replace-all branch below
+              // refuses to make.
+              def walk(p: Path, cols: List[String], rel: List[String]): List[Either[String, Partition]] =
                 cols match {
                   case Nil =>
                     if (fs.exists(new Path(p, dirName)))
-                      Partition.parseEscaped(rel.mkString("/")).toOption.toList
+                      List(Partition.parseEscaped(rel.mkString("/"))
+                        .left.map(e => s"'${rel.mkString("/")}': $e"))
                     else Nil
                   case c :: rest =>
                     if (!fs.exists(p)) Nil
@@ -313,11 +319,21 @@ final class VersionedTables(
                       .filter(s => s.isDirectory && s.getPath.getName.startsWith(c + "="))
                       .flatMap(s => walk(s.getPath, rest, rel :+ s.getPath.getName))
                 }
-              walk(root, table.partitionSchema.columnNames, Nil)
-                .sortBy(_.toPath)
-                .map(TableOperation.AddPartitionVersion(_, version))
+              val walked = walk(root, table.partitionSchema.columnNames, Nil)
+              val bad = walked.collect { case Left(e) => e }
+              if (bad.nonEmpty)
+                Left(s"version $label has no staging manifest and staged partition " +
+                  s"directories that do not parse back: ${bad.mkString("; ")} — " +
+                  "re-stage (manifests carry the exact partitions) or publish from the staging JVM")
+              else
+                Right(walked.collect { case Right(p) => p }
+                  .sortBy(_.toPath)
+                  .map(TableOperation.AddPartitionVersion(_, version)))
             }
           }
+          opsOrErr match {
+            case Left(err) => Left(err)
+            case Right(ops) =>
           val adds = ops.collect { case TableOperation.AddPartitionVersion(p, v) => p -> v }
           if (ops.isEmpty)
             Left(s"no staged data for version $label under ${table.location}")
@@ -343,6 +359,7 @@ final class VersionedTables(
             val schema = readVersion(table, tv).schema
             Right(VersionedTables.StagedWrite(this, table, userId, message, version, ops, schema,
               manifested = fromManifest.isDefined))
+          }
           }
         }
     }
@@ -863,13 +880,20 @@ object VersionedTables {
      * [[VersionedTables.orphanedVersions]] lists and vacuum reclaims, the
      * same mechanism that already covers failed CAS writes.
      */
+    /** `manifest = false` is for SAME-CALL stage-audit-publish wrappers
+      * ([[auditedInsertInto]], the streaming WAP sink): they never re-attach
+      * from another process, so the manifest would be two wasted FS
+      * round-trips (write + publish-time delete) per delivery on a hot
+      * path. Cross-process staging keeps the default. */
     def stageInsertInto(
         engine: VersionedTables,
         table: TableDefinition,
         userId: UserId,
         message: String,
-        clusterBy: Seq[String] = Nil): StagedWrite =
-      stage(engine, table, userId, message, clusterBy, replaceAll = false, None, writeManifest = true)
+        clusterBy: Seq[String] = Nil,
+        manifest: Boolean = true): StagedWrite =
+      stage(engine, table, userId, message, clusterBy, replaceAll = false, None,
+        writeManifest = manifest)
 
     /** [[stageInsertInto]] with replace-all publish semantics (the removes
       * are computed against the head AT STAGE TIME — use `publishIf` when
@@ -907,7 +931,7 @@ object VersionedTables {
         checks: Seq[Expectations.Check],
         clusterBy: Seq[String] = Nil,
         scope: Expectations.AuditScope = Expectations.AuditScope.Delivery): (TableVersion, TableChanges) = {
-      val staged = stageInsertInto(engine, table, userId, message, clusterBy)
+      val staged = stageInsertInto(engine, table, userId, message, clusterBy, manifest = false)
       val results = Expectations.audit(staged.auditView(scope), checks)
       if (results.forall(_.ok)) staged.publish()
       else throw Expectations.ExpectationsFailedError(results)

@@ -172,7 +172,7 @@ object PipelineQueries {
     ivfCache.computeIfAbsent((s, d), _ => {
       import graft.core._
       graft.Tables.prepare(s)
-      val root = java.nio.file.Files.createTempDirectory("graft-ivf-q-")
+      val root = graft.FixtureTempDirs.create("graft-ivf-q-")
       val engine = graft.operators.VersionedTables.withFileStore(s, root.resolve("store").toUri)
       val table = TableDefinition(TableName("graft", "ivf_index"),
         root.resolve("ivf").toUri, graft.operators.VectorIndex.indexSchema, FileFormat.Parquet)
@@ -200,7 +200,7 @@ object PipelineQueries {
       // localCheckpoint of the documents table, build_index_s the initial
       // postings build, add_batch_s the incremental CASed append.
       val t0 = System.nanoTime()
-      val root = java.nio.file.Files.createTempDirectory("graft-bm25-q-")
+      val root = graft.FixtureTempDirs.create("graft-bm25-q-")
       val engine = graft.operators.VersionedTables.withFileStore(s, root.resolve("store").toUri)
       val table = TableDefinition(TableName("graft", "bm25_index"),
         root.resolve("postings").toUri, graft.operators.TextIndex.indexSchema, FileFormat.Parquet)
@@ -244,7 +244,7 @@ object PipelineQueries {
       // work from the parquet write + commit, and the bench artifact can
       // localize a hot build without a local replay.
       val t0 = System.nanoTime()
-      val root = java.nio.file.Files.createTempDirectory("graft-lshidx-q-")
+      val root = graft.FixtureTempDirs.create("graft-lshidx-q-")
       val engine = graft.operators.VersionedTables.withFileStore(s, root.resolve("store").toUri)
       val table = TableDefinition(TableName("graft", "lsh_index"),
         root.resolve("lshidx").toUri,

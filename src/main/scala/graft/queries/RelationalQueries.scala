@@ -33,7 +33,7 @@ object RelationalQueries {
 
   private def zorderFixture(s: SparkSession, d: String): String =
     zorderCache.computeIfAbsent((s, d), _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-zorder-").resolve("lineitem")
+      val out = graft.FixtureTempDirs.create("graft-zorder-").resolve("lineitem")
       graft.operators.ScaleTools.zorderBy(
           Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
           Seq("l_orderkey", "l_partkey"), numFiles = 16)
@@ -1295,11 +1295,12 @@ object RelationalQueries {
     "q_scd2" ->
       """WITH ordered AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
-        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    LAG(1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS has_prev
         |  FROM events),
         |chg AS (
         |  SELECT user_id, event_type, ts, event_id FROM ordered
-        |  WHERE prev IS NULL OR prev <> event_type),
+        |  WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type),
         |dim AS (
         |  SELECT user_id, event_type, ts AS eff_from,
         |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
@@ -1313,11 +1314,12 @@ object RelationalQueries {
     "q_scd2_lookup" ->
       """WITH ordered AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
-        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    LAG(1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS has_prev
         |  FROM events WHERE event_type IN ('signup', 'error')),
         |chg AS (
         |  SELECT user_id, event_type, ts, event_id FROM ordered
-        |  WHERE prev IS NULL OR prev <> event_type),
+        |  WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type),
         |dim AS (
         |  SELECT user_id, event_type AS status, ts AS eff_from,
         |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
@@ -1337,11 +1339,12 @@ object RelationalQueries {
     "q_scd2_incremental" ->
       """WITH ordered AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
-        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    LAG(1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS has_prev
         |  FROM events),
         |chg AS (
         |  SELECT user_id, event_type, ts, event_id FROM ordered
-        |  WHERE prev IS NULL OR prev <> event_type),
+        |  WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type),
         |dim AS (
         |  SELECT user_id, event_type, ts AS eff_from,
         |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to

@@ -229,7 +229,10 @@ object EventStreams {
         batch.persist() // same three-evaluation shape as writeVersioned
         try {
           if (!batch.isEmpty) {
-            val staged = batch.stageInsertInto(engine, table, userId, s"stream batch $batchId")
+            // manifest=false: stage and publish live in THIS call — the
+            // manifest's cross-process re-attach is dead weight per batch
+            val staged = batch.stageInsertInto(engine, table, userId,
+              s"stream batch $batchId", manifest = false)
             val results = Expectations.audit(staged.auditView(scope), checks)
             if (results.forall(_.ok)) { staged.publish(); () }
             else onRefused(batchId, results) // staged files remain orphan debris

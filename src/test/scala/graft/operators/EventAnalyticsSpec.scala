@@ -331,6 +331,28 @@ class EventAnalyticsSpec extends AnyFlatSpec with Matchers {
       ("1970-01-01 00:00:00", "2", 1L, 2.0))
   }
 
+  it should "fold a NULL user into one session chain across deliveries (null-safe state join)" in {
+    def mts(min: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(min * 60L))
+    val gap = 30L * 60 * 1000000
+    // the same null user's events split across two deliveries, within one
+    // session gap: batch session_window groups them as ONE session, so the
+    // state join must match the null-key state row instead of duplicating it
+    val d1 = Seq((None: Option[Long], Some(mts(0)), Some(1.0)), (Some(1L), Some(mts(0)), Some(5.0)))
+    val d2 = Seq((None: Option[Long], Some(mts(10)), Some(2.0)))
+    var st = EventAnalytics.emptySessionState(spark)
+    Seq(d1, d2).foreach { d =>
+      st = EventAnalytics.advanceSessionState(
+        st, d.toDF("user_id", "ts", "value"), "user_id", "ts", "value", gap)
+        .localCheckpoint()
+    }
+    val rows = EventAnalytics.sessionsFromState(st)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2), r.getDouble(3)))
+      .toSet
+    rows shouldBe Set(
+      ("1970-01-01 00:00:00", None, 2L, 3.0),
+      ("1970-01-01 00:00:00", Some("1"), 1L, 5.0))
+  }
+
   it should "drain closed sessions between commits without changing the final table" in {
     def mts(min: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(min * 60L))
     val gap = 30L * 60 * 1000000

@@ -110,6 +110,28 @@ class Scd2Spec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "fold a NULL key into one chain across deliveries, like buildScd2's window grouping" in {
+    // buildScd2's partitionBy puts every null-key observation in ONE group;
+    // a null-unsafe state join would instead append an independent null-key
+    // state row per delivery and the equivalence below would fail
+    val all = Seq((null: String, 1L, "a"), (null: String, 3L, "b"),
+      ("u1", 2L, "x"), (null: String, 5L, "b")).toDF("id", "ts", "tier")
+    val batch = Scd2.buildScd2(all, Seq("id"), Seq("tier"), "ts")
+      .collect().map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1.getOrElse(""), t._3))
+
+    var st = Scd2.emptyScd2State(all, Seq("id"), Seq("tier"), "ts")
+    for ((lo, hi) <- Seq((Long.MinValue, 3L), (3L, Long.MaxValue)))
+      st = Scd2.advanceScd2State(st,
+        all.filter(col("ts") >= lo && col("ts") < hi), Seq("id"), Seq("tier"), "ts")
+    val inc = Scd2.scd2FromState(st, Seq("id"), Seq("tier"))
+      .collect().map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1.getOrElse(""), t._3))
+
+    inc shouldBe batch
+    inc.count(_._1.isEmpty) shouldBe 2 // a@1, b@3 — ONE null chain, not per-delivery copies
+  }
+
   it should "skip out-of-order observations below the watermark, never corrupting the chain" in {
     val d1 = Seq(("u1", 1L, "a"), ("u1", 5L, "a")).toDF("id", "ts", "tier")
     val late = Seq(("u1", 3L, "b")).toDF("id", "ts", "tier") // would split [1,∞) if applied

@@ -99,6 +99,36 @@ class VersionedMergeSpec extends AnyFlatSpec with Matchers {
       Account("a1", "eu", 10), Account("a3", "us", 30), Account("a4", "ap", 41))
   }
 
+  it should "treat a NULL deleteWhen predicate as UPDATE, not delete (SQL three-valued WHEN rule)" in {
+    val (engine, table, _) = partitionedFixture()
+    // a2's predicate is TRUE (delete); a4's is NULL — SQL MERGE's
+    // `WHEN MATCHED AND pred THEN DELETE` fires only on TRUE, so a4 must
+    // fall through to the update arm, never silently vanish
+    val source = Seq(Account("a2", "eu", -1), Account("a4", "ap", 41)).toDS().toDF()
+    val pred = org.apache.spark.sql.functions.when(
+      col("id") === "a4", org.apache.spark.sql.functions.lit(null).cast("boolean"))
+      .otherwise(col("balance") < 0)
+    engine.mergeInto(table, source, Seq("id"), UserId("t"), "null pred",
+      deleteWhen = Some(pred))
+
+    engine.read(table).as[Account].collect() should contain theSameElementsAs Seq(
+      Account("a1", "eu", 10), Account("a3", "us", 30), Account("a4", "ap", 41))
+  }
+
+  it should "act as a pure insert when merging into a never-written partitioned table" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("test", "fresh"),
+      new File(dir, "fresh").toURI, PartitionSchema("region"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    val r = engine.mergeInto(table,
+      Seq(Account("a1", "eu", 1), Account("a2", "us", 2)).toDS().toDF(),
+      Seq("id"), UserId("t"), "bootstrap merge")
+
+    engine.read(table).as[Account].collect() should contain theSameElementsAs Seq(
+      Account("a1", "eu", 1), Account("a2", "us", 2))
+    r.rewritten.map(_.toPath).sorted shouldBe List("region=eu", "region=us")
+  }
+
   it should "be a committed-state no-op when nothing matches and there is nothing to insert" in {
     val (engine, table, _) = partitionedFixture()
     val before = engine.headCommit(table.name)
@@ -141,6 +171,16 @@ class VersionedMergeSpec extends AnyFlatSpec with Matchers {
     val log = engine.log(table.name)
     engine.readAt(table, log(1).id).as[User].collect() should contain theSameElementsAs Seq(
       User("u1", "Alice", "a@m"), User("u2", "Bob", "b@m"))
+  }
+
+  it should "act as a pure insert when merging into a never-written snapshot table" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("test", "snap_fresh"),
+      new File(dir, "snap_fresh").toURI, PartitionSchema.snapshot, FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    engine.mergeInto(table, Seq(User("u1", "A", "a@m")).toDS().toDF(),
+      Seq("id"), UserId("t"), "bootstrap merge")
+    engine.read(table).as[User].collect() shouldBe Array(User("u1", "A", "a@m"))
   }
 
   it should "refuse a merge that would empty a snapshot table" in {

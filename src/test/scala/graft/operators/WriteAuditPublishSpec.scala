@@ -170,6 +170,25 @@ class WriteAuditPublishSpec extends AnyFlatSpec with Matchers {
     err.left.toOption.get should include("cannot tell a replace-all stage from an insert")
   }
 
+  it should "refuse a manifest-less re-attach when a staged partition dir does not parse back" in {
+    val (engine, table) = fixture()
+    Seq((1L, "alpha", "b0")).toDF("doc_id", "text", "batch")
+      .versionedInsertInto(engine, table, UserId("writer"), "base")
+    val staged = Seq((2L, "beta", "b1")).toDF("doc_id", "text", "batch")
+      .stageInsertInto(engine, table, UserId("writer"), "delivery b1")
+    VersionedTables.deleteStagingManifest(
+      engine.spark.sparkContext.hadoopConfiguration, table.location, staged.version.label)
+    // plant a staged dir whose name the partition codec rejects (empty
+    // value): omitting it would publish an INCOMPLETE stage with no error,
+    // so the whole re-attach must refuse instead
+    val bogus = new java.io.File(new java.io.File(table.location), "batch=/" +
+      graft.core.VersionPaths.VersionDirPrefix + staged.version.label)
+    bogus.mkdirs() shouldBe true
+    val err = engine.findStaged(table, staged.version.label, UserId("op"), "m")
+    err.isLeft shouldBe true
+    err.left.toOption.get should include("do not parse back")
+  }
+
   it should "leave an abandoned stage's manifest to vacuum(includeOrphans)" in {
     val (engine, table) = fixture()
     Seq((1L, "alpha", "b0")).toDF("doc_id", "text", "batch")
