@@ -156,6 +156,43 @@ object ScaleProbe {
         graft.operators.EventAnalytics.sessionsFromState(st)
           .agg(sum(col("n_events"))).collect(); ()
       }),
+      "scd2_build" -> (dir => {
+        // events replicate with user offsets: per-user observation history
+        // identical, xN keys — the ONE-exchange two-window build must track
+        // the filtered slice linearly. Aggregate a window-derived column so
+        // Catalyst cannot shortcut the build.
+        val ev = graft.Tables.events(spark, dir)
+        graft.operators.Scd2.buildScd2(
+            ev.filter(col("event_type").isin("signup", "error")),
+            Seq("user_id"), Seq("event_type"), "ts", tieBreak = Seq("event_id"))
+          .agg(sum(col("is_current").cast("long"))).collect(); ()
+      }),
+      "scd2_lookup" -> (dir => {
+        // the q_scd2_lookup shape: dimension build + as-of enrichment of the
+        // purchase facts; the join is equi-keyed on user_id, so the probe
+        // measures build + one hash/sort-merge pass over the fact slice
+        val ev = graft.Tables.events(spark, dir)
+        val dim = graft.operators.Scd2.buildScd2(
+            ev.filter(col("event_type").isin("signup", "error")),
+            Seq("user_id"), Seq("event_type"), "ts", tieBreak = Seq("event_id"))
+          .withColumnRenamed("event_type", "status")
+        val facts = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.Scd2.asOfLookup(facts, dim, Seq("user_id"), "ts")
+          .agg(sum(col("status").isNotNull.cast("long"))).collect(); ()
+      }),
+      "scd2_advance" -> (dir => {
+        // one incremental delivery folded from the empty state + the full
+        // dimension rebuild off the state — the commit-driven twin's cost
+        // for the same slice scd2_build measures
+        val ev = graft.Tables.events(spark, dir)
+          .filter(col("event_type").isin("signup", "error"))
+        val st = graft.operators.Scd2.advanceScd2State(
+          graft.operators.Scd2.emptyScd2State(ev, Seq("user_id"), Seq("event_type"), "ts"),
+          ev, Seq("user_id"), Seq("event_type"), "ts", tieBreak = Seq("event_id"))
+        graft.operators.Scd2.scd2FromState(st, Seq("user_id"), Seq("event_type"))
+          .agg(sum(col("is_current").cast("long"))).collect(); ()
+      }),
       "domain_cap" -> (dir => {
         // same 37 hot domains at both scales (pmod over offset ids), so the
         // groups grow x10 while the cap stays 10 — measures the split path:
