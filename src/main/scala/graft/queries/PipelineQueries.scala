@@ -576,6 +576,26 @@ object PipelineQueries {
         precomputedCentroids = Some(ivfCentroids(s, d)))
     }),
 
+    // recall@k of the IVF path against the exact baseline — the number a
+    // pipeline tunes nprobe with. Both arms are the gate's own operators
+    // (brute force = ground truth, IVF = the scale path); the join is on
+    // (query, neighbor) membership, so rank order inside the top-k cannot
+    // flip the answer. Oracled by replaying BOTH arms in DuckDB off the
+    // registered centroid literals and computing the same overlap.
+    "q_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 16)
+      val exact = Similarity.bruteForceTopK(qs, emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(qs, emb, k = 10, nlist = 16, nprobe = 4,
+          precomputedCentroids = Some(ivfCentroids(s, d)))
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0))).as("hits"))
+        .withColumn("recall", col("hits") / lit(10.0))
+    }),
+
     // embedding clustering: every vector labeled with its nearest k-means
     // cell (the corpus-partitioning step of an embedding pipeline, and
     // exactly the assignment the IVF paths persist), plus the cell size.
@@ -841,6 +861,63 @@ object PipelineQueries {
        |WHERE "rank" <= $k""".stripMargin
   }
 
+  /** The q_ann_recall oracle: both arms replayed — [[ivfOracleSql]]'s
+    * probe-cell candidate walk and the exact all-pairs baseline — then the
+    * per-query (query, neighbor) overlap. Membership, not rank, is
+    * compared, and both engines break cosine ties identically, so the
+    * overlap is hash-exact. */
+  private def recallOracleSql(centroids: Array[Array[Float]], k: Int, nprobe: Int): String = {
+    val values = centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n      ")
+    s"""WITH cents AS (
+       |  SELECT cell, cv, SQRT(list_inner_product(cv, cv)) AS cn
+       |  FROM (VALUES
+       |      $values) AS t(cell, cv)),
+       |v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+       |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
+       |                            CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT vec_id, dv, nrm, cell FROM (
+       |    SELECT v.vec_id, v.dv, v.nrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_inner_product(v.dv, c.cv) / (v.nrm * c.cn) DESC, c.cell) AS rn
+       |    FROM v CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |qp AS (
+       |  SELECT vec_id AS query_id, dv AS qv, nrm AS qn, cell FROM (
+       |    SELECT v.vec_id, v.dv, v.nrm, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_inner_product(v.dv, c.cv) / (v.nrm * c.cn) DESC, c.cell) AS rn
+       |    FROM v CROSS JOIN cents c WHERE v.vec_id < 16)
+       |  WHERE rn <= $nprobe),
+       |ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qp.query_id, cand.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qp.query_id
+       |        ORDER BY list_inner_product(qp.qv, cand.dv) / (qp.qn * cand.nrm) DESC,
+       |                 cand.vec_id) AS rnk
+       |    FROM qp JOIN cand USING (cell) WHERE qp.query_id <> cand.vec_id)
+       |  WHERE rnk <= $k),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qq.vec_id
+       |        ORDER BY list_inner_product(qq.dv, c.dv) / (qq.nrm * c.nrm) DESC,
+       |                 c.vec_id) AS rnk
+       |    FROM v qq JOIN v c ON qq.vec_id < 16 AND qq.vec_id <> c.vec_id)
+       |  WHERE rnk <= $k)
+       |SELECT e.query_id,
+       |  CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) / 10.0
+       |    AS recall
+       |FROM exact e LEFT JOIN ivf i
+       |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+  }
+
   /** The q_embed_cluster oracle: the assignment CTE of [[ivfOracleSql]] plus
     * per-cell counts. Cosines are used only for the argmax (robust to the
     * table×constant FMA rounding DuckDB's list_inner_product applies — a
@@ -944,6 +1021,7 @@ object PipelineQueries {
       case Some(cents) =>
         val sql = ivfOracleSql(cents, k = 10, nprobe = 4)
         Map("q_ann_ivf" -> sql, "q_ann_ivf_index" -> sql,
+          "q_ann_recall" -> recallOracleSql(cents, k = 10, nprobe = 4),
           "q_embed_cluster" -> clusterOracleSql(cents),
           "q_semantic_dedup" -> semanticDedupOracleSql(cents, threshold = 0.4))
       case None => Map.empty[String, String]

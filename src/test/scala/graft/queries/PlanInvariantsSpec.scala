@@ -50,8 +50,13 @@ class PlanInvariantsSpec extends AnyFlatSpec with Matchers {
     * Notably NOT here: the n-gram ground-truth miners — they plan as
     * inverted-index equi-joins on shared shingle hashes (the quadratic in
     * their cost model is candidate VERIFICATION, not the join shape). */
+  /**  - q_ann_recall — the recall@k evaluator joins BOTH allowed ANN arms
+    *    (the brute-force ground truth and the IVF probe walk), so it
+    *    inherits exactly their bounded shapes: the 16-query set broadcasts
+    *    against the corpus, and queries × nlist centroid literals pick
+    *    probe cells. The overlap join itself is equi-keyed. */
   private val allowedBounded = Set(
-    "q_ann_cosine", "q_ann_ivf", "q_dedup_embedding", "q_cross_join",
+    "q_ann_cosine", "q_ann_ivf", "q_ann_recall", "q_dedup_embedding", "q_cross_join",
     "q_hybrid_search", "q_tpch_q22", "q_text_knn")
 
   "every driver query" should "plan without cartesian or nested-loop joins (unless bounded by design)" in {

@@ -15,7 +15,7 @@ class QueriesSpec extends AnyFlatSpec with Matchers {
     // data-derived oracles (IVF centroid literals, SimHash token-hash
     // dictionary) appear only after their query has run in this JVM —
     // exactly how Verify dumps them
-    val dataDerived = Set("q_ann_ivf", "q_ann_ivf_index", "q_dedup_simhash",
+    val dataDerived = Set("q_ann_ivf", "q_ann_ivf_index", "q_ann_recall", "q_dedup_simhash",
       "q_embed_cluster", "q_semantic_dedup", "q_dsir_weight", "q_dsir_sample",
       "q_bm25_search", "q_bm25_index", "q_hybrid_search", "q_lm_perplexity",
       "q_nb_classify", "q_text_knn", "q_lm_bigram")
