@@ -21,6 +21,10 @@ case class StreamOpsDoc(doc_id: Long, text: String)
 /** Ingestion row for the streaming write-audit-publish law. */
 case class WapStreamDoc(doc_id: Long, text: String, part: String)
 
+/** CDC-style change row for the streaming merge sink: `id` is the key,
+  * `seq` orders a key's changes, negative balance marks a delete. */
+case class MergeStreamRow(id: String, region: String, balance: Long, seq: Long)
+
 class StreamingCorpusOpsSpec extends AnyFlatSpec with Matchers {
 
   lazy val spark = TestSpark.spark
@@ -184,5 +188,55 @@ class StreamingCorpusOpsSpec extends AnyFlatSpec with Matchers {
       .failed shouldBe empty
     engine.orphanedVersions(table) shouldBe empty
     engine.read(table).count() shouldBe 3L
+  }
+
+  "writeVersionedMerged" should "fold a keyed change stream into the current state, latest-per-key, deletes included" in {
+    import graft.core._
+    import graft.operators.VersionedTables
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-merge-")
+    val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+    val table = TableDefinition(TableName("stream", "accounts"),
+      root.resolve("accounts").toUri, PartitionSchema("region"), FileFormat.Parquet)
+    engine.initTable(table, UserId("stream"), "init")
+
+    val source = MemoryStream[MergeStreamRow](spark)
+    val q = EventStreams.writeVersionedMerged(
+      source.toDF(), engine, table, keyColumns = Seq("id"), orderBy = Seq("seq"),
+      UserId("stream"), root.resolve("chk").toString,
+      deleteWhen = Some(col("balance") < 0),
+      trigger = Trigger.ProcessingTime(0))
+
+    // batch 1: bootstrap insert into an empty table; a2 changes twice in
+    // the SAME batch — the seq-latest row must win the merge
+    source.addData(MergeStreamRow("a1", "eu", 10, 1), MergeStreamRow("a2", "eu", 20, 1),
+      MergeStreamRow("a2", "eu", 25, 2))
+    q.processAllAvailable()
+    def state() = engine.read(table).select("id", "balance")
+      .as[(String, Long)].collect().toMap
+    state() shouldBe Map("a1" -> 10L, "a2" -> 25L)
+    val afterB1 = engine.log(table.name).head.id
+
+    // batch 2: update a1's region partition sibling, delete a2, insert a3
+    source.addData(MergeStreamRow("a1", "eu", 11, 3),
+      MergeStreamRow("a2", "eu", -1, 3), MergeStreamRow("a3", "us", 30, 3))
+    q.processAllAvailable()
+    q.stop()
+    state() shouldBe Map("a1" -> 11L, "a3" -> 30L)
+
+    // every trigger was one atomic commit: time travel to the batch-1 state
+    engine.readAt(table, afterB1).select("id", "balance")
+      .as[(String, Long)].collect().toMap shouldBe Map("a1" -> 10L, "a2" -> 25L)
+
+    // restart-replay law: re-merging batch 2's resolved content is
+    // CONTENT-idempotent — matched keys re-take the same rows, the
+    // already-deleted key's delete row is an unmatched no-op
+    import graft.operators.VersionedMerge._
+    engine.mergeInto(table,
+      Seq(MergeStreamRow("a1", "eu", 11, 3), MergeStreamRow("a2", "eu", -1, 3),
+        MergeStreamRow("a3", "us", 30, 3)).toDF(),
+      Seq("id"), UserId("stream"), "replayed batch",
+      deleteWhen = Some(col("balance") < 0))
+    state() shouldBe Map("a1" -> 11L, "a3" -> 30L)
   }
 }
