@@ -741,6 +741,38 @@ object RelationalQueries {
           last(col("reading"), ignoreNulls = true).over(w).as("filled"))
     }),
 
+    // --- linear interpolation: q_locf's exact sibling — a gap row takes
+    // the time-weighted blend of its nearest observations on both sides
+    // (sensor repair where carry-forward biases). Boundary rows with one
+    // side missing take the nearest observation; equal-timestamp
+    // neighbors take the previous (guards the 0/0 ratio). The arithmetic
+    // is pv + (nv-pv)*((tm-pt)/(nt-pt)) over raw doubles and exact
+    // integer micros in IDENTICAL op order in both engines — every step
+    // correctly rounded IEEE, so the compare stays hash-exact. ONE
+    // exchange: both frames share the (user, ts) partition+order ---
+    "q_interpolate" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .withColumn("reading", when(col("event_id") % 3 =!= 0, col("value")))
+        .withColumn("tm", unix_micros(col("ts").cast("timestamp")))
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsT = when(col("reading").isNotNull, col("tm"))
+      base.select(col("user_id"), col("event_id"), col("reading"), col("tm"),
+          last(col("reading"), ignoreNulls = true).over(back).as("pv"),
+          last(obsT, ignoreNulls = true).over(back).as("pt"),
+          first(col("reading"), ignoreNulls = true).over(fwd).as("nv"),
+          first(obsT, ignoreNulls = true).over(fwd).as("nt"))
+        .withColumn("filled",
+          when(col("reading").isNotNull, col("reading"))
+            .when(col("pv").isNull || col("nv").isNull, coalesce(col("pv"), col("nv")))
+            .when(col("nt") === col("pt"), col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("tm") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double"))))
+        .select(col("user_id"), col("event_id"), col("reading"), col("filled"))
+    }),
+
     // --- JSON generation (the write-side twin of q_array_map_json's
     // parsing): compact struct -> JSON string. Int/string fields only —
     // double rendering differs between engines in exponent cases ---
@@ -1780,6 +1812,34 @@ object RelationalQueries {
         |    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
         |FROM events""".stripMargin,
+
+    "q_interpolate" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN event_id % 3 <> 0 THEN value END AS reading,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tm,
+        |    CAST(ts AS TIMESTAMP) AS tso
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, reading, tm,
+        |    LAST_VALUE(reading IGNORE NULLS) OVER back AS pv,
+        |    LAST_VALUE(CASE WHEN reading IS NOT NULL THEN tm END IGNORE NULLS)
+        |      OVER back AS pt,
+        |    FIRST_VALUE(reading IGNORE NULLS) OVER fwd AS nv,
+        |    FIRST_VALUE(CASE WHEN reading IS NOT NULL THEN tm END IGNORE NULLS)
+        |      OVER fwd AS nt
+        |  FROM base
+        |  WINDOW back AS (PARTITION BY user_id ORDER BY tso, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         fwd AS (PARTITION BY user_id ORDER BY tso, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id, reading,
+        |  CASE WHEN reading IS NOT NULL THEN reading
+        |       WHEN pv IS NULL OR nv IS NULL THEN COALESCE(pv, nv)
+        |       WHEN nt = pt THEN pv
+        |       ELSE pv + (nv - pv) * (CAST(tm - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+        |  END AS filled
+        |FROM w""".stripMargin,
 
     "q_json_generate" ->
       """SELECT o_orderkey,
