@@ -192,4 +192,67 @@ object ScaleTools {
     val pruned = large.filter(mightContain)
     pruned.join(small, pruned(largeKey) === small(smallKey))
   }
+
+  /**
+   * Exact heavy hitters at sketch cost: every key whose frequency is at
+   * least `minShare` of the rows, found WITHOUT a full-cardinality groupBy.
+   *
+   * Two passes, the Count-Min discipline:
+   *   1. ONE mergeable aggregation builds a CMS over the key column
+   *      (`count_min_sketch` is a partial-aggregating Catalyst expression —
+   *      map-side partials, KBs on the wire regardless of key cardinality)
+   *      and the sketch's own totalCount fixes the threshold.
+   *   2. The rows are re-scanned with a scan-level broadcast-sketch probe
+   *      (same justification as the Bloom UDFs above: membership against a
+   *      broadcast sketch object has no built-in expression) and only
+   *      CANDIDATE rows — CMS estimates never under-count, so every true
+   *      heavy hitter survives — reach the exact groupBy, whose input is
+   *      bounded by ~1/minShare keys' rows plus eps-noise stragglers that
+   *      the exact HAVING then removes.
+   *
+   * The result is EXACT (provably no false negatives, exact counts kill
+   * false positives); the sketch only decides who gets counted precisely.
+   * At a 100 TB key cardinality this is the difference between shuffling
+   * every distinct key and shuffling the heavy slice.
+   *
+   * Output: (key, n, cms_sound) — `cms_sound` pins estimate ≥ exact per
+   * reported key, the CMS soundness invariant, so a broken sketch turns
+   * rows red at the gate instead of silently dropping hitters.
+   */
+  def heavyHitters(
+      df: DataFrame,
+      keyCol: String,
+      minShare: Double,
+      eps: Double = 1e-4,
+      confidence: Double = 0.999,
+      seed: Int = 42): DataFrame = {
+    require(minShare > 0 && minShare < 1, s"minShare must be in (0,1), got $minShare")
+    require(df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType,
+      s"heavyHitters probes string keys, got ${df.schema(keyCol).dataType}")
+    val sketchBytes = df
+      .agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed)))
+      .head().getAs[Array[Byte]](0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val threshold = math.ceil(sketch.totalCount() * minShare).toLong
+    val bcast = df.sparkSession.sparkContext.broadcast(sketchBytes)
+    // one deserialized sketch per executor, lazily (the sketch object is
+    // not serializable-stable across JVMs; bytes are)
+    val estimate = udf((k: String) => {
+      if (k == null) 0L
+      else ScaleTools.cmsFor(bcast.value).estimateCount(k)
+    })
+    df.filter(estimate(col(keyCol)) >= threshold)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+      .withColumn("cms_sound", estimate(col(keyCol)) >= col("n"))
+  }
+
+  @transient private lazy val cmsCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, org.apache.spark.util.sketch.CountMinSketch]()
+  private def cmsFor(bytes: Array[Byte]): org.apache.spark.util.sketch.CountMinSketch =
+    cmsCache.computeIfAbsent(java.util.Arrays.hashCode(bytes),
+      _ => org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes)))
 }

@@ -250,6 +250,19 @@ object RelationalQueries {
         .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))),
 
+    // --- heavy hitters at sketch cost: every word holding >= 0.5% of the
+    // corpus token stream, via ScaleTools.heavyHitters — ONE mergeable CMS
+    // aggregation fixes the threshold, a broadcast-sketch scan prefilter
+    // admits only candidates (CMS never under-counts: no false negatives),
+    // and the exact groupBy runs over the heavy slice alone. The output is
+    // EXACT, so the oracle replays it as a plain filtered aggregation; the
+    // cms_sound flag pins the sketch's soundness invariant per row ---
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.operators.ScaleTools.heavyHitters(
+        Tables.documents(s, d)
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word")),
+        "word", minShare = 0.005)),
+
     // --- gap-based sessionization as a batch aggregation ---
     "q_event_sessions" -> ((s, d) =>
       Tables.events(s, d)
@@ -1323,6 +1336,18 @@ object RelationalQueries {
       """SELECT word, COUNT(*) AS n
         |FROM (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents)
         |GROUP BY word""".stripMargin,
+
+    // the CMS path's result is exact, so the oracle is the plain filtered
+    // aggregation; the flag replays as a TRUE literal (the sketch-bound
+    // pattern of q_agg_approx_distinct)
+    "q_heavy_hitters" ->
+      """WITH words AS (
+        |  SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM words WHERE word IS NOT NULL)
+        |SELECT word, COUNT(*) AS n, TRUE AS cms_sound
+        |FROM words GROUP BY word
+        |HAVING COUNT(*) >= CEIL((SELECT n FROM tot) * 0.005)""".stripMargin,
 
     "q_scd2" ->
       """WITH ordered AS (

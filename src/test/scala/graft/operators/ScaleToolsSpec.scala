@@ -169,4 +169,33 @@ class ScaleToolsSpec extends AnyFlatSpec with Matchers {
     val surviving = (0L until 1000L).count(filter.mightContainLong)
     assert(surviving < 100, s"bloom filter admits $surviving of 1000 candidate keys")
   }
+
+  "heavyHitters" should "find exactly the keys at or above the share threshold, with exact counts" in {
+    // 3 hot keys (30%, 20%, 10%) + a 1000-key tail sharing the rest
+    val rows = Seq.fill(300)("hot_a") ++ Seq.fill(200)("hot_b") ++ Seq.fill(100)("hot_c") ++
+      (0 until 400).map(i => s"tail_${i % 397}")
+    val df = rows.toDF("k")
+    val got = ScaleTools.heavyHitters(df, "k", minShare = 0.05)
+      .as[(String, Long, Boolean)].collect().sortBy(-_._2)
+    got.map(t => (t._1, t._2)) shouldBe Array(("hot_a", 300L), ("hot_b", 200L), ("hot_c", 100L))
+    got.map(_._3) shouldBe Array(true, true, true) // CMS estimate >= exact, always
+    // exactness law vs the full groupBy at several thresholds
+    for (share <- Seq(0.02, 0.1, 0.25)) {
+      val exact = df.groupBy("k").count()
+        .filter($"count" >= math.ceil(rows.size * share))
+        .as[(String, Long)].collect().toSet
+      ScaleTools.heavyHitters(df, "k", share)
+        .select("k", "n").as[(String, Long)].collect().toSet shouldBe exact
+    }
+  }
+
+  it should "ignore null keys and handle a threshold nothing reaches" in {
+    val df = (Seq.fill(50)(Some("x")) ++ Seq.fill(10)(None) ++
+      (0 until 40).map(i => Some(s"t$i"))).toDF("k")
+    // nulls don't count toward any key; x = 50 of 100 total rows
+    val hh = ScaleTools.heavyHitters(df, "k", minShare = 0.4)
+      .as[(String, Long, Boolean)].collect()
+    hh.map(t => (t._1, t._2)) shouldBe Array(("x", 50L))
+    ScaleTools.heavyHitters(df, "k", minShare = 0.9).count() shouldBe 0L
+  }
 }
