@@ -101,6 +101,36 @@ object StreamingDemo {
     println("STREAM_RETENTION_CELLS=" + spark.table("demo_retention")
       .groupBy("cohort_week", "week_offset")
       .agg(sum("sign").as("n")).filter(col("n") > 0).count())
+
+    // online SCD2: the dimension family's streaming member — change rows
+    // off the signup/error observation stream, vs the batch build
+    val q6 = graft.streaming.StreamingCuration.scd2Stream(
+        EventStreams.readEventStream(spark, inDir, schema)
+          .filter(col("event_type").isin("signup", "error")),
+        Seq("user_id"), Seq("event_type"), "ts")
+      .writeStream.format("memory").queryName("demo_scd2")
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q6.processAllAvailable(); q6.stop()
+    println("STREAM_SCD2_CHANGES=" + spark.table("demo_scd2").count())
+    println("BATCH_SCD2_ROWS=" + graft.operators.Scd2.buildScd2(
+      graft.Tables.events(spark, sfDir).filter(col("event_type").isin("signup", "error")),
+      Seq("user_id"), Seq("event_type"), "ts").count())
+
+    // streaming keyed upsert (CDC-apply): the newest event per user folds
+    // into a current-state table, one commit per trigger
+    val mergeTable = TableDefinition(TableName("stream", "user_state"),
+      tmp.resolve("user_state").toUri, PartitionSchema("event_type"), FileFormat.Parquet)
+    engine.initTable(mergeTable, UserId("demo"), "init")
+    val q7 = EventStreams.writeVersionedMerged(
+      EventStreams.readEventStream(spark, inDir, schema)
+        .select(col("user_id"), col("event_type"), col("ts"), col("value"), col("event_id")),
+      engine, mergeTable, keyColumns = Seq("user_id"),
+      orderBy = Seq("ts", "event_id"), UserId("demo"),
+      tmp.resolve("chk_merge").toString)
+    q7.processAllAvailable(); q7.stop()
+    println("MERGE_SINK_ROWS=" + engine.read(mergeTable).count())
+    println("MERGE_SINK_DISTINCT_USERS=" + engine.read(mergeTable)
+      .select("user_id").distinct().count())
     spark.stop()
   }
 }
