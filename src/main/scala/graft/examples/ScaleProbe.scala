@@ -156,6 +156,19 @@ object ScaleProbe {
         graft.operators.EventAnalytics.sessionsFromState(st)
           .agg(sum(col("n_events"))).collect(); ()
       }),
+      "heavy_hitters" -> (dir => {
+        // replica tokens are suffixed, so a base hot word's copies are 100
+        // DISTINCT words each holding 1/100th the corpus share — scale the
+        // threshold down with the replica count to keep the WORKLOAD shape
+        // (30 hitters per replica: the heavy slice grows with the data, the
+        // sketch stays KBs, and the probe measures sketch pass + prefilter
+        // scan + heavy-slice shuffle, not an emptying result set)
+        val share = if (dir == baseDir) 0.005 else 0.005 / replicas
+        graft.operators.ScaleTools.heavyHitters(
+          docs(dir).select(explode(
+            graft.functions.TextFunctions.tokens(col("text"))).as("word")),
+          "word", minShare = share).count(); ()
+      }),
       "scd2_build" -> (dir => {
         // events replicate with user offsets: per-user observation history
         // identical, xN keys — the ONE-exchange two-window build must track

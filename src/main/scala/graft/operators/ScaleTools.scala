@@ -236,12 +236,16 @@ object ScaleTools {
       new java.io.ByteArrayInputStream(sketchBytes))
     val threshold = math.ceil(sketch.totalCount() * minShare).toLong
     val bcast = df.sparkSession.sparkContext.broadcast(sketchBytes)
-    // one deserialized sketch per executor, lazily (the sketch object is
-    // not serializable-stable across JVMs; bytes are)
-    val estimate = udf((k: String) => {
-      if (k == null) 0L
-      else ScaleTools.cmsFor(bcast.value).estimateCount(k)
-    })
+    // deserialize the broadcast bytes ONCE per task via a transient lazy —
+    // anything per-row here multiplies by the corpus (a content-hash cache
+    // key cost the sketch's megabytes per row; identity is not portable)
+    val probe = new Serializable {
+      @transient private lazy val sk =
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bcast.value))
+      def est(k: String): Long = if (k == null) 0L else sk.estimateCount(k)
+    }
+    val estimate = udf((k: String) => probe.est(k))
     df.filter(estimate(col(keyCol)) >= threshold)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))
@@ -249,10 +253,4 @@ object ScaleTools {
       .withColumn("cms_sound", estimate(col(keyCol)) >= col("n"))
   }
 
-  @transient private lazy val cmsCache =
-    new java.util.concurrent.ConcurrentHashMap[Integer, org.apache.spark.util.sketch.CountMinSketch]()
-  private def cmsFor(bytes: Array[Byte]): org.apache.spark.util.sketch.CountMinSketch =
-    cmsCache.computeIfAbsent(java.util.Arrays.hashCode(bytes),
-      _ => org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(bytes)))
 }
