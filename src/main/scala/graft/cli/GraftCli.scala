@@ -32,6 +32,7 @@ import java.time.Instant
  *   graft-cli --store <uri> audit <schema.table> <tableLocation> <versionLabel> --check <spec> [--check <spec> ...] [--partition-by c1,c2] [--format F]
  *   graft-cli --store <uri> publish <schema.table> <tableLocation> <versionLabel> [--check <spec> ...] [--partition-by c1,c2] [--format F]
  *   # audit/publish recover --partition-by from the stage's manifest when omitted; --format still defaults to parquet
+ *   graft-cli --store <uri> merge <schema.table> <tableLocation> <sourceUri> --keys k1[,k2] [--delete-when <sql predicate>] [--partition-by c1,c2] [--format F] [--source-format F]
  * }}}
  * `--store` may be omitted when `GRAFT_STORE` is set or a config file exists
  * (`--config <path>`, default `~/.graft/config`): a simple `key: value` file
@@ -332,6 +333,36 @@ object GraftCli {
         }
       }
 
+      // merge <table> <location> <source> --keys k1[,k2...]
+      //   [--delete-when <sql predicate>] [--source-format fmt]
+      // Keyed MERGE INTO from the CLI: matched keys take the source row,
+      // unmatched insert, TRUE-predicate rows delete — one CAS commit
+      // (VersionedMerge semantics, partition-granular rewrite).
+      case List("merge", name, location, source) => withTable(name) { t =>
+        withTableDef(t, location, flags, out) { table =>
+          val keys = flags.get("keys").toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          if (keys.isEmpty) {
+            out.println("error: merge needs --keys k1[,k2...]"); 2
+          } else {
+            import graft.operators.VersionedMerge._
+            val spark = cliSpark()
+            val engine = new graft.operators.VersionedTables(spark, tracker)
+            val df = spark.read
+              .format(flags.getOrElse("source-format", table.format.name))
+              .load(source)
+            val r = engine.mergeInto(table, df, keys, user,
+              if (message.nonEmpty) message else s"merge $source",
+              deleteWhen = flags.get("delete-when")
+                .map(org.apache.spark.sql.functions.expr))
+            out.println(s"merged  ${tracker.currentRef(t).id}")
+            r.rewritten.foreach(p => out.println(s"  rewrote ${p.toPath}"))
+            r.removed.foreach(p => out.println(s"  removed ${p.toPath}"))
+            0
+          }
+        }
+      }
+
       case List("migrate") =>
         // convert reference-layout (_chronicles_table_*) stores under the
         // root into graft-v2 layout; file store only (the JDBC store has no
@@ -348,7 +379,7 @@ object GraftCli {
 
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|vacuum|migrate|export|sync|stage|audit|publish> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|vacuum|migrate|export|sync|stage|audit|publish|merge> ...""".stripMargin)
         2
     } catch {
       case e @ (_: UnknownTableError | _: UnknownCommitError |

@@ -367,6 +367,39 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
       "--partition-by", "batch")._1 shouldBe 2
   }
 
+  it should "merge a keyed source end-to-end: bootstrap, upsert, delete" in {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cli-merge-")
+    val loc = root.resolve("accts").toUri.toString
+    cli("init", "sales.accts")._1 shouldBe 0
+
+    // bootstrap merge into the never-written table = pure insert
+    val src1 = root.resolve("src1").toString
+    Seq(("a1", "eu", 10L), ("a2", "us", 20L)).toDF("id", "region", "balance")
+      .write.parquet(src1)
+    val (c1, o1) = cli("merge", "sales.accts", loc, src1,
+      "--keys", "id", "--partition-by", "region")
+    c1 shouldBe 0
+    o1 should include("merged")
+    cli("partitions", "sales.accts")._2 should include("region=eu")
+
+    // second merge: update a1, delete a2 via --delete-when, insert a3
+    val src2 = root.resolve("src2").toString
+    Seq(("a1", "eu", 11L), ("a2", "us", -1L), ("a3", "ap", 30L))
+      .toDF("id", "region", "balance").write.parquet(src2)
+    val (c2, o2) = cli("merge", "sales.accts", loc, src2,
+      "--keys", "id", "--delete-when", "balance < 0", "--partition-by", "region")
+    c2 shouldBe 0
+    o2 should include("removed region=us")
+    val parts = cli("partitions", "sales.accts")._2
+    parts should include("region=ap")
+    parts should not include "region=us"
+
+    // missing --keys is a usage error
+    cli("merge", "sales.accts", loc, src2, "--partition-by", "region")._1 shouldBe 2
+  }
+
   it should "refuse to publish a staged delivery that fails its expectations" in {
     val spark = graft.TestSpark.spark
     import spark.implicits._
