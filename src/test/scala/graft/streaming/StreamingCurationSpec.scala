@@ -311,6 +311,42 @@ class StreamingCurationSpec extends AnyFlatSpec with Matchers {
     streamed.size shouldBe 4 // bronze@1, gold@5, silver@12, u2 gold@3
   }
 
+  it should "carry the (attrs, watermark) state across a query RESTART (real state-store round trip)" in {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2-ckpt-").toString
+    val source = MemoryStream[CurEv](spark)
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def start() = StreamingCuration.scd2Stream(
+        source.toDF(), Seq("user_id"), Seq("event_type"), "ts")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Scd2Change], _: Long) =>
+        batch.collect().foreach(c => emitted.add((c.effective_from_micros, c.attrs_json)))
+      }
+      .start()
+    // the Scd2StState encoder must survive the checkpointed state store:
+    // an unchanged observation after restart must emit NOTHING (current
+    // attrs carried), and a late row must still be watermark-skipped
+    val q1 = start()
+    source.addData(CurEv(1, "gold", t(1)), CurEv(1, "gold", t(5)))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start()
+    source.addData(CurEv(1, "gold", t(7)))   // unchanged: no emission
+    q2.processAllAvailable()
+    source.addData(CurEv(1, "silver", t(3))) // below watermark 7: skipped
+    q2.processAllAvailable()
+    source.addData(CurEv(1, "silver", t(9))) // real change
+    q2.processAllAvailable(); q2.stop()
+    import scala.jdk.CollectionConverters._
+    val changes = emitted.asScala.toList.sortBy(_._1)
+      .map { case (m, a) => (m / 60000000 % 60, a) }
+    changes shouldBe List(
+      (1L, """{"event_type":"gold"}"""), (9L, """{"event_type":"silver"}"""))
+  }
+
   it should "skip observations below the per-key watermark (late rows never corrupt the chain)" in {
     import java.sql.Timestamp
     def t(m: Int) = Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
