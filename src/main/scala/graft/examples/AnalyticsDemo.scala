@@ -125,6 +125,28 @@ object AnalyticsDemo {
     println(s"SESSIONS_INCREMENTAL_MATCHES=${incSessions == oneShotSessions} " +
       s"SESSIONS_DRAINED=${sClosed.count()}")
 
+    // heavy hitters at sketch cost vs the full groupBy it replaces
+    val words = graft.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+    val hh = graft.operators.ScaleTools.heavyHitters(words, "word", minShare = 0.005)
+      .select("word", "n").as[(String, Long)].collect().toSet
+    val hhExact = {
+      val total = words.count()
+      words.groupBy("word").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= math.ceil(total * 0.005))
+        .as[(String, Long)].collect().toSet
+    }
+    println(s"HEAVY_HITTERS=${hh.size} HEAVY_HITTERS_EXACT_MATCH=${hh == hhExact}")
+
+    // ANN approximation quality: IVF recall@10 against the exact baseline
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val qs = emb.filter(col("vec_id") < 16)
+    val exactNb = graft.operators.Similarity.bruteForceTopK(qs, emb, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfNb = graft.operators.Similarity.ivfTopK(qs, emb, k = 10, nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    println(f"ANN_RECALL_AT10=${(exactNb & ivfNb).size.toDouble / exactNb.size}%.3f")
+
     spark.stop()
   }
 }
