@@ -285,6 +285,23 @@ object RelationalQueries {
           date_format(col("effective_to"), "yyyy-MM-dd HH:mm:ss").as("effective_to"),
           col("is_current"))),
 
+    // --- time-in-state off the SCD2 dimension: how long users spent in
+    // each status, the standard duration companion of an interval build.
+    // CLOSED intervals only (the open row's duration is a policy choice —
+    // as-of-when? — so the completed-occupancy table is the exact,
+    // horizon-free statement). Integer micros arithmetic: hash-exact by
+    // construction. Plan: the one-exchange build + one small agg exchange ---
+    "q_scd2_duration" -> ((s, d) =>
+      graft.operators.Scd2.buildScd2(Tables.events(s, d),
+          keyCols = Seq("user_id"), attrCols = Seq("event_type"),
+          tsCol = "ts", tieBreak = Seq("event_id"))
+        .filter(col("effective_to").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(unix_micros(col("effective_to").cast("timestamp")) -
+            unix_micros(col("effective_from").cast("timestamp"))).as("total_micros"))),
+
     // --- SCD2 point-in-time enrichment: a status dimension built from the
     // signup/error observation stream, every purchase joined to the status
     // in effect at its timestamp (half-open interval lookup; purchases
@@ -1367,6 +1384,24 @@ object RelationalQueries {
         |  STRFTIME(eff_to, '%Y-%m-%d %H:%M:%S') AS effective_to,
         |  eff_to IS NULL AS is_current
         |FROM dim""".stripMargin,
+
+    "q_scd2_duration" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    LAG(1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS has_prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type, ts, event_id FROM ordered
+        |  WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type),
+        |dim AS (
+        |  SELECT user_id, event_type, ts AS eff_from,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to
+        |  FROM chg)
+        |SELECT event_type, COUNT(*) AS n_intervals,
+        |  CAST(SUM(epoch_us(eff_to) - epoch_us(eff_from)) AS BIGINT) AS total_micros
+        |FROM dim WHERE eff_to IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
 
     "q_scd2_lookup" ->
       """WITH ordered AS (
