@@ -344,6 +344,17 @@ object GraftCli {
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
           if (keys.isEmpty) {
             out.println("error: merge needs --keys k1[,k2...]"); 2
+          } else if (!tracker.isSnapshotTable(t) && table.isSnapshot) {
+            // omitted --partition-by means a SNAPSHOT table def; against a
+            // tracked PARTITIONED table the partitioned merge branch would
+            // see zero partition values, touch nothing, and report success
+            // — a silent no-op, so refuse loudly instead (stage/audit can
+            // recover the schema from a manifest; merge has no manifest)
+            out.println(s"error: ${t.fullyQualifiedName} is a partitioned table — " +
+              "merge needs --partition-by c1[,c2...]"); 2
+          } else if (tracker.isSnapshotTable(t) && !table.isSnapshot) {
+            out.println(s"error: ${t.fullyQualifiedName} is a snapshot table — " +
+              "drop --partition-by"); 2
           } else {
             import graft.operators.VersionedMerge._
             val spark = cliSpark()

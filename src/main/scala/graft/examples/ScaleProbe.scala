@@ -160,9 +160,11 @@ object ScaleProbe {
         // replica tokens are suffixed, so a base hot word's copies are 100
         // DISTINCT words each holding 1/100th the corpus share — scale the
         // threshold down with the replica count to keep the WORKLOAD shape
-        // (30 hitters per replica: the heavy slice grows with the data, the
-        // sketch stays KBs, and the probe measures sketch pass + prefilter
-        // scan + heavy-slice shuffle, not an emptying result set)
+        // (30 hitters per replica: the heavy slice grows with the data and
+        // the probe measures sketch pass + prefilter scan + heavy-slice
+        // shuffle, not an emptying result set). The operator derives its
+        // sketch eps from minShare (eps must sit well UNDER the threshold
+        // or the prefilter admits the tail — the round-11 review's point).
         val share = if (dir == baseDir) 0.005 else 0.005 / replicas
         graft.operators.ScaleTools.heavyHitters(
           docs(dir).select(explode(

@@ -219,18 +219,26 @@ object ScaleTools {
    * reported key, the CMS soundness invariant, so a broken sketch turns
    * rows red at the gate instead of silently dropping hitters.
    */
+  /** `eps = 0` (the default) derives the sketch error as `minShare / 2`,
+    * capped at 1e-4: the prefilter only pays off when the estimate noise
+    * (≤ eps·N) sits well under the threshold (minShare·N) — an eps AT the
+    * threshold admits the tail and the "heavy slice" degenerates toward
+    * the full cardinality. Memory is `2/eps × depth` longs broadcast per
+    * executor (1e-4 → ~1.6 MB at confidence 0.999); pass eps explicitly
+    * for very small minShare where that product matters. */
   def heavyHitters(
       df: DataFrame,
       keyCol: String,
       minShare: Double,
-      eps: Double = 1e-4,
+      eps: Double = 0.0,
       confidence: Double = 0.999,
       seed: Int = 42): DataFrame = {
+    val eps1 = if (eps > 0) eps else math.min(1e-4, minShare / 2)
     require(minShare > 0 && minShare < 1, s"minShare must be in (0,1), got $minShare")
     require(df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType,
       s"heavyHitters probes string keys, got ${df.schema(keyCol).dataType}")
     val sketchBytes = df
-      .agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed)))
+      .agg(count_min_sketch(col(keyCol), lit(eps1), lit(confidence), lit(seed)))
       .head().getAs[Array[Byte]](0)
     val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(sketchBytes))
@@ -246,7 +254,10 @@ object ScaleTools {
       def est(k: String): Long = if (k == null) 0L else sk.estimateCount(k)
     }
     val estimate = udf((k: String) => probe.est(k))
-    df.filter(estimate(col(keyCol)) >= threshold)
+    // isNotNull is load-bearing beyond the docs' "nulls are invisible":
+    // an ALL-null input has totalCount 0, threshold 0, and est(null)=0
+    // would pass the prefilter and emit a null-key group
+    df.filter(col(keyCol).isNotNull && estimate(col(keyCol)) >= threshold)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)

@@ -822,55 +822,16 @@ object PipelineQueries {
     * double before multiplying, so every score is bit-identical. One SQL
     * serves q_ann_ivf AND q_ann_ivf_index: the persisted index stores the
     * identical assignment (same learnCentroids, same assignCells). */
-  private def ivfOracleSql(centroids: Array[Array[Float]], k: Int, nprobe: Int): String = {
+  /** The WITH-prefix every IVF-replaying oracle shares: centroid literals
+    * (`cents`), normalized vectors (`v`), the corpus cell assignment
+    * (`cand`, rn = 1) and the query probe cells (`qp`, rn <= nprobe).
+    * ONE definition so q_ann_ivf and q_ann_recall can never drift on the
+    * tie-break or normalization they both claim to replay. */
+  private def ivfCtePrefix(centroids: Array[Array[Float]], nprobe: Int): String = {
     val values = centroids.zipWithIndex.map { case (c, i) =>
       s"($i, [${c.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n      ")
-    s"""WITH cents AS (
-       |  SELECT cell, cv, SQRT(list_inner_product(cv, cv)) AS cn
-       |  FROM (VALUES
-       |      $values) AS t(cell, cv)),
-       |v AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
-       |    SQRT(list_inner_product(CAST(embedding AS DOUBLE[]),
-       |                            CAST(embedding AS DOUBLE[]))) AS nrm
-       |  FROM embeddings),
-       |cand AS (
-       |  SELECT vec_id, dv, nrm, cell FROM (
-       |    SELECT v.vec_id, v.dv, v.nrm, c.cell,
-       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-       |        ORDER BY list_inner_product(v.dv, c.cv) / (v.nrm * c.cn) DESC, c.cell) AS rn
-       |    FROM v CROSS JOIN cents c)
-       |  WHERE rn = 1),
-       |q AS (
-       |  SELECT vec_id AS query_id, dv AS qv, nrm AS qn, cell FROM (
-       |    SELECT v.vec_id, v.dv, v.nrm, c.cell,
-       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-       |        ORDER BY list_inner_product(v.dv, c.cv) / (v.nrm * c.cn) DESC, c.cell) AS rn
-       |    FROM v CROSS JOIN cents c WHERE v.vec_id < 16)
-       |  WHERE rn <= $nprobe),
-       |scored AS (
-       |  SELECT q.query_id, cand.vec_id AS neighbor_id,
-       |    list_inner_product(q.qv, cand.dv) / (q.qn * cand.nrm) AS cosine
-       |  FROM q JOIN cand USING (cell) WHERE q.query_id <> cand.vec_id),
-       |ranked AS (
-       |  SELECT *, ROW_NUMBER() OVER (
-       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
-       |  FROM scored)
-       |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
-       |WHERE "rank" <= $k""".stripMargin
-  }
-
-  /** The q_ann_recall oracle: both arms replayed — [[ivfOracleSql]]'s
-    * probe-cell candidate walk and the exact all-pairs baseline — then the
-    * per-query (query, neighbor) overlap. Membership, not rank, is
-    * compared, and both engines break cosine ties identically, so the
-    * overlap is hash-exact. */
-  private def recallOracleSql(centroids: Array[Array[Float]], k: Int, nprobe: Int): String = {
-    val values = centroids.zipWithIndex.map { case (c, i) =>
-      s"($i, [${c.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
-    }.mkString(",\n      ")
-    s"""WITH cents AS (
+    s"""cents AS (
        |  SELECT cell, cv, SQRT(list_inner_product(cv, cv)) AS cn
        |  FROM (VALUES
        |      $values) AS t(cell, cv)),
@@ -892,7 +853,29 @@ object PipelineQueries {
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
        |        ORDER BY list_inner_product(v.dv, c.cv) / (v.nrm * c.cn) DESC, c.cell) AS rn
        |    FROM v CROSS JOIN cents c WHERE v.vec_id < 16)
-       |  WHERE rn <= $nprobe),
+       |  WHERE rn <= $nprobe)""".stripMargin
+  }
+
+  private def ivfOracleSql(centroids: Array[Array[Float]], k: Int, nprobe: Int): String =
+    s"""WITH ${ivfCtePrefix(centroids, nprobe)},
+       |scored AS (
+       |  SELECT qp.query_id, cand.vec_id AS neighbor_id,
+       |    list_inner_product(qp.qv, cand.dv) / (qp.qn * cand.nrm) AS cosine
+       |  FROM qp JOIN cand USING (cell) WHERE qp.query_id <> cand.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked
+       |WHERE "rank" <= $k""".stripMargin
+
+  /** The q_ann_recall oracle: both arms replayed — [[ivfOracleSql]]'s
+    * probe-cell candidate walk and the exact all-pairs baseline — then the
+    * per-query (query, neighbor) overlap. Membership, not rank, is
+    * compared, and both engines break cosine ties identically, so the
+    * overlap is hash-exact. */
+  private def recallOracleSql(centroids: Array[Array[Float]], k: Int, nprobe: Int): String =
+    s"""WITH ${ivfCtePrefix(centroids, nprobe)},
        |ivf AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT qp.query_id, cand.vec_id AS neighbor_id,
@@ -916,7 +899,6 @@ object PipelineQueries {
        |FROM exact e LEFT JOIN ivf i
        |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
        |GROUP BY e.query_id""".stripMargin
-  }
 
   /** The q_embed_cluster oracle: the assignment CTE of [[ivfOracleSql]] plus
     * per-cell counts. Cosines are used only for the argmax (robust to the

@@ -285,14 +285,19 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.persist() // the merge evaluates its source multiple times
+        batch.persist() // read twice: the emptiness probe + the window below
+        // the frame the merge RE-EVALUATES (key discovery, partition scans,
+        // the write) is `latest` — cache it too, or every evaluation re-runs
+        // the row_number shuffle (~5 window passes per trigger)
+        var latest: DataFrame = null
         try {
           if (!batch.isEmpty) {
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(keyColumns.map(col): _*)
               .orderBy(orderBy.map(col(_).desc): _*)
-            val latest = batch.withColumn("__rn", row_number().over(w))
+            latest = batch.withColumn("__rn", row_number().over(w))
               .filter(col("__rn") === 1).drop("__rn")
+              .persist()
             // distinct keys are guaranteed by the window above — skip the
             // merge's own duplicate probe (one aggregation saved per batch)
             engine.mergeInto(table, latest, keyColumns, userId,
@@ -300,7 +305,10 @@ object EventStreams {
               requireDistinctSourceKeys = false)
             ()
           }
-        } finally batch.unpersist()
+        } finally {
+          if (latest != null) latest.unpersist()
+          batch.unpersist()
+        }
         ()
       }
       .start()

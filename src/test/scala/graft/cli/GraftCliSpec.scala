@@ -398,6 +398,13 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
 
     // missing --keys is a usage error
     cli("merge", "sales.accts", loc, src2, "--partition-by", "region")._1 shouldBe 2
+
+    // flavor mismatch guard: omitting --partition-by against this
+    // PARTITIONED table would have been a silent no-op that printed
+    // "merged" — it must refuse loudly instead
+    val (cg, og) = cli("merge", "sales.accts", loc, src2, "--keys", "id")
+    cg shouldBe 2
+    og should include("needs --partition-by")
   }
 
   it should "refuse to publish a staged delivery that fails its expectations" in {

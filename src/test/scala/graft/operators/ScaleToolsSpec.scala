@@ -197,5 +197,9 @@ class ScaleToolsSpec extends AnyFlatSpec with Matchers {
       .as[(String, Long, Boolean)].collect()
     hh.map(t => (t._1, t._2)) shouldBe Array(("x", 50L))
     ScaleTools.heavyHitters(df, "k", minShare = 0.9).count() shouldBe 0L
+    // ALL-null input: totalCount 0 makes the threshold 0, and without the
+    // isNotNull guard the null group would pass the prefilter and emit
+    val allNull = Seq.fill(20)(None: Option[String]).toDF("k")
+    ScaleTools.heavyHitters(allNull, "k", minShare = 0.1).count() shouldBe 0L
   }
 }
