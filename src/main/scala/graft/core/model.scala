@@ -140,16 +140,47 @@ object FileFormat {
   val Avro: FileFormat = FileFormat("avro")
 }
 
+/** Per-table data-skipping statistics declaration (the Delta
+  * `dataSkippingStatsColumns` pattern): when set on a [[TableDefinition]],
+  * every versioned write additionally records a per-FILE min/max/null-count
+  * manifest for `statsColumns` (and, when `bloomKeyColumns` is non-empty, a
+  * per-PARTITION Bloom filter over the key tuple's hash) beside the commit,
+  * so selective reads and MERGE discovery can prune files WITHOUT opening
+  * them. Purely an optimization layer: a version written before stats were
+  * declared (or whose manifest is lost) simply reads unpruned.
+  *
+  *  - `statsColumns`: DATA columns to track min/max/nullCount for, per file.
+  *    Partition columns need no declaration — their single value per
+  *    directory is already exact "stats" and is pruned on directly.
+  *  - `bloomKeyColumns`: the key tuple (e.g. a MERGE key) to build one Bloom
+  *    filter PER PARTITION over, via `xxhash64` of the tuple — type-agnostic
+  *    and multi-column by construction. Order matters (the probe must hash
+  *    in the same order).
+  *  - `bloomExpectedItems`/`bloomFpp` size each partition's filter; ~0.9 MB
+  *    per million expected keys at 3% fpp, stored base64 in the manifest. */
+final case class ColumnStatsConfig(
+    statsColumns: List[String],
+    bloomKeyColumns: List[String] = Nil,
+    bloomExpectedItems: Long = 100000L,
+    bloomFpp: Double = 0.03) {
+  require(statsColumns.nonEmpty || bloomKeyColumns.nonEmpty,
+    "ColumnStatsConfig needs at least one stats or bloom column")
+  require(bloomExpectedItems > 0, "bloomExpectedItems must be positive")
+  require(bloomFpp > 0 && bloomFpp < 1, "bloomFpp must be in (0,1)")
+}
+
 /** Static definition of a versioned table. `options` are passed through to
   * the Spark reader AND writer of the chosen format (e.g. `header`/
   * `inferSchema` for CSV) — the format passthrough the reference claims for
-  * CSV/Avro (README.md:79-83). */
+  * CSV/Avro (README.md:79-83). `stats` opts the table into commit-time
+  * file/column statistics + data-skipping reads ([[ColumnStatsConfig]]). */
 final case class TableDefinition(
     name: TableName,
     location: URI,
     partitionSchema: PartitionSchema,
     format: FileFormat,
-    options: Map[String, String] = Map.empty) {
+    options: Map[String, String] = Map.empty,
+    stats: Option[ColumnStatsConfig] = None) {
   def isSnapshot: Boolean = partitionSchema.isSnapshot
 }
 

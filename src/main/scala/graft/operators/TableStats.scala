@@ -1,0 +1,768 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.{col, count, lit, max, min, udaf, xxhash64}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.net.URI
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Commit-time file/column statistics + data-skipping reads — the Delta
+ * `_delta_log` stats pattern re-expressed for the versioned-directory layout
+ * (the reference has nothing of this kind; its reads always list whole
+ * partition directories, `spark/src/main/scala/dev/chronicles/spark/
+ * SparkSupport.scala:110-128`).
+ *
+ * WRITE SIDE ([[collectAndWrite]], called by every versioned write when the
+ * table declares a [[graft.core.ColumnStatsConfig]]): one column-pruned pass
+ * over the files the write just produced — grouped by `_metadata.file_path`,
+ * so it is a single Spark job whatever the file count — records per-file
+ * `rows` + per-column `(min, max, nullCount)`, plus an optional per-PARTITION
+ * Bloom filter over `xxhash64(keyColumns)` (built per file by a tiny typed
+ * [[Aggregator]], merged per partition on the driver — Bloom merge is exact).
+ * The manifest is persisted as `_stats/<version-label>.json` beside the data,
+ * BEFORE the commit: a committed version either has its full manifest or
+ * (crash, pre-stats history, chronicles import) none at all — never a partial
+ * one. Cost at 100 TB: the pass re-reads ONLY the declared stats columns of
+ * the files just written (columnar formats prune the rest), KBs of manifest
+ * per commit, zero extra shuffles.
+ *
+ * READ SIDE ([[readVersionWhere]], surfaced as
+ * [[VersionedTables.readWhere]]): resolve the version's partition→version
+ * map as usual, then prune BEFORE any file listing:
+ *   1. partition-level — partition values act as exact one-value stats, so a
+ *      predicate on a partition column drops whole partitions DRIVER-side
+ *      (no directory listing at all, same contract as `readPartitions`);
+ *   2. file-level — each surviving partition's manifest is consulted and
+ *      only files whose `[min, max]`/null counts MAY satisfy the predicate
+ *      are handed to the reader. A version without a manifest simply
+ *      contributes its directory unpruned.
+ * The pruned file set is loaded through the SAME reader configuration as
+ * `readVersion` (basePath + partition discovery) and the predicate is then
+ * applied normally — skipping is purely an optimization, so Catalyst still
+ * sees the filter (parquet row-group pruning etc. stack on top) and a
+ * too-conservative manifest can never change results.
+ *
+ * Predicate → stats evaluation ([[SkipEval]]) is deliberately three-valued
+ * and conservative: it understands And/Or/Not, the binary comparisons,
+ * In, IsNull/IsNotNull, EqualNullSafe and StartsWith over
+ * `column <op> literal` atoms; ANY other shape (casts, arithmetic, UDFs,
+ * subqueries) makes that atom "may match" and the file is kept. Values
+ * compare only within the same type family (numeric / string / date /
+ * timestamp / boolean) — a predicate comparing a date column to an untyped
+ * string literal is kept, never mis-pruned.
+ */
+object TableStats {
+
+  /** Per-column stats of one file: encoded min/max (absent when the column
+    * was all-null in that file, or the value doesn't round-trip, e.g. NaN)
+    * and the null count. `dataType` is the Spark catalog string of the
+    * column as written. */
+  final case class ColumnStats(
+      dataType: String, min: Option[String], max: Option[String], nullCount: Long)
+
+  /** Stats of one data file: path RELATIVE to the table location, the
+    * Hive-escaped partition path it belongs to ("" for snapshot tables),
+    * its row count, and per-column stats keyed by LOWERCASED column name. */
+  final case class FileStats(
+      path: String, partition: String, rows: Long, columns: Map[String, ColumnStats])
+
+  /** The manifest of one versioned write: every file it produced, plus one
+    * serialized Bloom filter per partition when key columns were declared. */
+  final case class StatsManifest(
+      version: String,
+      statsColumns: List[String],
+      bloomKeyColumns: List[String],
+      files: List[FileStats],
+      partitionBlooms: Map[String, Array[Byte]]) {
+
+    def filesFor(partitionPath: String): List[FileStats] =
+      files.filter(_.partition == partitionPath)
+  }
+
+  // ---------------------------------------------------------------- manifest IO
+
+  private val ManifestFormatVersion = 1
+
+  private[operators] def statsManifestPath(location: URI, label: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(location), s"_stats/$label.json")
+
+  private val mapper = new ObjectMapper()
+
+  def toJson(m: StatsManifest): String = {
+    val root = mapper.createObjectNode()
+    root.put("formatVersion", ManifestFormatVersion)
+    root.put("version", m.version)
+    val sc = root.putArray("statsColumns"); m.statsColumns.foreach(sc.add)
+    val bc = root.putArray("bloomKeyColumns"); m.bloomKeyColumns.foreach(bc.add)
+    val files = root.putArray("files")
+    m.files.foreach { f =>
+      val fn = files.addObject()
+      fn.put("path", f.path)
+      fn.put("partition", f.partition)
+      fn.put("rows", f.rows)
+      val cols = fn.putObject("columns")
+      f.columns.foreach { case (name, cs) =>
+        val cn = cols.putObject(name)
+        cn.put("type", cs.dataType)
+        cs.min.fold { cn.putNull("min"); () } { v => cn.put("min", v); () }
+        cs.max.fold { cn.putNull("max"); () } { v => cn.put("max", v); () }
+        cn.put("nulls", cs.nullCount)
+      }
+    }
+    val blooms = root.putObject("blooms")
+    m.partitionBlooms.foreach { case (p, bytes) =>
+      blooms.put(p, java.util.Base64.getEncoder.encodeToString(bytes))
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def fromJson(json: String): Either[String, StatsManifest] =
+    try {
+      val root = mapper.readTree(json)
+      if (root.path("formatVersion").asInt(-1) != ManifestFormatVersion)
+        scala.Left(s"unsupported stats manifest formatVersion ${root.path("formatVersion")}")
+      else {
+        val files = root.path("files").elements().asScala.map { fn =>
+          val cols = fn.path("columns").properties().asScala.map { e =>
+            val cn = e.getValue
+            e.getKey -> ColumnStats(
+              cn.path("type").asText(),
+              if (cn.path("min").isNull) None else Some(cn.path("min").asText()),
+              if (cn.path("max").isNull) None else Some(cn.path("max").asText()),
+              cn.path("nulls").asLong())
+          }.toMap
+          FileStats(fn.path("path").asText(), fn.path("partition").asText(),
+            fn.path("rows").asLong(), cols)
+        }.toList
+        val blooms = root.path("blooms").properties().asScala.map { e =>
+          e.getKey -> java.util.Base64.getDecoder.decode(e.getValue.asText())
+        }.toMap
+        scala.Right(StatsManifest(
+          root.path("version").asText(),
+          root.path("statsColumns").elements().asScala.map(_.asText()).toList,
+          root.path("bloomKeyColumns").elements().asScala.map(_.asText()).toList,
+          files, blooms))
+      }
+    } catch { case e: Exception => scala.Left(s"bad stats manifest: ${e.getMessage}") }
+
+  private[operators] def writeManifest(
+      conf: org.apache.hadoop.conf.Configuration, location: URI, m: StatsManifest): Unit = {
+    val p = statsManifestPath(location, m.version)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(toJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The stored manifest of version `label`, or None when it was never
+    * written (pre-stats history, chronicles import) or doesn't parse — both
+    * mean "read that version unpruned", never an error. */
+  def readManifest(
+      conf: org.apache.hadoop.conf.Configuration, location: URI, label: String): Option[StatsManifest] = {
+    val p = statsManifestPath(location, label)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = try {
+        val baos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, baos, 8192, false)
+        baos.toString("UTF-8")
+      } finally in.close()
+      fromJson(json).toOption
+    }
+  }
+
+  private[operators] def deleteManifest(
+      conf: org.apache.hadoop.conf.Configuration, location: URI, label: String): Unit = {
+    val p = statsManifestPath(location, label)
+    try { p.getFileSystem(conf).delete(p, false); () }
+    catch { case _: java.io.IOException => () }
+  }
+
+  // ---------------------------------------------------------------- collection
+
+  /** Per-file Bloom filter over the key-tuple hash. Built per FILE so the
+    * whole collection stays one grouped aggregation; per-partition filters
+    * are merged on the driver (`mergeInPlace` over same-sized filters is
+    * exact). Partial buffers cost ~1.2 bytes/expected item per in-flight
+    * group — size `bloomExpectedItems` to the expected keys PER PARTITION. */
+  private final class BloomAgg(expected: Long, fpp: Double)
+      extends Aggregator[Long, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    import org.apache.spark.util.sketch.BloomFilter
+    def zero: BloomFilter = BloomFilter.create(expected, fpp)
+    def reduce(b: BloomFilter, keyHash: Long): BloomFilter = { b.putLong(keyHash); b }
+    def merge(a: BloomFilter, b: BloomFilter): BloomFilter = { a.mergeInPlace(b); a }
+    def finish(b: BloomFilter): Array[Byte] = serializeBloom(b)
+    def bufferEncoder = Encoders.javaSerialization(classOf[BloomFilter])
+    def outputEncoder = Encoders.BINARY
+  }
+
+  private[operators] def serializeBloom(b: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    b.writeTo(baos)
+    baos.toByteArray
+  }
+
+  private[operators] def deserializeBloom(bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  /** The `xxhash64` of the key tuple in declared order — the ONE hash both
+    * the manifest's Bloom build and every probe must agree on. */
+  def keyHashColumn(keyColumns: Seq[String]): Column =
+    xxhash64(keyColumns.map(quoted): _*)
+
+  private def quoted(c: String): Column =
+    if (c.contains(".")) col(s"`$c`") else col(c)
+
+  /** Collect stats for the files that writing `version` into `partitions`
+    * just produced, and persist the manifest. One grouped-by-file-path Spark
+    * job over ONLY the declared columns; `partitions` empty = snapshot
+    * table. Called by the write paths before their commit lands. */
+  def collectAndWrite(
+      spark: SparkSession,
+      table: TableDefinition,
+      version: Version,
+      partitions: List[Partition]): Unit = {
+    val cfg = table.stats.getOrElse(return)
+    val leafDirs: Seq[URI] =
+      if (table.isSnapshot) Seq(VersionPaths.pathFor(table.location, version))
+      else partitions.map(p => VersionPaths.pathFor(p.resolvePath(table.location), version))
+    if (leafDirs.isEmpty) return
+    val df = spark.read.format(table.format.name).options(table.options)
+      .load(leafDirs.map(VersionedTables.uriToLoadPath): _*)
+    val present = df.columns.map(c => c.toLowerCase -> c).toMap
+    // partition columns never appear in the data files — their value is the
+    // directory name, already exact, pruned on directly at read time
+    val statCols = cfg.statsColumns.filter(c => present.contains(c.toLowerCase))
+    val bloomCols = cfg.bloomKeyColumns.filter(c => present.contains(c.toLowerCase))
+    val bloomActive = bloomCols.nonEmpty && bloomCols.size == cfg.bloomKeyColumns.size
+    val aggs: Seq[Column] =
+      count(lit(1)).as("_rows") +:
+        (statCols.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(quoted(c)).as(s"_min_$i"), max(quoted(c)).as(s"_max_$i"),
+            count(quoted(c)).as(s"_nn_$i"))
+        } ++
+          (if (bloomActive)
+            Seq(udaf(new BloomAgg(cfg.bloomExpectedItems, cfg.bloomFpp), Encoders.scalaLong)
+              .apply(keyHashColumn(bloomCols.map(c => present(c.toLowerCase))))
+              .as("_bloom"))
+          else Nil))
+    if (statCols.isEmpty && !bloomActive) return
+    val perFile = df
+      .groupBy(col("_metadata.file_path").as("_path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per file of ONE write — bounded and small
+    val basePrefix = {
+      val b = VersionedTables.uriToLoadPath(table.location)
+      if (b.endsWith("/")) b else b + "/"
+    }
+    val types = statCols.map(c => df.schema(present(c.toLowerCase)).dataType)
+    val files = perFile.toList.map { row =>
+      val full = row.getAs[String]("_path")
+      val rel = if (full.startsWith(basePrefix)) full.stripPrefix(basePrefix) else full
+      val partitionPath = partitionOfRelativePath(rel)
+      val rows = row.getAs[Long]("_rows")
+      val cols = statCols.zipWithIndex.map { case (c, i) =>
+        val nonNull = row.getAs[Long](s"_nn_$i")
+        c.toLowerCase -> ColumnStats(
+          types(i).catalogString,
+          Option(row.get(row.fieldIndex(s"_min_$i"))).flatMap(encodeValue),
+          Option(row.get(row.fieldIndex(s"_max_$i"))).flatMap(encodeValue),
+          nullCount = rows - nonNull)
+      }.toMap
+      FileStats(rel, partitionPath, rows, cols)
+    }.sortBy(_.path)
+    val blooms: Map[String, Array[Byte]] =
+      if (!bloomActive) Map.empty
+      else perFile.toList
+        .map(r => partitionOfRelativePath {
+          val full = r.getAs[String]("_path")
+          if (full.startsWith(basePrefix)) full.stripPrefix(basePrefix) else full
+        } -> r.getAs[Array[Byte]]("_bloom"))
+        .groupBy(_._1)
+        .map { case (p, group) =>
+          val merged = group.map(g => deserializeBloom(g._2)).reduce { (a, b) =>
+            a.mergeInPlace(b); a
+          }
+          p -> serializeBloom(merged)
+        }
+    val manifest = StatsManifest(version.label,
+      statCols.map(_.toLowerCase), if (bloomActive) bloomCols.map(_.toLowerCase) else Nil,
+      files, blooms)
+    writeManifest(spark.sparkContext.hadoopConfiguration, table.location, manifest)
+  }
+
+  /** `date=2024-01-01/_version=<label>/part-0.parquet` → `date=2024-01-01`;
+    * snapshot layout (`_version=<label>/part-0.parquet`) → "". */
+  private[operators] def partitionOfRelativePath(rel: String): String = {
+    val segs = rel.split("/").toList
+    segs.takeWhile(!_.startsWith(VersionPaths.VersionDirPrefix)) match {
+      case parts if parts.length < segs.length => parts.mkString("/")
+      case _ => "" // no _version= element: direct-file layout, treat as root
+    }
+  }
+
+  // ---------------------------------------------------------------- skipping
+
+  /** Normalized comparable value. Comparisons are defined only WITHIN a
+    * family — cross-family atoms fall back to "may match". */
+  private[operators] sealed trait StatVal
+  private[operators] final case class NumV(v: java.math.BigDecimal) extends StatVal
+  private[operators] final case class StrV(v: String) extends StatVal
+  private[operators] final case class DateV(days: Long) extends StatVal
+  private[operators] final case class TsV(micros: Long) extends StatVal
+  private[operators] final case class BoolV(v: Boolean) extends StatVal
+
+  private[operators] def compareVals(a: StatVal, b: StatVal): Option[Int] = (a, b) match {
+    case (NumV(x), NumV(y))   => Some(x.compareTo(y))
+    case (StrV(x), StrV(y))   => Some(x.compareTo(y))
+    case (DateV(x), DateV(y)) => Some(java.lang.Long.compare(x, y))
+    case (TsV(x), TsV(y))     => Some(java.lang.Long.compare(x, y))
+    case (BoolV(x), BoolV(y)) => Some(java.lang.Boolean.compare(x, y))
+    case _                    => None
+  }
+
+  /** Encode an agg-result (external JVM) value into its manifest string.
+    * None for values that don't round-trip ordered (NaN/Infinity). */
+  private[operators] def encodeValue(v: Any): Option[String] = v match {
+    case null => None
+    case d: java.lang.Double if d.isNaN || d.isInfinite => None
+    case f: java.lang.Float if f.isNaN || f.isInfinite => None
+    case d: java.sql.Date => Some(d.toLocalDate.toString)
+    case d: LocalDate => Some(d.toString)
+    case t: java.sql.Timestamp => Some(t.toInstant.toString)
+    case t: Instant => Some(t.toString)
+    case t: LocalDateTime => Some(t.toString)
+    case other => Some(other.toString) // numbers, strings, booleans
+  }
+
+  /** Decode a stored manifest value by its stored catalog type. */
+  private[operators] def decodeStored(catalogType: String, s: String): Option[StatVal] =
+    try {
+      catalogType match {
+        case "tinyint" | "smallint" | "int" | "bigint" | "float" | "double" =>
+          Some(NumV(new java.math.BigDecimal(s)))
+        case t if t.startsWith("decimal") => Some(NumV(new java.math.BigDecimal(s)))
+        case "string" => Some(StrV(s))
+        case "date" => Some(DateV(LocalDate.parse(s).toEpochDay))
+        case "timestamp" | "timestamp_ltz" =>
+          Some(TsV(instantMicros(Instant.parse(s))))
+        case "timestamp_ntz" =>
+          Some(TsV(instantMicros(LocalDateTime.parse(s).toInstant(ZoneOffset.UTC))))
+        case "boolean" => Some(BoolV(s.toBoolean))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  private def instantMicros(i: Instant): Long =
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+
+  /** A Catalyst literal's (internal value, type) → normalized value. */
+  private[operators] def literalToVal(value: Any, dt: DataType): Option[StatVal] =
+    if (value == null) None
+    else dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(NumV(new java.math.BigDecimal(value.toString)))
+      case FloatType =>
+        val f = value.asInstanceOf[Float]
+        if (f.isNaN || f.isInfinite) None else Some(NumV(new java.math.BigDecimal(f.toString)))
+      case DoubleType =>
+        val d = value.asInstanceOf[Double]
+        if (d.isNaN || d.isInfinite) None else Some(NumV(new java.math.BigDecimal(d.toString)))
+      case _: DecimalType =>
+        Some(NumV(value.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal))
+      case StringType => Some(StrV(value.toString))
+      case DateType => Some(DateV(value.asInstanceOf[Int].toLong))
+      case TimestampType | TimestampNTZType => Some(TsV(value.asInstanceOf[Long]))
+      case BooleanType => Some(BoolV(value.asInstanceOf[Boolean]))
+      case _ => None
+    }
+
+  /** Decode a raw partition VALUE string into the family of the literal it
+    * is being compared against (partition values are untyped strings in the
+    * core model). */
+  private[operators] def partitionValueAs(raw: String, like: StatVal): Option[StatVal] =
+    try {
+      like match {
+        case _: NumV  => Some(NumV(new java.math.BigDecimal(raw)))
+        case _: StrV  => Some(StrV(raw))
+        case _: DateV => Some(DateV(LocalDate.parse(raw).toEpochDay))
+        case _: TsV   => Some(TsV(instantMicros(
+          try Instant.parse(raw)
+          catch { case _: Exception => LocalDateTime.parse(raw.replace(' ', 'T')).toInstant(ZoneOffset.UTC) })))
+        case _: BoolV => raw.toLowerCase match {
+          case "true" => Some(BoolV(true)); case "false" => Some(BoolV(false)); case _ => None
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** What the skip evaluator knows about one column of one file. */
+  private[operators] sealed trait ColKnowledge
+  /** Data column with per-file stats (already type-decoded). */
+  private[operators] final case class FileCol(
+      min: Option[StatVal], max: Option[StatVal], nullCount: Long, rows: Long) extends ColKnowledge
+  /** Partition column: one raw string value for the whole file (None = the
+    * null/default partition). Decoded lazily against the literal's family. */
+  private[operators] final case class PartCol(raw: Option[String]) extends ColKnowledge
+
+  /**
+   * Three-valued, conservative evaluator: true = "some row of this file MAY
+   * satisfy the predicate", false = "provably no row satisfies it". `lookup`
+   * resolves a lowercased column name to what is known; None = unknown
+   * column (always "may match").
+   */
+  private[operators] object SkipEval {
+
+    def mayMatch(e: Expression, lookup: String => Option[ColKnowledge]): Boolean =
+      eval(desugar(e), neg = false, lookup)
+
+    /** A Column built with the public API arrives as name-based
+      * `UnresolvedFunction("<", ...)` nodes (the parser's pre-analysis
+      * shape); rewrite the shapes the evaluator understands into their
+      * concrete catalyst nodes. Unknown names stay as-is — the evaluator
+      * treats them as "may match". */
+    private[operators] def desugar(e: Expression): Expression = e match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.size == 1 && !f.isDistinct =>
+        val a = f.arguments.map(desugar)
+        (f.nameParts.head.toLowerCase, a) match {
+          case ("<", Seq(l, r))          => LessThan(l, r)
+          case ("<=", Seq(l, r))         => LessThanOrEqual(l, r)
+          case (">", Seq(l, r))          => GreaterThan(l, r)
+          case (">=", Seq(l, r))         => GreaterThanOrEqual(l, r)
+          case ("=" | "==", Seq(l, r))   => EqualTo(l, r)
+          case ("<=>", Seq(l, r))        => EqualNullSafe(l, r)
+          case ("!" | "not", Seq(c))     => Not(c)
+          case ("and", Seq(l, r))        => And(l, r)
+          case ("or", Seq(l, r))         => Or(l, r)
+          case ("isnull", Seq(c))        => IsNull(c)
+          case ("isnotnull", Seq(c))     => IsNotNull(c)
+          case ("in", v +: list) if list.nonEmpty => In(v, list)
+          case ("startswith", Seq(l, r)) => StartsWith(l, r)
+          case _                         => f.copy(arguments = a)
+        }
+      case other => other.mapChildren(desugar)
+    }
+
+    private def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last.toLowerCase)
+      case a: AttributeReference  => Some(a.name.toLowerCase)
+      case _                      => None
+    }
+
+    private def litOf(e: Expression): Option[(Any, DataType)] = e match {
+      case Literal(v, dt) => Some((v, dt))
+      case _              => None
+    }
+
+    private def eval(e: Expression, neg: Boolean, lookup: String => Option[ColKnowledge]): Boolean =
+      e match {
+        case And(l, r) =>
+          if (!neg) eval(l, neg = false, lookup) && eval(r, neg = false, lookup)
+          else eval(l, neg = true, lookup) || eval(r, neg = true, lookup)
+        case Or(l, r) =>
+          if (!neg) eval(l, neg = false, lookup) || eval(r, neg = false, lookup)
+          else eval(l, neg = true, lookup) && eval(r, neg = true, lookup)
+        case Not(c) => eval(c, !neg, lookup)
+        case Literal(b: Boolean, BooleanType) => if (neg) !b else b
+        case Literal(null, _) => false // a NULL predicate is never TRUE; nor is NOT(NULL)
+        case IsNull(a) =>
+          attrName(a).flatMap(lookup) match {
+            case Some(FileCol(_, _, nulls, rows)) => if (neg) nulls < rows else nulls > 0
+            case Some(PartCol(raw))               => if (neg) raw.isDefined else raw.isEmpty
+            case None                             => true
+          }
+        case IsNotNull(a) => eval(IsNull(a), !neg, lookup)
+        case cmp: BinaryComparison =>
+          (attrName(cmp.left), litOf(cmp.right), attrName(cmp.right), litOf(cmp.left)) match {
+            case (Some(name), Some((v, dt)), _, _) => evalCmp(name, cmp, v, dt, neg, flipped = false, lookup)
+            case (_, _, Some(name), Some((v, dt))) => evalCmp(name, cmp, v, dt, neg, flipped = true, lookup)
+            case _                                 => true
+          }
+        case In(a, list) =>
+          attrName(a) match {
+            case Some(name) if list.forall(_.isInstanceOf[Literal]) =>
+              val vals = list.collect { case Literal(v, dt) if v != null => literalToVal(v, dt) }
+              if (vals.exists(_.isEmpty)) true
+              else {
+                val lits = vals.flatten
+                if (!neg) lits.isEmpty match {
+                  case true  => false // IN () — never true
+                  case false => lits.exists(v => rangeMayContain(name, v, lookup))
+                }
+                else mayHaveValueOutside(name, lits, lookup)
+              }
+            case _ => true
+          }
+        case StartsWith(a, Literal(p, StringType)) if p != null =>
+          attrName(a) match {
+            case Some(name) => evalStartsWith(name, p.asInstanceOf[UTF8String].toString, neg, lookup)
+            case None       => true
+          }
+        case _ => true // unknown shape: conservative
+      }
+
+    /** Resolve a column's (min, max, nulls-known) against the literal's
+      * family. Partition columns decode their single value on demand. */
+    private def bounds(
+        name: String, like: StatVal, lookup: String => Option[ColKnowledge]):
+        Option[(Option[StatVal], Option[StatVal], Boolean)] = // (min, max, allNull)
+      lookup(name).map {
+        case FileCol(mn, mx, nulls, rows) => (mn, mx, nulls >= rows && rows > 0)
+        case PartCol(None)                => (None, None, true)
+        case PartCol(Some(raw)) =>
+          partitionValueAs(raw, like) match {
+            case Some(v) => (Some(v), Some(v), false)
+            case None    => (None, None, false)
+          }
+      }
+
+    private def le(a: StatVal, b: StatVal): Boolean = compareVals(a, b).forall(_ <= 0)
+    private def lt(a: StatVal, b: StatVal): Boolean = compareVals(a, b).forall(_ < 0)
+
+    private def rangeMayContain(
+        name: String, v: StatVal, lookup: String => Option[ColKnowledge]): Boolean =
+      bounds(name, v, lookup) match {
+        case Some((_, _, true))  => false // all-null: no comparison is ever TRUE
+        case Some((mn, mx, _))   => mn.forall(le(_, v)) && mx.forall(le(v, _))
+        case None                => true
+      }
+
+    /** May the file hold a NON-NULL value different from every literal in
+      * `lits`? False only when min == max == (a value in lits). */
+    private def mayHaveValueOutside(
+        name: String, lits: Seq[StatVal], lookup: String => Option[ColKnowledge]): Boolean =
+      lits.headOption.flatMap(h => bounds(name, h, lookup)) match {
+        case Some((_, _, true)) => false // all-null: NOT(x IN ...) is NULL, not TRUE
+        case Some((Some(mn), Some(mx), _)) if compareVals(mn, mx).contains(0) =>
+          !lits.exists(v => compareVals(mn, v).contains(0))
+        case _ => true
+      }
+
+    private def evalCmp(
+        name: String, cmp: BinaryComparison, litVal: Any, litDt: DataType,
+        neg: Boolean, flipped: Boolean, lookup: String => Option[ColKnowledge]): Boolean = {
+      if (litVal == null) {
+        // `col <op> NULL` is NULL — never TRUE, negated or not — EXCEPT the
+        // null-safe equal, where `col <=> NULL` means "col IS NULL"
+        return cmp match {
+          case _: EqualNullSafe => eval(IsNull(UnresolvedAttribute(name)), neg, lookup)
+          case _                => false
+        }
+      }
+      val v = literalToVal(litVal, litDt) match {
+        case Some(x) => x
+        case None    => return true
+      }
+      // normalize to `col <op> v` (flip when the literal was on the left)
+      sealed trait Op
+      case object Eq extends Op; case object Lt extends Op; case object Le extends Op
+      case object Gt extends Op; case object Ge extends Op
+      val base: Op = cmp match {
+        case _: EqualTo | _: EqualNullSafe => Eq
+        case _: LessThan            => if (flipped) Gt else Lt
+        case _: LessThanOrEqual     => if (flipped) Ge else Le
+        case _: GreaterThan         => if (flipped) Lt else Gt
+        case _: GreaterThanOrEqual  => if (flipped) Le else Ge
+      }
+      val nullSafe = cmp.isInstanceOf[EqualNullSafe]
+      bounds(name, v, lookup) match {
+        case None => true
+        case Some((_, _, true)) =>
+          // all-null column: plain comparisons are NULL (not TRUE) positive
+          // or negated; x <=> v is genuinely FALSE, so NOT(x <=> v) is TRUE
+          nullSafe && neg
+        case Some((mn, mx, _)) =>
+          if (!neg) base match {
+            case Eq => mn.forall(le(_, v)) && mx.forall(le(v, _))
+            case Lt => mn.forall(lt(_, v))
+            case Le => mn.forall(le(_, v))
+            case Gt => mx.forall(lt(v, _))
+            case Ge => mx.forall(le(v, _))
+          }
+          else base match {
+            // NOT(col = v): may a non-null value ≠ v exist?
+            case Eq => (mn, mx) match {
+              case (Some(a), Some(b)) if compareVals(a, b).contains(0) =>
+                !compareVals(a, v).contains(0)
+              case _ => true
+            }
+            // NOT(col < v) ≡ col >= v (non-null), etc.
+            case Lt => mx.forall(le(v, _))
+            case Le => mx.forall(lt(v, _))
+            case Gt => mn.forall(le(_, v))
+            case Ge => mn.forall(lt(_, v))
+          }
+      }
+    }
+
+    private def evalStartsWith(
+        name: String, prefix: String, neg: Boolean,
+        lookup: String => Option[ColKnowledge]): Boolean =
+      bounds(name, StrV(prefix), lookup) match {
+        case None => true
+        case Some((_, _, true)) => false // all-null
+        case Some((mn, mx, _)) =>
+          if (!neg) {
+            // any string with this prefix is >= prefix and < incremented(prefix)
+            val upperOk = incrementLast(prefix) match {
+              case Some(upper) => mn.forall(lt(_, StrV(upper)))
+              case None        => true
+            }
+            mx.forall(le(StrV(prefix), _)) && upperOk
+          } else (mn, mx) match {
+            case (Some(a), Some(b)) if compareVals(a, b).contains(0) =>
+              a match { case StrV(s) => !s.startsWith(prefix); case _ => true }
+            case _ => true
+          }
+      }
+
+    /** `"abc"` → `"abd"`: the exclusive upper bound of the prefix range.
+      * None when every char is already ￿ (no finite bound). */
+    private def incrementLast(s: String): Option[String] = {
+      val chars = s.toCharArray
+      var i = chars.length - 1
+      while (i >= 0 && chars(i) == Char.MaxValue) i -= 1
+      if (i < 0) None
+      else Some(new String(chars.take(i)) + (chars(i) + 1).toChar)
+    }
+  }
+
+  // ---------------------------------------------------------------- read side
+
+  /** What [[readVersionWhere]] decided, for specs and plan notes: the
+    * resolved load paths (files and/or directories) plus the prune bill. */
+  final case class SkipDecision(
+      paths: Seq[String],
+      partitionsTotal: Int,
+      partitionsKept: Int,
+      filesSeen: Long,   // files listed in consulted manifests of KEPT partitions
+      filesKept: Long,   // of those, files that survived the predicate
+      unprunedDirs: Int) // version dirs read whole (no manifest)
+
+  /** Resolve `version` under `predicate` into the minimal load-path set.
+    * Pure planning — no Spark job; one manifest read per DISTINCT version
+    * label (cached within the call). */
+  def planRead(
+      engine: VersionedTables,
+      table: TableDefinition,
+      version: TableVersion,
+      predicate: Column): SkipDecision = {
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    val expr = org.apache.spark.sql.GraftSqlBridge.convertedExpression(predicate)
+    val manifests = scala.collection.mutable.Map.empty[String, Option[StatsManifest]]
+    def manifestFor(v: Version): Option[StatsManifest] =
+      manifests.getOrElseUpdate(v.label, readManifest(conf, table.location, v.label))
+
+    def fileLookup(f: FileStats, part: Option[Partition]): String => Option[ColKnowledge] = {
+      val partVals: Map[String, Option[String]] = part
+        .map(_.columnValues.map(cv => cv.column.name.toLowerCase ->
+          (if (cv.value == PathCodec.DefaultPartitionName) None else Some(cv.value))).toMap)
+        .getOrElse(Map.empty)
+      name =>
+        f.columns.get(name) match {
+          case Some(cs) =>
+            Some(FileCol(
+              cs.min.flatMap(decodeStored(cs.dataType, _)),
+              cs.max.flatMap(decodeStored(cs.dataType, _)),
+              cs.nullCount, f.rows))
+          case None => partVals.get(name).map(PartCol(_))
+        }
+    }
+
+    def partitionLookup(p: Partition): String => Option[ColKnowledge] = {
+      val partVals = p.columnValues.map(cv => cv.column.name.toLowerCase ->
+        (if (cv.value == PathCodec.DefaultPartitionName) None else Some(cv.value))).toMap
+      name => partVals.get(name).map(PartCol(_))
+    }
+
+    val basePrefix = {
+      val b = VersionedTables.uriToLoadPath(table.location)
+      if (b.endsWith("/")) b else b + "/"
+    }
+
+    version match {
+      case SnapshotTableVersion(v) =>
+        if (v == Version.Unversioned)
+          return SkipDecision(
+            Seq(VersionedTables.uriToLoadPath(table.location)), 1, 1, 0, 0, 1)
+        manifestFor(v) match {
+          case Some(m) if m.files.nonEmpty =>
+            val kept = m.files.filter(f => SkipEval.mayMatch(expr, fileLookup(f, None)))
+            SkipDecision(kept.map(basePrefix + _.path), 1, 1, m.files.size.toLong,
+              kept.size.toLong, 0)
+          case _ =>
+            SkipDecision(
+              Seq(VersionedTables.uriToLoadPath(VersionPaths.pathFor(table.location, v))),
+              1, 1, 0, 0, 1)
+        }
+      case PartitionedTableVersion(pvs) =>
+        var filesSeen = 0L; var filesKept = 0L; var unpruned = 0
+        val keptParts = pvs.toList.sortBy(_._1.toPath)
+          .filter { case (p, _) => SkipEval.mayMatch(expr, partitionLookup(p)) }
+        val paths = keptParts.flatMap { case (p, v) =>
+          val dirFallback = Seq(VersionedTables.uriToLoadPath(
+            VersionPaths.pathFor(p.resolvePath(table.location), v)))
+          if (v == Version.Unversioned) { unpruned += 1; dirFallback }
+          else manifestFor(v) match {
+            case Some(m) =>
+              val inPart = m.filesFor(p.toHivePath)
+              if (inPart.isEmpty) { unpruned += 1; dirFallback }
+              else {
+                val kept = inPart.filter(f => SkipEval.mayMatch(expr, fileLookup(f, Some(p))))
+                filesSeen += inPart.size; filesKept += kept.size
+                kept.map(basePrefix + _.path)
+              }
+            case None => unpruned += 1; dirFallback
+          }
+        }
+        SkipDecision(paths, pvs.size, keptParts.size, filesSeen, filesKept, unpruned)
+    }
+  }
+
+  /** Read `version` of the table with manifest-driven data skipping, then
+    * apply `predicate` normally (skipping never changes results — see the
+    * class doc). Adopted tables mixing unversioned partitions fall back to
+    * the plain read + filter. */
+  def readVersionWhere(
+      engine: VersionedTables,
+      table: TableDefinition,
+      version: TableVersion,
+      predicate: Column): DataFrame = {
+    val mixedAdopted = version match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.nonEmpty && pvs.valuesIterator.contains(Version.Unversioned)
+      case _ => false
+    }
+    if (mixedAdopted) return engine.readVersion(table, version).filter(predicate)
+    val decision = planRead(engine, table, version, predicate)
+    if (decision.paths.isEmpty) {
+      val empty = engine.readVersion(table,
+        version match {
+          case _: PartitionedTableVersion => PartitionedTableVersion(Map.empty)
+          case _: SnapshotTableVersion    => PartitionedTableVersion(Map.empty)
+        })
+      return if (empty.columns.isEmpty) empty else empty.filter(predicate)
+    }
+    val reader = engine.spark.read.format(table.format.name).options(table.options)
+    val df = version match {
+      case _: PartitionedTableVersion =>
+        reader.option("basePath", VersionedTables.uriToLoadPath(table.location))
+          .load(decision.paths: _*)
+          .drop(Version.VersionColumn)
+      case SnapshotTableVersion(_) =>
+        reader.load(decision.paths: _*)
+    }
+    df.filter(predicate)
+  }
+}

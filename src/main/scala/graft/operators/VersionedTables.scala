@@ -409,13 +409,17 @@ final class VersionedTables(
     if (dryRun) return VacuumResult(targets, Nil, Nil)
     val outcome = graft.sources.VersionJanitor.deleteVersionDirs(
       spark.sparkContext.hadoopConfiguration, table.location, targets)
-    // reclaim abandoned staging manifests alongside their version dirs
-    // (committed versions never have one — publish deletes it)
+    // reclaim abandoned staging manifests and stats manifests alongside
+    // their version dirs (committed versions never have a staging manifest
+    // — publish deletes it; stats manifests live as long as their version)
     outcome.deleted.foreach { uri =>
       val label = VersionPaths.parseVersion(uri)
-      if (label != Version.Unversioned)
+      if (label != Version.Unversioned) {
         VersionedTables.deleteStagingManifest(
           spark.sparkContext.hadoopConfiguration, table.location, label.label)
+        TableStats.deleteManifest(
+          spark.sparkContext.hadoopConfiguration, table.location, label.label)
+      }
     }
     VacuumResult(targets, outcome.deleted, outcome.failed)
   }
@@ -425,6 +429,23 @@ final class VersionedTables(
     * 100 TB scale (no file listing outside the selection). */
   def readPartitions(table: TableDefinition, keep: Partition => Boolean): DataFrame =
     readVersion(table, prunePartitions(tracker.currentVersion(table.name), keep))
+
+  /** Data-skipping read of the CURRENT version: prune whole partitions (by
+    * their values) and individual files (by the commit-time stats manifest,
+    * [[TableStats]]) that provably cannot satisfy `predicate`, then apply
+    * the predicate normally — results always equal `read(table)
+    * .filter(predicate)`; only the file listing and scan shrink. Versions
+    * written without a [[graft.core.ColumnStatsConfig]] read unpruned. */
+  def readWhere(table: TableDefinition, predicate: org.apache.spark.sql.Column): DataFrame =
+    TableStats.readVersionWhere(this, table, tracker.currentVersion(table.name), predicate)
+
+  /** [[readWhere]] at a historical commit — time travel with the same
+    * file-level skipping (manifests are per version, so history prunes
+    * exactly like the head). */
+  def readAtWhere(
+      table: TableDefinition, id: CommitId,
+      predicate: org.apache.spark.sql.Column): DataFrame =
+    TableStats.readVersionWhere(this, table, versionAt(table.name, id), predicate)
 
   /** Driver-side partition pruning shared by every partial read
     * ([[readPartitions]], [[readAt]], [[readChangesBetween]],
@@ -1012,6 +1033,14 @@ object VersionedTables {
             s"(the write to ${table.name} produced no $versionDir, and committing " +
             "a version with no data directory would break every later read)")
       }
+      // commit-time file/column statistics (data-skipping manifest): one
+      // column-pruned pass over the files just written, persisted BEFORE the
+      // commit so a committed version either has its full manifest or none
+      // (see TableStats). Loud on failure — the stage aborts pre-commit and
+      // the written dirs are ordinary vacuum-reclaimable debris.
+      if (table.stats.nonEmpty)
+        TableStats.collectAndWrite(ds.sparkSession, table, version,
+          ops.collect { case TableOperation.AddPartitionVersion(p, _) => p })
       // record the exact staged ops (replace-all removes included) so a
       // LATER process can re-attach faithfully — see findStaged. Only the
       // EXPLICIT stage entry points pay this: the insert/replaceAll paths

@@ -9,6 +9,15 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Convert a Column's node tree into a catalyst Expression EAGERLY (the
+    * same conversion the analyzer would run), instead of the lazy
+    * `ColumnNodeExpression` wrapper [[expression]] returns — for callers
+    * that need to WALK the tree pre-analysis (e.g. stats-based data
+    * skipping). Comparisons come back as `UnresolvedFunction("<", ...)`
+    * etc., exactly as the parser would produce them. */
+  def convertedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** The session's function registry (`sessionState` is `private[sql]`) —
     * lets [[graft.functions.GraftExtensions]] register SQL functions on an
     * ALREADY-RUNNING session, not just at builder time. */

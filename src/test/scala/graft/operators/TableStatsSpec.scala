@@ -1,0 +1,259 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.core._
+import graft.operators.TableStats._
+import graft.operators.VersionedTables._
+
+import java.io.File
+import java.nio.file.Files
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Commit-time stats manifest + data-skipping reads (TableStats): manifest
+  * shape, the conservative three-valued skip evaluator, and the law that
+  * `readWhere` ALWAYS equals `read().filter` while scanning fewer files. */
+class TableStatsSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newEngine(): (VersionedTables, File) = {
+    val dir = Files.createTempDirectory("graft-stats-").toFile
+    val engine = VersionedTables.withFileStore(spark, new File(dir, "store").toURI)
+    (engine, dir)
+  }
+
+  /** 4 date partitions × ids 0..399, ids range-split into 4 files per
+    * partition; `v` is null for every 10th id; `cat` cycles a/b/c. */
+  private def fixture(statsCfg: Option[ColumnStatsConfig]): (VersionedTables, TableDefinition) = {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("test", "stats_events"),
+      new File(dir, "stats_events").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = statsCfg)
+    engine.initTable(table, UserId("t"), "init")
+    val df = spark.range(1600).select(
+      (col("id") % 400).as("id"),
+      concat(lit("2024-01-0"), (floor(col("id") / 400) + 1).cast("int").cast("string")).as("day"),
+      when(col("id") % 10 === 0, lit(null).cast("double"))
+        .otherwise(col("id").cast("double") * 1.5).as("v"),
+      element_at(array(lit("a"), lit("b"), lit("c")), (col("id") % 3 + 1).cast("int")).as("cat"))
+    // range-split on id INSIDE each day so each partition dir gets several
+    // files with disjoint id ranges — the layout data skipping rewards
+    df.repartitionByRange(4, col("id"))
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+    (engine, table)
+  }
+
+  private val cfg = ColumnStatsConfig(
+    statsColumns = List("id", "v", "cat"), bloomKeyColumns = List("id"),
+    bloomExpectedItems = 1000)
+
+  behavior of "stats collection"
+
+  it should "write a per-file manifest with exact min/max/null counts and partition blooms" in {
+    val (engine, table) = fixture(Some(cfg))
+    val label = engine.tracker.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions.values.head.label
+    val m = TableStats.readManifest(
+      spark.sparkContext.hadoopConfiguration, table.location, label).get
+    m.statsColumns shouldBe List("id", "v", "cat")
+    m.bloomKeyColumns shouldBe List("id")
+    m.files should have size 16 // 4 partitions × 4 range files
+    m.files.map(_.partition).distinct.sorted shouldBe
+      List("day=2024-01-01", "day=2024-01-02", "day=2024-01-03", "day=2024-01-04")
+    // per-file ranges are disjoint per partition and cover 0..399
+    val perPart = m.files.groupBy(_.partition)
+    perPart.values.foreach { files =>
+      files.map(_.rows).sum shouldBe 400
+      val ranges = files.map { f =>
+        val cs = f.columns("id")
+        (cs.min.get.toLong, cs.max.get.toLong)
+      }.sortBy(_._1)
+      ranges.head._1 shouldBe 0L
+      ranges.last._2 shouldBe 399L
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => hi should be < lo2
+        case _ => ()
+      }
+      // v is null on every 10th id; per-file null counts sum to 40
+      files.map(_.columns("v").nullCount).sum shouldBe 40
+      // cat covers all three values in every file of this size
+      files.foreach { f =>
+        f.columns("cat").min.get shouldBe "a"
+        f.columns("cat").max.get shouldBe "c"
+      }
+    }
+    // partition blooms: every id in, disjoint ids mostly out
+    m.partitionBlooms.keySet shouldBe perPart.keySet
+    val bloom = TableStats.deserializeBloom(m.partitionBlooms("day=2024-01-01"))
+    val hashes = spark.range(400).select(TableStats.keyHashColumn(Seq("id")).as("h"))
+      .as[Long].collect()
+    hashes.foreach(h => bloom.mightContainLong(h) shouldBe true)
+    val misses = spark.range(400).withColumn("id2", col("id") + 1000000)
+      .select(xxhash64(col("id2")).as("h")).as[Long].collect()
+      .count(bloom.mightContainLong)
+    misses.toDouble / 400 should be < 0.2 // fpp 0.03 configured, generous bound
+  }
+
+  it should "survive a JSON round-trip byte-identically" in {
+    val (engine, table) = fixture(Some(cfg))
+    val label = engine.tracker.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions.values.head.label
+    val m = TableStats.readManifest(
+      spark.sparkContext.hadoopConfiguration, table.location, label).get
+    val back = TableStats.fromJson(TableStats.toJson(m)).toOption.get
+    back.copy(partitionBlooms = Map.empty) shouldBe m.copy(partitionBlooms = Map.empty)
+    back.partitionBlooms.keySet shouldBe m.partitionBlooms.keySet
+    back.partitionBlooms.foreach { case (k, v) =>
+      v should equal(m.partitionBlooms(k))
+    }
+  }
+
+  behavior of "readWhere"
+
+  private def checkEquivalent(
+      engine: VersionedTables, table: TableDefinition, pred: Column): Long = {
+    val skipped = engine.readWhere(table, pred)
+    val plain = engine.read(table).filter(pred)
+    val s = skipped.select("id", "day", "v", "cat").collect().map(_.toSeq).sortBy(_.toString)
+    val p = plain.select("id", "day", "v", "cat").collect().map(_.toSeq).sortBy(_.toString)
+    s should contain theSameElementsInOrderAs p
+    skipped.inputFiles.length.toLong
+  }
+
+  it should "equal read().filter for a battery of predicates while scanning fewer files" in {
+    val (engine, table) = fixture(Some(cfg))
+    val allFiles = engine.read(table).inputFiles.length.toLong
+    allFiles shouldBe 16
+
+    // selective id range: ~1 of 4 range files per partition (range-split
+    // boundaries are sampled, so allow one boundary file of slack)
+    checkEquivalent(engine, table, col("id") < 100) should be <= 8L
+    checkEquivalent(engine, table, col("id") >= 350) should be <= 8L
+    // equality: exactly one file per partition
+    checkEquivalent(engine, table, col("id") === 17) shouldBe 4L
+    // partition-column predicate: whole-partition prune, no file listing
+    checkEquivalent(engine, table, col("day") === "2024-01-02") shouldBe 4L
+    // combined: one file of one partition
+    checkEquivalent(engine, table, col("day") === "2024-01-02" && col("id") === 17) shouldBe 1L
+    // negated equality on the partition column
+    checkEquivalent(engine, table, col("day") =!= "2024-01-02") shouldBe 12L
+    // In on the partition column
+    checkEquivalent(engine, table, col("day").isin("2024-01-01", "2024-01-03")) shouldBe 8L
+    // negation pushes through: NOT(id < 300) ≡ id >= 300
+    checkEquivalent(engine, table, !(col("id") < 300)) should be <= 8L
+    // string stats: every file holds a..c, so this prunes nothing but stays correct
+    checkEquivalent(engine, table, col("cat") === "b") shouldBe 16L
+    // impossible predicate: zero files, empty result
+    checkEquivalent(engine, table, col("id") > 10000) shouldBe 0L
+    // disjunction across partitions and ranges
+    checkEquivalent(engine, table,
+      (col("day") === "2024-01-01" && col("id") < 50) || col("id") > 380) should be <= 8L
+    // null-aware: v IS NULL rows exist in every file (every 10th id)
+    checkEquivalent(engine, table, col("v").isNull) shouldBe 16L
+    // unsupported atom shapes stay conservative but correct
+    checkEquivalent(engine, table, (col("id") + 1) > 395) shouldBe 16L
+  }
+
+  it should "read versions without a manifest unpruned but correct" in {
+    val (engine, table) = fixture(None) // no stats declared
+    val n = checkEquivalent(engine, table, col("id") < 100)
+    n shouldBe 16L // nothing pruned — and results still exact
+  }
+
+  it should "time-travel with the same skipping via readAtWhere" in {
+    val (engine, table) = fixture(Some(cfg))
+    val c0 = engine.headCommit(table.name)
+    // second write replaces day 1 with ids shifted up — head skips differently
+    val df2 = spark.range(400).select(
+      (col("id") + 1000).as("id"), lit("2024-01-01").as("day"),
+      col("id").cast("double").as("v"), lit("z").as("cat"))
+    df2.repartitionByRange(2, col("id"))
+      .versionedInsertInto(engine, table, UserId("t"), "reprocess day 1")
+
+    val atOld = engine.readAtWhere(table, c0, col("id") < 100)
+    atOld.count() shouldBe engine.readAt(table, c0).filter(col("id") < 100).count()
+    atOld.inputFiles.length shouldBe 4 // one range file per original partition
+
+    // head: day 1 has no id<100 anymore → its files all pruned
+    val atHead = engine.readWhere(table, col("id") < 100)
+    atHead.count() shouldBe 300 // 100 ids × 3 untouched days, minus none (id<100 ∈ 0..399)
+    atHead.inputFiles.length shouldBe 3
+  }
+
+  it should "handle the null partition and all-null files soundly" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("test", "stats_nullpart"),
+      new File(dir, "stats_nullpart").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("v"))))
+    engine.initTable(table, UserId("t"), "init")
+    val df = Seq(
+      (1L, "2024-01-01", Some(1.0)),
+      (2L, "2024-01-01", Some(2.0)),
+      (3L, null.asInstanceOf[String], None: Option[Double]), // null partition, all-null v
+      (4L, null.asInstanceOf[String], None: Option[Double])
+    ).toDF("id", "day", "v")
+    df.repartition(col("day")).versionedInsertInto(engine, table, UserId("t"), "load")
+
+    // v = 1.0 can only live in the non-null partition's file
+    val hit = engine.readWhere(table, col("v") === 1.0)
+    hit.select("id").as[Long].collect().sorted shouldBe Array(1L)
+    hit.inputFiles.length shouldBe 1
+    // v IS NULL must keep the all-null file
+    engine.readWhere(table, col("v").isNull).select("id")
+      .as[Long].collect().sorted shouldBe Array(3L, 4L)
+    // day IS NULL prunes to the default partition
+    val nullDay = engine.readWhere(table, col("day").isNull)
+    nullDay.select("id").as[Long].collect().sorted shouldBe Array(3L, 4L)
+    nullDay.inputFiles.length shouldBe 1
+    // day IS NOT NULL prunes the default partition
+    engine.readWhere(table, col("day").isNotNull).select("id")
+      .as[Long].collect().sorted shouldBe Array(1L, 2L)
+  }
+
+  it should "never mis-prune on cross-family or NaN comparisons" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("test", "stats_nan"),
+      new File(dir, "stats_nan").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("v", "id"))))
+    engine.initTable(table, UserId("t"), "init")
+    Seq((1L, "d1", 1.0), (2L, "d1", Double.NaN), (3L, "d1", 3.0))
+      .toDF("id", "day", "v")
+      .repartition(1)
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+    // NaN is the file's max in Spark ordering → max is unusable; a v > 2
+    // predicate must keep the file (NaN > 2 is true in Spark semantics)
+    engine.readWhere(table, col("v") > 2.0).count() shouldBe
+      engine.read(table).filter(col("v") > 2.0).count()
+    // comparing the numeric id against a STRING literal: cross-family →
+    // conservative keep, result still equals the plain filter
+    engine.readWhere(table, col("id") === "2").count() shouldBe
+      engine.read(table).filter(col("id") === "2").count()
+  }
+
+  behavior of "vacuum integration"
+
+  it should "reclaim stats manifests alongside their expired version dirs" in {
+    val (engine, table) = fixture(Some(cfg))
+    // three more writes so the first version ages out of keepLast=1
+    (1 to 2).foreach { i =>
+      spark.range(400).select(
+        (col("id") + i * 10000).as("id"), lit("2024-01-01").as("day"),
+        col("id").cast("double").as("v"), lit("x").as("cat"))
+        .repartition(1)
+        .versionedInsertInto(engine, table, UserId("t"), s"w$i")
+    }
+    val statsDir = new File(new File(table.location), "_stats")
+    val before = statsDir.listFiles().length
+    before should be >= 3
+    val result = engine.vacuum(table, keepLast = 1, dryRun = false)
+    result.deleted should not be empty
+    statsDir.listFiles().length should be < before
+    // the current version's manifest survives and still prunes
+    engine.readWhere(table, col("id") < 100).count() shouldBe
+      engine.read(table).filter(col("id") < 100).count()
+  }
+}
