@@ -111,6 +111,15 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("v"))
     }),
 
+    // commit-time stats + data-skipping at the gate: events versioned with a
+    // ColumnStatsConfig on (event_id, value), range-split on event_id inside
+    // each date partition so each file covers a disjoint id range, then a
+    // selective readWhere (bottom ~10% of ids). The manifest prunes ~7 of 8
+    // files per partition BEFORE listing; the result must equal the plain
+    // filter, which is exactly what the SQL oracle computes. The files-
+    // scanned assertion lives in TableStatsSpec (inputFiles deltas).
+    "q_stats_skip_scan" -> ((spark, dir) => statsSkipFixture(spark, dir)),
+
     // keyed MERGE INTO at the gate: events loaded as a versioned table, then
     // ONE merge commit that updates every 10th click (+1000 to value),
     // inserts a synthetic twin of every 100th view (id offset +10M), and
@@ -341,6 +350,39 @@ object SparkEntry {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
   }
 
+  /** q_stats_skip_scan: versioned events table declaring stats columns,
+    * written range-split on event_id so data skipping has disjoint per-file
+    * ranges to prune, then a selective [[VersionedTables.readWhere]].
+    * Memoized per (session, sfDir). */
+  private val statsSkipFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def statsSkipFixture(spark: SparkSession, sfDir: String): DataFrame =
+    statsSkipFixtureCache.computeIfAbsent((spark, sfDir), _ => {
+      Tables.prepare(spark)
+      val root = graft.FixtureTempDirs.create("graft-skipfix-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", "events_stats"),
+        root.resolve("events_stats").toUri, PartitionSchema("event_date"), FileFormat.Parquet,
+        stats = Some(ColumnStatsConfig(
+          statsColumns = List("event_id", "value"),
+          bloomKeyColumns = List("event_id"))))
+      engine.initTable(table, UserId("driver"), "init")
+      val events = Tables.events(spark, sfDir)
+        .withColumn("event_date", to_date(col("ts")))
+        .localCheckpoint()
+      // range-split on event_id ACROSS the date partitions: each of the 8
+      // writer tasks holds one id range, so every partition dir gets up to 8
+      // files with disjoint event_id ranges — the layout skipping rewards
+      events.repartitionByRange(8, col("event_id"))
+        .versionedInsertInto(engine, table, UserId("driver"), "load range-split")
+      val threshold = events.agg(max(col("event_id"))).head().getLong(0) / 10
+      engine.readWhere(table, col("event_id") <= threshold)
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    })
+
   /** The fixture's states re-expressed as SQL over the raw events parquet:
     * current/compacted = everything except the max-day 'error' rows;
     * time travel = the full table; incremental = only the reprocessed day. */
@@ -389,6 +431,13 @@ object SparkEntry {
            |FROM orders
            |WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 7 = 0)
            |GROUP BY 1""".stripMargin,
+      // the skipping read is semantically a plain filter — the oracle IS the
+      // filter; integer division (max>=0) matches FLOOR(max/10)
+      "q_stats_skip_scan" ->
+        s"""SELECT CAST(ts AS DATE) AS event_date, event_type, $duckFixtureAgg
+           |FROM events
+           |WHERE event_id <= CAST(FLOOR((SELECT MAX(event_id) FROM events) / 10) AS BIGINT)
+           |GROUP BY 1, 2""".stripMargin,
       // MERGE algebra replayed in SQL: survivors (keys matched by neither the
       // update nor the delete class) + updated rows + inserted rows
       "q_merge_upsert" ->

@@ -234,6 +234,26 @@ class TableStatsSpec extends AnyFlatSpec with Matchers {
       engine.read(table).filter(col("id") === "2").count()
   }
 
+  behavior of "the q_stats_skip_scan gate fixture"
+
+  it should "scan a fraction of the version's files at sf0.001" in {
+    val df = graft.SparkEntry.queries("q_stats_skip_scan")(spark, "/root/testdata/sf0.001")
+    val kept = df.inputFiles
+    kept should not be empty
+    // recover the table root from any scanned file and count ALL data files
+    // of the version — the skipped read must touch well under half of them
+    // (the fixture keeps the bottom ~10% of the id range over 8 range files)
+    val tableDir = kept.head.substring(0, kept.head.indexOf("/events_stats/") + "/events_stats/".length)
+    val root = new File(new java.net.URI(tableDir))
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
+      else Seq(f)
+    val all = walk(root).count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    withClue(s"kept ${kept.length} of $all files: ") {
+      kept.length.toDouble should be < all.toDouble / 2
+    }
+  }
+
   behavior of "vacuum integration"
 
   it should "reclaim stats manifests alongside their expired version dirs" in {
