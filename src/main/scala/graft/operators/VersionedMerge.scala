@@ -30,19 +30,27 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, not}
  *     partitions the upsert rows land in. An untouched partition keeps its
  *     existing version directory — zero data movement, exactly like the
  *     insert path.
+ *   - The DISCOVERY pass (which partitions hold a matched key?) is itself
+ *     pruned before any file is listed, in three escalating steps:
+ *     (1) when the merge keys CONTAIN the partition columns, candidates are
+ *     exactly the source keys' partition-value tuples intersected with the
+ *     live partition set — zero scan; (2) when the table declares a
+ *     [[graft.core.ColumnStatsConfig]], partitions whose per-file key
+ *     min/max ranges (or single partition-column values) are disjoint from
+ *     the source keys' range — or whose key column is entirely null, which
+ *     can never equi-match — are skipped; (3) partitions carrying a
+ *     manifest Bloom filter over the key tuple are probed with the source
+ *     key hashes in ONE small job (no false negatives, so no partition
+ *     that holds a match is ever skipped). Only the surviving candidates
+ *     are semi-joined, so a 3-partition merge into a 10,000-partition
+ *     table reads 3 partitions, not the table.
  *   - The rewritten content is `touched ⟕anti source.keys ∪ upserts` — one
  *     anti-join shuffled on the key (again broadcastable), never a full
- *     table scan beyond the touched slice.
- *   - Everything is pinned to the head snapshot the merge READ, and the
- *     commit is a compare-and-swap on that head: a concurrent commit makes
- *     this merge fail loudly ([[graft.core.CommitConflictError]]) instead of
- *     silently losing the other writer's rows; the already-written version
- *     directories become vacuum-reclaimable orphan debris, never visible.
- *
- * Like the insert path, the rewritten plan is evaluated twice (once to
- * discover the final partition set, once for the physical write) — callers
- * merging an expensive source plan should `persist` the SOURCE, which is
- * both evaluations' small side.
+ *     table scan beyond the touched slice — and it is persisted across its
+ *     two consumers (final-partition discovery and the physical write), so
+ *     the touched slice is read ONCE; callers merging an expensive source
+ *     plan should still `persist` the SOURCE, which feeds the discovery
+ *     semi-join and the dup-key check before the merged plan exists.
  */
 object VersionedMerge {
 
@@ -55,6 +63,167 @@ object VersionedMerge {
       changes: TableChanges,
       rewritten: List[Partition],
       removed: List[Partition])
+
+  /** Partitions that might probe over one bloom job; above this, the probe
+    * cost (|source keys| × |candidate blooms|) stops paying for itself and
+    * the semi-join over the range-surviving candidates takes over. */
+  private val MaxBloomProbePartitions = 512
+
+  /**
+   * The partitions of `pvs` that CAN hold a key present in `keyFrame` —
+   * a superset of the truly-matched set (every prune step is free of false
+   * negatives), so the exact semi-join over just these candidates yields
+   * the same `matchedParts` a full-table scan would.
+   *
+   *   1. keys ⊇ partition columns: candidates = the source keys' partition
+   *      tuples ∩ live partitions. Exact at tuple granularity, zero scan.
+   *   2. Stats manifests ([[TableStats]]): per key column, a partition is
+   *      dropped when its value/min-max range is disjoint from the source
+   *      keys' [min, max], or its key column is entirely null (null never
+   *      equi-matches — detected by the exact nullCount==rows, NOT by
+   *      absent min/max, which NaN also causes). Versions without a
+   *      manifest always stay.
+   *   3. Manifest Blooms over the key tuple: surviving partitions' filters
+   *      are probed with `xxhash64(key tuple)` of every source key in ONE
+   *      job against broadcast filters (bounded by
+   *      [[MaxBloomProbePartitions]]).
+   */
+  private[operators] def candidatePartitions(
+      engine: VersionedTables,
+      table: TableDefinition,
+      pvs: Map[Partition, Version],
+      keyFrame: DataFrame,
+      keyColumns: Seq[String]): Map[Partition, Version] = {
+    if (pvs.isEmpty) return pvs
+    val keyLower = keyColumns.map(_.toLowerCase)
+    val partCols = table.partitionSchema.columnNames
+
+    // (1) keys contain the partition columns → pure value intersection
+    if (partCols.forall(pc => keyLower.contains(pc.toLowerCase))) {
+      val sourceTuples =
+        VersionedTables.partitionValues(keyFrame, table.partitionSchema).toSet
+      return pvs.filter { case (p, _) => sourceTuples(p) }
+    }
+
+    val cfg = table.stats.getOrElse(return pvs)
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    val manifests = scala.collection.mutable.Map.empty[String, Option[TableStats.StatsManifest]]
+    def manifestFor(v: Version): Option[TableStats.StatsManifest] =
+      manifests.getOrElseUpdate(v.label, TableStats.readManifest(conf, table.location, v.label))
+
+    // (2) range pruning: the source keys' per-column [min, max], computed in
+    // one tiny agg over the (small) key frame and normalized through the
+    // SAME codec the manifest values use
+    val keyTypes = keyColumns.map(k => k -> keyFrame.schema(k).dataType.catalogString).toMap
+    val aggs = keyColumns.flatMap(k =>
+      Seq(org.apache.spark.sql.functions.min(col(k)), org.apache.spark.sql.functions.max(col(k))))
+    val bounds = keyFrame.agg(aggs.head, aggs.tail: _*).head()
+    val sourceRange: Map[String, (Option[TableStats.StatVal], Option[TableStats.StatVal])] =
+      keyColumns.zipWithIndex.map { case (k, i) =>
+        def v(j: Int) = Option(bounds.get(j)).flatMap(TableStats.encodeValue)
+          .flatMap(TableStats.decodeStored(keyTypes(k), _))
+        k.toLowerCase -> ((v(2 * i), v(2 * i + 1)))
+      }.toMap
+
+    def disjoint(
+        pMin: Option[TableStats.StatVal], pMax: Option[TableStats.StatVal],
+        sMin: Option[TableStats.StatVal], sMax: Option[TableStats.StatVal]): Boolean = {
+      val aboveAll = (pMin, sMax) match {
+        case (Some(a), Some(b)) => TableStats.compareVals(a, b).exists(_ > 0)
+        case _ => false
+      }
+      val belowAll = (pMax, sMin) match {
+        case (Some(a), Some(b)) => TableStats.compareVals(a, b).exists(_ < 0)
+        case _ => false
+      }
+      aboveAll || belowAll
+    }
+
+    val rangeSurvivors = pvs.filter { case (p, v) =>
+      manifestFor(v) match {
+        case None => true // no manifest: cannot prune this version
+        case Some(m) =>
+          val files = m.filesFor(p.toHivePath)
+          if (files.isEmpty) true
+          else {
+            val partVals = p.columnValues
+              .map(cv => cv.column.name.toLowerCase -> cv.value).toMap
+            val provablyUnmatched = keyLower.exists { k =>
+              val (sMin, sMax) = sourceRange.getOrElse(k, (None, None))
+              partVals.get(k) match {
+                case Some(raw) =>
+                  // key column IS a partition column: one exact value
+                  if (raw == PathCodec.DefaultPartitionName) true // null never matches
+                  else sMin.orElse(sMax) match {
+                    case Some(like) => TableStats.partitionValueAs(raw, like)
+                      .exists(pv => disjoint(Some(pv), Some(pv), sMin, sMax))
+                    case None => false
+                  }
+                case None if m.statsColumns.contains(k) =>
+                  val perFile = files.map(f => f.columns.get(k).map(cs => (cs, f.rows)))
+                  if (perFile.exists(_.isEmpty)) false // some file unknown: keep
+                  else {
+                    val known = perFile.flatten
+                    // prunable iff EVERY file provably holds no matching key:
+                    // all-null files, or a decoded range disjoint from the
+                    // source keys' range
+                    known.nonEmpty && known.forall { case (cs, rows) =>
+                      cs.nullCount >= rows ||
+                        ((cs.min.flatMap(TableStats.decodeStored(cs.dataType, _)),
+                          cs.max.flatMap(TableStats.decodeStored(cs.dataType, _))) match {
+                          case (Some(lo), Some(hi)) =>
+                            disjoint(Some(lo), Some(hi), sMin, sMax)
+                          case _ => false
+                        })
+                    }
+                  }
+                case None => false
+              }
+            }
+            !provablyUnmatched
+          }
+      }
+    }
+
+    // (3) Bloom probe over the range survivors' filters, when the manifest
+    // blooms cover exactly the merge key set. Self-describing formats only:
+    // xxhash64 is TYPE-sensitive, and only the parquet/orc schema-drift
+    // guard pins the source column types to the written ones — a text
+    // format's re-inferred int-vs-long drift would silently change the hash
+    // domain and fabricate false negatives.
+    val bloomOrder = cfg.bloomKeyColumns
+    val bloomsUsable = bloomOrder.nonEmpty &&
+      bloomOrder.map(_.toLowerCase).toSet == keyLower.toSet &&
+      (table.format == FileFormat.Parquet || table.format == FileFormat.Orc)
+    if (!bloomsUsable) return rangeSurvivors
+    val withBlooms = rangeSurvivors.toList.flatMap { case (p, v) =>
+      manifestFor(v)
+        .filter(m => m.bloomKeyColumns.map(_.toLowerCase).toSet == keyLower.toSet)
+        .flatMap(_.partitionBlooms.get(p.toHivePath))
+        .map(bytes => (p, v, bytes))
+    }
+    if (withBlooms.isEmpty || withBlooms.size > MaxBloomProbePartitions) return rangeSurvivors
+    val bcast = engine.spark.sparkContext.broadcast(withBlooms.map(_._3).toArray)
+    // deserialize ONCE per task (transient lazy — the heavyHitters pattern);
+    // the UDF returns the indices of filters that might contain the key hash
+    val probe = new Serializable {
+      @transient private lazy val filters =
+        bcast.value.map(TableStats.deserializeBloom)
+      def hits(h: Long): Array[Int] =
+        filters.indices.filter(i => filters(i).mightContainLong(h)).toArray
+    }
+    val hitUdf = org.apache.spark.sql.functions.udf((h: Long) => probe.hits(h))
+    import org.apache.spark.sql.functions.explode
+    val hitIdx = keyFrame
+      .select(TableStats.keyHashColumn(bloomOrder).as("_h"))
+      .select(explode(hitUdf(col("_h"))).as("_i"))
+      .distinct()
+      .collect().map(_.getInt(0)).toSet
+    val bloomPruned = withBlooms.zipWithIndex.collect {
+      case ((p, _, _), i) if !hitIdx.contains(i) => p
+    }.toSet
+    rangeSurvivors.filter { case (p, _) => !bloomPruned(p) }
+  }
 
   implicit final class MergeOps(private val engine: VersionedTables) extends AnyVal {
 
@@ -115,6 +284,8 @@ object VersionedMerge {
             else current.join(keyFrame, keyColumns, "left_anti").unionByName(upserts)
           val version = Version.generate()
           VersionedTables.writeDataVersioned(merged, table, version, clusterBy)
+          if (table.stats.nonEmpty)
+            TableStats.collectAndWrite(engine.spark, table, version, Nil)
           val versionDir = new org.apache.hadoop.fs.Path(
             VersionPaths.pathFor(table.location, version))
           val fs = versionDir.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
@@ -128,13 +299,17 @@ object VersionedMerge {
 
         case PartitionedTableVersion(pvs) =>
           // Discovery pass: which CURRENT partitions hold a matched key?
-          // One semi-join against the distinct source keys, then a distinct
-          // over the partition columns — bounded by the partition count.
-          val partCols = table.partitionSchema.columnNames
+          // First prune to candidates that CAN hold one (key⊇partition value
+          // intersection / stats ranges / manifest Blooms — see the scale
+          // contract above), then ONE semi-join of only that slice against
+          // the distinct source keys, then a distinct over the partition
+          // columns — bounded by the candidate count.
+          val candidates = VersionedMerge.candidatePartitions(
+            engine, table, pvs, keyFrame, keyColumns)
           val matchedParts: Set[Partition] =
-            if (pvs.isEmpty) Set.empty
+            if (candidates.isEmpty) Set.empty
             else VersionedTables.partitionValues(
-              engine.readVersion(table, snapshot)
+              engine.readVersion(table, PartitionedTableVersion(candidates))
                 .join(keyFrame, keyColumns, "left_semi"),
               table.partitionSchema).toSet
           val insertParts = VersionedTables.partitionValues(upserts, table.partitionSchema).toSet
@@ -149,28 +324,41 @@ object VersionedMerge {
           // partition map would yield an empty-SCHEMA frame whose select
           // cannot resolve anything, so the guard is load-bearing.
           val touchedPvs = pvs.filter { case (p, _) => touched(p) }
+          // persisted across its two consumers (final-partition discovery and
+          // the physical write): the touched-slice read + anti-join runs
+          // ONCE — at scale that work dwarfs the source, which the scaladoc
+          // already tells callers to persist. Released after the commit (or
+          // failure); the persisted-write law lives in VersionedMergeSpec.
           val merged =
-            if (touchedPvs.isEmpty) upserts
-            else engine.readVersion(table, PartitionedTableVersion(touchedPvs))
-              .select(source.columns.map(col): _*) // align column order for unionByName
-              .join(keyFrame, keyColumns, "left_anti")
-              .unionByName(upserts)
-
-          val version = Version.generate()
-          val finalParts = VersionedTables.partitionValues(merged, table.partitionSchema)
-          if (finalParts.nonEmpty)
-            VersionedTables.writeDataVersioned(merged, table, version, clusterBy)
-          // a touched partition with no surviving rows is REMOVED from the
-          // visible table (its old data stays on disk for time travel)
-          val emptied = (touched -- finalParts.toSet).toList.sortBy(_.toPath)
-            .filter(pvs.contains) // an emptied partition that never existed needs no op
-          val ops = finalParts.sortBy(_.toPath).map(TableOperation.AddPartitionVersion(_, version)) ++
-            emptied.map(TableOperation.RemovePartition(_))
-          if (ops.isEmpty)
-            return MergeResult(snapshot, TableChanges.empty, Nil, Nil)
-          val (tv, changes) = engine.versioned.commitIf(
-            table.name, TableUpdate(userId, message, now, ops), head)
-          MergeResult(tv, changes, finalParts, emptied)
+            (if (touchedPvs.isEmpty) upserts
+             else engine.readVersion(table, PartitionedTableVersion(touchedPvs))
+               .select(source.columns.map(col): _*) // align column order for unionByName
+               .join(keyFrame, keyColumns, "left_anti")
+               .unionByName(upserts))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val version = Version.generate()
+            val finalParts = VersionedTables.partitionValues(merged, table.partitionSchema)
+            if (finalParts.nonEmpty) {
+              VersionedTables.writeDataVersioned(merged, table, version, clusterBy)
+              // the merge is a first-class write: its version carries a stats
+              // manifest like any insert, so later reads and merges keep
+              // pruning after the partition was rewritten
+              if (table.stats.nonEmpty)
+                TableStats.collectAndWrite(engine.spark, table, version, finalParts)
+            }
+            // a touched partition with no surviving rows is REMOVED from the
+            // visible table (its old data stays on disk for time travel)
+            val emptied = (touched -- finalParts.toSet).toList.sortBy(_.toPath)
+              .filter(pvs.contains) // an emptied partition that never existed needs no op
+            val ops = finalParts.sortBy(_.toPath).map(TableOperation.AddPartitionVersion(_, version)) ++
+              emptied.map(TableOperation.RemovePartition(_))
+            if (ops.isEmpty)
+              return MergeResult(snapshot, TableChanges.empty, Nil, Nil)
+            val (tv, changes) = engine.versioned.commitIf(
+              table.name, TableUpdate(userId, message, now, ops), head)
+            MergeResult(tv, changes, finalParts, emptied)
+          } finally { merged.unpersist(blocking = false); () }
       }
     }
   }

@@ -150,6 +150,155 @@ class VersionedMergeSpec extends AnyFlatSpec with Matchers {
       engine.mergeInto(table, dup, Seq("id"), UserId("t"), "dup")
   }
 
+  // ------------------------------------------------------------------
+  // discovery pruning: the laws pin "files of partitions that cannot hold
+  // a matched key are NEVER OPENED" by corrupting those partitions' data
+  // files in place — any read of them fails loudly with a parquet error,
+  // so a passing merge proves the prune, not just the result.
+  // ------------------------------------------------------------------
+
+  private def corruptDataFiles(dir: File): Int = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
+      else Seq(f)
+    val targets = walk(dir).filter(f => f.getName.endsWith(".parquet"))
+    targets.foreach(f => java.nio.file.Files.write(f.toPath, "not parquet".getBytes))
+    targets.size
+  }
+
+  behavior of "mergeInto discovery pruning"
+
+  it should "not open untouched partitions when the keys contain the partition columns" in {
+    val (engine, table, loc) = partitionedFixture()
+    // keys = (region, id) ⊇ partition columns → candidates are exactly the
+    // source tuples' partitions; us/ap must never be read, so corrupt them
+    corruptDataFiles(new File(loc, "region=us")) should be > 0
+    corruptDataFiles(new File(loc, "region=ap")) should be > 0
+    val source = Seq(Account("a1", "eu", 11), Account("a9", "eu", 90)).toDS().toDF()
+    val r = engine.mergeInto(table, source, Seq("region", "id"), UserId("t"), "eu only")
+    r.rewritten.map(_.toPath) shouldBe List("region=eu")
+    engine.readPartitions(table, _.columnValues.exists(_.value == "eu"))
+      .as[Account].collect() should contain theSameElementsAs Seq(
+      Account("a1", "eu", 11), Account("a2", "eu", 20), Account("a9", "eu", 90))
+    // untouched partitions keep their (now corrupt, but never-read) versions
+    val pvs = engine.tracker.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions
+    pvs.keys.map(_.toPath).toSet shouldBe Set("region=eu", "region=us", "region=ap")
+  }
+
+  private def statsFixture(interleaved: Boolean): (VersionedTables, TableDefinition, File) = {
+    val (engine, dir) = newEngine()
+    val loc = new File(dir, "ledger")
+    val table = TableDefinition(TableName("test", "ledger"), loc.toURI,
+      PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("id"), bloomKeyColumns = List("id"),
+        bloomExpectedItems = 1000)))
+    engine.initTable(table, UserId("t"), "init")
+    import org.apache.spark.sql.functions._
+    val df =
+      if (!interleaved)
+        // d1 holds ids 0..99, d2 holds 100..199 — disjoint RANGES
+        spark.range(200).select(col("id"),
+          when(col("id") < 100, "d1").otherwise("d2").as("day"),
+          (col("id") * 2).as("v"))
+      else
+        // d1 holds even ids, d2 odd — overlapping ranges, distinct VALUES
+        spark.range(200).select(col("id"),
+          when(col("id") % 2 === 0, "d1").otherwise("d2").as("day"),
+          (col("id") * 2).as("v"))
+    df.repartition(col("day")).versionedInsertInto(engine, table, UserId("t"), "base")
+    (engine, table, loc)
+  }
+
+  it should "skip partitions whose stats range cannot hold any source key" in {
+    val (engine, table, loc) = statsFixture(interleaved = false)
+    corruptDataFiles(new File(loc, "day=d1")) should be > 0
+    import org.apache.spark.sql.functions._
+    val source = spark.range(150, 160).select(col("id"), lit("d2").as("day"),
+      lit(-1L).as("v"))
+    val r = engine.mergeInto(table, source, Seq("id"), UserId("t"), "touch d2 range")
+    r.rewritten.map(_.toPath) shouldBe List("day=d2")
+    engine.readPartitions(table, _.columnValues.exists(_.value == "d2"))
+      .filter(col("v") === -1L).count() shouldBe 10
+  }
+
+  it should "skip range-overlapping partitions via the manifest Bloom filters" in {
+    val (engine, table, loc) = statsFixture(interleaved = true)
+    corruptDataFiles(new File(loc, "day=d1")) should be > 0 // even ids
+    import org.apache.spark.sql.functions._
+    // odd source keys: ranges overlap both partitions, only the Bloom can
+    // prove d1 (evens) holds none of them
+    val source = spark.range(0, 5).select((col("id") * 2 + 101).as("id"),
+      lit("d2").as("day"), lit(-1L).as("v"))
+    val r = engine.mergeInto(table, source, Seq("id"), UserId("t"), "odd keys")
+    r.rewritten.map(_.toPath) shouldBe List("day=d2")
+    engine.readPartitions(table, _.columnValues.exists(_.value == "d2"))
+      .filter(col("v") === -1L).count() shouldBe 5
+  }
+
+  it should "still find matches in partitions the Bloom keeps (no false negatives)" in {
+    val (engine, table, _) = statsFixture(interleaved = true)
+    import org.apache.spark.sql.functions._
+    // keys hitting BOTH partitions — nothing may be skipped
+    val source = spark.range(0, 4).select((col("id") + 50).as("id"),
+      when((col("id") + 50) % 2 === 0, "d1").otherwise("d2").as("day"),
+      lit(-7L).as("v"))
+    engine.mergeInto(table, source, Seq("id"), UserId("t"), "both parts")
+    engine.read(table).filter(col("v") === -7L).count() shouldBe 4
+    engine.read(table).count() shouldBe 200
+  }
+
+  behavior of "mergeInto merged-plan reuse"
+
+  it should "write from the PERSISTED merged plan, not a re-scan of the touched slice" in {
+    val (engine, dir) = newEngine()
+    val loc = new File(dir, "acc_once")
+    val table = TableDefinition(TableName("test", "acc_once"), loc.toURI,
+      PartitionSchema("region"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    Seq(Account("a1", "eu", 10), Account("a2", "eu", 20), Account("a3", "us", 30))
+      .toDS().versionedInsertInto(engine, table, UserId("t"), "base")
+    // capture every action's physical plan during the merge; the data WRITE
+    // must read InMemoryTableScan (the persisted merged plan), not re-run
+    // the touched-slice file scan + anti-join a second time
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        plans.add(qe.executedPlan.toString); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val source = Seq(Account("a1", "eu", 11), Account("a9", "eu", 90)).toDS().toDF()
+      engine.mergeInto(table, source, Seq("id"), UserId("t"), "probe")
+      // listener delivery is async — poll for the write-command plan
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      var writePlan: Option[String] = None
+      while (writePlan.isEmpty && System.nanoTime() < deadline) {
+        writePlan = plans.toArray(Array.empty[String])
+          .find(p => p.contains("InsertIntoHadoopFsRelationCommand") && p.contains("acc_once"))
+        if (writePlan.isEmpty) Thread.sleep(100)
+      }
+      withClue(s"captured ${plans.size} plans: ") { writePlan should not be empty }
+      withClue(writePlan.get) {
+        writePlan.get should include("InMemoryTableScan")
+        // the EXECUTION path of the write (everything above the cache
+        // boundary) must hold no parquet re-scan of the table; FileScan
+        // lines nested under InMemoryRelation merely describe how the cache
+        // was BUILT and do not re-execute
+        val execPath = writePlan.get.split("InMemoryRelation").head
+        execPath.linesIterator
+          .count(l => l.contains("FileScan parquet") && l.contains("acc_once")) shouldBe 0
+      }
+    } finally spark.listenerManager.unregister(listener)
+    engine.read(table).as[Account].collect() should contain theSameElementsAs Seq(
+      Account("a1", "eu", 11), Account("a2", "eu", 20), Account("a9", "eu", 90),
+      Account("a3", "us", 30))
+  }
+
   behavior of "mergeInto on snapshot tables"
 
   it should "rewrite the whole snapshot with update/insert/delete semantics" in {
