@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -233,10 +233,13 @@ object ScaleTools {
       eps: Double = 0.0,
       confidence: Double = 0.999,
       seed: Int = 42): DataFrame = {
+    import org.apache.spark.sql.types._
     val eps1 = if (eps > 0) eps else math.min(1e-4, minShare / 2)
     require(minShare > 0 && minShare < 1, s"minShare must be in (0,1), got $minShare")
-    require(df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType,
-      s"heavyHitters probes string keys, got ${df.schema(keyCol).dataType}")
+    val keyType = df.schema(keyCol).dataType
+    require(keyType == StringType ||
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(keyType),
+      s"heavyHitters probes string or integral keys, got $keyType")
     val sketchBytes = df
       .agg(count_min_sketch(col(keyCol), lit(eps1), lit(confidence), lit(seed)))
       .head().getAs[Array[Byte]](0)
@@ -252,8 +255,17 @@ object ScaleTools {
         org.apache.spark.util.sketch.CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(bcast.value))
       def est(k: String): Long = if (k == null) 0L else sk.estimateCount(k)
+      def estLong(k: java.lang.Long): Long = if (k == null) 0L else sk.estimateCount(k)
     }
-    val estimate = udf((k: String) => probe.est(k))
+    // the probe must hash the SAME domain the sketch aggregated: the agg
+    // adds integral columns widened to long, so the integral probe widens
+    // via cast("long") — no per-row string formatting on numeric keys
+    val estimate: Column => Column = keyType match {
+      case StringType => udf((k: String) => probe.est(k)).apply(_)
+      case _ =>
+        val f = udf((k: java.lang.Long) => probe.estLong(k))
+        (c: Column) => f(c.cast("long"))
+    }
     // isNotNull is load-bearing beyond the docs' "nulls are invisible":
     // an ALL-null input has totalCount 0, threshold 0, and est(null)=0
     // would pass the prefilter and emit a null-key group

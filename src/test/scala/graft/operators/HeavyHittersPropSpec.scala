@@ -58,4 +58,47 @@ class HeavyHittersPropSpec extends AnyFlatSpec with Matchers {
       }
     }
   }
+
+  it should "be exact over INTEGRAL keys (long and int), hashing the widened long domain" in {
+    // same skews as the string arm, keys mapped to numbers — the sketch agg
+    // widens integral values to long, and the probe must hash the SAME
+    // domain (a string-formatted probe would silently return zero for every
+    // key and report nothing)
+    val cases = sampled(Gen.listOfN(6, genCase), seed = 21L)
+    cases.zipWithIndex.foreach { case ((nHot, hotWeight, tailKeys, tailRows, share), i) =>
+      val rnd = new scala.util.Random(300 + i)
+      val rows: Seq[Option[Long]] =
+        (0 until nHot).flatMap(h => Seq.fill(hotWeight / (h + 1))(Some(1000000L + h))) ++
+          (0 until tailRows).map(_ => Some(rnd.nextInt(tailKeys).toLong)) ++
+          Seq.fill(rnd.nextInt(30))(None)
+      val nonNull = rows.count(_.isDefined)
+      val threshold = math.ceil(nonNull * share).toLong
+      val expected = rows.flatten.groupBy(identity)
+        .collect { case (k, g) if g.size >= threshold && threshold > 0 => (k, g.size.toLong) }
+        .toSet
+      withClue(s"long case $i (share=$share threshold=$threshold): ") {
+        val dfL = rnd.shuffle(rows).toDF("k")
+        ScaleTools.heavyHitters(dfL, "k", share)
+          .select("k", "n").as[(Long, Long)].collect().toSet shouldBe expected
+      }
+      withClue(s"int case $i (share=$share threshold=$threshold): ") {
+        // the int column exercises the widening path end to end; key values
+        // here all fit in Int
+        val dfI = rnd.shuffle(rows).map(_.map(_.toInt)).toDF("k")
+        ScaleTools.heavyHitters(dfI, "k", share)
+          .select("k", "n").as[(Int, Long)].collect().toSet shouldBe
+          expected.map { case (k, n) => (k.toInt, n) }
+      }
+    }
+  }
+
+  it should "still reject non-integral, non-string key types" in {
+    import org.apache.spark.sql.functions._
+    val df = Seq(1.0, 2.0).toDF("k")
+    an[IllegalArgumentException] should be thrownBy
+      ScaleTools.heavyHitters(df, "k", 0.5)
+    val dfd = spark.range(3).select(current_date().as("k"))
+    an[IllegalArgumentException] should be thrownBy
+      ScaleTools.heavyHitters(dfd, "k", 0.5)
+  }
 }
