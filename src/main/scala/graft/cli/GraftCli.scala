@@ -98,6 +98,31 @@ object GraftCli {
         case Left(err) => out.println(s"error: $err"); 2
       }
 
+    // tracked-flavor cross-check shared by the Spark-backed write verbs
+    // (stage/audit/publish/merge): a table definition whose flavor disagrees
+    // with how the table was INITIALIZED produces operations that
+    // VersionTracker.foldVersion silently ignores at commit — "published"
+    // prints while the visible table never changes, and the staged label is
+    // then stranded forever by the committed-label guard. Refuse loudly
+    // instead. An uninitialized table passes through — its error surfaces
+    // at the tracker call with the proper message.
+    def flavorMismatch(t: TableName, table: TableDefinition): Option[String] =
+      try {
+        val trackedSnapshot = tracker.isSnapshotTable(t)
+        if (!trackedSnapshot && table.isSnapshot)
+          Some(s"${t.fullyQualifiedName} is a partitioned table — " +
+            "this verb needs --partition-by c1[,c2...]")
+        else if (trackedSnapshot && !table.isSnapshot)
+          Some(s"${t.fullyQualifiedName} is a snapshot table — drop --partition-by")
+        else None
+      } catch { case _: Exception => None }
+
+    def withFlavorChecked(t: TableName, table: TableDefinition)(f: => Int): Int =
+      flavorMismatch(t, table) match {
+        case Some(err) => out.println(s"error: $err"); 2
+        case None      => f
+      }
+
     try positional match {
       case List("tables") =>
         tracker.tables().foreach(t => out.println(t.fullyQualifiedName)); 0
@@ -275,6 +300,7 @@ object GraftCli {
       // staged version from its on-disk `_version=<label>` directories. ----
       case List("stage", name, location, source) => withTable(name) { t =>
         withTableDef(t, location, flags, out) { table =>
+          withFlavorChecked(t, table) {
           import graft.operators.VersionedTables.DatasetVersionedOps
           val spark = cliSpark()
           val engine = new graft.operators.VersionedTables(spark, tracker)
@@ -285,11 +311,13 @@ object GraftCli {
           out.println(s"staged  ${stagedW.version.label}")
           stagedW.partitions.foreach(p => out.println(s"  ${p.toPath}"))
           0
+          }
         }
       }
 
       case List("audit", name, location, label) => withTable(name) { t =>
         withStagedTableDef(t, location, label, flags, out) { table =>
+          withFlavorChecked(t, table) {
           withChecks(flags, out, allowEmpty = false) { checks =>
             val engine = new graft.operators.VersionedTables(cliSpark(), tracker)
             engine.findStaged(table, label, user, message) match {
@@ -301,11 +329,13 @@ object GraftCli {
                 if (results.forall(_.ok)) 0 else 1
             }
           }
+          }
         }
       }
 
       case List("publish", name, location, label) => withTable(name) { t =>
         withStagedTableDef(t, location, label, flags, out) { table =>
+          withFlavorChecked(t, table) {
           withChecks(flags, out, allowEmpty = true) { checks =>
             val engine = new graft.operators.VersionedTables(cliSpark(), tracker)
             engine.findStaged(table, label, user,
@@ -330,6 +360,7 @@ object GraftCli {
                 }
             }
           }
+          }
         }
       }
 
@@ -344,18 +375,7 @@ object GraftCli {
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
           if (keys.isEmpty) {
             out.println("error: merge needs --keys k1[,k2...]"); 2
-          } else if (!tracker.isSnapshotTable(t) && table.isSnapshot) {
-            // omitted --partition-by means a SNAPSHOT table def; against a
-            // tracked PARTITIONED table the partitioned merge branch would
-            // see zero partition values, touch nothing, and report success
-            // — a silent no-op, so refuse loudly instead (stage/audit can
-            // recover the schema from a manifest; merge has no manifest)
-            out.println(s"error: ${t.fullyQualifiedName} is a partitioned table — " +
-              "merge needs --partition-by c1[,c2...]"); 2
-          } else if (tracker.isSnapshotTable(t) && !table.isSnapshot) {
-            out.println(s"error: ${t.fullyQualifiedName} is a snapshot table — " +
-              "drop --partition-by"); 2
-          } else {
+          } else withFlavorChecked(t, table) {
             import graft.operators.VersionedMerge._
             val spark = cliSpark()
             val engine = new graft.operators.VersionedTables(spark, tracker)

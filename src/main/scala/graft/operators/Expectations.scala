@@ -62,6 +62,13 @@ object Expectations {
     * one-pass aggregation with the row-local checks — no shuffle on the
     * key, no second scan — where exact Unique pays a full groupBy shuffle.
     *
+    * Null contract, at ANY arity: a key whose EVERY column is null is
+    * invisible to this check (compose [[NotNull]] when such rows should
+    * fail); a partially-null multi-column key participates as a distinct
+    * value. Note exact [[Unique]] differs by design: its groupBy counts
+    * all-null keys as an ordinary group, so duplicate all-null rows DO
+    * violate there.
+    *
     * Pinned as spec laws: a truly unique key reports 0; the reported count
     * never exceeds the exact check's; duplication well above `3·rsd` (say
     * a 2x-duplicated table at rsd=0.05) is always caught. Duplication
@@ -135,14 +142,23 @@ object Expectations {
     * [[RefIntegrity]] need their own shuffle/join pass and return None. */
   private def fusedViolations(c: Check): Option[Column] = c match {
     case UniqueApprox(cols, rsd) =>
-      val key = if (cols.size == 1) col(cols.head) else struct(cols.map(col): _*)
+      // the key is NULL iff EVERY component is null — for arity 1 that is
+      // the column itself; for arity >1 a bare struct() would never be null
+      // and all-null-key rows would be counted by BOTH count(key) and the
+      // sketch, making the null contract inconsistent across arities. The
+      // otherwise-less `when` yields a typed NULL struct for all-null keys;
+      // PARTIALLY-null keys stay distinct participating values.
+      val key =
+        if (cols.size == 1) col(cols.head)
+        else when(cols.map(col(_).isNotNull).reduce(_ || _), struct(cols.map(col): _*))
       // rows the sketch cannot explain: subtract the estimate inflated by
       // three standard deviations (rsd is a deviation, not a bound), so a
       // clean key reports 0 despite HLL noise. count(key), NOT count(*):
       // approx_count_distinct skips null keys, so the row count must skip
       // them too or an all-null key would report every row as a violation
-      // and break the ≤-exact law. Null keys are thus invisible to the
-      // sketch arm — compose NotNull when they should fail.
+      // and break the ≤-exact law. Keys whose every column is null are thus
+      // invisible to the sketch arm AT ANY ARITY — compose NotNull when
+      // they should fail.
       Some(greatest(
         lit(0L),
         count(key) - floor(approx_count_distinct(key, rsd) * (1.0 + 3.0 * rsd)).cast("long")))

@@ -220,18 +220,30 @@ object Scd2 {
       dim: DataFrame,
       keyCols: Seq[String],
       factTsCol: String): DataFrame = {
+    // the lookup's output carries every fact column plus the dimension's
+    // attribute + interval columns; a fact column that collides (e.g. a
+    // fact named effective_from) would silently produce duplicate output
+    // names — refuse loudly, the caller renames one side
+    val dimOut = dim.columns.filterNot(c => keyCols.contains(c) || c == "is_current")
+    val clash = dimOut.filter(facts.columns.contains)
+    require(clash.isEmpty,
+      s"asOfLookup output would carry duplicate column(s) ${clash.mkString(", ")}: " +
+        "the dimension contributes its attribute and effective_from/effective_to " +
+        "columns — rename the colliding fact column(s)")
     // explicit aliases: the dimension is typically BUILT from the fact
     // stream, and Spark's self-join lineage check rejects facts(col)/dim(col)
-    // disambiguation on shared-lineage frames
+    // disambiguation on shared-lineage frames. Names are backtick-quoted
+    // (with embedded backticks doubled) so a column containing a dot still
+    // resolves as one name part.
+    def fq(c: String): Column = col(s"_scd_f.`${c.replace("`", "``")}`")
+    def dq(c: String): Column = col(s"_scd_d.`${c.replace("`", "``")}`")
     val f = facts.alias("_scd_f")
     val d = dim.alias("_scd_d")
-    val cond = keyCols.map(k => col(s"_scd_f.$k") === col(s"_scd_d.$k")).reduce(_ && _) &&
-      col(s"_scd_f.$factTsCol") >= col("_scd_d.effective_from") &&
-      (col("_scd_d.effective_to").isNull ||
-        col(s"_scd_f.$factTsCol") < col("_scd_d.effective_to"))
+    val cond = keyCols.map(k => fq(k) === dq(k)).reduce(_ && _) &&
+      fq(factTsCol) >= dq("effective_from") &&
+      (dq("effective_to").isNull || fq(factTsCol) < dq("effective_to"))
     f.join(d, cond, "left")
-      .select(facts.columns.map(c => col(s"_scd_f.$c")) ++
-        dim.columns.filterNot(c => keyCols.contains(c) || c == "is_current")
-          .map(c => col(s"_scd_d.$c")): _*) // is_current is noise on a time-scoped lookup
+      .select(facts.columns.map(fq) ++
+        dimOut.map(dq): _*) // is_current is noise on a time-scoped lookup
   }
 }

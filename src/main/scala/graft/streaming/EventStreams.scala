@@ -292,9 +292,18 @@ object EventStreams {
         var latest: DataFrame = null
         try {
           if (!batch.isEmpty) {
+            // final tie-break: a content hash of the WHOLE row. On orderBy
+            // ties the winner would otherwise be partitioning-dependent, so
+            // a checkpoint replay after a crash could merge a DIFFERENT row
+            // (even flipping update vs delete) and break the documented
+            // content-idempotent-replay law; with the hash, ties resolve
+            // identically on every run, and rows still tied are bit-equal —
+            // either is the same merge.
+            val tieBreak = org.apache.spark.sql.functions.xxhash64(
+              batch.columns.map(col).toIndexedSeq: _*)
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(keyColumns.map(col): _*)
-              .orderBy(orderBy.map(col(_).desc): _*)
+              .orderBy(orderBy.map(col(_).desc) :+ tieBreak.desc: _*)
             latest = batch.withColumn("__rn", row_number().over(w))
               .filter(col("__rn") === 1).drop("__rn")
               .persist()

@@ -367,6 +367,43 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
       "--partition-by", "batch")._1 shouldBe 2
   }
 
+  it should "refuse flavor-mismatched stage/audit/publish instead of silently committing nothing" in {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cli-flavor-")
+    val src = root.resolve("src").toString
+    Seq((1L, "alpha", "b0"), (2L, "beta", "b0")).toDF("doc_id", "text", "batch")
+      .write.parquet(src)
+    val loc = root.resolve("docs").toUri.toString
+
+    // partitioned-tracked table, stage WITHOUT --partition-by: before the
+    // guard this staged snapshot-flavored ops that foldVersion ignores at
+    // commit — publish would print "published" while the table stayed
+    // empty and the label was stranded forever
+    cli("init", "sales.flavdocs")._1 shouldBe 0
+    val (cs, outS) = cli("stage", "sales.flavdocs", loc, src)
+    cs shouldBe 2
+    outS should include("needs --partition-by")
+
+    // snapshot-tracked table, verbs WITH --partition-by: same refusal class
+    cli("init", "sales.flavsnap", "--isSnapshot")._1 shouldBe 0
+    val (c2, out2) = cli("stage", "sales.flavsnap", loc, src, "--partition-by", "batch")
+    c2 shouldBe 2
+    out2 should include("drop --partition-by")
+    // a correctly-flavored stage against the partitioned table still works
+    val (c3, out3) = cli("stage", "sales.flavdocs", loc, src, "--partition-by", "batch")
+    c3 shouldBe 0
+    val label = out3.linesIterator.next().trim.split("\\s+").last
+    // ...and auditing it against the wrong-flavored table is refused too
+    val (c4, out4) = cli("audit", "sales.flavsnap", loc, label, "--check", "unique:doc_id",
+      "--partition-by", "batch")
+    c4 shouldBe 2
+    out4 should include("drop --partition-by")
+    val (c5, _) = cli("publish", "sales.flavdocs", loc, label, "--partition-by", "batch")
+    c5 shouldBe 0
+    cli("partitions", "sales.flavdocs")._2 should include("batch=b0")
+  }
+
   it should "merge a keyed source end-to-end: bootstrap, upsert, delete" in {
     val spark = graft.TestSpark.spark
     import spark.implicits._

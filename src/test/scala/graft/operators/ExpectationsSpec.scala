@@ -145,6 +145,23 @@ class ExpectationsSpec extends AnyFlatSpec with Matchers {
     Expectations.violations(df, UniqueApprox(Seq("id", "s"))).count() shouldBe 2L
   }
 
+  it should "keep the null contract consistent across arities: all-null keys are invisible" in {
+    // ten duplicate ALL-null two-column keys: a bare struct() key would be
+    // non-null, counted by count(key) AND the sketch, so these rows would
+    // read as duplicates — breaking the documented single-column contract
+    // ("null keys are invisible; compose NotNull when they should fail")
+    val allNull = (1 to 10).map(_ => (None: Option[Long], None: Option[String]))
+      .toDF("id", "s")
+    Expectations.audit(allNull, Seq(UniqueApprox(Seq("id", "s"))))
+      .head.violations shouldBe 0L
+    // PARTIALLY-null keys participate as distinct values: heavy duplication
+    // of (null, "x") is still caught
+    val partial = ((1 to 40).map(_ => (None: Option[Long], Some("x"))) ++
+      Seq((Some(1L), Some("y")))).toDF("id", "s")
+    Expectations.audit(partial, Seq(UniqueApprox(Seq("id", "s"))))
+      .head.violations should be > 0L
+  }
+
   "violations" should "surface bounded offender rows per check" in {
     Expectations.violations(frame, NotNull(Seq("name")))
       .select("id").as[Long].collect() shouldBe Array(3L)

@@ -66,6 +66,24 @@ class Scd2Spec extends AnyFlatSpec with Matchers {
     looked.filter(!(col("observed") <=> col("tier"))).count() shouldBe 0
   }
 
+  it should "resolve dotted column names and refuse colliding fact/dim output columns" in {
+    val obs = Seq(("u1", 1L, "a"), ("u1", 5L, "b")).toDF("id", "ts", "tier")
+    val dim = Scd2.buildScd2(obs, Seq("id"), Seq("tier"), "ts")
+    // a fact column whose NAME contains a dot must resolve as one part —
+    // unquoted interpolation would read it as a nested field and fail
+    val dotted = obs.select(col("id"), col("ts"), col("tier").as("my.note"))
+    val looked = Scd2.asOfLookup(dotted, dim, Seq("id"), "ts")
+    looked.count() shouldBe 2
+    looked.columns should contain("my.note")
+    // a fact column named like the dimension's interval columns would
+    // silently duplicate output names — refused loudly instead
+    val colliding = obs.withColumn("effective_from", lit(0L))
+    val err = intercept[IllegalArgumentException] {
+      Scd2.asOfLookup(colliding, dim, Seq("id"), "ts")
+    }
+    err.getMessage should include("effective_from")
+  }
+
   behavior of "advanceScd2State"
 
   private def asTuples(dim: org.apache.spark.sql.DataFrame) =

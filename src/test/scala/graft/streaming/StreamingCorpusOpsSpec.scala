@@ -239,4 +239,35 @@ class StreamingCorpusOpsSpec extends AnyFlatSpec with Matchers {
       deleteWhen = Some(col("balance") < 0))
     state() shouldBe Map("a1" -> 11L, "a3" -> 30L)
   }
+
+  it should "resolve orderBy TIES deterministically, independent of batch row order" in {
+    import graft.core._
+    import graft.operators.VersionedTables
+    // two rows per key share the SAME seq — without the content-hash
+    // tie-break the winner depends on shuffle placement, so a checkpoint
+    // replay (which re-reads the same data but may partition differently)
+    // could merge a different row than the original run, breaking the
+    // content-idempotent-replay law the sink documents
+    def run(rows: Seq[MergeStreamRow]): Map[String, Long] = {
+      val root = java.nio.file.Files.createTempDirectory("graft-stream-tie-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("stream", "tied"),
+        root.resolve("tied").toUri, PartitionSchema("region"), FileFormat.Parquet)
+      engine.initTable(table, UserId("stream"), "init")
+      val source = MemoryStream[MergeStreamRow](spark)
+      val q = EventStreams.writeVersionedMerged(
+        source.toDF(), engine, table, keyColumns = Seq("id"), orderBy = Seq("seq"),
+        UserId("stream"), root.resolve("chk").toString,
+        trigger = Trigger.ProcessingTime(0))
+      source.addData(rows: _*)
+      q.processAllAvailable(); q.stop()
+      engine.read(table).select("id", "balance").as[(String, Long)].collect().toMap
+    }
+    val tied = Seq(
+      MergeStreamRow("a1", "eu", 10, 1), MergeStreamRow("a1", "eu", 99, 1),
+      MergeStreamRow("a2", "us", 5, 2), MergeStreamRow("a2", "us", 7, 2))
+    val forward = run(tied)
+    forward shouldBe run(tied.reverse)
+    forward.keySet shouldBe Set("a1", "a2")
+  }
 }
