@@ -78,6 +78,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalogPlugin")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", hiveTmp.resolve("warehouse").toString)
       .config("javax.jdo.option.ConnectionURL",

@@ -48,6 +48,10 @@ object SparkEntry {
   private def queries_versioned: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_versioned_read" -> ((spark, dir) => versionedFixture(spark, dir).current),
     "q_time_travel" -> ((spark, dir) => versionedFixture(spark, dir).asOf),
+    // the SAME pinned state through PURE SQL: Spark 4's native
+    // `VERSION AS OF` on a graft-catalog name, resolved through the
+    // version tracker (graft.sql.GraftTableRegistry + resolution rule)
+    "q_sql_time_travel" -> ((spark, dir) => versionedFixture(spark, dir).sqlAsOf),
     "q_incremental_read" -> ((spark, dir) => versionedFixture(spark, dir).incremental),
     "q_compact_read" -> ((spark, dir) => versionedFixture(spark, dir).compacted),
 
@@ -254,7 +258,8 @@ object SparkEntry {
     })
 
   private final case class VersionedFixture(
-      current: DataFrame, asOf: DataFrame, incremental: DataFrame, compacted: DataFrame)
+      current: DataFrame, asOf: DataFrame, incremental: DataFrame, compacted: DataFrame,
+      sqlAsOf: DataFrame)
 
   /** Build four reads over a versioned events table: initial load (t1), one
     * day reprocessed without 'error' rows (t2), that day compacted to one file
@@ -299,11 +304,22 @@ object SparkEntry {
     def agg(df: DataFrame): DataFrame = df
       .groupBy(col("event_date"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    // SQL-native time travel over the SAME fixture: the table registered in
+    // the graft SQL catalog, the pre-reprocess commit pinned with Spark's
+    // native VERSION AS OF syntax — resolved through the version tracker by
+    // the GraftExtensions rule, same oracle as q_time_travel
+    graft.sql.GraftTableRegistry.register(engine, table)
+    val sqlAsOf = spark.sql(
+      s"""SELECT event_date, event_type, COUNT(1) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         |FROM graft.graft.events VERSION AS OF '${firstLoad.id}'
+         |GROUP BY event_date, event_type""".stripMargin)
     VersionedFixture(
       current = agg(engine.read(table)),
       asOf = agg(engine.readAt(table, firstLoad)),
       incremental = agg(engine.readChangesBetween(table, firstLoad, reproHead)),
-      compacted = agg(engine.readAt(table, compactHead)))
+      compacted = agg(engine.readAt(table, compactHead)),
+      sqlAsOf = sqlAsOf)
   }
 
   /** q_merge_upsert: one CAS-guarded [[graft.operators.VersionedMerge]]
@@ -400,6 +416,10 @@ object SparkEntry {
       "q_versioned_read" -> currentSql,
       "q_compact_read" -> currentSql,
       "q_time_travel" ->
+        s"""SELECT CAST(ts AS DATE) AS event_date, event_type, $duckFixtureAgg
+           |FROM events GROUP BY 1, 2""".stripMargin,
+      // identical state pinned via SQL VERSION AS OF — identical oracle
+      "q_sql_time_travel" ->
         s"""SELECT CAST(ts AS DATE) AS event_date, event_type, $duckFixtureAgg
            |FROM events GROUP BY 1, 2""".stripMargin,
       "q_incremental_read" ->

@@ -23,6 +23,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalogPlugin")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", hiveTmp.resolve("warehouse").toString)
       .config("javax.jdo.option.ConnectionURL",

@@ -17,6 +17,8 @@ object PlanInspector {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalogPlugin")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", tmp.resolve("warehouse").toString)
       .config("javax.jdo.option.ConnectionURL",

@@ -22,10 +22,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
  *  - on a live session: `GraftExtensions.register(spark)`.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // SQL-native versioned-table access incl. VERSION/TIMESTAMP AS OF
+    // (graft.sql.GraftTableRegistry) — resolution rules can only be added
+    // at session BUILD time, so this half has no live-session `register`
+    // twin: set spark.sql.extensions when SQL table access is wanted.
+    ext.injectResolutionRule(session => graft.sql.ResolveGraftTables(session))
+  }
 }
 
 object GraftExtensions {

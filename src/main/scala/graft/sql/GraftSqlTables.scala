@@ -1,0 +1,193 @@
+package graft.sql
+
+import graft.core._
+import graft.operators.VersionedTables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.TimestampType
+
+/**
+ * SQL-native access to graft versioned tables, including Spark 4's native
+ * time-travel syntax:
+ *
+ * {{{
+ *   GraftTableRegistry.register(engine, table)        // once per table
+ *   spark.sql("SELECT * FROM graft.sales.accounts")   // current version
+ *   spark.sql("SELECT * FROM graft.sales.accounts VERSION AS OF '<commit-id>'")
+ *   spark.sql("SELECT * FROM graft.sales.accounts TIMESTAMP AS OF '2024-03-01 00:00:00'")
+ * }}}
+ *
+ * The binding is a RESOLUTION RULE injected through the standard
+ * `SparkSessionExtensions` hook ([[graft.functions.GraftExtensions]], so
+ * `spark.sql.extensions=graft.functions.GraftExtensions` turns it on): a
+ * relation named `graft.<schema>.<table>` — the parser's
+ * `RelationTimeTravel` wrapper included — is substituted with the ANALYZED
+ * plan of the exact engine read (`read` / `readAt` / `readAsOf`), resolved
+ * through the version tracker.
+ *
+ * Why a rule rather than a DataSource V2 `TableCatalog` serving its own
+ * `Table`: the substituted plan IS the engine's battle-tested v1 parquet
+ * relation — identical partition pruning, filter pushdown, schema, and
+ * (crucially) the same multi-directory version resolution every other read
+ * path uses, with the internal `_version` column already dropped. A custom
+ * DSv2 `Table` would either re-implement that scan stack or lean on
+ * Spark-internal `FileTable` classes and leak `_version` as a partition
+ * column into `SELECT *`. The rule keeps the public SQL surface (the part
+ * users see) native while reusing the one read implementation. Plan note:
+ * PLANS.md `q_sql_time_travel` shows pruning reaching the scan through
+ * this path.
+ *
+ * Commit pinning happens at RESOLUTION time: each `spark.sql` call reads
+ * the tracker's state when it is analyzed, exactly like the Scala API —
+ * and unlike a temp view, which freezes the version it was created at.
+ */
+object GraftTableRegistry {
+
+  /** The catalog-style first name part reserved for graft tables. */
+  val CatalogName = "graft"
+
+  final case class Entry(engine: VersionedTables, table: TableDefinition)
+
+  private val entries =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Entry]()
+
+  private def key(n: TableName): (String, String) =
+    (n.schema.toLowerCase, n.name.toLowerCase)
+
+  /** Make `graft.<schema>.<table>` resolvable in SQL text on every session
+    * whose extensions include [[graft.functions.GraftExtensions]].
+    * Re-registration replaces (latest engine wins). */
+  def register(engine: VersionedTables, table: TableDefinition): Unit = {
+    entries.put(key(table.name), Entry(engine, table)); ()
+  }
+
+  def unregister(name: TableName): Unit = { entries.remove(key(name)); () }
+
+  def lookup(schema: String, table: String): Option[Entry] =
+    Option(entries.get((schema.toLowerCase, table.toLowerCase)))
+
+  import scala.jdk.CollectionConverters._
+
+  /** Registered table names, for error messages and tooling. */
+  def registered: Seq[TableName] =
+    entries.keys().asIterator().asScala.map { case (s, t) => TableName(s, t) }.toSeq
+      .sortBy(_.fullyQualifiedName)
+}
+
+/**
+ * The namespace owner for `graft.*.*` names: a minimal DataSource V2
+ * [[org.apache.spark.sql.connector.catalog.TableCatalog]] registered as
+ * `spark.sql.catalog.graft=graft.sql.GraftCatalogPlugin`. Without it,
+ * Spark's relation resolution routes a three-part name to the SESSION
+ * catalog and fails with REQUIRES_SINGLE_PART_NAMESPACE before any
+ * extension rule can run. This catalog claims the name space — `SHOW
+ * TABLES IN graft.x` and `tableExists` answer from the registry — while
+ * every `loadTable` variant reports "no such table", which resolution
+ * treats as unresolved-for-now, handing the relation to
+ * [[ResolveGraftTables]] in the same fixed point. The actual read plan
+ * never goes through a DSv2 `Table` (see [[GraftTableRegistry]] for why).
+ */
+final class GraftCatalogPlugin
+    extends org.apache.spark.sql.connector.catalog.TableCatalog {
+  import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableChange}
+  import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, NoSuchNamespaceException}
+
+  private var catalogName: String = GraftTableRegistry.CatalogName
+  override def initialize(name: String,
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    namespace match {
+      case Array(schema) =>
+        GraftTableRegistry.registered.filter(_.schema == schema.toLowerCase)
+          .map(t => Identifier.of(Array(t.schema), t.name)).toArray
+      case _ => throw new NoSuchNamespaceException(namespace)
+    }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace() match {
+      case Array(schema) => GraftTableRegistry.lookup(schema, ident.name()).isDefined
+      case _             => false
+    }
+
+  // Resolution treats NoSuchTableException as "not resolvable HERE" and
+  // leaves the relation unresolved — which is exactly what hands it to the
+  // ResolveGraftTables rule within the same fixed point. All three
+  // loadTable variants (plain, VERSION AS OF, TIMESTAMP AS OF) defer the
+  // same way.
+  override def loadTable(ident: Identifier): Table =
+    throw new NoSuchTableException(ident.asMultipartIdentifier)
+  override def loadTable(ident: Identifier, version: String): Table =
+    throw new NoSuchTableException(ident.asMultipartIdentifier)
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new NoSuchTableException(ident.asMultipartIdentifier)
+
+  private def unsupported(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft catalog: $op is not supported — use the versioned write API " +
+        "(versionedInsertInto / mergeInto / CLI verbs); SQL access is read-only")
+  override def createTable(ident: Identifier,
+      schema: org.apache.spark.sql.types.StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table = unsupported("CREATE TABLE")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    unsupported("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean = unsupported("DROP TABLE")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    unsupported("RENAME TABLE")
+
+  implicit private class IdentOps(ident: Identifier) {
+    def asMultipartIdentifier: Seq[String] = ident.namespace().toSeq :+ ident.name()
+  }
+}
+
+/** The resolution rule: substitute `graft.*.*` relations (time-traveled or
+  * not) with the engine's analyzed read plan. Runs inside the analyzer's
+  * resolution fixed point; non-graft names pass through untouched. */
+final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // TOP-DOWN: RelationTimeTravel must be rewritten as a unit — bottom-up
+    // would substitute its UnresolvedRelation child first and silently
+    // drop the AS OF clause (a current-version read of a time-traveled
+    // query is a correctness bug, not a degraded mode)
+    plan.resolveOperatorsDown {
+      case RelationTimeTravel(u: UnresolvedRelation, timestamp, version)
+          if entryFor(u).isDefined =>
+        val e = entryFor(u).get
+        val df = (version, timestamp) match {
+          case (Some(v), _)     => e.engine.readAt(e.table, CommitId(v))
+          case (None, Some(ts)) => e.engine.readAsOf(e.table, evalInstant(ts))
+          case (None, None)     => e.engine.read(e.table)
+        }
+        analyzedPlan(df)
+      case u: UnresolvedRelation if entryFor(u).isDefined =>
+        analyzedPlan(entryFor(u).get.engine.read(entryFor(u).get.table))
+    }
+
+  private def entryFor(u: UnresolvedRelation): Option[GraftTableRegistry.Entry] =
+    u.multipartIdentifier match {
+      case Seq(cat, schema, table) if cat.equalsIgnoreCase(GraftTableRegistry.CatalogName) =>
+        GraftTableRegistry.lookup(schema, table)
+      case _ => None
+    }
+
+  private def analyzedPlan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** `TIMESTAMP AS OF <expr>` — evaluate the (foldable) expression as a
+    * session-zone timestamp, exactly as Spark's own time-travel spec does. */
+  private def evalInstant(ts: Expression): java.time.Instant = {
+    val cast = Cast(ts, TimestampType, Option(SQLConf.get.sessionLocalTimeZone))
+    require(ts.foldable, s"TIMESTAMP AS OF must be a literal expression, got $ts")
+    val micros = cast.eval(null)
+    require(micros != null, s"TIMESTAMP AS OF evaluated to NULL: $ts")
+    java.time.Instant.EPOCH.plus(micros.asInstanceOf[Long], java.time.temporal.ChronoUnit.MICROS)
+  }
+}

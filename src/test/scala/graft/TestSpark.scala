@@ -14,6 +14,8 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalogPlugin")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", tmp.resolve("warehouse").toString)
       .config("javax.jdo.option.ConnectionURL",
