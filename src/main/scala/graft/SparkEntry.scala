@@ -131,7 +131,13 @@ object SparkEntry {
     // and the oracle replays the same upsert/insert/delete algebra as plain
     // SQL over the raw parquet (anti-join + unions). All three source
     // classes are non-empty at sf0.001/0.01/0.1.
-    "q_merge_upsert" -> ((spark, dir) => mergeFixture(spark, dir))
+    "q_merge_upsert" -> ((spark, dir) => mergeFixture(spark, dir).merged),
+
+    // row-level CHANGE FEED of that same merge commit: per-row
+    // insert/update/delete reconstructed from the two pinned states
+    // (graft.operators.ChangeFeed), aggregated per change class — the
+    // oracle replays the three merge classes as plain SQL
+    "q_change_feed" -> ((spark, dir) => mergeFixture(spark, dir).changeFeed)
   )
 
   /** CSV fixture: orders (projected to key/price/status) written as a
@@ -322,16 +328,21 @@ object SparkEntry {
       sqlAsOf = sqlAsOf)
   }
 
-  /** q_merge_upsert: one CAS-guarded [[graft.operators.VersionedMerge]]
-    * commit over a versioned events table, then the standard date×type
-    * aggregation of the merged state. Memoized per (session, sfDir). */
-  private val mergeFixtureCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** q_merge_upsert + q_change_feed share one fixture: one CAS-guarded
+    * [[graft.operators.VersionedMerge]] commit over a versioned events
+    * table. `merged` aggregates the post-merge state; `changeFeed`
+    * aggregates the ROW-LEVEL diff of the merge commit
+    * ([[graft.operators.ChangeFeed]]) by change class. Memoized per
+    * (session, sfDir). */
+  private final case class MergeFixture(merged: DataFrame, changeFeed: DataFrame)
 
-  private def mergeFixture(spark: SparkSession, sfDir: String): DataFrame =
+  private val mergeFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), MergeFixture]()
+
+  private def mergeFixture(spark: SparkSession, sfDir: String): MergeFixture =
     mergeFixtureCache.computeIfAbsent((spark, sfDir), _ => buildMergeFixture(spark, sfDir))
 
-  private def buildMergeFixture(spark: SparkSession, sfDir: String): DataFrame = {
+  private def buildMergeFixture(spark: SparkSession, sfDir: String): MergeFixture = {
     import graft.operators.VersionedMerge._
     Tables.prepare(spark)
     val root = graft.FixtureTempDirs.create("graft-mfix-")
@@ -357,13 +368,25 @@ object SparkEntry {
     val deletes = events
       .filter(col("event_type") === "error" && col("event_id") % 10 === 0)
       .withColumn("value", lit(-1.0)) // the delete marker: real values are >= 0
+    val c0 = engine.headCommit(table.name)
     engine.mergeInto(table, updates.unionByName(inserts).unionByName(deletes),
       Seq("event_id"), UserId("driver"), "merge upsert+insert+delete",
       deleteWhen = Some(col("value") < 0))
-    engine.read(table)
+    val c1 = engine.headCommit(table.name)
+    val merged = engine.read(table)
       .groupBy(col("event_date"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    // the same commit's ROW-LEVEL diff, aggregated per change class: the
+    // oracle replays the three merge classes directly (update post-images
+    // carry the +1000, deletes carry their PRE-image values)
+    import graft.operators.ChangeFeed._
+    val changeFeed = engine.readRowChangesBetween(table, Seq("event_id"), c0, c1)
+      .withColumnRenamed(graft.operators.ChangeFeed.ChangeTypeColumn, "change_type")
+      .groupBy(col("change_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    MergeFixture(merged, changeFeed)
   }
 
   /** q_stats_skip_scan: versioned events table declaring stats columns,
@@ -473,7 +496,22 @@ object SparkEntry {
            |  FROM events WHERE event_type = 'view' AND event_id % 100 = 0
            |)
            |SELECT event_date, event_type, $duckFixtureAgg
-           |FROM merged GROUP BY 1, 2""".stripMargin)
+           |FROM merged GROUP BY 1, 2""".stripMargin,
+      // the merge's three change classes, replayed directly: updates emit
+      // post-images (+1000), inserts the synthetic rows, deletes PRE-images
+      "q_change_feed" ->
+        s"""WITH changes AS (
+           |  SELECT 'update' AS change_type, event_type, value + 1000.0 AS value
+           |  FROM events WHERE event_type = 'click' AND event_id % 10 = 0
+           |  UNION ALL
+           |  SELECT 'insert', 'synthetic', value
+           |  FROM events WHERE event_type = 'view' AND event_id % 100 = 0
+           |  UNION ALL
+           |  SELECT 'delete', event_type, value
+           |  FROM events WHERE event_type = 'error' AND event_id % 10 = 0
+           |)
+           |SELECT change_type, event_type, $duckFixtureAgg
+           |FROM changes GROUP BY 1, 2""".stripMargin)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Row-level change feed between two commits — the Delta "change data feed"
+ * pattern reconstructed from the versioned layout, completing the CDC story
+ * that `readChangesBetween` (partition-level incremental read) and
+ * [[graft.streaming.EventStreams.writeVersionedMerged]] (the apply side)
+ * bracket. The reference's capability stops at whole partitions
+ * (chronicles has no row-level diff at all); this derives per-row changes
+ * WITHOUT any write-side bookkeeping, because immutable version
+ * directories + the commit log already pin both endpoint states exactly.
+ *
+ * Output: the table's columns plus `_change_type` ∈
+ * `insert` / `update` / `delete` — post-image rows for insert/update,
+ * pre-image rows for delete (the standard CDF shape minus update
+ * pre-images, which a consumer can fetch by reading `from` for the updated
+ * keys if it needs them).
+ *
+ * Scale shape: only CHANGED partitions are ever listed or read —
+ * partitions whose version is identical at both commits contribute nothing
+ * and cost nothing. Newly-added partitions stream straight out as inserts
+ * and removed partitions as deletes (no join at all); only REPOINTED
+ * (rewritten) partitions pay the keyed full-outer compare, one hash
+ * exchange per side on the key columns, with the full-row comparison
+ * (`<=>` over a struct) deciding update-vs-unchanged without materializing
+ * column lists. At 100 TB a merge that rewrote 3 partitions diffs 3
+ * partitions.
+ *
+ * Keys must identify a row uniquely WITHIN each compared slice — the same
+ * precondition SQL MERGE and `mergeInto` carry; `requireDistinctKeys`
+ * (default on) pins it with one bounded probe per side. Rows with any NULL
+ * key column never equi-match, so a rewritten partition reports an old
+ * null-key row as `delete` and a new one as `insert` — the honest answer,
+ * since no pairing exists.
+ */
+object ChangeFeed {
+
+  /** The change-type column appended to the table's own columns. */
+  val ChangeTypeColumn = "_change_type"
+
+  implicit final class ChangeFeedOps(private val engine: VersionedTables) extends AnyVal {
+
+    /** Per-row changes `from` → `to` (both inclusive commit ids of this
+      * table). See [[ChangeFeed]] for semantics and the scale contract.
+      * `keep` prunes the diff to selected partitions BEFORE any file
+      * listing, like every other partial read. */
+    def readRowChangesBetween(
+        table: TableDefinition,
+        keyColumns: Seq[String],
+        from: CommitId,
+        to: CommitId,
+        keep: Partition => Boolean = _ => true,
+        requireDistinctKeys: Boolean = true): DataFrame = {
+      require(keyColumns.nonEmpty, "readRowChangesBetween needs at least one key column")
+      val st = engine.tracker.tableState(table.name)
+      (st.versionAt(from), st.versionAt(to)) match {
+        case (PartitionedTableVersion(a), PartitionedTableVersion(b)) =>
+          val aKept = a.filter { case (p, _) => keep(p) }
+          val bKept = b.filter { case (p, _) => keep(p) }
+          val added = bKept.filter { case (p, _) => !aKept.contains(p) }
+          val removed = aKept.filter { case (p, _) => !bKept.contains(p) }
+          val repointedParts = aKept.keySet
+            .filter(p => bKept.get(p).exists(v => !aKept.get(p).contains(v)))
+          val inserts =
+            if (added.isEmpty) None
+            else Some(engine.readVersion(table, PartitionedTableVersion(added))
+              .withColumn(ChangeTypeColumn, lit("insert")))
+          val deletes =
+            if (removed.isEmpty) None
+            else Some(engine.readVersion(table, PartitionedTableVersion(removed))
+              .withColumn(ChangeTypeColumn, lit("delete")))
+          val compared =
+            if (repointedParts.isEmpty) None
+            else {
+              val oldSlice = engine.readVersion(table,
+                PartitionedTableVersion(aKept.filter(kv => repointedParts(kv._1))))
+              val newSlice = engine.readVersion(table,
+                PartitionedTableVersion(bKept.filter(kv => repointedParts(kv._1))))
+              Some(keyedDiff(oldSlice, newSlice, keyColumns, requireDistinctKeys))
+            }
+          val parts = Seq(inserts, deletes, compared).flatten
+          if (parts.isEmpty) emptyFeed(engine, table)
+          else parts.reduce(_.unionByName(_))
+
+        case (SnapshotTableVersion(va), SnapshotTableVersion(vb)) =>
+          if (va == vb) emptyFeed(engine, table)
+          else {
+            val oldDf = engine.readVersion(table, SnapshotTableVersion(va))
+            val newDf = engine.readVersion(table, SnapshotTableVersion(vb))
+            // a never-written endpoint reads back with an empty schema —
+            // treat it as the empty slice of the OTHER side's shape
+            if (oldDf.columns.isEmpty)
+              newDf.withColumn(ChangeTypeColumn, lit("insert"))
+            else if (newDf.columns.isEmpty)
+              oldDf.withColumn(ChangeTypeColumn, lit("delete"))
+            else keyedDiff(oldDf, newDf, keyColumns, requireDistinctKeys)
+          }
+
+        case _ =>
+          throw new IllegalArgumentException(
+            "Cannot diff partitioned and snapshot table versions")
+      }
+    }
+  }
+
+  /** Zero-row feed with the table's columns + the change column (schema
+    * recovered from disk like every empty read). */
+  private def emptyFeed(engine: VersionedTables, table: TableDefinition): DataFrame =
+    engine.readVersion(table, PartitionedTableVersion(Map.empty))
+      .withColumn(ChangeTypeColumn, lit("insert")).limit(0)
+
+  /** Keyed full-outer compare of two same-schema slices: new-only keys →
+    * insert (post-image), old-only → delete (pre-image), both-with-a-
+    * difference → update (post-image); bit-identical rows vanish. ONE hash
+    * exchange per side on the keys; the row comparison is a null-safe
+    * struct equality, no per-column plumbing. */
+  private[operators] def keyedDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      keyColumns: Seq[String], requireDistinctKeys: Boolean): DataFrame = {
+    val cols = oldDf.columns.toSeq
+    require(newDf.columns.toSeq.map(_.toLowerCase).sorted == cols.map(_.toLowerCase).sorted,
+      s"change feed endpoints have different columns: ${cols.mkString(",")} vs " +
+        newDf.columns.mkString(","))
+    val missing = keyColumns.filterNot(cols.contains)
+    require(missing.isEmpty, s"key columns not in table: ${missing.mkString(", ")}")
+    if (requireDistinctKeys) {
+      def probe(df: DataFrame, side: String): Unit = {
+        val dup = df.groupBy(keyColumns.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"duplicate keys on (${keyColumns.mkString(", ")}) in the $side slice: " +
+            s"e.g. ${dup.head} — per-row pairing is ambiguous; pass a unique key " +
+            "or requireDistinctKeys = false if the producer guarantees it")
+      }
+      probe(oldDf, "old"); probe(newDf, "new")
+    }
+    val rowStruct = struct(cols.map(col): _*)
+    val o = oldDf.select(keyColumns.map(col) :+ rowStruct.as("_cf_old"): _*)
+    val n = newDf.select(keyColumns.map(col) :+ rowStruct.as("_cf_new"): _*)
+    val joined = o.join(n, keyColumns, "full_outer")
+    val change = when(col("_cf_old").isNull, lit("insert"))
+      .when(col("_cf_new").isNull, lit("delete"))
+      .when(!(col("_cf_old") <=> col("_cf_new")), lit("update"))
+    val image = coalesce(col("_cf_new"), col("_cf_old"))
+    joined
+      .withColumn(ChangeTypeColumn, change)
+      .filter(col(ChangeTypeColumn).isNotNull)
+      .select(cols.map(c => image.getField(c).as(c)) :+ col(ChangeTypeColumn): _*)
+  }
+}

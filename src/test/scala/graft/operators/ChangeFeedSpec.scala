@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.core._
+import graft.operators.ChangeFeed._
+import graft.operators.VersionedMerge._
+import graft.operators.VersionedTables._
+
+import java.io.File
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Row-level change feed between commits: classification (insert / update /
+  * delete with post-/pre-images), changed-partitions-only IO (pinned by
+  * corrupting untouched partitions), snapshot diffs, and the dup-key
+  * refusal. */
+class ChangeFeedSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newEngine(): (VersionedTables, File) = {
+    val dir = Files.createTempDirectory("graft-cdf-").toFile
+    (VersionedTables.withFileStore(spark, new File(dir, "store").toURI), dir)
+  }
+
+  private def feedTuples(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "balance", ChangeFeed.ChangeTypeColumn)
+      .as[(String, Long, String)].collect().toSet
+
+  behavior of "readRowChangesBetween"
+
+  it should "classify insert/update/delete across a merge, images included" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("cdf", "accounts"),
+      new File(dir, "accounts").toURI, PartitionSchema("region"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    Seq(Account("a1", "eu", 10), Account("a2", "eu", 20), Account("a3", "us", 30))
+      .toDS().versionedInsertInto(engine, table, UserId("t"), "base")
+    val c0 = engine.headCommit(table.name)
+    engine.mergeInto(table,
+      Seq(Account("a1", "eu", 11),  // update
+        Account("a4", "eu", 40),    // insert into an existing partition
+        Account("a5", "ap", 50),    // insert into a NEW partition
+        Account("a3", "us", -1)     // delete
+      ).toDS().toDF(),
+      Seq("id"), UserId("t"), "merge", deleteWhen = Some(col("balance") < 0))
+    val c1 = engine.headCommit(table.name)
+
+    feedTuples(engine.readRowChangesBetween(table, Seq("id"), c0, c1)) shouldBe Set(
+      ("a1", 11L, "update"), // post-image
+      ("a4", 40L, "insert"),
+      ("a5", 50L, "insert"),
+      ("a3", 30L, "delete")) // pre-image
+    // a2 was in a rewritten partition but identical — absent from the feed
+
+    // same endpoints → empty feed with the right schema
+    val same = engine.readRowChangesBetween(table, Seq("id"), c1, c1)
+    same.count() shouldBe 0
+    same.columns should contain(ChangeFeed.ChangeTypeColumn)
+    // keep prunes the diff to selected partitions
+    feedTuples(engine.readRowChangesBetween(table, Seq("id"), c0, c1,
+      keep = _.columnValues.exists(_.value == "us"))) shouldBe Set(("a3", 30L, "delete"))
+  }
+
+  it should "never read partitions whose version is unchanged between the commits" in {
+    val (engine, dir) = newEngine()
+    val loc = new File(dir, "accounts")
+    val table = TableDefinition(TableName("cdf", "accounts2"),
+      loc.toURI, PartitionSchema("region"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    Seq(Account("a1", "eu", 10), Account("a2", "us", 20), Account("a3", "ap", 30))
+      .toDS().versionedInsertInto(engine, table, UserId("t"), "base")
+    val c0 = engine.headCommit(table.name)
+    // rewrite ONLY eu via a keyed merge on (region, id)
+    engine.mergeInto(table, Seq(Account("a1", "eu", 11)).toDS().toDF(),
+      Seq("region", "id"), UserId("t"), "touch eu")
+    val c1 = engine.headCommit(table.name)
+    // corrupt the untouched partitions' files: a feed read of them fails loudly
+    def corrupt(d: File): Unit = {
+      def walk(f: File): Seq[File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(d).filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.write(f.toPath, "junk".getBytes))
+    }
+    corrupt(new File(loc, "region=us"))
+    corrupt(new File(loc, "region=ap"))
+    feedTuples(engine.readRowChangesBetween(table, Seq("id"), c0, c1)) shouldBe
+      Set(("a1", 11L, "update"))
+  }
+
+  it should "report added partitions as inserts and removed partitions as deletes without a join" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("cdf", "accounts3"),
+      new File(dir, "accounts3").toURI, PartitionSchema("region"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    Seq(Account("a1", "eu", 10), Account("a2", "us", 20))
+      .toDS().versionedInsertInto(engine, table, UserId("t"), "base")
+    val c0 = engine.headCommit(table.name)
+    // replace-all: eu kept (identical version? no — rewritten), us dropped, ap added
+    Seq(Account("a1", "eu", 10), Account("a5", "ap", 50))
+      .toDS().versionedReplaceAll(engine, table, UserId("t"), "replace")
+    val c1 = engine.headCommit(table.name)
+    feedTuples(engine.readRowChangesBetween(table, Seq("id"), c0, c1)) shouldBe Set(
+      ("a2", 20L, "delete"), // whole partition removed
+      ("a5", 50L, "insert")) // whole partition added
+    // a1's partition was rewritten with identical content → not in the feed
+  }
+
+  it should "diff snapshot tables whole" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("cdf", "snap"),
+      new File(dir, "snap").toURI, PartitionSchema.snapshot, FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    Seq(("u1", 1L), ("u2", 2L)).toDF("id", "v")
+      .versionedInsertInto(engine, table, UserId("t"), "v1")
+    val c0 = engine.headCommit(table.name)
+    Seq(("u1", 9L), ("u3", 3L)).toDF("id", "v")
+      .versionedInsertInto(engine, table, UserId("t"), "v2")
+    val c1 = engine.headCommit(table.name)
+    engine.readRowChangesBetween(table, Seq("id"), c0, c1)
+      .select("id", "v", ChangeFeed.ChangeTypeColumn)
+      .as[(String, Long, String)].collect().toSet shouldBe Set(
+      ("u1", 9L, "update"), ("u2", 2L, "delete"), ("u3", 3L, "insert"))
+  }
+
+  it should "refuse ambiguous duplicate keys unless the caller opts out" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("cdf", "dups"),
+      new File(dir, "dups").toURI, PartitionSchema("region"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    Seq(Account("a1", "eu", 1), Account("a1", "eu", 2))
+      .toDS().versionedInsertInto(engine, table, UserId("t"), "dups")
+    val c0 = engine.headCommit(table.name)
+    Seq(Account("a1", "eu", 3)).toDS()
+      .versionedInsertInto(engine, table, UserId("t"), "rewrite")
+    val c1 = engine.headCommit(table.name)
+    an[IllegalArgumentException] should be thrownBy
+      engine.readRowChangesBetween(table, Seq("id"), c0, c1).collect()
+    noException should be thrownBy
+      engine.readRowChangesBetween(table, Seq("id"), c0, c1,
+        requireDistinctKeys = false).collect()
+  }
+}
