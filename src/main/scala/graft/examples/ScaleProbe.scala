@@ -73,6 +73,28 @@ object ScaleProbe {
         (engine, table)
       })
 
+    // shared stats-manifest fixture (stats_skip / merge_pruned): one
+    // range-split versioned events table per data dir, built on first use —
+    // the build lands in a probe's rep 1; min-over-reps sees steady state
+    val statsFixtures =
+      scala.collection.mutable.Map.empty[String, (VersionedTables, TableDefinition, Long)]
+    def statsFixture(dir: String): (VersionedTables, TableDefinition, Long) =
+      statsFixtures.getOrElseUpdate(dir, {
+        val root = graft.FixtureTempDirs.create("graft-probe-skip-")
+        val e = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+        val t = TableDefinition(TableName("probe", "events_stats"),
+          root.resolve("events_stats").toUri, PartitionSchema("event_date"),
+          FileFormat.Parquet,
+          stats = Some(ColumnStatsConfig(List("event_id", "value"),
+            bloomKeyColumns = List("event_id"))))
+        e.initTable(t, UserId("probe"), "init")
+        val ev = graft.Tables.events(spark, dir)
+          .withColumn("event_date", to_date(col("ts"))).localCheckpoint()
+        ev.repartitionByRange(8, col("event_id"))
+          .versionedInsertInto(e, t, UserId("probe"), "load")
+        (e, t, ev.agg(max(col("event_id"))).head().getLong(0) / 10)
+      })
+
     val families: Seq[(String, String => Unit)] = Seq(
       "exact_dedup" -> (dir => { Dedup.exactDupGroups(docs(dir)).count(); () }),
       "lsh_dedup_chain" -> (dir => {
@@ -170,6 +192,35 @@ object ScaleProbe {
           docs(dir).select(explode(
             graft.functions.TextFunctions.tokens(col("text"))).as("word")),
           "word", minShare = share).count(); ()
+      }),
+      "stats_skip" -> (dir => {
+        // data-skipping READ (q_stats_skip_scan shape): versioned events
+        // with a stats manifest, range-split on event_id inside each date
+        // partition, read back through the bottom ~10% of ids. The fixture
+        // build (write + one-pass stats collection) lands in rep 1 only —
+        // min-over-reps isolates the steady pruned read, whose cost must
+        // track the MATCHING slice, not the table: the manifest drops ~7/8
+        // of each partition's files before any listing.
+        val (engine, table, thr) = statsFixture(dir)
+        engine.readWhere(table, col("event_id") <= thr)
+          .agg(count(lit(1)), sum(col("value"))).collect(); ()
+      }),
+      "merge_pruned" -> (dir => {
+        // MERGE discovery pruning: the source updates ~1/50 of ONE date's
+        // keys; the manifest Blooms prove the other 29 partitions hold none
+        // of them, so discovery + rewrite cost tracks the TOUCHED partition
+        // (whose size grows with the data), never the table. Each rep adds
+        // one commit — steady state, same touched slice every time.
+        import graft.operators.VersionedMerge._
+        val (engine, table, _) = statsFixture(dir)
+        val maxDate = graft.Tables.events(spark, dir)
+          .agg(max(to_date(col("ts")))).head().getDate(0)
+        val source = graft.Tables.events(spark, dir)
+          .withColumn("event_date", to_date(col("ts")))
+          .filter(col("event_date") === lit(maxDate) && col("event_id") % 50 === 0)
+          .withColumn("value", col("value") + lit(1.0))
+        engine.mergeInto(table, source, Seq("event_id"), UserId("probe"),
+          "probe merge"); ()
       }),
       "scd2_build" -> (dir => {
         // events replicate with user offsets: per-user observation history

@@ -105,6 +105,29 @@ object ChangeFeed {
             "Cannot diff partitioned and snapshot table versions")
       }
     }
+
+    /** The row-level changes ONE commit introduced: [[readRowChangesBetween]]
+      * from the commit's parent to the commit itself (an initial commit
+      * diffs against emptiness — every row an insert). Depends only on
+      * `id`, so it composes with [[graft.streaming.CommitStream]]'s
+      * UNORDERED commit feed into a streaming row-level CDC pipeline the
+      * same way partition-level `readChangesAt` does: replays re-read the
+      * same changes instead of corrupting a range. */
+    def readRowChangesAt(
+        table: TableDefinition,
+        keyColumns: Seq[String],
+        id: CommitId,
+        keep: Partition => Boolean = _ => true,
+        requireDistinctKeys: Boolean = true): DataFrame = {
+      val st = engine.tracker.tableState(table.name)
+      val idx = st.updates.indexWhere(_.metadata.id == id)
+      if (idx < 0) throw UnknownCommitError(id)
+      if (idx == 0) // initial commit: everything it wrote is an insert
+        return engine.readChangesAt(table, id, keep)
+          .withColumn(ChangeTypeColumn, lit("insert"))
+      val parent = st.updates(idx - 1).metadata.id
+      engine.readRowChangesBetween(table, keyColumns, parent, id, keep, requireDistinctKeys)
+    }
   }
 
   /** Zero-row feed with the table's columns + the change column (schema

@@ -127,6 +127,26 @@ class ChangeFeedSpec extends AnyFlatSpec with Matchers {
       ("u1", 9L, "update"), ("u2", 2L, "delete"), ("u3", 3L, "insert"))
   }
 
+  it should "derive per-commit changes via readRowChangesAt, initial commit as all-inserts" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("cdf", "percommit"),
+      new File(dir, "percommit").toURI, PartitionSchema("region"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    Seq(Account("a1", "eu", 10), Account("a2", "us", 20))
+      .toDS().versionedInsertInto(engine, table, UserId("t"), "base")
+    val c0 = engine.headCommit(table.name)
+    engine.mergeInto(table, Seq(Account("a1", "eu", 11)).toDS().toDF(),
+      Seq("id"), UserId("t"), "merge")
+    val c1 = engine.headCommit(table.name)
+    // the data commit after init: parent is the empty init state → inserts
+    feedTuples(engine.readRowChangesAt(table, Seq("id"), c0)) shouldBe Set(
+      ("a1", 10L, "insert"), ("a2", 20L, "insert"))
+    feedTuples(engine.readRowChangesAt(table, Seq("id"), c1)) shouldBe Set(
+      ("a1", 11L, "update"))
+    an[UnknownCommitError] should be thrownBy
+      engine.readRowChangesAt(table, Seq("id"), CommitId("nope"))
+  }
+
   it should "refuse ambiguous duplicate keys unless the caller opts out" in {
     val (engine, dir) = newEngine()
     val table = TableDefinition(TableName("cdf", "dups"),

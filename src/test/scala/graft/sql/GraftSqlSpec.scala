@@ -95,6 +95,13 @@ class GraftSqlSpec extends AnyFlatSpec with Matchers {
     physical should include("PartitionFilters")
   }
 
+  it should "answer SHOW TABLES from the registry (the catalog owns the namespace)" in {
+    fixture()
+    val names = spark.sql("SHOW TABLES IN graft.sqltest")
+      .select("tableName").as[String].collect()
+    names should contain("accounts")
+  }
+
   it should "fail cleanly on unregistered names and unknown commits" in {
     fixture()
     an[AnalysisException] should be thrownBy
