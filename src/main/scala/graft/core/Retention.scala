@@ -20,6 +20,26 @@ object Retention {
     * is live, in-window, or pinned. Adopted pre-versioning data
     * ([[Version.Unversioned]]) lives at the partition root and is never
     * listed. */
+  /** The version LABELS visible in any retained state (last `keepLast`
+    * commits + head + pinned) — the same liveness [[expirableVersionUris]]
+    * computes per (partition, version), collapsed to labels. Vacuum uses it
+    * to decide when a per-LABEL artifact (the stats manifest) may go: a
+    * label is only reclaimable when NO retained state references it through
+    * ANY partition — expiring one partition's directory of a label that
+    * other partitions still read must keep the manifest. */
+  def liveVersionLabels(
+      st: TableState, keepLast: Int, pinned: List[CommitId] = Nil): Set[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, was $keepLast")
+    val keptIds =
+      (st.updates.takeRight(keepLast).map(_.metadata.id) ++ pinned :+ st.currentVersion).distinct
+    keptIds.flatMap { id =>
+      st.versionAt(id) match {
+        case PartitionedTableVersion(pvs) => pvs.valuesIterator.map(_.label).toList
+        case SnapshotTableVersion(v)      => List(v.label)
+      }
+    }.toSet
+  }
+
   def expirableVersionUris(
       st: TableState, location: URI, keepLast: Int,
       pinned: List[CommitId] = Nil): List[URI] = {

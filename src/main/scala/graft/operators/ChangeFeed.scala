@@ -61,6 +61,29 @@ object ChangeFeed {
         case (PartitionedTableVersion(a), PartitionedTableVersion(b)) =>
           val aKept = a.filter { case (p, _) => keep(p) }
           val bKept = b.filter { case (p, _) => keep(p) }
+          // ADOPTED tables can mix pre-versioning (Unversioned) partitions
+          // with versioned ones: readVersion's direct-file branch types
+          // partition columns as STRING while partition discovery infers
+          // native types, so the per-class frames below could not union or
+          // compare. Route BOTH endpoints whole through the same read
+          // branch and diff them with one keyed compare — correct, at the
+          // cost of the changed-partitions-only IO shortcut, for this
+          // legacy-adoption edge only (same fallback readVersionWhere
+          // takes).
+          val mixedAdopted = (aKept.valuesIterator ++ bKept.valuesIterator)
+            .contains(Version.Unversioned)
+          if (mixedAdopted) {
+            val oldAll = engine.readVersion(table, PartitionedTableVersion(aKept))
+            val newAll = engine.readVersion(table, PartitionedTableVersion(bKept))
+            val partCols = table.partitionSchema.columnNames.map(_.toLowerCase).toSet
+            // align partition-column types across the two reads (one side
+            // may have taken the all-versioned fast path): strings on both
+            def stringPartCols(df: DataFrame): DataFrame =
+              df.columns.foldLeft(df)((d, c) =>
+                if (partCols(c.toLowerCase)) d.withColumn(c, col(c).cast("string")) else d)
+            return keyedDiff(stringPartCols(oldAll), stringPartCols(newAll),
+              keyColumns, requireDistinctKeys)
+          }
           val added = bKept.filter { case (p, _) => !aKept.contains(p) }
           val removed = aKept.filter { case (p, _) => !bKept.contains(p) }
           val repointedParts = aKept.keySet

@@ -225,7 +225,10 @@ object Scd2 {
     // fact named effective_from) would silently produce duplicate output
     // names — refuse loudly, the caller renames one side
     val dimOut = dim.columns.filterNot(c => keyCols.contains(c) || c == "is_current")
-    val clash = dimOut.filter(facts.columns.contains)
+    // case-INSENSITIVE like Spark's resolver: a fact column differing only
+    // in case would still make downstream references ambiguous
+    val factLower = facts.columns.map(_.toLowerCase).toSet
+    val clash = dimOut.filter(c => factLower.contains(c.toLowerCase))
     require(clash.isEmpty,
       s"asOfLookup output would carry duplicate column(s) ${clash.mkString(", ")}: " +
         "the dimension contributes its attribute and effective_from/effective_to " +

@@ -163,6 +163,42 @@ object TableStats {
     finally out.close()
   }
 
+  /** Bounded JVM-wide manifest cache. SOUND because manifests are
+    * IMMUTABLE: every write generates a fresh label and persists the
+    * manifest BEFORE its commit, so by the time any reader can learn of a
+    * label the manifest's content is final (absence is final too — only
+    * versions written without a stats config lack one). A cached entry for
+    * a since-vacuumed version is harmless: its decisions were exact for the
+    * files that existed. What the cache buys: a discovery pass over a
+    * table whose partitions were ingested one-by-one touches O(live
+    * LABELS) manifests — per-call that is one filesystem read each, which
+    * on object storage is the slowest part of a small merge; with the
+    * cache, repeated passes (a streaming CDC-apply sink merging every
+    * trigger, repeated readWhere calls) pay only for labels they have not
+    * seen. */
+  private val ManifestCacheMax = 4096
+  private val manifestCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String), Option[StatsManifest]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String), Option[StatsManifest]]): Boolean =
+          size() > ManifestCacheMax
+      })
+
+  /** [[readManifest]] through the JVM-wide immutability-backed cache — the
+    * variant every pruning pass uses. */
+  def readManifestCached(
+      conf: org.apache.hadoop.conf.Configuration, location: URI, label: String): Option[StatsManifest] = {
+    val key = (location.toString, label)
+    val hit = manifestCache.get(key)
+    if (hit != null) hit
+    else {
+      val loaded = readManifest(conf, location, label)
+      manifestCache.put(key, loaded)
+      loaded
+    }
+  }
+
   /** The stored manifest of version `label`, or None when it was never
     * written (pre-stats history, chronicles import) or doesn't parse — both
     * mean "read that version unpruned", never an error. */
@@ -184,6 +220,7 @@ object TableStats {
 
   private[operators] def deleteManifest(
       conf: org.apache.hadoop.conf.Configuration, location: URI, label: String): Unit = {
+    manifestCache.remove((location.toString, label))
     val p = statsManifestPath(location, label)
     try { p.getFileSystem(conf).delete(p, false); () }
     catch { case _: java.io.IOException => () }
@@ -325,11 +362,29 @@ object TableStats {
 
   private[operators] def compareVals(a: StatVal, b: StatVal): Option[Int] = (a, b) match {
     case (NumV(x), NumV(y))   => Some(x.compareTo(y))
-    case (StrV(x), StrV(y))   => Some(x.compareTo(y))
+    case (StrV(x), StrV(y))   => Some(utf8Compare(x, y))
     case (DateV(x), DateV(y)) => Some(java.lang.Long.compare(x, y))
     case (TsV(x), TsV(y))     => Some(java.lang.Long.compare(x, y))
     case (BoolV(x), BoolV(y)) => Some(java.lang.Boolean.compare(x, y))
     case _                    => None
+  }
+
+  /** Unsigned UTF-8 byte order — the order Spark's min/max computed the
+    * manifest bounds under (UTF8String.binaryCompare). Java's
+    * String.compareTo (UTF-16 code units) DISAGREES for supplementary
+    * characters vs BMP chars in U+E000..U+FFFF, which would let a bound
+    * comparison mis-prune a file; compare in the writer's order instead. */
+  private[operators] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** Encode an agg-result (external JVM) value into its manifest string.
@@ -512,18 +567,22 @@ object TableStats {
         case _ => true // unknown shape: conservative
       }
 
-    /** Resolve a column's (min, max, nulls-known) against the literal's
-      * family. Partition columns decode their single value on demand. */
+    /** What the evaluator knows about a column of one file, resolved
+      * against the literal's family: (min, max, allNull, mayHaveNull).
+      * Partition columns decode their single value on demand. */
+    private final case class Bounds(
+        min: Option[StatVal], max: Option[StatVal], allNull: Boolean, mayNull: Boolean)
+
     private def bounds(
-        name: String, like: StatVal, lookup: String => Option[ColKnowledge]):
-        Option[(Option[StatVal], Option[StatVal], Boolean)] = // (min, max, allNull)
+        name: String, like: StatVal, lookup: String => Option[ColKnowledge]): Option[Bounds] =
       lookup(name).map {
-        case FileCol(mn, mx, nulls, rows) => (mn, mx, nulls >= rows && rows > 0)
-        case PartCol(None)                => (None, None, true)
+        case FileCol(mn, mx, nulls, rows) =>
+          Bounds(mn, mx, allNull = nulls >= rows && rows > 0, mayNull = nulls > 0)
+        case PartCol(None) => Bounds(None, None, allNull = true, mayNull = true)
         case PartCol(Some(raw)) =>
           partitionValueAs(raw, like) match {
-            case Some(v) => (Some(v), Some(v), false)
-            case None    => (None, None, false)
+            case Some(v) => Bounds(Some(v), Some(v), allNull = false, mayNull = false)
+            case None    => Bounds(None, None, allNull = false, mayNull = false)
           }
       }
 
@@ -533,9 +592,9 @@ object TableStats {
     private def rangeMayContain(
         name: String, v: StatVal, lookup: String => Option[ColKnowledge]): Boolean =
       bounds(name, v, lookup) match {
-        case Some((_, _, true))  => false // all-null: no comparison is ever TRUE
-        case Some((mn, mx, _))   => mn.forall(le(_, v)) && mx.forall(le(v, _))
-        case None                => true
+        case Some(b) if b.allNull => false // all-null: no comparison is ever TRUE
+        case Some(b)              => b.min.forall(le(_, v)) && b.max.forall(le(v, _))
+        case None                 => true
       }
 
     /** May the file hold a NON-NULL value different from every literal in
@@ -543,8 +602,8 @@ object TableStats {
     private def mayHaveValueOutside(
         name: String, lits: Seq[StatVal], lookup: String => Option[ColKnowledge]): Boolean =
       lits.headOption.flatMap(h => bounds(name, h, lookup)) match {
-        case Some((_, _, true)) => false // all-null: NOT(x IN ...) is NULL, not TRUE
-        case Some((Some(mn), Some(mx), _)) if compareVals(mn, mx).contains(0) =>
+        case Some(b) if b.allNull => false // all-null: NOT(x IN ...) is NULL, not TRUE
+        case Some(Bounds(Some(mn), Some(mx), _, _)) if compareVals(mn, mx).contains(0) =>
           !lits.exists(v => compareVals(mn, v).contains(0))
         case _ => true
       }
@@ -578,11 +637,11 @@ object TableStats {
       val nullSafe = cmp.isInstanceOf[EqualNullSafe]
       bounds(name, v, lookup) match {
         case None => true
-        case Some((_, _, true)) =>
+        case Some(b) if b.allNull =>
           // all-null column: plain comparisons are NULL (not TRUE) positive
           // or negated; x <=> v is genuinely FALSE, so NOT(x <=> v) is TRUE
           nullSafe && neg
-        case Some((mn, mx, _)) =>
+        case Some(Bounds(mn, mx, _, mayNull)) =>
           if (!neg) base match {
             case Eq => mn.forall(le(_, v)) && mx.forall(le(v, _))
             case Lt => mn.forall(lt(_, v))
@@ -591,12 +650,16 @@ object TableStats {
             case Ge => mx.forall(le(v, _))
           }
           else base match {
-            // NOT(col = v): may a non-null value ≠ v exist?
-            case Eq => (mn, mx) match {
-              case (Some(a), Some(b)) if compareVals(a, b).contains(0) =>
-                !compareVals(a, v).contains(0)
-              case _ => true
-            }
+            // NOT(col = v): may a non-null value ≠ v exist? For the
+            // NULL-SAFE form, NOT(col <=> v) is additionally TRUE on null
+            // rows, so a file with any nulls must be kept regardless of
+            // its value range.
+            case Eq =>
+              (nullSafe && mayNull) || ((mn, mx) match {
+                case (Some(a), Some(c)) if compareVals(a, c).contains(0) =>
+                  !compareVals(a, v).contains(0)
+                case _ => true
+              })
             // NOT(col < v) ≡ col >= v (non-null), etc.
             case Lt => mx.forall(le(v, _))
             case Le => mx.forall(lt(v, _))
@@ -611,8 +674,8 @@ object TableStats {
         lookup: String => Option[ColKnowledge]): Boolean =
       bounds(name, StrV(prefix), lookup) match {
         case None => true
-        case Some((_, _, true)) => false // all-null
-        case Some((mn, mx, _)) =>
+        case Some(b) if b.allNull => false // all-null
+        case Some(Bounds(mn, mx, _, _)) =>
           if (!neg) {
             // any string with this prefix is >= prefix and < incremented(prefix)
             val upperOk = incrementLast(prefix) match {
@@ -621,18 +684,23 @@ object TableStats {
             }
             mx.forall(le(StrV(prefix), _)) && upperOk
           } else (mn, mx) match {
-            case (Some(a), Some(b)) if compareVals(a, b).contains(0) =>
+            case (Some(a), Some(c)) if compareVals(a, c).contains(0) =>
               a match { case StrV(s) => !s.startsWith(prefix); case _ => true }
             case _ => true
           }
       }
 
     /** `"abc"` → `"abd"`: the exclusive upper bound of the prefix range.
-      * None when every char is already ￿ (no finite bound). */
+      * Comparisons run in UTF-8 BYTE order ([[utf8Compare]]), and
+      * incrementing a UTF-16 char is only order-equivalent to incrementing
+      * its UTF-8 encoding while every char stays BELOW the surrogate range
+      * — so any prefix touching U+D800 and above gets no finite bound
+      * (conservative: only the lower-bound check applies). */
     private def incrementLast(s: String): Option[String] = {
+      if (s.exists(c => c >= '\uD800')) return None
       val chars = s.toCharArray
       var i = chars.length - 1
-      while (i >= 0 && chars(i) == Char.MaxValue) i -= 1
+      while (i >= 0 && chars(i) == '\uD7FF') i -= 1
       if (i < 0) None
       else Some(new String(chars.take(i)) + (chars(i) + 1).toChar)
     }
@@ -662,7 +730,7 @@ object TableStats {
     val expr = org.apache.spark.sql.GraftSqlBridge.convertedExpression(predicate)
     val manifests = scala.collection.mutable.Map.empty[String, Option[StatsManifest]]
     def manifestFor(v: Version): Option[StatsManifest] =
-      manifests.getOrElseUpdate(v.label, readManifest(conf, table.location, v.label))
+      manifests.getOrElseUpdate(v.label, readManifestCached(conf, table.location, v.label))
 
     def fileLookup(f: FileStats, part: Option[Partition]): String => Option[ColKnowledge] = {
       val partVals: Map[String, Option[String]] = part

@@ -109,7 +109,7 @@ object VersionedMerge {
     val conf = engine.spark.sparkContext.hadoopConfiguration
     val manifests = scala.collection.mutable.Map.empty[String, Option[TableStats.StatsManifest]]
     def manifestFor(v: Version): Option[TableStats.StatsManifest] =
-      manifests.getOrElseUpdate(v.label, TableStats.readManifest(conf, table.location, v.label))
+      manifests.getOrElseUpdate(v.label, TableStats.readManifestCached(conf, table.location, v.label))
 
     // (2) range pruning: the source keys' per-column [min, max], computed in
     // one tiny agg over the (small) key frame and normalized through the

@@ -411,14 +411,20 @@ final class VersionedTables(
       spark.sparkContext.hadoopConfiguration, table.location, targets)
     // reclaim abandoned staging manifests and stats manifests alongside
     // their version dirs (committed versions never have a staging manifest
-    // — publish deletes it; stats manifests live as long as their version)
+    // — publish deletes it). A stats manifest is per LABEL while
+    // expirability is per (partition, version): one label can be expired
+    // for one partition yet still be another partition's LIVE version, so
+    // the manifest goes only when NO retained state references the label.
+    val liveLabels = Retention.liveVersionLabels(
+      tracker.tableState(table.name), keepLast, pinned = tracker.tags(table.name).map(_._2))
     outcome.deleted.foreach { uri =>
       val label = VersionPaths.parseVersion(uri)
       if (label != Version.Unversioned) {
         VersionedTables.deleteStagingManifest(
           spark.sparkContext.hadoopConfiguration, table.location, label.label)
-        TableStats.deleteManifest(
-          spark.sparkContext.hadoopConfiguration, table.location, label.label)
+        if (!liveLabels.contains(label.label))
+          TableStats.deleteManifest(
+            spark.sparkContext.hadoopConfiguration, table.location, label.label)
       }
     }
     VacuumResult(targets, outcome.deleted, outcome.failed)

@@ -292,18 +292,31 @@ object EventStreams {
         var latest: DataFrame = null
         try {
           if (!batch.isEmpty) {
-            // final tie-break: a content hash of the WHOLE row. On orderBy
-            // ties the winner would otherwise be partitioning-dependent, so
-            // a checkpoint replay after a crash could merge a DIFFERENT row
-            // (even flipping update vs delete) and break the documented
-            // content-idempotent-replay law; with the hash, ties resolve
-            // identically on every run, and rows still tied are bit-equal —
-            // either is the same merge.
-            val tieBreak = org.apache.spark.sql.functions.xxhash64(
-              batch.columns.map(col).toIndexedSeq: _*)
+            // final tie-break: a content hash of the row's HASHABLE columns.
+            // On orderBy ties the winner would otherwise be partitioning-
+            // dependent, so a checkpoint replay after a crash could merge a
+            // DIFFERENT row (even flipping update vs delete) and break the
+            // documented content-idempotent-replay law; with the hash, ties
+            // resolve identically on every run. Map-typed columns (hash
+            // expressions reject MapType) are excluded — rows tied on
+            // everything hashable but differing in a map column remain the
+            // one documented nondeterminism, instead of the sink rejecting
+            // such schemas outright.
+            def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+              case _: org.apache.spark.sql.types.MapType => false
+              case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+              case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+              case _ => true
+            }
+            val hashCols = batch.schema.fields.toIndexedSeq
+              .filter(f => hashable(f.dataType)).map(f => col(f.name))
+            val ordering = orderBy.map(col(_).desc) ++
+              (if (hashCols.nonEmpty)
+                Seq(org.apache.spark.sql.functions.xxhash64(hashCols: _*).desc)
+              else Nil)
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(keyColumns.map(col): _*)
-              .orderBy(orderBy.map(col(_).desc) :+ tieBreak.desc: _*)
+              .orderBy(ordering: _*)
             latest = batch.withColumn("__rn", row_number().over(w))
               .filter(col("__rn") === 1).drop("__rn")
               .persist()

@@ -147,6 +147,33 @@ class ChangeFeedSpec extends AnyFlatSpec with Matchers {
       engine.readRowChangesAt(table, Seq("id"), CommitId("nope"))
   }
 
+  it should "diff across the adoption boundary (mixed Unversioned partitions, review finding)" in {
+    val (engine, dir) = newEngine()
+    val loc = new File(dir, "adopted")
+    // pre-versioning data sits at grp=g1 directly; adopt it, add g2 versioned
+    Seq(("a", "g1")).toDF("k", "grp").write.parquet(new File(loc, "grp=g1").toString)
+    val table = TableDefinition(TableName("cdf", "adopted"), loc.toURI,
+      PartitionSchema("grp"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    engine.tracker.commit(table.name, TableUpdate(UserId("t"), "adopt g1",
+      java.time.Instant.now(),
+      List(TableOperation.AddPartitionVersion(Partition("grp", "g1"), Version.Unversioned))))
+    Seq(("b", "g2")).toDF("k", "grp")
+      .versionedInsertInto(engine, table, UserId("t"), "write g2")
+    val c0 = engine.headCommit(table.name)
+    // rewrite the ADOPTED partition at a real version
+    Seq(("post", "g1")).toDF("k", "grp")
+      .versionedInsertInto(engine, table, UserId("t"), "rewrite g1")
+    val c1 = engine.headCommit(table.name)
+    // the from-endpoint mixes an Unversioned partition (string-typed grp on
+    // the direct-file read branch) with a versioned one — the feed must
+    // fall back to the whole-slice compare instead of failing on the union
+    engine.readRowChangesBetween(table, Seq("k"), c0, c1)
+      .select("k", ChangeFeed.ChangeTypeColumn)
+      .as[(String, String)].collect().toSet shouldBe Set(
+      ("a", "delete"), ("post", "insert")) // b unchanged
+  }
+
   it should "refuse ambiguous duplicate keys unless the caller opts out" in {
     val (engine, dir) = newEngine()
     val table = TableDefinition(TableName("cdf", "dups"),

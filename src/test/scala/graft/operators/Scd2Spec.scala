@@ -82,6 +82,11 @@ class Scd2Spec extends AnyFlatSpec with Matchers {
       Scd2.asOfLookup(colliding, dim, Seq("id"), "ts")
     }
     err.getMessage should include("effective_from")
+    // case-INSENSITIVE like Spark's resolver: a case-differing collision is
+    // just as ambiguous downstream
+    val caseColliding = obs.withColumn("Effective_From", lit(0L))
+    an[IllegalArgumentException] should be thrownBy
+      Scd2.asOfLookup(caseColliding, dim, Seq("id"), "ts")
   }
 
   behavior of "advanceScd2State"

@@ -255,6 +255,45 @@ class TableStatsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "keep files with nulls under negated NULL-SAFE equality (review finding)" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("test", "stats_nseq"),
+      new File(dir, "stats_nseq").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("v"))))
+    engine.initTable(table, UserId("t"), "init")
+    // ONE file holding values [5.0, 5.0, null]: min == max == 5 but a null
+    // row exists. NOT(v <=> 5) is TRUE on the null row, so the file must be
+    // kept — the plain negated-equality rule (min==max==literal → prune)
+    // only applies to the null-blind operators.
+    Seq((1L, "d1", Some(5.0)), (2L, "d1", Some(5.0)), (3L, "d1", None: Option[Double]))
+      .toDF("id", "day", "v").repartition(1)
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+    val skipped = engine.readWhere(table, !(col("v") <=> 5.0))
+    skipped.select("id").as[Long].collect() shouldBe Array(3L)
+    // the null-blind form still prunes: NOT(v = 5) is NULL on the null row
+    engine.readWhere(table, !(col("v") === 5.0)).count() shouldBe 0
+    engine.readWhere(table, !(col("v") === 5.0)).inputFiles.length shouldBe 0
+  }
+
+  it should "compare string stats in UTF-8 byte order, not UTF-16 (review finding)" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("test", "stats_utf8"),
+      new File(dir, "stats_utf8").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("s"))))
+    engine.initTable(table, UserId("t"), "init")
+    // U+10000 (surrogate pair) sorts ABOVE U+FFFF in UTF-8 byte order (the
+    // order Spark's min/max used for the manifest) but BELOW it in Java's
+    // UTF-16 compareTo — a UTF-16 comparison would conclude U+FFFF > max
+    // and mis-prune the file that holds it
+    Seq((1L, "d1", "\uFFFF"), (2L, "d1", "\uD800\uDC00"))
+      .toDF("id", "day", "s").repartition(1)
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+    engine.readWhere(table, col("s") === "\uFFFF")
+      .select("id").as[Long].collect() shouldBe Array(1L)
+    engine.readWhere(table, col("s") >= "\uFFFF").count() shouldBe
+      engine.read(table).filter(col("s") >= "\uFFFF").count()
+  }
+
   it should "keep skipping after compaction (the compacted version carries its own manifest)" in {
     val (engine, table) = fixture(Some(cfg))
     // compact day 1 to one file: the rewrite goes through the same staged
@@ -271,6 +310,36 @@ class TableStatsSpec extends AnyFlatSpec with Matchers {
   }
 
   behavior of "vacuum integration"
+
+  it should "keep a label's manifest while ANY partition still reads that label (review finding)" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("test", "stats_live"),
+      new File(dir, "stats_live").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("id"))))
+    engine.initTable(table, UserId("t"), "init")
+    // v1 covers BOTH days in one write (one shared manifest)
+    spark.range(200).select(col("id"),
+        when(col("id") < 100, "d1").otherwise("d2").as("day"))
+      .repartitionByRange(4, col("id"))
+      .versionedInsertInto(engine, table, UserId("t"), "v1 both days")
+    val v1 = engine.tracker.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions.values.head.label
+    // two rewrites of d1 ONLY: (d1, v1) ages out of keepLast=1, but d2
+    // still READS v1 — its manifest must survive the vacuum
+    (1 to 2).foreach { i =>
+      spark.range(100).select((col("id") + i * 1000).as("id"), lit("d1").as("day"))
+        .repartition(1)
+        .versionedInsertInto(engine, table, UserId("t"), s"rewrite d1 #$i")
+    }
+    val result = engine.vacuum(table, keepLast = 1, dryRun = false)
+    result.deleted.exists(_.toString.contains(v1)) shouldBe true // (d1, v1) dir went
+    TableStats.readManifest(
+      spark.sparkContext.hadoopConfiguration, table.location, v1) should not be empty
+    // ...and d2's skipping still works off it
+    val pruned = engine.readWhere(table, col("day") === "d2" && col("id") >= 150)
+    pruned.count() shouldBe 50
+    pruned.inputFiles.length should be < 4
+  }
 
   it should "reclaim stats manifests alongside their expired version dirs" in {
     val (engine, table) = fixture(Some(cfg))

@@ -24,6 +24,7 @@ case class WapStreamDoc(doc_id: Long, text: String, part: String)
 /** CDC-style change row for the streaming merge sink: `id` is the key,
   * `seq` orders a key's changes, negative balance marks a delete. */
 case class MergeStreamRow(id: String, region: String, balance: Long, seq: Long)
+case class MapMergeRow(id: String, region: String, attrs: Map[String, String], seq: Long)
 
 class StreamingCorpusOpsSpec extends AnyFlatSpec with Matchers {
 
@@ -238,6 +239,32 @@ class StreamingCorpusOpsSpec extends AnyFlatSpec with Matchers {
       Seq("id"), UserId("stream"), "replayed batch",
       deleteWhen = Some(col("balance") < 0))
     state() shouldBe Map("a1" -> 11L, "a3" -> 30L)
+  }
+
+  it should "merge schemas carrying MAP columns (the tie-break hashes only hashable types)" in {
+    import graft.core._
+    import graft.operators.VersionedTables
+    // hash expressions reject MapType: a whole-row tie-break would make the
+    // sink throw on every batch of such a schema — a regression over the
+    // pre-tie-break sink. The hash must skip unhashable columns instead.
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-map-")
+    val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+    val table = TableDefinition(TableName("stream", "mapped"),
+      root.resolve("mapped").toUri, PartitionSchema("region"), FileFormat.Parquet)
+    engine.initTable(table, UserId("stream"), "init")
+    val source = MemoryStream[MapMergeRow](spark)
+    val q = EventStreams.writeVersionedMerged(
+      source.toDF(), engine, table, keyColumns = Seq("id"), orderBy = Seq("seq"),
+      UserId("stream"), root.resolve("chk").toString,
+      trigger = Trigger.ProcessingTime(0))
+    source.addData(
+      MapMergeRow("m1", "eu", Map("a" -> "1"), 1),
+      MapMergeRow("m1", "eu", Map("a" -> "2"), 2), // seq-latest wins
+      MapMergeRow("m2", "us", Map.empty, 1))
+    q.processAllAvailable(); q.stop()
+    engine.read(table).select("id", "attrs")
+      .as[(String, Map[String, String])].collect().toMap shouldBe
+      Map("m1" -> Map("a" -> "2"), "m2" -> Map.empty[String, String])
   }
 
   it should "resolve orderBy TIES deterministically, independent of batch row order" in {
