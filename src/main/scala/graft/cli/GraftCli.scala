@@ -394,6 +394,38 @@ object GraftCli {
         }
       }
 
+      // row-changes <table> <location> <from> <to> --keys k1[,k2...]
+      //   --out <dir> [--partition-by ...] [--format fmt]
+      // Row-level change feed between two commits (ChangeFeed): writes
+      // (table columns + _change_type ∈ insert/update/delete) as parquet
+      // under --out and prints the per-class bill. The Spark-backed twin of
+      // the metadata-only `changes` verb above.
+      case List("row-changes", name, location, from, to) => withTable(name) { t =>
+        withTableDef(t, location, flags, out) { table =>
+          withFlavorChecked(t, table) {
+            val keys = flags.get("keys").toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            (keys, flags.get("out")) match {
+              case (Nil, _) => out.println("error: row-changes needs --keys k1[,k2...]"); 2
+              case (_, None) => out.println("error: row-changes needs --out <dir>"); 2
+              case (ks, Some(dest)) =>
+                import graft.operators.ChangeFeed._
+                val engine = new graft.operators.VersionedTables(cliSpark(), tracker)
+                val feed = engine.readRowChangesBetween(
+                  table, ks, CommitId(from), CommitId(to))
+                feed.write.mode("overwrite").parquet(dest)
+                val bill = cliSpark().read.parquet(dest)
+                  .groupBy(graft.operators.ChangeFeed.ChangeTypeColumn).count()
+                  .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+                Seq("insert", "update", "delete").foreach(c =>
+                  out.println(f"$c%-7s ${bill.getOrElse(c, 0L)}"))
+                out.println(s"written $dest")
+                0
+            }
+          }
+        }
+      }
+
       case List("migrate") =>
         // convert reference-layout (_chronicles_table_*) stores under the
         // root into graft-v2 layout; file store only (the JDBC store has no
@@ -410,7 +442,7 @@ object GraftCli {
 
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|vacuum|migrate|export|sync|stage|audit|publish|merge> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|row-changes|vacuum|migrate|export|sync|stage|audit|publish|merge> ...""".stripMargin)
         2
     } catch {
       case e @ (_: UnknownTableError | _: UnknownCommitError |

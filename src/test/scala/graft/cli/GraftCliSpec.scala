@@ -442,6 +442,25 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     val (cg, og) = cli("merge", "sales.accts", loc, src2, "--keys", "id")
     cg shouldBe 2
     og should include("needs --partition-by")
+
+    // row-changes: the second merge's row-level feed, written as parquet
+    val log = cli("log", "sales.accts")._2.linesIterator.toList
+    val ids = log.map(_.trim.split("\\s+").head)
+    val (cR, oR) = cli("row-changes", "sales.accts", loc, ids(1), ids(0),
+      "--keys", "id", "--partition-by", "region",
+      "--out", root.resolve("feed").toString)
+    cR shouldBe 0
+    oR should include("insert  1")
+    oR should include("update  1")
+    oR should include("delete  1")
+    val feed = spark.read.parquet(root.resolve("feed").toString)
+    feed.select("id", "_change_type").as[(String, String)].collect().toSet shouldBe
+      Set(("a1", "update"), ("a2", "delete"), ("a3", "insert"))
+    // missing --out / --keys are usage errors
+    cli("row-changes", "sales.accts", loc, ids(1), ids(0),
+      "--keys", "id", "--partition-by", "region")._1 shouldBe 2
+    cli("row-changes", "sales.accts", loc, ids(1), ids(0),
+      "--partition-by", "region", "--out", root.resolve("f2").toString)._1 shouldBe 2
   }
 
   it should "refuse to publish a staged delivery that fails its expectations" in {
