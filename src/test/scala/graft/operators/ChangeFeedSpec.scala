@@ -174,6 +174,43 @@ class ChangeFeedSpec extends AnyFlatSpec with Matchers {
       ("a", "delete"), ("post", "insert")) // b unchanged
   }
 
+  it should "replay per-commit feeds into the exact final table (the CDC-consumer law)" in {
+    // the law a downstream CDC consumer relies on: folding each commit's
+    // row-level feed (insert/update → upsert, delete → remove), in commit
+    // order, over an empty state reproduces the table's final content —
+    // across inserts, merges with deletes, replace-alls, and compaction
+    // (whose feed is EMPTY: rewritten bytes, identical rows)
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("cdf", "replay"),
+      new File(dir, "replay").toURI, PartitionSchema("region"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    Seq(Account("a1", "eu", 10), Account("a2", "us", 20))
+      .toDS().versionedInsertInto(engine, table, UserId("t"), "base")
+    engine.mergeInto(table,
+      Seq(Account("a1", "eu", 11), Account("a3", "eu", 30), Account("a2", "us", -1))
+        .toDS().toDF(),
+      Seq("id"), UserId("t"), "merge", deleteWhen = Some(col("balance") < 0))
+    engine.compact(table, UserId("t"), "compact")
+    Seq(Account("a4", "ap", 40), Account("a1", "eu", 12))
+      .toDS().versionedReplaceAll(engine, table, UserId("t"), "replace")
+
+    val commits = engine.log(table.name).reverse.map(_.id) // oldest → newest
+    var state = Map.empty[String, Account]
+    commits.foreach { id =>
+      engine.readRowChangesAt(table, Seq("id"), id)
+        .select("id", "region", "balance", ChangeFeed.ChangeTypeColumn)
+        .as[(String, String, Long, String)].collect()
+        .foreach {
+          case (k, r, b, "delete") => state -= k
+          case (k, r, b, _)        => state += k -> Account(k, r, b)
+        }
+    }
+    state.values.toSet shouldBe engine.read(table).as[Account].collect().toSet
+    // and the compaction commit's feed really was empty
+    val compactId = engine.log(table.name).find(_.message == "compact").get.id
+    engine.readRowChangesAt(table, Seq("id"), compactId).count() shouldBe 0
+  }
+
   it should "refuse ambiguous duplicate keys unless the caller opts out" in {
     val (engine, dir) = newEngine()
     val table = TableDefinition(TableName("cdf", "dups"),

@@ -309,6 +309,34 @@ class TableStatsSpec extends AnyFlatSpec with Matchers {
     pruned.inputFiles.length should be <= (1 + 3 * 2)
   }
 
+  it should "skip on BOTH dimensions of a z-ordered layout (multi-dimensional skipping)" in {
+    // the layout half (ScaleTools.zorderBy: every file covers a small
+    // bounding BOX in all clustered dims) composes with the stats half
+    // (per-file min/max manifests) into genuine multi-dimensional data
+    // skipping: predicates on EITHER dimension prune files, where a linear
+    // sort's layout only serves its leading column
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("test", "stats_z"),
+      new File(dir, "stats_z").toURI, PartitionSchema.snapshot, FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("x", "y"))))
+    engine.initTable(table, UserId("t"), "init")
+    val grid = spark.range(64 * 64).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    ScaleTools.zorderBy(grid, Seq("x", "y"), numFiles = 16)
+      .versionedInsertInto(engine, table, UserId("t"), "z-ordered load")
+    engine.read(table).inputFiles.length shouldBe 16
+    def prunedFiles(pred: Column): Int = {
+      val skipped = engine.readWhere(table, pred)
+      skipped.count() shouldBe engine.read(table).filter(pred).count()
+      skipped.inputFiles.length
+    }
+    // a thin slab in EACH dimension touches ~one 4x4-grid column/row of boxes
+    prunedFiles(col("x") < 8) should be <= 6
+    prunedFiles(col("y") < 8) should be <= 6
+    // the corner: both predicates compose to ~one box
+    prunedFiles(col("x") < 8 && col("y") < 8) should be <= 2
+  }
+
   behavior of "vacuum integration"
 
   it should "keep a label's manifest while ANY partition still reads that label (review finding)" in {
