@@ -394,6 +394,40 @@ object GraftCli {
         }
       }
 
+      // stats <table> <location> [--partition-by ...] — per-partition view
+      // of the CURRENT version's data-skipping manifests (TableStats):
+      // files / rows / declared stats columns / bloom presence, or a
+      // "(no stats manifest)" marker for versions written without a
+      // ColumnStatsConfig. Ops surface: answers "will my selective reads
+      // and merges prune?" without running a query.
+      case List("stats", name, location) => withTable(name) { t =>
+        withTableDef(t, location, flags, out) { table =>
+          val conf = cliSpark().sparkContext.hadoopConfiguration
+          def line(tag: String, label: String, filesFor: graft.operators.TableStats.StatsManifest => List[graft.operators.TableStats.FileStats], bloomKey: String): Unit =
+            graft.operators.TableStats.readManifest(conf, table.location, label) match {
+              case Some(m) =>
+                val fs = filesFor(m)
+                val bloom = if (m.partitionBlooms.contains(bloomKey)) "bloom" else "-"
+                out.println(f"$tag%-40s files=${fs.size}%-4d rows=${fs.map(_.rows).sum}%-10d $bloom  stats[${m.statsColumns.mkString(",")}]")
+              case None =>
+                out.println(f"$tag%-40s (no stats manifest)")
+            }
+          tracker.currentVersion(t) match {
+            case PartitionedTableVersion(pvs) if pvs.isEmpty =>
+              out.println("no partitions"); 0
+            case PartitionedTableVersion(pvs) =>
+              pvs.toList.sortBy(_._1.toPath).foreach { case (p, v) =>
+                line(p.toPath, v.label, _.filesFor(p.toHivePath), p.toHivePath)
+              }
+              0
+            case SnapshotTableVersion(v) =>
+              if (v == Version.Unversioned) out.println("unversioned (adopted) snapshot")
+              else line("<snapshot>", v.label, _.files, "")
+              0
+          }
+        }
+      }
+
       // row-changes <table> <location> <from> <to> --keys k1[,k2...]
       //   --out <dir> [--partition-by ...] [--format fmt]
       // Row-level change feed between two commits (ChangeFeed): writes
@@ -442,7 +476,7 @@ object GraftCli {
 
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|row-changes|vacuum|migrate|export|sync|stage|audit|publish|merge> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|row-changes|stats|vacuum|migrate|export|sync|stage|audit|publish|merge> ...""".stripMargin)
         2
     } catch {
       case e @ (_: UnknownTableError | _: UnknownCommitError |

@@ -367,6 +367,31 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
       "--partition-by", "batch")._1 shouldBe 2
   }
 
+  it should "report per-partition stats manifests via the stats verb" in {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import graft.core._
+    import graft.operators.VersionedTables._
+    val root = Files.createTempDirectory("graft-cli-stats-")
+    val loc = root.resolve("ledger").toUri.toString
+    cli("init", "sales.ledger")._1 shouldBe 0
+    // write WITH a stats config through the Scala API against the same store
+    val tracker = new graft.sources.FileBackedVersionTracker(
+      new java.net.URI(store), spark.sparkContext.hadoopConfiguration)
+    val engine = new graft.operators.VersionedTables(spark, tracker)
+    val table = TableDefinition(TableName("sales", "ledger"),
+      new java.net.URI(loc), PartitionSchema("region"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("balance"), bloomKeyColumns = List("id"))))
+    Seq(("a1", "eu", 10L), ("a2", "us", 20L)).toDF("id", "region", "balance")
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+    val (c, o) = cli("stats", "sales.ledger", loc, "--partition-by", "region")
+    c shouldBe 0
+    o should include("region=eu")
+    o should include("bloom")
+    o should include("stats[balance]")
+    o should include("rows=1")
+  }
+
   it should "refuse flavor-mismatched stage/audit/publish instead of silently committing nothing" in {
     val spark = graft.TestSpark.spark
     import spark.implicits._
