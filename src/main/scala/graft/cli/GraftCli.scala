@@ -24,6 +24,8 @@ import java.time.Instant
  *   graft-cli --store <uri> tags <schema.table>
  *   graft-cli --store <uri> untag <schema.table> <name>
  *   graft-cli --store <uri> changes <schema.table> <fromCommitId> <toCommitId>
+ *   graft-cli --store <uri> row-changes <schema.table> <tableLocation> <fromCommitId> <toCommitId> --keys k1[,k2] --out <dir> [--partition-by c1,c2] [--format F]
+ *   graft-cli --store <uri> stats <schema.table> <tableLocation> [--partition-by c1,c2]
  *   graft-cli --store <uri> vacuum <schema.table> <location> [--keep-last N] [--apply]
  *   graft-cli --store <uri> migrate
  *   graft-cli --store <uri> export <destUri>
@@ -42,7 +44,9 @@ import java.time.Instant
  * All commands are metadata-only (no Spark, no data movement), matching the
  * reference CLI which operates purely on the version store — except `vacuum
  * --apply` (Hadoop FS deletes of expired `_version=` directories;
- * report-only without `--apply`) and the three write-audit-publish verbs,
+ * report-only without `--apply`), `stats` (plain Hadoop FS reads of the
+ * data-skipping manifests, still no Spark), the Spark-backed `merge` and
+ * `row-changes` verbs, and the three write-audit-publish verbs,
  * which spin up a local SparkSession on demand: `stage` writes a source
  * dataset to an UNCOMMITTED version (invisible to readers; abandoning it
  * costs nothing — vacuum-reclaimable debris), `audit` runs declarative
@@ -122,6 +126,11 @@ object GraftCli {
         case Some(err) => out.println(s"error: $err"); 2
         case None      => f
       }
+
+    // one parser for --keys k1[,k2...] (merge + row-changes): a fix here
+    // reaches every keyed verb
+    def keyList: Seq[String] =
+      flags.get("keys").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
     try positional match {
       case List("tables") =>
@@ -371,8 +380,7 @@ object GraftCli {
       // (VersionedMerge semantics, partition-granular rewrite).
       case List("merge", name, location, source) => withTable(name) { t =>
         withTableDef(t, location, flags, out) { table =>
-          val keys = flags.get("keys").toSeq
-            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          val keys = keyList
           if (keys.isEmpty) {
             out.println("error: merge needs --keys k1[,k2...]"); 2
           } else withFlavorChecked(t, table) {
@@ -399,16 +407,28 @@ object GraftCli {
       // files / rows / declared stats columns / bloom presence, or a
       // "(no stats manifest)" marker for versions written without a
       // ColumnStatsConfig. Ops surface: answers "will my selective reads
-      // and merges prune?" without running a query.
+      // and merges prune?" without running a query — and without Spark:
+      // manifests are plain JSON on a Hadoop FileSystem, read through the
+      // same per-label cache the pruning passes use (one read per label,
+      // however many partitions share it).
       case List("stats", name, location) => withTable(name) { t =>
         withTableDef(t, location, flags, out) { table =>
-          val conf = cliSpark().sparkContext.hadoopConfiguration
-          def line(tag: String, label: String, filesFor: graft.operators.TableStats.StatsManifest => List[graft.operators.TableStats.FileStats], bloomKey: String): Unit =
-            graft.operators.TableStats.readManifest(conf, table.location, label) match {
+          val conf = new org.apache.hadoop.conf.Configuration()
+          def line(tag: String, label: String,
+              filesFor: graft.operators.TableStats.StatsManifest => List[graft.operators.TableStats.FileStats],
+              bloomKey: String): Unit =
+            graft.operators.TableStats.readManifestCached(conf, table.location, label) match {
               case Some(m) =>
                 val fs = filesFor(m)
-                val bloom = if (m.partitionBlooms.contains(bloomKey)) "bloom" else "-"
-                out.println(f"$tag%-40s files=${fs.size}%-4d rows=${fs.map(_.rows).sum}%-10d $bloom  stats[${m.statsColumns.mkString(",")}]")
+                if (fs.isEmpty)
+                  // the read path treats a manifest listing no files for
+                  // this partition as unprunable (full-directory fallback)
+                  // — report that, not a misleading "files=0"
+                  out.println(f"$tag%-40s (manifest lists no files here — reads fall back unpruned)")
+                else {
+                  val bloom = if (m.partitionBlooms.contains(bloomKey)) "bloom" else "-"
+                  out.println(f"$tag%-40s files=${fs.size}%-4d rows=${fs.map(_.rows).sum}%-10d $bloom  stats[${m.statsColumns.mkString(",")}]")
+                }
               case None =>
                 out.println(f"$tag%-40s (no stats manifest)")
             }
@@ -417,11 +437,17 @@ object GraftCli {
               out.println("no partitions"); 0
             case PartitionedTableVersion(pvs) =>
               pvs.toList.sortBy(_._1.toPath).foreach { case (p, v) =>
-                line(p.toPath, v.label, _.filesFor(p.toHivePath), p.toHivePath)
+                if (v == Version.Unversioned)
+                  out.println(f"${p.toPath}%-40s (pre-versioning adopted data — no manifest)")
+                else line(p.toPath, v.label, _.filesFor(p.toHivePath), p.toHivePath)
               }
               0
             case SnapshotTableVersion(v) =>
-              if (v == Version.Unversioned) out.println("unversioned (adopted) snapshot")
+              if (v == Version.Unversioned)
+                // foldVersion yields the Unversioned sentinel BOTH for a
+                // never-written snapshot table and for adopted-in-place
+                // data; say so instead of mislabeling a fresh empty table
+                out.println("no versioned data (never written, or pre-versioning data at the base path)")
               else line("<snapshot>", v.label, _.files, "")
               0
           }
@@ -437,9 +463,7 @@ object GraftCli {
       case List("row-changes", name, location, from, to) => withTable(name) { t =>
         withTableDef(t, location, flags, out) { table =>
           withFlavorChecked(t, table) {
-            val keys = flags.get("keys").toSeq
-              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-            (keys, flags.get("out")) match {
+            (keyList, flags.get("out")) match {
               case (Nil, _) => out.println("error: row-changes needs --keys k1[,k2...]"); 2
               case (_, None) => out.println("error: row-changes needs --out <dir>"); 2
               case (ks, Some(dest)) =>
