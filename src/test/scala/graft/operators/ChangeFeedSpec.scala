@@ -211,6 +211,61 @@ class ChangeFeedSpec extends AnyFlatSpec with Matchers {
     engine.readRowChangesAt(table, Seq("id"), compactId).count() shouldBe 0
   }
 
+  it should "replay per-commit feeds for RANDOM operation histories (property arm)" in {
+    // the replay law across arbitrary interleavings of the four write
+    // shapes — overwrite-by-partition inserts (absent same-partition rows
+    // DISAPPEAR, which the feed must report as deletes), keyed merges with
+    // deletes, replace-alls, and compactions
+    val regions = Seq("eu", "us", "ap")
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(7000 + seed)
+      val (engine, dir) = newEngine()
+      val table = TableDefinition(TableName("cdf", s"randreplay$seed"),
+        new File(dir, "rr").toURI, PartitionSchema("region"), FileFormat.Parquet)
+      engine.initTable(table, UserId("t"), "init")
+      def randomRows(n: Int): Seq[Account] = {
+        val ids = rnd.shuffle((0 until 10).toList).take(n)
+        ids.map(i => Account(s"a$i", regions(rnd.nextInt(3)), rnd.nextInt(100).toLong))
+      }
+      Seq(Account("a0", "eu", 1), Account("a5", "us", 5))
+        .toDS().versionedInsertInto(engine, table, UserId("t"), "base")
+      (1 to 4).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 =>
+            Seq(randomRows(1 + rnd.nextInt(3)): _*).toDS()
+              .versionedInsertInto(engine, table, UserId("t"), s"ins$step")
+          case 1 =>
+            val src = randomRows(1 + rnd.nextInt(3))
+              .map(a => if (rnd.nextInt(4) == 0) a.copy(balance = -1) else a)
+            engine.mergeInto(table, src.toDS().toDF(), Seq("id"), UserId("t"),
+              s"merge$step", deleteWhen = Some(col("balance") < 0))
+          case 2 =>
+            Seq(randomRows(1 + rnd.nextInt(3)): _*).toDS()
+              .versionedReplaceAll(engine, table, UserId("t"), s"rep$step")
+          case 3 =>
+            engine.compact(table, UserId("t"), s"compact$step")
+        }
+      }
+      // key the FEED by (id, region): overwrite-by-partition inserts can
+      // legitimately leave the same id alive in two partitions (the batch
+      // only replaces the partitions it carries), so id alone is not a
+      // table-wide row identity here — (id, partition) is
+      var state = Map.empty[(String, String), Account]
+      engine.log(table.name).reverse.map(_.id).foreach { id =>
+        engine.readRowChangesAt(table, Seq("id", "region"), id)
+          .select("id", "region", "balance", ChangeFeed.ChangeTypeColumn)
+          .as[(String, String, Long, String)].collect()
+          .foreach {
+            case (k, r, _, "delete") => state -= ((k, r))
+            case (k, r, b, _)        => state += (k, r) -> Account(k, r, b)
+          }
+      }
+      withClue(s"seed $seed: ") {
+        state.values.toSet shouldBe engine.read(table).as[Account].collect().toSet
+      }
+    }
+  }
+
   it should "refuse ambiguous duplicate keys unless the caller opts out" in {
     val (engine, dir) = newEngine()
     val table = TableDefinition(TableName("cdf", "dups"),
