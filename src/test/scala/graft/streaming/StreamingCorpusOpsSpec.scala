@@ -267,6 +267,51 @@ class StreamingCorpusOpsSpec extends AnyFlatSpec with Matchers {
       Map("m1" -> Map("a" -> "2"), "m2" -> Map.empty[String, String])
   }
 
+  "ChangeFeedStream" should "deliver each commit's row feed exactly once across restarts" in {
+    import graft.core._
+    import graft.operators.VersionedTables
+    import graft.operators.VersionedTables._
+    import graft.operators.VersionedMerge._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcstream-")
+    val storeRoot = root.resolve("store").toUri
+    val engine = VersionedTables.withFileStore(spark, storeRoot)
+    val table = TableDefinition(TableName("stream", "cdcsrc"),
+      root.resolve("cdcsrc").toUri, PartitionSchema("region"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    Seq(("a1", "eu", 10L), ("a2", "us", 20L)).toDF("id", "region", "balance")
+      .versionedInsertInto(engine, table, UserId("t"), "base")
+    engine.mergeInto(table, Seq(("a1", "eu", 11L)).toDF("id", "region", "balance"),
+      Seq("id"), UserId("t"), "merge")
+
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Set[(String, Long, String)])]
+    def run(): Unit = {
+      val q = ChangeFeedStream.rowChanges(spark, engine, storeRoot, table,
+        Seq("id"), root.resolve("chk").toString) { (id, feed) =>
+        seen += id.id -> feed.select("id", "balance", "_change_type")
+          .as[(String, Long, String)].collect().toSet
+        ()
+      }
+      q.awaitTermination() // AvailableNow terminates after draining
+    }
+    run()
+    // three commits delivered IN ORDER: init (empty feed), base (inserts),
+    // merge (one update)
+    seen.map(_._1) shouldBe engine.log(table.name).reverse.map(_.id.id)
+    seen(0)._2 shouldBe empty
+    seen(1)._2 shouldBe Set(("a1", 10L, "insert"), ("a2", 20L, "insert"))
+    seen(2)._2 shouldBe Set(("a1", 11L, "update"))
+
+    // restart on the SAME checkpoint after one more commit: only the new
+    // commit is delivered — the file-source checkpoint is the cursor
+    seen.clear()
+    Seq(("a3", "ap", 30L)).toDF("id", "region", "balance")
+      .versionedInsertInto(engine, table, UserId("t"), "late insert")
+    run()
+    seen.map(_._1) shouldBe List(engine.log(table.name).head.id.id)
+    seen(0)._2 shouldBe Set(("a3", 30L, "insert"))
+  }
+
   it should "resolve orderBy TIES deterministically, independent of batch row order" in {
     import graft.core._
     import graft.operators.VersionedTables
