@@ -131,6 +131,28 @@ object StreamingDemo {
     println("MERGE_SINK_ROWS=" + engine.read(mergeTable).count())
     println("MERGE_SINK_DISTINCT_USERS=" + engine.read(mergeTable)
       .select("user_id").distinct().count())
+
+    // streaming row-level CDC consumption off the merge sink's commits:
+    // every commit's per-row feed, in order, once — and replaying the
+    // delivered feeds reproduces the sink table (the CDC consumer law live)
+    var cdcCommits = 0
+    var cdcState = Map.empty[Long, Long] // user_id -> value
+    val q8 = graft.streaming.ChangeFeedStream.rowChanges(
+      spark, engine, tmp.resolve("store").toUri, mergeTable,
+      keyColumns = Seq("user_id"), tmp.resolve("chk_cdc").toString) { (_, feed) =>
+      cdcCommits += 1
+      feed.select("user_id", "value", "_change_type").collect().foreach { r =>
+        if (r.getString(2) == "delete") cdcState -= r.getLong(0)
+        else cdcState += r.getLong(0) -> r.getDouble(1).toLong
+      }
+    }
+    q8.awaitTermination()
+    println("CDC_STREAM_COMMITS=" + cdcCommits)
+    println("CDC_STREAM_STATE_MATCHES=" + {
+      val table = engine.read(mergeTable).select("user_id", "value")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1).toLong).toMap
+      table == cdcState
+    })
     spark.stop()
   }
 }
