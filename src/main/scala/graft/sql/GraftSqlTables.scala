@@ -44,6 +44,17 @@ import org.apache.spark.sql.types.TimestampType
  * Commit pinning happens at RESOLUTION time: each `spark.sql` call reads
  * the tracker's state when it is analyzed, exactly like the Scala API —
  * and unlike a temp view, which freezes the version it was created at.
+ * `VERSION AS OF` accepts a commit id or a TAG name (tags are the durable
+ * pins vacuum never reclaims — `VERSION AS OF 'model-v3-train'` is the
+ * SQL spelling of `readAtTag`).
+ *
+ * Known asymmetry vs the Scala API: SQL reads get partition pruning and
+ * parquet row-group pruning through Catalyst as usual, but NOT the
+ * manifest-driven per-FILE skipping of [[graft.operators.TableStats]] —
+ * the relation is substituted at resolution time, before any predicate is
+ * known. Selective scans that need file skipping use
+ * `engine.readWhere(table, predicate)` and register the result as a view
+ * if SQL text must consume it.
  */
 object GraftTableRegistry {
 
@@ -162,7 +173,23 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
           if entryFor(u).isDefined =>
         val e = entryFor(u).get
         val df = (version, timestamp) match {
-          case (Some(v), _)     => e.engine.readAt(e.table, CommitId(v))
+          case (Some(v), _) =>
+            // `VERSION AS OF` accepts a commit id OR a tag name (the
+            // Iceberg ref pattern): tags are the durable reproducibility
+            // pins (vacuum never reclaims them), so
+            // `VERSION AS OF 'model-v3-train'` is the SQL spelling of
+            // readAtTag. Commit ids win on a (pathological) collision.
+            val tracker = e.engine.tracker
+            val asCommit = CommitId(v)
+            val known = tracker.tableState(e.table.name).updates
+              .exists(_.metadata.id == asCommit)
+            if (known) e.engine.readAt(e.table, asCommit)
+            else tracker.tags(e.table.name).collectFirst {
+              case (tag, commit) if tag == v => commit
+            } match {
+              case Some(commit) => e.engine.readAt(e.table, commit)
+              case None         => e.engine.readAt(e.table, asCommit) // loud UnknownCommitError
+            }
           case (None, Some(ts)) => e.engine.readAsOf(e.table, evalInstant(ts))
           case (None, None)     => e.engine.read(e.table)
         }

@@ -64,6 +64,17 @@ class GraftSqlSpec extends AnyFlatSpec with Matchers {
       .collect().toSet shouldBe engine.readAt(table, c1).collect().toSet
   }
 
+  it should "accept a TAG name in VERSION AS OF (the durable-pin SQL spelling)" in {
+    val (engine, table, c1, _) = fixture()
+    engine.tracker.createTag(table.name, "train_v1", c1)
+    spark.sql(
+      "SELECT id, balance FROM graft.sqltest.accounts VERSION AS OF 'train_v1' ORDER BY id")
+      .as[(String, Long)].collect() shouldBe Array(("a1", 10L), ("a2", 20L))
+    // an unknown ref still fails loudly as an unknown commit
+    a[Throwable] should be thrownBy
+      spark.sql("SELECT * FROM graft.sqltest.accounts VERSION AS OF 'no_such_ref'").collect()
+  }
+
   it should "time-travel with native TIMESTAMP AS OF (last commit at or before)" in {
     val (engine, table, c1, _) = fixture()
     // strictly between c1 and c2 with a millisecond of margin: the SQL
