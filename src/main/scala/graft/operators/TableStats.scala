@@ -706,6 +706,67 @@ object TableStats {
     }
   }
 
+  // ---------------------------------------------------------------- layout ops
+
+  /** One partition's layout under the CURRENT version, derived from its
+    * stats manifest alone. `covered = false` means the version has no
+    * manifest (or no entry for this partition) — file/row figures are then
+    * unknown, not zero. */
+  final case class LayoutEntry(
+      partition: Option[Partition], // None = snapshot table
+      versionLabel: String,
+      files: Int,
+      rows: Long,
+      covered: Boolean)
+
+  /** Per-partition layout of the table's current version WITHOUT listing a
+    * single data file — the manifests already know every file and row
+    * count. This is how small-file discovery should work at 100 TB: the
+    * classic approach (recursive listing + per-file status) is O(files)
+    * remote calls; this is O(distinct version labels) manifest reads, all
+    * cache-served after the first pass. Feed the result to
+    * [[smallFileKeep]] + [[VersionedTables.compact]] to target exactly the
+    * fragmented partitions. */
+  def layoutReport(engine: VersionedTables, table: TableDefinition): List[LayoutEntry] = {
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    engine.tracker.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.toList.sortBy(_._1.toPath).map { case (p, v) =>
+          if (v == Version.Unversioned) LayoutEntry(Some(p), "", 0, 0L, covered = false)
+          else readManifestCached(conf, table.location, v.label) match {
+            case Some(m) =>
+              val fs = m.filesFor(p.toHivePath)
+              if (fs.isEmpty) LayoutEntry(Some(p), v.label, 0, 0L, covered = false)
+              else LayoutEntry(Some(p), v.label, fs.size, fs.map(_.rows).sum, covered = true)
+            case None => LayoutEntry(Some(p), v.label, 0, 0L, covered = false)
+          }
+        }
+      case SnapshotTableVersion(v) =>
+        if (v == Version.Unversioned) Nil
+        else readManifestCached(conf, table.location, v.label) match {
+          case Some(m) if m.files.nonEmpty =>
+            List(LayoutEntry(None, v.label, m.files.size, m.files.map(_.rows).sum, covered = true))
+          case _ => List(LayoutEntry(None, v.label, 0, 0L, covered = false))
+        }
+    }
+  }
+
+  /** A `keep` predicate for [[VersionedTables.compact]] selecting the
+    * partitions [[layoutReport]] flags as fragmented: more than `maxFiles`
+    * files, or an average of fewer than `minRowsPerFile` rows per file.
+    * Uncovered partitions are never selected (unknown ≠ fragmented —
+    * compact them explicitly if suspected). */
+  def smallFileKeep(
+      report: List[LayoutEntry],
+      maxFiles: Int = 8,
+      minRowsPerFile: Long = 0L): Partition => Boolean = {
+    val flagged = report.collect {
+      case LayoutEntry(Some(p), _, files, rows, true)
+          if files > maxFiles || (files > 1 && rows / files < minRowsPerFile) => p
+    }.toSet
+    flagged.contains _
+  }
+
   // ---------------------------------------------------------------- read side
 
   /** What [[readVersionWhere]] decided, for specs and plan notes: the

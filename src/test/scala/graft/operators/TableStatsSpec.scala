@@ -337,6 +337,35 @@ class TableStatsSpec extends AnyFlatSpec with Matchers {
     prunedFiles(col("x") < 8 && col("y") < 8) should be <= 2
   }
 
+  behavior of "layout report"
+
+  it should "find fragmented partitions from manifests alone and feed targeted compaction" in {
+    val (engine, table) = fixture(Some(cfg)) // 4 files per partition
+    // fragment day 1: a rewrite spread over 20 shuffle partitions → many
+    // tiny files (some round-robin partitions may be empty, so assert a
+    // bound, not the exact count)
+    spark.range(40).select((col("id") + 2000).as("id"), lit("2024-01-01").as("day"),
+        lit(1.0).as("v"), lit("x").as("cat"))
+      .repartition(20)
+      .versionedInsertInto(engine, table, UserId("t"), "fragmented rewrite")
+    val report = TableStats.layoutReport(engine, table)
+    report.size shouldBe 4
+    report.forall(_.covered) shouldBe true
+    val d1 = report.find(_.partition.exists(_.toPath == "day=2024-01-01")).get
+    d1.files should be > 8
+    d1.rows shouldBe 40
+    // target exactly the fragmented partition; untouched days keep versions
+    val keep = TableStats.smallFileKeep(report, maxFiles = 8)
+    report.count(e => e.partition.exists(keep)) shouldBe 1
+    engine.compact(table, UserId("t"), "pack day1", keep = keep)
+    val after = TableStats.layoutReport(engine, table)
+    after.find(_.partition.exists(_.toPath == "day=2024-01-01")).get.files shouldBe 1
+    // compaction is row-identical and the other partitions' labels unchanged
+    after.find(_.partition.exists(_.toPath == "day=2024-01-01")).get.rows shouldBe 40
+    report.filterNot(e => e.partition.exists(keep)).map(_.versionLabel) shouldBe
+      after.filterNot(e => e.partition.exists(keep)).map(_.versionLabel)
+  }
+
   behavior of "vacuum integration"
 
   it should "keep a label's manifest while ANY partition still reads that label (review finding)" in {
