@@ -276,10 +276,25 @@ object GraftCli {
               targets.foreach(u => out.println(s"expirable  $u"))
               out.println(s"${targets.size} expirable (re-run with --apply to delete)"); 0
             } else {
+              val conf = new org.apache.hadoop.conf.Configuration()
               val outcome = graft.sources.VersionJanitor.deleteVersionDirs(
-                new org.apache.hadoop.conf.Configuration(), loc, targets)
+                conf, loc, targets)
               outcome.deleted.foreach(u => out.println(s"deleted  $u"))
               outcome.failed.foreach { case (u, why) => out.println(s"failed   $u  ($why)") }
+              // reclaim per-LABEL artifacts like engine.vacuum does: the
+              // staging manifest always (committed versions never have one),
+              // the stats manifest only when NO retained state still reads
+              // the label through some partition
+              val liveLabels = graft.core.Retention.liveVersionLabels(
+                tracker.tableState(t), keepLast, pinned = tracker.tags(t).map(_._2))
+              outcome.deleted.foreach { uri =>
+                val label = graft.core.VersionPaths.parseVersion(uri)
+                if (label != Version.Unversioned) {
+                  graft.operators.VersionedTables.deleteStagingManifest(conf, loc, label.label)
+                  if (!liveLabels.contains(label.label))
+                    graft.operators.TableStats.deleteManifest(conf, loc, label.label)
+                }
+              }
               if (outcome.failed.isEmpty) 0 else 1
             }
         }

@@ -218,7 +218,7 @@ object TableStats {
     }
   }
 
-  private[operators] def deleteManifest(
+  private[graft] def deleteManifest(
       conf: org.apache.hadoop.conf.Configuration, location: URI, label: String): Unit = {
     manifestCache.remove((location.toString, label))
     val p = statsManifestPath(location, label)

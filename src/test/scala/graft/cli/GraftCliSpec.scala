@@ -390,6 +390,25 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     o should include("bloom")
     o should include("stats[balance]")
     o should include("rows=1")
+
+    // CLI vacuum reclaims expired labels' stats manifests like engine.vacuum
+    // — but keeps a label's manifest while any partition still reads it
+    (1 to 2).foreach { i =>
+      Seq((s"b$i", "eu", 30L + i)).toDF("id", "region", "balance")
+        .versionedInsertInto(engine, table, UserId("t"), s"rewrite eu $i")
+    }
+    val statsDir = new java.io.File(new java.net.URI(loc).getPath, "_stats")
+    def manifests() = statsDir.listFiles()
+      .count(f => f.getName.endsWith(".json") && !f.getName.startsWith("."))
+    manifests() shouldBe 3
+    cli("vacuum", "sales.ledger", loc, "--keep-last", "1", "--apply")._1 shouldBe 0
+    // v1 stays live through region=us (never rewritten); only the middle
+    // eu-only rewrite's manifest is reclaimable
+    manifests() shouldBe 2
+    val (c2, o2) = cli("stats", "sales.ledger", loc, "--partition-by", "region")
+    c2 shouldBe 0
+    o2 should include("region=us")
+    o2 should not include "(no stats manifest)"
   }
 
   it should "refuse flavor-mismatched stage/audit/publish instead of silently committing nothing" in {
