@@ -30,7 +30,11 @@ object MaintenanceDemo {
     val storeRoot = root.resolve("store").toUri
     val engine = VersionedTables.withFileStore(spark, storeRoot)
     val table = TableDefinition(TableName("demo", "events"), root.resolve("events").toUri,
-      PartitionSchema("event_date"), FileFormat.Parquet)
+      PartitionSchema("event_date"), FileFormat.Parquet,
+      // stats-declared: every write below also records its data-skipping
+      // manifest, which is what the LAYOUT_* report lines read — small-file
+      // discovery without listing a single data file
+      stats = Some(ColumnStatsConfig(List("event_id"))))
     engine.initTable(table, UserId("demo"), "init")
 
     // 1. fragmented load (4 input tasks x days = many small files)
@@ -39,11 +43,15 @@ object MaintenanceDemo {
     events.repartition(4).versionedInsertInto(engine, table, UserId("demo"), "fragmented load")
     val t1 = engine.log(table.name).head.id
     println(s"LOADED=${engine.read(table).count()}")
+    val layout = graft.operators.TableStats.layoutReport(engine, table)
+    println(s"LAYOUT_PARTS=${layout.size} LAYOUT_FRAGMENTED=${layout.count(_.files > 1)}")
 
     // 2. compact everything to one clustered file per partition
     engine.compact(table, UserId("demo"), "compact+cluster", clusterBy = Seq("user_id"))
     val t2 = engine.log(table.name).head.id
     println(s"COMPACTED_ROWS=${engine.read(table).count()}")
+    println(s"POST_PACK_MAX_FILES=${
+      graft.operators.TableStats.layoutReport(engine, table).map(_.files).max}")
 
     // 3. incremental read: what changed t1 -> t2 (everything — full rewrite)
     println(s"CDC_T1_T2=${engine.readChangesBetween(table, t1, t2).count()}")

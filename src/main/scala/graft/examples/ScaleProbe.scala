@@ -222,6 +222,28 @@ object ScaleProbe {
         engine.mergeInto(table, source, Seq("event_id"), UserId("probe"),
           "probe merge"); ()
       }),
+      "change_feed" -> (dir => {
+        // row-level CDC between the two newest commits of the stats fixture
+        // (merge_pruned keeps committing one-partition merges into it): the
+        // feed must track the CHANGED slice — one repointed partition read
+        // twice + one keyed compare — never the table. Runs after the
+        // fixture has at least one merge commit; a fresh fixture gets one.
+        import graft.operators.ChangeFeed._
+        import graft.operators.VersionedMerge._
+        val (engine, table, _) = statsFixture(dir)
+        if (engine.log(table.name).size < 3) {
+          val maxDate = graft.Tables.events(spark, dir)
+            .agg(max(to_date(col("ts")))).head().getDate(0)
+          val source = graft.Tables.events(spark, dir)
+            .withColumn("event_date", to_date(col("ts")))
+            .filter(col("event_date") === lit(maxDate) && col("event_id") % 50 === 0)
+            .withColumn("value", col("value") + lit(1.0))
+          engine.mergeInto(table, source, Seq("event_id"), UserId("probe"), "feed seed")
+        }
+        val ids = engine.log(table.name).map(_.id)
+        engine.readRowChangesBetween(table, Seq("event_id"), ids(1), ids(0))
+          .groupBy(col("_change_type")).count().collect(); ()
+      }),
       "scd2_build" -> (dir => {
         // events replicate with user offsets: per-user observation history
         // identical, xN keys — the ONE-exchange two-window build must track
