@@ -179,10 +179,12 @@ class TableStatsSpec extends AnyFlatSpec with Matchers {
     // ~one range file per original partition (+1 sampled-boundary file slack)
     atOld.inputFiles.length should be <= 8
 
-    // head: day 1 has no id<100 anymore → its files all pruned
+    // head: day 1 has no id<100 anymore → its files all pruned; the three
+    // untouched days keep ~one range file each (+ sampled-boundary slack,
+    // the same nondeterminism as the battery above)
     val atHead = engine.readWhere(table, col("id") < 100)
     atHead.count() shouldBe 300 // 100 ids × 3 untouched days, minus none (id<100 ∈ 0..399)
-    atHead.inputFiles.length shouldBe 3
+    atHead.inputFiles.length should be <= 6
   }
 
   it should "handle the null partition and all-null files soundly" in {
