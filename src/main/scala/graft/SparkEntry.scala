@@ -122,7 +122,13 @@ object SparkEntry {
     // files per partition BEFORE listing; the result must equal the plain
     // filter, which is exactly what the SQL oracle computes. The files-
     // scanned assertion lives in TableStatsSpec (inputFiles deltas).
-    "q_stats_skip_scan" -> ((spark, dir) => statsSkipFixture(spark, dir)),
+    "q_stats_skip_scan" -> ((spark, dir) => statsSkipFixture(spark, dir).scalaSkip),
+
+    // the SAME selective scan through PURE SQL text: no readWhere in sight —
+    // the optimizer-time skipping rule (graft.sql.GraftDataSkipping) prunes
+    // the WHERE's files from the graft-catalog relation transparently,
+    // closing the SQL/file-skipping asymmetry. Identical oracle.
+    "q_sql_skip_scan" -> ((spark, dir) => statsSkipFixture(spark, dir).sqlSkip),
 
     // keyed MERGE INTO at the gate: events loaded as a versioned table, then
     // ONE merge commit that updates every 10th click (+1000 to value),
@@ -389,14 +395,19 @@ object SparkEntry {
     MergeFixture(merged, changeFeed)
   }
 
-  /** q_stats_skip_scan: versioned events table declaring stats columns,
-    * written range-split on event_id so data skipping has disjoint per-file
-    * ranges to prune, then a selective [[VersionedTables.readWhere]].
-    * Memoized per (session, sfDir). */
-  private val statsSkipFixtureCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** q_stats_skip_scan + q_sql_skip_scan share one fixture: versioned
+    * events table declaring stats columns, written range-split on event_id
+    * so data skipping has disjoint per-file ranges to prune. `scalaSkip` is
+    * the eager path (a selective [[VersionedTables.readWhere]]); `sqlSkip`
+    * is the SAME scan as pure SQL text over the graft catalog, pruned at
+    * optimizer time by [[graft.sql.GraftDataSkipping]]. Memoized per
+    * (session, sfDir). */
+  private final case class StatsSkipFixture(scalaSkip: DataFrame, sqlSkip: DataFrame)
 
-  private def statsSkipFixture(spark: SparkSession, sfDir: String): DataFrame =
+  private val statsSkipFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StatsSkipFixture]()
+
+  private def statsSkipFixture(spark: SparkSession, sfDir: String): StatsSkipFixture =
     statsSkipFixtureCache.computeIfAbsent((spark, sfDir), _ => {
       Tables.prepare(spark)
       val root = graft.FixtureTempDirs.create("graft-skipfix-")
@@ -416,10 +427,18 @@ object SparkEntry {
       events.repartitionByRange(8, col("event_id"))
         .versionedInsertInto(engine, table, UserId("driver"), "load range-split")
       val threshold = events.agg(max(col("event_id"))).head().getLong(0) / 10
-      engine.readWhere(table, col("event_id") <= threshold)
+      val scalaSkip = engine.readWhere(table, col("event_id") <= threshold)
         .groupBy(col("event_date"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      graft.sql.GraftTableRegistry.register(engine, table)
+      val sqlSkip = spark.sql(
+        s"""SELECT event_date, event_type, COUNT(1) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+           |FROM graft.graft.events_stats
+           |WHERE event_id <= $threshold
+           |GROUP BY event_date, event_type""".stripMargin)
+      StatsSkipFixture(scalaSkip, sqlSkip)
     })
 
   /** The fixture's states re-expressed as SQL over the raw events parquet:
@@ -477,6 +496,13 @@ object SparkEntry {
       // the skipping read is semantically a plain filter — the oracle IS the
       // filter; integer division (max>=0) matches FLOOR(max/10)
       "q_stats_skip_scan" ->
+        s"""SELECT CAST(ts AS DATE) AS event_date, event_type, $duckFixtureAgg
+           |FROM events
+           |WHERE event_id <= CAST(FLOOR((SELECT MAX(event_id) FROM events) / 10) AS BIGINT)
+           |GROUP BY 1, 2""".stripMargin,
+      // same scan, pure SQL text through the graft catalog (optimizer-time
+      // skipping) — semantically still just the filter, identical oracle
+      "q_sql_skip_scan" ->
         s"""SELECT CAST(ts AS DATE) AS event_date, event_type, $duckFixtureAgg
            |FROM events
            |WHERE event_id <= CAST(FLOOR((SELECT MAX(event_id) FROM events) / 10) AS BIGINT)

@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // at session BUILD time, so this half has no live-session `register`
     // twin: set spark.sql.extensions when SQL table access is wanted.
     ext.injectResolutionRule(session => graft.sql.ResolveGraftTables(session))
+    // optimizer-time manifest data skipping for stats-declaring tables:
+    // runs once per query after predicate pushdown, before CBO, so join
+    // sizing sees the pruned scan (graft.sql.GraftDataSkipping)
+    ext.injectPreCBORule(session => graft.sql.GraftDataSkipping(session))
   }
 }
 

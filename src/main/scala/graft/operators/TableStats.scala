@@ -506,6 +506,12 @@ object TableStats {
           case ("startswith", Seq(l, r)) => StartsWith(l, r)
           case _                         => f.copy(arguments = a)
         }
+      // the optimizer rewrites big literal IN lists (>10 items) to InSet
+      // with INTERNAL values — re-express as In so the optimized-plan
+      // skipping path ([[graft.sql.GraftDataSkipping]]) prunes large IN
+      // lists exactly like small ones
+      case s: InSet =>
+        In(desugar(s.child), s.hset.toSeq.map(v => Literal(v, s.child.dataType)))
       case other => other.mapChildren(desugar)
     }
 
@@ -786,9 +792,21 @@ object TableStats {
       engine: VersionedTables,
       table: TableDefinition,
       version: TableVersion,
-      predicate: Column): SkipDecision = {
+      predicate: Column): SkipDecision =
+    planRead(engine, table, version,
+      org.apache.spark.sql.GraftSqlBridge.convertedExpression(predicate))
+
+  /** [[planRead]] over an already-built Catalyst expression — resolved
+    * (`AttributeReference`) and unresolved trees both evaluate; this is the
+    * entry the optimizer-time skipping rule
+    * ([[graft.sql.GraftDataSkipping]]) uses, where the predicate arrives as
+    * the optimized plan's `Filter` condition. */
+  def planRead(
+      engine: VersionedTables,
+      table: TableDefinition,
+      version: TableVersion,
+      expr: Expression): SkipDecision = {
     val conf = engine.spark.sparkContext.hadoopConfiguration
-    val expr = org.apache.spark.sql.GraftSqlBridge.convertedExpression(predicate)
     val manifests = scala.collection.mutable.Map.empty[String, Option[StatsManifest]]
     def manifestFor(v: Version): Option[StatsManifest] =
       manifests.getOrElseUpdate(v.label, readManifestCached(conf, table.location, v.label))

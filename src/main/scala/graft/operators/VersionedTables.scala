@@ -572,8 +572,10 @@ final class VersionedTables(
         // directory would let partition discovery descend into _version=
         // subdirs created by later versioned writes and return future data.
         loadDirectFilesOrEmpty(table, table.location)
-      else spark.read.format(table.format.name).options(table.options)
-        .load(VersionedTables.uriToLoadPath(VersionPaths.pathFor(table.location, v)))
+      else recordForSkipping(
+        spark.read.format(table.format.name).options(table.options)
+          .load(VersionedTables.uriToLoadPath(VersionPaths.pathFor(table.location, v))),
+        table, version)
     case PartitionedTableVersion(pvs) =>
       if (pvs.isEmpty) emptyLike(table)
       else if (pvs.valuesIterator.contains(Version.Unversioned))
@@ -604,11 +606,26 @@ final class VersionedTables(
         val paths = VersionPaths
           .resolveVersionedPartitionPaths(pvs, table.location)
           .values.map(VersionedTables.uriToLoadPath).toSeq.sorted
-        spark.read.format(table.format.name).options(table.options)
-          .option("basePath", VersionedTables.uriToLoadPath(table.location))
-          .load(paths: _*)
-          .drop(Version.VersionColumn)
+        recordForSkipping(
+          spark.read.format(table.format.name).options(table.options)
+            .option("basePath", VersionedTables.uriToLoadPath(table.location))
+            .load(paths: _*)
+            .drop(Version.VersionColumn),
+          table, version)
       }
+  }
+
+  /** For stats-declaring tables, remember which (table, version) this
+    * relation reads so the optimizer-time skipping rule
+    * ([[graft.sql.GraftDataSkipping]]) can prune it once a predicate is
+    * known — how `SELECT … WHERE …` over the SQL catalog and plain
+    * `read().filter(…)` compositions get the same file skipping as
+    * [[readWhere]]. No-op (and no analysis forced) for tables without a
+    * [[graft.core.ColumnStatsConfig]]. */
+  private def recordForSkipping(
+      df: DataFrame, table: TableDefinition, version: TableVersion): DataFrame = {
+    if (table.stats.isDefined) graft.sql.GraftScanRegistry.record(df, this, table, version)
+    df
   }
 
   /** Load exactly the data files sitting directly in `dir` (no recursion into

@@ -48,13 +48,14 @@ import org.apache.spark.sql.types.TimestampType
  * pins vacuum never reclaims — `VERSION AS OF 'model-v3-train'` is the
  * SQL spelling of `readAtTag`).
  *
- * Known asymmetry vs the Scala API: SQL reads get partition pruning and
- * parquet row-group pruning through Catalyst as usual, but NOT the
- * manifest-driven per-FILE skipping of [[graft.operators.TableStats]] —
- * the relation is substituted at resolution time, before any predicate is
- * known. Selective scans that need file skipping use
- * `engine.readWhere(table, predicate)` and register the result as a view
- * if SQL text must consume it.
+ * File skipping: the relation is substituted at resolution time, before
+ * any predicate is known — so the manifest-driven per-FILE skipping of
+ * [[graft.operators.TableStats]] is applied LATER, at optimizer time, by
+ * [[GraftDataSkipping]] once predicate pushdown has placed the `WHERE`
+ * next to the scan. `SELECT … WHERE …` over a stats-declaring table prunes
+ * exactly like `readWhere` (SqlSkippingSpec pins both the plan swap and
+ * the never-reads-pruned-files law); tables without a
+ * [[graft.core.ColumnStatsConfig]] read unpruned as before.
  */
 object GraftTableRegistry {
 

@@ -1,0 +1,216 @@
+package graft.sql
+
+import graft.TestSpark
+import graft.core._
+import graft.operators.{TableStats, VersionedTables}
+import graft.operators.VersionedTables._
+
+import java.io.File
+import java.nio.file.Files
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Optimizer-time data skipping (graft.sql.GraftDataSkipping): SQL `WHERE`
+  * over the graft catalog and plain `read().filter(…)` both get the same
+  * manifest-driven file pruning as `readWhere` — proven by plan inspection
+  * (the pruned FileIndex in the optimized plan), by corrupting the pruned
+  * files in place (a read that touched them would fail loudly), and by
+  * value equality against the skipping-disabled reference. */
+class SqlSkippingSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+
+  private def newEngine(): (VersionedTables, File) = {
+    val dir = Files.createTempDirectory("graft-sqlskip-").toFile
+    val engine = VersionedTables.withFileStore(spark, new File(dir, "store").toURI)
+    (engine, dir)
+  }
+
+  private val cfg = ColumnStatsConfig(
+    statsColumns = List("id", "v", "cat"), bloomKeyColumns = List("id"),
+    bloomExpectedItems = 1000)
+
+  /** The TableStatsSpec layout: 4 day partitions × ids 0..399 range-split
+    * into 4 files each, so selective id predicates have real files to
+    * prune. Unique table name per call — the SQL registry is global. */
+  private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def fixture(statsCfg: Option[ColumnStatsConfig] = Some(cfg))
+      : (VersionedTables, TableDefinition) = {
+    val (engine, dir) = newEngine()
+    val n = seq.incrementAndGet()
+    val table = TableDefinition(TableName("sqlskip", s"events_$n"),
+      new File(dir, s"events_$n").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = statsCfg)
+    engine.initTable(table, UserId("t"), "init")
+    val df = spark.range(1600).select(
+      (col("id") % 400).as("id"),
+      concat(lit("2024-01-0"), (floor(col("id") / 400) + 1).cast("int").cast("string")).as("day"),
+      when(col("id") % 10 === 0, lit(null).cast("double"))
+        .otherwise(col("id").cast("double") * 1.5).as("v"),
+      element_at(array(lit("a"), lit("b"), lit("c")), (col("id") % 3 + 1).cast("int")).as("cat"))
+    df.repartitionByRange(4, col("id"))
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+    (engine, table)
+  }
+
+  private def withSkippingDisabled[T](f: => T): T = {
+    spark.conf.set(GraftDataSkipping.EnabledKey, "false")
+    try f finally spark.conf.set(GraftDataSkipping.EnabledKey, "true")
+  }
+
+  /** The pruned file indexes the optimizer put into `df`'s plan (empty =
+    * the skipping rule did not fire). */
+  private def prunedIndexes(df: DataFrame): Seq[PrunedGraftFileIndex] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case p: PrunedGraftFileIndex => Some(p)
+          case _                       => None
+        }
+        case _ => None
+      }
+    }.flatten
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.select("id", "day", "v", "cat").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+
+  behavior of "transparent skipping on read().filter"
+
+  it should "prune files in the optimized plan and match the unpruned reference" in {
+    val (engine, table) = fixture()
+    val pred = col("id") < 100
+
+    val skipped = engine.read(table).filter(pred)
+    val idx = prunedIndexes(skipped)
+    idx should have size 1
+    // ~1 of 4 range files per partition (+ sampled-boundary slack)
+    idx.head.inputFiles.length should be <= 8
+    idx.head.inputFiles.length should be >= 4
+
+    val reference = withSkippingDisabled {
+      val df = engine.read(table).filter(pred)
+      prunedIndexes(df) shouldBe empty // conf off: rule must not fire
+      rows(df)
+    }
+    rows(skipped) should contain theSameElementsInOrderAs reference
+  }
+
+  it should "shrink sizeInBytes so the pruned side is honestly smaller" in {
+    val (engine, table) = fixture()
+    val full = engine.read(table)
+    val fullSize = full.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation.asInstanceOf[HadoopFsRelation].location.sizeInBytes
+    }.head
+    val idx = prunedIndexes(engine.read(table).filter(col("id") === 17))
+    idx should have size 1
+    idx.head.sizeInBytes should be < fullSize
+    idx.head.sizeInBytes should be > 0L
+  }
+
+  it should "leave non-pruning predicates, stats-less tables and disabled sessions untouched" in {
+    // every file holds cat a..c → nothing prunable: the rule must keep the
+    // ORIGINAL relation (no pointless index swap)
+    val (engine, table) = fixture()
+    prunedIndexes(engine.read(table).filter(col("cat") === "b")) shouldBe empty
+
+    // no ColumnStatsConfig → never recorded → never swapped
+    val (engine2, table2) = fixture(statsCfg = None)
+    prunedIndexes(engine2.read(table2).filter(col("id") < 100)) shouldBe empty
+  }
+
+  it should "stay correct (and keep files) for predicates the evaluator cannot bound" in {
+    val (engine, table) = fixture()
+    // arithmetic atom: conservative, no swap, exact result
+    val df = engine.read(table).filter((col("id") + 1) > 395)
+    prunedIndexes(df) shouldBe empty
+    df.count() shouldBe 5 * 4 // ids 395..399 in each of 4 days
+  }
+
+  behavior of "SQL WHERE over the graft catalog"
+
+  it should "prune through spark.sql text and equal the plain-filter reference" in {
+    val (engine, table) = fixture()
+    GraftTableRegistry.register(engine, table)
+    val sql = s"SELECT id, day, v, cat FROM graft.${table.name.fullyQualifiedName} WHERE id < 100"
+
+    val skipped = spark.sql(sql)
+    val idx = prunedIndexes(skipped)
+    idx should have size 1
+    idx.head.inputFiles.length should be <= 8
+
+    val reference = withSkippingDisabled(rows(spark.sql(sql)))
+    rows(skipped) should contain theSameElementsInOrderAs reference
+    reference.size shouldBe 100 * 4
+  }
+
+  it should "never read pruned files: corrupting them in place leaves the query exact" in {
+    val (engine, table) = fixture()
+    GraftTableRegistry.register(engine, table)
+    val sql = s"SELECT id, day, v, cat FROM graft.${table.name.fullyQualifiedName} WHERE id < 100"
+    val expected = withSkippingDisabled(rows(spark.sql(sql)))
+
+    // corrupt every data file the skip planner would NOT load
+    val decision = TableStats.planRead(engine, table,
+      engine.tracker.currentVersion(table.name), col("id") < 100)
+    val keptAbs = decision.paths
+      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val corrupted = walk(new File(table.location)).filter { f =>
+      f.getName.endsWith(".parquet") && !keptAbs.contains(f.getAbsolutePath)
+    }
+    corrupted.size should be >= 8 // most of the 16 files are out of range
+    corrupted.foreach(f => Files.write(f.toPath, "garbage".getBytes))
+
+    // the skipping read never opens them — still exact
+    rows(spark.sql(sql)) should contain theSameElementsInOrderAs expected
+    // ...while a genuinely-unpruned read fails loudly, proving the
+    // corruption took (and that skipping was what saved the query)
+    withSkippingDisabled {
+      intercept[Exception](spark.sql(sql).collect())
+    }
+  }
+
+  it should "skip under VERSION AS OF time travel with the pinned version's manifest" in {
+    val (engine, table) = fixture()
+    GraftTableRegistry.register(engine, table)
+    val c0 = engine.headCommit(table.name)
+    // reprocess day 1 with ids shifted to 1000+ — head and c0 prune differently
+    spark.range(400).select(
+        (col("id") + 1000).as("id"), lit("2024-01-01").as("day"),
+        col("id").cast("double").as("v"), lit("z").as("cat"))
+      .repartitionByRange(2, col("id"))
+      .versionedInsertInto(engine, table, UserId("t"), "reprocess day 1")
+
+    val asOf = spark.sql(
+      s"""SELECT id, day, v, cat FROM graft.${table.name.fullyQualifiedName}
+         |VERSION AS OF '${c0.id}' WHERE id < 100""".stripMargin)
+    val idx = prunedIndexes(asOf)
+    idx should have size 1
+    idx.head.inputFiles.length should be <= 8
+    asOf.count() shouldBe 100 * 4 // the ORIGINAL state, all four days
+
+    // head: day 1 holds no id < 100 → all its files pruned
+    val head = spark.sql(
+      s"SELECT id FROM graft.${table.name.fullyQualifiedName} WHERE id < 100")
+    prunedIndexes(head).head.inputFiles.length should be <= 6
+    head.count() shouldBe 100 * 3
+  }
+
+  it should "prune big IN lists too (InSet re-expressed for the evaluator)" in {
+    val (engine, table) = fixture()
+    GraftTableRegistry.register(engine, table)
+    // 15 > the 10-item In→InSet optimizer threshold; all ids in [0, 15)
+    val ids = (0 until 15).mkString(", ")
+    val df = spark.sql(
+      s"SELECT id, day FROM graft.${table.name.fullyQualifiedName} WHERE id IN ($ids)")
+    val idx = prunedIndexes(df)
+    idx should have size 1
+    idx.head.inputFiles.length should be <= 8
+    df.count() shouldBe 15 * 4
+  }
+}
