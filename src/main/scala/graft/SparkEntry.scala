@@ -130,6 +130,17 @@ object SparkEntry {
     // closing the SQL/file-skipping asymmetry. Identical oracle.
     "q_sql_skip_scan" -> ((spark, dir) => statsSkipFixture(spark, dir).sqlSkip),
 
+    // metadata-only aggregation over the same fixture: COUNT/MIN/MAX/null
+    // counts folded from the commit-time stats manifests DRIVER-side
+    // (graft.operators.MetadataQuery) — zero data files opened for the
+    // covered table; the oracle recomputes the same figures by scanning
+    "q_metadata_agg" -> ((spark, dir) => statsSkipFixture(spark, dir).metaAgg),
+
+    // the SQL face of the same capability: a global COUNT/MIN/MAX in pure
+    // SQL text collapses to a one-row LocalRelation answered from the
+    // manifests (graft.sql.GraftMetadataAggregate) — no scan in the plan
+    "q_sql_metadata_agg" -> ((spark, dir) => statsSkipFixture(spark, dir).sqlMetaAgg),
+
     // keyed MERGE INTO at the gate: events loaded as a versioned table, then
     // ONE merge commit that updates every 10th click (+1000 to value),
     // inserts a synthetic twin of every 100th view (id offset +10M), and
@@ -402,7 +413,8 @@ object SparkEntry {
     * is the SAME scan as pure SQL text over the graft catalog, pruned at
     * optimizer time by [[graft.sql.GraftDataSkipping]]. Memoized per
     * (session, sfDir). */
-  private final case class StatsSkipFixture(scalaSkip: DataFrame, sqlSkip: DataFrame)
+  private final case class StatsSkipFixture(
+      scalaSkip: DataFrame, sqlSkip: DataFrame, metaAgg: DataFrame, sqlMetaAgg: DataFrame)
 
   private val statsSkipFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StatsSkipFixture]()
@@ -438,7 +450,13 @@ object SparkEntry {
            |FROM graft.graft.events_stats
            |WHERE event_id <= $threshold
            |GROUP BY event_date, event_type""".stripMargin)
-      StatsSkipFixture(scalaSkip, sqlSkip)
+      val metaAgg = graft.operators.MetadataQuery.summarize(
+        engine, table, Seq("event_id", "value"))
+      val sqlMetaAgg = spark.sql(
+        """SELECT COUNT(*) AS n_rows, COUNT(value) AS n_values,
+          |  MIN(event_id) AS event_id_min, MAX(event_id) AS event_id_max
+          |FROM graft.graft.events_stats""".stripMargin)
+      StatsSkipFixture(scalaSkip, sqlSkip, metaAgg, sqlMetaAgg)
     })
 
   /** The fixture's states re-expressed as SQL over the raw events parquet:
@@ -507,6 +525,20 @@ object SparkEntry {
            |FROM events
            |WHERE event_id <= CAST(FLOOR((SELECT MAX(event_id) FROM events) / 10) AS BIGINT)
            |GROUP BY 1, 2""".stripMargin,
+      // the metadata-only summary, recomputed by an actual scan: identical
+      // figures prove the driver-side manifest fold is exact
+      "q_metadata_agg" ->
+        s"""SELECT COUNT(*) AS n_rows,
+           |  MIN(event_id) AS event_id_min, MAX(event_id) AS event_id_max,
+           |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,
+           |  MIN(value) AS value_min, MAX(value) AS value_max,
+           |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls
+           |FROM events""".stripMargin,
+      // the SQL metadata-aggregate, recomputed by scanning
+      "q_sql_metadata_agg" ->
+        s"""SELECT COUNT(*) AS n_rows, COUNT(value) AS n_values,
+           |  MIN(event_id) AS event_id_min, MAX(event_id) AS event_id_max
+           |FROM events""".stripMargin,
       // MERGE algebra replayed in SQL: survivors (keys matched by neither the
       // update nor the delete class) + updated rows + inserted rows
       "q_merge_upsert" ->

@@ -499,6 +499,30 @@ object GraftCli {
         }
       }
 
+      // summary <table> <location> --columns c1[,c2...] [--partition-by ...]
+      // — one-line exact COUNT/MIN/MAX/null-count report per column
+      // (graft.operators.MetadataQuery): folded from the stats manifests
+      // driver-side where covered, with exactly the uncovered partitions
+      // scanned. The metadata-fast twin of a full-table aggregate.
+      case List("summary", name, location) => withTable(name) { t =>
+        withTableDef(t, location, flags, out) { table =>
+          withFlavorChecked(t, table) {
+            val cols = flags.get("columns").toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            val engine = new graft.operators.VersionedTables(cliSpark(), tracker)
+            val row = graft.operators.MetadataQuery.summarize(table = table,
+              engine = engine, columns = cols).head()
+            out.println(s"rows    ${row.getLong(0)}")
+            cols.map(_.toLowerCase).zipWithIndex.foreach { case (c, i) =>
+              val base = 1 + i * 3
+              def v(j: Int): String = if (row.isNullAt(j)) "NULL" else row.get(j).toString
+              out.println(f"$c%-20s min=${v(base)}  max=${v(base + 1)}  nulls=${row.getLong(base + 2)}")
+            }
+            0
+          }
+        }
+      }
+
       case List("migrate") =>
         // convert reference-layout (_chronicles_table_*) stores under the
         // root into graft-v2 layout; file store only (the JDBC store has no
@@ -515,7 +539,7 @@ object GraftCli {
 
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|row-changes|stats|vacuum|migrate|export|sync|stage|audit|publish|merge> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|row-changes|stats|summary|vacuum|migrate|export|sync|stage|audit|publish|merge> ...""".stripMargin)
         2
     } catch {
       case e @ (_: UnknownTableError | _: UnknownCommitError |

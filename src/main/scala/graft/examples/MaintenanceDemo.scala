@@ -46,6 +46,18 @@ object MaintenanceDemo {
     val layout = graft.operators.TableStats.layoutReport(engine, table)
     println(s"LAYOUT_PARTS=${layout.size} LAYOUT_FRAGMENTED=${layout.count(_.files > 1)}")
 
+    // metadata-only aggregation off the same manifests: COUNT/MIN/MAX with
+    // zero data files opened (cross-checked against the real scan)
+    locally {
+      val s = graft.operators.MetadataQuery.summarize(engine, table, Seq("event_id")).head()
+      val ref = engine.read(table)
+        .agg(count(lit(1)), min(col("event_id")), max(col("event_id"))).head()
+      println(s"SUMMARY_ROWS=${s.getLong(0)} SUMMARY_ID_MAX=${s.getLong(2)} " +
+        s"SUMMARY_MATCHES_SCAN=${
+          s.getLong(0) == ref.getLong(0) && s.getLong(1) == ref.getLong(1) &&
+          s.getLong(2) == ref.getLong(2)}")
+    }
+
     // 2. compact everything to one clustered file per partition
     engine.compact(table, UserId("demo"), "compact+cluster", clusterBy = Seq("user_id"))
     val t2 = engine.log(table.name).head.id

@@ -205,6 +205,17 @@ object ScaleProbe {
         engine.readWhere(table, col("event_id") <= thr)
           .agg(count(lit(1)), sum(col("value"))).collect(); ()
       }),
+      "metadata_agg" -> (dir => {
+        // metadata-only aggregation (q_metadata_agg shape): COUNT + two
+        // columns' MIN/MAX/nulls folded from the manifests driver-side. The
+        // fixture build lands in rep 1; the steady state is pure driver
+        // work over CACHED manifests — the slope should track the FILE
+        // count (more writer tasks at ×N), never the row count, and stay
+        // milliseconds at any scale. The collect() is a 1-row local frame.
+        val (engine, table, _) = statsFixture(dir)
+        graft.operators.MetadataQuery.summarize(
+          engine, table, Seq("event_id", "value")).collect(); ()
+      }),
       "merge_pruned" -> (dir => {
         // MERGE discovery pruning: the source updates ~1/50 of ONE date's
         // keys; the manifest Blooms prove the other 29 partitions hold none

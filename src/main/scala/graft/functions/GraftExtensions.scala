@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // runs once per query after predicate pushdown, before CBO, so join
     // sizing sees the pruned scan (graft.sql.GraftDataSkipping)
     ext.injectPreCBORule(session => graft.sql.GraftDataSkipping(session))
+    // ...and its aggregate companion: global COUNT/MIN/MAX over a covered
+    // stats-declaring table collapses to a one-row LocalRelation answered
+    // from the manifests (graft.sql.GraftMetadataAggregate)
+    ext.injectPreCBORule(session => graft.sql.GraftMetadataAggregate(session))
   }
 }
 

@@ -96,6 +96,112 @@ object GraftDataSkipping {
 }
 
 /**
+ * Metadata-only aggregate rewrite for SQL text — the companion of
+ * [[GraftDataSkipping]] and the optimizer-time face of
+ * [[graft.operators.MetadataQuery]] (the Delta
+ * `OptimizeMetadataOnlyDeltaQuery` pattern): a global (no GROUP BY, no
+ * WHERE) `COUNT(*)` / `COUNT(col)` / `MIN(col)` / `MAX(col)` over a
+ * recorded stats-declaring relation is answered from the commit-time
+ * manifests and replaced with a one-row [[LocalRelation]] — the "scan"
+ * disappears from the plan entirely, so
+ * `SELECT COUNT(*) FROM graft.s.t [VERSION AS OF …]` costs cached
+ * manifest reads, not a cluster sweep.
+ *
+ * Rewrite happens ONLY when it is provably exact:
+ *   - every aggregate is plain (no DISTINCT, no FILTER clause) and one of
+ *     the four supported shapes over a direct column / literal;
+ *   - the child is the recorded relation, at most behind a column-pruning
+ *     Project (a `Filter` anywhere disqualifies — that plan belongs to
+ *     [[GraftDataSkipping]] instead);
+ *   - [[graft.operators.MetadataQuery.foldFullyCovered]] answers, i.e.
+ *     EVERY file of EVERY partition is metadata-decidable for the touched
+ *     columns (bounds present and decodable; NaN/±Inf-touched files make
+ *     it refuse). Any doubt → the plan is left alone and Spark scans.
+ * The replacement keeps the Aggregate's exact output attributes, so
+ * nothing above the node can tell — except that the files are never read
+ * (SqlSkippingSpec corrupts all of them to prove it). Disable with the
+ * shared `spark.graft.dataSkipping.enabled=false`.
+ */
+final case class GraftMetadataAggregate(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
+  import graft.operators.MetadataQuery
+
+  private def enabled: Boolean =
+    session.conf.get(GraftDataSkipping.EnabledKey, "true").toBoolean
+
+  /** What one aggregate output asks of the manifests. */
+  private sealed trait Req
+  private case object CountStar extends Req
+  private final case class CountCol(c: String) extends Req
+  private final case class MinCol(c: String) extends Req
+  private final case class MaxCol(c: String) extends Req
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case agg @ Aggregate(groupingExprs, aggExprs, PrunedScan(entry), _)
+          if groupingExprs.isEmpty =>
+        rewrite(agg, aggExprs, entry).getOrElse(agg)
+    }
+
+  /** The recorded relation, at most behind pure column pruning. */
+  private object PrunedScan {
+    def unapply(p: LogicalPlan): Option[GraftScanRegistry.Entry] = p match {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation => GraftScanRegistry.lookup(fs)
+          case _                    => None
+        }
+      case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        unapply(child)
+      case _ => None
+    }
+  }
+
+  private def requestOf(e: org.apache.spark.sql.catalyst.expressions.NamedExpression)
+      : Option[Req] = e match {
+    case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(v, _))) if v != null       => Some(CountStar)
+        case Count(Seq(a: AttributeReference))            => Some(CountCol(a.name.toLowerCase))
+        case Min(a: AttributeReference)                   => Some(MinCol(a.name.toLowerCase))
+        case Max(a: AttributeReference)                   => Some(MaxCol(a.name.toLowerCase))
+        case _                                            => None
+      }
+    case _ => None
+  }
+
+  private def rewrite(
+      agg: Aggregate,
+      aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      entry: GraftScanRegistry.Entry): Option[LogicalPlan] =
+    try {
+      val reqs = aggExprs.map(requestOf)
+      if (reqs.exists(_.isEmpty)) return None
+      val cols = reqs.flatten.collect {
+        case CountCol(c) => c; case MinCol(c) => c; case MaxCol(c) => c
+      }.distinct
+      MetadataQuery.foldFullyCovered(entry.engine, entry.table, entry.version, cols)
+        .map { fold =>
+          val values: Seq[Any] = reqs.flatten.map {
+            case CountStar   => fold.rows
+            case CountCol(c) => fold.rows - fold.cols(c).nulls
+            case MinCol(c)   => fold.cols(c).min.orNull
+            case MaxCol(c)   => fold.cols(c).max.orNull
+          }
+          LocalRelation.fromExternalRows(agg.output, Seq(Row.fromSeq(values)))
+        }
+    } catch {
+      // answering from metadata is an optimization: any surprise (manifest
+      // vanished mid-flight, undecodable value) degrades to the real scan
+      case NonFatal(_) => None
+    }
+}
+
+/**
  * What [[VersionedTables.readVersion]] records so the optimizer rule can
  * identify a file relation as "version X of graft table T": a WEAK map from
  * the relation object to its provenance. Entries are collected with their

@@ -367,6 +367,34 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
       "--partition-by", "batch")._1 shouldBe 2
   }
 
+  it should "print an exact metadata-fast table summary via the summary verb" in {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import graft.core._
+    import graft.operators.VersionedTables._
+    val root = Files.createTempDirectory("graft-cli-summary-")
+    val loc = root.resolve("summ").toUri.toString
+    cli("init", "sales.summ")._1 shouldBe 0
+    val tracker = new graft.sources.FileBackedVersionTracker(
+      new java.net.URI(store), spark.sparkContext.hadoopConfiguration)
+    val engine = new graft.operators.VersionedTables(spark, tracker)
+    val table = TableDefinition(TableName("sales", "summ"),
+      new java.net.URI(loc), PartitionSchema("region"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("balance"))))
+    Seq(("a1", "eu", 10L), ("a2", "us", 20L), ("a3", "eu", 5L))
+      .toDF("id", "region", "balance")
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+    val (c, o) = cli("summary", "sales.summ", loc,
+      "--partition-by", "region", "--columns", "balance")
+    c shouldBe 0
+    o should include("rows    3")
+    o should include("min=5")
+    o should include("max=20")
+    o should include("nulls=0")
+    // flavor guard holds for the new verb too
+    cli("summary", "sales.summ", loc, "--columns", "balance")._1 shouldBe 2
+  }
+
   it should "report per-partition stats manifests via the stats verb" in {
     val spark = graft.TestSpark.spark
     import spark.implicits._

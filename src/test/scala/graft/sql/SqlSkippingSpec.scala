@@ -201,6 +201,113 @@ class SqlSkippingSpec extends AnyFlatSpec with Matchers {
     head.count() shouldBe 100 * 3
   }
 
+  behavior of "metadata-only SQL aggregates (GraftMetadataAggregate)"
+
+  private def corruptAll(table: TableDefinition): Int = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val files = walk(new File(table.location)).filter(_.getName.endsWith(".parquet"))
+    files.foreach(f => Files.write(f.toPath, "garbage".getBytes))
+    files.size
+  }
+
+  private def isMetadataAnswered(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.optimizedPlan
+    val hasLocal = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty
+    val hasScan = plan.collect { case lr: LogicalRelation => lr }.nonEmpty
+    hasLocal && !hasScan
+  }
+
+  it should "collapse global COUNT/MIN/MAX to a LocalRelation that survives total corruption" in {
+    val (engine, table) = fixture()
+    GraftTableRegistry.register(engine, table)
+    val sql = s"""SELECT COUNT(*) AS n, COUNT(v) AS nv, MIN(id) AS mn, MAX(id) AS mx
+                 |FROM graft.${table.name.fullyQualifiedName}""".stripMargin
+
+    val df = spark.sql(sql)
+    isMetadataAnswered(df) shouldBe true
+    val r = df.head()
+    r.getLong(0) shouldBe 1600L
+    r.getLong(1) shouldBe 1440L // v null on every 10th id
+    r.getLong(2) shouldBe 0L
+    r.getLong(3) shouldBe 399L
+
+    // analyzed-but-unexecuted frames: building a v1 relation reads ONE
+    // footer for schema inference, so analysis must precede the corruption
+    // — what the law pins is that EXECUTION never touches the data
+    val again = spark.sql(sql)
+    val real = withSkippingDisabled {
+      val d = spark.sql(sql)
+      // the conf is read at OPTIMIZATION time — force the unrewritten
+      // plan while still disabled
+      isMetadataAnswered(d) shouldBe false
+      d
+    }
+
+    corruptAll(table) shouldBe 16
+    // the metadata answer never opens a file — still exact
+    again.head() shouldBe r
+    // ...while the genuine aggregation must read the (now corrupt) files
+    intercept[Exception](real.collect())
+  }
+
+  it should "not rewrite WHERE / GROUP BY / DISTINCT / unsupported aggregates" in {
+    val (engine, table) = fixture()
+    GraftTableRegistry.register(engine, table)
+    val t = s"graft.${table.name.fullyQualifiedName}"
+    isMetadataAnswered(spark.sql(s"SELECT COUNT(*) AS n FROM $t WHERE id < 10")) shouldBe false
+    isMetadataAnswered(spark.sql(s"SELECT day, COUNT(*) AS n FROM $t GROUP BY day")) shouldBe false
+    isMetadataAnswered(spark.sql(s"SELECT COUNT(DISTINCT id) AS n FROM $t")) shouldBe false
+    isMetadataAnswered(spark.sql(s"SELECT AVG(id) AS a FROM $t")) shouldBe false
+    // and the unrewritten plans still answer correctly
+    spark.sql(s"SELECT COUNT(*) AS n FROM $t WHERE id < 10").head().getLong(0) shouldBe 40L
+    spark.sql(s"SELECT AVG(id) AS a FROM $t").head().getDouble(0) shouldBe 199.5
+  }
+
+  it should "answer VERSION AS OF aggregates from the pinned version's manifests" in {
+    val (engine, table) = fixture()
+    GraftTableRegistry.register(engine, table)
+    val c0 = engine.headCommit(table.name)
+    spark.range(50).select(
+        (col("id") + 7000).as("id"), lit("2024-01-02").as("day"),
+        lit(1.0).as("v"), lit("z").as("cat"))
+      .repartition(1)
+      .versionedInsertInto(engine, table, UserId("t"), "reprocess day 2")
+
+    val t = s"graft.${table.name.fullyQualifiedName}"
+    val head = spark.sql(s"SELECT COUNT(*) AS n, MAX(id) AS mx FROM $t")
+    val asOf = spark.sql(s"SELECT COUNT(*) AS n, MAX(id) AS mx FROM $t VERSION AS OF '${c0.id}'")
+    isMetadataAnswered(head) shouldBe true
+    isMetadataAnswered(asOf) shouldBe true
+    head.head().toSeq shouldBe Seq(1600L - 400L + 50L, 7049L)
+    asOf.head().toSeq shouldBe Seq(1600L, 399L)
+  }
+
+  it should "refuse NaN-touched bounds but still answer COUNT from metadata" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("sqlskip", s"nan_${seq.incrementAndGet()}"),
+      new File(dir, "nan").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("x"))))
+    engine.initTable(table, UserId("t"), "init")
+    spark.range(100).select(
+        lit("d1").as("day"),
+        when(col("id") === 50, lit(Double.NaN)).otherwise(col("id").cast("double")).as("x"))
+      .repartition(1).versionedInsertInto(engine, table, UserId("t"), "load with NaN")
+    GraftTableRegistry.register(engine, table)
+    val t = s"graft.${table.name.fullyQualifiedName}"
+
+    // MAX(x): the NaN made the manifest bound unrepresentable → real scan
+    val mx = spark.sql(s"SELECT MAX(x) AS mx FROM $t")
+    isMetadataAnswered(mx) shouldBe false
+    mx.head().getDouble(0).isNaN shouldBe true
+    // COUNT needs no bounds → still metadata-answered on the same table
+    val cnt = spark.sql(s"SELECT COUNT(*) AS n FROM $t")
+    isMetadataAnswered(cnt) shouldBe true
+    cnt.head().getLong(0) shouldBe 100L
+  }
+
   it should "prune big IN lists too (InSet re-expressed for the evaluator)" in {
     val (engine, table) = fixture()
     GraftTableRegistry.register(engine, table)
