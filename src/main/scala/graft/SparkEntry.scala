@@ -141,6 +141,13 @@ object SparkEntry {
     // manifests (graft.sql.GraftMetadataAggregate) — no scan in the plan
     "q_sql_metadata_agg" -> ((spark, dir) => statsSkipFixture(spark, dir).sqlMetaAgg),
 
+    // ...and the partition-FILTERED form: COUNT/MIN over the last six days
+    // only. The WHERE references only the partition column, so the rewrite
+    // evaluates it two-valued against each partition's known value and
+    // folds just the kept partitions' manifests — an exact windowed count
+    // with no scan in the plan
+    "q_sql_meta_count_range" -> ((spark, dir) => statsSkipFixture(spark, dir).sqlMetaRange),
+
     // keyed MERGE INTO at the gate: events loaded as a versioned table, then
     // ONE merge commit that updates every 10th click (+1000 to value),
     // inserts a synthetic twin of every 100th view (id offset +10M), and
@@ -414,7 +421,8 @@ object SparkEntry {
     * optimizer time by [[graft.sql.GraftDataSkipping]]. Memoized per
     * (session, sfDir). */
   private final case class StatsSkipFixture(
-      scalaSkip: DataFrame, sqlSkip: DataFrame, metaAgg: DataFrame, sqlMetaAgg: DataFrame)
+      scalaSkip: DataFrame, sqlSkip: DataFrame, metaAgg: DataFrame, sqlMetaAgg: DataFrame,
+      sqlMetaRange: DataFrame)
 
   private val statsSkipFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StatsSkipFixture]()
@@ -456,7 +464,13 @@ object SparkEntry {
         """SELECT COUNT(*) AS n_rows, COUNT(value) AS n_values,
           |  MIN(event_id) AS event_id_min, MAX(event_id) AS event_id_max
           |FROM graft.graft.events_stats""".stripMargin)
-      StatsSkipFixture(scalaSkip, sqlSkip, metaAgg, sqlMetaAgg)
+      val cutoff = events.agg(max(col("event_date"))).head().getDate(0)
+        .toLocalDate.minusDays(5)
+      val sqlMetaRange = spark.sql(
+        s"""SELECT COUNT(*) AS n_rows, MIN(event_id) AS event_id_min
+           |FROM graft.graft.events_stats
+           |WHERE event_date >= DATE'$cutoff'""".stripMargin)
+      StatsSkipFixture(scalaSkip, sqlSkip, metaAgg, sqlMetaAgg, sqlMetaRange)
     })
 
   /** The fixture's states re-expressed as SQL over the raw events parquet:
@@ -539,6 +553,13 @@ object SparkEntry {
         s"""SELECT COUNT(*) AS n_rows, COUNT(value) AS n_values,
            |  MIN(event_id) AS event_id_min, MAX(event_id) AS event_id_max
            |FROM events""".stripMargin,
+      // the partition-filtered metadata count, recomputed by scanning (the
+      // fixture embeds max(event_date) - 5 days as a literal; the oracle
+      // re-derives the same cutoff)
+      "q_sql_meta_count_range" ->
+        s"""SELECT COUNT(*) AS n_rows, MIN(event_id) AS event_id_min
+           |FROM events
+           |WHERE CAST(ts AS DATE) >= (SELECT MAX(CAST(ts AS DATE)) FROM events) - 5""".stripMargin,
       // MERGE algebra replayed in SQL: survivors (keys matched by neither the
       // update nor the delete class) + updated rows + inserted rows
       "q_merge_upsert" ->

@@ -31,14 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // at session BUILD time, so this half has no live-session `register`
     // twin: set spark.sql.extensions when SQL table access is wanted.
     ext.injectResolutionRule(session => graft.sql.ResolveGraftTables(session))
-    // optimizer-time manifest data skipping for stats-declaring tables:
-    // runs once per query after predicate pushdown, before CBO, so join
-    // sizing sees the pruned scan (graft.sql.GraftDataSkipping)
-    ext.injectPreCBORule(session => graft.sql.GraftDataSkipping(session))
-    // ...and its aggregate companion: global COUNT/MIN/MAX over a covered
-    // stats-declaring table collapses to a one-row LocalRelation answered
-    // from the manifests (graft.sql.GraftMetadataAggregate)
+    // optimizer-time metadata aggregation + manifest data skipping for
+    // stats-declaring tables, both pre-CBO (after predicate pushdown,
+    // before join sizing). ORDER MATTERS: the aggregate rewrite must see
+    // the ORIGINAL recorded relation — the skipping rule swaps in a pruned
+    // FileIndex copy that is deliberately NOT in the registry (that is its
+    // own recursion guard), so it runs second.
     ext.injectPreCBORule(session => graft.sql.GraftMetadataAggregate(session))
+    ext.injectPreCBORule(session => graft.sql.GraftDataSkipping(session))
   }
 }
 

@@ -84,6 +84,77 @@ object MetadataQuery {
     else Some(fold(s.answeredFiles, cols, s.colTypes))
   }
 
+  /** [[foldFullyCovered]] restricted to an EXACT partition selection —
+    * the entry behind partition-filtered SQL metadata aggregates
+    * (`SELECT COUNT(*) … WHERE day = '2024-03-01'`): the caller evaluates
+    * the partition predicate two-valued (partition values are known
+    * scalars, so there is no "maybe"), and this folds ONLY the kept
+    * partitions. `partitionCols` additionally answers aggregates OVER
+    * partition columns themselves — a partition value is an exact
+    * min=max for all its rows (the null partition contributes rows to the
+    * null count instead). `None` unless every KEPT partition is fully
+    * metadata-decidable; unkept partitions never disqualify (that is the
+    * point of filtering). Snapshot tables accept only the trivial request
+    * (no partition columns — they have none). Zero data-file IO. */
+  def foldCoveredSelected(
+      engine: VersionedTables,
+      table: TableDefinition,
+      version: TableVersion,
+      dataCols: Seq[String],
+      partitionCols: Map[String, DataType],
+      keep: Partition => Boolean): Option[CoveredFold] = {
+    val cols = normalized(dataCols)
+    version match {
+      case SnapshotTableVersion(_) =>
+        if (partitionCols.nonEmpty) None
+        else foldFullyCovered(engine, table, version, cols)
+      case PartitionedTableVersion(pvs) =>
+        val keptVersion = PartitionedTableVersion(pvs.filter(kv => keep(kv._1)))
+        val s = split(engine, table, keptVersion, cols)
+        if (s.residue.isDefined || !cols.forall(s.colTypes.contains)) None
+        else {
+          val dataFold = fold(s.answeredFiles, cols, s.colTypes)
+          // partition columns: fold the kept partitions' VALUES, weighted
+          // by their (manifest-known) row counts
+          val manifests = scala.collection.mutable.Map.empty[String, Option[StatsManifest]]
+          val conf = engine.spark.sparkContext.hadoopConfiguration
+          def rowsOf(p: Partition, v: Version): Long =
+            manifests.getOrElseUpdate(v.label,
+              TableStats.readManifestCached(conf, table.location, v.label))
+              .map(_.filesFor(p.toHivePath).map(_.rows).sum).getOrElse(0L)
+          val partFolds: Option[Map[String, ColFold]] = partitionCols.toList
+            .foldLeft(Option(Map.empty[String, ColFold])) { case (accOpt, (c, dt)) =>
+              accOpt.flatMap { acc =>
+                keptVersion.partitionVersions.toList
+                  .foldLeft(Option(ColFold(None, None, 0L))) { case (fOpt, (p, v)) =>
+                    fOpt.flatMap { f =>
+                      val rows = rowsOf(p, v)
+                      if (rows == 0) Some(f)
+                      else p.columnValues.find(_.column.name.equalsIgnoreCase(c)) match {
+                        case None => None // not a partition column after all
+                        case Some(cv) if cv.value == PathCodec.DefaultPartitionName =>
+                          Some(f.copy(nulls = f.nulls + rows))
+                        case Some(cv) =>
+                          externalValue(dt, cv.value).map { ext =>
+                            ColFold(
+                              combine(dt, f.min, Some(ext), takeMin = true),
+                              combine(dt, f.max, Some(ext), takeMin = false),
+                              f.nulls)
+                          } // undecodable partition value → refuse whole fold
+                      }
+                    }
+                  }
+                  .map(fold => acc + (c.toLowerCase -> fold))
+              }
+            }
+          partFolds.map { pf =>
+            CoveredFold(dataFold.rows, dataFold.cols ++ pf,
+              dataFold.colTypes ++ partitionCols.map { case (c, dt) => c.toLowerCase -> dt })
+          }
+        }
+    }
+  }
+
   /** [[summarize]] at any pinned state — time travel included (manifests
     * are per version label, so history folds exactly like the head). */
   def summarizeVersion(

@@ -124,9 +124,14 @@ object GraftDataSkipping {
  */
 final case class GraftMetadataAggregate(session: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.Row
-  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, BindReferences, Cast, EvalMode, Literal}
   import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
-  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, LocalRelation, Project}
+  import org.apache.spark.sql.internal.SQLConf
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.core.{PathCodec, Partition}
   import graft.operators.MetadataQuery
 
   private def enabled: Boolean =
@@ -142,23 +147,29 @@ final case class GraftMetadataAggregate(session: SparkSession) extends Rule[Logi
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
-      case agg @ Aggregate(groupingExprs, aggExprs, PrunedScan(entry), _)
+      case agg @ Aggregate(groupingExprs, aggExprs, FilteredScan(cond, entry), _)
           if groupingExprs.isEmpty =>
-        rewrite(agg, aggExprs, entry).getOrElse(agg)
+        rewrite(agg, aggExprs, cond, entry).getOrElse(agg)
     }
 
-  /** The recorded relation, at most behind pure column pruning. */
-  private object PrunedScan {
-    def unapply(p: LogicalPlan): Option[GraftScanRegistry.Entry] = p match {
-      case lr: LogicalRelation =>
-        lr.relation match {
-          case fs: HadoopFsRelation => GraftScanRegistry.lookup(fs)
-          case _                    => None
-        }
-      case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
-        unapply(child)
-      case _ => None
-    }
+  /** The recorded relation, at most behind pure column pruning and an
+    * optional pushed-down Filter (conjoined if several). */
+  private object FilteredScan {
+    def unapply(p: LogicalPlan): Option[(Option[Expression], GraftScanRegistry.Entry)] =
+      p match {
+        case lr: LogicalRelation =>
+          lr.relation match {
+            case fs: HadoopFsRelation => GraftScanRegistry.lookup(fs).map((None, _))
+            case _                    => None
+          }
+        case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+          unapply(child)
+        case LFilter(c, child) =>
+          unapply(child).map { case (inner, e) =>
+            (Some(inner.fold(c)(And(c, _))), e)
+          }
+        case _ => None
+      }
   }
 
   private def requestOf(e: org.apache.spark.sql.catalyst.expressions.NamedExpression)
@@ -174,29 +185,94 @@ final case class GraftMetadataAggregate(session: SparkSession) extends Rule[Logi
     case _ => None
   }
 
+  /** Partition-value decoding is trusted only for types whose path
+    * representation round-trips unambiguously through a string cast. */
+  private def partitionEvalSafe(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType | DateType => true
+    case ByteType | ShortType | IntegerType | LongType => true
+    case FloatType | DoubleType | _: DecimalType => true
+    case _ => false // timestamps etc.: path encoding is not a plain cast
+  }
+
   private def rewrite(
       agg: Aggregate,
       aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      cond: Option[Expression],
       entry: GraftScanRegistry.Entry): Option[LogicalPlan] =
     try {
       val reqs = aggExprs.map(requestOf)
       if (reqs.exists(_.isEmpty)) return None
-      val cols = reqs.flatten.collect {
+      val partitionColNames =
+        entry.table.partitionSchema.columns.map(_.name.toLowerCase).toSet
+      val requested = reqs.flatten.collect {
         case CountCol(c) => c; case MinCol(c) => c; case MaxCol(c) => c
       }.distinct
-      MetadataQuery.foldFullyCovered(entry.engine, entry.table, entry.version, cols)
-        .map { fold =>
-          val values: Seq[Any] = reqs.flatten.map {
-            case CountStar   => fold.rows
-            case CountCol(c) => fold.rows - fold.cols(c).nulls
-            case MinCol(c)   => fold.cols(c).min.orNull
-            case MaxCol(c)   => fold.cols(c).max.orNull
+      val dataCols = requested.filterNot(partitionColNames.contains)
+
+      // aggregated partition columns: their Spark types come from the
+      // aggregate's own attribute references
+      val attrTypes: Map[String, DataType] = aggExprs.flatMap(_.collect {
+        case a: AttributeReference => a.name.toLowerCase -> a.dataType
+      }).toMap
+      val partitionCols: Map[String, DataType] = requested
+        .filter(partitionColNames.contains)
+        .flatMap(c => attrTypes.get(c).map(c -> _)).toMap
+      if (requested.count(partitionColNames.contains) != partitionCols.size) return None
+      if (!partitionCols.values.forall(partitionEvalSafe)) return None
+
+      // the WHERE, if any, must be an EXACT per-partition decision:
+      // deterministic, referencing ONLY partition columns of eval-safe
+      // types — a partition's values are known scalars, so evaluation is
+      // two-valued (no "maybe" as in file skipping)
+      val keep: Option[Partition => Boolean] = cond match {
+        case None => Some(_ => true)
+        case Some(c) =>
+          val refs = c.collect { case a: AttributeReference => a }
+          val refNames = refs.map(_.name.toLowerCase).distinct
+          if (!c.deterministic || refs.isEmpty ||
+              !refNames.forall(partitionColNames.contains) ||
+              !refs.forall(a => partitionEvalSafe(a.dataType))) None
+          else {
+            val attrs = refs.distinctBy(_.exprId)
+            val bound = BindReferences.bindReference(c, attrs)
+            Some { (p: Partition) =>
+              val values = attrs.map { a =>
+                p.columnValues.find(_.column.name.equalsIgnoreCase(a.name)) match {
+                  case None => throw new IllegalStateException(
+                    s"partition ${p.toPath} lacks column ${a.name}")
+                  case Some(cv) if cv.value == PathCodec.DefaultPartitionName => null
+                  case Some(cv) =>
+                    val casted = Cast(
+                      Literal(UTF8String.fromString(cv.value), StringType),
+                      a.dataType, Option(SQLConf.get.sessionLocalTimeZone),
+                      EvalMode.LEGACY).eval(null)
+                    if (casted == null) throw new IllegalStateException(
+                      s"partition value '${cv.value}' does not cast to ${a.dataType}")
+                    casted
+                }
+              }
+              bound.eval(InternalRow.fromSeq(values)) == true
+            }
           }
-          LocalRelation.fromExternalRows(agg.output, Seq(Row.fromSeq(values)))
-        }
+      }
+
+      keep.flatMap { k =>
+        MetadataQuery.foldCoveredSelected(
+            entry.engine, entry.table, entry.version, dataCols, partitionCols, k)
+          .map { fold =>
+            val values: Seq[Any] = reqs.flatten.map {
+              case CountStar   => fold.rows
+              case CountCol(c) => fold.rows - fold.cols(c).nulls
+              case MinCol(c)   => fold.cols(c).min.orNull
+              case MaxCol(c)   => fold.cols(c).max.orNull
+            }
+            LocalRelation.fromExternalRows(agg.output, Seq(Row.fromSeq(values)))
+          }
+      }
     } catch {
       // answering from metadata is an optimization: any surprise (manifest
-      // vanished mid-flight, undecodable value) degrades to the real scan
+      // vanished mid-flight, undecodable value, partition/plan mismatch)
+      // degrades to the real scan
       case NonFatal(_) => None
     }
 }

@@ -308,6 +308,91 @@ class SqlSkippingSpec extends AnyFlatSpec with Matchers {
     cnt.head().getLong(0) shouldBe 100L
   }
 
+  it should "answer partition-filtered aggregates exactly (two-valued partition eval)" in {
+    val (engine, table) = fixture()
+    GraftTableRegistry.register(engine, table)
+    val t = s"graft.${table.name.fullyQualifiedName}"
+
+    // equality on the partition column: one partition's fold
+    val eq = spark.sql(
+      s"SELECT COUNT(*) AS n, MIN(id) AS mn, MAX(id) AS mx FROM $t WHERE day = '2024-01-02'")
+    isMetadataAnswered(eq) shouldBe true
+    eq.head().toSeq shouldBe Seq(400L, 0L, 399L)
+
+    // range + IN on the partition column
+    val gt = spark.sql(s"SELECT COUNT(*) AS n FROM $t WHERE day > '2024-01-01'")
+    isMetadataAnswered(gt) shouldBe true
+    gt.head().getLong(0) shouldBe 1200L
+    val in = spark.sql(
+      s"SELECT COUNT(*) AS n, MAX(id) AS mx FROM $t WHERE day IN ('2024-01-01', '2024-01-03')")
+    isMetadataAnswered(in) shouldBe true
+    in.head().toSeq shouldBe Seq(800L, 399L)
+
+    // aggregates OVER the partition column: values fold exactly (typed as
+    // partition discovery types them — DATE here)
+    val pc = spark.sql(s"SELECT MIN(day) AS mn, MAX(day) AS mx, COUNT(day) AS n FROM $t")
+    isMetadataAnswered(pc) shouldBe true
+    pc.head().toSeq shouldBe Seq(
+      java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-01-04"), 1600L)
+
+    // all figures match the genuinely-scanned reference
+    val refSql = s"SELECT COUNT(*) AS n, MIN(id) AS mn FROM $t WHERE day <> '2024-01-03'"
+    val got = spark.sql(refSql)
+    isMetadataAnswered(got) shouldBe true
+    got.head().toSeq shouldBe withSkippingDisabled(spark.sql(refSql).head().toSeq)
+  }
+
+  it should "fold the null partition soundly under filters and partition-column aggregates" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("sqlskip", s"nullpart_${seq.incrementAndGet()}"),
+      new File(dir, "nullpart").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("id"))))
+    engine.initTable(table, UserId("t"), "init")
+    spark.range(300).select(col("id"),
+        when(col("id") % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("d"), (col("id") % 2).cast("string"))).as("day"))
+      .repartition(col("day"))
+      .versionedInsertInto(engine, table, UserId("t"), "load with null partition")
+    GraftTableRegistry.register(engine, table)
+    val t = s"graft.${table.name.fullyQualifiedName}"
+
+    // WHERE day = 'd0': the null partition is excluded (SQL: NULL ≠ 'd0')
+    val eq = spark.sql(s"SELECT COUNT(*) AS n FROM $t WHERE day = 'd0'")
+    isMetadataAnswered(eq) shouldBe true
+    eq.head().getLong(0) shouldBe 100L // ids ≡ 1,3,5 mod 6 → even half of non-null
+
+    // IS NULL keeps exactly the null partition
+    val isNull = spark.sql(s"SELECT COUNT(*) AS n FROM $t WHERE day IS NULL")
+    isMetadataAnswered(isNull) shouldBe true
+    isNull.head().getLong(0) shouldBe 100L
+
+    // COUNT(day) excludes the null partition's rows; MIN skips them
+    val agg = spark.sql(s"SELECT COUNT(day) AS n, MIN(day) AS mn FROM $t")
+    isMetadataAnswered(agg) shouldBe true
+    agg.head().toSeq shouldBe Seq(200L, "d0")
+
+    // every figure equals the scanned truth
+    Seq(
+      s"SELECT COUNT(*) AS n FROM $t WHERE day = 'd0'",
+      s"SELECT COUNT(*) AS n FROM $t WHERE day IS NULL",
+      s"SELECT COUNT(day) AS n, MIN(day) AS mn, MAX(day) AS mx FROM $t"
+    ).foreach { q =>
+      spark.sql(q).head().toSeq shouldBe withSkippingDisabled(spark.sql(q).head().toSeq)
+    }
+  }
+
+  it should "refuse data-column filters for the aggregate rewrite but still answer them" in {
+    val (engine, table) = fixture()
+    GraftTableRegistry.register(engine, table)
+    val t = s"graft.${table.name.fullyQualifiedName}"
+    // id is a data column: per-partition eval would be a guess → no rewrite,
+    // and the skipping rule prunes the scan instead
+    val df = spark.sql(s"SELECT COUNT(*) AS n FROM $t WHERE id = 17 AND day = '2024-01-02'")
+    isMetadataAnswered(df) shouldBe false
+    prunedIndexes(df) should have size 1
+    df.head().getLong(0) shouldBe 1L
+  }
+
   it should "prune big IN lists too (InSet re-expressed for the evaluator)" in {
     val (engine, table) = fixture()
     GraftTableRegistry.register(engine, table)
