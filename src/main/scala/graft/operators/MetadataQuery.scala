@@ -71,16 +71,24 @@ object MetadataQuery {
   /** Fold `version` ENTIRELY from manifests — `None` unless every file of
     * every partition is metadata-answerable for every requested column
     * (then the caller must scan; [[summarizeVersion]] does that residue
-    * arithmetic). Zero data-file IO, zero Spark jobs; this is the entry
-    * the optimizer-time SQL rewrite uses. */
+    * arithmetic). `boundsFor` names the columns whose MIN/MAX will
+    * actually be read: only those need decodable bounds in every file —
+    * a column requested for COUNT alone needs just its (always-exact)
+    * null count, so a NaN-touched file doesn't disqualify it. The
+    * returned [[ColFold]] bounds are trustworthy ONLY for columns in
+    * `boundsFor` (outside it, NaN-touched files contribute no bounds and
+    * the partial min/max must not be read). Zero data-file IO, zero Spark
+    * jobs; this is the entry the optimizer-time SQL rewrite uses. */
   def foldFullyCovered(
       engine: VersionedTables,
       table: TableDefinition,
       version: TableVersion,
-      columns: Seq[String]): Option[CoveredFold] = {
+      columns: Seq[String],
+      boundsFor: Option[Set[String]] = None): Option[CoveredFold] = {
     val cols = normalized(columns)
-    val s = split(engine, table, version, cols)
-    if (s.residue.isDefined || !cols.forall(s.colTypes.contains)) None
+    val bounds = boundsFor.map(_.map(_.toLowerCase)).getOrElse(cols.toSet)
+    val s = split(engine, table, version, cols, bounds)
+    if (s.residue.isDefined || !bounds.forall(s.colTypes.contains)) None
     else Some(fold(s.answeredFiles, cols, s.colTypes))
   }
 
@@ -94,24 +102,31 @@ object MetadataQuery {
     * min=max for all its rows (the null partition contributes rows to the
     * null count instead). `None` unless every KEPT partition is fully
     * metadata-decidable; unkept partitions never disqualify (that is the
-    * point of filtering). Snapshot tables accept only the trivial request
-    * (no partition columns — they have none). Zero data-file IO. */
+    * point of filtering). `keep = None` means "keep everything"; a
+    * snapshot table accepts ONLY that form (it has no partitions to
+    * evaluate a selection against — answering a filtered request with
+    * the whole-table fold would be silently wrong, e.g. under a
+    * definition/tracker flavor mismatch) and no partition columns.
+    * `boundsFor` as in [[foldFullyCovered]]. Zero data-file IO. */
   def foldCoveredSelected(
       engine: VersionedTables,
       table: TableDefinition,
       version: TableVersion,
       dataCols: Seq[String],
       partitionCols: Map[String, DataType],
-      keep: Partition => Boolean): Option[CoveredFold] = {
+      keep: Option[Partition => Boolean],
+      boundsFor: Option[Set[String]] = None): Option[CoveredFold] = {
     val cols = normalized(dataCols)
+    val bounds = boundsFor.map(_.map(_.toLowerCase)).getOrElse(cols.toSet)
     version match {
       case SnapshotTableVersion(_) =>
-        if (partitionCols.nonEmpty) None
-        else foldFullyCovered(engine, table, version, cols)
+        if (partitionCols.nonEmpty || keep.isDefined) None
+        else foldFullyCovered(engine, table, version, cols, Some(bounds))
       case PartitionedTableVersion(pvs) =>
-        val keptVersion = PartitionedTableVersion(pvs.filter(kv => keep(kv._1)))
-        val s = split(engine, table, keptVersion, cols)
-        if (s.residue.isDefined || !cols.forall(s.colTypes.contains)) None
+        val keptVersion =
+          PartitionedTableVersion(keep.fold(pvs)(k => pvs.filter(kv => k(kv._1))))
+        val s = split(engine, table, keptVersion, cols, bounds)
+        if (s.residue.isDefined || !bounds.forall(s.colTypes.contains)) None
         else {
           val dataFold = fold(s.answeredFiles, cols, s.colTypes)
           // partition columns: fold the kept partitions' VALUES, weighted
@@ -156,7 +171,16 @@ object MetadataQuery {
   }
 
   /** [[summarize]] at any pinned state — time travel included (manifests
-    * are per version label, so history folds exactly like the head). */
+    * are per version label, so history folds exactly like the head).
+    *
+    * Requested PARTITION columns deliberately route through the residue
+    * scan even though [[foldCoveredSelected]] could fold their values
+    * driver-side: the core model's partition values are untyped strings,
+    * so a metadata fold would have to report them as strings while the
+    * scan path reports partition-discovery types (e.g. DATE) — the same
+    * request would change type with coverage. The SQL rewrite has no such
+    * ambiguity (its types come from the plan) and IS the metadata-fast
+    * path for partition columns. */
   def summarizeVersion(
       engine: VersionedTables,
       table: TableDefinition,
@@ -164,7 +188,7 @@ object MetadataQuery {
       columns: Seq[String]): DataFrame = {
     val spark = engine.spark
     val cols = normalized(columns)
-    val s = split(engine, table, version, cols)
+    val s = split(engine, table, version, cols, cols.toSet)
     val folded = fold(s.answeredFiles, cols, s.colTypes)
 
     // one bounded aggregation over exactly the partitions metadata could
@@ -236,12 +260,15 @@ object MetadataQuery {
   }
 
   /** Partition the version into metadata-answerable files and the residue,
-    * reading only (cached) manifests. */
+    * reading only (cached) manifests. `bounds` ⊆ cols need decodable
+    * min/max per file; the rest need only a stats entry (exact
+    * rows/nullCount) — COUNT of a NaN-touched column stays answerable. */
   private def split(
       engine: VersionedTables,
       table: TableDefinition,
       version: TableVersion,
-      cols: Seq[String]): VersionSplit = {
+      cols: Seq[String],
+      bounds: Set[String]): VersionSplit = {
     val conf = engine.spark.sparkContext.hadoopConfiguration
 
     // partition columns have no per-file stats (their value is the path) —
@@ -270,13 +297,17 @@ object MetadataQuery {
 
     def fileAnswerable(f: FileStats): Boolean =
       !anyPartitionCol && cols.forall { c =>
-        (f.columns.get(c), manifestTypes.get(c)) match {
-          case (Some(cs), Some(dt)) =>
-            f.rows == 0 || cs.nullCount == f.rows ||
-              Seq(cs.min, cs.max).forall(_.exists(s =>
-                decodeStored(dt.catalogString, s).isDefined &&
-                  externalValue(dt, s).isDefined))
-          case _ => false
+        f.columns.get(c) match {
+          case Some(cs) if !bounds.contains(c) =>
+            true // rows + nullCount are always exact — enough for COUNT
+          case Some(cs) =>
+            manifestTypes.get(c).exists { dt =>
+              f.rows == 0 || cs.nullCount == f.rows ||
+                Seq(cs.min, cs.max).forall(_.exists(s =>
+                  decodeStored(dt.catalogString, s).isDefined &&
+                    externalValue(dt, s).isDefined))
+            }
+          case None => false
         }
       }
 
@@ -305,22 +336,22 @@ object MetadataQuery {
     }
   }
 
-  /** Driver-side fold of answerable files into per-column externals. */
+  /** Driver-side fold of answerable files into per-column externals. A
+    * column without a (decodable) manifest type still folds its exact
+    * null count — bounds stay None, which is all a COUNT request reads. */
   private def fold(
       files: List[FileStats], cols: Seq[String],
       colTypes: Map[String, DataType]): CoveredFold = {
-    val perCol = cols.flatMap { c =>
-      colTypes.get(c).map { dt =>
-        c -> files.foldLeft(ColFold(None, None, 0L)) { (acc, fs) =>
-          fs.columns.get(c) match {
-            case Some(cs) if fs.rows > 0 && cs.nullCount < fs.rows =>
-              ColFold(
-                combine(dt, acc.min, cs.min.flatMap(externalValue(dt, _)), takeMin = true),
-                combine(dt, acc.max, cs.max.flatMap(externalValue(dt, _)), takeMin = false),
-                acc.nulls + cs.nullCount)
-            case Some(cs) => acc.copy(nulls = acc.nulls + cs.nullCount) // empty or all-null
-            case None     => acc // file not answerable for c — caller excluded this
-          }
+    val perCol = cols.map { c =>
+      c -> files.foldLeft(ColFold(None, None, 0L)) { (acc, fs) =>
+        (fs.columns.get(c), colTypes.get(c)) match {
+          case (Some(cs), Some(dt)) if fs.rows > 0 && cs.nullCount < fs.rows =>
+            ColFold(
+              combine(dt, acc.min, cs.min.flatMap(externalValue(dt, _)), takeMin = true),
+              combine(dt, acc.max, cs.max.flatMap(externalValue(dt, _)), takeMin = false),
+              acc.nulls + cs.nullCount)
+          case (Some(cs), _) => acc.copy(nulls = acc.nulls + cs.nullCount)
+          case (None, _)     => acc // file not answerable for c — caller excluded this
         }
       }
     }.toMap

@@ -208,6 +208,12 @@ final case class GraftMetadataAggregate(session: SparkSession) extends Rule[Logi
         case CountCol(c) => c; case MinCol(c) => c; case MaxCol(c) => c
       }.distinct
       val dataCols = requested.filterNot(partitionColNames.contains)
+      // only MIN/MAX targets need decodable per-file bounds; a COUNT(col)
+      // needs just the (always-exact) null counts, so a NaN-touched file
+      // doesn't force the scan fallback for it
+      val boundsCols = reqs.flatten.collect {
+        case MinCol(c) => c; case MaxCol(c) => c
+      }.toSet -- partitionColNames
 
       // aggregated partition columns: their Spark types come from the
       // aggregate's own attribute references
@@ -223,9 +229,11 @@ final case class GraftMetadataAggregate(session: SparkSession) extends Rule[Logi
       // the WHERE, if any, must be an EXACT per-partition decision:
       // deterministic, referencing ONLY partition columns of eval-safe
       // types — a partition's values are known scalars, so evaluation is
-      // two-valued (no "maybe" as in file skipping)
-      val keep: Option[Partition => Boolean] = cond match {
-        case None => Some(_ => true)
+      // two-valued (no "maybe" as in file skipping). Outer None = refuse
+      // the rewrite; inner None = no selection at all (the only form a
+      // snapshot version accepts — foldCoveredSelected enforces that)
+      val keep: Option[Option[Partition => Boolean]] = cond match {
+        case None => Some(None)
         case Some(c) =>
           val refs = c.collect { case a: AttributeReference => a }
           val refNames = refs.map(_.name.toLowerCase).distinct
@@ -235,7 +243,7 @@ final case class GraftMetadataAggregate(session: SparkSession) extends Rule[Logi
           else {
             val attrs = refs.distinctBy(_.exprId)
             val bound = BindReferences.bindReference(c, attrs)
-            Some { (p: Partition) =>
+            Some(Some { (p: Partition) =>
               val values = attrs.map { a =>
                 p.columnValues.find(_.column.name.equalsIgnoreCase(a.name)) match {
                   case None => throw new IllegalStateException(
@@ -252,13 +260,14 @@ final case class GraftMetadataAggregate(session: SparkSession) extends Rule[Logi
                 }
               }
               bound.eval(InternalRow.fromSeq(values)) == true
-            }
+            })
           }
       }
 
       keep.flatMap { k =>
         MetadataQuery.foldCoveredSelected(
-            entry.engine, entry.table, entry.version, dataCols, partitionCols, k)
+            entry.engine, entry.table, entry.version, dataCols, partitionCols, k,
+            boundsFor = Some(boundsCols))
           .map { fold =>
             val values: Seq[Any] = reqs.flatten.map {
               case CountStar   => fold.rows

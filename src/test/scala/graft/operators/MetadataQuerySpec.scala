@@ -27,25 +27,12 @@ class MetadataQuerySpec extends AnyFlatSpec with Matchers {
 
   private val cfg = ColumnStatsConfig(statsColumns = List("id", "v", "cat"))
 
-  /** 4 day partitions × ids 0..399 (4 range files each); v null every 10th
-    * id; cat cycles a/b/c — the TableStatsSpec layout. */
+  /** The shared skipping layout ([[graft.StatsFixtures.rangeEvents]]): 4
+    * day partitions × ids 0..399 (4 range files each); v null every 10th
+    * id; cat cycles a/b/c. */
   private def fixture(statsCfg: Option[ColumnStatsConfig] = Some(cfg))
-      : (VersionedTables, TableDefinition) = {
-    val (engine, dir) = newEngine()
-    val table = TableDefinition(TableName("metaq", "events"),
-      new File(dir, "events").toURI, PartitionSchema("day"), FileFormat.Parquet,
-      stats = statsCfg)
-    engine.initTable(table, UserId("t"), "init")
-    val df = spark.range(1600).select(
-      (col("id") % 400).as("id"),
-      concat(lit("2024-01-0"), (floor(col("id") / 400) + 1).cast("int").cast("string")).as("day"),
-      when(col("id") % 10 === 0, lit(null).cast("double"))
-        .otherwise(col("id").cast("double") * 1.5).as("v"),
-      element_at(array(lit("a"), lit("b"), lit("c")), (col("id") % 3 + 1).cast("int")).as("cat"))
-    df.repartitionByRange(4, col("id"))
-      .versionedInsertInto(engine, table, UserId("t"), "load")
-    (engine, table)
-  }
+      : (VersionedTables, TableDefinition) =
+    graft.StatsFixtures.rangeEvents(spark, "metaq", "events", statsCfg)
 
   /** The reference: the same aggregate computed by an actual scan. */
   private def scanSummary(engine: VersionedTables, table: TableDefinition,
@@ -58,13 +45,8 @@ class MetadataQuerySpec extends AnyFlatSpec with Matchers {
     df.agg(aggs.head, aggs.tail: _*).head()
   }
 
-  private def corruptAllDataFiles(table: TableDefinition): Int = {
-    def walk(f: File): Seq[File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    val files = walk(new File(table.location)).filter(_.getName.endsWith(".parquet"))
-    files.foreach(f => Files.write(f.toPath, "garbage".getBytes))
-    files.size
-  }
+  private def corruptAllDataFiles(table: TableDefinition): Int =
+    graft.StatsFixtures.corruptParquet(table)
 
   behavior of "summarize on a fully-covered table"
 
@@ -136,11 +118,8 @@ class MetadataQuerySpec extends AnyFlatSpec with Matchers {
 
     // now corrupt the three COVERED partitions' files in place: the
     // summary must not notice (it only scans the residue partition)
-    def walk(f: File): Seq[File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    walk(new File(table.location))
-      .filter(f => f.getName.endsWith(".parquet") && !f.getPath.contains("day=2024-01-04"))
-      .foreach(f => Files.write(f.toPath, "garbage".getBytes))
+    graft.StatsFixtures.corruptParquet(table,
+      spare = _.getPath.contains("day=2024-01-04"))
     val afterCorruption = MetadataQuery.summarize(engine, table, Seq("id", "v")).head()
     afterCorruption.toSeq should contain theSameElementsInOrderAs expected.toSeq
   }
@@ -176,6 +155,54 @@ class MetadataQuerySpec extends AnyFlatSpec with Matchers {
     // partition discovery types `day` as DATE — the summary follows suit
     got.getDate(1) shouldBe java.sql.Date.valueOf("2024-01-01")
     got.getDate(2) shouldBe java.sql.Date.valueOf("2024-01-04")
+  }
+
+  behavior of "foldCoveredSelected"
+
+  it should "refuse a filtered request against a snapshot version (review finding)" in {
+    // a partition-columned DEFINITION over a snapshot-tracked state (the
+    // flavor mismatch the CLI guards loudly) must never answer a FILTERED
+    // aggregate with the unfiltered total — the selection can't be
+    // evaluated, so the fold refuses and the caller scans
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("metaq", "snapfold"),
+      new File(dir, "snapfold").toURI, PartitionSchema.snapshot, FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("x"))))
+    engine.initTable(table, UserId("t"), "init")
+    spark.range(10).select(col("id").as("x"))
+      .repartition(1).versionedInsertInto(engine, table, UserId("t"), "load")
+    val version = engine.tracker.currentVersion(table.name)
+
+    // the unfiltered form folds fine...
+    val unfiltered = MetadataQuery.foldCoveredSelected(
+      engine, table, version, Seq("x"), Map.empty, keep = None)
+    unfiltered.map(_.rows) shouldBe Some(10L)
+    // ...any SELECTION refuses — even one that would keep everything
+    MetadataQuery.foldCoveredSelected(
+      engine, table, version, Seq("x"), Map.empty, keep = Some(_ => true)) shouldBe None
+  }
+
+  it should "answer COUNT of a NaN-touched column from metadata (bounds not needed)" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("metaq", "nan_count"),
+      new File(dir, "nan_count").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("x"))))
+    engine.initTable(table, UserId("t"), "init")
+    spark.range(100).select(
+        lit("d1").as("day"),
+        when(col("id") === 50, lit(Double.NaN))
+          .when(col("id") % 4 === 0, lit(null).cast("double"))
+          .otherwise(col("id").cast("double")).as("x"))
+      .repartition(1).versionedInsertInto(engine, table, UserId("t"), "load with NaN")
+    val version = engine.tracker.currentVersion(table.name)
+
+    // bounds requested → the NaN file refuses
+    MetadataQuery.foldFullyCovered(engine, table, version, Seq("x")) shouldBe None
+    // count-only (empty boundsFor) → rows + exact null count still fold
+    val fold = MetadataQuery.foldFullyCovered(
+      engine, table, version, Seq("x"), boundsFor = Some(Set.empty))
+    fold.map(_.rows) shouldBe Some(100L)
+    fold.map(_.cols("x").nulls) shouldBe Some(25L) // ids 0,4,...,96 (50 is NaN, not null)
   }
 
   behavior of "edge states"

@@ -33,29 +33,13 @@ class SqlSkippingSpec extends AnyFlatSpec with Matchers {
     statsColumns = List("id", "v", "cat"), bloomKeyColumns = List("id"),
     bloomExpectedItems = 1000)
 
-  /** The TableStatsSpec layout: 4 day partitions × ids 0..399 range-split
-    * into 4 files each, so selective id predicates have real files to
-    * prune. Unique table name per call — the SQL registry is global. */
+  /** The shared skipping layout ([[graft.StatsFixtures.rangeEvents]]).
+    * Unique table name per call — the SQL registry is global. */
   private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def fixture(statsCfg: Option[ColumnStatsConfig] = Some(cfg))
-      : (VersionedTables, TableDefinition) = {
-    val (engine, dir) = newEngine()
-    val n = seq.incrementAndGet()
-    val table = TableDefinition(TableName("sqlskip", s"events_$n"),
-      new File(dir, s"events_$n").toURI, PartitionSchema("day"), FileFormat.Parquet,
-      stats = statsCfg)
-    engine.initTable(table, UserId("t"), "init")
-    val df = spark.range(1600).select(
-      (col("id") % 400).as("id"),
-      concat(lit("2024-01-0"), (floor(col("id") / 400) + 1).cast("int").cast("string")).as("day"),
-      when(col("id") % 10 === 0, lit(null).cast("double"))
-        .otherwise(col("id").cast("double") * 1.5).as("v"),
-      element_at(array(lit("a"), lit("b"), lit("c")), (col("id") % 3 + 1).cast("int")).as("cat"))
-    df.repartitionByRange(4, col("id"))
-      .versionedInsertInto(engine, table, UserId("t"), "load")
-    (engine, table)
-  }
+      : (VersionedTables, TableDefinition) =
+    graft.StatsFixtures.rangeEvents(spark, "sqlskip", s"events_${seq.incrementAndGet()}", statsCfg)
 
   private def withSkippingDisabled[T](f: => T): T = {
     spark.conf.set(GraftDataSkipping.EnabledKey, "false")
@@ -158,13 +142,9 @@ class SqlSkippingSpec extends AnyFlatSpec with Matchers {
       engine.tracker.currentVersion(table.name), col("id") < 100)
     val keptAbs = decision.paths
       .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
-    def walk(f: File): Seq[File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    val corrupted = walk(new File(table.location)).filter { f =>
-      f.getName.endsWith(".parquet") && !keptAbs.contains(f.getAbsolutePath)
-    }
-    corrupted.size should be >= 8 // most of the 16 files are out of range
-    corrupted.foreach(f => Files.write(f.toPath, "garbage".getBytes))
+    val corrupted = graft.StatsFixtures.corruptParquet(table,
+      spare = f => keptAbs.contains(f.getAbsolutePath))
+    corrupted should be >= 8 // most of the 16 files are out of range
 
     // the skipping read never opens them — still exact
     rows(spark.sql(sql)) should contain theSameElementsInOrderAs expected
@@ -203,13 +183,8 @@ class SqlSkippingSpec extends AnyFlatSpec with Matchers {
 
   behavior of "metadata-only SQL aggregates (GraftMetadataAggregate)"
 
-  private def corruptAll(table: TableDefinition): Int = {
-    def walk(f: File): Seq[File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    val files = walk(new File(table.location)).filter(_.getName.endsWith(".parquet"))
-    files.foreach(f => Files.write(f.toPath, "garbage".getBytes))
-    files.size
-  }
+  private def corruptAll(table: TableDefinition): Int =
+    graft.StatsFixtures.corruptParquet(table)
 
   private def isMetadataAnswered(df: DataFrame): Boolean = {
     val plan = df.queryExecution.optimizedPlan
@@ -302,10 +277,13 @@ class SqlSkippingSpec extends AnyFlatSpec with Matchers {
     val mx = spark.sql(s"SELECT MAX(x) AS mx FROM $t")
     isMetadataAnswered(mx) shouldBe false
     mx.head().getDouble(0).isNaN shouldBe true
-    // COUNT needs no bounds → still metadata-answered on the same table
-    val cnt = spark.sql(s"SELECT COUNT(*) AS n FROM $t")
+    // COUNT needs no bounds → still metadata-answered on the same table,
+    // for COUNT(*) AND for COUNT(x) itself (null counts are always exact)
+    val cnt = spark.sql(s"SELECT COUNT(*) AS n, COUNT(x) AS nx FROM $t")
     isMetadataAnswered(cnt) shouldBe true
-    cnt.head().getLong(0) shouldBe 100L
+    cnt.head().toSeq shouldBe Seq(100L, 100L) // NaN is not NULL — COUNT keeps it
+    // ...but mixing in a bounds request drops the whole query to the scan
+    isMetadataAnswered(spark.sql(s"SELECT COUNT(x) AS nx, MAX(x) AS mx FROM $t")) shouldBe false
   }
 
   it should "answer partition-filtered aggregates exactly (two-valued partition eval)" in {
