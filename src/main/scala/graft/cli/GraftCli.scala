@@ -500,18 +500,24 @@ object GraftCli {
       }
 
       // summary <table> <location> --columns c1[,c2...] [--partition-by ...]
-      // — one-line exact COUNT/MIN/MAX/null-count report per column
-      // (graft.operators.MetadataQuery): folded from the stats manifests
-      // driver-side where covered, with exactly the uncovered partitions
-      // scanned. The metadata-fast twin of a full-table aggregate.
+      // [--at <commit>] — one-line exact COUNT/MIN/MAX/null-count report
+      // per column (graft.operators.MetadataQuery): folded from the stats
+      // manifests driver-side where covered, with exactly the uncovered
+      // partitions scanned. The metadata-fast twin of a full-table
+      // aggregate; --at reports a historical commit (manifests are per
+      // version label, so history folds exactly like the head).
       case List("summary", name, location) => withTable(name) { t =>
         withTableDef(t, location, flags, out) { table =>
           withFlavorChecked(t, table) {
             val cols = flags.get("columns").toSeq
               .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
             val engine = new graft.operators.VersionedTables(cliSpark(), tracker)
-            val row = graft.operators.MetadataQuery.summarize(table = table,
-              engine = engine, columns = cols).head()
+            val version = flags.get("at") match {
+              case Some(commit) => engine.versionAt(t, graft.core.CommitId(commit))
+              case None         => tracker.currentVersion(t)
+            }
+            val row = graft.operators.MetadataQuery.summarizeVersion(table = table,
+              engine = engine, version = version, columns = cols).head()
             out.println(s"rows    ${row.getLong(0)}")
             cols.map(_.toLowerCase).zipWithIndex.foreach { case (c, i) =>
               val base = 1 + i * 3

@@ -393,6 +393,22 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     o should include("nulls=0")
     // flavor guard holds for the new verb too
     cli("summary", "sales.summ", loc, "--columns", "balance")._1 shouldBe 2
+
+    // --at reports a historical commit from ITS manifests (the reprocess
+    // REPOINTS the eu partition: head = {a9/eu, a2/us}, c0 = all three)
+    val c0 = engine.headCommit(table.name)
+    Seq(("a9", "eu", 500L)).toDF("id", "region", "balance")
+      .versionedInsertInto(engine, table, UserId("t"), "reprocess eu")
+    val (cHead, oHead) = cli("summary", "sales.summ", loc,
+      "--partition-by", "region", "--columns", "balance")
+    cHead shouldBe 0
+    oHead should include("rows    2")
+    oHead should include("max=500")
+    val (cAt, oAt) = cli("summary", "sales.summ", loc,
+      "--partition-by", "region", "--columns", "balance", "--at", c0.id)
+    cAt shouldBe 0
+    oAt should include("rows    3")
+    oAt should include("max=20")
   }
 
   it should "report per-partition stats manifests via the stats verb" in {

@@ -111,5 +111,26 @@ class Round12PipelineSpec extends AnyFlatSpec with Matchers {
     withClue(s"probe ${probe.inputFiles.length} of $allFiles files: ") {
       probe.inputFiles.length should be < allFiles / 3
     }
+
+    // ── stage 6: the ops dashboard goes metadata-only. The whole-table
+    // summary folds from the same manifests every earlier stage wrote —
+    // including the merge commit's (skipping survives rewrites)...
+    val summary = MetadataQuery.summarize(engine, table, Seq("tx_id", "amount")).head()
+    summary.getLong(0) shouldBe 319L
+    summary.getLong(1) shouldBe 0L    // tx_id min
+    summary.getLong(2) shouldBe 319L  // tx_id max (day 4's last ingest)
+    summary.getDouble(5) shouldBe 478.5 // amount max = 319 * 1.5
+    // ...and the windowed SQL count collapses to a one-row LocalRelation:
+    // the WHERE is decided per partition (values are known), no scan node
+    val windowed = spark.sql(
+      "SELECT COUNT(*) AS n FROM graft.cap.tx WHERE day >= '2024-02-03'")
+    windowed.head().getLong(0) shouldBe 120L // day 3 (100) + day 4 (20)
+    val plan = windowed.queryExecution.optimizedPlan
+    plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    } should not be empty
+    plan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    } shouldBe empty
   }
 }
