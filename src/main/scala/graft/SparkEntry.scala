@@ -130,6 +130,16 @@ object SparkEntry {
     // closing the SQL/file-skipping asymmetry. Identical oracle.
     "q_sql_skip_scan" -> ((spark, dir) => statsSkipFixture(spark, dir).sqlSkip),
 
+    // partition-Bloom skipping at the gate: a table clustered by ONE
+    // dimension (event_type partitions, files hash-split on user_id) probed
+    // by an UNCLUSTERED key (event_id). Per-file id ranges span nearly the
+    // whole domain, so min/max pruning keeps everything — the per-partition
+    // Bloom over xxhash64(event_id), already paid for at write time, is
+    // what excludes the partitions that provably don't hold the needle.
+    // Oracle = the plain filter; the never-reads-pruned-partitions law
+    // lives in TableStatsSpec (corrupt-the-excluded-partitions).
+    "q_bloom_skip_scan" -> ((spark, dir) => bloomFixture(spark, dir).lookup),
+
     // metadata-only aggregation over the same fixture: COUNT/MIN/MAX/null
     // counts folded from the commit-time stats manifests DRIVER-side
     // (graft.operators.MetadataQuery) — zero data files opened for the
@@ -451,6 +461,39 @@ object SparkEntry {
          |WHERE event_date >= DATE'$cutoff'""".stripMargin)
   }
 
+  /** q_bloom_skip_scan fixture: events versioned by event_type with files
+    * HASH-split on user_id (deliberately uncorrelated with event_id), stats
+    * + Blooms on event_id. The point lookup's needle sits mid-domain
+    * (max/2), so every file's [min,max] contains it and range skipping
+    * keeps all files — only the Bloom probe prunes, at partition
+    * granularity. Only the table build is memoized; the lookup frame is
+    * re-planned per invocation so timed reps pay the real planning. */
+  private final case class BloomFixture(
+      engine: VersionedTables, table: TableDefinition, needle: Long) {
+    def lookup: DataFrame = engine.readWhere(table, col("event_id") === needle)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+  }
+
+  private val bloomFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), BloomFixture]()
+
+  private def bloomFixture(spark: SparkSession, sfDir: String): BloomFixture =
+    bloomFixtureCache.computeIfAbsent((spark, sfDir), _ => {
+      Tables.prepare(spark)
+      val root = graft.FixtureTempDirs.create("graft-bloomfix-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", "events_bloom"),
+        root.resolve("events_bloom").toUri, PartitionSchema("event_type"), FileFormat.Parquet,
+        stats = Some(ColumnStatsConfig(
+          statsColumns = List("event_id"), bloomKeyColumns = List("event_id"))))
+      engine.initTable(table, UserId("driver"), "init")
+      val events = Tables.events(spark, sfDir).localCheckpoint()
+      events.repartition(8, col("user_id"))
+        .versionedInsertInto(engine, table, UserId("driver"), "load hash-split")
+      val needle = events.agg(max(col("event_id"))).head().getLong(0) / 2
+      BloomFixture(engine, table, needle)
+    })
+
   private val statsSkipFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StatsSkipFixture]()
 
@@ -547,6 +590,13 @@ object SparkEntry {
       // SAME scan, so it shares the one oracle string by construction.
       "q_stats_skip_scan" -> skipScanOracle,
       "q_sql_skip_scan" -> skipScanOracle,
+      // the Bloom-pruned point lookup is semantically the plain filter;
+      // the needle (max/2, integer division) exists because event ids are
+      // dense from 0
+      "q_bloom_skip_scan" ->
+        s"""SELECT event_id, event_type, user_id, value
+           |FROM events
+           |WHERE event_id = CAST(FLOOR((SELECT MAX(event_id) FROM events) / 2) AS BIGINT)""".stripMargin,
       // the metadata-only summary, recomputed by an actual scan: identical
       // figures prove the driver-side manifest fold is exact
       "q_metadata_agg" ->

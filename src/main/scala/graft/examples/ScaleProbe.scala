@@ -95,6 +95,28 @@ object ScaleProbe {
         (e, t, ev.agg(max(col("event_id"))).head().getLong(0) / 10)
       })
 
+    // bloom_skip fixture: events by event_type, files HASH-split on user_id
+    // (uncorrelated with event_id) — the layout where only the partition
+    // Blooms can prune a point lookup; needle = max id / 2 (mid-domain, so
+    // every file's range contains it)
+    val bloomFixtures =
+      scala.collection.mutable.Map.empty[String, (VersionedTables, TableDefinition, Long)]
+    def bloomFixture(dir: String): (VersionedTables, TableDefinition, Long) =
+      bloomFixtures.getOrElseUpdate(dir, {
+        val root = graft.FixtureTempDirs.create("graft-probe-bloom-")
+        val e = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+        val t = TableDefinition(TableName("probe", "events_bloom"),
+          root.resolve("events_bloom").toUri, PartitionSchema("event_type"),
+          FileFormat.Parquet,
+          stats = Some(ColumnStatsConfig(List("event_id"),
+            bloomKeyColumns = List("event_id"))))
+        e.initTable(t, UserId("probe"), "init")
+        val ev = graft.Tables.events(spark, dir).localCheckpoint()
+        ev.repartition(8, col("user_id"))
+          .versionedInsertInto(e, t, UserId("probe"), "load hash-split")
+        (e, t, ev.agg(max(col("event_id"))).head().getLong(0) / 2)
+      })
+
     val families: Seq[(String, String => Unit)] = Seq(
       "exact_dedup" -> (dir => { Dedup.exactDupGroups(docs(dir)).count(); () }),
       "lsh_dedup_chain" -> (dir => {
@@ -204,6 +226,18 @@ object ScaleProbe {
         val (engine, table, thr) = statsFixture(dir)
         engine.readWhere(table, col("event_id") <= thr)
           .agg(count(lit(1)), sum(col("value"))).collect(); ()
+      }),
+      "bloom_skip" -> (dir => {
+        // Bloom-pruned point lookup on an UNCLUSTERED key (the
+        // q_bloom_skip_scan shape): event_type partitions with files
+        // hash-split on user_id, so every file's event_id range contains
+        // the mid-domain needle — min/max pruning keeps everything and the
+        // per-partition Bloom is what excludes ~4 of 5 partitions. Steady
+        // cost must track the ONE surviving partition's files, never the
+        // table; the build lands in rep 1 only.
+        val (engine, table, needle) = bloomFixture(dir)
+        engine.readWhere(table, col("event_id") === needle)
+          .agg(count(lit(1))).collect(); ()
       }),
       "metadata_agg" -> (dir => {
         // metadata-only aggregation (q_metadata_agg shape): COUNT + two

@@ -301,11 +301,18 @@ object MetadataQuery {
           case Some(cs) if !bounds.contains(c) =>
             true // rows + nullCount are always exact — enough for COUNT
           case Some(cs) =>
+            // the fold decodes every file's bounds under ONE per-column
+            // type; a file whose own recorded type diverged (mixed-schema
+            // partitions from the documented unguarded insertInto-vs-
+            // replaceAll race) must route to the residue, matching
+            // planRead's per-file-type discipline — bounds written under a
+            // different ordering must never decode under this one
             manifestTypes.get(c).exists { dt =>
-              f.rows == 0 || cs.nullCount == f.rows ||
-                Seq(cs.min, cs.max).forall(_.exists(s =>
-                  decodeStored(dt.catalogString, s).isDefined &&
-                    externalValue(dt, s).isDefined))
+              cs.dataType == dt.catalogString &&
+                (f.rows == 0 || cs.nullCount == f.rows ||
+                  Seq(cs.min, cs.max).forall(_.exists(s =>
+                    decodeStored(dt.catalogString, s).isDefined &&
+                      externalValue(dt, s).isDefined)))
             }
           case None => false
         }

@@ -76,13 +76,20 @@ object TableStats {
       path: String, partition: String, rows: Long, columns: Map[String, ColumnStats])
 
   /** The manifest of one versioned write: every file it produced, plus one
-    * serialized Bloom filter per partition when key columns were declared. */
+    * serialized Bloom filter per partition when key columns were declared.
+    * `bloomKeyTypes` records the catalog type of each bloom key column AS
+    * WRITTEN (parallel to `bloomKeyColumns`): xxhash64 is type-sensitive,
+    * so a literal probe ([[planRead]]'s equality/IN partition pruning) must
+    * hash in exactly this domain — manifests from before the field existed
+    * parse with it empty, which simply disables literal probing for them
+    * (merge discovery, which hashes real columns, is unaffected). */
   final case class StatsManifest(
       version: String,
       statsColumns: List[String],
       bloomKeyColumns: List[String],
       files: List[FileStats],
-      partitionBlooms: Map[String, Array[Byte]]) {
+      partitionBlooms: Map[String, Array[Byte]],
+      bloomKeyTypes: List[String] = Nil) {
 
     def filesFor(partitionPath: String): List[FileStats] =
       files.filter(_.partition == partitionPath)
@@ -103,6 +110,7 @@ object TableStats {
     root.put("version", m.version)
     val sc = root.putArray("statsColumns"); m.statsColumns.foreach(sc.add)
     val bc = root.putArray("bloomKeyColumns"); m.bloomKeyColumns.foreach(bc.add)
+    val bt = root.putArray("bloomKeyTypes"); m.bloomKeyTypes.foreach(bt.add)
     val files = root.putArray("files")
     m.files.foreach { f =>
       val fn = files.addObject()
@@ -150,7 +158,8 @@ object TableStats {
           root.path("version").asText(),
           root.path("statsColumns").elements().asScala.map(_.asText()).toList,
           root.path("bloomKeyColumns").elements().asScala.map(_.asText()).toList,
-          files, blooms))
+          files, blooms,
+          root.path("bloomKeyTypes").elements().asScala.map(_.asText()).toList))
       }
     } catch { case e: Exception => scala.Left(s"bad stats manifest: ${e.getMessage}") }
 
@@ -335,7 +344,11 @@ object TableStats {
         }
     val manifest = StatsManifest(version.label,
       statCols.map(_.toLowerCase), if (bloomActive) bloomCols.map(_.toLowerCase) else Nil,
-      files, blooms)
+      files, blooms,
+      bloomKeyTypes =
+        if (bloomActive)
+          bloomCols.map(c => df.schema(present(c.toLowerCase)).dataType.catalogString)
+        else Nil)
     writeManifest(spark.sparkContext.hadoopConfiguration, table.location, manifest)
   }
 
@@ -712,6 +725,112 @@ object TableStats {
     }
   }
 
+  // ---------------------------------------------------------------- bloom probe
+
+  /** Cap on candidate key TUPLES probed against a partition Bloom (the
+    * cross-product of per-column IN lists); wider predicates fall back to
+    * range-only pruning. */
+  private val MaxBloomCandidates = 256
+
+  private def topLevelConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => topLevelConjuncts(l) ++ topLevelConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  private def attrNameOf(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.nameParts.last.toLowerCase)
+    case a: AttributeReference  => Some(a.name.toLowerCase)
+    case _                      => None
+  }
+
+  /** The values column `name` is pinned to by ONE top-level conjunct —
+    * `col = lit`, `lit = col`, `col <=> lit` (non-null) or `col IN (lits)`.
+    * A row can only match the whole predicate if every conjunct holds, so
+    * any single pinning conjunct bounds the column's possible values (null
+    * list elements are dropped: equality never matches null). */
+  private def candidatesOf(c: Expression, name: String): Option[Seq[(Any, DataType)]] =
+    c match {
+      case EqualTo(a, Literal(v, dt)) if v != null && attrNameOf(a).contains(name) =>
+        Some(Seq((v, dt)))
+      case EqualTo(Literal(v, dt), a) if v != null && attrNameOf(a).contains(name) =>
+        Some(Seq((v, dt)))
+      case EqualNullSafe(a, Literal(v, dt)) if v != null && attrNameOf(a).contains(name) =>
+        Some(Seq((v, dt)))
+      case EqualNullSafe(Literal(v, dt), a) if v != null && attrNameOf(a).contains(name) =>
+        Some(Seq((v, dt)))
+      case In(a, list) if attrNameOf(a).contains(name) && list.forall(_.isInstanceOf[Literal]) =>
+        Some(list.collect { case Literal(v, dt) if v != null => (v, dt) })
+      case _ => None
+    }
+
+  /** Convert a predicate literal's INTERNAL value into the written column
+    * type's internal value EXACTLY — None whenever the conversion could
+    * change the value (probing would then hash a different domain than the
+    * write side and could fabricate a false negative, i.e. wrong results).
+    * Identity always converts; integral widths convert iff the value fits. */
+  private[operators] def internalAs(value: Any, from: DataType, to: DataType): Option[Any] =
+    if (from == to) Some(value)
+    else (from, to) match {
+      case (ByteType | ShortType | IntegerType | LongType, _) =>
+        val l: Long = value match {
+          case b: java.lang.Byte    => b.longValue
+          case s: java.lang.Short   => s.longValue
+          case i: java.lang.Integer => i.longValue
+          case x: java.lang.Long    => x.longValue
+          case _                    => return None
+        }
+        to match {
+          case ByteType if l.isValidByte    => Some(l.toByte)
+          case ShortType if l.isValidShort  => Some(l.toShort)
+          case IntegerType if l.isValidInt  => Some(l.toInt)
+          case LongType                     => Some(l)
+          case _                            => None
+        }
+      case _ => None
+    }
+
+  /** xxhash64 of one candidate key tuple under the WRITTEN types — the same
+    * value [[keyHashColumn]] computed per row when the Bloom was built
+    * (XxHash64 with the default seed, evaluated driver-side over literals). */
+  private[operators] def hashCandidate(values: Seq[Any], types: Seq[DataType]): Long =
+    new XxHash64(values.zip(types).map { case (v, dt) => Literal(v, dt) })
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Long]
+
+  /** The candidate key-tuple hashes the predicate pins the bloom key columns
+    * of manifest `m` to, or None when the predicate doesn't pin every bloom
+    * key column / types don't convert exactly / the cross-product is too
+    * wide. `conjuncts` are the desugared predicate's top-level conjuncts. */
+  private[operators] def bloomCandidateHashes(
+      m: StatsManifest, conjuncts: Seq[Expression]): Option[Seq[Long]] = {
+    if (m.bloomKeyColumns.isEmpty || m.bloomKeyTypes.size != m.bloomKeyColumns.size)
+      return None
+    val dts = m.bloomKeyTypes.map { ddl =>
+      try DataType.fromDDL(ddl) catch { case _: Exception => return None }
+    }
+    val perCol: Option[List[Seq[Any]]] =
+      m.bloomKeyColumns.zip(dts).foldLeft(Option(List.empty[Seq[Any]])) {
+        case (acc, (c, dt)) =>
+          acc.flatMap { lists =>
+            conjuncts.iterator.map(candidatesOf(_, c))
+              .collectFirst { case Some(cands) => cands }
+              .flatMap { cands =>
+                val converted = cands.map { case (v, from) => internalAs(v, from, dt) }
+                if (converted.exists(_.isEmpty)) None else Some(lists :+ converted.flatten)
+              }
+          }
+      }
+    perCol.flatMap { lists =>
+      val total = lists.map(_.size.toLong).product
+      if (total <= 0 || total > MaxBloomCandidates) None
+      else {
+        val tuples = lists.foldLeft(Seq(Seq.empty[Any])) { (acc, vals) =>
+          acc.flatMap(t => vals.map(t :+ _))
+        }
+        Some(tuples.map(hashCandidate(_, dts)))
+      }
+    }
+  }
+
   // ---------------------------------------------------------------- layout ops
 
   /** One partition's layout under the CURRENT version, derived from its
@@ -783,7 +902,8 @@ object TableStats {
       partitionsKept: Int,
       filesSeen: Long,   // files listed in consulted manifests of KEPT partitions
       filesKept: Long,   // of those, files that survived the predicate
-      unprunedDirs: Int) // version dirs read whole (no manifest)
+      unprunedDirs: Int, // version dirs read whole (no manifest)
+      bloomPrunedPartitions: Int = 0) // value-survivors excluded by a Bloom probe
 
   /** Resolve `version` under `predicate` into the minimal load-path set.
     * Pure planning — no Spark job; one manifest read per DISTINCT version
@@ -838,6 +958,27 @@ object TableStats {
       if (b.endsWith("/")) b else b + "/"
     }
 
+    // equality/IN atoms over the bloom key columns prune via the partition
+    // Blooms the write side already paid for: candidate tuple hashes are
+    // computed once per distinct (columns, types) bloom signature, and a
+    // partition whose Bloom contains NONE of them provably holds no
+    // matching row — exactly the probe merge discovery runs, driver-side
+    val conjuncts = topLevelConjuncts(SkipEval.desugar(expr))
+    val hashCache =
+      scala.collection.mutable.Map.empty[(List[String], List[String]), Option[Seq[Long]]]
+    def bloomExcludes(m: StatsManifest, partKey: String): Boolean =
+      hashCache.getOrElseUpdate(
+        (m.bloomKeyColumns, m.bloomKeyTypes), bloomCandidateHashes(m, conjuncts)) match {
+        case Some(hashes) =>
+          m.partitionBlooms.get(partKey) match {
+            case Some(bytes) =>
+              val bloom = deserializeBloom(bytes)
+              !hashes.exists(bloom.mightContainLong)
+            case None => false
+          }
+        case None => false
+      }
+
     version match {
       case SnapshotTableVersion(v) =>
         if (v == Version.Unversioned)
@@ -845,16 +986,20 @@ object TableStats {
             Seq(VersionedTables.uriToLoadPath(table.location)), 1, 1, 0, 0, 1)
         manifestFor(v) match {
           case Some(m) if m.files.nonEmpty =>
-            val kept = m.files.filter(f => SkipEval.mayMatch(expr, fileLookup(f, None)))
-            SkipDecision(kept.map(basePrefix + _.path), 1, 1, m.files.size.toLong,
-              kept.size.toLong, 0)
+            if (bloomExcludes(m, ""))
+              SkipDecision(Nil, 1, 1, m.files.size.toLong, 0, 0, bloomPrunedPartitions = 1)
+            else {
+              val kept = m.files.filter(f => SkipEval.mayMatch(expr, fileLookup(f, None)))
+              SkipDecision(kept.map(basePrefix + _.path), 1, 1, m.files.size.toLong,
+                kept.size.toLong, 0)
+            }
           case _ =>
             SkipDecision(
               Seq(VersionedTables.uriToLoadPath(VersionPaths.pathFor(table.location, v))),
               1, 1, 0, 0, 1)
         }
       case PartitionedTableVersion(pvs) =>
-        var filesSeen = 0L; var filesKept = 0L; var unpruned = 0
+        var filesSeen = 0L; var filesKept = 0L; var unpruned = 0; var bloomPruned = 0
         val keptParts = pvs.toList.sortBy(_._1.toPath)
           .filter { case (p, _) => SkipEval.mayMatch(expr, partitionLookup(p)) }
         val paths = keptParts.flatMap { case (p, v) =>
@@ -865,7 +1010,10 @@ object TableStats {
             case Some(m) =>
               val inPart = m.filesFor(p.toHivePath)
               if (inPart.isEmpty) { unpruned += 1; dirFallback }
-              else {
+              else if (bloomExcludes(m, p.toHivePath)) {
+                filesSeen += inPart.size; bloomPruned += 1
+                Nil
+              } else {
                 val kept = inPart.filter(f => SkipEval.mayMatch(expr, fileLookup(f, Some(p))))
                 filesSeen += inPart.size; filesKept += kept.size
                 kept.map(basePrefix + _.path)
@@ -873,7 +1021,8 @@ object TableStats {
             case None => unpruned += 1; dirFallback
           }
         }
-        SkipDecision(paths, pvs.size, keptParts.size, filesSeen, filesKept, unpruned)
+        SkipDecision(paths, pvs.size, keptParts.size, filesSeen, filesKept, unpruned,
+          bloomPruned)
     }
   }
 

@@ -111,8 +111,11 @@ object GraftDataSkipping {
  *   - every aggregate is plain (no DISTINCT, no FILTER clause) and one of
  *     the four supported shapes over a direct column / literal;
  *   - the child is the recorded relation, at most behind a column-pruning
- *     Project (a `Filter` anywhere disqualifies — that plan belongs to
- *     [[GraftDataSkipping]] instead);
+ *     Project and an optional pushed-down Filter. A Filter referencing any
+ *     DATA column disqualifies (that plan belongs to [[GraftDataSkipping]]
+ *     instead); a deterministic Filter over PARTITION columns only is
+ *     evaluated two-valued against each partition's known value and the
+ *     fold covers just the kept partitions;
  *   - [[graft.operators.MetadataQuery.foldFullyCovered]] answers, i.e.
  *     EVERY file of EVERY partition is metadata-decidable for the touched
  *     columns (bounds present and decodable; NaN/±Inf-touched files make
@@ -367,10 +370,22 @@ final class PrunedGraftFileIndex(underlying: FileIndex, keptLoadPaths: Seq[Strin
   override def inputFiles: Array[String] =
     underlying.inputFiles.filter(s => keep(new Path(s)))
 
-  override def refresh(): Unit = underlying.refresh()
+  // cached but refresh-aware: a lazy val would keep reporting the
+  // pre-refresh size after refresh() re-listed the underlying index
+  // (affects only CBO estimates, never results)
+  @volatile private var sizeCache: java.lang.Long = null
 
-  override lazy val sizeInBytes: Long =
-    listFiles(Nil, Nil).iterator.flatMap(_.files).map(_.getLen).sum
+  override def refresh(): Unit = { sizeCache = null; underlying.refresh() }
+
+  override def sizeInBytes: Long = {
+    val cached = sizeCache
+    if (cached != null) cached.longValue
+    else {
+      val s = listFiles(Nil, Nil).iterator.flatMap(_.files).map(_.getLen).sum
+      sizeCache = java.lang.Long.valueOf(s)
+      s
+    }
+  }
 
   override def metadataOpsTimeNs: Option[Long] = underlying.metadataOpsTimeNs
 }

@@ -179,17 +179,17 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
             // Iceberg ref pattern): tags are the durable reproducibility
             // pins (vacuum never reclaims them), so
             // `VERSION AS OF 'model-v3-train'` is the SQL spelling of
-            // readAtTag. Commit ids win on a (pathological) collision.
+            // readAtTag. The tag MAP is consulted first — a driver-side
+            // lookup — and anything not a tag goes straight to readAt,
+            // which raises UnknownCommitError for unknown ids; no
+            // O(history) pre-scan of the update log per analysis. On a
+            // (pathological) tag-named-like-a-commit-id collision the tag
+            // wins; rename the tag to reach the shadowed commit.
             val tracker = e.engine.tracker
-            val asCommit = CommitId(v)
-            val known = tracker.tableState(e.table.name).updates
-              .exists(_.metadata.id == asCommit)
-            if (known) e.engine.readAt(e.table, asCommit)
-            else tracker.tags(e.table.name).collectFirst {
-              case (tag, commit) if tag == v => commit
-            } match {
+            tracker.tags(e.table.name)
+              .collectFirst { case (tag, commit) if tag == v => commit } match {
               case Some(commit) => e.engine.readAt(e.table, commit)
-              case None         => e.engine.readAt(e.table, asCommit) // loud UnknownCommitError
+              case None         => e.engine.readAt(e.table, CommitId(v)) // loud UnknownCommitError
             }
           case (None, Some(ts)) => e.engine.readAsOf(e.table, evalInstant(ts))
           case (None, None)     => e.engine.read(e.table)

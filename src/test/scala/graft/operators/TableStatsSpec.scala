@@ -257,6 +257,27 @@ class TableStatsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  behavior of "the q_bloom_skip_scan gate fixture"
+
+  it should "read roughly one partition's files for the point lookup at sf0.001" in {
+    val df = graft.SparkEntry.queries("q_bloom_skip_scan")(spark, "/root/testdata/sf0.001")
+    df.count() shouldBe 1
+    val kept = df.inputFiles
+    kept should not be empty
+    val tableDir = kept.head.substring(0,
+      kept.head.indexOf("/events_bloom/") + "/events_bloom/".length)
+    val root = new File(new java.net.URI(tableDir))
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
+      else Seq(f)
+    val all = walk(root).count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    withClue(s"kept ${kept.length} of $all files: ") {
+      // 5 event_type partitions; the Bloom keeps ~1 (+ fp slack) while the
+      // hash-split layout makes every file's id range contain the needle
+      kept.length.toDouble should be < all.toDouble / 2
+    }
+  }
+
   it should "keep files with nulls under negated NULL-SAFE equality (review finding)" in {
     val (engine, dir) = newEngine()
     val table = TableDefinition(TableName("test", "stats_nseq"),
@@ -337,6 +358,136 @@ class TableStatsSpec extends AnyFlatSpec with Matchers {
     prunedFiles(col("y") < 8) should be <= 6
     // the corner: both predicates compose to ~one box
     prunedFiles(col("x") < 8 && col("y") < 8) should be <= 2
+  }
+
+  behavior of "bloom partition skipping"
+
+  /** The layout Blooms exist for: grp partitions (g0..g4) with files
+    * hash-split on a bucket UNCORRELATED with id, so every file's id range
+    * spans ~the whole domain and min/max pruning keeps everything — only
+    * the per-partition Bloom can exclude. Each id lives in exactly ONE
+    * partition (id % 5). Ids are EVEN (2×k), so odd probes are absent but
+    * inside every range. */
+  private def bloomFixture(): (VersionedTables, TableDefinition) = {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("test", "stats_bloom"),
+      new File(dir, "stats_bloom").toURI, PartitionSchema("grp"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("id"), bloomKeyColumns = List("id"),
+        bloomExpectedItems = 2000)))
+    engine.initTable(table, UserId("t"), "init")
+    val df = spark.range(2000).select(
+      (col("id") * 2).as("id"),
+      concat(lit("g"), (col("id") % 5).cast("string")).as("grp"),
+      pmod(xxhash64(col("id") + 7), lit(4)).as("bucket"))
+    df.repartition(4, col("bucket")).drop("bucket")
+      .versionedInsertInto(engine, table, UserId("t"), "load hash-split")
+    (engine, table)
+  }
+
+  it should "prune partitions on equality where ranges cannot (and record it in the decision)" in {
+    val (engine, table) = bloomFixture()
+    val all = engine.read(table).inputFiles.length
+    all should be >= 15 // ~4 files × 5 partitions
+    // 1234 = 2×617, lives in grp g2 (617 % 5 = 2) — NOTE the Scala literal
+    // is an INT against the BIGINT column: the probe must widen exactly
+    val pred = col("id") === 1234
+    val skipped = engine.readWhere(table, pred)
+    skipped.select("id", "grp").collect().map(_.toSeq) shouldBe
+      engine.read(table).filter(pred).select("id", "grp").collect().map(_.toSeq)
+    skipped.inputFiles.length should be <= all / 3 // one partition's files (+fp slack)
+    val d = TableStats.planRead(engine, table, engine.tracker.currentVersion(table.name), pred)
+    d.bloomPrunedPartitions should be >= 3
+  }
+
+  it should "prune on IN lists (union of candidate tuples) and compose with partition predicates" in {
+    val (engine, table) = bloomFixture()
+    // 20 ∈ g0, 1234 ∈ g2 — the union of candidates keeps both partitions
+    val pred = col("id").isin(20, 1234)
+    val skipped = engine.readWhere(table, pred)
+    skipped.select("id").as[Long].collect().sorted shouldBe Array(20L, 1234L)
+    val d = TableStats.planRead(engine, table, engine.tracker.currentVersion(table.name), pred)
+    d.bloomPrunedPartitions should be >= 2
+    // conjunction with an explicit partition atom: value pruning first,
+    // blooms on the survivors
+    val d2 = TableStats.planRead(engine, table, engine.tracker.currentVersion(table.name),
+      col("grp").isin("g0", "g2", "g3") && col("id") === 1234)
+    d2.partitionsKept shouldBe 3 // g1/g4 dropped by VALUE before any bloom
+    d2.bloomPrunedPartitions should be >= 1 // g0+g3 bloom-pruned (fp slack of one)
+  }
+
+  it should "exclude absent keys that every range contains" in {
+    val (engine, table) = bloomFixture()
+    // odd → absent, but 0 <= 777 <= max so every file's range keeps it
+    val pred = col("id") === 777
+    val skipped = engine.readWhere(table, pred)
+    skipped.count() shouldBe 0
+    skipped.inputFiles.length should be <= 8 // 0 + deterministic fp slack
+  }
+
+  it should "never read bloom-pruned partitions: corrupting them leaves the lookup exact" in {
+    val (engine, table) = bloomFixture()
+    val pred = col("id") === 1234
+    val expected = engine.read(table).filter(pred).select("id", "grp")
+      .collect().map(_.toSeq)
+    val decision = TableStats.planRead(
+      engine, table, engine.tracker.currentVersion(table.name), pred)
+    val keptAbs = decision.paths
+      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+    val corrupted = graft.StatsFixtures.corruptParquet(table,
+      spare = f => keptAbs.contains(f.getAbsolutePath))
+    corrupted should be >= 12 // at least 3 of 5 partitions went
+    engine.readWhere(table, pred).select("id", "grp").collect().map(_.toSeq) shouldBe expected
+    intercept[Exception](engine.read(table).filter(pred).collect())
+  }
+
+  it should "probe string and multi-column key tuples in the written hash domain" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("test", "stats_bloom_mc"),
+      new File(dir, "stats_bloom_mc").toURI, PartitionSchema("grp"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("k"), bloomKeyColumns = List("k", "s"),
+        bloomExpectedItems = 1000)))
+    engine.initTable(table, UserId("t"), "init")
+    // key tuple (k, s) deterministic; each tuple in ONE of 3 partitions
+    spark.range(600).select(
+        col("id").as("k"),
+        concat(lit("s"), (col("id") % 7).cast("string")).as("s"),
+        concat(lit("g"), (col("id") % 3).cast("string")).as("grp"),
+        pmod(xxhash64(col("id") + 13), lit(3)).as("bucket"))
+      .repartition(3, col("bucket")).drop("bucket")
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+    // (100, s2) lives in g1 (100 % 3 = 1; 100 % 7 = 2)
+    val pred = col("k") === 100L && col("s") === "s2"
+    val skipped = engine.readWhere(table, pred)
+    skipped.select("grp").as[String].collect().toSeq shouldBe Seq("g1")
+    val d = TableStats.planRead(engine, table, engine.tracker.currentVersion(table.name), pred)
+    d.bloomPrunedPartitions should be >= 1
+    // pinning only HALF the tuple must not probe (the bloom hashed pairs)
+    val dHalf = TableStats.planRead(engine, table,
+      engine.tracker.currentVersion(table.name), col("k") === 100L)
+    dHalf.bloomPrunedPartitions shouldBe 0
+  }
+
+  it should "fall back to ranges for manifests without recorded bloom key types" in {
+    val (engine, table) = bloomFixture()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val version = engine.tracker.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion]
+    // strip bloomKeyTypes in place — the shape of a pre-upgrade manifest
+    version.partitionVersions.values.map(_.label).toSet[String].foreach { label =>
+      val m = TableStats.readManifest(conf, table.location, label).get
+      TableStats.deleteManifest(conf, table.location, label)
+      val stripped = TableStats.fromJson(
+        TableStats.toJson(m.copy(bloomKeyTypes = Nil))).toOption.get
+      stripped.bloomKeyTypes shouldBe Nil
+      val p = TableStats.statsManifestPath(table.location, label)
+      java.nio.file.Files.write(java.nio.file.Paths.get(p.toUri),
+        TableStats.toJson(stripped).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val pred = col("id") === 1234
+    val d = TableStats.planRead(engine, table, engine.tracker.currentVersion(table.name), pred)
+    d.bloomPrunedPartitions shouldBe 0 // no literal probing without the type record
+    // ...and the read is simply unpruned-by-bloom, still exact
+    engine.readWhere(table, pred).select("id").as[Long].collect() shouldBe Array(1234L)
   }
 
   behavior of "layout report"

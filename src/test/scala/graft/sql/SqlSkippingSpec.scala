@@ -371,6 +371,34 @@ class SqlSkippingSpec extends AnyFlatSpec with Matchers {
     df.head().getLong(0) shouldBe 1L
   }
 
+  it should "prune by partition Bloom through SQL text (unclustered point lookup)" in {
+    // grp partitions, files hash-split on a bucket uncorrelated with id:
+    // every file's id range contains the needle, so only the Bloom prunes —
+    // the same planRead path q_bloom_skip_scan gates (resolved
+    // AttributeReference + post-analysis literal, vs readWhere's unresolved
+    // Column in TableStatsSpec)
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("sqlskip", s"bloom_${seq.incrementAndGet()}"),
+      new File(dir, "bloom").toURI, PartitionSchema("grp"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("id"), bloomKeyColumns = List("id"),
+        bloomExpectedItems = 2000)))
+    engine.initTable(table, UserId("t"), "init")
+    spark.range(2000).select(
+        (col("id") * 2).as("id"),
+        concat(lit("g"), (col("id") % 5).cast("string")).as("grp"),
+        pmod(xxhash64(col("id") + 7), lit(4)).as("bucket"))
+      .repartition(4, col("bucket")).drop("bucket")
+      .versionedInsertInto(engine, table, UserId("t"), "load hash-split")
+    GraftTableRegistry.register(engine, table)
+    val all = engine.read(table).inputFiles.length
+    val df = spark.sql(
+      s"SELECT id, grp FROM graft.${table.name.fullyQualifiedName} WHERE id = 1234")
+    val idx = prunedIndexes(df)
+    idx should have size 1
+    idx.head.inputFiles.length should be <= all / 3 // ~one partition of five (+fp slack)
+    df.collect().map(_.toSeq) shouldBe Seq(Seq(1234L, "g2"))
+  }
+
   it should "prune big IN lists too (InSet re-expressed for the evaluator)" in {
     val (engine, table) = fixture()
     GraftTableRegistry.register(engine, table)
