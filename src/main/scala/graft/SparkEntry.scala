@@ -158,6 +158,14 @@ object SparkEntry {
     // with no scan in the plan
     "q_sql_meta_count_range" -> ((spark, dir) => statsSkipFixture(spark, dir).sqlMetaRange),
 
+    // ...and the GROUP-BY-partition-column form — THE ops-dashboard query
+    // (`SELECT day, COUNT(*) … GROUP BY day`): every grouping expression is
+    // a partition column whose per-partition value is a known scalar, so
+    // the groups form exactly and each folds from its partitions' manifests
+    // into one row of a multi-row LocalRelation — per-day row counts and id
+    // ranges for a 30-day table with no scan node in the plan
+    "q_sql_meta_groupby" -> ((spark, dir) => statsSkipFixture(spark, dir).sqlMetaGroupBy),
+
     // keyed MERGE INTO at the gate: events loaded as a versioned table, then
     // ONE merge commit that updates every 10th click (+1000 to value),
     // inserts a synthetic twin of every 100th view (id offset +10M), and
@@ -459,6 +467,11 @@ object SparkEntry {
       s"""SELECT COUNT(*) AS n_rows, MIN(event_id) AS event_id_min
          |FROM graft.graft.events_stats
          |WHERE event_date >= DATE'$cutoff'""".stripMargin)
+
+    def sqlMetaGroupBy: DataFrame = spark.sql(
+      """SELECT event_date, COUNT(*) AS n, MIN(event_id) AS id_min, MAX(event_id) AS id_max
+        |FROM graft.graft.events_stats
+        |GROUP BY event_date""".stripMargin)
   }
 
   /** q_bloom_skip_scan fixture: events versioned by event_type with files
@@ -618,6 +631,11 @@ object SparkEntry {
         s"""SELECT COUNT(*) AS n_rows, MIN(event_id) AS event_id_min
            |FROM events
            |WHERE CAST(ts AS DATE) >= (SELECT MAX(CAST(ts AS DATE)) FROM events) - 5""".stripMargin,
+      // the per-day GROUP BY, recomputed by scanning
+      "q_sql_meta_groupby" ->
+        s"""SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
+           |  MIN(event_id) AS id_min, MAX(event_id) AS id_max
+           |FROM events GROUP BY 1""".stripMargin,
       // MERGE algebra replayed in SQL: survivors (keys matched by neither the
       // update nor the delete class) + updated rows + inserted rows
       "q_merge_upsert" ->

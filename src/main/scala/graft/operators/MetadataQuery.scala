@@ -396,7 +396,7 @@ object MetadataQuery {
   /** Decode a manifest-encoded bound string into the EXTERNAL JVM value a
     * `Row` of the result schema carries. None = not representable under
     * the manifest type (answerability then routes to the residue). */
-  private[operators] def externalValue(dt: DataType, encoded: String): Option[Any] =
+  private[graft] def externalValue(dt: DataType, encoded: String): Option[Any] =
     try dt match {
       case ByteType         => Some(encoded.toByte)
       case ShortType        => Some(encoded.toShort)

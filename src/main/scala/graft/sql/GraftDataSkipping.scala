@@ -153,6 +153,9 @@ final case class GraftMetadataAggregate(session: SparkSession) extends Rule[Logi
       case agg @ Aggregate(groupingExprs, aggExprs, FilteredScan(cond, entry), _)
           if groupingExprs.isEmpty =>
         rewrite(agg, aggExprs, cond, entry).getOrElse(agg)
+      case agg @ Aggregate(groupingExprs, aggExprs, FilteredScan(cond, entry), _)
+          if groupingExprs.nonEmpty =>
+        rewriteGrouped(agg, groupingExprs, aggExprs, cond, entry).getOrElse(agg)
     }
 
   /** The recorded relation, at most behind pure column pruning and an
@@ -285,6 +288,153 @@ final case class GraftMetadataAggregate(session: SparkSession) extends Rule[Logi
       // answering from metadata is an optimization: any surprise (manifest
       // vanished mid-flight, undecodable value, partition/plan mismatch)
       // degrades to the real scan
+      case NonFatal(_) => None
+    }
+
+  /** `SELECT day, COUNT(*) … GROUP BY day` — THE ops-dashboard query —
+    * answered from manifests when every grouping expression is a DIRECT
+    * partition-column attribute of an eval-safe type: each partition's
+    * value is a known scalar, so the partitions group EXACTLY (no "maybe"),
+    * and each group folds like a partition-filtered global aggregate. Emits
+    * a multi-row [[LocalRelation]] (row order is irrelevant — GROUP BY
+    * guarantees none). Refusals mirror the global path: any grouping
+    * expression that is a data column or a FUNCTION of a partition column,
+    * any unsupported aggregate shape, any WHERE touching data columns, any
+    * group with a not-fully-covered partition → the real scan runs. A
+    * HAVING clause is a Filter ABOVE the Aggregate and composes untouched. */
+  private def rewriteGrouped(
+      agg: Aggregate,
+      groupingExprs: Seq[Expression],
+      aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      cond: Option[Expression],
+      entry: GraftScanRegistry.Entry): Option[LogicalPlan] =
+    try {
+      import graft.core.PartitionedTableVersion
+      val partitionColNames =
+        entry.table.partitionSchema.columns.map(_.name.toLowerCase).toSet
+      // every grouping expression: a direct, eval-safe partition attribute
+      val groupAttrs: Seq[AttributeReference] = groupingExprs.map {
+        case a: AttributeReference
+            if partitionColNames.contains(a.name.toLowerCase) &&
+              partitionEvalSafe(a.dataType) => a
+        case _ => return None
+      }
+      // classify outputs: a pass-through of a grouping attribute, or one of
+      // the four supported aggregate shapes
+      sealed trait Out
+      final case class Key(i: Int) extends Out
+      final case class Agg(r: Req) extends Out
+      val outs: Seq[Out] = aggExprs.map { e =>
+        val keyOf: Option[Int] = e match {
+          case a: AttributeReference =>
+            Some(groupAttrs.indexWhere(_.exprId == a.exprId)).filter(_ >= 0)
+          case Alias(a: AttributeReference, _) =>
+            Some(groupAttrs.indexWhere(_.exprId == a.exprId)).filter(_ >= 0)
+          case _ => None
+        }
+        keyOf.map(Key(_)).orElse(requestOf(e).map(Agg(_))).getOrElse(return None)
+      }
+      val reqs = outs.collect { case Agg(r) => r }
+      val requested = reqs.collect {
+        case CountCol(c) => c; case MinCol(c) => c; case MaxCol(c) => c
+      }.distinct
+      val dataCols = requested.filterNot(partitionColNames.contains)
+      val boundsCols = reqs.collect {
+        case MinCol(c) => c; case MaxCol(c) => c
+      }.toSet -- partitionColNames
+      val attrTypes: Map[String, DataType] = aggExprs.flatMap(_.collect {
+        case a: AttributeReference => a.name.toLowerCase -> a.dataType
+      }).toMap
+      val partitionCols: Map[String, DataType] = requested
+        .filter(partitionColNames.contains)
+        .flatMap(c => attrTypes.get(c).map(c -> _)).toMap
+      if (requested.count(partitionColNames.contains) != partitionCols.size) return None
+      if (!partitionCols.values.forall(partitionEvalSafe)) return None
+
+      // the WHERE, if any: the same exact two-valued per-partition decision
+      // as the global path
+      val keep: Option[Partition => Boolean] = cond match {
+        case None => None
+        case Some(c) =>
+          val refs = c.collect { case a: AttributeReference => a }
+          val refNames = refs.map(_.name.toLowerCase).distinct
+          if (!c.deterministic || refs.isEmpty ||
+              !refNames.forall(partitionColNames.contains) ||
+              !refs.forall(a => partitionEvalSafe(a.dataType))) return None
+          val attrs = refs.distinctBy(_.exprId)
+          val bound = BindReferences.bindReference(c, attrs)
+          Some { (p: Partition) =>
+            val values = attrs.map { a =>
+              p.columnValues.find(_.column.name.equalsIgnoreCase(a.name)) match {
+                case None => throw new IllegalStateException(
+                  s"partition ${p.toPath} lacks column ${a.name}")
+                case Some(cv) if cv.value == PathCodec.DefaultPartitionName => null
+                case Some(cv) =>
+                  val casted = Cast(
+                    Literal(UTF8String.fromString(cv.value), StringType),
+                    a.dataType, Option(SQLConf.get.sessionLocalTimeZone),
+                    EvalMode.LEGACY).eval(null)
+                  if (casted == null) throw new IllegalStateException(
+                    s"partition value '${cv.value}' does not cast to ${a.dataType}")
+                  casted
+              }
+            }
+            bound.eval(InternalRow.fromSeq(values)) == true
+          }
+      }
+
+      val pvs = entry.version match {
+        case PartitionedTableVersion(m) => m
+        case _ => return None // snapshot tables have no partition columns
+      }
+      val kept = keep.fold(pvs)(k => pvs.filter(kv => k(kv._1)))
+
+      // group the kept partitions by their DECODED grouping values (decoded,
+      // not raw, so path spellings of the same value land in one group);
+      // NaN group keys refuse — Spark normalizes NaN grouping, driver-side
+      // Seq equality would not
+      val groups: Map[Seq[Any], Map[Partition, graft.core.Version]] =
+        kept.groupBy { case (p, _) =>
+          groupAttrs.map { a =>
+            p.columnValues.find(_.column.name.equalsIgnoreCase(a.name)) match {
+              case None => return None
+              case Some(cv) if cv.value == PathCodec.DefaultPartitionName =>
+                null
+              case Some(cv) =>
+                MetadataQuery.externalValue(a.dataType, cv.value) match {
+                  case Some(d: java.lang.Double) if d.isNaN => return None
+                  case Some(f: java.lang.Float) if f.isNaN  => return None
+                  case Some(v)                              => v
+                  case None                                 => return None
+                }
+            }
+          }
+        }
+
+      // fold every group entirely from manifests; ANY uncovered group
+      // refuses the whole rewrite (a half-metadata GROUP BY would have to
+      // stitch a scan per residue group — that plan belongs to Spark)
+      val folded: Seq[(Seq[Any], MetadataQuery.CoveredFold)] =
+        groups.toSeq.map { case (key, groupPvs) =>
+          MetadataQuery.foldCoveredSelected(
+            entry.engine, entry.table, PartitionedTableVersion(groupPvs),
+            dataCols, partitionCols, keep = None, boundsFor = Some(boundsCols)) match {
+            case Some(f) => key -> f
+            case None    => return None
+          }
+        }
+
+      val rows = folded.map { case (key, fold) =>
+        Row.fromSeq(outs.map {
+          case Key(i)            => key(i)
+          case Agg(CountStar)    => fold.rows
+          case Agg(CountCol(c))  => fold.rows - fold.cols(c).nulls
+          case Agg(MinCol(c))    => fold.cols(c).min.orNull
+          case Agg(MaxCol(c))    => fold.cols(c).max.orNull
+        })
+      }
+      Some(LocalRelation.fromExternalRows(agg.output, rows))
+    } catch {
       case NonFatal(_) => None
     }
 }

@@ -228,17 +228,119 @@ class SqlSkippingSpec extends AnyFlatSpec with Matchers {
     intercept[Exception](real.collect())
   }
 
-  it should "not rewrite WHERE / GROUP BY / DISTINCT / unsupported aggregates" in {
+  it should "not rewrite data-column WHERE / DISTINCT / unsupported aggregates" in {
     val (engine, table) = fixture()
     GraftTableRegistry.register(engine, table)
     val t = s"graft.${table.name.fullyQualifiedName}"
     isMetadataAnswered(spark.sql(s"SELECT COUNT(*) AS n FROM $t WHERE id < 10")) shouldBe false
-    isMetadataAnswered(spark.sql(s"SELECT day, COUNT(*) AS n FROM $t GROUP BY day")) shouldBe false
     isMetadataAnswered(spark.sql(s"SELECT COUNT(DISTINCT id) AS n FROM $t")) shouldBe false
     isMetadataAnswered(spark.sql(s"SELECT AVG(id) AS a FROM $t")) shouldBe false
     // and the unrewritten plans still answer correctly
     spark.sql(s"SELECT COUNT(*) AS n FROM $t WHERE id < 10").head().getLong(0) shouldBe 40L
     spark.sql(s"SELECT AVG(id) AS a FROM $t").head().getDouble(0) shouldBe 199.5
+  }
+
+  behavior of "GROUP BY partition-column metadata aggregates"
+
+  it should "fold per-group from manifests into a multi-row LocalRelation that survives corruption" in {
+    val (engine, table) = fixture()
+    GraftTableRegistry.register(engine, table)
+    val t = s"graft.${table.name.fullyQualifiedName}"
+    val sql = s"""SELECT day, COUNT(*) AS n, COUNT(v) AS nv, MIN(id) AS mn, MAX(id) AS mx
+                 |FROM $t GROUP BY day""".stripMargin
+
+    val df = spark.sql(sql)
+    isMetadataAnswered(df) shouldBe true
+    val got = df.collect().map(_.toSeq).sortBy(_.head.toString)
+    got should have size 4
+    got.foreach { r =>
+      r(1) shouldBe 400L; r(2) shouldBe 360L; r(3) shouldBe 0L; r(4) shouldBe 399L
+    }
+    // figures equal the genuinely-scanned reference
+    val ref = withSkippingDisabled {
+      val d = spark.sql(sql)
+      isMetadataAnswered(d) shouldBe false
+      d.collect().map(_.toSeq).sortBy(_.head.toString)
+    }
+    got shouldBe ref
+
+    // the analyzed frame never opens a data file
+    val again = spark.sql(sql)
+    corruptAll(table) shouldBe 16
+    again.collect().map(_.toSeq).sortBy(_.head.toString) shouldBe ref
+  }
+
+  it should "compose GROUP BY with a partition WHERE, HAVING and grouped-key aggregates" in {
+    val (engine, table) = fixture()
+    GraftTableRegistry.register(engine, table)
+    val t = s"graft.${table.name.fullyQualifiedName}"
+
+    val filtered = spark.sql(
+      s"""SELECT day, COUNT(*) AS n FROM $t
+         |WHERE day >= '2024-01-02' GROUP BY day""".stripMargin)
+    isMetadataAnswered(filtered) shouldBe true
+    filtered.collect().map(_.getLong(1)).toSeq shouldBe Seq(400L, 400L, 400L)
+
+    // HAVING over a supported aggregate: a Filter above the Aggregate —
+    // rides on top of the LocalRelation untouched
+    val having = spark.sql(
+      s"SELECT day, MAX(id) AS mx FROM $t GROUP BY day HAVING COUNT(*) > 1")
+    isMetadataAnswered(having) shouldBe true
+    having.count() shouldBe 4
+
+    // selecting the grouped key + aggregates OVER the key itself
+    val keyAgg = spark.sql(
+      s"SELECT day, MIN(day) AS mn, COUNT(day) AS n FROM $t GROUP BY day")
+    isMetadataAnswered(keyAgg) shouldBe true
+    keyAgg.collect().foreach { r => r.get(0) shouldBe r.get(1); r.getLong(2) shouldBe 400L }
+  }
+
+  it should "group the null partition as a NULL key" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("sqlskip", s"gbnull_${seq.incrementAndGet()}"),
+      new File(dir, "gbnull").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("id"))))
+    engine.initTable(table, UserId("t"), "init")
+    spark.range(300).select(col("id"),
+        when(col("id") % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("d"), (col("id") % 2).cast("string"))).as("day"))
+      .repartition(col("day"))
+      .versionedInsertInto(engine, table, UserId("t"), "load with null partition")
+    GraftTableRegistry.register(engine, table)
+    val sql = s"SELECT day, COUNT(*) AS n FROM graft.${table.name.fullyQualifiedName} GROUP BY day"
+    val df = spark.sql(sql)
+    isMetadataAnswered(df) shouldBe true
+    val got = df.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    got shouldBe Map(None -> 100L, Some("d0") -> 100L, Some("d1") -> 100L)
+    got shouldBe withSkippingDisabled(
+      spark.sql(sql).collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap)
+  }
+
+  it should "refuse data-column grouping, derived grouping keys and uncovered groups" in {
+    val (engine, table) = fixture()
+    GraftTableRegistry.register(engine, table)
+    val t = s"graft.${table.name.fullyQualifiedName}"
+    // data column grouping: partition values say nothing about it
+    isMetadataAnswered(spark.sql(s"SELECT cat, COUNT(*) AS n FROM $t GROUP BY cat")) shouldBe false
+    // a FUNCTION of the partition column: no longer a known scalar per
+    // partition in the plan's terms — refuse (Spark computes it exactly)
+    isMetadataAnswered(spark.sql(
+      s"SELECT year(day) AS y, COUNT(*) AS n FROM $t GROUP BY year(day)")) shouldBe false
+    // mixed partition+data grouping refuses too
+    isMetadataAnswered(spark.sql(
+      s"SELECT day, cat, COUNT(*) AS n FROM $t GROUP BY day, cat")) shouldBe false
+    // ...and each refused plan still answers correctly
+    spark.sql(s"SELECT cat, COUNT(*) AS n FROM $t GROUP BY cat").count() shouldBe 3
+
+    // delete ONE partition version's manifest: its group is uncovered →
+    // the whole rewrite refuses and the scan answers
+    val conf = spark.sparkContext.hadoopConfiguration
+    val label = engine.tracker.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions.values.head.label
+    graft.operators.TableStats.deleteManifest(conf, table.location, label)
+    val df = spark.sql(s"SELECT day, COUNT(*) AS n FROM $t GROUP BY day")
+    isMetadataAnswered(df) shouldBe false
+    df.collect().map(_.getLong(1)).sum shouldBe 1600L
   }
 
   it should "answer VERSION AS OF aggregates from the pinned version's manifests" in {
