@@ -166,6 +166,16 @@ object SparkEntry {
     // ranges for a 30-day table with no scan node in the plan
     "q_sql_meta_groupby" -> ((spark, dir) => statsSkipFixture(spark, dir).sqlMetaGroupBy),
 
+    // the SQL WRITE surface at the gate: a versioned events table populated
+    // ENTIRELY through SQL text — INSERT INTO (full load, schema defined by
+    // the first write), INSERT INTO again (an APPEND of synthetic rows into
+    // existing partitions: old rows must survive), then INSERT OVERWRITE of
+    // the max-date partition (error rows dropped; the appended synthetics
+    // of that date go with it — overwrite replaces the whole partition).
+    // All three land as commits through graft.sql.GraftSqlWrites; the
+    // oracle replays the same append/overwrite algebra over the raw parquet
+    "q_sql_insert" -> ((spark, dir) => sqlInsertFixture(spark, dir).readBack),
+
     // keyed MERGE INTO at the gate: events loaded as a versioned table, then
     // ONE merge commit that updates every 10th click (+1000 to value),
     // inserts a synthetic twin of every 100th view (id offset +10M), and
@@ -507,6 +517,61 @@ object SparkEntry {
       BloomFixture(engine, table, needle)
     })
 
+  /** q_sql_insert fixture: the table is built by three pure-SQL statements
+    * (load / append / partition overwrite) through the GraftSqlWrites
+    * command path; only the build is memoized — `readBack` re-plans per
+    * invocation. */
+  private final case class SqlInsertFixture(spark: SparkSession, name: String) {
+    def readBack: DataFrame = spark.sql(
+      s"""SELECT event_date, event_type, COUNT(1) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         |FROM $name GROUP BY event_date, event_type""".stripMargin)
+  }
+
+  private val sqlInsertFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SqlInsertFixture]()
+  private val sqlInsertFixtureSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def sqlInsertFixture(spark: SparkSession, sfDir: String): SqlInsertFixture =
+    sqlInsertFixtureCache.computeIfAbsent((spark, sfDir), _ => {
+      Tables.prepare(spark)
+      val n = sqlInsertFixtureSeq.incrementAndGet()
+      val root = graft.FixtureTempDirs.create("graft-sqlins-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", s"events_sql_$n"),
+        root.resolve("events_sql").toUri, PartitionSchema("event_date"), FileFormat.Parquet)
+      engine.initTable(table, UserId("driver"), "init")
+      graft.sql.GraftTableRegistry.register(engine, table)
+      val t = s"graft.${table.name.fullyQualifiedName}"
+      val view = s"events_sql_src_$n"
+      Tables.events(spark, sfDir).localCheckpoint().createOrReplaceTempView(view)
+      // load: the first write defines the schema (partition column LAST,
+      // the order every later positional INSERT follows)
+      spark.sql(
+        s"""INSERT INTO $t
+           |SELECT event_id, ts, user_id, value, props, event_type,
+           |  CAST(ts AS DATE) AS event_date
+           |FROM $view""".stripMargin)
+      // append: synthetic twins of every 100th click, into EXISTING
+      // partitions — INSERT INTO unions with the current rows
+      spark.sql(
+        s"""INSERT INTO $t
+           |SELECT event_id + 20000000, ts, user_id, value, props,
+           |  'synthetic', CAST(ts AS DATE) AS event_date
+           |FROM $view WHERE event_type = 'click' AND event_id % 100 = 0""".stripMargin)
+      // overwrite ONE partition: the max date reprocessed without errors
+      // (dynamic partition overwrite — only that partition is replaced,
+      // taking its appended synthetics with it)
+      val maxDate = spark.table(view).agg(max(to_date(col("ts")))).head().getDate(0)
+      spark.sql(
+        s"""INSERT OVERWRITE $t
+           |SELECT event_id, ts, user_id, value, props, event_type,
+           |  CAST(ts AS DATE) AS event_date
+           |FROM $view
+           |WHERE CAST(ts AS DATE) = DATE'$maxDate' AND event_type <> 'error'""".stripMargin)
+      SqlInsertFixture(spark, t)
+    })
+
   private val statsSkipFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StatsSkipFixture]()
 
@@ -636,6 +701,29 @@ object SparkEntry {
         s"""SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
            |  MIN(event_id) AS id_min, MAX(event_id) AS id_max
            |FROM events GROUP BY 1""".stripMargin,
+      // the SQL-write fixture's three statements replayed as set algebra:
+      // non-max-date base rows + their synthetic appends, then the max-date
+      // partition as the overwrite left it (errors and synthetics gone)
+      "q_sql_insert" ->
+        s"""WITH base AS (
+           |  SELECT event_id, ts, user_id, value, props, event_type,
+           |         CAST(ts AS DATE) AS event_date
+           |  FROM events
+           |), maxd AS (SELECT MAX(event_date) AS m FROM base)
+           |SELECT event_date, event_type, $duckFixtureAgg
+           |FROM (
+           |  SELECT * FROM base WHERE event_date <> (SELECT m FROM maxd)
+           |  UNION ALL
+           |  SELECT event_id + 20000000, ts, user_id, value, props,
+           |         'synthetic', event_date
+           |  FROM base
+           |  WHERE event_type = 'click' AND event_id % 100 = 0
+           |    AND event_date <> (SELECT m FROM maxd)
+           |  UNION ALL
+           |  SELECT * FROM base
+           |  WHERE event_date = (SELECT m FROM maxd) AND event_type <> 'error'
+           |)
+           |GROUP BY 1, 2""".stripMargin,
       // MERGE algebra replayed in SQL: survivors (keys matched by neither the
       // update nor the delete class) + updated rows + inserted rows
       "q_merge_upsert" ->

@@ -163,15 +163,44 @@ final class GraftCatalogPlugin
   * not) with the engine's analyzed read plan. Runs inside the analyzer's
   * resolution fixed point; non-graft names pass through untouched. */
 final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // The TABLE child of a graft-targeted InsertIntoStatement must NOT be
+    // substituted with a read plan (Spark would then convert the insert
+    // into a raw file write straight into the version directories,
+    // bypassing the commit protocol). Guard by IDENTITY — case-class
+    // equality would also shield the SOURCE relation of
+    // `INSERT INTO graft.g.t SELECT * FROM graft.g.t`.
+    val insertTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[UnresolvedRelation, java.lang.Boolean]())
+    plan.foreach {
+      case i: InsertIntoStatement => i.table match {
+        case u: UnresolvedRelation => insertTargets.add(u); ()
+        case _                     => ()
+      }
+      case _ => ()
+    }
     // TOP-DOWN: RelationTimeTravel must be rewritten as a unit — bottom-up
     // would substitute its UnresolvedRelation child first and silently
     // drop the AS OF clause (a current-version read of a time-traveled
     // query is a correctness bug, not a degraded mode)
     plan.resolveOperatorsDown {
+      // the SQL WRITE surface: a graft-targeted INSERT becomes a
+      // versioned-write command once its source query has resolved (the
+      // fixed point keeps resolving the source meanwhile). See
+      // [[GraftSqlWrites]] for the append/overwrite semantics.
+      case i: InsertIntoStatement if i.query.resolved && (i.table match {
+            case u: UnresolvedRelation => entryFor(u).isDefined
+            case _                     => false
+          }) =>
+        require(!i.ifPartitionNotExists,
+          "INSERT ... IF NOT EXISTS is not supported on graft tables")
+        GraftInsertCommand(
+          entryFor(i.table.asInstanceOf[UnresolvedRelation]).get,
+          i.partitionSpec, i.userSpecifiedCols, i.query, i.overwrite, i.byName)
       case RelationTimeTravel(u: UnresolvedRelation, timestamp, version)
-          if entryFor(u).isDefined =>
+          if entryFor(u).isDefined && !insertTargets.contains(u) =>
         val e = entryFor(u).get
         val df = (version, timestamp) match {
           case (Some(v), _) =>
@@ -195,9 +224,10 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
           case (None, None)     => e.engine.read(e.table)
         }
         analyzedPlan(df)
-      case u: UnresolvedRelation if entryFor(u).isDefined =>
+      case u: UnresolvedRelation if entryFor(u).isDefined && !insertTargets.contains(u) =>
         analyzedPlan(entryFor(u).get.engine.read(entryFor(u).get.table))
     }
+  }
 
   private def entryFor(u: UnresolvedRelation): Option[GraftTableRegistry.Entry] =
     u.multipartIdentifier match {

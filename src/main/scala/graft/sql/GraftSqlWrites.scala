@@ -1,0 +1,255 @@
+package graft.sql
+
+import graft.core._
+import graft.operators.VersionedTables._
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * The SQL WRITE surface for graft versioned tables — `INSERT INTO` /
+ * `INSERT OVERWRITE` on a `graft.<schema>.<table>` name, resolved by
+ * [[ResolveGraftTables]] into a [[GraftInsertCommand]] that routes through
+ * the SAME versioned write path as the Scala API (`versionedInsertInto` /
+ * `versionedReplaceAll`), commit log and stats manifests included:
+ *
+ * {{{
+ *   INSERT INTO graft.sales.accounts SELECT ...                -- append
+ *   INSERT OVERWRITE graft.sales.accounts SELECT ...           -- replace
+ *   INSERT OVERWRITE graft.sales.accounts
+ *     PARTITION (day='2024-03-01') SELECT ...                  -- one partition
+ * }}}
+ *
+ * Semantics on an immutable-versioned store:
+ *  - `INSERT INTO` APPENDS: the new rows are unioned with the CURRENT rows
+ *    of exactly the partitions the frame touches, and those partitions get
+ *    new version directories (absent partitions untouched). On a
+ *    versioned-directory layout an append IS a rewrite of the touched
+ *    partitions — bulk loads into fresh partitions pay no union read at
+ *    all (the partitions don't exist yet), which is the recommended
+ *    100 TB ingestion shape.
+ *  - `INSERT OVERWRITE` replaces exactly the partitions present in the
+ *    query — the engine's native `versionedInsertInto` semantics, i.e.
+ *    Spark's DYNAMIC partition-overwrite (the write path itself requires
+ *    `spark.sql.sources.partitionOverwriteMode=dynamic`, which
+ *    `graft.Tables.prepare` sets, and refuses loudly otherwise — there is
+ *    no silent whole-table truncate). A static `PARTITION (col=value)`
+ *    spec pins the value as a literal column and replaces that partition
+ *    alone. Whole-table replace — absent partitions REMOVED from the new
+ *    commit, their data retained for time travel — stays a deliberate
+ *    Scala/CLI operation (`versionedReplaceAll`).
+ *
+ * Every SQL write commits with OPTIMISTIC CONCURRENCY: the head observed
+ * when the write began (the same head the append's union and the
+ * replace-all's remove set derive from) is passed as the CAS expectation,
+ * so a concurrent commit between read and write raises
+ * [[graft.core.CommitConflictError]] instead of silently losing rows —
+ * already-written version directories are then unreferenced debris that
+ * vacuum reclaims. Retry the statement to rebase.
+ *
+ * Column resolution follows SQL INSERT rules: positional by default (the
+ * query must produce exactly the table's columns, casts applied), by-name
+ * with `INSERT INTO t BY NAME`, and `INSERT INTO t (a, b, ...)` names the
+ * query's columns positionally (the list must cover the full schema — a
+ * versioned write never fabricates defaults). A never-written table takes
+ * the query's own schema as the table schema (the first write defines it).
+ *
+ * DDL stays read-only by design ([[GraftCatalogPlugin]] throws on
+ * CREATE/ALTER/DROP): tables are declared through `initTable`, because a
+ * [[graft.core.TableDefinition]] carries engine concerns (location,
+ * format, stats config) that SQL DDL has no vocabulary for.
+ */
+object GraftSqlWrites {
+
+  /** Session conf naming the user id SQL commits are attributed to. */
+  val UserKey = "spark.graft.sql.user"
+
+  /** Align `df` to the target schema and commit it through the versioned
+    * write path. Public mainly for the CAS law: `expectedHead` defaults to
+    * the head observed here, but a caller may pin a stale head to prove
+    * the conflict path. Returns the commit outcome. */
+  def insert(
+      spark: SparkSession,
+      entry: GraftTableRegistry.Entry,
+      source: DataFrame,
+      partitionSpec: Map[String, Option[String]],
+      userSpecifiedCols: Seq[String],
+      overwrite: Boolean,
+      byName: Boolean,
+      expectedHead: Option[CommitId] = None): (TableVersion, TableChanges) = {
+    val engine = entry.engine
+    val table = entry.table
+    val partCols = table.partitionSchema.columns.map(_.name)
+
+    partitionSpec.keys.foreach { k =>
+      require(partCols.exists(_.equalsIgnoreCase(k)),
+        s"PARTITION column '$k' is not a partition column of " +
+          s"${table.name.fullyQualifiedName} (partitioned by ${partCols.mkString(", ")})")
+    }
+
+    // the head every derived read (target schema, append union, replace-all
+    // remove set) is based on — and the CAS expectation of the commit
+    val head = expectedHead.getOrElse(engine.headCommit(table.name))
+
+    // `INSERT INTO t (a, b, ...)`: name the query's columns positionally
+    val named =
+      if (userSpecifiedCols.isEmpty) source
+      else {
+        require(userSpecifiedCols.size == source.columns.length,
+          s"INSERT column list (${userSpecifiedCols.mkString(", ")}) has " +
+            s"${userSpecifiedCols.size} columns but the query produced ${source.columns.length}")
+        source.toDF(userSpecifiedCols: _*)
+      }
+
+    // static PARTITION (col=value) entries become literal columns
+    val withStatic = partitionSpec.foldLeft(named) {
+      case (df, (c, Some(v))) =>
+        require(!df.columns.exists(_.equalsIgnoreCase(c)),
+          s"static PARTITION ($c='$v') conflicts with a query output column")
+        df.withColumn(c, lit(v))
+      case (df, (_, None)) => df
+    }
+
+    val target: StructType = StructType(
+      engine.read(table).schema.filterNot(_.name == Version.VersionColumn).toArray)
+    val aligned =
+      if (target.isEmpty) withStatic // first write defines the schema
+      else align(withStatic, target, byName = byName || userSpecifiedCols.nonEmpty)
+
+    partCols.foreach { c =>
+      require(aligned.columns.exists(_.equalsIgnoreCase(c)),
+        s"partition column '$c' missing from the INSERT source " +
+          s"(columns: ${aligned.columns.mkString(", ")})")
+    }
+
+    val user = UserId(spark.conf.get(UserKey, spark.sparkContext.sparkUser))
+
+    if (!overwrite) {
+      // APPEND: union with the current rows of exactly the touched
+      // partitions. The touched set is one bounded distinct over the
+      // source's partition columns (the source is checkpointed so the
+      // union write does not recompute the query); the per-partition
+      // match compares the same string encoding Spark's dynamic
+      // partitioned write produced the directory names with, which is
+      // round-trip-exact for the guarded type set — anything else (e.g.
+      // timestamp partition columns, whose java toString disagrees with
+      // the directory encoding) refuses loudly rather than risk matching
+      // an existing partition as "absent" and silently replacing it.
+      val src = aligned.localCheckpoint()
+      val existing: Option[DataFrame] = table.partitionSchema match {
+        case ps if ps.columns.isEmpty =>
+          val cur = engine.read(table)
+          if (cur.columns.isEmpty) None else Some(cur)
+        case ps =>
+          ps.columns.foreach { c =>
+            val dt = src.schema(src.columns.find(_.equalsIgnoreCase(c.name)).get).dataType
+            require(appendMatchSafe(dt),
+              s"SQL INSERT INTO append over a ${dt.catalogString} partition column " +
+                s"('${c.name}') is not supported — the path encoding is not a plain " +
+                "string round-trip; use the Scala API (read + union + versionedInsertInto)")
+          }
+          val touched: Set[Seq[Option[String]]] = src
+            .select(ps.columns.map(c => col(s"`${c.name}`")): _*)
+            .distinct().collect()
+            .map(r => ps.columns.indices.map(i =>
+              Option(r.get(i)).map(String.valueOf(_))): Seq[Option[String]])
+            .toSet
+          val cur = engine.readPartitions(table, p =>
+            touched.contains(p.columnValues.map(cv =>
+              if (cv.value == PathCodec.DefaultPartitionName) None
+              else Some(cv.value)): Seq[Option[String]]))
+          if (cur.columns.isEmpty) None else Some(cur)
+      }
+      val unioned = existing match {
+        case Some(cur) => cur.unionByName(src)
+        case None      => src
+      }
+      unioned.versionedInsertIntoIf(engine, table, user,
+        s"SQL INSERT INTO ${table.name.fullyQualifiedName}", head)
+    } else {
+      // INSERT OVERWRITE = the engine's native dynamic-overwrite-by-
+      // partition write (the ONLY overwrite a versioned-directory store
+      // has; the write path itself requires the session's
+      // partitionOverwriteMode to be 'dynamic' and refuses loudly
+      // otherwise). Whole-table replace — absent partitions removed from
+      // the commit — is versionedReplaceAll on the Scala API / CLI.
+      aligned.versionedInsertIntoIf(engine, table, user,
+        s"SQL INSERT OVERWRITE ${table.name.fullyQualifiedName}", head)
+    }
+  }
+
+  /** Types whose partition-directory encoding is the plain string form of
+    * the value — the set the append path may match partitions by value
+    * with (mirrors the metadata-aggregate rule's partitionEvalSafe). */
+  private def appendMatchSafe(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | BooleanType | DateType => true
+      case ByteType | ShortType | IntegerType | LongType => true
+      case FloatType | DoubleType | _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** SQL INSERT column resolution against the known table schema:
+    * positional (arity must match; columns renamed and cast in order) or
+    * by-name (every target column present case-insensitively, selected in
+    * target order with casts). */
+  private def align(df: DataFrame, target: StructType, byName: Boolean): DataFrame =
+    if (byName) {
+      val cols: Seq[Column] = target.map { f =>
+        val c = df.columns.find(_.equalsIgnoreCase(f.name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"INSERT BY NAME: column '${f.name}' missing from the query " +
+              s"(columns: ${df.columns.mkString(", ")})"))
+        castTo(col(s"`$c`"), df.schema(c).dataType, f.dataType).as(f.name)
+      }
+      df.select(cols: _*)
+    } else {
+      require(df.columns.length == target.size,
+        s"INSERT source has ${df.columns.length} columns but " +
+          s"the table has ${target.size} (${target.map(_.name).mkString(", ")})")
+      val cols: Seq[Column] = target.zip(df.columns).map { case (f, c) =>
+        castTo(col(s"`$c`"), df.schema(c).dataType, f.dataType).as(f.name)
+      }
+      df.select(cols: _*)
+    }
+
+  private def castTo(
+      c: Column,
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Column =
+    if (from == to) c else c.cast(to)
+}
+
+/**
+ * The analyzed form of a graft-targeted `InsertIntoStatement`: a driver-side
+ * command (planned by Spark's own command strategy) whose `run` aligns the
+ * source and commits through [[GraftSqlWrites.insert]]. The source plan is
+ * an `innerChildren` so EXPLAIN prints it; nothing executes until the
+ * statement itself runs — EXPLAIN of an INSERT stays a no-op.
+ */
+final case class GraftInsertCommand(
+    entry: GraftTableRegistry.Entry,
+    partitionSpec: Map[String, Option[String]],
+    userSpecifiedCols: Seq[String],
+    query: LogicalPlan,
+    overwrite: Boolean,
+    byName: Boolean) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftSqlWrites.insert(session, entry,
+      GraftSqlBridge.ofRows(session, query),
+      partitionSpec, userSpecifiedCols, overwrite, byName)
+    Seq.empty
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftInsertCommand ${entry.table.name.fullyQualifiedName}" +
+      (if (overwrite) " (overwrite)" else "")
+}

@@ -23,4 +23,11 @@ object GraftSqlBridge {
     * ALREADY-RUNNING session, not just at builder time. */
   def functionRegistry(spark: SparkSession): catalyst.analysis.FunctionRegistry =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+
+  /** A DataFrame over an already-analyzed logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — how the SQL INSERT command materializes its source
+    * query for the versioned write path. */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
