@@ -26,6 +26,7 @@ import java.time.Instant
  *   graft-cli --store <uri> changes <schema.table> <fromCommitId> <toCommitId>
  *   graft-cli --store <uri> row-changes <schema.table> <tableLocation> <fromCommitId> <toCommitId> --keys k1[,k2] --out <dir> [--partition-by c1,c2] [--format F]
  *   graft-cli --store <uri> stats <schema.table> <tableLocation> [--partition-by c1,c2]
+ *   graft-cli --store <uri> stats-checkpoint <schema.table> <tableLocation> [--partition-by c1,c2]
  *   graft-cli --store <uri> vacuum <schema.table> <location> [--keep-last N] [--apply]
  *   graft-cli --store <uri> migrate
  *   graft-cli --store <uri> export <destUri>
@@ -417,6 +418,24 @@ object GraftCli {
         }
       }
 
+      // stats-checkpoint <table> <location> [--partition-by ...] — roll the
+      // CURRENT version's per-label stats manifests into one
+      // _stats/_checkpoint-<stamp>.json (retiring older checkpoints), so a
+      // cold reader's first metadata touch costs one bulk read + one read
+      // per label committed since, instead of O(live labels) filesystem
+      // round-trips. Vacuum does this automatically on real runs; this verb
+      // is the explicit "every N commits" maintenance hook.
+      case List("stats-checkpoint", name, location) => withTable(name) { t =>
+        withTableDef(t, location, flags, out) { table =>
+          val spark = cliSpark()
+          val engine = new graft.operators.VersionedTables(spark, tracker)
+          engine.checkpointStats(table) match {
+            case Some(file) => out.println(s"checkpointed $file"); 0
+            case None       => out.println("no stats manifests to checkpoint"); 0
+          }
+        }
+      }
+
       // stats <table> <location> [--partition-by ...] — per-partition view
       // of the CURRENT version's data-skipping manifests (TableStats):
       // files / rows / declared stats columns / bloom presence, or a
@@ -545,7 +564,7 @@ object GraftCli {
 
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|row-changes|stats|summary|vacuum|migrate|export|sync|stage|audit|publish|merge> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|row-changes|stats|stats-checkpoint|summary|vacuum|migrate|export|sync|stage|audit|publish|merge> ...""".stripMargin)
         2
     } catch {
       case e @ (_: UnknownTableError | _: UnknownCommitError |

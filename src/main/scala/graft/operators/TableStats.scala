@@ -104,7 +104,7 @@ object TableStats {
 
   private val mapper = new ObjectMapper()
 
-  def toJson(m: StatsManifest): String = {
+  private def manifestNode(m: StatsManifest): com.fasterxml.jackson.databind.node.ObjectNode = {
     val root = mapper.createObjectNode()
     root.put("formatVersion", ManifestFormatVersion)
     root.put("version", m.version)
@@ -130,7 +130,34 @@ object TableStats {
     m.partitionBlooms.foreach { case (p, bytes) =>
       blooms.put(p, java.util.Base64.getEncoder.encodeToString(bytes))
     }
-    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+    root
+  }
+
+  def toJson(m: StatsManifest): String =
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(manifestNode(m))
+
+  private def manifestFromNode(root: com.fasterxml.jackson.databind.JsonNode): StatsManifest = {
+    val files = root.path("files").elements().asScala.map { fn =>
+      val cols = fn.path("columns").properties().asScala.map { e =>
+        val cn = e.getValue
+        e.getKey -> ColumnStats(
+          cn.path("type").asText(),
+          if (cn.path("min").isNull) None else Some(cn.path("min").asText()),
+          if (cn.path("max").isNull) None else Some(cn.path("max").asText()),
+          cn.path("nulls").asLong())
+      }.toMap
+      FileStats(fn.path("path").asText(), fn.path("partition").asText(),
+        fn.path("rows").asLong(), cols)
+    }.toList
+    val blooms = root.path("blooms").properties().asScala.map { e =>
+      e.getKey -> java.util.Base64.getDecoder.decode(e.getValue.asText())
+    }.toMap
+    StatsManifest(
+      root.path("version").asText(),
+      root.path("statsColumns").elements().asScala.map(_.asText()).toList,
+      root.path("bloomKeyColumns").elements().asScala.map(_.asText()).toList,
+      files, blooms,
+      root.path("bloomKeyTypes").elements().asScala.map(_.asText()).toList)
   }
 
   def fromJson(json: String): Either[String, StatsManifest] =
@@ -138,29 +165,7 @@ object TableStats {
       val root = mapper.readTree(json)
       if (root.path("formatVersion").asInt(-1) != ManifestFormatVersion)
         scala.Left(s"unsupported stats manifest formatVersion ${root.path("formatVersion")}")
-      else {
-        val files = root.path("files").elements().asScala.map { fn =>
-          val cols = fn.path("columns").properties().asScala.map { e =>
-            val cn = e.getValue
-            e.getKey -> ColumnStats(
-              cn.path("type").asText(),
-              if (cn.path("min").isNull) None else Some(cn.path("min").asText()),
-              if (cn.path("max").isNull) None else Some(cn.path("max").asText()),
-              cn.path("nulls").asLong())
-          }.toMap
-          FileStats(fn.path("path").asText(), fn.path("partition").asText(),
-            fn.path("rows").asLong(), cols)
-        }.toList
-        val blooms = root.path("blooms").properties().asScala.map { e =>
-          e.getKey -> java.util.Base64.getDecoder.decode(e.getValue.asText())
-        }.toMap
-        scala.Right(StatsManifest(
-          root.path("version").asText(),
-          root.path("statsColumns").elements().asScala.map(_.asText()).toList,
-          root.path("bloomKeyColumns").elements().asScala.map(_.asText()).toList,
-          files, blooms,
-          root.path("bloomKeyTypes").elements().asScala.map(_.asText()).toList))
-      }
+      else scala.Right(manifestFromNode(root))
     } catch { case e: Exception => scala.Left(s"bad stats manifest: ${e.getMessage}") }
 
   private[operators] def writeManifest(
@@ -195,14 +200,21 @@ object TableStats {
       })
 
   /** [[readManifest]] through the JVM-wide immutability-backed cache — the
-    * variant every pruning pass uses. */
+    * variant every pruning pass uses. A cache miss consults the table's
+    * latest stats CHECKPOINT first (one bulk file for O(live labels)
+    * manifests — see [[writeStatsCheckpoint]]) and falls back to the
+    * per-label file, so a cold reader of a long-history table pays one
+    * checkpoint read + one read per label committed since, not O(labels). */
   def readManifestCached(
       conf: org.apache.hadoop.conf.Configuration, location: URI, label: String): Option[StatsManifest] = {
     val key = (location.toString, label)
     val hit = manifestCache.get(key)
     if (hit != null) hit
     else {
-      val loaded = readManifest(conf, location, label)
+      val loaded = checkpointManifests(conf, location).get(label) match {
+        case some @ Some(_) => some
+        case None           => readManifest(conf, location, label)
+      }
       manifestCache.put(key, loaded)
       loaded
     }
@@ -213,6 +225,7 @@ object TableStats {
     * mean "read that version unpruned", never an error. */
   def readManifest(
       conf: org.apache.hadoop.conf.Configuration, location: URI, label: String): Option[StatsManifest] = {
+    manifestFsReads.incrementAndGet()
     val p = statsManifestPath(location, label)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) None
@@ -225,6 +238,127 @@ object TableStats {
       } finally in.close()
       fromJson(json).toOption
     }
+  }
+
+  // ------------------------------------------------------------- checkpoints
+
+  /** Stats-manifest CHECKPOINTING — the Delta checkpoint pattern for the
+    * per-label manifest files: [[writeStatsCheckpoint]] rolls the manifests
+    * of every label the CURRENT version references into ONE
+    * `_stats/_checkpoint-<stamp>.json`, and [[readManifestCached]] serves
+    * cache misses from the latest checkpoint before touching per-label
+    * files. A years-old high-commit-rate table then costs a cold reader
+    * one checkpoint read (+ one list) plus one read per label committed
+    * SINCE the checkpoint, instead of O(live labels) filesystem reads.
+    * Checkpoints only ACCELERATE: they are derived data — missing, stale
+    * or corrupt checkpoints degrade to the per-label path, never change
+    * results (manifests are immutable, so a stale checkpoint's entries are
+    * still exact for the labels it holds). Written by `vacuum` on real
+    * runs, by the CLI `stats-checkpoint` verb, or on demand. */
+  private val CheckpointPrefix = "_checkpoint-"
+
+  private def statsDirPath(location: URI): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(location), "_stats")
+
+  /** Latest-checkpoint content per table location (None = no checkpoint).
+    * Sound for the same reason as the manifest cache: checkpoint FILES are
+    * immutable (fresh stamped name per write); a newer checkpoint written
+    * by another process is simply not seen until this JVM's entry ages
+    * out, which only costs per-label fallbacks, never correctness. */
+  private val CheckpointCacheMax = 64
+  private val checkpointCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Option[(String, Map[String, StatsManifest])]](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Option[(String, Map[String, StatsManifest])]]): Boolean =
+          size() > CheckpointCacheMax
+      })
+
+  /** Filesystem-read counters for the I/O-shape laws (per-label manifest
+    * reads vs checkpoint reads) — test observability only. */
+  private[graft] val manifestFsReads = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val checkpointFsReads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private[graft] def clearStatsCachesForTesting(): Unit = {
+    manifestCache.clear()
+    checkpointCache.clear()
+  }
+
+  private def listCheckpointNames(
+      fs: org.apache.hadoop.fs.FileSystem, location: URI): Seq[String] = {
+    val dir = statsDirPath(location)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith(CheckpointPrefix) && n.endsWith(".json"))
+      .sorted.toSeq // stamped names: lexicographic == chronological
+  }
+
+  /** The latest checkpoint's manifests for `location` (empty when none),
+    * cached JVM-wide. Any surprise degrades to empty — per-label reads
+    * then answer as before. */
+  private def checkpointManifests(
+      conf: org.apache.hadoop.conf.Configuration, location: URI): Map[String, StatsManifest] = {
+    val key = location.toString
+    val hit = checkpointCache.get(key)
+    if (hit != null) return hit.map(_._2).getOrElse(Map.empty)
+    val loaded: Option[(String, Map[String, StatsManifest])] =
+      try {
+        val fs = statsDirPath(location).getFileSystem(conf)
+        listCheckpointNames(fs, location).lastOption.flatMap { name =>
+          checkpointFsReads.incrementAndGet()
+          val in = fs.open(new org.apache.hadoop.fs.Path(statsDirPath(location), name))
+          val json = try {
+            val baos = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, baos, 8192, false)
+            baos.toString("UTF-8")
+          } finally in.close()
+          val root = mapper.readTree(json)
+          if (root.path("formatVersion").asInt(-1) != ManifestFormatVersion) None
+          else Some(name -> root.path("manifests").properties().asScala
+            .map(e => e.getKey -> manifestFromNode(e.getValue)).toMap)
+        }
+      } catch { case _: Exception => None }
+    checkpointCache.put(key, loaded)
+    loaded.map(_._2).getOrElse(Map.empty)
+  }
+
+  /** Roll the current version's manifests into one checkpoint file and
+    * retire older checkpoints. Returns the new checkpoint's file name, or
+    * None when the version references no manifests (stats-less or
+    * pre-stats table — nothing to accelerate). */
+  def writeStatsCheckpoint(engine: VersionedTables, table: TableDefinition): Option[String] = {
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    val labels: Seq[String] = (engine.tracker.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.valuesIterator.filter(_ != Version.Unversioned).map(_.label).toSeq
+      case SnapshotTableVersion(v) =>
+        if (v == Version.Unversioned) Nil else Seq(v.label)
+    }).distinct.sorted
+    val manifests = labels.flatMap(l =>
+      readManifestCached(conf, table.location, l).map(l -> _))
+    if (manifests.isEmpty) return None
+    val root = mapper.createObjectNode()
+    root.put("formatVersion", ManifestFormatVersion)
+    val mn = root.putObject("manifests")
+    manifests.foreach { case (l, m) => mn.set[com.fasterxml.jackson.databind.JsonNode](l, manifestNode(m)); () }
+    val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+      .withZone(ZoneOffset.UTC).format(Instant.now()) + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val name = CheckpointPrefix + stamp + ".json"
+    val fs = statsDirPath(table.location).getFileSystem(conf)
+    val p = new org.apache.hadoop.fs.Path(statsDirPath(table.location), name)
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsString(root).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // retire older checkpoints only AFTER the new one is durable — a crash
+    // between the two leaves extra checkpoints, never none
+    listCheckpointNames(fs, table.location).filter(_ != name).foreach { old =>
+      try { fs.delete(new org.apache.hadoop.fs.Path(statsDirPath(table.location), old), false); () }
+      catch { case _: java.io.IOException => () }
+    }
+    checkpointCache.put(table.location.toString, Some(name -> manifests.toMap))
+    Some(name)
   }
 
   private[graft] def deleteManifest(

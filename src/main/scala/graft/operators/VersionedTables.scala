@@ -427,8 +427,20 @@ final class VersionedTables(
             spark.sparkContext.hadoopConfiguration, table.location, label.label)
       }
     }
+    // roll the surviving manifests into a fresh checkpoint (stats tables
+    // only): vacuum is the natural "history just got bounded" moment, and
+    // the checkpoint is what keeps a cold reader's first metadata touch
+    // O(1 + labels-since-checkpoint) instead of O(live labels)
+    if (table.stats.isDefined && outcome.deleted.nonEmpty)
+      TableStats.writeStatsCheckpoint(this, table)
     VacuumResult(targets, outcome.deleted, outcome.failed)
   }
+
+  /** Write a stats-manifest checkpoint for the table's CURRENT version —
+    * see [[TableStats.writeStatsCheckpoint]]. Safe no-op for tables
+    * without manifests. */
+  def checkpointStats(table: TableDefinition): Option[String] =
+    TableStats.writeStatsCheckpoint(this, table)
 
   /** Read the current version of only the partitions matching `keep` — the
     * driver-side prune that makes partial reads O(selected partitions) at

@@ -519,6 +519,97 @@ class TableStatsSpec extends AnyFlatSpec with Matchers {
       after.filterNot(e => e.partition.exists(keep)).map(_.versionLabel)
   }
 
+  behavior of "stats checkpoints"
+
+  /** A table whose partitions were committed ONE write each — the
+    * high-commit-rate shape checkpointing exists for: k labels, k per-label
+    * manifests. */
+  private def manyCommitFixture(k: Int): (VersionedTables, TableDefinition) = {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("test", "stats_ckpt"),
+      new File(dir, "stats_ckpt").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("id"))))
+    engine.initTable(table, UserId("t"), "init")
+    (0 until k).foreach { i =>
+      spark.range(10).select((col("id") + i * 100).as("id"), lit(f"d$i%02d").as("day"))
+        .repartition(1)
+        .versionedInsertInto(engine, table, UserId("t"), s"commit $i")
+    }
+    (engine, table)
+  }
+
+  it should "serve manifests from the checkpoint identically to per-label reads" in {
+    val (engine, table) = manyCommitFixture(6)
+    val pred = col("id") >= 300 // commits 3..5 only
+    val before = TableStats.planRead(engine, table,
+      engine.tracker.currentVersion(table.name), pred)
+    engine.checkpointStats(table) should not be empty
+    // drop the caches AND the per-label files: only the checkpoint remains
+    TableStats.clearStatsCachesForTesting()
+    val conf = spark.sparkContext.hadoopConfiguration
+    engine.tracker.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions.values
+      .foreach(v => new File(new File(new File(table.location), "_stats"), s"${v.label}.json")
+        .delete())
+    val after = TableStats.planRead(engine, table,
+      engine.tracker.currentVersion(table.name), pred)
+    after shouldBe before // same decision, checkpoint-served
+    // ...and the skipped read still equals the plain filter
+    engine.readWhere(table, pred).count() shouldBe
+      engine.read(table).filter(pred).count()
+  }
+
+  it should "cost one checkpoint read plus one read per label since (I/O counter law)" in {
+    val (engine, table) = manyCommitFixture(8)
+    engine.checkpointStats(table) should not be empty
+    // two MORE commits after the checkpoint
+    (8 until 10).foreach { i =>
+      spark.range(10).select((col("id") + i * 100).as("id"), lit(f"d$i%02d").as("day"))
+        .repartition(1)
+        .versionedInsertInto(engine, table, UserId("t"), s"commit $i")
+    }
+    TableStats.clearStatsCachesForTesting()
+    val m0 = TableStats.manifestFsReads.get(); val c0 = TableStats.checkpointFsReads.get()
+    val d = TableStats.planRead(engine, table,
+      engine.tracker.currentVersion(table.name), col("id") >= 0)
+    d.partitionsTotal shouldBe 10
+    (TableStats.checkpointFsReads.get() - c0) shouldBe 1L
+    // exactly the two post-checkpoint labels miss the checkpoint
+    (TableStats.manifestFsReads.get() - m0) shouldBe 2L
+  }
+
+  it should "retire older checkpoints and survive a corrupt one" in {
+    val (engine, table) = manyCommitFixture(3)
+    engine.checkpointStats(table)
+    engine.checkpointStats(table)
+    val statsDir = new File(new File(table.location), "_stats")
+    statsDir.listFiles().count(_.getName.startsWith("_checkpoint-")) shouldBe 1
+    // corrupt the survivor: readers must degrade to per-label files
+    val ckpt = statsDir.listFiles().find(_.getName.startsWith("_checkpoint-")).get
+    java.nio.file.Files.write(ckpt.toPath, "garbage".getBytes)
+    TableStats.clearStatsCachesForTesting()
+    engine.readWhere(table, col("id") >= 100).count() shouldBe
+      engine.read(table).filter(col("id") >= 100).count()
+  }
+
+  it should "write a fresh checkpoint on real vacuum runs" in {
+    val (engine, table) = manyCommitFixture(3)
+    // rewrite d00 twice so history exceeds keepLast
+    (1 to 2).foreach { i =>
+      spark.range(10).select((col("id") + 1000 * i).as("id"), lit("d00").as("day"))
+        .repartition(1)
+        .versionedInsertInto(engine, table, UserId("t"), s"rewrite $i")
+    }
+    val statsDir = new File(new File(table.location), "_stats")
+    statsDir.listFiles().count(_.getName.startsWith("_checkpoint-")) shouldBe 0
+    engine.vacuum(table, keepLast = 1, dryRun = false)
+    statsDir.listFiles().count(_.getName.startsWith("_checkpoint-")) shouldBe 1
+    // checkpoint-served skipping still equals the filter after vacuum
+    TableStats.clearStatsCachesForTesting()
+    engine.readWhere(table, col("id") >= 100).count() shouldBe
+      engine.read(table).filter(col("id") >= 100).count()
+  }
+
   behavior of "vacuum integration"
 
   it should "keep a label's manifest while ANY partition still reads that label (review finding)" in {
@@ -562,11 +653,15 @@ class TableStatsSpec extends AnyFlatSpec with Matchers {
         .versionedInsertInto(engine, table, UserId("t"), s"w$i")
     }
     val statsDir = new File(new File(table.location), "_stats")
-    val before = statsDir.listFiles().length
+    // count per-LABEL manifests only: vacuum additionally WRITES a fresh
+    // checkpoint file into _stats, which this law is not about
+    def labelManifests(): Int = statsDir.listFiles()
+      .count(f => f.getName.endsWith(".json") && !f.getName.startsWith("_checkpoint-"))
+    val before = labelManifests()
     before should be >= 3
     val result = engine.vacuum(table, keepLast = 1, dryRun = false)
     result.deleted should not be empty
-    statsDir.listFiles().length should be < before
+    labelManifests() should be < before
     // the current version's manifest survives and still prunes
     engine.readWhere(table, col("id") < 100).count() shouldBe
       engine.read(table).filter(col("id") < 100).count()
