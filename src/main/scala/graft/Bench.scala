@@ -202,7 +202,7 @@ object Bench {
     // every round. build_s is the first-pass excess over the warm read,
     // clamped at 0 (box noise can make the warm rep the slower one).
     val FixtureQueries = Seq(
-      "q_ann_ivf_index", "q_bloom_skip_scan", "q_bm25_index", "q_change_feed", "q_compact_read",
+      "q_ann_ivf_index", "q_bloom_skip_scan", "q_bm25_index", "q_change_feed", "q_change_feed_pre", "q_compact_read",
       "q_dedup_against_index", "q_hive_read", "q_merge_upsert", "q_metadata_agg",
       "q_sql_insert", "q_sql_meta_count_range", "q_sql_meta_groupby", "q_sql_metadata_agg",
       "q_sql_skip_scan",

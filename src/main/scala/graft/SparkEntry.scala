@@ -189,7 +189,13 @@ object SparkEntry {
     // insert/update/delete reconstructed from the two pinned states
     // (graft.operators.ChangeFeed), aggregated per change class — the
     // oracle replays the three merge classes as plain SQL
-    "q_change_feed" -> ((spark, dir) => mergeFixture(spark, dir).changeFeed)
+    "q_change_feed" -> ((spark, dir) => mergeFixture(spark, dir).changeFeed),
+
+    // the FULL Delta-CDF shape of the same commit: updatePreimages = true
+    // splits every update into an update_preimage / update_postimage row
+    // pair (both sides come from the one compare join — no second read of
+    // the old state); the oracle replays both sides of the update class
+    "q_change_feed_pre" -> ((spark, dir) => mergeFixture(spark, dir).changeFeedPre)
   )
 
   /** CSV fixture: orders (projected to key/price/status) written as a
@@ -386,7 +392,8 @@ object SparkEntry {
     * aggregates the ROW-LEVEL diff of the merge commit
     * ([[graft.operators.ChangeFeed]]) by change class. Memoized per
     * (session, sfDir). */
-  private final case class MergeFixture(merged: DataFrame, changeFeed: DataFrame)
+  private final case class MergeFixture(
+      merged: DataFrame, changeFeed: DataFrame, changeFeedPre: DataFrame)
 
   private val mergeFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), MergeFixture]()
@@ -433,12 +440,15 @@ object SparkEntry {
     // oracle replays the three merge classes directly (update post-images
     // carry the +1000, deletes carry their PRE-image values)
     import graft.operators.ChangeFeed._
-    val changeFeed = engine.readRowChangesBetween(table, Seq("event_id"), c0, c1)
-      .withColumnRenamed(graft.operators.ChangeFeed.ChangeTypeColumn, "change_type")
-      .groupBy(col("change_type"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
-    MergeFixture(merged, changeFeed)
+    def feedAgg(updatePreimages: Boolean): DataFrame =
+      engine.readRowChangesBetween(table, Seq("event_id"), c0, c1,
+          updatePreimages = updatePreimages)
+        .withColumnRenamed(graft.operators.ChangeFeed.ChangeTypeColumn, "change_type")
+        .groupBy(col("change_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    MergeFixture(merged, feedAgg(updatePreimages = false),
+      feedAgg(updatePreimages = true))
   }
 
   /** q_stats_skip_scan / q_sql_skip_scan / the three metadata-aggregate
@@ -745,6 +755,23 @@ object SparkEntry {
       "q_change_feed" ->
         s"""WITH changes AS (
            |  SELECT 'update' AS change_type, event_type, value + 1000.0 AS value
+           |  FROM events WHERE event_type = 'click' AND event_id % 10 = 0
+           |  UNION ALL
+           |  SELECT 'insert', 'synthetic', value
+           |  FROM events WHERE event_type = 'view' AND event_id % 100 = 0
+           |  UNION ALL
+           |  SELECT 'delete', event_type, value
+           |  FROM events WHERE event_type = 'error' AND event_id % 10 = 0
+           |)
+           |SELECT change_type, event_type, $duckFixtureAgg
+           |FROM changes GROUP BY 1, 2""".stripMargin,
+      // the full-CDF twin: the update class replayed as BOTH its sides
+      "q_change_feed_pre" ->
+        s"""WITH changes AS (
+           |  SELECT 'update_preimage' AS change_type, event_type, value
+           |  FROM events WHERE event_type = 'click' AND event_id % 10 = 0
+           |  UNION ALL
+           |  SELECT 'update_postimage', event_type, value + 1000.0
            |  FROM events WHERE event_type = 'click' AND event_id % 10 = 0
            |  UNION ALL
            |  SELECT 'insert', 'synthetic', value

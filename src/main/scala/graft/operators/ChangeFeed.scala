@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
  *
  * Output: the table's columns plus `_change_type` ∈
  * `insert` / `update` / `delete` — post-image rows for insert/update,
- * pre-image rows for delete (the standard CDF shape minus update
- * pre-images, which a consumer can fetch by reading `from` for the updated
- * keys if it needs them).
+ * pre-image rows for delete. With `updatePreimages = true` the FULL Delta
+ * CDF shape is emitted instead: every update contributes TWO rows,
+ * `update_preimage` (the old row) and `update_postimage` (the new row) —
+ * both sides are already in the compare join, so the option costs one
+ * generator over the matched rows, not a second read of `from`.
  *
  * Scale shape: only CHANGED partitions are ever listed or read —
  * partitions whose version is identical at both commits contribute nothing
@@ -54,7 +56,8 @@ object ChangeFeed {
         from: CommitId,
         to: CommitId,
         keep: Partition => Boolean = _ => true,
-        requireDistinctKeys: Boolean = true): DataFrame = {
+        requireDistinctKeys: Boolean = true,
+        updatePreimages: Boolean = false): DataFrame = {
       require(keyColumns.nonEmpty, "readRowChangesBetween needs at least one key column")
       val st = engine.tracker.tableState(table.name)
       (st.versionAt(from), st.versionAt(to)) match {
@@ -82,7 +85,7 @@ object ChangeFeed {
               df.columns.foldLeft(df)((d, c) =>
                 if (partCols(c.toLowerCase)) d.withColumn(c, col(c).cast("string")) else d)
             return keyedDiff(stringPartCols(oldAll), stringPartCols(newAll),
-              keyColumns, requireDistinctKeys)
+              keyColumns, requireDistinctKeys, updatePreimages)
           }
           val added = bKept.filter { case (p, _) => !aKept.contains(p) }
           val removed = aKept.filter { case (p, _) => !bKept.contains(p) }
@@ -103,7 +106,8 @@ object ChangeFeed {
                 PartitionedTableVersion(aKept.filter(kv => repointedParts(kv._1))))
               val newSlice = engine.readVersion(table,
                 PartitionedTableVersion(bKept.filter(kv => repointedParts(kv._1))))
-              Some(keyedDiff(oldSlice, newSlice, keyColumns, requireDistinctKeys))
+              Some(keyedDiff(oldSlice, newSlice, keyColumns, requireDistinctKeys,
+                updatePreimages))
             }
           val parts = Seq(inserts, deletes, compared).flatten
           if (parts.isEmpty) emptyFeed(engine, table)
@@ -120,7 +124,7 @@ object ChangeFeed {
               newDf.withColumn(ChangeTypeColumn, lit("insert"))
             else if (newDf.columns.isEmpty)
               oldDf.withColumn(ChangeTypeColumn, lit("delete"))
-            else keyedDiff(oldDf, newDf, keyColumns, requireDistinctKeys)
+            else keyedDiff(oldDf, newDf, keyColumns, requireDistinctKeys, updatePreimages)
           }
 
         case _ =>
@@ -141,7 +145,8 @@ object ChangeFeed {
         keyColumns: Seq[String],
         id: CommitId,
         keep: Partition => Boolean = _ => true,
-        requireDistinctKeys: Boolean = true): DataFrame = {
+        requireDistinctKeys: Boolean = true,
+        updatePreimages: Boolean = false): DataFrame = {
       val st = engine.tracker.tableState(table.name)
       val idx = st.updates.indexWhere(_.metadata.id == id)
       if (idx < 0) throw UnknownCommitError(id)
@@ -149,7 +154,8 @@ object ChangeFeed {
         return engine.readChangesAt(table, id, keep)
           .withColumn(ChangeTypeColumn, lit("insert"))
       val parent = st.updates(idx - 1).metadata.id
-      engine.readRowChangesBetween(table, keyColumns, parent, id, keep, requireDistinctKeys)
+      engine.readRowChangesBetween(table, keyColumns, parent, id, keep, requireDistinctKeys,
+        updatePreimages)
     }
   }
 
@@ -166,7 +172,8 @@ object ChangeFeed {
     * struct equality, no per-column plumbing. */
   private[operators] def keyedDiff(
       oldDf: DataFrame, newDf: DataFrame,
-      keyColumns: Seq[String], requireDistinctKeys: Boolean): DataFrame = {
+      keyColumns: Seq[String], requireDistinctKeys: Boolean,
+      updatePreimages: Boolean = false): DataFrame = {
     val cols = oldDf.columns.toSeq
     require(newDf.columns.toSeq.map(_.toLowerCase).sorted == cols.map(_.toLowerCase).sorted,
       s"change feed endpoints have different columns: ${cols.mkString(",")} vs " +
@@ -191,10 +198,26 @@ object ChangeFeed {
     val change = when(col("_cf_old").isNull, lit("insert"))
       .when(col("_cf_new").isNull, lit("delete"))
       .when(!(col("_cf_old") <=> col("_cf_new")), lit("update"))
-    val image = coalesce(col("_cf_new"), col("_cf_old"))
-    joined
-      .withColumn(ChangeTypeColumn, change)
-      .filter(col(ChangeTypeColumn).isNotNull)
-      .select(cols.map(c => image.getField(c).as(c)) :+ col(ChangeTypeColumn): _*)
+    if (!updatePreimages) {
+      val image = coalesce(col("_cf_new"), col("_cf_old"))
+      joined
+        .withColumn(ChangeTypeColumn, change)
+        .filter(col(ChangeTypeColumn).isNotNull)
+        .select(cols.map(c => image.getField(c).as(c)) :+ col(ChangeTypeColumn): _*)
+    } else {
+      // full CDF shape: updates emit (pre, post) pairs — one generator
+      // over the already-joined rows, unchanged rows explode to nothing
+      val pairs = when(change === "update", array(
+          struct(col("_cf_old").as("img"), lit("update_preimage").as("t")),
+          struct(col("_cf_new").as("img"), lit("update_postimage").as("t"))))
+        .when(change === "insert",
+          array(struct(col("_cf_new").as("img"), lit("insert").as("t"))))
+        .when(change === "delete",
+          array(struct(col("_cf_old").as("img"), lit("delete").as("t"))))
+      joined
+        .select(explode(pairs).as("_cf"))
+        .select(cols.map(c => col("_cf.img").getField(c).as(c)) :+
+          col("_cf.t").as(ChangeTypeColumn): _*)
+    }
   }
 }

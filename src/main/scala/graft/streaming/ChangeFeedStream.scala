@@ -46,7 +46,8 @@ object ChangeFeedStream {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maxCommitsPerTrigger: Option[Int] = None,
-      requireDistinctKeys: Boolean = true)(
+      requireDistinctKeys: Boolean = true,
+      updatePreimages: Boolean = false)(
       handler: (CommitId, DataFrame) => Unit): StreamingQuery =
     CommitStream.commits(spark, storeRoot, table.name, maxCommitsPerTrigger)
       .writeStream
@@ -60,7 +61,8 @@ object ChangeFeedStream {
         batch.orderBy("timestamp").select("id").collect().foreach { row =>
           val id = CommitId(row.getString(0))
           handler(id, engine.readRowChangesAt(
-            table, keyColumns, id, requireDistinctKeys = requireDistinctKeys))
+            table, keyColumns, id, requireDistinctKeys = requireDistinctKeys,
+            updatePreimages = updatePreimages))
         }
         ()
       }

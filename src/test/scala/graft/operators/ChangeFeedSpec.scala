@@ -63,6 +63,16 @@ class ChangeFeedSpec extends AnyFlatSpec with Matchers {
     // keep prunes the diff to selected partitions
     feedTuples(engine.readRowChangesBetween(table, Seq("id"), c0, c1,
       keep = _.columnValues.exists(_.value == "us"))) shouldBe Set(("a3", 30L, "delete"))
+
+    // the FULL CDF shape: updates split into (pre, post) pairs; every other
+    // class identical — both sides come from the one compare join
+    feedTuples(engine.readRowChangesBetween(table, Seq("id"), c0, c1,
+      updatePreimages = true)) shouldBe Set(
+      ("a1", 10L, "update_preimage"),
+      ("a1", 11L, "update_postimage"),
+      ("a4", 40L, "insert"),
+      ("a5", 50L, "insert"),
+      ("a3", 30L, "delete"))
   }
 
   it should "never read partitions whose version is unchanged between the commits" in {
