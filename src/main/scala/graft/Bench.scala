@@ -23,8 +23,9 @@ object Bench {
     * invisible to this loop: whatever deschedules the executors also
     * deschedules the probe, inflating its wall time by the same mechanism.
     * A JIT warmup pass (1/10 size, untimed) runs first so the timed loop
-    * measures steady-state compiled code. Quiet-box reference recorded in
-    * [[CalibQuietS]]; `graft.examples.CalibProbe` re-measures it. */
+    * measures steady-state compiled code. The quiet reference is measured
+    * per session (see [[QuietProbeReps]]); `graft.examples.CalibProbe`
+    * prints standalone readings. */
   private[graft] def calibrate(): Double = {
     def mix(iters: Long): Long = {
       var x = 0x9E3779B97F4A7C15L
@@ -48,12 +49,20 @@ object Bench {
     dt
   }
 
-  /** Quiet-box seconds for [[calibrate]]'s timed loop, measured on the build
-    * box (graft.examples.CalibProbe, median of 5 back-to-back runs at
-    * steal-delta 0, loadavg 1.45/32: 0.830-0.860s). A pass whose probe
-    * exceeds this by >[[CalibInflationRetry]] ran contended even if steal
-    * says otherwise. */
-  private[graft] val CalibQuietS = 0.85
+  /** Round-13 change: the quiet reference is MEASURED per session (median
+    * of [[QuietProbeReps]] back-to-back [[calibrate]] runs before attempt
+    * 1) instead of the former hard-coded 0.85 — BASELINE.md recorded the
+    * idle probe drifting 0.80→1.05 through one afternoon, which made two
+    * genuinely-quiet round-12 runs ship `contended=true` purely from
+    * reference drift. The measured median is CAPPED at [[CalibQuietCapS]]:
+    * a box that is ALREADY contended when the bench starts would otherwise
+    * measure an inflated "quiet" reference and mask its own contention —
+    * the cap is the highest idle reading ever observed on this hardware
+    * (re-measure with `graft.examples.CalibProbe` if hardware changes). A
+    * pass whose in-run probe exceeds the reference by
+    * >[[CalibInflationRetry]] ran contended even if steal says otherwise. */
+  private[graft] val QuietProbeReps = 5
+  private[graft] val CalibQuietCapS = 1.05
   /** Round-11 tightening (was 1.2): BENCH_r10 shipped contended=false at a
     * +7% calib (0.912s, ratio 1.073) yet carried +28% total inflation — the
     * judge replay of the same binary measured 97.8s vs the artifact's 125.2s.
@@ -144,13 +153,22 @@ object Bench {
     // the one with the smaller calibration time (the probe measures the
     // same mechanism that inflates the queries); fall back to steal only
     // when the probes are within noise of each other (5%).
+    // per-session quiet reference: median of N idle probe reps before any
+    // attempt, capped so a box that starts contended cannot mask itself
+    val quietReps = Seq.fill(QuietProbeReps)(calibrate())
+    val calibQuietMeasured = quietReps.sorted.apply(QuietProbeReps / 2)
+    val calibQuietUsed = math.min(calibQuietMeasured, CalibQuietCapS)
+    System.err.println(
+      f"BENCH quiet probe: median $calibQuietMeasured%.3fs over $QuietProbeReps reps " +
+        f"(using $calibQuietUsed%.3fs)")
     def contended(steal: Double, calib: Double): Boolean =
-      steal > StealRetryThresholdPct || calib > CalibQuietS * CalibInflationRetry
+      steal > StealRetryThresholdPct || calib > calibQuietUsed * CalibInflationRetry
     val (first, firstSteal, firstCalib) = attempt(spark)
-    val (results, stealPct, calibS, retried, attemptTotals, attemptCalibs, chosenSession) =
+    val (results, stealPct, calibS, retried, attemptTotals, attemptCalibs, chosenSession,
+        otherResults) =
       if (contended(firstSteal, firstCalib)) {
         System.err.println(
-          f"BENCH contended first pass (steal $firstSteal%.3f%%, calib $firstCalib%.3fs vs quiet $CalibQuietS%.2fs) — retrying once")
+          f"BENCH contended first pass (steal $firstSteal%.3f%%, calib $firstCalib%.3fs vs quiet $calibQuietUsed%.3fs) — retrying once")
         // the retry runs on a FRESH SparkSession so the per-(session, dir)
         // fixture caches (IVF centroids, LSH index tables, oracle
         // dictionaries) rebuild — otherwise the warm second pass would
@@ -190,9 +208,10 @@ object Bench {
           else if (math.abs(secondCalib - firstCalib) > 0.05 * math.max(firstCalib, secondCalib))
             secondCalib < firstCalib
           else secondSteal < firstSteal
-        if (keepSecond) (second, secondSteal, secondCalib, true, totals, calibs, s2)
-        else (first, firstSteal, firstCalib, true, totals, calibs, spark)
-      } else (first, firstSteal, firstCalib, false, Seq(okTotal(first)), Seq(firstCalib), spark)
+        if (keepSecond) (second, secondSteal, secondCalib, true, totals, calibs, s2, first)
+        else (first, firstSteal, firstCalib, true, totals, calibs, spark, second)
+      } else (first, firstSteal, firstCalib, false, Seq(okTotal(first)), Seq(firstCalib), spark,
+        Seq.empty[(String, Double, Boolean)])
 
     // Fixture-carrying queries pay a one-time build (versioned table loads,
     // IVF/LSH index construction, z-order rewrite) memoized per (session,
@@ -227,6 +246,22 @@ object Bench {
       f""""$name":{"build_s":${math.max(0.0, firstS - readS)}%.3f,"read_s":$readS%.3f$phases}"""
     }.mkString("{", ",", "}")
 
+    // Per-query outlier annotation (round 13): a kept entry that ran >5x
+    // the SAME query in the OTHER attempt names itself as suspect — a
+    // 40.9s q_scd2_incremental in a contended run no longer needs
+    // forensics. Only the other attempt is a valid reference (both passes
+    // include fixture builds — fresh session each — so the comparison is
+    // apples-to-apples; the warm fixture rep is NOT, it would flag every
+    // one-time build the fixtures block already decomposes). Un-retried
+    // runs have no reference and flag nothing.
+    val otherOk: Map[String, Double] =
+      otherResults.collect { case (n, sec, true) => n -> sec }.toMap
+    val outliersJson = results.collect {
+      case (name, sec, true)
+          if otherOk.get(name).exists(ref => sec > 1.0 && sec > 5 * ref) =>
+        f""""$name":{"s":$sec%.3f,"other_attempt_s":${otherOk(name)}%.3f}"""
+    }.mkString("{", ",", "}")
+
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
@@ -244,12 +279,16 @@ object Bench {
     // the flag must agree with the retry condition, not a subset of it.
     val stillContended = contended(stealPct, calibS)
     val calibJson =
-      f""""calib_s":$calibS%.3f,"calib_quiet_s":$CalibQuietS%.2f,"contended":$stillContended,""" +
+      f""""calib_s":$calibS%.3f,"calib_quiet_s":$calibQuietUsed%.3f,""" +
+        f""""calib_quiet_measured":$calibQuietMeasured%.3f,""" +
+        s""""calib_quiet_reps":${quietReps.map(c => f"$c%.3f").mkString("[", ",", "]")},""" +
+        f""""contended":$stillContended,""" +
         s""""attempt_calibs":${attemptCalibs.map(c => f"$c%.3f").mkString("[", ",", "]")}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$status,""" +
       s""""steal_pct":$stealPct,"steal_retried":$retried,"first_attempt_steal_pct":$firstSteal,""" +
       s""""attempt_totals":${attemptTotals.mkString("[", ",", "]")},""" +
       s"""$calibJson,""" +
+      s""""outliers":$outliersJson,""" +
       s""""fixtures":$fixturesJson,""" +
       s""""sf":"$sfDir"}""")
     // Compact summary as the LAST stdout line: the driver's tail capture
@@ -265,6 +304,7 @@ object Bench {
       f""""steal_pct":$stealPct%.4f,"steal_retried":$retried,$calibJson,""" +
       s""""attempt_totals":${attemptTotals.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
       s""""slowest_ms":$slowest,""" +
+      s""""outliers":$outliersJson,""" +
       s""""fixtures":$fixturesJson}""")
     spark.stop()
     // a failed query must read as a failure, not a timing improvement
