@@ -176,6 +176,17 @@ object SparkEntry {
     // oracle replays the same append/overwrite algebra over the raw parquet
     "q_sql_insert" -> ((spark, dir) => sqlInsertFixture(spark, dir).readBack),
 
+    // predicate DML at the gate: a versioned events table mutated by pure
+    // SQL UPDATE (clicks with id%7==0 get +500) then DELETE (errors with
+    // id%3==0 removed) — both routed through graft.operators.VersionedDml
+    // with stats/Bloom-pruned partition discovery and CAS commits. Two
+    // reads of the final state gate different aspects: per-type counts +
+    // sums (the update's arithmetic and the delete's removals) and per-day
+    // counts (the rewrite bill's distribution); both oracles replay the
+    // two statements as set algebra
+    "q_sql_update" -> ((spark, dir) => sqlDmlFixture(spark, dir).byType),
+    "q_sql_delete" -> ((spark, dir) => sqlDmlFixture(spark, dir).byDay),
+
     // keyed MERGE INTO at the gate: events loaded as a versioned table, then
     // ONE merge commit that updates every 10th click (+1000 to value),
     // inserts a synthetic twin of every 100th view (id offset +10M), and
@@ -582,6 +593,47 @@ object SparkEntry {
       SqlInsertFixture(spark, t)
     })
 
+  /** q_sql_update / q_sql_delete fixture: one SQL UPDATE + one SQL DELETE
+    * over a versioned events table; only the build is memoized, the two
+    * read-backs re-plan per invocation. */
+  private final case class SqlDmlFixture(spark: SparkSession, name: String) {
+    def byType: DataFrame = spark.sql(
+      s"""SELECT event_type, COUNT(1) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         |FROM $name GROUP BY event_type""".stripMargin)
+    def byDay: DataFrame = spark.sql(
+      s"""SELECT event_date, COUNT(1) AS n
+         |FROM $name GROUP BY event_date""".stripMargin)
+  }
+
+  private val sqlDmlFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SqlDmlFixture]()
+  private val sqlDmlFixtureSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def sqlDmlFixture(spark: SparkSession, sfDir: String): SqlDmlFixture =
+    sqlDmlFixtureCache.computeIfAbsent((spark, sfDir), _ => {
+      Tables.prepare(spark)
+      val n = sqlDmlFixtureSeq.incrementAndGet()
+      val root = graft.FixtureTempDirs.create("graft-sqldml-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", s"events_dml_$n"),
+        root.resolve("events_dml").toUri, PartitionSchema("event_date"), FileFormat.Parquet,
+        stats = Some(ColumnStatsConfig(
+          statsColumns = List("event_id", "value"), bloomKeyColumns = List("event_id"))))
+      engine.initTable(table, UserId("driver"), "init")
+      graft.sql.GraftTableRegistry.register(engine, table)
+      val t = s"graft.${table.name.fullyQualifiedName}"
+      Tables.events(spark, sfDir)
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"))
+        .versionedInsertInto(engine, table, UserId("driver"), "load")
+      spark.sql(
+        s"UPDATE $t SET value = value + 500.0 WHERE event_type = 'click' AND event_id % 7 = 0")
+      spark.sql(
+        s"DELETE FROM $t WHERE event_type = 'error' AND event_id % 3 = 0")
+      SqlDmlFixture(spark, t)
+    })
+
   private val statsSkipFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StatsSkipFixture]()
 
@@ -711,6 +763,23 @@ object SparkEntry {
         s"""SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n,
            |  MIN(event_id) AS id_min, MAX(event_id) AS id_max
            |FROM events GROUP BY 1""".stripMargin,
+      // the DML fixture's two statements replayed as set algebra: +500 on
+      // the updated clicks, every third error removed
+      "q_sql_update" ->
+        s"""WITH final AS (
+           |  SELECT event_type,
+           |    value + CASE WHEN event_type = 'click' AND event_id % 7 = 0
+           |                 THEN 500.0 ELSE 0.0 END AS value
+           |  FROM events
+           |  WHERE NOT (event_type = 'error' AND event_id % 3 = 0)
+           |)
+           |SELECT event_type, $duckFixtureAgg
+           |FROM final GROUP BY 1""".stripMargin,
+      "q_sql_delete" ->
+        s"""SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n
+           |FROM events
+           |WHERE NOT (event_type = 'error' AND event_id % 3 = 0)
+           |GROUP BY 1""".stripMargin,
       // the SQL-write fixture's three statements replayed as set algebra:
       // non-max-date base rows + their synthetic appends, then the max-date
       // partition as the overwrite left it (errors and synthetics gone)

@@ -1055,6 +1055,84 @@ object TableStats {
     * entry the optimizer-time skipping rule
     * ([[graft.sql.GraftDataSkipping]]) uses, where the predicate arrives as
     * the optimized plan's `Filter` condition. */
+  /** What the skip evaluator knows about each column of file `f` inside
+    * optional partition `part` (shared by [[planRead]] and
+    * [[partitionsMayMatch]]). */
+  private def fileLookup(
+      f: FileStats, part: Option[Partition]): String => Option[ColKnowledge] = {
+    val partVals: Map[String, Option[String]] = part
+      .map(_.columnValues.map(cv => cv.column.name.toLowerCase ->
+        (if (cv.value == PathCodec.DefaultPartitionName) None else Some(cv.value))).toMap)
+      .getOrElse(Map.empty)
+    name =>
+      f.columns.get(name) match {
+        case Some(cs) =>
+          Some(FileCol(
+            cs.min.flatMap(decodeStored(cs.dataType, _)),
+            cs.max.flatMap(decodeStored(cs.dataType, _)),
+            cs.nullCount, f.rows))
+        case None => partVals.get(name).map(PartCol(_))
+      }
+  }
+
+  private def partitionLookup(p: Partition): String => Option[ColKnowledge] = {
+    val partVals = p.columnValues.map(cv => cv.column.name.toLowerCase ->
+      (if (cv.value == PathCodec.DefaultPartitionName) None else Some(cv.value))).toMap
+    name => partVals.get(name).map(PartCol(_))
+  }
+
+  /** The partitions of `pvs` whose content MAY contain a row satisfying
+    * `predicate` — the partition-granular face of [[planRead]]: partition
+    * values, per-file range stats and the partition Blooms all prune, and
+    * every step is free of false negatives, so the result is a SUPERSET of
+    * the truly-matching partition set. Versions without a manifest always
+    * stay. Predicate DML ([[VersionedDml]]) uses this to bound which
+    * partitions are even read for match discovery. */
+  def partitionsMayMatch(
+      engine: VersionedTables,
+      table: TableDefinition,
+      pvs: Map[Partition, Version],
+      predicate: Column): Map[Partition, Version] =
+    partitionsMayMatch(engine, table, pvs,
+      org.apache.spark.sql.GraftSqlBridge.convertedExpression(predicate))
+
+  def partitionsMayMatch(
+      engine: VersionedTables,
+      table: TableDefinition,
+      pvs: Map[Partition, Version],
+      expr: Expression): Map[Partition, Version] = {
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    val manifests = scala.collection.mutable.Map.empty[String, Option[StatsManifest]]
+    def manifestFor(v: Version): Option[StatsManifest] =
+      manifests.getOrElseUpdate(v.label, readManifestCached(conf, table.location, v.label))
+    val conjuncts = topLevelConjuncts(SkipEval.desugar(expr))
+    val hashCache =
+      scala.collection.mutable.Map.empty[(List[String], List[String]), Option[Seq[Long]]]
+    def bloomExcludes(m: StatsManifest, partKey: String): Boolean =
+      hashCache.getOrElseUpdate(
+        (m.bloomKeyColumns, m.bloomKeyTypes), bloomCandidateHashes(m, conjuncts)) match {
+        case Some(hashes) =>
+          m.partitionBlooms.get(partKey).exists { bytes =>
+            val bloom = deserializeBloom(bytes)
+            !hashes.exists(bloom.mightContainLong)
+          }
+        case None => false
+      }
+    pvs.filter { case (p, v) =>
+      SkipEval.mayMatch(expr, partitionLookup(p)) && {
+        if (v == Version.Unversioned) true
+        else manifestFor(v) match {
+          case Some(m) =>
+            val inPart = m.filesFor(p.toHivePath)
+            if (inPart.isEmpty) true
+            else if (bloomExcludes(m, p.toHivePath)) false
+            else inPart.exists(f => SkipEval.mayMatch(expr, fileLookup(f, Some(p))))
+          case None => true
+        }
+      }
+    }
+  }
+
   def planRead(
       engine: VersionedTables,
       table: TableDefinition,
@@ -1064,28 +1142,6 @@ object TableStats {
     val manifests = scala.collection.mutable.Map.empty[String, Option[StatsManifest]]
     def manifestFor(v: Version): Option[StatsManifest] =
       manifests.getOrElseUpdate(v.label, readManifestCached(conf, table.location, v.label))
-
-    def fileLookup(f: FileStats, part: Option[Partition]): String => Option[ColKnowledge] = {
-      val partVals: Map[String, Option[String]] = part
-        .map(_.columnValues.map(cv => cv.column.name.toLowerCase ->
-          (if (cv.value == PathCodec.DefaultPartitionName) None else Some(cv.value))).toMap)
-        .getOrElse(Map.empty)
-      name =>
-        f.columns.get(name) match {
-          case Some(cs) =>
-            Some(FileCol(
-              cs.min.flatMap(decodeStored(cs.dataType, _)),
-              cs.max.flatMap(decodeStored(cs.dataType, _)),
-              cs.nullCount, f.rows))
-          case None => partVals.get(name).map(PartCol(_))
-        }
-    }
-
-    def partitionLookup(p: Partition): String => Option[ColKnowledge] = {
-      val partVals = p.columnValues.map(cv => cv.column.name.toLowerCase ->
-        (if (cv.value == PathCodec.DefaultPartitionName) None else Some(cv.value))).toMap
-      name => partVals.get(name).map(PartCol(_))
-    }
 
     val basePrefix = {
       val b = VersionedTables.uriToLoadPath(table.location)

@@ -163,7 +163,26 @@ final class GraftCatalogPlugin
   * not) with the engine's analyzed read plan. Runs inside the analyzer's
   * resolution fixed point; non-graft names pass through untouched. */
 final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, SubqueryExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, UpdateTable}
+
+  /** Re-express a condition/assignment RESOLVED against the substituted
+    * analysis-time read plan as a BY-NAME expression: the DML command
+    * re-resolves it against the execution-time read, so the statement
+    * always acts on the current head, never the analysis-time snapshot.
+    * Names are unambiguous over a single table; subqueries and
+    * nondeterministic conditions are refused loudly (a predicate that is
+    * evaluated twice — match discovery and rewrite — must be stable). */
+  private def byName(e: Expression): org.apache.spark.sql.Column = {
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      "subqueries in DELETE/UPDATE on graft tables are not supported — " +
+        "materialize the subquery and use mergeInto, or filter into a new table")
+    require(e.deterministic,
+      "DELETE/UPDATE conditions on graft tables must be deterministic")
+    org.apache.spark.sql.GraftSqlBridge.column(
+      e.transform { case a: AttributeReference => UnresolvedAttribute.quoted(a.name) })
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // The TABLE child of a graft-targeted InsertIntoStatement must NOT be
@@ -199,6 +218,36 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
         GraftInsertCommand(
           entryFor(i.table.asInstanceOf[UnresolvedRelation]).get,
           i.partitionSpec, i.userSpecifiedCols, i.query, i.overwrite, i.byName)
+      // SQL DELETE/UPDATE, step 1: substitute the target with the analyzed
+      // read plan so the WHERE/SET expressions can resolve against the
+      // table's columns, and remember plan → table for step 2
+      case DeleteFromTable(u: UnresolvedRelation, cond) if entryFor(u).isDefined =>
+        val e = entryFor(u).get
+        val read = analyzedPlan(e.engine.read(e.table))
+        GraftDmlTargets.record(read, e)
+        DeleteFromTable(read, cond)
+      case UpdateTable(u: UnresolvedRelation, assignments, cond) if entryFor(u).isDefined =>
+        val e = entryFor(u).get
+        val read = analyzedPlan(e.engine.read(e.table))
+        GraftDmlTargets.record(read, e)
+        UpdateTable(read, assignments, cond)
+      // step 2: everything resolved → the versioned DML command (predicate
+      // re-expressed by name — see [[byName]]). Unconverted graft DML can
+      // never slip through silently: Spark's own check raises
+      // "DELETE/UPDATE is only supported with v2 tables" on the leftover.
+      case DeleteFromTable(t, cond)
+          if t.resolved && cond.resolved && GraftDmlTargets.lookup(t).isDefined =>
+        GraftDeleteCommand(GraftDmlTargets.lookup(t).get, byName(cond))
+      case UpdateTable(t, assignments, cond)
+          if t.resolved && assignments.forall(_.resolved) && cond.forall(_.resolved) &&
+            GraftDmlTargets.lookup(t).isDefined =>
+        val set = assignments.map {
+          case Assignment(k: AttributeReference, v) => k.name -> byName(v)
+          case Assignment(k, _) => throw new IllegalArgumentException(
+            s"UPDATE on graft tables supports plain column assignments only, got SET $k")
+        }
+        GraftUpdateCommand(GraftDmlTargets.lookup(t).get, set,
+          cond.map(byName).getOrElse(org.apache.spark.sql.functions.lit(true)))
       case RelationTimeTravel(u: UnresolvedRelation, timestamp, version)
           if entryFor(u).isDefined && !insertTargets.contains(u) =>
         val e = entryFor(u).get
@@ -227,6 +276,20 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
       case u: UnresolvedRelation if entryFor(u).isDefined && !insertTargets.contains(u) =>
         analyzedPlan(entryFor(u).get.engine.read(entryFor(u).get.table))
     }
+  }
+
+  /** Analysis-time substituted DML target plans → their graft table: the
+    * identity step 2 of the DELETE/UPDATE conversion reads. Weak — entries
+    * die with their plans; keys compare structurally, and two structurally
+    * equal plans can only be reads of the same table. */
+  private object GraftDmlTargets {
+    private val targets = java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[LogicalPlan, GraftTableRegistry.Entry]())
+    def record(plan: LogicalPlan, e: GraftTableRegistry.Entry): Unit = {
+      targets.put(plan, e); ()
+    }
+    def lookup(plan: LogicalPlan): Option[GraftTableRegistry.Entry] =
+      Option(targets.get(plan))
   }
 
   private def entryFor(u: UnresolvedRelation): Option[GraftTableRegistry.Entry] =

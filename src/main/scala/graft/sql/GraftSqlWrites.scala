@@ -232,6 +232,57 @@ object GraftSqlWrites {
  * an `innerChildren` so EXPLAIN prints it; nothing executes until the
  * statement itself runs — EXPLAIN of an INSERT stays a no-op.
  */
+/** `DELETE FROM graft.s.t WHERE …` — routed through
+  * [[graft.operators.VersionedDml.DmlOps.deleteWhere]]: stats/Bloom-pruned
+  * partition discovery, rewrite of exactly the matched partitions, CAS
+  * commit. The condition arrives re-expressed by NAME (unresolved
+  * attributes), so it re-resolves against the execution-time read — the
+  * statement always deletes from the CURRENT head, not the analysis-time
+  * snapshot. */
+final case class GraftDeleteCommand(
+    entry: GraftTableRegistry.Entry,
+    // a Column, NOT an Expression: checkAnalysis walks a command's
+    // Expression-typed fields and would reject the (deliberately
+    // name-unresolved) predicate before run ever fires
+    condition: Column)
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.operators.VersionedDml._
+    val user = UserId(session.conf.get(GraftSqlWrites.UserKey, session.sparkContext.sparkUser))
+    entry.engine.deleteWhere(entry.table, condition, user,
+      s"SQL DELETE FROM ${entry.table.name.fullyQualifiedName}")
+    Seq.empty
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftDeleteCommand ${entry.table.name.fullyQualifiedName}"
+}
+
+/** `UPDATE graft.s.t SET … WHERE …` — routed through
+  * [[graft.operators.VersionedDml.DmlOps.updateWhere]] with the same
+  * by-name re-resolution contract as [[GraftDeleteCommand]]. Partition
+  * columns cannot be SET (the operator refuses — moves are a MERGE
+  * concern). */
+final case class GraftUpdateCommand(
+    entry: GraftTableRegistry.Entry,
+    set: Seq[(String, Column)],
+    condition: Column)
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.operators.VersionedDml._
+    val user = UserId(session.conf.get(GraftSqlWrites.UserKey, session.sparkContext.sparkUser))
+    entry.engine.updateWhere(entry.table, condition, set.toMap, user,
+      s"SQL UPDATE ${entry.table.name.fullyQualifiedName}")
+    Seq.empty
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftUpdateCommand ${entry.table.name.fullyQualifiedName} " +
+      s"SET ${set.map(_._1).mkString(", ")}"
+}
+
 final case class GraftInsertCommand(
     entry: GraftTableRegistry.Entry,
     partitionSpec: Map[String, Option[String]],
