@@ -196,6 +196,13 @@ object SparkEntry {
     // classes are non-empty at sf0.001/0.01/0.1.
     "q_merge_upsert" -> ((spark, dir) => mergeFixture(spark, dir).merged),
 
+    // the SAME merge algebra through a pure SQL MERGE INTO statement
+    // (WHEN MATCHED AND s.value < 0 THEN DELETE / WHEN MATCHED THEN UPDATE
+    // SET * / WHEN NOT MATCHED THEN INSERT *), converted by
+    // ResolveGraftTables into the engine's keyed pruned-discovery merge —
+    // oracle identical to q_merge_upsert by construction
+    "q_sql_merge" -> ((spark, dir) => sqlMergeFixture(spark, dir).merged),
+
     // row-level CHANGE FEED of that same merge commit: per-row
     // insert/update/delete reconstructed from the two pinned states
     // (graft.operators.ChangeFeed), aggregated per change class — the
@@ -634,6 +641,61 @@ object SparkEntry {
       SqlDmlFixture(spark, t)
     })
 
+  /** q_sql_merge fixture: the q_merge_upsert classes replayed as ONE SQL
+    * MERGE statement over a versioned events table. Only the build is
+    * memoized. */
+  private final case class SqlMergeFixture(spark: SparkSession, name: String) {
+    def merged: DataFrame = spark.sql(
+      s"""SELECT event_date, event_type, COUNT(1) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         |FROM $name GROUP BY event_date, event_type""".stripMargin)
+  }
+
+  private val sqlMergeFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SqlMergeFixture]()
+  private val sqlMergeFixtureSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def sqlMergeFixture(spark: SparkSession, sfDir: String): SqlMergeFixture =
+    sqlMergeFixtureCache.computeIfAbsent((spark, sfDir), _ => {
+      Tables.prepare(spark)
+      val n = sqlMergeFixtureSeq.incrementAndGet()
+      val root = graft.FixtureTempDirs.create("graft-sqlmerge-q-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", s"events_sqlmerge_$n"),
+        root.resolve("events_sqlmerge").toUri, PartitionSchema("event_date"),
+        FileFormat.Parquet,
+        stats = Some(ColumnStatsConfig(
+          statsColumns = List("event_id"), bloomKeyColumns = List("event_id"))))
+      engine.initTable(table, UserId("driver"), "init")
+      graft.sql.GraftTableRegistry.register(engine, table)
+      val t = s"graft.${table.name.fullyQualifiedName}"
+      val events = Tables.events(spark, sfDir)
+        .withColumn("event_date", to_date(col("ts")))
+        .localCheckpoint()
+      events.repartition(col("event_date"))
+        .versionedInsertInto(engine, table, UserId("driver"), "load")
+      // the three merge classes as ONE source view (see buildMergeFixture —
+      // identical arithmetic, so the oracle string is shared verbatim)
+      val updates = events
+        .filter(col("event_type") === "click" && col("event_id") % 10 === 0)
+        .withColumn("value", col("value") + lit(1000.0))
+      val inserts = events
+        .filter(col("event_type") === "view" && col("event_id") % 100 === 0)
+        .withColumn("event_id", col("event_id") + lit(10000000L))
+        .withColumn("event_type", lit("synthetic"))
+      val deletes = events
+        .filter(col("event_type") === "error" && col("event_id") % 10 === 0)
+        .withColumn("value", lit(-1.0))
+      val view = s"merge_sqlsrc_$n"
+      updates.unionByName(inserts).unionByName(deletes).createOrReplaceTempView(view)
+      spark.sql(
+        s"""MERGE INTO $t AS tgt USING $view AS s ON tgt.event_id = s.event_id
+           |WHEN MATCHED AND s.value < 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      SqlMergeFixture(spark, t)
+    })
+
   private val statsSkipFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StatsSkipFixture]()
 
@@ -677,6 +739,24 @@ object SparkEntry {
        |FROM events
        |WHERE event_id <= CAST(FLOOR((SELECT MAX(event_id) FROM events) / 10) AS BIGINT)
        |GROUP BY 1, 2""".stripMargin
+
+  /** One oracle for BOTH merge gates (Scala mergeInto and the SQL MERGE
+    * statement run the same algebra): survivors (keys matched by neither
+    * the update nor the delete class) + updated rows + inserted rows. */
+  private val mergeOracle =
+    s"""WITH merged AS (
+       |  SELECT CAST(ts AS DATE) AS event_date, event_type, value
+       |  FROM events
+       |  WHERE NOT (event_id % 10 = 0 AND event_type IN ('click', 'error'))
+       |  UNION ALL
+       |  SELECT CAST(ts AS DATE), event_type, value + 1000.0
+       |  FROM events WHERE event_type = 'click' AND event_id % 10 = 0
+       |  UNION ALL
+       |  SELECT CAST(ts AS DATE), 'synthetic', value
+       |  FROM events WHERE event_type = 'view' AND event_id % 100 = 0
+       |)
+       |SELECT event_date, event_type, $duckFixtureAgg
+       |FROM merged GROUP BY 1, 2""".stripMargin
 
   private def oracles_versioned: Map[String, String] = {
     val currentSql =
@@ -805,20 +885,10 @@ object SparkEntry {
            |GROUP BY 1, 2""".stripMargin,
       // MERGE algebra replayed in SQL: survivors (keys matched by neither the
       // update nor the delete class) + updated rows + inserted rows
-      "q_merge_upsert" ->
-        s"""WITH merged AS (
-           |  SELECT CAST(ts AS DATE) AS event_date, event_type, value
-           |  FROM events
-           |  WHERE NOT (event_id % 10 = 0 AND event_type IN ('click', 'error'))
-           |  UNION ALL
-           |  SELECT CAST(ts AS DATE), event_type, value + 1000.0
-           |  FROM events WHERE event_type = 'click' AND event_id % 10 = 0
-           |  UNION ALL
-           |  SELECT CAST(ts AS DATE), 'synthetic', value
-           |  FROM events WHERE event_type = 'view' AND event_id % 100 = 0
-           |)
-           |SELECT event_date, event_type, $duckFixtureAgg
-           |FROM merged GROUP BY 1, 2""".stripMargin,
+      "q_merge_upsert" -> mergeOracle,
+      // the SQL MERGE statement runs the same algebra — same oracle string
+      // by construction (one binding keeps the two gates provably identical)
+      "q_sql_merge" -> mergeOracle,
       // the merge's three change classes, replayed directly: updates emit
       // post-images (+1000), inserts the synthetic rows, deletes PRE-images
       "q_change_feed" ->

@@ -164,8 +164,8 @@ final class GraftCatalogPlugin
   * resolution fixed point; non-graft names pass through untouched. */
 final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, SubqueryExpression}
-  import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, UpdateTable}
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, SubqueryExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 
   /** Re-express a condition/assignment RESOLVED against the substituted
     * analysis-time read plan as a BY-NAME expression: the DML command
@@ -218,19 +218,14 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
         GraftInsertCommand(
           entryFor(i.table.asInstanceOf[UnresolvedRelation]).get,
           i.partitionSpec, i.userSpecifiedCols, i.query, i.overwrite, i.byName)
-      // SQL DELETE/UPDATE, step 1: substitute the target with the analyzed
-      // read plan so the WHERE/SET expressions can resolve against the
-      // table's columns, and remember plan → table for step 2
-      case DeleteFromTable(u: UnresolvedRelation, cond) if entryFor(u).isDefined =>
-        val e = entryFor(u).get
-        val read = analyzedPlan(e.engine.read(e.table))
-        GraftDmlTargets.record(read, e)
-        DeleteFromTable(read, cond)
-      case UpdateTable(u: UnresolvedRelation, assignments, cond) if entryFor(u).isDefined =>
-        val e = entryFor(u).get
-        val read = analyzedPlan(e.engine.read(e.table))
-        GraftDmlTargets.record(read, e)
-        UpdateTable(read, assignments, cond)
+      // SQL DELETE/UPDATE/MERGE, step 1: substitute the target (through
+      // any `AS alias` wrappers) with the analyzed read plan so the
+      // WHERE/SET/ON expressions can resolve against the table's columns,
+      // and remember plan → table for step 2
+      case DeleteFromTable(tgt, cond) if dmlTargetEntry(tgt).isDefined =>
+        DeleteFromTable(substituteDmlTarget(tgt, dmlTargetEntry(tgt).get), cond)
+      case UpdateTable(tgt, assignments, cond) if dmlTargetEntry(tgt).isDefined =>
+        UpdateTable(substituteDmlTarget(tgt, dmlTargetEntry(tgt).get), assignments, cond)
       // step 2: everything resolved → the versioned DML command (predicate
       // re-expressed by name — see [[byName]]). Unconverted graft DML can
       // never slip through silently: Spark's own check raises
@@ -248,6 +243,18 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
         }
         GraftUpdateCommand(GraftDmlTargets.lookup(t).get, set,
           cond.map(byName).getOrElse(org.apache.spark.sql.functions.lit(true)))
+      // SQL MERGE INTO, step 1 (the source resolves on its own — it may
+      // be any query, graft reads included)
+      case m: MergeIntoTable if dmlTargetEntry(m.targetTable).isDefined =>
+        m.copy(targetTable =
+          substituteDmlTarget(m.targetTable, dmlTargetEntry(m.targetTable).get))
+      // step 2: fully resolved → the keyed versioned merge, for the shapes
+      // VersionedMerge implements (see [[convertMerge]]); unsupported
+      // shapes raise a specific error rather than falling to Spark's
+      // "MERGE is only supported with v2 tables"
+      case m: MergeIntoTable
+          if m.resolved && GraftDmlTargets.lookup(m.targetTable).isDefined =>
+        convertMerge(m, GraftDmlTargets.lookup(m.targetTable).get)
       case RelationTimeTravel(u: UnresolvedRelation, timestamp, version)
           if entryFor(u).isDefined && !insertTargets.contains(u) =>
         val e = entryFor(u).get
@@ -276,6 +283,139 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
       case u: UnresolvedRelation if entryFor(u).isDefined && !insertTargets.contains(u) =>
         analyzedPlan(entryFor(u).get.engine.read(entryFor(u).get.table))
     }
+  }
+
+  /** Map a resolved `MERGE INTO` onto [[graft.operators.VersionedMerge]]'s
+    * semantics — the Delta-style keyed merge: matched rows take the source
+    * row, unmatched insert, an optional source-predicate delete. The
+    * supported SQL shapes are exactly the ones that mean that:
+    *
+    *   - `ON` must be a conjunction of same-name equality atoms
+    *     `t.k = s.k` — the merge KEYS;
+    *   - `WHEN MATCHED THEN UPDATE SET *` (or an assignment list that IS
+    *     `col = source.col` for every column);
+    *   - optionally `WHEN MATCHED AND <source-only predicate> THEN DELETE`
+    *     (SQL's ordered-clause rule maps onto deleteWhen: TRUE deletes,
+    *     NULL falls through to UPDATE);
+    *   - `WHEN NOT MATCHED THEN INSERT *` (or the equivalent full
+    *     assignment list), unconditioned;
+    *   - `WHEN MATCHED THEN DELETE` ALONE (no update, no insert) is the
+    *     delete-matching-keys merge.
+    *
+    * Anything else — partial-column updates that must keep target values,
+    * conditions referencing the target row, NOT MATCHED BY SOURCE clauses,
+    * schema evolution — cannot be expressed as a source-row replacement
+    * and raises a SPECIFIC unsupported error naming the offending clause
+    * (mergeInto/DML cover those cases programmatically). */
+  private def convertMerge(
+      m: MergeIntoTable, entry: GraftTableRegistry.Entry): LogicalPlan = {
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"MERGE INTO graft.${entry.table.name.fullyQualifiedName}: $what is not " +
+          "supported — the graft SQL merge is the keyed source-row merge " +
+          "(UPDATE SET * / INSERT * / source-predicate DELETE); use the Scala " +
+          "mergeInto / updateWhere APIs for richer shapes")
+    if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
+    if (m.notMatchedBySourceActions.nonEmpty) unsupported("WHEN NOT MATCHED BY SOURCE")
+
+    val targetOut = m.targetTable.outputSet
+    val sourceOut = m.sourceTable.outputSet
+
+    // ON: conjunction of same-name target=source equality atoms → keys
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keys = conjuncts(m.mergeCondition).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if targetOut.contains(a) && sourceOut.contains(b) &&
+            a.name.equalsIgnoreCase(b.name) => a.name
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if targetOut.contains(a) && sourceOut.contains(b) &&
+            a.name.equalsIgnoreCase(b.name) => a.name
+      case other => unsupported(s"ON condition atom $other (need t.k = s.k equalities)")
+    }.distinct
+
+    // a full SET * / INSERT *: every assignment is `target.col = source.col`
+    // of the same name
+    def isStarAssignments(assignments: Seq[Assignment]): Boolean =
+      assignments.nonEmpty && assignments.forall {
+        case Assignment(k: AttributeReference, v: AttributeReference) =>
+          targetOut.contains(k) && sourceOut.contains(v) && k.name.equalsIgnoreCase(v.name)
+        case _ => false
+      }
+
+    def sourceOnly(e: Expression): Boolean =
+      e.references.forall(sourceOut.contains) &&
+        !e.exists(_.isInstanceOf[SubqueryExpression]) && e.deterministic
+
+    // matched actions → (replace-with-source?, deleteWhen)
+    val (hasUpdate, deleteWhen): (Boolean, Option[org.apache.spark.sql.Column]) =
+      m.matchedActions match {
+        case Seq() => (false, None)
+        case Seq(UpdateAction(None, as, _)) if isStarAssignments(as) => (true, None)
+        case Seq(DeleteAction(Some(c)), UpdateAction(None, as, _))
+            if isStarAssignments(as) && sourceOnly(c) =>
+          (true, Some(byName(c)))
+        case Seq(UpdateAction(Some(notC), as, _), DeleteAction(None))
+            if isStarAssignments(as) && sourceOnly(notC) =>
+          // UPDATE-when-c / DELETE-otherwise ≡ deleteWhen NOT(c) for rows
+          // where c is non-NULL; a NULL c would DELETE here but fall
+          // through to UPDATE under deleteWhen — refuse unless provably
+          // two-valued, which we cannot see statically → refuse
+          unsupported("WHEN MATCHED AND <cond> THEN UPDATE followed by " +
+            "unconditional DELETE (NULL-condition rows diverge)")
+        case Seq(DeleteAction(None)) => (false, Some(org.apache.spark.sql.functions.lit(true)))
+        case other => unsupported(s"matched-clause shape ${other.mkString("; ")}")
+      }
+
+    val insertAll = m.notMatchedActions match {
+      case Seq() => false
+      case Seq(InsertAction(None, as)) if isStarAssignments(as) => true
+      case other => unsupported(s"not-matched-clause shape ${other.mkString("; ")}")
+    }
+
+    // delete-only merges must not also insert (VersionedMerge discards
+    // delete rows entirely; an insert clause would silently not fire)
+    if (!hasUpdate && deleteWhen.isDefined && insertAll)
+      unsupported("WHEN MATCHED THEN DELETE combined with WHEN NOT MATCHED " +
+        "INSERT (the keyed merge discards delete rows; unmatched inserts " +
+        "would be lost)")
+    if (!hasUpdate && deleteWhen.isEmpty && !insertAll)
+      unsupported("a MERGE with no actionable clause")
+    // an update-without-insert merge would also insert unmatched source
+    // rows under VersionedMerge semantics — refuse to avoid silent inserts
+    if (hasUpdate && !insertAll)
+      unsupported("WHEN MATCHED UPDATE without WHEN NOT MATCHED INSERT " +
+        "(the keyed merge upserts; unmatched source rows would be inserted)")
+
+    GraftMergeCommand(entry, keys, m.sourceTable, deleteWhen)
+  }
+
+  /** An UNSUBSTITUTED graft DML target: the inner UnresolvedRelation of a
+    * (possibly `AS`-aliased) target that names a registered table. Returns
+    * None once substituted, so step 1 can never re-fire. */
+  private def dmlTargetEntry(p: LogicalPlan): Option[GraftTableRegistry.Entry] = p match {
+    case u: UnresolvedRelation => entryFor(u)
+    case a: SubqueryAlias      => dmlTargetEntry(a.child)
+    case _                     => None
+  }
+
+  /** Swap the inner relation for the analyzed read plan, preserving alias
+    * wrappers (the `tgt.` qualifier must keep resolving), and record every
+    * wrapper level so step 2's lookup matches whatever the analyzer hands
+    * back. */
+  private def substituteDmlTarget(
+      p: LogicalPlan, e: GraftTableRegistry.Entry): LogicalPlan = p match {
+    case _: UnresolvedRelation =>
+      val read = analyzedPlan(e.engine.read(e.table))
+      GraftDmlTargets.record(read, e)
+      read
+    case a: SubqueryAlias =>
+      val na = a.copy(child = substituteDmlTarget(a.child, e))
+      GraftDmlTargets.record(na, e)
+      na
+    case other => other
   }
 
   /** Analysis-time substituted DML target plans → their graft table: the

@@ -142,6 +142,85 @@ class VersionedDmlSpec extends AnyFlatSpec with Matchers {
     engine.read(table).count() shouldBe 1600
   }
 
+  behavior of "SQL MERGE INTO"
+
+  /** A registered accounts table (region partitions) + a `merge_src_<n>`
+    * temp view carrying updates/inserts/delete-marked rows. */
+  private def mergeFixture(): (VersionedTables, TableDefinition, String, String) = {
+    val dir = Files.createTempDirectory("graft-sqlmerge-").toFile
+    val n = seq.incrementAndGet()
+    val engine = VersionedTables.withFileStore(spark, new File(dir, "store").toURI)
+    val table = TableDefinition(TableName("dml", s"accounts_$n"),
+      new File(dir, "accounts").toURI, PartitionSchema("region"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    GraftTableRegistry.register(engine, table)
+    Seq(("a1", "eu", 10L), ("a2", "eu", 20L), ("a3", "us", 30L), ("a4", "ap", 40L))
+      .toDF("id", "region", "balance")
+      .repartition(col("region"))
+      .versionedInsertInto(engine, table, UserId("t"), "base")
+    Seq(("a1", "eu", 11L), ("a5", "eu", 50L), ("a3", "us", -1L))
+      .toDF("id", "region", "balance")
+      .createOrReplaceTempView(s"merge_src_$n")
+    (engine, table, s"graft.${table.name.fullyQualifiedName}", s"merge_src_$n")
+  }
+
+  it should "run the keyed upsert shapes: UPDATE SET * / INSERT * / source-predicate DELETE" in {
+    val (engine, table, t, src) = mergeFixture()
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id
+         |WHEN MATCHED AND s.balance < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = engine.read(table).select("id", "balance")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("a1" -> 11L, "a2" -> 20L, "a4" -> 40L, "a5" -> 50L) // a3 deleted
+    engine.log(table.name).head.message shouldBe
+      s"SQL MERGE INTO ${table.name.fullyQualifiedName}"
+  }
+
+  it should "run a delete-only merge (matched keys removed, unmatched no-ops)" in {
+    val (engine, table, t, src) = mergeFixture()
+    spark.sql(s"MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id WHEN MATCHED THEN DELETE")
+    engine.read(table).select("id").as[String].collect().sorted shouldBe
+      Array("a2", "a4") // a1/a3 matched and removed; a5 unmatched no-op
+  }
+
+  it should "refuse the shapes the keyed merge cannot express, each with a specific error" in {
+    val (engine, table, t, src) = mergeFixture()
+    def refuses(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      e.getMessage should include(needle)
+      ()
+    }
+    // partial-column update keeps target values → not a source-row replace
+    refuses(
+      s"""MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET balance = s.balance + 1""".stripMargin,
+      "not")
+    // non-equi ON
+    refuses(
+      s"""MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id AND tgt.balance < s.balance
+         |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      "ON condition")
+    // NOT MATCHED BY SOURCE
+    refuses(
+      s"""MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
+      "NOT MATCHED BY SOURCE")
+    // delete-only + insert (the keyed merge would silently drop the inserts)
+    refuses(
+      s"""MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id
+         |WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      "unmatched inserts")
+    // update without insert (the keyed merge upserts)
+    refuses(
+      s"""MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin,
+      "without WHEN NOT MATCHED INSERT")
+    engine.read(table).count() shouldBe 4 // nothing landed
+  }
+
   it should "act on the execution-time head, raising CAS conflicts on races" in {
     val (engine, table) = fixture()
     // a DML statement re-resolves its predicate at run: delete after an
