@@ -35,6 +35,8 @@ import java.time.Instant
  *   graft-cli --store <uri> audit <schema.table> <tableLocation> <versionLabel> --check <spec> [--check <spec> ...] [--partition-by c1,c2] [--format F]
  *   graft-cli --store <uri> publish <schema.table> <tableLocation> <versionLabel> [--check <spec> ...] [--partition-by c1,c2] [--format F]
  *   # audit/publish recover --partition-by from the stage's manifest when omitted; --format still defaults to parquet
+ *   graft-cli --store <uri> delete <schema.table> <tableLocation> --where <sql predicate> [--partition-by c1,c2] [--format F]
+ *   graft-cli --store <uri> update <schema.table> <tableLocation> --where <sql predicate> --set col=expr [--set col=expr ...] [--partition-by c1,c2] [--format F]
  *   graft-cli --store <uri> merge <schema.table> <tableLocation> <sourceUri> --keys k1[,k2] [--delete-when <sql predicate>] [--partition-by c1,c2] [--format F] [--source-format F]
  * }}}
  * `--store` may be omitted when `GRAFT_STORE` is set or a config file exists
@@ -418,6 +420,68 @@ object GraftCli {
         }
       }
 
+      // delete <table> <location> --where <sql predicate> — predicate
+      // DELETE through graft.operators.VersionedDml: stats/Bloom-pruned
+      // partition discovery, only matched partitions rewritten, emptied
+      // partitions removed from the commit, CAS-guarded
+      case List("delete", name, location) => withTable(name) { t =>
+        withTableDef(t, location, flags, out) { table =>
+          flags.get("where") match {
+            case None => out.println("error: delete needs --where <sql predicate>"); 2
+            case Some(w) => withFlavorChecked(t, table) {
+              import graft.operators.VersionedDml._
+              val spark = cliSpark()
+              val engine = new graft.operators.VersionedTables(spark, tracker)
+              val r = engine.deleteWhere(table, org.apache.spark.sql.functions.expr(w), user,
+                if (message.nonEmpty) message else s"delete where $w")
+              if (r.rewritten.isEmpty && r.removed.isEmpty)
+                out.println("no rows matched — no commit")
+              else {
+                out.println(s"deleted  ${tracker.currentRef(t).id}")
+                r.rewritten.foreach(p => out.println(s"  rewrote ${p.toPath}"))
+                r.removed.foreach(p => out.println(s"  removed ${p.toPath}"))
+              }
+              0
+            }
+          }
+        }
+      }
+
+      // update <table> <location> --where <pred> --set col=expr [--set ...]
+      // — predicate UPDATE (SET expressions see the OLD row; partition
+      // columns refuse — moves are a merge concern)
+      case List("update", name, location) => withTable(name) { t =>
+        withTableDef(t, location, flags, out) { table =>
+          val sets: Seq[(String, String)] = flags.get("set").toSeq
+            .flatMap(_.split(CheckSep)).map(_.trim).filter(_.nonEmpty)
+            .map { a =>
+              val i = a.indexOf('=')
+              if (i <= 0) ("", "") else (a.take(i).trim, a.drop(i + 1).trim)
+            }
+          (flags.get("where"), sets) match {
+            case (None, _) => out.println("error: update needs --where <sql predicate>"); 2
+            case (_, ss) if ss.isEmpty || ss.exists(_._1.isEmpty) =>
+              out.println("error: update needs --set col=expr [--set col=expr ...]"); 2
+            case (Some(w), ss) => withFlavorChecked(t, table) {
+              import graft.operators.VersionedDml._
+              val spark = cliSpark()
+              val engine = new graft.operators.VersionedTables(spark, tracker)
+              val r = engine.updateWhere(table,
+                org.apache.spark.sql.functions.expr(w),
+                ss.map { case (c, e) => c -> org.apache.spark.sql.functions.expr(e) }.toMap,
+                user,
+                if (message.nonEmpty) message else s"update where $w")
+              if (r.rewritten.isEmpty) out.println("no rows matched — no commit")
+              else {
+                out.println(s"updated  ${tracker.currentRef(t).id}")
+                r.rewritten.foreach(p => out.println(s"  rewrote ${p.toPath}"))
+              }
+              0
+            }
+          }
+        }
+      }
+
       // stats-checkpoint <table> <location> [--partition-by ...] — roll the
       // CURRENT version's per-label stats manifests into one
       // _stats/_checkpoint-<stamp>.json (retiring older checkpoints), so a
@@ -564,7 +628,7 @@ object GraftCli {
 
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|row-changes|stats|stats-checkpoint|summary|vacuum|migrate|export|sync|stage|audit|publish|merge> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|row-changes|delete|update|stats|stats-checkpoint|summary|vacuum|migrate|export|sync|stage|audit|publish|merge> ...""".stripMargin)
         2
     } catch {
       case e @ (_: UnknownTableError | _: UnknownCommitError |
@@ -819,7 +883,8 @@ object GraftCli {
             loop(tail, flags + (key -> "true"), pos)
           else {
             val value =
-              if (key == "check" && flags.contains(key)) flags(key) + CheckSep + tail.head
+              if ((key == "check" || key == "set") && flags.contains(key))
+                flags(key) + CheckSep + tail.head
               else tail.head
             loop(tail.tail, flags + (key -> value), pos)
           }

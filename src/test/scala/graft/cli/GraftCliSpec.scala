@@ -492,6 +492,47 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     cli("partitions", "sales.flavdocs")._2 should include("batch=b0")
   }
 
+  it should "delete and update by predicate end-to-end" in {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cli-dml-")
+    val loc = root.resolve("accts").toUri.toString
+    cli("init", "sales.dml_accts")._1 shouldBe 0
+    val src = root.resolve("src").toString
+    Seq(("a1", "eu", 10L), ("a2", "eu", 20L), ("a3", "us", 30L), ("a4", "ap", 40L))
+      .toDF("id", "region", "balance").write.parquet(src)
+    cli("merge", "sales.dml_accts", loc, src,
+      "--keys", "id", "--partition-by", "region")._1 shouldBe 0
+
+    // update: SET expressions over the OLD row, only where the predicate is TRUE
+    val (cu, ou) = cli("update", "sales.dml_accts", loc,
+      "--where", "balance >= 20 AND region = 'eu'",
+      "--set", "balance = balance * 2", "--partition-by", "region")
+    cu shouldBe 0
+    ou should include("rewrote region=eu")
+    ou should not include "region=us" // untouched partitions never rewritten
+
+    // delete: emptied partitions are removed from the commit
+    val (cd, od) = cli("delete", "sales.dml_accts", loc,
+      "--where", "region = 'us'", "--partition-by", "region")
+    cd shouldBe 0
+    od should include("removed region=us")
+    cli("partitions", "sales.dml_accts")._2 should not include "region=us"
+
+    // a predicate matching nothing commits nothing
+    val logBefore = cli("log", "sales.dml_accts")._2.linesIterator.size
+    val (cn, on) = cli("delete", "sales.dml_accts", loc,
+      "--where", "balance > 1000000", "--partition-by", "region")
+    cn shouldBe 0
+    on should include("no rows matched")
+    cli("log", "sales.dml_accts")._2.linesIterator.size shouldBe logBefore
+
+    // usage errors
+    cli("delete", "sales.dml_accts", loc, "--partition-by", "region")._1 shouldBe 2
+    cli("update", "sales.dml_accts", loc, "--where", "balance > 0",
+      "--partition-by", "region")._1 shouldBe 2
+  }
+
   it should "merge a keyed source end-to-end: bootstrap, upsert, delete" in {
     val spark = graft.TestSpark.spark
     import spark.implicits._
