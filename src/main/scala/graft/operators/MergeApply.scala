@@ -1,0 +1,509 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/**
+ * The GENERAL clause-based MERGE for versioned tables — the full SQL
+ * `MERGE INTO` shape: ordered `WHEN MATCHED [AND cond] THEN UPDATE SET
+ * col = expr … / DELETE`, `WHEN NOT MATCHED [AND cond] THEN INSERT …`,
+ * and `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE / DELETE`.
+ * [[VersionedMerge.MergeOps.mergeInto]] stays the fast path for the keyed
+ * source-row replacement (anti-join + union, no wide join); this operator
+ * covers everything that shape cannot express: partial-column updates
+ * that keep target values, conditions referencing the target row, and
+ * acting on target rows the source does NOT mention. The reference has no
+ * merge at all (chronicles only overwrites whole partitions,
+ * `spark/src/main/scala/dev/chronicles/spark/SparkSupport.scala:51-128`).
+ *
+ * Expression vocabulary (Scala and SQL faces share it): TARGET columns
+ * are plain names (`col("value")`), SOURCE columns are `s.`-qualified
+ * (`col("s.value")`). Clause semantics are SQL MERGE's:
+ *
+ *   - a target row with a key match takes the FIRST matched clause whose
+ *     condition is TRUE (unconditioned = always; NULL falls through —
+ *     three-valued, like mergeInto's deleteWhen); no clause fires → the
+ *     row is kept bit-identical;
+ *   - a source row matching nothing takes the first not-matched clause
+ *     whose (source-only) condition is TRUE and inserts its values
+ *     (unassigned columns are NULL); none fires → the row is discarded;
+ *   - a target row matching no source key takes the first
+ *     not-matched-by-source clause whose (target-only) condition is TRUE;
+ *     none → kept.
+ *
+ * Scale shape (the 100 TB contract, same discipline as mergeInto/DML):
+ *   - matched-row discovery is pruned by [[VersionedMerge.candidatePartitions]]
+ *     (key⊇partition values / manifest ranges / partition Blooms — no
+ *     false negatives) before one semi-join over only the surviving
+ *     candidates;
+ *   - NOT MATCHED BY SOURCE clauses can touch rows anywhere, so their
+ *     rewrite slice is pruned by [[TableStats.partitionsMayMatch]] over
+ *     the OR of the clause conditions (an UNCONDITIONAL by-source clause
+ *     means the whole table is semantically in scope — that full rewrite
+ *     is the statement's meaning, not an implementation artifact);
+ *   - even the target SCHEMA is resolved from the pruned scope (candidate
+ *     ∪ by-source partitions), never from a whole-table footer read —
+ *     the corrupt-the-untouched law covers analysis, not just execution;
+ *   - inserts are computed EXACTLY (source anti-join the candidate
+ *     slice's keys), so a partition is only rewritten if a row in it
+ *     changes or lands in it;
+ *   - the rewrite reads only the touched slice, the output is persisted
+ *     across final-partition discovery and the physical write, emptied
+ *     partitions are removed from the commit (data retained for time
+ *     travel), and the commit CASes on the head pinned at entry.
+ */
+object MergeApply {
+
+  /** One `WHEN MATCHED [AND condition]` clause, in statement order. */
+  sealed trait MatchedAction {
+    def condition: Option[Column]
+  }
+  /** `THEN UPDATE SET col = expr, …` — unassigned columns keep the target
+    * value; expressions see the old target row (plain names) and the
+    * matching source row (`s.` names). Partition columns cannot be SET,
+    * except the provably-no-op `SET pcol = s.pcol` where `pcol` is a merge
+    * key (what SQL's `UPDATE SET *` expands to) — that assignment is
+    * dropped. */
+  final case class MatchedUpdate(condition: Option[Column], set: Map[String, Column])
+      extends MatchedAction
+  /** `THEN DELETE`. */
+  final case class MatchedDelete(condition: Option[Column]) extends MatchedAction
+
+  /** `WHEN NOT MATCHED [AND condition] THEN INSERT` — values over SOURCE
+    * columns (plain or `s.`-qualified, same thing here); target columns
+    * without a value insert NULL. */
+  final case class NotMatchedInsert(condition: Option[Column], values: Map[String, Column])
+
+  /** One `WHEN NOT MATCHED BY SOURCE [AND condition]` clause — conditions
+    * and update expressions see TARGET columns only. */
+  sealed trait BySourceAction {
+    def condition: Option[Column]
+  }
+  final case class BySourceUpdate(condition: Option[Column], set: Map[String, Column])
+      extends BySourceAction
+  final case class BySourceDelete(condition: Option[Column]) extends BySourceAction
+
+  // action codes for the per-row clause dispatch column
+  private val Keep = -1
+  private val Drop = -2
+
+  private val SourcePrefix = "_graft_s_"
+  private val PresentCol = "_graft_s_present"
+  private val ActionCol = "_graft_action"
+
+  implicit final class MergeApplyOps(private val engine: VersionedTables) extends AnyVal {
+
+    /** Apply a general clause-based merge of `source` into the current
+      * version of `table` on equality of `keyColumns`, as ONE atomic
+      * commit. See [[MergeApply]] for semantics and the scale contract.
+      * Duplicate source keys make matched clauses ambiguous (SQL MERGE
+      * raises too) — `requireDistinctSourceKeys` pins that with one
+      * aggregation; opt out only when the producer guarantees it. */
+    def mergeApply(
+        table: TableDefinition,
+        source: DataFrame,
+        keyColumns: Seq[String],
+        userId: UserId,
+        message: String,
+        matched: Seq[MatchedAction] = Nil,
+        notMatched: Seq[NotMatchedInsert] = Nil,
+        notMatchedBySource: Seq[BySourceAction] = Nil,
+        clusterBy: Seq[String] = Nil,
+        requireDistinctSourceKeys: Boolean = true): VersionedMerge.MergeResult =
+      MergeApply.run(engine, table, source, keyColumns, userId, message,
+        matched, notMatched, notMatchedBySource, clusterBy, requireDistinctSourceKeys)
+  }
+
+  // ---------------------------------------------------------------------
+  // implementation
+
+  private def run(
+      engine: VersionedTables,
+      table: TableDefinition,
+      source: DataFrame,
+      keyColumns: Seq[String],
+      userId: UserId,
+      message: String,
+      matched0: Seq[MatchedAction],
+      notMatched: Seq[NotMatchedInsert],
+      notMatchedBySource: Seq[BySourceAction],
+      clusterBy: Seq[String],
+      requireDistinctSourceKeys: Boolean): VersionedMerge.MergeResult = {
+
+    require(keyColumns.nonEmpty, "mergeApply needs at least one key column")
+    require(matched0.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "mergeApply needs at least one WHEN clause")
+    val missingKeys = keyColumns.filterNot(k => source.columns.exists(_.equalsIgnoreCase(k)))
+    require(missingKeys.isEmpty, s"key columns not in source: ${missingKeys.mkString(", ")}")
+
+    val sourceColsLower = source.columns.map(_.toLowerCase).toSet
+    val partCols = table.partitionSchema.columnNames
+    val partColsLower = partCols.map(_.toLowerCase).toSet
+
+    // `SET pcol = s.pcol` where pcol is a merge key is a provable no-op
+    // (matched ⇒ equal) — drop it, so SQL `UPDATE SET *` works on
+    // partitioned tables merged on their partition columns
+    val matched: Seq[MatchedAction] = matched0.map {
+      case MatchedUpdate(cond, set) => MatchedUpdate(cond, set.filterNot { case (c, v) =>
+        partColsLower.contains(c.toLowerCase) &&
+          keyColumns.exists(_.equalsIgnoreCase(c)) && isSourceSelfRef(v, c)
+      })
+      case other => other
+    }
+
+    // schema-free refusals first: SET on partition columns …
+    def checkSetPartitionFree(set: Map[String, Column], clause: String): Unit =
+      set.keys.foreach { c =>
+        require(!partColsLower.contains(c.toLowerCase),
+          s"$clause cannot SET partition column '$c' — a row changing partition would " +
+            "need its destination partition rewritten too; delete + insert (or mergeInto) " +
+            "moves rows")
+      }
+    matched.foreach {
+      case MatchedUpdate(_, set) => checkSetPartitionFree(set, "WHEN MATCHED UPDATE")
+      case _ => ()
+    }
+    notMatchedBySource.foreach {
+      case BySourceUpdate(_, set) =>
+        checkSetPartitionFree(set, "WHEN NOT MATCHED BY SOURCE UPDATE")
+      case _ => ()
+    }
+    // … and by-source clauses referencing source columns (no matching
+    // source row exists; the conditions also drive partition pruning)
+    notMatchedBySource.foreach { a =>
+      (a.condition.toSeq ++ (a match {
+        case BySourceUpdate(_, set) => set.values.toSeq
+        case _ => Seq.empty
+      })).foreach { c =>
+        require(!referencesSource(c, sourceColsLower),
+          "WHEN NOT MATCHED BY SOURCE clauses cannot reference source columns " +
+            "(there is no matching source row)")
+      }
+    }
+
+    // pin EVERYTHING to one head snapshot; the commit CASes on it
+    val state = engine.tracker.tableState(table.name)
+    val head = state.currentVersion
+    val snapshot = state.currentTableVersion
+    val now = java.time.Instant.now()
+
+    if (requireDistinctSourceKeys && matched.nonEmpty) {
+      val dup = source.groupBy(keyColumns.map(c => col(s"`$c`")): _*).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"duplicate source keys on (${keyColumns.mkString(", ")}): e.g. ${dup.head} — " +
+          "a target row matched by two source rows is ambiguous (SQL MERGE raises here too)")
+    }
+
+    val keyFrame = source.select(keyColumns.map(c => col(s"`$c`")): _*).distinct()
+
+    // schema-dependent validation, once the target schema is known (from a
+    // read scoped to the pruned partitions — see each branch)
+    def validate(targetSchema: StructType): Seq[String] = {
+      require(targetSchema.nonEmpty,
+        s"mergeApply into never-written table ${table.name.fullyQualifiedName}: the table " +
+          "has no schema to merge against — load it first (versionedInsertInto / mergeInto)")
+      val targetCols = targetSchema.map(_.name)
+      // the `s.` qualifier must be unambiguous: a top-level target column
+      // named `s` would make `s.x` mean struct-field access of that column
+      require(!targetCols.exists(_.equalsIgnoreCase("s")),
+        s"mergeApply: target ${table.name.fullyQualifiedName} has a column named 's' — " +
+          "the s.<col> source qualifier would be ambiguous with struct access")
+      def known(c: String, clause: String): Unit =
+        require(targetCols.exists(_.equalsIgnoreCase(c)),
+          s"$clause column '$c' is not a column of ${table.name.fullyQualifiedName}")
+      matched.foreach {
+        case MatchedUpdate(_, set) => set.keys.foreach(known(_, "WHEN MATCHED UPDATE SET"))
+        case _ => ()
+      }
+      notMatchedBySource.foreach {
+        case BySourceUpdate(_, set) =>
+          set.keys.foreach(known(_, "WHEN NOT MATCHED BY SOURCE UPDATE SET"))
+        case _ => ()
+      }
+      notMatched.foreach(_.values.keys.foreach(known(_, "WHEN NOT MATCHED INSERT")))
+      targetCols
+    }
+
+    // ------------------------------------------------------------------
+    // clause dispatch codes (statement order; first TRUE condition wins)
+    val matchedCodes: Seq[(MatchedAction, Int)] = matched.zipWithIndex
+    val bySourceCodes: Seq[(BySourceAction, Int)] = notMatchedBySource.zipWithIndex.map {
+      case (a, i) => (a, 100 + i)
+    }
+    val insertCodes: Seq[(NotMatchedInsert, Int)] = notMatched.zipWithIndex.map {
+      case (a, i) => (a, 200 + i)
+    }
+
+    def chain(clauses: Seq[(Option[Column], Int)], default: Int): Column =
+      clauses.foldRight(lit(default)) { case ((cond, code), els) =>
+        when(coalesce(cond.map(internalize(_, sourceColsLower)).getOrElse(lit(true)),
+          lit(false)), lit(code)).otherwise(els)
+      }
+
+    val dropCodes: Seq[Int] =
+      matchedCodes.collect { case (_: MatchedDelete, i) => i } ++
+        bySourceCodes.collect { case (_: BySourceDelete, i) => i } :+ Drop
+
+    // the rewritten value of target column `f` on the joined slice
+    def rewriteValue(f: StructField): Column = {
+      val updates: Seq[(Int, Column)] =
+        matchedCodes.collect {
+          case (MatchedUpdate(_, set), i) if set.keys.exists(_.equalsIgnoreCase(f.name)) =>
+            i -> internalize(set.find(_._1.equalsIgnoreCase(f.name)).get._2, sourceColsLower)
+        } ++
+          bySourceCodes.collect {
+            case (BySourceUpdate(_, set), i) if set.keys.exists(_.equalsIgnoreCase(f.name)) =>
+              i -> internalize(set.find(_._1.equalsIgnoreCase(f.name)).get._2, sourceColsLower)
+          }
+      val base = col(s"`${f.name}`")
+      updates.foldRight(base) { case ((code, expr), els) =>
+        when(col(ActionCol) === lit(code), expr).otherwise(els)
+      }.cast(f.dataType).as(f.name)
+    }
+
+    /** slice (target rows) → rewritten rows, target schema. */
+    def rewriteSlice(slice: DataFrame, targetSchema: StructType): DataFrame = {
+      // matched rows need the source row's columns only if a matched clause
+      // exists; otherwise a distinct-key presence marker suffices (and
+      // cannot duplicate kept rows under duplicate source keys)
+      val joined =
+        if (matched.nonEmpty) {
+          val renamed = source.select(
+            source.columns.map(c => col(s"`$c`").as(SourcePrefix + c.toLowerCase)) :+
+              lit(true).as(PresentCol): _*)
+          val joinCond = keyColumns.map(k =>
+            col(s"`$k`") === col(s"`$SourcePrefix${k.toLowerCase}`")).reduce(_ && _)
+          slice.join(renamed, joinCond, "left_outer")
+        } else {
+          slice.join(keyFrame.withColumn(PresentCol, lit(true)),
+            keyColumns.toSeq, "left_outer")
+        }
+      val action = when(col(PresentCol).isNotNull,
+        chain(matchedCodes.map { case (a, i) => (a.condition, i) }, Keep))
+        .otherwise(chain(bySourceCodes.map { case (a, i) => (a.condition, i) }, Keep))
+      joined.withColumn(ActionCol, action)
+        .filter(not(col(ActionCol).isin(dropCodes.map(Int.box): _*)))
+        .select(targetSchema.map(rewriteValue): _*)
+    }
+
+    /** source rows that match nothing → inserted rows, target schema.
+      * Values evaluate over the source frame itself (plain = `s.` here). */
+    def insertRows(eligible: DataFrame, targetSchema: StructType): DataFrame = {
+      val action = chain(insertCodes.map { case (a, i) =>
+        (a.condition.map(stripSourceQualifier(_, sourceColsLower)), i)
+      }, Drop)
+      val withAction = eligible.withColumn(ActionCol, action)
+        .filter(col(ActionCol) =!= lit(Drop))
+      val cols = targetSchema.map { f =>
+        val perClause: Seq[(Int, Column)] = insertCodes.collect {
+          case (NotMatchedInsert(_, values), i)
+              if values.keys.exists(_.equalsIgnoreCase(f.name)) =>
+            i -> stripSourceQualifier(
+              values.find(_._1.equalsIgnoreCase(f.name)).get._2, sourceColsLower)
+        }
+        perClause.foldRight(lit(null).cast(f.dataType): Column) { case ((code, expr), els) =>
+          when(col(ActionCol) === lit(code), expr).otherwise(els)
+        }.cast(f.dataType).as(f.name)
+      }
+      withAction.select(cols: _*)
+    }
+
+    def dropVersionCol(schema: StructType): StructType =
+      StructType(schema.filterNot(_.name == Version.VersionColumn).toArray)
+
+    snapshot match {
+      case SnapshotTableVersion(_) =>
+        // snapshot table = one unit of data: the whole table is the slice
+        // (and the schema scope)
+        val currentAll = engine.readVersion(table, snapshot)
+        val targetSchema = dropVersionCol(currentAll.schema)
+        val targetCols = validate(targetSchema)
+        val current = currentAll.select(targetCols.map(c => col(s"`$c`")): _*)
+        val inserts =
+          if (notMatched.isEmpty) None
+          else Some(insertRows(
+            source.join(keyOnly(current, keyColumns), keyColumns.toSeq, "left_anti"),
+            targetSchema))
+        val out0 = rewriteSlice(current, targetSchema)
+        val out = inserts.map(out0.unionByName(_)).getOrElse(out0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val version = Version.generate()
+          VersionedTables.writeDataVersioned(out, table, version, clusterBy)
+          if (table.stats.nonEmpty)
+            TableStats.collectAndWrite(engine.spark, table, version, Nil)
+          val versionDir = new org.apache.hadoop.fs.Path(
+            VersionPaths.pathFor(table.location, version))
+          val fs = versionDir.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
+          require(fs.exists(versionDir),
+            s"mergeApply emptied snapshot table ${table.name.fullyQualifiedName} — a " +
+              "snapshot version must carry at least one row (emptying is a replace-all concern)")
+          val (tv, changes) = engine.versioned.commitIf(
+            table.name, TableUpdate(userId, message, now,
+              List(TableOperation.AddTableVersion(version))), head)
+          VersionedMerge.MergeResult(tv, changes, Nil, Nil)
+        } finally { out.unpersist(blocking = false); () }
+
+      case PartitionedTableVersion(pvs) =>
+        // (1) candidate partitions that CAN hold a source key — needed both
+        // for matched-row discovery and for exact insert suppression
+        val candidates =
+          if (pvs.isEmpty || (matched.isEmpty && notMatched.isEmpty)) Map.empty[Partition, Version]
+          else VersionedMerge.candidatePartitions(engine, table, pvs, keyFrame, keyColumns)
+        // (2) partitions a by-source clause could touch — stats-pruned,
+        // no false negatives; an unconditional clause scopes the table
+        val bySourceParts: Set[Partition] =
+          if (notMatchedBySource.isEmpty) Set.empty
+          else {
+            val conds = notMatchedBySource.map(_.condition)
+            if (conds.exists(_.isEmpty)) pvs.keySet
+            else TableStats.partitionsMayMatch(engine, table, pvs,
+              conds.flatten.reduce(_ || _)).keySet
+          }
+        // the target schema comes from a read SCOPED to the pruned
+        // partitions — the corrupt-the-untouched law covers analysis too.
+        // Only a merge that touches nothing prunable (pure insert into a
+        // table with zero candidates) falls back to the unscoped read.
+        val scopedPvs = candidates ++ pvs.filter { case (p, _) => bySourceParts(p) }
+        val targetSchema = dropVersionCol(
+          if (scopedPvs.nonEmpty)
+            engine.readVersion(table, PartitionedTableVersion(scopedPvs)).schema
+          else engine.read(table).schema)
+        val targetCols = validate(targetSchema)
+
+        // one skinny persisted read (keys + partition columns) serves both
+        // matched-partition discovery and insert suppression
+        val candSlice: Option[DataFrame] =
+          if (candidates.isEmpty) None
+          else Some(engine.readVersion(table, PartitionedTableVersion(candidates))
+            .select((keyColumns ++ partCols.filterNot(p =>
+              keyColumns.exists(_.equalsIgnoreCase(p)))).map(c => col(s"`$c`")): _*)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        try {
+          // (3) partitions whose rows a matched clause could change — exact
+          val matchedParts: Set[Partition] =
+            if (matched.isEmpty) Set.empty
+            else candSlice match {
+              case None => Set.empty
+              case Some(cs) => VersionedTables.partitionValues(
+                cs.join(keyFrame, keyColumns.toSeq, "left_semi"),
+                table.partitionSchema).toSet
+            }
+          // (4) inserted rows, computed exactly (anti-join the candidate keys)
+          val inserts: Option[DataFrame] =
+            if (notMatched.isEmpty) None
+            else {
+              val eligible = candSlice match {
+                case Some(cs) => source.join(
+                  cs.select(keyColumns.map(c => col(s"`$c`")): _*),
+                  keyColumns.toSeq, "left_anti")
+                case None => source
+              }
+              Some(insertRows(eligible, targetSchema)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            }
+          try {
+            val insertParts: Set[Partition] = inserts match {
+              case None => Set.empty
+              case Some(i) => VersionedTables.partitionValues(i, table.partitionSchema).toSet
+            }
+            val touched = matchedParts ++ bySourceParts ++ (insertParts & pvs.keySet)
+            if (touched.isEmpty && insertParts.isEmpty)
+              return VersionedMerge.MergeResult(snapshot, TableChanges.empty, Nil, Nil)
+
+            val touchedPvs = pvs.filter { case (p, _) => touched(p) }
+            val rewritten: Option[DataFrame] =
+              if (touchedPvs.isEmpty) None
+              else Some(rewriteSlice(
+                engine.readVersion(table, PartitionedTableVersion(touchedPvs))
+                  .select(targetCols.map(c => col(s"`$c`")): _*), targetSchema))
+            val out = ((rewritten, inserts) match {
+              case (Some(r), Some(i)) => r.unionByName(i)
+              case (Some(r), None)    => r
+              case (None, Some(i))    => i
+              case (None, None)       => return VersionedMerge.MergeResult(
+                snapshot, TableChanges.empty, Nil, Nil)
+            }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val version = Version.generate()
+              val finalParts = VersionedTables.partitionValues(out, table.partitionSchema)
+              if (finalParts.nonEmpty) {
+                VersionedTables.writeDataVersioned(out, table, version, clusterBy)
+                // first-class write: the new version carries stats manifests
+                // so later reads keep pruning after the rewrite
+                if (table.stats.nonEmpty)
+                  TableStats.collectAndWrite(engine.spark, table, version, finalParts)
+              }
+              val emptied = (touched -- finalParts.toSet).toList.sortBy(_.toPath)
+                .filter(pvs.contains)
+              val ops = finalParts.sortBy(_.toPath)
+                .map(TableOperation.AddPartitionVersion(_, version)) ++
+                emptied.map(TableOperation.RemovePartition(_))
+              if (ops.isEmpty)
+                return VersionedMerge.MergeResult(snapshot, TableChanges.empty, Nil, Nil)
+              val (tv, changes) = engine.versioned.commitIf(
+                table.name, TableUpdate(userId, message, now, ops), head)
+              VersionedMerge.MergeResult(tv, changes, finalParts, emptied)
+            } finally { out.unpersist(blocking = false); () }
+          } finally { inserts.foreach(_.unpersist(blocking = false)); () }
+        } finally { candSlice.foreach(_.unpersist(blocking = false)); () }
+    }
+  }
+
+  /** Key columns only, for anti-join suppression. */
+  private def keyOnly(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.select(keys.map(c => col(s"`$c`")): _*)
+
+  /** Is `v` exactly the source's own column `c` (`s.c`)? — the provably
+    * no-op `SET * `-generated assignment of a merge-key partition column. */
+  private def isSourceSelfRef(v: Column, c: String): Boolean =
+    GraftSqlBridge.convertedExpression(v) match {
+      case ua: UnresolvedAttribute =>
+        ua.nameParts.length == 2 && ua.nameParts.head.equalsIgnoreCase("s") &&
+          ua.nameParts(1).equalsIgnoreCase(c)
+      case _ => false
+    }
+
+  /** Rewrite `s.<col>` references to the internal renamed source columns
+    * of the joined frame; plain names resolve against the target slice.
+    * Subqueries are refused (the expression is evaluated inside a rewrite
+    * that runs twice — discovery and write — and must be stable). */
+  private def internalize(c: Column, sourceColsLower: Set[String]): Column =
+    mapSourceRefs(c, sourceColsLower,
+      rest => UnresolvedAttribute(rest.updated(0, SourcePrefix + rest.head.toLowerCase)))
+
+  /** For expressions evaluated over the SOURCE frame itself (insert
+    * clauses): `s.<col>` just means `<col>`. */
+  private def stripSourceQualifier(c: Column, sourceColsLower: Set[String]): Column =
+    mapSourceRefs(c, sourceColsLower, rest => UnresolvedAttribute(rest))
+
+  private def mapSourceRefs(
+      c: Column,
+      sourceColsLower: Set[String],
+      f: Seq[String] => UnresolvedAttribute): Column = {
+    val e = GraftSqlBridge.convertedExpression(c)
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      "subqueries in merge clause expressions are not supported — " +
+        "materialize the subquery into the source frame")
+    val t = e.transform {
+      case ua: UnresolvedAttribute
+          if ua.nameParts.length >= 2 && ua.nameParts.head.equalsIgnoreCase("s") &&
+            sourceColsLower.contains(ua.nameParts(1).toLowerCase) =>
+        f(ua.nameParts.drop(1))
+    }
+    GraftSqlBridge.column(t)
+  }
+
+  private def referencesSource(c: Column, sourceColsLower: Set[String]): Boolean =
+    GraftSqlBridge.convertedExpression(c).exists {
+      case ua: UnresolvedAttribute =>
+        ua.nameParts.length >= 2 && ua.nameParts.head.equalsIgnoreCase("s") &&
+          sourceColsLower.contains(ua.nameParts(1).toLowerCase)
+      case _ => false
+    }
+}
