@@ -203,6 +203,13 @@ object SparkEntry {
     // oracle identical to q_merge_upsert by construction
     "q_sql_merge" -> ((spark, dir) => sqlMergeFixture(spark, dir).merged),
 
+    // the GENERAL clause merge (graft.operators.MergeApply) as one SQL
+    // statement: conditional matched DELETE, partial-column
+    // target-referencing UPDATE, conditional sparse INSERT, and a WHEN NOT
+    // MATCHED BY SOURCE DELETE — none of which the keyed source-row merge
+    // can express. Oracle replays the four clauses as set algebra.
+    "q_sql_merge_mixed" -> ((spark, dir) => sqlMergeMixedFixture(spark, dir).merged),
+
     // row-level CHANGE FEED of that same merge commit: per-row
     // insert/update/delete reconstructed from the two pinned states
     // (graft.operators.ChangeFeed), aggregated per change class — the
@@ -696,6 +703,70 @@ object SparkEntry {
       SqlMergeFixture(spark, t)
     })
 
+  /** q_sql_merge_mixed fixture: the general clause merge as ONE SQL
+    * statement — conditional DELETE, partial target-referencing UPDATE,
+    * conditional sparse INSERT, and NOT MATCHED BY SOURCE DELETE. Only the
+    * build is memoized. */
+  private final case class SqlMergeMixedFixture(spark: SparkSession, name: String) {
+    def merged: DataFrame = spark.sql(
+      s"""SELECT event_type, COUNT(1) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         |FROM $name GROUP BY event_type""".stripMargin)
+  }
+
+  private val sqlMergeMixedFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SqlMergeMixedFixture]()
+  private val sqlMergeMixedFixtureSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def sqlMergeMixedFixture(spark: SparkSession, sfDir: String): SqlMergeMixedFixture =
+    sqlMergeMixedFixtureCache.computeIfAbsent((spark, sfDir), _ => {
+      Tables.prepare(spark)
+      val n = sqlMergeMixedFixtureSeq.incrementAndGet()
+      val root = graft.FixtureTempDirs.create("graft-sqlmergemix-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", s"events_sqlmergemix_$n"),
+        root.resolve("events_sqlmergemix").toUri, PartitionSchema("event_date"),
+        FileFormat.Parquet,
+        stats = Some(ColumnStatsConfig(
+          statsColumns = List("event_id"), bloomKeyColumns = List("event_id"))))
+      engine.initTable(table, UserId("driver"), "init")
+      graft.sql.GraftTableRegistry.register(engine, table)
+      val t = s"graft.${table.name.fullyQualifiedName}"
+      val events = Tables.events(spark, sfDir)
+        .withColumn("event_date", to_date(col("ts")))
+        .localCheckpoint()
+      events.repartition(col("event_date"))
+        .versionedInsertInto(engine, table, UserId("driver"), "load")
+      // three source classes: partial updates (+100 on every 10th click),
+      // deletes (every 10th error), fresh inserts (every 100th view, new id)
+      val updates = events
+        .filter(col("event_type") === "click" && col("event_id") % 10 === 0)
+        .select(col("event_id"), col("event_date"),
+          lit(100.0).as("delta"), lit("up").as("flag"))
+      val deletes = events
+        .filter(col("event_type") === "error" && col("event_id") % 10 === 0)
+        .select(col("event_id"), col("event_date"),
+          lit(0.0).as("delta"), lit("del").as("flag"))
+      val news = events
+        .filter(col("event_type") === "view" && col("event_id") % 100 === 0)
+        .select((col("event_id") + lit(30000000L)).as("event_id"), col("event_date"),
+          col("value").as("delta"), lit("new").as("flag"))
+      val view = s"merge_mixed_src_$n"
+      updates.unionByName(deletes).unionByName(news).createOrReplaceTempView(view)
+      spark.sql(
+        s"""MERGE INTO $t AS tgt USING $view AS s
+           |ON tgt.event_date = s.event_date AND tgt.event_id = s.event_id
+           |WHEN MATCHED AND s.flag = 'del' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET value = tgt.value + s.delta
+           |WHEN NOT MATCHED AND s.flag = 'new' THEN INSERT
+           |  (event_id, ts, user_id, value, props, event_type, event_date)
+           |  VALUES (s.event_id, TIMESTAMP'2024-01-01 00:00:00', CAST(-1 AS BIGINT),
+           |          s.delta, NULL, 'synthetic', s.event_date)
+           |WHEN NOT MATCHED BY SOURCE
+           |  AND tgt.event_type = 'error' AND tgt.event_id % 5 = 0 THEN DELETE""".stripMargin)
+      SqlMergeMixedFixture(spark, t)
+    })
+
   private val statsSkipFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StatsSkipFixture]()
 
@@ -889,6 +960,27 @@ object SparkEntry {
       // the SQL MERGE statement runs the same algebra — same oracle string
       // by construction (one binding keeps the two gates provably identical)
       "q_sql_merge" -> mergeOracle,
+      // the GENERAL clause merge replayed as set algebra: matched deletes
+      // (every 10th error) + by-source deletes (error ids ≡5 mod 10) drop
+      // rows, every 10th click gains +100 (the partial target-referencing
+      // UPDATE), and every 100th view spawns a 'synthetic' insert carrying
+      // its value
+      "q_sql_merge_mixed" ->
+        s"""WITH base AS (
+           |  SELECT event_id, value, event_type FROM events
+           |), final AS (
+           |  SELECT event_type,
+           |    value + CASE WHEN event_type = 'click' AND event_id % 10 = 0
+           |                 THEN 100.0 ELSE 0.0 END AS value
+           |  FROM base
+           |  WHERE NOT (event_type = 'error' AND event_id % 10 = 0)
+           |    AND NOT (event_type = 'error' AND event_id % 5 = 0 AND event_id % 10 <> 0)
+           |  UNION ALL
+           |  SELECT 'synthetic', value FROM base
+           |  WHERE event_type = 'view' AND event_id % 100 = 0
+           |)
+           |SELECT event_type, $duckFixtureAgg
+           |FROM final GROUP BY 1""".stripMargin,
       // the merge's three change classes, replayed directly: updates emit
       // post-images (+1000), inserts the synthetic rows, deletes PRE-images
       "q_change_feed" ->

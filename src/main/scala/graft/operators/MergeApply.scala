@@ -64,10 +64,12 @@ object MergeApply {
   }
   /** `THEN UPDATE SET col = expr, …` — unassigned columns keep the target
     * value; expressions see the old target row (plain names) and the
-    * matching source row (`s.` names). Partition columns cannot be SET,
-    * except the provably-no-op `SET pcol = s.pcol` where `pcol` is a merge
-    * key (what SQL's `UPDATE SET *` expands to) — that assignment is
-    * dropped. */
+    * matching source row (`s.` names). SETting a partition column MOVES
+    * the row: the origin partition is rewritten without it and the
+    * destination partitions (discovered from the post-image) are rewritten
+    * with it. The provably-no-op `SET pcol = s.pcol` where `pcol` is a
+    * merge key (what SQL's `UPDATE SET *` expands to) is dropped, keeping
+    * the cheaper no-move plan. */
   final case class MatchedUpdate(condition: Option[Column], set: Map[String, Column])
       extends MatchedAction
   /** `THEN DELETE`. */
@@ -155,21 +157,23 @@ object MergeApply {
       case other => other
     }
 
-    // schema-free refusals first: SET on partition columns …
-    def checkSetPartitionFree(set: Map[String, Column], clause: String): Unit =
-      set.keys.foreach { c =>
-        require(!partColsLower.contains(c.toLowerCase),
-          s"$clause cannot SET partition column '$c' — a row changing partition would " +
-            "need its destination partition rewritten too; delete + insert (or mergeInto) " +
-            "moves rows")
-      }
-    matched.foreach {
-      case MatchedUpdate(_, set) => checkSetPartitionFree(set, "WHEN MATCHED UPDATE")
-      case _ => ()
+    // MATCHED updates MAY set partition columns — the rewrite treats those
+    // rows as moves (origin partition rewritten without them, destination
+    // partitions discovered from the post-image and rewritten too). BY
+    // SOURCE updates cannot: their scope is pruned from the clause
+    // conditions BEFORE any read, and a move would need a second
+    // destination-discovery pass over rows the source never mentions.
+    val movesPossible = matched.exists {
+      case MatchedUpdate(_, set) => set.keys.exists(c => partColsLower.contains(c.toLowerCase))
+      case _ => false
     }
     notMatchedBySource.foreach {
-      case BySourceUpdate(_, set) =>
-        checkSetPartitionFree(set, "WHEN NOT MATCHED BY SOURCE UPDATE")
+      case BySourceUpdate(_, set) => set.keys.foreach { c =>
+        require(!partColsLower.contains(c.toLowerCase),
+          s"WHEN NOT MATCHED BY SOURCE UPDATE cannot SET partition column '$c' — " +
+            "moving rows the source does not mention needs an unprunable rewrite; " +
+            "use a matched clause or DML")
+      }
       case _ => ()
     }
     // … and by-source clauses referencing source columns (no matching
@@ -245,26 +249,34 @@ object MergeApply {
           lit(false)), lit(code)).otherwise(els)
       }
 
-    val dropCodes: Seq[Int] =
-      matchedCodes.collect { case (_: MatchedDelete, i) => i } ++
-        bySourceCodes.collect { case (_: BySourceDelete, i) => i } :+ Drop
+    val matchedDeleteCodes: Seq[Int] = matchedCodes.collect { case (_: MatchedDelete, i) => i }
+    val bySourceDeleteCodes: Seq[Int] = bySourceCodes.collect { case (_: BySourceDelete, i) => i }
+    val dropCodes: Seq[Int] = matchedDeleteCodes ++ bySourceDeleteCodes :+ Drop
 
-    // the rewritten value of target column `f` on the joined slice
-    def rewriteValue(f: StructField): Column = {
-      val updates: Seq[(Int, Column)] =
-        matchedCodes.collect {
-          case (MatchedUpdate(_, set), i) if set.keys.exists(_.equalsIgnoreCase(f.name)) =>
-            i -> internalize(set.find(_._1.equalsIgnoreCase(f.name)).get._2, sourceColsLower)
-        } ++
-          bySourceCodes.collect {
-            case (BySourceUpdate(_, set), i) if set.keys.exists(_.equalsIgnoreCase(f.name)) =>
-              i -> internalize(set.find(_._1.equalsIgnoreCase(f.name)).get._2, sourceColsLower)
-          }
-      val base = col(s"`${f.name}`")
-      updates.foldRight(base) { case ((code, expr), els) =>
+    def chainValues(updates: Seq[(Int, Column)], f: StructField): Column =
+      updates.foldRight(col(s"`${f.name}`"): Column) { case ((code, expr), els) =>
         when(col(ActionCol) === lit(code), expr).otherwise(els)
       }.cast(f.dataType).as(f.name)
-    }
+
+    def matchedUpdatesFor(f: StructField): Seq[(Int, Column)] =
+      matchedCodes.collect {
+        case (MatchedUpdate(_, set), i) if set.keys.exists(_.equalsIgnoreCase(f.name)) =>
+          i -> internalize(set.find(_._1.equalsIgnoreCase(f.name)).get._2, sourceColsLower)
+      }
+    def bySourceUpdatesFor(f: StructField): Seq[(Int, Column)] =
+      bySourceCodes.collect {
+        case (BySourceUpdate(_, set), i) if set.keys.exists(_.equalsIgnoreCase(f.name)) =>
+          i -> internalize(set.find(_._1.equalsIgnoreCase(f.name)).get._2, sourceColsLower)
+      }
+
+    // the rewritten value of target column `f` on the joined slice (both
+    // clause families — the single-slice shape)
+    def rewriteValue(f: StructField): Column =
+      chainValues(matchedUpdatesFor(f) ++ bySourceUpdatesFor(f), f)
+
+    def dropFilter(df: DataFrame, codes: Seq[Int]): DataFrame =
+      if (codes.isEmpty) df
+      else df.filter(not(col(ActionCol).isin(codes.map(Int.box): _*)))
 
     /** slice (target rows) → rewritten rows, target schema. */
     def rewriteSlice(slice: DataFrame, targetSchema: StructType): DataFrame = {
@@ -286,9 +298,31 @@ object MergeApply {
       val action = when(col(PresentCol).isNotNull,
         chain(matchedCodes.map { case (a, i) => (a.condition, i) }, Keep))
         .otherwise(chain(bySourceCodes.map { case (a, i) => (a.condition, i) }, Keep))
-      joined.withColumn(ActionCol, action)
-        .filter(not(col(ActionCol).isin(dropCodes.map(Int.box): _*)))
+      dropFilter(joined.withColumn(ActionCol, action), dropCodes)
         .select(targetSchema.map(rewriteValue): _*)
+    }
+
+    /** matched target rows (from the candidate slice) → their post-images:
+      * inner join with the renamed source, matched-clause dispatch, deletes
+      * dropped, updates applied (possibly moving rows across partitions). */
+    def rewriteMatched(candFull: DataFrame, targetSchema: StructType): DataFrame = {
+      val renamed = source.select(
+        source.columns.map(c => col(s"`$c`").as(SourcePrefix + c.toLowerCase)): _*)
+      val joinCond = keyColumns.map(k =>
+        col(s"`$k`") === col(s"`$SourcePrefix${k.toLowerCase}`")).reduce(_ && _)
+      val joined = candFull.join(renamed, joinCond, "inner")
+        .withColumn(ActionCol, chain(matchedCodes.map { case (a, i) => (a.condition, i) }, Keep))
+      dropFilter(joined, matchedDeleteCodes)
+        .select(targetSchema.map(f => chainValues(matchedUpdatesFor(f), f)): _*)
+    }
+
+    /** UNMATCHED rows of the touched slice (matched ones are emitted by
+      * [[rewriteMatched]]) → by-source dispatch. */
+    def rewriteUnmatched(slice: DataFrame, targetSchema: StructType): DataFrame = {
+      val un = slice.join(keyFrame, keyColumns.toSeq, "left_anti")
+        .withColumn(ActionCol, chain(bySourceCodes.map { case (a, i) => (a.condition, i) }, Keep))
+      dropFilter(un, bySourceDeleteCodes)
+        .select(targetSchema.map(f => chainValues(bySourceUpdatesFor(f), f)): _*)
     }
 
     /** source rows that match nothing → inserted rows, target schema.
@@ -376,14 +410,19 @@ object MergeApply {
           else engine.read(table).schema)
         val targetCols = validate(targetSchema)
 
-        // one skinny persisted read (keys + partition columns) serves both
-        // matched-partition discovery and insert suppression
+        // one persisted candidate read serves matched-partition discovery,
+        // the matched rewrite, and insert suppression: full columns when a
+        // matched clause needs the rows, keys + partition columns otherwise
         val candSlice: Option[DataFrame] =
           if (candidates.isEmpty) None
-          else Some(engine.readVersion(table, PartitionedTableVersion(candidates))
-            .select((keyColumns ++ partCols.filterNot(p =>
-              keyColumns.exists(_.equalsIgnoreCase(p)))).map(c => col(s"`$c`")): _*)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          else {
+            val slice = engine.readVersion(table, PartitionedTableVersion(candidates))
+            val projected =
+              if (matched.nonEmpty) slice.select(targetCols.map(c => col(s"`$c`")): _*)
+              else slice.select((keyColumns ++ partCols.filterNot(p =>
+                keyColumns.exists(_.equalsIgnoreCase(p)))).map(c => col(s"`$c`")): _*)
+            Some(projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          }
         try {
           // (3) partitions whose rows a matched clause could change — exact
           val matchedParts: Set[Partition] =
@@ -394,41 +433,67 @@ object MergeApply {
                 cs.join(keyFrame, keyColumns.toSeq, "left_semi"),
                 table.partitionSchema).toSet
             }
-          // (4) inserted rows, computed exactly (anti-join the candidate keys)
-          val inserts: Option[DataFrame] =
-            if (notMatched.isEmpty) None
-            else {
-              val eligible = candSlice match {
-                case Some(cs) => source.join(
-                  cs.select(keyColumns.map(c => col(s"`$c`")): _*),
-                  keyColumns.toSeq, "left_anti")
-                case None => source
-              }
-              Some(insertRows(eligible, targetSchema)
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-            }
+          // matched rows → post-images (kept / updated / moved; deletes out).
+          // Persisted only when moves are possible — then it has a second
+          // consumer, the destination-partition discovery.
+          val matchedOut: Option[DataFrame] =
+            if (matched.isEmpty) None
+            else candSlice.map(rewriteMatched(_, targetSchema)).map(mo =>
+              if (movesPossible)
+                mo.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              else mo)
           try {
-            val insertParts: Set[Partition] = inserts match {
-              case None => Set.empty
-              case Some(i) => VersionedTables.partitionValues(i, table.partitionSchema).toSet
-            }
-            val touched = matchedParts ++ bySourceParts ++ (insertParts & pvs.keySet)
-            if (touched.isEmpty && insertParts.isEmpty)
-              return VersionedMerge.MergeResult(snapshot, TableChanges.empty, Nil, Nil)
+            // partitions updated rows LAND in — origins when nothing SETs a
+            // partition column, discovered from the post-image otherwise
+            val destParts: Set[Partition] =
+              if (!movesPossible) matchedParts
+              else matchedOut match {
+                case None => Set.empty
+                case Some(mo) =>
+                  VersionedTables.partitionValues(mo, table.partitionSchema).toSet
+              }
+            // (4) inserted rows, computed exactly (anti-join candidate keys)
+            val inserts: Option[DataFrame] =
+              if (notMatched.isEmpty) None
+              else {
+                val eligible = candSlice match {
+                  case Some(cs) => source.join(
+                    cs.select(keyColumns.map(c => col(s"`$c`")): _*),
+                    keyColumns.toSeq, "left_anti")
+                  case None => source
+                }
+                Some(insertRows(eligible, targetSchema)
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+              }
+            try {
+              val insertParts: Set[Partition] = inserts match {
+                case None => Set.empty
+                case Some(i) => VersionedTables.partitionValues(i, table.partitionSchema).toSet
+              }
+              val touched =
+                matchedParts ++ (destParts & pvs.keySet) ++ bySourceParts ++
+                  (insertParts & pvs.keySet)
+              if (touched.isEmpty && insertParts.isEmpty && destParts.isEmpty)
+                return VersionedMerge.MergeResult(snapshot, TableChanges.empty, Nil, Nil)
 
-            val touchedPvs = pvs.filter { case (p, _) => touched(p) }
-            val rewritten: Option[DataFrame] =
-              if (touchedPvs.isEmpty) None
-              else Some(rewriteSlice(
-                engine.readVersion(table, PartitionedTableVersion(touchedPvs))
-                  .select(targetCols.map(c => col(s"`$c`")): _*), targetSchema))
-            val out = ((rewritten, inserts) match {
-              case (Some(r), Some(i)) => r.unionByName(i)
-              case (Some(r), None)    => r
-              case (None, Some(i))    => i
-              case (None, None)       => return VersionedMerge.MergeResult(
-                snapshot, TableChanges.empty, Nil, Nil)
-            }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val touchedPvs = pvs.filter { case (p, _) => touched(p) }
+              // unmatched rows of the touched slice: with matched clauses
+              // present the matched rows are already emitted post-image by
+              // rewriteMatched (anti-join excludes them here); without, the
+              // single-slice marker join keeps them bit-identical
+              val rewritten: Option[DataFrame] =
+                if (touchedPvs.isEmpty) None
+                else {
+                  val slice = engine.readVersion(table, PartitionedTableVersion(touchedPvs))
+                    .select(targetCols.map(c => col(s"`$c`")): _*)
+                  Some(if (matched.nonEmpty) rewriteUnmatched(slice, targetSchema)
+                  else rewriteSlice(slice, targetSchema))
+                }
+              val pieces = Seq(rewritten, matchedOut, inserts).flatten
+              if (pieces.isEmpty)
+                return VersionedMerge.MergeResult(snapshot, TableChanges.empty, Nil, Nil)
+              val out = pieces.reduce(_.unionByName(_))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
               val version = Version.generate()
               val finalParts = VersionedTables.partitionValues(out, table.partitionSchema)
@@ -450,7 +515,10 @@ object MergeApply {
                 table.name, TableUpdate(userId, message, now, ops), head)
               VersionedMerge.MergeResult(tv, changes, finalParts, emptied)
             } finally { out.unpersist(blocking = false); () }
-          } finally { inserts.foreach(_.unpersist(blocking = false)); () }
+            } finally { inserts.foreach(_.unpersist(blocking = false)); () }
+          } finally {
+            if (movesPossible) matchedOut.foreach(_.unpersist(blocking = false)); ()
+          }
         } finally { candSlice.foreach(_.unpersist(blocking = false)); () }
     }
   }

@@ -285,38 +285,35 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
     }
   }
 
-  /** Map a resolved `MERGE INTO` onto [[graft.operators.VersionedMerge]]'s
-    * semantics — the Delta-style keyed merge: matched rows take the source
-    * row, unmatched insert, an optional source-predicate delete. The
-    * supported SQL shapes are exactly the ones that mean that:
+  /** Map a resolved `MERGE INTO` onto the engine's two merge operators.
     *
-    *   - `ON` must be a conjunction of same-name equality atoms
-    *     `t.k = s.k` — the merge KEYS;
-    *   - `WHEN MATCHED THEN UPDATE SET *` (or an assignment list that IS
-    *     `col = source.col` for every column);
-    *   - optionally `WHEN MATCHED AND <source-only predicate> THEN DELETE`
-    *     (SQL's ordered-clause rule maps onto deleteWhen: TRUE deletes,
-    *     NULL falls through to UPDATE);
-    *   - `WHEN NOT MATCHED THEN INSERT *` (or the equivalent full
-    *     assignment list), unconditioned;
-    *   - `WHEN MATCHED THEN DELETE` ALONE (no update, no insert) is the
-    *     delete-matching-keys merge.
+    * The KEYED fast path ([[graft.operators.VersionedMerge]] — anti-join +
+    * union, no wide join) takes the source-row-replacement shapes:
+    * `WHEN MATCHED THEN UPDATE SET *` (+ optional source-predicate
+    * `WHEN MATCHED AND p THEN DELETE`) with an unconditional
+    * `WHEN NOT MATCHED THEN INSERT *`, or a bare
+    * `WHEN MATCHED THEN DELETE`.
     *
-    * Anything else — partial-column updates that must keep target values,
-    * conditions referencing the target row, NOT MATCHED BY SOURCE clauses,
-    * schema evolution — cannot be expressed as a source-row replacement
-    * and raises a SPECIFIC unsupported error naming the offending clause
-    * (mergeInto/DML cover those cases programmatically). */
+    * EVERY other clause combination — partial-column updates, conditions
+    * referencing the target row, conditional/sparse inserts, delete+insert,
+    * update-without-insert, `WHEN NOT MATCHED BY SOURCE` — routes through
+    * the GENERAL clause merge ([[graft.operators.MergeApply]]), which
+    * implements SQL's ordered first-TRUE-wins dispatch exactly.
+    *
+    * What still refuses (for both paths): a non-equi `ON` (the merge keys
+    * ARE the `t.k = s.k` conjunction — discovery pruning and the rewrite
+    * slice depend on it), `WITH SCHEMA EVOLUTION`, subqueries or
+    * nondeterministic expressions inside clauses, and SET on partition
+    * columns other than the no-op `SET pcol = s.pcol` of a merge key. */
   private def convertMerge(
       m: MergeIntoTable, entry: GraftTableRegistry.Entry): LogicalPlan = {
+    import graft.operators.MergeApply
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(
         s"MERGE INTO graft.${entry.table.name.fullyQualifiedName}: $what is not " +
-          "supported — the graft SQL merge is the keyed source-row merge " +
-          "(UPDATE SET * / INSERT * / source-predicate DELETE); use the Scala " +
-          "mergeInto / updateWhere APIs for richer shapes")
+          "supported — merge keys must be t.k = s.k equalities and clause " +
+          "expressions must be deterministic and subquery-free")
     if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
-    if (m.notMatchedBySourceActions.nonEmpty) unsupported("WHEN NOT MATCHED BY SOURCE")
 
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
@@ -349,47 +346,67 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
       e.references.forall(sourceOut.contains) &&
         !e.exists(_.isInstanceOf[SubqueryExpression]) && e.deterministic
 
-    // matched actions → (replace-with-source?, deleteWhen)
-    val (hasUpdate, deleteWhen): (Boolean, Option[org.apache.spark.sql.Column]) =
-      m.matchedActions match {
-        case Seq() => (false, None)
-        case Seq(UpdateAction(None, as, _)) if isStarAssignments(as) => (true, None)
-        case Seq(DeleteAction(Some(c)), UpdateAction(None, as, _))
-            if isStarAssignments(as) && sourceOnly(c) =>
-          (true, Some(byName(c)))
-        case Seq(UpdateAction(Some(notC), as, _), DeleteAction(None))
-            if isStarAssignments(as) && sourceOnly(notC) =>
-          // UPDATE-when-c / DELETE-otherwise ≡ deleteWhen NOT(c) for rows
-          // where c is non-NULL; a NULL c would DELETE here but fall
-          // through to UPDATE under deleteWhen — refuse unless provably
-          // two-valued, which we cannot see statically → refuse
-          unsupported("WHEN MATCHED AND <cond> THEN UPDATE followed by " +
-            "unconditional DELETE (NULL-condition rows diverge)")
-        case Seq(DeleteAction(None)) => (false, Some(org.apache.spark.sql.functions.lit(true)))
-        case other => unsupported(s"matched-clause shape ${other.mkString("; ")}")
+    // ---- the keyed fast path, when the statement IS a source-row replace
+    val keyed: Option[LogicalPlan] =
+      if (m.notMatchedBySourceActions.nonEmpty) None
+      else (m.matchedActions, m.notMatchedActions) match {
+        case (Seq(UpdateAction(None, as, _)), Seq(InsertAction(None, ins)))
+            if isStarAssignments(as) && isStarAssignments(ins) =>
+          Some(GraftMergeCommand(entry, keys, m.sourceTable, None))
+        case (Seq(DeleteAction(Some(c)), UpdateAction(None, as, _)), Seq(InsertAction(None, ins)))
+            if isStarAssignments(as) && isStarAssignments(ins) && sourceOnly(c) =>
+          Some(GraftMergeCommand(entry, keys, m.sourceTable, Some(byName(c))))
+        case (Seq(DeleteAction(None)), Seq()) =>
+          Some(GraftMergeCommand(entry, keys, m.sourceTable,
+            Some(org.apache.spark.sql.functions.lit(true))))
+        case _ => None
       }
+    if (keyed.isDefined) return keyed.get
 
-    val insertAll = m.notMatchedActions match {
-      case Seq() => false
-      case Seq(InsertAction(None, as)) if isStarAssignments(as) => true
-      case other => unsupported(s"not-matched-clause shape ${other.mkString("; ")}")
+    // ---- the general clause merge: re-express every clause by NAME
+    // (target columns plain, source columns `s.`-qualified), so the command
+    // re-resolves them against the execution-time read
+    def byNameTS(e: Expression): org.apache.spark.sql.Column = {
+      require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+        "subqueries in MERGE clauses on graft tables are not supported — " +
+          "materialize the subquery into the source query")
+      require(e.deterministic, "MERGE clause expressions on graft tables must be deterministic")
+      org.apache.spark.sql.GraftSqlBridge.column(e.transform {
+        case a: AttributeReference if sourceOut.contains(a) =>
+          UnresolvedAttribute(Seq("s", a.name))
+        case a: AttributeReference if targetOut.contains(a) =>
+          UnresolvedAttribute.quoted(a.name)
+      })
     }
+    def assignmentsByName(as: Seq[Assignment], clause: String): Map[String, org.apache.spark.sql.Column] =
+      as.map {
+        case Assignment(k: AttributeReference, v) if targetOut.contains(k) =>
+          k.name -> byNameTS(v)
+        case Assignment(k, _) => unsupported(
+          s"$clause assignment target $k (need a plain target column)")
+      }.toMap
 
-    // delete-only merges must not also insert (VersionedMerge discards
-    // delete rows entirely; an insert clause would silently not fire)
-    if (!hasUpdate && deleteWhen.isDefined && insertAll)
-      unsupported("WHEN MATCHED THEN DELETE combined with WHEN NOT MATCHED " +
-        "INSERT (the keyed merge discards delete rows; unmatched inserts " +
-        "would be lost)")
-    if (!hasUpdate && deleteWhen.isEmpty && !insertAll)
-      unsupported("a MERGE with no actionable clause")
-    // an update-without-insert merge would also insert unmatched source
-    // rows under VersionedMerge semantics — refuse to avoid silent inserts
-    if (hasUpdate && !insertAll)
-      unsupported("WHEN MATCHED UPDATE without WHEN NOT MATCHED INSERT " +
-        "(the keyed merge upserts; unmatched source rows would be inserted)")
-
-    GraftMergeCommand(entry, keys, m.sourceTable, deleteWhen)
+    val matchedClauses: Seq[MergeApply.MatchedAction] = m.matchedActions.map {
+      case UpdateAction(cond, as, _) =>
+        MergeApply.MatchedUpdate(cond.map(byNameTS), assignmentsByName(as, "WHEN MATCHED UPDATE"))
+      case DeleteAction(cond) => MergeApply.MatchedDelete(cond.map(byNameTS))
+      case other => unsupported(s"matched-clause shape $other")
+    }
+    val insertClauses: Seq[MergeApply.NotMatchedInsert] = m.notMatchedActions.map {
+      case InsertAction(cond, as) =>
+        MergeApply.NotMatchedInsert(cond.map(byNameTS),
+          assignmentsByName(as, "WHEN NOT MATCHED INSERT"))
+      case other => unsupported(s"not-matched-clause shape $other")
+    }
+    val bySourceClauses: Seq[MergeApply.BySourceAction] = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, as, _) =>
+        MergeApply.BySourceUpdate(cond.map(byNameTS),
+          assignmentsByName(as, "WHEN NOT MATCHED BY SOURCE UPDATE"))
+      case DeleteAction(cond) => MergeApply.BySourceDelete(cond.map(byNameTS))
+      case other => unsupported(s"not-matched-by-source-clause shape $other")
+    }
+    GraftMergeApplyCommand(
+      entry, keys, m.sourceTable, matchedClauses, insertClauses, bySourceClauses)
   }
 
   /** An UNSUBSTITUTED graft DML target: the inner UnresolvedRelation of a

@@ -329,6 +329,39 @@ final case class GraftMergeCommand(
       (if (deleteWhen.isDefined) " (with delete clause)" else "")
 }
 
+/** The general `MERGE INTO graft.s.t` — every clause combination the keyed
+  * fast path cannot express (partial-column updates, target-referencing
+  * conditions, conditional/sparse inserts, NOT MATCHED BY SOURCE), routed
+  * through [[graft.operators.MergeApply]]. Clause expressions arrive
+  * re-expressed by NAME (target plain, source `s.`-qualified), so the
+  * statement always acts on the execution-time head. */
+final case class GraftMergeApplyCommand(
+    entry: GraftTableRegistry.Entry,
+    keyColumns: Seq[String],
+    source: LogicalPlan,
+    matched: Seq[graft.operators.MergeApply.MatchedAction],
+    notMatched: Seq[graft.operators.MergeApply.NotMatchedInsert],
+    notMatchedBySource: Seq[graft.operators.MergeApply.BySourceAction])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.operators.MergeApply._
+    val user = UserId(session.conf.get(GraftSqlWrites.UserKey, session.sparkContext.sparkUser))
+    entry.engine.mergeApply(entry.table, GraftSqlBridge.ofRows(session, source),
+      keyColumns, user, s"SQL MERGE INTO ${entry.table.name.fullyQualifiedName}",
+      matched = matched, notMatched = notMatched, notMatchedBySource = notMatchedBySource)
+    Seq.empty
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftMergeApplyCommand ${entry.table.name.fullyQualifiedName} " +
+      s"ON ${keyColumns.mkString(", ")} " +
+      s"(${matched.size} matched, ${notMatched.size} not-matched, " +
+      s"${notMatchedBySource.size} by-source)"
+}
+
 final case class GraftInsertCommand(
     entry: GraftTableRegistry.Entry,
     partitionSpec: Map[String, Option[String]],

@@ -226,12 +226,28 @@ class MergeApplySpec extends AnyFlatSpec with Matchers {
 
   behavior of "mergeApply — refusals"
 
-  it should "refuse SET on a partition column" in {
+  it should "MOVE rows when a matched update SETs a partition column" in {
+    val (engine, table) = fixture()
+    // key on id ONLY (ids exist in all four days → 4 target rows per key);
+    // move every matched row to a fresh partition
+    val source = spark.range(5).select(col("id"))
+    val r = engine.mergeApply(table, source, Seq("id"), UserId("t"), "move",
+      matched = Seq(MatchedUpdate(None, Map("day" -> lit("2024-02-01")))))
+    // all four origin partitions rewritten + the new destination
+    r.rewritten.map(_.toPath).sorted shouldBe List("day=2024-01-01", "day=2024-01-02",
+      "day=2024-01-03", "day=2024-01-04", "day=2024-02-01")
+    val moved = engine.readPartitions(table, _.toPath == "day=2024-02-01")
+    moved.count() shouldBe 20 // 5 ids × 4 origin days
+    engine.read(table).filter(col("id") < 5 && col("day").startsWith("2024-01")).count() shouldBe 0
+    engine.read(table).count() shouldBe 1600 // moves, not deletes
+  }
+
+  it should "refuse SET on a partition column in by-source clauses" in {
     val (engine, table) = fixture()
     val source = spark.range(5).select(col("id"), lit("2024-01-01").as("day"))
     val e = intercept[IllegalArgumentException] {
       engine.mergeApply(table, source, Seq("day", "id"), UserId("t"), "move",
-        matched = Seq(MatchedUpdate(None, Map("day" -> lit("2024-01-09")))))
+        notMatchedBySource = Seq(BySourceUpdate(None, Map("day" -> lit("2024-01-09")))))
     }
     e.getMessage should include("partition column")
   }

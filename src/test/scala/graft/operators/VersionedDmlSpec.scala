@@ -185,39 +185,81 @@ class VersionedDmlSpec extends AnyFlatSpec with Matchers {
       Array("a2", "a4") // a1/a3 matched and removed; a5 unmatched no-op
   }
 
-  it should "refuse the shapes the keyed merge cannot express, each with a specific error" in {
+  it should "route a partial-column UPDATE (no insert clause) through the general merge" in {
+    val (engine, table, t, src) = mergeFixture()
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET balance = s.balance + 1""".stripMargin)
+    val got = engine.read(table).select("id", "balance")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // matched rows bumped to source+1, unmatched target rows kept,
+    // the unmatched source row (a5) NOT inserted — no insert clause
+    got shouldBe Map("a1" -> 12L, "a2" -> 20L, "a3" -> 0L, "a4" -> 40L)
+  }
+
+  it should "route delete-matched + insert-unmatched through the general merge" in {
+    val (engine, table, t, src) = mergeFixture()
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id
+         |WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    engine.read(table).select("id").as[String].collect().sorted shouldBe
+      Array("a2", "a4", "a5") // a1/a3 deleted, a5 inserted
+  }
+
+  it should "run WHEN NOT MATCHED BY SOURCE clauses" in {
+    val (engine, table, t, src) = mergeFixture()
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND tgt.balance >= 40 THEN DELETE""".stripMargin)
+    val got = engine.read(table).select("id", "balance")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a1/a3 take source rows, a5 inserts, a2 (balance 20) kept,
+    // a4 (balance 40, not in source) deleted by the by-source clause
+    got shouldBe Map("a1" -> 11L, "a2" -> 20L, "a3" -> -1L, "a5" -> 50L)
+  }
+
+  it should "dispatch ordered conditional matched clauses in SQL (first TRUE wins)" in {
+    val (engine, table, t, src) = mergeFixture()
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id
+         |WHEN MATCHED AND s.balance < 0 THEN DELETE
+         |WHEN MATCHED AND tgt.balance < 15 THEN UPDATE SET balance = tgt.balance + s.balance
+         |WHEN NOT MATCHED AND s.balance > 45 THEN INSERT (id, region, balance)
+         |  VALUES (s.id, s.region, s.balance * 2)""".stripMargin)
+    val got = engine.read(table).select("id", "balance")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a3 deleted (s.balance<0); a1 matched with target balance 10 < 15 →
+    // 10+11; a2/a4 untouched; a5 inserted doubled (condition 50>45)
+    got shouldBe Map("a1" -> 21L, "a2" -> 20L, "a4" -> 40L, "a5" -> 100L)
+  }
+
+  it should "move rows across partitions when SQL SETs a partition column" in {
+    val (engine, table, t, src) = mergeFixture()
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET region = 'eu', balance = s.balance""".stripMargin)
+    val got = engine.read(table).select("id", "region", "balance")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // a3 moved us→eu with the source balance; a1 stays eu updated; the us
+    // partition emptied and removed; a2/a4 untouched
+    got shouldBe Set(("a1", "eu", 11L), ("a2", "eu", 20L), ("a3", "eu", -1L), ("a4", "ap", 40L))
+    engine.read(table).filter(col("region") === "us").count() shouldBe 0
+  }
+
+  it should "still refuse shapes neither merge path supports, with specific errors" in {
     val (engine, table, t, src) = mergeFixture()
     def refuses(sql: String, needle: String): Unit = {
       val e = intercept[Exception](spark.sql(sql))
       e.getMessage should include(needle)
       ()
     }
-    // partial-column update keeps target values → not a source-row replace
-    refuses(
-      s"""MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id
-         |WHEN MATCHED THEN UPDATE SET balance = s.balance + 1""".stripMargin,
-      "not")
-    // non-equi ON
+    // non-equi ON: the keys ARE the pruning/rewrite contract
     refuses(
       s"""MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id AND tgt.balance < s.balance
          |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin,
       "ON condition")
-    // NOT MATCHED BY SOURCE
-    refuses(
-      s"""MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id
-         |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
-         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
-      "NOT MATCHED BY SOURCE")
-    // delete-only + insert (the keyed merge would silently drop the inserts)
-    refuses(
-      s"""MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id
-         |WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *""".stripMargin,
-      "unmatched inserts")
-    // update without insert (the keyed merge upserts)
-    refuses(
-      s"""MERGE INTO $t AS tgt USING $src AS s ON tgt.id = s.id
-         |WHEN MATCHED THEN UPDATE SET *""".stripMargin,
-      "without WHEN NOT MATCHED INSERT")
     engine.read(table).count() shouldBe 4 // nothing landed
   }
 
