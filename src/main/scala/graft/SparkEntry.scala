@@ -210,6 +210,15 @@ object SparkEntry {
     // can express. Oracle replays the four clauses as set algebra.
     "q_sql_merge_mixed" -> ((spark, dir) => sqlMergeMixedFixture(spark, dir).merged),
 
+    // the maintenance SQL verbs (parser extension, the DeltaSqlParser
+    // pattern): OPTIMIZE ... ZORDER BY rewrote the table's layout — the
+    // read-back proves rows are bit-identical after the Morton clustering
+    "q_sql_optimize" -> ((spark, dir) => sqlMaintFixture(spark, dir).optimized),
+    // DESCRIBE HISTORY: the commit log as SQL rows — seq/user/verb pinned
+    // exactly, operation counts recomputed by the oracle from the data
+    // (load and optimize each touch one op per live partition)
+    "q_sql_history" -> ((spark, dir) => sqlMaintFixture(spark, dir).history),
+
     // row-level CHANGE FEED of that same merge commit: per-row
     // insert/update/delete reconstructed from the two pinned states
     // (graft.operators.ChangeFeed), aggregated per change class — the
@@ -767,6 +776,44 @@ object SparkEntry {
       SqlMergeMixedFixture(spark, t)
     })
 
+  /** q_sql_optimize / q_sql_history fixture: load → SQL OPTIMIZE ZORDER BY,
+    * then read the table and its DESCRIBE HISTORY. Only the build is
+    * memoized. */
+  private final case class SqlMaintFixture(spark: SparkSession, name: String) {
+    def optimized: DataFrame = spark.sql(
+      s"""SELECT event_type, COUNT(1) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         |FROM $name GROUP BY event_type""".stripMargin)
+    def history: DataFrame = spark.sql(s"DESCRIBE HISTORY $name")
+      .selectExpr("seq", "user_id", "substring(message, 1, 12) AS verb", "n_operations")
+  }
+
+  private val sqlMaintFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SqlMaintFixture]()
+  private val sqlMaintFixtureSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def sqlMaintFixture(spark: SparkSession, sfDir: String): SqlMaintFixture =
+    sqlMaintFixtureCache.computeIfAbsent((spark, sfDir), _ => {
+      Tables.prepare(spark)
+      spark.conf.set(graft.sql.GraftSqlWrites.UserKey, "driver")
+      val n = sqlMaintFixtureSeq.incrementAndGet()
+      val root = graft.FixtureTempDirs.create("graft-sqlmaint-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", s"events_sqlmaint_$n"),
+        root.resolve("events_sqlmaint").toUri, PartitionSchema("event_date"),
+        FileFormat.Parquet,
+        stats = Some(ColumnStatsConfig(statsColumns = List("event_id", "value"))))
+      engine.initTable(table, UserId("driver"), "init")
+      graft.sql.GraftTableRegistry.register(engine, table)
+      val t = s"graft.${table.name.fullyQualifiedName}"
+      Tables.events(spark, sfDir)
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"))
+        .versionedInsertInto(engine, table, UserId("driver"), "load")
+      spark.sql(s"OPTIMIZE $t ZORDER BY (event_id, value)").collect()
+      SqlMaintFixture(spark, t)
+    })
+
   private val statsSkipFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StatsSkipFixture]()
 
@@ -965,6 +1012,22 @@ object SparkEntry {
       // rows, every 10th click gains +100 (the partial target-referencing
       // UPDATE), and every 100th view spawns a 'synthetic' insert carrying
       // its value
+      // OPTIMIZE is layout-only: the read-back equals the plain aggregate
+      "q_sql_optimize" ->
+        s"""SELECT event_type, $duckFixtureAgg
+           |FROM events GROUP BY 1""".stripMargin,
+      // the commit log: init (1 op) → load → SQL OPTIMIZE (one
+      // AddPartitionVersion per live event_date partition each)
+      "q_sql_history" ->
+        s"""WITH d AS (
+           |  SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS INTEGER) AS nd FROM events
+           |)
+           |SELECT CAST(seq AS BIGINT) AS seq, user_id, verb, n_operations FROM (
+           |  SELECT 3 AS seq, 'driver' AS user_id, 'SQL OPTIMIZE' AS verb,
+           |         (SELECT nd FROM d) AS n_operations
+           |  UNION ALL SELECT 2, 'driver', 'load', (SELECT nd FROM d)
+           |  UNION ALL SELECT 1, 'driver', 'init', 1
+           |) t""".stripMargin,
       "q_sql_merge_mixed" ->
         s"""WITH base AS (
            |  SELECT event_id, value, event_type FROM events

@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // own recursion guard), so it runs second.
     ext.injectPreCBORule(session => graft.sql.GraftMetadataAggregate(session))
     ext.injectPreCBORule(session => graft.sql.GraftDataSkipping(session))
+    // maintenance verbs (DESCRIBE HISTORY / OPTIMIZE [ZORDER BY] / VACUUM
+    // RETAIN) — a delegating parser, the Delta DeltaSqlParser pattern:
+    // only whole statements targeting graft.*.* are intercepted
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
 }
 

@@ -1,0 +1,215 @@
+package graft.sql
+
+import graft.core._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType, TimestampType}
+
+/**
+ * The MAINTENANCE verbs as native SQL statements — the Delta-style parser
+ * extension (a delegating [[ParserInterface]] injected through
+ * `SparkSessionExtensions.injectParser`, the same pattern as Delta's
+ * `DeltaSqlParser`): three statements vanilla Spark has no grammar for,
+ * recognized only when they target a REGISTERED `graft.*.*` table, with
+ * everything else — including syntax errors in these verbs' own clauses —
+ * delegated to the session parser untouched.
+ *
+ * {{{
+ *   DESCRIBE HISTORY graft.sales.accounts            -- the commit log
+ *   OPTIMIZE graft.sales.accounts                    -- compact, 1 file/partition
+ *   OPTIMIZE graft.sales.accounts ZORDER BY (a, b)   -- multi-dim clustering
+ *   VACUUM graft.sales.accounts RETAIN 3 VERSIONS            -- reclaim
+ *   VACUUM graft.sales.accounts RETAIN 3 VERSIONS DRY RUN    -- report only
+ * }}}
+ *
+ * Semantics:
+ *  - `DESCRIBE HISTORY` returns the commit log newest-first: sequence
+ *    number, commit id, user, message, operation count, timestamp —
+ *    driver-side metadata only, no data file is touched.
+ *  - `OPTIMIZE` = [[graft.operators.VersionedTables.compact]]: rewrite to
+ *    one file per partition, CAS-guarded, history preserved. `ZORDER BY`
+ *    routes the rewrite through [[graft.operators.ScaleTools.zorderBy]]
+ *    (Morton interleave → range partition → local sort), so every output
+ *    file covers a small bounding box in ALL listed dimensions and the
+ *    stats manifests + parquet row-group pruning skip files for
+ *    predicates on any of them.
+ *  - `VACUUM` = [[graft.operators.VersionedTables.vacuum]] with
+ *    `includeOrphans = true`: the RETAIN clause is MANDATORY (there is no
+ *    implicit retention a data-deleting statement should default to);
+ *    tagged commits are always protected; `DRY RUN` reports the target
+ *    list without deleting. Returns one row per affected version dir.
+ *
+ * Statements execute against the CURRENT head at run time (each verb
+ * resolves the tracker state when it runs, like every other graft SQL
+ * face); table lookup happens at execution, so a statement parsed before
+ * registration still refuses loudly rather than silently no-oping.
+ */
+object GraftMaintenanceSql {
+
+  private val Ident = "(?:`([^`]+)`|([A-Za-z_][A-Za-z0-9_]*))"
+  private def ident(m: java.util.regex.Matcher, group: Int): String =
+    Option(m.group(group)).getOrElse(m.group(group + 1))
+
+  // each pattern anchors the WHOLE statement (optional trailing ';')
+  private val HistoryRe = java.util.regex.Pattern.compile(
+    raw"""(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+graft\.$Ident\.$Ident\s*;?\s*""")
+  private val OptimizeRe = java.util.regex.Pattern.compile(
+    raw"""(?is)\s*OPTIMIZE\s+graft\.$Ident\.$Ident(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""")
+  private val VacuumRe = java.util.regex.Pattern.compile(
+    raw"""(?is)\s*VACUUM\s+graft\.$Ident\.$Ident(\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""")
+
+  /** The maintenance statement in `sqlText`, if it is one. */
+  def parse(sqlText: String): Option[LogicalPlan] = {
+    val h = HistoryRe.matcher(sqlText)
+    if (h.matches()) return Some(GraftDescribeHistoryCommand(ident(h, 1), ident(h, 3)))
+    val o = OptimizeRe.matcher(sqlText)
+    if (o.matches()) {
+      val zorder = Option(o.group(5)).map(_.split(",").map(stripIdent).toSeq
+        .filter(_.nonEmpty)).getOrElse(Seq.empty)
+      require(o.group(5) == null || zorder.nonEmpty, "OPTIMIZE ... ZORDER BY () is empty")
+      return Some(GraftOptimizeCommand(ident(o, 1), ident(o, 3), zorder))
+    }
+    val v = VacuumRe.matcher(sqlText)
+    if (v.matches()) {
+      require(v.group(5) != null,
+        "VACUUM on graft tables requires an explicit RETAIN <n> VERSIONS clause — " +
+          "a data-deleting statement gets no implicit retention default")
+      return Some(GraftVacuumCommand(ident(v, 1), ident(v, 3),
+        keepLast = v.group(6).toInt, dryRun = v.group(7) != null))
+    }
+    None
+  }
+
+  private def stripIdent(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("`") && t.endsWith("`") && t.length >= 2) t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Execution-time registry lookup — loud on unregistered names. */
+  private[sql] def entryFor(schema: String, table: String): GraftTableRegistry.Entry =
+    GraftTableRegistry.lookup(schema, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft.$schema.$table is not a registered graft table " +
+          s"(registered: ${GraftTableRegistry.registered.map(_.fullyQualifiedName).mkString(", ")})"))
+
+  private[sql] def sqlUser(session: SparkSession): UserId =
+    UserId(session.conf.get(GraftSqlWrites.UserKey, session.sparkContext.sparkUser))
+}
+
+/** `DESCRIBE HISTORY graft.s.t` — the commit log, newest first. */
+final case class GraftDescribeHistoryCommand(schemaName: String, tableName: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("seq", LongType, nullable = false)(),
+    AttributeReference("commit_id", StringType, nullable = false)(),
+    AttributeReference("user_id", StringType, nullable = false)(),
+    AttributeReference("message", StringType, nullable = false)(),
+    AttributeReference("n_operations", IntegerType, nullable = false)(),
+    AttributeReference("timestamp", TimestampType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val entry = GraftMaintenanceSql.entryFor(schemaName, tableName)
+    val updates = entry.engine.tracker.tableState(entry.table.name).updates
+    updates.zipWithIndex.reverse.map { case (u, i) =>
+      Row((i + 1).toLong, u.metadata.id.id, u.metadata.userId.value, u.metadata.message,
+        u.operations.size, java.sql.Timestamp.from(u.metadata.timestamp))
+    }
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftDescribeHistoryCommand graft.$schemaName.$tableName"
+}
+
+/** `OPTIMIZE graft.s.t [ZORDER BY (cols)]` — CAS-guarded layout rewrite:
+  * plain = 1 file per partition; ZORDER = Morton-clustered files so stats
+  * manifests and row-group pruning skip on every listed dimension. */
+final case class GraftOptimizeCommand(schemaName: String, tableName: String, zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("rewritten_partitions", LongType, nullable = false)(),
+    AttributeReference("zorder_by", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.operators.VersionedTables.DatasetVersionedOps
+    val entry = GraftMaintenanceSql.entryFor(schemaName, tableName)
+    val engine = entry.engine
+    val user = GraftMaintenanceSql.sqlUser(session)
+    val (_, changes) =
+      if (zorderBy.isEmpty)
+        engine.compact(entry.table, user, s"SQL OPTIMIZE graft.$schemaName.$tableName")
+      else {
+        zorderBy.foreach { c =>
+          require(!entry.table.partitionSchema.columnNames.exists(_.equalsIgnoreCase(c)),
+            s"ZORDER BY column '$c' is a partition column — partitions are already " +
+              "pruned by value; z-order the columns you filter WITHIN partitions")
+        }
+        // CAS on the head the rewrite read, exactly like compact
+        val state = engine.tracker.tableState(entry.table.name)
+        val current = engine.read(entry.table)
+        val files = math.max(session.sparkContext.defaultParallelism, 2)
+        graft.operators.ScaleTools.zorderBy(current, zorderBy, files)
+          .versionedInsertIntoIf(engine, entry.table, user,
+            s"SQL OPTIMIZE graft.$schemaName.$tableName ZORDER BY (${zorderBy.mkString(", ")})",
+            state.currentVersion)
+      }
+    Seq(Row(changes.operations.size.toLong, zorderBy.mkString(", ")))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftOptimizeCommand graft.$schemaName.$tableName" +
+      (if (zorderBy.nonEmpty) s" ZORDER BY (${zorderBy.mkString(", ")})" else "")
+}
+
+/** `VACUUM graft.s.t RETAIN n VERSIONS [DRY RUN]` — reclaim expired version
+  * dirs + orphans (tagged commits always survive); one row per target. */
+final case class GraftVacuumCommand(
+    schemaName: String, tableName: String, keepLast: Int, dryRun: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("status", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val entry = GraftMaintenanceSql.entryFor(schemaName, tableName)
+    val r = entry.engine.vacuum(entry.table, keepLast = keepLast,
+      includeOrphans = true, dryRun = dryRun)
+    if (dryRun) r.targets.map(u => Row(u.toString, "expirable"))
+    else r.deleted.map(u => Row(u.toString, "deleted")) ++
+      r.failed.map { case (u, why) => Row(u.toString, s"failed: $why") }
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftVacuumCommand graft.$schemaName.$tableName RETAIN $keepLast VERSIONS" +
+      (if (dryRun) " DRY RUN" else "")
+}
+
+/** The delegating parser: [[GraftMaintenanceSql.parse]] first, the session
+  * parser for everything else (including all other interface methods). */
+final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftMaintenanceSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -1,0 +1,134 @@
+package graft.sql
+
+import graft.TestSpark
+import graft.core._
+import graft.operators.VersionedTables
+import graft.operators.VersionedTables._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** The maintenance SQL verbs (parser extension): DESCRIBE HISTORY /
+  * OPTIMIZE [ZORDER BY] / VACUUM RETAIN — statement recognition, exact
+  * delegation of everything else, execution-time lookup, and the verbs'
+  * effects (commit log rows, file-count collapse, z-order layout, version
+  * reclaim). */
+class GraftMaintenanceSqlSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+
+  private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def fixture(): (VersionedTables, TableDefinition, String) = {
+    val (engine, table) = graft.StatsFixtures.rangeEvents(
+      spark, "maint", s"events_${seq.incrementAndGet()}",
+      Some(ColumnStatsConfig(List("id", "v"), bloomKeyColumns = Nil)))
+    GraftTableRegistry.register(engine, table)
+    (engine, table, s"graft.${table.name.fullyQualifiedName}")
+  }
+
+  private def dataFiles(engine: VersionedTables, table: TableDefinition): Long =
+    engine.read(table).select(input_file_name()).distinct().count()
+
+  behavior of "DESCRIBE HISTORY"
+
+  it should "return the commit log newest-first with operation counts" in {
+    val (engine, table, t) = fixture()
+    spark.sql(s"DELETE FROM $t WHERE day = '2024-01-04'")
+    val rows = spark.sql(s"DESCRIBE HISTORY $t").collect()
+    rows should have size 3 // init, load, delete
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(3L, 2L, 1L)
+    rows.head.getString(3) should include("SQL DELETE")
+    rows.head.getInt(4) shouldBe 1 // one RemovePartition
+    rows.last.getString(3) shouldBe "init"
+    // newest-first timestamps are non-increasing
+    val ts = rows.map(_.getTimestamp(5).getTime).toSeq
+    ts shouldBe ts.sorted.reverse
+    // DESC abbreviation parses too
+    spark.sql(s"DESC HISTORY $t").count() shouldBe 3
+  }
+
+  it should "refuse unregistered tables at execution, naming the registry" in {
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("DESCRIBE HISTORY graft.nosuch.table9").collect()
+    }
+    e.getMessage should include("not a registered graft table")
+  }
+
+  behavior of "OPTIMIZE"
+
+  it should "compact to one file per partition, preserving rows and history" in {
+    val (engine, table, t) = fixture()
+    dataFiles(engine, table) should be > 4L // range-split load: >1 file/partition
+    val before = engine.read(table).orderBy("day", "id").collect()
+    val out = spark.sql(s"OPTIMIZE $t").collect()
+    out.head.getLong(0) shouldBe 4L // four partitions rewritten
+    dataFiles(engine, table) shouldBe 4L
+    engine.read(table).orderBy("day", "id").collect() shouldBe before
+    engine.log(table.name).head.message should include("SQL OPTIMIZE")
+  }
+
+  it should "ZORDER BY multiple dimensions, preserving rows and tightening per-file boxes" in {
+    val (engine, table, t) = fixture()
+    val before = engine.read(table).orderBy("day", "id").collect()
+    spark.sql(s"OPTIMIZE $t ZORDER BY (id, v)").collect()
+    engine.read(table).orderBy("day", "id").collect() shouldBe before
+    // the z-ordered layout: several files per partition, each covering a
+    // strict sub-range of ids (a single compacted file would cover 0..399)
+    val spans = engine.read(table)
+      .groupBy(input_file_name().as("f"))
+      .agg((max(col("id")) - min(col("id"))).as("span"))
+      .select("span").collect().map(_.getLong(0))
+    spans.length should be > 4
+    spans.min should be < 399L
+  }
+
+  it should "refuse ZORDER BY on partition columns" in {
+    val (_, _, t) = fixture()
+    intercept[Exception] {
+      spark.sql(s"OPTIMIZE $t ZORDER BY (day)").collect()
+    }.getMessage should include("partition column")
+  }
+
+  behavior of "VACUUM"
+
+  it should "require an explicit RETAIN clause" in {
+    val (_, _, t) = fixture()
+    intercept[IllegalArgumentException] {
+      spark.sql(s"VACUUM $t")
+    }.getMessage should include("RETAIN")
+  }
+
+  it should "report with DRY RUN, reclaim without, and keep the current read intact" in {
+    val (engine, table, t) = fixture()
+    spark.sql(s"OPTIMIZE $t").collect() // makes the load's versions expirable
+    val dry = spark.sql(s"VACUUM $t RETAIN 1 VERSIONS DRY RUN").collect()
+    dry.length should be > 0
+    dry.foreach(_.getString(1) shouldBe "expirable")
+    // nothing deleted yet
+    engine.read(table).count() shouldBe 1600
+    val real = spark.sql(s"VACUUM $t RETAIN 1 VERSIONS").collect()
+    real.map(_.getString(0)).sorted shouldBe dry.map(_.getString(0)).sorted
+    real.foreach(_.getString(1) shouldBe "deleted")
+    engine.read(table).count() shouldBe 1600
+    // the reclaimed version dirs are actually gone from disk
+    real.foreach { r =>
+      new java.io.File(new java.net.URI(r.getString(0))).exists() shouldBe false
+    }
+  }
+
+  behavior of "delegation"
+
+  it should "leave every non-graft statement to the session parser" in {
+    spark.sql("SELECT 1 AS x").collect().head.getInt(0) shouldBe 1
+    // a VACUUM not naming the graft catalog is NOT ours — vanilla Spark
+    // raises its own parse/analysis error
+    intercept[Exception] {
+      spark.sql("VACUUM some.other.table RETAIN 1 VERSIONS")
+    }
+    // graft-catalog SELECTs keep resolving through the relation rule
+    val (_, _, t) = fixture()
+    spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0) shouldBe 1600
+  }
+}
