@@ -210,6 +210,11 @@ object SparkEntry {
     // can express. Oracle replays the four clauses as set algebra.
     "q_sql_merge_mixed" -> ((spark, dir) => sqlMergeMixedFixture(spark, dir).merged),
 
+    // the SQL DDL surface: CREATE TABLE through the graft catalog (schema
+    // opened via registerSchema), first INSERT aligned to the DECLARED
+    // columns, read back — the whole lifecycle in SQL text
+    "q_sql_create" -> ((spark, dir) => sqlCreateFixture(spark, dir).readBack),
+
     // the maintenance SQL verbs (parser extension, the DeltaSqlParser
     // pattern): OPTIMIZE ... ZORDER BY rewrote the table's layout — the
     // read-back proves rows are bit-identical after the Morton clustering
@@ -776,6 +781,45 @@ object SparkEntry {
       SqlMergeMixedFixture(spark, t)
     })
 
+  /** q_sql_create fixture: the SQL-only lifecycle — open a schema for DDL,
+    * CREATE TABLE (declared schema + stats TBLPROPERTIES), INSERT INTO
+    * positionally (the declaration aligns it), read back. Only the build
+    * is memoized. */
+  private final case class SqlCreateFixture(spark: SparkSession, name: String) {
+    def readBack: DataFrame = spark.sql(
+      s"""SELECT event_date, event_type, COUNT(1) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+         |FROM $name GROUP BY event_date, event_type""".stripMargin)
+  }
+
+  private val sqlCreateFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SqlCreateFixture]()
+  private val sqlCreateFixtureSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def sqlCreateFixture(spark: SparkSession, sfDir: String): SqlCreateFixture =
+    sqlCreateFixtureCache.computeIfAbsent((spark, sfDir), _ => {
+      Tables.prepare(spark)
+      val n = sqlCreateFixtureSeq.incrementAndGet()
+      val root = graft.FixtureTempDirs.create("graft-sqlddl-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val schema = s"ddlfix$n"
+      graft.sql.GraftTableRegistry.registerSchema(schema, engine, root.resolve("tables").toUri)
+      val t = s"graft.$schema.events_ddl"
+      spark.sql(
+        s"""CREATE TABLE $t (
+           |  event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING,
+           |  value DOUBLE, props STRING, event_date DATE
+           |) PARTITIONED BY (event_date)
+           |TBLPROPERTIES ('stats.columns' = 'event_id,value')""".stripMargin)
+      val view = s"events_ddl_src_$n"
+      Tables.events(spark, sfDir).localCheckpoint().createOrReplaceTempView(view)
+      spark.sql(
+        s"""INSERT INTO $t
+           |SELECT event_id, ts, user_id, event_type, value, props,
+           |  CAST(ts AS DATE) FROM $view""".stripMargin)
+      SqlCreateFixture(spark, t)
+    })
+
   /** q_sql_optimize / q_sql_history fixture: load → SQL OPTIMIZE ZORDER BY,
     * then read the table and its DESCRIBE HISTORY. Only the build is
     * memoized. */
@@ -1012,6 +1056,10 @@ object SparkEntry {
       // rows, every 10th click gains +100 (the partial target-referencing
       // UPDATE), and every 100th view spawns a 'synthetic' insert carrying
       // its value
+      // DDL lifecycle: create+insert+select equals the plain aggregate
+      "q_sql_create" ->
+        s"""SELECT CAST(ts AS DATE) AS event_date, event_type, $duckFixtureAgg
+           |FROM events GROUP BY 1, 2""".stripMargin,
       // OPTIMIZE is layout-only: the read-back equals the plain aggregate
       "q_sql_optimize" ->
         s"""SELECT event_type, $duckFixtureAgg

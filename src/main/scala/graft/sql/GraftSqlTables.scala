@@ -62,10 +62,26 @@ object GraftTableRegistry {
   /** The catalog-style first name part reserved for graft tables. */
   val CatalogName = "graft"
 
-  final case class Entry(engine: VersionedTables, table: TableDefinition)
+  /** A registered table. `declared` carries the column schema a SQL
+    * `CREATE TABLE` statement declared — the engine itself stays
+    * first-write-defines-schema, so the declaration's one job is aligning
+    * the FIRST `INSERT INTO` (names, order, types) to what the DDL said. */
+  final case class Entry(
+      engine: VersionedTables,
+      table: TableDefinition,
+      declared: Option[org.apache.spark.sql.types.StructType] = None)
+
+  /** A schema (namespace) that accepts SQL `CREATE TABLE`: new tables are
+    * initialized through `engine` and live under `baseLocation/<table>`. */
+  final case class SchemaEntry(
+      engine: VersionedTables,
+      baseLocation: java.net.URI,
+      defaultFormat: FileFormat = FileFormat.Parquet)
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Entry]()
+  private val schemas =
+    new java.util.concurrent.ConcurrentHashMap[String, SchemaEntry]()
 
   private def key(n: TableName): (String, String) =
     (n.schema.toLowerCase, n.name.toLowerCase)
@@ -76,6 +92,30 @@ object GraftTableRegistry {
   def register(engine: VersionedTables, table: TableDefinition): Unit = {
     entries.put(key(table.name), Entry(engine, table)); ()
   }
+
+  private[sql] def registerCreated(
+      engine: VersionedTables,
+      table: TableDefinition,
+      declared: org.apache.spark.sql.types.StructType): Unit = {
+    entries.put(key(table.name), Entry(engine, table, Some(declared))); ()
+  }
+
+  /** Open `graft.<schema>.*` to SQL DDL: `CREATE TABLE graft.<schema>.<t>`
+    * initializes a versioned table through `engine` at
+    * `baseLocation/<t>`. Schemas never registered stay read-only for DDL
+    * (the pre-round-13 behavior). */
+  def registerSchema(
+      schema: String,
+      engine: VersionedTables,
+      baseLocation: java.net.URI,
+      defaultFormat: FileFormat = FileFormat.Parquet): Unit = {
+    schemas.put(schema.toLowerCase, SchemaEntry(engine, baseLocation, defaultFormat)); ()
+  }
+
+  def unregisterSchema(schema: String): Unit = { schemas.remove(schema.toLowerCase); () }
+
+  def lookupSchema(schema: String): Option[SchemaEntry] =
+    Option(schemas.get(schema.toLowerCase))
 
   def unregister(name: TableName): Unit = { entries.remove(key(name)); () }
 
@@ -144,10 +184,78 @@ final class GraftCatalogPlugin
     throw new UnsupportedOperationException(
       s"graft catalog: $op is not supported — use the versioned write API " +
         "(versionedInsertInto / mergeInto / CLI verbs); SQL access is read-only")
+
+  /** `CREATE TABLE graft.<schema>.<t> (cols…) [USING fmt] [PARTITIONED BY
+    * (identity cols)] [LOCATION uri] [TBLPROPERTIES (stats.columns=…,
+    * stats.bloomKeys=…, stats.bloomExpectedItems=…)]` — allowed only for
+    * schemas opened with [[GraftTableRegistry.registerSchema]]: the table
+    * is initialized through that schema's engine (an `InitTable` commit at
+    * `baseLocation/<t>` unless LOCATION overrides) and registered, so
+    * every later SQL statement resolves it. The DECLARED column schema is
+    * remembered and aligns the first `INSERT INTO` (the engine itself
+    * stays first-write-defines-schema). Only identity partitioning — a
+    * bucket/days transform has no versioned-directory meaning here. */
   override def createTable(ident: Identifier,
       schema: org.apache.spark.sql.types.StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: java.util.Map[String, String]): Table = unsupported("CREATE TABLE")
+      properties: java.util.Map[String, String]): Table = {
+    val schemaName = ident.namespace() match {
+      case Array(s) => s
+      case other => throw new NoSuchNamespaceException(other)
+    }
+    val owner = GraftTableRegistry.lookupSchema(schemaName).getOrElse(
+      unsupported(s"CREATE TABLE in schema '$schemaName' (no engine registered for it " +
+        "— GraftTableRegistry.registerSchema opens a schema to SQL DDL)"))
+    val partCols: Seq[String] = partitions.toSeq.map { t =>
+      if (t.name == "identity" && t.references.length == 1)
+        t.references.head.fieldNames.mkString(".")
+      else throw new UnsupportedOperationException(
+        s"graft catalog: PARTITIONED BY $t is not supported — identity " +
+          "partition columns only (versioned directories are value-partitioned)")
+    }
+    partCols.foreach { c =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"partition column '$c' is not in the declared schema")
+    }
+    val props = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala
+    }
+    val format = props.get("provider").orElse(props.get("format")) match {
+      case None | Some("") => owner.defaultFormat
+      case Some(f) => f.toLowerCase match {
+        case "parquet" => FileFormat.Parquet
+        case "orc"     => FileFormat.Orc
+        case "csv"     => FileFormat.Csv
+        case "json"    => FileFormat.Json
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: USING $other is not supported (parquet/orc/csv/json)")
+      }
+    }
+    val location = props.get("location") match {
+      case Some(loc) if loc.nonEmpty => java.net.URI.create(loc)
+      case _ =>
+        val base = owner.baseLocation.toString.stripSuffix("/")
+        java.net.URI.create(s"$base/${ident.name()}")
+    }
+    val stats = props.get("stats.columns").map { cols =>
+      ColumnStatsConfig(
+        statsColumns = cols.split(",").map(_.trim).filter(_.nonEmpty).toList,
+        bloomKeyColumns = props.get("stats.bloomKeys")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toList).getOrElse(Nil),
+        bloomExpectedItems = props.get("stats.bloomExpectedItems")
+          .map(_.toLong).getOrElse(100000L))
+    }
+    val table = TableDefinition(
+      TableName(schemaName, ident.name()), location,
+      if (partCols.isEmpty) PartitionSchema.snapshot
+      else PartitionSchema(partCols.head, partCols.tail: _*),
+      format, stats = stats)
+    val user = UserId(props.getOrElse("owner", "sql"))
+    owner.engine.initTable(table, user, s"SQL CREATE TABLE graft.$schemaName.${ident.name()}")
+    GraftTableRegistry.registerCreated(owner.engine, table, schema)
+    new GraftCreatedTable(ident, schema, partitions)
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     unsupported("ALTER TABLE")
   override def dropTable(ident: Identifier): Boolean = unsupported("DROP TABLE")
@@ -157,6 +265,23 @@ final class GraftCatalogPlugin
   implicit private class IdentOps(ident: Identifier) {
     def asMultipartIdentifier: Seq[String] = ident.namespace().toSeq :+ ident.name()
   }
+}
+
+/** The value [[GraftCatalogPlugin.createTable]] returns — Spark's CREATE
+  * TABLE exec requires a [[org.apache.spark.sql.connector.catalog.Table]]
+  * but discards it; reads and writes never route through it (the
+  * resolution rule owns both), so it advertises NO capabilities. */
+private[sql] final class GraftCreatedTable(
+    ident: org.apache.spark.sql.connector.catalog.Identifier,
+    declared: org.apache.spark.sql.types.StructType,
+    partitions: Array[org.apache.spark.sql.connector.expressions.Transform])
+    extends org.apache.spark.sql.connector.catalog.Table {
+  override def name(): String = (ident.namespace() :+ ident.name()).mkString(".")
+  override def schema(): org.apache.spark.sql.types.StructType = declared
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partitions
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.Collections.emptySet()
 }
 
 /** The resolution rule: substitute `graft.*.*` relations (time-traveled or
@@ -205,6 +330,14 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
     // drop the AS OF clause (a current-version read of a time-traveled
     // query is a correctness bug, not a degraded mode)
     plan.resolveOperatorsDown {
+      // CTAS would create through the catalog and then WRITE through the
+      // (capability-less) returned Table — refuse before anything commits
+      case ctas: org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect
+          if isGraftIdentifier(ctas.name) =>
+        throw new UnsupportedOperationException(
+          "CREATE TABLE ... AS SELECT on the graft catalog is not supported as one " +
+            "statement — run CREATE TABLE graft.s.t (...) then INSERT INTO it " +
+            "(two CAS-guarded commits with the same end state)")
       // the SQL WRITE surface: a graft-targeted INSERT becomes a
       // versioned-write command once its source query has resolved (the
       // fixed point keeps resolving the source meanwhile). See
@@ -447,6 +580,14 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
     }
     def lookup(plan: LogicalPlan): Option[GraftTableRegistry.Entry] =
       Option(targets.get(plan))
+  }
+
+  private def isGraftIdentifier(p: LogicalPlan): Boolean = p match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+      u.nameParts.headOption.exists(_.equalsIgnoreCase(GraftTableRegistry.CatalogName))
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
+      r.catalog.name().equalsIgnoreCase(GraftTableRegistry.CatalogName)
+    case _ => false
   }
 
   private def entryFor(u: UnresolvedRelation): Option[GraftTableRegistry.Entry] =

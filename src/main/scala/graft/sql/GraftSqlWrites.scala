@@ -113,8 +113,14 @@ object GraftSqlWrites {
       case (df, (_, None)) => df
     }
 
-    val target: StructType = StructType(
-      engine.read(table).schema.filterNot(_.name == Version.VersionColumn).toArray)
+    val target: StructType = {
+      val current = StructType(
+        engine.read(table).schema.filterNot(_.name == Version.VersionColumn).toArray)
+      // a never-written table created by SQL DDL aligns its FIRST insert to
+      // the DECLARED columns (names, order, types) — that is the one job
+      // the declaration has on a first-write-defines-schema engine
+      if (current.nonEmpty) current else entry.declared.getOrElse(current)
+    }
     val aligned =
       if (target.isEmpty) withStatic // first write defines the schema
       else align(withStatic, target, byName = byName || userSpecifiedCols.nonEmpty)
@@ -212,10 +218,15 @@ object GraftSqlWrites {
       require(df.columns.length == target.size,
         s"INSERT source has ${df.columns.length} columns but " +
           s"the table has ${target.size} (${target.map(_.name).mkString(", ")})")
-      val cols: Seq[Column] = target.zip(df.columns).map { case (f, c) =>
-        castTo(col(s"`$c`"), df.schema(c).dataType, f.dataType).as(f.name)
+      // rename positionally FIRST: a query like `SELECT id, CAST(id AS
+      // DOUBLE)` produces two output columns both NAMED `id`, which a
+      // name-based select would reject as ambiguous — positional INSERT
+      // must not care about source names at all
+      val tmp = df.toDF(df.columns.indices.map(i => s"_graft_ins_$i"): _*)
+      val cols: Seq[Column] = target.zipWithIndex.map { case (f, i) =>
+        castTo(col(s"_graft_ins_$i"), tmp.schema(i).dataType, f.dataType).as(f.name)
       }
-      df.select(cols: _*)
+      tmp.select(cols: _*)
     }
 
   private def castTo(
