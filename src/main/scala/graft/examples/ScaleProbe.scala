@@ -267,6 +267,29 @@ object ScaleProbe {
         engine.mergeInto(table, source, Seq("event_id"), UserId("probe"),
           "probe merge"); ()
       }),
+      "merge_general" -> (dir => {
+        // the GENERAL clause merge (MergeApply): a partial conditional
+        // UPDATE of ~1/50 of one date's keys plus a by-source DELETE whose
+        // condition scopes it to that same date. Keys ⊇ partition column →
+        // candidate discovery is a zero-scan value intersection; the
+        // by-source scope prunes from the clause condition — the rewrite
+        // cost tracks the ONE touched partition, never the table.
+        import graft.operators.MergeApply._
+        val (engine, table, _) = statsFixture(dir)
+        val maxDate = graft.Tables.events(spark, dir)
+          .agg(max(to_date(col("ts")))).head().getDate(0)
+        val source = graft.Tables.events(spark, dir)
+          .withColumn("event_date", to_date(col("ts")))
+          .filter(col("event_date") === lit(maxDate) && col("event_id") % 50 === 0)
+          .select(col("event_id"), col("event_date"))
+        engine.mergeApply(table, source, Seq("event_date", "event_id"),
+          UserId("probe"), "probe general merge",
+          matched = Seq(MatchedUpdate(None,
+            Map("value" -> (coalesce(col("value"), lit(0.0)) + lit(1.0))))),
+          notMatchedBySource = Seq(BySourceDelete(Some(
+            col("event_date") === lit(maxDate) && col("event_id") % 97 === 0))))
+        ()
+      }),
       "change_feed" -> (dir => {
         // row-level CDC between the two newest commits of the stats fixture
         // (merge_pruned keeps committing one-partition merges into it): the
