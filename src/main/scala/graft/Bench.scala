@@ -223,7 +223,9 @@ object Bench {
     val FixtureQueries = Seq(
       "q_ann_ivf_index", "q_bloom_skip_scan", "q_bm25_index", "q_change_feed", "q_change_feed_pre", "q_compact_read",
       "q_dedup_against_index", "q_hive_read", "q_merge_upsert", "q_metadata_agg",
-      "q_sql_delete", "q_sql_insert", "q_sql_merge", "q_sql_meta_count_range", "q_sql_meta_groupby", "q_sql_metadata_agg",
+      "q_sql_delete", "q_sql_insert", "q_sql_merge", "q_sql_merge_mixed",
+      "q_sql_create", "q_sql_optimize", "q_sql_history",
+      "q_sql_meta_count_range", "q_sql_meta_groupby", "q_sql_metadata_agg",
       "q_sql_skip_scan",
       "q_sql_time_travel", "q_sql_update", "q_stats_skip_scan", "q_versioned_csv", "q_versioned_json",
       "q_versioned_orc", "q_zorder_scan")

@@ -206,20 +206,42 @@ final class GraftCatalogPlugin
     val owner = GraftTableRegistry.lookupSchema(schemaName).getOrElse(
       unsupported(s"CREATE TABLE in schema '$schemaName' (no engine registered for it " +
         "— GraftTableRegistry.registerSchema opens a schema to SQL DDL)"))
-    val partCols: Seq[String] = partitions.toSeq.map { t =>
-      if (t.name == "identity" && t.references.length == 1)
-        t.references.head.fieldNames.mkString(".")
-      else throw new UnsupportedOperationException(
-        s"graft catalog: PARTITIONED BY $t is not supported — identity " +
-          "partition columns only (versioned directories are value-partitioned)")
-    }
-    partCols.foreach { c =>
-      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
-        s"partition column '$c' is not in the declared schema")
-    }
+    val partCols: Seq[String] = GraftDdl.identityPartCols(partitions.toSeq)
     val props = {
       import scala.jdk.CollectionConverters._
-      properties.asScala
+      properties.asScala.toMap
+    }
+    GraftDdl.create(owner, schemaName, ident.name(), schema, partCols, props)
+    new GraftCreatedTable(ident, schema, partitions)
+  }
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    unsupported("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean = unsupported("DROP TABLE")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    unsupported("RENAME TABLE")
+
+  implicit private class IdentOps(ident: Identifier) {
+    def asMultipartIdentifier: Seq[String] = ident.namespace().toSeq :+ ident.name()
+  }
+}
+
+/** Shared SQL-DDL table construction: CREATE TABLE (catalog path) and
+  * CTAS (rule path) build the same [[graft.core.TableDefinition]] from
+  * the declared columns, identity partition names, and table properties
+  * (`provider`/`format`, `location`, `stats.columns`/`stats.bloomKeys`/
+  * `stats.bloomExpectedItems`), commit `InitTable` through the schema's
+  * registered engine, and register the table with its declared schema. */
+private[sql] object GraftDdl {
+  def create(
+      owner: GraftTableRegistry.SchemaEntry,
+      schemaName: String,
+      tableName: String,
+      declared: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String],
+      props: Map[String, String]): TableDefinition = {
+    partCols.foreach { c =>
+      require(declared.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"partition column '$c' is not in the declared schema")
     }
     val format = props.get("provider").orElse(props.get("format")) match {
       case None | Some("") => owner.defaultFormat
@@ -236,7 +258,7 @@ final class GraftCatalogPlugin
       case Some(loc) if loc.nonEmpty => java.net.URI.create(loc)
       case _ =>
         val base = owner.baseLocation.toString.stripSuffix("/")
-        java.net.URI.create(s"$base/${ident.name()}")
+        java.net.URI.create(s"$base/$tableName")
     }
     val stats = props.get("stats.columns").map { cols =>
       ColumnStatsConfig(
@@ -247,24 +269,26 @@ final class GraftCatalogPlugin
           .map(_.toLong).getOrElse(100000L))
     }
     val table = TableDefinition(
-      TableName(schemaName, ident.name()), location,
+      TableName(schemaName, tableName), location,
       if (partCols.isEmpty) PartitionSchema.snapshot
       else PartitionSchema(partCols.head, partCols.tail: _*),
       format, stats = stats)
     val user = UserId(props.getOrElse("owner", "sql"))
-    owner.engine.initTable(table, user, s"SQL CREATE TABLE graft.$schemaName.${ident.name()}")
-    GraftTableRegistry.registerCreated(owner.engine, table, schema)
-    new GraftCreatedTable(ident, schema, partitions)
+    owner.engine.initTable(table, user, s"SQL CREATE TABLE graft.$schemaName.$tableName")
+    GraftTableRegistry.registerCreated(owner.engine, table, declared)
+    table
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    unsupported("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean = unsupported("DROP TABLE")
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    unsupported("RENAME TABLE")
 
-  implicit private class IdentOps(ident: Identifier) {
-    def asMultipartIdentifier: Seq[String] = ident.namespace().toSeq :+ ident.name()
-  }
+  /** Identity transforms → partition column names; anything else refuses. */
+  def identityPartCols(
+      partitions: Seq[org.apache.spark.sql.connector.expressions.Transform]): Seq[String] =
+    partitions.map { t =>
+      if (t.name == "identity" && t.references.length == 1)
+        t.references.head.fieldNames.mkString(".")
+      else throw new UnsupportedOperationException(
+        s"graft catalog: PARTITIONED BY $t is not supported — identity " +
+          "partition columns only (versioned directories are value-partitioned)")
+    }
 }
 
 /** The value [[GraftCatalogPlugin.createTable]] returns — Spark's CREATE
@@ -330,14 +354,21 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
     // drop the AS OF clause (a current-version read of a time-traveled
     // query is a correctness bug, not a degraded mode)
     plan.resolveOperatorsDown {
-      // CTAS would create through the catalog and then WRITE through the
-      // (capability-less) returned Table — refuse before anything commits
+      // CTAS: Spark's own exec would create through the catalog and then
+      // WRITE through the (capability-less) returned Table — convert to a
+      // command that runs CREATE + the versioned INSERT instead (two
+      // CAS-guarded commits). Fires once the source query and table spec
+      // have resolved; existence is checked at run against the tracker.
       case ctas: org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect
-          if isGraftIdentifier(ctas.name) =>
-        throw new UnsupportedOperationException(
-          "CREATE TABLE ... AS SELECT on the graft catalog is not supported as one " +
-            "statement — run CREATE TABLE graft.s.t (...) then INSERT INTO it " +
-            "(two CAS-guarded commits with the same end state)")
+          if graftIdentParts(ctas.name).isDefined && ctas.query.resolved &&
+            ctas.tableSpec.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.TableSpec] =>
+        val Some((schemaName, tableName)) = graftIdentParts(ctas.name)
+        val spec = ctas.tableSpec.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.TableSpec]
+        val props = spec.properties ++
+          spec.provider.map("provider" -> _) ++ spec.location.map("location" -> _)
+        GraftCtasCommand(schemaName, tableName,
+          GraftDdl.identityPartCols(ctas.partitioning), props, ctas.query,
+          ctas.ignoreIfExists)
       // the SQL WRITE surface: a graft-targeted INSERT becomes a
       // versioned-write command once its source query has resolved (the
       // fixed point keeps resolving the source meanwhile). See
@@ -582,12 +613,17 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
       Option(targets.get(plan))
   }
 
-  private def isGraftIdentifier(p: LogicalPlan): Boolean = p match {
-    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
-      u.nameParts.headOption.exists(_.equalsIgnoreCase(GraftTableRegistry.CatalogName))
-    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
-      r.catalog.name().equalsIgnoreCase(GraftTableRegistry.CatalogName)
-    case _ => false
+  /** (schema, table) of a DDL name plan targeting the graft catalog. */
+  private def graftIdentParts(p: LogicalPlan): Option[(String, String)] = p match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+        if u.nameParts.length == 3 &&
+          u.nameParts.head.equalsIgnoreCase(GraftTableRegistry.CatalogName) =>
+      Some((u.nameParts(1), u.nameParts(2)))
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier
+        if r.catalog.name().equalsIgnoreCase(GraftTableRegistry.CatalogName) &&
+          r.identifier.namespace().length == 1 =>
+      Some((r.identifier.namespace().head, r.identifier.name()))
+    case _ => None
   }
 
   private def entryFor(u: UnresolvedRelation): Option[GraftTableRegistry.Entry] =

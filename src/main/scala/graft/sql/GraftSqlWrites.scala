@@ -373,6 +373,50 @@ final case class GraftMergeApplyCommand(
       s"${notMatchedBySource.size} by-source)"
 }
 
+/** `CREATE TABLE graft.s.t [USING fmt] [PARTITIONED BY …] [TBLPROPERTIES …]
+  * AS SELECT …` — CREATE through the shared DDL path (the query's schema is
+  * the declaration) followed by the versioned positional INSERT: two
+  * CAS-guarded commits, same end state as running the statements
+  * separately. Existence is checked at run against the registry AND the
+  * schema engine's tracker; `IF NOT EXISTS` no-ops, otherwise loud. */
+final case class GraftCtasCommand(
+    schemaName: String,
+    tableName: String,
+    partCols: Seq[String],
+    props: Map[String, String],
+    query: LogicalPlan,
+    ignoreIfExists: Boolean) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val owner = GraftTableRegistry.lookupSchema(schemaName).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft catalog: CREATE TABLE AS SELECT in schema '$schemaName' (no engine " +
+          "registered for it — GraftTableRegistry.registerSchema opens a schema to SQL DDL)"))
+    val exists = GraftTableRegistry.lookup(schemaName, tableName).isDefined ||
+      owner.engine.tracker.tables().contains(TableName(schemaName, tableName))
+    if (exists) {
+      if (ignoreIfExists) return Seq.empty
+      throw new IllegalArgumentException(
+        s"graft.$schemaName.$tableName already exists (CREATE TABLE AS SELECT)")
+    }
+    val df = GraftSqlBridge.ofRows(session, query)
+    val declared = df.schema
+    require(declared.fieldNames.map(_.toLowerCase).distinct.length == declared.length,
+      s"CTAS query produces duplicate column names (${declared.fieldNames.mkString(", ")}) " +
+        "— alias them distinctly")
+    GraftDdl.create(owner, schemaName, tableName, declared, partCols, props)
+    GraftSqlWrites.insert(session, GraftTableRegistry.lookup(schemaName, tableName).get,
+      df, Map.empty, Seq.empty, overwrite = false, byName = false)
+    Seq.empty
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftCtasCommand graft.$schemaName.$tableName" +
+      (if (partCols.nonEmpty) s" PARTITIONED BY (${partCols.mkString(", ")})" else "")
+}
+
 final case class GraftInsertCommand(
     entry: GraftTableRegistry.Entry,
     partitionSpec: Map[String, Option[String]],

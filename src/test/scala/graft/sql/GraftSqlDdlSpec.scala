@@ -113,13 +113,32 @@ class GraftSqlDdlSpec extends AnyFlatSpec with Matchers {
     }.getMessage should include("not supported")
   }
 
-  it should "refuse CTAS before anything commits, and DROP TABLE always" in {
+  it should "run CTAS as CREATE + versioned INSERT (two commits, one statement)" in {
+    val (engine, schema, _) = openSchema()
+    spark.sql(
+      s"""CREATE TABLE graft.$schema.ctas PARTITIONED BY (r) AS
+         |SELECT id AS k, CAST(id * 2 AS DOUBLE) AS v,
+         |       CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS r
+         |FROM RANGE(8)""".stripMargin)
+    val got = spark.sql(s"SELECT * FROM graft.$schema.ctas")
+    got.columns.toSeq shouldBe Seq("k", "v", "r")
+    got.count() shouldBe 8
+    engine.log(TableName(schema, "ctas")).map(_.message) shouldBe
+      List(s"SQL INSERT INTO $schema.ctas", s"SQL CREATE TABLE graft.$schema.ctas")
+    // IF NOT EXISTS no-ops on the existing table; plain CTAS refuses
+    spark.sql(s"CREATE TABLE IF NOT EXISTS graft.$schema.ctas AS SELECT 1 AS x")
+    spark.sql(s"SELECT COUNT(*) AS n FROM graft.$schema.ctas").head().getLong(0) shouldBe 8
+    intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE graft.$schema.ctas AS SELECT 1 AS x")
+    }.getMessage should include("already exists")
+  }
+
+  it should "refuse CTAS into unopened schemas (nothing created) and DROP TABLE always" in {
     val (engine, schema, _) = openSchema()
     intercept[UnsupportedOperationException] {
-      spark.sql(s"CREATE TABLE graft.$schema.ctas AS SELECT 1 AS x")
-    }.getMessage should include("INSERT INTO")
-    GraftTableRegistry.lookup(schema, "ctas") shouldBe None
-    engine.tracker.tables() should not contain TableName(schema, "ctas")
+      spark.sql("CREATE TABLE graft.notopened.ctas2 AS SELECT 1 AS x")
+    }.getMessage should include("no engine registered")
+    GraftTableRegistry.lookup("notopened", "ctas2") shouldBe None
     spark.sql(s"CREATE TABLE graft.$schema.keep (id BIGINT)")
     intercept[Exception] {
       spark.sql(s"DROP TABLE graft.$schema.keep")
