@@ -192,6 +192,61 @@ final case class GraftVacuumCommand(
       (if (dryRun) " DRY RUN" else "")
 }
 
+/** `DESCRIBE [EXTENDED] graft.s.t` — columns from the CURRENT version's
+  * schema (declared schema for a never-written table), the partition
+  * section, and with EXTENDED the engine-level detail (location, format,
+  * stats config, head commit). Output attributes arrive from the parsed
+  * DescribeRelation so the row shape is Spark's native one. */
+final case class GraftDescribeTableCommand(
+    schemaName: String,
+    tableName: String,
+    isExtended: Boolean,
+    attrs: Seq[Attribute])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = attrs
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val entry = GraftMaintenanceSql.entryFor(schemaName, tableName)
+    val current = entry.engine.read(entry.table).schema
+      .filterNot(_.name == Version.VersionColumn)
+    val fields =
+      if (current.nonEmpty) current.toSeq
+      else entry.declared.map(_.toSeq).getOrElse(Seq.empty)
+    val cols = fields.map(f => Row(f.name, f.dataType.simpleString, null))
+    val partCols = entry.table.partitionSchema.columnNames
+    val partSection =
+      if (partCols.isEmpty) Seq.empty
+      else Row("# Partition Information", "", null) +:
+        partCols.map { p =>
+          val dt = fields.find(_.name.equalsIgnoreCase(p))
+            .map(_.dataType.simpleString).getOrElse("string")
+          Row(p, dt, null)
+        }
+    val extended =
+      if (!isExtended) Seq.empty
+      else {
+        val head = scala.util.Try(
+          entry.engine.headCommit(entry.table.name).id).getOrElse("<none>")
+        Seq(
+          Row("", "", null),
+          Row("# Detailed Table Information", "", null),
+          Row("Name", s"graft.$schemaName.$tableName", null),
+          Row("Location", entry.table.location.toString, null),
+          Row("Provider", entry.table.format.name, null),
+          Row("Head Commit", head, null)) ++
+          entry.table.stats.toSeq.flatMap(cfg => Seq(
+            Row("Stats Columns", cfg.statsColumns.mkString(", "), null),
+            Row("Bloom Keys", cfg.bloomKeyColumns.mkString(", "), null)))
+      }
+    cols ++ partSection ++ extended
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftDescribeTableCommand graft.$schemaName.$tableName" +
+      (if (isExtended) " EXTENDED" else "")
+}
+
 /** The delegating parser: [[GraftMaintenanceSql.parse]] first, the session
   * parser for everything else (including all other interface methods). */
 final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {

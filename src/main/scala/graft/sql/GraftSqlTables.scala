@@ -369,6 +369,22 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
         GraftCtasCommand(schemaName, tableName,
           GraftDdl.identityPartCols(ctas.partitioning), props, ctas.query,
           ctas.ignoreIfExists)
+      // DESCRIBE [EXTENDED] graft.s.t — the catalog's loadTable defers on
+      // purpose (reads go through relation substitution), so the describe
+      // command needs its own binding; output attrs pass through so the
+      // statement keeps Spark's native (col_name, data_type, comment) shape
+      case org.apache.spark.sql.catalyst.plans.logical.DescribeRelation(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+          partitionSpec, isExtended, out)
+          if (u.multipartIdentifier match {
+            case Seq(cat, s, t) if cat.equalsIgnoreCase(GraftTableRegistry.CatalogName) =>
+              GraftTableRegistry.lookup(s, t).isDefined
+            case _ => false
+          }) =>
+        require(partitionSpec.isEmpty,
+          "DESCRIBE ... PARTITION is not supported on graft tables")
+        val Seq(_, s, t) = u.multipartIdentifier
+        GraftDescribeTableCommand(s, t, isExtended, out)
       // the SQL WRITE surface: a graft-targeted INSERT becomes a
       // versioned-write command once its source query has resolved (the
       // fixed point keeps resolving the source meanwhile). See

@@ -56,6 +56,20 @@ class GraftMaintenanceSqlSpec extends AnyFlatSpec with Matchers {
     e.getMessage should include("not a registered graft table")
   }
 
+  behavior of "DESCRIBE TABLE"
+
+  it should "describe columns, the partition section, and EXTENDED detail" in {
+    val (_, table, t) = fixture()
+    val names = spark.sql(s"DESCRIBE $t").collect().map(_.getString(0))
+    names should contain allOf ("id", "v", "cat", "day", "# Partition Information")
+    val ext = spark.sql(s"DESCRIBE EXTENDED $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    ext("Provider") shouldBe "parquet"
+    ext("Location") shouldBe table.location.toString
+    ext("Stats Columns") shouldBe "id, v"
+    ext.keySet should contain("Head Commit")
+  }
+
   behavior of "OPTIMIZE"
 
   it should "compact to one file per partition, preserving rows and history" in {
