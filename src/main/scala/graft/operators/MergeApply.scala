@@ -94,8 +94,10 @@ object MergeApply {
   private val Drop = -2
 
   private val SourcePrefix = "_graft_s_"
-  private val PresentCol = "_graft_s_present"
-  private val ActionCol = "_graft_action"
+  // deliberately OUTSIDE the SourcePrefix rename image: a source column
+  // named "present" renames to _graft_s_present, which must not collide
+  private val PresentCol = "_graft_m_present"
+  private val ActionCol = "_graft_m_action"
 
   implicit final class MergeApplyOps(private val engine: VersionedTables) extends AnyVal {
 
@@ -141,6 +143,12 @@ object MergeApply {
       "mergeApply needs at least one WHEN clause")
     val missingKeys = keyColumns.filterNot(k => source.columns.exists(_.equalsIgnoreCase(k)))
     require(missingKeys.isEmpty, s"key columns not in source: ${missingKeys.mkString(", ")}")
+    // the rewrite introduces _graft_-prefixed working columns (renamed
+    // source, presence marker, clause dispatch) — reserve the namespace
+    source.columns.find(_.toLowerCase.startsWith("_graft_")).foreach { c =>
+      throw new IllegalArgumentException(
+        s"mergeApply: source column '$c' uses the reserved _graft_ prefix")
+    }
 
     val sourceColsLower = source.columns.map(_.toLowerCase).toSet
     val partCols = table.partitionSchema.columnNames
@@ -217,6 +225,10 @@ object MergeApply {
       require(!targetCols.exists(_.equalsIgnoreCase("s")),
         s"mergeApply: target ${table.name.fullyQualifiedName} has a column named 's' — " +
           "the s.<col> source qualifier would be ambiguous with struct access")
+      targetCols.find(_.toLowerCase.startsWith("_graft_")).foreach { c =>
+        throw new IllegalArgumentException(
+          s"mergeApply: target column '$c' uses the reserved _graft_ prefix")
+      }
       def known(c: String, clause: String): Unit =
         require(targetCols.exists(_.equalsIgnoreCase(c)),
           s"$clause column '$c' is not a column of ${table.name.fullyQualifiedName}")
@@ -480,15 +492,34 @@ object MergeApply {
               // unmatched rows of the touched slice: with matched clauses
               // present the matched rows are already emitted post-image by
               // rewriteMatched (anti-join excludes them here); without, the
-              // single-slice marker join keeps them bit-identical
+              // single-slice marker join keeps them bit-identical. Touched
+              // partitions already sitting in the PERSISTED candidate slice
+              // are served from it — no second scan of matched partitions.
               val rewritten: Option[DataFrame] =
                 if (touchedPvs.isEmpty) None
-                else {
-                  val slice = engine.readVersion(table, PartitionedTableVersion(touchedPvs))
-                    .select(targetCols.map(c => col(s"`$c`")): _*)
-                  Some(if (matched.nonEmpty) rewriteUnmatched(slice, targetSchema)
-                  else rewriteSlice(slice, targetSchema))
-                }
+                else if (matched.nonEmpty) {
+                  val candTouched = candidates.keySet & touched
+                  val freshPvs = touchedPvs.filter { case (p, _) => !candTouched(p) }
+                  val fresh =
+                    if (freshPvs.isEmpty) None
+                    else Some(engine.readVersion(table, PartitionedTableVersion(freshPvs))
+                      .select(targetCols.map(c => col(s"`$c`")): _*))
+                  val fromCand = candSlice.filter(_ => candTouched.nonEmpty).map { cs =>
+                    if (candTouched == candidates.keySet) cs
+                    else cs.filter(partitionMember(candTouched))
+                  }
+                  val slice = (fresh, fromCand) match {
+                    case (Some(f), Some(c)) => f.unionByName(c)
+                    case (Some(f), None)    => f
+                    case (None, Some(c))    => c
+                    case (None, None)       => return VersionedMerge.MergeResult(
+                      snapshot, TableChanges.empty, Nil, Nil) // unreachable: touched nonEmpty
+                  }
+                  Some(rewriteUnmatched(slice, targetSchema))
+                } else
+                  Some(rewriteSlice(
+                    engine.readVersion(table, PartitionedTableVersion(touchedPvs))
+                      .select(targetCols.map(c => col(s"`$c`")): _*), targetSchema))
               val pieces = Seq(rewritten, matchedOut, inserts).flatten
               if (pieces.isEmpty)
                 return VersionedMerge.MergeResult(snapshot, TableChanges.empty, Nil, Nil)
@@ -526,6 +557,19 @@ object MergeApply {
   /** Key columns only, for anti-join suppression. */
   private def keyOnly(df: DataFrame, keys: Seq[String]): DataFrame =
     df.select(keys.map(c => col(s"`$c`")): _*)
+
+  /** Row-is-in-one-of-these-partitions predicate, comparing partition
+    * columns in their STRING (directory-name) form — the VersionedDml
+    * member discipline, so no type coercion can silently deselect. An OR
+    * over the partition set: fine at rewrite-slice cardinalities. */
+  private def partitionMember(parts: Set[Partition]): Column =
+    parts.toSeq.map { p =>
+      p.columnValues.map { cv =>
+        val c = col(s"`${cv.column.name}`")
+        if (cv.value == PathCodec.DefaultPartitionName) c.isNull
+        else c.cast("string") === lit(cv.value)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
 
   /** Is `v` exactly the source's own column `c` (`s.c`)? — the provably
     * no-op `SET * `-generated assignment of a merge-key partition column. */

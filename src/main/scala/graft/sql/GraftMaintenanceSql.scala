@@ -14,10 +14,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType
  * The MAINTENANCE verbs as native SQL statements — the Delta-style parser
  * extension (a delegating [[ParserInterface]] injected through
  * `SparkSessionExtensions.injectParser`, the same pattern as Delta's
- * `DeltaSqlParser`): three statements vanilla Spark has no grammar for,
- * recognized only when they target a REGISTERED `graft.*.*` table, with
- * everything else — including syntax errors in these verbs' own clauses —
- * delegated to the session parser untouched.
+ * `DeltaSqlParser`): statements vanilla Spark has no grammar for,
+ * recognized by NAME PATTERN — any whole statement of these shapes naming
+ * a `graft.*.*` table is claimed (the `graft` catalog prefix is reserved
+ * by this library; table lookup happens at execution and refuses loudly
+ * for unregistered names). Everything else delegates to the session
+ * parser untouched. A recognized verb with an invalid clause (e.g. VACUUM
+ * without RETAIN) errors HERE, deliberately: the message explains the
+ * clause, where delegation would surface a generic parse error.
  *
  * {{{
  *   DESCRIBE HISTORY graft.sales.accounts            -- the commit log

@@ -162,10 +162,18 @@ final class GraftCatalogPlugin
       case _ => throw new NoSuchNamespaceException(namespace)
     }
 
+  // existence consults the registry AND (for DDL-opened schemas) the
+  // schema engine's TRACKER: a table created by another process exists in
+  // the shared store even when this JVM never registered it — CREATE must
+  // not silently re-bind it (initTable would no-op and the registry would
+  // carry a possibly mismatched definition)
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace() match {
-      case Array(schema) => GraftTableRegistry.lookup(schema, ident.name()).isDefined
-      case _             => false
+      case Array(schema) =>
+        GraftTableRegistry.lookup(schema, ident.name()).isDefined ||
+          GraftTableRegistry.lookupSchema(schema).exists(
+            _.engine.tracker.tables().contains(TableName(schema, ident.name())))
+      case _ => false
     }
 
   // Resolution treats NoSuchTableException as "not resolvable HERE" and
@@ -182,8 +190,9 @@ final class GraftCatalogPlugin
 
   private def unsupported(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft catalog: $op is not supported — use the versioned write API " +
-        "(versionedInsertInto / mergeInto / CLI verbs); SQL access is read-only")
+      s"graft catalog: $op is not supported — a versioned store's history outlives " +
+        "any one definition, so destructive DDL stays a deliberate engine/CLI act " +
+        "(CREATE TABLE [AS SELECT] works for schemas opened via registerSchema)")
 
   /** `CREATE TABLE graft.<schema>.<t> (cols…) [USING fmt] [PARTITIONED BY
     * (identity cols)] [LOCATION uri] [TBLPROPERTIES (stats.columns=…,
@@ -211,6 +220,12 @@ final class GraftCatalogPlugin
       import scala.jdk.CollectionConverters._
       properties.asScala.toMap
     }
+    // defense in depth behind tableExists: Spark checks it first, but a
+    // direct createTable call (or a race) must not re-bind a tracker-live
+    // table — initTable would silently no-op on it
+    if (owner.engine.tracker.tables().contains(TableName(schemaName, ident.name())))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        ident.asMultipartIdentifier)
     GraftDdl.create(owner, schemaName, ident.name(), schema, partCols, props)
     new GraftCreatedTable(ident, schema, partitions)
   }
@@ -513,10 +528,13 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
       case other => unsupported(s"ON condition atom $other (need t.k = s.k equalities)")
     }.distinct
 
-    // a full SET * / INSERT *: every assignment is `target.col = source.col`
-    // of the same name
+    // a full SET * / INSERT *: ALL target columns assigned, each from the
+    // same-name source column. The size check is load-bearing: a PARTIAL
+    // same-name list (SET balance = s.balance) must NOT take the keyed
+    // whole-row-replacement path — unassigned columns keep target values,
+    // which only the general merge implements.
     def isStarAssignments(assignments: Seq[Assignment]): Boolean =
-      assignments.nonEmpty && assignments.forall {
+      assignments.size == targetOut.size && assignments.forall {
         case Assignment(k: AttributeReference, v: AttributeReference) =>
           targetOut.contains(k) && sourceOut.contains(v) && k.name.equalsIgnoreCase(v.name)
         case _ => false

@@ -57,10 +57,12 @@ import org.apache.spark.sql.types.StructType
  * versioned write never fabricates defaults). A never-written table takes
  * the query's own schema as the table schema (the first write defines it).
  *
- * DDL stays read-only by design ([[GraftCatalogPlugin]] throws on
- * CREATE/ALTER/DROP): tables are declared through `initTable`, because a
- * [[graft.core.TableDefinition]] carries engine concerns (location,
- * format, stats config) that SQL DDL has no vocabulary for.
+ * DDL (round 13): `CREATE TABLE` / `CREATE TABLE AS SELECT` work for
+ * schemas opened with [[GraftTableRegistry.registerSchema]] — engine
+ * concerns ride as TBLPROPERTIES (`stats.columns`, `stats.bloomKeys`,
+ * `stats.bloomExpectedItems`) and USING/LOCATION clauses. ALTER, DROP and
+ * RENAME stay refused: a versioned store's history outlives any one
+ * definition, so destructive DDL remains a deliberate engine/CLI act.
  */
 object GraftSqlWrites {
 

@@ -197,6 +197,25 @@ class VersionedDmlSpec extends AnyFlatSpec with Matchers {
     got shouldBe Map("a1" -> 12L, "a2" -> 20L, "a3" -> 0L, "a4" -> 40L)
   }
 
+  it should "keep unassigned columns on a partial same-name SET even with INSERT * present" in {
+    // regression: a partial assignment list whose every entry is
+    // `col = s.col` must NOT be mistaken for SET * (the keyed whole-row
+    // replacement) — balance comes from the source, REGION must stay the
+    // target's even though the source row carries a different one
+    val (engine, table, t, _) = mergeFixture()
+    val n2 = seq.incrementAndGet()
+    Seq(("a1", "MOVED", 999L)).toDF("id", "region", "balance")
+      .createOrReplaceTempView(s"merge_partial_$n2")
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING merge_partial_$n2 AS s ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET balance = s.balance
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val a1 = engine.read(table).filter(col("id") === "a1")
+      .select("region", "balance").head()
+    a1.getString(0) shouldBe "eu" // kept, NOT 'MOVED'
+    a1.getLong(1) shouldBe 999L
+  }
+
   it should "route delete-matched + insert-unmatched through the general merge" in {
     val (engine, table, t, src) = mergeFixture()
     spark.sql(
