@@ -77,7 +77,7 @@ class GraftSqlDdlSpec extends AnyFlatSpec with Matchers {
     }
   }
 
-  it should "support the full SQL lifecycle: DDL, DML, maintenance, time travel" in {
+  it should "support the full SQL lifecycle: DDL, every DML verb, maintenance, time travel" in {
     val (_, schema, _) = openSchema()
     val t = s"graft.$schema.facts"
     spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE, day STRING) PARTITIONED BY (day)")
@@ -91,8 +91,24 @@ class GraftSqlDdlSpec extends AnyFlatSpec with Matchers {
     spark.sql(s"SELECT SUM(v) AS s FROM $t WHERE k < 3").head().getDouble(0) shouldBe 3003.0
     spark.sql(s"SELECT COUNT(*) AS n FROM $t VERSION AS OF '$firstInsert'")
       .head().getLong(0) shouldBe 10
+    // a general MERGE: bump the survivors' v where matched, insert the new
+    // day, retire unmentioned d1 rows above a threshold
+    spark.sql(s"SELECT CAST(id + 20 AS BIGINT) AS k, CAST(1.0 AS DOUBLE) AS v, 'd2' AS day FROM RANGE(3)")
+      .createOrReplaceTempView(s"facts_delta_$schema")
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING facts_delta_$schema AS s ON tgt.k = s.k AND tgt.day = s.day
+         |WHEN MATCHED THEN UPDATE SET v = tgt.v + s.v
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND tgt.k >= 7 THEN DELETE""".stripMargin)
+    // d1 keeps k in [0,7) (8 was live, 7/8 deleted by the by-source clause;
+    // 9 was already deleted), d2 gains 20..22
+    spark.sql(s"SELECT COUNT(*) AS n FROM $t WHERE day = 'd1'").head().getLong(0) shouldBe 7
+    spark.sql(s"SELECT COUNT(*) AS n FROM $t WHERE day = 'd2'").head().getLong(0) shouldBe 3
     spark.sql(s"OPTIMIZE $t").collect()
-    spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0) shouldBe 9
+    spark.sql(s"DESCRIBE $t").collect().map(_.getString(0)) should contain("# Partition Information")
+    // vacuum bounds history; the current read and the row count survive
+    spark.sql(s"VACUUM $t RETAIN 1 VERSIONS").collect()
+    spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0) shouldBe 10
   }
 
   behavior of "DDL refusals"
