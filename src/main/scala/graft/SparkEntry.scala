@@ -210,6 +210,12 @@ object SparkEntry {
     // can express. Oracle replays the four clauses as set algebra.
     "q_sql_merge_mixed" -> ((spark, dir) => sqlMergeMixedFixture(spark, dir).merged),
 
+    // additive schema evolution: the table's old partitions were written
+    // WITHOUT the value column (versionedInsertInto), the last five days
+    // with it (versionedInsertIntoEvolving) — the union read NULLs the old
+    // rows; the oracle replays the split with a CASE on the date
+    "q_schema_evolution" -> ((spark, dir) => schemaEvolutionFixture(spark, dir).readBack),
+
     // the SQL DDL surface: CREATE TABLE through the graft catalog (schema
     // opened via registerSchema), first INSERT aligned to the DECLARED
     // columns, read back — the whole lifecycle in SQL text
@@ -781,6 +787,46 @@ object SparkEntry {
       SqlMergeMixedFixture(spark, t)
     })
 
+  /** q_schema_evolution fixture: narrow history + evolved recent days.
+    * Only the build is memoized. */
+  private final case class SchemaEvolutionFixture(
+      engine: VersionedTables, table: TableDefinition) {
+    def readBack: DataFrame = engine.read(table)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("value")).as("nv"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+  }
+
+  private val schemaEvolutionFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SchemaEvolutionFixture]()
+  private val schemaEvolutionFixtureSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def schemaEvolutionFixture(spark: SparkSession, sfDir: String): SchemaEvolutionFixture =
+    schemaEvolutionFixtureCache.computeIfAbsent((spark, sfDir), _ => {
+      Tables.prepare(spark)
+      val n = schemaEvolutionFixtureSeq.incrementAndGet()
+      val root = graft.FixtureTempDirs.create("graft-evolve-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", s"events_evolve_$n"),
+        root.resolve("events_evolve").toUri, PartitionSchema("event_date"),
+        FileFormat.Parquet, options = Map("mergeSchema" -> "true"))
+      engine.initTable(table, UserId("driver"), "init")
+      val events = Tables.events(spark, sfDir)
+        .withColumn("event_date", to_date(col("ts")))
+        .localCheckpoint()
+      val cutoff = java.sql.Date.valueOf(
+        events.agg(max(col("event_date"))).head().getDate(0).toLocalDate.minusDays(5))
+      events.filter(col("event_date") < lit(cutoff))
+        .select("event_id", "event_type", "event_date")
+        .repartition(col("event_date"))
+        .versionedInsertInto(engine, table, UserId("driver"), "narrow history")
+      events.filter(col("event_date") >= lit(cutoff))
+        .select("event_id", "event_type", "value", "event_date")
+        .repartition(col("event_date"))
+        .versionedInsertIntoEvolving(engine, table, UserId("driver"), "evolved +value")
+      SchemaEvolutionFixture(engine, table)
+    })
+
   /** q_sql_create fixture: the SQL-only lifecycle — open a schema for DDL,
     * CREATE TABLE (declared schema + stats TBLPROPERTIES), INSERT INTO
     * positionally (the declaration aligns it), read back. Only the build
@@ -1056,6 +1102,16 @@ object SparkEntry {
       // rows, every 10th click gains +100 (the partial target-referencing
       // UPDATE), and every 100th view spawns a 'synthetic' insert carrying
       // its value
+      // schema evolution replayed: value exists only where the date is in
+      // the evolved (last-five-days) slice
+      "q_schema_evolution" ->
+        s"""SELECT event_type, COUNT(*) AS n,
+           |  COUNT(CASE WHEN CAST(ts AS DATE) >=
+           |    (SELECT MAX(CAST(ts AS DATE)) FROM events) - 5 THEN value END) AS nv,
+           |  CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) >=
+           |    (SELECT MAX(CAST(ts AS DATE)) FROM events) - 5 THEN value END
+           |    AS DECIMAL(18,2))) AS DOUBLE) AS v
+           |FROM events GROUP BY 1""".stripMargin,
       // DDL lifecycle: create+insert+select equals the plain aggregate
       "q_sql_create" ->
         s"""SELECT CAST(ts AS DATE) AS event_date, event_type, $duckFixtureAgg

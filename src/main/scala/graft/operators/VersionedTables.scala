@@ -537,7 +537,8 @@ final class VersionedTables(
     * mixed-schema partitions — use the `If` variant when replaceAll writers
     * may run concurrently. */
   private[operators] def requireCompatibleSchema(
-      table: TableDefinition, df: DataFrame): Option[CommitId] = {
+      table: TableDefinition, df: DataFrame,
+      allowAdditive: Boolean = false): Option[CommitId] = {
     if (table.format != FileFormat.Parquet && table.format != FileFormat.Orc) return None
     // a snapshot insert REPLACES the entire visible table (AddTableVersion)
     // — every read loads exactly one self-contained version dir, so mixed
@@ -562,15 +563,34 @@ final class VersionedTables(
       // an empty existing shape means the sample was unreadable (e.g. an
       // adopted partition whose files are gone) — nothing trustworthy to
       // compare against, so don't fabricate a drift error
-      if (existing.nonEmpty && existing != incoming)
+      val widens = allowAdditive && existing != incoming &&
+        existing.forall(incoming.contains)
+      if (widens) {
+        // ADDITIVE evolution (versionedInsertIntoEvolving): every existing
+        // column keeps its name and type, new columns join. The table MUST
+        // read with mergeSchema — a multi-version read that samples an OLD
+        // file's footer would otherwise silently drop the new columns.
+        val merges = table.options.exists { case (k, v) =>
+          k.equalsIgnoreCase("mergeSchema") && v.equalsIgnoreCase("true")
+        }
+        require(merges,
+          s"additive schema evolution on ${table.name} requires the TableDefinition's " +
+            "options to include mergeSchema=true: a read across mixed-schema versions " +
+            "samples one footer without it and would silently drop the new columns")
+      } else if (existing.nonEmpty && existing != incoming)
         throw new IllegalArgumentException(
           s"Schema drift on partial write to ${table.name}: table has " +
             s"${existing.map { case (n, t) => s"$n:$t" }.mkString("[", ", ", "]")} but the dataset has " +
             s"${incoming.map { case (n, t) => s"$n:$t" }.mkString("[", ", ", "]")}. " +
-            "This engine has no schema evolution; a partial insert under a different schema " +
-            "would leave mixed-schema partitions. Align the dataset's columns, or use " +
-            "versionedReplaceAll to rewrite the whole table under the new schema.")
-      schemaShapeCache.put(table.name, (st.currentVersion, existing))
+            (if (allowAdditive)
+              "Evolution is ADDITIVE only: every existing column must keep its name and " +
+                "type (use versionedReplaceAll to rewrite the table under a new shape)."
+            else
+              "A partial insert under a different schema would leave mixed-schema " +
+                "partitions. Align the dataset's columns, use versionedInsertIntoEvolving " +
+                "for additive column adds, or versionedReplaceAll to rewrite the whole " +
+                "table under the new schema."))
+      if (!widens) schemaShapeCache.put(table.name, (st.currentVersion, existing))
     }
     Some(st.currentVersion)
   }
@@ -884,6 +904,38 @@ object VersionedTables {
         clusterBy: Seq[String]): (TableVersion, TableChanges) =
       write(engine, table, userId, message, clusterBy, replaceAll = false)
 
+    /** [[versionedInsertInto]] with ADDITIVE schema evolution: the dataset
+      * may carry NEW columns — every existing column must keep its exact
+      * name and type (widening or renames refuse; rewrite via
+      * [[versionedReplaceAll]] for those). Requires the TableDefinition's
+      * options to include `mergeSchema=true`, because after the first
+      * evolving commit the table's versions hold MIXED file schemas: a
+      * multi-version read must merge footers or it could sample an old
+      * file and silently drop the new columns. Old rows read NULL in the
+      * new columns; time travel to pre-evolution commits shows the old
+      * schema — history stays honest. */
+    def versionedInsertIntoEvolving(
+        engine: VersionedTables,
+        table: TableDefinition,
+        userId: UserId,
+        message: String,
+        clusterBy: Seq[String] = Nil): (TableVersion, TableChanges) =
+      write(engine, table, userId, message, clusterBy, replaceAll = false,
+        allowAdditive = true)
+
+    /** [[versionedInsertIntoEvolving]] with the CAS guard of
+      * [[versionedInsertIntoIf]] — the form concurrent writers should use:
+      * the schema is verified against the head the commit CASes on. */
+    def versionedInsertIntoEvolvingIf(
+        engine: VersionedTables,
+        table: TableDefinition,
+        userId: UserId,
+        message: String,
+        expectedHead: CommitId,
+        clusterBy: Seq[String] = Nil): (TableVersion, TableChanges) =
+      write(engine, table, userId, message, clusterBy, replaceAll = false,
+        Some(expectedHead), allowAdditive = true)
+
     /** INSERT-OVERWRITE-TABLE semantics for partitioned tables: one atomic
       * commit that adds every partition present in `ds` AND removes every
       * current partition absent from it — the table's visible content becomes
@@ -1000,8 +1052,10 @@ object VersionedTables {
         message: String,
         clusterBy: Seq[String],
         replaceAll: Boolean,
-        expectedHead: Option[CommitId] = None): (TableVersion, TableChanges) = {
-      val staged = stage(engine, table, userId, message, clusterBy, replaceAll, expectedHead)
+        expectedHead: Option[CommitId] = None,
+        allowAdditive: Boolean = false): (TableVersion, TableChanges) = {
+      val staged = stage(engine, table, userId, message, clusterBy, replaceAll, expectedHead,
+        allowAdditive = allowAdditive)
       expectedHead match {
         case Some(h) => staged.publishIf(h)
         case None    => staged.publish()
@@ -1016,12 +1070,13 @@ object VersionedTables {
         clusterBy: Seq[String],
         replaceAll: Boolean,
         expectedHead: Option[CommitId],
-        writeManifest: Boolean = false): StagedWrite = {
+        writeManifest: Boolean = false,
+        allowAdditive: Boolean = false): StagedWrite = {
       checkSparkConfigs(ds.sparkSession)
       // replace-all rewrites the whole visible table, so it is ALLOWED to
       // change the schema; a partial insert is not (mixed-schema partitions)
       if (!replaceAll) {
-        val verifiedAt = engine.requireCompatibleSchema(table, ds.toDF())
+        val verifiedAt = engine.requireCompatibleSchema(table, ds.toDF(), allowAdditive)
         // CAS'd insert whose expected head ALREADY diverges from the head the
         // schema was verified at: the commitIf below would fail anyway — fail
         // fast here, before paying the full data write

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.core._
+import graft.operators.VersionedTables._
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Additive schema evolution (versionedInsertIntoEvolving): new columns
+  * join, old rows read NULL in them, pre-evolution commits time-travel
+  * with the OLD schema, non-additive shapes refuse, and the mergeSchema
+  * read-option contract is enforced at write time. */
+class SchemaEvolutionSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def newTable(options: Map[String, String]): (VersionedTables, TableDefinition) = {
+    val dir = Files.createTempDirectory("graft-evolve-").toFile
+    val engine = VersionedTables.withFileStore(spark,
+      new java.io.File(dir, "store").toURI)
+    val table = TableDefinition(TableName("evo", s"t${seq.incrementAndGet()}"),
+      new java.io.File(dir, "t").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      options = options)
+    engine.initTable(table, UserId("t"), "init")
+    (engine, table)
+  }
+
+  behavior of "versionedInsertIntoEvolving"
+
+  it should "add columns additively: union schema, NULL for old rows, honest time travel" in {
+    val (engine, table) = newTable(Map("mergeSchema" -> "true"))
+    Seq((1L, "d1"), (2L, "d1"), (3L, "d2")).toDF("k", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "v1 narrow")
+    val preEvolution = engine.headCommit(table.name)
+    Seq((10L, "x", "d3"), (11L, "y", "d3")).toDF("k", "extra", "day")
+      .versionedInsertIntoEvolving(engine, table, UserId("t"), "v2 +extra")
+    val cur = engine.read(table)
+    cur.columns.toSet shouldBe Set("k", "extra", "day")
+    cur.count() shouldBe 5
+    cur.filter(col("extra").isNull).select("k").as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 3L) // old rows NULL in the new column
+    cur.filter(col("extra") === "x").select("k").head().getLong(0) shouldBe 10L
+    // pre-evolution time travel: the OLD schema, not a NULL-padded new one
+    engine.readAt(table, preEvolution).columns.toSet shouldBe Set("k", "day")
+    // writes into EXISTING partitions with the evolved schema keep working
+    // (versionedInsertInto semantics: the touched partition is REPLACED)
+    Seq((4L, "z", "d1")).toDF("k", "extra", "day")
+      .versionedInsertIntoEvolving(engine, table, UserId("t"), "v3 into d1")
+    val d1 = engine.read(table).filter(col("day") === "d1")
+    d1.count() shouldBe 1
+    d1.select("k", "extra").head() shouldBe org.apache.spark.sql.Row(4L, "z")
+  }
+
+  it should "refuse evolution without the mergeSchema read option" in {
+    val (engine, table) = newTable(Map.empty)
+    Seq((1L, "d1")).toDF("k", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "v1")
+    val e = intercept[IllegalArgumentException] {
+      Seq((2L, "x", "d2")).toDF("k", "extra", "day")
+        .versionedInsertIntoEvolving(engine, table, UserId("t"), "v2")
+    }
+    e.getMessage should include("mergeSchema=true")
+  }
+
+  it should "refuse non-additive shapes: renames, type changes, dropped columns" in {
+    val (engine, table) = newTable(Map("mergeSchema" -> "true"))
+    Seq((1L, 1.5, "d1")).toDF("k", "v", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "v1")
+    def refuses(df: org.apache.spark.sql.DataFrame): Unit = {
+      intercept[IllegalArgumentException] {
+        df.versionedInsertIntoEvolving(engine, table, UserId("t"), "bad")
+      }.getMessage should include("ADDITIVE")
+      ()
+    }
+    refuses(Seq((2L, 2.5, "d2")).toDF("k", "v2", "day"))            // rename
+    refuses(Seq((2L, "s", "d2")).toDF("k", "v", "day"))             // type change
+    refuses(Seq((2L, "d2")).toDF("k", "day"))                       // dropped column
+  }
+
+  it should "keep the plain insert guard, pointing at the evolving API" in {
+    val (engine, table) = newTable(Map("mergeSchema" -> "true"))
+    Seq((1L, "d1")).toDF("k", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "v1")
+    val e = intercept[IllegalArgumentException] {
+      Seq((2L, "x", "d2")).toDF("k", "extra", "day")
+        .versionedInsertInto(engine, table, UserId("t"), "v2")
+    }
+    e.getMessage should include("versionedInsertIntoEvolving")
+  }
+
+  it should "evolve under CAS: stale heads conflict instead of mixing schemas" in {
+    val (engine, table) = newTable(Map("mergeSchema" -> "true"))
+    Seq((1L, "d1")).toDF("k", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "v1")
+    val head = engine.headCommit(table.name)
+    Seq((2L, "d2")).toDF("k", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "concurrent")
+    intercept[CommitConflictError] {
+      Seq((3L, "x", "d3")).toDF("k", "extra", "day")
+        .versionedInsertIntoEvolvingIf(engine, table, UserId("t"), "stale", head)
+    }
+    // rebased on the current head it lands
+    Seq((3L, "x", "d3")).toDF("k", "extra", "day")
+      .versionedInsertIntoEvolvingIf(engine, table, UserId("t"), "rebased",
+        engine.headCommit(table.name))
+    engine.read(table).columns.toSet shouldBe Set("k", "extra", "day")
+  }
+}
