@@ -117,9 +117,11 @@ object MergeApply {
         notMatched: Seq[NotMatchedInsert] = Nil,
         notMatchedBySource: Seq[BySourceAction] = Nil,
         clusterBy: Seq[String] = Nil,
-        requireDistinctSourceKeys: Boolean = true): VersionedMerge.MergeResult =
+        requireDistinctSourceKeys: Boolean = true,
+        evolveSchema: Boolean = false): VersionedMerge.MergeResult =
       MergeApply.run(engine, table, source, keyColumns, userId, message,
-        matched, notMatched, notMatchedBySource, clusterBy, requireDistinctSourceKeys)
+        matched, notMatched, notMatchedBySource, clusterBy, requireDistinctSourceKeys,
+        evolveSchema)
   }
 
   // ---------------------------------------------------------------------
@@ -136,7 +138,8 @@ object MergeApply {
       notMatched: Seq[NotMatchedInsert],
       notMatchedBySource: Seq[BySourceAction],
       clusterBy: Seq[String],
-      requireDistinctSourceKeys: Boolean): VersionedMerge.MergeResult = {
+      requireDistinctSourceKeys: Boolean,
+      evolveSchema: Boolean): VersionedMerge.MergeResult = {
 
     require(keyColumns.nonEmpty, "mergeApply needs at least one key column")
     require(matched0.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
@@ -265,10 +268,17 @@ object MergeApply {
     val bySourceDeleteCodes: Seq[Int] = bySourceCodes.collect { case (_: BySourceDelete, i) => i }
     val dropCodes: Seq[Int] = matchedDeleteCodes ++ bySourceDeleteCodes :+ Drop
 
-    def chainValues(updates: Seq[(Int, Column)], f: StructField): Column =
-      updates.foldRight(col(s"`${f.name}`"): Column) { case ((code, expr), els) =>
+    def chainValues(updates: Seq[(Int, Column)], f: StructField,
+        existing: Set[String]): Column = {
+      // an evolved (new) column has no physical base on the slice: kept
+      // rows read NULL in it, exactly like old files under mergeSchema
+      val base: Column =
+        if (existing(f.name.toLowerCase)) col(s"`${f.name}`")
+        else lit(null).cast(f.dataType)
+      updates.foldRight(base) { case ((code, expr), els) =>
         when(col(ActionCol) === lit(code), expr).otherwise(els)
       }.cast(f.dataType).as(f.name)
+    }
 
     def matchedUpdatesFor(f: StructField): Seq[(Int, Column)] =
       matchedCodes.collect {
@@ -283,15 +293,16 @@ object MergeApply {
 
     // the rewritten value of target column `f` on the joined slice (both
     // clause families — the single-slice shape)
-    def rewriteValue(f: StructField): Column =
-      chainValues(matchedUpdatesFor(f) ++ bySourceUpdatesFor(f), f)
+    def rewriteValue(f: StructField, existing: Set[String]): Column =
+      chainValues(matchedUpdatesFor(f) ++ bySourceUpdatesFor(f), f, existing)
 
     def dropFilter(df: DataFrame, codes: Seq[Int]): DataFrame =
       if (codes.isEmpty) df
       else df.filter(not(col(ActionCol).isin(codes.map(Int.box): _*)))
 
     /** slice (target rows) → rewritten rows, target schema. */
-    def rewriteSlice(slice: DataFrame, targetSchema: StructType): DataFrame = {
+    def rewriteSlice(slice: DataFrame, targetSchema: StructType,
+        existing: Set[String]): DataFrame = {
       // matched rows need the source row's columns only if a matched clause
       // exists; otherwise a distinct-key presence marker suffices (and
       // cannot duplicate kept rows under duplicate source keys)
@@ -311,13 +322,14 @@ object MergeApply {
         chain(matchedCodes.map { case (a, i) => (a.condition, i) }, Keep))
         .otherwise(chain(bySourceCodes.map { case (a, i) => (a.condition, i) }, Keep))
       dropFilter(joined.withColumn(ActionCol, action), dropCodes)
-        .select(targetSchema.map(rewriteValue): _*)
+        .select(targetSchema.map(rewriteValue(_, existing)): _*)
     }
 
     /** matched target rows (from the candidate slice) → their post-images:
       * inner join with the renamed source, matched-clause dispatch, deletes
       * dropped, updates applied (possibly moving rows across partitions). */
-    def rewriteMatched(candFull: DataFrame, targetSchema: StructType): DataFrame = {
+    def rewriteMatched(candFull: DataFrame, targetSchema: StructType,
+        existing: Set[String]): DataFrame = {
       val renamed = source.select(
         source.columns.map(c => col(s"`$c`").as(SourcePrefix + c.toLowerCase)): _*)
       val joinCond = keyColumns.map(k =>
@@ -325,16 +337,17 @@ object MergeApply {
       val joined = candFull.join(renamed, joinCond, "inner")
         .withColumn(ActionCol, chain(matchedCodes.map { case (a, i) => (a.condition, i) }, Keep))
       dropFilter(joined, matchedDeleteCodes)
-        .select(targetSchema.map(f => chainValues(matchedUpdatesFor(f), f)): _*)
+        .select(targetSchema.map(f => chainValues(matchedUpdatesFor(f), f, existing)): _*)
     }
 
     /** UNMATCHED rows of the touched slice (matched ones are emitted by
       * [[rewriteMatched]]) → by-source dispatch. */
-    def rewriteUnmatched(slice: DataFrame, targetSchema: StructType): DataFrame = {
+    def rewriteUnmatched(slice: DataFrame, targetSchema: StructType,
+        existing: Set[String]): DataFrame = {
       val un = slice.join(keyFrame, keyColumns.toSeq, "left_anti")
         .withColumn(ActionCol, chain(bySourceCodes.map { case (a, i) => (a.condition, i) }, Keep))
       dropFilter(un, bySourceDeleteCodes)
-        .select(targetSchema.map(f => chainValues(bySourceUpdatesFor(f), f)): _*)
+        .select(targetSchema.map(f => chainValues(bySourceUpdatesFor(f), f, existing)): _*)
     }
 
     /** source rows that match nothing → inserted rows, target schema.
@@ -362,20 +375,47 @@ object MergeApply {
     def dropVersionCol(schema: StructType): StructType =
       StructType(schema.filterNot(_.name == Version.VersionColumn).toArray)
 
+    /** (output schema, physically-present column names in lowercase):
+      * with `evolveSchema`, source columns missing from the read schema
+      * JOIN the output (nullable, source types) — under the same
+      * mergeSchema contract as versionedInsertIntoEvolving, because the
+      * write leaves mixed file schemas behind. */
+    def extendSchema(read: StructType): (StructType, Set[String]) = {
+      val existing = read.fieldNames.map(_.toLowerCase).toSet
+      if (!evolveSchema) (read, existing)
+      else {
+        val extra = source.schema.fields
+          .filterNot(f => existing(f.name.toLowerCase))
+          .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true))
+        if (extra.nonEmpty) {
+          val merges = table.options.exists { case (k, v) =>
+            k.equalsIgnoreCase("mergeSchema") && v.equalsIgnoreCase("true")
+          }
+          require(merges,
+            s"mergeApply(evolveSchema=true) on ${table.name.fullyQualifiedName} requires " +
+              "the TableDefinition's options to include mergeSchema=true: the merge " +
+              "leaves mixed file schemas, and a read sampling one footer would silently " +
+              "drop the new columns")
+        }
+        (StructType(read.fields ++ extra), existing)
+      }
+    }
+
     snapshot match {
       case SnapshotTableVersion(_) =>
         // snapshot table = one unit of data: the whole table is the slice
         // (and the schema scope)
         val currentAll = engine.readVersion(table, snapshot)
-        val targetSchema = dropVersionCol(currentAll.schema)
-        val targetCols = validate(targetSchema)
-        val current = currentAll.select(targetCols.map(c => col(s"`$c`")): _*)
+        val readSchema = dropVersionCol(currentAll.schema)
+        val (targetSchema, existing) = extendSchema(readSchema)
+        validate(targetSchema)
+        val current = currentAll.select(readSchema.fieldNames.map(c => col(s"`$c`")).toSeq: _*)
         val inserts =
           if (notMatched.isEmpty) None
           else Some(insertRows(
             source.join(keyOnly(current, keyColumns), keyColumns.toSeq, "left_anti"),
             targetSchema))
-        val out0 = rewriteSlice(current, targetSchema)
+        val out0 = rewriteSlice(current, targetSchema, existing)
         val out = inserts.map(out0.unionByName(_)).getOrElse(out0)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -416,11 +456,13 @@ object MergeApply {
         // Only a merge that touches nothing prunable (pure insert into a
         // table with zero candidates) falls back to the unscoped read.
         val scopedPvs = candidates ++ pvs.filter { case (p, _) => bySourceParts(p) }
-        val targetSchema = dropVersionCol(
+        val readSchema = dropVersionCol(
           if (scopedPvs.nonEmpty)
             engine.readVersion(table, PartitionedTableVersion(scopedPvs)).schema
           else engine.read(table).schema)
-        val targetCols = validate(targetSchema)
+        val (targetSchema, existing) = extendSchema(readSchema)
+        validate(targetSchema)
+        val readCols = readSchema.fieldNames.toSeq
 
         // one persisted candidate read serves matched-partition discovery,
         // the matched rewrite, and insert suppression: full columns when a
@@ -430,7 +472,7 @@ object MergeApply {
           else {
             val slice = engine.readVersion(table, PartitionedTableVersion(candidates))
             val projected =
-              if (matched.nonEmpty) slice.select(targetCols.map(c => col(s"`$c`")): _*)
+              if (matched.nonEmpty) slice.select(readCols.map(c => col(s"`$c`")): _*)
               else slice.select((keyColumns ++ partCols.filterNot(p =>
                 keyColumns.exists(_.equalsIgnoreCase(p)))).map(c => col(s"`$c`")): _*)
             Some(projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -450,7 +492,7 @@ object MergeApply {
           // consumer, the destination-partition discovery.
           val matchedOut: Option[DataFrame] =
             if (matched.isEmpty) None
-            else candSlice.map(rewriteMatched(_, targetSchema)).map(mo =>
+            else candSlice.map(rewriteMatched(_, targetSchema, existing)).map(mo =>
               if (movesPossible)
                 mo.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               else mo)
@@ -503,7 +545,7 @@ object MergeApply {
                   val fresh =
                     if (freshPvs.isEmpty) None
                     else Some(engine.readVersion(table, PartitionedTableVersion(freshPvs))
-                      .select(targetCols.map(c => col(s"`$c`")): _*))
+                      .select(readCols.map(c => col(s"`$c`")): _*))
                   val fromCand = candSlice.filter(_ => candTouched.nonEmpty).map { cs =>
                     if (candTouched == candidates.keySet) cs
                     else cs.filter(partitionMember(candTouched))
@@ -515,11 +557,11 @@ object MergeApply {
                     case (None, None)       => return VersionedMerge.MergeResult(
                       snapshot, TableChanges.empty, Nil, Nil) // unreachable: touched nonEmpty
                   }
-                  Some(rewriteUnmatched(slice, targetSchema))
+                  Some(rewriteUnmatched(slice, targetSchema, existing))
                 } else
                   Some(rewriteSlice(
                     engine.readVersion(table, PartitionedTableVersion(touchedPvs))
-                      .select(targetCols.map(c => col(s"`$c`")): _*), targetSchema))
+                      .select(readCols.map(c => col(s"`$c`")): _*), targetSchema, existing))
               val pieces = Seq(rewritten, matchedOut, inserts).flatten
               if (pieces.isEmpty)
                 return VersionedMerge.MergeResult(snapshot, TableChanges.empty, Nil, Nil)

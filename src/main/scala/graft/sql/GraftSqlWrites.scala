@@ -208,6 +208,14 @@ object GraftSqlWrites {
     * target order with casts). */
   private def align(df: DataFrame, target: StructType, byName: Boolean): DataFrame =
     if (byName) {
+      // extra source columns refuse LOUDLY rather than dropping silently: a
+      // producer adding a column expects it to land (that is schema
+      // evolution — versionedInsertIntoEvolving), not to vanish
+      val extras = df.columns.filterNot(c => target.exists(_.name.equalsIgnoreCase(c)))
+      require(extras.isEmpty,
+        s"INSERT BY NAME: columns ${extras.mkString(", ")} are not in the table — " +
+          "dropping them silently would hide a schema change; project them away, or " +
+          "evolve the table with versionedInsertIntoEvolving")
       val cols: Seq[Column] = target.map { f =>
         val c = df.columns.find(_.equalsIgnoreCase(f.name)).getOrElse(
           throw new IllegalArgumentException(

@@ -224,6 +224,49 @@ class MergeApplySpec extends AnyFlatSpec with Matchers {
     engine.log(table.name).size shouldBe log0
   }
 
+  behavior of "mergeApply — schema evolution"
+
+  it should "add source columns with evolveSchema: clauses write them, kept rows read NULL" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mrg-evo-")
+    val engine = VersionedTables.withFileStore(spark, dir.resolve("store").toUri)
+    val table = TableDefinition(TableName("mrg", "evo1"), dir.resolve("t").toUri,
+      PartitionSchema("day"), FileFormat.Parquet, options = Map("mergeSchema" -> "true"))
+    engine.initTable(table, UserId("t"), "init")
+    import spark.implicits._
+    Seq((1L, "d1"), (2L, "d1"), (3L, "d2")).toDF("k", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "narrow")
+    val pre = engine.headCommit(table.name)
+    val source = Seq((1L, "d1", "hot"), (9L, "d2", "fresh")).toDF("k", "day", "tag")
+    engine.mergeApply(table, source, Seq("day", "k"), UserId("t"), "evolve",
+      matched = Seq(MatchedUpdate(None, Map("tag" -> col("s.tag")))),
+      notMatched = Seq(NotMatchedInsert(None,
+        Map("k" -> col("k"), "day" -> col("day"), "tag" -> col("tag")))),
+      evolveSchema = true)
+    val cur = engine.read(table)
+    cur.columns.toSet shouldBe Set("k", "day", "tag")
+    cur.count() shouldBe 4
+    cur.filter(col("tag") === "hot").select("k").head().getLong(0) shouldBe 1L
+    cur.filter(col("tag") === "fresh").select("k").head().getLong(0) shouldBe 9L
+    cur.filter(col("tag").isNull).select("k").as[Long].collect().sorted shouldBe Array(2L, 3L)
+    // pre-merge time travel keeps the narrow schema
+    engine.readAt(table, pre).columns.toSet shouldBe Set("k", "day")
+  }
+
+  it should "refuse evolveSchema without the mergeSchema option, and unknown SET columns without it" in {
+    val (engine, table) = fixture() // no mergeSchema option
+    val source = spark.range(3).select(col("id"), lit("2024-01-01").as("day"),
+      lit("x").as("tag"))
+    intercept[IllegalArgumentException] {
+      engine.mergeApply(table, source, Seq("day", "id"), UserId("t"), "evolve",
+        matched = Seq(MatchedUpdate(None, Map("tag" -> col("s.tag")))),
+        evolveSchema = true)
+    }.getMessage should include("mergeSchema=true")
+    intercept[IllegalArgumentException] {
+      engine.mergeApply(table, source, Seq("day", "id"), UserId("t"), "no-evolve",
+        matched = Seq(MatchedUpdate(None, Map("tag" -> col("s.tag")))))
+    }.getMessage should include("is not a column")
+  }
+
   behavior of "mergeApply — refusals"
 
   it should "MOVE rows when a matched update SETs a partition column" in {
