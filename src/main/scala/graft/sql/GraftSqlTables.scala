@@ -439,10 +439,20 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
         GraftUpdateCommand(GraftDmlTargets.lookup(t).get, set,
           cond.map(byName).getOrElse(org.apache.spark.sql.functions.lit(true)))
       // SQL MERGE INTO, step 1 (the source resolves on its own — it may
-      // be any query, graft reads included)
-      case m: MergeIntoTable if dmlTargetEntry(m.targetTable).isDefined =>
+      // be any query, graft reads included). WITH SCHEMA EVOLUTION waits
+      // for the source, then substitutes the target EXTENDED by the
+      // missing source columns as typed NULLs — that is what lets the
+      // evolution assignments (SET tag = s.tag) resolve at all; the
+      // general merge then persists the widened schema for real.
+      case m: MergeIntoTable
+          if dmlTargetEntry(m.targetTable).isDefined &&
+            (!m.withSchemaEvolution || m.sourceTable.resolved) =>
+        val extendWith: Seq[org.apache.spark.sql.types.StructField] =
+          if (!m.withSchemaEvolution) Seq.empty
+          else m.sourceTable.output.map(a =>
+            org.apache.spark.sql.types.StructField(a.name, a.dataType, nullable = true))
         m.copy(targetTable =
-          substituteDmlTarget(m.targetTable, dmlTargetEntry(m.targetTable).get))
+          substituteDmlTarget(m.targetTable, dmlTargetEntry(m.targetTable).get, extendWith))
       // step 2: fully resolved → the keyed versioned merge, for the shapes
       // VersionedMerge implements (see [[convertMerge]]); unsupported
       // shapes raise a specific error rather than falling to Spark's
@@ -508,7 +518,6 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
         s"MERGE INTO graft.${entry.table.name.fullyQualifiedName}: $what is not " +
           "supported — merge keys must be t.k = s.k equalities and clause " +
           "expressions must be deterministic and subquery-free")
-    if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
 
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
@@ -546,7 +555,7 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
 
     // ---- the keyed fast path, when the statement IS a source-row replace
     val keyed: Option[LogicalPlan] =
-      if (m.notMatchedBySourceActions.nonEmpty) None
+      if (m.notMatchedBySourceActions.nonEmpty || m.withSchemaEvolution) None
       else (m.matchedActions, m.notMatchedActions) match {
         case (Seq(UpdateAction(None, as, _)), Seq(InsertAction(None, ins)))
             if isStarAssignments(as) && isStarAssignments(ins) =>
@@ -604,7 +613,8 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
       case other => unsupported(s"not-matched-by-source-clause shape $other")
     }
     GraftMergeApplyCommand(
-      entry, keys, m.sourceTable, matchedClauses, insertClauses, bySourceClauses)
+      entry, keys, m.sourceTable, matchedClauses, insertClauses, bySourceClauses,
+      evolveSchema = m.withSchemaEvolution)
   }
 
   /** An UNSUBSTITUTED graft DML target: the inner UnresolvedRelation of a
@@ -619,19 +629,39 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
   /** Swap the inner relation for the analyzed read plan, preserving alias
     * wrappers (the `tgt.` qualifier must keep resolving), and record every
     * wrapper level so step 2's lookup matches whatever the analyzer hands
-    * back. */
+    * back. `extendWith` (MERGE WITH SCHEMA EVOLUTION) projects the fields
+    * missing from the read as typed NULL columns on top, so assignments
+    * and conditions naming them resolve. */
   private def substituteDmlTarget(
-      p: LogicalPlan, e: GraftTableRegistry.Entry): LogicalPlan = p match {
-    case _: UnresolvedRelation =>
-      val read = analyzedPlan(e.engine.read(e.table))
-      GraftDmlTargets.record(read, e)
-      read
-    case a: SubqueryAlias =>
-      val na = a.copy(child = substituteDmlTarget(a.child, e))
-      GraftDmlTargets.record(na, e)
-      na
-    case other => other
-  }
+      p: LogicalPlan, e: GraftTableRegistry.Entry,
+      extendWith: Seq[org.apache.spark.sql.types.StructField] = Seq.empty): LogicalPlan =
+    p match {
+      case _: UnresolvedRelation =>
+        val read0 = analyzedPlan(e.engine.read(e.table))
+        val extras = extendWith.filterNot(f =>
+          read0.output.exists(_.name.equalsIgnoreCase(f.name)))
+        val read =
+          if (extras.isEmpty) read0
+          else {
+            import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+            // a TYPED null literal, deliberately NOT Cast(null): the
+            // analyzer's timezone rule rewrites Casts, and the copy would
+            // no longer compare equal to the plan recorded below — the
+            // step-2 lookup would miss and the statement would fall to
+            // Spark's "does not support MERGE" planner error
+            org.apache.spark.sql.catalyst.plans.logical.Project(
+              read0.output ++ extras.map(f =>
+                Alias(Literal(null, f.dataType), f.name)()),
+              read0)
+          }
+        GraftDmlTargets.record(read, e)
+        read
+      case a: SubqueryAlias =>
+        val na = a.copy(child = substituteDmlTarget(a.child, e, extendWith))
+        GraftDmlTargets.record(na, e)
+        na
+      case other => other
+    }
 
   /** Analysis-time substituted DML target plans → their graft table: the
     * identity step 2 of the DELETE/UPDATE conversion reads. Weak — entries

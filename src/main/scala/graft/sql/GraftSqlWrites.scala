@@ -362,7 +362,8 @@ final case class GraftMergeApplyCommand(
     source: LogicalPlan,
     matched: Seq[graft.operators.MergeApply.MatchedAction],
     notMatched: Seq[graft.operators.MergeApply.NotMatchedInsert],
-    notMatchedBySource: Seq[graft.operators.MergeApply.BySourceAction])
+    notMatchedBySource: Seq[graft.operators.MergeApply.BySourceAction],
+    evolveSchema: Boolean = false)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
@@ -372,7 +373,8 @@ final case class GraftMergeApplyCommand(
     val user = UserId(session.conf.get(GraftSqlWrites.UserKey, session.sparkContext.sparkUser))
     entry.engine.mergeApply(entry.table, GraftSqlBridge.ofRows(session, source),
       keyColumns, user, s"SQL MERGE INTO ${entry.table.name.fullyQualifiedName}",
-      matched = matched, notMatched = notMatched, notMatchedBySource = notMatchedBySource)
+      matched = matched, notMatched = notMatched, notMatchedBySource = notMatchedBySource,
+      evolveSchema = evolveSchema)
     Seq.empty
   }
 
