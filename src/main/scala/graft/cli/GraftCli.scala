@@ -38,6 +38,7 @@ import java.time.Instant
  *   graft-cli --store <uri> delete <schema.table> <tableLocation> --where <sql predicate> [--partition-by c1,c2] [--format F]
  *   graft-cli --store <uri> update <schema.table> <tableLocation> --where <sql predicate> --set col=expr [--set col=expr ...] [--partition-by c1,c2] [--format F]
  *   graft-cli --store <uri> merge <schema.table> <tableLocation> <sourceUri> --keys k1[,k2] [--delete-when <sql predicate>] [--partition-by c1,c2] [--format F] [--source-format F]
+ *   graft-cli --store <uri> optimize <schema.table> <tableLocation> [--zorder c1,c2] [--files N] [--partition-by c1,c2] [--format F]
  * }}}
  * `--store` may be omitted when `GRAFT_STORE` is set or a config file exists
  * (`--config <path>`, default `~/.graft/config`): a simple `key: value` file
@@ -420,6 +421,41 @@ object GraftCli {
         }
       }
 
+      // optimize <table> <location> [--partition-by ...] [--zorder c1,c2]
+      // [--files N] — the SQL OPTIMIZE verb's CLI twin: CAS-guarded layout
+      // rewrite, plain compaction or Morton clustering
+      case List("optimize", name, location) => withTable(name) { t =>
+        withTableDef(t, location, flags, out) { table =>
+          withFlavorChecked(t, table) {
+            val zorder = flags.get("zorder").toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            val spark = cliSpark()
+            val engine = new graft.operators.VersionedTables(spark, tracker)
+            val msg = if (message.nonEmpty) message else
+              s"optimize${if (zorder.nonEmpty) s" zorder (${zorder.mkString(", ")})" else ""}"
+            val (_, changes) =
+              if (zorder.isEmpty) {
+                val files = flags.get("files").flatMap(_.toIntOption).getOrElse(1)
+                engine.compact(table, user, msg, filesPerPartition = files)
+              } else {
+                zorder.find(c => table.partitionSchema.columnNames
+                    .exists(_.equalsIgnoreCase(c))).foreach { c =>
+                  out.println(s"error: --zorder column '$c' is a partition column"); return 2
+                }
+                import graft.operators.VersionedTables.DatasetVersionedOps
+                val state = tracker.tableState(t)
+                val files = flags.get("files").flatMap(_.toIntOption)
+                  .getOrElse(math.max(spark.sparkContext.defaultParallelism, 2))
+                graft.operators.ScaleTools.zorderBy(engine.read(table), zorder, files)
+                  .versionedInsertIntoIf(engine, table, user, msg, state.currentVersion)
+              }
+            out.println(s"optimized ${tracker.currentRef(t).id} " +
+              s"(${changes.operations.size} partition ops)")
+            0
+          }
+        }
+      }
+
       // delete <table> <location> --where <sql predicate> — predicate
       // DELETE through graft.operators.VersionedDml: stats/Bloom-pruned
       // partition discovery, only matched partitions rewritten, emptied
@@ -628,7 +664,7 @@ object GraftCli {
 
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|row-changes|delete|update|stats|stats-checkpoint|summary|vacuum|migrate|export|sync|stage|audit|publish|merge> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|row-changes|delete|update|optimize|stats|stats-checkpoint|summary|vacuum|migrate|export|sync|stage|audit|publish|merge> ...""".stripMargin)
         2
     } catch {
       case e @ (_: UnknownTableError | _: UnknownCommitError |

@@ -533,6 +533,36 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
       "--partition-by", "region")._1 shouldBe 2
   }
 
+  it should "optimize: compact and z-order the layout, CAS-committed" in {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cli-opt-")
+    val loc = root.resolve("ev").toUri.toString
+    cli("init", "sales.opt_ev")._1 shouldBe 0
+    val src = root.resolve("src").toString
+    (0L until 400L).map(i => (i, i * 1.5, if (i % 2 == 0) "d1" else "d2"))
+      .toDF("k", "v", "day").repartition(6).write.parquet(src)
+    cli("merge", "sales.opt_ev", loc, src, "--keys", "k", "--partition-by", "day")._1 shouldBe 0
+
+    val (c1, o1) = cli("optimize", "sales.opt_ev", loc, "--partition-by", "day")
+    c1 shouldBe 0
+    o1 should include("2 partition ops")
+    val (c2, o2) = cli("optimize", "sales.opt_ev", loc,
+      "--zorder", "k,v", "--partition-by", "day")
+    c2 shouldBe 0
+    o2 should include("partition ops")
+    // rows intact after both rewrites
+    val tracker = new graft.sources.FileBackedVersionTracker(new java.net.URI(store))
+    val engine = new graft.operators.VersionedTables(spark, tracker)
+    engine.read(graft.core.TableDefinition(
+      graft.core.TableName("sales", "opt_ev"), new java.net.URI(loc),
+      graft.core.PartitionSchema("day"), graft.core.FileFormat.Parquet))
+      .count() shouldBe 400
+    // z-order on a partition column refuses
+    cli("optimize", "sales.opt_ev", loc, "--zorder", "day",
+      "--partition-by", "day")._1 shouldBe 2
+  }
+
   it should "merge a keyed source end-to-end: bootstrap, upsert, delete" in {
     val spark = graft.TestSpark.spark
     import spark.implicits._
