@@ -57,6 +57,33 @@ class SchemaEvolutionSpec extends AnyFlatSpec with Matchers {
     d1.select("k", "extra").head() shouldBe org.apache.spark.sql.Row(4L, "z")
   }
 
+  it should "compose with data skipping: stats on a column that arrives by evolution" in {
+    val dir = Files.createTempDirectory("graft-evolve-skip-").toFile
+    val engine = VersionedTables.withFileStore(spark,
+      new java.io.File(dir, "store").toURI)
+    // stats DECLARED on a column the first write does not carry yet
+    val table = TableDefinition(TableName("evo", s"skip${seq.incrementAndGet()}"),
+      new java.io.File(dir, "t").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      options = Map("mergeSchema" -> "true"),
+      stats = Some(ColumnStatsConfig(List("k", "score"))))
+    engine.initTable(table, UserId("t"), "init")
+    (0L until 100L).map(k => (k, s"d${k % 2 + 1}")).toDF("k", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "narrow")
+    (100L until 200L).map(k => (k, k * 1.0, "d3")).toDF("k", "score", "day")
+      .versionedInsertIntoEvolving(engine, table, UserId("t"), "evolved +score")
+    // skipping on the evolved column must equal the plain filter: old files
+    // have no score stats and must stay conservatively
+    val expected = engine.read(table).filter(col("score") > 150.0)
+      .select("k").as[Long].collect().sorted
+    val skipped = engine.readWhere(table, col("score") > 150.0)
+      .select("k").as[Long].collect().sorted
+    skipped shouldBe expected
+    expected.length shouldBe 49
+    // and on the original column too (both file generations carry k stats)
+    engine.readWhere(table, col("k") < 10).count() shouldBe
+      engine.read(table).filter(col("k") < 10).count()
+  }
+
   it should "refuse evolution without the mergeSchema read option" in {
     val (engine, table) = newTable(Map.empty)
     Seq((1L, "d1")).toDF("k", "day")
