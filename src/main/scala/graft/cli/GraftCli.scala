@@ -39,6 +39,8 @@ import java.time.Instant
  *   graft-cli --store <uri> update <schema.table> <tableLocation> --where <sql predicate> --set col=expr [--set col=expr ...] [--partition-by c1,c2] [--format F]
  *   graft-cli --store <uri> merge <schema.table> <tableLocation> <sourceUri> --keys k1[,k2] [--delete-when <sql predicate>] [--partition-by c1,c2] [--format F] [--source-format F]
  *   graft-cli --store <uri> optimize <schema.table> <tableLocation> [--zorder c1,c2] [--files N] [--partition-by c1,c2] [--format F]
+ *   # every Spark-backed verb accepts --merge-schema for tables evolved with
+ *   # versionedInsertIntoEvolving (mixed file schemas need footer-merged reads)
  * }}}
  * `--store` may be omitted when `GRAFT_STORE` is set or a config file exists
  * (`--config <path>`, default `~/.graft/config`): a simple `key: value` file
@@ -429,29 +431,23 @@ object GraftCli {
           withFlavorChecked(t, table) {
             val zorder = flags.get("zorder").toSeq
               .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-            val spark = cliSpark()
-            val engine = new graft.operators.VersionedTables(spark, tracker)
-            val msg = if (message.nonEmpty) message else
-              s"optimize${if (zorder.nonEmpty) s" zorder (${zorder.mkString(", ")})" else ""}"
-            val (_, changes) =
-              if (zorder.isEmpty) {
-                val files = flags.get("files").flatMap(_.toIntOption).getOrElse(1)
-                engine.compact(table, user, msg, filesPerPartition = files)
-              } else {
-                zorder.find(c => table.partitionSchema.columnNames
-                    .exists(_.equalsIgnoreCase(c))).foreach { c =>
-                  out.println(s"error: --zorder column '$c' is a partition column"); return 2
-                }
-                import graft.operators.VersionedTables.DatasetVersionedOps
-                val state = tracker.tableState(t)
-                val files = flags.get("files").flatMap(_.toIntOption)
-                  .getOrElse(math.max(spark.sparkContext.defaultParallelism, 2))
-                graft.operators.ScaleTools.zorderBy(engine.read(table), zorder, files)
-                  .versionedInsertIntoIf(engine, table, user, msg, state.currentVersion)
-              }
-            out.println(s"optimized ${tracker.currentRef(t).id} " +
-              s"(${changes.operations.size} partition ops)")
-            0
+            val badZ = zorder.find(c => table.partitionSchema.columnNames
+              .exists(_.equalsIgnoreCase(c)))
+            val files = flags.get("files").map(_.toIntOption)
+            if (badZ.isDefined) {
+              out.println(s"error: --zorder column '${badZ.get}' is a partition column"); 2
+            } else if (files.exists(_.forall(_ < 1))) {
+              out.println("error: --files must be a positive integer"); 2
+            } else {
+              val engine = new graft.operators.VersionedTables(cliSpark(), tracker)
+              val msg = if (message.nonEmpty) message else
+                s"optimize${if (zorder.nonEmpty) s" zorder (${zorder.mkString(", ")})" else ""}"
+              val changes = graft.sql.GraftMaintenanceSql.runOptimize(
+                engine, table, user, msg, zorder, files.flatten)
+              out.println(s"optimized ${tracker.currentRef(t).id} " +
+                s"(${changes.operations.size} partition ops)")
+              0
+            }
           }
         }
       }
@@ -735,7 +731,15 @@ object GraftCli {
           case Nil          => PartitionSchema.snapshot
           case head :: rest => PartitionSchema(head, rest: _*)
         }
-        f(TableDefinition(t, uri, schema, FileFormat(flags.getOrElse("format", "parquet"))))
+        // --merge-schema: mixed-file-schema (evolved) tables MUST read
+        // with footer merging — without it a Spark verb that rewrites data
+        // (optimize, merge, update) could sample a pre-evolution footer
+        // and silently drop the evolved columns from the rewrite
+        val options =
+          if (flags.contains("merge-schema")) Map("mergeSchema" -> "true")
+          else Map.empty[String, String]
+        f(TableDefinition(t, uri, schema,
+          FileFormat(flags.getOrElse("format", "parquet")), options = options))
     }
   }
 

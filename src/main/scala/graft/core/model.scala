@@ -182,6 +182,14 @@ final case class TableDefinition(
     options: Map[String, String] = Map.empty,
     stats: Option[ColumnStatsConfig] = None) {
   def isSnapshot: Boolean = partitionSchema.isSnapshot
+
+  /** Whether reads merge per-file schemas — the contract additive schema
+    * evolution requires (mixed-schema versions are only readable when the
+    * scan merges footers instead of sampling one). One definition, used by
+    * every evolution guard. */
+  def mergesSchema: Boolean = options.exists { case (k, v) =>
+    k.equalsIgnoreCase("mergeSchema") && v.equalsIgnoreCase("true")
+  }
 }
 
 /** The complete visible state of a table at a point in its history. */

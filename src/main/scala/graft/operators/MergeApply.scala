@@ -268,17 +268,22 @@ object MergeApply {
     val bySourceDeleteCodes: Seq[Int] = bySourceCodes.collect { case (_: BySourceDelete, i) => i }
     val dropCodes: Seq[Int] = matchedDeleteCodes ++ bySourceDeleteCodes :+ Drop
 
-    def chainValues(updates: Seq[(Int, Column)], f: StructField,
-        existing: Set[String]): Column = {
-      // an evolved (new) column has no physical base on the slice: kept
-      // rows read NULL in it, exactly like old files under mergeSchema
-      val base: Column =
-        if (existing(f.name.toLowerCase)) col(s"`${f.name}`")
-        else lit(null).cast(f.dataType)
-      updates.foldRight(base) { case ((code, expr), els) =>
+    def chainValues(updates: Seq[(Int, Column)], f: StructField): Column =
+      updates.foldRight(col(s"`${f.name}`"): Column) { case ((code, expr), els) =>
         when(col(ActionCol) === lit(code), expr).otherwise(els)
       }.cast(f.dataType).as(f.name)
-    }
+
+    /** Conform a target-slice frame to `schema`: present columns cast,
+      * absent ones NULL-filled. Mixed-schema (evolved) tables make this
+      * load-bearing — a slice read can carry any GENERATION of the schema,
+      * and the old select-by-name would either drop newer columns from the
+      * rewrite (silent data loss on the write-back) or fail to resolve. */
+    def alignTo(df: DataFrame, schema: StructType): DataFrame =
+      df.select(schema.map { f =>
+        if (df.columns.exists(_.equalsIgnoreCase(f.name)))
+          col(s"`${f.name}`").cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
 
     def matchedUpdatesFor(f: StructField): Seq[(Int, Column)] =
       matchedCodes.collect {
@@ -293,16 +298,15 @@ object MergeApply {
 
     // the rewritten value of target column `f` on the joined slice (both
     // clause families — the single-slice shape)
-    def rewriteValue(f: StructField, existing: Set[String]): Column =
-      chainValues(matchedUpdatesFor(f) ++ bySourceUpdatesFor(f), f, existing)
+    def rewriteValue(f: StructField): Column =
+      chainValues(matchedUpdatesFor(f) ++ bySourceUpdatesFor(f), f)
 
     def dropFilter(df: DataFrame, codes: Seq[Int]): DataFrame =
       if (codes.isEmpty) df
       else df.filter(not(col(ActionCol).isin(codes.map(Int.box): _*)))
 
     /** slice (target rows) → rewritten rows, target schema. */
-    def rewriteSlice(slice: DataFrame, targetSchema: StructType,
-        existing: Set[String]): DataFrame = {
+    def rewriteSlice(slice: DataFrame, targetSchema: StructType): DataFrame = {
       // matched rows need the source row's columns only if a matched clause
       // exists; otherwise a distinct-key presence marker suffices (and
       // cannot duplicate kept rows under duplicate source keys)
@@ -322,14 +326,13 @@ object MergeApply {
         chain(matchedCodes.map { case (a, i) => (a.condition, i) }, Keep))
         .otherwise(chain(bySourceCodes.map { case (a, i) => (a.condition, i) }, Keep))
       dropFilter(joined.withColumn(ActionCol, action), dropCodes)
-        .select(targetSchema.map(rewriteValue(_, existing)): _*)
+        .select(targetSchema.map(rewriteValue): _*)
     }
 
     /** matched target rows (from the candidate slice) → their post-images:
       * inner join with the renamed source, matched-clause dispatch, deletes
       * dropped, updates applied (possibly moving rows across partitions). */
-    def rewriteMatched(candFull: DataFrame, targetSchema: StructType,
-        existing: Set[String]): DataFrame = {
+    def rewriteMatched(candFull: DataFrame, targetSchema: StructType): DataFrame = {
       val renamed = source.select(
         source.columns.map(c => col(s"`$c`").as(SourcePrefix + c.toLowerCase)): _*)
       val joinCond = keyColumns.map(k =>
@@ -337,17 +340,16 @@ object MergeApply {
       val joined = candFull.join(renamed, joinCond, "inner")
         .withColumn(ActionCol, chain(matchedCodes.map { case (a, i) => (a.condition, i) }, Keep))
       dropFilter(joined, matchedDeleteCodes)
-        .select(targetSchema.map(f => chainValues(matchedUpdatesFor(f), f, existing)): _*)
+        .select(targetSchema.map(f => chainValues(matchedUpdatesFor(f), f)): _*)
     }
 
     /** UNMATCHED rows of the touched slice (matched ones are emitted by
       * [[rewriteMatched]]) → by-source dispatch. */
-    def rewriteUnmatched(slice: DataFrame, targetSchema: StructType,
-        existing: Set[String]): DataFrame = {
+    def rewriteUnmatched(slice: DataFrame, targetSchema: StructType): DataFrame = {
       val un = slice.join(keyFrame, keyColumns.toSeq, "left_anti")
         .withColumn(ActionCol, chain(bySourceCodes.map { case (a, i) => (a.condition, i) }, Keep))
       dropFilter(un, bySourceDeleteCodes)
-        .select(targetSchema.map(f => chainValues(bySourceUpdatesFor(f), f, existing)): _*)
+        .select(targetSchema.map(f => chainValues(bySourceUpdatesFor(f), f)): _*)
     }
 
     /** source rows that match nothing → inserted rows, target schema.
@@ -375,29 +377,26 @@ object MergeApply {
     def dropVersionCol(schema: StructType): StructType =
       StructType(schema.filterNot(_.name == Version.VersionColumn).toArray)
 
-    /** (output schema, physically-present column names in lowercase):
-      * with `evolveSchema`, source columns missing from the read schema
-      * JOIN the output (nullable, source types) — under the same
-      * mergeSchema contract as versionedInsertIntoEvolving, because the
-      * write leaves mixed file schemas behind. */
-    def extendSchema(read: StructType): (StructType, Set[String]) = {
+    /** The output schema: with `evolveSchema`, source columns missing
+      * from the read schema JOIN it (nullable, source types) — under the
+      * same mergeSchema contract as versionedInsertIntoEvolving, because a
+      * partitioned-table merge leaves mixed file schemas behind. SNAPSHOT
+      * tables are exempt from the contract: their merge rewrites the whole
+      * table as ONE uniform version, so mixed schemas cannot occur. */
+    def extendSchema(read: StructType): StructType = {
       val existing = read.fieldNames.map(_.toLowerCase).toSet
-      if (!evolveSchema) (read, existing)
+      if (!evolveSchema) read
       else {
         val extra = source.schema.fields
           .filterNot(f => existing(f.name.toLowerCase))
           .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true))
-        if (extra.nonEmpty) {
-          val merges = table.options.exists { case (k, v) =>
-            k.equalsIgnoreCase("mergeSchema") && v.equalsIgnoreCase("true")
-          }
-          require(merges,
+        if (extra.nonEmpty && !table.isSnapshot)
+          require(table.mergesSchema,
             s"mergeApply(evolveSchema=true) on ${table.name.fullyQualifiedName} requires " +
               "the TableDefinition's options to include mergeSchema=true: the merge " +
               "leaves mixed file schemas, and a read sampling one footer would silently " +
               "drop the new columns")
-        }
-        (StructType(read.fields ++ extra), existing)
+        StructType(read.fields ++ extra)
       }
     }
 
@@ -406,16 +405,15 @@ object MergeApply {
         // snapshot table = one unit of data: the whole table is the slice
         // (and the schema scope)
         val currentAll = engine.readVersion(table, snapshot)
-        val readSchema = dropVersionCol(currentAll.schema)
-        val (targetSchema, existing) = extendSchema(readSchema)
+        val targetSchema = extendSchema(dropVersionCol(currentAll.schema))
         validate(targetSchema)
-        val current = currentAll.select(readSchema.fieldNames.map(c => col(s"`$c`")).toSeq: _*)
+        val current = alignTo(currentAll, targetSchema)
         val inserts =
           if (notMatched.isEmpty) None
           else Some(insertRows(
             source.join(keyOnly(current, keyColumns), keyColumns.toSeq, "left_anti"),
             targetSchema))
-        val out0 = rewriteSlice(current, targetSchema, existing)
+        val out0 = rewriteSlice(current, targetSchema)
         val out = inserts.map(out0.unionByName(_)).getOrElse(out0)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -456,13 +454,20 @@ object MergeApply {
         // Only a merge that touches nothing prunable (pure insert into a
         // table with zero candidates) falls back to the unscoped read.
         val scopedPvs = candidates ++ pvs.filter { case (p, _) => bySourceParts(p) }
+        // uniform-schema tables resolve their schema from the pruned scope
+        // (the corrupt-the-untouched law covers analysis); a mergeSchema
+        // (evolution-capable) table may hold MIXED generations, so its
+        // output schema must be the table-wide UNION — a scope-derived
+        // schema could silently drop an evolved column from partitions the
+        // merge rewrites (the footer-merge read is the documented cost of
+        // evolved tables)
         val readSchema = dropVersionCol(
-          if (scopedPvs.nonEmpty)
+          if (table.mergesSchema) engine.read(table).schema
+          else if (scopedPvs.nonEmpty)
             engine.readVersion(table, PartitionedTableVersion(scopedPvs)).schema
           else engine.read(table).schema)
-        val (targetSchema, existing) = extendSchema(readSchema)
+        val targetSchema = extendSchema(readSchema)
         validate(targetSchema)
-        val readCols = readSchema.fieldNames.toSeq
 
         // one persisted candidate read serves matched-partition discovery,
         // the matched rewrite, and insert suppression: full columns when a
@@ -472,7 +477,7 @@ object MergeApply {
           else {
             val slice = engine.readVersion(table, PartitionedTableVersion(candidates))
             val projected =
-              if (matched.nonEmpty) slice.select(readCols.map(c => col(s"`$c`")): _*)
+              if (matched.nonEmpty) alignTo(slice, targetSchema)
               else slice.select((keyColumns ++ partCols.filterNot(p =>
                 keyColumns.exists(_.equalsIgnoreCase(p)))).map(c => col(s"`$c`")): _*)
             Some(projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -492,7 +497,7 @@ object MergeApply {
           // consumer, the destination-partition discovery.
           val matchedOut: Option[DataFrame] =
             if (matched.isEmpty) None
-            else candSlice.map(rewriteMatched(_, targetSchema, existing)).map(mo =>
+            else candSlice.map(rewriteMatched(_, targetSchema)).map(mo =>
               if (movesPossible)
                 mo.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               else mo)
@@ -544,8 +549,9 @@ object MergeApply {
                   val freshPvs = touchedPvs.filter { case (p, _) => !candTouched(p) }
                   val fresh =
                     if (freshPvs.isEmpty) None
-                    else Some(engine.readVersion(table, PartitionedTableVersion(freshPvs))
-                      .select(readCols.map(c => col(s"`$c`")): _*))
+                    else Some(alignTo(
+                      engine.readVersion(table, PartitionedTableVersion(freshPvs)),
+                      targetSchema))
                   val fromCand = candSlice.filter(_ => candTouched.nonEmpty).map { cs =>
                     if (candTouched == candidates.keySet) cs
                     else cs.filter(partitionMember(candTouched))
@@ -557,11 +563,11 @@ object MergeApply {
                     case (None, None)       => return VersionedMerge.MergeResult(
                       snapshot, TableChanges.empty, Nil, Nil) // unreachable: touched nonEmpty
                   }
-                  Some(rewriteUnmatched(slice, targetSchema, existing))
+                  Some(rewriteUnmatched(slice, targetSchema))
                 } else
-                  Some(rewriteSlice(
-                    engine.readVersion(table, PartitionedTableVersion(touchedPvs))
-                      .select(readCols.map(c => col(s"`$c`")): _*), targetSchema, existing))
+                  Some(rewriteSlice(alignTo(
+                    engine.readVersion(table, PartitionedTableVersion(touchedPvs)),
+                    targetSchema), targetSchema))
               val pieces = Seq(rewritten, matchedOut, inserts).flatten
               if (pieces.isEmpty)
                 return VersionedMerge.MergeResult(snapshot, TableChanges.empty, Nil, Nil)

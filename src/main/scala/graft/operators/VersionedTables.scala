@@ -559,21 +559,28 @@ final class VersionedTables(
       case _ => None // empty table: the first write defines the schema
     }
     sample.foreach { sv =>
-      val existing = schemaShape(table, readVersion(table, sv).schema)
+      // a mergeSchema table may legitimately hold MIXED file schemas
+      // (additive evolution) — a one-partition sample would then flag a
+      // producer writing the table's CURRENT (union) schema as drift, with
+      // the outcome depending on which partition sorts first. Compare
+      // against the UNION schema instead (the footer-merge read is the
+      // documented cost of evolved tables). Uniform-schema tables keep the
+      // cheap one-partition sample.
+      val existing = schemaShape(table,
+        if (table.mergesSchema) readVersion(table, st.currentTableVersion).schema
+        else readVersion(table, sv).schema)
       // an empty existing shape means the sample was unreadable (e.g. an
       // adopted partition whose files are gone) — nothing trustworthy to
-      // compare against, so don't fabricate a drift error
-      val widens = allowAdditive && existing != incoming &&
+      // compare against, so don't fabricate a drift error (and don't
+      // classify it as widening either)
+      val widens = allowAdditive && existing.nonEmpty && existing != incoming &&
         existing.forall(incoming.contains)
       if (widens) {
         // ADDITIVE evolution (versionedInsertIntoEvolving): every existing
         // column keeps its name and type, new columns join. The table MUST
         // read with mergeSchema — a multi-version read that samples an OLD
         // file's footer would otherwise silently drop the new columns.
-        val merges = table.options.exists { case (k, v) =>
-          k.equalsIgnoreCase("mergeSchema") && v.equalsIgnoreCase("true")
-        }
-        require(merges,
+        require(table.mergesSchema,
           s"additive schema evolution on ${table.name} requires the TableDefinition's " +
             "options to include mergeSchema=true: a read across mixed-schema versions " +
             "samples one footer without it and would silently drop the new columns")

@@ -104,6 +104,37 @@ object GraftMaintenanceSql {
 
   private[sql] def sqlUser(session: SparkSession): UserId =
     UserId(session.conf.get(GraftSqlWrites.UserKey, session.sparkContext.sparkUser))
+
+  /** The one OPTIMIZE implementation (SQL verb and CLI share it): plain =
+    * CAS-guarded compact to `files.getOrElse(1)` files per partition;
+    * `zorderBy` nonEmpty = one read of the current version, Morton
+    * clustering, CAS commit. Partition columns refuse (they already prune
+    * by value); `files` must be >= 1 when given. */
+  def runOptimize(
+      engine: graft.operators.VersionedTables,
+      table: TableDefinition,
+      user: UserId,
+      message: String,
+      zorderBy: Seq[String],
+      files: Option[Int]): TableChanges = {
+    files.foreach(f => require(f >= 1, s"files per partition must be >= 1, got $f"))
+    if (zorderBy.isEmpty)
+      engine.compact(table, user, message, filesPerPartition = files.getOrElse(1))._2
+    else {
+      zorderBy.foreach { c =>
+        require(!table.partitionSchema.columnNames.exists(_.equalsIgnoreCase(c)),
+          s"ZORDER BY column '$c' is a partition column — partitions are already " +
+            "pruned by value; z-order the columns you filter WITHIN partitions")
+      }
+      import graft.operators.VersionedTables.DatasetVersionedOps
+      // CAS on the head the rewrite read, exactly like compact
+      val state = engine.tracker.tableState(table.name)
+      val n = files.getOrElse(
+        math.max(engine.spark.sparkContext.defaultParallelism, 2))
+      graft.operators.ScaleTools.zorderBy(engine.read(table), zorderBy, n)
+        .versionedInsertIntoIf(engine, table, user, message, state.currentVersion)._2
+    }
+  }
 }
 
 /** `DESCRIBE HISTORY graft.s.t` — the commit log, newest first. */
@@ -142,28 +173,11 @@ final case class GraftOptimizeCommand(schemaName: String, tableName: String, zor
     AttributeReference("zorder_by", StringType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
-    import graft.operators.VersionedTables.DatasetVersionedOps
     val entry = GraftMaintenanceSql.entryFor(schemaName, tableName)
-    val engine = entry.engine
-    val user = GraftMaintenanceSql.sqlUser(session)
-    val (_, changes) =
-      if (zorderBy.isEmpty)
-        engine.compact(entry.table, user, s"SQL OPTIMIZE graft.$schemaName.$tableName")
-      else {
-        zorderBy.foreach { c =>
-          require(!entry.table.partitionSchema.columnNames.exists(_.equalsIgnoreCase(c)),
-            s"ZORDER BY column '$c' is a partition column — partitions are already " +
-              "pruned by value; z-order the columns you filter WITHIN partitions")
-        }
-        // CAS on the head the rewrite read, exactly like compact
-        val state = engine.tracker.tableState(entry.table.name)
-        val current = engine.read(entry.table)
-        val files = math.max(session.sparkContext.defaultParallelism, 2)
-        graft.operators.ScaleTools.zorderBy(current, zorderBy, files)
-          .versionedInsertIntoIf(engine, entry.table, user,
-            s"SQL OPTIMIZE graft.$schemaName.$tableName ZORDER BY (${zorderBy.mkString(", ")})",
-            state.currentVersion)
-      }
+    val msg = s"SQL OPTIMIZE graft.$schemaName.$tableName" +
+      (if (zorderBy.nonEmpty) s" ZORDER BY (${zorderBy.mkString(", ")})" else "")
+    val changes = GraftMaintenanceSql.runOptimize(entry.engine, entry.table,
+      GraftMaintenanceSql.sqlUser(session), msg, zorderBy, files = None)
     Seq(Row(changes.operations.size.toLong, zorderBy.mkString(", ")))
   }
 

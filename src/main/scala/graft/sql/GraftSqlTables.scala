@@ -357,11 +357,24 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
     // `INSERT INTO graft.g.t SELECT * FROM graft.g.t`.
     val insertTargets = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[UnresolvedRelation, java.lang.Boolean]())
+    def innerRelation(p: LogicalPlan): Option[UnresolvedRelation] = p match {
+      case u: UnresolvedRelation => Some(u)
+      case a: SubqueryAlias      => innerRelation(a.child)
+      case _                     => None
+    }
     plan.foreach {
       case i: InsertIntoStatement => i.table match {
         case u: UnresolvedRelation => insertTargets.add(u); ()
         case _                     => ()
       }
+      // a MERGE WITH SCHEMA EVOLUTION waits for its SOURCE to resolve
+      // before substituting the target (the NULL-extension needs the
+      // source schema) — meanwhile the generic read-substitution case must
+      // NOT consume the target, or step 1 could never fire and the
+      // statement would fall to Spark's unsupported-MERGE planner error
+      // (hit with graft-table sources, which only this rule resolves)
+      case m: MergeIntoTable if m.withSchemaEvolution && !m.sourceTable.resolved =>
+        innerRelation(m.targetTable).foreach(insertTargets.add)
       case _ => ()
     }
     // TOP-DOWN: RelationTimeTravel must be rewritten as a unit — bottom-up
@@ -505,11 +518,16 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
     * the GENERAL clause merge ([[graft.operators.MergeApply]]), which
     * implements SQL's ordered first-TRUE-wins dispatch exactly.
     *
+    * `WITH SCHEMA EVOLUTION` routes through the general path with
+    * `evolveSchema = true` (the target is substituted extended by typed
+    * NULLs for the missing source columns, so the evolution assignments
+    * resolve — see [[substituteDmlTarget]]).
+    *
     * What still refuses (for both paths): a non-equi `ON` (the merge keys
     * ARE the `t.k = s.k` conjunction — discovery pruning and the rewrite
-    * slice depend on it), `WITH SCHEMA EVOLUTION`, subqueries or
-    * nondeterministic expressions inside clauses, and SET on partition
-    * columns other than the no-op `SET pcol = s.pcol` of a merge key. */
+    * slice depend on it), subqueries or nondeterministic expressions
+    * inside clauses, and SET on partition columns in by-source clauses
+    * (matched-clause partition SETs MOVE rows). */
   private def convertMerge(
       m: MergeIntoTable, entry: GraftTableRegistry.Entry): LogicalPlan = {
     import graft.operators.MergeApply

@@ -172,7 +172,11 @@ object GraftSqlWrites {
           if (cur.columns.isEmpty) None else Some(cur)
       }
       val unioned = existing match {
-        case Some(cur) => cur.unionByName(src)
+        // a mergeSchema (evolved) table's touched partitions may predate an
+        // evolution and lack the new columns — null-fill them instead of
+        // failing the union (the strict form stays for uniform tables, so
+        // genuine drift cannot hide behind the fill)
+        case Some(cur) => cur.unionByName(src, allowMissingColumns = table.mergesSchema)
         case None      => src
       }
       unioned.versionedInsertIntoIf(engine, table, user,

@@ -563,6 +563,33 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
       "--partition-by", "day")._1 shouldBe 2
   }
 
+  it should "optimize an EVOLVED table with --merge-schema, keeping the new column" in {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import graft.operators.VersionedTables._
+    val root = Files.createTempDirectory("graft-cli-evopt-")
+    val loc = root.resolve("ev").toUri
+    cli("init", "sales.evopt")._1 shouldBe 0
+    val tracker = new graft.sources.FileBackedVersionTracker(new java.net.URI(store))
+    val engine = new graft.operators.VersionedTables(spark, tracker)
+    val table = graft.core.TableDefinition(
+      graft.core.TableName("sales", "evopt"), loc,
+      graft.core.PartitionSchema("day"), graft.core.FileFormat.Parquet,
+      options = Map("mergeSchema" -> "true"))
+    Seq((1L, "d1"), (2L, "d1")).toDF("k", "day")
+      .versionedInsertInto(engine, table, graft.core.UserId("t"), "narrow")
+    Seq((10L, 5.0, "d2")).toDF("k", "score", "day")
+      .versionedInsertIntoEvolving(engine, table, graft.core.UserId("t"), "wide")
+    val (c, o) = cli("optimize", "sales.evopt", loc.toString,
+      "--partition-by", "day", "--merge-schema")
+    c shouldBe 0
+    o should include("partition ops")
+    val cur = engine.read(table)
+    cur.columns should contain("score") // the evolved column survived
+    cur.filter(org.apache.spark.sql.functions.col("score").isNotNull).count() shouldBe 1
+    cur.count() shouldBe 3
+  }
+
   it should "merge a keyed source end-to-end: bootstrap, upsert, delete" in {
     val spark = graft.TestSpark.spark
     import spark.implicits._

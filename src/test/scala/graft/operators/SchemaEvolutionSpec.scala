@@ -84,6 +84,64 @@ class SchemaEvolutionSpec extends AnyFlatSpec with Matchers {
       engine.read(table).filter(col("k") < 10).count()
   }
 
+  it should "let plain inserts carry the evolved (union) schema afterwards" in {
+    // regression: the drift guard used to sample ONE partition — a narrow
+    // one would flag a producer writing the table's CURRENT union schema
+    val (engine, table) = newTable(Map("mergeSchema" -> "true"))
+    Seq((1L, "d1")).toDF("k", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "narrow")
+    Seq((2L, "x", "d2")).toDF("k", "extra", "day")
+      .versionedInsertIntoEvolving(engine, table, UserId("t"), "evolve")
+    // steady-state producer on the evolved schema: PLAIN insert works now
+    Seq((3L, "y", "d3")).toDF("k", "extra", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "steady state")
+    engine.read(table).count() shouldBe 3
+  }
+
+  it should "not wipe evolved columns when a merge scoped to narrow partitions touches wide ones" in {
+    // regression (review finding): the merge derived its output schema from
+    // the PRUNED scope — an insert landing in an evolved partition would
+    // rewrite it without the evolved column, silently erasing it
+    import graft.operators.MergeApply._
+    val (engine, table) = newTable(Map("mergeSchema" -> "true"))
+    Seq((1L, "d1"), (2L, "d1")).toDF("k", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "narrow d1")
+    Seq((10L, 0.5, "d3"), (11L, 0.9, "d3")).toDF("k", "score", "day")
+      .versionedInsertIntoEvolving(engine, table, UserId("t"), "wide d3")
+    // source keys match ONLY d1 rows; the insert lands in d3
+    val source = Seq((1L, "d1"), (500L, "d3")).toDF("k", "day")
+    engine.mergeApply(table, source, Seq("day", "k"), UserId("t"), "cross-generation",
+      matched = Seq(MatchedDelete(None)),
+      notMatched = Seq(NotMatchedInsert(None, Map("k" -> col("k"), "day" -> col("day")))))
+    val d3 = engine.read(table).filter(col("day") === "d3")
+    d3.count() shouldBe 3
+    // the evolved column SURVIVED the rewrite of d3
+    d3.filter(col("score").isNotNull).select("k").as[Long].collect().sorted shouldBe
+      Array(10L, 11L)
+  }
+
+  it should "evolve snapshot tables by merge without the mergeSchema option" in {
+    // a snapshot merge rewrites the whole table as ONE uniform version —
+    // mixed file schemas cannot occur, so the contract does not apply
+    import graft.operators.MergeApply._
+    val dir = Files.createTempDirectory("graft-evolve-snap-").toFile
+    val engine = VersionedTables.withFileStore(spark,
+      new java.io.File(dir, "store").toURI)
+    val table = TableDefinition(TableName("evo", s"snap${seq.incrementAndGet()}"),
+      new java.io.File(dir, "t").toURI, PartitionSchema.snapshot, FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .versionedInsertInto(engine, table, UserId("t"), "v1")
+    val source = Seq((1L, "a2", "hot")).toDF("k", "v", "tag")
+    engine.mergeApply(table, source, Seq("k"), UserId("t"), "snap evolve",
+      matched = Seq(MatchedUpdate(None, Map("v" -> col("s.v"), "tag" -> col("s.tag")))),
+      evolveSchema = true)
+    val cur = engine.read(table)
+    cur.columns.toSet shouldBe Set("k", "v", "tag")
+    cur.filter(col("k") === 1L).select("tag").head().getString(0) shouldBe "hot"
+    cur.filter(col("k") === 2L).select("tag").head() shouldBe org.apache.spark.sql.Row(null)
+  }
+
   it should "refuse evolution without the mergeSchema read option" in {
     val (engine, table) = newTable(Map.empty)
     Seq((1L, "d1")).toDF("k", "day")

@@ -63,6 +63,34 @@ class SqlMergeEvolutionSpec extends AnyFlatSpec with Matchers {
     got shouldBe Array(1L -> Some("hot"), 2L -> None, 3L -> None, 9L -> Some("fresh"))
   }
 
+  it should "convert when the SOURCE is itself a graft table" in {
+    // regression (review finding): while the evolution merge waits for its
+    // source to resolve, the generic substitution must not consume the
+    // TARGET — with a graft source that deadlocked into Spark's
+    // unsupported-MERGE planner error
+    val (engine, _, t, _) = fixture()
+    val n = seq.incrementAndGet()
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-sqlevo-src-$n-")
+    val srcEngine = VersionedTables.withFileStore(spark, dir.resolve("store").toUri)
+    val srcTable = TableDefinition(TableName("sqlevo", s"src$n"), dir.resolve("t").toUri,
+      PartitionSchema("day"), FileFormat.Parquet)
+    srcEngine.initTable(srcTable, UserId("t"), "init")
+    GraftTableRegistry.register(srcEngine, srcTable)
+    Seq((1L, "hot", "d1")).toDF("k", "tag", "day")
+      .versionedInsertInto(srcEngine, srcTable, UserId("t"), "src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $t AS tgt
+         |USING graft.${srcTable.name.fullyQualifiedName} AS s
+         |ON tgt.k = s.k AND tgt.day = s.day
+         |WHEN MATCHED THEN UPDATE SET tag = s.tag""".stripMargin)
+    engine.read(fixtureTable(t)).filter(col("tag") === "hot").count() shouldBe 1
+  }
+
+  private def fixtureTable(t: String): TableDefinition = {
+    val Array(_, s0, t0) = t.split("\\.")
+    GraftTableRegistry.lookup(s0, t0).get.table
+  }
+
   it should "still refuse evolution when the table lacks the mergeSchema option" in {
     val n = seq.incrementAndGet()
     val dir = java.nio.file.Files.createTempDirectory(s"graft-sqlevo-$n-")
