@@ -913,7 +913,9 @@ object GraftCli {
     * `--check` accumulates (NUL-joined); other repeated flags keep the last
     * value. */
   private def parseFlags(argv: List[String]): (Map[String, String], List[String]) = {
-    val boolFlags = Set("isSnapshot", "apply")
+    // every value-less flag must be listed: an unlisted one silently eats
+    // the following positional token as its "value" and the verb misparses
+    val boolFlags = Set("isSnapshot", "apply", "merge-schema")
     def loop(rest: List[String], flags: Map[String, String], pos: List[String]): (Map[String, String], List[String]) =
       rest match {
         case Nil => (flags, pos.reverse)

@@ -207,8 +207,11 @@ object MergeApply {
     val now = java.time.Instant.now()
 
     if (requireDistinctSourceKeys && matched.nonEmpty) {
-      val dup = source.groupBy(keyColumns.map(c => col(s"`$c`")): _*).count()
-        .filter(col("count") > 1).limit(1).collect()
+      // reserved aggregate alias: .count() names its column "count", which a
+      // merge key column of that name would make ambiguous (or shadow)
+      val dup = source.groupBy(keyColumns.map(c => col(s"`$c`")): _*)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("_graft_m_cnt"))
+        .filter(col("_graft_m_cnt") > 1).limit(1).collect()
       require(dup.isEmpty,
         s"duplicate source keys on (${keyColumns.mkString(", ")}): e.g. ${dup.head} — " +
           "a target row matched by two source rows is ambiguous (SQL MERGE raises here too)")
@@ -382,13 +385,25 @@ object MergeApply {
       * same mergeSchema contract as versionedInsertIntoEvolving, because a
       * partitioned-table merge leaves mixed file schemas behind. SNAPSHOT
       * tables are exempt from the contract: their merge rewrites the whole
-      * table as ONE uniform version, so mixed schemas cannot occur. */
+      * table as ONE uniform version, so mixed schemas cannot occur.
+      *
+      * Only source columns a clause ASSIGNS (an UPDATE SET target or an
+      * INSERT values key) can join the schema — Delta/Spark evolution
+      * semantics. A helper column referenced only in a clause CONDITION
+      * (e.g. a `flag` discriminator) must NOT become a permanent all-NULL
+      * target column: the engine has no DROP COLUMN to undo it. */
+    val assignedColsLower: Set[String] =
+      (matched.collect { case MatchedUpdate(_, set) => set.keys }.flatten ++
+        notMatched.flatMap(_.values.keys) ++
+        notMatchedBySource.collect { case BySourceUpdate(_, set) => set.keys }.flatten)
+        .map(_.toLowerCase).toSet
     def extendSchema(read: StructType): StructType = {
       val existing = read.fieldNames.map(_.toLowerCase).toSet
       if (!evolveSchema) read
       else {
         val extra = source.schema.fields
           .filterNot(f => existing(f.name.toLowerCase))
+          .filter(f => assignedColsLower(f.name.toLowerCase))
           .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true))
         if (extra.nonEmpty && !table.isSnapshot)
           require(table.mergesSchema,

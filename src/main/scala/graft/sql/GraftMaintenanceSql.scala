@@ -97,7 +97,7 @@ object GraftMaintenanceSql {
 
   /** Execution-time registry lookup — loud on unregistered names. */
   private[sql] def entryFor(schema: String, table: String): GraftTableRegistry.Entry =
-    GraftTableRegistry.lookup(schema, table).getOrElse(
+    GraftTableRegistry.resolve(schema, table).getOrElse(
       throw new IllegalArgumentException(
         s"graft.$schema.$table is not a registered graft table " +
           s"(registered: ${GraftTableRegistry.registered.map(_.fullyQualifiedName).mkString(", ")})"))

@@ -122,6 +122,50 @@ object GraftTableRegistry {
   def lookup(schema: String, table: String): Option[Entry] =
     Option(entries.get((schema.toLowerCase, table.toLowerCase)))
 
+  /** [[lookup]] that additionally ADOPTS tracker-live tables of a
+    * DDL-registered schema. A table created by another process exists in
+    * the shared commit store but was never registered in this JVM; before
+    * adoption it was half-visible — `CREATE TABLE` refused the name (the
+    * tracker guard) yet SELECT/DESCRIBE/DML could not resolve it. The
+    * definition is reconstructed from the store exactly as
+    * [[GraftDdl.create]] would have built it: location
+    * `baseLocation/<table>`, partition columns read off the current
+    * state's partitions, the schema's default format (a format mismatch
+    * fails loudly at read time — never silently). A PARTITIONED table
+    * with no data commits yet cannot be reconstructed (its partition
+    * columns are unknowable from an empty state) and stays unresolvable
+    * until its creator writes to it. Adoption registers the entry, so
+    * later statements hit the plain lookup. */
+  def resolve(schema: String, table: String): Option[Entry] =
+    lookup(schema, table).orElse {
+      lookupSchema(schema).flatMap { se =>
+        val tn = TableName(schema.toLowerCase, table.toLowerCase)
+        val live =
+          try se.engine.tracker.tables().contains(tn)
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (!live) None
+        else {
+          val isSnap = se.engine.tracker.isSnapshotTable(tn)
+          val partCols: List[String] = se.engine.tracker.currentVersion(tn) match {
+            case PartitionedTableVersion(pvs) if pvs.nonEmpty =>
+              pvs.keysIterator.next().columnValues.map(_.column.name)
+            case _ => Nil
+          }
+          if (!isSnap && partCols.isEmpty) None
+          else {
+            val base = se.baseLocation.toString.stripSuffix("/")
+            val td = TableDefinition(
+              tn, java.net.URI.create(s"$base/${tn.name}"),
+              if (isSnap) PartitionSchema.snapshot
+              else PartitionSchema(partCols.head, partCols.tail: _*),
+              se.defaultFormat)
+            register(se.engine, td)
+            Some(Entry(se.engine, td))
+          }
+        }
+      }
+    }
+
   import scala.jdk.CollectionConverters._
 
   /** Registered table names, for error messages and tooling. */
@@ -406,7 +450,7 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
           partitionSpec, isExtended, out)
           if (u.multipartIdentifier match {
             case Seq(cat, s, t) if cat.equalsIgnoreCase(GraftTableRegistry.CatalogName) =>
-              GraftTableRegistry.lookup(s, t).isDefined
+              GraftTableRegistry.resolve(s, t).isDefined
             case _ => false
           }) =>
         require(partitionSpec.isEmpty,
@@ -711,7 +755,7 @@ final case class ResolveGraftTables(spark: SparkSession) extends Rule[LogicalPla
   private def entryFor(u: UnresolvedRelation): Option[GraftTableRegistry.Entry] =
     u.multipartIdentifier match {
       case Seq(cat, schema, table) if cat.equalsIgnoreCase(GraftTableRegistry.CatalogName) =>
-        GraftTableRegistry.lookup(schema, table)
+        GraftTableRegistry.resolve(schema, table)
       case _ => None
     }
 
