@@ -187,6 +187,19 @@ object SparkEntry {
     "q_sql_update" -> ((spark, dir) => sqlDmlFixture(spark, dir).byType),
     "q_sql_delete" -> ((spark, dir) => sqlDmlFixture(spark, dir).byDay),
 
+    // merge-on-read DELETE at the gate (deletion vectors,
+    // graft.operators.DeleteVectors): two STACKED DV deletes (every 97th,
+    // then every 101st orderkey — the second rebases onto the first) made
+    // rows invisible WITHOUT rewriting a single data byte; the commit
+    // repoints partitions at marker versions whose _dv sidecars
+    // broadcast-anti-join at read. Three reads gate the model: the
+    // post-delete state, time travel to the pre-delete commit (base files
+    // untouched), and the state after compact FOLDED the DVs into plain
+    // data files (the OPTIMIZE-folds-DV equivalence)
+    "q_delete_dv" -> ((spark, dir) => dvFixture(spark, dir).afterDelete),
+    "q_delete_dv_tt" -> ((spark, dir) => dvFixture(spark, dir).preDelete),
+    "q_delete_dv_fold" -> ((spark, dir) => dvFixture(spark, dir).folded),
+
     // keyed MERGE INTO at the gate: events loaded as a versioned table, then
     // ONE merge commit that updates every 10th click (+1000 to value),
     // inserts a synthetic twin of every 100th view (id offset +10M), and
@@ -429,6 +442,55 @@ object SparkEntry {
       incremental = agg(engine.readChangesBetween(table, firstLoad, reproHead)),
       compacted = agg(engine.readAt(table, compactHead)),
       sqlAsOf = sqlAsOf)
+  }
+
+  /** q_delete_dv / _tt / _fold share one fixture: lineitem loaded as a
+    * versioned table (partitioned by l_returnflag, multiple files per
+    * partition so positions span files), two stacked merge-on-read DV
+    * deletes, then a compact that folds them. All three reads resolve from
+    * pinned commits, so the memoized frames stay stable. */
+  private final case class DvFixture(
+      afterDelete: DataFrame, preDelete: DataFrame, folded: DataFrame)
+
+  private val dvFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DvFixture]()
+
+  private def dvFixture(spark: SparkSession, sfDir: String): DvFixture =
+    dvFixtureCache.computeIfAbsent((spark, sfDir), _ => buildDvFixture(spark, sfDir))
+
+  private def buildDvFixture(spark: SparkSession, sfDir: String): DvFixture = {
+    import graft.operators.DeleteVectors._
+    Tables.prepare(spark)
+    val root = graft.FixtureTempDirs.create("graft-dvfix-")
+    val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+    val table = TableDefinition(TableName("graft", "lineitem_dv"),
+      root.resolve("lineitem_dv").toUri, PartitionSchema("l_returnflag"), FileFormat.Parquet)
+    engine.initTable(table, UserId("driver"), "init")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"))
+      .localCheckpoint()
+    // hash-repartition so every partition's rows span several files —
+    // positional deletes must prove themselves across file boundaries
+    li.repartition(4)
+      .versionedInsertInto(engine, table, UserId("driver"), "load")
+    val preDeleteHead = engine.headCommit(table.name)
+    val r1 = engine.deleteWhereDV(table, col("l_orderkey") % 97 === 0,
+      UserId("driver"), "dv delete %97")
+    require(r1.affected.nonEmpty, "q_delete_dv fixture: first DV delete matched nothing")
+    val r2 = engine.deleteWhereDV(table, col("l_orderkey") % 101 === 0,
+      UserId("driver"), "dv delete %101 (rebases)")
+    require(r2.affected.nonEmpty, "q_delete_dv fixture: second DV delete matched nothing")
+    val afterDeleteHead = engine.headCommit(table.name)
+    engine.compact(table, UserId("driver"), "fold DVs")
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("v"))
+    DvFixture(
+      afterDelete = agg(engine.readAt(table, afterDeleteHead)),
+      preDelete = agg(engine.readAt(table, preDeleteHead)),
+      folded = agg(engine.read(table)))
   }
 
   /** q_merge_upsert + q_change_feed share one fixture: one CAS-guarded
@@ -1091,6 +1153,25 @@ object SparkEntry {
            |  WHERE event_date = (SELECT m FROM maxd) AND event_type <> 'error'
            |)
            |GROUP BY 1, 2""".stripMargin,
+      // merge-on-read DV deletes are plain set subtraction to the oracle;
+      // the folded (post-compact) read must equal it bit-for-bit, and time
+      // travel to the pre-delete commit must see every row
+      "q_delete_dv" ->
+        s"""SELECT l_returnflag, COUNT(1) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
+           |FROM lineitem
+           |WHERE NOT (l_orderkey % 97 = 0 OR l_orderkey % 101 = 0)
+           |GROUP BY l_returnflag""".stripMargin,
+      "q_delete_dv_fold" ->
+        s"""SELECT l_returnflag, COUNT(1) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
+           |FROM lineitem
+           |WHERE NOT (l_orderkey % 97 = 0 OR l_orderkey % 101 = 0)
+           |GROUP BY l_returnflag""".stripMargin,
+      "q_delete_dv_tt" ->
+        s"""SELECT l_returnflag, COUNT(1) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
       // MERGE algebra replayed in SQL: survivors (keys matched by neither the
       // update nor the delete class) + updated rows + inserted rows
       "q_merge_upsert" -> mergeOracle,
@@ -1120,8 +1201,10 @@ object SparkEntry {
       "q_sql_optimize" ->
         s"""SELECT event_type, $duckFixtureAgg
            |FROM events GROUP BY 1""".stripMargin,
-      // the commit log: init (1 op) → load → SQL OPTIMIZE (one
-      // AddPartitionVersion per live event_date partition each)
+      // the commit log: init (1 op) → load (one AddPartitionVersion per
+      // live event_date partition PLUS the round-14 SetTableSchema record —
+      // the first data write is the schema-defining commit) → SQL OPTIMIZE
+      // (partition ops only; the shape is unchanged, nothing re-records)
       "q_sql_history" ->
         s"""WITH d AS (
            |  SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS INTEGER) AS nd FROM events
@@ -1129,7 +1212,7 @@ object SparkEntry {
            |SELECT CAST(seq AS BIGINT) AS seq, user_id, verb, n_operations FROM (
            |  SELECT 3 AS seq, 'driver' AS user_id, 'SQL OPTIMIZE' AS verb,
            |         (SELECT nd FROM d) AS n_operations
-           |  UNION ALL SELECT 2, 'driver', 'load', (SELECT nd FROM d)
+           |  UNION ALL SELECT 2, 'driver', 'load', (SELECT nd FROM d) + 1
            |  UNION ALL SELECT 1, 'driver', 'init', 1
            |) t""".stripMargin,
       "q_sql_merge_mixed" ->

@@ -108,6 +108,25 @@ object GraftCli {
         case Left(err) => out.println(s"error: $err"); 2
       }
 
+    // one REF resolution for checkout/changes, matching the SQL surface:
+    // exact commit id first, then TAG name (the durable pin — SQL VERSION
+    // AS OF order), then TIMESTAMP (ISO-8601 instant / local date-time /
+    // date, UTC) via TableState.commitIdAsOf — the shared latest-commit-
+    // at-or-before rule, so one timestamp can never mean different commits
+    // on different surfaces. Anything unparseable passes through as a
+    // commit id and fails with the standard UnknownCommitError.
+    def resolveRef(t: TableName, token: String): CommitId = {
+      val st = tracker.tableState(t)
+      if (st.updates.exists(_.metadata.id.id == token)) CommitId(token)
+      else tracker.tags(t).collectFirst { case (`token`, id) => id }.getOrElse {
+        parseRefInstant(token) match {
+          case Some(ts) => st.commitIdAsOf(ts).getOrElse(
+            throw new IllegalArgumentException(s"no commit at or before $token for $t"))
+          case None => CommitId(token)
+        }
+      }
+    }
+
     // tracked-flavor cross-check shared by the Spark-backed write verbs
     // (stage/audit/publish/merge): a table definition whose flavor disagrees
     // with how the table was INITIALIZED produces operations that
@@ -210,9 +229,13 @@ object GraftCli {
         }
       }
 
-      case List("checkout", name, commitId) => withTable(name) { t =>
-        tracker.setCurrentVersion(t, CommitId(commitId))
-        out.println(s"checked out $commitId"); 0
+      // the ref argument accepts a commit id, a TAG name (tag-first, like
+      // SQL VERSION AS OF) or a TIMESTAMP (latest commit at or before it —
+      // TableState.commitIdAsOf, the one resolution SQL/Scala/CLI share)
+      case List("checkout", name, ref) => withTable(name) { t =>
+        val id = resolveRef(t, ref)
+        tracker.setCurrentVersion(t, id)
+        out.println(s"checked out ${id.id}"); 0
       }
 
       // tags: named immutable refs (training-data reproducibility pins).
@@ -244,12 +267,13 @@ object GraftCli {
       case List("changes", name, from, to) => withTable(name) { t =>
         val st = tracker.tableState(t)
         val ops = Metastore.computeChanges(
-          st.versionAt(CommitId(from)), st.versionAt(CommitId(to))).operations
+          st.versionAt(resolveRef(t, from)), st.versionAt(resolveRef(t, to))).operations
         ops.foreach {
           case MetastoreOperation.AddPartition(p, v)           => out.println(s"add     ${p.toPath}  ${v.label}")
           case MetastoreOperation.UpdatePartitionVersion(p, v) => out.println(s"update  ${p.toPath}  ${v.label}")
           case MetastoreOperation.RemovePartition(p)           => out.println(s"remove  ${p.toPath}")
           case MetastoreOperation.UpdateTableVersion(v)        => out.println(s"update  <snapshot>  ${v.label}")
+          case MetastoreOperation.UpdateSchema(_)              => out.println(s"schema  <widened>")
         }
         if (ops.isEmpty) out.println("no changes")
         0
@@ -456,22 +480,37 @@ object GraftCli {
       // DELETE through graft.operators.VersionedDml: stats/Bloom-pruned
       // partition discovery, only matched partitions rewritten, emptied
       // partitions removed from the commit, CAS-guarded
+      // --dv switches to the merge-on-read path (deletion vectors): only
+      // the matched positions are written, zero data bytes rewritten —
+      // the selective-delete shape for huge tables; fold with `optimize`
       case List("delete", name, location) => withTable(name) { t =>
         withTableDef(t, location, flags, out) { table =>
           flags.get("where") match {
             case None => out.println("error: delete needs --where <sql predicate>"); 2
             case Some(w) => withFlavorChecked(t, table) {
-              import graft.operators.VersionedDml._
               val spark = cliSpark()
               val engine = new graft.operators.VersionedTables(spark, tracker)
-              val r = engine.deleteWhere(table, org.apache.spark.sql.functions.expr(w), user,
-                if (message.nonEmpty) message else s"delete where $w")
-              if (r.rewritten.isEmpty && r.removed.isEmpty)
-                out.println("no rows matched — no commit")
-              else {
-                out.println(s"deleted  ${tracker.currentRef(t).id}")
-                r.rewritten.foreach(p => out.println(s"  rewrote ${p.toPath}"))
-                r.removed.foreach(p => out.println(s"  removed ${p.toPath}"))
+              if (flags.contains("dv")) {
+                import graft.operators.DeleteVectors._
+                val r = engine.deleteWhereDV(table, org.apache.spark.sql.functions.expr(w),
+                  user, if (message.nonEmpty) message else s"dv delete where $w")
+                if (r.affected.isEmpty) out.println("no rows matched — no commit")
+                else {
+                  out.println(s"deleted (merge-on-read)  ${tracker.currentRef(t).id}")
+                  out.println(s"  positions ${r.deletedRows}")
+                  r.affected.foreach(p => out.println(s"  dv ${p.toPath}"))
+                }
+              } else {
+                import graft.operators.VersionedDml._
+                val r = engine.deleteWhere(table, org.apache.spark.sql.functions.expr(w), user,
+                  if (message.nonEmpty) message else s"delete where $w")
+                if (r.rewritten.isEmpty && r.removed.isEmpty)
+                  out.println("no rows matched — no commit")
+                else {
+                  out.println(s"deleted  ${tracker.currentRef(t).id}")
+                  r.rewritten.foreach(p => out.println(s"  rewrote ${p.toPath}"))
+                  r.removed.foreach(p => out.println(s"  removed ${p.toPath}"))
+                }
               }
               0
             }
@@ -905,6 +944,17 @@ object GraftCli {
       }
     }
 
+  /** Timestamp forms a REF argument accepts: an ISO-8601 instant
+    * (`2024-03-01T00:00:00Z`), a local date-time (`2024-03-01T00:00:00`,
+    * UTC) or a bare date (`2024-03-01`, midnight UTC). */
+  private def parseRefInstant(s: String): Option[java.time.Instant] = {
+    def attempt(f: => java.time.Instant): Option[java.time.Instant] =
+      try Some(f) catch { case _: java.time.format.DateTimeParseException => None }
+    attempt(java.time.Instant.parse(s))
+      .orElse(attempt(java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)))
+      .orElse(attempt(java.time.LocalDate.parse(s).atStartOfDay.toInstant(java.time.ZoneOffset.UTC)))
+  }
+
   /** Separator for the one repeatable flag (`--check`): NUL can't survive
     * an execve argv, so it can never collide with user input. */
   private val CheckSep = "\u0000"
@@ -915,7 +965,7 @@ object GraftCli {
   private def parseFlags(argv: List[String]): (Map[String, String], List[String]) = {
     // every value-less flag must be listed: an unlisted one silently eats
     // the following positional token as its "value" and the verb misparses
-    val boolFlags = Set("isSnapshot", "apply", "merge-schema")
+    val boolFlags = Set("isSnapshot", "apply", "merge-schema", "dv")
     def loop(rest: List[String], flags: Map[String, String], pos: List[String]): (Map[String, String], List[String]) =
       rest match {
         case Nil => (flags, pos.reverse)

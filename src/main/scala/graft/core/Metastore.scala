@@ -11,6 +11,14 @@ object MetastoreOperation {
   final case class UpdatePartitionVersion(partition: Partition, version: Version) extends MetastoreOperation
   final case class RemovePartition(partition: Partition) extends MetastoreOperation
   final case class UpdateTableVersion(version: Version) extends MetastoreOperation
+  /** Widen the catalog's column list to `schemaJson` (additive evolution
+    * reaching a synced catalog: Hive's fixed column list would otherwise
+    * hide evolved columns from every `spark.table()` reader). Emitted by
+    * [[graft.core.VersionedMetastore]] when the commit being synced carries
+    * a [[TableOperation.SetTableSchema]]; NOT produced by the version diff
+    * ([[Metastore.computeChanges]]) — a rollback never retracts columns
+    * (additive evolution is one-way; old partitions read NULL). */
+  final case class UpdateSchema(schemaJson: String) extends MetastoreOperation
 }
 
 final case class TableChanges(operations: List[MetastoreOperation])

@@ -27,22 +27,34 @@ object Retention {
     * label is only reclaimable when NO retained state references it through
     * ANY partition — expiring one partition's directory of a label that
     * other partitions still read must keep the manifest. */
-  def liveVersionLabels(
-      st: TableState, keepLast: Int, pinned: List[CommitId] = Nil): Set[String] = {
-    require(keepLast >= 1, s"keepLast must be >= 1, was $keepLast")
-    val keptIds =
-      (st.updates.takeRight(keepLast).map(_.metadata.id) ++ pinned :+ st.currentVersion).distinct
-    keptIds.flatMap { id =>
-      st.versionAt(id) match {
-        case PartitionedTableVersion(pvs) => pvs.valuesIterator.map(_.label).toList
-        case SnapshotTableVersion(v)      => List(v.label)
+  /** Expand a live (partition, version) set with the DATA versions that
+    * live DELETION-VECTOR versions filter ([[TableOperation.SetVersionBase]]
+    * bindings): expiring a base while its marker is visible would break
+    * every read of the partition. Depth-1 by construction (DV deletes
+    * rebase onto the original data version); closed to a fixpoint anyway so
+    * a deeper chain could never slip through. */
+  private def withDvBases(
+      st: TableState,
+      live: Set[(Option[Partition], Version)]): Set[(Option[Partition], Version)] = {
+    val bases = st.versionBases
+    if (bases.isEmpty) live
+    else {
+      var acc = live
+      var grew = true
+      while (grew) {
+        val extra = acc.collect {
+          case (Some(p), v) if bases.contains((p, v)) =>
+            (Some(p): Option[Partition], bases((p, v)))
+        }
+        grew = !extra.subsetOf(acc)
+        acc = acc ++ extra
       }
-    }.toSet
+      acc
+    }
   }
 
-  def expirableVersionUris(
-      st: TableState, location: URI, keepLast: Int,
-      pinned: List[CommitId] = Nil): List[URI] = {
+  def liveVersionLabels(
+      st: TableState, keepLast: Int, pinned: List[CommitId] = Nil): Set[String] = {
     require(keepLast >= 1, s"keepLast must be >= 1, was $keepLast")
     val keptIds =
       (st.updates.takeRight(keepLast).map(_.metadata.id) ++ pinned :+ st.currentVersion).distinct
@@ -52,6 +64,21 @@ object Retention {
         case SnapshotTableVersion(v)      => List((None: Option[Partition], v))
       }
     }.toSet
+    withDvBases(st, live).map(_._2.label)
+  }
+
+  def expirableVersionUris(
+      st: TableState, location: URI, keepLast: Int,
+      pinned: List[CommitId] = Nil): List[URI] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, was $keepLast")
+    val keptIds =
+      (st.updates.takeRight(keepLast).map(_.metadata.id) ++ pinned :+ st.currentVersion).distinct
+    val live: Set[(Option[Partition], Version)] = withDvBases(st, keptIds.flatMap { id =>
+      st.versionAt(id) match {
+        case PartitionedTableVersion(pvs) => pvs.toList.map { case (p, v) => (Some(p), v) }
+        case SnapshotTableVersion(v)      => List((None: Option[Partition], v))
+      }
+    }.toSet)
     val referenced: List[(Option[Partition], Version)] = st.updates.flatMap(_.operations).collect {
       case TableOperation.AddPartitionVersion(p, v) => (Some(p), v)
       case TableOperation.AddTableVersion(v)        => (None: Option[Partition], v)

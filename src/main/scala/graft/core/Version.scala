@@ -56,6 +56,31 @@ object Version {
     * strictly-increasing timestamp so that labels sort in generation order
     * even within one nanosecond tick (reference MonotonicClock.scala:200-216). */
   def generate(): Version = Version(MonotonicClock.nextUniqueInstant(), UUID.randomUUID())
+
+  /** UUID "version" nibble reserved for DELETION-VECTOR versions. Standard
+    * UUIDs use 1-8 (random UUIDs are 4), so the flag can never collide with
+    * a [[generate]]d label or one imported from a chronicles store — and it
+    * rides inside the label's existing wire format, so every codec, store
+    * and path builder carries it unchanged. The flag is what lets a reader
+    * decide "does this version dir hold data files or a deletion sidecar?"
+    * with ZERO I/O, making a DV-unaware read path impossible by
+    * construction (the central read resolves flagged versions through
+    * their `_base.json`; see graft.operators.DeleteVectors). */
+  private val DvUuidVersion = 0xD
+
+  /** Generate a fresh DELETION-VECTOR version label: [[generate]] with the
+    * UUID version nibble forced to the reserved [[DvUuidVersion]]. */
+  def generateDeleteMarker(): Version = {
+    val v = generate()
+    val msb = (v.uuid.getMostSignificantBits & ~0x000000000000F000L) |
+      (DvUuidVersion.toLong << 12)
+    Version(v.timestamp, new UUID(msb, v.uuid.getLeastSignificantBits))
+  }
+
+  /** Whether `v` is a deletion-vector version (its directory holds a
+    * deletion sidecar, not data files). Pure bit check — no I/O. */
+  def isDeleteMarker(v: Version): Boolean =
+    v != Unversioned && v.uuid.version() == DvUuidVersion
 }
 
 /** Strictly-monotonic wall clock: never returns the same or an earlier

@@ -42,6 +42,31 @@ object TableOperation {
   final case class AddPartitionVersion(partition: Partition, version: Version) extends TableOperation
   /** Partitioned tables: make a partition invisible. */
   final case class RemovePartition(partition: Partition) extends TableOperation
+
+  /** Records the table's COLUMN SCHEMA as of this commit — written by every
+    * schema-defining commit (first write, additive evolution, replace-all
+    * under a new shape). `schemaJson` is an opaque document to this layer
+    * (the Spark engine stores `StructType.json`); the core model stays
+    * Spark-free. Purely informational for the state fold (visible data is
+    * still the partition→version map); its consumers are the schema-drift
+    * guard and the mergeSchema read path, which resolve a table's schema
+    * from the LOG instead of footer-merging every live data file — the
+    * difference between O(1) and O(all files) schema resolution per
+    * statement on evolved tables at 100 TB. Tables whose history carries no
+    * SetTableSchema (adopted / chronicles-imported / pre-upgrade) fall back
+    * to footer reads exactly as before. */
+  final case class SetTableSchema(schemaJson: String) extends TableOperation
+
+  /** Ties a DELETION-VECTOR version to the DATA version it filters: the
+    * partition's directory `_version=<version>` holds only a deletion
+    * sidecar (parquet files under `_dv` plus `_base.json`), and reads
+    * resolve data files
+    * from `_version=<base>`. Informational for the fold (the partition map
+    * carries `version` like any other); retention consumes it — a live DV
+    * version PINS its base (expiring the base while the DV is visible
+    * would break every read of the partition). */
+  final case class SetVersionBase(partition: Partition, version: Version, base: Version)
+      extends TableOperation
 }
 
 /** Current ref + full ordered history (oldest first). */
@@ -60,6 +85,42 @@ final case class TableState(currentVersion: CommitId, updates: List[TableUpdate]
   /** The visible state as of commit `id` (UnknownCommitError if absent). */
   def versionAt(id: CommitId): TableVersion =
     copy(currentVersion = id).currentTableVersion
+
+  /** The commit a TIMESTAMP resolves to: the LATEST commit whose commit
+    * time is at or before `instant` — SQL `TIMESTAMP AS OF` semantics,
+    * shared by the SQL face, the Scala read API ([[graft.operators
+    * .VersionedTables.readAsOf]]) and the CLI so a timestamp can never
+    * mean different commits on different surfaces. Ties (several commits
+    * on the same instant) fall to the latest in COMMIT order, matching the
+    * history's ordering law. None when the table had no commit yet. */
+  def commitIdAsOf(instant: java.time.Instant): Option[CommitId] =
+    updates.filter(!_.metadata.timestamp.isAfter(instant)).lastOption.map(_.metadata.id)
+
+  /** The recorded schema document as of commit `id`: the LAST
+    * [[TableOperation.SetTableSchema]] at or before `id`, or None for
+    * histories that never recorded one (adopted / imported / pre-upgrade
+    * tables — callers fall back to reading data-file footers). Resolving at
+    * the commit (not the head) is what keeps time travel honest: a read at
+    * a pre-evolution commit sees the pre-evolution schema. */
+  def schemaJsonAt(id: CommitId): Option[String] = {
+    val idx = updates.indexWhere(_.metadata.id == id)
+    if (idx < 0) throw UnknownCommitError(id)
+    updates.take(idx + 1).reverseIterator.flatMap(_.operations.reverseIterator).collectFirst {
+      case TableOperation.SetTableSchema(json) => json
+    }
+  }
+
+  /** [[schemaJsonAt]] the current ref. */
+  def currentSchemaJson: Option[String] = schemaJsonAt(currentVersion)
+
+  /** (partition, DV version) → base DATA version, from every
+    * [[TableOperation.SetVersionBase]] in the FULL history. A (p, v)→base
+    * binding never changes once committed, so the whole-history map is
+    * valid for resolving ANY historical state's DV versions. */
+  def versionBases: Map[(Partition, Version), Version] =
+    updates.iterator.flatMap(_.operations).collect {
+      case TableOperation.SetVersionBase(p, v, base) => (p, v) -> base
+    }.toMap
 }
 
 object TableState {
@@ -331,6 +392,31 @@ trait VersionTracker {
     }.getOrElse(false)
 }
 
+/**
+ * Optional tracker capability: MULTI-TABLE atomic commit groups — the
+ * "publish N tables from one pipeline run" primitive. All commits verify
+ * their expected heads and land together, or none advances: concurrent
+ * writers (thread or process) can never observe or produce an interleaving
+ * where table A carries group X's commit while table B carries group Y's
+ * based on stale state, because every head is CAS-verified and written
+ * under ALL the group's table locks, acquired in one global (sorted) order.
+ *
+ * Isolation caveat, stated like the reference states its own commit-layout
+ * caveats (reference FileBackedVersionTracker analog): atomicity is
+ * against CONCURRENT WRITERS, not against crashes or readers — a process
+ * dying between head writes leaves a partial group (re-run publishes the
+ * rest; each table's own commit is still atomic), and a reader scanning
+ * tables mid-publish can see table A advanced before table B.
+ */
+trait GroupCommitTracker { self: VersionTracker =>
+
+  /** Atomically commit `(table, update, expectedHead)` for every entry —
+    * all-or-nothing against concurrent writers. Any moved head raises
+    * [[CommitConflictError]] BEFORE any table advances. Tables must be
+    * distinct. */
+  def commitGroup(commits: List[(TableName, TableUpdate, CommitId)]): Unit
+}
+
 object VersionTracker {
   private val TagNamePattern = "[A-Za-z0-9][A-Za-z0-9._-]*".r
   private val TagNameMaxLength = 200
@@ -357,7 +443,26 @@ object VersionTracker {
 
 /** Simple in-memory tracker (reference `InMemoryVersionTracker.scala`).
   * Single-JVM; useful for tests and as the semantic baseline. */
-final class InMemoryVersionTracker extends VersionTracker {
+final class InMemoryVersionTracker extends VersionTracker with GroupCommitTracker {
+
+  /** One monitor guards everything, so verify-all-then-apply-all is
+    * trivially atomic here — the semantic baseline the file store's
+    * sorted-lock implementation must match. */
+  override def commitGroup(commits: List[(TableName, TableUpdate, CommitId)]): Unit =
+    synchronized {
+      require(commits.nonEmpty, "commitGroup needs at least one commit")
+      require(commits.map(_._1).distinct.size == commits.size,
+        "commitGroup: tables must be distinct")
+      commits.foreach { case (table, _, expected) =>
+        val st = states.getOrElse(table, throw UnknownTableError(table))
+        if (st.currentVersion != expected)
+          throw CommitConflictError(table, expected, st.currentVersion)
+      }
+      commits.foreach { case (table, update, _) =>
+        val st = states(table)
+        states += table -> TableState(update.metadata.id, st.updates :+ update)
+      }
+    }
   private var states = Map.empty[TableName, TableState]
 
   override def initTable(table: TableName, isSnapshot: Boolean, userId: UserId, message: String, timestamp: Instant): Unit =

@@ -33,22 +33,44 @@ final class VersionedMetastore(val tracker: VersionTracker, val metastore: Metas
 
   private def pinAndSync(table: TableName, update: TableUpdate): (TableVersion, TableChanges) = {
     val st = tracker.tableState(table)
-    val changes = syncTo(table, st.currentTableVersion)
+    // additive evolution must reach the catalog too: Hive's fixed column
+    // list would otherwise hide the evolved columns from every
+    // `spark.table()` reader even though the data files carry them
+    val schemaOps = update.operations.collect {
+      case TableOperation.SetTableSchema(json) => MetastoreOperation.UpdateSchema(json)
+    }
+    val changes = syncTo(table, st.currentTableVersion, schemaOps)
     (st.versionAt(update.metadata.id), changes)
   }
 
+  /** Re-sync the catalog to the tracker's CURRENT state without committing
+    * anything — the catch-up half of flows that commit through the tracker
+    * directly (multi-table atomic publish via
+    * [[GroupCommitTracker.commitGroup]]). `schemaOps` carries any
+    * [[MetastoreOperation.UpdateSchema]] widenings the synced commits
+    * introduced. */
+  def sync(table: TableName, schemaOps: List[MetastoreOperation] = Nil): TableChanges =
+    syncTo(table, tracker.currentVersion(table), schemaOps)
+
   /** Move the current ref to ANY historical commit and re-point the catalog.
-    * Metadata-only: zero data movement (docs/concepts.md:80-83). */
+    * Metadata-only: zero data movement (docs/concepts.md:80-83). Columns are
+    * never retracted on rollback — additive evolution is one-way; a
+    * historical state simply reads NULL in post-rollback-hidden columns. */
   def checkout(table: TableName, id: CommitId): TableChanges = {
     tracker.setCurrentVersion(table, id)
-    syncTo(table, tracker.currentVersion(table))
+    syncTo(table, tracker.currentVersion(table), Nil)
   }
 
-  private def syncTo(table: TableName, target: TableVersion): TableChanges = {
+  private def syncTo(
+      table: TableName, target: TableVersion,
+      schemaOps: List[MetastoreOperation]): TableChanges = {
     val catalogView =
       try metastore.currentVersion(table)
       catch { case _: UnknownTableError => TableVersion.empty(tracker.isSnapshotTable(table)) }
-    val changes = Metastore.computeChanges(catalogView, target)
+    // schema widening first: partitions added by the same commit may carry
+    // the new columns, and they should land under the widened column list
+    val changes = TableChanges(
+      schemaOps ++ Metastore.computeChanges(catalogView, target).operations)
     metastore.update(table, changes)
     changes
   }
@@ -68,6 +90,10 @@ final class InMemoryMetastore extends Metastore {
     val next = changes.operations.foldLeft(cur) {
       case (acc, MetastoreOperation.UpdateTableVersion(v)) =>
         Some(SnapshotTableVersion(v))
+      // no column list in this mirror — and the table-flavor view must pass
+      // through untouched (treating this as a partition op would clobber a
+      // snapshot view with an empty partitioned one)
+      case (acc, MetastoreOperation.UpdateSchema(_)) => acc
       case (acc, op) =>
         val partitions = acc match {
           case Some(PartitionedTableVersion(m)) => m
@@ -78,6 +104,7 @@ final class InMemoryMetastore extends Metastore {
           case MetastoreOperation.UpdatePartitionVersion(p, v)  => partitions.updated(p, v)
           case MetastoreOperation.RemovePartition(p)            => partitions - p
           case MetastoreOperation.UpdateTableVersion(_)         => partitions // unreachable
+          case MetastoreOperation.UpdateSchema(_)               => partitions // unreachable
         }
         Some(PartitionedTableVersion(updated))
     }

@@ -117,7 +117,41 @@ object ScaleProbe {
         (e, t, ev.agg(max(col("event_id"))).head().getLong(0) / 2)
       })
 
+    // evolve_write fixture: a mergeSchema table (16 files per partition)
+    // evolved once — the timed family then measures GUARDED WRITES and
+    // planning-only reads with a cold schema cache, i.e. exactly the
+    // per-statement schema-resolution cost that used to footer-merge every
+    // live file. With the round-14 log-recorded schema the slope must stay
+    // flat as the file count grows ~10×.
+    val evolveFixtures = scala.collection.mutable.Map
+      .empty[String, (VersionedTables, TableDefinition, org.apache.spark.sql.DataFrame)]
+    def evolveFixture(dir: String): (VersionedTables, TableDefinition, org.apache.spark.sql.DataFrame) =
+      evolveFixtures.getOrElseUpdate(dir, {
+        val root = graft.FixtureTempDirs.create("graft-probe-evolve-")
+        val e = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+        val t = TableDefinition(TableName("probe", "events_evolve"),
+          root.resolve("events_evolve").toUri, PartitionSchema("event_type"),
+          FileFormat.Parquet, options = Map("mergeSchema" -> "true"))
+        e.initTable(t, UserId("probe"), "init")
+        val ev = graft.Tables.events(spark, dir).localCheckpoint()
+        ev.repartition(16).versionedInsertInto(e, t, UserId("probe"), "load")
+        val one = ev.limit(1).withColumn("extra", lit(1.0)).localCheckpoint()
+        one.versionedInsertIntoEvolving(e, t, UserId("probe"), "evolve +extra")
+        (e, t, one)
+      })
+
     val families: Seq[(String, String => Unit)] = Seq(
+      "evolve_write" -> (dir => {
+        val (e, t, one) = evolveFixture(dir)
+        (1 to 3).foreach { _ =>
+          // a FRESH engine per write: empty schema-shape cache, so the
+          // drift guard must resolve the table's union schema — from the
+          // log (flat cost) rather than all live footers (linear cost)
+          val cold = new VersionedTables(spark, e.tracker)
+          one.versionedInsertInto(cold, t, UserId("probe"), "steady write")
+          cold.read(t).schema // planning-only read of the evolved table
+        }
+      }),
       "exact_dedup" -> (dir => { Dedup.exactDupGroups(docs(dir)).count(); () }),
       "lsh_dedup_chain" -> (dir => {
         Dedup.dupClusters(Dedup.minhashNearDupPairs(docs(dir), threshold = 0.8)).count(); ()
@@ -427,6 +461,9 @@ object ScaleProbe {
     // printed rep-1 line would report build+search as a search time
     if (selected.exists(_._1 == "bm25_index_search")) {
       bm25IndexFor(baseDir); bm25IndexFor(xDir)
+    }
+    if (selected.exists(_._1 == "evolve_write")) {
+      evolveFixture(baseDir); evolveFixture(xDir)
     }
 
     // interleaved reps (base, x, base, x ...) so ambient drift hits both

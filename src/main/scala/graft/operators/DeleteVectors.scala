@@ -1,0 +1,279 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import java.net.URI
+
+/**
+ * Merge-on-read DELETE via positional deletion vectors — the 100 TB answer
+ * for SELECTIVE deletes (GDPR row removal, spot de-duplication): a
+ * one-in-a-billion-row delete must move O(matched rows) bytes, not rewrite
+ * whole partitions the way [[VersionedDml.deleteWhere]]'s copy-on-write
+ * rewrite does. Same shape as Delta deletion vectors / Iceberg positional
+ * delete files, re-expressed on this engine's immutable version
+ * directories:
+ *
+ *   - the delete SCANS the matched rows once and writes only their
+ *     positions — `(file_path, row_index)` pairs from Spark's `_metadata`
+ *     struct — as small parquet files;
+ *   - the commit repoints each affected partition to a fresh
+ *     DELETION-VECTOR VERSION (label flagged via
+ *     [[graft.core.Version.generateDeleteMarker]] — a pure bit in the
+ *     existing label format, so every codec/store/path carries it
+ *     unchanged and a reader can recognize it with ZERO I/O). The marker's
+ *     directory holds the DV files under `_dv/` plus a `_base.json` naming
+ *     the DATA version it filters; the commit also records the binding as
+ *     [[graft.core.TableOperation.SetVersionBase]] so retention can pin
+ *     live markers' bases without touching the filesystem;
+ *   - reads of a marker version load the BASE version's data files and
+ *     broadcast-anti-join the (tiny) DV on `(file_path, row_index)` —
+ *     O(matched rows) extra work, only on the partitions that carry DVs;
+ *   - time travel is untouched: pre-delete commits point at the base
+ *     version directly; the fold and every wire format see ordinary
+ *     partition→version ops;
+ *   - a second DV delete on the same partition REBASES to depth 1: the new
+ *     marker's DV is the union of the old entries and the new matches, and
+ *     `_base.json` keeps naming the original DATA version — reads always
+ *     resolve in one hop;
+ *   - `compact` (SQL OPTIMIZE) FOLDS DVs for free: its read applies them,
+ *     and its rewrite commits a plain data version that resets the
+ *     partition.
+ *
+ * Boundaries, all loud: parquet only (`_metadata.row_index` is a parquet
+ * reader capability); snapshot tables refuse (a snapshot version is one
+ * self-contained unit — rewriting it IS the merge-on-read-free answer);
+ * adopted (unversioned) partitions refuse (their data sits at the
+ * partition root, which has no stable file set to anchor positions to);
+ * Hive/Glue catalog sync REFUSES marker versions (an external reader
+ * pointed at a marker directory would silently read empty — fold with
+ * compact/OPTIMIZE before syncing); chronicles export refuses likewise.
+ * Positions anchor to absolute file paths: relocating the table directory
+ * invalidates DVs (fold before moving).
+ */
+object DeleteVectors {
+
+  /** What a DV delete did: the committed state + the affected partitions
+    * (empty = the predicate matched nothing; no commit happened) and the
+    * number of NEWLY deleted row positions. */
+  final case class DvDeleteResult(
+      version: TableVersion,
+      changes: TableChanges,
+      affected: List[Partition],
+      deletedRows: Long)
+
+  private val FileCol = "_graft_dv_file"
+  private val PosCol = "_graft_dv_pos"
+
+  /** DV file schema: absolute data-file path + row position within it. */
+  private[operators] val DvSchema = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("row_index", LongType, nullable = false)))
+
+  private[operators] def dvDir(table: TableDefinition, p: Partition, marker: Version): URI = {
+    val versionDir = VersionPaths.pathFor(p.resolvePath(table.location), marker)
+    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(versionDir), "_dv").toUri
+  }
+
+  private def basePath(table: TableDefinition, p: Partition, marker: Version) =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(VersionPaths.pathFor(p.resolvePath(table.location), marker)),
+      "_base.json")
+
+  private[operators] def writeBase(
+      conf: org.apache.hadoop.conf.Configuration,
+      table: TableDefinition, p: Partition, marker: Version, base: Version): Unit = {
+    val path = basePath(table, p, marker)
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(path, true)
+    try out.write(s"""{"base": "${base.label}"}""".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The DATA version a marker filters, from its `_base.json`. Loud on a
+    * missing or unparseable document: a marker without its base is a
+    * corrupt state — reading past it would silently show an empty
+    * partition. */
+  private[operators] def readBase(
+      conf: org.apache.hadoop.conf.Configuration,
+      table: TableDefinition, p: Partition, marker: Version): Version = {
+    val path = basePath(table, p, marker)
+    val fs = path.getFileSystem(conf)
+    val in =
+      try fs.open(path)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"deletion-vector version ${marker.label} of partition '${p.toPath}' " +
+              s"(${table.name.fullyQualifiedName}) has no _base.json — corrupt DV state", e)
+      }
+    val json = try {
+      val baos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, baos, 8192, false)
+      baos.toString("UTF-8")
+    } finally in.close()
+    val label = "\"base\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"unparseable _base.json for ${marker.label} of '${p.toPath}': $json"))
+    Version.parse(label).fold(
+      err => throw new IllegalStateException(s"bad base label in _base.json: $err"),
+      identity)
+  }
+
+  /** Read the given DELETION-VECTOR partitions: base data files minus the
+    * DV positions, with partition columns recovered by discovery exactly
+    * like the plain read path (one load for all partitions — absolute file
+    * paths make DV entries globally unambiguous, so a single broadcast
+    * anti-join covers every partition). */
+  private[operators] def readDvPartitions(
+      engine: VersionedTables,
+      table: TableDefinition,
+      dvParts: Map[Partition, Version],
+      schemaHint: Option[StructType]): DataFrame = {
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    val sorted = dvParts.toSeq.sortBy(_._1.toPath)
+    val dataPaths = sorted.map { case (p, m) =>
+      VersionedTables.uriToLoadPath(
+        VersionPaths.pathFor(p.resolvePath(table.location), readBase(conf, table, p, m)))
+    }
+    val dvPaths = sorted.map { case (p, m) =>
+      VersionedTables.uriToLoadPath(dvDir(table, p, m))
+    }
+    val reader = engine.spark.read.format(table.format.name).options(table.options)
+    val data = schemaHint.fold(reader)(h =>
+        reader.schema(VersionedTables.hintLoadSchema(table, h)))
+      .option("basePath", VersionedTables.uriToLoadPath(table.location))
+      .load(dataPaths: _*)
+      .withColumn(FileCol, col("_metadata.file_path"))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    val dv = engine.spark.read.schema(DvSchema).parquet(dvPaths: _*)
+    data.join(broadcast(dv),
+        data(FileCol) === dv("file_path") && data(PosCol) === dv("row_index"),
+        "left_anti")
+      .drop(FileCol, PosCol, Version.VersionColumn)
+  }
+
+  implicit final class DvOps(private val engine: VersionedTables) extends AnyVal {
+
+    /** Merge-on-read DELETE: rows of the CURRENT version where `predicate`
+      * is TRUE (SQL three-valued — NULL keeps the row) become invisible via
+      * a deletion-vector commit; zero data bytes are rewritten. One call =
+      * one atomic commit, CAS'd on the head read at entry. See
+      * [[DeleteVectors]] for the model and its loud boundaries. */
+    def deleteWhereDV(
+        table: TableDefinition,
+        predicate: Column,
+        userId: UserId,
+        message: String): DvDeleteResult = {
+      require(table.format == FileFormat.Parquet,
+        "deleteWhereDV needs parquet (row positions come from the reader's " +
+          "_metadata.row_index); use deleteWhere (copy-on-write) for other formats")
+      require(!table.isSnapshot,
+        "deleteWhereDV applies to partitioned tables — a snapshot version is one " +
+          "self-contained unit; use deleteWhere, which rewrites it")
+      val spark = engine.spark
+      val conf = spark.sparkContext.hadoopConfiguration
+
+      val state = engine.tracker.tableState(table.name)
+      val head = state.currentVersion
+      val snapshot = state.currentTableVersion
+      val pvs = snapshot match {
+        case PartitionedTableVersion(m) => m
+        case _ => throw new IllegalStateException(
+          s"${table.name} initialised as snapshot but definition says partitioned")
+      }
+      if (pvs.isEmpty) return DvDeleteResult(snapshot, TableChanges.empty, Nil, 0L)
+
+      // candidate pruning first (partition values / stats / Blooms — no
+      // false negatives; marker versions have no manifest and stay in)
+      val candidates = TableStats.partitionsMayMatch(engine, table, pvs, predicate)
+      if (candidates.isEmpty) return DvDeleteResult(snapshot, TableChanges.empty, Nil, 0L)
+      candidates.foreach { case (p, v) =>
+        require(v != Version.Unversioned,
+          s"deleteWhereDV: partition '${p.toPath}' is adopted (unversioned) data — its " +
+            "files sit at the partition root with no stable set to anchor positions to; " +
+            "compact or rewrite it into a versioned state first")
+      }
+
+      // resolve every candidate to its DATA version (markers hop through
+      // _base.json once — depth-1 rebasing keeps it one hop)
+      val bases: Map[Partition, Version] = candidates.map { case (p, v) =>
+        p -> (if (Version.isDeleteMarker(v)) readBase(conf, table, p, v) else v)
+      }
+      val partCols = table.partitionSchema.columnNames
+      val sortedCand = bases.toSeq.sortBy(_._1.toPath)
+      val dataPaths = sortedCand.map { case (p, b) =>
+        VersionedTables.uriToLoadPath(VersionPaths.pathFor(p.resolvePath(table.location), b))
+      }
+      val raw = spark.read.format(table.format.name).options(table.options)
+        .option("basePath", VersionedTables.uriToLoadPath(table.location))
+        .load(dataPaths: _*)
+        .withColumn(FileCol, col("_metadata.file_path"))
+        .withColumn(PosCol, col("_metadata.row_index"))
+      val matchCond = coalesce(predicate, lit(false))
+      // NOTE: deliberately not re-excluding already-DV'd rows here — their
+      // positions re-match and union into the new DV unchanged (set union),
+      // which is exactly what depth-1 rebasing wants
+      val matches = raw.filter(matchCond)
+        .select((partCols.map(c => col(s"`$c`")) :+
+          col(FileCol).as("file_path")) :+ col(PosCol).as("row_index"): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val affected = VersionedTables.partitionValues(
+          matches.drop("file_path", "row_index"), table.partitionSchema)
+          .filter(pvs.contains).sortBy(_.toPath)
+        if (affected.isEmpty) return DvDeleteResult(snapshot, TableChanges.empty, Nil, 0L)
+        val newRows = matches.count()
+
+        // old DV entries of affected partitions ride into the new DV
+        // (depth-1 rebase): tiny frames, one per already-DV'd partition
+        val affectedSet = affected.toSet
+        val oldDvs: Seq[DataFrame] = candidates.toSeq.collect {
+          case (p, m) if Version.isDeleteMarker(m) && affectedSet(p) =>
+            val withCols = partCols.zipWithIndex.foldLeft(
+              spark.read.schema(DvSchema).parquet(
+                VersionedTables.uriToLoadPath(dvDir(table, p, m)))) { case (df, (c, i)) =>
+              val value = p.columnValues(i).value
+              df.withColumn(c,
+                if (value == PathCodec.DefaultPartitionName) lit(null).cast("string")
+                else lit(value))
+            }
+            withCols.select((partCols.map(c => col(s"`$c`")) :+
+              col("file_path")) :+ col("row_index"): _*)
+        }
+        val allDv = oldDvs.foldLeft(matches)(_.unionByName(_))
+          .dropDuplicates("file_path", "row_index")
+
+        // one job writes every partition's DV files, then O(affected)
+        // renames slot them under their marker directories
+        val marker = Version.generateDeleteMarker()
+        val tmp = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(table.location), s"_tmp_dv_${marker.label}")
+        val fs = tmp.getFileSystem(conf)
+        try {
+          allDv.repartition(partCols.map(c => col(s"`$c`")): _*)
+            .write.partitionBy(partCols: _*).mode("overwrite")
+            .parquet(tmp.toString)
+          affected.foreach { p =>
+            val src = new org.apache.hadoop.fs.Path(tmp, p.toHivePath)
+            require(fs.exists(src), s"DV write produced no output for '${p.toPath}'")
+            val dst = new org.apache.hadoop.fs.Path(dvDir(table, p, marker))
+            fs.mkdirs(dst.getParent)
+            require(fs.rename(src, dst), s"failed to move DV files into $dst")
+            writeBase(conf, table, p, marker, bases(p))
+          }
+        } finally { fs.delete(tmp, true); () }
+
+        val ops: List[TableOperation] = affected.flatMap(p => List(
+          TableOperation.AddPartitionVersion(p, marker),
+          TableOperation.SetVersionBase(p, marker, bases(p))))
+        val (tv, changes) = engine.versioned.commitIf(
+          table.name, TableUpdate(userId, message, java.time.Instant.now(), ops), head)
+        DvDeleteResult(tv, changes, affected, newRows)
+      } finally { matches.unpersist(blocking = false); () }
+    }
+  }
+}

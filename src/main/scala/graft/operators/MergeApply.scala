@@ -444,7 +444,9 @@ object MergeApply {
               "snapshot version must carry at least one row (emptying is a replace-all concern)")
           val (tv, changes) = engine.versioned.commitIf(
             table.name, TableUpdate(userId, message, now,
-              List(TableOperation.AddTableVersion(version))), head)
+              VersionedTables.schemaOpsFor(table, state, out.schema,
+                definesWholeTable = true) :+
+                TableOperation.AddTableVersion(version)), head)
           VersionedMerge.MergeResult(tv, changes, Nil, Nil)
         } finally { out.unpersist(blocking = false); () }
 
@@ -605,8 +607,10 @@ object MergeApply {
                 emptied.map(TableOperation.RemovePartition(_))
               if (ops.isEmpty)
                 return VersionedMerge.MergeResult(snapshot, TableChanges.empty, Nil, Nil)
+              // an evolveSchema merge is a schema-defining commit — record it
+              val schemaOps = VersionedTables.schemaOpsFor(table, state, out.schema)
               val (tv, changes) = engine.versioned.commitIf(
-                table.name, TableUpdate(userId, message, now, ops), head)
+                table.name, TableUpdate(userId, message, now, schemaOps ++ ops), head)
               VersionedMerge.MergeResult(tv, changes, finalParts, emptied)
             } finally { out.unpersist(blocking = false); () }
             } finally { inserts.foreach(_.unpersist(blocking = false)); () }

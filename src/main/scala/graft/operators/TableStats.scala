@@ -1224,7 +1224,24 @@ object TableStats {
       engine: VersionedTables,
       table: TableDefinition,
       version: TableVersion,
-      predicate: Column): DataFrame = {
+      predicate: Column,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    // deletion-vector partitions can't be file-pruned (their marker version
+    // has no manifest and their data files need the DV anti-join): route
+    // them through the DV-aware plain read + filter, skip-plan the rest.
+    // DVs are few and transient (OPTIMIZE folds them), so the split costs
+    // one extra scan branch only while deletes are unfolded.
+    version match {
+      case PartitionedTableVersion(pvs)
+          if pvs.valuesIterator.exists(Version.isDeleteMarker) =>
+        val (dvParts, plain) = pvs.partition { case (_, v) => Version.isDeleteMarker(v) }
+        val dvFrame = engine.readVersion(table, PartitionedTableVersion(dvParts), schemaHint)
+          .filter(predicate)
+        return if (plain.isEmpty) dvFrame
+        else readVersionWhere(engine, table, PartitionedTableVersion(plain), predicate,
+          schemaHint).unionByName(dvFrame)
+      case _ => ()
+    }
     val mixedAdopted = version match {
       case PartitionedTableVersion(pvs) =>
         pvs.nonEmpty && pvs.valuesIterator.contains(Version.Unversioned)
@@ -1243,11 +1260,16 @@ object TableStats {
     val reader = engine.spark.read.format(table.format.name).options(table.options)
     val df = version match {
       case _: PartitionedTableVersion =>
-        reader.option("basePath", VersionedTables.uriToLoadPath(table.location))
+        schemaHint.fold(reader)(h =>
+          reader.schema(VersionedTables.hintLoadSchema(table, h)))
+          .option("basePath", VersionedTables.uriToLoadPath(table.location))
           .load(decision.paths: _*)
           .drop(Version.VersionColumn)
       case SnapshotTableVersion(_) =>
-        reader.load(decision.paths: _*)
+        schemaHint.fold(reader)(h => reader.schema(
+          org.apache.spark.sql.types.StructType(
+            h.filterNot(_.name == Version.VersionColumn).toArray)))
+          .load(decision.paths: _*)
     }
     df.filter(predicate)
   }

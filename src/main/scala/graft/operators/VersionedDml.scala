@@ -139,7 +139,9 @@ object VersionedDml {
             "version must carry at least one row (emptying is a replace-all concern)")
         val (tv, changes) = engine.versioned.commitIf(
           table.name, TableUpdate(userId, message, now,
-            List(TableOperation.AddTableVersion(version))), head)
+            VersionedTables.schemaOpsFor(table, state, rewritten.schema,
+              definesWholeTable = true) :+
+              TableOperation.AddTableVersion(version)), head)
         DmlResult(tv, changes, Nil, Nil)
 
       case PartitionedTableVersion(pvs) =>
@@ -147,8 +149,11 @@ object VersionedDml {
         val candidates = TableStats.partitionsMayMatch(engine, table, pvs, predicate)
         if (candidates.isEmpty) return DmlResult(snapshot, TableChanges.empty, Nil, Nil)
         // (2) one persisted read of the candidate slice serves BOTH match
-        // discovery and the rewrite
-        val slice = engine.readVersion(table, PartitionedTableVersion(candidates))
+        // discovery and the rewrite. The log-recorded schema (when present)
+        // both skips the slice footer-merge AND makes the rewrite carry the
+        // table's full union shape on evolved tables.
+        val slice = engine.readVersion(table, PartitionedTableVersion(candidates),
+            engine.schemaHintAt(table, state, head))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val touched = VersionedTables.partitionValues(
@@ -181,8 +186,12 @@ object VersionedDml {
             .map(TableOperation.AddPartitionVersion(_, version)) ++
             emptied.map(TableOperation.RemovePartition(_))
           if (ops.isEmpty) return DmlResult(snapshot, TableChanges.empty, Nil, Nil)
+          // an UPDATE whose SET expression retypes a column is a schema-
+          // defining commit (the rewrite slice now differs from untouched
+          // partitions) — record it so log-resolved schemas stay honest
+          val schemaOps = VersionedTables.schemaOpsFor(table, state, rewritten.schema)
           val (tv, changes) = engine.versioned.commitIf(
-            table.name, TableUpdate(userId, message, now, ops), head)
+            table.name, TableUpdate(userId, message, now, schemaOps ++ ops), head)
           DmlResult(tv, changes, finalParts, emptied)
         } finally { slice.unpersist(blocking = false); () }
     }

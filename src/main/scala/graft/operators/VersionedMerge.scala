@@ -292,7 +292,8 @@ object VersionedMerge {
           require(fs.exists(versionDir),
             s"merge into ${table.name} produced an empty table — a snapshot version " +
               "must carry at least one row (deleting every row is a replace-all concern)")
-          val ops = List(TableOperation.AddTableVersion(version))
+          val ops = VersionedTables.schemaOpsFor(table, state, merged.schema,
+            definesWholeTable = true) :+ TableOperation.AddTableVersion(version)
           val (tv, changes) = engine.versioned.commitIf(
             table.name, TableUpdate(userId, message, now, ops), head)
           MergeResult(tv, changes, Nil, Nil)
@@ -355,8 +356,11 @@ object VersionedMerge {
               emptied.map(TableOperation.RemovePartition(_))
             if (ops.isEmpty)
               return MergeResult(snapshot, TableChanges.empty, Nil, Nil)
+            // merge-as-first-write defines the schema; steady-state merges
+            // record nothing (shape unchanged)
+            val schemaOps = VersionedTables.schemaOpsFor(table, state, merged.schema)
             val (tv, changes) = engine.versioned.commitIf(
-              table.name, TableUpdate(userId, message, now, ops), head)
+              table.name, TableUpdate(userId, message, now, schemaOps ++ ops), head)
             MergeResult(tv, changes, finalParts, emptied)
           } finally { merged.unpersist(blocking = false); () }
       }

@@ -50,9 +50,15 @@ final class VersionedTables(
 
   def checkout(table: TableName, id: CommitId): TableChanges = versioned.checkout(table, id)
 
-  /** Read the table at its current version. */
+  /** Read the table at its current version. mergeSchema tables resolve
+    * their (possibly evolved) schema from the commit log when it recorded
+    * one — planning then opens no footers; other tables keep the O(1)
+    * head-fold fast path. */
   def read(table: TableDefinition): DataFrame =
-    readVersion(table, tracker.currentVersion(table.name))
+    if (table.mergesSchema) {
+      val st = tracker.tableState(table.name)
+      readVersion(table, st.currentTableVersion, schemaHintAt(table, st, st.currentVersion))
+    } else readVersion(table, tracker.currentVersion(table.name))
 
   /** The table's visible state as of commit `id` (errors on unknown ids). */
   def versionAt(table: TableName, id: CommitId): TableVersion =
@@ -65,8 +71,10 @@ final class VersionedTables(
     * commit lists one day's files, not ten years'. */
   def readAt(
       table: TableDefinition, id: CommitId,
-      keep: Partition => Boolean = _ => true): DataFrame =
-    readVersion(table, prunePartitions(versionAt(table.name, id), keep))
+      keep: Partition => Boolean = _ => true): DataFrame = {
+    val st = tracker.tableState(table.name)
+    readVersion(table, prunePartitions(st.versionAt(id), keep), schemaHintAt(table, st, id))
+  }
 
   /** Metadata-only diff of the visible state between two commits: which
     * partitions were added / repointed / removed, without touching data.
@@ -91,12 +99,13 @@ final class VersionedTables(
       table: TableDefinition, from: CommitId, to: CommitId,
       keep: Partition => Boolean = _ => true): DataFrame = {
     val st = tracker.tableState(table.name) // one log fetch for both endpoints
+    val hint = schemaHintAt(table, st, to)
     (st.versionAt(from), st.versionAt(to)) match {
       case (PartitionedTableVersion(a), PartitionedTableVersion(b)) =>
         val changed = b.filter { case (p, v) => keep(p) && !a.get(p).contains(v) }
-        readVersion(table, PartitionedTableVersion(changed))
+        readVersion(table, PartitionedTableVersion(changed), hint)
       case (SnapshotTableVersion(va), snap @ SnapshotTableVersion(vb)) =>
-        if (va == vb) emptyLike(table) else readVersion(table, snap)
+        if (va == vb) emptyLike(table) else readVersion(table, snap, hint)
       case _ =>
         throw new IllegalArgumentException(
           "Cannot diff partitioned and snapshot table versions")
@@ -125,12 +134,13 @@ final class VersionedTables(
         case _: SnapshotTableVersion    => SnapshotTableVersion(Version.Unversioned)
       }
       else st.versionAt(st.updates(idx - 1).metadata.id)
+    val hint = schemaHintAt(table, st, id)
     (parent, at) match {
       case (PartitionedTableVersion(a), PartitionedTableVersion(b)) =>
         val changed = b.filter { case (p, v) => keep(p) && !a.get(p).contains(v) }
-        readVersion(table, PartitionedTableVersion(changed))
+        readVersion(table, PartitionedTableVersion(changed), hint)
       case (SnapshotTableVersion(va), snap @ SnapshotTableVersion(vb)) =>
-        if (va == vb) emptyLike(table) else readVersion(table, snap)
+        if (va == vb) emptyLike(table) else readVersion(table, snap, hint)
       case _ =>
         throw new IllegalArgumentException(
           "Cannot diff partitioned and snapshot table versions")
@@ -214,10 +224,11 @@ final class VersionedTables(
       table: TableDefinition, instant: java.time.Instant,
       keep: Partition => Boolean = _ => true): DataFrame = {
     val st = tracker.tableState(table.name)
-    val at = st.updates.filter(!_.metadata.timestamp.isAfter(instant)).lastOption
+    val at = st.commitIdAsOf(instant)
       .getOrElse(throw new IllegalArgumentException(
         s"No commit at or before $instant for ${table.name}"))
-    readVersion(table, prunePartitions(st.versionAt(at.metadata.id), keep))
+    readVersion(table, prunePartitions(st.versionAt(at), keep),
+      schemaHintAt(table, st, at))
   }
 
   /** Audit report: `_version=` directories on disk that no commit in the
@@ -436,6 +447,49 @@ final class VersionedTables(
     VacuumResult(targets, outcome.deleted, outcome.failed)
   }
 
+  /**
+   * MULTI-TABLE ATOMIC PUBLISH: commit several staged writes — one per
+   * table, typically the N outputs of one pipeline run — as ONE commit
+   * group ([[graft.core.GroupCommitTracker.commitGroup]]): every stage's
+   * expected head CAS-verifies and all tables advance together, or none
+   * does (a conflict raises [[graft.core.CommitConflictError]] before any
+   * table moves; the staged files remain vacuum-reclaimable debris, same
+   * as a failed single-table CAS). Requires this engine's tracker to
+   * support group commits (the in-memory and file-backed stores do).
+   * Heads are the ones each stage should be based on — pass
+   * [[headCommit]] captured before staging. After the group lands, each
+   * table's catalog view is synced (schema widenings included).
+   * Crash/reader isolation caveats are the trait's: atomic against
+   * concurrent WRITERS; a crash mid-publish leaves a re-runnable partial
+   * group.
+   */
+  def publishAtomically(
+      stages: Seq[(VersionedTables.StagedWrite, CommitId)]): Map[TableName, TableChanges] = {
+    require(stages.nonEmpty, "publishAtomically needs at least one staged write")
+    val group = tracker match {
+      case g: GroupCommitTracker => g
+      case other => throw new UnsupportedOperationException(
+        s"tracker ${other.getClass.getSimpleName} does not support atomic commit groups")
+    }
+    val now = java.time.Instant.now()
+    val commits = stages.map { case (s, head) =>
+      require(s.engineRef eq this,
+        s"staged write for ${s.table.name} belongs to a different engine")
+      (s.table.name, TableUpdate(s.userId, s.message, now, s.stagedOps), head)
+    }.toList
+    group.commitGroup(commits)
+    // post-commit bookkeeping per table: schema cache, catalog sync,
+    // staging-manifest cleanup — same steps StagedWrite.publish runs
+    stages.zip(commits).map { case ((s, _), (name, update, _)) =>
+      noteSchemaAt(s.table, update.metadata.id, s.stagedSchema)
+      s.cleanupManifest()
+      val schemaOps = update.operations.collect {
+        case TableOperation.SetTableSchema(json) => MetastoreOperation.UpdateSchema(json)
+      }
+      name -> versioned.sync(name, schemaOps)
+    }.toMap
+  }
+
   /** Write a stats-manifest checkpoint for the table's CURRENT version —
     * see [[TableStats.writeStatsCheckpoint]]. Safe no-op for tables
     * without manifests. */
@@ -446,7 +500,11 @@ final class VersionedTables(
     * driver-side prune that makes partial reads O(selected partitions) at
     * 100 TB scale (no file listing outside the selection). */
   def readPartitions(table: TableDefinition, keep: Partition => Boolean): DataFrame =
-    readVersion(table, prunePartitions(tracker.currentVersion(table.name), keep))
+    if (table.mergesSchema) {
+      val st = tracker.tableState(table.name)
+      readVersion(table, prunePartitions(st.currentTableVersion, keep),
+        schemaHintAt(table, st, st.currentVersion))
+    } else readVersion(table, prunePartitions(tracker.currentVersion(table.name), keep))
 
   /** Data-skipping read of the CURRENT version: prune whole partitions (by
     * their values) and individual files (by the commit-time stats manifest,
@@ -455,15 +513,22 @@ final class VersionedTables(
     * .filter(predicate)`; only the file listing and scan shrink. Versions
     * written without a [[graft.core.ColumnStatsConfig]] read unpruned. */
   def readWhere(table: TableDefinition, predicate: org.apache.spark.sql.Column): DataFrame =
-    TableStats.readVersionWhere(this, table, tracker.currentVersion(table.name), predicate)
+    if (table.mergesSchema) {
+      val st = tracker.tableState(table.name)
+      TableStats.readVersionWhere(this, table, st.currentTableVersion, predicate,
+        schemaHintAt(table, st, st.currentVersion))
+    } else TableStats.readVersionWhere(this, table, tracker.currentVersion(table.name), predicate)
 
   /** [[readWhere]] at a historical commit — time travel with the same
     * file-level skipping (manifests are per version, so history prunes
     * exactly like the head). */
   def readAtWhere(
       table: TableDefinition, id: CommitId,
-      predicate: org.apache.spark.sql.Column): DataFrame =
-    TableStats.readVersionWhere(this, table, versionAt(table.name, id), predicate)
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    val st = tracker.tableState(table.name)
+    TableStats.readVersionWhere(this, table, st.versionAt(id), predicate,
+      schemaHintAt(table, st, id))
+  }
 
   /** Driver-side partition pruning shared by every partial read
     * ([[readPartitions]], [[readAt]], [[readChangesBetween]],
@@ -538,14 +603,15 @@ final class VersionedTables(
     * may run concurrently. */
   private[operators] def requireCompatibleSchema(
       table: TableDefinition, df: DataFrame,
-      allowAdditive: Boolean = false): Option[CommitId] = {
+      allowAdditive: Boolean = false,
+      pinnedState: Option[TableState] = None): Option[CommitId] = {
     if (table.format != FileFormat.Parquet && table.format != FileFormat.Orc) return None
     // a snapshot insert REPLACES the entire visible table (AddTableVersion)
     // — every read loads exactly one self-contained version dir, so mixed
     // schemas cannot occur and a schema change is as legitimate as it is
     // via versionedReplaceAll on partitioned tables
     if (table.isSnapshot) return None
-    val st = tracker.tableState(table.name)
+    val st = pinnedState.getOrElse(tracker.tableState(table.name))
     val incoming = schemaShape(table, df.schema)
     Option(schemaShapeCache.get(table.name)) match {
       case Some((head, shape)) if head == st.currentVersion && shape == incoming =>
@@ -563,11 +629,15 @@ final class VersionedTables(
       // (additive evolution) — a one-partition sample would then flag a
       // producer writing the table's CURRENT (union) schema as drift, with
       // the outcome depending on which partition sorts first. Compare
-      // against the UNION schema instead (the footer-merge read is the
-      // documented cost of evolved tables). Uniform-schema tables keep the
-      // cheap one-partition sample.
+      // against the UNION schema instead. The union comes from the COMMIT
+      // LOG when the history recorded one (SetTableSchema — zero footer
+      // reads); only histories that never recorded a schema (adopted /
+      // imported / pre-upgrade) pay the footer-merge read. Uniform-schema
+      // tables keep the cheap one-partition sample.
       val existing = schemaShape(table,
-        if (table.mergesSchema) readVersion(table, st.currentTableVersion).schema
+        if (table.mergesSchema)
+          VersionedTables.parseSchemaJson(st.currentSchemaJson)
+            .getOrElse(readVersion(table, st.currentTableVersion).schema)
         else readVersion(table, sv).schema)
       // an empty existing shape means the sample was unreadable (e.g. an
       // adopted partition whose files are gone) — nothing trustworthy to
@@ -602,8 +672,27 @@ final class VersionedTables(
     Some(st.currentVersion)
   }
 
-  /** Materialize a specific table state. */
-  def readVersion(table: TableDefinition, version: TableVersion): DataFrame = version match {
+  /** The recorded schema AS OF commit `id`, as a read-planning hint. Only
+    * produced for mergeSchema tables — their scans otherwise footer-merge
+    * EVERY loaded file at planning time, a per-statement job at 100 TB —
+    * and only when the history recorded one ([[TableOperation
+    * .SetTableSchema]]); resolved at the COMMIT so time travel keeps
+    * showing historical schemas. Uniform-schema tables skip the lookup:
+    * their planning reads one footer, already O(1). */
+  private[operators] def schemaHintAt(
+      table: TableDefinition, st: TableState, id: CommitId): Option[StructType] =
+    if (!table.mergesSchema) None
+    else VersionedTables.parseSchemaJson(st.schemaJsonAt(id))
+
+  /** Materialize a specific table state. `schemaHint` (from
+    * [[schemaHintAt]]) replaces planning-time schema inference — the
+    * mergeSchema footer-merge over every loaded file — with the schema the
+    * commit log recorded; results are identical (evolution is additive and
+    * the log is written by every schema-changing commit), only planning
+    * I/O shrinks. No hint ⇒ inference, exactly as before. */
+  def readVersion(
+      table: TableDefinition, version: TableVersion,
+      schemaHint: Option[StructType] = None): DataFrame = version match {
     case SnapshotTableVersion(v) =>
       if (v == Version.Unversioned)
         // pre-adoption sentinel: data (if any) lives unversioned DIRECTLY at
@@ -611,12 +700,25 @@ final class VersionedTables(
         // directory would let partition discovery descend into _version=
         // subdirs created by later versioned writes and return future data.
         loadDirectFilesOrEmpty(table, table.location)
-      else recordForSkipping(
-        spark.read.format(table.format.name).options(table.options)
-          .load(VersionedTables.uriToLoadPath(VersionPaths.pathFor(table.location, v))),
-        table, version)
-    case PartitionedTableVersion(pvs) =>
-      if (pvs.isEmpty) emptyLike(table)
+      else recordForSkipping({
+        val reader = spark.read.format(table.format.name).options(table.options)
+        schemaHint.fold(reader)(h => reader.schema(
+          StructType(h.filterNot(_.name == Version.VersionColumn).toArray)))
+          .load(VersionedTables.uriToLoadPath(VersionPaths.pathFor(table.location, v)))
+      }, table, version)
+    case PartitionedTableVersion(allPvs) =>
+      // deletion-vector versions split out FIRST (zero-I/O label check):
+      // their directories hold deletion sidecars, not data — a DV-blind
+      // load would silently read them as empty partitions
+      val (dvParts, pvs) = allPvs.partition { case (_, v) => Version.isDeleteMarker(v) }
+      def withDv(plain: DataFrame): DataFrame =
+        if (dvParts.isEmpty) plain
+        else {
+          val dv = DeleteVectors.readDvPartitions(this, table, dvParts, schemaHint)
+          if (pvs.isEmpty) dv else plain.unionByName(dv)
+        }
+      if (allPvs.isEmpty) emptyLike(table)
+      else if (pvs.isEmpty) withDv(null)
       else if (pvs.valuesIterator.contains(Version.Unversioned))
         // Adopted tables can mix versioned and pre-adoption partitions; their
         // leaf dirs sit at different depths, which partition discovery with a
@@ -625,7 +727,7 @@ final class VersionedTables(
         // branch partition columns come back STRING-typed (the core model's
         // untyped partition values); the all-versioned fast path infers types
         // via partition discovery. Null partitions decode to NULL on both.
-        pvs.toList.sortBy(_._1.toPath).map { case (p, v) =>
+        withDv(pvs.toList.sortBy(_._1.toPath).map { case (p, v) =>
           val leaf = VersionPaths.pathFor(p.resolvePath(table.location), v)
           // "missing dir -> empty" is only legitimate for the adopted
           // (Unversioned) sentinel; a missing COMMITTED version dir is
@@ -640,17 +742,21 @@ final class VersionedTables(
                           else lit(cv.value)
               df.withColumn(cv.column.name, value)
           }
-        }.reduce(_.unionByName(_))
+        }.reduce(_.unionByName(_)))
       else {
         val paths = VersionPaths
           .resolveVersionedPartitionPaths(pvs, table.location)
           .values.map(VersionedTables.uriToLoadPath).toSeq.sorted
-        recordForSkipping(
-          spark.read.format(table.format.name).options(table.options)
+        val reader = spark.read.format(table.format.name).options(table.options)
+        withDv(recordForSkipping(
+          schemaHint.fold(reader)(h =>
+            reader.schema(VersionedTables.hintLoadSchema(table, h)))
             .option("basePath", VersionedTables.uriToLoadPath(table.location))
             .load(paths: _*)
             .drop(Version.VersionColumn),
-          table, version)
+          // record the PLAIN subset: the skipping rule prunes the files of
+          // this scan only; DV partitions read through their own anti-join
+          table, PartitionedTableVersion(pvs)))
       }
   }
 
@@ -704,6 +810,76 @@ object VersionedTables {
   /** Outcome of a [[VersionedTables.vacuum]] run: what would be / was
     * deleted, and any per-directory delete failures (path -> reason). */
   final case class VacuumResult(targets: List[URI], deleted: List[URI], failed: List[(URI, String)])
+
+  /** Arrange a recorded schema hint into the exact shape a hint-less
+    * partitioned scan would produce — data columns first (hint order), then
+    * partition columns in schema order — so hinted and inferred reads of
+    * the same version are column-for-column identical. `_version` rides
+    * along for partition discovery and is dropped by the caller. */
+  private[operators] def hintLoadSchema(
+      table: TableDefinition, hint: StructType): StructType = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val partColsLower = table.partitionSchema.columnNames.map(_.toLowerCase).toSet
+    val dataFields = hint.fields.filterNot(f => partColsLower(f.name.toLowerCase))
+    val partFields = table.partitionSchema.columnNames.map { c =>
+      hint.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(StructField(c, StringType, nullable = true))
+    }
+    StructType((dataFields ++ partFields) :+
+      StructField(Version.VersionColumn, StringType, nullable = true))
+  }
+
+  /** Parse a recorded [[graft.core.TableOperation.SetTableSchema]] document
+    * back into a StructType. None on absent or unparseable input — a corrupt
+    * document degrades to footer reads, it never bricks a table. */
+  private[graft] def parseSchemaJson(json: Option[String]): Option[StructType] =
+    json.flatMap(j =>
+      scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(j)).toOption.collect {
+        case s: StructType => s
+      })
+
+  /** The [[graft.core.TableOperation.SetTableSchema]] op a commit writing
+    * `written` should carry: one op when the written shape differs from the
+    * last recorded schema at the pinned state (or none was ever recorded),
+    * empty otherwise — so the log records exactly the schema-DEFINING
+    * commits (first write, additive evolution, replace-all reshape) and
+    * stays quiet on the steady-state write path. Self-describing formats
+    * only: csv/json round-trip through lossy inference, and a recorded
+    * schema that disagrees with what a reader infers would be a lie.
+    *
+    * The one shape a PARTIAL write must never record: an evolved
+    * (mergeSchema) table whose history carries NO recorded schema — the
+    * written frame there can be a SLICE union (a DML rewrite of
+    * pre-evolution partitions), and recording it would make later
+    * log-resolved reads silently drop the evolved columns of untouched
+    * partitions. Such histories stay footer-resolved until a whole-table
+    * write (`definesWholeTable` — replace-all, or any snapshot version,
+    * which is self-contained by construction) or a first write defines the
+    * full shape. */
+  private[operators] def schemaOpsFor(
+      table: TableDefinition, st: TableState,
+      written: StructType,
+      definesWholeTable: Boolean = false): List[TableOperation] =
+    if (table.format != FileFormat.Parquet && table.format != FileFormat.Orc) Nil
+    else {
+      def shape(s: StructType): Set[(String, String)] =
+        s.fields.iterator.filterNot(_.name == Version.VersionColumn)
+          .map(f => (f.name.toLowerCase, f.dataType.catalogString)).toSet
+      val clean = StructType(written.filterNot(_.name == Version.VersionColumn).toArray)
+      val recorded = parseSchemaJson(st.currentSchemaJson)
+      val firstWrite = st.currentTableVersion match {
+        case PartitionedTableVersion(pvs) => pvs.isEmpty
+        case SnapshotTableVersion(v)      => v == Version.Unversioned
+      }
+      if (recorded.exists(r => shape(r) == shape(clean))) Nil
+      else if (table.mergesSchema && recorded.isEmpty && !definesWholeTable && !firstWrite) Nil
+      // a PARTIAL write may only move the record FORWARD (additive
+      // superset): a merge/DML whose pruned slice carries a subset of an
+      // evolved table's union must not regress the recorded schema
+      else if (!definesWholeTable && !firstWrite &&
+          recorded.exists(r => !shape(r).subsetOf(shape(clean)))) Nil
+      else List(TableOperation.SetTableSchema(clean.json))
+    }
 
   /** Render a (properly-encoded) URI as the string Spark's readers and
     * Hadoop's `Path(String)` expect: the DECODED form. `Path(String)` treats
@@ -809,14 +985,25 @@ object VersionedTables {
     def partitions: List[Partition] =
       ops.collect { case TableOperation.AddPartitionVersion(p, _) => p }
 
-    /** Read of EXACTLY the staged version's files. */
+    // group-publish plumbing ([[VersionedTables.publishAtomically]])
+    private[operators] def engineRef: VersionedTables = engine
+    private[operators] def stagedOps: List[TableOperation] = ops
+    private[operators] def stagedSchema: org.apache.spark.sql.types.StructType = schema
+    private[operators] def cleanupManifest(): Unit =
+      if (manifested)
+        VersionedTables.deleteStagingManifest(
+          engine.spark.sparkContext.hadoopConfiguration, table.location, version.label)
+
+    /** Read of EXACTLY the staged version's files. On mergeSchema tables
+      * the stage's own schema doubles as the planning hint — the staged
+      * files carry exactly it, so no footer merge is needed. */
     def staged: DataFrame = {
       val tv: TableVersion =
         if (table.isSnapshot) SnapshotTableVersion(version)
         else PartitionedTableVersion(ops.collect {
           case TableOperation.AddPartitionVersion(p, v) => p -> v
         }.toMap)
-      engine.readVersion(table, tv)
+      engine.readVersion(table, tv, if (table.mergesSchema) Some(schema) else None)
     }
 
     /** The table as it WOULD read after [[publish]]: this stage's
@@ -837,7 +1024,11 @@ object VersionedTables {
         }
         val adds = ops.collect { case TableOperation.AddPartitionVersion(p, v) => p -> v }.toMap
         val removes = ops.collect { case TableOperation.RemovePartition(p) => p }.toSet
-        engine.readVersion(table, PartitionedTableVersion(headPvs -- removes ++ adds))
+        // the staged schema is the table's union after this stage (the drift
+        // guard pinned incoming ⊇ existing), so it is the valid hint for the
+        // overlaid head partitions too
+        engine.readVersion(table, PartitionedTableVersion(headPvs -- removes ++ adds),
+          if (table.mergesSchema) Some(schema) else None)
       }
 
     /** The frame an audit of the given scope runs against — the ONE place
@@ -1080,16 +1271,25 @@ object VersionedTables {
         writeManifest: Boolean = false,
         allowAdditive: Boolean = false): StagedWrite = {
       checkSparkConfigs(ds.sparkSession)
+      // one pinned state serves the schema guard, the replace-all remove
+      // set, and the schema-record decision
+      val pinned = engine.tracker.tableState(table.name)
       // replace-all rewrites the whole visible table, so it is ALLOWED to
       // change the schema; a partial insert is not (mixed-schema partitions)
       if (!replaceAll) {
-        val verifiedAt = engine.requireCompatibleSchema(table, ds.toDF(), allowAdditive)
+        val verifiedAt = engine.requireCompatibleSchema(table, ds.toDF(), allowAdditive,
+          pinnedState = Some(pinned))
         // CAS'd insert whose expected head ALREADY diverges from the head the
         // schema was verified at: the commitIf below would fail anyway — fail
         // fast here, before paying the full data write
         for (h <- expectedHead; v <- verifiedAt; if v != h)
           throw CommitConflictError(table.name, h, v)
       }
+      // record the schema when this commit DEFINES it (first write,
+      // evolution, replace-all reshape) — what lets evolved-table reads and
+      // guards resolve schemas from the log instead of data-file footers
+      val schemaOps = VersionedTables.schemaOpsFor(table, pinned, ds.toDF().schema,
+        definesWholeTable = replaceAll || table.isSnapshot)
       val version = Version.generate()
       val ops: List[TableOperation] =
         if (table.isSnapshot) {
@@ -1100,7 +1300,7 @@ object VersionedTables {
           // avoids a second evaluation of the (possibly expensive) plan and
           // stays correct for nondeterministic sources, where a non-empty
           // pre-check and an empty write can genuinely disagree.
-          List(TableOperation.AddTableVersion(version))
+          schemaOps :+ TableOperation.AddTableVersion(version)
         } else {
           val parts = partitionValues(ds, table.partitionSchema)
           require(parts.nonEmpty,
@@ -1108,14 +1308,14 @@ object VersionedTables {
           val adds = parts.map(TableOperation.AddPartitionVersion(_, version))
           val removes =
             if (!replaceAll) Nil
-            else engine.tracker.currentVersion(table.name) match {
+            else pinned.currentTableVersion match {
               case PartitionedTableVersion(pvs) =>
                 val kept = parts.toSet
                 pvs.keysIterator.filterNot(kept).toList.sortBy(_.toPath)
                   .map(TableOperation.RemovePartition(_))
               case _: SnapshotTableVersion => Nil
             }
-          adds ++ removes
+          schemaOps ++ adds ++ removes
         }
       writeWithVersion(table, version, clusterBy)
       if (table.isSnapshot) {

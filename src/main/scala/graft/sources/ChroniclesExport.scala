@@ -318,8 +318,15 @@ object ChroniclesExport {
         case TableOperation.RemovePartition(p) =>
           n.put("type", "remove-partition")
           n.put("partition", p.toPath)
+        // graft-only metadata the reference doesn't track: the schema record
+        // is a read/guard optimization (chronicles reads footers anyway), so
+        // dropping it on export loses nothing the reference could use.
+        // SetVersionBase never reaches here — requireRepresentable refuses
+        // the whole export — but skipping (not MatchError) keeps this
+        // renderer total.
+        case TableOperation.SetTableSchema(_) | TableOperation.SetVersionBase(_, _, _) => ()
       }
-      ops.add(n)
+      if (!n.isEmpty) ops.add(n)
     }
     root.toPrettyString
   }
@@ -336,7 +343,15 @@ object ChroniclesExport {
     update.operations.foreach {
       case TableOperation.AddPartitionVersion(p, _) => check(p)
       case TableOperation.RemovePartition(p)        => check(p)
-      case _                                        => ()
+      // a deletion-vector version is unreadable by a chronicles reader (its
+      // directory holds a deletion sidecar, not data) — exporting one would
+      // hand the reference a state that silently reads EMPTY partitions
+      case TableOperation.SetVersionBase(p, v, _) =>
+        throw new IllegalArgumentException(
+          s"Commit ${update.metadata.id.id} of $table carries a deletion-vector version " +
+            s"(${v.label} on '${p.toPath}') — the chronicles format cannot represent " +
+            "merge-on-read deletes; OPTIMIZE/compact the table to fold them first")
+      case _ => ()
     }
   }
 

@@ -54,7 +54,43 @@ final class FileBackedVersionTracker(
     rootUri: URI,
     hadoopConf: Configuration = new Configuration(),
     checkpointInterval: Int = FileBackedVersionTracker.DefaultCheckpointInterval)
-    extends VersionTracker {
+    extends VersionTracker with GroupCommitTracker {
+
+  /** Multi-table atomic commit group (two-phase over the per-table locks,
+    * [[graft.core.GroupCommitTracker]]): every table's in-process monitor
+    * AND cross-process `commit.lock` are acquired in ONE global order —
+    * sorted by fully-qualified table name — so two racing groups can never
+    * deadlock and never interleave (the second group blocks on the first
+    * table both touch, then sees the new heads and CAS-fails). Phase 1
+    * verifies every expected head under all the locks; phase 2 appends all
+    * commit files, then moves all heads. Crash-isolation caveat on the
+    * trait. */
+  override def commitGroup(commits: List[(TableName, TableUpdate, CommitId)]): Unit = {
+    require(commits.nonEmpty, "commitGroup needs at least one commit")
+    require(commits.map(_._1).distinct.size == commits.size,
+      "commitGroup: tables must be distinct")
+    val sorted = commits.sortBy(_._1.fullyQualifiedName)
+    val dirs = sorted.map { case (t, _, _) => existingWritableTableDir(t) }
+    def withAllLocks[A](ds: List[Path])(body: => A): A = ds match {
+      case Nil => body
+      case d :: rest =>
+        FileBackedVersionTracker.tableLock(d).synchronized {
+          withProcessLock(d) { withAllLocks(rest)(body) }
+        }
+    }
+    withAllLocks(dirs) {
+      sorted.zip(dirs).foreach { case ((table, _, expected), dir) =>
+        val head = CommitId(
+          readWithRetry(new Path(dir, FileBackedVersionTracker.HeadFile)).trim)
+        if (head != expected) throw CommitConflictError(table, expected, head)
+      }
+      sorted.zip(dirs).foreach { case ((_, update, _), dir) => writeCommit(dir, update) }
+      sorted.zip(dirs).foreach { case ((_, update, _), dir) =>
+        writeAtomic(new Path(dir, FileBackedVersionTracker.HeadFile), update.metadata.id.id)
+      }
+    }
+    dirs.foreach(d => FileBackedVersionTracker.tableLock(d).synchronized(maybeCheckpoint(d)))
+  }
 
   import FileBackedVersionTracker._
 

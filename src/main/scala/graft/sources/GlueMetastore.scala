@@ -22,7 +22,11 @@ final case class GlueTableInfo(
     database: String,
     name: String,
     partitionKeys: List[String],
-    storage: GlueStorage)
+    storage: GlueStorage,
+    // (name, catalog type) column list — Glue's StorageDescriptor.Columns.
+    // Additive evolution widens it via UpdateTable so Glue-catalog readers
+    // see evolved columns (the Hive ADD COLUMNS analogue).
+    columns: List[(String, String)] = Nil)
 
 final case class GluePartitionInfo(values: List[String], storage: GlueStorage)
 
@@ -135,11 +139,43 @@ final class GlueMetastore(glue: GlueApi) extends Metastore {
 
   override def update(table: TableName, changes: TableChanges): Unit =
     changes.operations.foreach {
+      // same stance as SparkHiveMetastore: a deletion-vector version dir
+      // holds no data files, so a Glue-catalog reader pointed at it would
+      // silently read EMPTY — refuse until the DVs are folded
+      case MetastoreOperation.AddPartition(p, v) if Version.isDeleteMarker(v) =>
+        throw new IllegalArgumentException(
+          s"cannot sync deletion-vector version ${v.label} of '${p.toPath}' to Glue — " +
+            "external readers cannot apply DVs; run compact/OPTIMIZE to fold deletes first")
+      case MetastoreOperation.UpdatePartitionVersion(p, v) if Version.isDeleteMarker(v) =>
+        throw new IllegalArgumentException(
+          s"cannot sync deletion-vector version ${v.label} of '${p.toPath}' to Glue — " +
+            "external readers cannot apply DVs; run compact/OPTIMIZE to fold deletes first")
       case MetastoreOperation.AddPartition(p, v)            => addPartition(table, p, v)
       case MetastoreOperation.UpdatePartitionVersion(p, v)  => updatePartitionVersion(table, p, v)
       case MetastoreOperation.RemovePartition(p)            => removePartition(table, p)
       case MetastoreOperation.UpdateTableVersion(v)         => updateTableLocation(table, v)
+      case MetastoreOperation.UpdateSchema(json)            => widenColumns(table, json)
     }
+
+  /** Widen the Glue table's column list to cover the recorded schema
+    * (additive only — columns are never dropped or retyped; partition keys
+    * are fixed at creation). The Glue UpdateTable analogue of Hive's
+    * `ALTER TABLE … ADD COLUMNS`. */
+  private def widenColumns(table: TableName, schemaJson: String): Unit = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val target = DataType.fromJson(schemaJson) match {
+      case s: StructType => s
+      case other => throw new IllegalArgumentException(
+        s"UpdateSchema for $table carries a non-struct schema document: $other")
+    }
+    val glueTable = getGlueTable(table)
+    val existing = (glueTable.columns.map(_._1) ++ glueTable.partitionKeys)
+      .map(_.toLowerCase).toSet
+    val missing = target.fields.filterNot(f => existing(f.name.toLowerCase))
+      .map(f => f.name -> f.dataType.catalogString).toList
+    if (missing.nonEmpty)
+      glue.updateTable(table.schema, glueTable.copy(columns = glueTable.columns ++ missing))
+  }
 
   private def addPartition(table: TableName, partition: Partition, version: Version): Unit = {
     val glueTable = getGlueTable(table)

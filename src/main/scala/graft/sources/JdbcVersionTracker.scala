@@ -56,6 +56,10 @@ final class JdbcVersionTracker(
       val rs = conn.getMetaData.getTables(null, null, name.toUpperCase, null)
       try rs.next() finally rs.close()
     }
+    def columnExists(table: String, column: String): Boolean = {
+      val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, column.toUpperCase)
+      try rs.next() finally rs.close()
+    }
     withStatement { st =>
       if (!tableExists("graft_tables"))
         st.executeUpdate(
@@ -80,7 +84,13 @@ final class JdbcVersionTracker(
             |  partition_path VARCHAR(1024),
             |  version_label VARCHAR(128),
             |  is_snapshot BOOLEAN,
+            |  extra_doc CLOB,
             |  PRIMARY KEY (commit_id, index_in_commit))""".stripMargin)
+      else if (!columnExists("graft_operations", "extra_doc"))
+        // transparent upgrade of pre-round-14 stores: the column carries
+        // set-table-schema documents / set-version-base labels; NULL for
+        // every older op, so old rows decode unchanged
+        st.executeUpdate("ALTER TABLE graft_operations ADD COLUMN extra_doc CLOB")
       if (!tableExists("graft_version_refs"))
         st.executeUpdate(
           """CREATE TABLE graft_version_refs (
@@ -353,7 +363,7 @@ final class JdbcVersionTracker(
   }
 
   private case class Row(commitId: String, user: String, msg: String, ts: Instant,
-      opType: String, part: String, ver: String, snap: Boolean)
+      opType: String, part: String, ver: String, snap: Boolean, extra: String)
 
   override def tableState(table: TableName): TableState = synchronized {
     if (!exists(table)) throw UnknownTableError(table)
@@ -440,13 +450,13 @@ final class JdbcVersionTracker(
     val upper = upToSeq.map(s => s" AND u.sequence_id <= $s").getOrElse("")
     queryIn(
       s"""SELECT u.commit_id, u.user_id, u.message, u.created_at,
-         |  o.op_type, o.partition_path, o.version_label, o.is_snapshot
+         |  o.op_type, o.partition_path, o.version_label, o.is_snapshot, o.extra_doc
          |FROM graft_updates u LEFT OUTER JOIN graft_operations o ON u.commit_id = o.commit_id
          |WHERE u.table_name = '${esc(table.fullyQualifiedName)}'
          |  AND u.sequence_id > $afterSeq$upper
          |ORDER BY u.sequence_id, o.index_in_commit""".stripMargin) { rs =>
       Row(rs.getString(1), rs.getString(2), rs.getString(3), rs.getTimestamp(4).toInstant,
-        rs.getString(5), rs.getString(6), rs.getString(7), rs.getBoolean(8))
+        rs.getString(5), rs.getString(6), rs.getString(7), rs.getBoolean(8), rs.getString(9))
     }
   }
 
@@ -561,9 +571,12 @@ final class JdbcVersionTracker(
       ps.executeUpdate()
     } finally ps.close()
     val po = conn.prepareStatement(
-      "INSERT INTO graft_operations VALUES (?,?,?,?,?,?)")
+      "INSERT INTO graft_operations " +
+        "(commit_id, index_in_commit, op_type, partition_path, version_label, is_snapshot, extra_doc) " +
+        "VALUES (?,?,?,?,?,?,?)")
     try update.operations.zipWithIndex.foreach { case (op, i) =>
       po.setString(1, m.id.id); po.setInt(2, i)
+      po.setNull(7, java.sql.Types.CLOB)
       op match {
         case TableOperation.InitTable(_, snap) =>
           po.setString(3, "init-table"); po.setNull(4, java.sql.Types.VARCHAR)
@@ -577,6 +590,14 @@ final class JdbcVersionTracker(
         case TableOperation.RemovePartition(p) =>
           po.setString(3, "remove-partition"); po.setString(4, p.toHivePath)
           po.setNull(5, java.sql.Types.VARCHAR); po.setNull(6, java.sql.Types.BOOLEAN)
+        case TableOperation.SetTableSchema(json) =>
+          po.setString(3, "set-table-schema"); po.setNull(4, java.sql.Types.VARCHAR)
+          po.setNull(5, java.sql.Types.VARCHAR); po.setNull(6, java.sql.Types.BOOLEAN)
+          po.setString(7, json)
+        case TableOperation.SetVersionBase(p, v, base) =>
+          po.setString(3, "set-version-base"); po.setString(4, p.toHivePath)
+          po.setString(5, v.label); po.setNull(6, java.sql.Types.BOOLEAN)
+          po.setString(7, base.label)
       }
       po.executeUpdate()
     } finally po.close()
@@ -593,6 +614,13 @@ final class JdbcVersionTracker(
           Version.parse(r.ver).fold(sys.error, identity))
       case "remove-partition" =>
         TableOperation.RemovePartition(Partition.parseEscaped(r.part).fold(sys.error, identity))
+      case "set-table-schema" =>
+        TableOperation.SetTableSchema(r.extra)
+      case "set-version-base" =>
+        TableOperation.SetVersionBase(
+          Partition.parseEscaped(r.part).fold(sys.error, identity),
+          Version.parse(r.ver).fold(sys.error, identity),
+          Version.parse(r.extra).fold(sys.error, identity))
       case other => sys.error(s"Unknown op type in store: '$other'")
     }
 

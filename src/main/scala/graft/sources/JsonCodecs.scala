@@ -205,6 +205,14 @@ object JsonCodecs {
       case TableOperation.RemovePartition(partition) =>
         n.put("type", "remove-partition")
         n.put("partition", partition.toHivePath)
+      case TableOperation.SetTableSchema(json) =>
+        n.put("type", "set-table-schema")
+        n.put("schema", json)
+      case TableOperation.SetVersionBase(partition, version, base) =>
+        n.put("type", "set-version-base")
+        n.put("partition", partition.toHivePath)
+        n.put("version", version.label)
+        n.put("base", base.label)
     }
     n
   }
@@ -298,6 +306,14 @@ object JsonCodecs {
         } yield TableOperation.AddPartitionVersion(p, v)
       case "remove-partition" =>
         str(n, "partition").flatMap(partition).map(TableOperation.RemovePartition)
+      case "set-table-schema" =>
+        str(n, "schema").map(TableOperation.SetTableSchema.apply)
+      case "set-version-base" =>
+        for {
+          p <- str(n, "partition").flatMap(partition)
+          v <- str(n, "version").flatMap(Version.parse)
+          b <- str(n, "base").flatMap(Version.parse)
+        } yield TableOperation.SetVersionBase(p, v, b)
       case other => Left(s"Unknown operation type: '$other'")
     }
   }

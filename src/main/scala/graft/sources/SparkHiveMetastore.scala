@@ -47,6 +47,22 @@ final class SparkHiveMetastore(spark: SparkSession) extends Metastore {
   private val DdlBatchSize = 100
 
   override def update(table: TableName, changes: TableChanges): Unit = {
+    // a DELETION-VECTOR version is unreadable by plain catalog readers (its
+    // directory holds a deletion sidecar, not data) — pointing a Hive
+    // partition at it would make spark.table() silently read EMPTY. Refuse
+    // loudly (before any catalog touch): fold the DVs (compact / SQL
+    // OPTIMIZE) before Hive-syncing.
+    changes.operations.foreach {
+      case MetastoreOperation.AddPartition(p, v) if Version.isDeleteMarker(v) =>
+        throw new IllegalArgumentException(
+          s"cannot sync deletion-vector version ${v.label} of '${p.toPath}' to Hive — " +
+            "external readers cannot apply DVs; run compact/OPTIMIZE to fold deletes first")
+      case MetastoreOperation.UpdatePartitionVersion(p, v) if Version.isDeleteMarker(v) =>
+        throw new IllegalArgumentException(
+          s"cannot sync deletion-vector version ${v.label} of '${p.toPath}' to Hive — " +
+            "external readers cannot apply DVs; run compact/OPTIMIZE to fold deletes first")
+      case _ => ()
+    }
     requireExists(table)
     val t = table.fullyQualifiedName
     if (changes.operations.isEmpty) return
@@ -65,6 +81,15 @@ final class SparkHiveMetastore(spark: SparkSession) extends Metastore {
     val updates = changes.operations.collect { case op: MetastoreOperation.UpdatePartitionVersion => op }
     val removes = changes.operations.collect { case op: MetastoreOperation.RemovePartition => op }
     val tableVersions = changes.operations.collect { case op: MetastoreOperation.UpdateTableVersion => op }
+    val schemaOps = changes.operations.collect { case op: MetastoreOperation.UpdateSchema => op }
+
+    // schema widening FIRST: partitions added by the same sync may carry the
+    // new columns, and `spark.table()` readers should see them immediately —
+    // the reference's central claim (docs/concepts.md:60-67) holding under
+    // additive evolution. Hive has no typed "ADD IF ABSENT", so the missing
+    // set is diffed against the catalog's current column list; columns are
+    // never dropped or retyped here (additive evolution is one-way).
+    schemaOps.foreach(op => widenColumns(table, op.schemaJson))
 
     adds.grouped(DdlBatchSize).foreach { chunk =>
       val specs = chunk.map(op =>
@@ -94,6 +119,31 @@ final class SparkHiveMetastore(spark: SparkSession) extends Metastore {
 
   private def locString(uri: URI): String =
     new org.apache.hadoop.fs.Path(uri).toString
+
+  /** `ALTER TABLE … ADD COLUMNS` for every column of the recorded schema
+    * missing from the catalog's column list (case-insensitive; partition
+    * columns excluded — they are fixed at table creation). Unparseable
+    * schema documents fail loudly: silently skipping would leave readers
+    * blind to committed columns. */
+  private def widenColumns(table: TableName, schemaJson: String): Unit = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val target = DataType.fromJson(schemaJson) match {
+      case s: StructType => s
+      case other => throw new IllegalArgumentException(
+        s"UpdateSchema for $table carries a non-struct schema document: $other")
+    }
+    // catalog METADATA only — spark.table() would trigger (and cache) a
+    // Hive→parquet relation conversion mid-sync, when the table location
+    // can still show in-flight `_version=` dirs as a bogus partition column
+    val existing = spark.catalog.listColumns(table.fullyQualifiedName)
+      .collect().map(_.name.toLowerCase).toSet
+    val missing = target.fields.filterNot(f => existing(f.name.toLowerCase))
+    if (missing.nonEmpty) {
+      val colDefs = missing.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"ALTER TABLE ${table.fullyQualifiedName} ADD COLUMNS ($colDefs)")
+      ()
+    }
+  }
 
   // ---- catalog inspection (DESCRIBE scrape, as in the reference) ----
 

@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.core._
+import graft.operators.VersionedTables._
+import graft.operators.DeleteVectors._
+import graft.operators.VersionedDml._
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Merge-on-read deletes (deletion vectors): result equality with a plain
+  * filter, O(matched-rows) physical cost (base data files untouched — the
+  * law that makes DV the 100 TB answer for selective deletes), depth-1
+  * rebasing, honest time travel, compact-folds-DVs equivalence, retention
+  * pinning of live markers' bases, and the loud boundaries. */
+class DeleteVectorsSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def newTable(): (VersionedTables, TableDefinition) = {
+    val dir = Files.createTempDirectory("graft-dv-").toFile
+    val engine = VersionedTables.withFileStore(spark,
+      new java.io.File(dir, "store").toURI)
+    val table = TableDefinition(TableName("dv", s"t${seq.incrementAndGet()}"),
+      new java.io.File(dir, "t").toURI, PartitionSchema("day"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    (engine, table)
+  }
+
+  private def load(engine: VersionedTables, table: TableDefinition): Unit =
+    (0L until 1000L).map(k => (k, k * 2.0, s"d${k % 4}")).toDF("k", "v", "day")
+      .repartition(3) // rows of each partition span multiple files
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+
+  /** (path, length) of every DATA parquet file under the table, excluding
+    * DV sidecars. */
+  private def dataFiles(table: TableDefinition): Set[(String, Long)] = {
+    def walk(f: java.io.File): List[java.io.File] =
+      if (f.isDirectory) f.listFiles().toList.flatMap(walk) else List(f)
+    walk(new java.io.File(table.location))
+      .filter(f => f.getName.endsWith(".parquet") && !f.getPath.contains("/_dv/"))
+      .map(f => (f.getPath, f.length)).toSet
+  }
+
+  behavior of "deleteWhereDV"
+
+  it should "equal the plain filter without touching any data file" in {
+    val (engine, table) = newTable()
+    load(engine, table)
+    val before = dataFiles(table)
+    val expected = engine.read(table).filter(!(col("k") % 7 === 0))
+      .select("k").as[Long].collect().sorted
+
+    val r = engine.deleteWhereDV(table, col("k") % 7 === 0, UserId("t"), "dv %7")
+    r.deletedRows shouldBe (0L until 1000L).count(_ % 7 == 0)
+    r.affected.map(_.toPath).toSet shouldBe Set("day=d0", "day=d1", "day=d2", "day=d3")
+
+    engine.read(table).select("k").as[Long].collect().sorted shouldBe expected
+    // THE law: zero data bytes moved — the exact same data files, untouched
+    dataFiles(table) shouldBe before
+    // and the partitions now point at flagged marker versions
+    engine.tracker.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) =>
+        all(pvs.values.toList.map(Version.isDeleteMarker)) shouldBe true
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  it should "stack deletes via depth-1 rebase and time-travel honestly" in {
+    val (engine, table) = newTable()
+    load(engine, table)
+    val c0 = engine.headCommit(table.name)
+    engine.deleteWhereDV(table, col("k") % 7 === 0, UserId("t"), "dv %7")
+    val c1 = engine.headCommit(table.name)
+    engine.deleteWhereDV(table, col("k") % 11 === 0, UserId("t"), "dv %11")
+
+    engine.read(table).select("k").as[Long].collect().sorted shouldBe
+      (0L until 1000L).filter(k => k % 7 != 0 && k % 11 != 0).toArray
+    // each intermediate state reads exactly
+    engine.readAt(table, c1).select("k").as[Long].collect().sorted shouldBe
+      (0L until 1000L).filter(_ % 7 != 0).toArray
+    engine.readAt(table, c0).count() shouldBe 1000L
+    // depth-1: the second marker's base is the ORIGINAL data version
+    val st = engine.tracker.tableState(table.name)
+    val bases = st.versionBases
+    val dataVersions = st.versionAt(c0) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other => fail(s"unexpected $other")
+    }
+    st.currentTableVersion match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.foreach { case (p, m) => bases((p, m)) shouldBe dataVersions(p) }
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  it should "fold DVs on compact, equal reads, and let retention expire them afterwards" in {
+    val (engine, table) = newTable()
+    load(engine, table)
+    engine.deleteWhereDV(table, col("k") % 7 === 0, UserId("t"), "dv %7")
+    val dvHead = engine.headCommit(table.name)
+    val expected = engine.read(table).select("k").as[Long].collect().sorted
+
+    // a LIVE marker pins its base: with keepLast=1 on the DV head, neither
+    // the marker nor the base data version may be expirable
+    engine.expirableVersions(table, keepLast = 1) shouldBe Nil
+
+    engine.compact(table, UserId("t"), "fold")
+    engine.tracker.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.values.toList.exists(Version.isDeleteMarker) shouldBe false
+      case other => fail(s"unexpected $other")
+    }
+    engine.read(table).select("k").as[Long].collect().sorted shouldBe expected
+    // time travel to the DV state still works post-compact
+    engine.readAt(table, dvHead).select("k").as[Long].collect().sorted shouldBe expected
+
+    // after folding, keepLast=1 releases the marker AND its base; a real
+    // vacuum physically reclaims them and the head still reads exactly
+    val targets = engine.expirableVersions(table, keepLast = 1)
+    targets should not be empty
+    val res = engine.vacuum(table, keepLast = 1, dryRun = false)
+    res.failed shouldBe empty
+    engine.read(table).select("k").as[Long].collect().sorted shouldBe expected
+  }
+
+  it should "prune DML discovery and keep readWhere/readPartitions exact over DV'd partitions" in {
+    val (engine, table) = newTable()
+    load(engine, table)
+    engine.deleteWhereDV(table, col("k") % 7 === 0, UserId("t"), "dv %7")
+    // partition-pruned read
+    engine.readPartitions(table, _.columnValues.exists(_.value == "d1"))
+      .select("k").as[Long].collect().sorted shouldBe
+      (0L until 1000L).filter(k => k % 4 == 1 && k % 7 != 0).toArray
+    // predicate read (skipping path must route DV'd partitions correctly)
+    engine.readWhere(table, col("k") < 100)
+      .select("k").as[Long].collect().sorted shouldBe
+      (0L until 100L).filter(_ % 7 != 0).toArray
+    // copy-on-write DML composes: an update on a DV'd table must not
+    // resurrect deleted rows
+    engine.updateWhere(table, col("k") === 8L, Map("v" -> lit(-1.0)), UserId("t"), "upd")
+    engine.read(table).filter(col("v") === -1.0).count() shouldBe 1
+    engine.read(table).filter(col("k") % 7 === 0).count() shouldBe 0
+  }
+
+  it should "refuse the loud boundaries: non-parquet, Hive sync, chronicles export" in {
+    val (engine, table) = newTable()
+    load(engine, table)
+    // non-parquet formats refuse (positions come from parquet's row_index)
+    val asCsv = TableDefinition(table.name, table.location, table.partitionSchema,
+      FileFormat.Csv)
+    intercept[IllegalArgumentException] {
+      engine.deleteWhereDV(asCsv, col("k") === 1L, UserId("t"), "csv")
+    }
+    // Hive sync refusal is pinned at the metastore seam (validated before
+    // any catalog touch)
+    val hive = new graft.sources.SparkHiveMetastore(spark)
+    intercept[IllegalArgumentException] {
+      hive.update(TableName("default", "whatever"),
+        TableChanges(List(MetastoreOperation.UpdatePartitionVersion(
+          Partition("day", "d0"), Version.generateDeleteMarker()))))
+    }
+    // chronicles export refuses DV commits (the reference format would
+    // silently read marker dirs as empty partitions)
+    engine.deleteWhereDV(table, col("k") % 7 === 0, UserId("t"), "dv")
+    intercept[IllegalArgumentException] {
+      graft.sources.ChroniclesExport.exportTable(
+        engine.tracker, table.name,
+        Files.createTempDirectory("graft-dv-export-").toUri)
+    }
+  }
+
+  it should "keep marker flags across the file-store wire format" in {
+    val m = Version.generateDeleteMarker()
+    Version.isDeleteMarker(m) shouldBe true
+    Version.isDeleteMarker(Version.generate()) shouldBe false
+    Version.parse(m.label) shouldBe Right(m)
+    Version.parse(m.label).toOption.map(Version.isDeleteMarker) shouldBe Some(true)
+  }
+}

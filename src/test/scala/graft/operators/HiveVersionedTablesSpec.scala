@@ -94,4 +94,47 @@ class HiveVersionedTablesSpec extends AnyFlatSpec with Matchers {
     engine.checkout(table.name, log(1).id)
     spark.table("hive_accept.users_snap").count() shouldBe 2
   }
+
+  it should "propagate additive evolution to Hive: plain spark.table sees the new column" in {
+    val root = Files.createTempDirectory("graft-hive-evolve-")
+    val loc = root.resolve("events").toUri.toString.stripSuffix("/")
+    spark.sql("CREATE DATABASE IF NOT EXISTS hive_accept")
+    spark.sql(
+      s"""CREATE EXTERNAL TABLE hive_accept.events_evo (id STRING)
+         |PARTITIONED BY (day STRING) STORED AS PARQUET LOCATION '$loc'""".stripMargin)
+
+    val engine = new VersionedTables(spark,
+      new FileBackedVersionTracker(root.resolve("store").toUri),
+      new SparkHiveMetastore(spark))
+    val table = TableDefinition(TableName("hive_accept", "events_evo"),
+      new java.net.URI(loc), PartitionSchema("day"), FileFormat.Parquet,
+      options = Map("mergeSchema" -> "true"))
+    engine.initTable(table, UserId("carol"), "init")
+
+    Seq(("e1", "d1"), ("e2", "d1")).toDF("id", "day")
+      .versionedInsertInto(engine, table, UserId("carol"), "v1 narrow")
+    spark.table("hive_accept.events_evo").columns.toSeq shouldBe Seq("id", "day")
+
+    // the reference's core claim (docs/concepts.md:60-67) must hold under
+    // evolution: committed data — INCLUDING evolved columns — visible via
+    // plain spark.table, no engine code on the read path
+    Seq(("e3", 42, "d2")).toDF("id", "score", "day")
+      .versionedInsertIntoEvolving(engine, table, UserId("carol"), "v2 +score")
+
+    val viaHive = spark.table("hive_accept.events_evo")
+    viaHive.columns.toSet shouldBe Set("id", "score", "day")
+    viaHive.count() shouldBe 3
+    // new column null-fills on pre-evolution partitions, reads on new ones
+    viaHive.where($"day" === "d1").select("score").collect().map(_.isNullAt(0)) shouldBe
+      Array(true, true)
+    viaHive.where($"day" === "d2").select("score").head().getInt(0) shouldBe 42
+    // engine path-read agrees with the catalog read
+    engine.read(table).count() shouldBe 3
+
+    // steady-state writes after evolution don't re-ALTER (idempotent sync)
+    Seq(("e4", 7, "d3")).toDF("id", "score", "day")
+      .versionedInsertInto(engine, table, UserId("carol"), "v3 union shape")
+    spark.table("hive_accept.events_evo").columns.toSet shouldBe Set("id", "score", "day")
+    spark.table("hive_accept.events_evo").count() shouldBe 4
+  }
 }

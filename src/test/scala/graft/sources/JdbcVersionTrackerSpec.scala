@@ -184,7 +184,7 @@ class JdbcPersistenceSpec extends AnyFlatSpec with Matchers {
     val st = raw.createStatement()
     st.executeUpdate(
       s"""INSERT INTO graft_operations VALUES
-         |('${seed.metadata.id.id}', 99, 'mystery-op', NULL, NULL, NULL)""".stripMargin)
+         |('${seed.metadata.id.id}', 99, 'mystery-op', NULL, NULL, NULL, NULL)""".stripMargin)
     st.close(); raw.close()
     // every further commit trips the checkpoint fold onto the bad row; the
     // fold fails — the COMMITS must not

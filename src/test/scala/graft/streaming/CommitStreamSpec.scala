@@ -45,9 +45,13 @@ class CommitStreamSpec extends AnyFlatSpec with Matchers {
     val initOps = rows(0).getSeq[org.apache.spark.sql.Row](2)
     initOps.map(_.getAs[String]("type")) shouldBe Seq("init-table")
     val d1Ops = rows(1).getSeq[org.apache.spark.sql.Row](2)
-    d1Ops.map(_.getAs[String]("type")) shouldBe Seq("add-partition-version")
-    d1Ops.head.getAs[String]("partition") shouldBe "day=d1"
-    Version.parse(d1Ops.head.getAs[String]("version")).isRight shouldBe true
+    // the first data write is a schema-DEFINING commit (round 14): it
+    // records the table schema alongside the partition it adds
+    d1Ops.map(_.getAs[String]("type")) shouldBe
+      Seq("set-table-schema", "add-partition-version")
+    val d1Add = d1Ops.find(_.getAs[String]("type") == "add-partition-version").get
+    d1Add.getAs[String]("partition") shouldBe "day=d1"
+    Version.parse(d1Add.getAs[String]("version")).isRight shouldBe true
 
     // commit ids in the stream are resolvable against the engine's log
     val streamedIds = spark.table("commit_stream").select("id").as[String].collect().toSet
