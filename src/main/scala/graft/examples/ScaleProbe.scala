@@ -134,13 +134,59 @@ object ScaleProbe {
           FileFormat.Parquet, options = Map("mergeSchema" -> "true"))
         e.initTable(t, UserId("probe"), "init")
         val ev = graft.Tables.events(spark, dir).localCheckpoint()
-        ev.repartition(16).versionedInsertInto(e, t, UserId("probe"), "load")
+        // same rows-per-file discipline as the control twin: x100 rows
+        // means ~x100 files, which is what schema resolution must survive
+        val nFiles = math.max(4, (ev.count() / 20000L).toInt)
+        ev.repartition(nFiles).versionedInsertInto(e, t, UserId("probe"), "load")
         val one = ev.limit(1).withColumn("extra", lit(1.0)).localCheckpoint()
         one.versionedInsertIntoEvolving(e, t, UserId("probe"), "evolve +extra")
         (e, t, one)
       })
 
+    // CONTROL twin of evolve_write: the same evolved layout built through
+    // RAW tracker commits, so the history carries NO SetTableSchema — the
+    // guard and the read must footer-merge every live file, the pre-round-14
+    // cost the log-recorded schema eliminates. The base/x100 pair measures
+    // how that cost scales with file count; compare against evolve_write's.
+    val evolveNoSchemaFixtures = scala.collection.mutable.Map
+      .empty[String, (VersionedTables, TableDefinition, org.apache.spark.sql.DataFrame)]
+    def evolveNoSchemaFixture(dir: String)
+        : (VersionedTables, TableDefinition, org.apache.spark.sql.DataFrame) =
+      evolveNoSchemaFixtures.getOrElseUpdate(dir, {
+        val root = graft.FixtureTempDirs.create("graft-probe-evolve-ns-")
+        val e = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+        val t = TableDefinition(TableName("probe", "events_evolve_ns"),
+          root.resolve("events_evolve_ns").toUri, PartitionSchema("event_type"),
+          FileFormat.Parquet, options = Map("mergeSchema" -> "true"))
+        e.initTable(t, UserId("probe"), "init")
+        val ev = graft.Tables.events(spark, dir).localCheckpoint()
+        // file count must scale with the data (footer-merge cost is per
+        // FILE): ~20k rows per task, so x100 rows means ~x100 files
+        val nFiles = math.max(4, (ev.count() / 20000L).toInt)
+        def rawCommit(df: org.apache.spark.sql.DataFrame, msg: String): Unit = {
+          val v = Version.generate()
+          df.withColumn(Version.VersionColumn, lit(v.label))
+            .write.partitionBy("event_type", Version.VersionColumn)
+            .mode("append").parquet(t.location.toString)
+          val parts = VersionedTables.partitionValues(df, t.partitionSchema)
+          e.tracker.commit(t.name, TableUpdate(UserId("probe"), msg, java.time.Instant.now(),
+            parts.map(TableOperation.AddPartitionVersion(_, v))))
+        }
+        rawCommit(ev.repartition(nFiles), "load (no schema record)")
+        val one = ev.limit(1).withColumn("extra", lit(1.0)).localCheckpoint()
+        rawCommit(one, "evolve (no schema record)")
+        (e, t, one)
+      })
+
     val families: Seq[(String, String => Unit)] = Seq(
+      "evolve_write_noschema" -> (dir => {
+        val (e, t, one) = evolveNoSchemaFixture(dir)
+        (1 to 3).foreach { _ =>
+          val cold = new VersionedTables(spark, e.tracker)
+          one.versionedInsertInto(cold, t, UserId("probe"), "steady write")
+          cold.read(t).schema
+        }
+      }),
       "evolve_write" -> (dir => {
         val (e, t, one) = evolveFixture(dir)
         (1 to 3).foreach { _ =>
@@ -464,6 +510,9 @@ object ScaleProbe {
     }
     if (selected.exists(_._1 == "evolve_write")) {
       evolveFixture(baseDir); evolveFixture(xDir)
+    }
+    if (selected.exists(_._1 == "evolve_write_noschema")) {
+      evolveNoSchemaFixture(baseDir); evolveNoSchemaFixture(xDir)
     }
 
     // interleaved reps (base, x, base, x ...) so ambient drift hits both
