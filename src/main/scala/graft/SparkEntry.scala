@@ -199,6 +199,11 @@ object SparkEntry {
     "q_delete_dv" -> ((spark, dir) => dvFixture(spark, dir).afterDelete),
     "q_delete_dv_tt" -> ((spark, dir) => dvFixture(spark, dir).preDelete),
     "q_delete_dv_fold" -> ((spark, dir) => dvFixture(spark, dir).folded),
+    // ...and the SQL face: `SET spark.graft.delete.mode=dv` routes a plain
+    // SQL DELETE through the deletion-vector path (the fixture asserts the
+    // head really is a marker version — the fallback would be invisible in
+    // results, by design); the read-back is pure SQL over the graft catalog
+    "q_sql_delete_dv" -> ((spark, dir) => sqlDvFixture(spark, dir).readBack),
 
     // keyed MERGE INTO at the gate: events loaded as a versioned table, then
     // ONE merge commit that updates every 10th click (+1000 to value),
@@ -491,6 +496,51 @@ object SparkEntry {
       afterDelete = agg(engine.readAt(table, afterDeleteHead)),
       preDelete = agg(engine.readAt(table, preDeleteHead)),
       folded = agg(engine.read(table)))
+  }
+
+  /** q_sql_delete_dv: the merge-on-read delete through PURE SQL — table
+    * registered in the graft catalog, `spark.graft.delete.mode=dv` set,
+    * one SQL DELETE, SQL read-back. Asserts the head is a marker version
+    * so a silent fallback to the rewrite path can never pass the gate. */
+  private final case class SqlDvFixture(readBack: DataFrame)
+
+  private val sqlDvFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SqlDvFixture]()
+
+  private def sqlDvFixture(spark: SparkSession, sfDir: String): SqlDvFixture =
+    sqlDvFixtureCache.computeIfAbsent((spark, sfDir), _ => buildSqlDvFixture(spark, sfDir))
+
+  private def buildSqlDvFixture(spark: SparkSession, sfDir: String): SqlDvFixture = {
+    Tables.prepare(spark)
+    val root = graft.FixtureTempDirs.create("graft-sqldvfix-")
+    val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+    val table = TableDefinition(TableName("graft", "lineitem_sqldv"),
+      root.resolve("lineitem_sqldv").toUri, PartitionSchema("l_returnflag"),
+      FileFormat.Parquet)
+    engine.initTable(table, UserId("driver"), "init")
+    graft.sql.GraftTableRegistry.register(engine, table)
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .repartition(4)
+      .versionedInsertInto(engine, table, UserId("driver"), "load")
+    val prev = spark.conf.getOption(graft.sql.GraftSqlWrites.DeleteModeKey)
+    spark.conf.set(graft.sql.GraftSqlWrites.DeleteModeKey, "dv")
+    try spark.sql("DELETE FROM graft.graft.lineitem_sqldv WHERE l_orderkey % 97 = 0")
+    finally prev match {
+      case Some(v) => spark.conf.set(graft.sql.GraftSqlWrites.DeleteModeKey, v)
+      case None    => spark.conf.unset(graft.sql.GraftSqlWrites.DeleteModeKey)
+    }
+    engine.tracker.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) =>
+        require(pvs.valuesIterator.exists(Version.isDeleteMarker),
+          "q_sql_delete_dv fixture: SQL DELETE did not take the deletion-vector path")
+      case other => sys.error(s"unexpected $other")
+    }
+    SqlDvFixture(spark.sql(
+      """SELECT l_returnflag, COUNT(1) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |FROM graft.graft.lineitem_sqldv
+        |GROUP BY l_returnflag""".stripMargin))
   }
 
   /** q_merge_upsert + q_change_feed share one fixture: one CAS-guarded
@@ -1172,6 +1222,12 @@ object SparkEntry {
         s"""SELECT l_returnflag, COUNT(1) AS n,
            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
            |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "q_sql_delete_dv" ->
+        s"""SELECT l_returnflag, COUNT(1) AS n,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
+           |FROM lineitem
+           |WHERE NOT (l_orderkey % 97 = 0)
+           |GROUP BY l_returnflag""".stripMargin,
       // MERGE algebra replayed in SQL: survivors (keys matched by neither the
       // update nor the delete class) + updated rows + inserted rows
       "q_merge_upsert" -> mergeOracle,

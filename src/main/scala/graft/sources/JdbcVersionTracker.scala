@@ -33,7 +33,7 @@ import java.time.Instant
 final class JdbcVersionTracker(
     jdbcUrl: String,
     checkpointInterval: Int = JdbcVersionTracker.DefaultCheckpointInterval)
-  extends VersionTracker {
+  extends VersionTracker with GroupCommitTracker {
 
   require(checkpointInterval >= 1, s"checkpointInterval must be >= 1, was $checkpointInterval")
 
@@ -155,6 +155,47 @@ final class JdbcVersionTracker(
 
   override def commitIf(table: TableName, update: TableUpdate, expectedHead: CommitId): Unit =
     commitInternal(table, update, Some(expectedHead))
+
+  /** Multi-table atomic commit group — the STRONGEST of the three store
+    * implementations: one serializable transaction carries every insert and
+    * every CAS'd head update, so the group is atomic against concurrent
+    * writers AND against crashes (the database either committed all of it
+    * or none — no partial-group caveat here, unlike the file store's
+    * two-phase locks). A moved head turns its ref UPDATE into a zero-row
+    * change; the whole transaction rolls back and [[CommitConflictError]]
+    * names the actual head. */
+  override def commitGroup(commits: List[(TableName, TableUpdate, CommitId)]): Unit =
+    synchronized {
+      require(commits.nonEmpty, "commitGroup needs at least one commit")
+      require(commits.map(_._1).distinct.size == commits.size,
+        "commitGroup: tables must be distinct")
+      commits.foreach { case (t, _, _) => if (!exists(t)) throw UnknownTableError(t) }
+      try {
+        commits.foreach { case (t, u, _) => insertUpdate(t, u) }
+        commits.foreach { case (t, u, expected) =>
+          val changed = withStatement { st =>
+            st.executeUpdate(
+              s"""UPDATE graft_version_refs SET current_commit = '${esc(u.metadata.id.id)}'
+                 |WHERE table_name = '${esc(t.fullyQualifiedName)}'
+                 |  AND current_commit = '${esc(expected.id)}'""".stripMargin)
+          }
+          if (changed == 0) {
+            val actual = queryIn(
+              s"""SELECT current_commit FROM graft_version_refs
+                 |WHERE table_name = '${esc(t.fullyQualifiedName)}'""".stripMargin)(_.getString(1))
+              .headOption
+            conn.rollback()
+            throw CommitConflictError(t, expected,
+              CommitId(actual.getOrElse(throw UnknownTableError(t))))
+          }
+        }
+        commits.foreach { case (t, _, _) => maybeCheckpoint(t) }
+        conn.commit()
+      } catch {
+        case e: CommitConflictError => throw e
+        case e: Throwable           => conn.rollback(); throw e
+      }
+    }
 
   private def commitInternal(
       table: TableName, update: TableUpdate, expectedHead: Option[CommitId]): Unit =

@@ -69,6 +69,13 @@ object GraftSqlWrites {
   /** Session conf naming the user id SQL commits are attributed to. */
   val UserKey = "spark.graft.sql.user"
 
+  /** Session conf choosing SQL DELETE's physical path: "rewrite" (default,
+    * copy-on-write partition rewrite) or "dv" (merge-on-read deletion
+    * vectors — positions written, zero data bytes moved; parquet
+    * partitioned tables only, others fall back to rewrite). Results are
+    * identical either way; fold DVs with OPTIMIZE. */
+  val DeleteModeKey = "spark.graft.delete.mode"
+
   /** Align `df` to the target schema and commit it through the versioned
     * write path. Public mainly for the CAS law: `expectedHead` defaults to
     * the head observed here, but a caller may pin a stale head to prove
@@ -273,10 +280,24 @@ final case class GraftDeleteCommand(
     extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
-    import graft.operators.VersionedDml._
     val user = UserId(session.conf.get(GraftSqlWrites.UserKey, session.sparkContext.sparkUser))
-    entry.engine.deleteWhere(entry.table, condition, user,
-      s"SQL DELETE FROM ${entry.table.name.fullyQualifiedName}")
+    // spark.graft.delete.mode=dv opts SQL DELETE into the merge-on-read
+    // path (deletion vectors: positions written, zero data bytes moved) on
+    // the tables that support it — parquet, partitioned. Anything else
+    // keeps the copy-on-write rewrite; "dv" on an unsupported table falls
+    // back the same way rather than failing a valid DELETE, because the
+    // two paths are result-identical (the mode is a physical choice).
+    val wantDv = session.conf
+      .get(GraftSqlWrites.DeleteModeKey, "rewrite").equalsIgnoreCase("dv")
+    if (wantDv && entry.table.format == FileFormat.Parquet && !entry.table.isSnapshot) {
+      import graft.operators.DeleteVectors._
+      entry.engine.deleteWhereDV(entry.table, condition, user,
+        s"SQL DELETE (dv) FROM ${entry.table.name.fullyQualifiedName}")
+    } else {
+      import graft.operators.VersionedDml._
+      entry.engine.deleteWhere(entry.table, condition, user,
+        s"SQL DELETE FROM ${entry.table.name.fullyQualifiedName}")
+    }
     Seq.empty
   }
 

@@ -176,6 +176,23 @@ class DeleteVectorsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "surface DV deletes in the row-level change feed" in {
+    import graft.operators.ChangeFeed._
+    val (engine, table) = newTable()
+    load(engine, table)
+    val c0 = engine.headCommit(table.name)
+    engine.deleteWhereDV(table, col("k") % 7 === 0, UserId("t"), "dv %7")
+    val c1 = engine.headCommit(table.name)
+    val feed = engine.readRowChangesBetween(table, Seq("k"), c0, c1)
+    val byType = feed.groupBy(col(ChangeFeed.ChangeTypeColumn)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.keySet shouldBe Set("delete")
+    byType("delete") shouldBe (0L until 1000L).count(_ % 7 == 0)
+    feed.filter(col(ChangeFeed.ChangeTypeColumn) === "delete")
+      .select("k").as[Long].collect().sorted shouldBe
+      (0L until 1000L).filter(_ % 7 == 0).toArray
+  }
+
   it should "keep marker flags across the file-store wire format" in {
     val m = Version.generateDeleteMarker()
     Version.isDeleteMarker(m) shouldBe true

@@ -66,6 +66,33 @@ class GroupCommitSpec extends AnyFlatSpec with Matchers {
     engine.orphanedVersions(a) should not be empty
   }
 
+  it should "commit groups in ONE transaction on the JDBC store (all-or-nothing incl. conflicts)" in {
+    val db = Files.createTempDirectory("graft-grpjdbc-").resolve("db")
+    val tr = new graft.sources.JdbcVersionTracker(s"jdbc:derby:$db;create=true")
+    val (ta, tb) = (TableName("grp", "ja"), TableName("grp", "jb"))
+    val now = java.time.Instant.now()
+    tr.initTable(ta, isSnapshot = false, UserId("t"), "init", now)
+    tr.initTable(tb, isSnapshot = false, UserId("t"), "init", now)
+    val (headA, headB) = (tr.currentRef(ta), tr.currentRef(tb))
+    def upd(msg: String) = TableUpdate(UserId("t"), msg, java.time.Instant.now(),
+      List(TableOperation.AddPartitionVersion(Partition("day", "d1"), Version.generate())))
+    tr.commitGroup(List((ta, upd("g-a"), headA), (tb, upd("g-b"), headB)))
+    tr.updates(ta).head.message shouldBe "g-a"
+    tr.updates(tb).head.message shouldBe "g-b"
+    // stale heads: the single transaction rolls EVERYTHING back — no
+    // orphan update rows, no advanced heads
+    val (h2a, h2b) = (tr.currentRef(ta), tr.currentRef(tb))
+    intercept[CommitConflictError] {
+      tr.commitGroup(List((ta, upd("h-a"), h2a), (tb, upd("h-b"), headB)))
+    }
+    tr.currentRef(ta) shouldBe h2a
+    tr.currentRef(tb) shouldBe h2b
+    tr.updates(ta).map(_.message) should not contain "h-a"
+    // the connection stays usable after the rollback
+    tr.commitGroup(List((ta, upd("i-a"), h2a), (tb, upd("i-b"), h2b)))
+    tr.updates(ta).head.message shouldBe "i-a"
+  }
+
   it should "serialize racing groups: exactly one wins, heads never interleave" in {
     val (engine, a, b) = twoTables()
     // seed both tables so every group CASes on a real data head
