@@ -279,6 +279,55 @@ object GraftCli {
         0
       }
 
+      // publish-group <t1> <loc1> <label1> [<t2> <loc2> <label2> ...] —
+      // commit several staged labels (one per table, typically the N
+      // outputs of one pipeline run) as ONE atomic commit group
+      // (GroupCommitTracker): every head CASes on its publish-time value
+      // and all tables advance together or none does. Partition schemas
+      // recover from each stage's manifest like `publish`'s.
+      case "publish-group" :: rest if rest.nonEmpty =>
+        if (rest.size % 3 != 0) {
+          out.println("error: publish-group needs <schema.table> <location> <label> triples")
+          2
+        } else {
+          val engine = new graft.operators.VersionedTables(cliSpark(), tracker)
+          def resolveOne(n: String, loc: String, lbl: String)
+              : Either[String, (graft.operators.VersionedTables.StagedWrite, CommitId)] =
+            for {
+              t <- TableName.parse(n)
+              uri <- (try Right(new URI(loc)) catch {
+                case e: java.net.URISyntaxException =>
+                  Left(s"bad location '$loc': ${e.getMessage}")
+              })
+              prelim = TableDefinition(t, uri, PartitionSchema.snapshot,
+                FileFormat(flags.getOrElse("format", "parquet")),
+                options =
+                  if (flags.contains("merge-schema")) Map("mergeSchema" -> "true")
+                  else Map.empty[String, String])
+              table = graft.operators.VersionedTables.readStagingManifest(
+                  cliSpark().sparkContext.hadoopConfiguration, prelim.location, lbl)
+                .flatMap(_.operations.collectFirst {
+                  case TableOperation.AddPartitionVersion(p, _) =>
+                    val cols = p.columnValues.map(_.column.name)
+                    prelim.copy(partitionSchema = PartitionSchema(cols.head, cols.tail: _*))
+                }).getOrElse(prelim)
+              sw <- engine.findStaged(table, lbl, user,
+                if (message.nonEmpty) message else s"publish-group $lbl")
+            } yield (sw, tracker.currentRef(t))
+          val resolved = rest.grouped(3).toList.map(g => resolveOne(g(0), g(1), g(2)))
+          val errs = resolved.collect { case Left(e) => e }
+          if (errs.nonEmpty) { errs.foreach(e => out.println(s"error: $e")); 2 }
+          else {
+            val stages = resolved.collect { case Right(x) => x }
+            engine.publishAtomically(stages)
+            stages.foreach { case (sw, _) =>
+              out.println(
+                s"published ${sw.table.name.fullyQualifiedName} ${tracker.currentRef(sw.table.name).id}")
+            }
+            0
+          }
+        }
+
       // retention: report (default) or physically delete (--apply) version
       // dirs outside the keep-last window. Metadata comes from the store;
       // the table LOCATION is an argument because the store tracks names and
@@ -699,7 +748,7 @@ object GraftCli {
 
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|row-changes|delete|update|optimize|stats|stats-checkpoint|summary|vacuum|migrate|export|sync|stage|audit|publish|merge> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|row-changes|delete|update|optimize|stats|stats-checkpoint|summary|vacuum|migrate|export|sync|stage|audit|publish|publish-group|merge> ...""".stripMargin)
         2
     } catch {
       case e @ (_: UnknownTableError | _: UnknownCommitError |

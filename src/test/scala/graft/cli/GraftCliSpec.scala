@@ -706,4 +706,62 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     GraftCli.run(List("--config", dir.toString, "--store", store, "tables"),
       new PrintWriter(sw, true)) shouldBe 0
   }
+
+  it should "publish-group two staged tables atomically" in {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cli-grp-")
+    val srcA = root.resolve("srcA").toString
+    val srcB = root.resolve("srcB").toString
+    Seq((1L, "a", "b0")).toDF("doc_id", "text", "batch").write.parquet(srcA)
+    Seq((2L, "b", "b0")).toDF("doc_id", "text", "batch").write.parquet(srcB)
+    cli("init", "sales.grpa")._1 shouldBe 0
+    cli("init", "sales.grpb")._1 shouldBe 0
+    val locA = root.resolve("ta").toUri.toString
+    val locB = root.resolve("tb").toUri.toString
+    val (ca, outA) = cli("stage", "sales.grpa", locA, srcA, "--partition-by", "batch")
+    ca shouldBe 0
+    val labelA = outA.linesIterator.next().trim.split("\\s+").last
+    val (cb, outB) = cli("stage", "sales.grpb", locB, srcB, "--partition-by", "batch")
+    cb shouldBe 0
+    val labelB = outB.linesIterator.next().trim.split("\\s+").last
+    // nothing visible before the group lands
+    cli("partitions", "sales.grpa")._2 should not include "batch=b0"
+    val (cg, outG) = cli("publish-group",
+      "sales.grpa", locA, labelA, "sales.grpb", locB, labelB)
+    cg shouldBe 0
+    outG should include("published sales.grpa")
+    outG should include("published sales.grpb")
+    cli("partitions", "sales.grpa")._2 should include("batch=b0")
+    cli("partitions", "sales.grpb")._2 should include("batch=b0")
+    // a bad member refuses the WHOLE group with a clean error
+    val (ce, outE) = cli("publish-group",
+      "sales.grpa", locA, labelA, "sales.grpb", locB, "20990101-000000.000000000-00000000-0000-0000-0000-000000000000")
+    ce shouldBe 2
+    outE should include("error:")
+    // arity misuse is a usage error
+    cli("publish-group", "sales.grpa", locA)._1 shouldBe 2
+  }
+
+  it should "checkout by timestamp or tag through the shared ref resolution" in {
+    cli("init", "sales.tsref")
+    cli("partition", "add", "sales.tsref", "date=2024-01-01")
+    cli("partition", "add", "sales.tsref", "date=2024-01-02")
+    // a future date resolves to the latest commit at or before it (= head)
+    val (ct, outT) = cli("checkout", "sales.tsref", "2999-01-01")
+    ct shouldBe 0
+    outT should startWith("checked out")
+    cli("partitions", "sales.tsref")._2 should include("date=2024-01-02")
+    // a timestamp before every commit is a clean error, not a stack trace
+    val (cp, outP) = cli("checkout", "sales.tsref", "1999-01-01")
+    cp should be > 0
+    outP should include("error")
+    // tags resolve too (tag-first, like SQL VERSION AS OF)
+    val (_, logOut) = cli("log", "sales.tsref")
+    val mid = logOut.linesIterator.toList(1).split("\\s+").head
+    cli("tag", "sales.tsref", "pin-mid", mid)._1 shouldBe 0
+    val (cc, _) = cli("checkout", "sales.tsref", "pin-mid")
+    cc shouldBe 0
+    cli("partitions", "sales.tsref")._2 should not include "date=2024-01-02"
+  }
 }
