@@ -132,13 +132,18 @@ object DeleteVectors {
       engine: VersionedTables,
       table: TableDefinition,
       dvParts: Map[Partition, Version],
-      schemaHint: Option[StructType]): DataFrame = {
+      schemaHint: Option[StructType],
+      // data-skipping hook: a pre-pruned base file list (from planRead over
+      // the BASE versions) replaces the whole base directories — DV entries
+      // anchor to absolute file paths, so the anti-join is indifferent to
+      // which subset of files is loaded
+      dataPathsOverride: Option[Seq[String]] = None): DataFrame = {
     val conf = engine.spark.sparkContext.hadoopConfiguration
     val sorted = dvParts.toSeq.sortBy(_._1.toPath)
-    val dataPaths = sorted.map { case (p, m) =>
+    val dataPaths = dataPathsOverride.getOrElse(sorted.map { case (p, m) =>
       VersionedTables.uriToLoadPath(
         VersionPaths.pathFor(p.resolvePath(table.location), readBase(conf, table, p, m)))
-    }
+    })
     val dvPaths = sorted.map { case (p, m) =>
       VersionedTables.uriToLoadPath(dvDir(table, p, m))
     }

@@ -1118,8 +1118,14 @@ object TableStats {
           }
         case None => false
       }
-    pvs.filter { case (p, v) =>
+    pvs.filter { case (p, v0) =>
       SkipEval.mayMatch(expr, partitionLookup(p)) && {
+        // a DELETION-VECTOR partition prunes through its BASE version's
+        // manifest: deletes only REMOVE rows, so base stats/Blooms stay
+        // conservative (false positives at worst — a file whose only
+        // matching rows were deleted still scans; never a false negative)
+        val v = if (Version.isDeleteMarker(v0))
+          DeleteVectors.readBase(conf, table, p, v0) else v0
         if (v == Version.Unversioned) true
         else manifestFor(v) match {
           case Some(m) =>
@@ -1226,20 +1232,36 @@ object TableStats {
       version: TableVersion,
       predicate: Column,
       schemaHint: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    // deletion-vector partitions can't be file-pruned (their marker version
-    // has no manifest and their data files need the DV anti-join): route
-    // them through the DV-aware plain read + filter, skip-plan the rest.
-    // DVs are few and transient (OPTIMIZE folds them), so the split costs
-    // one extra scan branch only while deletes are unfolded.
+    // deletion-vector partitions split out and skip-plan through their BASE
+    // versions' manifests (deletes only remove rows, so base stats/Blooms
+    // stay conservative — false positives at worst); the kept file subset
+    // then reads through the DV anti-join. DVs are few and transient
+    // (OPTIMIZE folds them), so the extra scan branch is short-lived.
     version match {
       case PartitionedTableVersion(pvs)
           if pvs.valuesIterator.exists(Version.isDeleteMarker) =>
         val (dvParts, plain) = pvs.partition { case (_, v) => Version.isDeleteMarker(v) }
-        val dvFrame = engine.readVersion(table, PartitionedTableVersion(dvParts), schemaHint)
-          .filter(predicate)
-        return if (plain.isEmpty) dvFrame
-        else readVersionWhere(engine, table, PartitionedTableVersion(plain), predicate,
-          schemaHint).unionByName(dvFrame)
+        val conf = engine.spark.sparkContext.hadoopConfiguration
+        val baseMap = dvParts.map { case (p, m) =>
+          p -> DeleteVectors.readBase(conf, table, p, m)
+        }
+        val decision = planRead(engine, table, PartitionedTableVersion(baseMap), predicate)
+        val dvFrame =
+          if (decision.paths.isEmpty) None // base stats prove: no matching rows
+          else Some(DeleteVectors.readDvPartitions(engine, table, dvParts, schemaHint,
+            dataPathsOverride = Some(decision.paths)).filter(predicate))
+        val plainFrame =
+          if (plain.isEmpty) None
+          else Some(readVersionWhere(engine, table, PartitionedTableVersion(plain),
+            predicate, schemaHint))
+        return (plainFrame, dvFrame) match {
+          case (Some(a), Some(b)) => a.unionByName(b)
+          case (Some(a), None)    => a
+          case (None, Some(b))    => b
+          case (None, None) =>
+            val empty = engine.readVersion(table, PartitionedTableVersion(Map.empty))
+            if (empty.columns.isEmpty) empty else empty.filter(predicate)
+        }
       case _ => ()
     }
     val mixedAdopted = version match {

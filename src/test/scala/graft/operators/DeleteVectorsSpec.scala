@@ -176,6 +176,44 @@ class DeleteVectorsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "keep file skipping through DV'd partitions via the BASE manifests" in {
+    val dir = Files.createTempDirectory("graft-dv-skip-").toFile
+    val engine = VersionedTables.withFileStore(spark,
+      new java.io.File(dir, "store").toURI)
+    val table = TableDefinition(TableName("dv", s"skip${seq.incrementAndGet()}"),
+      new java.io.File(dir, "t").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("k"))))
+    engine.initTable(table, UserId("t"), "init")
+    // one partition, four files with DISJOINT k ranges — the skippable layout
+    (0L until 1000L).map(k => (k, s"d0")).toDF("k", "day")
+      .repartitionByRange(4, col("k"))
+      .versionedInsertInto(engine, table, UserId("t"), "load range-split")
+    engine.deleteWhereDV(table, col("k") % 7 === 0, UserId("t"), "dv %7")
+    val expected = (0L until 100L).filter(_ % 7 != 0).toArray
+    engine.readWhere(table, col("k") < 100)
+      .select("k").as[Long].collect().sorted shouldBe expected
+    // corrupt every data file whose k-range the predicate excludes: a
+    // skipping read that still answers exactly can not have touched them —
+    // proof that pruning reaches THROUGH the deletion-vector indirection
+    // (the marker has no manifest; its BASE version's one must be used)
+    def walk(f: java.io.File): List[java.io.File] =
+      if (f.isDirectory) f.listFiles().toList.flatMap(walk) else List(f)
+    val dataFiles = walk(new java.io.File(table.location))
+      .filter(f => f.getName.endsWith(".parquet") && !f.getPath.contains("/_dv/"))
+    val spared = spark.read.parquet(dataFiles.map(_.getPath): _*)
+      .withColumn("f", col("_metadata.file_path"))
+      .filter(col("k") < 100).select("f").distinct()
+      .collect().map(_.getString(0)).toSet
+    val corrupted = dataFiles.filterNot(f => spared.exists(_.endsWith(f.getName)))
+    corrupted should not be empty
+    corrupted.foreach(f => java.nio.file.Files.write(f.toPath, Array.fill[Byte](32)(0x11)))
+    engine.readWhere(table, col("k") < 100)
+      .select("k").as[Long].collect().sorted shouldBe expected
+    // the unskipped read now fails on the corrupt files — the control that
+    // proves the previous assertion exercised real pruning
+    intercept[Exception] { engine.read(table).count() }
+  }
+
   it should "surface DV deletes in the row-level change feed" in {
     import graft.operators.ChangeFeed._
     val (engine, table) = newTable()
