@@ -1255,6 +1255,11 @@ object TableStats {
           else Some(readVersionWhere(engine, table, PartitionedTableVersion(plain),
             predicate, schemaHint))
         return (plainFrame, dvFrame) match {
+          // same additive null-fill as readVersion's DV union: evolved
+          // tables without a recorded schema can resolve the branches to
+          // different column sets
+          case (Some(a), Some(b)) if table.mergesSchema =>
+            a.unionByName(b, allowMissingColumns = true)
           case (Some(a), Some(b)) => a.unionByName(b)
           case (Some(a), None)    => a
           case (None, Some(b))    => b

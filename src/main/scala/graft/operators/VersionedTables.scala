@@ -715,7 +715,13 @@ final class VersionedTables(
         if (dvParts.isEmpty) plain
         else {
           val dv = DeleteVectors.readDvPartitions(this, table, dvParts, schemaHint)
-          if (pvs.isEmpty) dv else plain.unionByName(dv)
+          if (pvs.isEmpty) dv
+          // an evolved table WITHOUT a recorded schema can resolve the two
+          // branches to different column sets (a DV'd old-schema partition
+          // footer-merges narrow) — null-fill under the same additive
+          // semantics mergeSchema already gives within one scan
+          else if (table.mergesSchema) plain.unionByName(dv, allowMissingColumns = true)
+          else plain.unionByName(dv)
         }
       if (allPvs.isEmpty) emptyLike(table)
       else if (pvs.isEmpty) withDv(null)

@@ -231,6 +231,35 @@ class DeleteVectorsSpec extends AnyFlatSpec with Matchers {
       (0L until 1000L).filter(_ % 7 == 0).toArray
   }
 
+  it should "compose with schema evolution: DV on a pre-evolution partition null-fills" in {
+    val dir = Files.createTempDirectory("graft-dv-evo-").toFile
+    val engine = VersionedTables.withFileStore(spark,
+      new java.io.File(dir, "store").toURI)
+    val table = TableDefinition(TableName("dv", s"evo${seq.incrementAndGet()}"),
+      new java.io.File(dir, "t").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      options = Map("mergeSchema" -> "true"))
+    engine.initTable(table, UserId("t"), "init")
+    (0L until 100L).map(k => (k, "d1")).toDF("k", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "narrow d1")
+    (100L until 200L).map(k => (k, s"x$k", "d2")).toDF("k", "extra", "day")
+      .versionedInsertIntoEvolving(engine, table, UserId("t"), "wide d2")
+    // DV-delete inside the PRE-evolution partition
+    engine.deleteWhereDV(table, col("k") % 10 === 0 && col("day") === "d1",
+      UserId("t"), "dv in d1")
+    val cur = engine.read(table)
+    cur.columns.toSet shouldBe Set("k", "extra", "day")
+    cur.filter(col("day") === "d1").count() shouldBe 90
+    cur.filter(col("day") === "d1").filter(col("extra").isNotNull).count() shouldBe 0
+    cur.filter(col("day") === "d2").count() shouldBe 100
+    // skipping path unions the same way
+    engine.readWhere(table, col("k") < 50).count() shouldBe 45
+    // and compact folds it under the union schema
+    engine.compact(table, UserId("t"), "fold")
+    val folded = engine.read(table)
+    folded.columns.toSet shouldBe Set("k", "extra", "day")
+    folded.count() shouldBe 190
+  }
+
   it should "keep marker flags across the file-store wire format" in {
     val m = Version.generateDeleteMarker()
     Version.isDeleteMarker(m) shouldBe true
