@@ -50,6 +50,32 @@ object MultiProcessCasWorker {
 }
 
 /**
+ * Worker for the cross-process GROUP-commit race: attempts ONE
+ * [[graft.core.GroupCommitTracker.commitGroup]] over tables args(1)/args(2),
+ * CASing on heads args(4)/args(5). Odd worker ids pass the tables in
+ * REVERSE order — the sorted-lock discipline must keep cross-process groups
+ * deadlock-free and non-interleaving regardless of caller order. Exit 0 =
+ * group landed, 3 = CommitConflictError (expected loser), other = failure.
+ */
+object MultiProcessGroupWorker {
+  def main(args: Array[String]): Unit = {
+    val Array(rootUri, ta, tb, workerId, headA, headB) = args
+    val uri = URI.create(rootUri)
+    val tracker = new FileBackedVersionTracker(uri, MockHdfsFileSystem.confFor(uri))
+    val a = TableName.parse(ta).fold(sys.error, identity)
+    val b = TableName.parse(tb).fold(sys.error, identity)
+    def upd(tag: String) = TableUpdate(UserId(s"w$workerId"), s"grp-w$workerId-$tag",
+      Instant.now(),
+      List(TableOperation.AddPartitionVersion(
+        Partition("day", s"w$workerId"), Version.generate())))
+    val ordered = List((a, upd("a"), CommitId(headA)), (b, upd("b"), CommitId(headB)))
+    val commits = if (workerId.toInt % 2 == 1) ordered.reverse else ordered
+    try tracker.commitGroup(commits)
+    catch { case _: CommitConflictError => sys.exit(3) }
+  }
+}
+
+/**
  * Cross-PROCESS writer safety: concurrent writers in separate JVMs serialize
  * on the exclusive-create `commit.lock` file, so every commit lands intact
  * (no torn head, no lost commit file) — the in-JVM monitor alone cannot
@@ -128,6 +154,41 @@ abstract class MultiProcessCommitContract extends AnyFlatSpec with Matchers {
     rcs.count(_ == 0) shouldBe 1        // exactly one CAS winner
     rcs.count(_ == 3) shouldBe 2        // the rest saw the conflict error
     tracker.updates(t) should have size 2 // init + winner, losers left no trace
+  }
+
+  it should "let exactly one cross-process commit GROUP win, heads never interleaving" in {
+    val root = Files.createTempDirectory("graft-mpgrp-")
+    val rootUri = newRootUri(root)
+    val tracker = newTracker(rootUri)
+    val (a, b) = (TableName("mpgrp", "a"), TableName("mpgrp", "b"))
+    tracker.initTable(a, isSnapshot = false, UserId("u"), "init", Instant.now())
+    tracker.initTable(b, isSnapshot = false, UserId("u"), "init", Instant.now())
+    val headA = tracker.currentRef(a)
+    val headB = tracker.currentRef(b)
+
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cp = System.getProperty("java.class.path")
+    val procs = (1 to 3).map { w =>
+      new ProcessBuilder(
+        javaBin, "-cp", cp, "graft.sources.MultiProcessGroupWorker",
+        rootUri.toString, a.fullyQualifiedName, b.fullyQualifiedName,
+        w.toString, headA.id, headB.id)
+        .redirectErrorStream(true)
+        .start()
+    }
+    val rcs = procs.map { p => p.getInputStream.readAllBytes(); p.waitFor() }
+    rcs.count(_ == 0) shouldBe 1 // exactly one group landed
+    rcs.count(_ == 3) shouldBe 2 // the rest saw the conflict, advanced nothing
+    tracker.updates(a) should have size 2 // init + winner
+    tracker.updates(b) should have size 2
+    // BOTH tables' newest commits belong to the SAME winner — no mixing,
+    // even though odd workers locked the tables in the opposite order
+    val winA = tracker.updates(a).head.message
+    val winB = tracker.updates(b).head.message
+    winA.stripSuffix("-a") shouldBe winB.stripSuffix("-b")
+    winA should endWith("-a")
+    winB should endWith("-b")
   }
 
   it should "break a stale lock left by a crashed writer instead of timing out" in {
