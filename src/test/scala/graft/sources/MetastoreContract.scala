@@ -138,6 +138,36 @@ class GlueMetastoreSpec extends MetastoreContract {
       MetastoreOperation.UpdatePartitionVersion(Partition("date", "1999-01-01"), Version.generate()))))
   }
 
+  it should "widen the column list on UpdateSchema — additive, idempotent, never retyping" in {
+    val (t, _) = createTable("evo_t", List("date"))
+    val schema1 =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":{}},
+        |{"name":"date","type":"string","nullable":true,"metadata":{}}]}""".stripMargin
+    metastore.update(t, TableChanges(List(MetastoreOperation.UpdateSchema(schema1))))
+    glue.getTable("glue_db", "evo_t").get.columns shouldBe List("id" -> "bigint")
+    // evolution adds score; partition keys never join the column list
+    val schema2 =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":{}},
+        |{"name":"score","type":"double","nullable":true,"metadata":{}},
+        |{"name":"date","type":"string","nullable":true,"metadata":{}}]}""".stripMargin
+    metastore.update(t, TableChanges(List(MetastoreOperation.UpdateSchema(schema2))))
+    glue.getTable("glue_db", "evo_t").get.columns shouldBe
+      List("id" -> "bigint", "score" -> "double")
+    // idempotent: re-applying the same schema changes nothing
+    metastore.update(t, TableChanges(List(MetastoreOperation.UpdateSchema(schema2))))
+    glue.getTable("glue_db", "evo_t").get.columns shouldBe
+      List("id" -> "bigint", "score" -> "double")
+  }
+
+  it should "refuse deletion-vector marker versions like the Hive catalog does" in {
+    val (t, _) = createTable("dv_t", List("date"))
+    an[IllegalArgumentException] should be thrownBy metastore.update(t,
+      TableChanges(List(MetastoreOperation.AddPartition(
+        Partition("date", "2024-01-01"), Version.generateDeleteMarker()))))
+  }
+
   it should "swap the trailing _version element on snapshot updates, preserving the base path" in {
     val (t, _) = createTable("swap_t", Nil)
     val v1 = Version.generate(); val v2 = Version.generate()
