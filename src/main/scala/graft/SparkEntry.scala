@@ -204,6 +204,12 @@ object SparkEntry {
     // head really is a marker version — the fallback would be invisible in
     // results, by design); the read-back is pure SQL over the graft catalog
     "q_sql_delete_dv" -> ((spark, dir) => sqlDvFixture(spark, dir).readBack),
+    // merge-on-read UPDATE through pure SQL (spark.graft.update.mode=dv):
+    // post-images land in the marker version beside the DV hiding their
+    // pre-images — zero base bytes rewritten; stacks over the delete's
+    // markers (update-over-delete rebases; only update-over-update defers
+    // to a fold). The fixture pins the routing via the commit message.
+    "q_sql_update_dv" -> ((spark, dir) => sqlDvFixture(spark, dir).updated),
 
     // keyed MERGE INTO at the gate: events loaded as a versioned table, then
     // ONE merge commit that updates every 10th click (+1000 to value),
@@ -502,7 +508,7 @@ object SparkEntry {
     * registered in the graft catalog, `spark.graft.delete.mode=dv` set,
     * one SQL DELETE, SQL read-back. Asserts the head is a marker version
     * so a silent fallback to the rewrite path can never pass the gate. */
-  private final case class SqlDvFixture(readBack: DataFrame)
+  private final case class SqlDvFixture(readBack: DataFrame, updated: DataFrame)
 
   private val sqlDvFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SqlDvFixture]()
@@ -536,11 +542,26 @@ object SparkEntry {
           "q_sql_delete_dv fixture: SQL DELETE did not take the deletion-vector path")
       case other => sys.error(s"unexpected $other")
     }
-    SqlDvFixture(spark.sql(
+    val readbackSql =
       """SELECT l_returnflag, COUNT(1) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
         |FROM graft.graft.lineitem_sqldv
-        |GROUP BY l_returnflag""".stripMargin))
+        |GROUP BY l_returnflag""".stripMargin
+    // relation substitution pins versions at ANALYSIS time, so this frame
+    // keeps reading the post-delete/pre-update state after the next commit
+    val postDelete = spark.sql(readbackSql)
+    val prevU = spark.conf.getOption(graft.sql.GraftSqlWrites.UpdateModeKey)
+    spark.conf.set(graft.sql.GraftSqlWrites.UpdateModeKey, "dv")
+    try spark.sql(
+      "UPDATE graft.graft.lineitem_sqldv SET l_quantity = l_quantity + 1000 " +
+        "WHERE l_orderkey % 89 = 0")
+    finally prevU match {
+      case Some(v) => spark.conf.set(graft.sql.GraftSqlWrites.UpdateModeKey, v)
+      case None    => spark.conf.unset(graft.sql.GraftSqlWrites.UpdateModeKey)
+    }
+    require(engine.log(table.name).head.message.startsWith("SQL UPDATE (dv)"),
+      "q_sql_update_dv fixture: SQL UPDATE did not take the deletion-vector path")
+    SqlDvFixture(readBack = postDelete, updated = spark.sql(readbackSql))
   }
 
   /** q_merge_upsert + q_change_feed share one fixture: one CAS-guarded
@@ -1225,6 +1246,13 @@ object SparkEntry {
       "q_sql_delete_dv" ->
         s"""SELECT l_returnflag, COUNT(1) AS n,
            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS v
+           |FROM lineitem
+           |WHERE NOT (l_orderkey % 97 = 0)
+           |GROUP BY l_returnflag""".stripMargin,
+      "q_sql_update_dv" ->
+        s"""SELECT l_returnflag, COUNT(1) AS n,
+           |  CAST(SUM(CAST(CASE WHEN l_orderkey % 89 = 0 THEN l_quantity + 1000
+           |    ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS v
            |FROM lineitem
            |WHERE NOT (l_orderkey % 97 = 0)
            |GROUP BY l_returnflag""".stripMargin,

@@ -123,27 +123,49 @@ object DeleteVectors {
       identity)
   }
 
-  /** Read the given DELETION-VECTOR partitions: base data files minus the
-    * DV positions, with partition columns recovered by discovery exactly
-    * like the plain read path (one load for all partitions — absolute file
-    * paths make DV entries globally unambiguous, so a single broadcast
-    * anti-join covers every partition). */
+  /** Whether a marker version's directory carries DATA files of its own —
+    * an UPDATE-marker ([[DvOps.updateWhereDV]] writes the post-update rows
+    * there, beside the DV that hides their pre-images). One directory
+    * listing; pure DELETE-markers hold only underscore-hidden sidecars. */
+  private[operators] def markerHasData(
+      conf: org.apache.hadoop.conf.Configuration,
+      table: TableDefinition, p: Partition, marker: Version): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(
+      VersionPaths.pathFor(p.resolvePath(table.location), marker))
+    val fs = dir.getFileSystem(conf)
+    try fs.listStatus(dir).exists(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  /** Read the given DELETION-VECTOR partitions: base data files PLUS any
+    * update-marker data files, minus the DV positions — partition columns
+    * recovered by discovery exactly like the plain read path (one load for
+    * all partitions; absolute file paths make DV entries globally
+    * unambiguous, so a single broadcast anti-join covers every
+    * partition). Marker data files never appear in a DV (their rows are
+    * the post-images), so they pass the anti-join untouched. */
   private[operators] def readDvPartitions(
       engine: VersionedTables,
       table: TableDefinition,
       dvParts: Map[Partition, Version],
       schemaHint: Option[StructType],
-      // data-skipping hook: a pre-pruned base file list (from planRead over
-      // the BASE versions) replaces the whole base directories — DV entries
+      // data-skipping hook: a pre-pruned BASE file list (from planRead over
+      // the base versions) replaces the whole base directories — DV entries
       // anchor to absolute file paths, so the anti-join is indifferent to
-      // which subset of files is loaded
+      // which subset of files is loaded. Update-marker dirs are appended
+      // either way: their rows have no manifest and can never be pruned.
       dataPathsOverride: Option[Seq[String]] = None): DataFrame = {
     val conf = engine.spark.sparkContext.hadoopConfiguration
     val sorted = dvParts.toSeq.sortBy(_._1.toPath)
+    val markerDataDirs = sorted.collect {
+      case (p, m) if markerHasData(conf, table, p, m) =>
+        VersionedTables.uriToLoadPath(VersionPaths.pathFor(p.resolvePath(table.location), m))
+    }
     val dataPaths = dataPathsOverride.getOrElse(sorted.map { case (p, m) =>
       VersionedTables.uriToLoadPath(
         VersionPaths.pathFor(p.resolvePath(table.location), readBase(conf, table, p, m)))
-    })
+    }) ++ markerDataDirs
     val dvPaths = sorted.map { case (p, m) =>
       VersionedTables.uriToLoadPath(dvDir(table, p, m))
     }
@@ -172,113 +194,193 @@ object DeleteVectors {
         table: TableDefinition,
         predicate: Column,
         userId: UserId,
+        message: String): DvDeleteResult =
+      DeleteVectors.runDvDml(engine, table, predicate, set = None, userId, message)
+
+    /** Merge-on-read UPDATE: matched rows' PRE-images become invisible via
+      * the deletion vector while their POST-images (SET expressions over
+      * the OLD row, like [[VersionedDml.DmlOps.updateWhere]]) are written
+      * as the marker version's own data files — bytes moved are
+      * O(matched rows), never a partition rewrite. Rows already deleted by
+      * an earlier DV can never resurrect (the match runs against the
+      * DV-applied live set). Stacking a second merge-on-read DML onto an
+      * UPDATE-marker refuses (fold with compact/OPTIMIZE first) — that
+      * keeps position chains at depth 1 by construction. */
+    def updateWhereDV(
+        table: TableDefinition,
+        predicate: Column,
+        set: Map[String, Column],
+        userId: UserId,
         message: String): DvDeleteResult = {
-      require(table.format == FileFormat.Parquet,
-        "deleteWhereDV needs parquet (row positions come from the reader's " +
-          "_metadata.row_index); use deleteWhere (copy-on-write) for other formats")
-      require(!table.isSnapshot,
-        "deleteWhereDV applies to partitioned tables — a snapshot version is one " +
-          "self-contained unit; use deleteWhere, which rewrites it")
-      val spark = engine.spark
-      val conf = spark.sparkContext.hadoopConfiguration
-
-      val state = engine.tracker.tableState(table.name)
-      val head = state.currentVersion
-      val snapshot = state.currentTableVersion
-      val pvs = snapshot match {
-        case PartitionedTableVersion(m) => m
-        case _ => throw new IllegalStateException(
-          s"${table.name} initialised as snapshot but definition says partitioned")
+      require(set.nonEmpty, "updateWhereDV needs at least one SET column")
+      val partColsLower = table.partitionSchema.columnNames.map(_.toLowerCase).toSet
+      set.keys.foreach { c =>
+        require(!partColsLower.contains(c.toLowerCase),
+          s"UPDATE cannot SET partition column '$c' — a row changing partition would " +
+            "need its destination partition rewritten too; use mergeInto for moves")
       }
-      if (pvs.isEmpty) return DvDeleteResult(snapshot, TableChanges.empty, Nil, 0L)
-
-      // candidate pruning first (partition values / stats / Blooms — no
-      // false negatives; marker versions have no manifest and stay in)
-      val candidates = TableStats.partitionsMayMatch(engine, table, pvs, predicate)
-      if (candidates.isEmpty) return DvDeleteResult(snapshot, TableChanges.empty, Nil, 0L)
-      candidates.foreach { case (p, v) =>
-        require(v != Version.Unversioned,
-          s"deleteWhereDV: partition '${p.toPath}' is adopted (unversioned) data — its " +
-            "files sit at the partition root with no stable set to anchor positions to; " +
-            "compact or rewrite it into a versioned state first")
-      }
-
-      // resolve every candidate to its DATA version (markers hop through
-      // _base.json once — depth-1 rebasing keeps it one hop)
-      val bases: Map[Partition, Version] = candidates.map { case (p, v) =>
-        p -> (if (Version.isDeleteMarker(v)) readBase(conf, table, p, v) else v)
-      }
-      val partCols = table.partitionSchema.columnNames
-      val sortedCand = bases.toSeq.sortBy(_._1.toPath)
-      val dataPaths = sortedCand.map { case (p, b) =>
-        VersionedTables.uriToLoadPath(VersionPaths.pathFor(p.resolvePath(table.location), b))
-      }
-      val raw = spark.read.format(table.format.name).options(table.options)
-        .option("basePath", VersionedTables.uriToLoadPath(table.location))
-        .load(dataPaths: _*)
-        .withColumn(FileCol, col("_metadata.file_path"))
-        .withColumn(PosCol, col("_metadata.row_index"))
-      val matchCond = coalesce(predicate, lit(false))
-      // NOTE: deliberately not re-excluding already-DV'd rows here — their
-      // positions re-match and union into the new DV unchanged (set union),
-      // which is exactly what depth-1 rebasing wants
-      val matches = raw.filter(matchCond)
-        .select((partCols.map(c => col(s"`$c`")) :+
-          col(FileCol).as("file_path")) :+ col(PosCol).as("row_index"): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val affected = VersionedTables.partitionValues(
-          matches.drop("file_path", "row_index"), table.partitionSchema)
-          .filter(pvs.contains).sortBy(_.toPath)
-        if (affected.isEmpty) return DvDeleteResult(snapshot, TableChanges.empty, Nil, 0L)
-        val newRows = matches.count()
-
-        // old DV entries of affected partitions ride into the new DV
-        // (depth-1 rebase): tiny frames, one per already-DV'd partition
-        val affectedSet = affected.toSet
-        val oldDvs: Seq[DataFrame] = candidates.toSeq.collect {
-          case (p, m) if Version.isDeleteMarker(m) && affectedSet(p) =>
-            val withCols = partCols.zipWithIndex.foldLeft(
-              spark.read.schema(DvSchema).parquet(
-                VersionedTables.uriToLoadPath(dvDir(table, p, m)))) { case (df, (c, i)) =>
-              val value = p.columnValues(i).value
-              df.withColumn(c,
-                if (value == PathCodec.DefaultPartitionName) lit(null).cast("string")
-                else lit(value))
-            }
-            withCols.select((partCols.map(c => col(s"`$c`")) :+
-              col("file_path")) :+ col("row_index"): _*)
-        }
-        val allDv = oldDvs.foldLeft(matches)(_.unionByName(_))
-          .dropDuplicates("file_path", "row_index")
-
-        // one job writes every partition's DV files, then O(affected)
-        // renames slot them under their marker directories
-        val marker = Version.generateDeleteMarker()
-        val tmp = new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(table.location), s"_tmp_dv_${marker.label}")
-        val fs = tmp.getFileSystem(conf)
-        try {
-          allDv.repartition(partCols.map(c => col(s"`$c`")): _*)
-            .write.partitionBy(partCols: _*).mode("overwrite")
-            .parquet(tmp.toString)
-          affected.foreach { p =>
-            val src = new org.apache.hadoop.fs.Path(tmp, p.toHivePath)
-            require(fs.exists(src), s"DV write produced no output for '${p.toPath}'")
-            val dst = new org.apache.hadoop.fs.Path(dvDir(table, p, marker))
-            fs.mkdirs(dst.getParent)
-            require(fs.rename(src, dst), s"failed to move DV files into $dst")
-            writeBase(conf, table, p, marker, bases(p))
-          }
-        } finally { fs.delete(tmp, true); () }
-
-        val ops: List[TableOperation] = affected.flatMap(p => List(
-          TableOperation.AddPartitionVersion(p, marker),
-          TableOperation.SetVersionBase(p, marker, bases(p))))
-        val (tv, changes) = engine.versioned.commitIf(
-          table.name, TableUpdate(userId, message, java.time.Instant.now(), ops), head)
-        DvDeleteResult(tv, changes, affected, newRows)
-      } finally { matches.unpersist(blocking = false); () }
+      DeleteVectors.runDvDml(engine, table, predicate, Some(set), userId, message)
     }
+  }
+
+  /** The shared merge-on-read DML engine behind [[DvOps.deleteWhereDV]] and
+    * [[DvOps.updateWhereDV]]: prune candidates, resolve bases (depth-1),
+    * scan the DV-applied live rows once, write the new DV (and for UPDATE
+    * the post-image data files) under one fresh marker version, commit with
+    * a CAS on the entry head. */
+  private def runDvDml(
+      engine: VersionedTables,
+      table: TableDefinition,
+      predicate: Column,
+      set: Option[Map[String, Column]],
+      userId: UserId,
+      message: String): DvDeleteResult = {
+    val verb = if (set.isDefined) "updateWhereDV" else "deleteWhereDV"
+    require(table.format == FileFormat.Parquet,
+      s"$verb needs parquet (row positions come from the reader's " +
+        "_metadata.row_index); use the copy-on-write DML for other formats")
+    require(!table.isSnapshot,
+      s"$verb applies to partitioned tables — a snapshot version is one " +
+        "self-contained unit; use the copy-on-write DML, which rewrites it")
+    val spark = engine.spark
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    val state = engine.tracker.tableState(table.name)
+    val head = state.currentVersion
+    val snapshot = state.currentTableVersion
+    val pvs = snapshot match {
+      case PartitionedTableVersion(m) => m
+      case _ => throw new IllegalStateException(
+        s"${table.name} initialised as snapshot but definition says partitioned")
+    }
+    if (pvs.isEmpty) return DvDeleteResult(snapshot, TableChanges.empty, Nil, 0L)
+
+    // candidate pruning first (partition values / stats / Blooms — no
+    // false negatives; update-marker partitions stay in unconditionally,
+    // delete-markers prune through their BASE manifests)
+    val candidates = TableStats.partitionsMayMatch(engine, table, pvs, predicate)
+    if (candidates.isEmpty) return DvDeleteResult(snapshot, TableChanges.empty, Nil, 0L)
+    candidates.foreach { case (p, v) =>
+      require(v != Version.Unversioned,
+        s"$verb: partition '${p.toPath}' is adopted (unversioned) data — its " +
+          "files sit at the partition root with no stable set to anchor positions to; " +
+          "compact or rewrite it into a versioned state first")
+    }
+
+    // resolve every candidate to its DATA version (markers hop through
+    // _base.json once — depth-1 rebasing keeps it one hop). An UPDATE-
+    // marker (data files of its own) refuses: its post-update rows live
+    // outside the base, and carrying them forward would chain positional
+    // references — fold with compact/OPTIMIZE first.
+    val bases: Map[Partition, Version] = candidates.map { case (p, v) =>
+      p -> (if (Version.isDeleteMarker(v)) {
+        require(!markerHasData(conf, table, p, v),
+          s"partition '${p.toPath}' carries a merge-on-read UPDATE version — fold it " +
+            "(compact / SQL OPTIMIZE) before stacking another merge-on-read DML, or " +
+            "use the copy-on-write DML")
+        readBase(conf, table, p, v)
+      } else v)
+    }
+    val partCols = table.partitionSchema.columnNames
+    val sortedCand = bases.toSeq.sortBy(_._1.toPath)
+    val dataPaths = sortedCand.map { case (p, b) =>
+      VersionedTables.uriToLoadPath(VersionPaths.pathFor(p.resolvePath(table.location), b))
+    }
+    val raw = spark.read.format(table.format.name).options(table.options)
+      .option("basePath", VersionedTables.uriToLoadPath(table.location))
+      .load(dataPaths: _*)
+      .withColumn(FileCol, col("_metadata.file_path"))
+      .withColumn(PosCol, col("_metadata.row_index"))
+
+    // existing DV entries of the candidate markers: carried into the new
+    // DV (depth-1 rebase) AND — decisive for UPDATE — subtracted from the
+    // match scan, so a row an earlier DV deleted can never resurrect as a
+    // post-image. (For DELETE the subtraction is a no-op semantically:
+    // re-matched positions union back in unchanged.)
+    val oldDvPaths = candidates.toSeq.collect {
+      case (p, m) if Version.isDeleteMarker(m) =>
+        VersionedTables.uriToLoadPath(dvDir(table, p, m))
+    }
+    val oldDv =
+      if (oldDvPaths.isEmpty) None
+      else Some(spark.read.schema(DvSchema).parquet(oldDvPaths: _*))
+    val live = oldDv.fold(raw)(dv =>
+      raw.join(broadcast(dv),
+        raw(FileCol) === dv("file_path") && raw(PosCol) === dv("row_index"), "left_anti"))
+
+    val matchCond = coalesce(predicate, lit(false))
+    val matched = live.filter(matchCond)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affected = VersionedTables.partitionValues(matched, table.partitionSchema)
+        .filter(pvs.contains).sortBy(_.toPath)
+      if (affected.isEmpty) return DvDeleteResult(snapshot, TableChanges.empty, Nil, 0L)
+      val matchedRows = matched.count()
+      val affectedSet = affected.toSet
+
+      val marker = Version.generateDeleteMarker()
+
+      // UPDATE: the post-images land as the marker version's own data
+      // files through the one shared versioned writer (assignments see the
+      // OLD row — staged into temp columns first so later SETs cannot read
+      // earlier SETs' results, exactly like the copy-on-write updateWhere)
+      set.foreach { assignments =>
+        val staged = assignments.zipWithIndex.foldLeft(matched: DataFrame) {
+          case (d, ((c, e), i)) => d.withColumn(s"_dv_set_$i", e)
+        }
+        val swapped = assignments.zipWithIndex.foldLeft(staged) {
+          case (d, ((c, _), i)) => d.withColumn(c, col(s"_dv_set_$i"))
+        }
+        val updated = assignments.zipWithIndex.foldLeft(swapped) {
+          case (d, (_, i)) => d.drop(s"_dv_set_$i")
+        }.drop(FileCol, PosCol)
+        VersionedTables.writeDataVersioned(updated, table, marker)
+      }
+
+      // old DV entries of AFFECTED partitions ride into the new DV
+      val oldDvCarried: Seq[DataFrame] = candidates.toSeq.collect {
+        case (p, m) if Version.isDeleteMarker(m) && affectedSet(p) =>
+          val withCols = partCols.zipWithIndex.foldLeft(
+            spark.read.schema(DvSchema).parquet(
+              VersionedTables.uriToLoadPath(dvDir(table, p, m)))) { case (df, (c, i)) =>
+            val value = p.columnValues(i).value
+            df.withColumn(c,
+              if (value == PathCodec.DefaultPartitionName) lit(null).cast("string")
+              else lit(value))
+          }
+          withCols.select((partCols.map(c => col(s"`$c`")) :+
+            col("file_path")) :+ col("row_index"): _*)
+      }
+      val newEntries = matched.select((partCols.map(c => col(s"`$c`")) :+
+        col(FileCol).as("file_path")) :+ col(PosCol).as("row_index"): _*)
+      val allDv = oldDvCarried.foldLeft(newEntries)(_.unionByName(_))
+        .dropDuplicates("file_path", "row_index")
+
+      // one job writes every partition's DV files, then O(affected)
+      // renames slot them under their marker directories
+      val tmp = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(table.location), s"_tmp_dv_${marker.label}")
+      val fs = tmp.getFileSystem(conf)
+      try {
+        allDv.repartition(partCols.map(c => col(s"`$c`")): _*)
+          .write.partitionBy(partCols: _*).mode("overwrite")
+          .parquet(tmp.toString)
+        affected.foreach { p =>
+          val src = new org.apache.hadoop.fs.Path(tmp, p.toHivePath)
+          require(fs.exists(src), s"DV write produced no output for '${p.toPath}'")
+          val dst = new org.apache.hadoop.fs.Path(dvDir(table, p, marker))
+          fs.mkdirs(dst.getParent)
+          require(fs.rename(src, dst), s"failed to move DV files into $dst")
+          writeBase(conf, table, p, marker, bases(p))
+        }
+      } finally { fs.delete(tmp, true); () }
+
+      val ops: List[TableOperation] = affected.flatMap(p => List(
+        TableOperation.AddPartitionVersion(p, marker),
+        TableOperation.SetVersionBase(p, marker, bases(p))))
+      val (tv, changes) = engine.versioned.commitIf(
+        table.name, TableUpdate(userId, message, java.time.Instant.now(), ops), head)
+      DvDeleteResult(tv, changes, affected, matchedRows)
+    } finally { matched.unpersist(blocking = false); () }
   }
 }

@@ -1120,20 +1120,27 @@ object TableStats {
       }
     pvs.filter { case (p, v0) =>
       SkipEval.mayMatch(expr, partitionLookup(p)) && {
-        // a DELETION-VECTOR partition prunes through its BASE version's
+        // a DELETE-only DV partition prunes through its BASE version's
         // manifest: deletes only REMOVE rows, so base stats/Blooms stay
         // conservative (false positives at worst — a file whose only
-        // matching rows were deleted still scans; never a false negative)
-        val v = if (Version.isDeleteMarker(v0))
-          DeleteVectors.readBase(conf, table, p, v0) else v0
-        if (v == Version.Unversioned) true
-        else manifestFor(v) match {
-          case Some(m) =>
-            val inPart = m.filesFor(p.toHivePath)
-            if (inPart.isEmpty) true
-            else if (bloomExcludes(m, p.toHivePath)) false
-            else inPart.exists(f => SkipEval.mayMatch(expr, fileLookup(f, Some(p))))
-          case None => true
+        // matching rows were deleted still scans; never a false negative).
+        // An UPDATE-marker (data files of its own) must stay IN: its
+        // post-image rows are covered by no manifest, and base stats could
+        // falsely exclude the values the update introduced.
+        if (Version.isDeleteMarker(v0) && DeleteVectors.markerHasData(conf, table, p, v0))
+          true
+        else {
+          val v = if (Version.isDeleteMarker(v0))
+            DeleteVectors.readBase(conf, table, p, v0) else v0
+          if (v == Version.Unversioned) true
+          else manifestFor(v) match {
+            case Some(m) =>
+              val inPart = m.filesFor(p.toHivePath)
+              if (inPart.isEmpty) true
+              else if (bloomExcludes(m, p.toHivePath)) false
+              else inPart.exists(f => SkipEval.mayMatch(expr, fileLookup(f, Some(p))))
+            case None => true
+          }
         }
       }
     }
@@ -1246,8 +1253,15 @@ object TableStats {
           p -> DeleteVectors.readBase(conf, table, p, m)
         }
         val decision = planRead(engine, table, PartitionedTableVersion(baseMap), predicate)
+        // UPDATE-marker data files are appended by readDvPartitions itself
+        // (their post-image rows have no manifest and can never be pruned)
+        // — an all-pruned base set still reads them, so the branch only
+        // vanishes when NO marker carries data either
+        val markerDataExists = dvParts.exists { case (p, m) =>
+          DeleteVectors.markerHasData(conf, table, p, m)
+        }
         val dvFrame =
-          if (decision.paths.isEmpty) None // base stats prove: no matching rows
+          if (decision.paths.isEmpty && !markerDataExists) None // provably no rows
           else Some(DeleteVectors.readDvPartitions(engine, table, dvParts, schemaHint,
             dataPathsOverride = Some(decision.paths)).filter(predicate))
         val plainFrame =

@@ -76,6 +76,11 @@ object GraftSqlWrites {
     * identical either way; fold DVs with OPTIMIZE. */
   val DeleteModeKey = "spark.graft.delete.mode"
 
+  /** Session conf choosing SQL UPDATE's physical path — same contract as
+    * [[DeleteModeKey]]: "rewrite" (default) or "dv" (merge-on-read
+    * post-images + deletion vector). */
+  val UpdateModeKey = "spark.graft.update.mode"
+
   /** Align `df` to the target schema and commit it through the versioned
     * write path. Public mainly for the CAS law: `expectedHead` defaults to
     * the head observed here, but a caller may pin a stale head to prove
@@ -317,10 +322,21 @@ final case class GraftUpdateCommand(
     extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
-    import graft.operators.VersionedDml._
     val user = UserId(session.conf.get(GraftSqlWrites.UserKey, session.sparkContext.sparkUser))
-    entry.engine.updateWhere(entry.table, condition, set.toMap, user,
-      s"SQL UPDATE ${entry.table.name.fullyQualifiedName}")
+    // same physical-path switch as DELETE: spark.graft.update.mode=dv opts
+    // into the merge-on-read update (post-images + deletion vector, zero
+    // base bytes moved) where the table supports it; results identical
+    val wantDv = session.conf
+      .get(GraftSqlWrites.UpdateModeKey, "rewrite").equalsIgnoreCase("dv")
+    if (wantDv && entry.table.format == FileFormat.Parquet && !entry.table.isSnapshot) {
+      import graft.operators.DeleteVectors._
+      entry.engine.updateWhereDV(entry.table, condition, set.toMap, user,
+        s"SQL UPDATE (dv) ${entry.table.name.fullyQualifiedName}")
+    } else {
+      import graft.operators.VersionedDml._
+      entry.engine.updateWhere(entry.table, condition, set.toMap, user,
+        s"SQL UPDATE ${entry.table.name.fullyQualifiedName}")
+    }
     Seq.empty
   }
 

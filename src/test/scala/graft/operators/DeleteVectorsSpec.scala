@@ -231,6 +231,87 @@ class DeleteVectorsSpec extends AnyFlatSpec with Matchers {
       (0L until 1000L).filter(_ % 7 == 0).toArray
   }
 
+  behavior of "updateWhereDV"
+
+  it should "equal the copy-on-write update without touching any base data file" in {
+    val (engine, table) = newTable()
+    load(engine, table)
+    val before = dataFiles(table)
+    val r = engine.updateWhereDV(table, col("k") % 7 === 0,
+      Map("v" -> (col("v") + lit(10000.0))), UserId("t"), "mor update %7")
+    r.deletedRows shouldBe (0L until 1000L).count(_ % 7 == 0)
+    val cur = engine.read(table)
+    cur.count() shouldBe 1000
+    cur.filter(col("v") >= 10000.0).count() shouldBe (0L until 1000L).count(_ % 7 == 0)
+    cur.filter(col("k") === 14L).select("v").head().getDouble(0) shouldBe (28.0 + 10000.0)
+    cur.filter(col("k") === 15L).select("v").head().getDouble(0) shouldBe 30.0
+    // the base files are bit-identical; only the marker dirs gained bytes
+    before.subsetOf(dataFiles(table)) shouldBe true
+    // SET sees the OLD row even under multiple assignments (post-fold —
+    // stacking MoR DML on an update-marker refuses by design)
+    engine.compact(table, UserId("t"), "fold")
+    engine.updateWhereDV(table, col("k") === 15L,
+      Map("v" -> (col("k") * 1.0), "k" -> (col("k") + 1L)), UserId("t"), "swap-ish")
+    val row = engine.read(table).filter(col("v") === 15.0 && col("k") === 16L)
+    row.count() shouldBe 1
+  }
+
+  it should "never resurrect DV-deleted rows through an update" in {
+    val (engine, table) = newTable()
+    load(engine, table)
+    engine.deleteWhereDV(table, col("k") % 10 === 0, UserId("t"), "dv %10")
+    // the update predicate MATCHES many deleted rows (k%2 covers k%10)
+    engine.updateWhereDV(table, col("k") % 2 === 0,
+      Map("v" -> lit(-5.0)), UserId("t"), "update evens")
+    val cur = engine.read(table)
+    cur.filter(col("k") % 10 === 0).count() shouldBe 0 // still deleted
+    cur.filter(col("v") === -5.0).count() shouldBe
+      (0L until 1000L).count(k => k % 2 == 0 && k % 10 != 0)
+    cur.count() shouldBe 900
+  }
+
+  it should "keep updated rows visible to skipping reads that base stats would exclude" in {
+    val dir = Files.createTempDirectory("graft-dvu-skip-").toFile
+    val engine = VersionedTables.withFileStore(spark,
+      new java.io.File(dir, "store").toURI)
+    val table = TableDefinition(TableName("dv", s"uskip${seq.incrementAndGet()}"),
+      new java.io.File(dir, "t").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("v"))))
+    engine.initTable(table, UserId("t"), "init")
+    (0L until 100L).map(k => (k, k * 1.0, "d0")).toDF("k", "v", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+    // 99999.0 is outside every file's recorded v-range — before the fix,
+    // base-manifest pruning would wrongly exclude the updated row
+    engine.updateWhereDV(table, col("k") === 5L,
+      Map("v" -> lit(99999.0)), UserId("t"), "spike")
+    engine.readWhere(table, col("v") === 99999.0)
+      .select("k").as[Long].collect() shouldBe Array(5L)
+    // and the copy-on-write DML's pruned discovery finds it too
+    engine.updateWhere(table, col("v") === 99999.0,
+      Map("v" -> lit(0.5)), UserId("t"), "rewrite folds")
+    engine.read(table).filter(col("v") === 0.5).count() shouldBe 1
+  }
+
+  it should "refuse stacking merge-on-read DML onto an UPDATE-marker until folded" in {
+    val (engine, table) = newTable()
+    load(engine, table)
+    engine.updateWhereDV(table, col("k") === 1L,
+      Map("v" -> lit(0.0)), UserId("t"), "mor update")
+    intercept[IllegalArgumentException] {
+      engine.deleteWhereDV(table, col("k") === 2L, UserId("t"), "stack delete")
+    }
+    intercept[IllegalArgumentException] {
+      engine.updateWhereDV(table, col("k") === 3L,
+        Map("v" -> lit(1.0)), UserId("t"), "stack update")
+    }
+    // folding unblocks, preserving the update
+    engine.compact(table, UserId("t"), "fold")
+    engine.deleteWhereDV(table, col("k") === 2L, UserId("t"), "post-fold delete")
+    val cur = engine.read(table)
+    cur.filter(col("k") === 1L).select("v").head().getDouble(0) shouldBe 0.0
+    cur.filter(col("k") === 2L).count() shouldBe 0
+  }
+
   it should "compose with schema evolution: DV on a pre-evolution partition null-fills" in {
     val dir = Files.createTempDirectory("graft-dv-evo-").toFile
     val engine = VersionedTables.withFileStore(spark,
