@@ -583,18 +583,33 @@ object GraftCli {
             case (_, ss) if ss.isEmpty || ss.exists(_._1.isEmpty) =>
               out.println("error: update needs --set col=expr [--set col=expr ...]"); 2
             case (Some(w), ss) => withFlavorChecked(t, table) {
-              import graft.operators.VersionedDml._
               val spark = cliSpark()
               val engine = new graft.operators.VersionedTables(spark, tracker)
-              val r = engine.updateWhere(table,
-                org.apache.spark.sql.functions.expr(w),
-                ss.map { case (c, e) => c -> org.apache.spark.sql.functions.expr(e) }.toMap,
-                user,
-                if (message.nonEmpty) message else s"update where $w")
-              if (r.rewritten.isEmpty) out.println("no rows matched — no commit")
-              else {
-                out.println(s"updated  ${tracker.currentRef(t).id}")
-                r.rewritten.foreach(p => out.println(s"  rewrote ${p.toPath}"))
+              val setMap =
+                ss.map { case (c, e) => c -> org.apache.spark.sql.functions.expr(e) }.toMap
+              if (flags.contains("dv")) {
+                // merge-on-read: post-images + deletion vector, zero base
+                // bytes rewritten — fold with `optimize` before stacking
+                import graft.operators.DeleteVectors._
+                val r = engine.updateWhereDV(table,
+                  org.apache.spark.sql.functions.expr(w), setMap, user,
+                  if (message.nonEmpty) message else s"dv update where $w")
+                if (r.affected.isEmpty) out.println("no rows matched — no commit")
+                else {
+                  out.println(s"updated (merge-on-read)  ${tracker.currentRef(t).id}")
+                  out.println(s"  positions ${r.deletedRows}")
+                  r.affected.foreach(p => out.println(s"  dv ${p.toPath}"))
+                }
+              } else {
+                import graft.operators.VersionedDml._
+                val r = engine.updateWhere(table,
+                  org.apache.spark.sql.functions.expr(w), setMap, user,
+                  if (message.nonEmpty) message else s"update where $w")
+                if (r.rewritten.isEmpty) out.println("no rows matched — no commit")
+                else {
+                  out.println(s"updated  ${tracker.currentRef(t).id}")
+                  r.rewritten.foreach(p => out.println(s"  rewrote ${p.toPath}"))
+                }
               }
               0
             }
