@@ -334,6 +334,21 @@ object DeleteVectors {
         val updated = assignments.zipWithIndex.foldLeft(swapped) {
           case (d, (_, i)) => d.drop(s"_dv_set_$i")
         }.drop(FileCol, PosCol)
+        // a SET that RETYPES a column would leave the marker's post-image
+        // files under a different schema than the base files of the SAME
+        // partition version — a mix no read contract covers. The
+        // copy-on-write updateWhere rewrites whole partitions and records
+        // the schema; this path refuses instead.
+        def shape(s: StructType) = s.fields.iterator
+          .map(f => (f.name.toLowerCase, f.dataType.catalogString)).toSet
+        val originalShape = shape(StructType(
+          matched.schema.filterNot(f => f.name == FileCol || f.name == PosCol).toArray))
+        require(shape(updated.schema) == originalShape,
+          s"updateWhereDV cannot RETYPE columns (post-image files would mix schemas " +
+            s"with the base files of the same version): got " +
+            s"${updated.schema.map(f => s"${f.name}:${f.dataType.catalogString}").mkString(", ")} " +
+            "— cast the SET expression back to the column's type, or use the " +
+            "copy-on-write updateWhere")
         VersionedTables.writeDataVersioned(updated, table, marker)
       }
 

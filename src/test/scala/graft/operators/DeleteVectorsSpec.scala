@@ -292,6 +292,19 @@ class DeleteVectorsSpec extends AnyFlatSpec with Matchers {
     engine.read(table).filter(col("v") === 0.5).count() shouldBe 1
   }
 
+  it should "refuse retyping SETs (mixed file schemas within one version)" in {
+    val (engine, table) = newTable()
+    load(engine, table)
+    intercept[IllegalArgumentException] {
+      engine.updateWhereDV(table, col("k") === 1L,
+        Map("v" -> lit("now-a-string")), UserId("t"), "retype")
+    }
+    // a type-preserving cast is fine
+    engine.updateWhereDV(table, col("k") === 1L,
+      Map("v" -> lit(7).cast("double")), UserId("t"), "ok")
+    engine.read(table).filter(col("k") === 1L).select("v").head().getDouble(0) shouldBe 7.0
+  }
+
   it should "refuse stacking merge-on-read DML onto an UPDATE-marker until folded" in {
     val (engine, table) = newTable()
     load(engine, table)
