@@ -210,6 +210,53 @@ final class VersionedTables(
     packed.versionedInsertIntoIf(this, table, userId, message, state.currentVersion, clusterBy)
   }
 
+  /** Fold ONLY the partitions that currently carry merge-on-read deletion
+    * vectors ([[DeleteVectors]] markers) back into plain data versions — a
+    * rewrite scoped to exactly the DV'd partitions, so a 10,000-partition
+    * table with three DV'd partitions rewrites three, not 10,000. Unlike a
+    * plain [[compact]], a partition whose DV deleted EVERY row is REMOVED
+    * from the commit (its directories stay on disk for time travel) —
+    * otherwise it would sit at its marker forever. No-op (no write, no
+    * commit) when nothing carries a DV; CAS'd on the head read at entry
+    * like every read-modify-write here. */
+  def foldDeleteVectors(
+      table: TableDefinition,
+      userId: UserId,
+      message: String,
+      clusterBy: Seq[String] = Nil): (TableVersion, TableChanges) = {
+    import org.apache.spark.sql.functions.col
+    val state = tracker.tableState(table.name)
+    val head = state.currentVersion
+    val snapshot = state.currentTableVersion
+    val markers: Map[Partition, Version] = snapshot match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.filter { case (_, v) => Version.isDeleteMarker(v) }
+      case _: SnapshotTableVersion => Map.empty
+    }
+    if (markers.isEmpty) return (snapshot, TableChanges.empty)
+    val hint = schemaHintAt(table, state, head)
+    val live = readVersion(table, PartitionedTableVersion(markers), hint)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val version = Version.generate()
+      val partCols = table.partitionSchema.columnNames.map(col)
+      val finalParts = VersionedTables.partitionValues(live, table.partitionSchema)
+      if (finalParts.nonEmpty) {
+        val arranged =
+          if (partCols.isEmpty) live.repartition(1) else live.repartition(partCols: _*)
+        VersionedTables.writeDataVersioned(arranged, table, version, clusterBy)
+        if (table.stats.nonEmpty)
+          TableStats.collectAndWrite(spark, table, version, finalParts)
+      }
+      val emptied = (markers.keySet -- finalParts.toSet).toList.sortBy(_.toPath)
+      val ops = finalParts.sortBy(_.toPath)
+        .map(TableOperation.AddPartitionVersion(_, version)) ++
+        emptied.map(TableOperation.RemovePartition(_))
+      versioned.commitIf(table.name,
+        TableUpdate(userId, message, java.time.Instant.now(), ops), head)
+    } finally { live.unpersist(blocking = false); () }
+  }
+
   /** Register the table's CURRENT version as a temp view so it is queryable
     * with `spark.sql` without a Hive catalog. The view captures the version
     * at registration time (re-register after commits/checkouts — or wire the

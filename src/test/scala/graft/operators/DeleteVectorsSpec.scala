@@ -231,6 +231,39 @@ class DeleteVectorsSpec extends AnyFlatSpec with Matchers {
       (0L until 1000L).filter(_ % 7 == 0).toArray
   }
 
+  behavior of "foldDeleteVectors"
+
+  it should "rewrite ONLY DV'd partitions and REMOVE fully-deleted ones" in {
+    val (engine, table) = newTable()
+    load(engine, table)
+    // d1 fully deleted; d2 partially; d0/d3 untouched
+    engine.deleteWhereDV(table, col("day") === "d1", UserId("t"), "dv all of d1")
+    engine.deleteWhereDV(table, col("day") === "d2" && col("k") % 3 === 0,
+      UserId("t"), "dv part of d2")
+    val preFold = engine.tracker.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other => fail(s"unexpected $other")
+    }
+    val expected = engine.read(table).select("k").as[Long].collect().sorted
+
+    engine.foldDeleteVectors(table, UserId("t"), "fold")
+    val postFold = engine.tracker.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other => fail(s"unexpected $other")
+    }
+    // the fully-deleted partition is GONE from the visible state
+    postFold.keySet.map(_.toPath) shouldBe Set("day=d0", "day=d2", "day=d3")
+    // untouched partitions keep their EXACT versions — the targeted-rewrite law
+    postFold(Partition("day", "d0")) shouldBe preFold(Partition("day", "d0"))
+    postFold(Partition("day", "d3")) shouldBe preFold(Partition("day", "d3"))
+    // the folded partition is a plain data version now
+    Version.isDeleteMarker(postFold(Partition("day", "d2"))) shouldBe false
+    engine.read(table).select("k").as[Long].collect().sorted shouldBe expected
+    // idempotent: nothing left to fold
+    val (_, changes) = engine.foldDeleteVectors(table, UserId("t"), "again")
+    changes shouldBe TableChanges.empty
+  }
+
   behavior of "updateWhereDV"
 
   it should "equal the copy-on-write update without touching any base data file" in {
