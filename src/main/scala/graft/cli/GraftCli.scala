@@ -35,10 +35,13 @@ import java.time.Instant
  *   graft-cli --store <uri> audit <schema.table> <tableLocation> <versionLabel> --check <spec> [--check <spec> ...] [--partition-by c1,c2] [--format F]
  *   graft-cli --store <uri> publish <schema.table> <tableLocation> <versionLabel> [--check <spec> ...] [--partition-by c1,c2] [--format F]
  *   # audit/publish recover --partition-by from the stage's manifest when omitted; --format still defaults to parquet
- *   graft-cli --store <uri> delete <schema.table> <tableLocation> --where <sql predicate> [--partition-by c1,c2] [--format F]
- *   graft-cli --store <uri> update <schema.table> <tableLocation> --where <sql predicate> --set col=expr [--set col=expr ...] [--partition-by c1,c2] [--format F]
+ *   graft-cli --store <uri> delete <schema.table> <tableLocation> --where <sql predicate> [--dv] [--partition-by c1,c2] [--format F]
+ *   graft-cli --store <uri> update <schema.table> <tableLocation> --where <sql predicate> --set col=expr [--set col=expr ...] [--dv] [--partition-by c1,c2] [--format F]
+ *   # --dv = merge-on-read (deletion vectors): positions (and post-images) written, zero base bytes rewritten
  *   graft-cli --store <uri> merge <schema.table> <tableLocation> <sourceUri> --keys k1[,k2] [--delete-when <sql predicate>] [--partition-by c1,c2] [--format F] [--source-format F]
- *   graft-cli --store <uri> optimize <schema.table> <tableLocation> [--zorder c1,c2] [--files N] [--partition-by c1,c2] [--format F]
+ *   graft-cli --store <uri> optimize <schema.table> <tableLocation> [--zorder c1,c2] [--files N] [--fold-dv] [--partition-by c1,c2] [--format F]
+ *   graft-cli --store <uri> publish-group <t1> <loc1> <label1> [<t2> <loc2> <label2> ...]   # atomic multi-table publish
+ *   # checkout/changes REF arguments accept a commit id, a tag name, or a timestamp (latest commit at or before)
  *   # every Spark-backed verb accepts --merge-schema for tables evolved with
  *   # versionedInsertIntoEvolving (mixed file schemas need footer-merged reads)
  * }}}
@@ -511,6 +514,18 @@ object GraftCli {
               out.println(s"error: --zorder column '${badZ.get}' is a partition column"); 2
             } else if (files.exists(_.forall(_ < 1))) {
               out.println("error: --files must be a positive integer"); 2
+            } else if (flags.contains("fold-dv")) {
+              // targeted fold: rewrite ONLY the partitions carrying
+              // merge-on-read deletion vectors (fully-deleted ones are
+              // removed from the commit); everything else keeps its
+              // exact version — the cheap way to retire DVs at scale
+              val engine = new graft.operators.VersionedTables(cliSpark(), tracker)
+              val (_, changes) = engine.foldDeleteVectors(table, user,
+                if (message.nonEmpty) message else "optimize fold-dv")
+              if (changes.operations.isEmpty) out.println("no deletion vectors — no commit")
+              else out.println(s"folded ${tracker.currentRef(t).id} " +
+                s"(${changes.operations.size} partition ops)")
+              0
             } else {
               val engine = new graft.operators.VersionedTables(cliSpark(), tracker)
               val msg = if (message.nonEmpty) message else
@@ -1029,7 +1044,7 @@ object GraftCli {
   private def parseFlags(argv: List[String]): (Map[String, String], List[String]) = {
     // every value-less flag must be listed: an unlisted one silently eats
     // the following positional token as its "value" and the verb misparses
-    val boolFlags = Set("isSnapshot", "apply", "merge-schema", "dv")
+    val boolFlags = Set("isSnapshot", "apply", "merge-schema", "dv", "fold-dv")
     def loop(rest: List[String], flags: Map[String, String], pos: List[String]): (Map[String, String], List[String]) =
       rest match {
         case Nil => (flags, pos.reverse)
