@@ -96,8 +96,14 @@ object DeleteVectors {
   /** The DATA version a marker filters, from its `_base.json`. Loud on a
     * missing or unparseable document: a marker without its base is a
     * corrupt state — reading past it would silently show an empty
-    * partition. */
+    * partition. Served from the immutable-marker cache after the first
+    * read. */
   private[operators] def readBase(
+      conf: org.apache.hadoop.conf.Configuration,
+      table: TableDefinition, p: Partition, marker: Version): Version =
+    markerMeta(conf, table, p, marker)._1
+
+  private def readBaseUncached(
       conf: org.apache.hadoop.conf.Configuration,
       table: TableDefinition, p: Partition, marker: Version): Version = {
     val path = basePath(table, p, marker)
@@ -123,20 +129,41 @@ object DeleteVectors {
       identity)
   }
 
+  /** A marker version's metadata — its base version and whether its
+    * directory carries DATA files (an UPDATE-marker) — is IMMUTABLE once
+    * the marker is committed (everything under `_version=<marker>` is
+    * written before the commit and never touched again), so one JVM-wide
+    * cache keyed by the marker directory serves every later read without
+    * re-probing the filesystem. Vacuum deleting an EXPIRED marker leaves a
+    * stale entry behind, which is harmless: expired markers are no longer
+    * referenced by any retained state, so nothing resolves them. */
+  private val markerMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Version, Boolean)]()
+
+  private def markerMeta(
+      conf: org.apache.hadoop.conf.Configuration,
+      table: TableDefinition, p: Partition, marker: Version): (Version, Boolean) = {
+    val dirUri = VersionPaths.pathFor(p.resolvePath(table.location), marker)
+    markerMetaCache.computeIfAbsent(dirUri.toString, _ => {
+      val base = readBaseUncached(conf, table, p, marker)
+      val dir = new org.apache.hadoop.fs.Path(dirUri)
+      val fs = dir.getFileSystem(conf)
+      val hasData =
+        try fs.listStatus(dir).exists(s =>
+          s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        catch { case _: java.io.FileNotFoundException => false }
+      (base, hasData)
+    })
+  }
+
   /** Whether a marker version's directory carries DATA files of its own —
     * an UPDATE-marker ([[DvOps.updateWhereDV]] writes the post-update rows
-    * there, beside the DV that hides their pre-images). One directory
-    * listing; pure DELETE-markers hold only underscore-hidden sidecars. */
+    * there, beside the DV that hides their pre-images). Served from the
+    * immutable-marker cache after the first probe. */
   private[operators] def markerHasData(
       conf: org.apache.hadoop.conf.Configuration,
-      table: TableDefinition, p: Partition, marker: Version): Boolean = {
-    val dir = new org.apache.hadoop.fs.Path(
-      VersionPaths.pathFor(p.resolvePath(table.location), marker))
-    val fs = dir.getFileSystem(conf)
-    try fs.listStatus(dir).exists(s =>
-      s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-    catch { case _: java.io.FileNotFoundException => false }
-  }
+      table: TableDefinition, p: Partition, marker: Version): Boolean =
+    markerMeta(conf, table, p, marker)._2
 
   /** Read the given DELETION-VECTOR partitions: base data files PLUS any
     * update-marker data files, minus the DV positions — partition columns
