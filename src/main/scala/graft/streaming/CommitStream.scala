@@ -48,7 +48,12 @@ object CommitStream {
       StructField("table", StringType),
       StructField("isSnapshot", BooleanType),
       StructField("version", StringType),
-      StructField("partition", StringType)))))))
+      StructField("partition", StringType),
+      // round-14 op variants: set-version-base carries the DATA version a
+      // deletion-vector marker filters; set-table-schema carries the
+      // recorded schema document (null on every other op type)
+      StructField("base", StringType),
+      StructField("schema", StringType)))))))
 
   /** Streaming frame of `table`'s commits. Row order WITHIN a micro-batch is
     * not defined (Spark's file source bin-packs files by size) — order by the
