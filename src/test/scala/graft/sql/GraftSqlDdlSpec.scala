@@ -111,6 +111,38 @@ class GraftSqlDdlSpec extends AnyFlatSpec with Matchers {
     spark.sql(s"SELECT COUNT(*) AS n FROM $t").head().getLong(0) shouldBe 10
   }
 
+  behavior of "cross-process table adoption"
+
+  it should "adopt a tracker-live table another process created: SELECT, DESCRIBE and DML all resolve" in {
+    import graft.operators.VersionedTables._
+    import spark.implicits._
+    val (engine, schema, dir) = openSchema()
+    // simulate "created by another process": the table exists in the SHARED
+    // commit store + on disk, but was never registered in this JVM
+    val table = TableDefinition(TableName(schema, "foreign"),
+      dir.resolve("tables").resolve("foreign").toUri,
+      PartitionSchema("day"), FileFormat.Parquet)
+    engine.initTable(table, UserId("other"), "init elsewhere")
+    Seq((1L, "d1"), (2L, "d2")).toDF("k", "day")
+      .versionedInsertInto(engine, table, UserId("other"), "load elsewhere")
+    GraftTableRegistry.unregister(table.name) // ensure no registration leaked
+
+    // pre-round-14 this was the half-visible state: CREATE refused the name
+    // yet SELECT could not resolve it. Adoption reconstructs the definition
+    // from the store on lookup miss.
+    spark.sql(s"SELECT COUNT(*) AS n FROM graft.$schema.foreign")
+      .head().getLong(0) shouldBe 2
+    spark.sql(s"DESCRIBE graft.$schema.foreign")
+      .collect().map(_.getString(0)) should contain("day")
+    // DML through the adopted entry commits to the shared store
+    spark.sql(s"DELETE FROM graft.$schema.foreign WHERE k = 1")
+    engine.read(table).count() shouldBe 1
+    // CREATE still refuses the live name (the guard that motivated adoption)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.$schema.foreign (x INT)")
+    }
+  }
+
   behavior of "DDL refusals"
 
   it should "refuse CREATE in schemas never opened for DDL" in {
