@@ -223,7 +223,7 @@ object Bench {
     val FixtureQueries = Seq(
       "q_ann_ivf_index", "q_bloom_skip_scan", "q_bm25_index", "q_change_feed", "q_change_feed_pre", "q_compact_read",
       "q_delete_dv", "q_delete_dv_tt", "q_delete_dv_fold",
-      "q_sql_delete_dv", "q_sql_update_dv",
+      "q_sql_delete_dv", "q_sql_update_dv", "q_sql_restore",
       "q_dedup_against_index", "q_hive_read", "q_merge_upsert", "q_metadata_agg",
       "q_sql_delete", "q_sql_insert", "q_sql_merge", "q_sql_merge_mixed",
       "q_sql_create", "q_sql_optimize", "q_sql_history",

@@ -211,6 +211,13 @@ object SparkEntry {
     // to a fold). The fixture pins the routing via the commit message.
     "q_sql_update_dv" -> ((spark, dir) => sqlDvFixture(spark, dir).updated),
 
+    // SQL-only ROLLBACK at the gate: load, SQL DELETE a class, then
+    // RESTORE TABLE ... TO VERSION AS OF the pre-delete commit — the
+    // read-back must equal the PLAIN table aggregate (the delete fully
+    // undone, metadata-only). The verb every Delta operator reaches for
+    // after a bad write, proven against the oracle.
+    "q_sql_restore" -> ((spark, dir) => sqlRestoreFixture(spark, dir)),
+
     // keyed MERGE INTO at the gate: events loaded as a versioned table, then
     // ONE merge commit that updates every 10th click (+1000 to value),
     // inserts a synthetic twin of every 100th view (id offset +10M), and
@@ -563,6 +570,38 @@ object SparkEntry {
       "q_sql_update_dv fixture: SQL UPDATE did not take the deletion-vector path")
     SqlDvFixture(readBack = postDelete, updated = spark.sql(readbackSql))
   }
+
+  /** q_sql_restore: SQL DELETE then SQL RESTORE to the pre-delete commit —
+    * the read-back equals the plain aggregate. Memoized per (session, dir). */
+  private val sqlRestoreFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def sqlRestoreFixture(spark: SparkSession, sfDir: String): DataFrame =
+    sqlRestoreFixtureCache.computeIfAbsent((spark, sfDir), _ => {
+      Tables.prepare(spark)
+      val root = graft.FixtureTempDirs.create("graft-restorefix-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", "events_restore"),
+        root.resolve("events_restore").toUri, PartitionSchema("event_date"),
+        FileFormat.Parquet)
+      engine.initTable(table, UserId("driver"), "init")
+      graft.sql.GraftTableRegistry.register(engine, table)
+      Tables.events(spark, sfDir)
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"))
+        .versionedInsertInto(engine, table, UserId("driver"), "load")
+      val preDelete = engine.headCommit(table.name)
+      spark.sql("DELETE FROM graft.graft.events_restore WHERE event_type = 'error'")
+      require(engine.headCommit(table.name) != preDelete,
+        "q_sql_restore fixture: the delete committed nothing")
+      val restored = spark.sql(
+        s"RESTORE TABLE graft.graft.events_restore TO VERSION AS OF '${preDelete.id}'")
+        .head().getString(0)
+      require(restored == preDelete.id, "q_sql_restore fixture: restore missed")
+      spark.sql(
+        s"""SELECT event_type, $duckFixtureAgg
+           |FROM graft.graft.events_restore GROUP BY 1""".stripMargin)
+    })
 
   /** q_merge_upsert + q_change_feed share one fixture: one CAS-guarded
     * [[graft.operators.VersionedMerge]] commit over a versioned events
@@ -1256,6 +1295,10 @@ object SparkEntry {
            |FROM lineitem
            |WHERE NOT (l_orderkey % 97 = 0)
            |GROUP BY l_returnflag""".stripMargin,
+      // RESTORE fully undid the delete: the plain aggregate
+      "q_sql_restore" ->
+        s"""SELECT event_type, $duckFixtureAgg
+           |FROM events GROUP BY 1""".stripMargin,
       // MERGE algebra replayed in SQL: survivors (keys matched by neither the
       // update nor the delete class) + updated rows + inserted rows
       "q_merge_upsert" -> mergeOracle,

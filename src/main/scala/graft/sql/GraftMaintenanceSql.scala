@@ -66,6 +66,8 @@ object GraftMaintenanceSql {
     raw"""(?is)\s*OPTIMIZE\s+graft\.$Ident\.$Ident(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""")
   private val VacuumRe = java.util.regex.Pattern.compile(
     raw"""(?is)\s*VACUUM\s+graft\.$Ident\.$Ident(\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""")
+  private val RestoreRe = java.util.regex.Pattern.compile(
+    raw"""(?is)\s*RESTORE\s+TABLE\s+graft\.$Ident\.$Ident\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+'([^']*)'\s*;?\s*""")
 
   /** The maintenance statement in `sqlText`, if it is one. */
   def parse(sqlText: String): Option[LogicalPlan] = {
@@ -86,6 +88,10 @@ object GraftMaintenanceSql {
       return Some(GraftVacuumCommand(ident(v, 1), ident(v, 3),
         keepLast = v.group(6).toInt, dryRun = v.group(7) != null))
     }
+    val r = RestoreRe.matcher(sqlText)
+    if (r.matches())
+      return Some(GraftRestoreCommand(ident(r, 1), ident(r, 3),
+        byTimestamp = r.group(5).equalsIgnoreCase("TIMESTAMP"), ref = r.group(6)))
     None
   }
 
@@ -208,6 +214,54 @@ final case class GraftVacuumCommand(
   override def simpleString(maxFields: Int): String =
     s"GraftVacuumCommand graft.$schemaName.$tableName RETAIN $keepLast VERSIONS" +
       (if (dryRun) " DRY RUN" else "")
+}
+
+/** `RESTORE TABLE graft.s.t TO VERSION AS OF '<commit-or-tag>'` /
+  * `TO TIMESTAMP AS OF '<ts>'` — the SQL face of
+  * [[graft.operators.VersionedTables.checkout]]: move the head ref to a
+  * historical commit and re-sync any attached catalog. Metadata-only —
+  * zero bytes of data move at any table size; RESTORE is itself undoable
+  * by another RESTORE (history is never rewritten). `VERSION AS OF`
+  * resolves tag-first then commit id, exactly like read-side time travel;
+  * `TIMESTAMP AS OF` takes the latest commit at or before the instant
+  * ([[graft.core.TableState.commitIdAsOf]] — the one resolution rule every
+  * surface shares; ISO-8601 instant, local date-time or date, UTC). */
+final case class GraftRestoreCommand(
+    schemaName: String, tableName: String, byTimestamp: Boolean, ref: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_commit", StringType, nullable = false)(),
+    AttributeReference("catalog_ops", IntegerType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val entry = GraftMaintenanceSql.entryFor(schemaName, tableName)
+    val tracker = entry.engine.tracker
+    val name = entry.table.name
+    val id: CommitId =
+      if (byTimestamp) {
+        def attempt(f: => java.time.Instant): Option[java.time.Instant] =
+          try Some(f) catch { case _: java.time.format.DateTimeParseException => None }
+        val ts = attempt(java.time.Instant.parse(ref))
+          .orElse(attempt(java.time.LocalDateTime.parse(ref)
+            .toInstant(java.time.ZoneOffset.UTC)))
+          .orElse(attempt(java.time.LocalDate.parse(ref).atStartOfDay
+            .toInstant(java.time.ZoneOffset.UTC)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"RESTORE ... TIMESTAMP AS OF: unparseable timestamp '$ref'"))
+        tracker.tableState(name).commitIdAsOf(ts).getOrElse(
+          throw new IllegalArgumentException(s"no commit at or before $ref for $name"))
+      } else
+        // tag-first, like read-side VERSION AS OF — tags are the durable pins
+        tracker.tags(name).collectFirst { case (`ref`, tagged) => tagged }
+          .getOrElse(CommitId(ref))
+    val changes = entry.engine.checkout(name, id)
+    Seq(Row(id.id, changes.operations.size))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftRestoreCommand graft.$schemaName.$tableName TO " +
+      s"${if (byTimestamp) "TIMESTAMP" else "VERSION"} AS OF '$ref'"
 }
 
 /** `DESCRIBE [EXTENDED] graft.s.t` — columns from the CURRENT version's

@@ -105,6 +105,42 @@ class GraftMaintenanceSqlSpec extends AnyFlatSpec with Matchers {
     }.getMessage should include("partition column")
   }
 
+  behavior of "RESTORE TABLE"
+
+  it should "roll back by commit id, tag and timestamp — metadata-only, re-restorable" in {
+    val (engine, table, t) = fixture()
+    val preDelete = engine.headCommit(table.name)
+    val fullCount = engine.read(table).count()
+    engine.tracker.createTag(table.name, "pre-delete", preDelete)
+    spark.sql(s"DELETE FROM $t WHERE day = '2024-01-04'")
+    val postDelete = engine.headCommit(table.name)
+    val deletedCount = engine.read(table).count()
+    deletedCount should be < fullCount
+
+    // by commit id
+    val r1 = spark.sql(s"RESTORE TABLE $t TO VERSION AS OF '${preDelete.id}'").head()
+    r1.getString(0) shouldBe preDelete.id
+    spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) shouldBe fullCount
+    // forward again by TAG-FIRST resolution... roll to post-delete first
+    spark.sql(s"RESTORE TABLE $t TO VERSION AS OF '${postDelete.id}'")
+    spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) shouldBe deletedCount
+    // by tag
+    spark.sql(s"RESTORE TABLE $t TO VERSION AS OF 'pre-delete'").head()
+      .getString(0) shouldBe preDelete.id
+    spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) shouldBe fullCount
+    // by timestamp: far future resolves to the latest commit
+    spark.sql(s"RESTORE TABLE $t TO TIMESTAMP AS OF '2999-01-01'").head()
+      .getString(0) shouldBe postDelete.id
+    spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) shouldBe deletedCount
+    // bad inputs are clean errors
+    intercept[Exception] {
+      spark.sql(s"RESTORE TABLE $t TO TIMESTAMP AS OF 'not-a-time'")
+    }
+    intercept[Exception] {
+      spark.sql(s"RESTORE TABLE $t TO VERSION AS OF 'no-such-ref'")
+    }
+  }
+
   behavior of "VACUUM"
 
   it should "require an explicit RETAIN clause" in {
