@@ -68,6 +68,8 @@ object GraftMaintenanceSql {
     raw"""(?is)\s*VACUUM\s+graft\.$Ident\.$Ident(\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""")
   private val RestoreRe = java.util.regex.Pattern.compile(
     raw"""(?is)\s*RESTORE\s+TABLE\s+graft\.$Ident\.$Ident\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+'([^']*)'\s*;?\s*""")
+  private val AddColumnsRe = java.util.regex.Pattern.compile(
+    raw"""(?is)\s*ALTER\s+TABLE\s+graft\.$Ident\.$Ident\s+ADD\s+COLUMNS?\s*\(([^)]*)\)\s*;?\s*""")
 
   /** The maintenance statement in `sqlText`, if it is one. */
   def parse(sqlText: String): Option[LogicalPlan] = {
@@ -92,6 +94,11 @@ object GraftMaintenanceSql {
     if (r.matches())
       return Some(GraftRestoreCommand(ident(r, 1), ident(r, 3),
         byTimestamp = r.group(5).equalsIgnoreCase("TIMESTAMP"), ref = r.group(6)))
+    val a = AddColumnsRe.matcher(sqlText)
+    if (a.matches()) {
+      require(a.group(5).trim.nonEmpty, "ALTER TABLE ... ADD COLUMNS () is empty")
+      return Some(GraftAddColumnsCommand(ident(a, 1), ident(a, 3), a.group(5)))
+    }
     None
   }
 
@@ -262,6 +269,69 @@ final case class GraftRestoreCommand(
   override def simpleString(maxFields: Int): String =
     s"GraftRestoreCommand graft.$schemaName.$tableName TO " +
       s"${if (byTimestamp) "TIMESTAMP" else "VERSION"} AS OF '$ref'"
+}
+
+/** `ALTER TABLE graft.s.t ADD COLUMNS (name type, ...)` — DECLARED additive
+  * evolution: one metadata-only commit recording the widened schema
+  * ([[graft.core.TableOperation.SetTableSchema]]; the state fold is
+  * untouched — no partition moves). Readers immediately see the new
+  * columns NULL-filled on every existing row (the mergeSchema read path
+  * resolves schemas from the log), synced catalogs get `ALTER TABLE …
+  * ADD COLUMNS`, and time travel to pre-ALTER commits keeps the old
+  * schema. Requires the table definition's `mergeSchema=true` — the same
+  * contract as write-driven evolution, for the same reason (mixed-shape
+  * files need merged reads on histories without a recorded schema).
+  * Additive ONLY: existing and partition column names refuse. */
+final case class GraftAddColumnsCommand(
+    schemaName: String, tableName: String, colsDdl: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("type", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val entry = GraftMaintenanceSql.entryFor(schemaName, tableName)
+    val table = entry.table
+    val engine = entry.engine
+    require(table.mergesSchema,
+      s"ALTER TABLE ADD COLUMNS on ${table.name.fullyQualifiedName} requires the " +
+        "TableDefinition's options to include mergeSchema=true — after evolution the " +
+        "table's versions hold mixed file shapes, which only merged reads cover")
+    val added = StructType.fromDDL(colsDdl)
+    require(added.nonEmpty, "ALTER TABLE ... ADD COLUMNS () is empty")
+    val st = engine.tracker.tableState(table.name)
+    // the schema being widened: the log's record, else the current read's
+    // shape, else the DDL-declared one (a created-but-never-written table)
+    val current: StructType = graft.operators.VersionedTables
+      .parseSchemaJson(st.currentSchemaJson)
+      .orElse {
+        val read = engine.read(table).schema
+        if (read.nonEmpty) Some(StructType(
+          read.filterNot(_.name == Version.VersionColumn).toArray))
+        else entry.declared
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"${table.name.fullyQualifiedName} has no schema yet (never written, nothing " +
+          "declared) — the first write defines it; ALTER has nothing to widen"))
+    val existing = current.fieldNames.map(_.toLowerCase).toSet ++
+      table.partitionSchema.columnNames.map(_.toLowerCase)
+    added.fields.foreach { f =>
+      require(!existing(f.name.toLowerCase),
+        s"column '${f.name}' already exists on ${table.name.fullyQualifiedName} — " +
+          "ADD COLUMNS is additive only (no retyping, no renames)")
+    }
+    val widened = StructType(current.fields ++ added.fields.map(_.copy(nullable = true)))
+    engine.versioned.commit(table.name, TableUpdate(
+      GraftMaintenanceSql.sqlUser(session),
+      s"SQL ALTER TABLE ADD COLUMNS (${added.fieldNames.mkString(", ")})",
+      java.time.Instant.now(),
+      List(TableOperation.SetTableSchema(widened.json))))
+    added.fields.toSeq.map(f => Row(f.name, f.dataType.simpleString))
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftAddColumnsCommand graft.$schemaName.$tableName ADD COLUMNS ($colsDdl)"
 }
 
 /** `DESCRIBE [EXTENDED] graft.s.t` — columns from the CURRENT version's

@@ -141,6 +141,51 @@ class GraftMaintenanceSqlSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  behavior of "ALTER TABLE ADD COLUMNS"
+
+  it should "widen declaratively: null-filled reads, aligned inserts, honest history, refusals" in {
+    import graft.operators.VersionedTables._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-alter-")
+    val engine = VersionedTables.withFileStore(spark, dir.resolve("store").toUri)
+    val table = TableDefinition(TableName("maint", s"alter${seq.incrementAndGet()}"),
+      dir.resolve("t").toUri, PartitionSchema("day"), FileFormat.Parquet,
+      options = Map("mergeSchema" -> "true"))
+    engine.initTable(table, UserId("t"), "init")
+    GraftTableRegistry.register(engine, table)
+    val t = s"graft.${table.name.fullyQualifiedName}"
+    Seq((1L, "d1"), (2L, "d2")).toDF("k", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+    val preAlter = engine.headCommit(table.name)
+
+    val out = spark.sql(s"ALTER TABLE $t ADD COLUMNS (score DOUBLE, note STRING)").collect()
+    out.map(_.getString(0)).toSeq shouldBe Seq("score", "note")
+    // metadata-only: the commit carries no partition ops, readers see the
+    // new columns NULL-filled immediately
+    val cur = spark.sql(s"SELECT * FROM $t")
+    cur.columns.toSet shouldBe Set("k", "score", "note", "day")
+    cur.count() shouldBe 2
+    cur.filter("score IS NOT NULL OR note IS NOT NULL").count() shouldBe 0
+    // writes under the widened shape land through the standard guard
+    Seq((3L, 1.5, "x", "d3")).toDF("k", "score", "note", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "widened write")
+    spark.sql(s"SELECT k FROM $t WHERE score = 1.5").head().getLong(0) shouldBe 3L
+    // time travel to the pre-ALTER commit shows the old schema
+    engine.readAt(table, preAlter).columns.toSet shouldBe Set("k", "day")
+    // refusals: existing column, partition column, empty list
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t ADD COLUMNS (k INT)") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t ADD COLUMNS (day STRING)") }
+    // non-mergeSchema tables refuse with the contract named
+    val plain = TableDefinition(TableName("maint", s"plain${seq.incrementAndGet()}"),
+      dir.resolve("p").toUri, PartitionSchema("day"), FileFormat.Parquet)
+    engine.initTable(plain, UserId("t"), "init")
+    GraftTableRegistry.register(engine, plain)
+    val err = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.${plain.name.fullyQualifiedName} ADD COLUMNS (x INT)")
+    }
+    err.getMessage should include("mergeSchema")
+  }
+
   behavior of "VACUUM"
 
   it should "require an explicit RETAIN clause" in {
