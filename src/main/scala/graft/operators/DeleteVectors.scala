@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.core._
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, length, lit, raise_error, when}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import java.net.URI
@@ -29,8 +29,14 @@ import java.net.URI
  *     [[graft.core.TableOperation.SetVersionBase]] so retention can pin
  *     live markers' bases without touching the filesystem;
  *   - reads of a marker version load the BASE version's data files and
- *     broadcast-anti-join the (tiny) DV on `(file_path, row_index)` —
- *     O(matched rows) extra work, only on the partitions that carry DVs;
+ *     anti-join the DV on `(file_path, row_index)` — O(matched rows)
+ *     extra work, only on the partitions that carry DVs. The DV side is
+ *     broadcast ONLY when its summed on-disk size is under a threshold
+ *     (`spark.graft.dv.broadcastThreshold`, defaulting to the session's
+ *     `spark.sql.autoBroadcastJoinThreshold`): a bulk delete's multi-GB
+ *     vector must not be forced past Spark's size-based planning onto
+ *     every executor — above the gate the join plans as a plain shuffled
+ *     left_anti;
  *   - time travel is untouched: pre-delete commits point at the base
  *     version directly; the fold and every wire format see ordinary
  *     partition→version ops;
@@ -50,8 +56,22 @@ import java.net.URI
  * Hive/Glue catalog sync REFUSES marker versions (an external reader
  * pointed at a marker directory would silently read empty — fold with
  * compact/OPTIMIZE before syncing); chronicles export refuses likewise.
- * Positions anchor to absolute file paths: relocating the table directory
- * invalidates DVs (fold before moving).
+ *
+ * Positions anchor to file paths RELATIVE to the table root, so relocating
+ * the whole table directory (copy + re-point `TableDefinition.location`)
+ * keeps every DV valid. Legacy DVs written by earlier releases carried
+ * absolute paths: reads migrate them transparently while the table sits at
+ * the root they were written under (the prefix strips on the fly), and
+ * REFUSE loudly — rather than silently resurrecting deleted rows — if such
+ * a table is relocated with live legacy DVs (fold before moving, the old
+ * rule, now enforced instead of documented).
+ *
+ * Bulk-delete guard: when the candidate partitions' stats manifests cover
+ * their row counts, a DML matching more than
+ * `spark.graft.dv.maxDeleteFraction` (default 0.5) of those rows refuses —
+ * merge-on-read is the SELECTIVE-delete tool; at that match rate the
+ * copy-on-write rewrite moves comparable bytes once instead of taxing
+ * every subsequent read with a giant anti-join.
  */
 object DeleteVectors {
 
@@ -67,10 +87,93 @@ object DeleteVectors {
   private val FileCol = "_graft_dv_file"
   private val PosCol = "_graft_dv_pos"
 
-  /** DV file schema: absolute data-file path + row position within it. */
+  /** Max on-disk DV bytes that still broadcast the anti-join side (size
+    * string or bytes; default = `spark.sql.autoBroadcastJoinThreshold`). */
+  val BroadcastThresholdKey = "spark.graft.dv.broadcastThreshold"
+
+  /** Refuse a merge-on-read DML whose matched rows exceed this fraction of
+    * the candidate partitions' manifest-known row counts (default 0.5; set
+    * >= 1.0 to disable). Only enforced when every candidate's base version
+    * has a stats manifest — unknown sizes never block. */
+  val MaxDeleteFractionKey = "spark.graft.dv.maxDeleteFraction"
+
+  /** When a merge-on-read DML hits a partition already carrying an
+    * UPDATE-marker, fold JUST that partition inline and proceed (default
+    * true) — bytes moved = the hot partition once, and position chains stay
+    * at depth 1 by construction. `false` restores the old loud refusal. */
+  val AutoFoldUpdateMarkersKey = "spark.graft.dv.autoFoldUpdateMarkers"
+
+  /** DV file schema: data-file path RELATIVE to the table root + row
+    * position within it (legacy files hold absolute paths; reads migrate
+    * them on the fly — see the class doc). */
   private[operators] val DvSchema = StructType(Seq(
     StructField("file_path", StringType, nullable = false),
     StructField("row_index", LongType, nullable = false)))
+
+  /** The table root as the scan's `_metadata.file_path` renders it
+    * (filesystem-qualified, trailing slash) — the prefix DV entries are
+    * relativized against. Both sides round-trip through Hadoop `Path`
+    * normalization, so the forms agree; a location whose rendering
+    * disagrees (URI-reserved characters) fails the loud startsWith guard
+    * in [[relativeToRoot]] rather than mis-joining. */
+  private[operators] def qualifiedRootPrefix(
+      conf: org.apache.hadoop.conf.Configuration, location: URI): String = {
+    val p = new org.apache.hadoop.fs.Path(location)
+    val q = p.getFileSystem(conf).makeQualified(p).toString
+    if (q.endsWith("/")) q else q + "/"
+  }
+
+  /** DATA-side join key: the scan's absolute `_metadata.file_path`
+    * relativized to the table root. Loud on a file outside the root — that
+    * means the prefix rendering diverged and rows would silently escape
+    * their DV. */
+  private def relativeToRoot(c: Column, rootPrefix: String): Column =
+    when(c.startsWith(rootPrefix), c.substr(lit(rootPrefix.length + 1), length(c)))
+      .otherwise(raise_error(concat(
+        lit(s"graft DV: data file outside the table root '$rootPrefix': "), c)))
+
+  /** DV-side join key (migrate-on-read): relative entries pass through;
+    * LEGACY absolute entries written under the CURRENT root strip to
+    * relative on the fly; an absolute entry under a DIFFERENT root means
+    * the table was relocated with live legacy DVs — matching nothing would
+    * silently resurrect deleted rows, so raise instead (fold before
+    * moving). */
+  private def normalizeDvPath(c: Column, rootPrefix: String): Column = {
+    val absolute = c.startsWith("/") || c.rlike("^[A-Za-z][A-Za-z0-9+.-]*:/")
+    when(c.startsWith(rootPrefix), c.substr(lit(rootPrefix.length + 1), length(c)))
+      .when(!absolute, c)
+      .otherwise(raise_error(concat(
+        lit("graft DV: legacy absolute DV entry not under the current table root " +
+          s"'$rootPrefix' — the table was relocated with live pre-relative-path " +
+          "deletion vectors; restore it to the original location and fold " +
+          "(compact / SQL OPTIMIZE) before moving. Entry: "), c)))
+  }
+
+  /** Summed on-disk bytes of the DV sidecar files under the marker dirs —
+    * the size that decides the broadcast gate. O(markers) driver-side
+    * listings of flat directories. */
+  private def dvSidecarBytes(
+      conf: org.apache.hadoop.conf.Configuration, dvDirs: Seq[URI]): Long =
+    dvDirs.iterator.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      try fs.listStatus(p).iterator.filter(_.isFile).map(_.getLen).sum
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+
+  private def dvBroadcastThreshold(spark: SparkSession): Long = {
+    val s = spark.conf.get(BroadcastThresholdKey,
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+  }
+
+  /** Broadcast the DV side only under the size gate; above it (or with the
+    * threshold disabled, < 0) the anti-join is left to Spark's own
+    * size-based planning — a shuffled left_anti for a genuinely large DV. */
+  private def gateBroadcast(spark: SparkSession, dv: DataFrame, bytes: Long): DataFrame = {
+    val t = dvBroadcastThreshold(spark)
+    if (t >= 0 && bytes <= t) broadcast(dv) else dv
+  }
 
   private[operators] def dvDir(table: TableDefinition, p: Partition, marker: Version): URI = {
     val versionDir = VersionPaths.pathFor(p.resolvePath(table.location), marker)
@@ -136,15 +239,31 @@ object DeleteVectors {
     * cache keyed by the marker directory serves every later read without
     * re-probing the filesystem. Vacuum deleting an EXPIRED marker leaves a
     * stale entry behind, which is harmless: expired markers are no longer
-    * referenced by any retained state, so nothing resolves them. */
+    * referenced by any retained state, so nothing resolves them. The cache
+    * is a SIZE-BOUNDED LRU: a long-lived driver touching millions of
+    * markers re-probes cold ones instead of growing without bound, and —
+    * because entries are a pure function of the immutable marker dir —
+    * eviction can never change a result (law pinned by the spec). */
+  private val MarkerMetaCacheMax = 8192
   private val markerMetaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Version, Boolean)]()
+    new java.util.LinkedHashMap[String, (Version, Boolean)](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Version, Boolean)]): Boolean =
+        size() > MarkerMetaCacheMax
+    }
+
+  /** Test hook: drop every cached marker entry. Results must be identical
+    * before and after — the purity law of the cache. */
+  private[graft] def clearMarkerMetaCache(): Unit =
+    markerMetaCache.synchronized { markerMetaCache.clear() }
 
   private def markerMeta(
       conf: org.apache.hadoop.conf.Configuration,
       table: TableDefinition, p: Partition, marker: Version): (Version, Boolean) = {
-    val dirUri = VersionPaths.pathFor(p.resolvePath(table.location), marker)
-    markerMetaCache.computeIfAbsent(dirUri.toString, _ => {
+    val key = VersionPaths.pathFor(p.resolvePath(table.location), marker).toString
+    val hit = markerMetaCache.synchronized(Option(markerMetaCache.get(key)))
+    hit.getOrElse {
+      val dirUri = VersionPaths.pathFor(p.resolvePath(table.location), marker)
       val base = readBaseUncached(conf, table, p, marker)
       val dir = new org.apache.hadoop.fs.Path(dirUri)
       val fs = dir.getFileSystem(conf)
@@ -152,8 +271,10 @@ object DeleteVectors {
         try fs.listStatus(dir).exists(s =>
           s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
         catch { case _: java.io.FileNotFoundException => false }
-      (base, hasData)
-    })
+      val computed = (base, hasData)
+      markerMetaCache.synchronized { markerMetaCache.put(key, computed); () }
+      computed
+    }
   }
 
   /** Whether a marker version's directory carries DATA files of its own —
@@ -168,10 +289,11 @@ object DeleteVectors {
   /** Read the given DELETION-VECTOR partitions: base data files PLUS any
     * update-marker data files, minus the DV positions — partition columns
     * recovered by discovery exactly like the plain read path (one load for
-    * all partitions; absolute file paths make DV entries globally
-    * unambiguous, so a single broadcast anti-join covers every
-    * partition). Marker data files never appear in a DV (their rows are
-    * the post-images), so they pass the anti-join untouched. */
+    * all partitions; root-relative file paths make DV entries globally
+    * unambiguous within the table, so a single anti-join covers every
+    * partition — broadcast only under the size gate). Marker data files
+    * never appear in a DV (their rows are the post-images), so they pass
+    * the anti-join untouched. */
   private[operators] def readDvPartitions(
       engine: VersionedTables,
       table: TableDefinition,
@@ -193,18 +315,20 @@ object DeleteVectors {
       VersionedTables.uriToLoadPath(
         VersionPaths.pathFor(p.resolvePath(table.location), readBase(conf, table, p, m)))
     }) ++ markerDataDirs
-    val dvPaths = sorted.map { case (p, m) =>
-      VersionedTables.uriToLoadPath(dvDir(table, p, m))
-    }
+    val dvDirUris = sorted.map { case (p, m) => dvDir(table, p, m) }
+    val dvPaths = dvDirUris.map(VersionedTables.uriToLoadPath)
+    val rootPrefix = qualifiedRootPrefix(conf, table.location)
     val reader = engine.spark.read.format(table.format.name).options(table.options)
     val data = schemaHint.fold(reader)(h =>
         reader.schema(VersionedTables.hintLoadSchema(table, h)))
       .option("basePath", VersionedTables.uriToLoadPath(table.location))
       .load(dataPaths: _*)
-      .withColumn(FileCol, col("_metadata.file_path"))
+      .withColumn(FileCol, relativeToRoot(col("_metadata.file_path"), rootPrefix))
       .withColumn(PosCol, col("_metadata.row_index"))
     val dv = engine.spark.read.schema(DvSchema).parquet(dvPaths: _*)
-    data.join(broadcast(dv),
+      .select(normalizeDvPath(col("file_path"), rootPrefix).as("file_path"),
+        col("row_index"))
+    data.join(gateBroadcast(engine.spark, dv, dvSidecarBytes(conf, dvDirUris)),
         data(FileCol) === dv("file_path") && data(PosCol) === dv("row_index"),
         "left_anti")
       .drop(FileCol, PosCol, Version.VersionColumn)
@@ -231,8 +355,10 @@ object DeleteVectors {
       * O(matched rows), never a partition rewrite. Rows already deleted by
       * an earlier DV can never resurrect (the match runs against the
       * DV-applied live set). Stacking a second merge-on-read DML onto an
-      * UPDATE-marker refuses (fold with compact/OPTIMIZE first) — that
-      * keeps position chains at depth 1 by construction. */
+      * UPDATE-marker auto-folds JUST the marker partitions inline first
+      * (position chains stay at depth 1 by construction; disable with
+      * [[DeleteVectors.AutoFoldUpdateMarkersKey]]=false to get the old
+      * loud refusal). */
     def updateWhereDV(
         table: TableDefinition,
         predicate: Column,
@@ -261,7 +387,8 @@ object DeleteVectors {
       predicate: Column,
       set: Option[Map[String, Column]],
       userId: UserId,
-      message: String): DvDeleteResult = {
+      message: String,
+      refolded: Boolean = false): DvDeleteResult = {
     val verb = if (set.isDefined) "updateWhereDV" else "deleteWhereDV"
     require(table.format == FileFormat.Parquet,
       s"$verb needs parquet (row positions come from the reader's " +
@@ -294,29 +421,44 @@ object DeleteVectors {
           "compact or rewrite it into a versioned state first")
     }
 
+    // an UPDATE-marker candidate (data files of its own) can't be rebased —
+    // its post-update rows live outside the base, and carrying them forward
+    // would chain positional references. Fold EXACTLY those partitions
+    // inline (bytes moved = the hot partitions once, depth stays 1 by
+    // construction) and re-run against the folded state; the old loud
+    // refusal stays available behind the conf.
+    val updateMarkers = candidates.collect {
+      case (p, v) if Version.isDeleteMarker(v) && markerHasData(conf, table, p, v) => p
+    }.toSet
+    if (updateMarkers.nonEmpty) {
+      val autoFold =
+        spark.conf.get(AutoFoldUpdateMarkersKey, "true").trim.equalsIgnoreCase("true")
+      require(autoFold, s"partition(s) ${updateMarkers.map(_.toPath).toList.sorted.mkString(", ")} " +
+        "carry a merge-on-read UPDATE version — fold them (compact / SQL OPTIMIZE) " +
+        s"before stacking another merge-on-read DML, set $AutoFoldUpdateMarkersKey=true " +
+        "to fold them inline, or use the copy-on-write DML")
+      require(!refolded,
+        "internal: update-markers survived an inline fold — refusing to loop")
+      engine.foldDeleteVectors(table, userId,
+        s"auto-fold update-marker partitions before $verb", keep = updateMarkers)
+      return runDvDml(engine, table, predicate, set, userId, message, refolded = true)
+    }
+
     // resolve every candidate to its DATA version (markers hop through
-    // _base.json once — depth-1 rebasing keeps it one hop). An UPDATE-
-    // marker (data files of its own) refuses: its post-update rows live
-    // outside the base, and carrying them forward would chain positional
-    // references — fold with compact/OPTIMIZE first.
+    // _base.json once — depth-1 rebasing keeps it one hop)
     val bases: Map[Partition, Version] = candidates.map { case (p, v) =>
-      p -> (if (Version.isDeleteMarker(v)) {
-        require(!markerHasData(conf, table, p, v),
-          s"partition '${p.toPath}' carries a merge-on-read UPDATE version — fold it " +
-            "(compact / SQL OPTIMIZE) before stacking another merge-on-read DML, or " +
-            "use the copy-on-write DML")
-        readBase(conf, table, p, v)
-      } else v)
+      p -> (if (Version.isDeleteMarker(v)) readBase(conf, table, p, v) else v)
     }
     val partCols = table.partitionSchema.columnNames
     val sortedCand = bases.toSeq.sortBy(_._1.toPath)
     val dataPaths = sortedCand.map { case (p, b) =>
       VersionedTables.uriToLoadPath(VersionPaths.pathFor(p.resolvePath(table.location), b))
     }
+    val rootPrefix = qualifiedRootPrefix(conf, table.location)
     val raw = spark.read.format(table.format.name).options(table.options)
       .option("basePath", VersionedTables.uriToLoadPath(table.location))
       .load(dataPaths: _*)
-      .withColumn(FileCol, col("_metadata.file_path"))
+      .withColumn(FileCol, relativeToRoot(col("_metadata.file_path"), rootPrefix))
       .withColumn(PosCol, col("_metadata.row_index"))
 
     // existing DV entries of the candidate markers: carried into the new
@@ -324,15 +466,17 @@ object DeleteVectors {
     // match scan, so a row an earlier DV deleted can never resurrect as a
     // post-image. (For DELETE the subtraction is a no-op semantically:
     // re-matched positions union back in unchanged.)
-    val oldDvPaths = candidates.toSeq.collect {
-      case (p, m) if Version.isDeleteMarker(m) =>
-        VersionedTables.uriToLoadPath(dvDir(table, p, m))
+    val oldDvDirs = candidates.toSeq.collect {
+      case (p, m) if Version.isDeleteMarker(m) => dvDir(table, p, m)
     }
     val oldDv =
-      if (oldDvPaths.isEmpty) None
-      else Some(spark.read.schema(DvSchema).parquet(oldDvPaths: _*))
+      if (oldDvDirs.isEmpty) None
+      else Some(spark.read.schema(DvSchema)
+        .parquet(oldDvDirs.map(VersionedTables.uriToLoadPath): _*)
+        .select(normalizeDvPath(col("file_path"), rootPrefix).as("file_path"),
+          col("row_index")))
     val live = oldDv.fold(raw)(dv =>
-      raw.join(broadcast(dv),
+      raw.join(gateBroadcast(spark, dv, dvSidecarBytes(conf, oldDvDirs)),
         raw(FileCol) === dv("file_path") && raw(PosCol) === dv("row_index"), "left_anti"))
 
     val matchCond = coalesce(predicate, lit(false))
@@ -344,6 +488,31 @@ object DeleteVectors {
       if (affected.isEmpty) return DvDeleteResult(snapshot, TableChanges.empty, Nil, 0L)
       val matchedRows = matched.count()
       val affectedSet = affected.toSet
+
+      // bulk-match guard (before any byte is written): when the stats
+      // manifests know every candidate's row count, a match rate past the
+      // configured fraction refuses — the DV this DML would build is a tax
+      // on every subsequent read, and copy-on-write moves comparable bytes
+      // ONCE at that selectivity. Partitions without a manifest leave the
+      // total unknown and the guard silent (never a false refusal).
+      val maxFraction = spark.conf.get(MaxDeleteFractionKey, "0.5").toDouble
+      if (maxFraction < 1.0) {
+        val counted = sortedCand.map { case (p, b) =>
+          TableStats.readManifestCached(conf, table.location, b.label)
+            .map(_.filesFor(p.toHivePath).map(_.rows).sum)
+        }
+        if (counted.forall(_.isDefined)) {
+          val total = counted.flatten.sum
+          if (total > 0 && matchedRows > maxFraction * total)
+            throw new IllegalArgumentException(
+              f"$verb matched $matchedRows of ~$total rows " +
+                f"(${matchedRows.toDouble / total}%.2f > $MaxDeleteFractionKey=$maxFraction) " +
+                "in the candidate partitions — a bulk merge-on-read DML builds a " +
+                "deletion vector every later read must anti-join; use the " +
+                "copy-on-write DML (deleteWhere/updateWhere, or " +
+                "spark.graft.delete.mode=cow) or raise the fraction")
+        }
+      }
 
       val marker = Version.generateDeleteMarker()
 
@@ -379,12 +548,16 @@ object DeleteVectors {
         VersionedTables.writeDataVersioned(updated, table, marker)
       }
 
-      // old DV entries of AFFECTED partitions ride into the new DV
+      // old DV entries of AFFECTED partitions ride into the new DV —
+      // normalized to root-relative on the way (migrate-on-rebase: a rebase
+      // of a legacy absolute-path DV writes the relative form forward)
       val oldDvCarried: Seq[DataFrame] = candidates.toSeq.collect {
         case (p, m) if Version.isDeleteMarker(m) && affectedSet(p) =>
           val withCols = partCols.zipWithIndex.foldLeft(
             spark.read.schema(DvSchema).parquet(
-              VersionedTables.uriToLoadPath(dvDir(table, p, m)))) { case (df, (c, i)) =>
+              VersionedTables.uriToLoadPath(dvDir(table, p, m)))
+              .select(normalizeDvPath(col("file_path"), rootPrefix).as("file_path"),
+                col("row_index"))) { case (df, (c, i)) =>
             val value = p.columnValues(i).value
             df.withColumn(c,
               if (value == PathCodec.DefaultPartitionName) lit(null).cast("string")

@@ -213,24 +213,27 @@ final class VersionedTables(
   /** Fold ONLY the partitions that currently carry merge-on-read deletion
     * vectors ([[DeleteVectors]] markers) back into plain data versions — a
     * rewrite scoped to exactly the DV'd partitions, so a 10,000-partition
-    * table with three DV'd partitions rewrites three, not 10,000. Unlike a
-    * plain [[compact]], a partition whose DV deleted EVERY row is REMOVED
-    * from the commit (its directories stay on disk for time travel) —
-    * otherwise it would sit at its marker forever. No-op (no write, no
-    * commit) when nothing carries a DV; CAS'd on the head read at entry
-    * like every read-modify-write here. */
+    * table with three DV'd partitions rewrites three, not 10,000. `keep`
+    * narrows the fold further, to a subset of the DV'd partitions (the
+    * inline auto-fold a stacked merge-on-read UPDATE uses folds exactly
+    * the hot partition). Unlike a plain [[compact]], a partition whose DV
+    * deleted EVERY row is REMOVED from the commit (its directories stay on
+    * disk for time travel) — otherwise it would sit at its marker forever.
+    * No-op (no write, no commit) when nothing selected carries a DV; CAS'd
+    * on the head read at entry like every read-modify-write here. */
   def foldDeleteVectors(
       table: TableDefinition,
       userId: UserId,
       message: String,
-      clusterBy: Seq[String] = Nil): (TableVersion, TableChanges) = {
+      clusterBy: Seq[String] = Nil,
+      keep: Partition => Boolean = _ => true): (TableVersion, TableChanges) = {
     import org.apache.spark.sql.functions.col
     val state = tracker.tableState(table.name)
     val head = state.currentVersion
     val snapshot = state.currentTableVersion
     val markers: Map[Partition, Version] = snapshot match {
       case PartitionedTableVersion(pvs) =>
-        pvs.filter { case (_, v) => Version.isDeleteMarker(v) }
+        pvs.filter { case (p, v) => Version.isDeleteMarker(v) && keep(p) }
       case _: SnapshotTableVersion => Map.empty
     }
     if (markers.isEmpty) return (snapshot, TableChanges.empty)

@@ -38,6 +38,18 @@ class DeleteVectorsSpec extends AnyFlatSpec with Matchers {
       .repartition(3) // rows of each partition span multiple files
       .versionedInsertInto(engine, table, UserId("t"), "load")
 
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files => F, StandardCopyOption}
+    F.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (F.isDirectory(p)) { F.createDirectories(t); () }
+      else {
+        F.createDirectories(t.getParent)
+        F.copy(p, t, StandardCopyOption.REPLACE_EXISTING); ()
+      }
+    }
+  }
+
   /** (path, length) of every DATA parquet file under the table, excluding
     * DV sidecars. */
   private def dataFiles(table: TableDefinition): Set[(String, Long)] = {
@@ -338,24 +350,171 @@ class DeleteVectorsSpec extends AnyFlatSpec with Matchers {
     engine.read(table).filter(col("k") === 1L).select("v").head().getDouble(0) shouldBe 7.0
   }
 
-  it should "refuse stacking merge-on-read DML onto an UPDATE-marker until folded" in {
+  it should "stack merge-on-read DML onto an UPDATE-marker by auto-folding JUST the hot partition" in {
     val (engine, table) = newTable()
     load(engine, table)
+    // k=1 lives in day=d1 — the update-marker lands there only
     engine.updateWhereDV(table, col("k") === 1L,
       Map("v" -> lit(0.0)), UserId("t"), "mor update")
-    intercept[IllegalArgumentException] {
-      engine.deleteWhereDV(table, col("k") === 2L, UserId("t"), "stack delete")
+    val preStack = engine.tracker.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other => fail(s"unexpected $other")
     }
-    intercept[IllegalArgumentException] {
-      engine.updateWhereDV(table, col("k") === 3L,
-        Map("v" -> lit(1.0)), UserId("t"), "stack update")
-    }
-    // folding unblocks, preserving the update
-    engine.compact(table, UserId("t"), "fold")
-    engine.deleteWhereDV(table, col("k") === 2L, UserId("t"), "post-fold delete")
+    // stacking a DELETE onto the same partition folds d1 inline and proceeds
+    engine.deleteWhereDV(table, col("k") === 5L, UserId("t"), "stack delete")
     val cur = engine.read(table)
-    cur.filter(col("k") === 1L).select("v").head().getDouble(0) shouldBe 0.0
-    cur.filter(col("k") === 2L).count() shouldBe 0
+    cur.filter(col("k") === 1L).select("v").head().getDouble(0) shouldBe 0.0 // update kept
+    cur.filter(col("k") === 5L).count() shouldBe 0 // delete applied
+    cur.count() shouldBe 999
+    // ONLY the hot partition was folded: the other three keep their versions
+    val postStack = engine.tracker.currentVersion(table.name) match {
+      case PartitionedTableVersion(pvs) => pvs
+      case other => fail(s"unexpected $other")
+    }
+    List("d0", "d2", "d3").foreach { d =>
+      postStack(Partition("day", d)) shouldBe preStack(Partition("day", d))
+    }
+    // stacked UPDATE works too, and still sees the OLD row in SETs
+    engine.updateWhereDV(table, col("k") === 9L,
+      Map("v" -> (col("v") + 1.0)), UserId("t"), "stack update")
+    engine.read(table).filter(col("k") === 9L).select("v").head().getDouble(0) shouldBe 19.0
+
+    // the old loud refusal stays available behind the conf (start from a
+    // marker-free state so the refusal fires on the STACKED statement)
+    engine.compact(table, UserId("t"), "clear markers")
+    spark.conf.set(DeleteVectors.AutoFoldUpdateMarkersKey, "false")
+    try {
+      engine.updateWhereDV(table, col("k") === 11L,
+        Map("v" -> lit(0.0)), UserId("t"), "mor update 2")
+      intercept[IllegalArgumentException] {
+        engine.deleteWhereDV(table, col("k") === 12L, UserId("t"), "stack refused")
+      }
+    } finally spark.conf.unset(DeleteVectors.AutoFoldUpdateMarkersKey)
+  }
+
+  it should "broadcast the DV anti-join only under the size gate" in {
+    val (engine, table) = newTable()
+    load(engine, table)
+    engine.deleteWhereDV(table, col("k") % 7 === 0, UserId("t"), "dv %7")
+    val autoPrev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // Spark's own size-based broadcast disabled: any BroadcastHashJoin in
+      // the plan can only come from the gate's explicit hint
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(DeleteVectors.BroadcastThresholdKey, "128MB")
+      engine.read(table).queryExecution.sparkPlan.toString should
+        include("BroadcastHashJoin")
+      // a DV "over" the threshold gets NO hint — the anti-join plans as a
+      // non-broadcast join, the shape a multi-GB bulk-delete vector needs
+      spark.conf.set(DeleteVectors.BroadcastThresholdKey, "0")
+      val unhinted = engine.read(table).queryExecution.sparkPlan.toString
+      unhinted should not include "BroadcastHashJoin"
+      unhinted should include("LeftAnti")
+      // and both shapes read the same rows
+      spark.conf.set(DeleteVectors.BroadcastThresholdKey, "128MB")
+      val broadcastRows = engine.read(table).select("k").as[Long].collect().sorted
+      spark.conf.set(DeleteVectors.BroadcastThresholdKey, "0")
+      engine.read(table).select("k").as[Long].collect().sorted shouldBe broadcastRows
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", autoPrev)
+      spark.conf.unset(DeleteVectors.BroadcastThresholdKey)
+    }
+  }
+
+  it should "survive relocating the whole table directory (root-relative DV entries)" in {
+    val (engine, table) = newTable()
+    load(engine, table)
+    engine.deleteWhereDV(table, col("k") % 7 === 0, UserId("t"), "dv %7")
+    engine.updateWhereDV(table, col("k") === 3L,
+      Map("v" -> lit(-3.0)), UserId("t"), "mor update")
+    val expected = engine.read(table).select("k", "v").as[(Long, Double)].collect().sorted
+
+    // relocate: copy the table directory somewhere else, re-point location
+    val dest = Files.createTempDirectory("graft-dv-moved-").resolve("t")
+    copyTree(java.nio.file.Paths.get(new java.io.File(table.location).getPath), dest)
+    val moved = table.copy(location = dest.toUri)
+    DeleteVectors.clearMarkerMetaCache()
+    engine.read(moved).select("k", "v").as[(Long, Double)].collect().sorted shouldBe expected
+  }
+
+  it should "migrate legacy ABSOLUTE DV entries on read, and refuse them after a relocation" in {
+    val (engine, table) = newTable()
+    load(engine, table)
+    engine.deleteWhereDV(table, col("k") % 7 === 0, UserId("t"), "dv %7")
+    val expected = engine.read(table).select("k").as[Long].collect().sorted
+
+    // rewrite every DV sidecar with the ABSOLUTE paths a legacy release wrote
+    def walk(f: java.io.File): List[java.io.File] =
+      if (f.isDirectory) f.listFiles().toList.flatMap(walk) else List(f)
+    val dvDirs = walk(new java.io.File(table.location))
+      .filter(f => f.isFile && f.getPath.contains("/_dv/")).map(_.getParentFile).distinct
+    dvDirs should not be empty
+    val rootPrefix = DeleteVectors.qualifiedRootPrefix(
+      spark.sparkContext.hadoopConfiguration, table.location)
+    dvDirs.foreach { d =>
+      val absolutized = spark.read.schema(DeleteVectors.DvSchema)
+        .parquet(d.getPath)
+        .select(concat(lit(rootPrefix), col("file_path")).as("file_path"), col("row_index"))
+        .collect()
+      val tmp = Files.createTempDirectory("graft-dv-abs-")
+      spark.createDataFrame(java.util.Arrays.asList(absolutized: _*),
+        DeleteVectors.DvSchema).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      d.listFiles().foreach(f => { f.delete(); () })
+      tmp.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.copy(f.toPath,
+          new java.io.File(d, f.getName).toPath))
+    }
+
+    // migrate-on-read: the absolute prefix strips on the fly at the old root
+    engine.read(table).select("k").as[Long].collect().sorted shouldBe expected
+
+    // relocated WITH live legacy DVs: loud refusal, never silent resurrection
+    val dest = Files.createTempDirectory("graft-dv-legacy-moved-").resolve("t")
+    copyTree(java.nio.file.Paths.get(new java.io.File(table.location).getPath), dest)
+    val moved = table.copy(location = dest.toUri)
+    DeleteVectors.clearMarkerMetaCache()
+    val e = intercept[Exception] { engine.read(moved).count() }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    chain should include("legacy absolute DV entry")
+  }
+
+  it should "return identical results after marker-cache eviction (pure cache law)" in {
+    val (engine, table) = newTable()
+    load(engine, table)
+    engine.deleteWhereDV(table, col("k") % 7 === 0, UserId("t"), "dv %7")
+    val first = engine.read(table).select("k").as[Long].collect().sorted
+    DeleteVectors.clearMarkerMetaCache()
+    engine.read(table).select("k").as[Long].collect().sorted shouldBe first
+  }
+
+  it should "refuse a bulk match past maxDeleteFraction when manifests know the row counts" in {
+    val dir = Files.createTempDirectory("graft-dv-bulk-").toFile
+    val engine = VersionedTables.withFileStore(spark,
+      new java.io.File(dir, "store").toURI)
+    val table = TableDefinition(TableName("dv", s"bulk${seq.incrementAndGet()}"),
+      new java.io.File(dir, "t").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("k"))))
+    engine.initTable(table, UserId("t"), "init")
+    (0L until 1000L).map(k => (k, k * 2.0, s"d${k % 4}")).toDF("k", "v", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+    // 75% of every partition matches -> refuse, nothing committed or written
+    val head = engine.headCommit(table.name)
+    val e = intercept[IllegalArgumentException] {
+      engine.deleteWhereDV(table, col("k") % 4 =!= 0, UserId("t"), "bulk")
+    }
+    e.getMessage should include(DeleteVectors.MaxDeleteFractionKey)
+    engine.headCommit(table.name) shouldBe head
+    engine.read(table).count() shouldBe 1000
+    // raising the fraction lets a deliberate bulk MoR delete through
+    spark.conf.set(DeleteVectors.MaxDeleteFractionKey, "1.0")
+    try {
+      engine.deleteWhereDV(table, col("k") % 4 =!= 0, UserId("t"), "bulk allowed")
+      engine.read(table).count() shouldBe 250
+    } finally spark.conf.unset(DeleteVectors.MaxDeleteFractionKey)
+    // a small match under the default fraction never trips the guard
+    engine.deleteWhereDV(table, col("k") === 0L, UserId("t"), "small")
+    engine.read(table).count() shouldBe 249
   }
 
   it should "compose with schema evolution: DV on a pre-evolution partition null-fills" in {
