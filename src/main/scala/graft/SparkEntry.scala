@@ -218,6 +218,13 @@ object SparkEntry {
     // after a bad write, proven against the oracle.
     "q_sql_restore" -> ((spark, dir) => sqlRestoreFixture(spark, dir)),
 
+    // DURABLE rollback at the gate: after the RESTORE, an UNRELATED SQL
+    // INSERT lands — the restored rows must SURVIVE it (a ref-move
+    // "restore" would silently re-apply the rolled-back delete when the
+    // next commit folds the full history; the restore commit carries the
+    // tip->target diff precisely so that cannot happen).
+    "q_sql_restore_write" -> ((spark, dir) => sqlRestoreWriteFixture(spark, dir)),
+
     // keyed MERGE INTO at the gate: events loaded as a versioned table, then
     // ONE merge commit that updates every 10th click (+1000 to value),
     // inserts a synthetic twin of every 100th view (id offset +10M), and
@@ -601,6 +608,46 @@ object SparkEntry {
       spark.sql(
         s"""SELECT event_type, $duckFixtureAgg
            |FROM graft.graft.events_restore GROUP BY 1""".stripMargin)
+    })
+
+  /** q_sql_restore_write: SQL DELETE → SQL RESTORE (durable: a NEW commit
+    * carries the tip→target diff) → an UNRELATED SQL INSERT of probe rows.
+    * The read-back must show the restored rows AND the probe — the law a
+    * ref-move rollback breaks (the insert's commit would fold the full
+    * history and re-apply the delete). Memoized per (session, dir). */
+  private val sqlRestoreWriteFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def sqlRestoreWriteFixture(spark: SparkSession, sfDir: String): DataFrame =
+    sqlRestoreWriteFixtureCache.computeIfAbsent((spark, sfDir), _ => {
+      Tables.prepare(spark)
+      val root = graft.FixtureTempDirs.create("graft-restorewfix-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", "events_restorew"),
+        root.resolve("events_restorew").toUri, PartitionSchema("event_date"),
+        FileFormat.Parquet)
+      engine.initTable(table, UserId("driver"), "init")
+      graft.sql.GraftTableRegistry.register(engine, table)
+      Tables.events(spark, sfDir)
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"))
+        .versionedInsertInto(engine, table, UserId("driver"), "load")
+      val preDelete = engine.headCommit(table.name)
+      spark.sql("DELETE FROM graft.graft.events_restorew WHERE event_type = 'error'")
+      spark.sql(
+        s"RESTORE TABLE graft.graft.events_restorew TO VERSION AS OF '${preDelete.id}'")
+      // the unrelated write AFTER the restore: deterministic probe rows
+      // (every 100th click, re-keyed and re-typed), inserted through SQL
+      engine.read(table)
+        .filter(col("event_type") === "click" && col("event_id") % 100 === 0)
+        .withColumn("event_id", col("event_id") + 20000000L)
+        .withColumn("event_type", lit("zprobe"))
+        .createOrReplaceTempView("graft_restore_probe_src")
+      spark.sql(
+        "INSERT INTO graft.graft.events_restorew SELECT * FROM graft_restore_probe_src")
+      spark.sql(
+        s"""SELECT event_type, $duckFixtureAgg
+           |FROM graft.graft.events_restorew GROUP BY 1""".stripMargin)
     })
 
   /** q_merge_upsert + q_change_feed share one fixture: one CAS-guarded
@@ -1299,6 +1346,16 @@ object SparkEntry {
       "q_sql_restore" ->
         s"""SELECT event_type, $duckFixtureAgg
            |FROM events GROUP BY 1""".stripMargin,
+      // durable restore: the full table (delete undone) PLUS the probe rows
+      // the post-restore insert added — rows a ref-move rollback would lose
+      "q_sql_restore_write" ->
+        s"""SELECT event_type, $duckFixtureAgg
+           |FROM (
+           |  SELECT event_type, value FROM events
+           |  UNION ALL
+           |  SELECT 'zprobe' AS event_type, value FROM events
+           |  WHERE event_type = 'click' AND event_id % 100 = 0
+           |) GROUP BY 1""".stripMargin,
       // MERGE algebra replayed in SQL: survivors (keys matched by neither the
       // update nor the delete class) + updated rows + inserted rows
       "q_merge_upsert" -> mergeOracle,

@@ -20,6 +20,7 @@ import java.time.Instant
  *   graft-cli --store <uri> partition add <schema.table> <col=val[/col2=v2]> [--user U] [--message M]
  *   graft-cli --store <uri> partition remove <schema.table> <col=val[/...]> [--user U] [--message M]
  *   graft-cli --store <uri> checkout <schema.table> <commitId>
+ *   graft-cli --store <uri> restore <schema.table> <ref> [--user U] [--message M]   # durable rollback: commits the tip->ref diff
  *   graft-cli --store <uri> tag <schema.table> <name> [commitId]   # default: current head
  *   graft-cli --store <uri> tags <schema.table>
  *   graft-cli --store <uri> untag <schema.table> <name>
@@ -111,24 +112,25 @@ object GraftCli {
         case Left(err) => out.println(s"error: $err"); 2
       }
 
-    // one REF resolution for checkout/changes, matching the SQL surface:
-    // exact commit id first, then TAG name (the durable pin — SQL VERSION
-    // AS OF order), then TIMESTAMP (ISO-8601 instant / local date-time /
-    // date, UTC) via TableState.commitIdAsOf — the shared latest-commit-
-    // at-or-before rule, so one timestamp can never mean different commits
-    // on different surfaces. Anything unparseable passes through as a
-    // commit id and fails with the standard UnknownCommitError.
-    def resolveRef(t: TableName, token: String): CommitId = {
-      val st = tracker.tableState(t)
-      if (st.updates.exists(_.metadata.id.id == token)) CommitId(token)
-      else tracker.tags(t).collectFirst { case (`token`, id) => id }.getOrElse {
-        parseRefInstant(token) match {
+    // one REF resolution for checkout/restore/changes, matching the SQL
+    // surface: TAG name FIRST (tags are the durable pins, and SQL VERSION
+    // AS OF is tag-first — "the tag wins" on a tag named like a commit id,
+    // so one token can never mean different commits on different
+    // surfaces), then exact commit id, then TIMESTAMP (ISO-8601 instant /
+    // local date-time / date, UTC) via TableState.commitIdAsOf — the
+    // shared latest-commit-at-or-before rule. Anything unparseable passes
+    // through as a commit id and fails with the standard
+    // UnknownCommitError.
+    def resolveRef(t: TableName, token: String): CommitId =
+      tracker.tags(t).collectFirst { case (`token`, id) => id }.getOrElse {
+        val st = tracker.tableState(t)
+        if (st.updates.exists(_.metadata.id.id == token)) CommitId(token)
+        else parseRefInstant(token) match {
           case Some(ts) => st.commitIdAsOf(ts).getOrElse(
             throw new IllegalArgumentException(s"no commit at or before $token for $t"))
           case None => CommitId(token)
         }
       }
-    }
 
     // tracked-flavor cross-check shared by the Spark-backed write verbs
     // (stage/audit/publish/merge): a table definition whose flavor disagrees
@@ -239,6 +241,18 @@ object GraftCli {
         val id = resolveRef(t, ref)
         tracker.setCurrentVersion(t, id)
         out.println(s"checked out ${id.id}"); 0
+      }
+
+      // DURABLE rollback: materialize the REF's state as a NEW commit
+      // carrying the tip->target diff (VersionedMetastore.restore), so it
+      // survives later writes — checkout is the ephemeral ref move
+      case List("restore", name, ref) => withTable(name) { t =>
+        val id = resolveRef(t, ref)
+        val vm = new VersionedMetastore(tracker, new InMemoryMetastore)
+        val (update, _) = vm.restore(t, id, user,
+          if (message.nonEmpty) message else s"CLI restore to $ref")
+        out.println(s"restored ${id.id} as ${update.metadata.id.id} " +
+          s"(${update.operations.size} ops)"); 0
       }
 
       // tags: named immutable refs (training-data reproducibility pins).
@@ -778,7 +792,7 @@ object GraftCli {
 
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|tag|tags|untag|changes|row-changes|delete|update|optimize|stats|stats-checkpoint|summary|vacuum|migrate|export|sync|stage|audit|publish|publish-group|merge> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|restore|tag|tags|untag|changes|row-changes|delete|update|optimize|stats|stats-checkpoint|summary|vacuum|migrate|export|sync|stage|audit|publish|publish-group|merge> ...""".stripMargin)
         2
     } catch {
       case e @ (_: UnknownTableError | _: UnknownCommitError |

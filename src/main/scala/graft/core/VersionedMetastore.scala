@@ -55,10 +55,58 @@ final class VersionedMetastore(val tracker: VersionTracker, val metastore: Metas
   /** Move the current ref to ANY historical commit and re-point the catalog.
     * Metadata-only: zero data movement (docs/concepts.md:80-83). Columns are
     * never retracted on rollback — additive evolution is one-way; a
-    * historical state simply reads NULL in post-rollback-hidden columns. */
+    * historical state simply reads NULL in post-rollback-hidden columns.
+    *
+    * A checkout is an EPHEMERAL ref move (git-checkout semantics): the next
+    * commit folds the FULL history, so writes on top of a mid-history ref
+    * re-apply everything the checkout rolled past. For a rollback that
+    * SURVIVES later writes, use [[restore]]. */
   def checkout(table: TableName, id: CommitId): TableChanges = {
     tracker.setCurrentVersion(table, id)
     syncTo(table, tracker.currentVersion(table), Nil)
+  }
+
+  /** DURABLE rollback (Delta-RESTORE semantics): materialize the visible
+    * state as of commit `id` as a NEW commit at the TIP of history —
+    * the operations are the tip→target diff ([[Metastore.computeChanges]]
+    * translated back to log operations), so the table's state is the
+    * restored one no matter what is committed afterwards. This is what a
+    * bare ref move ([[checkout]]) cannot give: the tracker contract folds
+    * the full history on the next commit, silently re-applying whatever the
+    * moved ref had rolled past (e.g. an unrelated INSERT after "undo that
+    * DELETE" would re-delete the restored rows). Still metadata-only —
+    * partitions repoint to existing version directories, zero data bytes
+    * move at any table size — and still undoable: history is never
+    * rewritten, so restoring to the pre-restore commit rolls forward again.
+    *
+    * When the restored commit recorded a different schema than the tip's
+    * record, the restore commit re-records it, so log-resolved reads and
+    * the drift guard see the restored shape (a restored pre-evolution state
+    * is made of pre-evolution files). The commit is CAS'd on the ref read
+    * at entry ([[VersionTracker.commitIf]]): a concurrent writer landing
+    * mid-restore raises [[CommitConflictError]] instead of being silently
+    * rolled back by a diff computed against a stale tip. */
+  def restore(
+      table: TableName, id: CommitId,
+      userId: UserId, message: String): (TableUpdate, TableChanges) = {
+    val st = tracker.tableState(table)
+    val target = st.versionAt(id) // loud UnknownCommitError on a bad id
+    val tip = TableState.foldVersion(st.updates)
+    val ops = Metastore.computeChanges(tip, target).operations.map {
+      case MetastoreOperation.AddPartition(p, v)           => TableOperation.AddPartitionVersion(p, v)
+      case MetastoreOperation.UpdatePartitionVersion(p, v) => TableOperation.AddPartitionVersion(p, v)
+      case MetastoreOperation.RemovePartition(p)           => TableOperation.RemovePartition(p)
+      case MetastoreOperation.UpdateTableVersion(v)        => TableOperation.AddTableVersion(v)
+      case op: MetastoreOperation.UpdateSchema             =>
+        throw new IllegalStateException(s"computeChanges never emits $op")
+    }
+    val tipSchema = st.updates.reverseIterator.flatMap(_.operations.reverseIterator)
+      .collectFirst { case TableOperation.SetTableSchema(j) => j }
+    val schemaOps = st.schemaJsonAt(id).filterNot(tipSchema.contains)
+      .map(TableOperation.SetTableSchema(_)).toList
+    val update = TableUpdate(userId, message, java.time.Instant.now(), schemaOps ++ ops)
+    val (_, changes) = commitIf(table, update, st.currentVersion)
+    (update, changes)
   }
 
   private def syncTo(

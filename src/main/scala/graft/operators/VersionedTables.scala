@@ -50,6 +50,13 @@ final class VersionedTables(
 
   def checkout(table: TableName, id: CommitId): TableChanges = versioned.checkout(table, id)
 
+  /** Durable rollback: commit the tip→`id` state diff as a NEW commit, so
+    * the restored state survives later writes ([[graft.core
+    * .VersionedMetastore.restore]] — [[checkout]] is the ephemeral ref
+    * move). Metadata-only at any table size. */
+  def restore(table: TableName, id: CommitId, userId: UserId, message: String): (TableUpdate, TableChanges) =
+    versioned.restore(table, id, userId, message)
+
   /** Read the table at its current version. mergeSchema tables resolve
     * their (possibly evolved) schema from the commit log when it recorded
     * one — planning then opens no footers; other tables keep the O(1)
@@ -934,6 +941,22 @@ object VersionedTables {
       // evolved table's union must not regress the recorded schema
       else if (!definesWholeTable && !firstWrite &&
           recorded.exists(r => !shape(r).subsetOf(shape(clean)))) Nil
+      // the FIRST data write under an already-recorded schema (CREATE →
+      // ALTER ADD COLUMNS → INSERT) must never NARROW the record: declared
+      // columns the write omitted stay (null-filled by mergeSchema reads);
+      // columns the write adds append AT THEIR WRITTEN TYPES (the record
+      // never lies about what's in the files). A replace-all
+      // (definesWholeTable) keeps its right to reshape.
+      else if (firstWrite && !definesWholeTable && recorded.isDefined) {
+        val r = recorded.get
+        if (shape(clean).subsetOf(shape(r))) Nil
+        else {
+          val writtenNames = clean.fieldNames.map(_.toLowerCase).toSet
+          val keptDeclared = r.fields.filterNot(f => writtenNames(f.name.toLowerCase))
+          List(TableOperation.SetTableSchema(
+            StructType(clean.fields ++ keptDeclared).json))
+        }
+      }
       else List(TableOperation.SetTableSchema(clean.json))
     }
 

@@ -224,21 +224,28 @@ final case class GraftVacuumCommand(
 }
 
 /** `RESTORE TABLE graft.s.t TO VERSION AS OF '<commit-or-tag>'` /
-  * `TO TIMESTAMP AS OF '<ts>'` — the SQL face of
-  * [[graft.operators.VersionedTables.checkout]]: move the head ref to a
-  * historical commit and re-sync any attached catalog. Metadata-only —
-  * zero bytes of data move at any table size; RESTORE is itself undoable
-  * by another RESTORE (history is never rewritten). `VERSION AS OF`
-  * resolves tag-first then commit id, exactly like read-side time travel;
+  * `TO TIMESTAMP AS OF '<ts>'` — DURABLE rollback
+  * ([[graft.core.VersionedMetastore.restore]], Delta-RESTORE semantics):
+  * the restored state is materialized as a NEW commit carrying the
+  * tip→target diff, so it SURVIVES later writes — an unrelated INSERT
+  * after "undo that DELETE" can never re-delete the restored rows (a bare
+  * ref move would: the tracker folds the full history on the next
+  * commit). Metadata-only — partitions repoint to existing version
+  * directories, zero data bytes move at any table size — and undoable by
+  * another RESTORE (history is never rewritten). `VERSION AS OF` resolves
+  * tag-first then commit id, exactly like read-side time travel;
   * `TIMESTAMP AS OF` takes the latest commit at or before the instant
   * ([[graft.core.TableState.commitIdAsOf]] — the one resolution rule every
-  * surface shares; ISO-8601 instant, local date-time or date, UTC). */
+  * surface shares; ISO-8601 instant, local date-time or date, UTC).
+  * Returns the restored (target) commit, the NEW commit the restore
+  * created, and the catalog op count. */
 final case class GraftRestoreCommand(
     schemaName: String, tableName: String, byTimestamp: Boolean, ref: String)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("restored_commit", StringType, nullable = false)(),
+    AttributeReference("new_commit", StringType, nullable = false)(),
     AttributeReference("catalog_ops", IntegerType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
@@ -262,8 +269,11 @@ final case class GraftRestoreCommand(
         // tag-first, like read-side VERSION AS OF — tags are the durable pins
         tracker.tags(name).collectFirst { case (`ref`, tagged) => tagged }
           .getOrElse(CommitId(ref))
-    val changes = entry.engine.checkout(name, id)
-    Seq(Row(id.id, changes.operations.size))
+    val (update, changes) = entry.engine.restore(name, id,
+      GraftMaintenanceSql.sqlUser(session),
+      s"SQL RESTORE TABLE graft.$schemaName.$tableName TO " +
+        s"${if (byTimestamp) "TIMESTAMP" else "VERSION"} AS OF '$ref'")
+    Seq(Row(id.id, update.metadata.id.id, changes.operations.size))
   }
 
   override def simpleString(maxFields: Int): String =

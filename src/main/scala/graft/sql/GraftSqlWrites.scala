@@ -131,9 +131,17 @@ object GraftSqlWrites {
       val current = StructType(
         engine.read(table).schema.filterNot(_.name == Version.VersionColumn).toArray)
       // a never-written table created by SQL DDL aligns its FIRST insert to
-      // the DECLARED columns (names, order, types) — that is the one job
-      // the declaration has on a first-write-defines-schema engine
-      if (current.nonEmpty) current else entry.declared.getOrElse(current)
+      // the LOG-RECORDED schema when one exists (ALTER TABLE ADD COLUMNS
+      // records there and never touches the registry's declaration — the
+      // declaration alone would silently forget the ALTERed columns), else
+      // to the DECLARED columns (names, order, types) — the one job the
+      // declaration has on a first-write-defines-schema engine
+      if (current.nonEmpty) current
+      else graft.operators.VersionedTables.parseSchemaJson(
+          engine.tracker.tableState(table.name).currentSchemaJson)
+        .map(s => StructType(s.filterNot(_.name == Version.VersionColumn).toArray))
+        .orElse(entry.declared)
+        .getOrElse(current)
     }
     val aligned =
       if (target.isEmpty) withStatic // first write defines the schema
@@ -233,11 +241,16 @@ object GraftSqlWrites {
           "dropping them silently would hide a schema change; project them away, or " +
           "evolve the table with versionedInsertIntoEvolving")
       val cols: Seq[Column] = target.map { f =>
-        val c = df.columns.find(_.equalsIgnoreCase(f.name)).getOrElse(
-          throw new IllegalArgumentException(
-            s"INSERT BY NAME: column '${f.name}' missing from the query " +
-              s"(columns: ${df.columns.mkString(", ")})"))
-        castTo(col(s"`$c`"), df.schema(c).dataType, f.dataType).as(f.name)
+        df.columns.find(_.equalsIgnoreCase(f.name)) match {
+          case Some(c) => castTo(col(s"`$c`"), df.schema(c).dataType, f.dataType).as(f.name)
+          // ANSI column-list semantics: an unlisted NULLABLE column is
+          // null-filled (the CREATE→ALTER ADD COLUMNS→INSERT (old cols)
+          // flow must not refuse); a non-nullable one still refuses loudly
+          case None if f.nullable => lit(null).cast(f.dataType).as(f.name)
+          case None => throw new IllegalArgumentException(
+            s"INSERT BY NAME: non-nullable column '${f.name}' missing from the query " +
+              s"(columns: ${df.columns.mkString(", ")})")
+        }
       }
       df.select(cols: _*)
     } else {

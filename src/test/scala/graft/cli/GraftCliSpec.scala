@@ -764,4 +764,40 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     cc shouldBe 0
     cli("partitions", "sales.tsref")._2 should not include "date=2024-01-02"
   }
+
+  it should "resolve a tag named like a commit id TAG-FIRST, matching SQL VERSION AS OF" in {
+    cli("init", "sales.shadow")
+    cli("partition", "add", "sales.shadow", "date=2024-01-01")
+    cli("partition", "add", "sales.shadow", "date=2024-01-02")
+    val (_, logOut) = cli("log", "sales.shadow")
+    val commits = logOut.linesIterator.map(_.split("\\s+").head).toList // newest first
+    // tag the OLDEST commit with the NEWEST commit's id — the pathological
+    // shadowing case: the tag must win on both surfaces
+    cli("tag", "sales.shadow", commits.head, commits.last)._1 shouldBe 0
+    cli("checkout", "sales.shadow", commits.head)._1 shouldBe 0
+    cli("partitions", "sales.shadow")._2 should not include "date=2024-01-01"
+  }
+
+  it should "restore durably: the rolled-back delete stays undone after later commits" in {
+    cli("init", "sales.rest")
+    cli("partition", "add", "sales.rest", "date=2024-01-01")
+    cli("partition", "add", "sales.rest", "date=2024-01-02")
+    val (_, logOut) = cli("log", "sales.rest")
+    val both = logOut.linesIterator.map(_.split("\\s+").head).toList.head
+    // the bad remove...
+    cli("partition", "remove", "sales.rest", "date=2024-01-02")._1 shouldBe 0
+    // ...undone durably: restore commits the tip->target diff
+    val (cr, outR) = cli("restore", "sales.rest", both)
+    cr shouldBe 0
+    outR should startWith(s"restored $both as ")
+    cli("partitions", "sales.rest")._2 should include("date=2024-01-02")
+    // an unrelated commit AFTER the restore must not re-apply the remove
+    cli("partition", "add", "sales.rest", "date=2024-01-03")._1 shouldBe 0
+    val (_, parts) = cli("partitions", "sales.rest")
+    parts should include("date=2024-01-01")
+    parts should include("date=2024-01-02")
+    parts should include("date=2024-01-03")
+    // a bogus ref is a clean error
+    cli("restore", "sales.rest", "bogus")._1 shouldBe 1
+  }
 }

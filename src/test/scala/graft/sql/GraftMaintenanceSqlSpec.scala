@@ -128,10 +128,13 @@ class GraftMaintenanceSqlSpec extends AnyFlatSpec with Matchers {
     spark.sql(s"RESTORE TABLE $t TO VERSION AS OF 'pre-delete'").head()
       .getString(0) shouldBe preDelete.id
     spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) shouldBe fullCount
-    // by timestamp: far future resolves to the latest commit
+    // by timestamp: far future resolves to the latest commit — which, with
+    // durable restore, is the restore commit just created (its state = the
+    // pre-delete one)
+    val headNow = engine.headCommit(table.name)
     spark.sql(s"RESTORE TABLE $t TO TIMESTAMP AS OF '2999-01-01'").head()
-      .getString(0) shouldBe postDelete.id
-    spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) shouldBe deletedCount
+      .getString(0) shouldBe headNow.id
+    spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) shouldBe fullCount
     // bad inputs are clean errors
     intercept[Exception] {
       spark.sql(s"RESTORE TABLE $t TO TIMESTAMP AS OF 'not-a-time'")
@@ -139,6 +142,32 @@ class GraftMaintenanceSqlSpec extends AnyFlatSpec with Matchers {
     intercept[Exception] {
       spark.sql(s"RESTORE TABLE $t TO VERSION AS OF 'no-such-ref'")
     }
+  }
+
+  it should "survive writes AFTER the restore (durable rollback, not a ref move)" in {
+    val (engine, table, t) = fixture()
+    val preDelete = engine.headCommit(table.name)
+    val fullCount = spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0)
+    // the bad DELETE...
+    spark.sql(s"DELETE FROM $t WHERE day = '2024-01-04'")
+    val day4 = fullCount - spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0)
+    day4 should be > 0L
+    // ...undone by RESTORE, which commits the diff at the TIP of history
+    val r = spark.sql(s"RESTORE TABLE $t TO VERSION AS OF '${preDelete.id}'").head()
+    r.getString(0) shouldBe preDelete.id
+    r.getString(1) should not be preDelete.id // a NEW commit carries the diff
+    engine.headCommit(table.name).id shouldBe r.getString(1)
+    // an UNRELATED insert after the restore must NOT re-apply the delete —
+    // the exact failure mode of ref-move rollback (the next commit's full-
+    // history fold replays the rolled-back operations)
+    spark.sql(s"INSERT INTO $t VALUES (99991, 5.0, 'zz', '2024-01-09')")
+    spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) shouldBe (fullCount + 1)
+    spark.sql(s"SELECT COUNT(*) FROM $t WHERE day = '2024-01-04'")
+      .head().getLong(0) shouldBe day4
+    // and RESTORE is itself undoable: restore to the post-delete state
+    val postRestoreInsert = engine.headCommit(table.name)
+    spark.sql(s"RESTORE TABLE $t TO VERSION AS OF '${postRestoreInsert.id}'")
+    spark.sql(s"SELECT COUNT(*) FROM $t").head().getLong(0) shouldBe (fullCount + 1)
   }
 
   behavior of "ALTER TABLE ADD COLUMNS"
@@ -184,6 +213,51 @@ class GraftMaintenanceSqlSpec extends AnyFlatSpec with Matchers {
       spark.sql(s"ALTER TABLE graft.${plain.name.fullyQualifiedName} ADD COLUMNS (x INT)")
     }
     err.getMessage should include("mergeSchema")
+  }
+
+  it should "never let the FIRST write narrow an ALTERed schema record" in {
+    import graft.operators.VersionedTables._
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val dir = java.nio.file.Files.createTempDirectory("graft-alterfw-")
+    val engine = VersionedTables.withFileStore(spark, dir.resolve("store").toUri)
+
+    // SQL path: CREATE (declared) → ALTER ADD COLUMNS → INSERT with a
+    // column list OMITTING the new column — ANSI semantics: it null-fills,
+    // and the log record keeps the ALTERed column
+    val table = TableDefinition(TableName("maint", s"alterfw${seq.incrementAndGet()}"),
+      dir.resolve("t").toUri, PartitionSchema("day"), FileFormat.Parquet,
+      options = Map("mergeSchema" -> "true"))
+    engine.initTable(table, UserId("t"), "init")
+    GraftTableRegistry.registerCreated(engine, table,
+      StructType.fromDDL("k BIGINT, score DOUBLE, day STRING"))
+    val t = s"graft.${table.name.fullyQualifiedName}"
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (note STRING)")
+    spark.sql(s"INSERT INTO $t (k, score, day) SELECT 1L, 2.5D, 'd1'")
+    val cur = spark.sql(s"SELECT * FROM $t")
+    cur.columns.toSet shouldBe Set("k", "score", "day", "note")
+    cur.filter("note IS NULL").count() shouldBe 1
+    val recorded = graft.operators.VersionedTables.parseSchemaJson(
+      engine.tracker.tableState(table.name).currentSchemaJson).get
+    recorded.fieldNames.map(_.toLowerCase).toSet shouldBe Set("k", "score", "day", "note")
+
+    // Scala-API path: a NARROW first write after ALTER keeps the record wide
+    // (pre-fix it silently re-recorded its own narrower shape)
+    val t2 = TableDefinition(TableName("maint", s"alterfw${seq.incrementAndGet()}"),
+      dir.resolve("t2").toUri, PartitionSchema("day"), FileFormat.Parquet,
+      options = Map("mergeSchema" -> "true"))
+    engine.initTable(t2, UserId("t"), "init")
+    GraftTableRegistry.registerCreated(engine, t2,
+      StructType.fromDDL("k BIGINT, day STRING"))
+    spark.sql(s"ALTER TABLE graft.${t2.name.fullyQualifiedName} ADD COLUMNS (note STRING)")
+    Seq((1L, "d1")).toDF("k", "day")
+      .versionedInsertInto(engine, t2, UserId("t"), "narrow first write")
+    val rec2 = graft.operators.VersionedTables.parseSchemaJson(
+      engine.tracker.tableState(t2.name).currentSchemaJson).get
+    rec2.fieldNames.map(_.toLowerCase).toSet shouldBe Set("k", "day", "note")
+    val read2 = engine.read(t2)
+    read2.columns.toSet shouldBe Set("k", "day", "note")
+    read2.filter("note IS NULL").count() shouldBe 1
   }
 
   behavior of "VACUUM"
