@@ -210,6 +210,10 @@ object SparkEntry {
     // markers (update-over-delete rebases; only update-over-update defers
     // to a fold). The fixture pins the routing via the commit message.
     "q_sql_update_dv" -> ((spark, dir) => sqlDvFixture(spark, dir).updated),
+    // a SECOND merge-on-read UPDATE stacked onto the update-markers: the
+    // engine folds JUST the hot partitions inline (depth-1 preserved) and
+    // applies — the fixture pins both the fold commit and the dv routing
+    "q_sql_update_dv_stacked" -> ((spark, dir) => sqlDvFixture(spark, dir).stacked),
 
     // SQL-only ROLLBACK at the gate: load, SQL DELETE a class, then
     // RESTORE TABLE ... TO VERSION AS OF the pre-delete commit — the
@@ -522,7 +526,8 @@ object SparkEntry {
     * registered in the graft catalog, `spark.graft.delete.mode=dv` set,
     * one SQL DELETE, SQL read-back. Asserts the head is a marker version
     * so a silent fallback to the rewrite path can never pass the gate. */
-  private final case class SqlDvFixture(readBack: DataFrame, updated: DataFrame)
+  private final case class SqlDvFixture(
+      readBack: DataFrame, updated: DataFrame, stacked: DataFrame)
 
   private val sqlDvFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SqlDvFixture]()
@@ -575,7 +580,27 @@ object SparkEntry {
     }
     require(engine.log(table.name).head.message.startsWith("SQL UPDATE (dv)"),
       "q_sql_update_dv fixture: SQL UPDATE did not take the deletion-vector path")
-    SqlDvFixture(readBack = postDelete, updated = spark.sql(readbackSql))
+    val postUpdate = spark.sql(readbackSql)
+
+    // STACKED merge-on-read UPDATE: the table now carries UPDATE-markers,
+    // so this statement exercises the inline auto-fold (fold JUST the hot
+    // partitions, then apply — position chains stay depth 1). The commit
+    // log must show both the fold and the dv update, or the gate fails.
+    spark.conf.set(graft.sql.GraftSqlWrites.UpdateModeKey, "dv")
+    try spark.sql(
+      "UPDATE graft.graft.lineitem_sqldv SET l_quantity = l_quantity + 500 " +
+        "WHERE l_orderkey % 83 = 0")
+    finally prevU match {
+      case Some(v) => spark.conf.set(graft.sql.GraftSqlWrites.UpdateModeKey, v)
+      case None    => spark.conf.unset(graft.sql.GraftSqlWrites.UpdateModeKey)
+    }
+    val messages = engine.log(table.name).map(_.message)
+    require(messages.head.startsWith("SQL UPDATE (dv)"),
+      "q_sql_update_dv_stacked fixture: stacked UPDATE did not take the dv path")
+    require(messages.exists(_.startsWith("auto-fold update-marker")),
+      "q_sql_update_dv_stacked fixture: the inline auto-fold never ran")
+    SqlDvFixture(readBack = postDelete, updated = postUpdate,
+      stacked = spark.sql(readbackSql))
   }
 
   /** q_sql_restore: SQL DELETE then SQL RESTORE to the pre-delete commit —
@@ -1339,6 +1364,17 @@ object SparkEntry {
         s"""SELECT l_returnflag, COUNT(1) AS n,
            |  CAST(SUM(CAST(CASE WHEN l_orderkey % 89 = 0 THEN l_quantity + 1000
            |    ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS v
+           |FROM lineitem
+           |WHERE NOT (l_orderkey % 97 = 0)
+           |GROUP BY l_returnflag""".stripMargin,
+      // both updates applied in order: +1000 on %89 keys, then +500 on %83
+      // keys (a key divisible by both gets both)
+      "q_sql_update_dv_stacked" ->
+        s"""SELECT l_returnflag, COUNT(1) AS n,
+           |  CAST(SUM(CAST(
+           |    (CASE WHEN l_orderkey % 89 = 0 THEN l_quantity + 1000 ELSE l_quantity END)
+           |    + (CASE WHEN l_orderkey % 83 = 0 THEN 500 ELSE 0 END)
+           |    AS DECIMAL(18,2))) AS DOUBLE) AS v
            |FROM lineitem
            |WHERE NOT (l_orderkey % 97 = 0)
            |GROUP BY l_returnflag""".stripMargin,

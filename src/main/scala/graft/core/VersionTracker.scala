@@ -105,9 +105,7 @@ final case class TableState(currentVersion: CommitId, updates: List[TableUpdate]
   def schemaJsonAt(id: CommitId): Option[String] = {
     val idx = updates.indexWhere(_.metadata.id == id)
     if (idx < 0) throw UnknownCommitError(id)
-    updates.take(idx + 1).reverseIterator.flatMap(_.operations.reverseIterator).collectFirst {
-      case TableOperation.SetTableSchema(json) => json
-    }
+    TableState.lastSchemaJson(updates.take(idx + 1))
   }
 
   /** [[schemaJsonAt]] the current ref. */
@@ -117,11 +115,21 @@ final case class TableState(currentVersion: CommitId, updates: List[TableUpdate]
     * [[TableOperation.SetVersionBase]] in the FULL history. A (p, v)→base
     * binding never changes once committed, so the whole-history map is
     * valid for resolving ANY historical state's DV versions. */
-  def versionBases: Map[(Partition, Version), Version] =
-    updates.iterator.flatMap(_.operations).collect {
-      case TableOperation.SetVersionBase(p, v, base) => (p, v) -> base
-    }.toMap
+  def versionBases: Map[(Partition, Version), Version] = TableState.basesOf(updates)
 }
+
+/** The current ref's RESOLVED read-side state in one value: the ref, the
+  * visible [[TableVersion]], the recorded schema document at the ref, and
+  * the (partition, marker)→base bindings — everything a per-statement read
+  * needs. Derivable from [[TableState]]; the point of the type is the
+  * persistent stores' [[VersionTracker.headState]] overrides, which serve
+  * it from their fold checkpoint + commit tail in O(partitions + tail)
+  * instead of materializing a 100k-commit history per statement. */
+final case class HeadState(
+    head: CommitId,
+    version: TableVersion,
+    schemaJson: Option[String],
+    versionBases: Map[(Partition, Version), Version])
 
 object TableState {
 
@@ -146,6 +154,22 @@ object TableState {
       PartitionedTableVersion(partitions)
     }
   }
+
+  /** The LAST recorded schema document across `updates` (newest wins), or
+    * None when none recorded — the fold rule behind
+    * [[TableState.schemaJsonAt]] and the stores' fold-checkpoint extras. */
+  def lastSchemaJson(updates: List[TableUpdate]): Option[String] =
+    updates.reverseIterator.flatMap(_.operations.reverseIterator).collectFirst {
+      case TableOperation.SetTableSchema(json) => json
+    }
+
+  /** Every (partition, marker)→base binding across `updates` — the fold
+    * rule behind [[TableState.versionBases]]. Bindings are write-once, so
+    * folding forward is a plain map union. */
+  def basesOf(updates: List[TableUpdate]): Map[(Partition, Version), Version] =
+    updates.iterator.flatMap(_.operations).collect {
+      case TableOperation.SetVersionBase(p, v, base) => (p, v) -> base
+    }.toMap
 
   /** Continue a fold from an already-folded state: apply `updates`' operations
     * on top of `start`. Law (pinned by TableStateSpec):
@@ -274,6 +298,17 @@ trait VersionTracker {
   /** Visible state at the current ref. */
   def currentVersion(table: TableName): TableVersion =
     tableState(table).currentTableVersion
+
+  /** The ref's RESOLVED read-side state — visible version, recorded schema,
+    * DV base bindings — in ONE call (see [[HeadState]]). Semantically
+    * identical to deriving the pieces from [[tableState]]; the file and
+    * JDBC stores override it to fold "checkpoint extras + commit tail", so
+    * the per-statement read path of a long-history table materializes
+    * O(partitions + tail), never the full log. */
+  def headState(table: TableName): HeadState = {
+    val st = tableState(table)
+    HeadState(st.currentVersion, st.currentTableVersion, st.currentSchemaJson, st.versionBases)
+  }
 
   /** Version history, most recent first. Ordering law: insertion (commit)
     * order, NOT timestamp order (reference VersionTrackerSpec.scala:402-431). */

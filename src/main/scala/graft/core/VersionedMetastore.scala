@@ -8,7 +8,20 @@ package graft.core
  * The version-store commit is the transaction of record; the catalog state is
  * derived and re-derivable via diff at any time (docs/concepts.md:71-76).
  */
-final class VersionedMetastore(val tracker: VersionTracker, val metastore: Metastore) {
+final class VersionedMetastore(
+    val tracker: VersionTracker,
+    val metastore: Metastore,
+    /** Opt-in DV sync mode (read per sync, so a session conf can flip it):
+      * `false` (default) = a deletion-vector (marker) version reaching a
+      * catalog that can't apply DVs refuses loudly at the catalog seam;
+      * `true` = the sync substitutes each marker partition's BASE data
+      * version (resolved from the commit log's [[TableOperation
+      * .SetVersionBase]] records — zero filesystem I/O) with a loud
+      * warning: external readers through the catalog then see PRE-DELETE
+      * (and pre-update) rows until the DVs are folded. The substitution is
+      * the honest degraded mode for catalogs that must keep tracking a
+      * merge-on-read table between folds. */
+    dvSyncBase: () => Boolean = () => false) {
 
   /** Commit an update, then sync the catalog with a minimal diff.
     * Returns the new table state and the changes applied to the catalog.
@@ -118,10 +131,37 @@ final class VersionedMetastore(val tracker: VersionTracker, val metastore: Metas
     // schema widening first: partitions added by the same commit may carry
     // the new columns, and they should land under the widened column list
     val changes = TableChanges(
-      schemaOps ++ Metastore.computeChanges(catalogView, target).operations)
+      schemaOps ++ Metastore.computeChanges(catalogView, substituteDvBases(table, target)).operations)
     metastore.update(table, changes)
     changes
   }
+
+  /** The opt-in DV degraded sync (see the constructor doc): marker
+    * partitions substitute their BASE data versions, resolved from the
+    * log's SetVersionBase records, with one loud warning per sync. Off (the
+    * default) passes the state through untouched — the catalog seam then
+    * refuses markers loudly. */
+  private def substituteDvBases(table: TableName, target: TableVersion): TableVersion =
+    target match {
+      case PartitionedTableVersion(pvs)
+          if dvSyncBase() && pvs.valuesIterator.exists(Version.isDeleteMarker) =>
+        val bases = tracker.tableState(table).versionBases
+        val substituted = pvs.map {
+          case (p, v) if Version.isDeleteMarker(v) =>
+            p -> bases.getOrElse((p, v), throw new IllegalStateException(
+              s"deletion-vector version ${v.label} of '${p.toPath}' has no " +
+                "SetVersionBase record in the commit log — corrupt DV state"))
+          case pv => pv
+        }
+        val n = pvs.count { case (_, v) => Version.isDeleteMarker(v) }
+        System.err.println(
+          s"[graft] WARNING: catalog sync of '${table.fullyQualifiedName}' substitutes " +
+            s"BASE versions for $n deletion-vector partition(s) — external readers " +
+            "through the catalog see PRE-DELETE (and pre-update) rows until the DVs " +
+            "are folded (compact / SQL OPTIMIZE)")
+        PartitionedTableVersion(substituted)
+      case other => other
+    }
 }
 
 /** In-memory catalog mirror — the minimum [[Metastore]]: tracks what a

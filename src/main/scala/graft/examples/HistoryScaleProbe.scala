@@ -40,9 +40,16 @@ object HistoryScaleProbe {
     val (_, buildS) = timed {
       var i = 0
       while (i < n) {
-        tr.commit(table, TableUpdate(user, s"b$i", Instant.now(),
-          List(TableOperation.AddPartitionVersion(
-            Partition("day", f"d${i % 365}%03d"), Version.generate()))))
+        val base = List(TableOperation.AddPartitionVersion(
+          Partition("day", f"d${i % 365}%03d"), Version.generate()))
+        // sprinkle schema records through the history so the headState fast
+        // path has real extras to resolve (DV base bindings are appended
+        // AFTER the export phases below — chronicles export can't represent
+        // them, by design)
+        val ops =
+          if (i % 1000 == 0) TableOperation.SetTableSchema(s"""{"rev":$i}""") :: base
+          else base
+        tr.commit(table, TableUpdate(user, s"b$i", Instant.now(), ops))
         i += 1
       }
     }
@@ -52,6 +59,18 @@ object HistoryScaleProbe {
     val p0 = tr.commitFilesParsed.get()
     val (_, foldS) = timed(tr.currentVersion(table))
     println(f"CURRENT_VERSION_S=$foldS%.3f PARSES=${tr.commitFilesParsed.get() - p0}")
+
+    // the RESOLVED head state (version + recorded schema + DV bases) — what
+    // every mergeSchema read plans from — also O(tail) via the fold extras,
+    // vs the full-history materialization tableState pays
+    val pH = tr.commitFilesParsed.get()
+    val (hs, hsS) = timed(tr.headState(table))
+    println(f"HEAD_STATE_S=$hsS%.3f PARSES=${tr.commitFilesParsed.get() - pH} " +
+      f"SCHEMA_RESOLVED=${hs.schemaJson.isDefined} BASES=${hs.versionBases.size}")
+    val (st0, stS) = timed(tr.tableState(table))
+    println(f"TABLE_STATE_S=$stS%.3f HEAD_STATE_SPEEDUP=${stS / hsS}%.0f " +
+      f"HEAD_STATE_EXACT=${hs.version == st0.currentTableVersion &&
+        hs.schemaJson == st0.currentSchemaJson && hs.versionBases == st0.versionBases}")
 
     // one CLI-log page: O(page) document parses
     val p1 = tr.commitFilesParsed.get()
@@ -83,6 +102,21 @@ object HistoryScaleProbe {
     println(f"MIGRATE_S=$migrateS%.2f TABLES=${migrated.size} " +
       f"MIGRATED_HEAD_OK=${head == tr.currentRef(table)} HEAD_READ_S=$headS%.4f")
 
+    // DV base bindings on top of the long history: headState still resolves
+    // them O(tail) — the retention/read inputs of a merge-on-read table
+    // never pay a history replay either
+    (0 until 20).foreach { i =>
+      val m = Version.generateDeleteMarker()
+      tr.commit(table, TableUpdate(user, s"dv$i", Instant.now(), List(
+        TableOperation.AddPartitionVersion(Partition("day", f"d$i%03d"), m),
+        TableOperation.SetVersionBase(Partition("day", f"d$i%03d"), m, Version.generate()))))
+    }
+    val pD = tr.commitFilesParsed.get()
+    val (hsDv, hsDvS) = timed(tr.headState(table))
+    println(f"HEAD_STATE_DV_S=$hsDvS%.3f PARSES=${tr.commitFilesParsed.get() - pD} " +
+      f"BASES=${hsDv.versionBases.size} " +
+      f"EXACT=${hsDv.versionBases == tr.tableState(table).versionBases}")
+
     // --- JDBC store: same shapes over SQL ---
     val db = Files.createTempDirectory("graft-history-probe-jdbc-").resolve("db")
     val jt = new JdbcVersionTracker(s"jdbc:derby:$db;create=true")
@@ -99,6 +133,10 @@ object HistoryScaleProbe {
     val r0 = jt.historyRowsScanned
     val (_, jFoldS) = timed(jt.currentVersion(table))
     val foldRows = jt.historyRowsScanned - r0
+    val rH = jt.historyRowsScanned
+    val (jhs, jHsS) = timed(jt.headState(table))
+    println(f"JDBC_HEAD_STATE_S=$jHsS%.3f JDBC_HEAD_STATE_ROWS=${jt.historyRowsScanned - rH} " +
+      f"JDBC_HEAD_OK=${jhs.version == jt.tableState(table).currentTableVersion}")
     val r1 = jt.historyRowsScanned
     val (jWalked, jWalkS) = timed {
       var count = 0L

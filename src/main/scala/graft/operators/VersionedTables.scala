@@ -31,7 +31,13 @@ final class VersionedTables(
     val tracker: VersionTracker,
     val metastore: Metastore = new InMemoryMetastore) {
 
-  val versioned = new VersionedMetastore(tracker, metastore)
+  /** Opt-in DV catalog-sync degradation: `spark.graft.dv.catalogSync=base`
+    * substitutes marker partitions' BASE versions into Hive/Glue syncs
+    * (loud warning, pre-delete rows visible externally until folded);
+    * the default refuses markers loudly at the catalog seam. */
+  val versioned = new VersionedMetastore(tracker, metastore,
+    dvSyncBase = () =>
+      spark.conf.get("spark.graft.dv.catalogSync", "refuse").equalsIgnoreCase("base"))
 
   def initTable(table: TableDefinition, userId: UserId, message: String): Unit =
     tracker.initTable(table.name, table.isSnapshot, userId, message, java.time.Instant.now())
@@ -59,12 +65,16 @@ final class VersionedTables(
 
   /** Read the table at its current version. mergeSchema tables resolve
     * their (possibly evolved) schema from the commit log when it recorded
-    * one — planning then opens no footers; other tables keep the O(1)
-    * head-fold fast path. */
+    * one — planning then opens no footers — via [[graft.core
+    * .VersionTracker.headState]], which the persistent stores serve from
+    * their fold checkpoint + commit tail: the per-statement cost of reading
+    * a 100k-commit streaming-sink table is O(partitions + tail), never a
+    * history materialization. Other tables keep the version-only fast
+    * path. */
   def read(table: TableDefinition): DataFrame =
     if (table.mergesSchema) {
-      val st = tracker.tableState(table.name)
-      readVersion(table, st.currentTableVersion, schemaHintAt(table, st, st.currentVersion))
+      val hs = tracker.headState(table.name)
+      readVersion(table, hs.version, VersionedTables.parseSchemaJson(hs.schemaJson))
     } else readVersion(table, tracker.currentVersion(table.name))
 
   /** The table's visible state as of commit `id` (errors on unknown ids). */

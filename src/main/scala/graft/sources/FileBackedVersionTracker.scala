@@ -479,7 +479,39 @@ final class FileBackedVersionTracker(
       case _                  => super.currentVersion(table)
     }
 
+  /** [[VersionTracker.headState]] from "fold doc + tail": the fold doc's
+    * read-side extras (schema + DV bases at the boundary, present on docs
+    * written since the field existed) fold forward under the tail's ops —
+    * O(partitions + tail) I/O and memory, the same guarantee (and the same
+    * PROVE-equivalence-or-fall-back conditions) as the
+    * [[currentVersion]] fast path. Pre-upgrade fold docs lack the extras
+    * and fall back to the full replay rather than fabricate an empty base
+    * map (which would silently unpin live DV bases from retention). */
+  override def headState(table: TableName): HeadState =
+    resolveTableDir(table) match {
+      case (dir, GraftLayout) => foldedHeadState(dir).getOrElse(super.headState(table))
+      case _                  => super.headState(table)
+    }
+
+  private def foldedHeadState(dir: Path): Option[HeadState] =
+    foldedResolved(dir).flatMap { case (head, doc, tailUpToHead) =>
+      doc.resolved.map { extras =>
+        val schema = TableState.lastSchemaJson(tailUpToHead).orElse(extras.schemaJson)
+        val bases = extras.bases ++ TableState.basesOf(tailUpToHead)
+        HeadState(head, TableState.foldForward(doc.state, tailUpToHead), schema, bases)
+      }
+    }
+
   private def foldedCurrentVersion(dir: Path): Option[TableVersion] =
+    foldedResolved(dir).map { case (_, doc, tailUpToHead) =>
+      TableState.foldForward(doc.state, tailUpToHead)
+    }
+
+  /** The shared fast-path resolution: newest readable fold doc + the commit
+    * tail UP TO the head ref, with the equivalence guards (no doc, skewed
+    * commit below the boundary, head inside the covered prefix ⇒ None). */
+  private def foldedResolved(
+      dir: Path): Option[(CommitId, JsonCodecs.FoldDoc, List[TableUpdate])] =
     try {
       // head BEFORE listing, same discipline as graftTableState: a concurrent
       // commit can only make the listing see MORE than head, never less
@@ -493,17 +525,17 @@ final class FileBackedVersionTracker(
           case Left(e) =>
             System.err.println(s"[graft] ignoring corrupt state fold $p: $e")
             None
-          case Right((lastCovered, lastCommitId, coveredCount, folded)) =>
+          case Right(doc) =>
             val commitFiles = statuses
               .filter(q => q.getName.startsWith(CommitFilePrefix) && q.getName.endsWith(".json"))
-            val tail = commitFiles.filter(_.getName > lastCovered).sortBy(_.getName)
-            if (coveredCount + tail.size != commitFiles.size) None // skewed name below boundary
-            else if (head.id == lastCommitId) Some(folded)
+            val tail = commitFiles.filter(_.getName > doc.lastCovered).sortBy(_.getName)
+            if (doc.coveredCount + tail.size != commitFiles.size) None // skewed name below boundary
+            else if (head.id == doc.lastCommitId) Some((head, doc, Nil))
             else {
               val tailUpdates = tail.map(parseCommitFile)
               val idx = tailUpdates.indexWhere(_.metadata.id == head)
               if (idx < 0) None // checkout into the covered prefix (or corrupt head)
-              else Some(TableState.foldForward(folded, tailUpdates.take(idx + 1)))
+              else Some((head, doc, tailUpdates.take(idx + 1)))
             }
         }
       }
@@ -650,9 +682,13 @@ final class FileBackedVersionTracker(
           merged.lastOption.foreach { case (lastName, lastUpdate) =>
             val foldName = StateFoldFilePrefix + name.stripPrefix(CheckpointFilePrefix)
             val foldTmp = new Path(dir, s".$foldName.tmp-${java.util.UUID.randomUUID()}")
+            val covered = merged.map(_._2)
             write(foldTmp, JsonCodecs.foldDocToJson(
               lastName, lastUpdate.metadata.id.id, merged.size,
-              TableState.foldVersion(merged.map(_._2))))
+              TableState.foldVersion(covered),
+              // read-side extras: recorded schema + DV base bindings at the
+              // boundary — what headState folds the tail onto
+              TableState.lastSchemaJson(covered), TableState.basesOf(covered)))
             if (!fs.rename(foldTmp, new Path(dir, foldName))) { fs.delete(foldTmp, false) }
             else {
               statuses

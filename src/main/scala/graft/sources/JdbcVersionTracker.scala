@@ -443,7 +443,9 @@ final class JdbcVersionTracker(
     val fast = synchronized {
       if (!exists(table)) throw UnknownTableError(table)
       try {
-        val out = foldedCurrentVersionIn(table)
+        val out = foldedResolvedIn(table).map { case (_, doc, tailUpToHead) =>
+          TableState.foldForward(doc.state, tailUpToHead)
+        }
         conn.commit()
         out
       } catch { case e: Throwable => conn.rollback(); throw e }
@@ -451,7 +453,31 @@ final class JdbcVersionTracker(
     fast.getOrElse(super.currentVersion(table))
   }
 
-  private def foldedCurrentVersionIn(table: TableName): Option[TableVersion] =
+  /** [[VersionTracker.headState]] from "fold row + tail rows" — the JDBC
+    * face of the file store's fold-doc fast path, same equivalence guards,
+    * same pre-upgrade fallback (a fold row without the read-side extras
+    * replays the full history rather than fabricate an empty base map). */
+  override def headState(table: TableName): HeadState = {
+    val fast = synchronized {
+      if (!exists(table)) throw UnknownTableError(table)
+      try {
+        val out = foldedResolvedIn(table).flatMap { case (head, doc, tailUpToHead) =>
+          doc.resolved.map { extras =>
+            val schema = TableState.lastSchemaJson(tailUpToHead).orElse(extras.schemaJson)
+            val bases = extras.bases ++ TableState.basesOf(tailUpToHead)
+            HeadState(CommitId(head),
+              TableState.foldForward(doc.state, tailUpToHead), schema, bases)
+          }
+        }
+        conn.commit()
+        out
+      } catch { case e: Throwable => conn.rollback(); throw e }
+    }
+    fast.getOrElse(super.headState(table))
+  }
+
+  private def foldedResolvedIn(
+      table: TableName): Option[(String, JsonCodecs.FoldDoc, List[TableUpdate])] =
     queryIn(
       s"""SELECT sequence_id, last_commit_id, folded FROM graft_state_folds
          |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin) { rs =>
@@ -461,19 +487,19 @@ final class JdbcVersionTracker(
         case Left(err) =>
           System.err.println(s"[graft] ignoring corrupt JDBC state fold for '$table': $err")
           None
-        case Right((_, _, _, folded)) =>
+        case Right(doc) =>
           val head = queryIn(
             s"""SELECT current_commit FROM graft_version_refs
                |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)(_.getString(1))
             .headOption.getOrElse(throw UnknownTableError(table))
-          if (head == lastId) Some(folded)
+          if (head == lastId) Some((head, doc, Nil))
           else {
             val rows = historyRowsIn(table, seq)
             historyRowsScanned += rows.length
             val tail = decodeUpdates(table, rows)
             val idx = tail.indexWhere(_.metadata.id.id == head)
             if (idx < 0) None // checkout into the covered prefix
-            else Some(TableState.foldForward(folded, tail.take(idx + 1)))
+            else Some((head, doc, tail.take(idx + 1)))
           }
       }
     }
@@ -569,7 +595,10 @@ final class JdbcVersionTracker(
         // of the O(#commits) history (see the currentVersion override)
         val foldJson = JsonCodecs.foldDocToJson(
           maxSeq.toString, updates.last.metadata.id.id, updates.length,
-          TableState.foldVersion(updates))
+          TableState.foldVersion(updates),
+          // read-side extras: recorded schema + DV base bindings at the
+          // boundary — what headState folds the tail onto
+          TableState.lastSchemaJson(updates), TableState.basesOf(updates))
         val fup = conn.prepareStatement(
           "UPDATE graft_state_folds SET sequence_id = ?, last_commit_id = ?, folded = ? WHERE table_name = ?")
         val foldChanged =

@@ -119,17 +119,53 @@ object JsonCodecs {
    *    detect a clock-skewed commit whose name sorts below the boundary
    *    (covered + tail ≠ total ⇒ fall back to the full merge)
    */
-  def foldDocToJson(lastCovered: String, lastCommitId: String, coveredCount: Int, state: TableVersion): String = {
+  /** Resolved READ-SIDE extras folded at the checkpoint boundary: the last
+    * recorded schema document and every (partition, marker)→base binding —
+    * what lets a store serve [[graft.core.VersionTracker.headState]] from
+    * "fold doc + tail" without replaying history. Absent on fold docs
+    * written before the field existed: readers must then FALL BACK to the
+    * full fold for schema/bases (an empty map would silently unpin live DV
+    * bases), which is why this is an Option and not defaults. */
+  final case class FoldResolved(
+      schemaJson: Option[String],
+      bases: Map[(Partition, Version), Version])
+
+  /** A parsed fold document. `resolved` is None on pre-upgrade docs. */
+  final case class FoldDoc(
+      lastCovered: String,
+      lastCommitId: String,
+      coveredCount: Int,
+      state: TableVersion,
+      resolved: Option[FoldResolved])
+
+  def foldDocToJson(
+      lastCovered: String, lastCommitId: String, coveredCount: Int, state: TableVersion,
+      schemaJson: Option[String], bases: Map[(Partition, Version), Version]): String = {
     val root = mapper.createObjectNode()
     root.put("formatVersion", FormatVersion)
     root.put("lastCovered", lastCovered)
     root.put("lastCommitId", lastCommitId)
     root.put("coveredCount", coveredCount)
     root.set[ObjectNode]("state", versionStateToNode(state))
+    val resolved = mapper.createObjectNode()
+    schemaJson match {
+      case Some(j) => resolved.put("schemaJson", j)
+      case None    => resolved.putNull("schemaJson")
+    }
+    val arr = resolved.putArray("bases")
+    bases.toList.sortBy { case ((p, v), _) => (p.toHivePath, v.label) }.foreach {
+      case ((p, v), base) =>
+        val e = mapper.createObjectNode()
+        e.put("partition", p.toHivePath)
+        e.put("version", v.label)
+        e.put("base", base.label)
+        arr.add(e)
+    }
+    root.set[ObjectNode]("resolved", resolved)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
-  def foldDocFromJson(json: String): Either[String, (String, String, Int, TableVersion)] =
+  def foldDocFromJson(json: String): Either[String, FoldDoc] =
     try {
       val root = mapper.readTree(json)
       for {
@@ -143,7 +179,23 @@ object JsonCodecs {
           .toRight("missing int field 'coveredCount'")
         stateNode <- Option(root.get("state")).toRight("missing 'state' object")
         state <- versionStateFromNode(stateNode)
-      } yield (lastCovered, lastCommitId, count, state)
+        resolved <- Option(root.get("resolved")) match {
+          case None => Right(None) // pre-upgrade doc: version only
+          case Some(r) =>
+            val schema = Option(r.get("schemaJson")).filter(!_.isNull).map(_.asText)
+            val basesNode = Option(r.get("bases")).collect { case a: ArrayNode => a }
+              .toRight("missing 'bases' array in 'resolved'")
+            basesNode.flatMap { arr =>
+              sequence(arr.elements().asScala.toList.map { e =>
+                for {
+                  p <- str(e, "partition").flatMap(Partition.parseEscaped)
+                  v <- str(e, "version").flatMap(Version.parse)
+                  b <- str(e, "base").flatMap(Version.parse)
+                } yield (p, v) -> b
+              }).map(entries => Some(FoldResolved(schema, entries.toMap)))
+            }
+        }
+      } yield FoldDoc(lastCovered, lastCommitId, count, state, resolved)
     } catch {
       case e: Exception => Left(s"Invalid fold-doc JSON: ${e.getMessage}")
     }

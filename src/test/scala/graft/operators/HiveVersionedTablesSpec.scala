@@ -137,4 +137,46 @@ class HiveVersionedTablesSpec extends AnyFlatSpec with Matchers {
     spark.table("hive_accept.events_evo").columns.toSet shouldBe Set("id", "score", "day")
     spark.table("hive_accept.events_evo").count() shouldBe 4
   }
+
+  it should "sync BASE versions for DV'd partitions under spark.graft.dv.catalogSync=base" in {
+    import graft.operators.DeleteVectors._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-hive-dvsync-")
+    val loc = root.resolve("dvt").toUri.toString.stripSuffix("/")
+    spark.sql("CREATE DATABASE IF NOT EXISTS hive_dvsync")
+    spark.sql(
+      s"""CREATE EXTERNAL TABLE hive_dvsync.dvt (id BIGINT, v DOUBLE)
+         |PARTITIONED BY (`date` STRING) STORED AS PARQUET LOCATION '$loc'""".stripMargin)
+    val engine = new VersionedTables(spark,
+      new FileBackedVersionTracker(root.resolve("store").toUri),
+      new SparkHiveMetastore(spark))
+    val table = TableDefinition(TableName("hive_dvsync", "dvt"),
+      new java.net.URI(loc), PartitionSchema("date"), FileFormat.Parquet)
+    engine.initTable(table, UserId("t"), "init")
+    (0L until 100L).map(k => (k, k * 1.0, s"2024-01-0${k % 2 + 1}")).toDF("id", "v", "date")
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+    spark.table("hive_dvsync.dvt").count() shouldBe 100
+
+    // DEFAULT: the DV DML's catalog sync refuses loudly at the Hive seam
+    // (the tracker commit itself lands — the catalog is derived state,
+    // re-derivable by a later sync)
+    intercept[IllegalArgumentException] {
+      engine.deleteWhereDV(table, col("id") % 10 === 0, UserId("t"), "dv refused at sync")
+    }.getMessage should include("deletion-vector")
+
+    spark.conf.set("spark.graft.dv.catalogSync", "base")
+    try {
+      // catch-up sync under the opt-in: the catalog points at BASE versions
+      engine.versioned.sync(table.name)
+      spark.table("hive_dvsync.dvt").count() shouldBe 100 // pre-delete rows, by design
+      engine.read(table).count() shouldBe 90              // the engine applies the DV
+      // a further DV DML now syncs cleanly end-to-end
+      engine.deleteWhereDV(table, col("id") === 1L, UserId("t"), "dv synced")
+      spark.table("hive_dvsync.dvt").count() shouldBe 100
+      engine.read(table).count() shouldBe 89
+      // folding converges the external view to the true rows
+      engine.compact(table, UserId("t"), "fold")
+      spark.table("hive_dvsync.dvt").count() shouldBe 89
+    } finally spark.conf.unset("spark.graft.dv.catalogSync")
+  }
 }

@@ -395,14 +395,32 @@ class JsonCodecsSpec extends AnyFlatSpec with Matchers {
   it should "round-trip a folded-state document (both table flavors)" in {
     val v = Version.generate()
     JsonCodecs.foldDocFromJson(JsonCodecs.foldDocToJson(
-      "table_update_x.json", "commit-1", 7, SnapshotTableVersion(v))) shouldBe
-      Right(("table_update_x.json", "commit-1", 7, SnapshotTableVersion(v)))
+      "table_update_x.json", "commit-1", 7, SnapshotTableVersion(v), None, Map.empty)) shouldBe
+      Right(JsonCodecs.FoldDoc("table_update_x.json", "commit-1", 7, SnapshotTableVersion(v),
+        Some(JsonCodecs.FoldResolved(None, Map.empty))))
     val state = PartitionedTableVersion(Map(
       Partition("date", "2024-01-01") -> Version.generate(),
       Partition(ColumnValue(PartitionColumn("year"), "2024"),
         ColumnValue(PartitionColumn("tag"), "a/b=c")) -> Version.generate()))
-    JsonCodecs.foldDocFromJson(JsonCodecs.foldDocToJson("42", "commit-2", 42, state)) shouldBe
-      Right(("42", "commit-2", 42, state))
+    // read-side extras (schema + DV bases) round-trip, Hive-escaped partitions included
+    val marker = Version.generateDeleteMarker()
+    val base = Version.generate()
+    val bases = Map(
+      (Partition("date", "2024-01-01"), marker) -> base,
+      (Partition(ColumnValue(PartitionColumn("year"), "2024"),
+        ColumnValue(PartitionColumn("tag"), "a/b=c")), marker) -> base)
+    val schema = Some("""{"type":"struct","fields":[]}""")
+    JsonCodecs.foldDocFromJson(
+      JsonCodecs.foldDocToJson("42", "commit-2", 42, state, schema, bases)) shouldBe
+      Right(JsonCodecs.FoldDoc("42", "commit-2", 42, state,
+        Some(JsonCodecs.FoldResolved(schema, bases))))
+    // a PRE-UPGRADE doc (no 'resolved' field) parses with resolved = None —
+    // readers must fall back to the full fold for schema/bases, never
+    // fabricate an empty base map
+    val legacy = JsonCodecs.foldDocToJson("42", "commit-2", 42, state, schema, bases)
+      .replaceAll("(?s),\\s*\"resolved\"\\s*:\\s*\\{.*\\}(\\s*\\})\\s*$", "$1")
+    JsonCodecs.foldDocFromJson(legacy) shouldBe
+      Right(JsonCodecs.FoldDoc("42", "commit-2", 42, state, None))
   }
 
   it should "reject malformed or future-versioned fold documents" in {

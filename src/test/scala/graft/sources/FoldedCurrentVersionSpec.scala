@@ -101,6 +101,47 @@ abstract class FileFoldedCurrentVersionContract extends AnyFlatSpec with Matcher
     tracker(dir, interval = 4).currentVersion(t) shouldBe expected
   }
 
+  it should "serve headState (version + schema + DV bases) from the fold doc + tail" in {
+    val dir = Files.createTempDirectory(s"graft-foldhs-$branchName-")
+    val t = TableName("db", "t")
+    val w = tracker(dir, interval = 4)
+    w.initTable(t, isSnapshot = false, UserId("u"), "init", Instant.now())
+    val v1 = Version.generate()
+    val schema1 = """{"v":1}"""
+    val schema2 = """{"v":2}"""
+    w.commit(t, TableUpdate(UserId("u"), "c1", Instant.now(), List(
+      TableOperation.AddPartitionVersion(Partition("day", "d001"), v1),
+      TableOperation.SetTableSchema(schema1))))
+    commitN(w, t, 2 to 4) // fold at commit 4: covers init + c1..c4 (schema1 inside)
+    // the TAIL carries a DV marker, its base binding, and a newer schema
+    val marker = Version.generateDeleteMarker()
+    w.commit(t, TableUpdate(UserId("u"), "c5", Instant.now(), List(
+      TableOperation.AddPartitionVersion(Partition("day", "d001"), marker),
+      TableOperation.SetVersionBase(Partition("day", "d001"), marker, v1),
+      TableOperation.SetTableSchema(schema2))))
+
+    val r = tracker(dir, interval = 4)
+    val hs = r.headState(t)
+    r.commitFilesParsed.get() should be <= 1L // the one tail commit, never the history
+    val st = w.tableState(t)
+    hs.head shouldBe st.currentVersion
+    hs.version shouldBe st.currentTableVersion
+    hs.schemaJson shouldBe Some(schema2)
+    hs.schemaJson shouldBe st.currentSchemaJson
+    hs.versionBases shouldBe Map((Partition("day", "d001"), marker) -> v1)
+    hs.versionBases shouldBe st.versionBases
+
+    // boundary-covered extras resolve with ZERO commit parses: the fold at
+    // commit 8 covers the marker/schema2 commit, and the head sits on it
+    commitN(w, t, 5 to 7)
+    val r2 = tracker(dir, interval = 4)
+    val hs2 = r2.headState(t)
+    r2.commitFilesParsed.get() shouldBe 0L
+    hs2.schemaJson shouldBe Some(schema2)
+    hs2.versionBases shouldBe Map((Partition("day", "d001"), marker) -> v1)
+    hs2.version shouldBe w.tableState(t).currentTableVersion
+  }
+
   it should "track a snapshot table's head through the fold" in {
     val dir = Files.createTempDirectory(s"graft-foldsnap-$branchName-")
     val t = TableName("db", "s")

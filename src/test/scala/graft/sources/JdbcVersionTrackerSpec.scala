@@ -108,6 +108,39 @@ class JdbcPersistenceSpec extends AnyFlatSpec with Matchers {
     tr3.close()
   }
 
+  it should "answer headState (version + schema + DV bases) from the fold row + tail" in {
+    val db = Files.createTempDirectory("graft-jdbc-hs-").resolve("db")
+    val tr = new JdbcVersionTracker(s"jdbc:derby:$db;create=true", checkpointInterval = 5)
+    val t = TableName("test", "hs")
+    tr.initTable(t, isSnapshot = false, UserId("u"), "init", java.time.Instant.now())
+    val v1 = Version.generate()
+    tr.commit(t, TableUpdate(UserId("u"), "c1", java.time.Instant.now(), List(
+      TableOperation.AddPartitionVersion(Partition("day", "d001"), v1),
+      TableOperation.SetTableSchema("""{"v":1}"""))))
+    (2 to 5).foreach { i =>
+      tr.commit(t, TableUpdate(UserId("u"), s"c$i", java.time.Instant.now(),
+        List(TableOperation.AddPartitionVersion(Partition("day", f"d$i%03d"), Version.generate()))))
+    }
+    // tail past the fold boundary: DV marker + base binding + newer schema
+    val marker = Version.generateDeleteMarker()
+    tr.commit(t, TableUpdate(UserId("u"), "c6", java.time.Instant.now(), List(
+      TableOperation.AddPartitionVersion(Partition("day", "d001"), marker),
+      TableOperation.SetVersionBase(Partition("day", "d001"), marker, v1),
+      TableOperation.SetTableSchema("""{"v":2}"""))))
+
+    val st = tr.tableState(t)
+    val before = tr.historyRowsScanned
+    val hs = tr.headState(t)
+    (tr.historyRowsScanned - before) should be <= 5L // the tail, never all 7 commits
+    hs.head shouldBe st.currentVersion
+    hs.version shouldBe st.currentTableVersion
+    hs.schemaJson shouldBe Some("""{"v":2}""")
+    hs.schemaJson shouldBe st.currentSchemaJson
+    hs.versionBases shouldBe Map((Partition("day", "d001"), marker) -> v1)
+    hs.versionBases shouldBe st.versionBases
+    tr.close()
+  }
+
   it should "answer currentVersion from the fold row + tail without materializing history" in {
     val db = Files.createTempDirectory("graft-jdbc-fold-").resolve("db")
     val url = s"jdbc:derby:$db;create=true"
