@@ -149,18 +149,6 @@ object DeleteVectors {
           "(compact / SQL OPTIMIZE) before moving. Entry: "), c)))
   }
 
-  /** Summed on-disk bytes of the DV sidecar files under the marker dirs —
-    * the size that decides the broadcast gate. O(markers) driver-side
-    * listings of flat directories. */
-  private def dvSidecarBytes(
-      conf: org.apache.hadoop.conf.Configuration, dvDirs: Seq[URI]): Long =
-    dvDirs.iterator.map { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(conf)
-      try fs.listStatus(p).iterator.filter(_.isFile).map(_.getLen).sum
-      catch { case _: java.io.FileNotFoundException => 0L }
-    }.sum
-
   private def dvBroadcastThreshold(spark: SparkSession): Long = {
     val s = spark.conf.get(BroadcastThresholdKey,
       spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
@@ -244,11 +232,14 @@ object DeleteVectors {
     * markers re-probes cold ones instead of growing without bound, and —
     * because entries are a pure function of the immutable marker dir —
     * eviction can never change a result (law pinned by the spec). */
+  /** (base version, has own data files, DV sidecar bytes) of a marker. */
+  private type MarkerMeta = (Version, Boolean, Long)
+
   private val MarkerMetaCacheMax = 8192
   private val markerMetaCache =
-    new java.util.LinkedHashMap[String, (Version, Boolean)](256, 0.75f, true) {
+    new java.util.LinkedHashMap[String, MarkerMeta](256, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Version, Boolean)]): Boolean =
+          e: java.util.Map.Entry[String, MarkerMeta]): Boolean =
         size() > MarkerMetaCacheMax
     }
 
@@ -259,7 +250,7 @@ object DeleteVectors {
 
   private def markerMeta(
       conf: org.apache.hadoop.conf.Configuration,
-      table: TableDefinition, p: Partition, marker: Version): (Version, Boolean) = {
+      table: TableDefinition, p: Partition, marker: Version): MarkerMeta = {
     val key = VersionPaths.pathFor(p.resolvePath(table.location), marker).toString
     val hit = markerMetaCache.synchronized(Option(markerMetaCache.get(key)))
     hit.getOrElse {
@@ -271,11 +262,24 @@ object DeleteVectors {
         try fs.listStatus(dir).exists(s =>
           s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
         catch { case _: java.io.FileNotFoundException => false }
-      val computed = (base, hasData)
+      val dvBytes =
+        try fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_dv"))
+          .iterator.filter(_.isFile).map(_.getLen).sum
+        catch { case _: java.io.FileNotFoundException => 0L }
+      val computed = (base, hasData, dvBytes)
       markerMetaCache.synchronized { markerMetaCache.put(key, computed); () }
       computed
     }
   }
+
+  /** Summed on-disk bytes of the markers' DV sidecars — the size the
+    * broadcast gate compares against the threshold. Served from the
+    * immutable-marker cache: zero filesystem listings on the steady read
+    * path. */
+  private def markerDvBytes(
+      conf: org.apache.hadoop.conf.Configuration,
+      table: TableDefinition, markers: Seq[(Partition, Version)]): Long =
+    markers.iterator.map { case (p, m) => markerMeta(conf, table, p, m)._3 }.sum
 
   /** Whether a marker version's directory carries DATA files of its own —
     * an UPDATE-marker ([[DvOps.updateWhereDV]] writes the post-update rows
@@ -315,8 +319,7 @@ object DeleteVectors {
       VersionedTables.uriToLoadPath(
         VersionPaths.pathFor(p.resolvePath(table.location), readBase(conf, table, p, m)))
     }) ++ markerDataDirs
-    val dvDirUris = sorted.map { case (p, m) => dvDir(table, p, m) }
-    val dvPaths = dvDirUris.map(VersionedTables.uriToLoadPath)
+    val dvPaths = sorted.map { case (p, m) => VersionedTables.uriToLoadPath(dvDir(table, p, m)) }
     val rootPrefix = qualifiedRootPrefix(conf, table.location)
     val reader = engine.spark.read.format(table.format.name).options(table.options)
     val data = schemaHint.fold(reader)(h =>
@@ -328,7 +331,7 @@ object DeleteVectors {
     val dv = engine.spark.read.schema(DvSchema).parquet(dvPaths: _*)
       .select(normalizeDvPath(col("file_path"), rootPrefix).as("file_path"),
         col("row_index"))
-    data.join(gateBroadcast(engine.spark, dv, dvSidecarBytes(conf, dvDirUris)),
+    data.join(gateBroadcast(engine.spark, dv, markerDvBytes(conf, table, sorted)),
         data(FileCol) === dv("file_path") && data(PosCol) === dv("row_index"),
         "left_anti")
       .drop(FileCol, PosCol, Version.VersionColumn)
@@ -466,17 +469,18 @@ object DeleteVectors {
     // match scan, so a row an earlier DV deleted can never resurrect as a
     // post-image. (For DELETE the subtraction is a no-op semantically:
     // re-matched positions union back in unchanged.)
-    val oldDvDirs = candidates.toSeq.collect {
-      case (p, m) if Version.isDeleteMarker(m) => dvDir(table, p, m)
+    val oldMarkers = candidates.toSeq.collect {
+      case (p, m) if Version.isDeleteMarker(m) => (p, m)
     }
     val oldDv =
-      if (oldDvDirs.isEmpty) None
+      if (oldMarkers.isEmpty) None
       else Some(spark.read.schema(DvSchema)
-        .parquet(oldDvDirs.map(VersionedTables.uriToLoadPath): _*)
+        .parquet(oldMarkers.map { case (p, m) =>
+          VersionedTables.uriToLoadPath(dvDir(table, p, m)) }: _*)
         .select(normalizeDvPath(col("file_path"), rootPrefix).as("file_path"),
           col("row_index")))
     val live = oldDv.fold(raw)(dv =>
-      raw.join(gateBroadcast(spark, dv, dvSidecarBytes(conf, oldDvDirs)),
+      raw.join(gateBroadcast(spark, dv, markerDvBytes(conf, table, oldMarkers)),
         raw(FileCol) === dv("file_path") && raw(PosCol) === dv("row_index"), "left_anti"))
 
     val matchCond = coalesce(predicate, lit(false))

@@ -568,9 +568,9 @@ final class VersionedTables(
     * 100 TB scale (no file listing outside the selection). */
   def readPartitions(table: TableDefinition, keep: Partition => Boolean): DataFrame =
     if (table.mergesSchema) {
-      val st = tracker.tableState(table.name)
-      readVersion(table, prunePartitions(st.currentTableVersion, keep),
-        schemaHintAt(table, st, st.currentVersion))
+      val hs = tracker.headState(table.name)
+      readVersion(table, prunePartitions(hs.version, keep),
+        VersionedTables.parseSchemaJson(hs.schemaJson))
     } else readVersion(table, prunePartitions(tracker.currentVersion(table.name), keep))
 
   /** Data-skipping read of the CURRENT version: prune whole partitions (by
@@ -581,9 +581,9 @@ final class VersionedTables(
     * written without a [[graft.core.ColumnStatsConfig]] read unpruned. */
   def readWhere(table: TableDefinition, predicate: org.apache.spark.sql.Column): DataFrame =
     if (table.mergesSchema) {
-      val st = tracker.tableState(table.name)
-      TableStats.readVersionWhere(this, table, st.currentTableVersion, predicate,
-        schemaHintAt(table, st, st.currentVersion))
+      val hs = tracker.headState(table.name)
+      TableStats.readVersionWhere(this, table, hs.version, predicate,
+        VersionedTables.parseSchemaJson(hs.schemaJson))
     } else TableStats.readVersionWhere(this, table, tracker.currentVersion(table.name), predicate)
 
   /** [[readWhere]] at a historical commit — time travel with the same
