@@ -267,6 +267,11 @@ object SparkEntry {
     // pattern): OPTIMIZE ... ZORDER BY rewrote the table's layout — the
     // read-back proves rows are bit-identical after the Morton clustering
     "q_sql_optimize" -> ((spark, dir) => sqlMaintFixture(spark, dir).optimized),
+    // partition-SCOPED OPTIMIZE: the fixture pins the scoping law (only the
+    // WHERE-selected partition repoints); the oracle checks data intact
+    "q_sql_optimize_where" -> ((spark, dir) => sqlOptWhereFixture(spark, dir).aggregate),
+    // SHOW PARTITIONS straight from the commit log — zero filesystem I/O
+    "q_sql_show_partitions" -> ((spark, dir) => sqlOptWhereFixture(spark, dir).partitions),
     // DESCRIBE HISTORY: the commit log as SQL rows — seq/user/verb pinned
     // exactly, operation counts recomputed by the oracle from the data
     // (load and optimize each touch one op per live partition)
@@ -1148,6 +1153,58 @@ object SparkEntry {
       SqlMaintFixture(spark, t)
     })
 
+  /** q_sql_optimize_where / q_sql_show_partitions fixture: load, then a
+    * PARTITION-SCOPED `OPTIMIZE ... WHERE` — the fixture itself pins the
+    * scoping law (untouched partitions keep their exact versions, the
+    * selected one repoints) so the gate cannot pass on an accidental
+    * whole-table rewrite; the oracles check the data and the partition
+    * listing. Memoized per (session, dir). */
+  private final case class SqlOptWhereFixture(spark: SparkSession, name: String) {
+    def aggregate: DataFrame = spark.sql(
+      s"""SELECT event_date, event_type, $duckFixtureAgg
+         |FROM $name GROUP BY 1, 2""".stripMargin)
+    def partitions: DataFrame = spark.sql(s"SHOW PARTITIONS $name")
+  }
+
+  private val sqlOptWhereFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SqlOptWhereFixture]()
+
+  private def sqlOptWhereFixture(spark: SparkSession, sfDir: String): SqlOptWhereFixture =
+    sqlOptWhereFixtureCache.computeIfAbsent((spark, sfDir), _ => {
+      Tables.prepare(spark)
+      spark.conf.set(graft.sql.GraftSqlWrites.UserKey, "driver")
+      val root = graft.FixtureTempDirs.create("graft-sqloptw-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", "events_optwhere"),
+        root.resolve("events_optwhere").toUri, PartitionSchema("event_date"),
+        FileFormat.Parquet)
+      engine.initTable(table, UserId("driver"), "init")
+      graft.sql.GraftTableRegistry.register(engine, table)
+      val t = s"graft.${table.name.fullyQualifiedName}"
+      Tables.events(spark, sfDir)
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(4) // several files per partition: the compact has work
+        .versionedInsertInto(engine, table, UserId("driver"), "load")
+      val pre = engine.tracker.currentVersion(table.name) match {
+        case PartitionedTableVersion(pvs) => pvs
+        case other => sys.error(s"unexpected $other")
+      }
+      val target = pre.keys.map(_.columnValues.head.value).max
+      spark.sql(s"OPTIMIZE $t WHERE event_date = '$target'").collect()
+      val post = engine.tracker.currentVersion(table.name) match {
+        case PartitionedTableVersion(pvs) => pvs
+        case other => sys.error(s"unexpected $other")
+      }
+      val targetPart = Partition("event_date", target)
+      require(post(targetPart) != pre(targetPart),
+        "q_sql_optimize_where fixture: the selected partition was not rewritten")
+      (pre.keySet - targetPart).foreach { p =>
+        require(post(p) == pre(p),
+          s"q_sql_optimize_where fixture: OPTIMIZE WHERE touched unselected '${p.toPath}'")
+      }
+      SqlOptWhereFixture(spark, t)
+    })
+
   private val statsSkipFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StatsSkipFixture]()
 
@@ -1421,6 +1478,15 @@ object SparkEntry {
       "q_sql_optimize" ->
         s"""SELECT event_type, $duckFixtureAgg
            |FROM events GROUP BY 1""".stripMargin,
+      // scoped OPTIMIZE is layout-only too (the SCOPING itself is pinned by
+      // the fixture's version-identity requires)
+      "q_sql_optimize_where" ->
+        s"""SELECT CAST(ts AS DATE) AS event_date, event_type, $duckFixtureAgg
+           |FROM events GROUP BY 1, 2""".stripMargin,
+      // the live partition listing == the distinct partition values
+      "q_sql_show_partitions" ->
+        s"""SELECT DISTINCT 'event_date=' || CAST(CAST(ts AS DATE) AS VARCHAR)
+           |  AS partition FROM events""".stripMargin,
       // the commit log: init (1 op) → load (one AddPartitionVersion per
       // live event_date partition PLUS the round-14 SetTableSchema record —
       // the first data write is the schema-defining commit) → SQL OPTIMIZE

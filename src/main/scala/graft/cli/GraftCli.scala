@@ -40,7 +40,7 @@ import java.time.Instant
  *   graft-cli --store <uri> update <schema.table> <tableLocation> --where <sql predicate> --set col=expr [--set col=expr ...] [--dv] [--partition-by c1,c2] [--format F]
  *   # --dv = merge-on-read (deletion vectors): positions (and post-images) written, zero base bytes rewritten
  *   graft-cli --store <uri> merge <schema.table> <tableLocation> <sourceUri> --keys k1[,k2] [--delete-when <sql predicate>] [--partition-by c1,c2] [--format F] [--source-format F]
- *   graft-cli --store <uri> optimize <schema.table> <tableLocation> [--zorder c1,c2] [--files N] [--fold-dv] [--partition-by c1,c2] [--format F]
+ *   graft-cli --store <uri> optimize <schema.table> <tableLocation> [--where <partition predicate>] [--zorder c1,c2] [--files N] [--fold-dv] [--partition-by c1,c2] [--format F]
  *   graft-cli --store <uri> publish-group <t1> <loc1> <label1> [<t2> <loc2> <label2> ...]   # atomic multi-table publish
  *   # checkout/changes REF arguments accept a commit id, a tag name, or a timestamp (latest commit at or before)
  *   # every Spark-backed verb accepts --merge-schema for tables evolved with
@@ -544,8 +544,11 @@ object GraftCli {
               val engine = new graft.operators.VersionedTables(cliSpark(), tracker)
               val msg = if (message.nonEmpty) message else
                 s"optimize${if (zorder.nonEmpty) s" zorder (${zorder.mkString(", ")})" else ""}"
+              // --where scopes the rewrite to the exactly-matching
+              // partitions (the SQL verb's WHERE clause)
               val changes = graft.sql.GraftMaintenanceSql.runOptimize(
-                engine, table, user, msg, zorder, files.flatten)
+                engine, table, user, msg, zorder, files.flatten,
+                whereSql = flags.get("where"))
               out.println(s"optimized ${tracker.currentRef(t).id} " +
                 s"(${changes.operations.size} partition ops)")
               0

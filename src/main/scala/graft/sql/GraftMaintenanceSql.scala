@@ -25,7 +25,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType
  *
  * {{{
  *   DESCRIBE HISTORY graft.sales.accounts            -- the commit log
+ *   SHOW PARTITIONS graft.sales.accounts             -- live partitions, zero I/O
  *   OPTIMIZE graft.sales.accounts                    -- compact, 1 file/partition
+ *   OPTIMIZE graft.sales.accounts WHERE day = '2024-01-04'   -- scoped compact
  *   OPTIMIZE graft.sales.accounts ZORDER BY (a, b)   -- multi-dim clustering
  *   VACUUM graft.sales.accounts RETAIN 3 VERSIONS            -- reclaim
  *   VACUUM graft.sales.accounts RETAIN 3 VERSIONS DRY RUN    -- report only
@@ -63,7 +65,9 @@ object GraftMaintenanceSql {
   private val HistoryRe = java.util.regex.Pattern.compile(
     raw"""(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+graft\.$Ident\.$Ident\s*;?\s*""")
   private val OptimizeRe = java.util.regex.Pattern.compile(
-    raw"""(?is)\s*OPTIMIZE\s+graft\.$Ident\.$Ident(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""")
+    raw"""(?is)\s*OPTIMIZE\s+graft\.$Ident\.$Ident(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""")
+  private val ShowPartitionsRe = java.util.regex.Pattern.compile(
+    raw"""(?is)\s*SHOW\s+PARTITIONS\s+graft\.$Ident\.$Ident\s*;?\s*""")
   private val VacuumRe = java.util.regex.Pattern.compile(
     raw"""(?is)\s*VACUUM\s+graft\.$Ident\.$Ident(\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*""")
   private val RestoreRe = java.util.regex.Pattern.compile(
@@ -77,11 +81,15 @@ object GraftMaintenanceSql {
     if (h.matches()) return Some(GraftDescribeHistoryCommand(ident(h, 1), ident(h, 3)))
     val o = OptimizeRe.matcher(sqlText)
     if (o.matches()) {
-      val zorder = Option(o.group(5)).map(_.split(",").map(stripIdent).toSeq
+      val where = Option(o.group(5)).map(_.trim).filter(_.nonEmpty)
+      require(o.group(5) == null || where.isDefined, "OPTIMIZE ... WHERE is empty")
+      val zorder = Option(o.group(6)).map(_.split(",").map(stripIdent).toSeq
         .filter(_.nonEmpty)).getOrElse(Seq.empty)
-      require(o.group(5) == null || zorder.nonEmpty, "OPTIMIZE ... ZORDER BY () is empty")
-      return Some(GraftOptimizeCommand(ident(o, 1), ident(o, 3), zorder))
+      require(o.group(6) == null || zorder.nonEmpty, "OPTIMIZE ... ZORDER BY () is empty")
+      return Some(GraftOptimizeCommand(ident(o, 1), ident(o, 3), zorder, where))
     }
+    val sp = ShowPartitionsRe.matcher(sqlText)
+    if (sp.matches()) return Some(GraftShowPartitionsCommand(ident(sp, 1), ident(sp, 3)))
     val v = VacuumRe.matcher(sqlText)
     if (v.matches()) {
       require(v.group(5) != null,
@@ -121,18 +129,34 @@ object GraftMaintenanceSql {
   /** The one OPTIMIZE implementation (SQL verb and CLI share it): plain =
     * CAS-guarded compact to `files.getOrElse(1)` files per partition;
     * `zorderBy` nonEmpty = one read of the current version, Morton
-    * clustering, CAS commit. Partition columns refuse (they already prune
-    * by value); `files` must be >= 1 when given. */
+    * clustering, CAS commit. `whereSql` scopes the rewrite to the EXACTLY
+    * matching partitions (see [[partitionsMatching]]) — the 100 TB shape:
+    * a maintenance job compacts yesterday's partitions, never the table.
+    * Partition columns refuse in ZORDER BY (they already prune by value);
+    * `files` must be >= 1 when given. */
   def runOptimize(
       engine: graft.operators.VersionedTables,
       table: TableDefinition,
       user: UserId,
       message: String,
       zorderBy: Seq[String],
-      files: Option[Int]): TableChanges = {
+      files: Option[Int],
+      whereSql: Option[String] = None): TableChanges = {
     files.foreach(f => require(f >= 1, s"files per partition must be >= 1, got $f"))
+    val keep: Partition => Boolean = whereSql match {
+      case None => _ => true
+      case Some(w) =>
+        val pvs = engine.tracker.currentVersion(table.name) match {
+          case PartitionedTableVersion(m) => m.keys.toList.sortBy(_.toPath)
+          case _: SnapshotTableVersion => throw new IllegalArgumentException(
+            s"OPTIMIZE ... WHERE needs a partitioned table — " +
+              s"${table.name.fullyQualifiedName} is a snapshot table")
+        }
+        partitionsMatching(engine.spark, table, pvs, w)
+    }
     if (zorderBy.isEmpty)
-      engine.compact(table, user, message, filesPerPartition = files.getOrElse(1))._2
+      engine.compact(table, user, message, keep = keep,
+        filesPerPartition = files.getOrElse(1))._2
     else {
       zorderBy.foreach { c =>
         require(!table.partitionSchema.columnNames.exists(_.equalsIgnoreCase(c)),
@@ -140,13 +164,60 @@ object GraftMaintenanceSql {
             "pruned by value; z-order the columns you filter WITHIN partitions")
       }
       import graft.operators.VersionedTables.DatasetVersionedOps
-      // CAS on the head the rewrite read, exactly like compact
+      // CAS on the head the rewrite read, exactly like compact; an empty
+      // selection is a NO-OP (no write, no commit), like compact's
       val state = engine.tracker.tableState(table.name)
-      val n = files.getOrElse(
-        math.max(engine.spark.sparkContext.defaultParallelism, 2))
-      graft.operators.ScaleTools.zorderBy(engine.read(table), zorderBy, n)
-        .versionedInsertIntoIf(engine, table, user, message, state.currentVersion)._2
+      val selectionEmpty = state.currentTableVersion match {
+        case PartitionedTableVersion(pvs) => !pvs.keysIterator.exists(keep)
+        case SnapshotTableVersion(v)      => v == Version.Unversioned
+      }
+      if (selectionEmpty) TableChanges.empty
+      else {
+        val n = files.getOrElse(
+          math.max(engine.spark.sparkContext.defaultParallelism, 2))
+        val source =
+          if (whereSql.isEmpty) engine.read(table)
+          else engine.readPartitions(table, keep)
+        graft.operators.ScaleTools.zorderBy(source, zorderBy, n)
+          .versionedInsertIntoIf(engine, table, user, message, state.currentVersion)._2
+      }
     }
+  }
+
+  /** The EXACT partition set a WHERE clause selects: the clause is
+    * evaluated two-valued over a one-row-per-partition driver-side frame
+    * of the partition VALUES (known scalars — no "maybe" as in file
+    * skipping; null partitions evaluate as NULL). Values are the
+    * path-encoded STRINGS, so predicates compare lexically unless they
+    * cast. A clause referencing anything but partition columns refuses
+    * loudly, naming them. Bounded: one row per live partition. */
+  private[graft] def partitionsMatching(
+      spark: SparkSession,
+      table: TableDefinition,
+      pvs: List[Partition],
+      whereSql: String): Partition => Boolean = {
+    import scala.jdk.CollectionConverters._
+    val partCols = table.partitionSchema.columnNames
+    val schema = StructType(
+      org.apache.spark.sql.types.StructField("_graft_part_idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+      partCols.map(c => org.apache.spark.sql.types.StructField(c, StringType, nullable = true)))
+    val rows: java.util.List[Row] = pvs.zipWithIndex.map { case (p, i) =>
+      Row.fromSeq(i +: p.columnValues.map(cv =>
+        if (cv.value == graft.core.PathCodec.DefaultPartitionName) null else cv.value))
+    }.asJava
+    val df = spark.createDataFrame(rows, schema)
+    val kept =
+      try df.filter(org.apache.spark.sql.functions.expr(whereSql))
+        .select("_graft_part_idx").collect().map(_.getInt(0)).toSet
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"OPTIMIZE ... WHERE may reference only the partition columns " +
+              s"(${partCols.mkString(", ")}): ${e.getMessage}")
+      }
+    val keptParts = kept.map(pvs)
+    keptParts.contains _
   }
 }
 
@@ -175,10 +246,16 @@ final case class GraftDescribeHistoryCommand(schemaName: String, tableName: Stri
     s"GraftDescribeHistoryCommand graft.$schemaName.$tableName"
 }
 
-/** `OPTIMIZE graft.s.t [ZORDER BY (cols)]` — CAS-guarded layout rewrite:
-  * plain = 1 file per partition; ZORDER = Morton-clustered files so stats
-  * manifests and row-group pruning skip on every listed dimension. */
-final case class GraftOptimizeCommand(schemaName: String, tableName: String, zorderBy: Seq[String])
+/** `OPTIMIZE graft.s.t [WHERE <partition predicate>] [ZORDER BY (cols)]` —
+  * CAS-guarded layout rewrite: plain = 1 file per partition; ZORDER =
+  * Morton-clustered files so stats manifests and row-group pruning skip on
+  * every listed dimension. WHERE scopes the rewrite to the exactly-matching
+  * partitions (Delta-style partial OPTIMIZE — at 100 TB you compact
+  * yesterday, never the table); the clause may reference only partition
+  * columns and is evaluated two-valued over their known values. */
+final case class GraftOptimizeCommand(
+    schemaName: String, tableName: String, zorderBy: Seq[String],
+    whereSql: Option[String] = None)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -188,15 +265,44 @@ final case class GraftOptimizeCommand(schemaName: String, tableName: String, zor
   override def run(session: SparkSession): Seq[Row] = {
     val entry = GraftMaintenanceSql.entryFor(schemaName, tableName)
     val msg = s"SQL OPTIMIZE graft.$schemaName.$tableName" +
+      whereSql.map(w => s" WHERE $w").getOrElse("") +
       (if (zorderBy.nonEmpty) s" ZORDER BY (${zorderBy.mkString(", ")})" else "")
     val changes = GraftMaintenanceSql.runOptimize(entry.engine, entry.table,
-      GraftMaintenanceSql.sqlUser(session), msg, zorderBy, files = None)
+      GraftMaintenanceSql.sqlUser(session), msg, zorderBy, files = None,
+      whereSql = whereSql)
     Seq(Row(changes.operations.size.toLong, zorderBy.mkString(", ")))
   }
 
   override def simpleString(maxFields: Int): String =
     s"GraftOptimizeCommand graft.$schemaName.$tableName" +
+      whereSql.map(w => s" WHERE $w").getOrElse("") +
       (if (zorderBy.nonEmpty) s" ZORDER BY (${zorderBy.mkString(", ")})" else "")
+}
+
+/** `SHOW PARTITIONS graft.s.t` — the live partitions of the CURRENT
+  * version, one Hive-escaped path per row (Spark's native output shape),
+  * straight from the commit log: zero filesystem I/O at any table size.
+  * Snapshot tables refuse, like Spark's own SHOW PARTITIONS on an
+  * unpartitioned table. */
+final case class GraftShowPartitionsCommand(schemaName: String, tableName: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val entry = GraftMaintenanceSql.entryFor(schemaName, tableName)
+    entry.engine.tracker.currentVersion(entry.table.name) match {
+      case PartitionedTableVersion(pvs) =>
+        pvs.keys.toList.map(_.toHivePath).sorted.map(Row(_))
+      case _: SnapshotTableVersion => throw new IllegalArgumentException(
+        s"SHOW PARTITIONS: graft.$schemaName.$tableName is a snapshot table " +
+          "(not partitioned)")
+    }
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftShowPartitionsCommand graft.$schemaName.$tableName"
 }
 
 /** `VACUUM graft.s.t RETAIN n VERSIONS [DRY RUN]` — reclaim expired version

@@ -98,6 +98,60 @@ class GraftMaintenanceSqlSpec extends AnyFlatSpec with Matchers {
     spans.min should be < 399L
   }
 
+  it should "scope OPTIMIZE to the WHERE-matching partitions only" in {
+    val (engine, table, t) = fixture()
+    val pre = engine.tracker.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions
+    spark.sql(s"OPTIMIZE $t WHERE day = '2024-01-04'").collect()
+    val post = engine.tracker.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions
+    // untouched partitions keep their EXACT versions — the scoped-rewrite law
+    List("2024-01-01", "2024-01-02", "2024-01-03").foreach { d =>
+      post(Partition("day", d)) shouldBe pre(Partition("day", d))
+    }
+    post(Partition("day", "2024-01-04")) should not be pre(Partition("day", "2024-01-04"))
+    // the selected partition collapsed to one file; rows unchanged
+    engine.read(table).where(col("day") === "2024-01-04")
+      .select(input_file_name()).distinct().count() shouldBe 1
+    engine.read(table).count() shouldBe 1600
+
+    // a WHERE matching nothing is a NO-OP: no write, no commit
+    val head = engine.headCommit(table.name)
+    spark.sql(s"OPTIMIZE $t WHERE day = 'no-such-day'").collect()
+    engine.headCommit(table.name) shouldBe head
+
+    // WHERE + ZORDER BY composes: only the selected partition rewrites
+    spark.sql(s"OPTIMIZE $t WHERE day = '2024-01-03' ZORDER BY (id)").collect()
+    val post2 = engine.tracker.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions
+    post2(Partition("day", "2024-01-04")) shouldBe post(Partition("day", "2024-01-04"))
+    post2(Partition("day", "2024-01-03")) should not be post(Partition("day", "2024-01-03"))
+    engine.read(table).count() shouldBe 1600
+
+    // non-partition columns refuse loudly, naming the partition columns
+    intercept[Exception] {
+      spark.sql(s"OPTIMIZE $t WHERE id = 5").collect()
+    }.getMessage should include("partition columns")
+  }
+
+  behavior of "SHOW PARTITIONS"
+
+  it should "list live partitions from the commit log, newest state, zero I/O" in {
+    val (engine, table, t) = fixture()
+    spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)).sorted shouldBe
+      Array("day=2024-01-01", "day=2024-01-02", "day=2024-01-03", "day=2024-01-04")
+    // a DELETE that empties a partition drops it from the listing
+    spark.sql(s"DELETE FROM $t WHERE day = '2024-01-02'")
+    spark.sql(s"SHOW PARTITIONS $t").collect().map(_.getString(0)).sorted shouldBe
+      Array("day=2024-01-01", "day=2024-01-03", "day=2024-01-04")
+    // unregistered tables refuse with the registry named
+    intercept[IllegalArgumentException] {
+      spark.sql("SHOW PARTITIONS graft.nosuch.table11").collect()
+    }.getMessage should include("not a registered graft table")
+    // non-graft SHOW PARTITIONS delegates to the session parser untouched
+    intercept[Exception] { spark.sql("SHOW PARTITIONS nodb.notable").collect() }
+  }
+
   it should "refuse ZORDER BY on partition columns" in {
     val (_, _, t) = fixture()
     intercept[Exception] {
