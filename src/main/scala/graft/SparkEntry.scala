@@ -272,6 +272,9 @@ object SparkEntry {
     "q_sql_optimize_where" -> ((spark, dir) => sqlOptWhereFixture(spark, dir).aggregate),
     // SHOW PARTITIONS straight from the commit log — zero filesystem I/O
     "q_sql_show_partitions" -> ((spark, dir) => sqlOptWhereFixture(spark, dir).partitions),
+    // ANALYZE TABLE backfills stats manifests for a table written BEFORE
+    // any stats config — the read then goes through the skipping path
+    "q_sql_analyze" -> ((spark, dir) => sqlAnalyzeFixture(spark, dir)),
     // DESCRIBE HISTORY: the commit log as SQL rows — seq/user/verb pinned
     // exactly, operation counts recomputed by the oracle from the data
     // (load and optimize each touch one op per live partition)
@@ -1205,6 +1208,40 @@ object SparkEntry {
       SqlOptWhereFixture(spark, t)
     })
 
+  /** q_sql_analyze fixture: a table written BEFORE any stats config (no
+    * manifests), re-registered with one, then `ANALYZE TABLE ... COMPUTE
+    * STATISTICS` backfills the missing manifests — the fixture requires
+    * the manifest to exist afterwards (so the gate can't pass on a no-op)
+    * and the query reads through the skipping path. */
+  private val sqlAnalyzeFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def sqlAnalyzeFixture(spark: SparkSession, sfDir: String): DataFrame =
+    sqlAnalyzeFixtureCache.computeIfAbsent((spark, sfDir), _ => {
+      Tables.prepare(spark)
+      spark.conf.set(graft.sql.GraftSqlWrites.UserKey, "driver")
+      val root = graft.FixtureTempDirs.create("graft-sqlanalyze-")
+      val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+      val bare = TableDefinition(TableName("graft", "events_analyze"),
+        root.resolve("events_analyze").toUri, PartitionSchema("event_date"),
+        FileFormat.Parquet) // NO stats config: the load writes no manifests
+      engine.initTable(bare, UserId("driver"), "init")
+      val events = Tables.events(spark, sfDir)
+        .withColumn("event_date", to_date(col("ts"))).localCheckpoint()
+      events.repartitionByRange(8, col("event_id"))
+        .versionedInsertInto(engine, bare, UserId("driver"), "pre-stats load")
+      val statted = bare.copy(stats = Some(graft.core.ColumnStatsConfig(
+        statsColumns = List("event_id", "value"))))
+      graft.sql.GraftTableRegistry.register(engine, statted)
+      val t = s"graft.${statted.name.fullyQualifiedName}"
+      val written = spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS").collect()
+      require(written.nonEmpty, "q_sql_analyze fixture: backfill wrote no manifest")
+      val threshold = events.agg(max(col("event_id"))).head().getLong(0) / 10
+      spark.sql(
+        s"""SELECT event_type, $duckFixtureAgg
+           |FROM $t WHERE event_id < $threshold GROUP BY 1""".stripMargin)
+    })
+
   private val statsSkipFixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StatsSkipFixture]()
 
@@ -1487,6 +1524,12 @@ object SparkEntry {
       "q_sql_show_partitions" ->
         s"""SELECT DISTINCT 'event_date=' || CAST(CAST(ts AS DATE) AS VARCHAR)
            |  AS partition FROM events""".stripMargin,
+      // backfilled skipping is exact: the filtered aggregate, plainly
+      "q_sql_analyze" ->
+        s"""SELECT event_type, $duckFixtureAgg
+           |FROM events
+           |WHERE event_id < (SELECT CAST(FLOOR(MAX(event_id) / 10) AS BIGINT) FROM events)
+           |GROUP BY 1""".stripMargin,
       // the commit log: init (1 op) → load (one AddPartitionVersion per
       // live event_date partition PLUS the round-14 SetTableSchema record —
       // the first data write is the schema-defining commit) → SQL OPTIMIZE

@@ -486,6 +486,52 @@ object TableStats {
     writeManifest(spark.sparkContext.hadoopConfiguration, table.location, manifest)
   }
 
+  /** Backfill the MISSING stats manifests of the table's CURRENT version
+    * state — the `ANALYZE TABLE` path that gives adopted / imported /
+    * pre-stats-config tables the same file skipping new writes get at
+    * commit time. One scan per distinct missing version label (grouped, so
+    * a 10k-partition table written by one commit scans once, not 10k
+    * times); versions with a manifest are skipped (manifests are
+    * immutable — never overwritten). Deletion-vector markers backfill
+    * their BASE version (skipping prunes THROUGH markers via base
+    * manifests; update-marker rows stay unconditionally in by design);
+    * adopted `Unversioned` partitions have no stable version directory and
+    * are skipped. Returns (label, partitions scanned) per manifest
+    * written. Backfill is the one writer that violates the manifest
+    * cache's "absence is final" assumption, so each write invalidates its
+    * cache entry. */
+  def backfillManifests(
+      engine: VersionedTables, table: TableDefinition): List[(String, Int)] = {
+    require(table.stats.isDefined,
+      s"${table.name.fullyQualifiedName} declares no ColumnStatsConfig — set " +
+        "stats.columns (TBLPROPERTIES or TableDefinition.stats) before ANALYZE")
+    val conf = engine.spark.sparkContext.hadoopConfiguration
+    val byVersion: Map[Version, List[Partition]] =
+      engine.tracker.currentVersion(table.name) match {
+        case SnapshotTableVersion(v) =>
+          if (v == Version.Unversioned) Map.empty else Map(v -> Nil)
+        case PartitionedTableVersion(pvs) =>
+          pvs.toList.flatMap { case (p, v0) =>
+            if (v0 == Version.Unversioned) None
+            else if (Version.isDeleteMarker(v0))
+              Some((DeleteVectors.readBase(conf, table, p, v0), p))
+            else Some((v0, p))
+          }.groupMap(_._1)(_._2)
+      }
+    byVersion.toList.sortBy(_._1.label).flatMap { case (v, parts) =>
+      if (readManifest(conf, table.location, v.label).isDefined) None
+      else {
+        collectAndWrite(engine.spark, table, v, parts)
+        manifestCache.remove((table.location.toString, v.label))
+        // written only when the version actually produced one (formats /
+        // columns outside the config write nothing — report honestly)
+        if (readManifest(conf, table.location, v.label).isDefined)
+          Some(v.label -> parts.size)
+        else None
+      }
+    }
+  }
+
   /** `date=2024-01-01/_version=<label>/part-0.parquet` → `date=2024-01-01`;
     * snapshot layout (`_version=<label>/part-0.parquet`) → "". */
   private[operators] def partitionOfRelativePath(rel: String): String = {

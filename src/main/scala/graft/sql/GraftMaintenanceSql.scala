@@ -31,6 +31,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType
  *   OPTIMIZE graft.sales.accounts ZORDER BY (a, b)   -- multi-dim clustering
  *   VACUUM graft.sales.accounts RETAIN 3 VERSIONS            -- reclaim
  *   VACUUM graft.sales.accounts RETAIN 3 VERSIONS DRY RUN    -- report only
+ *   ANALYZE TABLE graft.sales.accounts COMPUTE STATISTICS    -- backfill stats manifests
  * }}}
  *
  * Semantics:
@@ -74,6 +75,8 @@ object GraftMaintenanceSql {
     raw"""(?is)\s*RESTORE\s+TABLE\s+graft\.$Ident\.$Ident\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+'([^']*)'\s*;?\s*""")
   private val AddColumnsRe = java.util.regex.Pattern.compile(
     raw"""(?is)\s*ALTER\s+TABLE\s+graft\.$Ident\.$Ident\s+ADD\s+COLUMNS?\s*\(([^)]*)\)\s*;?\s*""")
+  private val AnalyzeRe = java.util.regex.Pattern.compile(
+    raw"""(?is)\s*ANALYZE\s+TABLE\s+graft\.$Ident\.$Ident\s+COMPUTE\s+STATISTICS\s*;?\s*""")
 
   /** The maintenance statement in `sqlText`, if it is one. */
   def parse(sqlText: String): Option[LogicalPlan] = {
@@ -90,6 +93,8 @@ object GraftMaintenanceSql {
     }
     val sp = ShowPartitionsRe.matcher(sqlText)
     if (sp.matches()) return Some(GraftShowPartitionsCommand(ident(sp, 1), ident(sp, 3)))
+    val an = AnalyzeRe.matcher(sqlText)
+    if (an.matches()) return Some(GraftAnalyzeCommand(ident(an, 1), ident(an, 3)))
     val v = VacuumRe.matcher(sqlText)
     if (v.matches()) {
       require(v.group(5) != null,
@@ -503,6 +508,33 @@ final case class GraftDescribeTableCommand(
   override def simpleString(maxFields: Int): String =
     s"GraftDescribeTableCommand graft.$schemaName.$tableName" +
       (if (isExtended) " EXTENDED" else "")
+}
+
+/** `ANALYZE TABLE graft.s.t COMPUTE STATISTICS` — BACKFILL the missing
+  * stats manifests of the CURRENT version state
+  * ([[graft.operators.TableStats.backfillManifests]]): the path that gives
+  * adopted / imported / pre-stats tables the same commit-time file
+  * skipping new writes get. One scan per distinct missing version label;
+  * existing manifests are never rewritten (they're immutable); DV markers
+  * backfill their BASE version. Requires a declared
+  * [[graft.core.ColumnStatsConfig]] (set `stats.columns` in TBLPROPERTIES
+  * or the TableDefinition) — refuses loudly otherwise. Returns one row per
+  * manifest written (empty = already fully covered). */
+final case class GraftAnalyzeCommand(schemaName: String, tableName: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version_label", StringType, nullable = false)(),
+    AttributeReference("partitions_scanned", IntegerType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val entry = GraftMaintenanceSql.entryFor(schemaName, tableName)
+    graft.operators.TableStats.backfillManifests(entry.engine, entry.table)
+      .map { case (label, parts) => Row(label, parts) }
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftAnalyzeCommand graft.$schemaName.$tableName COMPUTE STATISTICS"
 }
 
 /** The delegating parser: [[GraftMaintenanceSql.parse]] first, the session

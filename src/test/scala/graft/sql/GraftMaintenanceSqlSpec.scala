@@ -314,6 +314,59 @@ class GraftMaintenanceSqlSpec extends AnyFlatSpec with Matchers {
     read2.filter("note IS NULL").count() shouldBe 1
   }
 
+  behavior of "ANALYZE TABLE"
+
+  it should "backfill manifests so pre-stats tables gain real file skipping" in {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-analyze-")
+    val engine = VersionedTables.withFileStore(spark, dir.resolve("store").toUri)
+    // written with NO stats config: zero manifests on disk
+    val bare = TableDefinition(TableName("maint", s"analyze${seq.incrementAndGet()}"),
+      dir.resolve("t").toUri, PartitionSchema("day"), FileFormat.Parquet)
+    engine.initTable(bare, UserId("t"), "init")
+    (0L until 1000L).map(k => (k, "d0")).toDF("k", "day")
+      .repartitionByRange(4, col("k")) // 4 files, disjoint k-ranges
+      .versionedInsertInto(engine, bare, UserId("t"), "pre-stats load")
+    // no declared config refuses, naming the knob
+    intercept[IllegalArgumentException] {
+      graft.operators.TableStats.backfillManifests(engine, bare)
+    }.getMessage should include("stats.columns")
+
+    val statted = bare.copy(stats = Some(ColumnStatsConfig(List("k"))))
+    GraftTableRegistry.register(engine, statted)
+    val t = s"graft.${statted.name.fullyQualifiedName}"
+    val written = spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS").collect()
+    written should have size 1
+    written.head.getInt(1) shouldBe 1 // one partition scanned for the one label
+    // idempotent: manifests are immutable, nothing to write the second time
+    spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS").collect() shouldBe empty
+
+    // the backfilled manifest drives REAL pruning: corrupt every file whose
+    // k-range the predicate excludes; the skipping read still answers
+    // exactly, the unpruned read fails on the corrupt bytes
+    val expected = (0L until 100L).toArray
+    engine.readWhere(statted, col("k") < 100)
+      .select("k").as[Long].collect().sorted shouldBe expected
+    def walk(f: java.io.File): List[java.io.File] =
+      if (f.isDirectory) f.listFiles().toList.flatMap(walk) else List(f)
+    val dataFiles = walk(dir.resolve("t").toFile).filter(_.getName.endsWith(".parquet"))
+    val spared = spark.read.parquet(dataFiles.map(_.getPath): _*)
+      .withColumn("f", col("_metadata.file_path"))
+      .filter(col("k") < 100).select("f").distinct()
+      .collect().map(_.getString(0)).toSet
+    val corrupted = dataFiles.filterNot(f => spared.exists(_.endsWith(f.getName)))
+    corrupted should not be empty
+    corrupted.foreach(f => java.nio.file.Files.write(f.toPath, Array.fill[Byte](32)(0x22)))
+    engine.readWhere(statted, col("k") < 100)
+      .select("k").as[Long].collect().sorted shouldBe expected
+    // control must be an aggregate metadata CANNOT answer (SUM) — a plain
+    // COUNT now collapses to the backfilled manifests via the
+    // metadata-aggregate rule and never touches the corrupt bytes
+    intercept[Exception] { engine.read(statted).agg(sum(col("k"))).collect() }
+    // ...which is itself worth pinning: zero-IO COUNT over corrupt files
+    engine.read(statted).count() shouldBe 1000L
+  }
+
   behavior of "VACUUM"
 
   it should "require an explicit RETAIN clause" in {
