@@ -26,6 +26,7 @@ import java.time.Instant
  *   graft-cli --store <uri> untag <schema.table> <name>
  *   graft-cli --store <uri> changes <schema.table> <fromCommitId> <toCommitId>
  *   graft-cli --store <uri> row-changes <schema.table> <tableLocation> <fromCommitId> <toCommitId> --keys k1[,k2] --out <dir> [--partition-by c1,c2] [--format F]
+ *   graft-cli --store <uri> analyze <schema.table> <tableLocation> --stats-columns c1[,c2] [--bloom-keys k1,k2] [--partition-by c1,c2]   # backfill stats manifests
  *   graft-cli --store <uri> stats <schema.table> <tableLocation> [--partition-by c1,c2]
  *   graft-cli --store <uri> stats-checkpoint <schema.table> <tableLocation> [--partition-by c1,c2]
  *   graft-cli --store <uri> vacuum <schema.table> <location> [--keep-last N] [--apply]
@@ -676,6 +677,35 @@ object GraftCli {
       // manifests are plain JSON on a Hadoop FileSystem, read through the
       // same per-label cache the pruning passes use (one read per label,
       // however many partitions share it).
+      // analyze <table> <location> --stats-columns c1[,c2] [--bloom-keys ...]
+      // — the SQL ANALYZE TABLE twin: BACKFILL the missing stats manifests
+      // of the current version state, so pre-stats/adopted/imported tables
+      // gain commit-time file skipping retroactively
+      case List("analyze", name, location) => withTable(name) { t =>
+        withTableDef(t, location, flags, out) { table0 =>
+          val statsCols = flags.get("stats-columns").toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toList
+          val bloomKeys = flags.get("bloom-keys").toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toList
+          if (statsCols.isEmpty && table0.stats.isEmpty) {
+            out.println("error: analyze needs --stats-columns c1[,c2...] " +
+              "(the columns to collect min/max/null-count manifests for)"); 2
+          } else {
+            val table =
+              if (statsCols.isEmpty) table0
+              else table0.copy(stats = Some(graft.core.ColumnStatsConfig(
+                statsCols, bloomKeyColumns = bloomKeys)))
+            val engine = new graft.operators.VersionedTables(cliSpark(), tracker)
+            val written = graft.operators.TableStats.backfillManifests(engine, table)
+            if (written.isEmpty) out.println("all live versions already carry manifests")
+            else written.foreach { case (label, parts) =>
+              out.println(s"wrote manifest $label ($parts partitions scanned)")
+            }
+            0
+          }
+        }
+      }
+
       case List("stats", name, location) => withTable(name) { t =>
         withTableDef(t, location, flags, out) { table =>
           val conf = new org.apache.hadoop.conf.Configuration()
@@ -795,7 +825,7 @@ object GraftCli {
 
       case other =>
         out.println(s"""error: unknown command: ${other.mkString(" ")}
-          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|restore|tag|tags|untag|changes|row-changes|delete|update|optimize|stats|stats-checkpoint|summary|vacuum|migrate|export|sync|stage|audit|publish|publish-group|merge> ...""".stripMargin)
+          |usage: graft-cli --store <uri> <tables|init|log|partitions|partition add|partition remove|checkout|restore|tag|tags|untag|changes|row-changes|delete|update|optimize|analyze|stats|stats-checkpoint|summary|vacuum|migrate|export|sync|stage|audit|publish|publish-group|merge> ...""".stripMargin)
         2
     } catch {
       case e @ (_: UnknownTableError | _: UnknownCommitError |

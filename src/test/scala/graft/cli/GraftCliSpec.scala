@@ -561,6 +561,51 @@ class GraftCliSpec extends AnyFlatSpec with Matchers {
     // z-order on a partition column refuses
     cli("optimize", "sales.opt_ev", loc, "--zorder", "day",
       "--partition-by", "day")._1 shouldBe 2
+
+    // --where scopes the rewrite to the matching partitions only
+    val preWhere = tracker.currentVersion(graft.core.TableName("sales", "opt_ev"))
+      .asInstanceOf[graft.core.PartitionedTableVersion].partitionVersions
+    val (c3, _) = cli("optimize", "sales.opt_ev", loc,
+      "--where", "day = 'd1'", "--partition-by", "day")
+    c3 shouldBe 0
+    val postWhere = tracker.currentVersion(graft.core.TableName("sales", "opt_ev"))
+      .asInstanceOf[graft.core.PartitionedTableVersion].partitionVersions
+    postWhere(graft.core.Partition("day", "d2")) shouldBe
+      preWhere(graft.core.Partition("day", "d2"))
+    postWhere(graft.core.Partition("day", "d1")) should not be
+      preWhere(graft.core.Partition("day", "d1"))
+  }
+
+  it should "analyze: backfill stats manifests for a pre-stats table" in {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import graft.operators.VersionedTables._
+    val root = Files.createTempDirectory("graft-cli-analyze-")
+    val loc = root.resolve("ev").toUri
+    cli("init", "sales.an_ev")._1 shouldBe 0
+    val tracker = new graft.sources.FileBackedVersionTracker(new java.net.URI(store))
+    val engine = new graft.operators.VersionedTables(spark, tracker)
+    val bare = graft.core.TableDefinition(
+      graft.core.TableName("sales", "an_ev"), loc,
+      graft.core.PartitionSchema("day"), graft.core.FileFormat.Parquet)
+    (0L until 200L).map(i => (i, if (i % 2 == 0) "d1" else "d2"))
+      .toDF("k", "day").versionedInsertInto(engine, bare, graft.core.UserId("t"), "load")
+
+    // missing --stats-columns on a config-less table is a usage error
+    cli("analyze", "sales.an_ev", loc.toString, "--partition-by", "day")._1 shouldBe 2
+    val (ca, outA) = cli("analyze", "sales.an_ev", loc.toString,
+      "--stats-columns", "k", "--partition-by", "day")
+    ca shouldBe 0
+    outA should include("wrote manifest")
+    // idempotent
+    cli("analyze", "sales.an_ev", loc.toString,
+      "--stats-columns", "k", "--partition-by", "day")._2 should
+      include("already carry manifests")
+    // the backfilled table prunes through readWhere like a stats-born one
+    val statted = bare.copy(stats =
+      Some(graft.core.ColumnStatsConfig(List("k"))))
+    engine.readWhere(statted, org.apache.spark.sql.functions.col("k") < 10)
+      .count() shouldBe 10
   }
 
   it should "optimize an EVOLVED table with --merge-schema, keeping the new column" in {
