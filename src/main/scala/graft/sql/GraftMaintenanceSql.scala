@@ -221,7 +221,8 @@ object GraftMaintenanceSql {
             s"OPTIMIZE ... WHERE may reference only the partition columns " +
               s"(${partCols.mkString(", ")}): ${e.getMessage}")
       }
-    val keptParts = kept.map(pvs)
+    val byIdx = pvs.toArray // List.apply per kept index would be O(n^2)
+    val keptParts: Set[Partition] = kept.map(byIdx(_))
     keptParts.contains _
   }
 }
