@@ -53,9 +53,13 @@ import java.net.URI
  * self-contained unit — rewriting it IS the merge-on-read-free answer);
  * adopted (unversioned) partitions refuse (their data sits at the
  * partition root, which has no stable file set to anchor positions to);
- * Hive/Glue catalog sync REFUSES marker versions (an external reader
- * pointed at a marker directory would silently read empty — fold with
- * compact/OPTIMIZE before syncing); chronicles export refuses likewise.
+ * Hive/Glue catalog sync REFUSES marker versions by default (an external
+ * reader pointed at a marker directory would silently read empty — fold
+ * with compact/OPTIMIZE before syncing); `spark.graft.dv.catalogSync=base`
+ * opts into the degraded mode that syncs the markers' BASE versions with a
+ * loud warning (external readers then see pre-delete rows until folded).
+ * Chronicles export refuses unconditionally (the wire format cannot carry
+ * the binding).
  *
  * Positions anchor to file paths RELATIVE to the table root, so relocating
  * the whole table directory (copy + re-point `TableDefinition.location`)
