@@ -671,21 +671,25 @@ final class VersionedTables(
   private[operators] def requireCompatibleSchema(
       table: TableDefinition, df: DataFrame,
       allowAdditive: Boolean = false,
-      pinnedState: Option[TableState] = None): Option[CommitId] = {
+      pinnedState: Option[HeadState] = None): Option[CommitId] = {
     if (table.format != FileFormat.Parquet && table.format != FileFormat.Orc) return None
     // a snapshot insert REPLACES the entire visible table (AddTableVersion)
     // — every read loads exactly one self-contained version dir, so mixed
     // schemas cannot occur and a schema change is as legitimate as it is
     // via versionedReplaceAll on partitioned tables
     if (table.isSnapshot) return None
-    val st = pinnedState.getOrElse(tracker.tableState(table.name))
+    // headState, not tableState: the guard runs on EVERY write, and a
+    // streaming sink's 100k-commit history must not be materialized per
+    // micro-batch — the fold checkpoint serves ref+fold+schema in
+    // O(partitions + tail)
+    val st = pinnedState.getOrElse(tracker.headState(table.name))
     val incoming = schemaShape(table, df.schema)
     Option(schemaShapeCache.get(table.name)) match {
-      case Some((head, shape)) if head == st.currentVersion && shape == incoming =>
-        return Some(st.currentVersion) // verified at this exact head already
+      case Some((head, shape)) if head == st.head && shape == incoming =>
+        return Some(st.head) // verified at this exact head already
       case _ => ()
     }
-    val sample = st.currentTableVersion match {
+    val sample = st.version match {
       case PartitionedTableVersion(pvs) if pvs.nonEmpty =>
         val (p, v) = pvs.minBy(_._1.toPath)
         Some(PartitionedTableVersion(Map(p -> v)))
@@ -703,8 +707,8 @@ final class VersionedTables(
       // tables keep the cheap one-partition sample.
       val existing = schemaShape(table,
         if (table.mergesSchema)
-          VersionedTables.parseSchemaJson(st.currentSchemaJson)
-            .getOrElse(readVersion(table, st.currentTableVersion).schema)
+          VersionedTables.parseSchemaJson(st.schemaJson)
+            .getOrElse(readVersion(table, st.version).schema)
         else readVersion(table, sv).schema)
       // an empty existing shape means the sample was unreadable (e.g. an
       // adopted partition whose files are gone) — nothing trustworthy to
@@ -734,9 +738,9 @@ final class VersionedTables(
                 "partitions. Align the dataset's columns, use versionedInsertIntoEvolving " +
                 "for additive column adds, or versionedReplaceAll to rewrite the whole " +
                 "table under the new schema."))
-      if (!widens) schemaShapeCache.put(table.name, (st.currentVersion, existing))
+      if (!widens) schemaShapeCache.put(table.name, (st.head, existing))
     }
-    Some(st.currentVersion)
+    Some(st.head)
   }
 
   /** The recorded schema AS OF commit `id`, as a read-planning hint. Only
@@ -933,14 +937,23 @@ object VersionedTables {
       table: TableDefinition, st: TableState,
       written: StructType,
       definesWholeTable: Boolean = false): List[TableOperation] =
+    schemaOpsFor(table, st.currentSchemaJson, st.currentTableVersion, written, definesWholeTable)
+
+  /** [[schemaOpsFor]] from the RESOLVED pieces alone — what the hot write
+    * path passes from [[graft.core.HeadState]] so a streaming sink never
+    * materializes its history to decide whether to record a schema. */
+  private[operators] def schemaOpsFor(
+      table: TableDefinition, recordedJson: Option[String], current: TableVersion,
+      written: StructType,
+      definesWholeTable: Boolean): List[TableOperation] =
     if (table.format != FileFormat.Parquet && table.format != FileFormat.Orc) Nil
     else {
       def shape(s: StructType): Set[(String, String)] =
         s.fields.iterator.filterNot(_.name == Version.VersionColumn)
           .map(f => (f.name.toLowerCase, f.dataType.catalogString)).toSet
       val clean = StructType(written.filterNot(_.name == Version.VersionColumn).toArray)
-      val recorded = parseSchemaJson(st.currentSchemaJson)
-      val firstWrite = st.currentTableVersion match {
+      val recorded = parseSchemaJson(recordedJson)
+      val firstWrite = current match {
         case PartitionedTableVersion(pvs) => pvs.isEmpty
         case SnapshotTableVersion(v)      => v == Version.Unversioned
       }
@@ -1360,9 +1373,11 @@ object VersionedTables {
         writeManifest: Boolean = false,
         allowAdditive: Boolean = false): StagedWrite = {
       checkSparkConfigs(ds.sparkSession)
-      // one pinned state serves the schema guard, the replace-all remove
-      // set, and the schema-record decision
-      val pinned = engine.tracker.tableState(table.name)
+      // one pinned HEAD state serves the schema guard, the replace-all
+      // remove set, and the schema-record decision — resolved from the fold
+      // checkpoint + tail, so a streaming sink's per-micro-batch write cost
+      // never grows with its commit count
+      val pinned = engine.tracker.headState(table.name)
       // replace-all rewrites the whole visible table, so it is ALLOWED to
       // change the schema; a partial insert is not (mixed-schema partitions)
       if (!replaceAll) {
@@ -1377,7 +1392,8 @@ object VersionedTables {
       // record the schema when this commit DEFINES it (first write,
       // evolution, replace-all reshape) — what lets evolved-table reads and
       // guards resolve schemas from the log instead of data-file footers
-      val schemaOps = VersionedTables.schemaOpsFor(table, pinned, ds.toDF().schema,
+      val schemaOps = VersionedTables.schemaOpsFor(
+        table, pinned.schemaJson, pinned.version, ds.toDF().schema,
         definesWholeTable = replaceAll || table.isSnapshot)
       val version = Version.generate()
       val ops: List[TableOperation] =
@@ -1397,7 +1413,7 @@ object VersionedTables {
           val adds = parts.map(TableOperation.AddPartitionVersion(_, version))
           val removes =
             if (!replaceAll) Nil
-            else pinned.currentTableVersion match {
+            else pinned.version match {
               case PartitionedTableVersion(pvs) =>
                 val kept = parts.toSet
                 pvs.keysIterator.filterNot(kept).toList.sortBy(_.toPath)

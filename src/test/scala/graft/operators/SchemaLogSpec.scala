@@ -173,4 +173,43 @@ class SchemaLogSpec extends AnyFlatSpec with Matchers {
     VersionedTables.schemaOpsFor(table, st,
       Seq((1L, "d1")).toDF("k", "day").schema, definesWholeTable = true).size shouldBe 1
   }
+
+  it should "write to a long checkpointed history in O(tail) commit parses (headState-backed)" in {
+    // a streaming sink's shape: many one-partition commits, fold checkpoint
+    // in place — the per-write guard + schema-record decision must parse the
+    // TAIL, never the history
+    val dir = Files.createTempDirectory("graft-slog-write-").toFile
+    val trackerA = new graft.sources.FileBackedVersionTracker(
+      new java.io.File(dir, "store").toURI, spark.sparkContext.hadoopConfiguration,
+      checkpointInterval = 8)
+    val engine = new VersionedTables(spark, trackerA)
+    val table = TableDefinition(TableName("slog", s"sink${seq.incrementAndGet()}"),
+      new java.io.File(dir, "t").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      options = Map("mergeSchema" -> "true"))
+    engine.initTable(table, UserId("t"), "init")
+    (0 until 17).foreach { i =>
+      Seq((i.toLong, f"d$i%03d")).toDF("k", "day")
+        .versionedInsertInto(engine, table, UserId("t"), s"micro-batch $i")
+    }
+    // fresh tracker instance: its parse counter starts at zero
+    val trackerB = new graft.sources.FileBackedVersionTracker(
+      new java.io.File(dir, "store").toURI, spark.sparkContext.hadoopConfiguration,
+      checkpointInterval = 8)
+    val engineB = new VersionedTables(spark, trackerB)
+    Seq((99L, "d099")).toDF("k", "day")
+      .versionedInsertInto(engineB, table, UserId("t"), "micro-batch 99")
+    // 19 commits total, last fold at 16 → guard + schema decision + commit
+    // parse the <=3-commit tail (plus nothing else); a tableState-backed
+    // write would have parsed all 19 (the pre-round-15 behavior)
+    trackerB.commitFilesParsed.get() should be <= 6L
+    engineB.read(table).count() shouldBe 18
+    // and the written schema record / guard decisions are EXACT: a widened
+    // write on top still records through the same bounded path
+    Seq((100L, "x", "d100")).toDF("k", "extra", "day")
+      .versionedInsertIntoEvolving(engineB, table, UserId("t"), "widen")
+    val st = engineB.tracker.tableState(table.name)
+    VersionedTables.parseSchemaJson(st.currentSchemaJson)
+      .get.fieldNames.map(_.toLowerCase).toSet shouldBe Set("k", "extra", "day")
+    engineB.read(table).count() shouldBe 19
+  }
 }
