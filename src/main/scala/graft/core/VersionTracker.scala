@@ -299,6 +299,14 @@ trait VersionTracker {
   def currentVersion(table: TableName): TableVersion =
     tableState(table).currentTableVersion
 
+  /** Visible state AS OF commit `id` ([[UnknownCommitError]] if absent).
+    * The persistent stores resolve it boundedly whenever `id` lies PAST
+    * their fold boundary — which is always true for a just-committed id,
+    * making this the post-commit pin/sync path's cheap form — and fall
+    * back to the full replay for ids inside the checkpointed prefix. */
+  def versionAt(table: TableName, id: CommitId): TableVersion =
+    tableState(table).versionAt(id)
+
   /** The ref's RESOLVED read-side state — visible version, recorded schema,
     * DV base bindings — in ONE call (see [[HeadState]]). Semantically
     * identical to deriving the pieces from [[tableState]]; the file and

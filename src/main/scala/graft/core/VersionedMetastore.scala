@@ -45,15 +45,18 @@ final class VersionedMetastore(
   }
 
   private def pinAndSync(table: TableName, update: TableUpdate): (TableVersion, TableChanges) = {
-    val st = tracker.tableState(table)
     // additive evolution must reach the catalog too: Hive's fixed column
     // list would otherwise hide the evolved columns from every
     // `spark.table()` reader even though the data files carry them
     val schemaOps = update.operations.collect {
       case TableOperation.SetTableSchema(json) => MetastoreOperation.UpdateSchema(json)
     }
-    val changes = syncTo(table, st.currentTableVersion, schemaOps)
-    (st.versionAt(update.metadata.id), changes)
+    // both resolutions are BOUNDED in the persistent stores (fold
+    // checkpoint + tail — a just-committed id is always in the tail), so
+    // the post-commit pin/sync a streaming sink pays per micro-batch never
+    // materializes its history
+    val changes = syncTo(table, tracker.currentVersion(table), schemaOps)
+    (tracker.versionAt(table, update.metadata.id), changes)
   }
 
   /** Re-sync the catalog to the tracker's CURRENT state without committing

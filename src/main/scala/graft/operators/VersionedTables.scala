@@ -77,9 +77,10 @@ final class VersionedTables(
       readVersion(table, hs.version, VersionedTables.parseSchemaJson(hs.schemaJson))
     } else readVersion(table, tracker.currentVersion(table.name))
 
-  /** The table's visible state as of commit `id` (errors on unknown ids). */
+  /** The table's visible state as of commit `id` (errors on unknown ids).
+    * Bounded in the persistent stores when `id` is past the fold boundary. */
   def versionAt(table: TableName, id: CommitId): TableVersion =
-    tracker.tableState(table).versionAt(id)
+    tracker.versionAt(table, id)
 
   /** Time travel: read the table as of a historical commit — read-only, no
     * catalog mutation (SURVEY §2.B `q_time_travel`). `keep` prunes the

@@ -493,8 +493,20 @@ final class FileBackedVersionTracker(
       case _                  => super.headState(table)
     }
 
+  /** Bounded [[VersionTracker.versionAt]]: fold doc + tail up to `id` —
+    * the post-commit pin path (a just-committed id is always in the tail).
+    * Ids inside the covered prefix fall back to the full replay. */
+  override def versionAt(table: TableName, id: CommitId): TableVersion =
+    resolveTableDir(table) match {
+      case (dir, GraftLayout) =>
+        foldedResolved(dir, Some(id)).map { case (_, doc, tailUpToId) =>
+          TableState.foldForward(doc.state, tailUpToId)
+        }.getOrElse(super.versionAt(table, id))
+      case _ => super.versionAt(table, id)
+    }
+
   private def foldedHeadState(dir: Path): Option[HeadState] =
-    foldedResolved(dir).flatMap { case (head, doc, tailUpToHead) =>
+    foldedResolved(dir, None).flatMap { case (head, doc, tailUpToHead) =>
       doc.resolved.map { extras =>
         val schema = TableState.lastSchemaJson(tailUpToHead).orElse(extras.schemaJson)
         val bases = extras.bases ++ TableState.basesOf(tailUpToHead)
@@ -503,19 +515,20 @@ final class FileBackedVersionTracker(
     }
 
   private def foldedCurrentVersion(dir: Path): Option[TableVersion] =
-    foldedResolved(dir).map { case (_, doc, tailUpToHead) =>
+    foldedResolved(dir, None).map { case (_, doc, tailUpToHead) =>
       TableState.foldForward(doc.state, tailUpToHead)
     }
 
   /** The shared fast-path resolution: newest readable fold doc + the commit
-    * tail UP TO the head ref, with the equivalence guards (no doc, skewed
-    * commit below the boundary, head inside the covered prefix ⇒ None). */
+    * tail UP TO the target ref (`None` = the head), with the equivalence
+    * guards (no doc, skewed commit below the boundary, target inside the
+    * covered prefix ⇒ None). */
   private def foldedResolved(
-      dir: Path): Option[(CommitId, JsonCodecs.FoldDoc, List[TableUpdate])] =
+      dir: Path, target: Option[CommitId]): Option[(CommitId, JsonCodecs.FoldDoc, List[TableUpdate])] =
     try {
       // head BEFORE listing, same discipline as graftTableState: a concurrent
       // commit can only make the listing see MORE than head, never less
-      val head = readHead(dir)
+      val head = target.getOrElse(readHead(dir))
       val statuses = fs.listStatus(dir).toList.map(_.getPath)
       val foldDoc = statuses
         .filter(p => p.getName.startsWith(StateFoldFilePrefix) && p.getName.endsWith(".json"))

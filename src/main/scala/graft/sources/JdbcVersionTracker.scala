@@ -476,8 +476,25 @@ final class JdbcVersionTracker(
     fast.getOrElse(super.headState(table))
   }
 
+  /** Bounded [[VersionTracker.versionAt]] — fold row + tail up to `id`
+    * (the post-commit pin path); ids inside the covered prefix replay. */
+  override def versionAt(table: TableName, id: CommitId): TableVersion = {
+    val fast = synchronized {
+      if (!exists(table)) throw UnknownTableError(table)
+      try {
+        val out = foldedResolvedIn(table, Some(id.id)).map { case (_, doc, tailUpToId) =>
+          TableState.foldForward(doc.state, tailUpToId)
+        }
+        conn.commit()
+        out
+      } catch { case e: Throwable => conn.rollback(); throw e }
+    }
+    fast.getOrElse(super.versionAt(table, id))
+  }
+
   private def foldedResolvedIn(
-      table: TableName): Option[(String, JsonCodecs.FoldDoc, List[TableUpdate])] =
+      table: TableName,
+      target: Option[String] = None): Option[(String, JsonCodecs.FoldDoc, List[TableUpdate])] =
     queryIn(
       s"""SELECT sequence_id, last_commit_id, folded FROM graft_state_folds
          |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin) { rs =>
@@ -488,10 +505,10 @@ final class JdbcVersionTracker(
           System.err.println(s"[graft] ignoring corrupt JDBC state fold for '$table': $err")
           None
         case Right(doc) =>
-          val head = queryIn(
+          val head = target.getOrElse(queryIn(
             s"""SELECT current_commit FROM graft_version_refs
                |WHERE table_name = '${esc(table.fullyQualifiedName)}'""".stripMargin)(_.getString(1))
-            .headOption.getOrElse(throw UnknownTableError(table))
+            .headOption.getOrElse(throw UnknownTableError(table)))
           if (head == lastId) Some((head, doc, Nil))
           else {
             val rows = historyRowsIn(table, seq)

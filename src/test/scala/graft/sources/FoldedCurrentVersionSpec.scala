@@ -142,6 +142,26 @@ abstract class FileFoldedCurrentVersionContract extends AnyFlatSpec with Matcher
     hs2.version shouldBe w.tableState(t).currentTableVersion
   }
 
+  it should "resolve versionAt boundedly for tail ids and exactly for covered ones" in {
+    val dir = Files.createTempDirectory(s"graft-foldvat-$branchName-")
+    val t = TableName("db", "t")
+    val w = tracker(dir, interval = 4)
+    w.initTable(t, isSnapshot = false, UserId("u"), "init", Instant.now())
+    commitN(w, t, 1 to 6) // fold at 4; commits 5-6 are the tail
+    val st = w.tableState(t)
+    val tailId = st.updates.last.metadata.id           // newest (in the tail)
+    val coveredId = st.updates(2).metadata.id          // inside the fold
+
+    val r = tracker(dir, interval = 4)
+    val gotTail = r.versionAt(t, tailId)
+    r.commitFilesParsed.get() should be <= 2L // the tail, never the history
+    gotTail shouldBe st.versionAt(tailId)
+    // covered-prefix ids fall back to the full replay, still exact
+    r.versionAt(t, coveredId) shouldBe st.versionAt(coveredId)
+    // unknown ids raise the standard error
+    intercept[UnknownCommitError] { r.versionAt(t, CommitId("no-such-commit")) }
+  }
+
   it should "track a snapshot table's head through the fold" in {
     val dir = Files.createTempDirectory(s"graft-foldsnap-$branchName-")
     val t = TableName("db", "s")

@@ -141,6 +141,27 @@ class JdbcPersistenceSpec extends AnyFlatSpec with Matchers {
     tr.close()
   }
 
+  it should "resolve versionAt boundedly for tail ids (post-commit pin path)" in {
+    val db = Files.createTempDirectory("graft-jdbc-vat-").resolve("db")
+    val tr = new JdbcVersionTracker(s"jdbc:derby:$db;create=true", checkpointInterval = 5)
+    val t = TableName("test", "vat")
+    tr.initTable(t, isSnapshot = false, UserId("u"), "init", java.time.Instant.now())
+    (1 to 8).foreach { i =>
+      tr.commit(t, TableUpdate(UserId("u"), s"c$i", java.time.Instant.now(),
+        List(TableOperation.AddPartitionVersion(Partition("day", f"d$i%03d"), Version.generate()))))
+    }
+    val st = tr.tableState(t)
+    val tailId = st.updates.last.metadata.id
+    val before = tr.historyRowsScanned
+    tr.versionAt(t, tailId) shouldBe st.versionAt(tailId)
+    (tr.historyRowsScanned - before) should be <= 5L // the tail rows only
+    // covered-prefix ids replay, still exact; unknown ids raise
+    val covered = st.updates(2).metadata.id
+    tr.versionAt(t, covered) shouldBe st.versionAt(covered)
+    intercept[UnknownCommitError] { tr.versionAt(t, CommitId("nope")) }
+    tr.close()
+  }
+
   it should "answer currentVersion from the fold row + tail without materializing history" in {
     val db = Files.createTempDirectory("graft-jdbc-fold-").resolve("db")
     val url = s"jdbc:derby:$db;create=true"
