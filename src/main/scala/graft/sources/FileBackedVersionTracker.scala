@@ -84,7 +84,9 @@ final class FileBackedVersionTracker(
           readWithRetry(new Path(dir, FileBackedVersionTracker.HeadFile)).trim)
         if (head != expected) throw CommitConflictError(table, expected, head)
       }
-      sorted.zip(dirs).foreach { case ((_, update, _), dir) => writeCommit(dir, update) }
+      sorted.zip(dirs).foreach { case ((_, update, _), dir) =>
+        appendManifest(dir, writeCommit(dir, update))
+      }
       sorted.zip(dirs).foreach { case ((_, update, _), dir) =>
         writeAtomic(new Path(dir, FileBackedVersionTracker.HeadFile), update.metadata.id.id)
       }
@@ -96,6 +98,19 @@ final class FileBackedVersionTracker(
 
   private val fs: FileSystem = FileSystem.get(rootUri, hadoopConf)
   private val root = new Path(rootUri)
+
+  /** Directory listings performed by this tracker instance — the
+    * observability counter behind the head-manifest law: a HEALTHY manifest
+    * serves per-statement state reads with ZERO listings however long the
+    * history ([[commitFilesParsed]] is the companion counter for commit-
+    * document parses). At 100k commits a listing is the multi-second
+    * driver-side cost; this counter keeps its absence a law, not a hope. */
+  private[graft] val directoryListings = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def listStatusCounted(p: Path): List[org.apache.hadoop.fs.FileStatus] = {
+    directoryListings.incrementAndGet()
+    fs.listStatus(p).toList
+  }
 
   override def initTable(
       table: TableName, isSnapshot: Boolean, userId: UserId, message: String, timestamp: Instant): Unit = {
@@ -125,7 +140,7 @@ final class FileBackedVersionTracker(
   override def tables(): List[TableName] =
     if (!fs.exists(root)) Nil
     else
-      fs.listStatus(root).toList
+      listStatusCounted(root)
         .filter(_.isDirectory)
         .map(_.getPath.getName)
         .flatMap { n =>
@@ -157,7 +172,11 @@ final class FileBackedVersionTracker(
           val head = CommitId(readWithRetry(new Path(dir, HeadFile)).trim)
           if (head != h) throw CommitConflictError(table, h, head)
         }
-        writeCommit(dir, update)
+        val name = writeCommit(dir, update)
+        // manifest BEFORE head: if the manifest write fails the commit aborts
+        // with the head unmoved, so a healthy manifest can never silently
+        // miss a head-reachable commit
+        appendManifest(dir, name)
         writeAtomic(new Path(dir, HeadFile), update.metadata.id.id)
       }
       maybeCheckpoint(dir)
@@ -190,7 +209,7 @@ final class FileBackedVersionTracker(
     resolveTableDir(table) match {
       case (_, ChroniclesLayout) => Nil
       case (dir, GraftLayout) =>
-        fs.listStatus(dir).toList.map(_.getPath)
+        listStatusCounted(dir).map(_.getPath)
           .filter(p => p.getName.startsWith(TagFilePrefix) && p.getName.endsWith(".json"))
           .flatMap { p =>
             val name = p.getName.stripPrefix(TagFilePrefix).stripSuffix(".json")
@@ -267,11 +286,11 @@ final class FileBackedVersionTracker(
     VersionTracker.requireValidPage(limit, offset)
     val page = resolveTableDir(table) match {
       case (dir, GraftLayout) =>
-        fs.listStatus(dir).toList.map(_.getPath)
+        listStatusCounted(dir).map(_.getPath)
           .filter(p => p.getName.startsWith(CommitFilePrefix) && p.getName.endsWith(".json"))
           .sortBy(_.getName).reverse
       case (dir, ChroniclesLayout) =>
-        fs.listStatus(dir).toList
+        listStatusCounted(dir)
           .filter(s => s.getPath.getName.startsWith(CommitFilePrefix))
           .sortBy(s => (s.getModificationTime, s.getPath.getName)).reverse
           .map(_.getPath)
@@ -329,7 +348,7 @@ final class FileBackedVersionTracker(
   /** Graft-layout commit files keyed+sorted ASCENDING by name (== commit
     * order); `.reverse` for the newest-first direction. */
   private def graftNameListing(dir: Path): List[(String, Path)] =
-    fs.listStatus(dir).toList.map(_.getPath)
+    listStatusCounted(dir).map(_.getPath)
       .filter(p => p.getName.startsWith(CommitFilePrefix) && p.getName.endsWith(".json"))
       .map(p => (p.getName, p))
       .sortBy(_._1)
@@ -337,7 +356,7 @@ final class FileBackedVersionTracker(
   /** Chronicles-layout commit files keyed+sorted ASCENDING by the
     * reference's (mtime, name) order; `.reverse` for newest-first. */
   private def chroniclesListing(dir: Path): List[((Long, String), Path)] =
-    fs.listStatus(dir).toList
+    listStatusCounted(dir)
       .filter(s => s.getPath.getName.startsWith(CommitFilePrefix))
       .map(s => ((s.getModificationTime, s.getPath.getName), s.getPath))
       .sortBy(_._1)
@@ -387,7 +406,7 @@ final class FileBackedVersionTracker(
     // than head — which folds correctly — never a head id missing from the
     // listing (which would look like a corrupt store).
     val head = readHead(dir)
-    TableState(head, mergedUpdates(fs.listStatus(dir).toList.map(_.getPath)).map(_._2))
+    TableState(head, mergedUpdates(listStatusCounted(dir).map(_.getPath)).map(_._2))
   }
 
   /** The full name-ordered history as (fileName, update), reusing the newest
@@ -437,7 +456,7 @@ final class FileBackedVersionTracker(
     val head = JsonCodecs.chroniclesHeadFromJson(headJson)
       .fold(e => sys.error(s"Corrupt chronicles head file in $dir: $e"), CommitId.apply)
     // the reference orders commits by (mtime, name) — FileBackedVersionTracker.scala:98
-    val files = fs.listStatus(dir).toList
+    val files = listStatusCounted(dir)
       .filter(s => s.getPath.getName.startsWith(CommitFilePrefix))
       .sortBy(s => (s.getModificationTime, s.getPath.getName))
       .map(_.getPath)
@@ -519,44 +538,81 @@ final class FileBackedVersionTracker(
       TableState.foldForward(doc.state, tailUpToHead)
     }
 
-  /** The shared fast-path resolution: newest readable fold doc + the commit
-    * tail UP TO the target ref (`None` = the head), with the equivalence
-    * guards (no doc, skewed commit below the boundary, target inside the
-    * covered prefix ⇒ None). */
+  /** The shared fast-path resolution: fold doc + the commit tail UP TO the
+    * target ref (`None` = the head), with the equivalence guards (no doc,
+    * skewed commit below the boundary, target inside the covered prefix ⇒
+    * None). A HEALTHY head manifest resolves everything with ZERO directory
+    * listings — head + manifest + fold doc + O(tail) commit opens,
+    * independent of history length; otherwise the listing-based path (with
+    * its commit-count skew guard) serves the same answer. */
   private def foldedResolved(
       dir: Path, target: Option[CommitId]): Option[(CommitId, JsonCodecs.FoldDoc, List[TableUpdate])] =
     try {
-      // head BEFORE listing, same discipline as graftTableState: a concurrent
-      // commit can only make the listing see MORE than head, never less
+      // head BEFORE manifest/listing, same discipline as graftTableState: a
+      // concurrent commit (file → manifest → head, under the locks) can only
+      // make the manifest/listing see MORE than head, never less
       val head = target.getOrElse(readHead(dir))
-      val statuses = fs.listStatus(dir).toList.map(_.getPath)
-      val foldDoc = statuses
-        .filter(p => p.getName.startsWith(StateFoldFilePrefix) && p.getName.endsWith(".json"))
-        .sortBy(_.getName).lastOption
-      foldDoc.flatMap { p =>
-        JsonCodecs.foldDocFromJson(read(p)) match {
-          case Left(e) =>
-            System.err.println(s"[graft] ignoring corrupt state fold $p: $e")
-            None
-          case Right(doc) =>
-            val commitFiles = statuses
-              .filter(q => q.getName.startsWith(CommitFilePrefix) && q.getName.endsWith(".json"))
-            val tail = commitFiles.filter(_.getName > doc.lastCovered).sortBy(_.getName)
-            if (doc.coveredCount + tail.size != commitFiles.size) None // skewed name below boundary
-            else if (head.id == doc.lastCommitId) Some((head, doc, Nil))
-            else {
-              val tailUpdates = tail.map(parseCommitFile)
-              val idx = tailUpdates.indexWhere(_.metadata.id == head)
-              if (idx < 0) None // checkout into the covered prefix (or corrupt head)
-              else Some((head, doc, tailUpdates.take(idx + 1)))
-            }
-        }
+      readManifest(dir) match {
+        case Some(m) if m.foldDoc.nonEmpty => manifestResolved(dir, head, m)
+        case _                             => listingResolved(dir, head)
       }
     } catch {
-      // e.g. a concurrent checkpoint replaced the fold doc between listing
-      // and read — the full replay is always available
+      // e.g. a concurrent checkpoint replaced the fold doc between the
+      // manifest read and the doc read — the full replay is always available
       case _: java.io.FileNotFoundException => None
     }
+
+  /** Resolve "fold doc + tail" straight from the head manifest: no listing.
+    * The manifest invariants (maintained under the commit locks) make its
+    * tail the exact post-boundary commit set, so no count guard is needed;
+    * any torn read (doc replaced mid-flight, boundary mismatch) returns
+    * None and the caller's fallback replay serves the answer. */
+  private def manifestResolved(
+      dir: Path, head: CommitId, m: JsonCodecs.HeadManifest): Option[(CommitId, JsonCodecs.FoldDoc, List[TableUpdate])] =
+    JsonCodecs.foldDocFromJson(read(new Path(dir, m.foldDoc.get))) match {
+      case Left(e) =>
+        System.err.println(s"[graft] ignoring corrupt state fold ${m.foldDoc.get}: $e")
+        None
+      case Right(doc) =>
+        if (doc.lastCovered != m.lastCovered) None // torn manifest/doc pair
+        else if (head.id == doc.lastCommitId) Some((head, doc, Nil))
+        else {
+          val tailUpdates = m.tail.map(n => parseCommitFile(new Path(dir, n)))
+          val idx = tailUpdates.indexWhere(_.metadata.id == head)
+          if (idx < 0) None // checkout into the covered prefix (or corrupt head)
+          else Some((head, doc, tailUpdates.take(idx + 1)))
+        }
+    }
+
+  /** The pre-manifest resolution path (young tables, degraded manifests,
+    * pre-upgrade stores): newest fold doc from the directory listing, with
+    * the commit-count guard against clock-skewed names below the boundary. */
+  private def listingResolved(
+      dir: Path, head: CommitId): Option[(CommitId, JsonCodecs.FoldDoc, List[TableUpdate])] = {
+    val statuses = listStatusCounted(dir).map(_.getPath)
+    val foldDoc = statuses
+      .filter(p => p.getName.startsWith(StateFoldFilePrefix) && p.getName.endsWith(".json"))
+      .sortBy(_.getName).lastOption
+    foldDoc.flatMap { p =>
+      JsonCodecs.foldDocFromJson(read(p)) match {
+        case Left(e) =>
+          System.err.println(s"[graft] ignoring corrupt state fold $p: $e")
+          None
+        case Right(doc) =>
+          val commitFiles = statuses
+            .filter(q => q.getName.startsWith(CommitFilePrefix) && q.getName.endsWith(".json"))
+          val tail = commitFiles.filter(_.getName > doc.lastCovered).sortBy(_.getName)
+          if (doc.coveredCount + tail.size != commitFiles.size) None // skewed name below boundary
+          else if (head.id == doc.lastCommitId) Some((head, doc, Nil))
+          else {
+            val tailUpdates = tail.map(parseCommitFile)
+            val idx = tailUpdates.indexWhere(_.metadata.id == head)
+            if (idx < 0) None // checkout into the covered prefix (or corrupt head)
+            else Some((head, doc, tailUpdates.take(idx + 1)))
+          }
+      }
+    }
+  }
 
   override def isSnapshotTable(table: TableName): Boolean = {
     val (dir, layout) = resolveTableDir(table)
@@ -589,10 +645,11 @@ final class FileBackedVersionTracker(
               // no metadata => no complete graft table exists here; any files
               // present are debris of a crashed earlier migration — drop them
               // so the re-run can't duplicate history
-              fs.listStatus(dir).map(_.getPath)
+              listStatusCounted(dir).map(_.getPath)
                 .filter(p => p.getName.startsWith(CommitFilePrefix) ||
                   p.getName.startsWith(CheckpointFilePrefix) ||
-                  p.getName.startsWith(StateFoldFilePrefix) || p.getName == HeadFile)
+                  p.getName.startsWith(StateFoldFilePrefix) ||
+                  p.getName == HeadFile || p.getName == ManifestFile)
                 .foreach(fs.delete(_, false))
               // head BEFORE history (the usual discipline), then STREAM the
               // source history in ascending keyset pages — a 100k-commit
@@ -644,7 +701,7 @@ final class FileBackedVersionTracker(
             "run migrateChroniclesTables() to convert it")
     }
 
-  private def writeCommit(dir: Path, update: TableUpdate): Unit = {
+  private def writeCommit(dir: Path, update: TableUpdate): String = {
     val name = CommitFilePrefix + Version.TimestampFormat.format(
       MonotonicClock.nextUniqueInstant().atOffset(java.time.ZoneOffset.UTC)) + ".json"
     // temp + rename: the commit file appears atomically, fully written — a
@@ -656,7 +713,41 @@ final class FileBackedVersionTracker(
       fs.delete(tmp, false)
       throw new java.io.IOException(s"Commit file rename failed for $dir/$name")
     }
+    name
   }
+
+  // ---- head manifest: the no-listing state-read index ----
+
+  private def manifestPath(dir: Path): Path = new Path(dir, ManifestFile)
+
+  /** The table's head manifest, or None when absent/corrupt (readers then
+    * fall back to the listing-based path; the next checkpoint rebuilds it). */
+  private def readManifest(dir: Path): Option[JsonCodecs.HeadManifest] =
+    try JsonCodecs.manifestFromJson(read(manifestPath(dir))) match {
+      case Right(m) => Some(m)
+      case Left(e) =>
+        System.err.println(s"[graft] ignoring corrupt head manifest in $dir: $e")
+        None
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Record a freshly appended commit in the head manifest. MUST run inside
+    * the table AND cross-process locks, BEFORE the head-ref write: a failure
+    * here aborts the commit with the head unmoved (the orphan commit file is
+    * unreachable and gets folded in at the next checkpoint), so a HEALTHY
+    * manifest can never be missing a head-reachable commit. Absent or
+    * degraded manifests are left for the next checkpoint to rebuild; a
+    * commit whose clock-derived name sorts at or below the fold boundary
+    * (cross-process clock skew) DEGRADES the manifest, sending readers back
+    * to the listing path that already guards that case. */
+  private def appendManifest(dir: Path, commitName: String): Unit =
+    readManifest(dir).foreach { m =>
+      if (m.foldDoc.isEmpty) () // degraded: next checkpoint rebuilds
+      else if (commitName <= m.lastCovered)
+        writeAtomic(manifestPath(dir), JsonCodecs.manifestToJson(Degraded))
+      else
+        writeAtomic(manifestPath(dir), JsonCodecs.manifestToJson(
+          m.copy(tail = (commitName :: m.tail).sorted)))
+    }
 
   /** Fold the current history into a checkpoint document, then drop older
     * checkpoints. Runs every [[checkpointInterval]] commits, and reuses the
@@ -677,7 +768,7 @@ final class FileBackedVersionTracker(
     val n = commitCounter(dir).incrementAndGet()
     if (n % checkpointInterval == 0) {
       try {
-        val statuses = fs.listStatus(dir).toList.map(_.getPath)
+        val statuses = listStatusCounted(dir).map(_.getPath)
         val fullRefold = (n / checkpointInterval) % FullRefoldEvery == 0
         val merged = mergedUpdates(statuses, ignoreCheckpoint = fullRefold)
         val name = CheckpointFilePrefix + Version.TimestampFormat.format(
@@ -704,6 +795,11 @@ final class FileBackedVersionTracker(
               TableState.lastSchemaJson(covered), TableState.basesOf(covered)))
             if (!fs.rename(foldTmp, new Path(dir, foldName))) { fs.delete(foldTmp, false) }
             else {
+              // manifest BEFORE deleting superseded fold docs: a reader that
+              // already fetched the old manifest hits file-not-found on the
+              // old doc and falls back to the listing path — never a wrong
+              // answer, only a slow one
+              rewriteManifest(dir, foldName, lastName, merged.map(_._1).toSet)
               statuses
                 .filter(p => p.getName.startsWith(StateFoldFilePrefix) && p.getName.endsWith(".json"))
                 .foreach(old => try fs.delete(old, false) catch { case _: Exception => () })
@@ -716,6 +812,46 @@ final class FileBackedVersionTracker(
       }
     }
   }
+
+  /** Point the head manifest at a just-written fold document. Takes the
+    * cross-process lock so the rewrite can't clobber a concurrent commit's
+    * manifest append in another process. The commit set folded into the doc
+    * (`covered`) came from a listing taken OUTSIDE that lock, so two guards
+    * keep the manifest's core invariant — a healthy manifest never misses a
+    * head-reachable commit:
+    *  - a tail entry at or below the boundary that the fold did NOT cover
+    *    (a racing clock-skewed commit) degrades the manifest;
+    *  - a manifest whose boundary is already NEWER than this fold's (two
+    *    processes checkpointing back-to-back, rewrites landing out of
+    *    order) is left untouched — rewinding it would orphan the commits
+    *    between the two boundaries.
+    * Failures only log: the manifest is an optimization and the reader
+    * falls back to the listing path whenever it is stale or absent. */
+  private def rewriteManifest(
+      dir: Path, foldName: String, lastCovered: String, covered: Set[String]): Unit =
+    try withProcessLock(dir) {
+      val current = readManifest(dir)
+      if (!current.exists(m => m.foldDoc.nonEmpty && m.lastCovered > lastCovered)) {
+        val tail: Option[List[String]] = current match {
+          case Some(m) if m.foldDoc.nonEmpty =>
+            // healthy manifest: its tail is the authoritative post-boundary
+            // set (it saw every commit appended since, under the locks)
+            val (below, above) = m.tail.partition(_ <= lastCovered)
+            if (below.forall(covered)) Some(above) else None
+          case _ =>
+            // absent/degraded: derive the tail from a re-listing taken UNDER
+            // the lock (no commit can land concurrently), same skew guard
+            val names = listStatusCounted(dir).map(_.getPath.getName)
+              .filter(n => n.startsWith(CommitFilePrefix) && n.endsWith(".json"))
+            val (below, above) = names.partition(_ <= lastCovered)
+            if (below.forall(covered)) Some(above.sorted) else None
+        }
+        writeAtomic(manifestPath(dir), JsonCodecs.manifestToJson(
+          tail.fold(Degraded)(t => JsonCodecs.HeadManifest(Some(foldName), lastCovered, t))))
+      }
+    } catch {
+      case e: Exception => System.err.println(s"[graft] head-manifest rewrite failed for $dir: $e")
+    }
 
   /** Local filesystems bypass the Hadoop ChecksumFileSystem layer (NIO
     * direct): a Hadoop local create+close measured 12.5ms against NIO's
@@ -889,6 +1025,11 @@ object FileBackedVersionTracker {
   val CommitFilePrefix = "table_update_"
   val CheckpointFilePrefix = "state_checkpoint_"
   val StateFoldFilePrefix = "state_fold_"
+  val ManifestFile = "head-manifest.json"
+
+  /** The degraded head manifest: readers fall back to the listing path, the
+    * next checkpoint rebuilds a healthy one. */
+  private val Degraded = JsonCodecs.HeadManifest(None, "", Nil)
   val TagFilePrefix = "tag_"
   val LockFile = "commit.lock"
 

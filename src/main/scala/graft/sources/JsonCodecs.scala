@@ -200,6 +200,56 @@ object JsonCodecs {
       case e: Exception => Left(s"Invalid fold-doc JSON: ${e.getMessage}")
     }
 
+  /**
+   * Head-manifest document: the compact per-table index that lets every
+   * per-statement state read (`currentVersion` / `headState` / `versionAt`)
+   * skip the table-directory LISTING entirely. Maintained by writers under
+   * the same table + cross-process locks as the head ref itself:
+   *
+   *  - `foldDoc`: name of the newest fold document (None = DEGRADED — a
+   *    clock-skewed commit landed at or below the fold boundary, or a
+   *    checkpoint couldn't prove the tail complete; readers fall back to
+   *    the listing-based path until the next checkpoint rebuilds it)
+   *  - `lastCovered`: the fold boundary (highest covered commit file name)
+   *  - `tail`: EVERY commit file name past the boundary, in name order —
+   *    the authoritative post-boundary commit set, O(checkpointInterval)
+   *
+   * With it, a hot-table state read costs head + manifest + fold doc +
+   * O(tail) commit opens — independent of history length — where the
+   * pre-manifest path paid an O(#commits) `listStatus` per statement.
+   */
+  final case class HeadManifest(foldDoc: Option[String], lastCovered: String, tail: List[String])
+
+  def manifestToJson(m: HeadManifest): String = {
+    val root = mapper.createObjectNode()
+    root.put("formatVersion", FormatVersion)
+    m.foldDoc match {
+      case Some(f) => root.put("foldDoc", f)
+      case None    => root.putNull("foldDoc")
+    }
+    root.put("lastCovered", m.lastCovered)
+    val arr = root.putArray("tail")
+    m.tail.foreach(arr.add)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+  }
+
+  def manifestFromJson(json: String): Either[String, HeadManifest] =
+    try {
+      val root = mapper.readTree(json)
+      for {
+        _ <- Option(root.get("formatVersion")).map(_.asInt) match {
+          case Some(FormatVersion) => Right(())
+          case other               => Left(s"unsupported manifest formatVersion $other")
+        }
+        foldDoc = Option(root.get("foldDoc")).filter(!_.isNull).map(_.asText)
+        lastCovered <- str(root, "lastCovered")
+        tailNode <- Option(root.get("tail")).collect { case a: ArrayNode => a }
+          .toRight("missing 'tail' array")
+      } yield HeadManifest(foldDoc, lastCovered, tailNode.elements().asScala.map(_.asText).toList)
+    } catch {
+      case e: Exception => Left(s"Invalid head-manifest JSON: ${e.getMessage}")
+    }
+
   private def versionStateToNode(state: TableVersion): ObjectNode = {
     val n = mapper.createObjectNode()
     state match {
