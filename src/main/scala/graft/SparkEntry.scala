@@ -544,6 +544,13 @@ object SparkEntry {
     sqlDvFixtureCache.computeIfAbsent((spark, sfDir), _ => buildSqlDvFixture(spark, sfDir))
 
   private def buildSqlDvFixture(spark: SparkSession, sfDir: String): SqlDvFixture = {
+    val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def phase[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val a = body
+      phases += name -> (System.nanoTime() - t0) / 1e9
+      a
+    }
     Tables.prepare(spark)
     val root = graft.FixtureTempDirs.create("graft-sqldvfix-")
     val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
@@ -552,13 +559,14 @@ object SparkEntry {
       FileFormat.Parquet)
     engine.initTable(table, UserId("driver"), "init")
     graft.sql.GraftTableRegistry.register(engine, table)
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
+    phase("load")(spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
       .repartition(4)
-      .versionedInsertInto(engine, table, UserId("driver"), "load")
+      .versionedInsertInto(engine, table, UserId("driver"), "load"))
     val prev = spark.conf.getOption(graft.sql.GraftSqlWrites.DeleteModeKey)
     spark.conf.set(graft.sql.GraftSqlWrites.DeleteModeKey, "dv")
-    try spark.sql("DELETE FROM graft.graft.lineitem_sqldv WHERE l_orderkey % 97 = 0")
+    try phase("sql_delete_dv")(
+      spark.sql("DELETE FROM graft.graft.lineitem_sqldv WHERE l_orderkey % 97 = 0"))
     finally prev match {
       case Some(v) => spark.conf.set(graft.sql.GraftSqlWrites.DeleteModeKey, v)
       case None    => spark.conf.unset(graft.sql.GraftSqlWrites.DeleteModeKey)
@@ -579,9 +587,9 @@ object SparkEntry {
     val postDelete = spark.sql(readbackSql)
     val prevU = spark.conf.getOption(graft.sql.GraftSqlWrites.UpdateModeKey)
     spark.conf.set(graft.sql.GraftSqlWrites.UpdateModeKey, "dv")
-    try spark.sql(
+    try phase("sql_update_dv")(spark.sql(
       "UPDATE graft.graft.lineitem_sqldv SET l_quantity = l_quantity + 1000 " +
-        "WHERE l_orderkey % 89 = 0")
+        "WHERE l_orderkey % 89 = 0"))
     finally prevU match {
       case Some(v) => spark.conf.set(graft.sql.GraftSqlWrites.UpdateModeKey, v)
       case None    => spark.conf.unset(graft.sql.GraftSqlWrites.UpdateModeKey)
@@ -595,9 +603,9 @@ object SparkEntry {
     // partitions, then apply — position chains stay depth 1). The commit
     // log must show both the fold and the dv update, or the gate fails.
     spark.conf.set(graft.sql.GraftSqlWrites.UpdateModeKey, "dv")
-    try spark.sql(
+    try phase("sql_update_dv_stacked")(spark.sql(
       "UPDATE graft.graft.lineitem_sqldv SET l_quantity = l_quantity + 500 " +
-        "WHERE l_orderkey % 83 = 0")
+        "WHERE l_orderkey % 83 = 0"))
     finally prevU match {
       case Some(v) => spark.conf.set(graft.sql.GraftSqlWrites.UpdateModeKey, v)
       case None    => spark.conf.unset(graft.sql.GraftSqlWrites.UpdateModeKey)
@@ -607,6 +615,7 @@ object SparkEntry {
       "q_sql_update_dv_stacked fixture: stacked UPDATE did not take the dv path")
     require(messages.exists(_.startsWith("auto-fold update-marker")),
       "q_sql_update_dv_stacked fixture: the inline auto-fold never ran")
+    graft.queries.FixturePhases.record(spark, "q_sql_delete_dv", phases.toSeq)
     SqlDvFixture(readBack = postDelete, updated = postUpdate,
       stacked = spark.sql(readbackSql))
   }

@@ -116,14 +116,27 @@ object DeleteVectors {
 
   /** The table root as the scan's `_metadata.file_path` renders it
     * (filesystem-qualified, trailing slash) — the prefix DV entries are
-    * relativized against. Both sides round-trip through Hadoop `Path`
-    * normalization, so the forms agree; a location whose rendering
-    * disagrees (URI-reserved characters) fails the loud startsWith guard
-    * in [[relativeToRoot]] rather than mis-joining. */
+    * relativized against. Spark renders the metadata column via
+    * `SparkPath.fromPath(file).toString`, i.e. the Hadoop path's
+    * `toUri.toString` (URL-ENCODED: a location with spaces reads back as
+    * `%20`), so the prefix must round-trip through the SAME encoder — a
+    * plain `Path.toString` (decoded) would mismatch on any URI-reserved
+    * character and fail every DV read of such a table through the loud
+    * outside-the-root guard in [[relativeToRoot]]. A truly divergent
+    * rendering still fails that guard rather than mis-joining. */
   private[operators] def qualifiedRootPrefix(
       conf: org.apache.hadoop.conf.Configuration, location: URI): String = {
     val p = new org.apache.hadoop.fs.Path(location)
-    val q = p.getFileSystem(conf).makeQualified(p).toString
+    val u = p.getFileSystem(conf).makeQualified(p).toUri
+    // render like Hadoop Path.toString (drop an EMPTY authority: "file:/x",
+    // never "file:///x" — the form the scan's metadata column uses) but
+    // keep the RAW (encoded) path, which Path.toString would decode
+    val sb = new StringBuilder
+    if (u.getScheme != null) sb.append(u.getScheme).append(':')
+    val auth = u.getRawAuthority
+    if (auth != null && auth.nonEmpty) sb.append("//").append(auth)
+    sb.append(u.getRawPath)
+    val q = sb.toString
     if (q.endsWith("/")) q else q + "/"
   }
 
@@ -240,39 +253,53 @@ object DeleteVectors {
   private type MarkerMeta = (Version, Boolean, Long)
 
   private val MarkerMetaCacheMax = 8192
-  private val markerMetaCache =
-    new java.util.LinkedHashMap[String, MarkerMeta](256, 0.75f, true) {
+
+  /** LOCK-STRIPED bounded LRU: the cache sits on the steady read path of
+    * every DV table in the driver, so one global monitor would serialize
+    * concurrent reads across ALL tables (round-15 advice). 16 stripes, each
+    * its own synchronized LRU bounded at Max/16 — contention drops 16×, and
+    * a MISS computes inside its stripe's lock, so concurrent misses on the
+    * SAME marker never duplicate the filesystem probes (a miss on a
+    * different stripe proceeds unblocked; same-stripe different-key misses
+    * briefly serialize — the bounded price of dogpile protection). */
+  private val markerMetaStripes: Array[java.util.LinkedHashMap[String, MarkerMeta]] =
+    Array.fill(16)(new java.util.LinkedHashMap[String, MarkerMeta](64, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, MarkerMeta]): Boolean =
-        size() > MarkerMetaCacheMax
-    }
+        size() > MarkerMetaCacheMax / 16
+    })
+
+  private def stripeFor(key: String) =
+    markerMetaStripes(math.floorMod(key.hashCode, markerMetaStripes.length))
 
   /** Test hook: drop every cached marker entry. Results must be identical
     * before and after — the purity law of the cache. */
   private[graft] def clearMarkerMetaCache(): Unit =
-    markerMetaCache.synchronized { markerMetaCache.clear() }
+    markerMetaStripes.foreach(s => s.synchronized { s.clear() })
 
   private def markerMeta(
       conf: org.apache.hadoop.conf.Configuration,
       table: TableDefinition, p: Partition, marker: Version): MarkerMeta = {
     val key = VersionPaths.pathFor(p.resolvePath(table.location), marker).toString
-    val hit = markerMetaCache.synchronized(Option(markerMetaCache.get(key)))
-    hit.getOrElse {
-      val dirUri = VersionPaths.pathFor(p.resolvePath(table.location), marker)
-      val base = readBaseUncached(conf, table, p, marker)
-      val dir = new org.apache.hadoop.fs.Path(dirUri)
-      val fs = dir.getFileSystem(conf)
-      val hasData =
-        try fs.listStatus(dir).exists(s =>
-          s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-        catch { case _: java.io.FileNotFoundException => false }
-      val dvBytes =
-        try fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_dv"))
-          .iterator.filter(_.isFile).map(_.getLen).sum
-        catch { case _: java.io.FileNotFoundException => 0L }
-      val computed = (base, hasData, dvBytes)
-      markerMetaCache.synchronized { markerMetaCache.put(key, computed); () }
-      computed
+    val stripe = stripeFor(key)
+    stripe.synchronized {
+      Option(stripe.get(key)).getOrElse {
+        val dirUri = VersionPaths.pathFor(p.resolvePath(table.location), marker)
+        val base = readBaseUncached(conf, table, p, marker)
+        val dir = new org.apache.hadoop.fs.Path(dirUri)
+        val fs = dir.getFileSystem(conf)
+        val hasData =
+          try fs.listStatus(dir).exists(s =>
+            s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          catch { case _: java.io.FileNotFoundException => false }
+        val dvBytes =
+          try fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_dv"))
+            .iterator.filter(_.isFile).map(_.getLen).sum
+          catch { case _: java.io.FileNotFoundException => 0L }
+        val computed = (base, hasData, dvBytes)
+        stripe.put(key, computed)
+        computed
+      }
     }
   }
 
@@ -406,9 +433,12 @@ object DeleteVectors {
     val spark = engine.spark
     val conf = spark.sparkContext.hadoopConfiguration
 
-    val state = engine.tracker.tableState(table.name)
-    val head = state.currentVersion
-    val snapshot = state.currentTableVersion
+    // bounded state read: head + visible version + every (partition, marker)
+    // → base binding come from the store's fold checkpoint + commit tail —
+    // O(partitions + tail) however long the history, never a full replay
+    val state = engine.tracker.headState(table.name)
+    val head = state.head
+    val snapshot = state.version
     val pvs = snapshot match {
       case PartitionedTableVersion(m) => m
       case _ => throw new IllegalStateException(
@@ -446,15 +476,52 @@ object DeleteVectors {
         "to fold them inline, or use the copy-on-write DML")
       require(!refolded,
         "internal: update-markers survived an inline fold — refusing to loop")
+      // bulk-fraction ESTIMATE before the fold commit: a DML the guard
+      // refuses must not leave a folded-partition rewrite behind (the fold
+      // is semantically a no-op, but a refused statement that mutated the
+      // commit log is a surprise). One pruned scan of the candidates' live
+      // view (base + update-marker post-images − DV) against the
+      // manifest-known base totals; the precise CUMULATIVE guard still runs
+      // after the fold on the re-entry, so a rare near-threshold statement
+      // can fold and then refuse — never the bulk case this estimate stops.
+      val maxFraction = spark.conf.get(MaxDeleteFractionKey, "0.5").toDouble
+      if (maxFraction < 1.0) {
+        val counted = candidates.toSeq.map { case (p, v) =>
+          val b = if (Version.isDeleteMarker(v))
+            state.versionBases.getOrElse((p, v), readBase(conf, table, p, v)) else v
+          TableStats.readManifestCached(conf, table.location, b.label)
+            .map(_.filesFor(p.toHivePath).map(_.rows).sum)
+        }
+        if (counted.forall(_.isDefined)) {
+          val total = counted.flatten.sum
+          if (total > 0) {
+            val estimate = engine.readVersion(table, PartitionedTableVersion(candidates))
+              .filter(coalesce(predicate, lit(false))).count()
+            if (estimate > maxFraction * total)
+              throw new IllegalArgumentException(
+                f"$verb matched $estimate of ~$total rows " +
+                  f"(${estimate.toDouble / total}%.2f > $MaxDeleteFractionKey=$maxFraction) " +
+                  "in the candidate partitions — a bulk merge-on-read DML builds a " +
+                  "deletion vector every later read must anti-join; use the " +
+                  "copy-on-write DML (deleteWhere/updateWhere, or " +
+                  "spark.graft.delete.mode=cow) or raise the fraction")
+          }
+        }
+      }
       engine.foldDeleteVectors(table, userId,
         s"auto-fold update-marker partitions before $verb", keep = updateMarkers)
       return runDvDml(engine, table, predicate, set, userId, message, refolded = true)
     }
 
-    // resolve every candidate to its DATA version (markers hop through
-    // _base.json once — depth-1 rebasing keeps it one hop)
+    // resolve every candidate to its DATA version: the commit log already
+    // carries every (partition, marker)→base binding (SetVersionBase), and
+    // headState serves them from the fold extras — zero _base.json reads on
+    // the steady path (the sidecar stays the fallback for adopted stores
+    // whose history predates the binding ops)
     val bases: Map[Partition, Version] = candidates.map { case (p, v) =>
-      p -> (if (Version.isDeleteMarker(v)) readBase(conf, table, p, v) else v)
+      p -> (if (Version.isDeleteMarker(v))
+              state.versionBases.getOrElse((p, v), readBase(conf, table, p, v))
+            else v)
     }
     val partCols = table.partitionSchema.columnNames
     val sortedCand = bases.toSeq.sortBy(_._1.toPath)
@@ -498,27 +565,44 @@ object DeleteVectors {
       val affectedSet = affected.toSet
 
       // bulk-match guard (before any byte is written): when the stats
-      // manifests know every candidate's row count, a match rate past the
-      // configured fraction refuses — the DV this DML would build is a tax
-      // on every subsequent read, and copy-on-write moves comparable bytes
-      // ONCE at that selectivity. Partitions without a manifest leave the
-      // total unknown and the guard silent (never a false refusal).
+      // manifests know every AFFECTED partition's row count, refuse if the
+      // CUMULATIVE deletion vector — carried-forward old entries PLUS this
+      // statement's new matches — would exceed the configured fraction of
+      // those partitions' base rows. Counting the carried entries is what
+      // keeps repeated sub-threshold deletes honest: 40% then 40% of the
+      // remainder must trip the cap the second time, because the read tax
+      // the guard bounds is the WHOLE anti-join, not one increment. The DV
+      // this DML would build taxes every subsequent read; copy-on-write
+      // moves comparable bytes ONCE at that selectivity. Partitions without
+      // a manifest leave the total unknown and the guard silent (never a
+      // false refusal).
       val maxFraction = spark.conf.get(MaxDeleteFractionKey, "0.5").toDouble
       if (maxFraction < 1.0) {
-        val counted = sortedCand.map { case (p, b) =>
-          TableStats.readManifestCached(conf, table.location, b.label)
+        val counted = affected.map { p =>
+          TableStats.readManifestCached(conf, table.location, bases(p).label)
             .map(_.filesFor(p.toHivePath).map(_.rows).sum)
         }
         if (counted.forall(_.isDefined)) {
           val total = counted.flatten.sum
-          if (total > 0 && matchedRows > maxFraction * total)
+          val carriedPaths = candidates.toSeq.collect {
+            case (p, m) if Version.isDeleteMarker(m) && affectedSet(p) =>
+              VersionedTables.uriToLoadPath(dvDir(table, p, m))
+          }
+          // footer-count only: DV sidecars are small and parquet COUNT
+          // reads no data pages
+          val carried =
+            if (carriedPaths.isEmpty) 0L
+            else spark.read.schema(DvSchema).parquet(carriedPaths: _*).count()
+          if (total > 0 && matchedRows + carried > maxFraction * total)
             throw new IllegalArgumentException(
-              f"$verb matched $matchedRows of ~$total rows " +
-                f"(${matchedRows.toDouble / total}%.2f > $MaxDeleteFractionKey=$maxFraction) " +
-                "in the candidate partitions — a bulk merge-on-read DML builds a " +
-                "deletion vector every later read must anti-join; use the " +
-                "copy-on-write DML (deleteWhere/updateWhere, or " +
-                "spark.graft.delete.mode=cow) or raise the fraction")
+              f"$verb would leave a deletion vector of ${matchedRows + carried} " +
+                f"($matchedRows new + $carried carried) of ~$total base rows " +
+                f"(${(matchedRows + carried).toDouble / total}%.2f > " +
+                f"$MaxDeleteFractionKey=$maxFraction) in the affected partitions — " +
+                "a bulk merge-on-read DML builds a deletion vector every later " +
+                "read must anti-join; use the copy-on-write DML " +
+                "(deleteWhere/updateWhere, or spark.graft.delete.mode=cow), fold " +
+                "first (compact / SQL OPTIMIZE), or raise the fraction")
         }
       }
 

@@ -517,6 +517,63 @@ class DeleteVectorsSpec extends AnyFlatSpec with Matchers {
     engine.read(table).count() shouldBe 249
   }
 
+  it should "bound the CUMULATIVE deletion vector, not just one statement's increment" in {
+    val dir = Files.createTempDirectory("graft-dv-cumul-").toFile
+    val engine = VersionedTables.withFileStore(spark,
+      new java.io.File(dir, "store").toURI)
+    val table = TableDefinition(TableName("dv", s"cumul${seq.incrementAndGet()}"),
+      new java.io.File(dir, "t").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("k"))))
+    engine.initTable(table, UserId("t"), "init")
+    (0L until 1000L).map(k => (k, s"d${k % 4}")).toDF("k", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+    // 40% — under the 0.5 default, passes
+    engine.deleteWhereDV(table, col("k") < 400L, UserId("t"), "first 40%")
+    engine.read(table).count() shouldBe 600
+    // another 24% of the BASE (40% of the remainder): the increment alone is
+    // under the cap, but carried(400) + new(240) = 64% of the base — the
+    // read tax the guard exists to bound — so it must refuse
+    val head = engine.headCommit(table.name)
+    val e = intercept[IllegalArgumentException] {
+      engine.deleteWhereDV(table, col("k") < 640L, UserId("t"), "creeping bulk")
+    }
+    e.getMessage should include("carried")
+    engine.headCommit(table.name) shouldBe head
+    engine.read(table).count() shouldBe 600
+    // folding (compact) resets the base; the same increment then passes
+    engine.compact(table, UserId("t"), "fold")
+    engine.deleteWhereDV(table, col("k") < 640L, UserId("t"), "post-fold")
+    engine.read(table).count() shouldBe 360
+  }
+
+  it should "refuse a bulk stacked DML BEFORE committing the inline auto-fold" in {
+    val dir = Files.createTempDirectory("graft-dv-prefold-").toFile
+    val engine = VersionedTables.withFileStore(spark,
+      new java.io.File(dir, "store").toURI)
+    val table = TableDefinition(TableName("dv", s"prefold${seq.incrementAndGet()}"),
+      new java.io.File(dir, "t").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(List("k"))))
+    engine.initTable(table, UserId("t"), "init")
+    (0L until 1000L).map(k => (k, k * 2.0, s"d${k % 4}")).toDF("k", "v", "day")
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+    // an UPDATE-marker makes any further MoR DML the stacked (auto-fold) path
+    engine.updateWhereDV(table, col("k") === 2L, Map("v" -> lit(-1.0)), UserId("t"), "upd")
+    val head = engine.headCommit(table.name)
+    val log = engine.tracker.tableState(table.name).updates.size
+    // bulk second statement: must refuse WITHOUT having committed the fold —
+    // a refused statement must not have mutated the table (round-15 advice)
+    val e = intercept[IllegalArgumentException] {
+      engine.deleteWhereDV(table, col("k") % 4 =!= 0, UserId("t"), "bulk stacked")
+    }
+    e.getMessage should include(DeleteVectors.MaxDeleteFractionKey)
+    engine.headCommit(table.name) shouldBe head
+    engine.tracker.tableState(table.name).updates.size shouldBe log
+    engine.read(table).count() shouldBe 1000
+    // a SELECTIVE stacked DML still auto-folds and proceeds
+    engine.deleteWhereDV(table, col("k") === 7L, UserId("t"), "selective stacked")
+    engine.read(table).count() shouldBe 999
+  }
+
   it should "compose with schema evolution: DV on a pre-evolution partition null-fills" in {
     val dir = Files.createTempDirectory("graft-dv-evo-").toFile
     val engine = VersionedTables.withFileStore(spark,
