@@ -195,10 +195,13 @@ object QualityModels {
       .limit(vocabCap)
       .collect().map(_.getString(0))
     val vocabSet = vocab.toSet
-    val perLabel = df
+    // membership via ScaleTools.filterInValues: at vocabCap 100k an inline
+    // isin would put 100k literal nodes in the analyzed plan (a planning
+    // hazard); the helper switches to a broadcast left-semi join
+    val perLabel = ScaleTools.filterInValues(df
       .select(col(labelCol).cast("string").as("__l"),
-        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
-      .filter(col("__tok").isin(vocab.toSeq: _*))
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok")),
+        "__tok", vocab.toSeq)
       .groupBy(col("__l"), col("__tok")).agg(count(lit(1)).as("__c"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val labelTotals = perLabel.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }

@@ -22,6 +22,26 @@ import org.apache.spark.sql.functions._
  */
 object ScaleTools {
 
+  /** Membership filter whose PLAN SIZE stays O(1) however many values:
+    * `df.filter(col(c).isin(values:_*))` inlines every value as a literal
+    * into one `In` expression — codegen'd and ideal for a handful of query
+    * terms, but at a 100k-token vocabulary the analyzed plan carries 100k
+    * nodes that every optimizer rule pass walks (a planning hazard long
+    * before execution). Past `inlineMax` the values become a BROADCAST
+    * LEFT-SEMI join against a one-column local relation instead: identical
+    * rows kept (both are exact membership, and `values` contain no nulls by
+    * construction at the call sites), O(1) plan, one broadcast of the value
+    * set. Law + plan shape pinned in ScaleToolsSpec. */
+  def filterInValues(
+      df: DataFrame, c: String, values: Seq[String], inlineMax: Int = 64): DataFrame =
+    if (values.isEmpty) df.filter(lit(false))
+    else if (values.size <= inlineMax) df.filter(col(c).isin(values: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(values.distinct.toDF(c)), Seq(c), "left_semi")
+    }
+
   /** Inner equi-join with the left (large, possibly skewed) side salted.
     * Result equals `left.join(right, leftKey === rightKey)`. */
   def saltedJoin(

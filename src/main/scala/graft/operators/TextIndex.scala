@@ -258,8 +258,8 @@ object TextIndex {
     // scans beat materializing the matching postings (for a common term
     // that's a large fraction of the corpus; a checkpoint here would be the
     // operator's only corpus-sized buffer)
-    val hits = readBucketsOf(engine, table, pinned, termBuckets.contains)
-      .filter(col("tok").isin(terms: _*))
+    val hits = ScaleTools.filterInValues(
+      readBucketsOf(engine, table, pinned, termBuckets.contains), "tok", terms)
 
     val dfMap = hits.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

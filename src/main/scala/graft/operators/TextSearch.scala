@@ -43,10 +43,10 @@ object TextSearch {
       .collect()(0)
     require(totals.getLong(0) > 0,
       "BM25 statistics over an empty corpus — no documents to collect from")
-    val dfRows = df
+    val dfRows = ScaleTools.filterInValues(df
       .select(col(idCol).as("__id"),
-        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
-      .filter(col("__tok").isin(terms: _*))
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok")),
+        "__tok", terms)
       .groupBy(col("__tok")).agg(countDistinct(col("__id")).as("__df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     Bm25Stats(totals.getLong(0), totals.getLong(1),
@@ -112,9 +112,9 @@ object TextSearch {
     }
     val dl = df.select(col(idCol),
       graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long").as("__dl"))
-    val tf = df
-      .select(col(idCol), explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
-      .filter(col("__tok").isin(terms: _*))
+    val tf = ScaleTools.filterInValues(df
+      .select(col(idCol), explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok")),
+        "__tok", terms)
       .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
     tf.join(dl, Seq(idCol))
       .withColumn("__contrib",

@@ -10,6 +10,37 @@ class ScaleToolsSpec extends AnyFlatSpec with Matchers {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  "filterInValues" should "match isin exactly and keep the plan O(1) past the inline cap" in {
+    val df = spark.range(5000).select(concat(lit("tok"), ($"id" % 500)).as("t"), $"id")
+    val small = (0 until 10).map(i => s"tok$i")
+    val large = (0 until 400).map(i => s"tok$i") ++ (0 until 50000).map(i => s"zz$i")
+
+    // identical-results law, both regimes
+    ScaleTools.filterInValues(df, "t", small).select("id").as[Long].collect().sorted shouldBe
+      df.filter($"t".isin(small: _*)).select("id").as[Long].collect().sorted
+    ScaleTools.filterInValues(df, "t", large).select("id").as[Long].collect().sorted shouldBe
+      df.filter($"t".isin(large.take(500): _*)).select("id").as[Long].collect().sorted
+    ScaleTools.filterInValues(df, "t", Nil).count() shouldBe 0
+
+    // plan shapes: small inlines (no join), large broadcasts a semi-join
+    val smallPlan = ScaleTools.filterInValues(df, "t", small)
+      .queryExecution.executedPlan.toString
+    smallPlan should not include "Join"
+    val largePlan = ScaleTools.filterInValues(df, "t", large)
+      .queryExecution.executedPlan.toString
+    largePlan should include("BroadcastHashJoin")
+    largePlan should include("LeftSemi")
+
+    // planning smoke at vocab scale: a 100k-value filter must ANALYZE and
+    // OPTIMIZE in milliseconds (an inline In of 100k literals is a plan the
+    // optimizer walks on every rule pass)
+    val vocab100k = (0 until 100000).map(i => s"v$i")
+    val t0 = System.nanoTime()
+    ScaleTools.filterInValues(df, "t", vocab100k).queryExecution.optimizedPlan
+    val planS = (System.nanoTime() - t0) / 1e9
+    planS should be < 2.0
+  }
+
   "saltedJoin" should "produce exactly the plain-join result under heavy skew" in {
     // 10k rows of one hot key + a tail, joined to a small dim
     val left = spark.range(10000).select(
