@@ -396,7 +396,9 @@ object Dedup {
     * diameter) rounds; near-dup components are dense and tiny (similarity is
     * near-transitive at high thresholds), so 2-4 rounds is typical while the
     * per-round cost stays O(|E|) — never quadratic, no driver-side graph.
-    * Lineage is truncated every round (localCheckpoint) so the plan does not
+    * Lineage is truncated every round (localCheckpoint by default; pass
+    * `reliable = true` on a real cluster for fault-tolerant `checkpoint()`
+    * rounds that survive executor loss) so the plan does not
     * grow with iterations. `maxIter` bounds pathological chain graphs; hitting
     * it raises rather than returning partial components. `maxClusterSize`
     * (optional) bounds component SIZE: a component larger than the cap fails
@@ -409,19 +411,32 @@ object Dedup {
       id1Col: String = "id1",
       id2Col: String = "id2",
       maxIter: Int = 50,
-      maxClusterSize: Option[Long] = None): DataFrame = {
+      maxClusterSize: Option[Long] = None,
+      reliable: Boolean = false): DataFrame = {
+    // per-round lineage truncation: `localCheckpoint` (default) pins blocks
+    // in EXECUTOR storage — fast, but on a real cluster a lost executor
+    // kills the job mid-iteration (the blocks are not fault-tolerant and not
+    // recomputable once lineage is cut). `reliable = true` switches every
+    // round to a RELIABLE `checkpoint()` on the session's checkpoint
+    // directory (HDFS/S3 on a cluster — set `sc.setCheckpointDir` first), so
+    // iteration state survives executor loss at the cost of a write+read per
+    // round. Same results either way (convergence laws run under both).
+    val spark = pairs.sparkSession
+    if (reliable) require(spark.sparkContext.getCheckpointDir.isDefined,
+      "dupClusters(reliable = true) needs a checkpoint directory: call " +
+        "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) first")
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // materialize the pair input ONCE before fanning it into both edge
     // directions: `pairs` is typically an expensive near-dup mining plan
     // (block self-join + per-pair verification), and the union would
     // otherwise embed — and execute — that subplan twice
-    val p = pairs.select(col(id1Col).as("a"), col(id2Col).as("b")).localCheckpoint()
-    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+    val p = pin(pairs.select(col(id1Col).as("a"), col(id2Col).as("b")))
+    val edges = pin(p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
+      .distinct())
+    var labels = pin(edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -431,10 +446,9 @@ object Dedup {
       // one aggregation yields BOTH the new label and the node's previous one
       // (own != null only on the self row), so the fixpoint test is a cheap
       // scan of the checkpointed result — no extra join per round
-      val next = labels.select(col("id"), col("lbl"), col("lbl").as("own"))
+      val next = pin(labels.select(col("id"), col("lbl"), col("lbl").as("own"))
         .union(viaNeighbors)
-        .groupBy("id").agg(min("lbl").as("lbl"), max("own").as("own"))
-        .localCheckpoint()
+        .groupBy("id").agg(min("lbl").as("lbl"), max("own").as("own")))
       converged = next.filter(col("lbl") < col("own")).isEmpty
       labels = next.select("id", "lbl")
       iter += 1

@@ -145,6 +145,36 @@ class DedupSpec extends AnyFlatSpec with Matchers {
       (20L, 20L, 3L), (21L, 20L, 3L), (22L, 20L, 3L)).sorted
   }
 
+  it should "produce identical clusters under reliable (fault-tolerant) checkpointing" in {
+    // the cluster-run mode: every round a reliable checkpoint() instead of
+    // executor-pinned localCheckpoint blocks — results must be identical
+    // (convergence laws re-run under it), and it must refuse loudly without
+    // a checkpoint directory rather than fail mid-iteration
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("id1", "id2")
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val hadDir = spark.sparkContext.getCheckpointDir
+    if (hadDir.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.dupClusters(pairs, reliable = true).collect()
+      }
+      e.getMessage should include("setCheckpointDir")
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt-")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    try {
+      Dedup.dupClusters(pairs, reliable = true)
+        .as[(Long, Long, Long)].collect().sorted shouldBe
+        Dedup.dupClusters(pairs).as[(Long, Long, Long)].collect().sorted
+      val got = Dedup.dupClusters(chain, reliable = true).as[(Long, Long, Long)].collect()
+      got should have length 13
+      got.foreach { case (_, cid, sz) => cid shouldBe 0L; sz shouldBe 13L }
+    } finally hadDir match {
+      case Some(d) => spark.sparkContext.setCheckpointDir(d)
+      case None    => () // no API to unset; later suites are unaffected by a set dir
+    }
+  }
+
   it should "converge on a long chain (label must propagate the full diameter)" in {
     // worst case for min-label propagation: a path graph 0-1-2-...-12
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
