@@ -221,7 +221,7 @@ object Bench {
     // every round. build_s is the first-pass excess over the warm read,
     // clamped at 0 (box noise can make the warm rep the slower one).
     val FixtureQueries = Seq(
-      "q_ann_ivf_index", "q_bloom_skip_scan", "q_bm25_index", "q_change_feed", "q_change_feed_pre", "q_compact_read",
+      "q_ann_ivf_index", "q_ann_ivf_append", "q_bloom_skip_scan", "q_bm25_index", "q_change_feed", "q_change_feed_pre", "q_compact_read",
       "q_delete_dv", "q_delete_dv_tt", "q_delete_dv_fold",
       "q_sql_delete_dv", "q_sql_update_dv", "q_sql_restore",
       "q_dedup_against_index", "q_hive_read", "q_merge_upsert", "q_metadata_agg",

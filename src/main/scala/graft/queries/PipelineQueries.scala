@@ -183,6 +183,38 @@ object PipelineQueries {
       (engine, table)
     })
 
+  /** The INCREMENTALLY-built twin of [[ivfFixture]]: base build over
+    * `vec_id % 5 != 0`, the remaining fifth appended via
+    * [[graft.operators.VectorIndex.addBatch]] against the pinned centroids.
+    * Same registered centroids, so the full-corpus oracle replay applies
+    * unchanged. */
+  private val ivfAppendCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (graft.operators.VersionedTables, graft.core.TableDefinition)]()
+
+  private def ivfAppendFixture(s: SparkSession, d: String)
+      : (graft.operators.VersionedTables, graft.core.TableDefinition) =
+    ivfAppendCache.computeIfAbsent((s, d), _ => {
+      import graft.core._
+      graft.Tables.prepare(s)
+      val root = graft.FixtureTempDirs.create("graft-ivf-append-q-")
+      val engine = graft.operators.VersionedTables.withFileStore(s, root.resolve("store").toUri)
+      val table = TableDefinition(TableName("graft", "ivf_index_append"),
+        root.resolve("ivf").toUri, graft.operators.VectorIndex.indexSchema, FileFormat.Parquet)
+      engine.initTable(table, UserId("driver"), "init")
+      val emb = graft.Tables.embeddings(s, d)
+      val t0 = System.nanoTime()
+      graft.operators.VectorIndex.buildIvf(engine, table,
+        emb.filter(col("vec_id") % 5 =!= 0), nlist = 16, userId = UserId("driver"),
+        precomputedCentroids = Some(ivfCentroids(s, d)))
+      val t1 = System.nanoTime()
+      graft.operators.VectorIndex.addBatch(engine, table,
+        emb.filter(col("vec_id") % 5 === 0), "delivery-1", userId = UserId("driver"))
+      val t2 = System.nanoTime()
+      FixturePhases.record(s, "q_ann_ivf_append", Seq(
+        "build_base" -> (t1 - t0) / 1e9, "add_batch" -> (t2 - t1) / 1e9))
+      (engine, table)
+    })
+
   /** Versioned BM25 postings index of the documents corpus, built + one
     * incremental batch appended ONCE per (session, sfDir): the first 400
     * docs are the base build, the rest arrive via addBatch — so the gate
@@ -645,6 +677,18 @@ object PipelineQueries {
       graft.operators.VectorIndex.queryIvf(engine, table, queries, k = 10, nprobe = 4)
     }),
 
+    // --- incremental IVF maintenance: base build over 4/5 of the corpus,
+    // the last fifth arrives via addBatch against the PINNED centroids —
+    // O(batch) written, existing cell partitions untouched. The oracle is
+    // the SAME full-corpus centroid replay as q_ann_ivf_index, because
+    // append ≡ rebuild with the same centroids (law in VectorIndexSpec). ---
+    "q_ann_ivf_append" -> ((s, d) => {
+      val (engine, table) = ivfAppendFixture(s, d)
+      ivfCentroids(s, d) // register for the oracle dump (cached, no recompute)
+      val queries = Tables.embeddings(s, d).filter(col("vec_id") < 16)
+      graft.operators.VectorIndex.queryIvf(engine, table, queries, k = 10, nprobe = 4)
+    }),
+
     // --- composed curation pipeline (capstone): quality filter -> language
     // agreement -> exact dedup under vocab normalization -> per-doc stats ---
     "q_curation_pipeline" -> ((s, d) => {
@@ -1002,7 +1046,10 @@ object PipelineQueries {
     val ivf = soleRegistered(ivfCentroidCache) match {
       case Some(cents) =>
         val sql = ivfOracleSql(cents, k = 10, nprobe = 4)
-        Map("q_ann_ivf" -> sql, "q_ann_ivf_index" -> sql,
+        // q_ann_ivf_append shares the full-corpus replay: append ≡ rebuild
+        // with the same centroids is the operator's law, so the appended
+        // index answers the identical oracle
+        Map("q_ann_ivf" -> sql, "q_ann_ivf_index" -> sql, "q_ann_ivf_append" -> sql,
           "q_ann_recall" -> recallOracleSql(cents, k = 10, nprobe = 4),
           "q_embed_cluster" -> clusterOracleSql(cents),
           "q_semantic_dedup" -> semanticDedupOracleSql(cents, threshold = 0.4))

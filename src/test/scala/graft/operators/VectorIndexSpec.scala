@@ -88,6 +88,78 @@ class VectorIndexSpec extends AnyFlatSpec with Matchers {
     engine.readAt(table, commits(1).id).count() shouldBe before
   }
 
+  it should "append batches that are EXACTLY equivalent to a rebuild with the same centroids" in {
+    val (engine, table) = newIndexTable()
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val centroids = Similarity.learnCentroids(emb, 8, 2048, "vec_id", "embedding")
+    VectorIndex.buildIvf(engine, table, base, userId = UserId("t"),
+      precomputedCentroids = Some(centroids))
+    val beforeFiles = engine.read(table).inputFiles.toSet
+    VectorIndex.addBatch(engine, table, batch, "b1", userId = UserId("t"))
+    // append is O(batch): every pre-append file survives untouched
+    engine.read(table).inputFiles.toSet should contain allElementsOf beforeFiles
+
+    // the equivalence law: appended index == full rebuild, same centroids
+    val (engine2, table2) = newIndexTable()
+    VectorIndex.buildIvf(engine2, table2, emb, userId = UserId("t"),
+      precomputedCentroids = Some(centroids))
+    val q = emb.filter(col("vec_id") < 8)
+    def results(e: VersionedTables, t: TableDefinition) =
+      VectorIndex.queryIvf(e, t, q, k = 5, nprobe = 4)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    results(engine, table) shouldBe results(engine2, table2)
+
+    // compaction folds the batches and preserves the same results
+    VectorIndex.compactBatches(engine, table, userId = UserId("t"))
+    results(engine, table) shouldBe results(engine2, table2)
+    engine.read(table).select("batch").distinct().collect()
+      .map(_.getString(0)).toSet shouldBe Set("compacted")
+  }
+
+  it should "refuse a reused batch label and a drifted batch, loudly" in {
+    val (engine, table) = newIndexTable()
+    val spark2 = spark
+    import spark2.implicits._
+    // cluster-structured corpus: the guard compares distance-to-centroid
+    // distributions, which only carries signal when the centroids actually
+    // COVER the indexed data (on isotropic noise every direction is equally
+    // far). Four tight clusters around orthogonal axes.
+    def cluster(axis: Int, ids: Range): Seq[(Long, Seq[Float])] = ids.map { i =>
+      val v = Array.fill(8)(0.01f * (i % 7))
+      v(axis) = 1.0f
+      (i.toLong, v.toSeq)
+    }
+    val base = (cluster(0, 0 until 50) ++ cluster(1, 50 until 100) ++
+      cluster(2, 100 until 150) ++ cluster(3, 150 until 200))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    VectorIndex.buildIvf(engine, table, base, nlist = 4, userId = UserId("t"))
+    VectorIndex.addBatch(engine, table,
+      cluster(1, 1000 until 1016).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding")),
+      "b1", userId = UserId("t"))
+    // label reuse would silently overwrite that delivery's partitions
+    val e1 = intercept[IllegalArgumentException] {
+      VectorIndex.addBatch(engine, table, base.limit(5), "b1", userId = UserId("t"))
+    }
+    e1.getMessage should include("already exists")
+
+    // a batch from an UNSEEN cluster (axis 7 — far from every centroid)
+    // trips the drift guard: stale centroids for this data
+    val farDf = cluster(7, 2000 until 2016).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndex.addBatch(engine, table, farDf, "b2", userId = UserId("t"))
+    }
+    e2.getMessage should include("drift")
+    // disabling the guard lets a deliberate append through
+    VectorIndex.addBatch(engine, table, farDf, "b2",
+      maxDriftFactor = Double.PositiveInfinity, userId = UserId("t"))
+    engine.read(table).filter(col("vec_id") >= 2000L).count() shouldBe 16
+  }
+
   it should "reject tables not partitioned by cell" in {
     val dir = Files.createTempDirectory("graft-ivf-bad-").toFile
     val engine = VersionedTables.withFileStore(spark, new File(dir, "store").toURI)
