@@ -148,6 +148,31 @@ object StreamingDemo {
     }
     q8.awaitTermination()
     println("CDC_STREAM_COMMITS=" + cdcCommits)
+
+    // exactly-once change-feed DELIVERY into a versioned table: the ledger
+    // (delivery markers in the target's own commit log) makes a re-run with
+    // a FRESH checkpoint deliver nothing twice — rows and delivery commits
+    // both stay unique
+    val cdcTarget = TableDefinition(TableName("stream", "user_state_copy"),
+      tmp.resolve("user_state_copy").toUri,
+      PartitionSchema("event_type", graft.streaming.ChangeFeedStream.DeliveryCol),
+      FileFormat.Parquet)
+    engine.initTable(cdcTarget, UserId("demo"), "init")
+    def deliverOnce(chk: String): Unit = {
+      val q = graft.streaming.ChangeFeedStream.deliverRowChanges(
+        spark, engine, tmp.resolve("store").toUri, mergeTable,
+        keyColumns = Seq("user_id"), cdcTarget, UserId("demo"),
+        tmp.resolve(chk).toString,
+        transform = f => f.filter(col("_change_type") =!= "delete").drop("_change_type"))
+      q.awaitTermination()
+    }
+    deliverOnce("chk_once_a")
+    val deliveredRows = engine.read(cdcTarget).count()
+    deliverOnce("chk_once_b") // fresh checkpoint = full replay; ledger skips all
+    println("CDC_EXACTLY_ONCE_ROWS_STABLE=" +
+      (engine.read(cdcTarget).count() == deliveredRows))
+    println("CDC_EXACTLY_ONCE_DELIVERIES=" + engine.log(cdcTarget.name)
+      .count(_.message.contains("[graft-delivery")))
     println("CDC_STREAM_STATE_MATCHES=" + {
       val table = engine.read(mergeTable).select("user_id", "value")
         .collect().map(r => r.getLong(0) -> r.getDouble(1).toLong).toMap

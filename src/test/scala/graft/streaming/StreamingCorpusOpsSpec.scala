@@ -267,6 +267,71 @@ class StreamingCorpusOpsSpec extends AnyFlatSpec with Matchers {
       Map("m1" -> Map("a" -> "2"), "m2" -> Map.empty[String, String])
   }
 
+  "ChangeFeedStream.deliverRowChanges" should "deliver exactly once through a kill mid-batch" in {
+    import graft.core._
+    import graft.operators.VersionedTables
+    import graft.operators.VersionedTables._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-cdconce-")
+    val storeRoot = root.resolve("store").toUri
+    val engine = VersionedTables.withFileStore(spark, storeRoot)
+    val source = TableDefinition(TableName("stream", "oncesrc"),
+      root.resolve("oncesrc").toUri, PartitionSchema("region"), FileFormat.Parquet)
+    val target = TableDefinition(TableName("stream", "oncedst"),
+      root.resolve("oncedst").toUri,
+      PartitionSchema("region", ChangeFeedStream.DeliveryCol), FileFormat.Parquet)
+    engine.initTable(source, UserId("t"), "init")
+    engine.initTable(target, UserId("t"), "init")
+    // three source commits: two inserts + one more insert
+    Seq(("a1", "eu", 10L), ("a2", "us", 20L)).toDF("id", "region", "balance")
+      .versionedInsertInto(engine, source, UserId("t"), "base")
+    Seq(("a3", "eu", 30L)).toDF("id", "region", "balance")
+      .versionedInsertInto(engine, source, UserId("t"), "more")
+
+    // transform that CRASHES the query after the first delivery commit has
+    // landed but before the batch checkpoints — the at-least-once window
+    @volatile var crashed = false
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    def run(crashOnSecond: Boolean): Unit = {
+      seen.set(0)
+      val q = ChangeFeedStream.deliverRowChanges(spark, engine, storeRoot,
+        source, Seq("id"), target, UserId("t"), root.resolve("chk").toString,
+        transform = { feed =>
+          if (crashOnSecond && !feed.isEmpty && seen.incrementAndGet() == 2 && !crashed) {
+            crashed = true
+            sys.error("simulated crash between delivery and checkpoint")
+          }
+          feed.filter(col("_change_type") =!= "delete").drop("_change_type")
+        })
+      try q.awaitTermination()
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        if (!crashOnSecond) throw e }
+    }
+    run(crashOnSecond = true) // delivers "base", dies on "more"
+    crashed shouldBe true
+    engine.read(target).select("id").as[String].collect().sorted shouldBe
+      Array("a1", "a2") // first delivery landed, second didn't
+
+    run(crashOnSecond = false) // restart replays the batch from the checkpoint
+    // ZERO duplicates: every source row exactly once...
+    engine.read(target).select("id").as[String].collect().sorted shouldBe
+      Array("a1", "a2", "a3")
+    // ...and the replayed "base" delivery produced NO second commit — the
+    // ledger skipped it (1 init + 2 deliveries, nothing else)
+    val messages = engine.log(target.name).map(_.message)
+    messages.count(_.contains("[graft-delivery")) shouldBe 2
+    messages.flatMap("""#([0-9a-f-]+)\]""".r.findFirstMatchIn(_))
+      .map(_.group(1)).distinct should have length 2
+
+    // a fresh commit after the dust settles delivers normally
+    Seq(("a4", "ap", 40L)).toDF("id", "region", "balance")
+      .versionedInsertInto(engine, source, UserId("t"), "late")
+    run(crashOnSecond = false)
+    engine.read(target).select("id").as[String].collect().sorted shouldBe
+      Array("a1", "a2", "a3", "a4")
+    engine.log(target.name).map(_.message).count(_.contains("[graft-delivery")) shouldBe 3
+  }
+
   "ChangeFeedStream" should "deliver each commit's row feed exactly once across restarts" in {
     import graft.core._
     import graft.operators.VersionedTables
