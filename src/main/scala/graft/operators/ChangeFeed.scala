@@ -147,15 +147,38 @@ object ChangeFeed {
         keep: Partition => Boolean = _ => true,
         requireDistinctKeys: Boolean = true,
         updatePreimages: Boolean = false): DataFrame = {
-      val st = engine.tracker.tableState(table.name)
-      val idx = st.updates.indexWhere(_.metadata.id == id)
-      if (idx < 0) throw UnknownCommitError(id)
-      if (idx == 0) // initial commit: everything it wrote is an insert
-        return engine.readChangesAt(table, id, keep)
-          .withColumn(ChangeTypeColumn, lit("insert"))
-      val parent = st.updates(idx - 1).metadata.id
-      engine.readRowChangesBetween(table, keyColumns, parent, id, keep, requireDistinctKeys,
-        updatePreimages)
+      // the parent lookup pages the log NEWEST-first instead of
+      // materializing the history: a streaming CDC consumer reads feeds of
+      // commits near the head, so the walk is O(distance from head) — the
+      // per-delivery cost of following a 100k-commit table stays bounded
+      val parent: Option[CommitId] = {
+        var cursor: Option[String] = None
+        // None = id not seen yet; Some(None) = id seen, parent is the next
+        // (older) entry — possibly on the next page; Some(Some(p)) = done
+        var found: Option[Option[CommitId]] = None
+        var more = true
+        while (found.flatten.isEmpty && more) {
+          val (page, next) = engine.tracker.updatesPage(table.name, 256, cursor)
+          page.foreach { m =>
+            if (found.isEmpty) { if (m.id == id) found = Some(None) }
+            else if (found.contains(None)) found = Some(Some(m.id))
+          }
+          cursor = next
+          more = next.isDefined
+        }
+        found match {
+          case None => throw UnknownCommitError(id)
+          case Some(p) => p // Some = parent; None = `id` is the oldest commit
+        }
+      }
+      parent match {
+        case None => // initial commit: everything it wrote is an insert
+          engine.readChangesAt(table, id, keep)
+            .withColumn(ChangeTypeColumn, lit("insert"))
+        case Some(p) =>
+          engine.readRowChangesBetween(table, keyColumns, p, id, keep, requireDistinctKeys,
+            updatePreimages)
+      }
     }
   }
 

@@ -200,10 +200,11 @@ object MergeApply {
       }
     }
 
-    // pin EVERYTHING to one head snapshot; the commit CASes on it
-    val state = engine.tracker.tableState(table.name)
-    val head = state.currentVersion
-    val snapshot = state.currentTableVersion
+    // pin EVERYTHING to one head snapshot (headState: O(partitions + tail),
+                                                                       // never a history replay); the commit CASes on it
+    val state = engine.tracker.headState(table.name)
+    val head = state.head
+    val snapshot = state.version
     val now = java.time.Instant.now()
 
     if (requireDistinctSourceKeys && matched.nonEmpty) {
@@ -444,7 +445,7 @@ object MergeApply {
               "snapshot version must carry at least one row (emptying is a replace-all concern)")
           val (tv, changes) = engine.versioned.commitIf(
             table.name, TableUpdate(userId, message, now,
-              VersionedTables.schemaOpsFor(table, state, out.schema,
+              VersionedTables.schemaOpsFor(table, state.schemaJson, snapshot, out.schema,
                 definesWholeTable = true) :+
                 TableOperation.AddTableVersion(version)), head)
           VersionedMerge.MergeResult(tv, changes, Nil, Nil)
@@ -608,7 +609,8 @@ object MergeApply {
               if (ops.isEmpty)
                 return VersionedMerge.MergeResult(snapshot, TableChanges.empty, Nil, Nil)
               // an evolveSchema merge is a schema-defining commit — record it
-              val schemaOps = VersionedTables.schemaOpsFor(table, state, out.schema)
+              val schemaOps = VersionedTables.schemaOpsFor(
+                table, state.schemaJson, snapshot, out.schema, definesWholeTable = false)
               val (tv, changes) = engine.versioned.commitIf(
                 table.name, TableUpdate(userId, message, now, schemaOps ++ ops), head)
               VersionedMerge.MergeResult(tv, changes, finalParts, emptied)

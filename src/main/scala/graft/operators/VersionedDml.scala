@@ -96,10 +96,11 @@ object VersionedDml {
           "need its destination partition rewritten too; use mergeInto for moves")
     }
 
-    // pin everything to one head snapshot; the commit CASes on it
-    val state = engine.tracker.tableState(table.name)
-    val head = state.currentVersion
-    val snapshot = state.currentTableVersion
+    // pin everything to one head snapshot (headState: O(partitions + tail),
+                                                                       // never a history replay); the commit CASes on it
+    val state = engine.tracker.headState(table.name)
+    val head = state.head
+    val snapshot = state.version
     // only TRUE matches (SQL three-valued DELETE/UPDATE WHERE)
     val matchCond = coalesce(predicate, lit(false))
     val now = java.time.Instant.now()
@@ -139,7 +140,7 @@ object VersionedDml {
             "version must carry at least one row (emptying is a replace-all concern)")
         val (tv, changes) = engine.versioned.commitIf(
           table.name, TableUpdate(userId, message, now,
-            VersionedTables.schemaOpsFor(table, state, rewritten.schema,
+            VersionedTables.schemaOpsFor(table, state.schemaJson, snapshot, rewritten.schema,
               definesWholeTable = true) :+
               TableOperation.AddTableVersion(version)), head)
         DmlResult(tv, changes, Nil, Nil)
@@ -152,8 +153,9 @@ object VersionedDml {
         // discovery and the rewrite. The log-recorded schema (when present)
         // both skips the slice footer-merge AND makes the rewrite carry the
         // table's full union shape on evolved tables.
+        // the hint AT THE PINNED HEAD is exactly headState's resolved schema
         val slice = engine.readVersion(table, PartitionedTableVersion(candidates),
-            engine.schemaHintAt(table, state, head))
+            if (table.mergesSchema) VersionedTables.parseSchemaJson(state.schemaJson) else None)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val touched = VersionedTables.partitionValues(
@@ -189,7 +191,7 @@ object VersionedDml {
           // an UPDATE whose SET expression retypes a column is a schema-
           // defining commit (the rewrite slice now differs from untouched
           // partitions) — record it so log-resolved schemas stay honest
-          val schemaOps = VersionedTables.schemaOpsFor(table, state, rewritten.schema)
+          val schemaOps = VersionedTables.schemaOpsFor(table, state.schemaJson, snapshot, rewritten.schema, definesWholeTable = false)
           val (tv, changes) = engine.versioned.commitIf(
             table.name, TableUpdate(userId, message, now, schemaOps ++ ops), head)
           DmlResult(tv, changes, finalParts, emptied)

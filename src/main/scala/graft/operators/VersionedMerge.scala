@@ -258,10 +258,11 @@ object VersionedMerge {
             "a key matched by two source rows is ambiguous (SQL MERGE raises here too)")
       }
 
-      // pin EVERYTHING to one head snapshot; the commit CASes on it
-      val state = engine.tracker.tableState(table.name)
-      val head = state.currentVersion
-      val snapshot = state.currentTableVersion
+      // pin EVERYTHING to one head snapshot (headState: O(partitions + tail),
+                                                                           // never a history replay); the commit CASes on it
+      val state = engine.tracker.headState(table.name)
+      val head = state.head
+      val snapshot = state.version
 
       val keyFrame = source.select(keyColumns.map(col): _*).distinct()
       // SQL MERGE's `WHEN MATCHED AND <pred> THEN DELETE` fires only when the
@@ -292,7 +293,7 @@ object VersionedMerge {
           require(fs.exists(versionDir),
             s"merge into ${table.name} produced an empty table — a snapshot version " +
               "must carry at least one row (deleting every row is a replace-all concern)")
-          val ops = VersionedTables.schemaOpsFor(table, state, merged.schema,
+          val ops = VersionedTables.schemaOpsFor(table, state.schemaJson, snapshot, merged.schema,
             definesWholeTable = true) :+ TableOperation.AddTableVersion(version)
           val (tv, changes) = engine.versioned.commitIf(
             table.name, TableUpdate(userId, message, now, ops), head)
@@ -358,7 +359,7 @@ object VersionedMerge {
               return MergeResult(snapshot, TableChanges.empty, Nil, Nil)
             // merge-as-first-write defines the schema; steady-state merges
             // record nothing (shape unchanged)
-            val schemaOps = VersionedTables.schemaOpsFor(table, state, merged.schema)
+            val schemaOps = VersionedTables.schemaOpsFor(table, state.schemaJson, snapshot, merged.schema, definesWholeTable = false)
             val (tv, changes) = engine.versioned.commitIf(
               table.name, TableUpdate(userId, message, now, schemaOps ++ ops), head)
             MergeResult(tv, changes, finalParts, emptied)
