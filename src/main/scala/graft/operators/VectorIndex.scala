@@ -178,13 +178,16 @@ object VectorIndex {
     if (!maxDriftFactor.isPosInfinity) {
       // mean distance to the assigned centroid, batch vs indexed sample. The
       // sample is limit-bounded (any N indexed vectors — a guard, not a
-      // statistic); both means use the same scan-local assignment column.
+      // statistic). The assignment runs ONCE per row and the centroid lookup
+      // is one element_at into a literal array-of-arrays — a when-chain that
+      // re-embedded nearestCellId per branch was O(nlist²) dot products per
+      // row and blew past the whole-stage-codegen method limit.
       def meanDist(df: DataFrame, vc: String): Double = {
-        val cellId = Similarity.nearestCellId(col(vc), centroids)
-        val centroidVec = centroids.zipWithIndex.foldLeft(lit(null).cast("array<float>")) {
-          case (acc, (c, i)) => when(cellId === i, typedLit(c.toSeq)).otherwise(acc)
-        }
-        df.select((lit(1.0) - Similarity.cosine(col(vc), centroidVec)).as("__d"))
+        val cents = typedLit(centroids.map(_.toSeq).toSeq)
+        df.select(col(vc).as("__v"),
+            Similarity.nearestCellId(col(vc), centroids).as("__c"))
+          .select((lit(1.0) - Similarity.cosine(
+            col("__v"), element_at(cents, col("__c") + 1))).as("__d"))
           .agg(avg(col("__d"))).collect()(0).getDouble(0)
       }
       val indexMean = meanDist(
