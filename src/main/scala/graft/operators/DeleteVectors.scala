@@ -558,10 +558,22 @@ object DeleteVectors {
     val matched = live.filter(matchCond)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val affected = VersionedTables.partitionValues(matched, table.partitionSchema)
-        .filter(pvs.contains).sortBy(_.toPath)
+      // ONE aggregation yields the affected partitions AND the match count
+      // (separate distinct + count jobs each re-walked the cached rows —
+      // two Spark jobs where the per-statement write path needs one).
+      // Value→Partition conversion mirrors VersionedTables.partitionValues:
+      // null and "" collapse into the default-partition dir.
+      val partExprs = partCols.map(c => col(s"`$c`"))
+      val grouped = matched.groupBy(partExprs: _*)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("__graft_dv_n")).collect()
+      val affected = grouped.map { row =>
+        Partition(partCols.zipWithIndex.map { case (c, i) =>
+          val v = Option(row.get(i)).map(_.toString).filter(_.nonEmpty)
+          ColumnValue(PartitionColumn(c), v.getOrElse(PathCodec.DefaultPartitionName))
+        })
+      }.distinct.filter(pvs.contains).sortBy(_.toPath).toList
       if (affected.isEmpty) return DvDeleteResult(snapshot, TableChanges.empty, Nil, 0L)
-      val matchedRows = matched.count()
+      val matchedRows = grouped.map(_.getLong(partCols.length)).sum
       val affectedSet = affected.toSet
 
       // bulk-match guard (before any byte is written): when the stats
