@@ -413,6 +413,37 @@ trait VersionTracker {
     }
   }
 
+  /**
+   * The PARENT of commit `id` — the commit immediately before it in
+   * history order — or None when `id` is the table's first commit;
+   * [[UnknownCommitError]] when `id` is not in the history. The row-level
+   * change feed resolves every delivered commit through this, so the
+   * default walks [[updatesPage]] newest-first (O(distance from head) —
+   * the CDC case reads commits near the head); the file store overrides it
+   * to serve tail ids straight from the head manifest with ZERO directory
+   * listings.
+   */
+  def parentCommit(table: TableName, id: CommitId): Option[CommitId] = {
+    var cursor: Option[String] = None
+    // None = id not seen yet; Some(None) = id seen, parent is the next
+    // (older) entry — possibly on the next page; Some(Some(p)) = done
+    var found: Option[Option[CommitId]] = None
+    var more = true
+    while (found.flatten.isEmpty && more) {
+      val (page, next) = updatesPage(table, 256, cursor)
+      page.foreach { m =>
+        if (found.isEmpty) { if (m.id == id) found = Some(None) }
+        else if (found.contains(None)) found = Some(Some(m.id))
+      }
+      cursor = next
+      more = next.isDefined
+    }
+    found match {
+      case None => throw UnknownCommitError(id)
+      case Some(p) => p // Some = parent; None = `id` is the oldest commit
+    }
+  }
+
   /** Stream every commit oldest-first through `f`, holding O(pageSize)
     * commits — the one shared walk loop over [[commitsPageAsc]] that export,
     * migration, and probes all consume (same coverage guarantee as the

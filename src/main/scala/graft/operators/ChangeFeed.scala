@@ -147,31 +147,12 @@ object ChangeFeed {
         keep: Partition => Boolean = _ => true,
         requireDistinctKeys: Boolean = true,
         updatePreimages: Boolean = false): DataFrame = {
-      // the parent lookup pages the log NEWEST-first instead of
-      // materializing the history: a streaming CDC consumer reads feeds of
-      // commits near the head, so the walk is O(distance from head) — the
-      // per-delivery cost of following a 100k-commit table stays bounded
-      val parent: Option[CommitId] = {
-        var cursor: Option[String] = None
-        // None = id not seen yet; Some(None) = id seen, parent is the next
-        // (older) entry — possibly on the next page; Some(Some(p)) = done
-        var found: Option[Option[CommitId]] = None
-        var more = true
-        while (found.flatten.isEmpty && more) {
-          val (page, next) = engine.tracker.updatesPage(table.name, 256, cursor)
-          page.foreach { m =>
-            if (found.isEmpty) { if (m.id == id) found = Some(None) }
-            else if (found.contains(None)) found = Some(Some(m.id))
-          }
-          cursor = next
-          more = next.isDefined
-        }
-        found match {
-          case None => throw UnknownCommitError(id)
-          case Some(p) => p // Some = parent; None = `id` is the oldest commit
-        }
-      }
-      parent match {
+      // the parent lookup rides VersionTracker.parentCommit: O(distance
+      // from head) page walk by default, and on the file store a
+      // zero-listing head-manifest resolution for commits near the head —
+      // the per-delivery cost of following a 100k-commit table stays
+      // bounded (never a history materialization)
+      engine.tracker.parentCommit(table.name, id) match {
         case None => // initial commit: everything it wrote is an insert
           engine.readChangesAt(table, id, keep)
             .withColumn(ChangeTypeColumn, lit("insert"))

@@ -314,15 +314,69 @@ final class FileBackedVersionTracker(
     resolveTableDir(table) match {
       case (dir, GraftLayout) =>
         if (limit == 0) (Nil, after)
-        else keysetPage(graftNameListing(dir).reverse, limit, after,
-          isPast = (k: String, a: String) => k < a,
-          renderCursor = identity[String])(p => parseCommitFile(p).metadata)
+        else manifestNewestPage(dir, limit, after).getOrElse(
+          keysetPage(graftNameListing(dir).reverse, limit, after,
+            isPast = (k: String, a: String) => k < a,
+            renderCursor = identity[String])(p => parseCommitFile(p).metadata))
       case (dir, ChroniclesLayout) =>
         if (limit == 0) (Nil, after)
         else keysetPage(chroniclesListing(dir).reverse, limit, after.map(parseMtimeCursor),
           isPast = mtimeOrd.lt, renderCursor = renderMtimeCursor)(p => parseCommitFile(p).metadata)
     }
   }
+
+  /** Serve a newest-first metadata page straight from the head manifest's
+    * tail — ZERO directory listings — when the WHOLE page provably fits
+    * inside the tail (the common case: a CLI `log` first page, a delivery
+    * ledger's frontier probe, a CDC parent lookup near the head). A page
+    * that would cross the fold boundary returns None and the listing path
+    * serves it; the cursor is the commit file name either way, so a walk
+    * can start on the manifest and continue seamlessly into the listing.
+    * (A crashed writer's ORPHAN commit file — present on disk, absent from
+    * the manifest — is the one divergence from the listing page: the
+    * manifest page skips it until the next checkpoint folds it into the
+    * covered prefix. Orphans are unreachable crash debris; both paths agree
+    * on every committed history.) */
+  private def manifestNewestPage(
+      dir: Path, limit: Int, after: Option[String]): Option[(List[TableUpdateMetadata], Option[String])] =
+    readManifest(dir).filter(_.foldDoc.nonEmpty).flatMap { m =>
+      val newestFirst = m.tail.reverse
+      val anchored = after match {
+        case None    => newestFirst
+        case Some(a) => newestFirst.dropWhile(_ >= a)
+      }
+      if (anchored.size < limit) None // page would cross the fold boundary
+      else {
+        val page = anchored.take(limit)
+        try Some((page.map(n => parseCommitFile(new Path(dir, n)).metadata), page.lastOption))
+        catch { case _: java.io.FileNotFoundException => None } // torn race: listing path serves
+      }
+    }
+
+  /** The manifest-served [[VersionTracker.parentCommit]]: when `id` is a
+    * TAIL commit, its parent is the previous tail entry — or, for the
+    * first tail entry, the fold boundary's own commit (`lastCommitId`) —
+    * resolved with zero listings and O(tail) document parses. Ids at or
+    * below the boundary (historical deep lookups) fall back to the page
+    * walk. */
+  override def parentCommit(table: TableName, id: CommitId): Option[CommitId] =
+    resolveTableDir(table) match {
+      case (dir, GraftLayout) =>
+        val fast = readManifest(dir).filter(_.foldDoc.nonEmpty).flatMap { m =>
+          try {
+            val tailMeta = m.tail.map(n => parseCommitFile(new Path(dir, n)).metadata)
+            val i = tailMeta.indexWhere(_.id == id)
+            if (i > 0) Some(Some(tailMeta(i - 1).id))
+            else if (i == 0)
+              JsonCodecs.foldDocFromJson(read(new Path(dir, m.foldDoc.get))).toOption
+                .filter(_.lastCovered == m.lastCovered)
+                .map(doc => Some(CommitId(doc.lastCommitId)))
+            else None // covered prefix (or unknown): the page walk decides
+          } catch { case _: java.io.FileNotFoundException => None }
+        }
+        fast.getOrElse(super.parentCommit(table, id))
+      case _ => super.parentCommit(table, id)
+    }
 
   // ---- shared keyset-page core (both layouts, both directions) ----
 

@@ -42,8 +42,12 @@ object DeliveryLedger {
   def lastDelivered(tracker: VersionTracker, table: TableName, appId: String): Option[String] = {
     var cursor: Option[String] = None
     var more = true
+    var pageSize = 32 // small first page: the file store serves it from the
+    // head manifest with zero listings when the marker is near the head
+    // (the steady delivery case); deeper walks widen to bound page count
     while (more) {
-      val (page, next) = tracker.updatesPage(table, 256, cursor)
+      val (page, next) = tracker.updatesPage(table, pageSize, cursor)
+      pageSize = 256
       page.foreach { m =>
         Marker.findFirstMatchIn(m.message).foreach { mm =>
           if (mm.group(1) == appId) return Some(mm.group(2))

@@ -162,6 +162,44 @@ class HeadManifestSpec extends AnyFlatSpec with Matchers {
     r.currentVersion(t) shouldBe w.tableState(t).currentTableVersion
   }
 
+  it should "serve newest-first log pages from the tail with zero listings, exactly like the listing path" in {
+    val root = Files.createTempDirectory("graft-manifest-page-")
+    val w = tracker(root)
+    w.initTable(t, isSnapshot = false, u, "init", Instant.now())
+    commitN(w, 1 to 11) // checkpoints at 4 and 8; tail = 4
+
+    val byListing = w.tableState(t).updates.reverse.map(_.metadata)
+    val r = tracker(root)
+    val (page, cursor) = r.updatesPage(t, 3, None) // fits in the 4-entry tail
+    r.directoryListings.get() shouldBe 0L
+    page shouldBe byListing.take(3)
+    cursor shouldBe defined
+    // the cursor continues SEAMLESSLY into the listing path (page crosses
+    // the fold boundary), and the concatenation law holds end to end
+    val (page2, _) = r.updatesPage(t, 6, cursor)
+    page2 shouldBe byListing.slice(3, 9)
+    // a page too big for the tail comes from the listing, same answer
+    tracker(root).updatesPage(t, 10, None)._1 shouldBe byListing.take(10)
+  }
+
+  it should "resolve parentCommit of tail ids with zero listings (and boundary/covered ids exactly)" in {
+    val root = Files.createTempDirectory("graft-manifest-parent-")
+    val w = tracker(root)
+    w.initTable(t, isSnapshot = false, u, "init", Instant.now())
+    commitN(w, 1 to 11) // boundary after commit 8 (init + 1..7 covered at fold 8)
+    val hist = w.tableState(t).updates.map(_.metadata.id) // oldest first
+
+    val r = tracker(root)
+    // newest commit: parent from the manifest tail, zero listings
+    r.parentCommit(t, hist.last) shouldBe Some(hist(hist.size - 2))
+    r.directoryListings.get() shouldBe 0L
+    // every id agrees with the history ordering, whatever path serves it
+    hist.zipWithIndex.foreach { case (id, i) =>
+      tracker(root).parentCommit(t, id) shouldBe (if (i == 0) None else Some(hist(i - 1)))
+    }
+    intercept[UnknownCommitError] { r.parentCommit(t, CommitId("nope")) }
+  }
+
   it should "survive a crash window: commit file present, head and manifest unmoved" in {
     val root = Files.createTempDirectory("graft-manifest-crash-")
     val w = tracker(root)
