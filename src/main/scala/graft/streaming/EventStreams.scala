@@ -164,6 +164,19 @@ object EventStreams {
    * `versionedInsertInto`, so each trigger becomes one immutable commit —
    * streaming ingestion with a full audit log and time travel. Overwrite-by-
    * partition semantics per batch match the engine's batch write path.
+   *
+   * `exactlyOnce = true` adds the [[DeliveryLedger]] discipline: each
+   * commit's message carries the micro-batch id, and a batch whose id is at
+   * or below the newest ledger marker SKIPS instead of re-committing — a
+   * crash between the commit and the stream checkpoint then replays into a
+   * no-op rather than an extra commit (the replayed write was already
+   * content-idempotent — same partitions re-pointed at identical data —
+   * so the ledger buys a clean history, not correctness). The default
+   * `appId` scopes the ledger to (table, checkpoint dir): restarting with a
+   * FRESH checkpoint restarts batch ids at 0, and a fresh checkpoint dir
+   * makes a fresh ledger frontier, so old markers can never mass-skip a new
+   * query's batches. Pass `appId` explicitly to carry one frontier across
+   * relocated checkpoints.
    */
   def writeVersioned(
       stream: DataFrame,
@@ -171,7 +184,12 @@ object EventStreams {
       table: TableDefinition,
       userId: UserId,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      exactlyOnce: Boolean = false,
+      appId: Option[String] = None): StreamingQuery = {
+    val app = appId.getOrElse(
+      s"stream.${table.name.fullyQualifiedName}." +
+        java.lang.Integer.toHexString(checkpointDir.hashCode))
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -181,14 +199,25 @@ object EventStreams {
         // probe, partition-values scan, write) — cache it once per trigger.
         // Watermark-only micro-batches carry no rows: skip instead of
         // committing (the partitioned write requires >=1 partition value).
-        batch.persist()
-        try {
-          if (!batch.isEmpty)
-            batch.versionedInsertInto(engine, table, userId, s"stream batch $batchId")
-        } finally batch.unpersist()
+        val delivered = exactlyOnce &&
+          DeliveryLedger.lastDelivered(engine.tracker, table.name, app)
+            .flatMap(_.toLongOption).exists(batchId <= _)
+        if (!delivered) {
+          batch.persist()
+          try {
+            if (!batch.isEmpty) {
+              val message =
+                if (exactlyOnce)
+                  DeliveryLedger.message(s"stream batch $batchId", app, batchId.toString)
+                else s"stream batch $batchId"
+              batch.versionedInsertInto(engine, table, userId, message)
+            }
+          } finally batch.unpersist()
+        }
         ()
       }
       .start()
+  }
 
   /**
    * Streaming WRITE-AUDIT-PUBLISH: [[writeVersioned]] with a per-micro-batch

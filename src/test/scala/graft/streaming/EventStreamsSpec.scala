@@ -97,6 +97,32 @@ class EventStreamsSpec extends AnyFlatSpec with Matchers {
     engine.read(table).count() shouldBe 0
   }
 
+  "writeVersioned(exactlyOnce)" should "skip replayed batches via the commit-log ledger" in {
+    val root = Files.createTempDirectory("graft-stream-once-")
+    val engine = VersionedTables.withFileStore(spark, root.resolve("store").toUri)
+    val table = TableDefinition(TableName("stream", "once"),
+      root.resolve("once").toUri, PartitionSchema("event_date"), FileFormat.Parquet)
+    engine.initTable(table, UserId("s"), "init")
+    val stream = EventStreams.readEventStream(spark, stagedDir, staged.schema)
+      .withColumn("event_date", to_date(col("ts")))
+    def run(chk: String, app: Option[String]): Unit = {
+      val q = EventStreams.writeVersioned(stream, engine, table, UserId("s"),
+        root.resolve(chk).toString, exactlyOnce = true, appId = app)
+      q.processAllAvailable(); q.stop()
+    }
+    run("chk1", Some("ingest-a"))
+    val log1 = engine.log(table.name)
+    log1.head.message should include("[graft-delivery ingest-a#")
+    // a FULL replay (fresh checkpoint, SAME appId — the crash-recovery
+    // shape) re-offers every batch; the ledger skips them all: zero new
+    // commits, zero rewritten partitions
+    run("chk2", Some("ingest-a"))
+    engine.log(table.name) shouldBe log1
+    // a DIFFERENT appId (a genuinely new pipeline) delivers normally
+    run("chk3", Some("ingest-b"))
+    engine.log(table.name).size should be > log1.size
+  }
+
   "intervalJoin" should "match a batch interval join on the same data" in {
     val signups = EventStreams.readEventStream(spark, stagedDir, staged.schema)
       .filter(col("event_type") === "signup")
