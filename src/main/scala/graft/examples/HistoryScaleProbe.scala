@@ -77,6 +77,18 @@ object HistoryScaleProbe {
     val (page, pageS) = timed(tr.updatesPage(table, 50, None))
     println(f"LOG_PAGE50_S=$pageS%.3f ROWS=${page._1.size} PARSES=${tr.commitFilesParsed.get() - p1}")
 
+    // manifest-served log reads (round 16): a tail-sized first page and the
+    // CDC parent lookup of the newest commit — both must do ZERO directory
+    // listings on a fresh tracker however long the history
+    val rM = new FileBackedVersionTracker(root.toUri)
+    val (pageM, pageMS) = timed(rM.updatesPage(table, 8, None))
+    val pagedListings = rM.directoryListings.get()
+    val newestId = pageM._1.head.id
+    val (parent, parentS) = timed(rM.parentCommit(table, newestId))
+    println(f"LOG_PAGE8_S=$pageMS%.4f PARENT_COMMIT_S=$parentS%.4f " +
+      f"LISTINGS=${rM.directoryListings.get()} PARENT_OK=${parent.isDefined} " +
+      f"PAGE_LISTINGS=$pagedListings")
+
     // ascending full-commit walk (what export/replication consume): every
     // commit parsed exactly once across the walk, O(page) held at a time
     val p2 = tr.commitFilesParsed.get()
