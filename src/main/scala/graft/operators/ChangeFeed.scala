@@ -59,8 +59,11 @@ object ChangeFeed {
         requireDistinctKeys: Boolean = true,
         updatePreimages: Boolean = false): DataFrame = {
       require(keyColumns.nonEmpty, "readRowChangesBetween needs at least one key column")
-      val st = engine.tracker.tableState(table.name)
-      (st.versionAt(from), st.versionAt(to)) match {
+      // two bounded versionAt resolutions (fold doc + tail on the
+      // persistent stores — CDC endpoints sit near the head) instead of one
+      // full-history materialization per delivered commit
+      (engine.tracker.versionAt(table.name, from),
+       engine.tracker.versionAt(table.name, to)) match {
         case (PartitionedTableVersion(a), PartitionedTableVersion(b)) =>
           val aKept = a.filter { case (p, _) => keep(p) }
           val bKept = b.filter { case (p, _) => keep(p) }

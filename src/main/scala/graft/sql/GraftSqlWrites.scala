@@ -138,7 +138,7 @@ object GraftSqlWrites {
       // declaration has on a first-write-defines-schema engine
       if (current.nonEmpty) current
       else graft.operators.VersionedTables.parseSchemaJson(
-          engine.tracker.tableState(table.name).currentSchemaJson)
+          engine.tracker.headState(table.name).schemaJson)
         .map(s => StructType(s.filterNot(_.name == Version.VersionColumn).toArray))
         .orElse(entry.declared)
         .getOrElse(current)
