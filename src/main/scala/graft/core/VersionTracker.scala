@@ -414,6 +414,29 @@ trait VersionTracker {
   }
 
   /**
+   * The commit a TIMESTAMP resolves to — the LATEST commit (in COMMIT
+   * order) whose time is at or before `instant`; None when no commit is
+   * that old. Same rule as [[TableState.commitIdAsOf]] (SQL
+   * `TIMESTAMP AS OF` semantics, shared by every surface), but BOUNDED: a
+   * newest-first page walk stops at the first qualifying commit — which IS
+   * the latest-in-commit-order qualifier, exactly, even under
+   * non-monotonic commit timestamps — so resolving a recent timestamp on
+   * a 100k-commit table reads O(distance from head) metadata (one
+   * manifest-served page on the file store), never the whole history.
+   */
+  def commitIdAsOf(table: TableName, instant: Instant): Option[CommitId] = {
+    var cursor: Option[String] = None
+    var more = true
+    while (more) {
+      val (page, next) = updatesPage(table, 64, cursor)
+      page.find(!_.timestamp.isAfter(instant)).foreach(m => return Some(m.id))
+      cursor = next
+      more = next.isDefined
+    }
+    None
+  }
+
+  /**
    * The PARENT of commit `id` — the commit immediately before it in
    * history order — or None when `id` is the table's first commit;
    * [[UnknownCommitError]] when `id` is not in the history. The row-level

@@ -291,12 +291,21 @@ final class VersionedTables(
   def readAsOf(
       table: TableDefinition, instant: java.time.Instant,
       keep: Partition => Boolean = _ => true): DataFrame = {
-    val st = tracker.tableState(table.name)
-    val at = st.commitIdAsOf(instant)
+    // bounded resolution end to end for recent timestamps (the common
+    // case): newest-first commit walk + fold-doc versionAt; only a
+    // mergeSchema table travelling into DEEP history pays a replay for
+    // its schema hint
+    val at = tracker.commitIdAsOf(table.name, instant)
       .getOrElse(throw new IllegalArgumentException(
         s"No commit at or before $instant for ${table.name}"))
-    readVersion(table, prunePartitions(st.versionAt(at), keep),
-      schemaHintAt(table, st, at))
+    val hint =
+      if (!table.mergesSchema) None
+      else {
+        val hs = tracker.headState(table.name)
+        if (hs.head == at) VersionedTables.parseSchemaJson(hs.schemaJson)
+        else schemaHintAt(table, tracker.tableState(table.name), at)
+      }
+    readVersion(table, prunePartitions(tracker.versionAt(table.name, at), keep), hint)
   }
 
   /** Audit report: `_version=` directories on disk that no commit in the

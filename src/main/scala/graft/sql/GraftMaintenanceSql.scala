@@ -375,7 +375,7 @@ final case class GraftRestoreCommand(
             .toInstant(java.time.ZoneOffset.UTC)))
           .getOrElse(throw new IllegalArgumentException(
             s"RESTORE ... TIMESTAMP AS OF: unparseable timestamp '$ref'"))
-        tracker.tableState(name).commitIdAsOf(ts).getOrElse(
+        tracker.commitIdAsOf(name, ts).getOrElse(
           throw new IllegalArgumentException(s"no commit at or before $ref for $name"))
       } else
         // tag-first, like read-side VERSION AS OF — tags are the durable pins

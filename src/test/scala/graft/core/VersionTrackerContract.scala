@@ -377,6 +377,32 @@ trait VersionTrackerContract extends AnyFlatSpec with Matchers {
     an[UnknownTableError] should be thrownBy tr.commit(TableName("no", "such"), upd())
   }
 
+  it should "resolve commitIdAsOf and parentCommit exactly like the full history" in {
+    val tr = newTracker()
+    val t = init(tr, "t")
+    // deliberately NON-monotonic commit timestamps (cross-process clock
+    // skew): the resolution rule is "latest in COMMIT order with ts <=
+    // instant", which the bounded newest-first walk must reproduce exactly
+    val base = Instant.parse("2026-01-01T00:00:00Z")
+    val offsets = Seq(10L, 30L, 20L, 50L, 40L)
+    offsets.foreach { o =>
+      tr.commit(t, TableUpdate(UserId("u"), s"c$o", base.plusSeconds(o),
+        List(AddPartitionVersion(Partition("day", f"d$o%03d"), Version.generate()))))
+    }
+    val st = tr.tableState(t)
+    // probe instants around every commit time plus far past/future
+    val probes = (0L to 60L by 5L).map(base.plusSeconds) :+ base.minusSeconds(9999)
+    probes.foreach { ts =>
+      tr.commitIdAsOf(t, ts) shouldBe st.commitIdAsOf(ts)
+    }
+    // parentCommit agrees with history adjacency over the whole log
+    val hist = st.updates.map(_.metadata.id)
+    hist.zipWithIndex.foreach { case (id, i) =>
+      tr.parentCommit(t, id) shouldBe (if (i == 0) None else Some(hist(i - 1)))
+    }
+    an[UnknownCommitError] should be thrownBy tr.parentCommit(t, CommitId("bogus"))
+  }
+
   it should "raise UnknownCommitError for unknown commit ids" in {
     val tr = newTracker()
     val t = init(tr, "t")
