@@ -162,15 +162,25 @@ object Expectations {
       Some(greatest(
         lit(0L),
         count(key) - floor(approx_count_distinct(key, rsd) * (1.0 + 3.0 * rsd)).cast("long")))
+    case Unique(cols) =>
+      // one violation per EXTRA row of a duplicated key: Σ over groups of
+      // (n−1) = count(*) − countDistinct(key). The struct key is never
+      // null, so the all-null group counts as one ordinary distinct value —
+      // exactly the former groupBy's semantics (duplicate all-null rows DO
+      // violate). Fused here, the check trades its own groupBy+filter+sum
+      // pass (a full shuffle on the key) for an Expand inside the one
+      // shared aggregation job — one scan fewer per audited write.
+      Some(count(lit(1)) - count_distinct(struct(cols.map(col): _*)))
     case other => rowPredicate(other).map(pred => sum(when(!pred, 1L).otherwise(0L)))
   }
 
   /** Run every check, returning one [[CheckResult]] per check in input
     * order. Results are keyed by POSITION, not name — two checks with the
     * same name (e.g. duplicate [[Satisfies]] checkNames) each report their
-    * own count. Row-local predicates and [[UniqueApprox]] sketches fuse
-    * into a single aggregation pass; when further passes are needed
-    * ([[Unique]]'s groupBy, [[RefIntegrity]]'s anti-join), the input is
+    * own count. Row-local predicates, [[UniqueApprox]] sketches AND exact
+    * [[Unique]] counts (count(*) − countDistinct(key), round 16) fuse into
+    * a single aggregation pass; when a further pass is needed
+    * ([[RefIntegrity]]'s anti-join), the input is
     * persisted ONCE so a multi-class audit scans the (possibly
     * just-written, possibly 100 TB) staged data a single time instead of
     * once per pass — and unpersisted before returning. An input the caller
@@ -179,7 +189,7 @@ object Expectations {
     require(checks.nonEmpty, "audit needs at least one check")
     val indexed = checks.zipWithIndex
     val fused = indexed.flatMap { case (c, i) => fusedViolations(c).map(i -> _) }
-    val heavyPasses = checks.count { case _: Unique | _: RefIntegrity => true; case _ => false }
+    val heavyPasses = checks.count { case _: RefIntegrity => true; case _ => false }
     val scans = (if (fused.isEmpty) 0 else 1) + heavyPasses
     val materialize = scans > 1 && df.storageLevel == StorageLevel.NONE
     val input = if (materialize) df.persist(StorageLevel.MEMORY_AND_DISK) else df
@@ -196,11 +206,6 @@ object Expectations {
       indexed.map { case (c, i) =>
         if (fusedCounts.contains(i)) CheckResult(c.name, fusedCounts(i))
         else c match {
-          case Unique(cols) =>
-            val extras = input.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
-              .filter(col("__n") > 1)
-              .agg(coalesce(sum(col("__n") - 1), lit(0L))).head().getLong(0)
-            CheckResult(c.name, extras)
           case RefIntegrity(cl, dim, dimCol) =>
             val orphans = input.filter(col(cl).isNotNull)
               .join(dim.select(col(dimCol).as(cl)).distinct(), Seq(cl), "left_anti")

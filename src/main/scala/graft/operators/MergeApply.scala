@@ -430,26 +430,25 @@ object MergeApply {
             source.join(keyOnly(current, keyColumns), keyColumns.toSeq, "left_anti"),
             targetSchema))
         val out0 = rewriteSlice(current, targetSchema)
+        // single consumer (the write) — a persist here would materialize the
+        // whole rewrite once into cache and then copy it out again
         val out = inserts.map(out0.unionByName(_)).getOrElse(out0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val version = Version.generate()
-          VersionedTables.writeDataVersioned(out, table, version, clusterBy)
-          if (table.stats.nonEmpty)
-            TableStats.collectAndWrite(engine.spark, table, version, Nil)
-          val versionDir = new org.apache.hadoop.fs.Path(
-            VersionPaths.pathFor(table.location, version))
-          val fs = versionDir.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
-          require(fs.exists(versionDir),
-            s"mergeApply emptied snapshot table ${table.name.fullyQualifiedName} — a " +
-              "snapshot version must carry at least one row (emptying is a replace-all concern)")
-          val (tv, changes) = engine.versioned.commitIf(
-            table.name, TableUpdate(userId, message, now,
-              VersionedTables.schemaOpsFor(table, state.schemaJson, snapshot, out.schema,
-                definesWholeTable = true) :+
-                TableOperation.AddTableVersion(version)), head)
-          VersionedMerge.MergeResult(tv, changes, Nil, Nil)
-        } finally { out.unpersist(blocking = false); () }
+        val version = Version.generate()
+        VersionedTables.writeDataVersioned(out, table, version, clusterBy)
+        if (table.stats.nonEmpty)
+          TableStats.collectAndWrite(engine.spark, table, version, Nil)
+        val versionDir = new org.apache.hadoop.fs.Path(
+          VersionPaths.pathFor(table.location, version))
+        val fs = versionDir.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(versionDir),
+          s"mergeApply emptied snapshot table ${table.name.fullyQualifiedName} — a " +
+            "snapshot version must carry at least one row (emptying is a replace-all concern)")
+        val (tv, changes) = engine.versioned.commitIf(
+          table.name, TableUpdate(userId, message, now,
+            VersionedTables.schemaOpsFor(table, state.schemaJson, snapshot, out.schema,
+              definesWholeTable = true) :+
+              TableOperation.AddTableVersion(version)), head)
+        VersionedMerge.MergeResult(tv, changes, Nil, Nil)
 
       case PartitionedTableVersion(pvs) =>
         // (1) candidate partitions that CAN hold a source key — needed both
@@ -589,13 +588,15 @@ object MergeApply {
               val pieces = Seq(rewritten, matchedOut, inserts).flatten
               if (pieces.isEmpty)
                 return VersionedMerge.MergeResult(snapshot, TableChanges.empty, Nil, Nil)
+              // fused write: final-partition discovery observed DURING the
+              // write (one evaluation; the matchedOut/inserts pieces with
+              // genuine second consumers stay persisted above — this union's
+              // only consumer is the write itself)
               val out = pieces.reduce(_.unionByName(_))
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try {
               val version = Version.generate()
-              val finalParts = VersionedTables.partitionValues(out, table.partitionSchema)
+              val finalParts = VersionedTables.writeDataVersionedObserved(
+                out, table, version, clusterBy)
               if (finalParts.nonEmpty) {
-                VersionedTables.writeDataVersioned(out, table, version, clusterBy)
                 // first-class write: the new version carries stats manifests
                 // so later reads keep pruning after the rewrite
                 if (table.stats.nonEmpty)
@@ -614,7 +615,6 @@ object MergeApply {
               val (tv, changes) = engine.versioned.commitIf(
                 table.name, TableUpdate(userId, message, now, schemaOps ++ ops), head)
               VersionedMerge.MergeResult(tv, changes, finalParts, emptied)
-            } finally { out.unpersist(blocking = false); () }
             } finally { inserts.foreach(_.unpersist(blocking = false)); () }
           } finally {
             if (movesPossible) matchedOut.foreach(_.unpersist(blocking = false)); ()

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core._
 import graft.operators.VersionedTables._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -175,25 +175,47 @@ object VectorIndex {
     require(centroids.nonEmpty,
       s"${table.name} carries no centroid partition at this version — build the index first")
 
+    // The assignment runs ONCE per row and the centroid lookup is one
+    // element_at into a literal array-of-arrays — a when-chain that
+    // re-embedded nearestCellId per branch was O(nlist²) dot products per
+    // row and blew past the whole-stage-codegen method limit.
+    val cents = typedLit(centroids.map(_.toSeq).toSeq)
+    def distToAssigned(vc: Column, cellId: Column): Column =
+      lit(1.0) - Similarity.cosine(vc, element_at(cents, cellId + 1))
+
+    // Index-side drift reference: mean distance of (a bounded sample of) the
+    // INDEXED vectors to their assigned centroid — a guard, not a statistic.
+    val indexMean: Double =
+      if (maxDriftFactor.isPosInfinity) 0.0
+      else readCellsOf(engine, table, pinned, _ != CentroidCell).limit(driftSampleSize)
+        .select(col("embedding").as("__v"),
+          Similarity.nearestCellId(col("embedding"), centroids).as("__c"))
+        .agg(avg(distToAssigned(col("__v"), col("__c")))).collect()(0).getDouble(0)
+
+    // One pass over the batch (optimization guide §1.2): the BATCH-side
+    // drift statistic rides the write job as an observed metric — formerly
+    // its own full scan of the batch, on top of a partitionValues scan and
+    // the write (3 evaluations of the batch plan; now 1). The guard then
+    // runs between WRITE and COMMIT: a refused batch never lands (its
+    // staged directories are ordinary orphan debris, the identical
+    // lifecycle to a failed CAS write), and the refusal message is
+    // unchanged.
+    val driftObs = org.apache.spark.sql.Observation(s"graft_ivf_drift_$batchLabel")
+    val assigned0 = vectors
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        Similarity.nearestCellId(col(vecCol), centroids).as("__cid"))
+    val assigned =
+      (if (maxDriftFactor.isPosInfinity) assigned0
+       else assigned0.observe(driftObs, avg(distToAssigned(col("embedding"), col("__cid")))
+         .as("batch_mean")))
+        .select(col("vec_id"), col("embedding"),
+          concat(lit("c"), col("__cid")).as(CellCol))
+        .withColumn(BatchCol, lit(batchLabel))
+        .repartition(col(CellCol), col(BatchCol))
+    val staged = assigned.stageInsertInto(engine, table, userId, message, manifest = false)
     if (!maxDriftFactor.isPosInfinity) {
-      // mean distance to the assigned centroid, batch vs indexed sample. The
-      // sample is limit-bounded (any N indexed vectors — a guard, not a
-      // statistic). The assignment runs ONCE per row and the centroid lookup
-      // is one element_at into a literal array-of-arrays — a when-chain that
-      // re-embedded nearestCellId per branch was O(nlist²) dot products per
-      // row and blew past the whole-stage-codegen method limit.
-      def meanDist(df: DataFrame, vc: String): Double = {
-        val cents = typedLit(centroids.map(_.toSeq).toSeq)
-        df.select(col(vc).as("__v"),
-            Similarity.nearestCellId(col(vc), centroids).as("__c"))
-          .select((lit(1.0) - Similarity.cosine(
-            col("__v"), element_at(cents, col("__c") + 1))).as("__d"))
-          .agg(avg(col("__d"))).collect()(0).getDouble(0)
-      }
-      val indexMean = meanDist(
-        readCellsOf(engine, table, pinned, _ != CentroidCell).limit(driftSampleSize),
-        "embedding")
-      val batchMean = meanDist(vectors, vecCol)
+      val batchMean = Option(driftObs.get("batch_mean"))
+        .map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.0)
       require(indexMean <= 0.0 || batchMean <= maxDriftFactor * indexMean,
         f"addBatch drift guard: the new batch's mean distance to its nearest " +
           f"centroid ($batchMean%.4f) exceeds $maxDriftFactor× the indexed " +
@@ -201,14 +223,7 @@ object VectorIndex {
           "rebuild the index (buildIvf) instead of appending, or raise " +
           "maxDriftFactor to override")
     }
-
-    vectors
-      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
-        concat(lit("c"),
-          Similarity.nearestCellId(col(vecCol), centroids)).as(CellCol))
-      .withColumn(BatchCol, lit(batchLabel))
-      .repartition(col(CellCol), col(BatchCol))
-      .versionedInsertIntoIf(engine, table, userId, message, checkedHead)
+    staged.publishIf(checkedHead)
   }
 
   /** Fold the accreted delivery batches back into one `(cell, batch)` leaf

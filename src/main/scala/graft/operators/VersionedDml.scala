@@ -174,9 +174,14 @@ object VersionedDml {
           }.reduce(_ || _)
           val rewritten = applySet(slice.filter(member))
           val version = Version.generate()
-          val finalParts = VersionedTables.partitionValues(rewritten, table.partitionSchema)
+          // fused write: final-partition discovery observed DURING the write
+          // (one evaluation of the rewrite plan; the former shape ran a
+          // partitionValues action first — a second full pass over the
+          // persisted slice). A DELETE that empties every touched partition
+          // writes nothing and returns no partitions; ops are then removes.
+          val finalParts = VersionedTables.writeDataVersionedObserved(
+            rewritten, table, version, clusterBy)
           if (finalParts.nonEmpty) {
-            VersionedTables.writeDataVersioned(rewritten, table, version, clusterBy)
             // first-class write: the new version carries stats manifests so
             // later reads keep pruning after the rewrite
             if (table.stats.nonEmpty)

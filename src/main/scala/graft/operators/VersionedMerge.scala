@@ -326,44 +326,42 @@ object VersionedMerge {
           // partition map would yield an empty-SCHEMA frame whose select
           // cannot resolve anything, so the guard is load-bearing.
           val touchedPvs = pvs.filter { case (p, _) => touched(p) }
-          // persisted across its two consumers (final-partition discovery and
-          // the physical write): the touched-slice read + anti-join runs
-          // ONCE — at scale that work dwarfs the source, which the scaladoc
-          // already tells callers to persist. Released after the commit (or
-          // failure); the persisted-write law lives in VersionedMergeSpec.
+          // single-evaluation write: final-partition discovery is observed
+          // DURING the write job (writeDataVersionedObserved), so the
+          // touched-slice read + anti-join runs ONCE with no persist — the
+          // former shape materialized the merged frame (MEMORY_AND_DISK)
+          // purely to bridge a partitionValues action and the write. The
+          // once-only law lives in VersionedMergeSpec (file-scan count).
           val merged =
-            (if (touchedPvs.isEmpty) upserts
-             else engine.readVersion(table, PartitionedTableVersion(touchedPvs))
-               .select(source.columns.map(col): _*) // align column order for unionByName
-               .join(keyFrame, keyColumns, "left_anti")
-               .unionByName(upserts))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val version = Version.generate()
-            val finalParts = VersionedTables.partitionValues(merged, table.partitionSchema)
-            if (finalParts.nonEmpty) {
-              VersionedTables.writeDataVersioned(merged, table, version, clusterBy)
-              // the merge is a first-class write: its version carries a stats
-              // manifest like any insert, so later reads and merges keep
-              // pruning after the partition was rewritten
-              if (table.stats.nonEmpty)
-                TableStats.collectAndWrite(engine.spark, table, version, finalParts)
-            }
-            // a touched partition with no surviving rows is REMOVED from the
-            // visible table (its old data stays on disk for time travel)
-            val emptied = (touched -- finalParts.toSet).toList.sortBy(_.toPath)
-              .filter(pvs.contains) // an emptied partition that never existed needs no op
-            val ops = finalParts.sortBy(_.toPath).map(TableOperation.AddPartitionVersion(_, version)) ++
-              emptied.map(TableOperation.RemovePartition(_))
-            if (ops.isEmpty)
-              return MergeResult(snapshot, TableChanges.empty, Nil, Nil)
-            // merge-as-first-write defines the schema; steady-state merges
-            // record nothing (shape unchanged)
-            val schemaOps = VersionedTables.schemaOpsFor(table, state.schemaJson, snapshot, merged.schema, definesWholeTable = false)
-            val (tv, changes) = engine.versioned.commitIf(
-              table.name, TableUpdate(userId, message, now, schemaOps ++ ops), head)
-            MergeResult(tv, changes, finalParts, emptied)
-          } finally { merged.unpersist(blocking = false); () }
+            if (touchedPvs.isEmpty) upserts
+            else engine.readVersion(table, PartitionedTableVersion(touchedPvs))
+              .select(source.columns.map(col): _*) // align column order for unionByName
+              .join(keyFrame, keyColumns, "left_anti")
+              .unionByName(upserts)
+          val version = Version.generate()
+          val finalParts = VersionedTables.writeDataVersionedObserved(
+            merged, table, version, clusterBy)
+          if (finalParts.nonEmpty) {
+            // the merge is a first-class write: its version carries a stats
+            // manifest like any insert, so later reads and merges keep
+            // pruning after the partition was rewritten
+            if (table.stats.nonEmpty)
+              TableStats.collectAndWrite(engine.spark, table, version, finalParts)
+          }
+          // a touched partition with no surviving rows is REMOVED from the
+          // visible table (its old data stays on disk for time travel)
+          val emptied = (touched -- finalParts.toSet).toList.sortBy(_.toPath)
+            .filter(pvs.contains) // an emptied partition that never existed needs no op
+          val ops = finalParts.sortBy(_.toPath).map(TableOperation.AddPartitionVersion(_, version)) ++
+            emptied.map(TableOperation.RemovePartition(_))
+          if (ops.isEmpty)
+            return MergeResult(snapshot, TableChanges.empty, Nil, Nil)
+          // merge-as-first-write defines the schema; steady-state merges
+          // record nothing (shape unchanged)
+          val schemaOps = VersionedTables.schemaOpsFor(table, state.schemaJson, snapshot, merged.schema, definesWholeTable = false)
+          val (tv, changes) = engine.versioned.commitIf(
+            table.name, TableUpdate(userId, message, now, schemaOps ++ ops), head)
+          MergeResult(tv, changes, finalParts, emptied)
       }
     }
   }

@@ -257,25 +257,26 @@ final class VersionedTables(
     if (markers.isEmpty) return (snapshot, TableChanges.empty)
     val hint = schemaHintAt(table, state, head)
     val live = readVersion(table, PartitionedTableVersion(markers), hint)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val version = Version.generate()
-      val partCols = table.partitionSchema.columnNames.map(col)
-      val finalParts = VersionedTables.partitionValues(live, table.partitionSchema)
-      if (finalParts.nonEmpty) {
-        val arranged =
-          if (partCols.isEmpty) live.repartition(1) else live.repartition(partCols: _*)
-        VersionedTables.writeDataVersioned(arranged, table, version, clusterBy)
-        if (table.stats.nonEmpty)
-          TableStats.collectAndWrite(spark, table, version, finalParts)
-      }
-      val emptied = (markers.keySet -- finalParts.toSet).toList.sortBy(_.toPath)
-      val ops = finalParts.sortBy(_.toPath)
-        .map(TableOperation.AddPartitionVersion(_, version)) ++
-        emptied.map(TableOperation.RemovePartition(_))
-      versioned.commitIf(table.name,
-        TableUpdate(userId, message, java.time.Instant.now(), ops), head)
-    } finally { live.unpersist(blocking = false); () }
+    // fused write: surviving-partition discovery is observed DURING the
+    // write job (writeDataVersionedObserved), so the DV-applied read runs
+    // once — the former partitionValues-then-write pair needed a persist
+    // (a full materialization of the fold slice) to avoid evaluating it
+    // twice. A fold whose DVs deleted every row writes no directories and
+    // returns no partitions; the commit then carries only removes.
+    val version = Version.generate()
+    val partCols = table.partitionSchema.columnNames.map(col)
+    val arranged =
+      if (partCols.isEmpty) live.repartition(1) else live.repartition(partCols: _*)
+    val finalParts =
+      VersionedTables.writeDataVersionedObserved(arranged, table, version, clusterBy)
+    if (finalParts.nonEmpty && table.stats.nonEmpty)
+      TableStats.collectAndWrite(spark, table, version, finalParts)
+    val emptied = (markers.keySet -- finalParts.toSet).toList.sortBy(_.toPath)
+    val ops = finalParts.sortBy(_.toPath)
+      .map(TableOperation.AddPartitionVersion(_, version)) ++
+      emptied.map(TableOperation.RemovePartition(_))
+    versioned.commitIf(table.name,
+      TableUpdate(userId, message, java.time.Instant.now(), ops), head)
   }
 
   /** Register the table's CURRENT version as a temp view so it is queryable
@@ -1415,9 +1416,16 @@ object VersionedTables {
           // avoids a second evaluation of the (possibly expensive) plan and
           // stays correct for nondeterministic sources, where a non-empty
           // pre-check and an empty write can genuinely disagree.
+          writeWithVersion(table, version, clusterBy)
           schemaOps :+ TableOperation.AddTableVersion(version)
         } else {
-          val parts = partitionValues(ds, table.partitionSchema)
+          // fused write: the distinct partition values are observed DURING
+          // the write job, so the input plan is evaluated once — the former
+          // partitionValues-then-write pair evaluated it twice. A 0-row
+          // input writes nothing and still fails the guard below, with no
+          // commit — identical outcome to the former pre-write check.
+          val parts = VersionedTables.writeDataVersionedObserved(
+            ds.toDF(), table, version, clusterBy)
           require(parts.nonEmpty,
             s"Dataset has no rows for partition columns ${table.partitionSchema.columnNames}")
           val adds = parts.map(TableOperation.AddPartitionVersion(_, version))
@@ -1432,7 +1440,6 @@ object VersionedTables {
             }
           schemaOps ++ adds ++ removes
         }
-      writeWithVersion(table, version, clusterBy)
       if (table.isSnapshot) {
         // loud failure BEFORE the commit lands: an empty write left no
         // _version= directory, and committing AddTableVersion anyway would
@@ -1478,6 +1485,39 @@ object VersionedTables {
     private def writeWithVersion(
         table: TableDefinition, version: Version, clusterBy: Seq[String] = Nil): Unit =
       VersionedTables.writeDataVersioned(ds.toDF(), table, version, clusterBy)
+  }
+
+  /** [[writeDataVersioned]] fused with partition-value discovery: the
+    * distinct partition values are observed DURING the write job
+    * (`Dataset.observe` / CollectMetrics — a map-side `collect_set` over the
+    * partition columns, merged on the driver), so the input plan is
+    * evaluated ONCE. The former shape — a `partitionValues` action (full
+    * plan evaluation + exchange) followed by the write (second full
+    * evaluation), or a `persist` bridging the two — paid either 2× the
+    * input compute or a full materialization per versioned write; at scale
+    * that is the single largest avoidable cost of the write path
+    * (optimization guide §1.2: remove passes before tuning anything else).
+    * Returns exactly what [[partitionValues]] would have: the written
+    * partitions, null/"" collapsed into the default-partition name. */
+  private[operators] def writeDataVersionedObserved(
+      df: DataFrame, table: TableDefinition, version: Version,
+      clusterBy: Seq[String] = Nil): List[Partition] = {
+    val cols = table.partitionSchema.columnNames
+    if (cols.isEmpty) { writeDataVersioned(df, table, version, clusterBy); Nil }
+    else {
+      import org.apache.spark.sql.functions.{col, collect_set, struct}
+      val obs = org.apache.spark.sql.Observation(s"graft_parts_${version.label}")
+      val observed = df.observe(obs,
+        collect_set(struct(cols.map(c => col(s"`$c`")): _*)).as("parts"))
+      writeDataVersioned(observed, table, version, clusterBy)
+      val rows = obs.get("parts").asInstanceOf[scala.collection.Seq[Row]]
+      rows.map { row =>
+        Partition(cols.zipWithIndex.map { case (c, i) =>
+          val v = Option(row.get(i)).map(_.toString).filter(_.nonEmpty)
+          ColumnValue(PartitionColumn(c), v.getOrElse(PathCodec.DefaultPartitionName))
+        })
+      }.toList.distinct // null and "" collapse into the same default-partition dir
+    }
   }
 
   /** Physically write `df` under `_version=<label>` directories via Spark's

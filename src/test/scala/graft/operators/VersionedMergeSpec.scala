@@ -248,9 +248,9 @@ class VersionedMergeSpec extends AnyFlatSpec with Matchers {
     engine.read(table).count() shouldBe 200
   }
 
-  behavior of "mergeInto merged-plan reuse"
+  behavior of "mergeInto merged-plan single evaluation"
 
-  it should "write from the PERSISTED merged plan, not a re-scan of the touched slice" in {
+  it should "file-scan the table at most twice per merge (discovery + fused write), with no cache bridge" in {
     val (engine, dir) = newEngine()
     val loc = new File(dir, "acc_once")
     val table = TableDefinition(TableName("test", "acc_once"), loc.toURI,
@@ -283,15 +283,24 @@ class VersionedMergeSpec extends AnyFlatSpec with Matchers {
         if (writePlan.isEmpty) Thread.sleep(100)
       }
       withClue(s"captured ${plans.size} plans: ") { writePlan should not be empty }
+      // round 16: partition-value discovery is OBSERVED during the write
+      // job (writeDataVersionedObserved), so the merge evaluates the
+      // touched slice exactly twice across ALL its actions — once for
+      // matched-partition discovery, once inside the fused write — with no
+      // persist bridge (the old law asserted the write read an
+      // InMemoryTableScan; the fused shape needs no cache at all).
+      Thread.sleep(500) // let any trailing listener events drain
+      val all = plans.toArray(Array.empty[String])
+      val tableScans = all.count(p =>
+        p.linesIterator.exists(l => l.contains("FileScan parquet") && l.contains("acc_once")))
+      withClue(s"actions file-scanning the table (want <= 2: discovery + fused write):\n" +
+          all.filter(_.contains("acc_once")).mkString("\n---\n")) {
+        tableScans should be <= 2
+      }
+      // and the write itself must NOT be bridged through a cache — the
+      // single-evaluation property is structural, not cache-masked
       withClue(writePlan.get) {
-        writePlan.get should include("InMemoryTableScan")
-        // the EXECUTION path of the write (everything above the cache
-        // boundary) must hold no parquet re-scan of the table; FileScan
-        // lines nested under InMemoryRelation merely describe how the cache
-        // was BUILT and do not re-execute
-        val execPath = writePlan.get.split("InMemoryRelation").head
-        execPath.linesIterator
-          .count(l => l.contains("FileScan parquet") && l.contains("acc_once")) shouldBe 0
+        writePlan.get should not include "InMemoryTableScan"
       }
     } finally spark.listenerManager.unregister(listener)
     engine.read(table).as[Account].collect() should contain theSameElementsAs Seq(
