@@ -179,19 +179,27 @@ object Expectations {
     * same name (e.g. duplicate [[Satisfies]] checkNames) each report their
     * own count. Row-local predicates, [[UniqueApprox]] sketches AND exact
     * [[Unique]] counts (count(*) − countDistinct(key), round 16) fuse into
-    * a single aggregation pass; when a further pass is needed
-    * ([[RefIntegrity]]'s anti-join), the input is
-    * persisted ONCE so a multi-class audit scans the (possibly
-    * just-written, possibly 100 TB) staged data a single time instead of
-    * once per pass — and unpersisted before returning. An input the caller
-    * already persisted is left alone. */
+    * a single aggregation pass; [[RefIntegrity]] adds one column-pruned
+    * anti-join pass per check. Past two passes the input is persisted ONCE
+    * (and unpersisted before returning) so a many-check audit does not
+    * rescan per pass; at two or fewer, pruned columnar scans are cheaper
+    * than a full-width materialization. An input the caller already
+    * persisted is left alone. */
   def audit(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
     require(checks.nonEmpty, "audit needs at least one check")
     val indexed = checks.zipWithIndex
     val fused = indexed.flatMap { case (c, i) => fusedViolations(c).map(i -> _) }
     val heavyPasses = checks.count { case _: RefIntegrity => true; case _ => false }
     val scans = (if (fused.isEmpty) 0 else 1) + heavyPasses
-    val materialize = scans > 1 && df.storageLevel == StorageLevel.NONE
+    // Materialize only past TWO passes: each pass is COLUMN-PRUNED at the
+    // scan (the fused aggregation reads only the checked columns, the
+    // RefIntegrity anti-join only its key), while a persist materializes
+    // the FULL-WIDTH input once and then copies it back out — strictly more
+    // I/O than two pruned scans of a columnar source, and at 100 TB a
+    // whole-table cache is a spill hazard, not a savings. Callers whose
+    // input is an expensive non-scan plan can persist it themselves (an
+    // already-persisted input is left alone, as before).
+    val materialize = scans > 2 && df.storageLevel == StorageLevel.NONE
     val input = if (materialize) df.persist(StorageLevel.MEMORY_AND_DISK) else df
     try {
       val fusedCounts: Map[Int, Long] =

@@ -62,11 +62,14 @@ class ExpectationsSpec extends AnyFlatSpec with Matchers {
     results.map(_.violations) shouldBe Seq(1L, 5L, 0L, 0L)
   }
 
-  it should "scan a multi-class audit's input exactly once" in {
+  it should "bound a multi-class audit's input scans: two pruned passes unpersisted, one materialization past that" in {
     // Every check references the UDF-computed column, so each audit pass
-    // would re-run the UDF if the input were recomputed: without the
-    // persist, fused + Unique + RefIntegrity = 3 scans = 3n ticks. The
-    // accumulator pins ONE materialization.
+    // re-runs the UDF if the input is recomputed — the accumulator counts
+    // passes. Round 16: exact Unique fuses into the shared aggregation, so
+    // fused + ONE RefIntegrity is two column-pruned passes and the audit
+    // deliberately does NOT persist (two pruned scans of a columnar source
+    // beat a full-width materialization, and a 100 TB cache is a spill
+    // hazard) — ticks = 2n, not 3n as the pre-fusion shape would pay.
     val acc = spark.sparkContext.longAccumulator("scan-ticks")
     val tick = udf { (x: Long) => acc.add(1L); x }
     val n = 1000L
@@ -76,9 +79,21 @@ class ExpectationsSpec extends AnyFlatSpec with Matchers {
       Unique(Seq("k")),
       RefIntegrity("k", spark.range(n).toDF("code"), "code")))
     results.forall(_.ok) shouldBe true
-    acc.value shouldBe n
-    // and the audit-internal persist is released before returning
+    acc.value shouldBe 2 * n
     tracked.storageLevel shouldBe org.apache.spark.storage.StorageLevel.NONE
+
+    // PAST two passes (fused + two RefIntegrity = 3) the input IS persisted
+    // once — ticks = n despite three consumers — and released on return.
+    val acc2 = spark.sparkContext.longAccumulator("scan-ticks-2")
+    val tick2 = udf { (x: Long) => acc2.add(1L); x }
+    val tracked2 = spark.range(n).toDF("id").withColumn("k", tick2(col("id")))
+    val results2 = Expectations.audit(tracked2, Seq(
+      NotNull(Seq("k")),
+      RefIntegrity("k", spark.range(n).toDF("code"), "code"),
+      RefIntegrity("k", spark.range(n).toDF("code2"), "code2")))
+    results2.forall(_.ok) shouldBe true
+    acc2.value shouldBe n
+    tracked2.storageLevel shouldBe org.apache.spark.storage.StorageLevel.NONE
   }
 
   it should "leave a caller-persisted input's storage level alone" in {
