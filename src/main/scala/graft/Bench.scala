@@ -288,13 +288,43 @@ object Bench {
         s""""calib_quiet_reps":${quietReps.map(c => f"$c%.3f").mkString("[", ",", "]")},""" +
         f""""contended":$stillContended,""" +
         s""""attempt_calibs":${attemptCalibs.map(c => f"$c%.3f").mkString("[", ",", "]")}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$status,""" +
-      s""""steal_pct":$stealPct,"steal_retried":$retried,"first_attempt_steal_pct":$firstSteal,""" +
-      s""""attempt_totals":${attemptTotals.mkString("[", ",", "]")},""" +
-      s"""$calibJson,""" +
-      s""""outliers":$outliersJson,""" +
-      s""""fixtures":$fixturesJson,""" +
-      s""""sf":"$sfDir"}""")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$status,""" +
+        s""""steal_pct":$stealPct,"steal_retried":$retried,"first_attempt_steal_pct":$firstSteal,""" +
+        s""""attempt_totals":${attemptTotals.mkString("[", ",", "]")},""" +
+        s"""$calibJson,""" +
+        s""""outliers":$outliersJson,""" +
+        s""""fixtures":$fixturesJson,""" +
+        s""""cpus":$cpus,""" +
+        s""""sf":"$sfDir"}"""
+    println(fullJson)
+    // Round-17 output-contract fix (perf-visibility item 1 of the round-16
+    // verdict): the driver keeps only the LAST ~2000 chars of stdout, and the
+    // full line above is ~10 KB — BENCH_r15/r16 both reached the driver with
+    // the per-query map cut mid-line, so PERF_r16.per_query came back EMPTY
+    // and the optimization round ran without driver-verifiable per-query
+    // ground truth. The 188 query names alone are ~2.6 KB, so NO single
+    // parseable line can carry them all inside the tail. Three additive
+    // mitigations (nothing above changed — totals stay comparable):
+    //  1. the full canonical JSON is ALSO written to BENCH_PERQ.json (and a
+    //     per-core-count copy) in the working directory — complete per-query
+    //     ground truth as a file artifact, whatever stdout survives;
+    //  2. compact one-query-per-line records below, printed in ASCENDING
+    //     time order so the SLOWEST queries sit nearest the tail end and
+    //     survive truncation — a tail-bounded parser recovers the most
+    //     informative ~30 entries as complete JSON lines;
+    //  3. the final summary line (unchanged fields, still last) names the
+    //     artifact file so the driver knows where the full map lives.
+    def writeBenchFile(name: String): Unit =
+      try {
+        val w = new java.io.PrintWriter(name, "UTF-8")
+        try w.println(fullJson) finally w.close()
+      } catch { case e: Exception => System.err.println(s"BENCH_PERQ write failed ($name): $e") }
+    writeBenchFile("BENCH_PERQ.json")
+    writeBenchFile(s"BENCH_PERQ_c$cpus.json")
+    results.sortBy(_._2).foreach { case (k, v, ok) =>
+      println(f"""{"q":"$k","s":$v%.3f,"ok":$ok}""")
+    }
     // Compact summary as the LAST stdout line: the driver's tail capture
     // keeps only the final ~2000 chars of stdout, and the full JSON above has
     // outgrown that (BENCH_r05 and BENCH_r13 both came back parsed:null — the
@@ -316,7 +346,7 @@ object Bench {
       f""""contended":$stillContended,""" +
       f""""fixture_build_total_s":$fixtureBuildTotal%.3f,""" +
       s""""attempt_totals":${attemptTotals.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
-      s""""slowest_ms":$slowest}""")
+      s""""slowest_ms":$slowest,"perq_file":"BENCH_PERQ.json"}""")
     spark.stop()
     // a failed query must read as a failure, not a timing improvement
     if (failed.nonEmpty) sys.exit(1)

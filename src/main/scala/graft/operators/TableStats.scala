@@ -405,9 +405,26 @@ object TableStats {
     if (c.contains(".")) col(s"`$c`") else col(c)
 
   /** Collect stats for the files that writing `version` into `partitions`
-    * just produced, and persist the manifest. One grouped-by-file-path Spark
-    * job over ONLY the declared columns; `partitions` empty = snapshot
-    * table. Called by the write paths before their commit lands. */
+    * just produced, and persist the manifest; `partitions` empty = snapshot
+    * table. Called by the write paths before their commit lands.
+    *
+    * Two collection paths (round 17, optimization guide §6):
+    *  - **footer-served** ([[footerStatsManifest]]): for BLOOM-LESS parquet
+    *    configs whose declared columns all have a whitelisted type, the
+    *    per-file rows / min / max / nullCount are read from the parquet
+    *    FOOTERS of the just-written files — zero Spark jobs, zero data-page
+    *    reads (the former read-back re-read the declared columns of every
+    *    byte just written). Any surprise (non-parquet, bloom config, type
+    *    outside the whitelist, truncation configured, absent/incomplete
+    *    chunk statistics) falls back to the scan path — the guard is
+    *    explicit, not best-effort, because footer min/max for binary
+    *    columns carry no exactness flag (see the truncation guard inside).
+    *  - **scan** ([[scanStatsManifest]]): the original one-job grouped
+    *    read-back — still the only path that can build partition Blooms
+    *    (they genuinely need the data pages) and the fallback for
+    *    everything the footer path refuses.
+    * Both paths produce byte-identical manifests for the cases the footer
+    * path accepts (pinned by TableStatsSpec's equivalence law). */
   def collectAndWrite(
       spark: SparkSession,
       table: TableDefinition,
@@ -418,6 +435,21 @@ object TableStats {
       if (table.isSnapshot) Seq(VersionPaths.pathFor(table.location, version))
       else partitions.map(p => VersionPaths.pathFor(p.resolvePath(table.location), version))
     if (leafDirs.isEmpty) return
+    val manifest = footerStatsManifest(spark, table, cfg, version, leafDirs)
+      .orElse(scanStatsManifest(spark, table, cfg, version, leafDirs))
+    manifest.foreach(m =>
+      writeManifest(spark.sparkContext.hadoopConfiguration, table.location, m))
+  }
+
+  /** The original read-back collection: one grouped-by-file-path Spark job
+    * over ONLY the declared columns of the just-written files. None when no
+    * declared column is present in the data (nothing to record). */
+  private[operators] def scanStatsManifest(
+      spark: SparkSession,
+      table: TableDefinition,
+      cfg: ColumnStatsConfig,
+      version: Version,
+      leafDirs: Seq[URI]): Option[StatsManifest] = {
     val df = spark.read.format(table.format.name).options(table.options)
       .load(leafDirs.map(VersionedTables.uriToLoadPath): _*)
     val present = df.columns.map(c => c.toLowerCase -> c).toMap
@@ -437,7 +469,7 @@ object TableStats {
               .apply(keyHashColumn(bloomCols.map(c => present(c.toLowerCase))))
               .as("_bloom"))
           else Nil))
-    if (statCols.isEmpty && !bloomActive) return
+    if (statCols.isEmpty && !bloomActive) return None
     val perFile = df
       .groupBy(col("_metadata.file_path").as("_path"))
       .agg(aggs.head, aggs.tail: _*)
@@ -476,14 +508,262 @@ object TableStats {
           }
           p -> serializeBloom(merged)
         }
-    val manifest = StatsManifest(version.label,
+    Some(StatsManifest(version.label,
       statCols.map(_.toLowerCase), if (bloomActive) bloomCols.map(_.toLowerCase) else Nil,
       files, blooms,
       bloomKeyTypes =
         if (bloomActive)
           bloomCols.map(c => df.schema(present(c.toLowerCase)).dataType.catalogString)
-        else Nil)
-    writeManifest(spark.sparkContext.hadoopConfiguration, table.location, manifest)
+        else Nil))
+  }
+
+  // ------------------------------------------------------- footer collection
+
+  /** Signals "this write is outside the footer path's proof obligations —
+    * use the scan path". Control flow only, never surfaced. */
+  private final class FooterFallback extends Exception with scala.util.control.NoStackTrace
+
+  /** Observability counter: writes whose manifest was served from parquet
+    * footers (no Spark job). Test-only, like [[manifestFsReads]]. */
+  private[graft] val footerServedWrites = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Test hook: force the scan path so the equivalence law can compare both
+    * collectors over the same files. */
+  @volatile private[graft] var disableFooterStatsForTesting = false
+
+  /** Erased bridge over parquet's self-recursive Statistics[T] bound (the
+    * Java method takes the raw type; both sides are the same concrete
+    * statistics class here — enforced by the per-column type resolution). */
+  private def mergeStats(
+      a: org.apache.parquet.column.statistics.Statistics[_],
+      b: org.apache.parquet.column.statistics.Statistics[_]): Unit = {
+    type S = org.apache.parquet.column.statistics.Statistics[java.lang.Long]
+    a.asInstanceOf[S].mergeStatistics(b.asInstanceOf[S])
+  }
+
+  /** Build the stats manifest of one write from the parquet FOOTERS of the
+    * files it produced — no Spark job, no data-page read. None = "fall back
+    * to [[scanStatsManifest]]", raised by ANY condition under which the
+    * footer bytes are not PROVABLY byte-identical to what the scan path
+    * would record:
+    *
+    *  - non-parquet format; a bloom-bearing config (filters need data pages);
+    *  - `parquet.statistics.truncate.length` configured anywhere the writer
+    *    could see it (session runtime conf, hadoop conf, table options):
+    *    parquet-mr 1.16 writes footer min/max UNTRUNCATED by default
+    *    (DEFAULT_STATISTICS_TRUNCATE_LENGTH = Int.MaxValue) and the footer
+    *    carries no exactness flag, so a configured truncation is
+    *    undetectable after the fact — refuse up front instead (the verdict's
+    *    "explicit truncation guard");
+    *  - `parquet.column.statistics.enabled=false` likewise;
+    *  - a declared column whose footer type is outside the whitelist below
+    *    (INT96 timestamps, decimals, unsigned ints, nested/repeated fields);
+    *  - any column chunk with non-null values but absent/incomplete
+    *    statistics (covers stats dropped for size — parquet-mr omits
+    *    min/max above MAX_STATS_SIZE — and any writer surprise).
+    *
+    * Value encoding matches [[encodeValue]] over the scan path's external
+    * agg values case by case: integral/boolean `toString`, dates
+    * `LocalDate.toString`, strings raw UTF-8, timestamps via
+    * `Instant`/`LocalDateTime.toString` (micros only), float/double
+    * `toString` with ±Infinity mapped to None. NaN-bearing float/double
+    * chunks take the fallback automatically: parquet-mr OMITS the footer
+    * min/max of a chunk that saw NaN (measured on 1.16), which trips the
+    * absent-stats guard — the right outcome, because Spark's agg would
+    * still record the real (NaN-excluded) min and the footer cannot
+    * reproduce it. Row counts come from block metadata and are always
+    * exact. */
+  private[operators] def footerStatsManifest(
+      spark: SparkSession,
+      table: TableDefinition,
+      cfg: ColumnStatsConfig,
+      version: Version,
+      leafDirs: Seq[URI]): Option[StatsManifest] = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Type => PqType}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.column.statistics.Statistics
+    if (disableFooterStatsForTesting) return None
+    if (table.format != FileFormat.Parquet) return None
+    if (cfg.bloomKeyColumns.nonEmpty) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    def confVal(key: String): Option[String] =
+      table.options.get(key)
+        .orElse(spark.conf.getOption(key))
+        .orElse(Option(conf.get(key)))
+    val truncated = confVal("parquet.statistics.truncate.length")
+      .exists(v => scala.util.Try(v.trim.toInt).toOption.forall(_ != Int.MaxValue))
+    val statsOff = confVal("parquet.column.statistics.enabled")
+      .exists(_.equalsIgnoreCase("false"))
+    if (truncated || statsOff) return None
+
+    /** (catalog type string as Spark would read it, min/max encoder from the
+      * merged chunk Statistics) — or fallback for types outside the
+      * whitelist. Encoders must return EXACTLY what [[encodeValue]] returns
+      * for the scan path's external agg value of the same data. */
+    // legacy Julian-calendar rebase rewrites stored date/timestamp VALUES on
+    // the way in/out — the footer's raw day/micros numbers then differ from
+    // the external values Spark's agg would return for pre-Gregorian data.
+    // Spark 4 defaults to EXCEPTION (ancient values refuse to write), so
+    // only an explicit LEGACY opt-in needs the guard.
+    val legacyRebase = spark.conf
+      .getOption("spark.sql.parquet.datetimeRebaseModeInWrite")
+      .exists(_.equalsIgnoreCase("LEGACY"))
+    def colCodec(t: PqType): (String, Statistics[_] => (Option[String], Option[String])) = {
+      if (!t.isPrimitive || t.getRepetition == PqType.Repetition.REPEATED)
+        throw new FooterFallback
+      val p = t.asPrimitiveType()
+      val ann = p.getLogicalTypeAnnotation
+      def minMax(f: AnyRef => Option[String]): Statistics[_] => (Option[String], Option[String]) =
+        st => (f(st.genericGetMin().asInstanceOf[AnyRef]), f(st.genericGetMax().asInstanceOf[AnyRef]))
+      (p.getPrimitiveTypeName, ann) match {
+        case (INT32, null) =>
+          "int" -> minMax(v => Some(v.toString))
+        case (INT32, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation) if i.isSigned =>
+          val catalog = i.getBitWidth match {
+            case 8 => "tinyint"; case 16 => "smallint"; case 32 => "int"
+            case _ => throw new FooterFallback
+          }
+          catalog -> minMax(v => Some(v.toString))
+        case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+          if (legacyRebase) throw new FooterFallback
+          "date" -> minMax(v =>
+            Some(LocalDate.ofEpochDay(v.asInstanceOf[java.lang.Integer].longValue).toString))
+        case (INT64, null) =>
+          "bigint" -> minMax(v => Some(v.toString))
+        case (INT64, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+            if i.isSigned && i.getBitWidth == 64 =>
+          "bigint" -> minMax(v => Some(v.toString))
+        case (INT64, ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation)
+            if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+          if (legacyRebase) throw new FooterFallback
+          def instantOf(v: AnyRef): Instant = {
+            val micros = v.asInstanceOf[java.lang.Long].longValue
+            Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+              Math.floorMod(micros, 1000000L) * 1000L)
+          }
+          if (ts.isAdjustedToUTC)
+            "timestamp" -> minMax(v => Some(instantOf(v).toString))
+          else
+            "timestamp_ntz" -> minMax(v =>
+              Some(LocalDateTime.ofInstant(instantOf(v), ZoneOffset.UTC).toString))
+        case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+          "string" -> minMax(v => Some(new String(
+            v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+            java.nio.charset.StandardCharsets.UTF_8)))
+        case (BOOLEAN, _) =>
+          "boolean" -> minMax(v => Some(v.toString))
+        case (DOUBLE, _) =>
+          "double" -> minMax { v =>
+            val d = v.asInstanceOf[java.lang.Double].doubleValue
+            if (d.isNaN || d.isInfinite) None else Some(d.toString)
+          }
+        case (FLOAT, _) =>
+          "float" -> minMax { v =>
+            val f = v.asInstanceOf[java.lang.Float].floatValue
+            if (f.isNaN || f.isInfinite) None else Some(f.toString)
+          }
+        case _ => throw new FooterFallback
+      }
+    }
+
+    val basePrefix = {
+      val b = VersionedTables.uriToLoadPath(table.location)
+      if (b.endsWith("/")) b else b + "/"
+    }
+    try {
+      // the just-written files, with the SAME relative paths the scan path's
+      // `_metadata.file_path` stripping would produce: both leafDir URIs and
+      // the base prefix go through uriToLoadPath, so the prefix relation is
+      // identical by construction
+      val fileEntries: Seq[(String, org.apache.hadoop.fs.FileStatus)] = leafDirs.flatMap { dirUri =>
+        val dirPath = new org.apache.hadoop.fs.Path(dirUri)
+        val dirLoad = VersionedTables.uriToLoadPath(dirUri)
+        if (!dirLoad.startsWith(basePrefix)) throw new FooterFallback
+        // Path(URI) keeps a trailing slash the string constructor would
+        // normalize away — strip it, or the rel path gains a double slash
+        // the scan path's _metadata-derived rel never has
+        val relDir = dirLoad.stripPrefix(basePrefix).stripSuffix("/")
+        val fs = dirPath.getFileSystem(conf)
+        val listed =
+          try fs.listStatus(dirPath)
+          catch { case _: java.io.FileNotFoundException =>
+            Array.empty[org.apache.hadoop.fs.FileStatus] }
+        listed.iterator.filter { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.map(s => (if (relDir.isEmpty) s.getPath.getName
+                    else s"$relDir/${s.getPath.getName}") -> s).toSeq
+      }
+
+      // first footer fixes the declared-column resolution (present columns,
+      // exact footer field names, codecs); every other file must agree
+      var resolved: Option[List[(String, String, String, Statistics[_] => (Option[String], Option[String]))]] =
+        None // (lowercased manifest key, footer field name, catalog type, codec)
+      def resolveCols(schema: org.apache.parquet.schema.MessageType)
+          : List[(String, String, String, Statistics[_] => (Option[String], Option[String]))] = {
+        val byLower = schema.getFields.asScala.map(f => f.getName.toLowerCase -> f).toMap
+        cfg.statsColumns.flatMap(c => byLower.get(c.toLowerCase)).map { f =>
+          val (catalog, codec) = colCodec(f)
+          (f.getName.toLowerCase, f.getName, catalog, codec)
+        }
+      }
+
+      val files = fileEntries.map { case (rel, status) =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(status, conf))
+        val footer =
+          try reader.getFooter
+          finally reader.close()
+        val cols = resolved match {
+          case Some(r) =>
+            // schema drift across one write's files = not our write shape
+            val again = resolveCols(footer.getFileMetaData.getSchema)
+            if (again.map(x => (x._1, x._2, x._3)) != r.map(x => (x._1, x._2, x._3)))
+              throw new FooterFallback
+            r
+          case None =>
+            val r = resolveCols(footer.getFileMetaData.getSchema)
+            resolved = Some(r)
+            r
+        }
+        val blocks = footer.getBlocks.asScala.toList
+        val rows = blocks.map(_.getRowCount).sum
+        val colStats = cols.map { case (key, fieldName, catalog, codec) =>
+          var nulls = 0L
+          var merged: Statistics[_] = null
+          blocks.foreach { b =>
+            val cc = b.getColumns.asScala.find { c =>
+              val path = c.getPath.toArray
+              path.length == 1 && path(0) == fieldName
+            }.getOrElse(throw new FooterFallback)
+            val st = cc.getStatistics
+            if (st == null || !st.isNumNullsSet) throw new FooterFallback
+            nulls += st.getNumNulls
+            val chunkNonNull = cc.getValueCount - st.getNumNulls
+            if (chunkNonNull > 0) {
+              if (!st.hasNonNullValue) throw new FooterFallback
+              if (merged == null) merged = st.copy()
+              else mergeStats(merged, st)
+            }
+          }
+          val (mn, mx) =
+            if (merged == null) (None, None) // all-null column, like the agg's null min/max
+            else codec(merged)
+          key -> ColumnStats(catalog, mn, mx, nulls)
+        }.toMap
+        FileStats(rel, partitionOfRelativePath(rel), rows, colStats)
+      }.sortBy(_.path).toList
+
+      val statCols = resolved match {
+        case Some(r) if r.nonEmpty => r.map(_._1)
+        case _ => throw new FooterFallback // no file or no declared column present
+      }
+      footerServedWrites.incrementAndGet()
+      Some(StatsManifest(version.label, statCols, Nil, files, Map.empty, Nil))
+    } catch {
+      case _: FooterFallback => None
+      case _: java.io.IOException => None // unreadable footer: let the scan path decide
+    }
   }
 
   /** Backfill the MISSING stats manifests of the table's CURRENT version

@@ -666,4 +666,119 @@ class TableStatsSpec extends AnyFlatSpec with Matchers {
     engine.readWhere(table, col("id") < 100).count() shouldBe
       engine.read(table).filter(col("id") < 100).count()
   }
+
+  behavior of "footer-served stats collection (round 17)"
+
+  /** The round-17 equivalence law: for a BLOOM-LESS parquet config the
+    * manifest is served from parquet footers with NO Spark job, and its
+    * JSON is byte-identical to what the one-job scan path computes over the
+    * same files — across nulls, an all-null file, NaN/Infinity doubles,
+    * strings, dates, and multi-column partitions. */
+  it should "serve bloom-less parquet stats from footers, byte-identical to the scan path" in {
+    val (engine, dir) = newEngine()
+    val cfgNB = ColumnStatsConfig(statsColumns = List("id", "v", "cat", "d"))
+    val table = TableDefinition(TableName("test", "footer_stats"),
+      new File(dir, "footer_stats").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(cfgNB))
+    engine.initTable(table, UserId("t"), "init")
+    val df = spark.range(300).select(
+      col("id"),
+      concat(lit("2024-02-0"), (col("id") % 3 + 1).cast("int").cast("string")).as("day"),
+      // doubles with nulls and one +Infinity value (encoded as None on both
+      // paths); NaN is exercised in the fallback test below — parquet omits
+      // footer min/max for NaN-bearing chunks, so NaN forces the scan path
+      when(col("id") % 10 === 0, lit(null).cast("double"))
+        .when(col("id") === 8, lit(Double.PositiveInfinity))
+        .otherwise(col("id").cast("double") * 1.5).as("v"),
+      // a string column that is ALL NULL in one partition (day 3)
+      when(col("id") % 3 === 2, lit(null).cast("string"))
+        .otherwise(concat(lit("cat-"), (col("id") % 5).cast("string"))).as("cat"),
+      date_add(lit("2024-01-01").cast("date"), (col("id") % 7).cast("int")).as("d"))
+    val served0 = TableStats.footerServedWrites.get()
+    df.repartitionByRange(3, col("id"))
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+    TableStats.footerServedWrites.get() shouldBe served0 + 1 // footer path, no read-back job
+
+    val pvs = engine.tracker.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions
+    val version = graft.core.Version.parse(pvs.values.head.label)
+      .getOrElse(fail("bad version label"))
+    val footerM = TableStats.readManifest(
+      spark.sparkContext.hadoopConfiguration, table.location, version.label).get
+    footerM.partitionBlooms shouldBe empty
+
+    // the scan path over the SAME leaf dirs must produce the SAME BYTES as
+    // the footer path persisted (the raw _stats file — a readManifest
+    // round-trip loses map order, so compare against the disk bytes)
+    val persisted = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      new File(new File(table.location), s"_stats/${version.label}.json").toURI)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val leafDirs = pvs.keys.toSeq.map(p =>
+      graft.core.VersionPaths.pathFor(p.resolvePath(table.location), version))
+    TableStats.disableFooterStatsForTesting = true
+    try {
+      val scanM = TableStats.scanStatsManifest(spark, table, cfgNB, version, leafDirs).get
+      TableStats.toJson(scanM) shouldBe persisted
+    } finally TableStats.disableFooterStatsForTesting = false
+
+    // and the data-skipping law holds over the footer-served manifest
+    engine.readWhere(table, col("id") < 100).count() shouldBe
+      engine.read(table).filter(col("id") < 100).count()
+    engine.readWhere(table, col("cat") === "cat-1").count() shouldBe
+      engine.read(table).filter(col("cat") === "cat-1").count()
+  }
+
+  it should "fall back to the scan path for bloom-bearing configs and configured truncation" in {
+    // bloom config: the existing fixture — footer counter must NOT move
+    val served0 = TableStats.footerServedWrites.get()
+    val (engine, table) = fixture(Some(cfg))
+    TableStats.footerServedWrites.get() shouldBe served0
+    val label = engine.tracker.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions.values.head.label
+    TableStats.readManifest(
+      spark.sparkContext.hadoopConfiguration, table.location, label)
+      .get.partitionBlooms should not be empty
+
+    // configured statistics truncation: explicit guard refuses the footer path
+    spark.conf.set("parquet.statistics.truncate.length", "64")
+    try {
+      val (e2, d2) = newEngine()
+      val t2 = TableDefinition(TableName("test", "footer_trunc"),
+        new File(d2, "footer_trunc").toURI, PartitionSchema("day"), FileFormat.Parquet,
+        stats = Some(ColumnStatsConfig(statsColumns = List("id"))))
+      e2.initTable(t2, UserId("t"), "init")
+      val before = TableStats.footerServedWrites.get()
+      spark.range(10).select(col("id"), lit("2024-01-01").as("day"))
+        .versionedInsertInto(e2, t2, UserId("t"), "load")
+      TableStats.footerServedWrites.get() shouldBe before // scan path used
+      val lbl = e2.tracker.currentVersion(t2.name)
+        .asInstanceOf[PartitionedTableVersion].partitionVersions.values.head.label
+      // ...and the manifest is still there, from the scan path
+      TableStats.readManifest(
+        spark.sparkContext.hadoopConfiguration, t2.location, lbl) should not be empty
+    } finally spark.conf.unset("parquet.statistics.truncate.length")
+  }
+
+  it should "fall back for NaN-bearing float/double chunks (parquet omits their footer min/max)" in {
+    val (engine, dir) = newEngine()
+    val table = TableDefinition(TableName("test", "footer_nan"),
+      new File(dir, "footer_nan").toURI, PartitionSchema("day"), FileFormat.Parquet,
+      stats = Some(ColumnStatsConfig(statsColumns = List("v"))))
+    engine.initTable(table, UserId("t"), "init")
+    val before = TableStats.footerServedWrites.get()
+    spark.range(20).select(
+      lit("2024-01-01").as("day"),
+      when(col("id") === 3, lit(Double.NaN)).otherwise(col("id").cast("double")).as("v"))
+      .repartition(1)
+      .versionedInsertInto(engine, table, UserId("t"), "load")
+    TableStats.footerServedWrites.get() shouldBe before // scan path used
+    val lbl = engine.tracker.currentVersion(table.name)
+      .asInstanceOf[PartitionedTableVersion].partitionVersions.values.head.label
+    val m = TableStats.readManifest(
+      spark.sparkContext.hadoopConfiguration, table.location, lbl).get
+    // the scan path records what Spark's agg sees: real min, NaN max → None
+    val cs = m.files.head.columns("v")
+    cs.min shouldBe Some("0.0")
+    cs.max shouldBe None
+  }
 }
