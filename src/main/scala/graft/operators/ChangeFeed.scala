@@ -34,7 +34,9 @@ import org.apache.spark.sql.functions._
  *
  * Keys must identify a row uniquely WITHIN each compared slice — the same
  * precondition SQL MERGE and `mergeInto` carry; `requireDistinctKeys`
- * (default on) pins it with one bounded probe per side. Rows with any NULL
+ * (default on) pins it with a per-key count fused into the compare's own
+ * aggregation (a violated slice raises at the feed's first action — no
+ * separate probe pass, no eager job at construction). Rows with any NULL
  * key column never equi-match, so a rewritten partition reports an old
  * null-key row as `delete` and a new one as `insert` — the honest answer,
  * since no pairing exists.
@@ -175,8 +177,9 @@ object ChangeFeed {
   /** Keyed full-outer compare of two same-schema slices: new-only keys →
     * insert (post-image), old-only → delete (pre-image), both-with-a-
     * difference → update (post-image); bit-identical rows vanish. ONE hash
-    * exchange per side on the keys; the row comparison is a null-safe
-    * struct equality, no per-column plumbing. */
+    * exchange per side on the keys (the distinct-keys guard, when on, is a
+    * pre-aggregation riding that same exchange); the row comparison is a
+    * null-safe struct equality, no per-column plumbing. */
   private[operators] def keyedDiff(
       oldDf: DataFrame, newDf: DataFrame,
       keyColumns: Seq[String], requireDistinctKeys: Boolean,
@@ -187,20 +190,36 @@ object ChangeFeed {
         newDf.columns.mkString(","))
     val missing = keyColumns.filterNot(cols.contains)
     require(missing.isEmpty, s"key columns not in table: ${missing.mkString(", ")}")
-    if (requireDistinctKeys) {
-      def probe(df: DataFrame, side: String): Unit = {
-        val dup = df.groupBy(keyColumns.map(col): _*).count()
-          .filter(col("count") > 1).limit(1).collect()
-        require(dup.isEmpty,
-          s"duplicate keys on (${keyColumns.mkString(", ")}) in the $side slice: " +
-            s"e.g. ${dup.head} — per-row pairing is ambiguous; pass a unique key " +
-            "or requireDistinctKeys = false if the producer guarantees it")
-      }
-      probe(oldDf, "old"); probe(newDf, "new")
-    }
     val rowStruct = struct(cols.map(col): _*)
-    val o = oldDf.select(keyColumns.map(col) :+ rowStruct.as("_cf_old"): _*)
-    val n = newDf.select(keyColumns.map(col) :+ rowStruct.as("_cf_new"): _*)
+    // The distinct-keys precondition rides the diff plan itself (round 17):
+    // each side pre-aggregates by key on the SAME hash exchange the
+    // full-outer compare needs anyway, and a key counted >1 raises from
+    // inside the job (null-key rows group together and so still refuse,
+    // exactly like the former probe). The previous shape ran an EAGER
+    // groupBy/count/collect probe per side at frame-CONSTRUCTION time —
+    // two extra full scan+shuffle actions before the first real action of
+    // every feed — so the refusal now surfaces at the first action on the
+    // feed instead of at construction, as a runtime error carrying the
+    // same message.
+    def sided(df: DataFrame, alias: String): DataFrame =
+      df.select(keyColumns.map(col) :+ rowStruct.as(alias): _*)
+    def guarded(df: DataFrame, side: String, alias: String): DataFrame = {
+      val cnt = s"${alias}_n"
+      val msg = concat(
+        lit(s"duplicate keys on (${keyColumns.mkString(", ")}) in the $side slice: e.g. ("),
+        concat_ws(", ", keyColumns.map(c => coalesce(col(c).cast("string"), lit("null"))): _*),
+        lit(") — per-row pairing is ambiguous; pass a unique key or " +
+          "requireDistinctKeys = false if the producer guarantees it"))
+      sided(df, alias)
+        .groupBy(keyColumns.map(col): _*)
+        .agg(count(lit(1)).as(cnt), first(col(alias)).as(alias))
+        .select(keyColumns.map(col) :+
+          when(col(cnt) > 1, raise_error(msg)).otherwise(col(alias)).as(alias): _*)
+    }
+    val (o, n) =
+      if (requireDistinctKeys)
+        (guarded(oldDf, "old", "_cf_old"), guarded(newDf, "new", "_cf_new"))
+      else (sided(oldDf, "_cf_old"), sided(newDf, "_cf_new"))
     val joined = o.join(n, keyColumns, "full_outer")
     val change = when(col("_cf_old").isNull, lit("insert"))
       .when(col("_cf_new").isNull, lit("delete"))

@@ -274,8 +274,51 @@ object DeleteVectors {
 
   /** Test hook: drop every cached marker entry. Results must be identical
     * before and after — the purity law of the cache. */
-  private[graft] def clearMarkerMetaCache(): Unit =
+  private[graft] def clearMarkerMetaCache(): Unit = {
     markerMetaStripes.foreach(s => s.synchronized { s.clear() })
+    dvRowCountStripes.foreach(s => s.synchronized { s.clear() })
+  }
+
+  /** Exact row count of a marker's DV sidecar, summed from the parquet
+    * FOOTERS on the driver — what `spark.read.parquet(dir).count()` returns
+    * (a parquet count is itself footer-served), minus the Spark job: the
+    * bulk-match guard needs this once per guarded DV statement, and a
+    * whole scheduler round-trip for a few tiny immutable sidecar files was
+    * the statement's only non-write job. Cached JVM-wide under the same
+    * immutability argument as [[markerMeta]] (everything under a marker
+    * dir is written before the commit and never touched again); bounded
+    * LRU stripes like the marker-meta cache. */
+  private val dvRowCountStripes: Array[java.util.LinkedHashMap[String, java.lang.Long]] =
+    Array.fill(16)(new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+        size() > MarkerMetaCacheMax / 16
+    })
+
+  private[operators] def dvRowCount(
+      conf: org.apache.hadoop.conf.Configuration,
+      table: TableDefinition, p: Partition, marker: Version): Long = {
+    val key = dvDir(table, p, marker).toString
+    val stripe = dvRowCountStripes(math.floorMod(key.hashCode, dvRowCountStripes.length))
+    stripe.synchronized {
+      Option(stripe.get(key)).map(_.longValue).getOrElse {
+        val dir = new org.apache.hadoop.fs.Path(dvDir(table, p, marker))
+        val fs = dir.getFileSystem(conf)
+        // the same file set a Spark parquet read of the directory uses:
+        // every non-hidden file (no extension filter — Spark applies none)
+        val rows = fs.listStatus(dir).iterator
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map { s =>
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
+            try reader.getRecordCount finally reader.close()
+          }.sum
+        stripe.put(key, rows)
+        rows
+      }
+    }
+  }
 
   private def markerMeta(
       conf: org.apache.hadoop.conf.Configuration,
@@ -596,15 +639,15 @@ object DeleteVectors {
         }
         if (counted.forall(_.isDefined)) {
           val total = counted.flatten.sum
-          val carriedPaths = candidates.toSeq.collect {
+          // footer-count only, ON THE DRIVER (round 17): DV sidecars are a
+          // few small immutable files, so their exact row count comes from
+          // cached footer reads — the former spark.read.parquet(...).count()
+          // was a whole extra Spark job per guarded statement for the same
+          // footer-served number
+          val carried = candidates.toSeq.iterator.collect {
             case (p, m) if Version.isDeleteMarker(m) && affectedSet(p) =>
-              VersionedTables.uriToLoadPath(dvDir(table, p, m))
-          }
-          // footer-count only: DV sidecars are small and parquet COUNT
-          // reads no data pages
-          val carried =
-            if (carriedPaths.isEmpty) 0L
-            else spark.read.schema(DvSchema).parquet(carriedPaths: _*).count()
+              dvRowCount(conf, table, p, m)
+          }.sum
           if (total > 0 && matchedRows + carried > maxFraction * total)
             throw new IllegalArgumentException(
               f"$verb would leave a deletion vector of ${matchedRows + carried} " +

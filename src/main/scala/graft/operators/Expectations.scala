@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /**
  * Declarative data-quality expectations over a DataFrame — the audit half
@@ -21,16 +20,17 @@ import org.apache.spark.storage.StorageLevel
  *    fused into the SAME single pass as the row-local checks: no key
  *    shuffle, no extra scan — the cheap pre-check before (or instead of)
  *    exact Unique at 100 TB.
- *  - [[Expectations.Unique]] — one map-side-combinable groupBy on the key
- *    columns counting groups with >1 row; one shuffle per distinct key
- *    set.
- *  - [[Expectations.RefIntegrity]] — a LEFT ANTI join against the
- *    dimension's key column; Spark broadcasts small dimensions and AQE
- *    handles the rest, the standard FK-validation shape.
+ *  - [[Expectations.Unique]] — `count(*) − count_distinct(key)`, fused
+ *    into the same single pass (an Expand inside the shared aggregation,
+ *    no separate groupBy scan).
+ *  - [[Expectations.RefIntegrity]] — a LEFT join of the dimension's
+ *    DISTINCT keys onto the input (Spark broadcasts small dimensions and
+ *    AQE handles the rest), with the orphan count one more fused
+ *    aggregate — no separate anti-join pass.
  *
- * A multi-class audit (fused pass + Unique/RefIntegrity passes) persists
- * the input ONCE for its duration, so staged 100 TB data is scanned a
- * single time however many checks run — see [[Expectations.audit]].
+ * Every check class therefore rides ONE aggregation pass: staged 100 TB
+ * data is scanned a single time however many checks run, with no persist
+ * anywhere — see [[Expectations.audit]].
  *
  * Violation counts are exact; use the returned counts to decide, and the
  * `violations` helper to fetch offender rows for triage (bounded by
@@ -137,9 +137,10 @@ object Expectations {
   }
 
   /** The violation count as ONE ungrouped aggregate expression, for every
-    * check class that can ride the shared single scan (row-local
-    * predicates and the HLL sketch of [[UniqueApprox]]). [[Unique]] and
-    * [[RefIntegrity]] need their own shuffle/join pass and return None. */
+    * check class computable from the input's own columns (row-local
+    * predicates, the HLL sketch of [[UniqueApprox]], exact [[Unique]]).
+    * [[RefIntegrity]] returns None here — its aggregate needs the joined
+    * presence marker and is built inline by [[audit]]. */
   private def fusedViolations(c: Check): Option[Column] = c match {
     case UniqueApprox(cols, rsd) =>
       // the key is NULL iff EVERY component is null — for arity 1 that is
@@ -177,52 +178,51 @@ object Expectations {
   /** Run every check, returning one [[CheckResult]] per check in input
     * order. Results are keyed by POSITION, not name — two checks with the
     * same name (e.g. duplicate [[Satisfies]] checkNames) each report their
-    * own count. Row-local predicates, [[UniqueApprox]] sketches AND exact
-    * [[Unique]] counts (count(*) − countDistinct(key), round 16) fuse into
-    * a single aggregation pass; [[RefIntegrity]] adds one column-pruned
-    * anti-join pass per check. Past two passes the input is persisted ONCE
-    * (and unpersisted before returning) so a many-check audit does not
-    * rescan per pass; at two or fewer, pruned columnar scans are cheaper
-    * than a full-width materialization. An input the caller already
-    * persisted is left alone. */
+    * own count.
+    *
+    * EVERY check class now rides ONE aggregation pass — one scan of the
+    * input, one Spark action, however many checks run (round 17; rounds
+    * 15-16 fused the row-local / sketch / exact-Unique classes and still
+    * paid one anti-join pass per [[RefIntegrity]]). Each RefIntegrity check
+    * left-joins the dimension's DISTINCT keys (renamed to the fact column,
+    * plus a presence marker) onto the input; its violation count is then
+    * just one more fused aggregate — `sum(fact key non-null ∧ marker
+    * null)`. Key distinctness pins row multiplicity (each fact row matches
+    * at most one dimension row; a null dimension key equi-matches nothing),
+    * so every other fused count is unchanged by the joins, and the counts
+    * are identical to the former anti-join's. Spark broadcasts small
+    * dimensions (the typical FK shape — the fact side is then never
+    * shuffled at all) and AQE handles the rest.
+    *
+    * The one-pass shape also makes a multi-check audit SELF-CONSISTENT by
+    * construction: all checks observe the same evaluation of the input,
+    * even for nondeterministic plans (rand(), sampling) — the former
+    * multi-pass shape could see different data per pass unless it
+    * persisted. No persist is ever needed or taken; a caller-persisted
+    * input is simply used as-is. */
   def audit(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
     require(checks.nonEmpty, "audit needs at least one check")
     val indexed = checks.zipWithIndex
-    val fused = indexed.flatMap { case (c, i) => fusedViolations(c).map(i -> _) }
-    val heavyPasses = checks.count { case _: RefIntegrity => true; case _ => false }
-    val scans = (if (fused.isEmpty) 0 else 1) + heavyPasses
-    // Materialize only past TWO passes: each pass is COLUMN-PRUNED at the
-    // scan (the fused aggregation reads only the checked columns, the
-    // RefIntegrity anti-join only its key), while a persist materializes
-    // the FULL-WIDTH input once and then copies it back out — strictly more
-    // I/O than two pruned scans of a columnar source, and at 100 TB a
-    // whole-table cache is a spill hazard, not a savings. Callers whose
-    // input is an expensive non-scan plan can persist it themselves (an
-    // already-persisted input is left alone, as before).
-    val materialize = scans > 2 && df.storageLevel == StorageLevel.NONE
-    val input = if (materialize) df.persist(StorageLevel.MEMORY_AND_DISK) else df
-    try {
-      val fusedCounts: Map[Int, Long] =
-        if (fused.isEmpty) Map.empty
-        else {
-          val aggs = fused.map { case (i, c) => c.as(s"__check_$i") }
-          val row = input.agg(aggs.head, aggs.tail: _*).head()
-          fused.zipWithIndex.map { case ((checkIdx, _), pos) =>
-            checkIdx -> (if (row.isNullAt(pos)) 0L else row.getLong(pos)) // null = empty frame
-          }.toMap
-        }
-      indexed.map { case (c, i) =>
-        if (fusedCounts.contains(i)) CheckResult(c.name, fusedCounts(i))
-        else c match {
-          case RefIntegrity(cl, dim, dimCol) =>
-            val orphans = input.filter(col(cl).isNotNull)
-              .join(dim.select(col(dimCol).as(cl)).distinct(), Seq(cl), "left_anti")
-              .count()
-            CheckResult(c.name, orphans)
-          case other => throw new IllegalStateException(s"unhandled check ${other.name}")
-        }
-      }
-    } finally if (materialize) input.unpersist(blocking = false)
+    val refs = indexed.collect { case (r: RefIntegrity, i) => (r, i) }
+    val joined = refs.foldLeft(df) { case (d, (RefIntegrity(cl, dim, dimCol), i)) =>
+      d.join(
+        dim.select(col(dimCol).as(cl)).distinct()
+          .withColumn(s"__graft_ref_$i", lit(true)),
+        Seq(cl), "left")
+    }
+    val aggExprs: Seq[(Int, Column)] = indexed.map {
+      case (RefIntegrity(cl, _, _), i) =>
+        i -> sum(when(col(cl).isNotNull && col(s"__graft_ref_$i").isNull, 1L)
+          .otherwise(0L))
+      case (c, i) =>
+        i -> fusedViolations(c).getOrElse(
+          throw new IllegalStateException(s"unhandled check ${c.name}"))
+    }
+    val aggs = aggExprs.map { case (i, c) => c.as(s"__check_$i") }
+    val row = joined.agg(aggs.head, aggs.tail: _*).head()
+    indexed.map { case (c, i) =>
+      CheckResult(c.name, if (row.isNullAt(i)) 0L else row.getLong(i)) // null = empty frame
+    }
   }
 
   /** Offender rows for one check (empty for a passing one), bounded by

@@ -708,12 +708,40 @@ object TableStats {
         }
       }
 
-      val files = fileEntries.map { case (rel, status) =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(status, conf))
-        val footer =
-          try reader.getFooter
-          finally reader.close()
+      // footer I/O in PARALLEL on the driver (the files are independent and
+      // just-written): the serial form was the single largest between-job
+      // driver cost of a stats-bearing write in thread-dump sampling — a
+      // 30-partition commit paid 30+ sequential open+footer round-trips.
+      // Processing stays SERIAL in listing order below, so the first-footer
+      // column resolution and every fallback decision are unchanged.
+      val footersByRel: Map[String, org.apache.parquet.hadoop.metadata.ParquetMetadata] =
+        if (fileEntries.isEmpty) Map.empty
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(16, fileEntries.size))
+          try {
+            val futures = fileEntries.map { case (rel, status) =>
+              rel -> pool.submit(new java.util.concurrent.Callable[
+                  org.apache.parquet.hadoop.metadata.ParquetMetadata] {
+                def call(): org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+                  val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+                    org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(status, conf))
+                  try reader.getFooter finally reader.close()
+                }
+              })
+            }
+            futures.map { case (rel, f) =>
+              rel -> (try f.get()
+              catch { // unwrap so the fallback catches below stay exact
+                case e: java.util.concurrent.ExecutionException =>
+                  throw Option(e.getCause).getOrElse(e)
+              })
+            }.toMap
+          } finally pool.shutdownNow()
+        }
+
+      val files = fileEntries.map { case (rel, _) =>
+        val footer = footersByRel(rel)
         val cols = resolved match {
           case Some(r) =>
             // schema drift across one write's files = not our write shape

@@ -212,6 +212,12 @@ object VectorIndex {
           concat(lit("c"), col("__cid")).as(CellCol))
         .withColumn(BatchCol, lit(batchLabel))
         .repartition(col(CellCol), col(BatchCol))
+    // An EMPTY batch never reaches the guard: the stage's zero-row check
+    // refuses it first (pinned by spec), so a null observation can only
+    // mean all-null distances, not "no rows" — and the merged (sum, count)
+    // observation state could in principle double-count partitions under
+    // stage resubmission / speculative retries, a tolerable skew for a
+    // guard ratio.
     val staged = assigned.stageInsertInto(engine, table, userId, message, manifest = false)
     if (!maxDriftFactor.isPosInfinity) {
       val batchMean = Option(driftObs.get("batch_mean"))
@@ -221,7 +227,9 @@ object VectorIndex {
           f"centroid ($batchMean%.4f) exceeds $maxDriftFactor× the indexed " +
           f"vectors' ($indexMean%.4f) — the centroids are stale for this data; " +
           "rebuild the index (buildIvf) instead of appending, or raise " +
-          "maxDriftFactor to override")
+          f"maxDriftFactor to override. The refused batch's staged files sit " +
+          f"under _version=${staged.version.label} directories; " +
+          "vacuum(includeOrphans = true) reclaims them")
     }
     staged.publishIf(checkedHead)
   }

@@ -880,15 +880,28 @@ final class VersionedTables(
   /** Empty result for a table state with no visible data. Recovers the schema
     * from any previously-written files under the table root (versioned dirs
     * are still on disk — data is never deleted); a never-written table yields
-    * a zero-column empty frame. */
+    * a zero-column empty frame.
+    *
+    * The never-written case is probed with ONE `fs.exists` BEFORE any Spark
+    * read: the former shape loaded the missing root and caught the analyzer's
+    * PATH_NOT_FOUND — a full AnalysisException (with caller-stacktrace
+    * reconstruction) per probe that Spark's ObservationManager listener then
+    * re-raised and error-logged on every first write of a session holding
+    * observations (the fused write path always does). This sits on the hot
+    * write path: every SQL INSERT into a fresh table and every no-match
+    * `readPartitions` lands here. */
   private def emptyLike(table: TableDefinition): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(table.location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema: StructType =
-      try {
-        val df = spark.read.format(table.format.name).options(table.options)
-          .option("basePath", VersionedTables.uriToLoadPath(table.location))
-          .load(VersionedTables.uriToLoadPath(table.location))
-        StructType(df.schema.filterNot(_.name == Version.VersionColumn))
-      } catch { case _: Exception => new StructType() }
+      if (!fs.exists(root)) new StructType()
+      else
+        try {
+          val df = spark.read.format(table.format.name).options(table.options)
+            .option("basePath", VersionedTables.uriToLoadPath(table.location))
+            .load(VersionedTables.uriToLoadPath(table.location))
+          StructType(df.schema.filterNot(_.name == Version.VersionColumn))
+        } catch { case _: Exception => new StructType() }
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
 }

@@ -287,8 +287,12 @@ class ChangeFeedSpec extends AnyFlatSpec with Matchers {
     Seq(Account("a1", "eu", 3)).toDS()
       .versionedInsertInto(engine, table, UserId("t"), "rewrite")
     val c1 = engine.headCommit(table.name)
-    an[IllegalArgumentException] should be thrownBy
+    // round 17: the guard rides the compare's own aggregation, so the
+    // refusal surfaces at the feed's first ACTION (not construction), as a
+    // task-level raise carrying the same message
+    val ex = the[Exception] thrownBy
       engine.readRowChangesBetween(table, Seq("id"), c0, c1).collect()
+    ex.getMessage should include("duplicate keys")
     noException should be thrownBy
       engine.readRowChangesBetween(table, Seq("id"), c0, c1,
         requireDistinctKeys = false).collect()

@@ -62,14 +62,12 @@ class ExpectationsSpec extends AnyFlatSpec with Matchers {
     results.map(_.violations) shouldBe Seq(1L, 5L, 0L, 0L)
   }
 
-  it should "bound a multi-class audit's input scans: two pruned passes unpersisted, one materialization past that" in {
-    // Every check references the UDF-computed column, so each audit pass
-    // re-runs the UDF if the input is recomputed — the accumulator counts
-    // passes. Round 16: exact Unique fuses into the shared aggregation, so
-    // fused + ONE RefIntegrity is two column-pruned passes and the audit
-    // deliberately does NOT persist (two pruned scans of a columnar source
-    // beat a full-width materialization, and a 100 TB cache is a spill
-    // hazard) — ticks = 2n, not 3n as the pre-fusion shape would pay.
+  it should "run a multi-class audit in ONE pass over the input, RefIntegrity included" in {
+    // Every check references the UDF-computed column, so any extra audit
+    // pass would re-run the UDF — the accumulator counts evaluations.
+    // Round 17: RefIntegrity fuses into the shared aggregation (dimension
+    // keys left-joined with a presence marker), so fused + any number of
+    // RefIntegrity checks is ONE scan, one action, and never a persist.
     val acc = spark.sparkContext.longAccumulator("scan-ticks")
     val tick = udf { (x: Long) => acc.add(1L); x }
     val n = 1000L
@@ -77,23 +75,28 @@ class ExpectationsSpec extends AnyFlatSpec with Matchers {
     val results = Expectations.audit(tracked, Seq(
       NotNull(Seq("k")),
       Unique(Seq("k")),
-      RefIntegrity("k", spark.range(n).toDF("code"), "code")))
-    results.forall(_.ok) shouldBe true
-    acc.value shouldBe 2 * n
-    tracked.storageLevel shouldBe org.apache.spark.storage.StorageLevel.NONE
-
-    // PAST two passes (fused + two RefIntegrity = 3) the input IS persisted
-    // once — ticks = n despite three consumers — and released on return.
-    val acc2 = spark.sparkContext.longAccumulator("scan-ticks-2")
-    val tick2 = udf { (x: Long) => acc2.add(1L); x }
-    val tracked2 = spark.range(n).toDF("id").withColumn("k", tick2(col("id")))
-    val results2 = Expectations.audit(tracked2, Seq(
-      NotNull(Seq("k")),
       RefIntegrity("k", spark.range(n).toDF("code"), "code"),
       RefIntegrity("k", spark.range(n).toDF("code2"), "code2")))
-    results2.forall(_.ok) shouldBe true
-    acc2.value shouldBe n
-    tracked2.storageLevel shouldBe org.apache.spark.storage.StorageLevel.NONE
+    results.forall(_.ok) shouldBe true
+    acc.value shouldBe n
+    tracked.storageLevel shouldBe org.apache.spark.storage.StorageLevel.NONE
+  }
+
+  it should "count RefIntegrity orphans identically to the anti-join shape" in {
+    // duplicate dimension keys must NOT multiply fact rows (the join is on
+    // the dimension's DISTINCT keys), a null dimension key matches nothing,
+    // null fact keys never violate, and an empty dimension orphans every
+    // non-null fact key — the exact semantics of the former per-check
+    // LEFT ANTI join pass.
+    val facts = Seq(Some("us"), Some("de"), Some("xx"), None).toDF("country")
+    val dupDims = Seq(Some("us"), Some("us"), Some("de"), None).toDF("code")
+    val r = Expectations.audit(facts, Seq(
+      NotNull(Seq("country")),
+      RefIntegrity("country", dupDims, "code")))
+    r.map(_.violations) shouldBe Seq(1L, 1L) // only "xx" is an orphan
+    Expectations.audit(facts, Seq(
+      RefIntegrity("country", spark.emptyDataset[String].toDF("code"), "code")))
+      .head.violations shouldBe 3L
   }
 
   it should "leave a caller-persisted input's storage level alone" in {

@@ -154,10 +154,23 @@ class VectorIndexSpec extends AnyFlatSpec with Matchers {
       VectorIndex.addBatch(engine, table, farDf, "b2", userId = UserId("t"))
     }
     e2.getMessage should include("drift")
+    // the refusal names the orphaned staged version so operators can vacuum
+    e2.getMessage should include("_version=")
+    e2.getMessage should include("vacuum")
     // disabling the guard lets a deliberate append through
     VectorIndex.addBatch(engine, table, farDf, "b2",
       maxDriftFactor = Double.PositiveInfinity, userId = UserId("t"))
     engine.read(table).filter(col("vec_id") >= 2000L).count() shouldBe 16
+
+    // an EMPTY batch refuses loudly at the zero-row stage guard — it must
+    // never silently pass the drift guard off a null observation (the
+    // fused-write observation yields no batch_mean for zero rows)
+    val e3 = intercept[IllegalArgumentException] {
+      VectorIndex.addBatch(engine, table, farDf.limit(0), "b3", userId = UserId("t"))
+    }
+    e3.getMessage should include("no rows")
+    engine.read(table).select("batch").distinct().collect()
+      .map(_.getString(0)).toSet should not contain "b3"
   }
 
   it should "reject tables not partitioned by cell" in {
