@@ -37,20 +37,29 @@ object TextSearch {
     * each; the collected result is |terms| rows + 2 scalars. */
   def bm25Stats(df: DataFrame, idCol: String, textCol: String, terms: Seq[String]): Bm25Stats = {
     require(terms.nonEmpty, "query terms must not be empty")
-    val totals = df.select(
-        count(lit(1)).as("n"),
-        sum(graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")).as("tot"))
+    // ONE aggregation pass (round 17): corpus totals AND every term's
+    // document frequency fuse into a single job. The former shape ran two
+    // actions — totals, then an explode+groupBy DF pass — each
+    // re-tokenizing the whole corpus; here the token array is computed
+    // once per row, each term's membership is an `array_contains` flag,
+    // and the N-distinct aggregate plans as one Expand over (id, flags) —
+    // trivial next to tokenization. countDistinct keeps the old groupBy's
+    // duplicate-id semantics exactly (DF counts DOCUMENTS, not rows; a
+    // non-containing row contributes a null, which countDistinct skips,
+    // like explode dropped it).
+    val base = df.select(col(idCol).as("__id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+    val termAggs = terms.zipWithIndex.map { case (t, i) =>
+      countDistinct(when(array_contains(col("__toks"), t), col("__id"))).as(s"__df_$i")
+    }
+    val row = base.agg(
+      count(lit(1)).as("n"),
+      sum(size(col("__toks")).cast("long")).as("tot") +: termAggs: _*)
       .collect()(0)
-    require(totals.getLong(0) > 0,
+    require(row.getLong(0) > 0,
       "BM25 statistics over an empty corpus — no documents to collect from")
-    val dfRows = ScaleTools.filterInValues(df
-      .select(col(idCol).as("__id"),
-        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok")),
-        "__tok", terms)
-      .groupBy(col("__tok")).agg(countDistinct(col("__id")).as("__df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    Bm25Stats(totals.getLong(0), totals.getLong(1),
-      terms.map(t => t -> dfRows.getOrElse(t, 0L)).toMap)
+    Bm25Stats(row.getLong(0), row.getLong(1),
+      terms.zipWithIndex.map { case (t, i) => t -> row.getLong(2 + i) }.toMap)
   }
 
   /** Integer micro-nat idf table, rounded ONCE driver-side (floor, so there

@@ -158,49 +158,72 @@ object GraftSqlWrites {
     if (!overwrite) {
       // APPEND: union with the current rows of exactly the touched
       // partitions. The touched set is one bounded distinct over the
-      // source's partition columns (the source is checkpointed so the
-      // union write does not recompute the query); the per-partition
+      // source's partition columns (the source is locally checkpointed so
+      // the union write does not recompute the query); the per-partition
       // match compares the same string encoding Spark's dynamic
       // partitioned write produced the directory names with, which is
       // round-trip-exact for the guarded type set — anything else (e.g.
       // timestamp partition columns, whose java toString disagrees with
       // the directory encoding) refuses loudly rather than risk matching
       // an existing partition as "absent" and silently replacing it.
-      val src = aligned.localCheckpoint()
-      val existing: Option[DataFrame] = table.partitionSchema match {
-        case ps if ps.columns.isEmpty =>
-          val cur = engine.read(table)
-          if (cur.columns.isEmpty) None else Some(cur)
-        case ps =>
-          ps.columns.foreach { c =>
-            val dt = src.schema(src.columns.find(_.equalsIgnoreCase(c.name)).get).dataType
-            require(appendMatchSafe(dt),
-              s"SQL INSERT INTO append over a ${dt.catalogString} partition column " +
-                s"('${c.name}') is not supported — the path encoding is not a plain " +
-                "string round-trip; use the Scala API (read + union + versionedInsertInto)")
-          }
-          val touched: Set[Seq[Option[String]]] = src
-            .select(ps.columns.map(c => col(s"`${c.name}`")): _*)
-            .distinct().collect()
-            .map(r => ps.columns.indices.map(i =>
-              Option(r.get(i)).map(String.valueOf(_))): Seq[Option[String]])
-            .toSet
-          val cur = engine.readPartitions(table, p =>
-            touched.contains(p.columnValues.map(cv =>
-              if (cv.value == PathCodec.DefaultPartitionName) None
-              else Some(cv.value)): Seq[Option[String]]))
-          if (cur.columns.isEmpty) None else Some(cur)
+      table.partitionSchema.columns.foreach { c =>
+        val dt = aligned.schema(
+          aligned.columns.find(_.equalsIgnoreCase(c.name)).get).dataType
+        require(appendMatchSafe(dt),
+          s"SQL INSERT INTO append over a ${dt.catalogString} partition column " +
+            s"('${c.name}') is not supported — the path encoding is not a plain " +
+            "string round-trip; use the Scala API (read + union + versionedInsertInto)")
       }
-      val unioned = existing match {
-        // a mergeSchema (evolved) table's touched partitions may predate an
-        // evolution and lack the new columns — null-fill them instead of
-        // failing the union (the strict form stays for uniform tables, so
-        // genuine drift cannot hide behind the fill)
-        case Some(cur) => cur.unionByName(src, allowMissingColumns = table.mergesSchema)
-        case None      => src
+      // EMPTY-table fast path (round 17): when the head this statement is
+      // CAS'd on carries no partitions, the union set is known empty from
+      // the commit log alone — the append IS the plain versioned write.
+      // The former shape still paid an eager localCheckpoint (a full
+      // evaluation + materialization of the query) plus a distinct job
+      // before writing; a first load — the recommended 100 TB ingestion
+      // shape — now evaluates its query exactly once, in the write job.
+      val headIsEmpty = table.partitionSchema.columns.nonEmpty &&
+        (engine.tracker.versionAt(table.name, head) match {
+          case PartitionedTableVersion(m) => m.isEmpty
+          case _ => false
+        })
+      if (headIsEmpty)
+        aligned.versionedInsertIntoIf(engine, table, user,
+          s"SQL INSERT INTO ${table.name.fullyQualifiedName}", head)
+      else {
+        // LAZY local checkpoint: the touched-partition distinct below is the
+        // action that materializes it, so "evaluate + cache the source" and
+        // "find the touched partitions" share ONE job where the eager form
+        // paid two; the union write still reads the cached blocks, never
+        // re-running the query.
+        val src = aligned.localCheckpoint(eager = false)
+        val existing: Option[DataFrame] = table.partitionSchema match {
+          case ps if ps.columns.isEmpty =>
+            val cur = engine.read(table)
+            if (cur.columns.isEmpty) None else Some(cur)
+          case ps =>
+            val touched: Set[Seq[Option[String]]] = src
+              .select(ps.columns.map(c => col(s"`${c.name}`")): _*)
+              .distinct().collect()
+              .map(r => ps.columns.indices.map(i =>
+                Option(r.get(i)).map(String.valueOf(_))): Seq[Option[String]])
+              .toSet
+            val cur = engine.readPartitions(table, p =>
+              touched.contains(p.columnValues.map(cv =>
+                if (cv.value == PathCodec.DefaultPartitionName) None
+                else Some(cv.value)): Seq[Option[String]]))
+            if (cur.columns.isEmpty) None else Some(cur)
+        }
+        val unioned = existing match {
+          // a mergeSchema (evolved) table's touched partitions may predate an
+          // evolution and lack the new columns — null-fill them instead of
+          // failing the union (the strict form stays for uniform tables, so
+          // genuine drift cannot hide behind the fill)
+          case Some(cur) => cur.unionByName(src, allowMissingColumns = table.mergesSchema)
+          case None      => src
+        }
+        unioned.versionedInsertIntoIf(engine, table, user,
+          s"SQL INSERT INTO ${table.name.fullyQualifiedName}", head)
       }
-      unioned.versionedInsertIntoIf(engine, table, user,
-        s"SQL INSERT INTO ${table.name.fullyQualifiedName}", head)
     } else {
       // INSERT OVERWRITE = the engine's native dynamic-overwrite-by-
       // partition write (the ONLY overwrite a versioned-directory store
