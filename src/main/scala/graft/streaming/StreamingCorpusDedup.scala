@@ -71,9 +71,16 @@ object StreamingCorpusDedup {
       rowsPerBand: Int = 2,
       shingleSize: Int = 3): DataFrame = {
     val sigs = bandedSignatures(newDocs, idCol, textCol, bands, rowsPerBand, shingleSize)
-      .localCheckpoint() // reused: candidate join + verification fetch
-    val crossBatchNovel =
-      if (index.columns.isEmpty || index.isEmpty) newDocs
+      .localCheckpoint() // reused: candidate join + verification + in-batch LSH
+    // Round 17: the cross-batch dup ids are mined ONCE into a checkpointed
+    // (tiny — ids only) frame reused by BOTH anti-joins below. The former
+    // shape embedded the mining subplan — including the corpus-sized index
+    // scan — in `crossBatchNovel`, which the in-batch prep AND the final
+    // result each re-evaluated: two full index scans per delivery. Also
+    // gone: the eager `index.isEmpty` probe job (an empty index now just
+    // mines zero candidates — same result, no pre-flight action).
+    val dupIds: Option[DataFrame] =
+      if (index.columns.isEmpty) None
       else {
         // candidates: bucket collisions between the batch and the corpus,
         // then exact merge-walk verification on the colliding pairs only.
@@ -92,16 +99,38 @@ object StreamingCorpusDedup {
         // re-attach the batch's shingle sets (batch-sized, broadcast) for
         // the exact verification of the colliding pairs
         val newHs = sigs.select(col("id").as("new_id"), col("hs").as("new_hs")).distinct()
-        val dupIds = candidates
+        Some(candidates
           .join(broadcast(newHs), "new_id")
           .filter(Dedup.sortedSetJaccard(col("new_hs"), col("corpus_hs")) >= threshold)
           .select(col("new_id"))
           .distinct()
-        newDocs.join(broadcast(dupIds), newDocs(idCol) === col("new_id"), "left_anti")
+          .localCheckpoint())
       }
-    // in-batch dedup: the batch may contain near-dup pairs among itself
-    val inBatchPairs = Dedup.minhashNearDupPairs(
-      crossBatchNovel, idCol, textCol, threshold, bands, rowsPerBand, shingleSize)
+    val crossBatchNovel = dupIds.fold(newDocs)(d =>
+      newDocs.join(broadcast(d), newDocs(idCol) === col("new_id"), "left_anti"))
+    // In-batch dedup from the CHECKPOINTED signatures: `sigs` already holds
+    // the LSH bucket rows (band, band_hash) and the sorted shingle hashes,
+    // so candidate pairs and their exact-Jaccard verification reuse it
+    // directly — the former `minhashNearDupPairs(crossBatchNovel)` re-paid
+    // the whole shingle+minhash pass over the novel docs per delivery. The
+    // novel restriction keeps the pair set exactly what mining the novel
+    // docs produced: bands/minhashes are deterministic functions of `hs`,
+    // so the reused bucket rows equal a recomputation's.
+    val novelSigs = dupIds.fold(sigs)(d =>
+      sigs.join(broadcast(d), sigs("id") === d("new_id"), "left_anti"))
+    val inBatchCandidates = novelSigs.as("a")
+      .join(novelSigs.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val novelHs = novelSigs.select(col("id"), col("hs")).dropDuplicates("id")
+    val inBatchPairs = inBatchCandidates
+      .join(novelHs.select(col("id").as("id1"), col("hs").as("sh1")), "id1")
+      .join(novelHs.select(col("id").as("id2"), col("hs").as("sh2")), "id2")
+      .withColumn("jaccard", Dedup.sortedSetJaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
     Dedup.keepCanonical(crossBatchNovel, inBatchPairs, idCol)
   }
 
