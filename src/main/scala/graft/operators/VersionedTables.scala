@@ -71,11 +71,18 @@ final class VersionedTables(
     * a 100k-commit streaming-sink table is O(partitions + tail), never a
     * history materialization. Other tables keep the version-only fast
     * path. */
-  def read(table: TableDefinition): DataFrame =
-    if (table.mergesSchema) {
-      val hs = tracker.headState(table.name)
-      readVersion(table, hs.version, VersionedTables.parseSchemaJson(hs.schemaJson))
-    } else readVersion(table, tracker.currentVersion(table.name))
+  def read(table: TableDefinition): DataFrame = {
+    // The LOG-RECORDED schema (SetTableSchema) serves as the reader schema
+    // whenever the history carries one — for ANY table, not just
+    // mergeSchema ones (round 17): schemaOpsFor records exactly the shape
+    // of the files each commit wrote (drift refuses at write on uniform
+    // tables), so the record equals what footer inference would return,
+    // minus the planning-time schema-inference job every hint-less read
+    // pays. Histories that never recorded a schema (adopted / imported /
+    // pre-upgrade) parse to None and keep the inference path.
+    val hs = tracker.headState(table.name)
+    readVersion(table, hs.version, VersionedTables.parseSchemaJson(hs.schemaJson))
+  }
 
   /** The table's visible state as of commit `id` (errors on unknown ids).
     * Bounded in the persistent stores when `id` is past the fold boundary. */
@@ -577,12 +584,12 @@ final class VersionedTables(
   /** Read the current version of only the partitions matching `keep` — the
     * driver-side prune that makes partial reads O(selected partitions) at
     * 100 TB scale (no file listing outside the selection). */
-  def readPartitions(table: TableDefinition, keep: Partition => Boolean): DataFrame =
-    if (table.mergesSchema) {
-      val hs = tracker.headState(table.name)
-      readVersion(table, prunePartitions(hs.version, keep),
-        VersionedTables.parseSchemaJson(hs.schemaJson))
-    } else readVersion(table, prunePartitions(tracker.currentVersion(table.name), keep))
+  def readPartitions(table: TableDefinition, keep: Partition => Boolean): DataFrame = {
+    // recorded-schema hint for any table that has one — see read()
+    val hs = tracker.headState(table.name)
+    readVersion(table, prunePartitions(hs.version, keep),
+      VersionedTables.parseSchemaJson(hs.schemaJson))
+  }
 
   /** Data-skipping read of the CURRENT version: prune whole partitions (by
     * their values) and individual files (by the commit-time stats manifest,
@@ -590,12 +597,12 @@ final class VersionedTables(
     * the predicate normally — results always equal `read(table)
     * .filter(predicate)`; only the file listing and scan shrink. Versions
     * written without a [[graft.core.ColumnStatsConfig]] read unpruned. */
-  def readWhere(table: TableDefinition, predicate: org.apache.spark.sql.Column): DataFrame =
-    if (table.mergesSchema) {
-      val hs = tracker.headState(table.name)
-      TableStats.readVersionWhere(this, table, hs.version, predicate,
-        VersionedTables.parseSchemaJson(hs.schemaJson))
-    } else TableStats.readVersionWhere(this, table, tracker.currentVersion(table.name), predicate)
+  def readWhere(table: TableDefinition, predicate: org.apache.spark.sql.Column): DataFrame = {
+    // recorded-schema hint for any table that has one — see read()
+    val hs = tracker.headState(table.name)
+    TableStats.readVersionWhere(this, table, hs.version, predicate,
+      VersionedTables.parseSchemaJson(hs.schemaJson))
+  }
 
   /** [[readWhere]] at a historical commit — time travel with the same
     * file-level skipping (manifests are per version, so history prunes
@@ -754,17 +761,18 @@ final class VersionedTables(
     Some(st.head)
   }
 
-  /** The recorded schema AS OF commit `id`, as a read-planning hint. Only
-    * produced for mergeSchema tables — their scans otherwise footer-merge
-    * EVERY loaded file at planning time, a per-statement job at 100 TB —
-    * and only when the history recorded one ([[TableOperation
+  /** The recorded schema AS OF commit `id`, as a read-planning hint, for
+    * ANY table whose history recorded one ([[TableOperation
     * .SetTableSchema]]); resolved at the COMMIT so time travel keeps
-    * showing historical schemas. Uniform-schema tables skip the lookup:
-    * their planning reads one footer, already O(1). */
+    * showing historical schemas. mergeSchema scans otherwise footer-merge
+    * EVERY loaded file at planning time; even uniform-schema tables pay a
+    * planning-time schema-inference job without a hint (round 17 —
+    * schemaOpsFor records exactly the shape the commit's files carry, so
+    * the record equals what inference would return). Histories without a
+    * record parse to None and keep the inference path. */
   private[operators] def schemaHintAt(
       table: TableDefinition, st: TableState, id: CommitId): Option[StructType] =
-    if (!table.mergesSchema) None
-    else VersionedTables.parseSchemaJson(st.schemaJsonAt(id))
+    VersionedTables.parseSchemaJson(st.schemaJsonAt(id))
 
   /** Materialize a specific table state. `schemaHint` (from
     * [[schemaHintAt]]) replaces planning-time schema inference — the
@@ -922,12 +930,28 @@ object VersionedTables {
     import org.apache.spark.sql.types.{StringType, StructField}
     val partColsLower = table.partitionSchema.columnNames.map(_.toLowerCase).toSet
     val dataFields = hint.fields.filterNot(f => partColsLower(f.name.toLowerCase))
-    val partFields = table.partitionSchema.columnNames.map { c =>
-      hint.fields.find(_.name.equalsIgnoreCase(c))
-        .getOrElse(StructField(c, StringType, nullable = true))
+    if (!table.mergesSchema)
+      // Uniform tables (round 17): hint the DATA columns only — that alone
+      // skips the planning-time footer schema inference (the point of the
+      // hint) — and let partition DISCOVERY append the partition columns
+      // (and `_version`) with its own inferred types, exactly as the
+      // hint-less read did. Pinning partition types from the record would
+      // CHANGE the read schema wherever the written partition-column type
+      // disagrees with directory inference (a string `day` column whose
+      // values look like dates reads back DATE via discovery) — the
+      // uniform-table laws pin the discovery typing.
+      StructType(dataFields)
+    else {
+      // mergeSchema tables keep the full pinned shape (established
+      // semantics): their partition types must follow the record so mixed
+      // slices resolve one way.
+      val partFields = table.partitionSchema.columnNames.map { c =>
+        hint.fields.find(_.name.equalsIgnoreCase(c))
+          .getOrElse(StructField(c, StringType, nullable = true))
+      }
+      StructType((dataFields ++ partFields) :+
+        StructField(Version.VersionColumn, StringType, nullable = true))
     }
-    StructType((dataFields ++ partFields) :+
-      StructField(Version.VersionColumn, StringType, nullable = true))
   }
 
   /** Parse a recorded [[graft.core.TableOperation.SetTableSchema]] document

@@ -437,7 +437,20 @@ class TableStatsSpec extends AnyFlatSpec with Matchers {
       spare = f => keptAbs.contains(f.getAbsolutePath))
     corrupted should be >= 12 // at least 3 of 5 partitions went
     engine.readWhere(table, pred).select("id", "grp").collect().map(_.toSeq) shouldBe expected
-    intercept[Exception](engine.read(table).filter(pred).collect())
+    // control: corruption is real — with transparent skipping DISABLED the
+    // same read must touch the corrupted files and fail. (Round 17: the
+    // plain read no longer samples a footer at construction — the recorded
+    // schema serves planning — and its filter composition prunes through
+    // GraftDataSkipping just like readWhere, so an undisabled control would
+    // prune its way around the corruption and prove nothing.)
+    val spark2 = engine.spark
+    val prevSkip = spark2.conf.getOption("spark.graft.dataSkipping.enabled")
+    spark2.conf.set("spark.graft.dataSkipping.enabled", "false")
+    try intercept[Exception](engine.read(table).filter(pred).collect())
+    finally prevSkip match {
+      case Some(v) => spark2.conf.set("spark.graft.dataSkipping.enabled", v)
+      case None    => spark2.conf.unset("spark.graft.dataSkipping.enabled")
+    }
   }
 
   it should "probe string and multi-column key tuples in the written hash domain" in {
