@@ -436,7 +436,7 @@ object MergeApply {
         val version = Version.generate()
         VersionedTables.writeDataVersioned(out, table, version, clusterBy)
         if (table.stats.nonEmpty)
-          TableStats.collectAndWrite(engine.spark, table, version, Nil)
+          TableStats.collectAndWrite(engine.spark, table, version, Nil, Some(out.schema))
         val versionDir = new org.apache.hadoop.fs.Path(
           VersionPaths.pathFor(table.location, version))
         val fs = versionDir.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
@@ -600,7 +600,8 @@ object MergeApply {
                 // first-class write: the new version carries stats manifests
                 // so later reads keep pruning after the rewrite
                 if (table.stats.nonEmpty)
-                  TableStats.collectAndWrite(engine.spark, table, version, finalParts)
+                  TableStats.collectAndWrite(engine.spark, table, version, finalParts,
+                    Some(out.schema))
               }
               val emptied = (touched -- finalParts.toSet).toList.sortBy(_.toPath)
                 .filter(pvs.contains)

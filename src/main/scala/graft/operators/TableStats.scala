@@ -429,28 +429,48 @@ object TableStats {
       spark: SparkSession,
       table: TableDefinition,
       version: Version,
-      partitions: List[Partition]): Unit = {
+      partitions: List[Partition],
+      writtenSchema: Option[StructType] = None): Unit = {
     val cfg = table.stats.getOrElse(return)
     val leafDirs: Seq[URI] =
       if (table.isSnapshot) Seq(VersionPaths.pathFor(table.location, version))
       else partitions.map(p => VersionPaths.pathFor(p.resolvePath(table.location), version))
     if (leafDirs.isEmpty) return
     val manifest = footerStatsManifest(spark, table, cfg, version, leafDirs)
-      .orElse(scanStatsManifest(spark, table, cfg, version, leafDirs))
+      .orElse(scanStatsManifest(spark, table, cfg, version, leafDirs, writtenSchema))
     manifest.foreach(m =>
       writeManifest(spark.sparkContext.hadoopConfiguration, table.location, m))
   }
 
   /** The original read-back collection: one grouped-by-file-path Spark job
     * over ONLY the declared columns of the just-written files. None when no
-    * declared column is present in the data (nothing to record). */
+    * declared column is present in the data (nothing to record).
+    *
+    * `writtenSchema` (round 17): the frame the caller JUST WROTE these
+    * files from, when in scope — its data columns (partition columns and
+    * `_version` strip out; the dynamic partitioned writer never puts them
+    * in the files) serve as the reader schema, skipping the planning-time
+    * schema-inference job of the read-back. Self-describing formats only
+    * (parquet/orc footers return exactly the written types, so hint ≡
+    * inference); csv/json keep inference — their written-vs-inferred types
+    * can genuinely differ, and the manifest's recorded types must match
+    * what a later READER of those files sees. */
   private[operators] def scanStatsManifest(
       spark: SparkSession,
       table: TableDefinition,
       cfg: ColumnStatsConfig,
       version: Version,
-      leafDirs: Seq[URI]): Option[StatsManifest] = {
-    val df = spark.read.format(table.format.name).options(table.options)
+      leafDirs: Seq[URI],
+      writtenSchema: Option[StructType] = None): Option[StatsManifest] = {
+    val fileSchema = writtenSchema
+      .filter(_ => table.format == FileFormat.Parquet || table.format == FileFormat.Orc)
+      .map { s =>
+        val partLower = table.partitionSchema.columnNames.map(_.toLowerCase).toSet
+        StructType(s.fields.filterNot(f =>
+          partLower(f.name.toLowerCase) || f.name == Version.VersionColumn))
+      }
+    val reader0 = spark.read.format(table.format.name).options(table.options)
+    val df = fileSchema.fold(reader0)(reader0.schema)
       .load(leafDirs.map(VersionedTables.uriToLoadPath): _*)
     val present = df.columns.map(c => c.toLowerCase -> c).toMap
     // partition columns never appear in the data files — their value is the

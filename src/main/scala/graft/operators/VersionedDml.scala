@@ -131,7 +131,7 @@ object VersionedDml {
         val version = Version.generate()
         VersionedTables.writeDataVersioned(rewritten, table, version, clusterBy)
         if (table.stats.nonEmpty)
-          TableStats.collectAndWrite(engine.spark, table, version, Nil)
+          TableStats.collectAndWrite(engine.spark, table, version, Nil, Some(rewritten.schema))
         val versionDir = new org.apache.hadoop.fs.Path(
           VersionPaths.pathFor(table.location, version))
         val fs = versionDir.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
@@ -185,7 +185,8 @@ object VersionedDml {
             // first-class write: the new version carries stats manifests so
             // later reads keep pruning after the rewrite
             if (table.stats.nonEmpty)
-              TableStats.collectAndWrite(engine.spark, table, version, finalParts)
+              TableStats.collectAndWrite(engine.spark, table, version, finalParts,
+                Some(rewritten.schema))
           }
           val emptied = (touched -- finalParts.toSet).toList.sortBy(_.toPath)
             .filter(pvs.contains)

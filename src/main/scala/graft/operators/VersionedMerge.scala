@@ -286,7 +286,7 @@ object VersionedMerge {
           val version = Version.generate()
           VersionedTables.writeDataVersioned(merged, table, version, clusterBy)
           if (table.stats.nonEmpty)
-            TableStats.collectAndWrite(engine.spark, table, version, Nil)
+            TableStats.collectAndWrite(engine.spark, table, version, Nil, Some(merged.schema))
           val versionDir = new org.apache.hadoop.fs.Path(
             VersionPaths.pathFor(table.location, version))
           val fs = versionDir.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
@@ -346,7 +346,8 @@ object VersionedMerge {
             // manifest like any insert, so later reads and merges keep
             // pruning after the partition was rewritten
             if (table.stats.nonEmpty)
-              TableStats.collectAndWrite(engine.spark, table, version, finalParts)
+              TableStats.collectAndWrite(engine.spark, table, version, finalParts,
+                Some(merged.schema))
           }
           // a touched partition with no surviving rows is REMOVED from the
           // visible table (its old data stays on disk for time travel)

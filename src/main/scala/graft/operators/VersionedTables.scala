@@ -277,7 +277,7 @@ final class VersionedTables(
     val finalParts =
       VersionedTables.writeDataVersionedObserved(arranged, table, version, clusterBy)
     if (finalParts.nonEmpty && table.stats.nonEmpty)
-      TableStats.collectAndWrite(spark, table, version, finalParts)
+      TableStats.collectAndWrite(spark, table, version, finalParts, Some(arranged.schema))
     val emptied = (markers.keySet -- finalParts.toSet).toList.sortBy(_.toPath)
     val ops = finalParts.sortBy(_.toPath)
       .map(TableOperation.AddPartitionVersion(_, version)) ++
@@ -1496,7 +1496,8 @@ object VersionedTables {
       // the written dirs are ordinary vacuum-reclaimable debris.
       if (table.stats.nonEmpty)
         TableStats.collectAndWrite(ds.sparkSession, table, version,
-          ops.collect { case TableOperation.AddPartitionVersion(p, _) => p })
+          ops.collect { case TableOperation.AddPartitionVersion(p, _) => p },
+          Some(ds.toDF().schema))
       // record the exact staged ops (replace-all removes included) so a
       // LATER process can re-attach faithfully — see findStaged. Only the
       // EXPLICIT stage entry points pay this: the insert/replaceAll paths
